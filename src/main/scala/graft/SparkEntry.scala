@@ -1,13 +1,279 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
+
+import graft.core.Validation
+import graft.operators.{Bars, CalendarOps, Sliding}
+import graft.sources.Tables
+
+/**
+ * Driver contract: the declared query inventory (SURVEY.md §2.11) plus the
+ * training-data operators, each paired with ANSI SQL the driver runs in
+ * DuckDB over the same parquet tables.
+ *
+ * Determinism rules used throughout (so Spark and DuckDB hash-match):
+ *  - every query ends in a total ORDER BY;
+ *  - float aggregation is never order-sensitive: sums are computed over
+ *    exact DECIMAL(18,4) casts and only then cast back to DOUBLE;
+ *  - timestamps are TIMESTAMP_NTZ end-to-end (naive UTC, like DuckDB);
+ *  - all computed columns are aliased identically on both sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_ohlcv_bars")(spark, "/root/testdata/sf0.001")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- shared building blocks (events analog of the tick pipeline) ----
+
+  /** Distinct (user_id, day) having a 'signup' event — the "data present on
+   *  disk for that day" analog (S5/A4). */
+  private def signupDays(e: DataFrame): DataFrame =
+    e.where(col("event_type") === "signup")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+
+  /** Q4: expected calendar anti-join present days (J1/SET2). */
+  private def missingDays(e: DataFrame): DataFrame = {
+    val span = e.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val users = e.select(col("user_id")).distinct()
+    CalendarOps.missingDays(CalendarOps.expectedDays(users, span), signupDays(e), Seq("user_id"))
+  }
+
+  /** Q5: islands collapse of the missing days (W1). */
+  private def gapIslands(e: DataFrame): DataFrame =
+    CalendarOps.islands(missingDays(e), Seq("user_id"))
+
+  /** Q6: per (user_id, day) count + max ts — the cursor computation (A2/W2). */
+  private def dayCursor(e: DataFrame): DataFrame =
+    e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_ticks"), max(col("ts")).as("max_ts"))
+
+  // ---- declared queries ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 — F1 validation filter + counts
+    "q01_validation" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(Validation.isValidEvent)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // Q2 — P4/S3 hourly rotation law as a query
+    "q02_hourly_buckets" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd-HH").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+
+    // Q3 — A6 OHLCV tumbling bars via min_by/max_by
+    "q03_ohlcv_bars" -> ((s, dir) =>
+      Bars.ohlcv(t(s, dir, "events"),
+          keyCols = Seq(col("user_id")),
+          bucket = date_trunc("hour", col("ts")),
+          ts = col("ts"), price = col("value"), size = col("value"))
+        .orderBy(col("user_id"), col("bar_start"))),
+
+    // Q4 — J1/SET2 calendar anti-join: expected days minus present days
+    "q04_missing_days" -> ((s, dir) =>
+      missingDays(t(s, dir, "events")).orderBy(col("user_id"), col("day"))),
+
+    // Q5 — W1 gaps-and-islands collapse
+    "q05_gap_islands" -> ((s, dir) =>
+      gapIslands(t(s, dir, "events")).orderBy(col("user_id"), col("gap_start"))),
+
+    // Q6 — A2/W2 per-day cursor
+    "q06_day_cursor" -> ((s, dir) =>
+      dayCursor(t(s, dir, "events")).orderBy(col("user_id"), col("day"))),
+
+    // Q7 — SET1/A5 day planning: {start} ∪ gap days, dedup'd, ordered
+    "q07_day_plan" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val starts = e.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(java.sql.Date.valueOf("2024-01-01")).as("day"))
+      CalendarOps.dayPlan(gapIslands(e), starts, Seq("user_id"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Q8 — F4/ST10 resume filter: keep days whose end-of-day epoch-ms is
+    // beyond the cursor (cursor = 2024-01-15T12:00:00Z)
+    "q08_resume_filter" -> ((s, dir) =>
+      dayCursor(t(s, dir, "events"))
+        .where(unix_millis(col("day").cast(TimestampType) + expr("INTERVAL 1 DAY")) - 1
+          > lit(1705320000000L))
+        .orderBy(col("user_id"), col("day"))),
+
+    // Q9 — A1 single-row backfill report rollup
+    "q09_report_rollup" -> ((s, dir) =>
+      dayCursor(t(s, dir, "events"))
+        .agg(
+          sum(col("n_ticks")).cast("long").as("total_ticks"),
+          count(lit(1)).as("days_processed"),
+          min(col("day")).as("first_day"),
+          max(col("day")).as("last_day"))),
+
+    // Q10 — A7/ST5 sliding-window rate-limit probe: events whose 10-minute
+    // same-user window holds >= 2 events
+    "q10_rate_limit_probe" -> ((s, dir) =>
+      Sliding.slidingCount(t(s, dir, "events"),
+          Seq(col("user_id")), col("ts"), windowMicros = 600000000L)
+        .where(col("n_in_window") >= 2)
+        .select(col("event_id"), col("user_id"), col("ts"), col("n_in_window"))
+        .orderBy(col("event_id"))),
+
+    // Q11 — J4 star join: revenue per (region, nation) for 1996 orders
+    "q11_star_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Q12 — A4 + semi-join: active user-days that also saw a high-value purchase
+    "q12_semi_active_days" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val present = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val hot = e.where(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      present.join(hot, Seq("user_id", "day"), "left_semi")
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Q13 — P2/P3 epoch math parity probe on a fixed id subset
+    "q13_epoch_math" -> ((s, dir) =>
+      t(s, dir, "events")
+        .where(pmod(col("event_id"), lit(97)) === 0)
+        .select(
+          col("event_id"),
+          unix_millis(col("ts").cast(TimestampType)).as("ts_ms"),
+          to_date(col("ts")).as("day"),
+          pmod(col("event_id"), lit(100)).as("bucket"))
+        .orderBy(col("event_id"))),
+
+    // Q14 — ST6 idempotency law: double-ingest + dedup == single ingest
+    "q14_idempotent_reingest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val once = e.unionByName(e).dropDuplicates(Seq("event_id"))
+      once.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_ticks"), max(col("ts")).as("max_ts"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = {
+    val missingDaysCte =
+      """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+        |cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |present AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'signup'),
+        |missing AS (SELECT u.user_id, c.day FROM users u CROSS JOIN cal c
+        |  WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.user_id = u.user_id AND p.day = c.day)),
+        |isl AS (SELECT user_id, day,
+        |  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island FROM missing),
+        |gaps AS (SELECT user_id, min(day) AS gap_start, max(day) AS gap_end FROM isl GROUP BY user_id, island)
+        |""".stripMargin
+
+    Map(
+      "q01_validation" ->
+        """SELECT event_type, count(*) AS n FROM events
+          |WHERE value > 0 AND event_type <> ''
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q02_hourly_buckets" ->
+        """SELECT strftime(ts, '%Y-%m-%d-%H') AS bucket, count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q03_ohlcv_bars" ->
+        """SELECT user_id, date_trunc('hour', ts) AS bar_start,
+          |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+          |  arg_max(value, ts) AS close,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+          |  count(*) AS n_trades
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q04_missing_days" ->
+        (missingDaysCte + "SELECT user_id, day FROM missing ORDER BY user_id, day"),
+
+      "q05_gap_islands" ->
+        (missingDaysCte + "SELECT user_id, gap_start, gap_end FROM gaps ORDER BY user_id, gap_start"),
+
+      "q06_day_cursor" ->
+        """SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_ticks, max(ts) AS max_ts
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q07_day_plan" ->
+        (missingDaysCte +
+        """SELECT DISTINCT user_id, day FROM (
+          |  SELECT user_id, unnest(generate_series(gap_start, gap_end, INTERVAL 1 DAY))::DATE AS day FROM gaps
+          |  UNION ALL SELECT user_id, DATE '2024-01-01' AS day FROM users
+          |) t ORDER BY user_id, day""".stripMargin),
+
+      "q08_resume_filter" ->
+        """SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_ticks, max(ts) AS max_ts
+          |FROM events GROUP BY 1, 2
+          |HAVING epoch_ms(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) - 1 > 1705320000000
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q09_report_rollup" ->
+        """SELECT CAST(sum(n_ticks) AS BIGINT) AS total_ticks, count(*) AS days_processed,
+          |  min(day) AS first_day, max(day) AS last_day
+          |FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_ticks
+          |      FROM events GROUP BY 1, 2) t""".stripMargin,
+
+      "q10_rate_limit_probe" ->
+        """SELECT event_id, user_id, ts, n_in_window FROM (
+          |  SELECT event_id, user_id, ts,
+          |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |      RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW) AS n_in_window
+          |  FROM events) t
+          |WHERE n_in_window >= 2 ORDER BY event_id""".stripMargin,
+
+      "q11_star_revenue" ->
+        """SELECT r_name, n_name,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q12_semi_active_days" ->
+        """WITH present AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |hot AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+          |        WHERE event_type = 'purchase' AND value > 150)
+          |SELECT p.user_id, p.day FROM present p
+          |WHERE EXISTS (SELECT 1 FROM hot h WHERE h.user_id = p.user_id AND h.day = p.day)
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q13_epoch_math" ->
+        """SELECT event_id, epoch_ms(ts) AS ts_ms, CAST(ts AS DATE) AS day,
+          |  event_id % 100 AS bucket
+          |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+
+      "q14_idempotent_reingest" ->
+        """WITH once AS (SELECT DISTINCT * FROM
+          |  (SELECT * FROM events UNION ALL SELECT * FROM events) t)
+          |SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_ticks, max(ts) AS max_ts
+          |FROM once GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    )
+  }
 }

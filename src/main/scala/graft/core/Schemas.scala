@@ -1,0 +1,50 @@
+package graft.core
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+
+/**
+ * Canonical schemas for the engine.
+ *
+ * The core fact record is the market-data tick, mirroring the reference's
+ * fixed Arrow schema (reference: ingestion/infrastructure/src/repositories/
+ * parquet.rs:28-43) and domain struct (ingestion/domain/src/tick.rs:5-15).
+ *
+ * Divergences (documented in SURVEY.md §1.3):
+ *  - prices are exact DecimalType(10,4) end-to-end (the reference's write
+ *    path converts decimal -> f64 -> i128, a lossy step we do not copy);
+ *  - sizes are signed IntegerType (Spark has no unsigned u32).
+ */
+object Schemas {
+
+  /** Price precision of the reference lake: Decimal(10,4). */
+  val PriceType: DecimalType = DecimalType(10, 4)
+
+  /** Canonical tick schema (reference parquet.rs:28-43). */
+  val tickSchema: StructType = StructType(Seq(
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("symbol", StringType, nullable = false),
+    StructField("bid_price", PriceType, nullable = false),
+    StructField("bid_size", IntegerType, nullable = false),
+    StructField("ask_price", PriceType, nullable = false),
+    StructField("ask_size", IntegerType, nullable = false),
+    StructField("last_price", PriceType, nullable = false),
+    StructField("last_size", IntegerType, nullable = false),
+  ))
+
+  /** Typed view of a tick (reference tick.rs:5-15). */
+  final case class Tick(
+      timestamp: Timestamp,
+      symbol: String,
+      bid_price: java.math.BigDecimal,
+      bid_size: Int,
+      ask_price: java.math.BigDecimal,
+      ask_size: Int,
+      last_price: java.math.BigDecimal,
+      last_size: Int,
+  )
+
+  /** A missing-data interval for one symbol (reference data_gap.rs:5-9). */
+  final case class DataGap(symbol: String, gap_start: java.sql.Date, gap_end: java.sql.Date)
+}

@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Tick validation (operator F1 in SURVEY.md §2.3).
+ *
+ * Mirrors the reference's constructor invariants (reference:
+ * ingestion/domain/src/tick.rs:27-60): symbol must be non-empty, all three
+ * prices strictly positive; sizes are unconstrained.
+ *
+ * The reference fails per-record; at scale we split the stream instead:
+ * valid rows continue, invalid rows are routed to a quarantine sink
+ * (superset behavior, flagged in FIXTURES.md §1).
+ */
+object Validation {
+
+  /** Predicate a tick row must satisfy (tick.rs:28-48). */
+  val isValidTick: Column =
+    length(col("symbol")) > 0 &&
+      col("bid_price") > 0 &&
+      col("ask_price") > 0 &&
+      col("last_price") > 0
+
+  /** Validation analog for the driver `events` table: positive value and
+   *  non-empty event_type (SURVEY.md §2.11 Q1). */
+  val isValidEvent: Column =
+    col("value") > 0 && length(col("event_type")) > 0
+
+  /** Split into (valid, quarantined). One scan each; at scale prefer
+   *  persisting the parent if both sides are consumed. */
+  def split(df: DataFrame, predicate: Column = isValidTick): (DataFrame, DataFrame) =
+    (df.filter(predicate), df.filter(!coalesce(predicate, lit(false))))
+}

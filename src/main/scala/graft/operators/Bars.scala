@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * OHLCV K-bar aggregation (SURVEY.md §2.5 A6; reference design doc
+ * docs/…系統設計文件.md:69-72: argMin/max/min/argMax over tumbling windows).
+ *
+ * Implemented with built-in `min_by`/`max_by` — a single partial+final hash
+ * aggregate, fully whole-stage-codegen'd, one shuffle on (key, bucket).
+ * No UDAF, no window function, no sort. At 100 TB this is the canonical
+ * map-side-combine aggregation: partial OHLC states are 5 scalars per
+ * (symbol, bar), so the shuffle is tiny regardless of input size.
+ *
+ * Tie-breaking note (SURVEY.md §7.3.3): min_by/max_by pick an arbitrary row
+ * on timestamp ties; tick fixtures have unique per-minute timestamps.
+ */
+object Bars {
+
+  /**
+   * Tumbling OHLCV bars.
+   * @param bucket  a deterministic time-bucket expression, e.g.
+   *                date_trunc("hour", col("ts")) or window(col("ts"), "1 minute")
+   */
+  def ohlcv(
+      ticks: DataFrame,
+      keyCols: Seq[Column],
+      bucket: Column,
+      ts: Column,
+      price: Column,
+      size: Column): DataFrame = {
+    ticks
+      .groupBy((keyCols :+ bucket.as("bar_start")): _*)
+      .agg(
+        min_by(price, ts).as("open"),
+        max(price).as("high"),
+        min(price).as("low"),
+        max_by(price, ts).as("close"),
+        // exact decimal sum -> deterministic at any parallelism
+        sum(size.cast(DecimalType(18, 4))).cast("double").as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
+}

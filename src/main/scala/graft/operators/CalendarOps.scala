@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Calendar / gap-detection operators (SURVEY.md §2.2 P5, §2.4 J1/J2,
+ * §2.5 A4/A5, §2.6 W1, §2.7 SET1/SET2).
+ *
+ * The reference computes gaps with an imperative islands scan over a
+ * BTreeSet of dates (reference: ingestion/domain/src/data_gap.rs:29-63)
+ * after a directory listing (detectors/gap.rs:18-68). Here the whole
+ * pipeline is relational and shuffle-light:
+ *
+ *   expected calendar (sequence+explode, no data read)
+ *     LEFT ANTI JOIN existing days          -- broadcast: calendar is tiny
+ *     -> islands collapse (window function) -- one shuffle by key
+ *     -> gaps (key, gap_start, gap_end)
+ *
+ * At 100 TB the "existing days" side is partition METADATA (one row per
+ * partition directory), never row data, so this plan's cost is independent
+ * of fact-table size.
+ */
+object CalendarOps {
+
+  /** Expected (key, day) grid: every key crossed with every day in the span.
+   *  `spanOf` must be a one-row DataFrame with DateType columns (d0, d1). */
+  def expectedDays(keys: DataFrame, spanOf: DataFrame): DataFrame = {
+    val cal = spanOf.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    keys.crossJoin(broadcast(cal))
+  }
+
+  /** J1/SET2: days expected but not present. `existing` has the same key
+   *  columns + `day`. Calendar side is small → broadcast anti-join. */
+  def missingDays(expected: DataFrame, existing: DataFrame, keyCols: Seq[String]): DataFrame =
+    expected.join(existing, keyCols :+ "day", "left_anti")
+
+  /** J2: days present in both (resume/idempotency check). */
+  def presentDays(expected: DataFrame, existing: DataFrame, keyCols: Seq[String]): DataFrame =
+    expected.join(existing, keyCols :+ "day", "left_semi")
+
+  /**
+   * W1: classic gaps-and-islands. Collapses a set of missing (key, day)
+   * rows into maximal runs (key, gap_start, gap_end), exactly the
+   * semantics of the reference's scan (data_gap.rs:34-62) including the
+   * trailing gap closing at the range end (implicit: input is bounded by
+   * the expected calendar).
+   */
+  def islands(missing: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("day"))
+    missing
+      .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      .groupBy((keyCols.map(col) :+ col("island")): _*)
+      .agg(min(col("day")).as("gap_start"), max(col("day")).as("gap_end"))
+      .drop("island")
+  }
+
+  /** P5: explode gaps back into per-day rows (DateRange::split_by_days,
+   *  reference date_range.rs:45-57). */
+  def explodeGaps(gaps: DataFrame, keyCols: Seq[String]): DataFrame =
+    gaps.select(
+      (keyCols.map(col) :+
+        explode(sequence(col("gap_start"), col("gap_end"), expr("interval 1 day"))).as("day")): _*)
+
+  /**
+   * SET1/A5: the backfill day plan = {effective_start} ∪ gap days, dedup'd
+   * and ordered (reference backfill_service.rs:296-317).
+   */
+  def dayPlan(gaps: DataFrame, starts: DataFrame, keyCols: Seq[String]): DataFrame =
+    explodeGaps(gaps, keyCols)
+      .unionByName(starts)
+      .distinct()
+
+  /** F3 helper: interval-overlap predicate for range joins (date_range.rs:41-43). */
+  def overlaps(s1: Column, e1: Column, s2: Column, e2: Column): Column =
+    s1 <= e2 && e1 >= s2
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sliding-window counting (SURVEY.md §2.5 A7 / §2.9 ST5): the batch analog
+ * of the reference's Redis sliding-window rate limiter (reference:
+ * ingestion/infrastructure/src/rate_limiting/limiter.lua:22-53 — count of
+ * events with score in (now - window, now] per key).
+ *
+ * Implemented as a RANGE window frame over event-time microseconds: one
+ * shuffle on the key, one sort per partition, streaming frame evaluation
+ * (Spark's WindowExec keeps only the frame in memory). Skewed keys at scale:
+ * pre-filter by time range or salt + re-aggregate.
+ */
+object Sliding {
+
+  /**
+   * For each row: number of same-key rows with timestamp in
+   * (ts - windowMicros, ts] — half-open lower bound exactly like the Lua
+   * script's ZREMRANGEBYSCORE (-inf, now-window] then ZCARD.
+   */
+  def slidingCount(df: DataFrame, keyCols: Seq[Column], ts: Column, windowMicros: Long): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(unix_micros(ts.cast("timestamp")))
+      .rangeBetween(-(windowMicros - 1), Window.currentRow)
+    df.withColumn("n_in_window", count(lit(1)).over(w))
+  }
+
+  /** Rows that would be rejected by a `limit`-per-window rate limiter. */
+  def wouldRateLimit(df: DataFrame, keyCols: Seq[Column], ts: Column,
+      windowMicros: Long, limit: Long): DataFrame =
+    slidingCount(df, keyCols, ts, windowMicros).where(col("n_in_window") > limit)
+}

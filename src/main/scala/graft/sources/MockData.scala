@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Schemas
+
+/**
+ * Deterministic tick generators, mirroring the reference's mock gateways as
+ * pure column expressions over `spark.range` — fully vectorizable, no UDFs,
+ * no driver-side loops (SURVEY.md §2.1 S1/S2, §2.10).
+ */
+object MockData {
+
+  /**
+   * One historical day of ticks for (symbol, date): 1,440 rows, one per
+   * minute from 00:00 UTC. Price law (reference: ingestion/infrastructure/
+   * src/gateways/historical.rs:19-45):
+   *   last = base + (epoch_secs % 100); bid = last - 0.125; ask = last + 0.125
+   *   sizes = (10, 15, 5)
+   * A pure projection over `spark.range(1440)` — scales to any number of
+   * (symbol, day) pairs via union or a join against a day-plan DataFrame.
+   */
+  def historicalDay(
+      spark: SparkSession,
+      symbol: String,
+      date: LocalDate,
+      basePrice: BigDecimal = BigDecimal(16000)): DataFrame = {
+    val midnightSec = date.toEpochDay * 86400L
+    spark.range(0, 1440)
+      .select(
+        timestamp_seconds(lit(midnightSec) + col("id") * 60L).as("timestamp"),
+        lit(symbol).as("symbol"),
+        (lit(midnightSec) + col("id") * 60L).as("epoch_secs"))
+      .withColumn("last_price",
+        (lit(basePrice.bigDecimal) + pmod(col("epoch_secs"), lit(100L))).cast(Schemas.PriceType))
+      .select(
+        col("timestamp"),
+        col("symbol"),
+        (col("last_price") - 0.125).cast(Schemas.PriceType).as("bid_price"),
+        lit(10).as("bid_size"),
+        (col("last_price") + 0.125).cast(Schemas.PriceType).as("ask_price"),
+        lit(15).as("ask_size"),
+        col("last_price"),
+        lit(5).as("last_size"))
+      .select("timestamp", "symbol", "bid_price", "bid_size",
+        "ask_price", "ask_size", "last_price", "last_size")
+  }
+
+  /**
+   * Historical ticks for a whole day-plan in one distributed job: input is a
+   * DataFrame of (symbol: string, day: date); output is plan.count()*1440
+   * ticks. This is the scale path — one Spark job for the entire backfill
+   * instead of a per-day driver loop (SURVEY.md §3.2, §7.1.7).
+   */
+  def historicalDays(plan: DataFrame, basePrice: BigDecimal = BigDecimal(16000)): DataFrame = {
+    plan.select(col("symbol"), (unix_date(col("day")).cast("long") * 86400L).as("midnight"))
+      .select(col("symbol"), col("midnight"),
+        explode(sequence(lit(0L), lit(1439L))).as("minute"))
+      .withColumn("epoch_secs", col("midnight") + col("minute") * 60L)
+      .withColumn("last_price",
+        (lit(basePrice.bigDecimal) + pmod(col("epoch_secs"), lit(100L))).cast(Schemas.PriceType))
+      .select(
+        timestamp_seconds(col("epoch_secs")).as("timestamp"),
+        col("symbol"),
+        (col("last_price") - 0.125).cast(Schemas.PriceType).as("bid_price"),
+        lit(10).as("bid_size"),
+        (col("last_price") + 0.125).cast(Schemas.PriceType).as("ask_price"),
+        lit(15).as("ask_size"),
+        col("last_price"),
+        lit(5).as("last_size"))
+  }
+
+  /**
+   * Deterministic live-walk ticks (reference market_data.rs:27-52: random
+   * walk around base +-2.0, spread 0.25, sizes 1..50 / 1..20). The
+   * reference uses an unseeded RNG; for reproducible tests we derive the
+   * "randomness" from a hash of (seed, i) — seeded, stable across runs and
+   * partitions (SURVEY.md FIXTURES §1).
+   */
+  def liveWalk(
+      spark: SparkSession,
+      symbol: String,
+      startEpochMs: Long,
+      numTicks: Long,
+      tickIntervalMs: Long = 100L,
+      seed: Int = 42): DataFrame = {
+    def h(salt: Int) = pmod(hash(col("id"), lit(seed), lit(salt)).cast("long"), lit(100000L))
+    spark.range(0, numTicks)
+      .withColumn("timestamp",
+        timestamp_millis(lit(startEpochMs) + col("id") * tickIntervalMs))
+      // walk offset in [-2.0, 2.0], quantized to 4dp
+      .withColumn("last_price",
+        (lit(16000.0) + (h(0) - 50000L) * 0.00004).cast(Schemas.PriceType))
+      .select(
+        col("timestamp"),
+        lit(symbol).as("symbol"),
+        (col("last_price") - 0.125).cast(Schemas.PriceType).as("bid_price"),
+        (pmod(hash(col("id"), lit(seed), lit(1)).cast("long"), lit(50L)) + 1L).cast("int").as("bid_size"),
+        (col("last_price") + 0.125).cast(Schemas.PriceType).as("ask_price"),
+        (pmod(hash(col("id"), lit(seed), lit(2)).cast("long"), lit(50L)) + 1L).cast("int").as("ask_size"),
+        col("last_price"),
+        (pmod(hash(col("id"), lit(seed), lit(3)).cast("long"), lit(20L)) + 1L).cast("int").as("last_size"))
+  }
+}

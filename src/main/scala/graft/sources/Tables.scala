@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+/**
+ * Loaders for the driver test tables (/root/testdata/sf*, TESTDATA.md).
+ *
+ * The `events` table stores its timestamp as parquet INT64 TIMESTAMP(NANOS),
+ * which Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it under
+ * `spark.sql.legacy.parquet.nanosAsLong` and convert with integer division
+ * (the data is µs-aligned, so `ns DIV 1000` is lossless; double division
+ * would lose precision above 2^53).
+ *
+ * All timestamps are normalized to TIMESTAMP_NTZ so engine output parquet
+ * matches the DuckDB oracle's naive timestamps byte-for-byte.
+ */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+      case _ => raw // future-proof: driver may regenerate with µs units
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The Parquet tick lake (SURVEY.md §2.1 S3/S4/S5, §4 O1/O6/O9).
+ *
+ * The reference writes one file per (symbol, hour) named
+ * `{symbol}_{yyyyMMdd}_{HH}.parquet` and rotates by wall clock (reference:
+ * ingestion/infrastructure/src/repositories/parquet.rs:45-87). In Spark the
+ * same law is directory partitioning by EVENT time:
+ *
+ *   root/symbol=NQ/date=20251114/hour=04/part-*.parquet
+ *
+ * which is strictly more correct for late data (SURVEY.md §7.3.5), gives
+ * Hive partition pruning on (symbol, date, hour) for free, and makes day
+ * re-runs idempotent via dynamic partition overwrite (O9).
+ */
+object TickLake {
+
+  /** Session configs the lake relies on; call once after building the session. */
+  def configure(spark: SparkSession): Unit = {
+    // µs timestamps match the reference's Arrow schema (parquet.rs:30-34)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // overwrite only the partitions present in the written data -> idempotent
+    // day re-runs (ST6)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  }
+
+  private def withPartitionCols(ticks: DataFrame): DataFrame =
+    ticks
+      .withColumn("date", date_format(col("timestamp"), "yyyyMMdd"))
+      .withColumn("hour", date_format(col("timestamp"), "HH"))
+
+  /** Append a batch of ticks, hourly partitioned (S3). */
+  def append(ticks: DataFrame, root: String): Unit =
+    withPartitionCols(ticks)
+      .sortWithinPartitions("symbol", "timestamp") // O6: clustered storage
+      .write.partitionBy("symbol", "date", "hour")
+      .mode("append").parquet(root)
+
+  /** Idempotently (re)write full days: dynamic partition overwrite replaces
+   *  exactly the (symbol, date, hour) partitions present in `ticks` (ST6). */
+  def overwriteDays(ticks: DataFrame, root: String): Unit =
+    withPartitionCols(ticks)
+      .sortWithinPartitions("symbol", "timestamp")
+      .write.partitionBy("symbol", "date", "hour")
+      .mode("overwrite").parquet(root)
+
+  /** Read the lake back; partition filters on symbol/date/hour prune. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+
+  /** Distinct dates present for a symbol (S5): pure partition discovery —
+   *  no data files are opened, only the directory listing. */
+  def existingDates(spark: SparkSession, root: String, symbol: String): DataFrame =
+    read(spark, root)
+      .where(col("symbol") === symbol)
+      .select(to_date(col("date"), "yyyyMMdd").as("day"))
+      .distinct()
+
+  /** Per-file stats (S4/A3): row count per physical file, footer-driven. */
+  def fileStats(spark: SparkSession, root: String): DataFrame =
+    read(spark, root)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+
+  /** Compaction (S7): rewrite a day's partitions sorted by (symbol, ts). */
+  def compactDay(spark: SparkSession, root: String, date: String): DataFrame =
+    read(spark, root)
+      .where(col("date") === date)
+      .repartition(col("symbol"))
+      .sortWithinPartitions("symbol", "timestamp")
+}

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf tables, load the Spark result parquet written by
+graft.Verify, sort columns by name, and compare values.
+
+Usage: python3 tools/compare.py <sfDir> <outDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            try:
+                s = s.dt.tz_convert(None)
+            except (TypeError, AttributeError):
+                pass
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.apply(lambda v: str(v) if v is not None else None)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    return df.reset_index(drop=True)
+
+
+def diff(name, a: pd.DataFrame, b: pd.DataFrame):
+    if list(a.columns) != list(b.columns):
+        return f"columns differ: spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"row count differs: spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                return (f"float col '{c}' differs at row {i}: "
+                        f"spark={av[i]!r} duck={bv[i]!r} (ulp-level={math.isclose(av[i], bv[i], rel_tol=1e-12)})")
+        else:
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                return f"col '{c}' differs at row {i}: spark={av[i]!r} duck={bv[i]!r}"
+    return None
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    passed, failed, skipped = [], [], []
+    for name, sql in sorted(oracles.items()):
+        try:
+            duck = con.execute(sql).fetchdf()
+        except Exception as e:
+            failed.append((name, f"DUCKDB ERROR: {e}"))
+            continue
+        try:
+            spark = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            failed.append((name, f"SPARK RESULT MISSING: {e}"))
+            continue
+        d = diff(name, canon(spark), canon(duck))
+        if d:
+            failed.append((name, d))
+        else:
+            passed.append((name, len(spark)))
+    for n, rows in passed:
+        print(f"PASS {n} ({rows} rows)")
+    for n, d in failed:
+        print(f"FAIL {n}: {d}")
+    print(f"\n{len(passed)} passed, {len(failed)} failed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
