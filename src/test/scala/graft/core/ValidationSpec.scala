@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ports the reference's tick-validation unit tests
+ *  (reference: ingestion/domain/src/tick.rs:103-171). */
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tick(symbol: String, bid: Double, ask: Double, last: Double) =
+    (java.sql.Timestamp.valueOf("2025-11-14 04:00:00"), symbol,
+      BigDecimal(bid), 10, BigDecimal(ask), 15, BigDecimal(last), 5)
+
+  private val cols = Seq("timestamp", "symbol", "bid_price", "bid_size",
+    "ask_price", "ask_size", "last_price", "last_size")
+
+  test("valid tick is accepted (tick.rs:104-117)") {
+    val df = Seq(tick("NQ", 16000.25, 16000.50, 16000.25)).toDF(cols: _*)
+    assert(df.filter(Validation.isValidTick).count() === 1)
+  }
+
+  test("empty symbol is rejected (tick.rs:119-132)") {
+    val df = Seq(tick("", 16000.25, 16000.50, 16000.25)).toDF(cols: _*)
+    val (valid, quarantined) = Validation.split(df)
+    assert(valid.count() === 0)
+    assert(quarantined.count() === 1)
+  }
+
+  test("negative price is rejected (tick.rs:134-147)") {
+    val df = Seq(tick("NQ", -100.0, 16000.50, 16000.25)).toDF(cols: _*)
+    assert(df.filter(Validation.isValidTick).count() === 0)
+  }
+
+  test("zero price is rejected (tick.rs:149-162)") {
+    val df = Seq(tick("NQ", 0.0, 16000.50, 16000.25)).toDF(cols: _*)
+    assert(df.filter(Validation.isValidTick).count() === 0)
+  }
+
+  test("split partitions every row exactly once") {
+    val df = Seq(
+      tick("NQ", 16000.25, 16000.50, 16000.25),
+      tick("", 1.0, 1.0, 1.0),
+      tick("ES", 0.0, 1.0, 1.0)).toDF(cols: _*)
+    val (valid, quarantined) = Validation.split(df)
+    assert(valid.count() + quarantined.count() === df.count())
+    assert(valid.select("symbol").as[String].collect().toSet === Set("NQ"))
+  }
+}

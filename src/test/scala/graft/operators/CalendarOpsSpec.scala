@@ -1,0 +1,91 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ports the reference's gap-detection vectors
+ *  (reference: ingestion/domain/src/data_gap.rs:65-129) and the
+ *  DateRange::split_by_days law (date_range.rs:66-108). */
+class CalendarOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gapsFor(start: String, end: String, existing: Seq[String]): Seq[(String, String)] = {
+    val span = Seq((Date.valueOf(start), Date.valueOf(end))).toDF("d0", "d1")
+    val keys = Seq("NQ").toDF("symbol")
+    val existingDf = existing.map(d => ("NQ", Date.valueOf(d))).toDF("symbol", "day")
+    val expected = CalendarOps.expectedDays(keys, span)
+    val missing = CalendarOps.missingDays(expected, existingDf, Seq("symbol"))
+    CalendarOps.islands(missing, Seq("symbol"))
+      .orderBy("gap_start")
+      .select($"gap_start".cast("string"), $"gap_end".cast("string"))
+      .as[(String, String)].collect().toSeq
+  }
+
+  test("no gaps when every day exists (data_gap.rs:66-80)") {
+    assert(gapsFor("2025-01-01", "2025-01-05",
+      Seq("2025-01-01", "2025-01-02", "2025-01-03", "2025-01-04", "2025-01-05")) === Seq())
+  }
+
+  test("single interior gap with exact bounds (data_gap.rs:82-109)") {
+    assert(gapsFor("2025-01-01", "2025-01-05",
+      Seq("2025-01-01", "2025-01-02", "2025-01-05")) ===
+      Seq(("2025-01-03", "2025-01-04")))
+  }
+
+  test("multiple gaps (data_gap.rs:111-129)") {
+    assert(gapsFor("2025-01-01", "2025-01-10",
+      Seq("2025-01-01", "2025-01-05", "2025-01-10")) ===
+      Seq(("2025-01-02", "2025-01-04"), ("2025-01-06", "2025-01-09")))
+  }
+
+  test("trailing open gap closes at range end (data_gap.rs:56-60)") {
+    assert(gapsFor("2025-01-01", "2025-01-05", Seq("2025-01-01")) ===
+      Seq(("2025-01-02", "2025-01-05")))
+  }
+
+  test("fully missing range is one gap") {
+    assert(gapsFor("2025-01-01", "2025-01-03", Seq()) ===
+      Seq(("2025-01-01", "2025-01-03")))
+  }
+
+  test("explodeGaps is DateRange::split_by_days (date_range.rs:45-57)") {
+    val gaps = Seq(("NQ", Date.valueOf("2025-01-02"), Date.valueOf("2025-01-04")))
+      .toDF("symbol", "gap_start", "gap_end")
+    val days = CalendarOps.explodeGaps(gaps, Seq("symbol"))
+      .orderBy("day").select($"day".cast("string")).as[String].collect()
+    assert(days.toSeq === Seq("2025-01-02", "2025-01-03", "2025-01-04"))
+  }
+
+  test("gap round-trip law: removing a day subset reconstructs it exactly") {
+    // property-flavored check with a fixed seed (ScalaCheck-style law,
+    // SURVEY.md §5): detect_gaps(range, existing) exploded == removed days
+    val all = (1 to 28).map(d => f"2025-02-$d%02d")
+    val rng = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val removed = all.filter(_ => rng.nextBoolean()).toSet
+      val existing = all.filterNot(removed)
+      val span = Seq((Date.valueOf(all.head), Date.valueOf(all.last))).toDF("d0", "d1")
+      val keys = Seq("NQ").toDF("symbol")
+      val missing = CalendarOps.missingDays(
+        CalendarOps.expectedDays(keys, span),
+        existing.map(d => ("NQ", Date.valueOf(d))).toDF("symbol", "day"), Seq("symbol"))
+      val reconstructed = CalendarOps.explodeGaps(
+        CalendarOps.islands(missing, Seq("symbol")), Seq("symbol"))
+        .select($"day".cast("string")).as[String].collect().toSet
+      assert(reconstructed === removed)
+    }
+  }
+
+  test("day plan = {start} ∪ gap days, dedup'd (backfill_service.rs:296-317)") {
+    val gaps = Seq(("NQ", Date.valueOf("2025-01-02"), Date.valueOf("2025-01-03")))
+      .toDF("symbol", "gap_start", "gap_end")
+    val starts = Seq(("NQ", Date.valueOf("2025-01-02"))).toDF("symbol", "day")
+    val plan = CalendarOps.dayPlan(gaps, starts, Seq("symbol"))
+      .orderBy("day").select($"day".cast("string")).as[String].collect()
+    assert(plan.toSeq === Seq("2025-01-02", "2025-01-03")) // start dedup'd into gap days
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Validation
+import graft.operators.Bars
+
+/** The §7.2 end-to-end slice: generator law -> validation -> lake -> OHLCV,
+ *  with hand-computed constants from the reference's price law
+ *  (reference: ingestion/infrastructure/src/gateways/historical.rs:19-45). */
+class MockDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("historicalDay: 1440 one-per-minute ticks obeying the price law") {
+    val day = MockData.historicalDay(spark, "NQ", LocalDate.of(2025, 1, 2))
+    assert(day.count() === 1440)
+    assert(day.filter(Validation.isValidTick).count() === 1440)
+    // first tick: 2025-01-02T00:00:00Z; epoch_secs = 1735776000; %100 = 0
+    val first = day.orderBy("timestamp").limit(1)
+      .select($"last_price".cast("string"), $"bid_price".cast("string"), $"ask_price".cast("string"))
+      .as[(String, String, String)].head()
+    assert(first === (("16000.0000", "15999.8750", "16000.1250")))
+    // minute 1: epoch 1735776060 % 100 = 60 -> 16060
+    val second = day.orderBy("timestamp").collect()(1)
+    assert(second.getDecimal(6).toPlainString === "16060.0000")
+  }
+
+  test("historicalDays on a plan == union of single days, distributed") {
+    val plan = Seq(("NQ", java.sql.Date.valueOf("2025-01-02")),
+      ("ES", java.sql.Date.valueOf("2025-01-03"))).toDF("symbol", "day")
+    val bulk = MockData.historicalDays(plan)
+    assert(bulk.count() === 2880)
+    val single = MockData.historicalDay(spark, "NQ", LocalDate.of(2025, 1, 2))
+    assert(bulk.where($"symbol" === "NQ").exceptAll(single).count() === 0)
+    assert(single.exceptAll(bulk.where($"symbol" === "NQ")).count() === 0)
+  }
+
+  test("lake round-trip: write day -> 24 hour partitions -> OHLCV bars (§7.2)") {
+    val root = tmpDir("lake")
+    val spark2 = spark
+    TickLake.configure(spark2)
+    MockData.historicalDay(spark2, "NQ", LocalDate.of(2025, 1, 2))
+      .transform(df => { TickLake.append(df, root); df })
+    val back = TickLake.read(spark2, root)
+    assert(back.count() === 1440)
+    assert(back.select("hour").distinct().count() === 24)
+    assert(back.select("date").distinct().as[String].collect().toSeq === Seq("20250102"))
+    // decimal fidelity end-to-end
+    assert(back.schema("last_price").dataType.toString === "DecimalType(10,4)")
+
+    val bars = Bars.ohlcv(back, Seq(col("symbol")), date_trunc("hour", col("timestamp")),
+      col("timestamp"), col("last_price"), col("last_size"))
+    assert(bars.count() === 24)
+    // hour 0: prices 16000 + (t%100) for t=1735776000+60k, k=0..59:
+    // offsets cycle 0,60,20,80,40,0,... (period 5) -> open=16000, close(k=59: 60*59=3540%100=40)=16040
+    // high=16080, low=16000, volume=60*5=300
+    val h0 = bars.orderBy("bar_start").limit(1)
+      .select($"open".cast("string"), $"high".cast("string"), $"low".cast("string"),
+        $"close".cast("string"), $"volume", $"n_trades")
+      .as[(String, String, String, String, Double, Long)].head()
+    assert(h0 === (("16000.0000", "16080.0000", "16000.0000", "16040.0000", 300.0, 60L)))
+  }
+
+  test("liveWalk is deterministic, valid, and within the walk envelope") {
+    val a = MockData.liveWalk(spark, "NQ", 1700000000000L, 500)
+    val b = MockData.liveWalk(spark, "NQ", 1700000000000L, 500)
+    assert(a.exceptAll(b).count() === 0)
+    assert(a.filter(Validation.isValidTick).count() === 500)
+    val bounds = a.agg(min($"last_price").cast("double"), max($"last_price").cast("double"))
+      .as[(Double, Double)].head()
+    assert(bounds._1 >= 15998.0 && bounds._2 <= 16002.0)
+    val sizes = a.agg(min($"bid_size"), max($"bid_size"), min($"last_size"), max($"last_size"))
+      .as[(Int, Int, Int, Int)].head()
+    assert(sizes._1 >= 1 && sizes._2 <= 50 && sizes._3 >= 1 && sizes._4 <= 20)
+  }
+
+  test("idempotent day re-write: overwriteDays twice == once (ST6)") {
+    val root = tmpDir("lake-idem")
+    TickLake.configure(spark)
+    val day = MockData.historicalDay(spark, "NQ", LocalDate.of(2025, 1, 2))
+    TickLake.overwriteDays(day, root)
+    TickLake.overwriteDays(day, root)
+    assert(TickLake.read(spark, root).count() === 1440)
+  }
+}
