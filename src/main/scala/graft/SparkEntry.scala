@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, TimestampType}
 
 import graft.core.Validation
-import graft.operators.{Bars, CalendarOps, Sliding}
+import graft.operators.{Bars, CalendarOps, Dedup, Multimodal, Similarity, Sliding, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -174,6 +174,87 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_ticks"), max(col("ts")).as("max_ts"))
         .orderBy(col("user_id"), col("day"))
     }),
+
+    // ---- training-data pipeline operators (SURVEY.md §7.1.10) ----
+
+    // Q15 — exact dedup via hash-groupBy on normalized text (doubled input
+    // so the dedup actually removes rows)
+    "q15_exact_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.exactDedupStats(d.unionByName(d), "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    // Q16 — MinHash + LSH banding near-dup pairs, exact-Jaccard verified
+    "q16_minhash_neardups" -> ((s, dir) =>
+      Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Q17 — 60-bit SimHash signature per document
+    "q17_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Q18 — brute-force word-set Jaccard within a blocking group (source)
+    "q18_jaccard_within_source" -> ((s, dir) =>
+      Dedup.jaccardPairsWithinGroup(t(s, dir, "documents"),
+          "doc_id", "text", "source", shingleN = 1, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Q19 — brute-force cosine top-3 over embeddings (quantized-integer
+    // dot products → bit-deterministic ranking)
+    "q19_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopK(
+          e.where(pmod(col("vec_id"), lit(50)) === 0), e, "vec_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Q20 — heuristic language ID (marker-token argmax)
+    "q20_lang_id" -> ((s, dir) =>
+      TextAnalysis.withLangId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          col("lang_score").cast("long").as("lang_score"),
+          (col("pred_lang") === col("lang")).as("agree"))
+        .orderBy(col("doc_id"))),
+
+    // Q21 — quality metrics + gate per document
+    "q21_quality" -> ((s, dir) =>
+      TextAnalysis.withQualityMetrics(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("stop_ratio"), col("type_token_ratio"), col("is_quality"))
+        .orderBy(col("doc_id"))),
+
+    // Q22 — token counting (whitespace + BPE-ish regex) rolled up by source
+    "q22_token_stats" -> ((s, dir) =>
+      TextAnalysis.withTokenCounts(t(s, dir, "documents"), "text")
+        .groupBy(col("source"))
+        .agg(
+          sum(col("ws_tokens")).as("total_ws"),
+          sum(col("bpe_tokens")).as("total_bpe"),
+          (sum(col("bpe_tokens")).cast("double") / count(lit(1)).cast("double")).as("avg_bpe"))
+        .orderBy(col("source"))),
+
+    // Q23 — rolling-hash document fingerprint (char-8-gram min sketch)
+    "q23_fingerprint" -> ((s, dir) =>
+      TextAnalysis.withFingerprint(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("fingerprint"), col("n_distinct_grams"))
+        .orderBy(col("doc_id"))),
+
+    // Q24 — multimodal binary-column plumbing: payload stats by modality
+    "q24_media_stats" -> ((s, dir) =>
+      Multimodal.mediaStats(
+          Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy(col("modality"))),
+
+    // Q25 — LSH-bucketed ANN top-3 (deterministic hyperplane buckets)
+    "q25_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.annCosineTopK(
+          e.where(pmod(col("vec_id"), lit(50)) === 0), e, "vec_id", "embedding",
+          k = 3, numPlanes = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -274,6 +355,140 @@ object SparkEntry {
           |  (SELECT * FROM events UNION ALL SELECT * FROM events) t)
           |SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_ticks, max(ts) AS max_ts
           |FROM once GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q15_exact_dedup" ->
+        """WITH d2 AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
+          |k AS (SELECT source, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_key FROM d2)
+          |SELECT source, count(*) AS n_rows, count(DISTINCT text_key) AS n_unique,
+          |  count(*) - count(DISTINCT text_key) AS n_dup_rows
+          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+      "q16_minhash_neardups" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+          |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
+          |FROM p WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q17_simhash" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+          |b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          |      FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) bits GROUP BY doc_id, i)
+          |SELECT doc_id, CAST(sum(1::BIGINT << i) AS BIGINT) AS simhash
+          |FROM b WHERE s > 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q18_jaccard_within_source" ->
+        """WITH s AS (SELECT doc_id, source,
+          |        list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS sh FROM documents),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+          |      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
+          |FROM p WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.9
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q19_cosine_topk" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM e),
+          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |        CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1])) AS BIGINT) AS dot,
+          |        q.nn AS qn, c.nn AS cn
+          |      FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+          |r AS (SELECT query_id, neighbor_id,
+          |        CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim FROM p),
+          |rr AS (SELECT query_id, neighbor_id, sim,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM r)
+          |SELECT query_id, rank, neighbor_id, sim FROM rr WHERE rank <= 3
+          |ORDER BY query_id, rank""".stripMargin,
+
+      "q20_lang_id" ->
+        """WITH w AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |sc AS (SELECT doc_id, lang,
+          |  len(list_filter(ws, x -> x = 'der')) + len(list_filter(ws, x -> x = 'die')) + len(list_filter(ws, x -> x = 'und')) + len(list_filter(ws, x -> x = 'nicht')) + len(list_filter(ws, x -> x = 'das')) AS s_de,
+          |  len(list_filter(ws, x -> x = 'the')) + len(list_filter(ws, x -> x = 'a')) + len(list_filter(ws, x -> x = 'and')) + len(list_filter(ws, x -> x = 'of')) + len(list_filter(ws, x -> x = 'to')) AS s_en,
+          |  len(list_filter(ws, x -> x = 'el')) + len(list_filter(ws, x -> x = 'la')) + len(list_filter(ws, x -> x = 'que')) + len(list_filter(ws, x -> x = 'los')) + len(list_filter(ws, x -> x = 'una')) AS s_es,
+          |  len(list_filter(ws, x -> x = 'le')) + len(list_filter(ws, x -> x = 'la')) + len(list_filter(ws, x -> x = 'et')) + len(list_filter(ws, x -> x = 'les')) + len(list_filter(ws, x -> x = 'des')) AS s_fr,
+          |  len(list_filter(ws, x -> x = '的')) + len(list_filter(ws, x -> x = '是')) + len(list_filter(ws, x -> x = '了')) + len(list_filter(ws, x -> x = '在')) + len(list_filter(ws, x -> x = '我')) AS s_zh
+          | FROM w),
+          |pr AS (SELECT doc_id, lang,
+          |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
+          |  CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS lang_score
+          | FROM sc)
+          |SELECT doc_id, lang, pred_lang, lang_score, pred_lang = lang AS agree
+          |FROM pr ORDER BY doc_id""".stripMargin,
+
+      "q21_quality" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws,
+          |        length(regexp_replace(text, '\s+', '', 'g')) AS nc FROM documents),
+          |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+          |  CAST(nc AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+          |  CAST(len(list_filter(ws, x -> x = 'a')) + len(list_filter(ws, x -> x = 'the')) AS DOUBLE)
+          |    / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+          |  CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS type_token_ratio
+          | FROM w)
+          |SELECT doc_id, n_words, mean_word_len, stop_ratio, type_token_ratio,
+          |  n_words BETWEEN 30 AND 120 AND stop_ratio <= 0.2 AS is_quality
+          |FROM m ORDER BY doc_id""".stripMargin,
+
+      "q22_token_stats" ->
+        """WITH t AS (SELECT source,
+          |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(trim(lower(text)), '[a-z]+|[0-9]+|\S')) AS BIGINT) AS bpe
+          | FROM documents)
+          |SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS total_ws, CAST(sum(bpe) AS BIGINT) AS total_bpe,
+          |  CAST(sum(bpe) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bpe
+          |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+      "q23_fingerprint" ->
+        """WITH g AS (SELECT doc_id, list_transform(range(greatest(len(text) - 7, 0)),
+          |        i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 15))::BIGINT) AS grams FROM documents)
+          |SELECT doc_id, list_min(grams) AS fingerprint,
+          |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams
+          |FROM g ORDER BY doc_id""".stripMargin,
+
+      "q24_media_stats" ->
+        """WITH m AS (SELECT
+          |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+          |         ELSE 'video' END AS modality,
+          |    unhex(md5(text)) AS payload
+          |  FROM documents)
+          |SELECT modality, count(*) AS n_items,
+          |  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+          |  count(DISTINCT hex(payload)) AS n_distinct_payloads
+          |FROM m GROUP BY modality ORDER BY modality""".stripMargin,
+
+      "q25_ann_lsh" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM e),
+          |pl AS (SELECT p, d,
+          |        CASE WHEN ('0x' || substr(md5('plane#' || p || ':dim#' || d), 1, 15))::BIGINT % 2 = 0
+          |             THEN 1 ELSE -1 END AS sgn
+          |       FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)),
+          |side AS (SELECT n.vec_id, pl.p, sum(pl.sgn * n.v[pl.d + 1]) AS s
+          |         FROM n, pl GROUP BY n.vec_id, pl.p),
+          |bk AS (SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+          |       FROM side GROUP BY vec_id),
+          |nb AS (SELECT n.vec_id, n.v, n.nn, bk.bucket FROM n JOIN bk USING (vec_id)),
+          |p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |        CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1])) AS BIGINT) AS dot,
+          |        q.nn AS qn, c.nn AS cn
+          |      FROM nb q JOIN nb c ON q.vec_id % 50 = 0 AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+          |r AS (SELECT query_id, neighbor_id,
+          |        CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim FROM p2),
+          |rr AS (SELECT query_id, neighbor_id, sim,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM r)
+          |SELECT query_id, rank, neighbor_id, sim FROM rr WHERE rank <= 3
+          |ORDER BY query_id, rank""".stripMargin,
     )
   }
 }

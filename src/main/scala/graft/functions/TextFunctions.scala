@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Engine-portable text/hash primitives shared by the dedup, similarity and
+ * text-analysis operators (SURVEY.md §7.1.10: the training-data extension
+ * surface of the engine).
+ *
+ * Everything here is a pure Catalyst column expression — codegen'd, no UDFs,
+ * no shuffles — so each operator's per-document work happens map-side and
+ * the only data that ever moves is the (tiny) derived keys/signatures.
+ *
+ * Hash portability: all content hashes are the first 15 hex chars of md5
+ * interpreted as a base-16 integer (60 bits, always non-negative, fits a
+ * signed 64-bit long). md5 is bit-identical across engines, unlike
+ * Spark's Murmur `hash()` — this is what lets the DuckDB oracle reproduce
+ * MinHash/SimHash/fingerprint values exactly.
+ */
+object TextFunctions {
+
+  /** 60-bit portable content hash (identical in DuckDB as
+   *  `('0x' || substr(md5(s), 1, 15))::BIGINT`). */
+  def portableHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Salted variant for MinHash seed families: H_k(s) = H(s + "#" + k). */
+  def portableHash(s: Column, salt: Column): Column =
+    portableHash(concat(s, lit("#"), salt))
+
+  /** Whitespace-normalized lowercase text — the exact-dedup key domain. */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Lowercased whitespace tokens. */
+  def words(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /**
+   * Distinct word n-gram shingles, e.g. n=3: ["a b c", "b c d", ...].
+   * Shorter-than-n documents yield an empty set (guard needed because
+   * `sequence(0, -k)` would descend).
+   */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j + 1))): _*)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - lit(n)), gram)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Hashes of all character k-grams of the raw text (rolling-hash
+   *  fingerprint domain). Shorter-than-k texts yield the empty set. */
+  def charGramHashes(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - lit(k - 1)),
+        i => portableHash(text.substr(i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+}

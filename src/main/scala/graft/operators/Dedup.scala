@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Document deduplication for large-scale training-data pipelines: exact
+ * (hash-groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard.
+ *
+ * Scale posture (the 100 TB design):
+ *  - Every per-document computation (normalization, shingling, the full
+ *    MinHash signature, SimHash) is a map-side column expression — zero
+ *    shuffle until grouping on derived keys.
+ *  - The only shuffled payloads are 16-byte keys / 8-byte signature pieces,
+ *    never document text.
+ *  - LSH candidate generation shuffles (doc_id, band_key) rows — `bands ×
+ *    n_docs` rows of ~24 bytes — then verifies candidates with a join that
+ *    fetches shingle sets ONLY for candidate ids (a tiny fraction of the
+ *    corpus). Brute-force O(n²) never happens.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup stats per group column: total rows, distinct normalized
+   * texts, and duplicate-group count. `dropExactDuplicates` below is the
+   * materializing variant.
+   */
+  def exactDedupStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("text_key", md5(normText(col(textCol))))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("text_key")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("text_key"))).as("n_dup_rows"))
+
+  /** Keep one row (lowest id) per normalized text — the exact-dedup pass. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(normText(col(textCol)))).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** Mersenne prime 2^31-1: the MinHash permutation modulus. Affine
+   *  families (a_k·h + b_k) mod p over 31-bit hashes never overflow a
+   *  64-bit long, in any engine. */
+  val MinhashPrime = 2147483647L
+
+  /**
+   * MinHash signature: md5-derived 31-bit content hash per shingle
+   * (computed ONCE), then `numHashes` cheap affine permutations
+   * `(a_k·h + b_k) mod p` with a_k = 7919k+1, b_k = 104729k. One array
+   * column, computed entirely map-side (no explode, no shuffle).
+   */
+  def withMinhashSignature(
+      docs: DataFrame, textCol: String,
+      numHashes: Int = 16, shingleN: Int = 3): DataFrame =
+    docs
+      .withColumn("shingles", wordShingles(col(textCol), shingleN))
+      .withColumn("sh31", transform(col("shingles"), s => portableHash(s) % MinhashPrime))
+      .withColumn("minhash",
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          k => array_min(transform(col("sh31"),
+            h => (h * (k * lit(7919L) + 1L) + k * lit(104729L)) % MinhashPrime))))
+      .drop("sh31")
+
+  /**
+   * MinHash signatures as a slim (id, minhash) frame. Unlike
+   * `withMinhashSignature` (whose nested-lambda formulation Catalyst's
+   * projection collapse inlines, recomputing the md5 per seed), this
+   * explode formulation hashes each shingle exactly ONCE and folds the
+   * `numHashes` affine permutations `(a_k·h + b_k) mod p` into
+   * map-side-combinable `min` aggregates — the shuffle carries only
+   * `numHashes` longs per document. Documents with no shingles produce no
+   * row. This is the form the near-dup pipeline uses.
+   */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("s"))
+      .withColumn("h", portableHash(col("s")) % MinhashPrime)
+    val aggs = (0 until numHashes).map(k =>
+      min((col("h") * lit(7919L * k + 1L) + lit(104729L * k)) % MinhashPrime).as(s"_m$k"))
+    hashed.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(k => col(s"_m$k")): _*).as("minhash"))
+  }
+
+  /** Explode the signature into (id, band, band_key) LSH bucket rows:
+   *  `numHashes / rowsPerBand` bands, key = md5 of the band's slice. */
+  def lshBands(withSig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    withSig.select(
+      col(idCol),
+      col("minhash"),
+      explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .withColumn("band_key",
+        md5(concat_ws(",",
+          transform(slice(col("minhash"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")))))
+      .select(col(idCol), col("band"), col("band_key"))
+  }
+
+  /**
+   * Full MinHash-LSH near-duplicate pipeline: signature → band buckets →
+   * candidate pairs (same band key) → exact Jaccard verification over the
+   * shingle sets → pairs with jaccard ≥ `threshold`.
+   *
+   * Output: (id_a, id_b, jaccard) with id_a < id_b. The Jaccard value is
+   * |∩| / |∪| computed in exact integer counts then one IEEE double
+   * division — bit-deterministic at any parallelism.
+   */
+  def minhashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 2, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    val bands = lshBands(sig, idCol, numHashes, rowsPerBand)
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sets = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
+    verifyJaccard(candidates, sets, idCol, threshold)
+  }
+
+  /** Exact Jaccard over candidate pairs (joins shingle sets only for
+   *  candidates). */
+  private def verifyJaccard(
+      pairs: DataFrame, sets: DataFrame, idCol: String, threshold: Double): DataFrame =
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /**
+   * 60-bit SimHash per document over word unigrams (with multiplicity):
+   * bit i is set iff Σ_words ±1 (sign = bit i of the word's portable hash)
+   * is strictly positive.
+   *
+   * Formulated as explode → two map-side-combinable aggregations, so the
+   * shuffle carries at most 60 partial sums per document.
+   */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame =
+    docs
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .withColumn("h", portableHash(col("word")))
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("i"))
+      .withColumn("sign",
+        when(expr("(shiftright(h, i) & 1)") === 1, lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col(idCol), col("i"))
+      .agg(sum(col("sign")).as("s"))
+      .where(col("s") > 0)
+      .groupBy(col(idCol))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), i)")).as("simhash"))
+
+  /**
+   * Brute-force n-gram Jaccard within a blocking group (e.g. same source):
+   * the exact-verification baseline for the LSH path, and the right tool
+   * when a cheap blocking key caps group sizes.
+   */
+  def jaccardPairsWithinGroup(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(
+      col(groupCol), col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
+    val pairs = sets.as("x")
+      .join(sets.as("y"),
+        col(s"x.$groupCol") === col(s"y.$groupCol") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(
+        col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+    pairs
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

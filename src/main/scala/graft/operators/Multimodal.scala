@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column handling: image/audio/video payloads travel as opaque
+ * `binary` columns with a typed metadata struct, mirroring how a
+ * large-scale training pipeline ships media through Spark (the bytes stay
+ * columnar in Parquet; Spark never interprets them until a decode stage).
+ *
+ * The decode/feature-extract kernels are STUBBED (this container has no
+ * image/audio codecs): `decodeStub` derives deterministic fake features
+ * from the bytes. The Spark-side plumbing — schema, partition-wise
+ * batching, encoder round-trip, metadata struct — is real and tested, so
+ * swapping the stub for an actual JNI/FFmpeg kernel is a one-function
+ * change.
+ *
+ * Scale posture: decode runs via `mapPartitions` so per-partition setup
+ * (codec init, model load) amortizes across rows — the Scala analog of
+ * `mapInPandas` batch semantics. No driver collect; media bytes shuffle
+ * only if the caller repartitions.
+ */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      modality: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      meta_width: Int,
+      meta_height: Int,
+      meta_sample_rate: Int)
+
+  /** Stub decoded features: what a real decoder would emit per item. */
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Int,
+      checksum: Long,
+      // ??? real kernel: decoded pixel/PCM stats. Stub: deterministic
+      // byte-level stats so tests can assert exact values.
+      mean_byte: Double,
+      feature: Array[Float])
+
+  /**
+   * Wrap any keyed text/blob frame as media rows (test harness path): the
+   * payload is the md5 digest bytes of the text — 16 deterministic bytes
+   * standing in for an encoded frame.
+   */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      (when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio")
+        .otherwise("video")).as("modality"),
+      unhex(md5(col(textCol))).as("payload"),
+      lit(4).as("meta_width"),
+      lit(4).as("meta_height"),
+      lit(16000).as("meta_sample_rate"))
+
+  /**
+   * Partition-wise decode: one codec/context per partition, rows processed
+   * as a batch iterator. STUB — replace the body of `decodeOne` with a
+   * real decoder; everything around it is production plumbing.
+   */
+  def decodeStub(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // real kernel: initialize codec / load model ONCE here
+      rows.map(decodeOne)
+    }
+  }
+
+  private def decodeOne(r: MediaRow): MediaFeatures = {
+    val bytes = r.payload
+    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    MediaFeatures(
+      media_id = r.media_id,
+      modality = r.modality,
+      n_bytes = bytes.length,
+      checksum = bytes.foldLeft(1L)((a, b) => a * 31 + (b & 0xff)),
+      mean_byte = sum.toDouble / bytes.length,
+      // ??? real kernel: resize(meta_width, meta_height) / frame-sample /
+      // mel-spectrogram. Stub: first 4 bytes scaled to [0,1).
+      feature = bytes.take(4).map(b => (b & 0xff) / 256.0f))
+  }
+
+  /**
+   * SQL-expressible media metadata (no decode): byte length, content hash.
+   * This is the oracle-checkable slice of the multimodal path — binary
+   * column plumbing end-to-end through Parquet and expressions.
+   */
+  def mediaStats(media: DataFrame): DataFrame =
+    media
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(length(col("payload"))).cast("long").as("total_bytes"),
+        countDistinct(hex(col("payload"))).as("n_distinct_payloads"))
+}

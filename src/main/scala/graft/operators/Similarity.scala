@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.portableHash
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`), for embedding-based near-dup detection and similarity
+ * retrieval in training-data pipelines.
+ *
+ * Determinism design: float dot products are order-sensitive, so ranking on
+ * them is not reproducible across engines/parallelism. We quantize each
+ * component once to an integer (`floor(x * 1e6 + 0.5)` — floor avoids
+ * rounding-mode ambiguity), accumulate dot products and norms in exact
+ * 64-bit integers, and only at the end perform one IEEE double division
+ * `dot / (sqrt(n_a) * sqrt(n_b))` — bit-identical everywhere. With 64 dims
+ * and |x| ≤ ~1, all sums stay far below 2^53 ≤ long range.
+ *
+ * Scale posture: brute force is the correctness baseline (cost n_q × n_c —
+ * fine when the query side is small and broadcast). The LSH variant buckets
+ * by deterministic random-hyperplane signs so each query only scans its
+ * bucket: candidate generation is an equi-join on an 8-bit bucket key,
+ * shuffling only (id, bucket, quantized vector) — the scale path.
+ */
+object Similarity {
+
+  /** Quantize `array<float>` to `array<bigint>` (ppm resolution). */
+  def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+
+  /** Exact integer squared norm of a quantized vector. */
+  def sqNorm(q: Column): Column =
+    aggregate(q, lit(0L), (acc, x) => acc + x * x)
+
+  /** Exact integer dot product of two equal-length quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Cosine similarity from integer dot + squared norms (one double op). */
+  def cosine(dotCol: Column, na: Column, nb: Column): Column =
+    dotCol.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Attach quantized vector + squared norm to an embeddings frame. */
+  def prepared(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    emb.select(col(idCol), quantize(col(embCol)).as("qv"))
+      .withColumn("nn", sqNorm(col("qv")))
+
+  /**
+   * Brute-force cosine top-k: for each row of `queries`, the `k` most
+   * similar `candidates` (self-pairs excluded), ranked by (sim desc, id).
+   * Queries are broadcast — the scan over candidates is one pass, no
+   * shuffle of the candidate side.
+   *
+   * Output: (query_id, rank, neighbor_id, sim).
+   */
+  def cosineTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = prepared(queries, idCol, embCol)
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed("qv", "q_qv").withColumnRenamed("nn", "q_nn")
+    val c = prepared(candidates, idCol, embCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    rankTopK(
+      c.crossJoin(broadcast(q)).where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", dot(col("q_qv"), col("qv"))),
+      k)
+  }
+
+  /**
+   * LSH-bucketed ANN: `numPlanes` deterministic pseudo-random hyperplanes
+   * (component signs from bit 0 of portableHash("plane#p:dim#d")); a
+   * vector's bucket is the bit-pattern of its hyperplane side. Vectors are
+   * compared only within their bucket — recall < 1 by construction, the
+   * standard trade for dropping the O(n_q × n_c) scan.
+   */
+  def annCosineTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket",
+        (0 until numPlanes)
+          .map(p => when(planeSide(col("qv"), p) > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _))
+
+    val q = withBucket(prepared(queries, idCol, embCol))
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed("qv", "q_qv").withColumnRenamed("nn", "q_nn")
+    val c = withBucket(prepared(candidates, idCol, embCol))
+      .withColumnRenamed(idCol, "neighbor_id")
+    rankTopK(
+      c.join(q.withColumnRenamed("bucket", "q_bucket"),
+          col("bucket") === col("q_bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", dot(col("q_qv"), col("qv"))),
+      k)
+  }
+
+  /** Σ_d sign(plane p, dim d) × v[d] with deterministic hash-bit signs. */
+  private def planeSide(qv: Column, p: Int): Column =
+    aggregate(
+      zip_with(qv, sequence(lit(0), size(qv) - 1), (x, d) =>
+        when((portableHash(concat(lit(s"plane#$p:dim#"), d)) % 2) === 0, x)
+          .otherwise(-x)),
+      lit(0L), _ + _)
+
+  private def rankTopK(pairsWithDot: DataFrame, k: Int): DataFrame = {
+    val sim = cosine(col("dot"), col("q_nn"), col("nn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(sim.desc, col("neighbor_id"))
+    pairsWithDot
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Text analysis for training-data curation: language identification
+ * (n-gram/marker heuristic), quality scoring, token counting, and
+ * rolling-hash document fingerprinting.
+ *
+ * All operators are map-side column expressions over the document row —
+ * no shuffle at all unless the caller aggregates. Ratios divide exact
+ * integer counts as one IEEE double op, so outputs are bit-deterministic.
+ */
+object TextAnalysis {
+
+  /** Language marker lexicons (tiny stopword profiles; a real deployment
+   *  would load per-language char-trigram tables the same shape). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我"),
+  )
+
+  /** Count occurrences of `word` as a whitespace token of `w` (the words
+   *  array) — exact token match, not substring. */
+  private def tokenCount(w: Column, word: String): Column =
+    size(filter(w, x => x === word))
+
+  /**
+   * Heuristic language ID: score each language by its marker-token count;
+   * predict the argmax with deterministic alphabetical tie-break.
+   * Output columns: pred_lang, lang_score (the winning count).
+   */
+  def withLangId(docs: DataFrame, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val scored = docs.withColumn("w", w)
+    val scoreCols = langMarkers.map { case (lang, markers) =>
+      struct(
+        markers.map(m => tokenCount(col("w"), m)).reduce(_ + _).as("score"),
+        // invert lang for tie-break: greatest() picks max struct, and we
+        // want the alphabetically FIRST language on equal scores
+        lit(langMarkers.map(_._1).sorted.reverse.indexOf(lang)).as("pref"),
+        lit(lang).as("lang"))
+    }
+    scored
+      .withColumn("best", greatest(scoreCols: _*))
+      .withColumn("pred_lang", col("best.lang"))
+      .withColumn("lang_score", col("best.score"))
+      .drop("w", "best")
+  }
+
+  /**
+   * Quality metrics per document: word count, character count, mean word
+   * length, stopword ratio, type-token ratio, plus a boolean quality gate
+   * (the kind of filter a pre-training pipeline applies before dedup).
+   */
+  def withQualityMetrics(
+      docs: DataFrame, textCol: String,
+      stopwords: Seq[String] = Seq("a", "the"),
+      minWords: Int = 30, maxWords: Int = 120, maxStopRatio: Double = 0.2): DataFrame = {
+    val w = words(col(textCol))
+    docs
+      .withColumn("w", w)
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_chars_nospace",
+        length(regexp_replace(col(textCol), "\\s+", "")).cast("long"))
+      .withColumn("mean_word_len",
+        col("n_chars_nospace").cast("double") / col("n_words").cast("double"))
+      .withColumn("n_stopwords",
+        stopwords.map(s => tokenCount(col("w"), s).cast("long")).reduce(_ + _))
+      .withColumn("stop_ratio",
+        col("n_stopwords").cast("double") / col("n_words").cast("double"))
+      .withColumn("type_token_ratio",
+        size(array_distinct(col("w"))).cast("double") / col("n_words").cast("double"))
+      .withColumn("is_quality",
+        col("n_words").between(minWords, maxWords) && col("stop_ratio") <= maxStopRatio)
+      .drop("w")
+  }
+
+  /**
+   * Token counting: whitespace tokens and a BPE-ish regex tokenization
+   * (`[a-z]+|[0-9]+|\S` over the lowercased text — letter runs, digit
+   * runs, then any other non-space symbol).
+   */
+  def withTokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(words(col(textCol))).cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(trim(lower(col(textCol))), lit("[a-z]+|[0-9]+|\\S"), lit(0)))
+          .cast("long"))
+
+  /**
+   * Rolling-hash fingerprint: the minimum portable hash over all character
+   * `k`-gram hashes (a 1-element winnowing sketch), plus the distinct-gram
+   * count. Equal fingerprints ⇒ near-certain shared k-gram — the classic
+   * content-defined signature for container-level dedup.
+   */
+  def withFingerprint(docs: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    docs
+      .withColumn("grams", charGramHashes(col(textCol), k))
+      .withColumn("fingerprint", array_min(col("grams")))
+      .withColumn("n_distinct_grams", size(array_distinct(col("grams"))).cast("long"))
+      .drop("grams")
+}

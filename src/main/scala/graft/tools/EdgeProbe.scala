@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: degenerate documents (empty / whitespace / shorter-than-
+  * shingle texts) through the public query surface — guard paths for
+  * wordShingles/charGramHashes/quality division. */
+object EdgeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dir = "/tmp/edge_sf"
+    Seq(
+      (0L, "", "en", "src0", 0L),
+      (1L, "   ", "en", "src0", 3L),
+      (2L, "one", "en", "src0", 3L),
+      (3L, "two words", "en", "src1", 9L),
+      (4L, "exactly three words", "en", "src1", 19L),
+      (5L, "a normal length document with plenty of words to shingle properly", "en", "src1", 66L),
+      (6L, "a normal length document with plenty of words to shingle properly", "en", "src2", 66L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (q <- Seq("q15_exact_dedup", "q16_minhash_neardups", "q17_simhash",
+        "q18_jaccard_within_source", "q20_lang_id", "q21_quality",
+        "q22_token_stats", "q23_fingerprint", "q24_media_stats")) {
+      try {
+        val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
+        println(s"[edge] $q -> ${rows.length} rows OK; sample=${rows.take(2).mkString("; ")}")
+      } catch { case e: Throwable =>
+        println(s"[edge] $q FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+object LshProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, dir, "documents")
+    var t0 = System.nanoTime()
+    val sig = Dedup.withMinhashSignature(docs, "text").cache()
+    println(s"[p] sig rows=${sig.count()} secs=${(System.nanoTime()-t0)/1e9}")
+    t0 = System.nanoTime()
+    val bands = Dedup.lshBands(sig, "doc_id", 16, 2).cache()
+    println(s"[p] band rows=${bands.count()} secs=${(System.nanoTime()-t0)/1e9}")
+    val top = bands.groupBy("band", "band_key").count().orderBy(desc("count"))
+    top.show(10, false)
+    val candTotal = bands.groupBy("band", "band_key").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2)).first().getDecimal(0)
+    println(s"[p] candidate pair-rows (pre-distinct) = $candTotal")
+    spark.stop()
+  }
+}

@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Dev probe: MinHash-LSH near-dup pair count at a given sf dir.
+  * LSH output ⊆ brute-force output (both exact-Jaccard-verified), so a
+  * count equal to the oracle's brute-force count proves 100% recall. */
+object LshRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, dir, "documents")
+    val t0 = System.nanoTime()
+    val nLsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text").count()
+    println(s"[lsh-recall] dir=$dir lsh_pairs=$nLsh secs=${(System.nanoTime()-t0)/1e9}")
+    spark.stop()
+  }
+}
