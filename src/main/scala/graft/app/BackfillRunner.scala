@@ -1,0 +1,192 @@
+package graft.app
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CalendarOps
+import graft.sources.TickLake
+import graft.state.JobStateStore
+import graft.state.JobStateStore._
+
+/**
+ * Resumable historical backfill driver (SURVEY.md §3.2, §7.1.7),
+ * re-expressing the reference's BackfillService
+ * (reference: ingestion/application/src/backfill_service.rs:82-226):
+ *
+ *   1. acquire-or-takeover the job (heartbeat fencing, ST7);
+ *   2. resume: effective_start = max(range.start, date(cursor));
+ *   3. gap detection as ONE Spark job (calendar anti-join + islands over
+ *      lake partition metadata — cost independent of fact-table size);
+ *   4. ordered per-day loop: skip-below-cursor → heartbeat → fetch →
+ *      idempotent partition-overwrite write → cursor CAS; errors recorded
+ *      per day, loop continues (ST9);
+ *   5. finalize COMPLETED/FAILED + report.
+ *
+ * The day list (not tick data) is collected to the driver — bounded by
+ * calendar size, never by data volume. `wholePlan = true` switches to the
+ * scale path: one distributed fetch+write for the entire plan with
+ * dynamic partition overwrite (cursor trace coarser, end state equal —
+ * SURVEY.md §7.3.4).
+ */
+object BackfillRunner {
+
+  val HeartbeatTimeoutMs: Long = 300000L // backfill_service.rs:13
+
+  final case class DateRange(start: LocalDate, end: LocalDate) {
+    require(!start.isAfter(end), "start must be <= end") // date_range.rs:10-16
+    def days: Seq[LocalDate] =
+      Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end)).toSeq
+  }
+
+  final case class BackfillReport(
+      jobKey: String,
+      jobInstanceId: String,
+      daysProcessed: Int,
+      totalTicks: Long,
+      failedDays: Seq[(LocalDate, String)],
+      finalStatus: JobStatus)
+
+  final case class JobAlreadyRunning(jobKey: String)
+    extends RuntimeException(s"job $jobKey is RUNNING with a fresh heartbeat")
+
+  def jobKey(symbol: String, range: DateRange): String =
+    s"ingest:job:$symbol:${range.start}" // backfill_service.rs:87
+
+  def startOfDayMs(d: LocalDate): Long = d.atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+  def endOfDayMs(d: LocalDate): Long = startOfDayMs(d.plusDays(1)) - 1
+  def dateOfMs(ms: Long): LocalDate =
+    Instant.ofEpochMilli(ms).atZone(ZoneOffset.UTC).toLocalDate
+
+  /**
+   * Acquire the job or take over a stale one (backfill_service.rs:82-115).
+   * Throws JobAlreadyRunning if a RUNNING instance heartbeat'd within
+   * HeartbeatTimeoutMs. On takeover the cursor survives, the instance id
+   * rotates (fencing the old writer).
+   */
+  def initializeJob(
+      store: JobStateStore, key: String, range: DateRange, now: Long): JobState = {
+    store.get(key) match {
+      case Some(s) if s.status == JobStatus.Running =>
+        if (now - s.heartbeatAt <= HeartbeatTimeoutMs) throw JobAlreadyRunning(key)
+        else { // stale: take over, preserving progress
+          val taken = s.copy(jobInstanceId = UUID.randomUUID().toString, heartbeatAt = now)
+          store.put(key, taken)
+          taken
+        }
+      case _ =>
+        val fresh = JobState(
+          status = JobStatus.Running,
+          jobInstanceId = UUID.randomUUID().toString,
+          cursor = startOfDayMs(range.start) - 1, // backfill_service.rs:104-113
+          endTime = endOfDayMs(range.end),
+          heartbeatAt = now)
+        store.put(key, fresh)
+        fresh
+    }
+  }
+
+  /** Resume arithmetic (backfill_service.rs:149-162, 288-294). */
+  def effectiveStart(rangeStart: LocalDate, cursor: Long): LocalDate = {
+    val cursorDate = dateOfMs(cursor)
+    if (cursorDate.isAfter(rangeStart)) cursorDate else rangeStart
+  }
+
+  /**
+   * The day plan as one Spark job: {effective_start} ∪ days of detected
+   * gaps, clipped to [effStart, range.end], dedup'd, ordered
+   * (backfill_service.rs:296-317). Gap detection = expected calendar
+   * anti-join existing lake dates → islands (J1/W1).
+   */
+  def planDays(
+      spark: SparkSession, lakeRoot: String, symbol: String,
+      effStart: LocalDate, rangeEnd: LocalDate): Seq[LocalDate] = {
+    import spark.implicits._
+    val expected = DateRange(effStart, rangeEnd).days.map(java.sql.Date.valueOf).toDF("day")
+      .withColumn("symbol", lit(symbol))
+    val existing = Try(TickLake.existingDates(spark, lakeRoot, symbol)) match {
+      case Success(df) => df.withColumn("symbol", lit(symbol))
+      case Failure(_) => // empty lake: no partitions yet
+        Seq.empty[java.sql.Date].toDF("day").withColumn("symbol", lit(symbol))
+    }
+    val missing = CalendarOps.missingDays(expected, existing, Seq("symbol"))
+    val gaps = CalendarOps.islands(missing, Seq("symbol"))
+    val plan = CalendarOps.dayPlan(
+      gaps,
+      Seq((symbol, java.sql.Date.valueOf(effStart))).toDF("symbol", "day"),
+      Seq("symbol"))
+    plan.where(col("day").between(
+        lit(java.sql.Date.valueOf(effStart)), lit(java.sql.Date.valueOf(rangeEnd))))
+      .orderBy(col("day"))
+      .select("day").as[java.sql.Date].collect().toSeq.map(_.toLocalDate)
+  }
+
+  /**
+   * Run a backfill. `fetchDay(symbol, day)` produces that day's ticks as a
+   * DataFrame (canonical tick schema); failures are caught per day.
+   */
+  def backfill(
+      spark: SparkSession,
+      store: JobStateStore,
+      lakeRoot: String,
+      symbol: String,
+      range: DateRange,
+      fetchDay: (String, LocalDate) => DataFrame,
+      now: () => Long = () => System.currentTimeMillis(),
+      wholePlan: Boolean = false): BackfillReport = {
+
+    val key = jobKey(symbol, range)
+    val job = initializeJob(store, key, range, now())
+    val inst = job.jobInstanceId
+    val effStart = effectiveStart(range.start, job.cursor)
+    val plan = planDays(spark, lakeRoot, symbol, effStart, range.end)
+      .filter(d => endOfDayMs(d) > job.cursor) // F4 skip (backfill_service.rs:177-180)
+
+    val failed = mutable.ListBuffer.empty[(LocalDate, String)]
+    var daysProcessed = 0
+    var totalTicks = 0L
+
+    if (wholePlan && plan.nonEmpty) {
+      // scale path: one distributed job for the whole plan
+      Try {
+        val all = plan.map(d => fetchDay(symbol, d)).reduce(_ unionByName _)
+        TickLake.overwriteDays(all, lakeRoot)
+        val stats = all.agg(count(lit(1)), max(unix_millis(col("timestamp")))).head()
+        (stats.getLong(0), stats.getLong(1))
+      } match {
+        case Success((n, maxTs)) =>
+          daysProcessed = plan.size; totalTicks = n
+          store.updateCursor(key, inst, maxTs)
+        case Failure(e) =>
+          failed ++= plan.map(_ -> e.getClass.getSimpleName)
+          store.saveError(key, inst, e.getClass.getSimpleName)
+      }
+    } else {
+      plan.foreach { day =>
+        store.heartbeat(key, inst, now()) // ST8
+        Try {
+          val ticks = fetchDay(symbol, day)
+          TickLake.overwriteDays(ticks, lakeRoot) // ST6 idempotent
+          val stats = ticks.agg(count(lit(1)), max(unix_millis(col("timestamp")))).head()
+          (stats.getLong(0), stats.getLong(1))
+        } match {
+          case Success((n, maxTs)) =>
+            daysProcessed += 1; totalTicks += n
+            store.updateCursor(key, inst, maxTs) // W2 cursor advance
+          case Failure(e) => // ST9: record, continue
+            failed += (day -> e.getClass.getSimpleName)
+            store.saveError(key, inst, e.getClass.getSimpleName)
+        }
+      }
+    }
+
+    val finalStatus = if (failed.isEmpty) JobStatus.Completed else JobStatus.Failed
+    store.updateStatus(key, inst, finalStatus)
+    BackfillReport(key, inst, daysProcessed, totalTicks, failed.toSeq, finalStatus)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.app
+
+import scala.collection.mutable
+
+/**
+ * Multi-window sliding-window rate limiter (SURVEY.md §2.9 ST5),
+ * reproducing the admit law of the reference's Redis Lua script
+ * (reference: ingestion/infrastructure/src/rate_limiting/limiter.lua:22-53):
+ *
+ *  - for each window: drop events with `ts <= now - windowMs`, then the
+ *    request is admissible iff `count < limit`;
+ *  - admit only if EVERY window is admissible, and then record `now` in
+ *    ALL windows atomically (deny records nothing anywhere);
+ *  - deny reports the shortest wait after which a retry can succeed.
+ *
+ * This is a driver-side control-plane service (it throttles historical
+ * fetches, one limiter per account — the reference runs one worker per
+ * account too, docs/…IDD….md:244). The window SEMANTICS as a distributed
+ * data operator are proven separately by query q10 (Sliding.slidingCount).
+ *
+ * The clock is injected for deterministic tests (the Lua script likewise
+ * uses server TIME, limiter.lua:22-24).
+ */
+object RateLimiter {
+  /** Default windows of the reference (ingestion/infrastructure/src/
+   *  rate_limiting/limiter.rs:80-97). */
+  val ReferenceWindows: Seq[WindowConfig] = Seq(
+    WindowConfig("ten_minute", limit = 60, windowMs = 600000L),
+    WindowConfig("contract", limit = 6, windowMs = 2000L),
+    WindowConfig("duplicate_request", limit = 1, windowMs = 15000L))
+
+  /** Retry poll cadence (limiter.rs:22). */
+  val RetryDelayMs = 200L
+
+  final case class WindowConfig(name: String, limit: Int, windowMs: Long)
+}
+
+class RateLimiter(
+    windows: Seq[RateLimiter.WindowConfig],
+    clock: () => Long = () => System.currentTimeMillis()) {
+  import RateLimiter._
+
+  private val events: Map[String, mutable.ArrayDeque[Long]] =
+    windows.map(w => w.name -> mutable.ArrayDeque.empty[Long]).toMap
+
+  private def prune(w: WindowConfig, now: Long): mutable.ArrayDeque[Long] = {
+    val q = events(w.name)
+    // ZREMRANGEBYSCORE (-inf, now - window]: strictly-older events leave
+    while (q.nonEmpty && q.head <= now - w.windowMs) q.removeHead()
+    q
+  }
+
+  /** One atomic check-then-admit (the Lua script body). */
+  def tryAcquire(): Boolean = synchronized {
+    val now = clock()
+    val admissible = windows.forall(w => prune(w, now).size < w.limit)
+    if (admissible) windows.foreach(w => events(w.name).append(now))
+    admissible
+  }
+
+  /** Milliseconds until the earliest instant every window admits
+   *  (0 if admissible right now). */
+  def waitTimeMs(): Long = synchronized {
+    val now = clock()
+    windows.map { w =>
+      val q = prune(w, now)
+      if (q.size < w.limit) 0L
+      // the blocking event expires when its ts leaves the window
+      else (q(q.size - w.limit) + w.windowMs) - now + 1
+    }.max
+  }
+
+  /**
+   * Blocking acquire with the reference's retry-poll loop
+   * (limiter.rs:131-191): poll every RetryDelayMs until admitted or
+   * `maxWaitMs` elapsed. Returns false on timeout.
+   */
+  def acquire(maxWaitMs: Long): Boolean = {
+    val deadline = clock() + maxWaitMs
+    var admitted = tryAcquire()
+    while (!admitted && clock() < deadline) {
+      Thread.sleep(RetryDelayMs)
+      admitted = tryAcquire()
+    }
+    admitted
+  }
+
+  /** Current per-window occupancy (diagnostics). */
+  def occupancy(): Map[String, Int] = synchronized {
+    val now = clock()
+    windows.map(w => w.name -> prune(w, now).size).toMap
+  }
+}

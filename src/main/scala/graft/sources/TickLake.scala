@@ -48,9 +48,19 @@ object TickLake {
       .write.partitionBy("symbol", "date", "hour")
       .mode("overwrite").parquet(root)
 
-  /** Read the lake back; partition filters on symbol/date/hour prune. */
+  /**
+   * Read the lake back; partition filters on symbol/date/hour prune.
+   *
+   * Read via partition-dir glob + basePath rather than the bare root: a
+   * streaming sink leaves `_spark_metadata` at the root, and a bare-root
+   * read would then serve ONLY streaming-committed files, silently hiding
+   * every batch-written (backfill) file. The glob bypasses the
+   * FileStreamSink detection so batch and streaming writes form one lake.
+   * Trade-off (documented): files abandoned by a crashed streaming batch
+   * become visible; exactly-once readers should prefer zone-split roots.
+   */
   def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(root)
+    spark.read.option("basePath", root).parquet(s"$root/symbol=*")
 
   /** Distinct dates present for a symbol (S5): pure partition discovery —
    *  no data files are opened, only the directory listing. */

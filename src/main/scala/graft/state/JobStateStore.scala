@@ -1,0 +1,138 @@
+package graft.state
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.Properties
+
+/**
+ * Driver-side backfill job-state store (SURVEY.md §2.1 S6, §7.1.6).
+ *
+ * Reproduces the reference's Redis-hash job store semantics
+ * (reference: ingestion/application/src/job_state.rs:38-116 and the CAS
+ * Lua in ingestion/infrastructure/src/state/redis.rs:26-42,184-252):
+ * every mutation is a check-and-set on `job_instance_id` — a writer whose
+ * instance id no longer matches the stored state (because a newer instance
+ * took the job over) has ALL its writes rejected, which fences zombie
+ * workers (ST7).
+ *
+ * Storage is one properties file per job key under a state dir, written
+ * via temp-file + atomic rename (the crash-safety design the reference
+ * docs specify for data files, docs/…IDD….md:191-198). The store is
+ * single-process (the backfill driver), matching the reference's
+ * one-worker-per-account deployment; swap the backend for Redis/DB behind
+ * the same interface for multi-driver deployments.
+ */
+object JobStateStore {
+
+  sealed abstract class JobStatus(val name: String)
+  object JobStatus {
+    case object Pending extends JobStatus("PENDING")
+    case object Running extends JobStatus("RUNNING")
+    case object Completed extends JobStatus("COMPLETED")
+    case object Failed extends JobStatus("FAILED")
+    val all: Seq[JobStatus] = Seq(Pending, Running, Completed, Failed)
+    def parse(s: String): JobStatus =
+      all.find(_.name == s).getOrElse(throw new IllegalArgumentException(s"bad status: $s"))
+  }
+
+  /** One date interval the job must re-ingest (job_state.rs:72-76). */
+  final case class CriticalRange(start: String, end: String)
+
+  /** Backfill progress record (job_state.rs:38-50). Epoch millis for all
+   *  instants, matching the reference's i64 cursor arithmetic. */
+  final case class JobState(
+      status: JobStatus,
+      jobInstanceId: String,
+      cursor: Long,
+      endTime: Long,
+      heartbeatAt: Long,
+      criticalRanges: Seq[CriticalRange] = Nil,
+      lastErrorType: Option[String] = None)
+}
+
+class JobStateStore(stateDir: Path) {
+  import JobStateStore._
+
+  Files.createDirectories(stateDir)
+
+  private def fileFor(jobKey: String): Path =
+    stateDir.resolve(jobKey.replaceAll("[^A-Za-z0-9._-]", "_") + ".properties")
+
+  def get(jobKey: String): Option[JobState] = synchronized {
+    val f = fileFor(jobKey)
+    if (!Files.exists(f)) None
+    else {
+      val p = new Properties()
+      val in = Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      val ranges = Option(p.getProperty("critical_ranges")).filter(_.nonEmpty)
+        .map(_.split(";").toSeq.map { r =>
+          val Array(s, e) = r.split("\\.\\.")
+          CriticalRange(s, e)
+        }).getOrElse(Nil)
+      Some(JobState(
+        status = JobStatus.parse(p.getProperty("status")),
+        jobInstanceId = p.getProperty("job_instance_id"),
+        cursor = p.getProperty("cursor").toLong,
+        endTime = p.getProperty("end_time").toLong,
+        heartbeatAt = p.getProperty("heartbeat_at").toLong,
+        criticalRanges = ranges,
+        lastErrorType = Option(p.getProperty("last_error_type")).filter(_.nonEmpty)))
+    }
+  }
+
+  /** Unconditional write — job initialization / takeover only. */
+  def put(jobKey: String, state: JobState): Unit = synchronized { write(jobKey, state) }
+
+  /**
+   * Fenced mutation: applies `f` only if the stored instance id equals
+   * `instanceId` (the CAS law of state/redis.rs:26-42). Returns false —
+   * with no side effect — for a stale or unknown writer.
+   */
+  def casUpdate(jobKey: String, instanceId: String)(f: JobState => JobState): Boolean =
+    synchronized {
+      get(jobKey) match {
+        case Some(s) if s.jobInstanceId == instanceId => write(jobKey, f(s)); true
+        case _ => false
+      }
+    }
+
+  def updateCursor(jobKey: String, instanceId: String, cursor: Long): Boolean =
+    casUpdate(jobKey, instanceId)(_.copy(cursor = cursor))
+
+  def updateStatus(jobKey: String, instanceId: String, status: JobStatus): Boolean =
+    casUpdate(jobKey, instanceId)(_.copy(status = status))
+
+  def heartbeat(jobKey: String, instanceId: String, now: Long): Boolean =
+    casUpdate(jobKey, instanceId)(_.copy(heartbeatAt = now))
+
+  def saveError(jobKey: String, instanceId: String, errorType: String): Boolean =
+    casUpdate(jobKey, instanceId)(_.copy(lastErrorType = Some(errorType)))
+
+  private def write(jobKey: String, s: JobState): Unit = {
+    val p = new Properties()
+    p.setProperty("status", s.status.name)
+    p.setProperty("job_instance_id", s.jobInstanceId)
+    p.setProperty("cursor", s.cursor.toString)
+    p.setProperty("end_time", s.endTime.toString)
+    p.setProperty("heartbeat_at", s.heartbeatAt.toString)
+    p.setProperty("critical_ranges", s.criticalRanges.map(r => s"${r.start}..${r.end}").mkString(";"))
+    p.setProperty("last_error_type", s.lastErrorType.getOrElse(""))
+    val tmp = Files.createTempFile(stateDir, ".job", ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try p.store(out, null) finally out.close()
+    Files.move(tmp, fileFor(jobKey),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Reporting view: all states as rows (kept tiny — one per job). */
+  def allStates(): Seq[(String, JobState)] = synchronized {
+    import scala.jdk.CollectionConverters._
+    Files.list(stateDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".properties"))
+      .map { f =>
+        val key = f.getFileName.toString.stripSuffix(".properties")
+        key -> get(key).get
+      }.toSeq
+  }
+}

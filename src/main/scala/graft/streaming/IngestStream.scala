@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.{Schemas, Validation}
+
+/**
+ * Live tick ingestion as a Structured Streaming pipeline
+ * (SURVEY.md §3.1, §2.9 ST1-ST4): source → validation split → hourly
+ * event-time-partitioned Parquet sink with checkpointing.
+ *
+ * Reference behavior re-expressed (ingestion/application/src/services.rs:
+ * 27-75 + repositories/parquet.rs:50-87):
+ *  - 1000-row/5s micro-batching  → trigger interval (count flush subsumed:
+ *    a micro-batch takes ALL available rows);
+ *  - hourly file rotation        → partitionBy(symbol, date, hour) on
+ *    EVENT time (strictly better for late data, SURVEY.md §7.3.5);
+ *  - final flush + close on stop → checkpoint + _spark_metadata commit;
+ *  - per-record validation error → quarantine sink (superset: the
+ *    reference aborts the record, we retain it for audit).
+ *
+ * At scale: the sink commits per micro-batch transactionally; partition
+ * columns derive from event time so replays land in the same partitions;
+ * no driver-side state beyond the checkpoint.
+ */
+object IngestStream {
+
+  /**
+   * Deterministic synthetic tick stream from the rate-micro-batch source
+   * (the mock gateway analog, market_data.rs:27-52: walk around base,
+   * spread ±0.125, sizes hash-derived). Fully reproducible: row `value` n
+   * at fixed `startTimestamp` always yields the same tick.
+   */
+  def syntheticTicks(
+      spark: SparkSession,
+      symbol: String,
+      rowsPerBatch: Int = 1000,
+      startTimestampMs: Long = 1704067200000L, // 2024-01-01T00:00Z
+      advanceMsPerBatch: Long = 5000L,
+      seed: Int = 42): DataFrame = {
+    val raw = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", startTimestampMs)
+      .option("advanceMillisPerBatch", advanceMsPerBatch)
+      .load() // (timestamp, value); all rows of a batch share its timestamp
+    // spread ticks across the batch's interval -> unique, monotone event
+    // times (the 100ms-cadence law of the mock gateway, di.rs:45)
+    val spread = raw.withColumn("timestamp",
+      timestamp_millis(unix_millis(col("timestamp")) +
+        pmod(col("value"), lit(rowsPerBatch.toLong)) * lit(advanceMsPerBatch / rowsPerBatch)))
+    tickColumns(spread, symbol, seed)
+  }
+
+  /** The tick law over (timestamp, value) rows — shared by batch mocks and
+   *  the stream source. */
+  private[graft] def tickColumns(df: DataFrame, symbol: String, seed: Int): DataFrame = {
+    def h(salt: Int) = pmod(hash(col("value"), lit(seed), lit(salt)).cast("long"), lit(100000L))
+    df
+      .withColumn("last_price",
+        (lit(16000.0) + (h(0) - 50000L) * 0.00004).cast(Schemas.PriceType))
+      .select(
+        col("timestamp"),
+        lit(symbol).as("symbol"),
+        (col("last_price") - 0.125).cast(Schemas.PriceType).as("bid_price"),
+        (pmod(hash(col("value"), lit(seed), lit(1)).cast("long"), lit(50L)) + 1L).cast("int").as("bid_size"),
+        (col("last_price") + 0.125).cast(Schemas.PriceType).as("ask_price"),
+        (pmod(hash(col("value"), lit(seed), lit(2)).cast("long"), lit(50L)) + 1L).cast("int").as("ask_size"),
+        col("last_price"),
+        (pmod(hash(col("value"), lit(seed), lit(3)).cast("long"), lit(20L)) + 1L).cast("int").as("last_size"))
+  }
+
+  /** Event-time partition columns (the rotation law, ST2/Q2). */
+  private def partitioned(ticks: DataFrame): DataFrame =
+    ticks
+      .withColumn("date", date_format(col("timestamp"), "yyyyMMdd"))
+      .withColumn("hour", date_format(col("timestamp"), "HH"))
+
+  /**
+   * Start the ingest query: valid ticks → hourly-partitioned Parquet.
+   * Stop via `query.stop()` — committed batches survive (ST3/ST6).
+   */
+  def start(
+      ticks: DataFrame,
+      lakeRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    partitioned(ticks.filter(Validation.isValidTick))
+      .writeStream
+      .format("parquet")
+      .partitionBy("symbol", "date", "hour")
+      .option("path", lakeRoot)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Quarantine leg (F1 superset behavior): invalid ticks to their own sink. */
+  def startQuarantine(
+      ticks: DataFrame,
+      quarantineRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    partitioned(ticks.filter(!coalesce(Validation.isValidTick, lit(false))))
+      .writeStream
+      .format("parquet")
+      .partitionBy("symbol", "date", "hour")
+      .option("path", quarantineRoot)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /**
+   * Streaming OHLCV bars (the SDD's K-bar view, on-the-fly): watermarked
+   * tumbling windows with min_by/max_by — append-mode emits each bar once
+   * its window is past the watermark (ST4/A6).
+   */
+  def streamingBars(ticks: DataFrame, barWidth: String, watermark: String): DataFrame =
+    ticks
+      .withWatermark("timestamp", watermark)
+      .groupBy(col("symbol"), window(col("timestamp"), barWidth))
+      .agg(
+        min_by(col("last_price"), col("timestamp")).as("open"),
+        max(col("last_price")).as("high"),
+        min(col("last_price")).as("low"),
+        max_by(col("last_price"), col("timestamp")).as("close"),
+        sum(col("last_size").cast("long")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .select(
+        col("symbol"),
+        col("window.start").as("bar_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_trades"))
+}

@@ -1,0 +1,133 @@
+package graft.app
+
+import java.nio.file.Paths
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.app.BackfillRunner._
+import graft.sources.{MockData, TickLake}
+import graft.state.JobStateStore
+import graft.state.JobStateStore._
+
+/** Ports the reference's backfill service behaviors
+  * (ingestion/application/tests/backfill_job_init_test.rs and
+  * backfill_resume_flow.rs) against the real lake + state store. */
+class BackfillRunnerSpec extends SparkSpec {
+
+  private def freshStore(): JobStateStore =
+    new JobStateStore(Paths.get(tmpDir("jobstate")))
+
+  private val d = (s: String) => LocalDate.parse(s)
+  private def fetch(symbol: String, day: LocalDate): DataFrame =
+    MockData.historicalDay(spark, symbol, day)
+
+  test("fresh job initializes cursor to start_of_day-1 (backfill_service.rs:104-113)") {
+    val store = freshStore()
+    val range = DateRange(d("2024-01-10"), d("2024-01-12"))
+    val st = initializeJob(store, "k", range, now = 1700000000000L)
+    assert(st.status == JobStatus.Running)
+    assert(st.cursor == startOfDayMs(d("2024-01-10")) - 1)
+    assert(st.endTime == endOfDayMs(d("2024-01-12")))
+  }
+
+  test("stale-job takeover preserves cursor and rotates instance id (backfill_job_init_test.rs:14-43)") {
+    val store = freshStore()
+    val range = DateRange(d("2024-01-10"), d("2024-01-12"))
+    val cursor = startOfDayMs(d("2024-01-11")) + 3600000L
+    store.put("k", JobState(JobStatus.Running, "old-inst", cursor,
+      endOfDayMs(range.end), heartbeatAt = 1000L))
+    val taken = initializeJob(store, "k", range, now = 1000L + HeartbeatTimeoutMs + 1)
+    assert(taken.cursor == cursor)
+    assert(taken.jobInstanceId != "old-inst")
+    // the zombie is fenced
+    assert(!store.updateCursor("k", "old-inst", 0L))
+  }
+
+  test("fresh-heartbeat RUNNING job refuses to start, state untouched (backfill_job_init_test.rs:45-75)") {
+    val store = freshStore()
+    val range = DateRange(d("2024-01-10"), d("2024-01-12"))
+    val existing = JobState(JobStatus.Running, "live-inst", 12345L,
+      endOfDayMs(range.end), heartbeatAt = 5000L)
+    store.put("k", existing)
+    intercept[JobAlreadyRunning] {
+      initializeJob(store, "k", range, now = 5000L + HeartbeatTimeoutMs)
+    }
+    assert(store.get("k").contains(existing))
+  }
+
+  test("resume: effective start is max(range.start, cursor date) (backfill_resume_flow.rs:16-53)") {
+    assert(effectiveStart(d("2024-01-10"), startOfDayMs(d("2024-01-10")) - 1) == d("2024-01-10"))
+    assert(effectiveStart(d("2024-01-10"), startOfDayMs(d("2024-01-11")) + 7200000L) == d("2024-01-11"))
+  }
+
+  test("backfill processes gap days in order, advances cursor, completes (backfill_resume_flow.rs:55-82)") {
+    val store = freshStore()
+    val lake = tmpDir("lake")
+    TickLake.configure(spark)
+    val range = DateRange(d("2024-01-10"), d("2024-01-12"))
+    // pre-existing day 11 -> only 10 and 12 are gaps
+    TickLake.overwriteDays(fetch("NQ", d("2024-01-11")), lake)
+
+    val report = backfill(spark, store, lake, "NQ", range, fetch)
+    assert(report.finalStatus == JobStatus.Completed)
+    assert(report.daysProcessed == 2)
+    assert(report.totalTicks == 2 * 1440L)
+    val st = store.get(report.jobKey).get
+    assert(st.status == JobStatus.Completed)
+    // cursor = last tick of the last processed day (23:59 on day 12)
+    assert(st.cursor == startOfDayMs(d("2024-01-12")) + 1439L * 60000L)
+    // lake now holds all three days
+    assert(TickLake.read(spark, lake).count() == 3 * 1440L)
+  }
+
+  test("resume skips days fully below the cursor (backfill_resume_flow.rs:16-53, F4)") {
+    val store = freshStore()
+    val lake = tmpDir("lake")
+    TickLake.configure(spark)
+    val range = DateRange(d("2024-01-10"), d("2024-01-12"))
+    // a prior run ingested through mid-day 11
+    store.put(jobKey("NQ", range), JobState(JobStatus.Running, "old",
+      cursor = startOfDayMs(d("2024-01-11")) + 7200000L,
+      endTime = endOfDayMs(range.end), heartbeatAt = 1000L))
+
+    val seen = scala.collection.mutable.ListBuffer.empty[LocalDate]
+    val report = backfill(spark, store, lake, "NQ", range,
+      (s, day) => { seen += day; fetch(s, day) },
+      now = () => 1000L + HeartbeatTimeoutMs + 1)
+    // day 10 is fully below cursor-date 11 -> resumed from day 11
+    assert(seen.toSeq == Seq(d("2024-01-11"), d("2024-01-12")))
+    assert(report.daysProcessed == 2 && report.finalStatus == JobStatus.Completed)
+  }
+
+  test("per-day error is recorded and the loop continues (ST9)") {
+    val store = freshStore()
+    val lake = tmpDir("lake")
+    TickLake.configure(spark)
+    val range = DateRange(d("2024-01-10"), d("2024-01-12"))
+    val report = backfill(spark, store, lake, "NQ", range,
+      (s, day) => if (day == d("2024-01-11")) throw new IllegalStateException("api down")
+        else fetch(s, day))
+    assert(report.finalStatus == JobStatus.Failed)
+    assert(report.daysProcessed == 2)
+    assert(report.failedDays == Seq(d("2024-01-11") -> "IllegalStateException"))
+    val st = store.get(report.jobKey).get
+    assert(st.status == JobStatus.Failed && st.lastErrorType.contains("IllegalStateException"))
+    // successful days are in the lake regardless
+    assert(TickLake.read(spark, lake).count() == 2 * 1440L)
+  }
+
+  test("wholePlan scale path produces the same lake state") {
+    val store = freshStore()
+    val lake = tmpDir("lake")
+    TickLake.configure(spark)
+    val range = DateRange(d("2024-01-10"), d("2024-01-12"))
+    val report = backfill(spark, store, lake, "NQ", range, fetch, wholePlan = true)
+    assert(report.finalStatus == JobStatus.Completed)
+    assert(report.daysProcessed == 3 && report.totalTicks == 3 * 1440L)
+    assert(TickLake.read(spark, lake).count() == 3 * 1440L)
+    assert(store.get(report.jobKey).get.cursor ==
+      startOfDayMs(d("2024-01-12")) + 1439L * 60000L)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.app
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.app.RateLimiter._
+
+/** Ports the reference's rate-limiter truth tables
+  * (ingestion/infrastructure/tests/rate_limiter_lua_test.rs and
+  * rate_limiter_integration_test.rs) against an injected clock. */
+class RateLimiterSpec extends AnyFunSuite {
+
+  private class TestClock(var now: Long = 1000000L) {
+    def advance(ms: Long): Unit = now += ms
+    def fn: () => Long = () => now
+  }
+
+  test("admit/deny/re-admit across expiry (rate_limiter_lua_test.rs:10-32)") {
+    val clock = new TestClock()
+    val rl = new RateLimiter(Seq(WindowConfig("w", limit = 2, windowMs = 1000L)), clock.fn)
+    assert(rl.tryAcquire())
+    assert(rl.tryAcquire())
+    assert(!rl.tryAcquire()) // saturated
+    clock.advance(1100L)     // both events leave the window
+    assert(rl.tryAcquire())
+  }
+
+  test("per-window saturation: tightest window blocks first (rate_limiter_lua_test.rs:34-49)") {
+    val clock = new TestClock()
+    val rl = new RateLimiter(Seq(
+      WindowConfig("tight", limit = 2, windowMs = 1000L),
+      WindowConfig("roomy", limit = 5, windowMs = 10000L)), clock.fn)
+    assert(rl.tryAcquire() && rl.tryAcquire())
+    assert(!rl.tryAcquire())
+    assert(rl.occupancy() == Map("tight" -> 2, "roomy" -> 2)) // deny recorded nowhere
+  }
+
+  test("denied request records nothing in ANY window (limiter.lua atomicity)") {
+    val clock = new TestClock()
+    val rl = new RateLimiter(Seq(
+      WindowConfig("a", limit = 1, windowMs = 1000L),
+      WindowConfig("b", limit = 10, windowMs = 1000L)), clock.fn)
+    assert(rl.tryAcquire())
+    assert(!rl.tryAcquire())
+    assert(rl.occupancy() == Map("a" -> 1, "b" -> 1))
+  }
+
+  test("multi-window interaction: medium window forces the wait (rate_limiter_integration_test.rs:164-193)") {
+    val clock = new TestClock()
+    val rl = new RateLimiter(Seq(
+      WindowConfig("short", limit = 3, windowMs = 1000L),
+      WindowConfig("medium", limit = 3, windowMs = 3000L)), clock.fn)
+    assert(rl.tryAcquire()); clock.advance(100)
+    assert(rl.tryAcquire()); clock.advance(100)
+    assert(rl.tryAcquire())
+    assert(!rl.tryAcquire()) // both windows saturated
+    val wait = rl.waitTimeMs()
+    // short window frees at t0+1000 (wait 801) but the medium window
+    // dominates: first event (t=1000000) leaves it at t0+3000:
+    // 1000000 + 3000 - 1000200 + 1 = 2801
+    assert(wait == 2801L, s"wait was $wait")
+    clock.advance(wait)
+    assert(rl.tryAcquire())
+  }
+
+  test("window reset admits afresh (rate_limiter_integration_test.rs:138-162)") {
+    val clock = new TestClock()
+    val rl = new RateLimiter(Seq(WindowConfig("w", limit = 1, windowMs = 1000L)), clock.fn)
+    assert(rl.tryAcquire())
+    assert(!rl.tryAcquire())
+    clock.advance(1001L)
+    assert(rl.tryAcquire())
+  }
+
+  test("uncontended acquire admits immediately (rate_limiter_integration_test.rs:83-107)") {
+    val rl = new RateLimiter(ReferenceWindows)
+    val t0 = System.nanoTime()
+    assert(rl.acquire(maxWaitMs = 5000L))
+    assert((System.nanoTime() - t0) / 1e6 < 100.0) // the <100ms envelope
+  }
+
+  test("waitTimeMs is 0 when admissible") {
+    val clock = new TestClock()
+    val rl = new RateLimiter(Seq(WindowConfig("w", limit = 2, windowMs = 1000L)), clock.fn)
+    assert(rl.waitTimeMs() == 0L)
+    rl.tryAcquire()
+    assert(rl.waitTimeMs() == 0L)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.state
+
+import java.nio.file.Paths
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.state.JobStateStore._
+
+/** Ports the reference's job-state repository behaviors
+  * (ingestion/infrastructure/tests/job_state_repository_test.rs). */
+class JobStateStoreSpec extends AnyFunSuite {
+
+  private def freshStore(): JobStateStore =
+    new JobStateStore(Paths.get(
+      java.nio.file.Files.createTempDirectory("jobstate").toString))
+
+  private val state = JobState(
+    status = JobStatus.Running,
+    jobInstanceId = "inst-1",
+    cursor = 1700000000000L,
+    endTime = 1700086399999L,
+    heartbeatAt = 1700000005000L,
+    criticalRanges = Seq(CriticalRange("2023-11-14", "2023-11-15")),
+    lastErrorType = Some("ApiTimeout"))
+
+  test("upsert/get round-trip preserves every field (job_state_repository_test.rs:22-44)") {
+    val s = freshStore()
+    s.put("ingest:job:NQ:2023-11-14", state)
+    assert(s.get("ingest:job:NQ:2023-11-14").contains(state))
+  }
+
+  test("get of unknown key is None") {
+    assert(freshStore().get("nope").isEmpty)
+  }
+
+  test("CAS rejects a stale instance id (job_state_repository_test.rs:46-72)") {
+    val s = freshStore()
+    s.put("k", state)
+    assert(!s.updateCursor("k", "stale-instance", 42L))
+    assert(s.get("k").get.cursor == state.cursor) // no side effect
+    assert(s.updateCursor("k", "inst-1", 1700000100000L))
+    assert(s.get("k").get.cursor == 1700000100000L)
+  }
+
+  test("restart fencing: old instance cannot overwrite after takeover (job_state_repository_test.rs:74-108)") {
+    val s = freshStore()
+    s.put("k", state)
+    // takeover: new instance replaces the id, preserves cursor
+    s.put("k", state.copy(jobInstanceId = "inst-2"))
+    // the zombie's writes are all rejected
+    assert(!s.updateCursor("k", "inst-1", 999L))
+    assert(!s.updateStatus("k", "inst-1", JobStatus.Completed))
+    assert(!s.heartbeat("k", "inst-1", 1L))
+    assert(!s.saveError("k", "inst-1", "boom"))
+    val cur = s.get("k").get
+    assert(cur.jobInstanceId == "inst-2" && cur.cursor == state.cursor)
+    // the new instance's writes succeed
+    assert(s.updateStatus("k", "inst-2", JobStatus.Completed))
+    assert(s.get("k").get.status == JobStatus.Completed)
+  }
+
+  test("empty critical ranges and error type round-trip") {
+    val s = freshStore()
+    val bare = state.copy(criticalRanges = Nil, lastErrorType = None)
+    s.put("k", bare)
+    assert(s.get("k").contains(bare))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.SparkSpec
+import graft.sources.TickLake
+
+/** Live-ingest pipeline behaviors (SURVEY.md §3.1/§2.9 ST1-ST4) against a
+  * real streaming query on the deterministic rate-micro-batch source.
+  *
+  * rate-micro-batch is unbounded (a new batch per trigger), so each test
+  * runs the query until at least `minBatches` micro-batches committed,
+  * then stops — bounded wall time, deterministic per-batch content. */
+class IngestStreamSpec extends SparkSpec {
+
+  private def runBatches(q: StreamingQuery, minBatches: Int, timeoutMs: Long = 60000L): Unit = {
+    val t0 = System.currentTimeMillis()
+    try {
+      while (q.recentProgress.length < minBatches &&
+             System.currentTimeMillis() - t0 < timeoutMs &&
+             q.isActive) Thread.sleep(100)
+    } finally q.stop()
+  }
+
+  test("stream → validated hourly-partitioned parquet lake, deterministic (ST1-ST3)") {
+    TickLake.configure(spark)
+    val lake = tmpDir("stream-lake")
+    val ckpt = tmpDir("stream-ckpt")
+    val ticks = IngestStream.syntheticTicks(spark, "NQ",
+      rowsPerBatch = 500, advanceMsPerBatch = 3600000L) // one hour per batch
+    runBatches(IngestStream.start(ticks, lake, ckpt, Trigger.ProcessingTime(0L)), 2)
+
+    val back = spark.read.parquet(lake)
+    val n = back.count()
+    assert(n > 0, "stream wrote no rows")
+    assert(n % 500 == 0, s"whole batches only, got $n")
+    // partition columns exist and follow the rotation law
+    assert(back.columns.toSet.contains("hour"))
+    // event-time partitioning: every row's hour column matches its timestamp
+    assert(back.where(date_format(col("timestamp"), "HH") =!= col("hour")).count() == 0)
+    // the validation law held
+    assert(back.where(col("bid_price") <= 0 || col("ask_price") <= 0 ||
+      col("last_price") <= 0 || length(col("symbol")) === 0).count() == 0)
+
+    // determinism: a fresh run of the same source replays identical batch 0
+    val lake2 = tmpDir("stream-lake2"); val ckpt2 = tmpDir("stream-ckpt2")
+    runBatches(IngestStream.start(
+      IngestStream.syntheticTicks(spark, "NQ", rowsPerBatch = 500,
+        advanceMsPerBatch = 3600000L), lake2, ckpt2, Trigger.ProcessingTime(0L)), 2)
+    val a = spark.read.parquet(lake).orderBy("timestamp").limit(500)
+    val b = spark.read.parquet(lake2).orderBy("timestamp").limit(500)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("restart from checkpoint appends, never duplicates (ST6)") {
+    TickLake.configure(spark)
+    val lake = tmpDir("restart-lake")
+    val ckpt = tmpDir("restart-ckpt")
+    def run(): Long = {
+      runBatches(IngestStream.start(
+        IngestStream.syntheticTicks(spark, "NQ", rowsPerBatch = 100),
+        lake, ckpt, Trigger.ProcessingTime(0L)), 2)
+      spark.read.parquet(lake).count()
+    }
+    val n1 = run()
+    val n2 = run() // restart: resumes from checkpoint offset
+    assert(n1 > 0 && n2 >= n1)
+    val df = spark.read.parquet(lake)
+    // no duplicate ticks despite the restart
+    assert(df.count() == df.dropDuplicates("timestamp").count())
+  }
+
+  test("streaming OHLCV bars emit exact per-window aggregates (A6 streaming)") {
+    TickLake.configure(spark)
+    val ticks = IngestStream.syntheticTicks(spark, "NQ",
+      rowsPerBatch = 600, advanceMsPerBatch = 60000L)
+    val bars = IngestStream.streamingBars(ticks, "1 minute", "2 minutes")
+    val q = bars.writeStream.format("memory").queryName("bars_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+    runBatches(q, 6)
+    val out = spark.table("bars_test")
+    // with a 2-minute watermark and several 1-minute-advancing batches,
+    // at least one bar must have closed
+    assert(out.count() > 0, "no bars emitted past the watermark")
+    val r = out.orderBy("bar_start").head()
+    assert(r.getAs[Long]("n_trades") > 0)
+    assert(r.getAs[java.math.BigDecimal]("high").compareTo(
+      r.getAs[java.math.BigDecimal]("low")) >= 0)
+  }
+}
