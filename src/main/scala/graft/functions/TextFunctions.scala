@@ -25,6 +25,14 @@ object TextFunctions {
   def portableHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side mirror of [[portableHash]] — bit-identical, for folding
+   *  hash-derived constants (e.g. LSH hyperplane signs) at plan time. */
+  def portableHash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
   /** Salted variant for MinHash seed families: H_k(s) = H(s + "#" + k). */
   def portableHash(s: Column, salt: Column): Column =
     portableHash(concat(s, lit("#"), salt))
@@ -39,16 +47,24 @@ object TextFunctions {
 
   /**
    * Distinct word n-gram shingles, e.g. n=3: ["a b c", "b c d", ...].
-   * Shorter-than-n documents yield an empty set (guard needed because
-   * `sequence(0, -k)` would descend).
+   *
+   * Built by zipping the word array with its shifted copies rather than an
+   * index lambda: higher-order functions are interpreted with no common-
+   * subexpression elimination, so `element_at(words(text), i)` inside a
+   * lambda re-runs the regex split PER ELEMENT (measured 14 s for 5k docs
+   * at sf0.1; this form is ~50×). The split is evaluated n times per row.
+   * `concat` (not concat_ws) nulls out grams that run past the end —
+   * zip_with pads the shorter side with null — and they are filtered.
    */
   def wordShingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    val gram = (i: Column) =>
-      concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j + 1))): _*)
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - lit(n)), gram)))
-      .otherwise(array().cast("array<string>"))
+    require(n >= 1, "shingle width must be >= 1")
+    if (n == 1) array_distinct(words(text))
+    else {
+      val grams = (2 to n).foldLeft(words(text))((acc, j) =>
+        zip_with(acc, slice(words(text), j, Int.MaxValue - 16),
+          (a, b) => concat(a, lit(" "), b)))
+      array_distinct(filter(grams, _.isNotNull))
+    }
   }
 
   /** Hashes of all character k-grams of the raw text (rolling-hash

@@ -165,27 +165,75 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), i)")).as("simhash"))
 
+  /** Vocabulary bound for the bitmap Jaccard fast path (16 packed longs). */
+  val MaxBitmapVocab = 1024L
+
   /**
-   * Brute-force n-gram Jaccard within a blocking group (e.g. same source):
-   * the exact-verification baseline for the LSH path, and the right tool
-   * when a cheap blocking key caps group sizes.
+   * Exact n-gram Jaccard within a blocking group (e.g. same source),
+   * auto-selecting the physical strategy by shingle-domain size:
+   *
+   *  - **Dictionary-bitmap path** (distinct shingles ≤ MaxBitmapVocab):
+   *    assign each shingle a dense id, pack every document's shingle set
+   *    into ⌈V/64⌉ longs, and compute each pair's intersection as
+   *    `Σ bit_count(a_k & b_k)` — constant work per pair instead of a
+   *    hash-set intersection over the arrays. The dictionary is one tiny
+   *    distinct + broadcast. This is the roaring-bitmap trick relational
+   *    engines use for bounded categorical domains.
+   *  - **Inverted-index path** (open vocabulary): explode shingles and
+   *    equi-join on (group, shingle): a pair's match-row count IS its
+   *    intersection size, aggregated map-side. Only pairs sharing ≥1
+   *    shingle ever materialize, and the shuffle key is the shingle —
+   *    the shape that scales out for selective shingle domains (e.g.
+   *    3-gram shingles over real text).
+   *
+   * Requires threshold > 0 (zero-overlap pairs never surface — they
+   * cannot reach a positive threshold anyway).
    */
   def jaccardPairsWithinGroup(
       docs: DataFrame, idCol: String, textCol: String, groupCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    val sets = docs.select(
-      col(groupCol), col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
-    val pairs = sets.as("x")
-      .join(sets.as("y"),
-        col(s"x.$groupCol") === col(s"y.$groupCol") && col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(
-        col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
-    pairs
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    require(threshold > 0, "jaccard pair search requires a positive threshold")
+    val tok = docs
+      .select(col(groupCol), col(idCol),
+        wordShingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .select(col(groupCol), col(idCol), col("sz"), explode(col("sh")).as("s"))
+    val dict = tok.select(col("s")).distinct()
+    val vocab = dict.count() // driver scalar: one cheap metadata-scale job
+
+    val pairsWithNi =
+      if (vocab <= MaxBitmapVocab) {
+        import org.apache.spark.sql.expressions.Window
+        val nLongs = ((vocab + 63) / 64).toInt
+        val ids = dict.withColumn("wid", row_number().over(Window.orderBy(col("s"))) - 1)
+        val maskAggs = (0 until nLongs).map(k =>
+          sum(when(expr("wid DIV 64") === k,
+            expr("shiftleft(CAST(1 AS BIGINT), wid % 64)")).otherwise(lit(0L))).as(s"_m$k"))
+        val masks = tok.join(broadcast(ids), "s")
+          .groupBy(col(groupCol), col(idCol), col("sz"))
+          .agg(maskAggs.head, maskAggs.tail: _*)
+        val ni = (0 until nLongs)
+          .map(k => bit_count(col(s"x._m$k").bitwiseAND(col(s"y._m$k"))))
+          .reduce(_ + _)
+        masks.as("x")
+          .join(masks.as("y"),
+            col(s"x.$groupCol") === col(s"y.$groupCol") && col(s"x.$idCol") < col(s"y.$idCol"))
+          .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+            col("x.sz").as("na"), col("y.sz").as("nb"), ni.cast("long").as("ni"))
+      } else {
+        tok.as("x")
+          .join(tok.as("y"),
+            col(s"x.$groupCol") === col(s"y.$groupCol") && col("x.s") === col("y.s") &&
+              col(s"x.$idCol") < col(s"y.$idCol"))
+          .groupBy(
+            col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+            col("x.sz").as("na"), col("y.sz").as("nb"))
+          .agg(count(lit(1)).as("ni"))
+      }
+
+    pairsWithNi
       .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -79,11 +79,12 @@ object Similarity {
    */
   def annCosineTopK(
       queries: DataFrame, candidates: DataFrame,
-      idCol: String, embCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+      idCol: String, embCol: String, k: Int, numPlanes: Int = 8,
+      dims: Int = 64): DataFrame = {
     def withBucket(df: DataFrame): DataFrame =
       df.withColumn("bucket",
         (0 until numPlanes)
-          .map(p => when(planeSide(col("qv"), p) > 0, lit(1L << p)).otherwise(lit(0L)))
+          .map(p => when(planeSide(col("qv"), p, dims) > 0, lit(1L << p)).otherwise(lit(0L)))
           .reduce(_ + _))
 
     val q = withBucket(prepared(queries, idCol, embCol))
@@ -99,13 +100,15 @@ object Similarity {
       k)
   }
 
-  /** Σ_d sign(plane p, dim d) × v[d] with deterministic hash-bit signs. */
-  private def planeSide(qv: Column, p: Int): Column =
-    aggregate(
-      zip_with(qv, sequence(lit(0), size(qv) - 1), (x, d) =>
-        when((portableHash(concat(lit(s"plane#$p:dim#"), d)) % 2) === 0, x)
-          .otherwise(-x)),
-      lit(0L), _ + _)
+  /** Σ_d sign(plane p, dim d) × v[d]. The hash-derived ±1 signs are
+   *  plan-time constants (portableHash64 is the bit-identical driver-side
+   *  mirror of the SQL hash) — evaluating md5 per row per dim in an
+   *  interpreted lambda would dominate the whole scan. */
+  private def planeSide(qv: Column, p: Int, dims: Int): Column = {
+    val signs = (0 until dims).map(d =>
+      if (graft.functions.TextFunctions.portableHash64(s"plane#$p:dim#$d") % 2 == 0) 1L else -1L)
+    aggregate(zip_with(qv, typedlit(signs), _ * _), lit(0L), _ + _)
+  }
 
   private def rankTopK(pairsWithDot: DataFrame, k: Int): DataFrame = {
     val sim = cosine(col("dot"), col("q_nn"), col("nn"))

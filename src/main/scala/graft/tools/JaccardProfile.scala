@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+object JaccardProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[jp] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    }
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val tok = docs.select(col("source"), col("doc_id"),
+        wordShingles(col("text"), 1).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .select(col("source"), col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    time("tok count")(println(tok.count()))
+    val dict = tok.select(col("s")).distinct()
+    val v = time("dict count")(dict.count())
+    println(s"vocab=$v")
+    val ids = dict.withColumn("wid", row_number().over(Window.orderBy(col("s"))) - 1)
+    val nLongs = ((v + 63) / 64).toInt
+    val maskAggs = (0 until nLongs).map(k =>
+      sum(when(expr("wid DIV 64") === k,
+        expr("shiftleft(CAST(1 AS BIGINT), wid % 64)")).otherwise(lit(0L))).as(s"_m$k"))
+    val masks = tok.join(broadcast(ids), "s")
+      .groupBy(col("source"), col("doc_id"), col("sz"))
+      .agg(maskAggs.head, maskAggs.tail: _*).cache()
+    time("masks count")(println(masks.count()))
+    val ni = (0 until nLongs)
+      .map(k => bit_count(col(s"x._m$k").bitwiseAND(col(s"y._m$k")))).reduce(_ + _)
+    val pairs = masks.as("x").join(masks.as("y"),
+        col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sz").as("na"), col("y.sz").as("nb"), ni.cast("long").as("ni"))
+    time("pairs count (cached masks)")(println(pairs.count()))
+    val jac = pairs.withColumn("jaccard",
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
+      .where(col("jaccard") >= 0.9)
+    time("jaccard filter count")(println(jac.count()))
+    spark.stop()
+  }
+}
