@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Multimodal.{MediaFeatures, MediaRow}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "hello world"),
+    (2L, "another document"),
+    (3L, "hello world"), // same payload as 1
+  ).toDF("doc_id", "text")
+
+  test("syntheticMedia: binary payloads survive a parquet round-trip") {
+    val dir = tmpDir("media")
+    Multimodal.syntheticMedia(media, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("payload").dataType.typeName == "binary")
+    val rows = back.orderBy("media_id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Array[Byte]]("payload").length).forall(_ == 16))
+    assert(rows(0).getAs[Array[Byte]]("payload").toSeq ==
+      rows(2).getAs[Array[Byte]]("payload").toSeq)
+    assert(rows.map(_.getAs[String]("modality")).toSeq == Seq("audio", "video", "image"))
+  }
+
+  test("decodeStub: partition-wise decode produces deterministic features") {
+    implicit val s = spark
+    val ds = Multimodal.syntheticMedia(media, "doc_id", "text").as[MediaRow]
+    val feats: Map[Long, MediaFeatures] =
+      Multimodal.decodeStub(ds).collect().map(f => f.media_id -> f).toMap
+    assert(feats.size == 3)
+    assert(feats(1L).n_bytes == 16)
+    assert(feats(1L).checksum == feats(3L).checksum) // same payload
+    assert(feats(1L).checksum != feats(2L).checksum)
+    assert(feats(1L).feature.length == 4)
+    assert(feats(1L).feature.forall(f => f >= 0.0f && f < 1.0f))
+    assert(feats(1L).mean_byte > 0.0)
+    // repartitioned input -> identical features (partition-independence)
+    val again = Multimodal.decodeStub(ds.repartition(7)).collect()
+      .map(f => f.media_id -> f.checksum).toMap
+    assert(again == feats.view.mapValues(_.checksum).toMap)
+  }
+
+  test("mediaStats aggregates by modality") {
+    val out = Multimodal.mediaStats(
+        Multimodal.syntheticMedia(media, "doc_id", "text"))
+      .orderBy("modality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("audio", 1L, 16L, 1L), ("image", 1L, 16L, 1L), ("video", 1L, 16L, 1L)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Array(0.8f, 0.2f, 0.0f, 0.0f)),
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by true cosine similarity, excludes self") {
+    val out = Similarity.cosineTopK(
+        vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", k = 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 4L, 2L, 3L))
+    val sims = out.map(_.getDouble(3))
+    assert(math.abs(sims(0) - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+    assert(math.abs(sims(2) - 0.0) < 1e-6)
+    assert(math.abs(sims(3) + 1.0) < 1e-6)
+  }
+
+  test("quantization is deterministic and exact for representable values") {
+    val q = vecs.select(Similarity.quantize($"embedding").as("q"))
+      .where(lit(true)).head().getSeq[Long](0)
+    assert(q == Seq(1000000L, 0L, 0L, 0L))
+  }
+
+  test("annCosineTopK buckets agree: bucketed results are a subset of brute force with same sims") {
+    val brute = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = Similarity.annCosineTopK(vecs, vecs, "vec_id", "embedding",
+        k = 4, numPlanes = 4, dims = 4).collect()
+    assert(ann.nonEmpty, "ANN returned nothing — all buckets singleton?")
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.contains(key) && brute(key) == r.getDouble(3),
+        s"ANN pair $key sim mismatch vs brute force")
+    }
+    // vectors 0 and 3 are antipodal: every hyperplane separates them
+    assert(!ann.exists(r => r.getLong(0) == 0L && r.getLong(2) == 3L))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the dominant marker language, alphabetical tie-break") {
+    val docs = Seq(
+      (1L, "the cat and the dog of a to"),      // en markers
+      (2L, "der hund und die katze das nicht"), // de markers
+      (3L, "xyz qrs tuv"),                      // no markers -> tie -> de
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.withLangId(docs, "text")
+      .select("doc_id", "pred_lang", "lang_score").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(m(1L) == (("en", 6)))
+    assert(m(2L) == (("de", 5)))
+    assert(m(3L) == (("de", 0)))
+  }
+
+  test("quality metrics: exact ratios and the gate") {
+    val docs = Seq((1L, "a a the bb ccc dddd")).toDF("doc_id", "text")
+    val r = TextAnalysis.withQualityMetrics(docs, "text", minWords = 2, maxWords = 10).head()
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Double]("mean_word_len") == 14.0 / 6.0) // chars sans spaces / words
+    assert(r.getAs[Double]("stop_ratio") == 3.0 / 6.0)     // a, a, the
+    assert(r.getAs[Double]("type_token_ratio") == 5.0 / 6.0)
+    assert(!r.getAs[Boolean]("is_quality")) // stop_ratio 0.5 > 0.2
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val docs = Seq((1L, "Hello world42 x-y")).toDF("doc_id", "text")
+    val r = TextAnalysis.withTokenCounts(docs, "text").head()
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    // lowercased: "hello","world","42","x","-","y"
+    assert(r.getAs[Long]("bpe_tokens") == 6L)
+  }
+
+  test("fingerprint: equal texts share fingerprints, k-gram count exact") {
+    val docs = Seq(
+      (1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zzzzzzzzzz"), (4L, "short"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withFingerprint(docs, "text", k = 8)
+      .select("doc_id", "fingerprint", "n_distinct_grams").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2))).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L)._1.isDefined && out(1L) != out(3L))
+    assert(out(1L)._2 == 3L) // 10 - 8 + 1 grams, all distinct
+    assert(out(3L)._2 == 1L) // all 8-grams identical
+    assert(out(4L) == ((None, 0L))) // too short
+  }
+}
