@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, TimestampType}
 
 import graft.core.Validation
-import graft.operators.{Bars, CalendarOps, Dedup, Multimodal, Similarity, Sliding, TextAnalysis}
+import graft.operators.{Bars, CalendarOps, Dedup, Multimodal, Similarity, Sliding, TextAnalysis, TimeJoins}
 import graft.sources.Tables
 
 /**
@@ -255,6 +255,49 @@ object SparkEntry {
           k = 3, numPlanes = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // Q26 — backward as-of join: each event gets the latest same-user
+    // signup at-or-before its timestamp (union + running-last, one shuffle)
+    "q26_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val signups = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("value")).as("signup_value"))
+        .select(col("user_id"), col("signup_ts"), col("signup_value"))
+      TimeJoins.asOfBackward(
+          e.where(pmod(col("event_id"), lit(17)) === 0)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          signups.withColumn("ts", col("signup_ts")),
+          Seq("user_id"), "ts", "ts", Seq("signup_ts", "signup_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("signup_ts"), col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Q27 — interval containment as an equi-join: events falling inside a
+    // detected gap interval, rolled up per gap
+    "q27_interval_events" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      TimeJoins.intervalJoinByDay(
+          gapIslands(e),
+          e.withColumn("day", to_date(col("ts"))),
+          Seq("user_id"), "gap_start", "gap_end", "day")
+        .groupBy(col("user_id"), col("gap_start"), col("gap_end"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("gap_start"))
+    }),
+
+    // Q28 — gap-based sessionization (30-minute inactivity boundary)
+    "q28_sessions" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      TimeJoins.sessionStats(
+          TimeJoins.sessionize(e, Seq("user_id"), col("ts"),
+            gapSeconds = 1800L, tieBreak = col("event_id")),
+          Seq("user_id"), col("ts"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -489,6 +532,44 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM r)
           |SELECT query_id, rank, neighbor_id, sim FROM rr WHERE rank <= 3
           |ORDER BY query_id, rank""".stripMargin,
+
+      "q26_asof_join" ->
+        """WITH signups AS (SELECT user_id, ts AS signup_ts, max(value) AS signup_value
+          |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+          |probe AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 17 = 0)
+          |SELECT p.event_id, p.user_id, p.ts, s.signup_ts, s.signup_value
+          |FROM probe p ASOF LEFT JOIN signups s
+          |  ON p.user_id = s.user_id AND s.signup_ts <= p.ts
+          |ORDER BY p.event_id""".stripMargin,
+
+      "q27_interval_events" ->
+        """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+          |cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span),
+          |users AS (SELECT DISTINCT user_id FROM events),
+          |present AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'signup'),
+          |missing AS (SELECT u.user_id, c.day FROM users u CROSS JOIN cal c
+          |  WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.user_id = u.user_id AND p.day = c.day)),
+          |isl AS (SELECT user_id, day,
+          |  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island FROM missing),
+          |gaps AS (SELECT user_id, min(day) AS gap_start, max(day) AS gap_end FROM isl GROUP BY user_id, island)
+          |SELECT g.user_id, g.gap_start, g.gap_end, count(*) AS n_events,
+          |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM gaps g JOIN events e
+          |  ON e.user_id = g.user_id AND CAST(e.ts AS DATE) BETWEEN g.gap_start AND g.gap_end
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+      "q28_sessions" ->
+        """WITH o AS (SELECT user_id, ts, event_id,
+          |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+          |    THEN 1 ELSE 0 END AS ns
+          |  FROM events),
+          |s AS (SELECT user_id, ts, CAST(sum(ns) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |  FROM o)
+          |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+          |  count(*) AS n_events
+          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     )
   }
 }

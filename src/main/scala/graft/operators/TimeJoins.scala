@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-oriented joins and segmentation the tick/analytics surface needs
+ * beyond plain equi-joins: backward as-of join, interval containment
+ * re-expressed as an equi-join, and gap-based sessionization.
+ *
+ * Scale posture: every operator here is ONE hash shuffle on the key —
+ * no per-row range probes, no broadcast-nested-loop. The as-of join uses
+ * the union + running-last formulation (the standard Spark re-expression
+ * of a merge as-of); interval joins explode bounded intervals to their
+ * day grain so containment becomes an equi-join Catalyst can hash.
+ */
+object TimeJoins {
+
+  /**
+   * Backward as-of join: attach to every left row the payload of the
+   * LATEST right row with `rightTs <= leftTs` within the same key
+   * (`asof join ... match_condition (rightTs <= leftTs)`).
+   *
+   * Mechanics: tag sides, union on (key, ts), one window pass computing a
+   * running `last(payload, ignoreNulls)` ordered by (ts, side) — right
+   * rows sort before left rows at equal ts so a right row stamped exactly
+   * at leftTs matches. Rows with no prior right row keep null payloads.
+   * Right rows should be unique per (key, ts); pre-aggregate otherwise.
+   */
+  def asOfBackward(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .select((keyCols.map(col) :+ col("_ts") :+ col("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(0))
+      .select((keyCols.map(col) :+ col("_ts") :+ col("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    matched.where(col("_side") === 1).drop("_ts", "_side")
+  }
+
+  /**
+   * Interval-containment join at day grain: rows of `events` whose
+   * `dayCol` falls inside an interval of `intervals`
+   * ([startCol, endCol], both DateType, inclusive). The interval side is
+   * exploded to one row per covered day, turning the theta predicate into
+   * an equi-join on (key, day) — a hash join that scales out, instead of
+   * the broadcast-nested-loop Spark would pick for a raw range predicate.
+   * Bounded interval width is the caller's contract (calendar-scale here).
+   */
+  def intervalJoinByDay(
+      intervals: DataFrame, events: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String, dayCol: String): DataFrame = {
+    val exploded = intervals.withColumn(dayCol,
+      explode(sequence(col(startCol), col(endCol), expr("interval 1 day"))))
+    exploded.join(events, keyCols :+ dayCol)
+  }
+
+  /**
+   * Gap-based sessionization: assigns `session_id` (0-based per key) that
+   * increments whenever the time since the previous event exceeds
+   * `gapSeconds`. Deterministic total order via (ts, tieBreak).
+   */
+  def sessionize(
+      df: DataFrame, keyCols: Seq[String], ts: Column,
+      gapSeconds: Long, tieBreak: Column): DataFrame = {
+    val order = Window.partitionBy(keyCols.map(col): _*).orderBy(ts, tieBreak)
+    val tsUs = unix_micros(ts.cast("timestamp")) // NTZ-tolerant
+    val newSession = when(
+      tsUs - lag(tsUs, 1).over(order) > gapSeconds * 1000000L, 1L)
+      .otherwise(lit(0L))
+    df.withColumn("session_id",
+      sum(newSession).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup: bounds and size of each session. */
+  def sessionStats(sessionized: DataFrame, keyCols: Seq[String], ts: Column): DataFrame =
+    sessionized
+      .groupBy((keyCols.map(col) :+ col("session_id")): _*)
+      .agg(
+        min(ts).as("session_start"),
+        max(ts).as("session_end"),
+        count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfBackward attaches the latest right row at-or-before each left ts") {
+    val quotes = Seq(
+      ("NQ", ts("2024-01-01 10:00:00"), 100.0),
+      ("NQ", ts("2024-01-01 10:05:00"), 101.0),
+      ("ES", ts("2024-01-01 10:01:00"), 50.0),
+    ).toDF("symbol", "ts", "quote")
+    val trades = Seq(
+      (1L, "NQ", ts("2024-01-01 09:59:59")), // before any quote -> null
+      (2L, "NQ", ts("2024-01-01 10:00:00")), // exactly at quote -> 100
+      (3L, "NQ", ts("2024-01-01 10:04:59")), // between -> 100
+      (4L, "NQ", ts("2024-01-01 10:06:00")), // after second -> 101
+      (5L, "ES", ts("2024-01-01 10:30:00")), // other key -> 50
+    ).toDF("trade_id", "symbol", "ts")
+    val out = TimeJoins.asOfBackward(trades,
+        quotes.withColumnRenamed("ts", "quote_ts").withColumn("ts", col("quote_ts")),
+        Seq("symbol"), "ts", "ts", Seq("quote_ts", "quote"))
+      .orderBy("trade_id").collect()
+    assert(out.map(r => Option(r.getAs[Any]("quote"))).toSeq ==
+      Seq(None, Some(100.0), Some(100.0), Some(101.0), Some(50.0)))
+    assert(out(3).getAs[Timestamp]("quote_ts") == ts("2024-01-01 10:05:00"))
+  }
+
+  test("intervalJoinByDay matches the theta-join semantics") {
+    val intervals = Seq(
+      ("u1", java.sql.Date.valueOf("2024-01-10"), java.sql.Date.valueOf("2024-01-12")),
+    ).toDF("user_id", "gap_start", "gap_end")
+    val events = Seq(
+      ("u1", java.sql.Date.valueOf("2024-01-09"), 1L), // outside
+      ("u1", java.sql.Date.valueOf("2024-01-10"), 2L), // boundary in
+      ("u1", java.sql.Date.valueOf("2024-01-12"), 3L), // boundary in
+      ("u1", java.sql.Date.valueOf("2024-01-13"), 4L), // outside
+      ("u2", java.sql.Date.valueOf("2024-01-11"), 5L), // wrong key
+    ).toDF("user_id", "day", "event_id")
+    val got = TimeJoins.intervalJoinByDay(intervals, events,
+        Seq("user_id"), "gap_start", "gap_end", "day")
+      .select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val events = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1L),
+      ("u1", ts("2024-01-01 10:29:00"), 2L), // 29 min -> same session
+      ("u1", ts("2024-01-01 10:59:00"), 3L), // 30 min exactly -> same (strict >)
+      ("u1", ts("2024-01-01 11:29:01"), 4L), // 30 min 1 s -> new session
+      ("u2", ts("2024-01-01 10:00:00"), 5L),
+    ).toDF("user_id", "ts", "event_id")
+    val s = TimeJoins.sessionize(events, Seq("user_id"), col("ts"), 1800L, col("event_id"))
+    val byId = s.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_id")).toMap
+    assert(byId == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+    val stats = TimeJoins.sessionStats(s, Seq("user_id"), col("ts"))
+      .orderBy("user_id", "session_id").collect()
+    assert(stats.map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq ==
+      Seq(("u1", 0L, 3L), ("u1", 1L, 1L), ("u2", 0L, 1L)))
+  }
+}
