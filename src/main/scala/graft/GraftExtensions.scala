@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.{LongArrayDot, QuantizeToLong}
+
+/**
+ * SparkSessionExtensions entry point: registers the engine's custom
+ * codegen expressions as SQL functions, so they are reachable from
+ * `spark.sql(...)` / `expr(...)` as well as the Column API.
+ *
+ * Enable with
+ *   .config("spark.sql.extensions", "graft.GraftExtensions")
+ * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.functions
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.SparkSession
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arrayA, arrayB)")
+        LongArrayDot(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[QuantizeToLong].getName, "graft_quantize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_quantize(array, scaleLiteral)")
+        QuantizeToLong(children.head, children(1).eval().toString.toDouble)
+      }))
+
+  /** Install the functions into an ALREADY-RUNNING session (the
+    * `spark.sql.extensions` config only takes effect at session build,
+    * which `getOrCreate` skips when a session exists). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

@@ -1,0 +1,127 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Custom Catalyst expressions (with codegen) for the similarity hot path.
+ *
+ * Why custom expressions and not higher-order functions: Spark evaluates
+ * HOF lambdas (`transform`/`zip_with`/`aggregate`) in interpreted mode,
+ * outside whole-stage codegen, with no common-subexpression elimination —
+ * measured 50× slowdowns on per-element work in this engine (SURVEY.md
+ * §2.12 D2). These expressions compile the inner loop into the generated
+ * Java of the enclosing stage: a 64-dim integer dot product becomes one
+ * tight primitive loop with no per-element boxing or closure dispatch.
+ *
+ * Contract: array elements must be non-null (the quantizer emits
+ * non-null arrays; `LongArrayDot` treats a null element as 0).
+ */
+
+/** Exact integer dot product of two `array<bigint>` columns (length =
+  * min of the two; engine arrays are equal-length by construction). */
+case class LongArrayDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<bigint>, array<bigint>), got (${l.simpleString(5)}, ${r.simpleString(5)})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Fused quantizer: `array<float|double>` → `array<bigint>` via
+ * `floor(x * scale + 0.5)` — bit-identical to the SQL formulation the
+ * DuckDB oracle runs, one codegen'd loop instead of an interpreted
+ * per-element lambda. Null elements quantize to 0.
+ */
+case class QuantizeToLong(child: Expression, scale: Double)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantize expects array<float|double>, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_quantize"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v: Double =
+        if (arr.isNullAt(i)) 0.0
+        else if (isFloat) arr.getFloat(i).toDouble
+        else arr.getDouble(i)
+      out(i) = math.floor(v * scale + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val get = if (isFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = $a.isNullAt($i) ? 0.0d : $get($i);
+         |  $out[$i] = (long) java.lang.Math.floor(v * $scale + 0.5d);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -27,17 +27,21 @@ import graft.functions.TextFunctions.portableHash
  */
 object Similarity {
 
-  /** Quantize `array<float>` to `array<bigint>` (ppm resolution). */
+  import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+  import graft.functions.expressions.{LongArrayDot, QuantizeToLong}
+
+  /** Quantize `array<float|double>` to `array<bigint>` (ppm resolution) —
+   *  fused codegen expression, not an interpreted per-element lambda. */
   def quantize(emb: Column): Column =
-    transform(emb, x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    exprCol(QuantizeToLong(expression(emb), 1e6))
 
   /** Exact integer squared norm of a quantized vector. */
-  def sqNorm(q: Column): Column =
-    aggregate(q, lit(0L), (acc, x) => acc + x * x)
+  def sqNorm(q: Column): Column = dot(q, q)
 
-  /** Exact integer dot product of two equal-length quantized vectors. */
+  /** Exact integer dot product of two equal-length quantized vectors —
+   *  one codegen'd primitive loop inside the enclosing stage. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    exprCol(LongArrayDot(expression(a), expression(b)))
 
   /** Cosine similarity from integer dot + squared norms (one double op). */
   def cosine(dotCol: Column, na: Column, nb: Column): Column =

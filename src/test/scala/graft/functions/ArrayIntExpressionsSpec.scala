@@ -1,0 +1,50 @@
+package graft.functions
+
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+class ArrayIntExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LongArrayDot and QuantizeToLong agree with the HOF formulation") {
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9999995f, -0.9999995f, 0.0000005f, -0.0000005f)),
+    ).toDF("id", "emb")
+    val hofQuant = transform(col("emb"), x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    val out = df.select(
+      col("id"),
+      Similarity.quantize(col("emb")).as("q"),
+      hofQuant.as("q_hof"))
+      .withColumn("dot", Similarity.dot(col("q"), col("q")))
+      .withColumn("dot_hof", aggregate(zip_with(col("q_hof"), col("q_hof"), _ * _), lit(0L), _ + _))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"quantize mismatch for id ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4), s"dot mismatch for id ${r.getLong(0)}")
+    }
+    val q1 = out.find(_.getLong(0) == 1L).get.getSeq[Long](1)
+    assert(q1 == Seq(500000L, -250000L, 125000L, 1000000L))
+  }
+
+  test("graft_dot / graft_quantize are SQL-reachable after registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(q, q) AS n2, q
+        |FROM (SELECT graft_quantize(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT)), 1000000) AS q)
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("n2") == 500000L * 500000L + 1000000L * 1000000L)
+    assert(r.getSeq[Long](1) == Seq(500000L, -1000000L))
+  }
+
+  test("null elements: dot treats them as 0, quantize maps to 0") {
+    val df = spark.sql(
+      "SELECT array(CAST(1 AS BIGINT), NULL, CAST(3 AS BIGINT)) AS a, " +
+        "array(CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT)) AS b")
+    assert(df.select(Similarity.dot(col("a"), col("b"))).head().getLong(0) == 2L + 12L)
+  }
+}
