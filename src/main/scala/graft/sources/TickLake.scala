@@ -82,4 +82,23 @@ object TickLake {
       .where(col("date") === date)
       .repartition(col("symbol"))
       .sortWithinPartitions("symbol", "timestamp")
+
+  /**
+   * Bucketed lake table (the co-location path at scale): hash-bucketed and
+   * sorted by symbol, so symbol-keyed joins between two such tables and
+   * symbol-keyed aggregations run with NO shuffle exchange — the shuffle
+   * is paid once at write time, then amortized over every downstream job.
+   * `bucketBy` requires the table catalog (`saveAsTable`); pass `path` to
+   * keep the data external.
+   */
+  def writeBucketedTable(
+      ticks: DataFrame, tableName: String, path: String, buckets: Int = 32): Unit =
+    ticks
+      .write
+      .bucketBy(buckets, "symbol")
+      .sortBy("symbol", "timestamp")
+      .option("path", path)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(tableName)
 }

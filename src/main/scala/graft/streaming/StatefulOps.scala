@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState`
+ * (SURVEY.md §2.9 ST5/ST10 streaming analogs): per-key state the built-in
+ * windowed aggregations can't express.
+ *
+ * `runningCursor` is the reference's backfill cursor as stream state —
+ * per symbol, the high-water-mark event time and total row count,
+ * emitted after every micro-batch (the streaming twin of
+ * JobStateStore.updateCursor; reference backfill_service.rs:188-196).
+ *
+ * State is tiny (two longs per key), checkpointed by the engine, and the
+ * update function is associative over batches — restarts resume from the
+ * checkpoint with no recount.
+ */
+object StatefulOps {
+
+  final case class CursorState(maxTsMicros: Long, totalRows: Long)
+  final case class CursorUpdate(
+      symbol: String, cursor: Timestamp, total_rows: Long, batch_rows: Long)
+
+  /**
+   * Per-symbol running cursor over a streaming tick frame
+   * (columns: symbol, timestamp). Output mode: Update.
+   */
+  def runningCursor(ticks: DataFrame)(implicit spark: SparkSession): Dataset[CursorUpdate] = {
+    import spark.implicits._
+    ticks
+      .select(col("symbol"), unix_micros(col("timestamp").cast("timestamp")).as("ts_us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CursorState, CursorUpdate](GroupStateTimeout.NoTimeout()) {
+        (symbol, rows, state: GroupState[CursorState]) =>
+          var maxTs = state.getOption.map(_.maxTsMicros).getOrElse(Long.MinValue)
+          var total = state.getOption.map(_.totalRows).getOrElse(0L)
+          var batch = 0L
+          rows.foreach { case (_, ts) =>
+            if (ts > maxTs) maxTs = ts
+            total += 1; batch += 1
+          }
+          state.update(CursorState(maxTs, total))
+          CursorUpdate(symbol, new Timestamp(maxTs / 1000), total, batch)
+      }
+  }
+
+  /** Start the cursor tracker into a memory sink for inspection. */
+  def startCursorQuery(ticks: DataFrame, queryName: String,
+      checkpointDir: String)(implicit spark: SparkSession) =
+    runningCursor(ticks)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

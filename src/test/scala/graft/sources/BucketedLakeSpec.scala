@@ -1,0 +1,49 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Co-located join/aggregation via bucketing (SURVEY.md §4 O7 at scale):
+  * the shuffle is paid once at write, downstream symbol-keyed plans are
+  * exchange-free. */
+class BucketedLakeSpec extends SparkSpec {
+
+  private def ticksFor(symbols: Seq[String]) =
+    symbols.map(s => MockData.historicalDay(spark, s, LocalDate.parse("2024-01-10")))
+      .reduce(_ unionByName _)
+
+  test("bucketed tables join and aggregate without a shuffle exchange") {
+    val base = tmpDir("bucketed")
+    TickLake.writeBucketedTable(ticksFor(Seq("NQ", "ES")), "t_bucket_a", s"$base/a", buckets = 4)
+    TickLake.writeBucketedTable(ticksFor(Seq("NQ", "ES")), "t_bucket_b", s"$base/b", buckets = 4)
+    try {
+      val agg = spark.table("t_bucket_a").groupBy("symbol")
+        .agg(count(lit(1)).as("n"), max("timestamp").as("max_ts"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed aggregation should not shuffle")
+      assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+        Seq(("ES", 1440L), ("NQ", 1440L)))
+
+      // force sort-merge (disable broadcast) to exercise the bucketed join
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("t_bucket_a").as("a")
+          .join(spark.table("t_bucket_b").as("b"), Seq("symbol"))
+          .groupBy("symbol").count()
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed equi-join should not shuffle:\n$plan")
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+          Seq(("ES", 1440L * 1440L), ("NQ", 1440L * 1440L)))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+    }
+  }
+}

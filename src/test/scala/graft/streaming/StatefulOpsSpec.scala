@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class StatefulOpsSpec extends SparkSpec {
+
+  test("runningCursor: per-symbol high-water-mark advances across micro-batches (ST10 streaming)") {
+    implicit val s = spark
+    val ckpt = tmpDir("cursor-ckpt")
+    val ticks = IngestStream.syntheticTicks(spark, "NQ",
+      rowsPerBatch = 100, advanceMsPerBatch = 60000L)
+    val q = StatefulOps.startCursorQuery(ticks, "cursor_test", ckpt)
+    val t0 = System.currentTimeMillis()
+    try {
+      while (q.recentProgress.length < 3 &&
+             System.currentTimeMillis() - t0 < 60000 && q.isActive) Thread.sleep(100)
+    } finally q.stop()
+
+    val updates = spark.table("cursor_test").orderBy(col("total_rows")).collect()
+    assert(updates.length >= 2, "expected one cursor update per micro-batch")
+    // totals accumulate by whole batches; cursor strictly advances
+    val totals = updates.map(_.getAs[Long]("total_rows")).toSeq
+    assert(totals == totals.sorted && totals.forall(_ % 100 == 0))
+    val cursors = updates.map(_.getAs[java.sql.Timestamp]("cursor").getTime).toSeq
+    assert(cursors == cursors.sorted)
+    assert(updates.forall(_.getAs[String]("symbol") == "NQ"))
+    assert(updates.forall(_.getAs[Long]("batch_rows") == 100L))
+    // the cursor equals the max event time seen so far (spread < advance)
+    assert(cursors.last - cursors.head == (updates.length - 1) * 60000L)
+  }
+}
