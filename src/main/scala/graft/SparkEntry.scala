@@ -298,6 +298,16 @@ object SparkEntry {
           Seq("user_id"), col("ts"))
         .orderBy(col("user_id"), col("session_id"))
     }),
+
+    // Q29 — salted two-phase aggregation returns exactly the unsalted
+    // result (skew-mitigation correctness law)
+    "q29_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+          t(s, dir, "events"), Seq("event_type"),
+          col("value").cast(DecimalType(18, 4)), "value")
+        .select(col("event_type"),
+          col("sum_value").cast("double").as("sum_value"), col("n_rows"))
+        .orderBy(col("event_type"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -570,6 +580,12 @@ object SparkEntry {
           |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
           |  count(*) AS n_events
           |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q29_salted_agg" ->
+        """SELECT event_type,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+          |  count(*) AS n_rows
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     )
   }
 }

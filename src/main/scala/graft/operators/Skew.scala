@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew mitigation (SURVEY.md scale posture): two-phase salted aggregation
+ * for hot keys. A skewed groupBy key concentrates a partition on one
+ * reducer; salting splits each key into `buckets` sub-keys for the
+ * partial phase, then re-aggregates the partials — both phases map-side
+ * combinable, the hot key's work spread over `buckets` reducers.
+ *
+ * Only algebraic aggregates (sum/count/min/max) compose across phases;
+ * the helpers below cover the engine's needs. For skewed JOINs prefer
+ * AQE's runtime skew-join splitting (`spark.sql.adaptive.skewJoin`,
+ * on by default) — salting a join requires replicating the build side.
+ *
+ * The salt derives from a hash of the value column — deterministic, no
+ * rand(), so plans replay identically (FIXTURES.md determinism rule).
+ */
+object Skew {
+
+  /** Two-phase salted sum+count per key. Output: keys, sum_<alias>, n_rows. */
+  def saltedSumCount(
+      df: DataFrame, keyCols: Seq[String], value: Column, alias: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(hash(value), lit(buckets)))
+    val partial = salted
+      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .agg(sum(value).as("_psum"), count(lit(1)).as("_pn"))
+    partial
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_psum")).as(s"sum_$alias"), sum(col("_pn")).as("n_rows"))
+  }
+
+  /** Two-phase salted min/max per key. */
+  def saltedMinMax(
+      df: DataFrame, keyCols: Seq[String], value: Column, alias: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(hash(value), lit(buckets)))
+    val partial = salted
+      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .agg(min(value).as("_pmin"), max(value).as("_pmax"))
+    partial
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("_pmin")).as(s"min_$alias"), max(col("_pmax")).as(s"max_$alias"))
+  }
+}
