@@ -1,0 +1,86 @@
+package graft.functions.expressions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Fused SimHash: `array<string>` (the document's words, with repeats) →
+ * 60-bit signature as one per-row kernel — the whole-corpus SimHash
+ * becomes a pure projection with NO explode and NO shuffle, versus the
+ * relational formulation's words×60 row blow-up and two aggregations
+ * (`Dedup.simhash`). Bit-identical to that formulation and to the DuckDB
+ * oracle: bit i of H(word) (the md5-derived 60-bit portable hash)
+ * contributes ±count to bucket i; bit i of the result is set iff the
+ * bucket is strictly positive.
+ *
+ * The generated code calls the static kernel below — the codegen pattern
+ * for loops too complex to inline: still inside the stage's compiled
+ * Java, no interpreted-expression dispatch per row.
+ */
+case class SimHashWords(child: Expression, bits: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects array<string>, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.SimHashKernel.compute($a, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashKernel {
+
+  /** Per-row SimHash kernel; called from generated code. */
+  def compute(words: ArrayData, bits: Int): Long = {
+    val acc = new Array[Long](bits)
+    val md = MessageDigest.getInstance("MD5")
+    var w = 0
+    val n = words.numElements()
+    while (w < n) {
+      if (!words.isNullAt(w)) {
+        val h = portableHash(md, words.getUTF8String(w).getBytes)
+        var i = 0
+        while (i < bits) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      w += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      if (acc(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** First 15 hex chars of md5 as a long — the engine's portable hash. */
+  private def portableHash(md: MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    // 15 hex chars = 7.5 bytes: top 7 bytes plus the high nibble of byte 8
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+}

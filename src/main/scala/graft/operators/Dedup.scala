@@ -149,10 +149,21 @@ object Dedup {
    * bit i is set iff Σ_words ±1 (sign = bit i of the word's portable hash)
    * is strictly positive.
    *
-   * Formulated as explode → two map-side-combinable aggregations, so the
-   * shuffle carries at most 60 partial sums per document.
+   * Computed by the fused `SimHashWords` codegen kernel — a pure per-row
+   * projection, NO explode and NO shuffle (the relational formulation
+   * below blows up to words×bits rows). Bit-identical outputs.
    */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame =
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs.select(col(idCol),
+      Bridge.column(graft.functions.expressions.SimHashWords(
+        Bridge.expression(words(col(textCol))), bits)).as("simhash"))
+  }
+
+  /** Relational SimHash (explode → two map-side-combinable aggregations):
+   *  the formulation the DuckDB oracle mirrors; kept as the cross-check
+   *  baseline for the fused kernel. */
+  def simhashRelational(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame =
     docs
       .select(col(idCol), explode(words(col(textCol))).as("word"))
       .withColumn("h", portableHash(col("word")))

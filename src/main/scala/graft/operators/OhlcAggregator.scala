@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic OHLC as a typed `Aggregator` (the reserved extension
+ * point of SURVEY.md §2.10): built-in `min_by`/`max_by` pick an ARBITRARY
+ * row when two ticks share a timestamp, so bar opens/closes can differ
+ * between runs on tied data. This aggregator totally orders ticks by
+ * (ts, price): open = price of the lexicographically smallest (ts, price),
+ * close = of the largest — associative, commutative, partition-order
+ * independent.
+ *
+ * Use `Bars.ohlcv` (pure built-ins, fastest) when timestamps are unique —
+ * fixture/mock data guarantees that; switch to this when real feeds can
+ * carry ties.
+ */
+object OhlcAggregator {
+
+  final case class TickIn(ts: Long, price: BigDecimal, size: Long)
+  final case class Buf(
+      openTs: Long, openPrice: BigDecimal,
+      closeTs: Long, closePrice: BigDecimal,
+      high: BigDecimal, low: BigDecimal,
+      volume: Long, n: Long)
+  final case class OhlcOut(
+      open: BigDecimal, high: BigDecimal, low: BigDecimal, close: BigDecimal,
+      volume: Long, n_trades: Long)
+
+  private def lt(ts1: Long, p1: BigDecimal, ts2: Long, p2: BigDecimal): Boolean =
+    ts1 < ts2 || (ts1 == ts2 && p1 < p2)
+
+  object agg extends Aggregator[TickIn, Buf, OhlcOut] {
+    override def zero: Buf = Buf(Long.MaxValue, null, Long.MinValue, null, null, null, 0L, 0L)
+
+    override def reduce(b: Buf, t: TickIn): Buf = Buf(
+      openTs = if (b.n == 0 || lt(t.ts, t.price, b.openTs, b.openPrice)) t.ts else b.openTs,
+      openPrice = if (b.n == 0 || lt(t.ts, t.price, b.openTs, b.openPrice)) t.price else b.openPrice,
+      closeTs = if (b.n == 0 || lt(b.closeTs, b.closePrice, t.ts, t.price)) t.ts else b.closeTs,
+      closePrice = if (b.n == 0 || lt(b.closeTs, b.closePrice, t.ts, t.price)) t.price else b.closePrice,
+      high = if (b.high == null || t.price > b.high) t.price else b.high,
+      low = if (b.low == null || t.price < b.low) t.price else b.low,
+      volume = b.volume + t.size,
+      n = b.n + 1)
+
+    override def merge(a: Buf, b: Buf): Buf =
+      if (a.n == 0) b
+      else if (b.n == 0) a
+      else Buf(
+        openTs = if (lt(a.openTs, a.openPrice, b.openTs, b.openPrice)) a.openTs else b.openTs,
+        openPrice = if (lt(a.openTs, a.openPrice, b.openTs, b.openPrice)) a.openPrice else b.openPrice,
+        closeTs = if (lt(a.closeTs, a.closePrice, b.closeTs, b.closePrice)) b.closeTs else a.closeTs,
+        closePrice = if (lt(a.closeTs, a.closePrice, b.closeTs, b.closePrice)) b.closePrice else a.closePrice,
+        high = if (a.high >= b.high) a.high else b.high,
+        low = if (a.low <= b.low) a.low else b.low,
+        volume = a.volume + b.volume,
+        n = a.n + b.n)
+
+    override def finish(b: Buf): OhlcOut =
+      OhlcOut(b.openPrice, b.high, b.low, b.closePrice, b.volume, b.n)
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[OhlcOut] = Encoders.product[OhlcOut]
+  }
+
+  /** Tumbling deterministic OHLCV bars (tie-safe variant of Bars.ohlcv). */
+  def ohlcvDeterministic(
+      ticks: DataFrame, keyCols: Seq[Column], bucket: Column,
+      ts: Column, price: Column, size: Column): DataFrame = {
+    val f = udaf(agg)
+    ticks
+      .groupBy((keyCols :+ bucket.as("bar_start")): _*)
+      .agg(f(
+        unix_micros(ts.cast("timestamp")),
+        price.cast("decimal(18,4)"),
+        size.cast("long")).as("bar"))
+      .select(col("*"), col("bar.*"))
+      .drop("bar")
+  }
+}

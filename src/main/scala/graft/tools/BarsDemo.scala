@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev drive: tie-safe OHLC through the public API on data WITH timestamp
+  * ties, shown against the built-in variant. */
+object BarsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val ticks = Seq(
+      ("NQ", "2024-01-01 10:00:00", "100.5", 1L),
+      ("NQ", "2024-01-01 10:00:00", "100.0", 2L),
+      ("NQ", "2024-01-01 10:30:00", "105.0", 3L),
+      ("NQ", "2024-01-01 10:59:00", "102.0", 4L),
+      ("NQ", "2024-01-01 10:59:00", "103.0", 5L),
+    ).toDF("symbol", "ts", "price", "size")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .withColumn("price", col("price").cast("decimal(10,4)"))
+    println("[bars-demo] deterministic (tie-safe) bars:")
+    graft.operators.OhlcAggregator.ohlcvDeterministic(
+      ticks, Seq(col("symbol")), date_trunc("hour", col("ts")),
+      col("ts"), col("price"), col("size")).show(truncate = false)
+    spark.stop()
+  }
+}

@@ -59,6 +59,14 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) == sh(4L)) // same word multiset modulo case/ws
   }
 
+  test("fused SimHash kernel is bit-identical to the relational formulation") {
+    val fused = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relational = Dedup.simhashRelational(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == relational)
+  }
+
   test("jaccardPairsWithinGroup bitmap path matches hand-computed jaccard") {
     val out = Dedup.jaccardPairsWithinGroup(docs, "doc_id", "text", "source", 1, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OhlcAggregatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("deterministic OHLC: ties on timestamp break by price, any partitioning") {
+    val ticks = Seq(
+      ("NQ", ts("2024-01-01 10:00:00"), BigDecimal("100.5"), 1L), // tie at open
+      ("NQ", ts("2024-01-01 10:00:00"), BigDecimal("100.0"), 2L), // tie at open (lower)
+      ("NQ", ts("2024-01-01 10:30:00"), BigDecimal("105.0"), 3L),
+      ("NQ", ts("2024-01-01 10:59:00"), BigDecimal("102.0"), 4L), // tie at close
+      ("NQ", ts("2024-01-01 10:59:00"), BigDecimal("103.0"), 5L), // tie at close (higher)
+    ).toDF("symbol", "ts", "price", "size")
+
+    for (parts <- Seq(1, 3, 7)) {
+      val bars = OhlcAggregator.ohlcvDeterministic(
+          ticks.repartition(parts), Seq(col("symbol")),
+          date_trunc("hour", col("ts")), col("ts"), col("price"), col("size"))
+        .collect()
+      assert(bars.length == 1)
+      val b = bars.head
+      assert(b.getDecimal(2).compareTo(new java.math.BigDecimal("100.0")) == 0,
+        s"open should tie-break to the LOWER price (parts=$parts)")
+      assert(b.getDecimal(5).compareTo(new java.math.BigDecimal("103.0")) == 0,
+        s"close should tie-break to the HIGHER price (parts=$parts)")
+      assert(b.getDecimal(3).compareTo(new java.math.BigDecimal("105.0")) == 0) // high
+      assert(b.getDecimal(4).compareTo(new java.math.BigDecimal("100.0")) == 0) // low
+      assert(b.getAs[Long]("volume") == 15L && b.getAs[Long]("n_trades") == 5L)
+    }
+  }
+
+  test("agrees with Bars.ohlcv on tie-free data") {
+    val ticks = graft.sources.MockData.historicalDay(
+      spark, "NQ", java.time.LocalDate.parse("2024-01-10"))
+    val a = OhlcAggregator.ohlcvDeterministic(ticks, Seq(col("symbol")),
+        date_trunc("hour", col("timestamp")), col("timestamp"),
+        col("last_price"), col("last_size").cast("long"))
+      .select(col("symbol"), col("bar_start"),
+        col("open").cast("double"), col("high").cast("double"),
+        col("low").cast("double"), col("close").cast("double"))
+      .orderBy("bar_start")
+    val b = Bars.ohlcv(ticks, Seq(col("symbol")),
+        date_trunc("hour", col("timestamp")), col("timestamp"),
+        col("last_price"), col("last_size"))
+      .select(col("symbol"), col("bar_start"),
+        col("open").cast("double"), col("high").cast("double"),
+        col("low").cast("double"), col("close").cast("double"))
+      .orderBy("bar_start")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}
