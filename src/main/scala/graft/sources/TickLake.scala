@@ -28,39 +28,56 @@ object TickLake {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
   }
 
+  /**
+   * Partition grain: (symbol, date) — NOT hour. The reference's hourly
+   * file rotation (`{symbol}_{yyyyMMdd}_{HH}.parquet`) maps here to
+   * hour-sorted row groups INSIDE each day file: `sortWithinPartitions
+   * (timestamp)` gives parquet min/max stats per row group, so hour-range
+   * predicates still skip I/O — without tripling the directory count.
+   * A 50-symbol×30-day stress showed hour-level dirs (36k) making file
+   * listing dominate every job at small file sizes; day grain yields one
+   * comfortably-sized file per (symbol, day), which is also the right
+   * shape at 100 TB (hot symbols produce GB-scale day files; split those
+   * by maxRecordsPerFile, not by directory).
+   */
   private def withPartitionCols(ticks: DataFrame): DataFrame =
-    ticks
-      .withColumn("date", date_format(col("timestamp"), "yyyyMMdd"))
-      .withColumn("hour", date_format(col("timestamp"), "HH"))
+    ticks.withColumn("date", date_format(col("timestamp"), "yyyyMMdd"))
 
-  /** Append a batch of ticks, hourly partitioned (S3). */
+  /** Append a batch of ticks (S3). */
   def append(ticks: DataFrame, root: String): Unit =
     withPartitionCols(ticks)
-      .sortWithinPartitions("symbol", "timestamp") // O6: clustered storage
-      .write.partitionBy("symbol", "date", "hour")
+      .repartition(col("symbol"), col("date")) // one file per day partition
+      .sortWithinPartitions("timestamp")       // O6: row-group time-clustering
+      .write.partitionBy("symbol", "date")
       .mode("append").parquet(root)
 
   /** Idempotently (re)write full days: dynamic partition overwrite replaces
-   *  exactly the (symbol, date, hour) partitions present in `ticks` (ST6). */
+   *  exactly the (symbol, date) partitions present in `ticks` (ST6). */
   def overwriteDays(ticks: DataFrame, root: String): Unit =
     withPartitionCols(ticks)
-      .sortWithinPartitions("symbol", "timestamp")
-      .write.partitionBy("symbol", "date", "hour")
+      .repartition(col("symbol"), col("date"))
+      .sortWithinPartitions("timestamp")
+      .write.partitionBy("symbol", "date")
       .mode("overwrite").parquet(root)
 
   /**
-   * Read the lake back; partition filters on symbol/date/hour prune.
+   * Read the lake back; partition filters on symbol/date prune.
    *
-   * Read via partition-dir glob + basePath rather than the bare root: a
-   * streaming sink leaves `_spark_metadata` at the root, and a bare-root
-   * read would then serve ONLY streaming-committed files, silently hiding
-   * every batch-written (backfill) file. The glob bypasses the
-   * FileStreamSink detection so batch and streaming writes form one lake.
-   * Trade-off (documented): files abandoned by a crashed streaming batch
-   * become visible; exactly-once readers should prefer zone-split roots.
+   * If a streaming sink has left `_spark_metadata` at the root, a
+   * bare-root read would serve ONLY streaming-committed files, silently
+   * hiding every batch-written (backfill) file — in that case read via
+   * partition-dir glob + basePath, which bypasses FileStreamSink
+   * detection so batch and streaming writes form one lake. (Trade-off:
+   * files abandoned by a crashed streaming batch become visible;
+   * exactly-once readers should prefer zone-split roots.) Plain roots use
+   * the normal path so Spark's file index stays as lazy as possible; at
+   * catalog scale, register the lake as a partitioned table instead so
+   * pruning happens against partition METADATA before any listing.
    */
   def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.option("basePath", root).parquet(s"$root/symbol=*")
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_spark_metadata")))
+      spark.read.option("basePath", root).parquet(s"$root/symbol=*")
+    else spark.read.parquet(root)
 
   /** Distinct dates present for a symbol (S5): pure partition discovery —
    *  no data files are opened, only the directory listing. */

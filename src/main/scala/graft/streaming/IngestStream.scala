@@ -72,7 +72,10 @@ object IngestStream {
         (pmod(hash(col("value"), lit(seed), lit(3)).cast("long"), lit(20L)) + 1L).cast("int").as("last_size"))
   }
 
-  /** Event-time partition columns (the rotation law, ST2/Q2). */
+  /** Event-time partition + bucket columns (the rotation law, ST2/Q2).
+   *  `hour` stays a DATA column: the sink partitions at (symbol, date)
+   *  grain (see TickLake partitioning rationale) while the hourly
+   *  rotation law remains queryable per row. */
   private def partitioned(ticks: DataFrame): DataFrame =
     ticks
       .withColumn("date", date_format(col("timestamp"), "yyyyMMdd"))
@@ -90,7 +93,7 @@ object IngestStream {
     partitioned(ticks.filter(Validation.isValidTick))
       .writeStream
       .format("parquet")
-      .partitionBy("symbol", "date", "hour")
+      .partitionBy("symbol", "date")
       .option("path", lakeRoot)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -105,7 +108,7 @@ object IngestStream {
     partitioned(ticks.filter(!coalesce(Validation.isValidTick, lit(false))))
       .writeStream
       .format("parquet")
-      .partitionBy("symbol", "date", "hour")
+      .partitionBy("symbol", "date")
       .option("path", quarantineRoot)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

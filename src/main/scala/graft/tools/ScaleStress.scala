@@ -1,0 +1,75 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.app.BackfillRunner
+import graft.app.BackfillRunner.DateRange
+import graft.operators.Bars
+import graft.sources.{MockData, TickLake}
+import graft.state.JobStateStore
+
+/** Dev drive: the pipeline at 2.16M ticks (50 symbols x 30 days) on
+  * local[32] — whole-plan distributed backfill, OHLCV over the lake,
+  * partition-pruned reads. The 100x-scale-up rehearsal. */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    TickLake.configure(spark)
+    import spark.implicits._
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    val base = Files.createTempDirectory("stress").toString
+    val lake = s"$base/lake"
+    val symbols = (1 to 50).map(i => f"SYM$i%02d")
+    val days = DateRange(LocalDate.parse("2024-01-01"), LocalDate.parse("2024-01-30")).days
+
+    time("distributed generate+write 2.16M ticks (one job, dynamic overwrite)") {
+      val plan = symbols.flatMap(s => days.map(d => (s, java.sql.Date.valueOf(d))))
+        .toDF("symbol", "day")
+      TickLake.overwriteDays(MockData.historicalDays(plan), lake)
+    }
+    val n = time("full count")(TickLake.read(spark, lake).count())
+    println(s"[stress] lake rows = $n (expect ${50 * 30 * 1440})")
+
+    val pruned = time("partition-pruned read (1 symbol, 3 days)") {
+      TickLake.read(spark, lake)
+        .where(col("symbol") === "SYM07" &&
+          col("date").between("20240110", "20240112")).count()
+    }
+    println(s"[stress] pruned rows = $pruned (expect ${3 * 1440})")
+
+    val bars = time("OHLCV 1-min bars over whole lake") {
+      Bars.ohlcv(TickLake.read(spark, lake), Seq(col("symbol")),
+        date_trunc("minute", col("timestamp")), col("timestamp"),
+        col("last_price"), col("last_size")).count()
+    }
+    println(s"[stress] bars = $bars (expect ${50 * 30 * 1440})")
+
+    // knock out 3 days for one symbol, then whole-plan backfill refills
+    time("delete 3 day-partitions + gap-detect + whole-plan backfill") {
+      import scala.reflect.io.Directory
+      Seq("20240110", "20240111", "20240112").foreach { d =>
+        new Directory(new java.io.File(s"$lake/symbol=SYM25/date=$d")).deleteRecursively()
+      }
+      val store = new JobStateStore(Paths.get(s"$base/state"))
+      val report = BackfillRunner.backfill(spark, store, lake, "SYM25",
+        DateRange(LocalDate.parse("2024-01-01"), LocalDate.parse("2024-01-30")),
+        (s, d) => MockData.historicalDay(spark, s, d), wholePlan = true)
+      println(s"[stress] backfill: days=${report.daysProcessed} ticks=${report.totalTicks} status=${report.finalStatus}")
+    }
+    val after = TickLake.read(spark, lake).where(col("symbol") === "SYM25").count()
+    println(s"[stress] SYM25 rows after refill = $after (expect ${30 * 1440})")
+    spark.stop()
+  }
+}

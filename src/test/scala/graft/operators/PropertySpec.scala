@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based laws (SURVEY.md §5: ScalaCheck additions). Raw
+  * ScalaCheck generators sampled over fixed seeds — deterministic, and
+  * each check is a Spark job so the sample count stays small. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1 to 5).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default.withSize(12), Seed(i.toLong)))
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+  private val docGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.mkString(" "))
+
+  test("property: bitmap jaccard equals direct set arithmetic") {
+    forAll(Gen.listOfN(6, docGen)) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "g") }
+          .toDF("doc_id", "text", "source")
+        val got = Dedup.jaccardPairsWithinGroup(docs, "doc_id", "text", "source", 1, 1e-9)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val sets = texts.map(_.split("\\s+").toSet)
+        for (a <- texts.indices; b <- texts.indices if a < b) {
+          val inter = sets(a).intersect(sets(b)).size
+          val union = sets(a).union(sets(b)).size
+          val expected = inter.toDouble / union.toDouble
+          if (inter == 0) assert(!got.contains((a.toLong, b.toLong)))
+          else assert(got((a.toLong, b.toLong)) == expected,
+            s"pair ($a,$b): got ${got.get((a.toLong, b.toLong))}, expected $expected")
+        }
+      }
+    }
+  }
+
+  test("property: salted aggregation equals plain aggregation") {
+    forAll(Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "hot"), Gen.choose(-1000, 1000)))) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "v")
+        val salted = Skew.saltedSumCount(df, Seq("k"), col("v").cast("long"), "v", buckets = 4)
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val plain = df.groupBy("k").agg(sum(col("v").cast("long")), count(lit(1)))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(salted == plain)
+      }
+    }
+  }
+
+  test("property: session gaps within <= threshold, across > threshold") {
+    val tsGen = Gen.listOfN(25, Gen.choose(0L, 86400L)).map(_.distinct.sorted)
+    forAll(tsGen) { seconds =>
+      whenever(seconds.size >= 2) {
+        val df = seconds.zipWithIndex
+          .map { case (s, i) => ("u", new java.sql.Timestamp(s * 1000L), i.toLong) }
+          .toDF("user_id", "ts", "event_id")
+        val gap = 600L
+        val out = TimeJoins.sessionize(df, Seq("user_id"), col("ts"), gap, col("event_id"))
+          .orderBy("ts").collect()
+          .map(r => (r.getTimestamp(1).getTime / 1000, r.getAs[Long]("session_id")))
+        out.sliding(2).foreach {
+          case Array((t1, s1), (t2, s2)) =>
+            if (t2 - t1 > gap) assert(s2 == s1 + 1, s"gap ${t2 - t1}s must split")
+            else assert(s2 == s1, s"gap ${t2 - t1}s must not split")
+          case _ =>
+        }
+      }
+    }
+  }
+}

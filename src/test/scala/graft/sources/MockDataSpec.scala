@@ -38,7 +38,7 @@ class MockDataSpec extends SparkSpec {
     assert(single.exceptAll(bulk.where($"symbol" === "NQ")).count() === 0)
   }
 
-  test("lake round-trip: write day -> 24 hour partitions -> OHLCV bars (§7.2)") {
+  test("lake round-trip: write day -> day partition, 24 hour buckets -> OHLCV bars (§7.2)") {
     val root = tmpDir("lake")
     val spark2 = spark
     TickLake.configure(spark2)
@@ -46,7 +46,7 @@ class MockDataSpec extends SparkSpec {
       .transform(df => { TickLake.append(df, root); df })
     val back = TickLake.read(spark2, root)
     assert(back.count() === 1440)
-    assert(back.select("hour").distinct().count() === 24)
+    assert(back.select(date_format($"timestamp", "HH")).distinct().count() === 24)
     assert(back.select("date").distinct().as[String].collect().toSeq === Seq("20250102"))
     // decimal fidelity end-to-end
     assert(back.schema("last_price").dataType.toString === "DecimalType(10,4)")
