@@ -138,7 +138,18 @@ object BackfillRunner {
       range: DateRange,
       fetchDay: (String, LocalDate) => DataFrame,
       now: () => Long = () => System.currentTimeMillis(),
-      wholePlan: Boolean = false): BackfillReport = {
+      wholePlan: Boolean = false,
+      limiter: Option[RateLimiter] = None,
+      limiterMaxWaitMs: Long = 60000L): BackfillReport = {
+    // rate-limited fetch (reference: historical.rs:59-62 acquires before
+    // every per-day API call; same per-day granularity here)
+    val fetch: (String, LocalDate) => DataFrame = (s, d) => {
+      limiter.foreach { rl =>
+        if (!rl.acquire(limiterMaxWaitMs))
+          throw new IllegalStateException(s"RateLimitTimeout after ${limiterMaxWaitMs}ms")
+      }
+      fetchDay(s, d)
+    }
 
     val key = jobKey(symbol, range)
     val job = initializeJob(store, key, range, now())
@@ -154,7 +165,7 @@ object BackfillRunner {
     if (wholePlan && plan.nonEmpty) {
       // scale path: one distributed job for the whole plan
       Try {
-        val all = plan.map(d => fetchDay(symbol, d)).reduce(_ unionByName _)
+        val all = plan.map(d => fetch(symbol, d)).reduce(_ unionByName _)
         TickLake.overwriteDays(all, lakeRoot)
         val stats = all.agg(count(lit(1)), max(unix_millis(col("timestamp")))).head()
         (stats.getLong(0), stats.getLong(1))
@@ -170,7 +181,7 @@ object BackfillRunner {
       plan.foreach { day =>
         store.heartbeat(key, inst, now()) // ST8
         Try {
-          val ticks = fetchDay(symbol, day)
+          val ticks = fetch(symbol, day)
           TickLake.overwriteDays(ticks, lakeRoot) // ST6 idempotent
           val stats = ticks.agg(count(lit(1)), max(unix_millis(col("timestamp")))).head()
           (stats.getLong(0), stats.getLong(1))

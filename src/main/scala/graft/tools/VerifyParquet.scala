@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Parquet inspection CLI — the reference's third entry point
+  * (reference: ingestion/bin/src/bin/verify_parquet.rs:6-31): schema,
+  * row counts, per-file stats from footer metadata only. */
+object VerifyParquet {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: VerifyParquet <path>")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet(args(0))
+    println(s"== Schema of ${args(0)}")
+    df.printSchema()
+    println(s"== Row count: ${df.count()} (footer-driven)")
+    println("== Per-file stats:")
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+      .orderBy(col("file"))
+      .show(50, truncate = 120)
+    spark.stop()
+  }
+}

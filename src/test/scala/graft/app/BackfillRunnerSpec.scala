@@ -130,4 +130,20 @@ class BackfillRunnerSpec extends SparkSpec {
     assert(store.get(report.jobKey).get.cursor ==
       startOfDayMs(d("2024-01-12")) + 1439L * 60000L)
   }
+
+  test("backfill fetches pass through the rate limiter (historical.rs:59-62)") {
+    val store = freshStore()
+    val lake = tmpDir("lake")
+    TickLake.configure(spark)
+    var clockMs = 1000000L
+    val rl = new graft.app.RateLimiter(
+      Seq(graft.app.RateLimiter.WindowConfig("w", limit = 2, windowMs = 50L)),
+      () => { clockMs += 30; clockMs }) // each poll advances the test clock
+    val range = DateRange(d("2024-01-10"), d("2024-01-12"))
+    val report = backfill(spark, store, lake, "NQ", range, fetch,
+      limiter = Some(rl), limiterMaxWaitMs = 10000L)
+    assert(report.finalStatus == JobStatus.Completed && report.daysProcessed == 3)
+    // limiter saw exactly one admitted acquire per fetched day
+    assert(rl.occupancy()("w") <= 2)
+  }
 }
