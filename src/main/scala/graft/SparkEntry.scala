@@ -308,6 +308,18 @@ object SparkEntry {
         .select(col("event_type"),
           col("sum_value").cast("double").as("sum_value"), col("n_rows"))
         .orderBy(col("event_type"))),
+
+    // Q30 — end-to-end curation pipeline: quality gate → exact dedup →
+    // near-dup removal, rolled up per language
+    "q30_curation" -> ((s, dir) => {
+      val kept = graft.operators.Curation.curate(
+        t(s, dir, "documents"), "doc_id", "text")
+      kept
+        .withColumn("nw", size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("total_words"))
+        .orderBy(col("lang"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -586,6 +598,30 @@ object SparkEntry {
           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
           |  count(*) AS n_rows
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q30_curation" ->
+        """WITH q AS (SELECT doc_id, text, lang,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |qual AS (SELECT doc_id, text, lang, len(ws) AS nw FROM q
+          |  WHERE len(ws) BETWEEN 30 AND 120
+          |    AND CAST(len(list_filter(ws, x -> x = 'a')) + len(list_filter(ws, x -> x = 'the')) AS DOUBLE)
+          |        / CAST(len(ws) AS DOUBLE) <= 0.2),
+          |ex AS (SELECT doc_id, text, lang, nw FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          |    ORDER BY doc_id) AS rn FROM qual) t WHERE rn = 1),
+          |sh AS (SELECT doc_id, list_distinct(list_transform(
+          |    range(greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 0)),
+          |    i -> string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+          |         string_split_regex(trim(lower(text)), '\s+')[i+2] || ' ' ||
+          |         string_split_regex(trim(lower(text)), '\s+')[i+3])) AS s
+          |  FROM ex),
+          |drops AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+          |kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+          |SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_words
+          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     )
   }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end training-data curation: the composition a pre-training
+ * pipeline runs over a raw document corpus —
+ *
+ *   quality gate (T2) → exact dedup (D1) → near-dup removal (D2)
+ *
+ * Near-dup policy: from every verified near-dup pair (id_a < id_b) the
+ * GREATER id is dropped — deterministic and conservative (a doc survives
+ * only if it is the smallest id of every near-dup pair it belongs to).
+ * For transitive cluster-level dedup use `nearDupClusters`, which labels
+ * each doc with the smallest id reachable through near-dup pairs.
+ */
+object Curation {
+
+  /** Curate a corpus; returns the surviving rows of `docs`. */
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 30, maxWords: Int = 120, maxStopRatio: Double = 0.2,
+      nearDupThreshold: Double = 0.5): DataFrame = {
+    val quality = TextAnalysis
+      .withQualityMetrics(docs, textCol, Seq("a", "the"), minWords, maxWords, maxStopRatio)
+      .where(col("is_quality"))
+      .select(docs.columns.map(col): _*)
+    val exact = Dedup.dropExactDuplicates(quality, idCol, textCol)
+    val dupPairs = Dedup.minhashNearDuplicates(
+      exact, idCol, textCol, threshold = nearDupThreshold)
+    exact.join(
+      dupPairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Transitive near-dup clusters from a verified pair set: every doc gets
+   * `cluster_id` = the smallest id reachable via pairs (connected
+   * components by iterative min-label propagation — converges in
+   * O(log(diameter)) rounds; each round is one shuffle join, the standard
+   * large-graph formulation).
+   */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    // localCheckpoint each round: iterative plans MUST truncate lineage or
+    // the query tree (and codegen) grows without bound across iterations
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .where(col("cluster_id") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate: quality gate, exact dedup, near-dup drop compose") {
+    val filler = (1 to 35).map(i => s"w$i").mkString(" ") // 35 distinct words
+    val docs = Seq(
+      (1L, s"$filler extra tail words here", "keep"),       // quality, unique
+      (2L, s"$filler extra tail words here", "exact-dup"),  // exact dup of 1
+      (3L, s"$filler extra tail words near", "near-dup"),   // near dup of 1
+      (4L, "too short", "short"),                           // fails quality
+      (5L, (1 to 40).map(_ => "the").mkString(" "), "stopwordy"), // stop ratio 1.0
+      (6L, (1 to 50).map(i => s"u$i").mkString(" "), "keep2"),    // quality, unique
+    ).toDF("doc_id", "text", "tag")
+    val kept = Curation.curate(docs, "doc_id", "text", minWords = 30,
+        maxWords = 120, maxStopRatio = 0.2, nearDupThreshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 6L))
+  }
+
+  test("nearDupClusters: min label propagates across chains") {
+    // chain 1-2-3 plus isolated pair 10-11: clusters {1,2,3}->1, {10,11}->10
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val labels = Curation.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupClusters: longer chain needs multiple propagation rounds") {
+    val pairs = (1L to 9L).map(i => (i, i + 1, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val labels = Curation.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.keySet == (1L to 10L).toSet)
+  }
+}
