@@ -197,7 +197,12 @@ object BackfillRunner {
     }
 
     val finalStatus = if (failed.isEmpty) JobStatus.Completed else JobStatus.Failed
-    store.updateStatus(key, inst, finalStatus)
+    store.casUpdate(key, inst)(_.copy(
+      status = finalStatus,
+      // failed days persist as critical ranges (job_state.rs:72-76): the
+      // intervals a follow-up run must re-ingest
+      criticalRanges = failed.map { case (day, _) =>
+        CriticalRange(day.toString, day.toString) }.toSeq))
     BackfillReport(key, inst, daysProcessed, totalTicks, failed.toSeq, finalStatus)
   }
 }

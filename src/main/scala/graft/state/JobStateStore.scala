@@ -125,6 +125,13 @@ class JobStateStore(stateDir: Path) {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Supervisor rule (ST8, docs/…IDD….md:231-236): RUNNING jobs whose
+   *  heartbeat is older than `thresholdMs` (default 10 min) are stalled. */
+  def stalledJobs(nowMs: Long, thresholdMs: Long = 600000L): Seq[(String, JobState)] =
+    allStates().filter { case (_, s) =>
+      s.status == JobStatus.Running && nowMs - s.heartbeatAt > thresholdMs
+    }
+
   /** Reporting view: all states as rows (kept tiny — one per job). */
   def allStates(): Seq[(String, JobState)] = synchronized {
     import scala.jdk.CollectionConverters._

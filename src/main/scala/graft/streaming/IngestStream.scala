@@ -115,6 +115,16 @@ object IngestStream {
       .start()
 
   /**
+   * Streaming exact dedup (ST6 for at-least-once upstreams): drops rows
+   * whose key was already seen within the watermark horizon. State is
+   * bounded by the watermark — expired keys age out of the state store.
+   */
+  def withStreamingDedup(
+      ticks: DataFrame, keys: Seq[String], watermark: String): DataFrame =
+    ticks.withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /**
    * Streaming OHLCV bars (the SDD's K-bar view, on-the-fly): watermarked
    * tumbling windows with min_by/max_by — append-mode emits each bar once
    * its window is past the watermark (ST4/A6).

@@ -114,6 +114,8 @@ class BackfillRunnerSpec extends SparkSpec {
     assert(report.failedDays == Seq(d("2024-01-11") -> "IllegalStateException"))
     val st = store.get(report.jobKey).get
     assert(st.status == JobStatus.Failed && st.lastErrorType.contains("IllegalStateException"))
+    // failed days persist as critical ranges for the follow-up run
+    assert(st.criticalRanges == Seq(CriticalRange("2024-01-11", "2024-01-11")))
     // successful days are in the lake regardless
     assert(TickLake.read(spark, lake).count() == 2 * 1440L)
   }
@@ -145,5 +147,14 @@ class BackfillRunnerSpec extends SparkSpec {
     assert(report.finalStatus == JobStatus.Completed && report.daysProcessed == 3)
     // limiter saw exactly one admitted acquire per fetched day
     assert(rl.occupancy()("w") <= 2)
+  }
+
+  test("stalledJobs: supervisor flags RUNNING jobs with old heartbeats (ST8)") {
+    val store = freshStore()
+    store.put("fresh", JobState(JobStatus.Running, "i1", 0L, 0L, heartbeatAt = 1000000L))
+    store.put("stalled", JobState(JobStatus.Running, "i2", 0L, 0L, heartbeatAt = 1000L))
+    store.put("done", JobState(JobStatus.Completed, "i3", 0L, 0L, heartbeatAt = 1000L))
+    val flagged = store.stalledJobs(nowMs = 1000000L + 1000L).map(_._1)
+    assert(flagged == Seq("stalled"))
   }
 }

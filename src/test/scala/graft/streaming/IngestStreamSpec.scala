@@ -88,4 +88,23 @@ class IngestStreamSpec extends SparkSpec {
     assert(r.getAs[java.math.BigDecimal]("high").compareTo(
       r.getAs[java.math.BigDecimal]("low")) >= 0)
   }
+
+  test("streaming dedup within watermark removes at-least-once duplicates (ST6)") {
+    TickLake.configure(spark)
+    // two identical sources unioned -> every tick arrives twice
+    def src() = IngestStream.syntheticTicks(spark, "NQ",
+      rowsPerBatch = 100, advanceMsPerBatch = 60000L)
+    val doubled = src().unionByName(src())
+    val deduped = IngestStream.withStreamingDedup(
+      doubled, Seq("symbol", "timestamp"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+    runBatches(q, 3)
+    val out = spark.table("dedup_test")
+    val n = out.count()
+    assert(n > 0, "no rows emitted")
+    // every surviving row is unique, and whole batches survived exactly once
+    assert(out.dropDuplicates("timestamp").count() == n)
+    assert(n % 100 == 0, s"expected whole single batches, got $n")
+  }
 }
