@@ -309,6 +309,15 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"), col("n_rows"))
         .orderBy(col("event_type"))),
 
+    // Q31 — IVF ANN: deterministic coarse quantizer, nProbe=2 cell search
+    "q31_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfCosineTopK(
+          e.where(pmod(col("vec_id"), lit(50)) === 0), e, "vec_id", "embedding",
+          k = 3, centroidStride = 50, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Q30 — end-to-end curation pipeline: quality gate → exact dedup →
     // near-dup removal, rolled up per language
     "q30_curation" -> ((s, dir) => {
@@ -622,6 +631,32 @@ object SparkEntry {
           |kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM drops))
           |SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_words
           |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q31_ann_ivf" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM e),
+          |c AS (SELECT vec_id AS cid, v AS c_v, nn AS c_nn FROM n WHERE vec_id % 50 = 0),
+          |cellsim AS (SELECT n.vec_id, n.v, n.nn, c.cid,
+          |    CAST(CAST(list_sum(list_transform(range(len(n.v)), i -> n.v[i+1] * c.c_v[i+1])) AS BIGINT) AS DOUBLE)
+          |      / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(c.c_nn AS DOUBLE))) AS csim
+          |  FROM n CROSS JOIN c),
+          |asg AS (SELECT vec_id AS neighbor_id, v, nn, cid FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS r
+          |    FROM cellsim) t WHERE r = 1),
+          |probes AS (SELECT vec_id AS query_id, v AS q_v, nn AS q_nn, cid FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS r
+          |    FROM cellsim WHERE vec_id % 50 = 0) t WHERE r <= 2),
+          |p AS (SELECT p.query_id, a.neighbor_id,
+          |    CAST(list_sum(list_transform(range(len(p.q_v)), i -> p.q_v[i+1] * a.v[i+1])) AS BIGINT) AS dot,
+          |    p.q_nn AS qn, a.nn AS cn
+          |  FROM probes p JOIN asg a USING (cid) WHERE a.neighbor_id <> p.query_id),
+          |r AS (SELECT query_id, neighbor_id,
+          |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim FROM p),
+          |rr AS (SELECT query_id, neighbor_id, sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM r)
+          |SELECT query_id, rank, neighbor_id, sim FROM rr WHERE rank <= 3
+          |ORDER BY query_id, rank""".stripMargin,
     )
   }
 }

@@ -104,6 +104,48 @@ object Similarity {
       k)
   }
 
+  /**
+   * IVF (inverted-file) ANN: a deterministic coarse quantizer — every
+   * `centroidStride`-th vector serves as a centroid — partitions the
+   * corpus by nearest centroid; queries probe their `nProbe` closest
+   * centroids' cells only. The index build is one broadcast-join +
+   * rank pass; search cost drops from O(n_c) to O(n_c · nProbe / n_cells)
+   * per query. Recall < 1 by construction (like LSH, the standard trade).
+   * Fully deterministic: centroid choice, assignment and ranking all
+   * reduce to exact integer dot products with id tie-breaks.
+   */
+  def ivfCosineTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      centroidStride: Int = 50, nProbe: Int = 2): DataFrame = {
+    val cand = prepared(candidates, idCol, embCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val cents = prepared(candidates, idCol, embCol)
+      .where(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("cid"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+
+    def nearestCells(df: DataFrame, vecId: Column, howMany: Int): DataFrame = {
+      val sim = cosine(dot(col("c_qv"), col("qv")), col("c_nn"), col("nn"))
+      val w = Window.partitionBy(vecId).orderBy(sim.desc, col("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("_r", row_number().over(w))
+        .where(col("_r") <= howMany)
+        .drop("c_qv", "c_nn", "_r")
+    }
+
+    val assigned = nearestCells(cand, col("neighbor_id"), 1) // index build
+    val q = prepared(queries, idCol, embCol)
+      .withColumnRenamed(idCol, "query_id")
+    val probes = nearestCells(q, col("query_id"), nProbe)
+      .withColumnRenamed("qv", "q_qv").withColumnRenamed("nn", "q_nn")
+
+    rankTopK(
+      probes.join(assigned, "cid")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", dot(col("q_qv"), col("qv"))),
+      k)
+  }
+
   /** Σ_d sign(plane p, dim d) × v[d]. The hash-derived ±1 signs are
    *  plan-time constants (portableHash64 is the bit-identical driver-side
    *  mirror of the SQL hash) — evaluating md5 per row per dim in an

@@ -46,4 +46,23 @@ class SimilaritySpec extends SparkSpec {
     // vectors 0 and 3 are antipodal: every hyperplane separates them
     assert(!ann.exists(r => r.getLong(0) == 0L && r.getLong(2) == 3L))
   }
+
+  test("ivfCosineTopK: results are a subset of brute force with identical sims") {
+    val brute = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfCosineTopK(vecs, vecs, "vec_id", "embedding",
+        k = 4, centroidStride = 2, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(key._1 != key._2, "self-pair leaked")
+      assert(brute.contains(key) && brute(key) == r.getDouble(3),
+        s"IVF pair $key sim mismatch vs brute force")
+    }
+    // with a single cell (stride > max id) IVF degenerates to brute force
+    val full = Similarity.ivfCosineTopK(vecs, vecs, "vec_id", "embedding",
+        k = 4, centroidStride = 100, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(full == brute)
+  }
 }
