@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.CalendarOps
+
+class TickLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDays(root: String, symbol: String, days: Seq[String]): Unit =
+    days.foreach(d =>
+      TickLake.overwriteDays(MockData.historicalDay(spark, symbol, LocalDate.parse(d)), root))
+
+  test("existingDates reflects partition metadata per symbol") {
+    TickLake.configure(spark)
+    val root = tmpDir("lake")
+    writeDays(root, "NQ", Seq("2024-01-10", "2024-01-12"))
+    writeDays(root, "ES", Seq("2024-01-11"))
+    val nq = TickLake.existingDates(spark, root, "NQ")
+      .as[java.sql.Date].collect().map(_.toString).sorted
+    assert(nq.toSeq == Seq("2024-01-10", "2024-01-12"))
+    assert(TickLake.existingDates(spark, root, "ES").count() == 1)
+    assert(TickLake.existingDates(spark, root, "ZZ").count() == 0)
+  }
+
+  test("fileStats: one file per (symbol, date) partition at day grain") {
+    TickLake.configure(spark)
+    val root = tmpDir("lake")
+    writeDays(root, "NQ", Seq("2024-01-10", "2024-01-11"))
+    val stats = TickLake.fileStats(spark, root).collect()
+    assert(stats.length == 2, s"expected 1 file per day, got ${stats.length}")
+    assert(stats.forall(_.getAs[Long]("rows") == 1440L))
+  }
+
+  test("compactDay re-clusters a day's rows sorted by (symbol, timestamp)") {
+    TickLake.configure(spark)
+    val root = tmpDir("lake")
+    writeDays(root, "NQ", Seq("2024-01-10"))
+    writeDays(root, "ES", Seq("2024-01-10"))
+    val compacted = TickLake.compactDay(spark, root, "20240110")
+    assert(compacted.count() == 2880)
+    // within each partition rows are (symbol, ts)-sorted
+    val ordered = compacted
+      .select(col("symbol"), col("timestamp"), spark_partition_id().as("pid"))
+      .collect().groupBy(_.getInt(2))
+    ordered.values.foreach { rows =>
+      val keys = rows.map(r => (r.getString(0), r.getTimestamp(1).getTime)).toSeq
+      assert(keys == keys.sorted, "partition not (symbol, ts)-sorted")
+    }
+  }
+
+  test("presentDays is the semi-join complement of missingDays (J2)") {
+    val expected = Seq(("NQ", "2024-01-10"), ("NQ", "2024-01-11"), ("NQ", "2024-01-12"))
+      .toDF("symbol", "d").select(col("symbol"), to_date(col("d")).as("day"))
+    val existing = Seq(("NQ", "2024-01-11")).toDF("symbol", "d")
+      .select(col("symbol"), to_date(col("d")).as("day"))
+    val present = CalendarOps.presentDays(expected, existing, Seq("symbol"))
+      .select("day").as[java.sql.Date].collect().map(_.toString)
+    val missing = CalendarOps.missingDays(expected, existing, Seq("symbol"))
+      .select("day").as[java.sql.Date].collect().map(_.toString).sorted
+    assert(present.toSeq == Seq("2024-01-11"))
+    assert(missing.toSeq == Seq("2024-01-10", "2024-01-12"))
+  }
+
+  test("overlaps predicate matches DateRange::overlaps truth table (F3)") {
+    val cases = Seq(
+      ("2024-01-01", "2024-01-05", "2024-01-05", "2024-01-09", true),  // touch
+      ("2024-01-01", "2024-01-05", "2024-01-06", "2024-01-09", false), // disjoint
+      ("2024-01-01", "2024-01-09", "2024-01-03", "2024-01-04", true),  // contain
+      ("2024-01-03", "2024-01-04", "2024-01-01", "2024-01-09", true),  // contained
+    ).toDF("s1", "e1", "s2", "e2", "expected")
+    val got = cases.withColumn("got",
+      CalendarOps.overlaps(to_date(col("s1")), to_date(col("e1")),
+        to_date(col("s2")), to_date(col("e2"))))
+    assert(got.where(col("got") =!= col("expected")).count() == 0)
+  }
+}
