@@ -309,6 +309,20 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"), col("n_rows"))
         .orderBy(col("event_type"))),
 
+    // Q32 — sketch surface: HLL++ distinct + quantile sketches per
+    // event_type. NO oracleSql on purpose: approximate-sketch algorithms
+    // are engine-specific, so the driver records the weaker rows-only
+    // check; exactness of the same aggregations is proven by q01/q29.
+    "q32_sketches" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
     // Q31 — IVF ANN: deterministic coarse quantizer, nProbe=2 cell search
     "q31_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

@@ -50,6 +50,44 @@ object StatefulOps {
       }
   }
 
+  final case class LimiterState(admittedTsUs: List[Long])
+  final case class AdmitDecision(
+      symbol: String, ts: Timestamp, admitted: Boolean, n_in_window: Int)
+
+  /**
+   * Streaming sliding-window rate limiting as DATA-PLANE state
+   * (ST5's streaming analog; the Lua admit law per key): a row is admitted
+   * iff fewer than `limit` rows were admitted in the trailing `windowUs`
+   * of EVENT time. Per-key state is the admitted-timestamp list, pruned
+   * to the window on every batch — `flatMapGroupsWithState` because each
+   * input group emits one decision row per input row.
+   *
+   * Rows within a micro-batch are processed in event-time order per key,
+   * so decisions are deterministic for a deterministic source.
+   */
+  def slidingRateLimit(
+      ticks: DataFrame, limit: Int, windowUs: Long)(
+      implicit spark: SparkSession): Dataset[AdmitDecision] = {
+    import spark.implicits._
+    ticks
+      .select(col("symbol"), unix_micros(col("timestamp").cast("timestamp")).as("ts_us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LimiterState, AdmitDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol, rows, state: GroupState[LimiterState]) =>
+          var admitted = state.getOption.map(_.admittedTsUs).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, ts) =>
+            admitted = admitted.filter(_ > ts - windowUs) // prune expired
+            val ok = admitted.size < limit
+            if (ok) admitted = ts :: admitted
+            AdmitDecision(symbol, new Timestamp(ts / 1000), ok, admitted.size)
+          }
+          state.update(LimiterState(admitted))
+          out.iterator
+      }
+  }
+
   /** Start the cursor tracker into a memory sink for inspection. */
   def startCursorQuery(ticks: DataFrame, queryName: String,
       checkpointDir: String)(implicit spark: SparkSession) =

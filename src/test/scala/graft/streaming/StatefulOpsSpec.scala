@@ -31,4 +31,32 @@ class StatefulOpsSpec extends SparkSpec {
     // the cursor equals the max event time seen so far (spread < advance)
     assert(cursors.last - cursors.head == (updates.length - 1) * 60000L)
   }
+
+  test("slidingRateLimit: admit law matches the multi-batch truth table (ST5 streaming)") {
+    implicit val s = spark
+    import org.apache.spark.sql.streaming.Trigger
+    // one tick per 600ms of event time (100 ticks spread over a 60s batch);
+    // limit 3 per 2s window -> admit 3, deny until the window slides
+    val ticks = IngestStream.syntheticTicks(spark, "NQ",
+      rowsPerBatch = 100, advanceMsPerBatch = 60000L)
+    val decisions = StatefulOps.slidingRateLimit(ticks, limit = 3, windowUs = 2000000L)
+    val q = decisions.writeStream.format("memory").queryName("limit_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+    val t0 = System.currentTimeMillis()
+    try {
+      while (q.recentProgress.length < 2 &&
+             System.currentTimeMillis() - t0 < 60000 && q.isActive) Thread.sleep(100)
+    } finally q.stop()
+    val out = spark.table("limit_test").orderBy("ts").collect()
+    assert(out.length >= 100)
+    // tick spacing 600ms, window 2s, limit 3: of each 4 consecutive ticks
+    // (span 1.8s) at most 3 admitted; the steady-state pattern is
+    // admit,admit,admit,deny repeating (window holds exactly 3 of last 4)
+    val pattern = out.take(20).map(_.getAs[Boolean]("admitted")).toSeq
+    assert(pattern.take(3).forall(identity), s"first three must admit: $pattern")
+    assert(!pattern(3), s"fourth must be denied: $pattern")
+    val admittedCount = out.count(_.getAs[Boolean]("admitted"))
+    assert(admittedCount < out.length, "some rows must be denied")
+    assert(out.forall(_.getAs[Int]("n_in_window") <= 3), "window never exceeds limit")
+  }
 }
