@@ -309,6 +309,12 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"), col("n_rows"))
         .orderBy(col("event_type"))),
 
+    // Q33 — embedding-cosine near-dup pairs (semantic dedup pass)
+    "q33_embedding_neardups" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Q32 — sketch surface: HLL++ distinct + quantile sketches per
     // event_type. NO oracleSql on purpose: approximate-sketch algorithms
     // are engine-specific, so the driver records the weaker rows-only
@@ -671,6 +677,16 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM r)
           |SELECT query_id, rank, neighbor_id, sim FROM rr WHERE rank <= 3
           |ORDER BY query_id, rank""".stripMargin,
+
+      "q33_embedding_neardups" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM e),
+          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    CAST(CAST(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+          |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS sim
+          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     )
   }
 }

@@ -105,6 +105,24 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs (the semantic-dedup pass of a
+   * training pipeline): all pairs with cosine ≥ `threshold`, id_a < id_b.
+   * Brute-force formulation — the exactness baseline; swap the pair
+   * source for `annCosineTopK`/`ivfCosineTopK` buckets at corpus scale.
+   * Sims are the usual quantized-integer construction: bit-deterministic.
+   */
+  def cosineNearDupPairs(
+      emb: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
+    val p = prepared(emb, idCol, embCol)
+    val a = p.select(col(idCol).as("id_a"), col("qv").as("qv_a"), col("nn").as("nn_a"))
+    val b = p.select(col(idCol).as("id_b"), col("qv").as("qv_b"), col("nn").as("nn_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(dot(col("qv_a"), col("qv_b")), col("nn_a"), col("nn_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /**
    * IVF (inverted-file) ANN: a deterministic coarse quantizer — every
    * `centroidStride`-th vector serves as a centroid — partitions the
    * corpus by nearest centroid; queries probe their `nProbe` closest
