@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev drive: the text dedup path at 100k documents (~9M words) —
+  * MinHash-LSH near-dup mining and the full curation pipeline on
+  * local[32]. Every 50th doc is a near-copy of its predecessor, so the
+  * expected near-dup count is known. */
+object TextScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[text-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    val nDocs = 100000L
+    // deterministic docs: ~80 words each from a 1000-word hashed vocab;
+    // doc i with i%50==0 && i>0 reuses doc i-1's word stream except the
+    // last 2 words -> a planted near-dup pair per 50 docs
+    val docs = spark.range(nDocs)
+      .withColumn("seed", when(col("id") % 50 === 0 && col("id") > 0, col("id") - 1)
+        .otherwise(col("id")))
+      .withColumn("n_words", (pmod(hash(col("seed")), lit(40)) + lit(60)).cast("int"))
+      .withColumn("words", transform(sequence(lit(0), col("n_words") - 1),
+        j => concat(lit("w"), pmod(hash(col("seed"), j), lit(1000)))))
+      .withColumn("tail", when(col("id") % 50 === 0 && col("id") > 0,
+        concat(lit(" zz"), col("id"))).otherwise(lit("")))
+      .select(col("id").as("doc_id"),
+        concat(concat_ws(" ", col("words")), col("tail")).as("text"))
+      .cache()
+    println(s"[text-stress] docs = ${docs.count()}")
+
+    val pairs = time("MinHash-LSH near-dup mining (100k docs)") {
+      graft.operators.Dedup.minhashNearDuplicates(docs, "doc_id", "text").count()
+    }
+    println(s"[text-stress] near-dup pairs = $pairs (expect ~${nDocs / 50 - 1})")
+
+    val kept = time("full curation pipeline (quality+exact+near-dup)") {
+      graft.operators.Curation.curate(docs, "doc_id", "text",
+        minWords = 30, maxWords = 120, maxStopRatio = 0.2).count()
+    }
+    println(s"[text-stress] curated survivors = $kept")
+
+    val sh = time("fused SimHash signatures (100k docs)") {
+      // aggregate over the signature so the kernel actually evaluates
+      // (count() alone would prune the projection)
+      graft.operators.Dedup.simhash(docs, "doc_id", "text")
+        .agg(count(lit(1)), bit_xor(col("simhash"))).head().getLong(0)
+    }
+    println(s"[text-stress] simhashes = $sh")
+    spark.stop()
+  }
+}
