@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{LongArrayDot, QuantizeToLong, SimHashWords}
+import graft.functions.expressions.{LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's custom
@@ -37,6 +37,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_quantize(array, scaleLiteral)")
         QuantizeToLong(children.head, children(1).eval().toString.toDouble)
+      }),
+    (FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[PortableHash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_hash60(str)")
+        PortableHash60(children.head)
       }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashWords].getName, "graft_simhash"),

@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** 60-bit portable content hash (identical in DuckDB as
-   *  `('0x' || substr(md5(s), 1, 15))::BIGINT`). */
-  def portableHash(s: Column): Column =
+   *  `('0x' || substr(md5(s), 1, 15))::BIGINT`) — fused codegen kernel,
+   *  see [[graft.functions.expressions.PortableHash60]]. */
+  def portableHash(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.expressions.PortableHash60(Bridge.expression(s)))
+  }
+
+  /** The pre-kernel formulation (kept as the cross-engine reference and
+   *  spec cross-check for the fused kernel). */
+  def portableHashSql(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Driver-side mirror of [[portableHash]] — bit-identical, for folding

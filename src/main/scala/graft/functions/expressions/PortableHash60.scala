@@ -1,0 +1,55 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * The engine's 60-bit portable content hash as one fused kernel:
+ * numerically identical to `conv(substring(md5(s),1,15),16,10)` (and to
+ * DuckDB's `('0x'||substr(md5(s),1,15))::BIGINT`) but goes digest-bytes →
+ * long directly — no 32-char hex string, no substring, no base-16 string
+ * parse. MinHash/fingerprint paths evaluate this hash per shingle, so the
+ * two avoided string allocations are the dominant per-call cost.
+ */
+case class PortableHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash60 expects string, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.portableHash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.HashKernels.portableHash60($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashKernels {
+  // MessageDigest is not thread-safe; one per executor thread
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex chars of md5(s) as a long (60 bits, non-negative). */
+  def portableHash60(s: UTF8String): Long = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+}

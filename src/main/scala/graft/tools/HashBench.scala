@@ -1,0 +1,24 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object HashBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.range(10000000L).select(concat(lit("shingle-"), col("id")).as("s")).cache()
+    df.count()
+    def time(label: String)(c: org.apache.spark.sql.Column): Unit = {
+      val t0 = System.nanoTime()
+      df.select(c.as("h")).agg(bit_xor(col("h"))).head()
+      println(f"[hash-bench] $label: ${(System.nanoTime()-t0)/1e9}%.1f s")
+    }
+    time("fused PortableHash60")(graft.functions.TextFunctions.portableHash(col("s")))
+    time("conv(substring(md5))")(graft.functions.TextFunctions.portableHashSql(col("s")))
+    time("fused again")(graft.functions.TextFunctions.portableHash(col("s")))
+    spark.stop()
+  }
+}

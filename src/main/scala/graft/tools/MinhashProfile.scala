@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+object MinhashProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nDocs = 100000L
+    val docs = spark.range(nDocs)
+      .withColumn("seed", when(col("id") % 50 === 0 && col("id") > 0, col("id") - 1)
+        .otherwise(col("id")))
+      .withColumn("n_words", (pmod(hash(col("seed")), lit(40)) + lit(60)).cast("int"))
+      .withColumn("words", transform(sequence(lit(0), col("n_words") - 1),
+        j => concat(lit("w"), pmod(hash(col("seed"), j), lit(1000)))))
+      .select(col("id").as("doc_id"), concat_ws(" ", col("words")).as("text"))
+      .cache()
+    docs.count()
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[mp] $label: ${(System.nanoTime()-t0)/1e9}%.1f s"); r
+    }
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    time("signatures agg")(sig.agg(count(lit(1))).head())
+    val bands = Dedup.lshBands(sig, "doc_id", 16, 2)
+    time("bands")(bands.agg(count(lit(1))).head())
+    time("full pipeline")(Dedup.minhashNearDuplicates(docs, "doc_id", "text").count())
+    spark.stop()
+  }
+}

@@ -47,4 +47,14 @@ class ArrayIntExpressionsSpec extends SparkSpec {
         "array(CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT)) AS b")
     assert(df.select(Similarity.dot(col("a"), col("b"))).head().getLong(0) == 2L + 12L)
   }
+
+  test("PortableHash60 kernel is identical to the conv(md5) formulation") {
+    val df = Seq("", "a", "hello world", "\u00fcml\u00e4ut \u4e2d\u6587", "x" * 500)
+      .toDF("s")
+    val out = df.select(
+      graft.functions.TextFunctions.portableHash(col("s")).as("fused"),
+      graft.functions.TextFunctions.portableHashSql(col("s")).as("sql"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}"))
+  }
 }
