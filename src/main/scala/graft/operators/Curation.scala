@@ -26,7 +26,9 @@ object Curation {
       .withQualityMetrics(docs, textCol, Seq("a", "the"), minWords, maxWords, maxStopRatio)
       .where(col("is_quality"))
       .select(docs.columns.map(col): _*)
-    val exact = Dedup.dropExactDuplicates(quality, idCol, textCol)
+    // the exact-dedup survivors feed three downstream subtrees (signature
+    // mining, shingle sets, final anti-join) — materialize once
+    val exact = Dedup.dropExactDuplicates(quality, idCol, textCol).localCheckpoint(true)
     val dupPairs = Dedup.minhashNearDuplicates(
       exact, idCol, textCol, threshold = nearDupThreshold)
     exact.join(
