@@ -309,6 +309,44 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"), col("n_rows"))
         .orderBy(col("event_type"))),
 
+    // Q34 — TPC-H Q1-style pricing summary: multiple exact-decimal
+    // aggregates per (returnflag, linestatus)
+    "q34_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
+          // 3-factor double products differ across engines at the ulp level
+          // (instruction selection); cast the two verified-identical double
+          // factors to decimal first so the final multiply+sum is exact
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)) *
+            (lit(1) + col("l_tax")).cast(DecimalType(18, 4))).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Q35 — window ranking: top-3 orders per customer by order revenue
+    "q35_top_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val rev = li.groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+      o.join(rev, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3 && pmod(col("o_custkey"), lit(37)) === 0)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+          col("revenue").cast("double").as("revenue"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
     // Q33 — embedding-cosine near-dup pairs (semantic dedup pass)
     "q33_embedding_neardups" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
@@ -687,6 +725,28 @@ object SparkEntry {
           |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS sim
           |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
           |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+      "q34_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+          |  count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q35_top_orders" ->
+        """WITH rev AS (SELECT l_orderkey,
+          |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+          |  FROM lineitem GROUP BY l_orderkey),
+          |r AS (SELECT o_custkey, o_orderkey, revenue,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY revenue DESC, o_orderkey) AS rnk
+          |  FROM orders JOIN rev ON o_orderkey = l_orderkey)
+          |SELECT o_custkey, rnk, o_orderkey, CAST(revenue AS DOUBLE) AS revenue
+          |FROM r WHERE rnk <= 3 AND o_custkey % 37 = 0
+          |ORDER BY o_custkey, rnk""".stripMargin,
     )
   }
 }
