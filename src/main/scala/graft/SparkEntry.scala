@@ -309,6 +309,49 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"), col("n_rows"))
         .orderBy(col("event_type"))),
 
+    // Q36 — lag/lead tick deltas (the alternative islands formulation's
+    // building block, SURVEY §2.6)
+    "q36_tick_deltas" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .where(pmod(col("event_id"), lit(41)) === 0)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("prev_value"), col("delta"), col("next_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Q37 — rollup aggregation (region → nation hierarchy with totals)
+    "q37_rollup_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // Q38 — set operations: users active in events INTERSECT/EXCEPT
+    // customers with orders (keyed by small modulus to align domains)
+    "q38_set_ops" -> ((s, dir) => {
+      val eu = t(s, dir, "events")
+        .select(pmod(graft.functions.TextFunctions.portableHash(col("user_id").cast("string")), lit(1000)).as("k"))
+        .distinct()
+      val ou = t(s, dir, "orders")
+        .select(pmod(col("o_custkey"), lit(1000)).as("k")).distinct()
+      eu.intersect(ou).withColumn("op", lit("both"))
+        .unionByName(eu.except(ou).withColumn("op", lit("events_only")))
+        .orderBy(col("op"), col("k"))
+    }),
+
     // Q34 — TPC-H Q1-style pricing summary: multiple exact-decimal
     // aggregates per (returnflag, linestatus)
     "q34_pricing_summary" -> ((s, dir) =>
@@ -747,6 +790,35 @@ object SparkEntry {
           |SELECT o_custkey, rnk, o_orderkey, CAST(revenue AS DOUBLE) AS revenue
           |FROM r WHERE rnk <= 3 AND o_custkey % 37 = 0
           |ORDER BY o_custkey, rnk""".stripMargin,
+
+      "q36_tick_deltas" ->
+        """SELECT event_id, user_id, value, prev_value, value - prev_value AS delta, next_type
+          |FROM (SELECT event_id, user_id, value, event_type,
+          |    lag(value) OVER w AS prev_value,
+          |    lead(event_type) OVER w AS next_type
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+          |WHERE event_id % 41 = 0 ORDER BY event_id""".stripMargin,
+
+      "q37_rollup_revenue" ->
+        """SELECT r_name, n_name,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+      "q38_set_ops" ->
+        """WITH eu AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS k FROM events),
+          |ou AS (SELECT DISTINCT o_custkey % 1000 AS k FROM orders)
+          |SELECT k, 'both' AS op FROM (SELECT k FROM eu INTERSECT SELECT k FROM ou) t
+          |UNION ALL
+          |SELECT k, 'events_only' AS op FROM (SELECT k FROM eu EXCEPT SELECT k FROM ou) t
+          |ORDER BY op, k""".stripMargin,
     )
   }
 }
