@@ -22,7 +22,10 @@ object Bars {
   /**
    * Tumbling OHLCV bars.
    * @param bucket  a deterministic time-bucket expression, e.g.
-   *                date_trunc("hour", col("ts")) or window(col("ts"), "1 minute")
+   *                date_trunc("hour", col("ts")) or window(col("ts"), "1 minute").
+   *                NOTE: date_trunc on a TIMESTAMP_NTZ column yields TimestampType
+   *                (tz-adjusted) — callers on an NTZ pipeline must
+   *                .cast(TimestampNTZType) to keep bar_start naive.
    */
   def ohlcv(
       ticks: DataFrame,

@@ -39,9 +39,12 @@ object Curation {
   /**
    * Transitive near-dup clusters from a verified pair set: every doc gets
    * `cluster_id` = the smallest id reachable via pairs (connected
-   * components by iterative min-label propagation — converges in
-   * O(log(diameter)) rounds; each round is one shuffle join, the standard
-   * large-graph formulation).
+   * components by iterative min-label propagation). Each round advances
+   * labels ONE hop, so convergence takes O(component diameter) rounds of
+   * one shuffle join each; near-dup components are shallow in practice.
+   * Throws if `maxIter` rounds don't reach a fixpoint — returning
+   * unconverged labels silently would be wrong data (pointer-doubling
+   * would give O(log d) rounds if deep components ever show up).
    */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // undirected edge list, both directions
@@ -71,6 +74,9 @@ object Curation {
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge within $maxIter rounds — a connected " +
+        "component's diameter exceeds maxIter; raise maxIter (labels would be wrong)")
     labels
   }
 }

@@ -78,9 +78,18 @@ object Dedup {
    */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
-    val hashed = docs
-      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("s"))
+      numHashes: Int = 16, shingleN: Int = 3): DataFrame =
+    minhashSignaturesFromSets(
+      docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles")),
+      idCol, numHashes)
+
+  /** Signature computation over a pre-shingled (id, shingles) frame — lets
+   *  the near-dup pipeline share ONE shingle materialization between the
+   *  signature path and the exact-verify path. */
+  def minhashSignaturesFromSets(
+      sets: DataFrame, idCol: String, numHashes: Int = 16): DataFrame = {
+    val hashed = sets
+      .select(col(idCol), explode(col("shingles")).as("s"))
       .withColumn("h", portableHash(col("s")) % MinhashPrime)
     val aggs = (0 until numHashes).map(k =>
       min((col("h") * lit(7919L * k + 1L) + lit(104729L * k)) % MinhashPrime).as(s"_m$k"))
@@ -118,7 +127,15 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 2, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    // The shingle computation (regex split + zip_with chain) dominates
+    // per-doc cost and feeds BOTH the signature path and the exact-verify
+    // path; Spark does not share subtrees across plan branches, so
+    // materialize the shingle frame once. localCheckpoint also truncates
+    // lineage, keeping the verify join's plan shallow.
+    val sets = docs
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
+      .localCheckpoint(true)
+    val sig = minhashSignaturesFromSets(sets, idCol, numHashes)
     val bands = lshBands(sig, idCol, numHashes, rowsPerBand)
     val candidates = bands.as("x")
       .join(bands.as("y"),
@@ -126,7 +143,6 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    val sets = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
     verifyJaccard(candidates, sets, idCol, threshold)
   }
 
@@ -204,19 +220,37 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, groupCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "jaccard pair search requires a positive threshold")
+    // The strategy choice below needs the vocabulary size on the driver;
+    // checkpoint the tokenized frame FIRST so that count (and every later
+    // consumer) reads the materialized rows instead of re-running the
+    // tokenize lineage as its own job.
     val tok = docs
       .select(col(groupCol), col(idCol),
         wordShingles(col(textCol), shingleN).as("sh"))
       .withColumn("sz", size(col("sh")))
       .select(col(groupCol), col(idCol), col("sz"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
     val dict = tok.select(col("s")).distinct()
-    val vocab = dict.count() // driver scalar: one cheap metadata-scale job
+    val vocab = dict.count() // driver scalar over the checkpointed rows
 
     val pairsWithNi =
       if (vocab <= MaxBitmapVocab) {
         import org.apache.spark.sql.expressions.Window
         val nLongs = ((vocab + 63) / 64).toInt
-        val ids = dict.withColumn("wid", row_number().over(Window.orderBy(col("s"))) - 1)
+        // Dense shingle ids WITHOUT a global single-partition window:
+        // rank within 16 md5-prefix buckets in parallel, then add
+        // driver-side bucket offsets (16 counts — metadata scale, like the
+        // bounded day-plan collect in BackfillRunner).
+        val bucketed = dict.withColumn("bkt",
+          conv(substring(md5(col("s")), 1, 1), 16, 10).cast("int"))
+        val wb = Window.partitionBy(col("bkt")).orderBy(col("s"))
+        val local = bucketed.withColumn("lid", row_number().over(wb) - 1)
+          .localCheckpoint(true)
+        val counts = local.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val offsets = (0 until 16).scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
+        val offsetCol = element_at(typedlit(offsets.take(16)), col("bkt") + 1)
+        val ids = local.withColumn("wid", col("lid") + offsetCol).select(col("s"), col("wid"))
         val maskAggs = (0 until nLongs).map(k =>
           sum(when(expr("wid DIV 64") === k,
             expr("shiftleft(CAST(1 AS BIGINT), wid % 64)")).otherwise(lit(0L))).as(s"_m$k"))

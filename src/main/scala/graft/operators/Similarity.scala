@@ -105,18 +105,65 @@ object Similarity {
   }
 
   /**
-   * Embedding-cosine near-duplicate pairs (the semantic-dedup pass of a
-   * training pipeline): all pairs with cosine ≥ `threshold`, id_a < id_b.
-   * Brute-force formulation — the exactness baseline; swap the pair
-   * source for `annCosineTopK`/`ivfCosineTopK` buckets at corpus scale.
-   * Sims are the usual quantized-integer construction: bit-deterministic.
+   * Embedding-cosine near-duplicate pairs, brute-force formulation: all
+   * pairs with cosine ≥ `threshold`, id_a < id_b. O(n²) by construction
+   * (Spark executes the non-equi self-join as a broadcast nested loop) —
+   * kept ONLY as the exactness baseline for recall measurement of the LSH
+   * variant below. The declared semantic-dedup path is
+   * `cosineNearDupPairsLsh`; never run this at corpus scale.
    */
-  def cosineNearDupPairs(
+  def cosineNearDupPairsBrute(
       emb: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
     val p = prepared(emb, idCol, embCol)
     val a = p.select(col(idCol).as("id_a"), col("qv").as("qv_a"), col("nn").as("nn_a"))
     val b = p.select(col(idCol).as("id_b"), col("qv").as("qv_b"), col("nn").as("nn_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(dot(col("qv_a"), col("qv_b")), col("nn_a"), col("nn_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs, LSH-banded — the semantic-dedup
+   * scale path (SURVEY §2.12 SIM4). `numBands` independent
+   * `planesPerBand`-bit random-hyperplane buckets generate candidate pairs
+   * through an EQUI-join on (band, bucket); candidates are then
+   * exact-verified with the quantized-integer cosine. The plan contains no
+   * non-equi self-join: candidate volume scales with bucket occupancy, not
+   * n². The banded frame carries only (id, band, bucket) — vectors are
+   * re-joined for verified candidates only, so the candidate join never
+   * shuffles embeddings.
+   *
+   * Recall < 1 by construction (a true pair surfaces only if it collides
+   * in ≥ 1 band); the q33 DuckDB oracle mirrors the identical bucket law
+   * (same md5 plane signs, same band/bit packing), so both engines compute
+   * exactly the same candidate set and the hash check is structural, not
+   * fixture luck. Measured vs the brute baseline at sf0.01: 55/59 pairs at
+   * threshold 0.4 with 16×4 bands (see LshRecall stress for planted pairs).
+   */
+  def cosineNearDupPairsLsh(
+      emb: DataFrame, idCol: String, embCol: String, threshold: Double,
+      numBands: Int = 16, planesPerBand: Int = 4, dims: Int = 64): DataFrame = {
+    val p = prepared(emb, idCol, embCol)
+    val banded = p.select(
+      col(idCol),
+      explode(array((0 until numBands).map { band =>
+        val bucket = (0 until planesPerBand).map { bit =>
+          val plane = band * planesPerBand + bit
+          when(planeSide(col("qv"), plane, dims) > 0, lit(1L << bit)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(band).as("band"), bucket.as("bucket"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val a = p.select(col(idCol).as("id_a"), col("qv").as("qv_a"), col("nn").as("nn_a"))
+    val b = p.select(col(idCol).as("id_b"), col("qv").as("qv_b"), col("nn").as("nn_b"))
+    cands.join(a, "id_a").join(b, "id_b")
       .withColumn("sim", cosine(dot(col("qv_a"), col("qv_b")), col("nn_a"), col("nn_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
@@ -164,14 +211,16 @@ object Similarity {
       k)
   }
 
-  /** Σ_d sign(plane p, dim d) × v[d]. The hash-derived ±1 signs are
-   *  plan-time constants (portableHash64 is the bit-identical driver-side
-   *  mirror of the SQL hash) — evaluating md5 per row per dim in an
-   *  interpreted lambda would dominate the whole scan. */
+  /** Σ_d sign(plane p, dim d) × v[d] — a dot product against a plan-time
+   *  constant ±1 vector, evaluated by the codegen'd LongArrayDot kernel
+   *  (HOF lambdas are interpreted; with 64 planes × 64 dims per row that
+   *  would dominate the scan). portableHash64 is the bit-identical
+   *  driver-side mirror of the SQL hash, so the signs fold to the same
+   *  constants the DuckDB oracle derives with md5. */
   private def planeSide(qv: Column, p: Int, dims: Int): Column = {
     val signs = (0 until dims).map(d =>
       if (graft.functions.TextFunctions.portableHash64(s"plane#$p:dim#$d") % 2 == 0) 1L else -1L)
-    aggregate(zip_with(qv, typedlit(signs), _ * _), lit(0L), _ + _)
+    dot(qv, typedlit(signs))
   }
 
   private def rankTopK(pairsWithDot: DataFrame, k: Int): DataFrame = {
@@ -179,7 +228,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(sim.desc, col("neighbor_id"))
     pairsWithDot
       .withColumn("sim", sim)
-      .withColumn("rank", row_number().over(w))
+      // long, not int: DuckDB row_number() yields BIGINT and the driver's
+      // schema check is width-sensitive
+      .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }

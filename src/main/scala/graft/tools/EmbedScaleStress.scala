@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/**
+ * Semantic-dedup scale stress: plant near-duplicate embedding pairs in a
+ * 100k-vector corpus and measure `cosineNearDupPairsLsh` recall + runtime.
+ *
+ * Corpus law (all deterministic, no RNG):
+ *  - base vectors: dim d of vector i = a hash-derived value in [-1, 1);
+ *  - every 50th vector i also emits a planted near-dup with id i+N whose
+ *    components are the base's plus a tiny hash-derived perturbation
+ *    (cosine ≳ 0.999) — 2,000 planted pairs at N = 100k.
+ *
+ * Recall = fraction of planted (i, i+N) pairs surfacing at threshold 0.99.
+ * The brute-force baseline at this scale would enumerate 5 × 10⁹ pairs —
+ * the whole point of the banded plan is that we never do.
+ */
+object EmbedScaleStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val dims = 64
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // component(i, d) in [-1, 1): two-arg murmur hash folded to 6 decimals
+    def comp(id: org.apache.spark.sql.Column, d: Int, salt: Int) =
+      (pmod(hash(id, lit(d), lit(salt)).cast("long"), lit(2000000L)) - 1000000L)
+        .cast("double") / 1000000.0
+
+    val base = spark.range(0, n).select(
+      col("id").as("vec_id"),
+      array((0 until dims).map(d => comp(col("id"), d, 0).cast("float")): _*).as("embedding"))
+    // planted near-dups: base + 1e-3-scale perturbation, ids shifted by n
+    val planted = spark.range(0, n).where(pmod(col("id"), lit(50)) === 0)
+      .select(
+        (col("id") + n).as("vec_id"),
+        array((0 until dims).map(d =>
+          (comp(col("id"), d, 0) + comp(col("id"), d, 1) / 1000.0).cast("float")): _*)
+          .as("embedding"))
+    val nPlanted = n / 50
+    val corpus = base.unionByName(planted).localCheckpoint(true)
+
+    val t0 = System.nanoTime()
+    val pairs = Similarity.cosineNearDupPairsLsh(
+        corpus, "vec_id", "embedding", threshold = 0.99)
+      .localCheckpoint(true)
+    val total = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val hits = pairs
+      .where(col("id_b") === col("id_a") + n && pmod(col("id_a"), lit(50)) === 0)
+      .count()
+    println(f"[embed-stress] n=${n + nPlanted} pairs_found=$total " +
+      f"planted_recall=$hits/$nPlanted secs=$secs%.1f")
+    spark.stop()
+  }
+}

@@ -65,4 +65,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     assert(full == brute)
   }
+
+  test("cosineNearDupPairsLsh: subset of brute force with identical sims, candidates via EQUI-join only") {
+    val brute = Similarity.cosineNearDupPairsBrute(vecs, "vec_id", "embedding", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosineNearDupPairsLsh(vecs, "vec_id", "embedding",
+      threshold = 0.5, numBands = 16, planesPerBand = 4, dims = 4)
+    // scale law: the plan must contain NO non-equi self-join — every join
+    // is a hash/sort-merge equi-join (round-1 verdict: the brute-force
+    // BroadcastNestedLoopJoin is O(n²) and dead at corpus scale)
+    val physical = lsh.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      s"LSH near-dup plan contains a nested-loop join:\n$physical")
+    assert(!physical.contains("CartesianProduct"))
+    val out = lsh.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.nonEmpty, "LSH near-dup found nothing on a corpus with planted near-dups")
+    out.foreach { case (key, sim) =>
+      assert(key._1 < key._2, "pair ordering violated")
+      assert(brute.contains(key) && brute(key) == sim,
+        s"LSH pair $key not bit-identical to brute force")
+    }
+    // near-identical vectors (0,1) must collide in at least one of 16 bands
+    assert(out.contains((0L, 1L)), "high-sim planted pair missed by 16x4 banding")
+  }
 }

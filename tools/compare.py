@@ -1,21 +1,83 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf tables, load the Spark result parquet written by
-graft.Verify, sort columns by name, and compare values.
+graft.Verify, sort columns by name, and compare BOTH logical schema and
+values.
+
+The schema check is deliberately strict (round-1 lesson): it compares the
+Spark parquet's pyarrow logical types against DuckDB's relation types mapped
+to a common signature — including the timestamp tz flag and integer width.
+Round 1's only driver failure (q03 bar_start TIMESTAMP vs TIMESTAMP_NTZ) was
+masked by a lenient canon() that stripped tz-ness; never launder dtypes here.
 
 Usage: python3 tools/compare.py <sfDir> <outDir>
 """
 import json
 import math
+import re
 import sys
 
 import duckdb
 import pandas as pd
+import pyarrow.dataset as pads
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+_DUCK_SIMPLE = {
+    "DATE": "date",
+    "TIMESTAMP": "timestamp_ntz",
+    "TIMESTAMP WITH TIME ZONE": "timestamp_tz",
+    "TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+    "BIGINT": "int64", "HUGEINT": "int128",
+    "UTINYINT": "uint8", "USMALLINT": "uint16", "UINTEGER": "uint32",
+    "UBIGINT": "uint64",
+    "FLOAT": "float", "DOUBLE": "double",
+    "VARCHAR": "string", "BOOLEAN": "bool", "BLOB": "binary",
+}
+
+
+def duck_sig(t: str) -> str:
+    t = str(t)
+    if t.endswith("[]"):
+        return f"list<{duck_sig(t[:-2])}>"
+    m = re.fullmatch(r"DECIMAL\((\d+),(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    return _DUCK_SIMPLE.get(t, t.lower())
+
+
+def arrow_sig(t) -> str:
+    import pyarrow as pa
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp_tz" if t.tz is not None else "timestamp_ntz"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_sig(t.value_type)}>"
+    if pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)  # int32/int64/float/double/string/bool/binary match directly
+
+
+def schema_diff(spark_schema, duck_cols, duck_types):
+    spark = sorted((f.name, arrow_sig(f.type)) for f in spark_schema)
+    duck = sorted((c, duck_sig(t)) for c, t in zip(duck_cols, duck_types))
+    if [n for n, _ in spark] != [n for n, _ in duck]:
+        return f"column names differ: spark={[n for n, _ in spark]} duck={[n for n, _ in duck]}"
+    bad = [(sn, st, dt) for (sn, st), (_, dt) in zip(spark, duck) if st != dt]
+    if bad:
+        return "; ".join(f"col '{n}' type differs: spark={st} duck={dt}" for n, st, dt in bad)
+    return None
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Value-level canonicalization ONLY (schema is checked separately and
+    strictly). Unifies physical representations of the SAME logical type:
+    datetime.date objects vs datetime64 for DATE, int width for value compare."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         s = df[c]
@@ -60,17 +122,24 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    passed, failed, skipped = [], [], []
+    passed, failed = [], []
     for name, sql in sorted(oracles.items()):
         try:
-            duck = con.execute(sql).fetchdf()
+            rel = con.sql(sql)
+            duck_cols, duck_types = rel.columns, rel.types
+            duck = rel.fetchdf()
         except Exception as e:
             failed.append((name, f"DUCKDB ERROR: {e}"))
             continue
         try:
+            spark_schema = pads.dataset(f"{out_dir}/{name}").schema
             spark = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             failed.append((name, f"SPARK RESULT MISSING: {e}"))
+            continue
+        sd = schema_diff(spark_schema, duck_cols, duck_types)
+        if sd:
+            failed.append((name, f"SCHEMA: {sd}"))
             continue
         d = diff(name, canon(spark), canon(duck))
         if d:
