@@ -38,6 +38,15 @@ object BackfillRunner {
 
   val HeartbeatTimeoutMs: Long = 300000L // backfill_service.rs:13
 
+  /** F2 history-horizon (reference: ingestion/bin/src/di.rs:56). */
+  val MaxHistoryDays: Int = 365
+
+  /** The reference's historical gateway refuses fetches older than
+   *  `max_history_days` (historical.rs:54-57) — same error class here. */
+  final case class HistoryHorizonExceeded(symbol: String, day: LocalDate, maxDays: Int)
+    extends RuntimeException(
+      s"historical fetch $symbol@$day is older than the $maxDays-day horizon")
+
   final case class DateRange(start: LocalDate, end: LocalDate) {
     require(!start.isAfter(end), "start must be <= end") // date_range.rs:10-16
     def days: Seq[LocalDate] =
@@ -129,6 +138,13 @@ object BackfillRunner {
   /**
    * Run a backfill. `fetchDay(symbol, day)` produces that day's ticks as a
    * DataFrame (canonical tick schema); failures are caught per day.
+   *
+   * `fetchPlan(symbol, days)` is the whole-plan gateway (used when
+   * `wholePlan = true`): ONE DataFrame covering every planned day, shaped
+   * like `MockData.historicalDays` — a constant-size logical plan however
+   * many days are planned. Without it the wholePlan path falls back to a
+   * per-day union chain, whose plan grows (and re-analyzes) linearly with
+   * the day count.
    */
   def backfill(
       spark: SparkSession,
@@ -140,10 +156,18 @@ object BackfillRunner {
       now: () => Long = () => System.currentTimeMillis(),
       wholePlan: Boolean = false,
       limiter: Option[RateLimiter] = None,
-      limiterMaxWaitMs: Long = 60000L): BackfillReport = {
+      limiterMaxWaitMs: Long = 60000L,
+      maxHistoryDays: Int = MaxHistoryDays,
+      fetchPlan: Option[(String, Seq[LocalDate]) => DataFrame] = None): BackfillReport = {
     // rate-limited fetch (reference: historical.rs:59-62 acquires before
     // every per-day API call; same per-day granularity here)
     val fetch: (String, LocalDate) => DataFrame = (s, d) => {
+      // F2: refuse days beyond the history horizon BEFORE spending a rate
+      // token (historical.rs:54-57 checks `today - date > max_history_days`
+      // ahead of the network call); caught per-day by ST9 like any fetch
+      // error, so the remaining plan still runs
+      if (d.isBefore(dateOfMs(now()).minusDays(maxHistoryDays.toLong)))
+        throw HistoryHorizonExceeded(s, d, maxHistoryDays)
       limiter.foreach { rl =>
         if (!rl.acquire(limiterMaxWaitMs))
           throw new IllegalStateException(s"RateLimitTimeout after ${limiterMaxWaitMs}ms")
@@ -163,9 +187,22 @@ object BackfillRunner {
     var totalTicks = 0L
 
     if (wholePlan && plan.nonEmpty) {
-      // scale path: one distributed job for the whole plan
+      // scale path: one distributed job for the whole plan. Horizon guard
+      // and rate-token accounting stay per-day (API-call parity with the
+      // reference), then the fetch itself is a single plan-shaped job.
       Try {
-        val all = plan.map(d => fetch(symbol, d)).reduce(_ unionByName _)
+        plan.foreach { d =>
+          if (d.isBefore(dateOfMs(now()).minusDays(maxHistoryDays.toLong)))
+            throw HistoryHorizonExceeded(symbol, d, maxHistoryDays)
+          limiter.foreach { rl =>
+            if (!rl.acquire(limiterMaxWaitMs))
+              throw new IllegalStateException(s"RateLimitTimeout after ${limiterMaxWaitMs}ms")
+          }
+        }
+        val all = fetchPlan
+          .map(fp => fp(symbol, plan))
+          // fallback: union chain — plan length O(days); fine for small plans
+          .getOrElse(plan.map(d => fetchDay(symbol, d)).reduce(_ unionByName _))
         TickLake.overwriteDays(all, lakeRoot)
         val stats = all.agg(count(lit(1)), max(unix_millis(col("timestamp")))).head()
         (stats.getLong(0), stats.getLong(1))

@@ -87,6 +87,40 @@ object TickLake {
       .select(to_date(col("date"), "yyyyMMdd").as("day"))
       .distinct()
 
+  /**
+   * F6 filename-route scan: distinct dates present for `symbol` in a FLAT
+   * reference-shaped directory of `{symbol}_{yyyyMMdd}_{HH}.parquet` files
+   * (reference: ingestion/infrastructure/src/detectors/gap.rs:27-63) — so
+   * gap detection can run directly against a lake the reference wrote,
+   * without re-layout. The validity law is mirrored exactly:
+   *
+   *   - name ends with `.parquet` and starts with `{symbol}_`;
+   *   - stripped of the extension, it splits on '_' into EXACTLY 3 parts
+   *     (a symbol containing '_' is rejected even for itself, like the
+   *     reference's split-count check);
+   *   - part[1] is 8 digits forming a valid calendar date;
+   *   - the hour part is NOT validated (the reference never parses it);
+   *   - the file has > 0 rows (zero-row files contribute no rows here,
+   *     mirroring the footer num_rows > 0 check).
+   *
+   * Distributed: filenames come from `input_file_name()` during a
+   * zero-column scan, not a driver directory walk.
+   */
+  def existingDatesFromFilenames(
+      spark: SparkSession, dir: String, symbol: String): DataFrame = {
+    val base = regexp_extract(input_file_name(), "([^/]+)$", 1)
+    val stem = regexp_replace(base, "\\.parquet$", "")
+    spark.read.schema(graft.core.Schemas.tickSchema).parquet(s"$dir/*.parquet")
+      .select(base.as("name"), stem.as("stem"))
+      .where(col("name").startsWith(symbol + "_"))
+      .where(size(split(col("stem"), "_", -1)) === 3)
+      .select(split(col("stem"), "_", -1).getItem(1).as("d8"))
+      .where(col("d8").rlike("^\\d{8}$"))
+      .select(try_to_date(col("d8"), "yyyyMMdd").as("day"))
+      .where(col("day").isNotNull)
+      .distinct()
+  }
+
   /** Per-file stats (S4/A3): row count per physical file, footer-driven. */
   def fileStats(spark: SparkSession, root: String): DataFrame =
     read(spark, root)

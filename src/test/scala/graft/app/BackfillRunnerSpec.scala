@@ -22,6 +22,9 @@ class BackfillRunnerSpec extends SparkSpec {
   private val d = (s: String) => LocalDate.parse(s)
   private def fetch(symbol: String, day: LocalDate): DataFrame =
     MockData.historicalDay(spark, symbol, day)
+  // deterministic wall clock near the fixtures (keeps them inside the F2
+  // 365-day history horizon regardless of when the suite runs)
+  private val fixedNow = () => startOfDayMs(d("2024-02-01"))
 
   test("fresh job initializes cursor to start_of_day-1 (backfill_service.rs:104-113)") {
     val store = freshStore()
@@ -70,7 +73,7 @@ class BackfillRunnerSpec extends SparkSpec {
     // pre-existing day 11 -> only 10 and 12 are gaps
     TickLake.overwriteDays(fetch("NQ", d("2024-01-11")), lake)
 
-    val report = backfill(spark, store, lake, "NQ", range, fetch)
+    val report = backfill(spark, store, lake, "NQ", range, fetch, now = fixedNow)
     assert(report.finalStatus == JobStatus.Completed)
     assert(report.daysProcessed == 2)
     assert(report.totalTicks == 2 * 1440L)
@@ -108,7 +111,8 @@ class BackfillRunnerSpec extends SparkSpec {
     val range = DateRange(d("2024-01-10"), d("2024-01-12"))
     val report = backfill(spark, store, lake, "NQ", range,
       (s, day) => if (day == d("2024-01-11")) throw new IllegalStateException("api down")
-        else fetch(s, day))
+        else fetch(s, day),
+      now = fixedNow)
     assert(report.finalStatus == JobStatus.Failed)
     assert(report.daysProcessed == 2)
     assert(report.failedDays == Seq(d("2024-01-11") -> "IllegalStateException"))
@@ -121,16 +125,36 @@ class BackfillRunnerSpec extends SparkSpec {
   }
 
   test("wholePlan scale path produces the same lake state") {
+    import spark.implicits._
     val store = freshStore()
     val lake = tmpDir("lake")
     TickLake.configure(spark)
     val range = DateRange(d("2024-01-10"), d("2024-01-12"))
-    val report = backfill(spark, store, lake, "NQ", range, fetch, wholePlan = true)
+    // plan-DataFrame gateway: ONE job whose logical plan is constant-size
+    // in the number of days (MockData.historicalDays shape)
+    val fetchPlan = (sym: String, days: Seq[LocalDate]) =>
+      MockData.historicalDays(
+        days.map(dd => (sym, java.sql.Date.valueOf(dd))).toDF("symbol", "day"))
+    val report = backfill(spark, store, lake, "NQ", range, fetch,
+      now = fixedNow, wholePlan = true, fetchPlan = Some(fetchPlan))
     assert(report.finalStatus == JobStatus.Completed)
     assert(report.daysProcessed == 3 && report.totalTicks == 3 * 1440L)
     assert(TickLake.read(spark, lake).count() == 3 * 1440L)
     assert(store.get(report.jobKey).get.cursor ==
       startOfDayMs(d("2024-01-12")) + 1439L * 60000L)
+    // whole-plan fetch equals the per-day union content
+    val whole = TickLake.read(spark, lake)
+      .select("timestamp", "symbol", "last_price").orderBy("timestamp")
+      .collect().toSeq
+    val chained = range.days.map(fetch("NQ", _)).reduce(_ unionByName _)
+      .select("timestamp", "symbol", "last_price").orderBy("timestamp")
+      .collect().toSeq
+    assert(whole == chained)
+    // plan size is flat in the day count (no union chain)
+    def planNodes(n: Int): Int = MockData.historicalDays(
+      (0 until n).map(i => ("NQ", java.sql.Date.valueOf(d("2024-01-10").plusDays(i.toLong))))
+        .toDF("symbol", "day")).queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes(2) == planNodes(30), "whole-plan logical plan grows with day count")
   }
 
   test("backfill fetches pass through the rate limiter (historical.rs:59-62)") {
@@ -143,10 +167,27 @@ class BackfillRunnerSpec extends SparkSpec {
       () => { clockMs += 30; clockMs }) // each poll advances the test clock
     val range = DateRange(d("2024-01-10"), d("2024-01-12"))
     val report = backfill(spark, store, lake, "NQ", range, fetch,
-      limiter = Some(rl), limiterMaxWaitMs = 10000L)
+      now = fixedNow, limiter = Some(rl), limiterMaxWaitMs = 10000L)
     assert(report.finalStatus == JobStatus.Completed && report.daysProcessed == 3)
     // limiter saw exactly one admitted acquire per fetched day
     assert(rl.occupancy()("w") <= 2)
+  }
+
+  test("F2 history-horizon guard: stale days fail per-day with the reference's error class (historical.rs:54-57)") {
+    val store = freshStore()
+    val lake = tmpDir("lake")
+    TickLake.configure(spark)
+    // today = 2024-02-01, horizon 365d -> days before 2023-02-01 are refused
+    val range = DateRange(d("2023-01-30"), d("2023-02-01"))
+    val report = backfill(spark, store, lake, "NQ", range, fetch, now = fixedNow)
+    assert(report.finalStatus == JobStatus.Failed)
+    // 01-30 and 01-31 exceed the horizon; 02-01 is exactly 365 days old ->
+    // allowed (reference law is strict `today - date > max_history_days`)
+    assert(report.failedDays.map(_._1) == Seq(d("2023-01-30"), d("2023-01-31")))
+    assert(report.failedDays.forall(_._2 == "HistoryHorizonExceeded"))
+    assert(report.daysProcessed == 1)
+    val st = store.get(report.jobKey).get
+    assert(st.lastErrorType.contains("HistoryHorizonExceeded"))
   }
 
   test("stalledJobs: supervisor flags RUNNING jobs with old heartbeats (ST8)") {

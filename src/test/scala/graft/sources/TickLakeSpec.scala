@@ -65,6 +65,45 @@ class TickLakeSpec extends SparkSpec {
     assert(missing.toSeq == Seq("2024-01-10", "2024-01-12"))
   }
 
+  test("existingDatesFromFilenames ports the reference filename accept/reject vectors (F6, gap.rs:27-63)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val flat = Paths.get(tmpDir("flatlake"))
+
+    // one real single-file parquet day to clone under various names
+    val srcDir = Paths.get(tmpDir("srcfile"))
+    MockData.historicalDay(spark, "NQ", LocalDate.parse("2024-01-10"))
+      .coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val part = Files.list(srcDir).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    // and a ZERO-row parquet file (valid footer, num_rows = 0)
+    val emptyDir = Paths.get(tmpDir("emptyfile"))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.core.Schemas.tickSchema)
+      .coalesce(1).write.mode("overwrite").parquet(emptyDir.toString)
+    val emptyPart = Files.list(emptyDir).filter(_.toString.endsWith(".parquet")).findFirst().get()
+
+    def put(name: String, src: java.nio.file.Path = part): Unit =
+      Files.copy(src, flat.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+
+    put("NQ_20240110_04.parquet")            // accept
+    put("NQ_20240111_23.parquet")            // accept (hour part never parsed)
+    put("NQ_20240112_xx.parquet")            // accept: reference ignores part[2]
+    put("ES_20240113_04.parquet")            // reject: wrong symbol prefix
+    put("NQ_2024011_04.parquet")             // reject: 7-digit date
+    put("NQ_20241301_04.parquet")            // reject: month 13 invalid
+    put("NQ_20240110.parquet")               // reject: only 2 parts
+    put("NQ_2024_01_10_04.parquet")          // reject: 5 parts
+    put("NQ_20240199_04.parquet")            // reject: day 99 invalid
+    put("NQ_20240120_04.parquet", emptyPart) // reject: zero rows
+
+    val got = TickLake.existingDatesFromFilenames(spark, flat.toString, "NQ")
+      .as[java.sql.Date].collect().map(_.toString).sorted.toSeq
+    assert(got == Seq("2024-01-10", "2024-01-11", "2024-01-12"))
+    // the wrong-prefix file IS valid for its own symbol
+    val es = TickLake.existingDatesFromFilenames(spark, flat.toString, "ES")
+      .as[java.sql.Date].collect().map(_.toString).toSeq
+    assert(es == Seq("2024-01-13"))
+  }
+
   test("overlaps predicate matches DateRange::overlaps truth table (F3)") {
     val cases = Seq(
       ("2024-01-01", "2024-01-05", "2024-01-05", "2024-01-09", true),  // touch
