@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords}
+import graft.functions.expressions.{CharGramSketch, LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's custom
@@ -49,6 +49,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_simhash(wordsArray, bitsLiteral)")
         SimHashWords(children.head, children(1).eval().toString.toInt)
+      }),
+    (FunctionIdentifier("graft_chargram_sketch"),
+      new ExpressionInfo(classOf[CharGramSketch].getName, "graft_chargram_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_chargram_sketch(text, kLiteral)")
+        CharGramSketch(children.head, children(1).eval().toString.toInt)
       }))
 
   /** Install the functions into an ALREADY-RUNNING session (the

@@ -411,23 +411,36 @@ object SparkEntry {
     // asserting each engine's own sketch lands within its error contract
     // of its own exact value. Both engines agree on the booleans as long
     // as both sketches honor their bounds — that is the testable law.
-    "q32_sketches" -> ((s, dir) =>
-      t(s, dir, "events")
+    //
+    // Plan shape: the exact distinct count runs as its OWN aggregation,
+    // broadcast-joined back on the 5-row group key. Mixing countDistinct
+    // with the sketch/percentile aggregates in one agg makes Catalyst
+    // Expand the input and run the partial aggregation keyed by
+    // (event_type, user_id) — thousands of percentile/HLL buffers built
+    // and merged instead of 5 (measured 6 s vs 1 s at sf0.1; the buffer
+    // blowup grows with user cardinality, deadly at scale).
+    "q32_sketches" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sketches = ev
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("n_users"),
           approx_count_distinct(col("user_id"), rsd = 0.02).as("_au"),
           percentile(col("value"), lit(0.5)).as("p50_value"),
           percentile(col("value"), lit(0.95)).as("p95_value"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("_p50a"),
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("_p95a"))
+      val exactUsers = ev
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      sketches.join(broadcast(exactUsers), "event_type")
         .select(col("event_type"), col("n"), col("n_users"),
           col("p50_value"), col("p95_value"),
           (abs(col("_au") - col("n_users")) <= col("n_users") * lit(0.05)).as("hll_ok"),
           (abs(col("_p50a") - col("p50_value")) <= abs(col("p50_value")) * lit(0.05) + lit(1e-6)).as("p50_ok"),
           (abs(col("_p95a") - col("p95_value")) <= abs(col("p95_value")) * lit(0.05) + lit(1e-6)).as("p95_ok"))
-        .orderBy(col("event_type"))),
+        .orderBy(col("event_type"))
+    }),
 
     // Q39 — C2 transitive near-dup clusters: connected components over the
     // q16 verified pair set via min-label propagation; oracle is a DuckDB

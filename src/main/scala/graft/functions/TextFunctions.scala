@@ -76,10 +76,25 @@ object TextFunctions {
   }
 
   /** Hashes of all character k-grams of the raw text (rolling-hash
-   *  fingerprint domain). Shorter-than-k texts yield the empty set. */
+   *  fingerprint domain). Shorter-than-k texts yield the empty set.
+   *  Interpreted-HOF formulation — kept as the cross-engine reference and
+   *  spec cross-check for the fused [[charGramSketch]] kernel; the hot
+   *  path never calls this (the transform lambda is interpreted and
+   *  allocates a UTF8String per position). */
   def charGramHashes(text: Column, k: Int): Column =
     when(length(text) >= k,
       transform(sequence(lit(1), length(text) - lit(k - 1)),
         i => portableHash(text.substr(i, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
+
+  /** Fused one-pass fingerprint sketch:
+   *  `struct<fingerprint: bigint, n_distinct_grams: bigint>` = (min
+   *  char-k-gram hash, distinct gram count) — bit-identical to
+   *  `array_min(charGramHashes)` / `size(array_distinct(charGramHashes))`
+   *  but codegen'd with no per-gram allocation
+   *  (see [[graft.functions.expressions.CharGramSketch]]). */
+  def charGramSketch(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.expressions.CharGramSketch(Bridge.expression(text), k))
+  }
 }

@@ -1,0 +1,106 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Fused rolling char-k-gram fingerprint sketch: one pass over the text
+ * producing `struct<fingerprint: bigint, n_distinct_grams: bigint>` —
+ * the min 60-bit portable hash over all character k-grams plus the
+ * distinct-gram count.
+ *
+ * Replaces the relational formulation
+ * `transform(sequence(1, len-k+1), i -> graft_hash60(substr(text, i, k)))`
+ * + `array_min` + `size(array_distinct(...))`: HOF lambdas are interpreted
+ * (no whole-stage codegen, a fresh UTF8String per substr, a materialized
+ * hash array, then two more array passes). This kernel hashes byte slices
+ * in place (k-gram boundaries are UTF-8 character starts, matching
+ * `substr`'s character semantics in both Spark and DuckDB), tracks the min
+ * and an open-addressed long set — no per-gram allocation beyond the md5
+ * digest.
+ *
+ * Bit-identical to the HOF formulation and to the DuckDB oracle
+ * (`('0x' || substr(md5(substr(text, i+1, k)), 1, 15))::BIGINT`); texts
+ * shorter than k characters yield (null, 0) exactly like
+ * `array_min(empty)` / `size(array_distinct(empty))`.
+ */
+case class CharGramSketch(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "gram width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_chargram_sketch expects string, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("fingerprint", LongType, nullable = true),
+    StructField("n_distinct_grams", LongType, nullable = false)))
+  override def prettyName: String = "graft_chargram_sketch"
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramKernel.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.CharGramKernel.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramKernel {
+  // MessageDigest is not thread-safe; one per executor thread
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Per-row sketch kernel; called from generated code. */
+  def compute(s: UTF8String, k: Int): InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // character start offsets (UTF-8 start byte = anything but 10xxxxxx),
+    // so gram i covers bytes [off(i), off(i+k)) — substr char semantics
+    val off = new Array[Int](n + 1)
+    var nc = 0
+    var i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xc0) != 0x80) { off(nc) = i; nc += 1 }
+      i += 1
+    }
+    if (nc < k) return new GenericInternalRow(Array[Any](null, 0L))
+    off(nc) = n
+
+    val nGrams = nc - k + 1
+    // open-addressed set; hashes are 60-bit non-negative so -1 = empty
+    var cap = java.lang.Integer.highestOneBit(math.max(nGrams * 2 - 1, 4)) << 1
+    if (cap < 8) cap = 8
+    val slots = new Array[Long](cap)
+    java.util.Arrays.fill(slots, -1L)
+    val mask = cap - 1
+
+    val md = md5.get()
+    var minH = Long.MaxValue
+    var distinct = 0L
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      md.update(bytes, off(g), off(g + k) - off(g))
+      val d = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      val h = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      if (h < minH) minH = h
+      var slot = (java.lang.Long.hashCode(h * -7046029254386353131L)) & mask
+      while (slots(slot) != -1L && slots(slot) != h) slot = (slot + 1) & mask
+      if (slots(slot) == -1L) { slots(slot) = h; distinct += 1 }
+      g += 1
+    }
+    new GenericInternalRow(Array[Any](minH, distinct))
+  }
+}

@@ -102,8 +102,8 @@ object TextAnalysis {
    */
   def withFingerprint(docs: DataFrame, textCol: String, k: Int = 8): DataFrame =
     docs
-      .withColumn("grams", charGramHashes(col(textCol), k))
-      .withColumn("fingerprint", array_min(col("grams")))
-      .withColumn("n_distinct_grams", size(array_distinct(col("grams"))).cast("long"))
-      .drop("grams")
+      .withColumn("_sk", charGramSketch(col(textCol), k))
+      .withColumn("fingerprint", col("_sk.fingerprint"))
+      .withColumn("n_distinct_grams", col("_sk.n_distinct_grams"))
+      .drop("_sk")
 }

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bisect q32's cost: time each aggregate family separately over events. */
+object Q32Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = graft.sources.Tables.load(spark, sfDir, "events").localCheckpoint(true)
+    def time(label: String)(df: => DataFrame): Unit = {
+      df.write.mode("overwrite").format("noop").save() // warm
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[q32probe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val g = () => ev.groupBy(col("event_type"))
+    time("count only")(g().agg(count(lit(1)).as("n")))
+    time("countDistinct")(g().agg(countDistinct(col("user_id")).as("nu")))
+    time("approx_count_distinct")(g().agg(approx_count_distinct(col("user_id"), 0.02).as("au")))
+    time("percentile exact x2")(g().agg(percentile(col("value"), lit(0.5)).as("p50"),
+      percentile(col("value"), lit(0.95)).as("p95")))
+    time("percentile_approx 10000 x2")(g().agg(
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("a50"),
+      percentile_approx(col("value"), lit(0.95), lit(10000)).as("a95")))
+    time("percentile_approx 1000 x2")(g().agg(
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("a50"),
+      percentile_approx(col("value"), lit(0.95), lit(1000)).as("a95")))
+    time("all together (q32 shape)")(graft.SparkEntry.queries("q32_sketches")(spark, sfDir))
+    spark.stop()
+  }
+}

@@ -57,4 +57,41 @@ class ArrayIntExpressionsSpec extends SparkSpec {
       .collect()
     out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}"))
   }
+
+  test("CharGramSketch kernel is identical to the HOF array formulation (incl. multibyte + short texts)") {
+    import graft.functions.TextFunctions.{charGramHashes, charGramSketch}
+    val k = 8
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa",            // 9 identical grams -> 1 distinct
+      "exactly8",                     // single gram
+      "short",                        // < k chars -> (null, 0)
+      "",                             // empty
+      "\u00fcml\u00e4ut \u4e2d\u6587 multibyte text mixing scripts \u00e9\u00e8\u00ea",
+      "x" * 300 + "y" + "x" * 300,
+    ).toDF("text")
+    val out = df.select(
+      charGramSketch(col("text"), k).as("sk"),
+      array_min(charGramHashes(col("text"), k)).as("fp_hof"),
+      size(array_distinct(charGramHashes(col("text"), k))).cast("long").as("nd_hof"))
+      .select(col("sk.fingerprint"), col("sk.n_distinct_grams"), col("fp_hof"), col("nd_hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(2), s"fingerprint nullability mismatch: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(2), s"fingerprint mismatch: $r")
+      assert(r.getLong(1) == r.getLong(3), s"distinct-gram count mismatch: $r")
+    }
+    // 16 a's -> 9 grams, all "aaaaaaaa"
+    val allSame = out(1)
+    assert(allSame.getLong(1) == 1L)
+  }
+
+  test("graft_chargram_sketch is SQL-reachable after registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_chargram_sketch('the quick brown fox', 8) AS sk").head()
+    val row = r.getStruct(0)
+    assert(row.getLong(1) == 12L) // 19 chars -> 12 grams, all distinct
+    assert(row.getLong(0) >= 0L)
+  }
 }
