@@ -1,0 +1,126 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Fused random-hyperplane LSH bucketing: for a quantized vector
+ * (`array<bigint>`), computes ALL `numBands` bucket keys in one pass and
+ * returns them as `array<bigint>` of length `numBands` (band = position,
+ * bucket = packed sign bits of that band's `planesPerBand` hyperplanes).
+ *
+ * Law (shared bit-for-bit with the DuckDB oracle and the composed-Column
+ * formulation it replaces): the sign of plane `p` on dimension `d` is `+1`
+ * iff bit 0 of the portable 60-bit md5 hash of `"plane#p:dim#d"` is 0,
+ * where `p = band * planesPerBand + bit`; side = sign-weighted integer sum
+ * over components; bucket bit `bit` is set iff side > 0. Null components
+ * count as 0; vectors shorter than `dims` sum over their length (same as
+ * the `graft_dot`-vs-sign-literal formulation).
+ *
+ * Why a kernel and not 64 composed `when(graft_dot(qv, lit(signs)) > 0, …)`
+ * columns: that projection's generated code is so large the JVM runs it
+ * de-optimized (and each plane re-reads the vector) — measured ~2 s for
+ * 2 000 rows × 64 planes, the dominant cost of the LSH dedup pass. Here
+ * the sign matrix is one flat `long[]` reference and the whole bucketing
+ * is a single JIT-friendly nested loop that reads the vector once.
+ */
+case class HyperplaneBuckets(
+    child: Expression, numBands: Int, planesPerBand: Int, dims: Int)
+  extends UnaryExpression {
+
+  require(numBands > 0 && planesPerBand > 0 && planesPerBand <= 63 && dims > 0,
+    s"invalid LSH geometry: bands=$numBands planes/band=$planesPerBand dims=$dims")
+
+  // Flat sign matrix, signs(plane * dims + d) ∈ {+1, -1}; built once at
+  // plan construction from the cross-engine portable hash law.
+  private lazy val signs: Array[Long] = {
+    val out = new Array[Long](numBands * planesPerBand * dims)
+    var p = 0
+    while (p < numBands * planesPerBand) {
+      var d = 0
+      while (d < dims) {
+        out(p * dims + d) =
+          if (graft.functions.TextFunctions.portableHash64(s"plane#$p:dim#$d") % 2 == 0) 1L
+          else -1L
+        d += 1
+      }
+      p += 1
+    }
+    out
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_buckets expects array<bigint> (quantized vector), got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(dims, arr.numElements())
+    val out = new Array[Long](numBands)
+    var plane = 0
+    var b = 0
+    while (b < numBands) {
+      var bucket = 0L
+      var bit = 0
+      while (bit < planesPerBand) {
+        val off = plane * dims
+        var s = 0L
+        var d = 0
+        while (d < n) {
+          if (!arr.isNullAt(d)) s += arr.getLong(d) * signs(off + d)
+          d += 1
+        }
+        if (s > 0) bucket |= (1L << bit)
+        plane += 1
+        bit += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("lshSigns", signs, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val plane = ctx.freshName("plane")
+      val b = ctx.freshName("b")
+      val bit = ctx.freshName("bit")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = java.lang.Math.min($dims, $a.numElements());
+         |long[] $out = new long[$numBands];
+         |int $plane = 0;
+         |for (int $b = 0; $b < $numBands; $b++) {
+         |  long $bucket = 0L;
+         |  for (int $bit = 0; $bit < $planesPerBand; $bit++) {
+         |    int $off = $plane * $dims;
+         |    long $s = 0L;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      if (!$a.isNullAt($d)) $s += $a.getLong($d) * $signsRef[$off + $d];
+         |    }
+         |    if ($s > 0L) $bucket |= (1L << $bit);
+         |    $plane++;
+         |  }
+         |  $out[$b] = $bucket;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

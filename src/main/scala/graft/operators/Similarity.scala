@@ -28,7 +28,7 @@ import graft.functions.TextFunctions.portableHash
 object Similarity {
 
   import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
-  import graft.functions.expressions.{LongArrayDot, QuantizeToLong}
+  import graft.functions.expressions.{HyperplaneBuckets, LongArrayDot, QuantizeToLong}
 
   /** Quantize `array<float|double>` to `array<bigint>` (ppm resolution) —
    *  fused codegen expression, not an interpreted per-element lambda. */
@@ -85,11 +85,11 @@ object Similarity {
       queries: DataFrame, candidates: DataFrame,
       idCol: String, embCol: String, k: Int, numPlanes: Int = 8,
       dims: Int = 64): DataFrame = {
+    // One band of numPlanes planes — plane index p = 0*numPlanes + bit,
+    // identical to the per-plane law this replaces (see HyperplaneBuckets).
     def withBucket(df: DataFrame): DataFrame =
       df.withColumn("bucket",
-        (0 until numPlanes)
-          .map(p => when(planeSide(col("qv"), p, dims) > 0, lit(1L << p)).otherwise(lit(0L)))
-          .reduce(_ + _))
+        element_at(exprCol(HyperplaneBuckets(expression(col("qv")), 1, numPlanes, dims)), 1))
 
     val q = withBucket(prepared(queries, idCol, embCol))
       .withColumnRenamed(idCol, "query_id")
@@ -147,26 +147,36 @@ object Similarity {
     val p = prepared(emb, idCol, embCol)
     val banded = p.select(
       col(idCol),
-      explode(array((0 until numBands).map { band =>
-        val bucket = (0 until planesPerBand).map { bit =>
-          val plane = band * planesPerBand + bit
-          when(planeSide(col("qv"), plane, dims) > 0, lit(1L << bit)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(band).as("band"), bucket.as("bucket"))
-      }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = banded.as("x")
+      posexplode(exprCol(HyperplaneBuckets(expression(col("qv")), numBands, planesPerBand, dims))))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+    // Spread the fan-out: a small/bucketed corpus can arrive as a handful of
+    // scan partitions (locally: ONE file = ONE task), and the candidate
+    // expansion + verification pipeline would run at that parallelism. The
+    // repartition shuffles only the lean (id, band, bucket) frame — never
+    // vectors — and distributes each bucket's pair-expansion work; it is
+    // also exactly the partitioning a sort-merge band join needs once the
+    // banded frame outgrows broadcast range.
+    val bandedX = banded.repartition(col("band"), col("bucket"))
+    // Verify-then-dedup, NOT dedup-then-verify: a pair colliding in k bands
+    // is verified k times (bounded by numBands), but the k-1 redundant
+    // verifications are map-side codegen dot products inside the same
+    // stage — far cheaper than the alternative, a full shuffle + hash-agg
+    // distinct() over the raw candidate stream (which dominates the query:
+    // with loose thresholds the candidate set is a large fraction of n²
+    // per band). The final distinct() runs over verified pairs only —
+    // orders of magnitude fewer rows.
+    val cands = bandedX.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
     val a = p.select(col(idCol).as("id_a"), col("qv").as("qv_a"), col("nn").as("nn_a"))
     val b = p.select(col(idCol).as("id_b"), col("qv").as("qv_b"), col("nn").as("nn_b"))
     cands.join(a, "id_a").join(b, "id_b")
       .withColumn("sim", cosine(dot(col("qv_a"), col("qv_b")), col("nn_a"), col("nn_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+      .distinct()
   }
 
   /**
@@ -211,13 +221,13 @@ object Similarity {
       k)
   }
 
-  /** Σ_d sign(plane p, dim d) × v[d] — a dot product against a plan-time
-   *  constant ±1 vector, evaluated by the codegen'd LongArrayDot kernel
-   *  (HOF lambdas are interpreted; with 64 planes × 64 dims per row that
-   *  would dominate the scan). portableHash64 is the bit-identical
-   *  driver-side mirror of the SQL hash, so the signs fold to the same
-   *  constants the DuckDB oracle derives with md5. */
-  private def planeSide(qv: Column, p: Int, dims: Int): Column = {
+  /** Per-plane side as a composed Column — Σ_d sign(plane p, dim d) × v[d]
+   *  against a plan-time constant ±1 vector. Superseded on the hot path by
+   *  the fused [[HyperplaneBuckets]] kernel (64 composed plane columns ran
+   *  de-optimized); kept as the cross-check reference the kernel spec
+   *  compares against. portableHash64 is the bit-identical driver-side
+   *  mirror of the md5 law the DuckDB oracle derives its signs from. */
+  private[graft] def planeSide(qv: Column, p: Int, dims: Int): Column = {
     val signs = (0 until dims).map(d =>
       if (graft.functions.TextFunctions.portableHash64(s"plane#$p:dim#$d") % 2 == 0) 1L else -1L)
     dot(qv, typedlit(signs))

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Profile q33's LSH pipeline stage by stage: banded rows, candidate-pair
+  * volume pre/post distinct, verified pairs, and the physical plan. */
+object Q33Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[q33probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    import graft.operators.Similarity
+    val full = Similarity.cosineNearDupPairsLsh(emb, "vec_id", "embedding", 0.4)
+    timed("full q33")(full.write.mode("overwrite").format("noop").save())
+    timed("full q33 warm")(full.write.mode("overwrite").format("noop").save())
+
+    // stage probes via reflection-free reimplementation of the internals
+    val p = emb.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("nn", Similarity.dot(col("qv"), col("qv")))
+    timed("prepared count")(println("  rows=" + p.count()))
+
+    val numBands = 16; val planesPerBand = 4; val dims = 64
+    val banded = p.select(
+      col("vec_id"),
+      explode(array((0 until numBands).map { band =>
+        val bucket = (0 until planesPerBand).map { bit =>
+          val plane = band * planesPerBand + bit
+          val signs = (0 until dims).map(d =>
+            if (graft.functions.TextFunctions.portableHash64(s"plane#$plane:dim#$d") % 2 == 0) 1L else -1L)
+          when(Similarity.dot(col("qv"), typedlit(signs)) > 0, lit(1L << bit)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(band).as("band"), bucket.as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    timed("banded count")(println("  rows=" + banded.count()))
+    timed("bucket occupancy")(
+      banded.groupBy("band", "bucket").count()
+        .agg(max("count").as("max_occ"), avg("count").as("avg_occ"),
+          sum(col("count") * (col("count") - 1) / 2).as("pair_volume"))
+        .show(false))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    timed("cand pre-distinct")(println("  rows=" + cands.count()))
+    timed("cand distinct")(println("  rows=" + cands.distinct().count()))
+    println(full.queryExecution.executedPlan.toString.linesIterator.take(40).mkString("\n"))
+    spark.stop()
+  }
+}

@@ -88,4 +88,36 @@ class SimilaritySpec extends SparkSpec {
     // near-identical vectors (0,1) must collide in at least one of 16 bands
     assert(out.contains((0L, 1L)), "high-sim planted pair missed by 16x4 banding")
   }
+
+  test("HyperplaneBuckets kernel matches the composed planeSide formulation bit-for-bit") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.HyperplaneBuckets
+    val numBands = 16; val planesPerBand = 4; val dims = 64
+    // wide random-ish deterministic vectors exercising all 64 dims
+    val wide = spark.range(200).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)),
+        d => (pmod(col("id") * lit(31) + d * lit(17), lit(1000)) - lit(500)).cast("float") / lit(500.0f))
+        .as("embedding"))
+    val p = Similarity.prepared(wide, "vec_id", "embedding")
+    val kernel = p.select(
+      col("vec_id"),
+      Bridge.column(HyperplaneBuckets(
+        Bridge.expression(col("qv")), numBands, planesPerBand, dims)).as("bks"))
+    val composed = (0 until numBands).foldLeft(p) { (df, band) =>
+      val bucket = (0 until planesPerBand).map { bit =>
+        val plane = band * planesPerBand + bit
+        when(Similarity.planeSide(col("qv"), plane, dims) > 0, lit(1L << bit)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      df.withColumn(s"b$band", bucket)
+    }
+    val k = kernel.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    composed.collect().foreach { r =>
+      val id = r.getLong(r.fieldIndex("vec_id"))
+      (0 until numBands).foreach { band =>
+        assert(k(id)(band) == r.getLong(r.fieldIndex(s"b$band")),
+          s"bucket mismatch vec=$id band=$band")
+      }
+    }
+  }
 }
