@@ -47,10 +47,14 @@ object Curation {
    * would give O(log d) rounds if deep components ever show up).
    */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions. localCheckpoint (not cache):
+    // caching keeps the full upstream lineage in every round's logical
+    // plan, so each iteration re-pays Catalyst analysis/optimization of
+    // the whole pair-generation pipeline even though execution hits the
+    // cache; checkpointing truncates the plan to a leaf.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     // localCheckpoint each round: iterative plans MUST truncate lineage or
     // the query tree (and codegen) grows without bound across iterations
     var labels = edges.select(col("src").as("id")).distinct()
@@ -63,17 +67,17 @@ object Curation {
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
+      // carry the previous label through the checkpoint so convergence is
+      // a cheap scan of the checkpointed blocks, not an extra join job
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .where(col("cluster_id") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.where(col("cluster_id") =!= col("prev")).isEmpty
+      labels = next.drop("prev")
       i += 1
     }
-    edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"nearDupClusters did not converge within $maxIter rounds — a connected " +
         "component's diameter exceeds maxIter; raise maxIter (labels would be wrong)")

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage cost profile of the MinHash-LSH near-dup pipeline. */
+object Q16Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[q16probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    println("[q16probe] docs=" + docs.count())
+
+    import graft.functions.TextFunctions.wordShingles
+    import graft.operators.Dedup
+    // warm the JVM/codegen paths once
+    timed("warmup full")(Dedup.minhashNearDuplicates(docs, "doc_id", "text")
+      .write.mode("overwrite").format("noop").save())
+
+    val sets = docs.select(col("doc_id"), wordShingles(col("text"), 3).as("shingles"))
+    timed("shingles materialize")(sets.localCheckpoint(true))
+    val setsCp = sets.localCheckpoint(true)
+    timed("shingle count total")(
+      println("  " + setsCp.select(sum(size(col("shingles")))).head()))
+    val sig = Dedup.minhashSignaturesFromSets(setsCp, "doc_id")
+    timed("signatures from checkpointed sets")(
+      sig.write.mode("overwrite").format("noop").save())
+    val bands = Dedup.lshBands(sig, "doc_id", 16, 2)
+    timed("bands")(bands.write.mode("overwrite").format("noop").save())
+    timed("full warm")(Dedup.minhashNearDuplicates(docs, "doc_id", "text")
+      .write.mode("overwrite").format("noop").save())
+    spark.stop()
+  }
+}
