@@ -1,8 +1,6 @@
 package graft.state
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, StandardCopyOption}
-import java.util.Properties
+import java.nio.file.Path
 
 /**
  * Driver-side backfill job-state store (SURVEY.md §2.1 S6, §7.1.6).
@@ -15,12 +13,13 @@ import java.util.Properties
  * took the job over) has ALL its writes rejected, which fences zombie
  * workers (ST7).
  *
- * Storage is one properties file per job key under a state dir, written
- * via temp-file + atomic rename (the crash-safety design the reference
- * docs specify for data files, docs/…IDD….md:191-198). The store is
- * single-process (the backfill driver), matching the reference's
- * one-worker-per-account deployment; swap the backend for Redis/DB behind
- * the same interface for multi-driver deployments.
+ * Storage is pluggable behind [[StateBackend]] (the reference swaps Redis
+ * in/out the same way behind its state port): the default
+ * [[DirStateBackend]] is a versioned properties-file directory whose
+ * compare-and-set is atomic ACROSS PROCESSES (hard-link version-slot
+ * arbitration), so two drivers sharing a state dir race safely;
+ * [[InMemoryStateBackend]] serves tests/embedded runs; a Redis/DB adapter
+ * implements the same two methods for cluster deployments.
  */
 object JobStateStore {
 
@@ -48,54 +47,73 @@ object JobStateStore {
       heartbeatAt: Long,
       criticalRanges: Seq[CriticalRange] = Nil,
       lastErrorType: Option[String] = None)
+
+  private[state] def toPayload(s: JobState): Map[String, String] = Map(
+    "status" -> s.status.name,
+    "job_instance_id" -> s.jobInstanceId,
+    "cursor" -> s.cursor.toString,
+    "end_time" -> s.endTime.toString,
+    "heartbeat_at" -> s.heartbeatAt.toString,
+    "critical_ranges" -> s.criticalRanges.map(r => s"${r.start}..${r.end}").mkString(";"),
+    "last_error_type" -> s.lastErrorType.getOrElse(""))
+
+  private[state] def fromPayload(p: Map[String, String]): JobState = {
+    val ranges = p.get("critical_ranges").filter(_.nonEmpty)
+      .map(_.split(";").toSeq.map { r =>
+        val Array(s, e) = r.split("\\.\\.")
+        CriticalRange(s, e)
+      }).getOrElse(Nil)
+    JobState(
+      status = JobStatus.parse(p("status")),
+      jobInstanceId = p("job_instance_id"),
+      cursor = p("cursor").toLong,
+      endTime = p("end_time").toLong,
+      heartbeatAt = p("heartbeat_at").toLong,
+      criticalRanges = ranges,
+      lastErrorType = p.get("last_error_type").filter(_.nonEmpty))
+  }
 }
 
-class JobStateStore(stateDir: Path) {
+class JobStateStore(backend: StateBackend) {
   import JobStateStore._
 
-  Files.createDirectories(stateDir)
+  /** Default deployment: versioned properties dir, multi-process-safe. */
+  def this(stateDir: Path) = this(new DirStateBackend(stateDir))
 
-  private def fileFor(jobKey: String): Path =
-    stateDir.resolve(jobKey.replaceAll("[^A-Za-z0-9._-]", "_") + ".properties")
+  def get(jobKey: String): Option[JobState] =
+    backend.read(jobKey).map { case (p, _) => fromPayload(p) }
 
-  def get(jobKey: String): Option[JobState] = synchronized {
-    val f = fileFor(jobKey)
-    if (!Files.exists(f)) None
-    else {
-      val p = new Properties()
-      val in = Files.newInputStream(f)
-      try p.load(in) finally in.close()
-      val ranges = Option(p.getProperty("critical_ranges")).filter(_.nonEmpty)
-        .map(_.split(";").toSeq.map { r =>
-          val Array(s, e) = r.split("\\.\\.")
-          CriticalRange(s, e)
-        }).getOrElse(Nil)
-      Some(JobState(
-        status = JobStatus.parse(p.getProperty("status")),
-        jobInstanceId = p.getProperty("job_instance_id"),
-        cursor = p.getProperty("cursor").toLong,
-        endTime = p.getProperty("end_time").toLong,
-        heartbeatAt = p.getProperty("heartbeat_at").toLong,
-        criticalRanges = ranges,
-        lastErrorType = Option(p.getProperty("last_error_type")).filter(_.nonEmpty)))
+  /** Unconditional write — job initialization / takeover only. Retries
+   *  version races (another writer landing concurrently) until installed;
+   *  the subsequent fenced writes of the losing instance are then rejected
+   *  by the instance-id law, exactly the reference's takeover flow. */
+  def put(jobKey: String, state: JobState): Unit = {
+    var done = false
+    while (!done) {
+      val v = backend.read(jobKey).map(_._2).getOrElse(0L)
+      done = backend.writeVersioned(jobKey, toPayload(state), v)
     }
   }
-
-  /** Unconditional write — job initialization / takeover only. */
-  def put(jobKey: String, state: JobState): Unit = synchronized { write(jobKey, state) }
 
   /**
    * Fenced mutation: applies `f` only if the stored instance id equals
    * `instanceId` (the CAS law of state/redis.rs:26-42). Returns false —
-   * with no side effect — for a stale or unknown writer.
+   * with no side effect — for a stale or unknown writer. A pure version
+   * race (concurrent mutation by the SAME still-current instance or a
+   * racing reporter) re-reads and retries, mirroring the atomicity the
+   * reference gets from running the check inside one Lua script.
    */
-  def casUpdate(jobKey: String, instanceId: String)(f: JobState => JobState): Boolean =
-    synchronized {
-      get(jobKey) match {
-        case Some(s) if s.jobInstanceId == instanceId => write(jobKey, f(s)); true
-        case _ => false
+  def casUpdate(jobKey: String, instanceId: String)(f: JobState => JobState): Boolean = {
+    while (true) {
+      backend.read(jobKey) match {
+        case Some((p, v)) if p.get("job_instance_id").contains(instanceId) =>
+          if (backend.writeVersioned(jobKey, toPayload(f(fromPayload(p))), v)) return true
+        // else: lost a version race — loop, re-read, re-check the fence
+        case _ => return false
       }
     }
+    false // unreachable
+  }
 
   def updateCursor(jobKey: String, instanceId: String, cursor: Long): Boolean =
     casUpdate(jobKey, instanceId)(_.copy(cursor = cursor))
@@ -109,22 +127,6 @@ class JobStateStore(stateDir: Path) {
   def saveError(jobKey: String, instanceId: String, errorType: String): Boolean =
     casUpdate(jobKey, instanceId)(_.copy(lastErrorType = Some(errorType)))
 
-  private def write(jobKey: String, s: JobState): Unit = {
-    val p = new Properties()
-    p.setProperty("status", s.status.name)
-    p.setProperty("job_instance_id", s.jobInstanceId)
-    p.setProperty("cursor", s.cursor.toString)
-    p.setProperty("end_time", s.endTime.toString)
-    p.setProperty("heartbeat_at", s.heartbeatAt.toString)
-    p.setProperty("critical_ranges", s.criticalRanges.map(r => s"${r.start}..${r.end}").mkString(";"))
-    p.setProperty("last_error_type", s.lastErrorType.getOrElse(""))
-    val tmp = Files.createTempFile(stateDir, ".job", ".tmp")
-    val out = Files.newOutputStream(tmp)
-    try p.store(out, null) finally out.close()
-    Files.move(tmp, fileFor(jobKey),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
-
   /** Supervisor rule (ST8, docs/…IDD….md:231-236): RUNNING jobs whose
    *  heartbeat is older than `thresholdMs` (default 10 min) are stalled. */
   def stalledJobs(nowMs: Long, thresholdMs: Long = 600000L): Seq[(String, JobState)] =
@@ -133,13 +135,6 @@ class JobStateStore(stateDir: Path) {
     }
 
   /** Reporting view: all states as rows (kept tiny — one per job). */
-  def allStates(): Seq[(String, JobState)] = synchronized {
-    import scala.jdk.CollectionConverters._
-    Files.list(stateDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".properties"))
-      .map { f =>
-        val key = f.getFileName.toString.stripSuffix(".properties")
-        key -> get(key).get
-      }.toSeq
-  }
+  def allStates(): Seq[(String, JobState)] =
+    backend.keys().flatMap(k => get(k).map(k -> _))
 }

@@ -1,0 +1,138 @@
+package graft.state
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.Properties
+import scala.jdk.CollectionConverters._
+
+/**
+ * Pluggable storage contract under [[JobStateStore]] (SURVEY.md §2.1 S6).
+ *
+ * The reference keeps job state in a Redis hash and gets atomicity from a
+ * Lua script (reference: ingestion/infrastructure/src/state/redis.rs:26-42):
+ * read-check-write executes as one unit, so concurrent drivers can't
+ * interleave. This trait captures the minimal equivalent primitive — a
+ * versioned compare-and-set on an opaque string map — so the fencing law
+ * layered on top (job_instance_id checks, job_state.rs:38-116) is backend
+ * independent: properties-dir for one box, a DB/Redis adapter for a
+ * multi-driver deployment, in-memory for tests.
+ *
+ * Contract:
+ *  - `read` returns the payload with a monotonically increasing version.
+ *  - `writeVersioned(key, payload, expectVersion)` atomically installs
+ *    `version = expectVersion + 1` iff the current version is exactly
+ *    `expectVersion` (0 = key absent). At most ONE concurrent writer per
+ *    (key, expectVersion) wins — across processes for durable backends.
+ */
+trait StateBackend {
+  def read(key: String): Option[(Map[String, String], Long)]
+  def writeVersioned(key: String, payload: Map[String, String], expectVersion: Long): Boolean
+  /** All keys currently present (reporting; small by construction — one
+    * per job). */
+  def keys(): Seq[String]
+}
+
+/**
+ * Multi-process-safe directory backend: each key is a directory of
+ * immutable version files `v<N>.properties`; the current state is the
+ * highest N. A CAS to version N+1 fully writes a temp file, then
+ * `Files.createLink(v<N+1>, tmp)` — hard-link creation is an atomic
+ * create-exclusive on POSIX, so exactly one of any number of racing
+ * processes gets the version slot; losers see `FileAlreadyExistsException`
+ * and report a failed CAS. Readers only ever observe fully-written files
+ * (the link is created after the temp write completes).
+ *
+ * This is the same temp-file + atomic-namespace-op crash-safety design the
+ * reference specifies for its data files (docs/…IDD….md:191-198), extended
+ * with version arbitration. Versions ≤ current-3 are pruned opportunistically
+ * after a successful write (never the window a concurrent reader could
+ * be resolving).
+ */
+class DirStateBackend(root: Path) extends StateBackend {
+  Files.createDirectories(root)
+
+  private def keyDir(key: String): Path =
+    root.resolve(key.replaceAll("[^A-Za-z0-9._-]", "_"))
+
+  private val VFile = raw"v(\d+)\.properties".r
+
+  private def versionsOf(dir: Path): Seq[Long] =
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala.flatMap { f =>
+      f.getFileName.toString match {
+        case VFile(n) => Some(n.toLong)
+        case _ => None
+      }
+    }.toSeq
+
+  override def read(key: String): Option[(Map[String, String], Long)] = {
+    val dir = keyDir(key)
+    val vs = versionsOf(dir)
+    if (vs.isEmpty) None
+    else {
+      val v = vs.max
+      val p = new Properties()
+      val in = Files.newInputStream(dir.resolve(s"v$v.properties"))
+      try p.load(in) finally in.close()
+      Some(p.asScala.toMap -> v)
+    }
+  }
+
+  override def writeVersioned(
+      key: String, payload: Map[String, String], expectVersion: Long): Boolean = {
+    val dir = keyDir(key)
+    Files.createDirectories(dir)
+    // stale expectation short-circuits without touching the namespace
+    val current = versionsOf(dir)
+    if ((current.isEmpty && expectVersion != 0L) ||
+        (current.nonEmpty && current.max != expectVersion)) return false
+    val p = new Properties()
+    payload.foreach { case (k, v) => p.setProperty(k, v) }
+    val tmp = Files.createTempFile(dir, ".cas", ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try p.store(out, null) finally out.close()
+    val target = dir.resolve(s"v${expectVersion + 1}.properties")
+    try {
+      Files.createLink(target, tmp) // atomic: one winner per version slot
+      // prune far-behind versions; leave a window for in-flight readers
+      versionsOf(dir).filter(_ <= expectVersion - 2).foreach { old =>
+        Files.deleteIfExists(dir.resolve(s"v$old.properties"))
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** All keys currently present (reporting). */
+  def keys(): Seq[String] =
+    Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(d => versionsOf(root.resolve(d)).nonEmpty)
+      .toSeq
+}
+
+/** Ephemeral backend for tests / embedded use — same CAS contract. */
+class InMemoryStateBackend extends StateBackend {
+  private val states = new java.util.concurrent.ConcurrentHashMap[String, (Map[String, String], Long)]()
+
+  override def read(key: String): Option[(Map[String, String], Long)] =
+    Option(states.get(key))
+
+  override def writeVersioned(
+      key: String, payload: Map[String, String], expectVersion: Long): Boolean =
+    if (expectVersion == 0L)
+      states.putIfAbsent(key, (payload, 1L)) == null
+    else {
+      val cur = states.get(key)
+      cur != null && cur._2 == expectVersion &&
+        states.replace(key, cur, (payload, expectVersion + 1))
+    }
+
+  def keys(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    states.keySet().asScala.toSeq
+  }
+}

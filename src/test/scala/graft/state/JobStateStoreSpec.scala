@@ -65,4 +65,59 @@ class JobStateStoreSpec extends AnyFunSuite {
     s.put("k", bare)
     assert(s.get("k").contains(bare))
   }
+
+  test("DirStateBackend CAS: exactly one winner per version slot across independent store handles") {
+    // independent DirStateBackend instances over ONE directory — the
+    // multi-driver deployment shape (each process has its own handle; the
+    // only shared medium is the filesystem, as with the reference's Redis)
+    val dir = java.nio.file.Files.createTempDirectory("jobstate-race")
+    val b1 = new DirStateBackend(dir)
+    val b2 = new DirStateBackend(dir)
+    assert(b1.writeVersioned("k", Map("x" -> "1"), 0L))
+    assert(!b2.writeVersioned("k", Map("x" -> "2"), 0L), "second create must lose")
+    val (p, v) = b2.read("k").get
+    assert(p("x") == "1" && v == 1L)
+    // both race for v2 — exactly one wins
+    val wins = Seq(b1, b2).map(_.writeVersioned("k", Map("x" -> "9"), 1L))
+    assert(wins.count(identity) == 1)
+    assert(b1.read("k").get._2 == 2L)
+    // stale expectation is rejected without touching state
+    assert(!b1.writeVersioned("k", Map("x" -> "0"), 1L))
+    assert(b1.read("k").get._1("x") == "9")
+  }
+
+  test("concurrent fenced increments through separate handles lose no update (atomicity law of state/redis.rs:26-42)") {
+    val dir = java.nio.file.Files.createTempDirectory("jobstate-inc")
+    val mk = () => new JobStateStore(new DirStateBackend(dir))
+    mk().put("k", state.copy(cursor = 0L))
+    val threads = 8; val perThread = 25
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val results = (0 until threads).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          val store = mk() // each "process" gets its own handle
+          (0 until perThread).count(_ =>
+            store.casUpdate("k", "inst-1")(s => s.copy(cursor = s.cursor + 1)))
+        }
+      })
+    }
+    pool.shutdown()
+    val succeeded = results.map(_.get()).sum
+    assert(succeeded == threads * perThread,
+      "a fenced writer with a current instance id must retry version races, not drop updates")
+    assert(mk().get("k").get.cursor == threads * perThread.toLong)
+  }
+
+  test("InMemoryStateBackend honors the same CAS contract") {
+    val b = new InMemoryStateBackend
+    assert(b.writeVersioned("k", Map("a" -> "1"), 0L))
+    assert(!b.writeVersioned("k", Map("a" -> "2"), 0L))
+    assert(b.writeVersioned("k", Map("a" -> "2"), 1L))
+    assert(b.read("k").contains(Map("a" -> "2") -> 2L))
+    val store = new JobStateStore(b)
+    store.put("j", state)
+    assert(store.get("j").contains(state))
+    assert(!store.updateCursor("j", "zombie", 1L))
+    assert(store.updateCursor("j", "inst-1", 7L) && store.get("j").get.cursor == 7L)
+  }
 }
