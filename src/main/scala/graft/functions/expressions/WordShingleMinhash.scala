@@ -1,0 +1,112 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Fused MinHash signature: one pass from raw text to the `numHashes`-long
+ * signature array, replacing the relational pipeline
+ * `wordShingles(text, n)` → `explode` → `portableHash % p` → `numHashes`
+ * map-side `min` aggregates (graft.operators.Dedup.minhashSignaturesFromSets).
+ *
+ * The law is identical term by term — and the string primitives are the
+ * SAME code paths the composed Column formulation executes, not
+ * re-implementations: `UTF8String.toLowerCase/trim/split` are exactly what
+ * Spark's `Lower`/`StringTrim`/`StringSplit` expressions call, so word
+ * boundaries, case folding and empty-token behavior cannot diverge.
+ * Shingle = n consecutive words joined by one space; its hash is the
+ * 60-bit portable md5 (same as `graft_hash60`, digested over the word
+ * bytes + 0x20 separators without materializing the gram string) mod
+ * 2^31-1; signature slot k = min over shingles of
+ * `(h·(7919k+1) + 104729k) mod 2^31-1`. Duplicate shingles cannot change
+ * a min, so the `array_distinct` of the shingle-set formulation is
+ * irrelevant here. Texts with fewer than n words yield NULL — the
+ * explode+groupBy formulation drops such documents, and callers filter
+ * nulls to match.
+ *
+ * Scale note: this turns the signature stage from (docs × shingles)
+ * exploded rows + a shuffle into a shuffle-free projection; the LSH band
+ * explode downstream then operates on 16-long arrays.
+ */
+case class WordShingleMinhash(child: Expression, numHashes: Int, shingleN: Int)
+  extends UnaryExpression {
+  require(numHashes >= 1 && shingleN >= 1, "bad minhash geometry")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects string, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleMinhashKernel.compute(input.asInstanceOf[UTF8String], numHashes, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val out = ctx.freshName("mh")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.expressions.WordShingleMinhashKernel.compute($a, $numHashes, $shingleN);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleMinhashKernel {
+  final val MinhashPrime = 2147483647L // 2^31 - 1, shared with Dedup
+
+  private val whitespace = UTF8String.fromString("\\s+")
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Per-row kernel; called from generated code. Returns null when the
+    * text has fewer than `shingleN` words (document drops out, like the
+    * explode formulation). */
+  def compute(text: UTF8String, numHashes: Int, shingleN: Int): ArrayData = {
+    // the exact same primitive calls Lower/StringTrim/StringSplit make
+    val words = text.toLowerCase.trim.split(whitespace, -1)
+    val m = words.length
+    if (m < shingleN) return null
+
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = md5.get()
+    val space = Array[Byte](0x20)
+    var i = 0
+    while (i <= m - shingleN) {
+      md.reset()
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) md.update(space)
+        md.update(words(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      // first 15 hex chars as base-16 integer = 60 bits: 7 bytes + high nibble of byte 7
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      val h = ((v << 4) | ((d(7) & 0xf0L) >>> 4)) % MinhashPrime
+      var k = 0
+      while (k < numHashes) {
+        val perm = (h * (7919L * k + 1L) + 104729L * k) % MinhashPrime
+        if (perm < mins(k)) mins(k) = perm
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

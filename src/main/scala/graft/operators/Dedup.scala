@@ -67,16 +67,35 @@ object Dedup {
       .drop("sh31")
 
   /**
-   * MinHash signatures as a slim (id, minhash) frame. Unlike
-   * `withMinhashSignature` (whose nested-lambda formulation Catalyst's
-   * projection collapse inlines, recomputing the md5 per seed), this
-   * explode formulation hashes each shingle exactly ONCE and folds the
-   * `numHashes` affine permutations `(a_k·h + b_k) mod p` into
-   * map-side-combinable `min` aggregates — the shuffle carries only
-   * `numHashes` longs per document. Documents with no shingles produce no
-   * row. This is the form the near-dup pipeline uses.
+   * MinHash signatures as a slim (id, minhash) frame — the form the
+   * near-dup pipeline uses, computed by the fused
+   * [[graft.functions.expressions.WordShingleMinhash]] kernel: one pass
+   * from text to the signature array, hashing each shingle exactly once
+   * and folding the `numHashes` affine permutations `(a_k·h + b_k) mod p`
+   * into running minima. No explode, no shuffle, no per-gram allocation.
+   * Documents with fewer than `shingleN` words produce no row (the
+   * kernel yields NULL and it is filtered), identical to the relational
+   * formulation's explode+groupBy dropping empty shingle sets.
    */
   def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
+    // Fused kernel: text -> signature in one shuffle-free projection (the
+    // explode+min-agg formulation below remains as the spec-cross-checked
+    // reference law). NULL signature = fewer than shingleN words; such
+    // documents drop out, matching the explode form (no rows to group).
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs.select(col(idCol),
+        Bridge.column(graft.functions.expressions.WordShingleMinhash(
+          Bridge.expression(col(textCol)), numHashes, shingleN)).as("minhash"))
+      .where(col("minhash").isNotNull)
+  }
+
+  /** The pre-kernel relational formulation of [[minhashSignatures]] —
+   *  kept as the cross-engine reference law the kernel spec compares
+   *  against (and the shape whose map-side-combinable min aggregates the
+   *  DuckDB oracle mirrors). */
+  def minhashSignaturesRelational(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleN: Int = 3): DataFrame =
     minhashSignaturesFromSets(
@@ -127,15 +146,10 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 2, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    // The shingle computation (regex split + zip_with chain) dominates
-    // per-doc cost and feeds BOTH the signature path and the exact-verify
-    // path; Spark does not share subtrees across plan branches, so
-    // materialize the shingle frame once. localCheckpoint also truncates
-    // lineage, keeping the verify join's plan shallow.
-    val sets = docs
-      .select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
-      .localCheckpoint(true)
-    val sig = minhashSignaturesFromSets(sets, idCol, numHashes)
+    // Signature path: the fused kernel projects text -> 16-long signature
+    // with no explode and no shuffle (the old explode/min-agg stage hashed
+    // every (doc, shingle) row — ~50 rows per doc — through an exchange).
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
     val bands = lshBands(sig, idCol, numHashes, rowsPerBand)
     val candidates = bands.as("x")
       .join(bands.as("y"),
@@ -143,7 +157,21 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, sets, idCol, threshold)
+      // both the candidate-id projection and the verify join consume this
+      // small frame; checkpoint so the signature+band pipeline runs once
+      .localCheckpoint(true)
+    // Semi-join reduction for exact verify: the expensive shingle ARRAYS
+    // (regex split + zip_with chain) are built only for documents that
+    // appear in some candidate pair — a tiny fraction of the corpus —
+    // instead of being materialized for every document as before.
+    // localCheckpoint because both sides of the pair join reuse the frame.
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .unionByName(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    val candSets = docs.join(candIds, idCol)
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
+      .localCheckpoint(true)
+    verifyJaccard(candidates, candSets, idCol, threshold)
   }
 
   /** Exact Jaccard over candidate pairs (joins shingle sets only for

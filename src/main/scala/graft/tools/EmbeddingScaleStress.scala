@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale stress for the LSH semantic-dedup path (SURVEY §2.12 SIM4 / q33):
+ * 50k 64-dim vectors with 1 000 planted near-dup pairs, mined with
+ * `cosineNearDupPairsLsh` at scale-appropriate geometry.
+ *
+ * Geometry guidance this run demonstrates (recorded in BASELINE.md): the
+ * q33 declared query uses 16 bands × 4 planes because its threshold is a
+ * loose 0.4 (4-bit buckets are what keep recall ≈ 0.94 there); at
+ * corpus scale with a realistic near-dup threshold (≥ 0.85), planes per
+ * band must grow so bucket occupancy — and with it candidate volume,
+ * which is Σ_buckets O(occ²) per band — stays sub-quadratic:
+ * 24 bands × 10 planes gives P(catch | cos = 0.85) ≈ 0.974 while cutting
+ * candidates by ~2^6 vs 4-plane buckets. The knobs are exposed on the
+ * operator; this stress is the evidence they work at 25× the sf0.1 corpus.
+ *
+ * Deterministic end to end: vectors derive from id arithmetic, planted
+ * perturbations are tiny fixed offsets, LSH planes are md5-derived.
+ */
+object EmbeddingScaleStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 50000
+    val planted = if (args.length > 1) args(1).toInt else 1000
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // base corpus: pseudo-random unit-scale vectors; components come from
+    // xxhash64(id, d) so dimensions are uncorrelated (an arithmetic
+    // formula in d makes every vector a rotation of the same progression —
+    // the corpus degenerates into one giant near-dup cluster)
+    val dims = 64
+    def baseVec(idc: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(dims - 1)),
+        d => (pmod(xxhash64(idc, d), lit(2000)) - lit(1000))
+          .cast("float") / lit(1000.0f))
+    val base = spark.range(n.toLong).repartition(32)
+      .select(col("id").as("vec_id"), baseVec(col("id")).as("embedding"))
+    // planted near-dups: ids n..n+planted-1 perturb vectors 0..planted-1
+    // by ±1/500 per component — cosine vs the source stays ≈ 0.999
+    val dups = spark.range(planted.toLong)
+      .select((col("id") + n).as("vec_id"),
+        transform(baseVec(col("id")), x => x + lit(0.002f)).as("embedding"))
+    val corpus = base.unionByName(dups).localCheckpoint(true)
+    println(s"[embstress] corpus=${corpus.count()} planted=$planted")
+
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.Similarity.cosineNearDupPairsLsh(
+        corpus, "vec_id", "embedding", threshold = 0.85,
+        numBands = 24, planesPerBand = 10, dims = dims)
+      .localCheckpoint(true)
+    val found = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val plantedHit = pairs
+      .where(col("id_b") === col("id_a") + n && col("id_a") < planted)
+      .count()
+    println(f"[embstress] lsh near-dup mining: $secs%.1f s, $found pairs, " +
+      f"planted recall $plantedHit/$planted (${100.0 * plantedHit / planted}%.1f%%)")
+    spark.stop()
+  }
+}

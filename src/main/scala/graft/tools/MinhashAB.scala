@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B the near-dup pipeline shapes in one session: fused-kernel
+  * signatures + semi-join-reduced verify (current) vs relational
+  * signatures + whole-corpus shingle materialization (round-1 shape). */
+object MinhashAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+
+    import graft.functions.TextFunctions.wordShingles
+    import graft.operators.Dedup
+
+    def oldShape(): DataFrame = {
+      val sets = docs
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("shingles"))
+        .localCheckpoint(true)
+      val sig = Dedup.minhashSignaturesFromSets(sets, "doc_id", 16)
+      val bands = Dedup.lshBands(sig, "doc_id", 16, 2)
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
+      cands
+        .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[ab] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+
+    (1 to 3).foreach { i =>
+      timed(s"old rep$i")(run(oldShape()))
+      timed(s"new rep$i")(run(Dedup.minhashNearDuplicates(docs, "doc_id", "text")))
+    }
+    spark.stop()
+  }
+}

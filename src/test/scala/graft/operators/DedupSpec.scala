@@ -84,4 +84,36 @@ class DedupSpec extends SparkSpec {
     // 3-gram sets of docs 1,2: 7 grams each, 6 shared -> J = 6/8 = 0.75
     assert(out == Seq((1L, 2L, 0.75)))
   }
+
+  test("WordShingleMinhash kernel is bit-identical to the relational explode/min-agg law") {
+    // edge cases: leading/trailing/mixed whitespace (trim removes only
+    // 0x20; \t survives into split), multibyte text, exactly-n words,
+    // repeated shingles, sub-n word counts (must drop out)
+    val tricky = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "x"),
+      (11L, "  \t leading tab  and   runs\nof lines mixed ümläut 中文 words here ", "x"),
+      (12L, "a b c", "x"),                       // exactly one shingle
+      (13L, "same same same same same same", "x"), // one distinct shingle
+      (14L, "two words", "x"),                   // < 3 words -> dropped
+      (15L, "", "x"),                            // empty -> dropped
+      (16L, "ONE two THREE four FIVE six seven EIGHT", "x"),
+    ).toDF("doc_id", "text", "source")
+    val kernel = Dedup.minhashSignatures(tricky, "doc_id", "text", 16, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val relational = Dedup.minhashSignaturesRelational(tricky, "doc_id", "text", 16, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel.keySet == relational.keySet, "document drop-out sets differ")
+    kernel.keySet.foreach(id =>
+      assert(kernel(id) == relational(id), s"signature mismatch for doc $id"))
+    assert(!kernel.contains(14L) && !kernel.contains(15L))
+
+    // and over the real documents fixture, every signature bit-identical
+    val real = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val k2 = Dedup.minhashSignatures(real, "doc_id", "text", 16, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val r2 = Dedup.minhashSignaturesRelational(real, "doc_id", "text", 16, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(k2 == r2, "kernel diverges from relational law on real documents")
+    assert(k2.nonEmpty)
+  }
 }
