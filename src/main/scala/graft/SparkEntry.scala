@@ -462,6 +462,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Q40 — deterministic data mixing + stable split assignment: per-source
+    // hash-bucket sampling then train/val/test labels, all decisions pure
+    // functions of (salt, doc_id) through the portable md5 law — the
+    // DuckDB oracle replays every decision bit-for-bit. Rates/cuts are
+    // binary-exact (1/4, 1/2, 3/4, 5/8, 1) so Spark's truncating
+    // double->long cast and DuckDB's rounding cast agree.
+    "q40_mix_split" -> ((s, dir) => {
+      val sampled = graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id", "source",
+        rates = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.75, "src3" -> 1.0),
+        defaultRate = 0.625)
+      graft.operators.Sampling.assignSplit(
+          sampled, "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q31 — IVF ANN: deterministic coarse quantizer, nProbe=2 cell search
     "q31_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -869,6 +887,24 @@ object SparkEntry {
           |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
           |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
           |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+      // replays the hash-bucket mixing + split law bit-for-bit: bucket =
+      // md5-60bit("<salt>:<id>") mod 1e6; integer thresholds are the
+      // binary-exact rate x 1e6 products the Spark side computes
+      "q40_mix_split" ->
+        """WITH b AS (SELECT doc_id, source,
+          |    ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 1000000 AS mixb,
+          |    ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 1000000 AS splb
+          |  FROM documents),
+          |s AS (SELECT doc_id, source, splb FROM b
+          |  WHERE mixb < CASE source
+          |    WHEN 'src0' THEN 250000 WHEN 'src1' THEN 500000
+          |    WHEN 'src2' THEN 750000 WHEN 'src3' THEN 1000000
+          |    ELSE 625000 END)
+          |SELECT doc_id, source,
+          |  CASE WHEN splb < 750000 THEN 'train'
+          |       WHEN splb < 875000 THEN 'val' ELSE 'test' END AS split
+          |FROM s ORDER BY doc_id""".stripMargin,
 
       "q34_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.portableHash
+
+/**
+ * Deterministic sampling / data-mixing operators for training-data
+ * pipelines (SURVEY §2.12 extension surface).
+ *
+ * Large-scale corpus assembly needs reproducible sampling: per-source mix
+ * rates ("keep 50% of web, 100% of books"), and stable train/val/test
+ * splits that never move a document between splits as the corpus grows.
+ * `rand()`-based sampling fails both requirements (non-deterministic
+ * across retries/partitionings, and resampling reshuffles everything);
+ * the standard answer is hash bucketing: a document's fate is a pure
+ * function of its id and a salt.
+ *
+ * All operators here are shuffle-free map-side filters/projections, and
+ * the hash is the engine's portable 60-bit md5 law — so a DuckDB oracle
+ * reproduces every decision bit-for-bit (same reason the MinHash/LSH
+ * oracles work, see TextFunctions).
+ */
+object Sampling {
+
+  /** Number of hash buckets — rate resolution is 1/1e6. */
+  val Buckets = 1000000L
+
+  /** Stable bucket in [0, Buckets) for a document: portable hash of
+    * `"<salt>:<id>"`. The salt isolates independent sampling decisions
+    * (a mix pass and a split pass over the same corpus must not
+    * correlate). */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(portableHash(concat(lit(salt + ":"), id.cast("string"))), lit(Buckets))
+
+  /**
+   * Per-source weighted sampling (data mixing): keep a row of source `s`
+   * iff its bucket < rates(s) × Buckets. Sources absent from `rates`
+   * default to `defaultRate`. Pure filter — no shuffle, fully
+   * reproducible, composable with any downstream pipeline.
+   */
+  def weightedSample(
+      df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "mix"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "sampling rates must be in [0, 1]")
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol), salt) < (rateCol * Buckets).cast("long"))
+  }
+
+  /**
+   * Stable train/val/test assignment: consecutive bucket ranges sized by
+   * `fractions` (which must sum to ≤ 1; any remainder is labeled the last
+   * split). Growing the corpus never moves an existing document across
+   * splits, and the same id always lands in the same split on every
+   * engine.
+   */
+  def assignSplit(
+      df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val b = hashBucket(col(idCol), salt)
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * Buckets))
+    val labeled = fractions.map(_._1).zip(cuts)
+      .foldRight(lit(fractions.last._1): Column) { case ((name, cut), acc) =>
+        when(b < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", labeled)
+  }
+}

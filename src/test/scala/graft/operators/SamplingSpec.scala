@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = spark.range(2000)
+    .select(col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(4))).as("source"))
+
+  test("weightedSample is deterministic, per-source rates approximately honored") {
+    val rates = Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 1.0)
+    val a = Sampling.weightedSample(corpus, "doc_id", "source", rates, defaultRate = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.weightedSample(corpus, "doc_id", "source", rates, defaultRate = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b), "same inputs must select the same rows")
+    val bySrc = Sampling.weightedSample(corpus, "doc_id", "source", rates, defaultRate = 0.5)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"), "rate 0 keeps nothing")
+    assert(bySrc("src2") == 500L, "rate 1 keeps everything")
+    // 500 docs per source; hash buckets ~uniform -> expect 125 +- 4 sigma
+    assert(math.abs(bySrc("src1") - 125L) < 45, s"src1 kept ${bySrc("src1")} of 500 at rate 0.25")
+    assert(math.abs(bySrc("src3") - 250L) < 60, s"default rate: ${bySrc("src3")} of 500 at 0.5")
+  }
+
+  test("assignSplit: labels are stable under corpus growth and partitioning") {
+    val fr = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val small = Sampling.assignSplit(corpus.limit(500), "doc_id", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val big = Sampling.assignSplit(corpus.repartition(7), "doc_id", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, s) => big(id) == s },
+      "growing the corpus must never move a document across splits")
+    val frac = big.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(frac("train") > 1400 && frac("val") > 180 && frac("test") > 180,
+      s"split sizes far from fractions: $frac")
+  }
+
+  test("mix and split decisions are independent (different salts)") {
+    val fr = Seq("train" -> 0.5, "val" -> 0.5)
+    val sampled = Sampling.weightedSample(
+      corpus, "doc_id", "source", Map.empty, defaultRate = 0.5)
+    val labeled = Sampling.assignSplit(sampled, "doc_id", fr)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // if salts collided, every sampled doc would land in one split
+    assert(labeled.size == 2 && labeled.values.forall(_ > 300),
+      s"correlated mix/split decisions: $labeled")
+  }
+}
