@@ -462,6 +462,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Q41 — sequence packing: contiguous-fill documents into 2000-token
+    // training sequences per source; one window shuffle partitioned by
+    // source, rollup reuses the partitioning. Oracle replays the window
+    // sum law (token count = the q22 ws_tokens law).
+    "q41_seq_packing" -> ((s, dir) =>
+      graft.operators.Packing.packedSequenceStats(
+          t(s, dir, "documents"), "doc_id", "text", "source", budgetTokens = 2000L)
+        .orderBy(col("source"), col("seq_no"))),
+
     // Q40 — deterministic data mixing + stable split assignment: per-source
     // hash-bucket sampling then train/val/test labels, all decisions pure
     // functions of (salt, doc_id) through the portable md5 law — the
@@ -887,6 +896,22 @@ object SparkEntry {
           |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
           |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
           |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+      // replays the contiguous-fill packing law: seq_no = floor(window
+      // running token sum BEFORE the doc / budget), tokens = q22 ws law
+      "q41_seq_packing" ->
+        """WITH t AS (SELECT doc_id, source,
+          |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
+          |  FROM documents),
+          |a AS (SELECT source, doc_id, n_tokens,
+          |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+          |  FROM t)
+          |SELECT source, CAST(before // 2000 AS BIGINT) AS seq_no, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |  CAST(sum(n_tokens) AS DOUBLE) / 2000 AS fill
+          |FROM a GROUP BY source, before // 2000
+          |ORDER BY source, seq_no""".stripMargin,
 
       // replays the hash-bucket mixing + split law bit-for-bit: bucket =
       // md5-60bit("<salt>:<id>") mod 1e6; integer thresholds are the

@@ -1,0 +1,75 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Fused multi-key token counter: one pass over an `array<string>` column
+ * producing `array<bigint>` of exact-match counts aligned with `keys`.
+ *
+ * Replaces k independent `size(filter(arr, x => x === key_i))` columns —
+ * higher-order-function lambdas are interpreted, so that form re-scans
+ * the array k times with per-element closure dispatch (the language-ID
+ * scorer over 5 languages × 5 markers scanned every document's word
+ * array 25 times). Here the key set is a plan-time hash map and each
+ * element is looked up once; null elements count toward nothing (equality
+ * with a non-null key is never true), matching the HOF law.
+ */
+case class StringArrayCountMatches(child: Expression, keys: Seq[String])
+  extends UnaryExpression {
+  require(keys.nonEmpty && keys.distinct.length == keys.length,
+    "keys must be non-empty and distinct")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_count_matches expects array<string>, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_count_matches"
+
+  // UTF8String key -> output slot, built once at plan construction
+  private lazy val keyIndex: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](keys.length * 2)
+    keys.zipWithIndex.foreach { case (k, i) => m.put(UTF8String.fromString(k), i) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    StringArrayCountMatchesKernel.compute(input.asInstanceOf[ArrayData], keyIndex, keys.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("keyIndex", keyIndex, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = graft.functions.expressions.StringArrayCountMatchesKernel
+         |  .compute($a, $mapRef, ${keys.length});
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StringArrayCountMatchesKernel {
+  def compute(
+      arr: ArrayData,
+      keyIndex: java.util.HashMap[UTF8String, Integer],
+      nKeys: Int): ArrayData = {
+    val counts = new Array[Long](nKeys)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val slot = keyIndex.get(arr.getUTF8String(i))
+        if (slot != null) counts(slot.intValue()) += 1L
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}

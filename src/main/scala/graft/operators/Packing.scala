@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.words
+
+/**
+ * Sequence packing for training-data assembly (SURVEY §2.12 extension
+ * surface): group documents into fixed-budget token sequences ("pack to
+ * 4k-token context windows").
+ *
+ * Law — contiguous fill: within each pack group (ordered by id), a
+ * document's sequence number is `floor(running_token_sum_before_it /
+ * budget)`. The document that crosses a budget boundary belongs to the
+ * sequence where it started, so sequences can overflow by at most one
+ * document — the standard pre-tokenization packing compromise (exact
+ * bin-packing is NP-hard and order-unstable; contiguous fill is
+ * deterministic, one window pass, and reproducible across engines).
+ *
+ * Token law: whitespace tokens of the lowercased text — the same count
+ * the token-stats surface oracles (q22), so a DuckDB window sum replays
+ * packing bit-for-bit.
+ *
+ * Scale posture: ONE window shuffle partitioned by the pack group
+ * (sources, shards, date buckets — any key with enough cardinality to
+ * spread executors); within-group order is inherent to packing. No other
+ * exchange: the per-sequence rollup reuses the same partitioning.
+ */
+object Packing {
+
+  /** Whitespace token count of the lowercased text (the q22 `ws_tokens`
+    * law). */
+  def tokenCount(text: Column): Column =
+    size(words(text)).cast("long")
+
+  /**
+   * Assign each document a sequence number within its pack group.
+   * Output: input columns + `n_tokens`, `seq_no`.
+   */
+  def assignSequences(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_no", floor(col("_before") / budgetTokens))
+      .drop("_before")
+  }
+
+  /**
+   * Per-sequence packing report: document count, token total, and the
+   * packing efficiency (tokens / budget; the final sequence of a group —
+   * and boundary-crossing ones — deviate from 1.0).
+   */
+  def packedSequenceStats(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      budgetTokens: Long): DataFrame =
+    assignSequences(docs, idCol, textCol, groupCol, budgetTokens)
+      .groupBy(col(groupCol), col("seq_no"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (sum(col("n_tokens")).cast("double") / budgetTokens).as("fill"))
+}

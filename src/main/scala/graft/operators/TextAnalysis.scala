@@ -27,21 +27,38 @@ object TextAnalysis {
   )
 
   /** Count occurrences of `word` as a whitespace token of `w` (the words
-   *  array) — exact token match, not substring. */
+   *  array) — exact token match, not substring. Interpreted-HOF reference
+   *  form; hot paths use [[multiTokenCounts]]. */
   private def tokenCount(w: Column, word: String): Column =
     size(filter(w, x => x === word))
+
+  /** One-pass counts of every `keys` token in the words array (fused
+   *  codegen kernel — the per-key `size(filter(...))` form re-scans the
+   *  array once per key with an interpreted lambda). */
+  private def multiTokenCounts(w: Column, keys: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.expressions.StringArrayCountMatches(
+      Bridge.expression(w), keys))
+  }
 
   /**
    * Heuristic language ID: score each language by its marker-token count;
    * predict the argmax with deterministic alphabetical tie-break.
    * Output columns: pred_lang, lang_score (the winning count).
+   *
+   * All 25 marker counts come from ONE kernel pass over the words array;
+   * the per-language sums and the argmax run over those 25 longs.
    */
   def withLangId(docs: DataFrame, textCol: String): DataFrame = {
-    val w = words(col(textCol))
-    val scored = docs.withColumn("w", w)
+    // distinct key set (markers can be shared across languages, e.g. "la")
+    val allMarkers = langMarkers.flatMap(_._2).distinct
+    val slot = allMarkers.zipWithIndex.toMap
+    val scored = docs
+      .withColumn("_mc", multiTokenCounts(words(col(textCol)), allMarkers))
     val scoreCols = langMarkers.map { case (lang, markers) =>
+      val s = markers.map(m => element_at(col("_mc"), slot(m) + 1)).reduce(_ + _)
       struct(
-        markers.map(m => tokenCount(col("w"), m)).reduce(_ + _).as("score"),
+        s.as("score"),
         // invert lang for tie-break: greatest() picks max struct, and we
         // want the alphabetically FIRST language on equal scores
         lit(langMarkers.map(_._1).sorted.reverse.indexOf(lang)).as("pref"),
@@ -51,7 +68,7 @@ object TextAnalysis {
       .withColumn("best", greatest(scoreCols: _*))
       .withColumn("pred_lang", col("best.lang"))
       .withColumn("lang_score", col("best.score"))
-      .drop("w", "best")
+      .drop("_mc", "best")
   }
 
   /**
@@ -71,8 +88,10 @@ object TextAnalysis {
         length(regexp_replace(col(textCol), "\\s+", "")).cast("long"))
       .withColumn("mean_word_len",
         col("n_chars_nospace").cast("double") / col("n_words").cast("double"))
+      .withColumn("_swc", multiTokenCounts(col("w"), stopwords.distinct))
       .withColumn("n_stopwords",
-        stopwords.map(s => tokenCount(col("w"), s).cast("long")).reduce(_ + _))
+        stopwords.distinct.indices.map(i => element_at(col("_swc"), i + 1)).reduce(_ + _))
+      .drop("_swc")
       .withColumn("stop_ratio",
         col("n_stopwords").cast("double") / col("n_words").cast("double"))
       .withColumn("type_token_ratio",

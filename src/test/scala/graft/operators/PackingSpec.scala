@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // token counts: 3, 4, 5, 2, 6 -> with budget 8 and the contiguous-fill
+  // law (seq = floor(tokens-before / budget)):
+  //   doc1 before=0  -> seq 0
+  //   doc2 before=3  -> seq 0
+  //   doc3 before=7  -> seq 0 (crosses the boundary, stays where it started)
+  //   doc4 before=12 -> seq 1
+  //   doc5 before=14 -> seq 1
+  private def docs = Seq(
+    (1L, "w w w", "a"),
+    (2L, "w w w w", "a"),
+    (3L, "w w w w w", "a"),
+    (4L, "w w", "a"),
+    (5L, "w w w w w w", "a"),
+    (6L, "x x x x x x x x x", "b"), // 9 tokens, alone in seq 0 of group b
+    (7L, "x", "b"),                 // before=9 -> seq 1
+  ).toDF("doc_id", "text", "source")
+
+  test("assignSequences: contiguous fill, boundary doc stays in starting sequence") {
+    val out = Packing.assignSequences(docs, "doc_id", "text", "source", 8L)
+      .select("doc_id", "seq_no").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 0L, 7L -> 1L))
+  }
+
+  test("packedSequenceStats: per-sequence doc/token totals and fill") {
+    val out = Packing.packedSequenceStats(docs, "doc_id", "text", "source", 8L)
+      .orderBy("source", "seq_no")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 0L, 3L, 12L), ("a", 1L, 2L, 8L), ("b", 0L, 1L, 9L), ("b", 1L, 1L, 1L)))
+  }
+
+  test("packing is independent of input partitioning") {
+    val a = Packing.assignSequences(docs.repartition(5), "doc_id", "text", "source", 8L)
+      .select("doc_id", "seq_no").as[(Long, Long)].collect().toMap
+    val b = Packing.assignSequences(docs.coalesce(1), "doc_id", "text", "source", 8L)
+      .select("doc_id", "seq_no").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+}

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
@@ -13,10 +15,10 @@ class TextAnalysisSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val m = TextAnalysis.withLangId(docs, "text")
       .select("doc_id", "pred_lang", "lang_score").collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
-    assert(m(1L) == (("en", 6)))
-    assert(m(2L) == (("de", 5)))
-    assert(m(3L) == (("de", 0)))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(m(1L) == (("en", 6L)))
+    assert(m(2L) == (("de", 5L)))
+    assert(m(3L) == (("de", 0L)))
   }
 
   test("quality metrics: exact ratios and the gate") {
@@ -49,5 +51,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 == 3L) // 10 - 8 + 1 grams, all distinct
     assert(out(3L)._2 == 1L) // all 8-grams identical
     assert(out(4L) == ((None, 0L))) // too short
+  }
+
+  test("StringArrayCountMatches kernel matches per-key size(filter(...)) counts") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.StringArrayCountMatches
+    val keys = Seq("the", "la", "的", "zz")
+    val df = Seq(
+      "the quick the la the",
+      "la la la 的 xx",
+      "",
+      "nothing matches here",
+      "ümläut the 的 的 zz zz zz",
+    ).toDF("text")
+      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+    val kernel = df.select(Bridge.column(
+      StringArrayCountMatches(Bridge.expression(col("w")), keys)).as("k"))
+      .collect().map(_.getSeq[Long](0))
+    val hof = df.select(array(
+      keys.map(k => size(filter(col("w"), x => x === k)).cast("long")): _*).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    kernel.zip(hof).zipWithIndex.foreach { case ((k, h), i) =>
+      assert(k == h, s"row $i: kernel $k vs hof $h")
+    }
+    assert(kernel(0) == Seq(3L, 1L, 0L, 0L))
+    assert(kernel(4) == Seq(1L, 0L, 2L, 3L))
   }
 }
