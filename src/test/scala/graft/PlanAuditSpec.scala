@@ -1,0 +1,66 @@
+package graft
+
+import graft.SparkSpec
+
+/**
+ * Blanket plan-shape audit over EVERY declared query: the physical plan
+ * must not contain an unbounded nested-loop or cartesian join — the class
+ * of plan that is correct at test scale and dead at corpus scale (the
+ * round-1 q33 lesson).
+ *
+ * Queries on the allowlist use a nested-loop join DELIBERATELY, against a
+ * side that is structurally bounded (not data-proportional), each with
+ * the reason recorded here. Adding a new query with a nested-loop plan
+ * fails this spec until it is either reshaped or consciously allowlisted.
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** query -> why a bounded nested-loop is the intended plan */
+  private val allowedNestedLoop: Map[String, String] = Map(
+    "q04_missing_days" -> "calendar bounds: 1-row (min,max) span crossJoin, explodes to <= a few thousand days",
+    "q05_gap_islands" -> "same bounded calendar crossJoin upstream of the islands window",
+    "q07_day_plan" -> "same bounded calendar crossJoin in the expected-days branch",
+    "q27_interval_events" -> "bounded calendar span feeding the day-grain equi-join (the interval join itself is hash)",
+    "q19_cosine_topk" -> "DECLARED brute-force baseline: broadcast query side x candidate scan is the semantics (scale paths are q25/q31/q33)",
+    "q31_ann_ivf" -> "IVF index build: every vector scores against the broadcast centroid set (centroid count is the user-tuned knob, n/stride)",
+  )
+
+  test("no declared query plans an unbounded nested-loop or cartesian join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+      val nested = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+      if (nested && !allowedNestedLoop.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with un-allowlisted nested-loop plans: ${offenders.mkString(", ")} — " +
+        "reshape to an equi-join (bucket/explode/broadcast-dim) or allowlist with a boundedness argument")
+  }
+
+  test("allowlist entries still have nested-loop plans (no stale exemptions)") {
+    val stale = allowedNestedLoop.keys.toSeq.sorted.filterNot { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+    }
+    assert(stale.isEmpty, s"allowlist entries whose plans are now clean (remove them): ${stale.mkString(", ")}")
+  }
+
+  test("star joins broadcast their dimension sides") {
+    val plan = SparkEntry.queries("q11_star_revenue")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "q11 dims should broadcast")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      "q11 fact-side joins may merge, but dims must broadcast")
+  }
+
+  test("pricing summary scan prunes columns and pushes the date filter") {
+    val plan = SparkEntry.queries("q34_pricing_summary")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q34 ship-date filter not pushed to the parquet scan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"q34 scan reads columns the query never uses: $readSchema")
+  }
+}
