@@ -28,9 +28,12 @@ object PipelineDemo {
 
     // day 11 already on disk -> backfill must plan exactly days 10 and 12
     TickLake.overwriteDays(MockData.historicalDay(spark, "NQ", LocalDate.parse("2024-01-11")), lake)
+    // clock pinned near the fixture dates (F2 horizon guard measures
+    // staleness against "now"; this demo replays a fixed 2024-01 range)
+    val fixedNow = () => 1706745600000L // 2024-02-01T00:00:00Z
     val report = BackfillRunner.backfill(spark, store, lake, "NQ",
       DateRange(LocalDate.parse("2024-01-10"), LocalDate.parse("2024-01-12")),
-      (s, d) => MockData.historicalDay(spark, s, d))
+      (s, d) => MockData.historicalDay(spark, s, d), now = fixedNow)
     println(s"[demo] backfill report: $report")
     println(s"[demo] job state: ${store.get(report.jobKey).get}")
     println(s"[demo] lake rows after backfill = ${TickLake.read(spark, lake).count()} (expect 4320)")
@@ -38,7 +41,7 @@ object PipelineDemo {
     // second run: everything present -> plan empty, still COMPLETED
     val report2 = BackfillRunner.backfill(spark, store, lake, "NQ",
       DateRange(LocalDate.parse("2024-01-10"), LocalDate.parse("2024-01-12")),
-      (s, d) => MockData.historicalDay(spark, s, d))
+      (s, d) => MockData.historicalDay(spark, s, d), now = fixedNow)
     println(s"[demo] idempotent re-run: days=${report2.daysProcessed} status=${report2.finalStatus}")
 
     // live ingest: 3 micro-batches into the same lake

@@ -63,9 +63,13 @@ object ScaleStress {
         new Directory(new java.io.File(s"$lake/symbol=SYM25/date=$d")).deleteRecursively()
       }
       val store = new JobStateStore(Paths.get(s"$base/state"))
+      // clock pinned just past the fixture range: the F2 history-horizon
+      // guard (365 d) measures staleness against "now", and this lake is
+      // a fixed 2024-01 corpus
       val report = BackfillRunner.backfill(spark, store, lake, "SYM25",
         DateRange(LocalDate.parse("2024-01-01"), LocalDate.parse("2024-01-30")),
-        (s, d) => MockData.historicalDay(spark, s, d), wholePlan = true)
+        (s, d) => MockData.historicalDay(spark, s, d), wholePlan = true,
+        now = () => 1706745600000L) // 2024-02-01T00:00:00Z
       println(s"[stress] backfill: days=${report.daysProcessed} ticks=${report.totalTicks} status=${report.finalStatus}")
     }
     val after = TickLake.read(spark, lake).where(col("symbol") === "SYM25").count()
