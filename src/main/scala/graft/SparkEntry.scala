@@ -462,6 +462,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Q42 — benchmark decontamination: exact shingle-overlap fraction of
+    // every corpus doc (sources != src0) against the src0 "benchmark" set;
+    // benchmark shingles distinct-reduce before a hash join on the shingle
+    // key — corpus text never shuffles.
+    "q42_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.contaminationReport(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Q41 — sequence packing: contiguous-fill documents into 2000-token
     // training sequences per source; one window shuffle partitioned by
     // source, rollup reuses the partitioning. Oracle replays the window
@@ -896,6 +909,26 @@ object SparkEntry {
           |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
           |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
           |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+      // exact shingle-set overlap vs the src0 benchmark union (same
+      // 3-gram construction as the q16/q39 oracles)
+      "q42_decontamination" ->
+        """WITH w AS (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE source = 'src0'),
+          |corp AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+          |ex AS (SELECT doc_id, unnest(sh) AS s FROM corp),
+          |ov AS (SELECT doc_id, count(*) AS n_overlap FROM ex JOIN bench USING (s) GROUP BY doc_id)
+          |SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+          |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+          |  CASE WHEN len(c.sh) > 0
+          |       THEN CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / CAST(len(c.sh) AS DOUBLE)
+          |       ELSE 0.0 END AS contamination,
+          |  (CASE WHEN len(c.sh) > 0
+          |        THEN CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / CAST(len(c.sh) AS DOUBLE)
+          |        ELSE 0.0 END) >= 0.5 AS contaminated
+          |FROM corp c LEFT JOIN ov USING (doc_id) ORDER BY c.doc_id""".stripMargin,
 
       // replays the contiguous-fill packing law: seq_no = floor(window
       // running token sum BEFORE the doc / budget), tokens = q22 ws law

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.wordShingles
+
+/**
+ * Benchmark decontamination (SURVEY §2.12 extension surface): flag
+ * training documents that share word-n-gram shingles with an evaluation/
+ * benchmark set — the standard pre-training hygiene pass that keeps eval
+ * data out of the training corpus.
+ *
+ * Law: a corpus document's contamination fraction is
+ * `|shingles(doc) ∩ shingles(benchmark UNION)| / |shingles(doc)|`
+ * (distinct shingles; documents too short to shingle have fraction 0).
+ * Exact by construction — no sketches — so a DuckDB oracle replays it
+ * verbatim.
+ *
+ * Scale posture: the benchmark shingle set is distinct-reduced first
+ * (eval suites are tiny next to a training corpus) and enters a hash
+ * join against the exploded corpus shingles — the join key is the
+ * shingle string, corpus text itself never shuffles, and the per-doc
+ * counts aggregate map-side. For benchmark sets small enough to
+ * broadcast, Spark picks the broadcast join automatically; a bloom-filter
+ * pre-pass is the knob if a benchmark ever outgrows that.
+ */
+object Decontamination {
+
+  /**
+   * Per-document contamination report against a benchmark corpus.
+   * Output: (idCol, n_shingles, n_overlap, contamination, contaminated).
+   */
+  def contaminationReport(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(wordShingles(col(textCol), shingleN)).as("s"))
+      .distinct()
+    val corpusShingles = corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("s"))
+    val overlap = corpusShingles
+      .join(benchShingles, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .select(col(idCol), size(wordShingles(col(textCol), shingleN)).cast("long").as("n_shingles"))
+      .join(overlap, Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("contamination") >= threshold)
+  }
+
+  /** The clean corpus: documents below the contamination threshold. */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    corpus.join(
+      contaminationReport(corpus, benchmark, idCol, textCol, shingleN, threshold)
+        .where(!col("contaminated"))
+        .select(col(idCol)),
+      idCol)
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // benchmark doc shingles: {"a b c", "b c d"}
+  private def bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+
+  private def corpus = Seq(
+    (1L, "a b c d e"),      // shingles {a b c, b c d, c d e}: overlap 2/3
+    (2L, "x y z w"),        // no overlap: 0/2
+    (3L, "a b c"),          // {a b c}: overlap 1/1 -> contaminated
+    (4L, "one two"),        // too short: 0 shingles -> fraction 0
+  ).toDF("doc_id", "text")
+
+  test("contaminationReport: exact overlap fractions, short docs are clean") {
+    val out = Decontamination.contaminationReport(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((3L, 2L, 2.0 / 3.0, true)))
+    assert(out(2L) == ((2L, 0L, 0.0, false)))
+    assert(out(3L) == ((1L, 1L, 1.0, true)))
+    assert(out(4L) == ((0L, 0L, 0.0, false)))
+  }
+
+  test("decontaminate keeps exactly the clean documents") {
+    val kept = Decontamination.decontaminate(corpus, bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
+  test("contamination threshold is inclusive and tunable") {
+    val strict = Decontamination.contaminationReport(
+        corpus, bench, "doc_id", "text", threshold = 2.0 / 3.0)
+      .where(col("contaminated")).select("doc_id").as[Long].collect().sorted
+    assert(strict.toSeq == Seq(1L, 3L)) // 2/3 >= 2/3 inclusive
+  }
+}
