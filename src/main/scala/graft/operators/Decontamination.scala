@@ -38,15 +38,22 @@ object Decontamination {
     val benchShingles = benchmark
       .select(explode(wordShingles(col(textCol), shingleN)).as("s"))
       .distinct()
+    // ONE shingle pass over the corpus: both the per-doc shingle count and
+    // the overlap count aggregate from the same exploded frame (a separate
+    // size(wordShingles(...)) projection would re-run the whole shingle
+    // computation). Docs too short to shingle produce no exploded rows and
+    // are restored by the left join with (0, 0).
     val corpusShingles = corpus
       .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("s"))
-    val overlap = corpusShingles
-      .join(benchShingles, "s")
+    val perDoc = corpusShingles
+      .join(benchShingles.withColumn("_hit", lit(1L)), Seq("s"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
     corpus
-      .select(col(idCol), size(wordShingles(col(textCol), shingleN)).cast("long").as("n_shingles"))
-      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
       .withColumn("contamination",
         when(col("n_shingles") > 0,
