@@ -32,20 +32,32 @@ trait StateBackend {
 }
 
 /**
- * Multi-process-safe directory backend: each key is a directory of
- * immutable version files `v<N>.properties`; the current state is the
- * highest N. A CAS to version N+1 fully writes a temp file, then
- * `Files.createLink(v<N+1>, tmp)` — hard-link creation is an atomic
- * create-exclusive on POSIX, so exactly one of any number of racing
- * processes gets the version slot; losers see `FileAlreadyExistsException`
- * and report a failed CAS. Readers only ever observe fully-written files
- * (the link is created after the temp write completes).
+ * Multi-process-safe directory backend. Two namespaces per key:
  *
- * This is the same temp-file + atomic-namespace-op crash-safety design the
- * reference specifies for its data files (docs/…IDD….md:191-198), extended
- * with version arbitration. Versions ≤ current-3 are pruned opportunistically
- * after a successful write (never the window a concurrent reader could
- * be resolving).
+ *  - `current.properties` — the ONLY file reads touch: the full payload
+ *    plus its version, replaced via temp-write + `ATOMIC_MOVE` rename so
+ *    readers always observe a complete, consistent state. Reads never
+ *    list the directory: on several filesystems (tmpfs included) readdir
+ *    concurrent with create/unlink can SKIP entries, and a transient
+ *    empty listing would surface as "key absent" — observed as rare lost
+ *    updates in the cross-handle race spec before this design.
+ *  - `v<N>.lock` — empty version-slot tokens that arbitrate the CAS:
+ *    `Files.createLink(v<N+1>.lock, tmp)` is an atomic create-exclusive
+ *    on POSIX, so exactly one of any number of racing processes wins a
+ *    slot; losers see `FileAlreadyExistsException` and report a failed
+ *    CAS. The winner re-verifies the pointer before installing it (ABA
+ *    guard: a maximally stale writer could otherwise re-claim a PRUNED
+ *    slot and regress the state). Slots ≤ N-8 are pruned after a
+ *    successful write — prune is the only deleter, and the read path
+ *    never depends on a listing, so prune races are harmless.
+ *
+ * Temp-file + atomic-namespace-op is the same crash-safety design the
+ * reference specifies for its data files (docs/…IDD….md:191-198),
+ * extended with version arbitration. Liveness caveat (documented, out of
+ * scope like the reference's Redis-down case): a process that dies
+ * between winning a slot and renaming the pointer leaves that slot
+ * permanently claimed; peers keep reading the previous state and their
+ * CAS attempts on the dead slot fail until an operator clears it.
  */
 class DirStateBackend(root: Path) extends StateBackend {
   Files.createDirectories(root)
@@ -53,27 +65,20 @@ class DirStateBackend(root: Path) extends StateBackend {
   private def keyDir(key: String): Path =
     root.resolve(key.replaceAll("[^A-Za-z0-9._-]", "_"))
 
-  private val VFile = raw"v(\d+)\.properties".r
-
-  private def versionsOf(dir: Path): Seq[Long] =
-    if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala.flatMap { f =>
-      f.getFileName.toString match {
-        case VFile(n) => Some(n.toLong)
-        case _ => None
-      }
-    }.toSeq
+  private val VersionKey = "__graft_state_version"
+  private val LockFile = raw"v(\d+)\.lock".r
 
   override def read(key: String): Option[(Map[String, String], Long)] = {
-    val dir = keyDir(key)
-    val vs = versionsOf(dir)
-    if (vs.isEmpty) None
+    val cur = keyDir(key).resolve("current.properties")
+    if (!Files.exists(cur)) None
     else {
-      val v = vs.max
       val p = new Properties()
-      val in = Files.newInputStream(dir.resolve(s"v$v.properties"))
+      val in =
+        try Files.newInputStream(cur)
+        catch { case _: java.nio.file.NoSuchFileException => return None }
       try p.load(in) finally in.close()
-      Some(p.asScala.toMap -> v)
+      val m = p.asScala.toMap
+      Some((m - VersionKey) -> m(VersionKey).toLong)
     }
   }
 
@@ -81,36 +86,50 @@ class DirStateBackend(root: Path) extends StateBackend {
       key: String, payload: Map[String, String], expectVersion: Long): Boolean = {
     val dir = keyDir(key)
     Files.createDirectories(dir)
-    // stale expectation short-circuits without touching the namespace
-    val current = versionsOf(dir)
-    if ((current.isEmpty && expectVersion != 0L) ||
-        (current.nonEmpty && current.max != expectVersion)) return false
-    val p = new Properties()
-    payload.foreach { case (k, v) => p.setProperty(k, v) }
-    val tmp = Files.createTempFile(dir, ".cas", ".tmp")
-    val out = Files.newOutputStream(tmp)
-    try p.store(out, null) finally out.close()
-    val target = dir.resolve(s"v${expectVersion + 1}.properties")
+    // precheck against the pointer (atomic read, no listing): rejects
+    // stale expectations cheaply and keeps them away from pruned slots
+    if (read(key).map(_._2).getOrElse(0L) != expectVersion) return false
+    val lockTmp = Files.createTempFile(dir, ".lock", ".tmp")
     try {
-      Files.createLink(target, tmp) // atomic: one winner per version slot
-      // prune far-behind versions; leave a window for in-flight readers
-      versionsOf(dir).filter(_ <= expectVersion - 2).foreach { old =>
-        Files.deleteIfExists(dir.resolve(s"v$old.properties"))
+      val slot = dir.resolve(s"v${expectVersion + 1}.lock")
+      try Files.createLink(slot, lockTmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+      // re-verify AFTER claiming: if the pointer moved past expectVersion
+      // while we raced, the slot we linked was a pruned ancient one —
+      // release it and fail instead of regressing the pointer (ABA guard)
+      if (read(key).map(_._2).getOrElse(0L) != expectVersion) {
+        Files.deleteIfExists(slot)
+        return false
+      }
+      // slot won — install the pointer (atomic replace; readers see the
+      // old or the new complete state, never a mix)
+      val p = new Properties()
+      payload.foreach { case (k, v) => p.setProperty(k, v) }
+      p.setProperty(VersionKey, (expectVersion + 1).toString)
+      val tmp = Files.createTempFile(dir, ".cas", ".tmp")
+      val out = Files.newOutputStream(tmp)
+      try p.store(out, null) finally out.close()
+      Files.move(tmp, dir.resolve("current.properties"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      // lag-prune old slot tokens (listing race here at worst leaves a
+      // token behind for the next prune)
+      Files.list(dir).iterator().asScala.foreach { f =>
+        f.getFileName.toString match {
+          case LockFile(n) if n.toLong <= expectVersion - 8 => Files.deleteIfExists(f)
+          case _ => ()
+        }
       }
       true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
     } finally {
-      Files.deleteIfExists(tmp)
+      Files.deleteIfExists(lockTmp)
     }
   }
 
   /** All keys currently present (reporting). */
   def keys(): Seq[String] =
     Files.list(root).iterator().asScala
-      .filter(Files.isDirectory(_))
+      .filter(d => Files.isRegularFile(d.resolve("current.properties")))
       .map(_.getFileName.toString)
-      .filter(d => versionsOf(root.resolve(d)).nonEmpty)
       .toSeq
 }
 
