@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CharGramSketch, LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords}
+import graft.functions.expressions.{CharGramSketch, HyperplaneBuckets, LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords, StringArrayCountMatches, WordShingleMinhash}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's custom
@@ -55,6 +55,35 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_chargram_sketch(text, kLiteral)")
         CharGramSketch(children.head, children(1).eval().toString.toInt)
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[WordShingleMinhash].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_minhash(text, numHashesLiteral, shingleNLiteral)")
+        WordShingleMinhash(children.head,
+          children(1).eval().toString.toInt, children(2).eval().toString.toInt)
+      }),
+    (FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_lsh_buckets(quantizedVec, numBandsLiteral, planesPerBandLiteral, dimsLiteral)")
+        HyperplaneBuckets(children.head, children(1).eval().toString.toInt,
+          children(2).eval().toString.toInt, children(3).eval().toString.toInt)
+      }),
+    (FunctionIdentifier("graft_count_matches"),
+      new ExpressionInfo(classOf[StringArrayCountMatches].getName, "graft_count_matches"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_count_matches(stringArray, keysArrayLiteral)")
+        val keys = children(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"graft_count_matches keys must be an array literal, got $other")
+        }
+        StringArrayCountMatches(children.head, keys)
       }))
 
   /** Install the functions into an ALREADY-RUNNING session (the

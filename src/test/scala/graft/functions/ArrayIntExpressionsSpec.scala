@@ -94,4 +94,20 @@ class ArrayIntExpressionsSpec extends SparkSpec {
     assert(row.getLong(1) == 12L) // 19 chars -> 12 grams, all distinct
     assert(row.getLong(0) >= 0L)
   }
+
+  test("graft_minhash / graft_lsh_buckets / graft_count_matches are SQL-reachable") {
+    graft.GraftExtensions.register(spark)
+    val mh = spark.sql(
+      "SELECT graft_minhash('one two three four five', 16, 3) AS m").head().getSeq[Long](0)
+    assert(mh.length == 16 && mh.forall(_ >= 0L))
+    assert(spark.sql("SELECT graft_minhash('too short', 16, 3) AS m").head().isNullAt(0))
+    val bk = spark.sql(
+      "SELECT graft_lsh_buckets(graft_quantize(array(0.5f, -0.5f, 0.25f, 1.0f), 1000000.0), 16, 4, 4) AS b")
+      .head().getSeq[Long](0)
+    assert(bk.length == 16 && bk.forall(b => b >= 0L && b < 16L))
+    val cm = spark.sql(
+      "SELECT graft_count_matches(array('the','cat','the'), array('the','dog')) AS c")
+      .head().getSeq[Long](0)
+    assert(cm == Seq(2L, 0L))
+  }
 }
