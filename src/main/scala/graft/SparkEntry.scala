@@ -462,6 +462,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Q43 — top suppliers per brand (TPC-H-Q2-flavored): part/supplier/
+    // nation dims broadcast into the lineitem scan, decimal-exact revenue,
+    // per-brand window rank. Closes the part+supplier table surface.
+    "q43_brand_top_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val su = t(s, dir, "supplier"); val n = t(s, dir, "nation")
+      val rev = li
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("p_brand"), col("s_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand")).orderBy(col("rev").desc, col("s_name"))
+      rev
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("p_brand"), col("rank"), col("s_name"), col("n_name"),
+          col("rev").cast("double").as("revenue"))
+        .orderBy(col("p_brand"), col("rank"))
+    }),
+
     // Q42 — benchmark decontamination: exact shingle-overlap fraction of
     // every corpus doc (sources != src0) against the src0 "benchmark" set;
     // benchmark shingles distinct-reduce before a hash join on the shingle
@@ -909,6 +932,20 @@ object SparkEntry {
           |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
           |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
           |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+      "q43_brand_top_supplier" ->
+        """WITH r AS (SELECT p_brand, s_name, n_name,
+          |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  GROUP BY 1, 2, 3),
+          |rk AS (SELECT p_brand, s_name, n_name, rev,
+          |    row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, s_name) AS rank
+          |  FROM r)
+          |SELECT p_brand, rank, s_name, n_name, CAST(rev AS DOUBLE) AS revenue
+          |FROM rk WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
 
       // exact shingle-set overlap vs the src0 benchmark union (same
       // 3-gram construction as the q16/q39 oracles)
