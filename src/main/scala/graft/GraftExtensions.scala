@@ -78,8 +78,10 @@ object GraftExtensions {
           "graft_count_matches(stringArray, keysArrayLiteral)")
         val keys = children(1).eval() match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-            a.toObjectArray(org.apache.spark.sql.types.StringType)
-              .map(_.toString).toSeq
+            val objs = a.toObjectArray(org.apache.spark.sql.types.StringType)
+            require(!objs.contains(null),
+              "graft_count_matches keys must not contain NULL")
+            objs.map(_.toString).toSeq
           case other => throw new IllegalArgumentException(
             s"graft_count_matches keys must be an array literal, got $other")
         }

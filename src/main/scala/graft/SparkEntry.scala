@@ -378,9 +378,16 @@ object SparkEntry {
             .cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
           // 3-factor double products differ across engines at the ulp level
           // (instruction selection); cast the two verified-identical double
-          // factors to decimal first so the final multiply+sum is exact
+          // factors to decimal first so the final multiply+sum is exact.
+          // The exact sum then RESCALES to 4 before the double cast: at
+          // scale 8 the unscaled value (~2.8e17 at sf0.1) exceeds 2^53 and
+          // engines may double-round the decimal->double conversion
+          // differently (observed 1-ulp divergence at sf0.1); at scale 4
+          // the unscaled value fits a double exactly and conversion is a
+          // single correctly-rounded step everywhere.
           sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)) *
-            (lit(1) + col("l_tax")).cast(DecimalType(18, 4))).cast("double").as("sum_charge"),
+            (lit(1) + col("l_tax")).cast(DecimalType(18, 4)))
+            .cast(DecimalType(38, 4)).cast("double").as("sum_charge"),
           (sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
             count(lit(1)).cast("double")).as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -1006,7 +1013,7 @@ object SparkEntry {
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
           |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+          |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_charge,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
           |  count(*) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -46,10 +46,14 @@ object Sampling {
       salt: String = "mix"): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "sampling rates must be in [0, 1]")
-    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
-      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    // thresholds resolve to integer bucket cuts ON THE DRIVER
+    // (math.round): an in-plan `rate * 1e6` double cast would truncate in
+    // Spark and round in an oracle engine, so any non-binary-exact rate
+    // (0.3 * 1e6 = 299999.99999…) would disagree by one bucket
+    val thresholdCol = rates.foldLeft(lit(math.round(defaultRate * Buckets))) {
+      case (acc, (src, r)) => when(col(sourceCol) === src, lit(math.round(r * Buckets))).otherwise(acc)
     }
-    df.where(hashBucket(col(idCol), salt) < (rateCol * Buckets).cast("long"))
+    df.where(hashBucket(col(idCol), salt) < thresholdCol)
   }
 
   /**

@@ -144,7 +144,9 @@ object Similarity {
   def cosineNearDupPairsLsh(
       emb: DataFrame, idCol: String, embCol: String, threshold: Double,
       numBands: Int = 16, planesPerBand: Int = 4, dims: Int = 64): DataFrame = {
-    val p = prepared(emb, idCol, embCol)
+    // four consumers read the quantized frame (banded x/y, verify a/b);
+    // without materialization each re-runs the scan+quantize lineage
+    val p = prepared(emb, idCol, embCol).localCheckpoint(true)
     val banded = p.select(
       col(idCol),
       posexplode(exprCol(HyperplaneBuckets(expression(col("qv")), numBands, planesPerBand, dims))))

@@ -123,6 +123,8 @@ object TextAnalysis {
     docs
       .withColumn("_sk", charGramSketch(col(textCol), k))
       .withColumn("fingerprint", col("_sk.fingerprint"))
-      .withColumn("n_distinct_grams", col("_sk.n_distinct_grams"))
+      // NULL text: the kernel nulls the whole struct, but the HOF law this
+      // replaces counted an empty gram set (0) — keep that contract
+      .withColumn("n_distinct_grams", coalesce(col("_sk.n_distinct_grams"), lit(0L)))
       .drop("_sk")
 }

@@ -110,6 +110,20 @@ object TickLake {
       spark: SparkSession, dir: String, symbol: String): DataFrame = {
     val base = regexp_extract(input_file_name(), "([^/]+)$", 1)
     val stem = regexp_replace(base, "\\.parquet$", "")
+    // an empty/fresh lake dir has zero glob matches, and a bare
+    // parquet(glob) read throws PATH_NOT_FOUND instead of planning an
+    // empty scan — an empty date set is the correct answer there
+    import scala.jdk.CollectionConverters._
+    val hasFiles = {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.isDirectory(d) && {
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+    }
+    if (!hasFiles)
+      return spark.range(0).select(lit(java.sql.Date.valueOf("1970-01-01")).as("day")).where(lit(false))
     spark.read.schema(graft.core.Schemas.tickSchema).parquet(s"$dir/*.parquet")
       .select(base.as("name"), stem.as("stem"))
       .where(col("name").startsWith(symbol + "_"))

@@ -37,6 +37,11 @@ object JobStateStore {
   /** One date interval the job must re-ingest (job_state.rs:72-76). */
   final case class CriticalRange(start: String, end: String)
 
+  /** Retry bound for version-race loops: far beyond any plausible honest
+    * contention (the race spec's 8 writers never need more than a few),
+    * small enough that a wedged slot surfaces in well under a second. */
+  val MaxCasRetries = 10000
+
   /** Backfill progress record (job_state.rs:38-50). Epoch millis for all
    *  instants, matching the reference's i64 cursor arithmetic. */
   final case class JobState(
@@ -83,16 +88,26 @@ class JobStateStore(backend: StateBackend) {
   def get(jobKey: String): Option[JobState] =
     backend.read(jobKey).map { case (p, _) => fromPayload(p) }
 
+  import JobStateStore.MaxCasRetries
+
   /** Unconditional write — job initialization / takeover only. Retries
    *  version races (another writer landing concurrently) until installed;
    *  the subsequent fenced writes of the losing instance are then rejected
-   *  by the instance-id law, exactly the reference's takeover flow. */
+   *  by the instance-id law, exactly the reference's takeover flow.
+   *  Retries are BOUNDED: a version that stops advancing while CAS keeps
+   *  failing is a wedged slot (DirStateBackend's documented
+   *  crashed-between-claim-and-install case) — surfaced as an error, not
+   *  a silent infinite spin. */
   def put(jobKey: String, state: JobState): Unit = {
-    var done = false
-    while (!done) {
+    var attempt = 0
+    while (attempt < MaxCasRetries) {
       val v = backend.read(jobKey).map(_._2).getOrElse(0L)
-      done = backend.writeVersioned(jobKey, toPayload(state), v)
+      if (backend.writeVersioned(jobKey, toPayload(state), v)) return
+      attempt += 1
     }
+    throw new IllegalStateException(
+      s"state put for '$jobKey' failed $MaxCasRetries CAS attempts — " +
+        "version slot appears wedged (writer died mid-install?); inspect the state backend")
   }
 
   /**
@@ -104,15 +119,19 @@ class JobStateStore(backend: StateBackend) {
    * reference gets from running the check inside one Lua script.
    */
   def casUpdate(jobKey: String, instanceId: String)(f: JobState => JobState): Boolean = {
-    while (true) {
+    var attempt = 0
+    while (attempt < MaxCasRetries) {
       backend.read(jobKey) match {
         case Some((p, v)) if p.get("job_instance_id").contains(instanceId) =>
           if (backend.writeVersioned(jobKey, toPayload(f(fromPayload(p))), v)) return true
-        // else: lost a version race — loop, re-read, re-check the fence
+          // else: lost a version race — loop, re-read, re-check the fence
+          attempt += 1
         case _ => return false
       }
     }
-    false // unreachable
+    throw new IllegalStateException(
+      s"fenced update for '$jobKey' failed $MaxCasRetries CAS attempts with a matching " +
+        "instance id — version slot appears wedged (writer died mid-install?)")
   }
 
   def updateCursor(jobKey: String, instanceId: String, cursor: Long): Boolean =

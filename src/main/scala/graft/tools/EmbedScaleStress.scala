@@ -18,6 +18,12 @@ import graft.operators.Similarity
  * Recall = fraction of planted (i, i+N) pairs surfacing at threshold 0.99.
  * The brute-force baseline at this scale would enumerate 5 × 10⁹ pairs —
  * the whole point of the banded plan is that we never do.
+ *
+ * Companion regimes (deliberately two tools): this one stresses the
+ * DECLARED q33 geometry (16 bands × 4 planes, near-exact threshold) at
+ * 100k vectors; [[EmbeddingScaleStress]] stresses the corpus-scale
+ * geometry guidance (24 × 10 at threshold 0.85) documented in
+ * BASELINE.md.
  */
 object EmbedScaleStress {
   def main(args: Array[String]): Unit = {

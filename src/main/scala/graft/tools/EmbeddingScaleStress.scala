@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
  *
  * Deterministic end to end: vectors derive from id arithmetic, planted
  * perturbations are tiny fixed offsets, LSH planes are md5-derived.
+ *
+ * Companion: [[EmbedScaleStress]] covers the other regime — the DECLARED
+ * q33 geometry (16 × 4, threshold 0.99) at 100k vectors.
  */
 object EmbeddingScaleStress {
   def main(args: Array[String]): Unit = {

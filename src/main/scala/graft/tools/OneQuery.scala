@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump ONE declared query's result + its oracle SQL: `runMain
+  * graft.tools.OneQuery <name> <sfDir> <outDir>` — the single-query
+  * analog of Verify for targeted cross-engine debugging. */
+object OneQuery {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, outDir) = args
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    val sql = graft.SparkEntry.oracleSql(name).replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      s"""{"$name": "$sql"}""".getBytes("UTF-8"))
+    spark.stop()
+  }
+}

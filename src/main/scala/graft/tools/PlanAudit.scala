@@ -16,10 +16,14 @@ object PlanAudit {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
       try {
         val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+        // a global (unpartitioned) window/sort plans as an Exchange
+        // SinglePartition feeding the Window/Sort node
+        val singlePartWindow = plan.linesIterator.sliding(6).exists(w =>
+          w.exists(_.contains("Exchange SinglePartition")) && w.exists(_.contains("Window")))
         val flags = Seq(
           "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
           "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "SinglePartitionWindow" -> plan.contains("Window partition: 1"),
+          "SinglePartitionWindow" -> singlePartWindow,
         ).collect { case (f, true) => f }
         println(s"[audit] $name: ${if (flags.isEmpty) "clean" else flags.mkString(",")}")
       } catch {

@@ -12,6 +12,12 @@ import graft.SparkSpec
  * side that is structurally bounded (not data-proportional), each with
  * the reason recorded here. Adding a new query with a nested-loop plan
  * fails this spec until it is either reshaped or consciously allowlisted.
+ *
+ * Known blind spot: stages upstream of an eager localCheckpoint execute
+ * during query CONSTRUCTION and are truncated out of the final plan
+ * (q16/q30/q39/q42's candidate stages, q33's prepared frame), so the
+ * blanket test cannot see them. The dedicated pre-checkpoint assertions
+ * below audit those stages explicitly.
  */
 class PlanAuditSpec extends SparkSpec {
 
@@ -44,6 +50,21 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
     }
     assert(stale.isEmpty, s"allowlist entries whose plans are now clean (remove them): ${stale.mkString(", ")}")
+  }
+
+  test("pre-checkpoint candidate stages are nested-loop free (checkpoint blind-spot coverage)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    // the minhash candidate join exactly as minhashNearDuplicates builds
+    // it, WITHOUT the trailing checkpoint that hides it from the blanket
+    val sig = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
+    val bands = graft.operators.Dedup.lshBands(sig, "doc_id", 16, 2)
+    val cands = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"minhash candidate join regressed to a nested loop:\n${plan.take(2000)}")
   }
 
   test("star joins broadcast their dimension sides") {

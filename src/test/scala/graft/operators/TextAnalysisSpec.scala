@@ -42,6 +42,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("fingerprint: equal texts share fingerprints, k-gram count exact") {
     val docs = Seq(
       (1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zzzzzzzzzz"), (4L, "short"),
+      (5L, null.asInstanceOf[String]),
     ).toDF("doc_id", "text")
     val out = TextAnalysis.withFingerprint(docs, "text", k = 8)
       .select("doc_id", "fingerprint", "n_distinct_grams").collect()
@@ -51,6 +52,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 == 3L) // 10 - 8 + 1 grams, all distinct
     assert(out(3L)._2 == 1L) // all 8-grams identical
     assert(out(4L) == ((None, 0L))) // too short
+    assert(out(5L) == ((None, 0L))) // NULL text counts an empty gram set (HOF law)
   }
 
   test("StringArrayCountMatches kernel matches per-key size(filter(...)) counts") {
