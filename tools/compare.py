@@ -10,7 +10,9 @@ to a common signature — including the timestamp tz flag and integer width.
 Round 1's only driver failure (q03 bar_start TIMESTAMP vs TIMESTAMP_NTZ) was
 masked by a lenient canon() that stripped tz-ness; never launder dtypes here.
 
-Usage: python3 tools/compare.py <sfDir> <outDir>
+Usage: python3 tools/compare.py <sfDir> <outDir> [onlyQuery ...]
+Optional trailing args restrict the check to the named queries (targeted
+large-sf debugging; some sf0.1 oracles are O(n^2) in DuckDB and take an hour).
 """
 import json
 import math
@@ -117,13 +119,15 @@ def diff(name, a: pd.DataFrame, b: pd.DataFrame):
     return None
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     passed, failed = [], []
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         try:
             rel = con.sql(sql)
             duck_cols, duck_types = rel.columns, rel.types
@@ -155,4 +159,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
