@@ -469,6 +469,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Q44 — corpus-assembly capstone: the full training-data path composed
+    // end-to-end — quality gate -> exact dedup -> benchmark decontamination
+    // -> weighted mix -> stable split -> sequence packing — emitting the
+    // per-(source, split) shard manifest. Every stage law is individually
+    // oracled (q21/q15/q42/q40/q41); this query proves they COMPOSE.
+    "q44_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val benchSet = docs.where(col("source") === "src0")
+      val corpus = docs.where(col("source") =!= "src0")
+      val gated = TextAnalysis.withQualityMetrics(corpus, "text")
+        .where(col("is_quality"))
+        .select(corpus.columns.map(col): _*)
+      val deduped = Dedup.dropExactDuplicates(gated, "doc_id", "text")
+      val clean = graft.operators.Decontamination.decontaminate(
+        deduped, benchSet, "doc_id", "text")
+      val mixed = graft.operators.Sampling.weightedSample(
+        clean, "doc_id", "source",
+        rates = Map("src1" -> 0.5, "src2" -> 0.75, "src3" -> 1.0),
+        defaultRate = 0.625)
+      val labeled = graft.operators.Sampling.assignSplit(
+        mixed, "doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      graft.operators.Packing.assignSequences(
+          labeled, "doc_id", "text", Seq("source", "split"), budgetTokens = 2000L)
+        .groupBy(col("source"), col("split"), col("seq_no"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("source"), col("split"), col("seq_no"))
+    }),
+
     // Q43 — top suppliers per brand (TPC-H-Q2-flavored): part/supplier/
     // nation dims broadcast into the lineitem scan, decimal-exact revenue,
     // per-brand window rank. Closes the part+supplier table surface.
@@ -939,6 +967,49 @@ object SparkEntry {
           |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
           |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
           |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+      // the composed replay of the q21 gate, q15 dedup, q42 decontamination,
+      // q40 mix/split and q41 packing laws, stage by stage
+      "q44_corpus_pipeline" ->
+        """WITH base AS (SELECT doc_id, text, source FROM documents WHERE source <> 'src0'),
+          |w AS (SELECT doc_id, text, source, string_split_regex(trim(lower(text)), '\s+') AS ws FROM base),
+          |qual AS (SELECT doc_id, text, source, ws FROM w
+          |  WHERE len(ws) BETWEEN 30 AND 120
+          |    AND CAST(len(list_filter(ws, x -> x = 'a')) + len(list_filter(ws, x -> x = 'the')) AS DOUBLE)
+          |        / CAST(len(ws) AS DOUBLE) <= 0.2),
+          |ex AS (SELECT doc_id, text, source, ws FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          |    ORDER BY doc_id) AS rn FROM qual) t WHERE rn = 1),
+          |bwv AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents WHERE source = 'src0'),
+          |bshl AS (SELECT list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM bwv),
+          |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM bshl),
+          |esh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM ex),
+          |exx AS (SELECT doc_id, unnest(sh) AS s FROM esh),
+          |ovc AS (SELECT doc_id, count(*) AS n_ov FROM exx JOIN bsh USING (s) GROUP BY doc_id),
+          |clean AS (SELECT e.doc_id FROM esh e LEFT JOIN ovc o USING (doc_id)
+          |  WHERE (CASE WHEN len(e.sh) > 0
+          |              THEN CAST(COALESCE(o.n_ov, 0) AS DOUBLE) / CAST(len(e.sh) AS DOUBLE)
+          |              ELSE 0.0 END) < 0.5),
+          |mixed AS (SELECT ex.doc_id, ex.source, ex.ws FROM ex JOIN clean USING (doc_id)
+          |  WHERE ('0x' || substr(md5('mix:' || ex.doc_id), 1, 15))::BIGINT % 1000000 <
+          |    CASE ex.source WHEN 'src1' THEN 500000 WHEN 'src2' THEN 750000
+          |                   WHEN 'src3' THEN 1000000 ELSE 625000 END),
+          |spl AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+          |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 1000000 < 750000 THEN 'train'
+          |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 1000000 < 875000 THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM mixed),
+          |a AS (SELECT source, split, doc_id, n_tokens,
+          |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source, split ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+          |  FROM spl)
+          |SELECT source, split, CAST(before // 2000 AS BIGINT) AS seq_no,
+          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          |FROM a GROUP BY source, split, before // 2000
+          |ORDER BY source, split, seq_no""".stripMargin,
 
       "q43_brand_top_supplier" ->
         """WITH r AS (SELECT p_brand, s_name, n_name,

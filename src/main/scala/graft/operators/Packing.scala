@@ -41,9 +41,17 @@ object Packing {
    */
   def assignSequences(
       docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      budgetTokens: Long): DataFrame =
+    assignSequences(docs, idCol, textCol, Seq(groupCol), budgetTokens)
+
+  /** Composite-key variant: pack within (e.g.) (source, split) groups —
+    * the training-shard manifest grain. */
+  def assignSequences(
+      docs: DataFrame, idCol: String, textCol: String, groupCols: Seq[String],
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "token budget must be positive")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    require(groupCols.nonEmpty, "need at least one pack-group column")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("n_tokens", tokenCount(col(textCol)))
