@@ -36,17 +36,38 @@ object Curation {
       Seq(idCol), "left_anti")
   }
 
+  /** Pair-count bound under which `nearDupClusters` solves connected
+   *  components on the driver (union-find) instead of iterating
+   *  distributed label propagation. Verified near-dup pairs are a tiny
+   *  fraction of any corpus (candidates are LSH-bucketed, then
+   *  Jaccard-filtered), so even 100 TB corpora usually land under this;
+   *  above it the distributed path takes over. Same class of bounded
+   *  driver materialization as the day-plan collect in BackfillRunner
+   *  and the bitmap dictionary in Dedup. */
+  val DriverUnionFindMaxEdges = 2000000L
+
   /**
    * Transitive near-dup clusters from a verified pair set: every doc gets
    * `cluster_id` = the smallest id reachable via pairs (connected
-   * components by iterative min-label propagation). Each round advances
-   * labels ONE hop, so convergence takes O(component diameter) rounds of
-   * one shuffle join each; near-dup components are shallow in practice.
-   * Throws if `maxIter` rounds don't reach a fixpoint — returning
-   * unconverged labels silently would be wrong data (pointer-doubling
-   * would give O(log d) rounds if deep components ever show up).
+   * components). Physical strategy auto-selects on the (already
+   * checkpointed, cheap-to-count) edge count:
+   *
+   *  - **Driver union-find** (≤ [[DriverUnionFindMaxEdges]] edges): one
+   *    collect of the (src, dst) id pairs — never text — and a
+   *    path-compressed union-find; exact same labels (smallest reachable
+   *    id) in one pass, no iteration jobs. A graph problem whose edge set
+   *    fits comfortably on the driver should not pay per-round shuffles.
+   *  - **Distributed min-label propagation** (larger edge sets): each
+   *    round advances labels ONE hop (one shuffle join), so convergence
+   *    takes O(component diameter) rounds; near-dup components are
+   *    shallow in practice. Throws if `maxIter` rounds don't reach a
+   *    fixpoint — returning unconverged labels silently would be wrong
+   *    data (pointer-doubling would give O(log d) rounds if deep
+   *    components ever show up).
    */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def nearDupClusters(
+      pairs: DataFrame, maxIter: Int = 10,
+      driverMaxEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     // undirected edge list, both directions. localCheckpoint (not cache):
     // caching keeps the full upstream lineage in every round's logical
     // plan, so each iteration re-pays Catalyst analysis/optimization of
@@ -55,6 +76,9 @@ object Curation {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint(true)
+    val idOrdering = driverIdOrdering(edges.schema("src").dataType)
+    if (idOrdering.isDefined && edges.count() <= driverMaxEdges)
+      return unionFindClusters(edges, idOrdering.get)
     // localCheckpoint each round: iterative plans MUST truncate lineage or
     // the query tree (and codegen) grows without bound across iterations
     var labels = edges.select(col("src").as("id")).distinct()
@@ -82,5 +106,51 @@ object Curation {
       s"nearDupClusters did not converge within $maxIter rounds — a connected " +
         "component's diameter exceeds maxIter; raise maxIter (labels would be wrong)")
     labels
+  }
+
+  /** Total ordering for the id column on the driver fast path; None for
+   *  types we don't order (those always take the distributed path). */
+  private def driverIdOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case ShortType   => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+      case StringType  => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _           => None
+    }
+  }
+
+  /** Driver connected components: collect the (src, dst) id pairs (ids
+   *  only — never text), path-compressed union-find, label = smallest id
+   *  in the component. Bit-identical labels to the propagation fixpoint. */
+  private def unionFindClusters(edges: DataFrame, ord: Ordering[Any]): DataFrame = {
+    import scala.collection.mutable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idType = edges.schema("src").dataType
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.collect().foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val minLabel = mutable.HashMap.empty[Any, Any]
+    parent.keysIterator.foreach { n =>
+      val r = find(n)
+      if (!minLabel.contains(r) || ord.lt(n, minLabel(r))) minLabel(r) = n
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = parent.keysIterator.map(n => Row(n, minLabel(find(n)))).toList
+    edges.sparkSession.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("id", idType), StructField("cluster_id", idType))))
   }
 }

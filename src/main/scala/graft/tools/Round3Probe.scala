@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-3 perf hypotheses: scan parallelism for single-file text tables,
+ *  q39 iteration overhead, curation composition cost. */
+object Round3Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[r3probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    import graft.operators.{Dedup, Curation}
+    // warm everything once
+    timed("warm q16")(noop(Dedup.minhashNearDuplicates(docs, "doc_id", "text")))
+    val p0 = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
+    timed("warm q39 clusters")(noop(Curation.nearDupClusters(p0)))
+
+    timed("q16 baseline")(noop(
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text").orderBy("id_a", "id_b")))
+    timed("q16 repartitioned-docs")(noop(
+      Dedup.minhashNearDuplicates(docs.repartition(32), "doc_id", "text")
+        .orderBy("id_a", "id_b")))
+
+    // q39 split: pairs vs propagation
+    val pairs = timed("q39 pairs materialize")(
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text").localCheckpoint(true))
+    println("[r3probe] n_pairs=" + pairs.count())
+    timed("q39 propagation only")(noop(
+      Curation.nearDupClusters(pairs).orderBy("id")))
+
+    timed("q30 curate baseline")(noop(
+      Curation.curate(docs, "doc_id", "text")))
+    timed("q30 curate repartitioned")(noop(
+      Curation.curate(docs.repartition(32), "doc_id", "text")))
+    spark.stop()
+  }
+}

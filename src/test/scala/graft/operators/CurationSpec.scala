@@ -37,4 +37,25 @@ class CurationSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L))
     assert(labels.keySet == (1L to 10L).toSet)
   }
+
+  test("nearDupClusters: distributed propagation path matches driver union-find") {
+    // chains, a star, and isolated pairs — same labels from both physical paths
+    val pairs = (Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (3L, 4L, 0.9),
+        (20L, 25L, 0.8), (20L, 21L, 0.8), (20L, 29L, 0.8), (40L, 41L, 0.7)))
+      .toDF("id_a", "id_b", "jaccard")
+    val viaUnionFind = Curation.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPropagation = Curation.nearDupClusters(pairs, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUnionFind == viaPropagation)
+    assert(viaUnionFind(4L) == 1L && viaUnionFind(29L) == 20L && viaUnionFind(41L) == 40L)
+  }
+
+  test("nearDupClusters: string ids order lexicographically on the driver path") {
+    val pairs = Seq(("docB", "docC", 0.9), ("docA", "docB", 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val labels = Curation.nearDupClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA"))
+  }
 }
