@@ -580,6 +580,107 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("total_words"))
         .orderBy(col("lang"))
     }),
+
+    // Q45 — Gopher/C4-style repetition rules: per-doc word-bigram
+    // repetition fractions and the repetitive-content gate. Explode → two
+    // map-side-combinable aggregations; fractions are exact-int divisions.
+    "q45_repetition" -> ((s, dir) =>
+      graft.operators.Repetition.repetitionMetrics(
+          t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))),
+
+    // Q46 — PII detect + redact over deterministic synthetic contact
+    // strings (the corpus itself is clean, so the query plants one email
+    // per doc, a phone on even ids, an SSN on ids % 3 == 0 — all pure
+    // functions of doc_id that the oracle replays).
+    "q46_pii_redaction" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("text2", concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" id "),
+              lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"), lit("-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+              lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+      graft.operators.Pii.withPiiMetrics(aug, "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_ssns"), col("n_phones"),
+          col("has_pii"), col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q47 — corpus vocabulary census: top-25 tokens by term frequency with
+    // document frequency. The ln-based idf/tf_idf columns stay engine-local
+    // (libm rounding is not contractually cross-engine); the oracle checks
+    // the exact-integer and single-division columns.
+    "q47_vocab_topk" -> ((s, dir) =>
+      graft.operators.Vocabulary.topTokens(
+          t(s, dir, "documents"), "doc_id", "text", k = 25)
+        .select(col("token"), col("tf"), col("df"), col("df_frac"),
+          col("rank").as("rnk"))
+        .orderBy(col("rnk"))),
+
+    // Q48 — pivot: monthly shipped quantity spread over the fixed
+    // l_returnflag domain (A/N/R) as columns
+    "q48_pivot_monthly_flags" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .groupBy(col("ship_month"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))))
+        .select(col("ship_month"),
+          col("A").cast("double").as("qty_a"),
+          col("N").cast("double").as("qty_n"),
+          col("R").cast("double").as("qty_r"))
+        .orderBy(col("ship_month"))),
+
+    // Q49 — cube with grouping indicators over (returnflag, linestatus):
+    // all four grouping sets plus the flags that disambiguate NULL-as-total
+    "q49_cube_flags" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+        .orderBy(col("g_flag"), col("g_status"), col("flag"), col("status"))),
+
+    // Q50 — distribution window functions: per-nation account-balance
+    // quartiles, cumulative distribution and percent rank (rational
+    // rank/count divisions — deterministic under the total order)
+    "q50_balance_quartiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .where(pmod(col("c_custkey"), lit(7)) === 0)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Q51 — JSON extraction surface (§2.8): pull the numeric payload out
+    // of the events props JSON and aggregate per event type
+    "q51_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1129,6 +1230,99 @@ object SparkEntry {
           |UNION ALL
           |SELECT k, 'events_only' AS op FROM (SELECT k FROM eu EXCEPT SELECT k FROM ou) t
           |ORDER BY op, k""".stripMargin,
+
+      // word bigrams WITH multiplicity (len-1 positional grams), then the
+      // same two-level aggregation as Repetition.repetitionMetrics
+      "q45_repetition" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |g AS (SELECT doc_id, unnest(list_transform(range(greatest(len(ws)-1, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2])) AS g FROM w),
+          |pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+          |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+          |        count(*) AS n_distinct_grams, max(c) AS top_gram_n
+          |      FROM pg GROUP BY doc_id)
+          |SELECT doc_id, n_grams, n_distinct_grams, top_gram_n,
+          |  CAST(top_gram_n AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_frac,
+          |  CAST(n_grams - n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_gram_frac,
+          |  (CAST(top_gram_n AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.125 OR
+          |   CAST(n_grams - n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.5) AS is_repetitive
+          |FROM agg ORDER BY doc_id""".stripMargin,
+
+      // replants the same synthetic contact strings (pure functions of
+      // doc_id), then mirrors the RE2-compatible patterns and the fixed
+      // email -> ssn -> phone redaction order
+      "q46_pii_redaction" ->
+        """WITH aug AS (SELECT doc_id,
+          |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+          |    CASE WHEN doc_id % 3 = 0 THEN ' id ' ||
+          |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+          |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+          |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+          |    CASE WHEN doc_id % 2 = 0 THEN ' call 555-' ||
+          |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+          |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text2
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssns,
+          |  CAST(len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+          |  (len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) +
+          |   len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) +
+          |   len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) > 0 AS has_pii,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+          |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+          |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+          |FROM aug ORDER BY doc_id""".stripMargin,
+
+      // two-phase token census: per-(token, doc) counts, then the token
+      // rollup (tf = sum, df = count of docs), top-25 by tf with token
+      // tie-break; idf/tf_idf excluded (engine-local ln)
+      "q47_vocab_topk" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+          |pd AS (SELECT token, doc_id, count(*) AS c FROM w GROUP BY 1, 2),
+          |st AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df FROM pd GROUP BY token),
+          |n AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT token, tf, df,
+          |  CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) AS df_frac,
+          |  CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rnk
+          |FROM st, n ORDER BY tf DESC, token LIMIT 25""".stripMargin,
+
+      // manual CASE pivot mirrors Spark's pivot over the fixed A/N/R domain
+      "q48_pivot_monthly_flags" ->
+        """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+          |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_a,
+          |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_n,
+          |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_r
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q49_cube_flags" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |  coalesce(l_linestatus, 'ALL') AS status,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+      "q50_balance_quartiles" ->
+        """SELECT c_custkey, c_nationkey, c_acctbal,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |  cume_dist() OVER w AS cd,
+          |  percent_rank() OVER w AS pr
+          |FROM customer
+          |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+          |QUALIFY c_custkey % 7 = 0
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q51_json_props" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     )
   }
 }

@@ -75,6 +75,22 @@ object TextFunctions {
     }
   }
 
+  /** Word n-grams WITH multiplicity (positional, not deduplicated) — the
+   *  domain for repetition statistics, where how often a gram repeats is
+   *  the signal `wordShingles`' array_distinct would erase. Same
+   *  zip-with-shifted-slices construction (HOF lambdas are interpreted;
+   *  index-lambda forms re-run the split per element). */
+  def wordGrams(text: Column, n: Int): Column = {
+    require(n >= 1, "gram width must be >= 1")
+    if (n == 1) words(text)
+    else {
+      val grams = (2 to n).foldLeft(words(text))((acc, j) =>
+        zip_with(acc, slice(words(text), j, Int.MaxValue - 16),
+          (a, b) => concat(a, lit(" "), b)))
+      filter(grams, _.isNotNull)
+    }
+  }
+
   /** Hashes of all character k-grams of the raw text (rolling-hash
    *  fingerprint domain). Shorter-than-k texts yield the empty set.
    *  Interpreted-HOF formulation — kept as the cross-engine reference and

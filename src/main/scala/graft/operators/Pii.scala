@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * PII detection and redaction — the scrubbing stage a training-data
+ * pipeline runs before any text leaves curation. Pure map-side regex
+ * column expressions (codegen'd, no UDFs, no shuffle); patterns are
+ * deliberately RE2-compatible so external engines (and the DuckDB oracle)
+ * evaluate the identical language.
+ *
+ * Redaction order is fixed (email → ssn → phone) and the three patterns
+ * are mutually non-overlapping by construction (digit-group shapes
+ * differ), so redacted output is order-independent anyway.
+ */
+object Pii {
+
+  /** Lowercase email addresses. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  /** NNN-NN-NNNN (SSN shape). */
+  val SsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  /** NNN-NNN-NNNN (US phone shape). */
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  private def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /**
+   * Adds per-document PII metrics and the redacted text:
+   * `n_emails`, `n_ssns`, `n_phones`, `has_pii`, and `redacted` with each
+   * match replaced by its class tag (`[EMAIL]` / `[SSN]` / `[PHONE]`).
+   */
+  def withPiiMetrics(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_emails", countMatches(col(textCol), EmailPattern))
+      .withColumn("n_ssns", countMatches(col(textCol), SsnPattern))
+      .withColumn("n_phones", countMatches(col(textCol), PhonePattern))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ssns") + col("n_phones") > 0)
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
+            SsnPattern, "[SSN]"),
+          PhonePattern, "[PHONE]"))
+
+  /** Drop documents containing any PII (the conservative policy). */
+  def dropPii(docs: DataFrame, textCol: String): DataFrame = {
+    val marked = withPiiMetrics(docs, textCol)
+    marked.where(!col("has_pii")).select(docs.columns.map(col): _*)
+  }
+}

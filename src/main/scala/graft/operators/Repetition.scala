@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Repetition statistics per document — the Gopher/C4-style "repetitive
+ * content" quality rules a pre-training pipeline applies before dedup
+ * (excessive repeated n-grams signal boilerplate, spam, or degenerate
+ * generation; see the published Gopher data-curation rules).
+ *
+ * Metrics over word `n`-grams WITH multiplicity:
+ *  - `n_grams`        total gram occurrences
+ *  - `n_distinct_grams` distinct grams
+ *  - `top_gram_n`     occurrences of the most frequent gram
+ *  - `top_gram_frac`  top_gram_n / n_grams
+ *  - `dup_gram_frac`  (n_grams - n_distinct_grams) / n_grams
+ *  - `is_repetitive`  the gate (either fraction over its threshold)
+ *
+ * Scale posture: explode → two map-side-combinable aggregations keyed by
+ * (doc, gram) then (doc). Only gram strings and counts shuffle, never the
+ * document text; both fractions are exact integer counts divided in one
+ * IEEE double op each, so outputs are bit-deterministic at any
+ * parallelism. Documents with fewer than `n` words have no grams and
+ * produce no row (same contract as the shingle operators).
+ */
+object Repetition {
+
+  def repetitionMetrics(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 2,
+      maxTopGramFrac: Double = 0.125, maxDupGramFrac: Double = 0.5): DataFrame = {
+    val perGram = docs
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+    perGram
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("c")).as("top_gram_n"))
+      .withColumn("top_gram_frac",
+        col("top_gram_n").cast("double") / col("n_grams").cast("double"))
+      .withColumn("dup_gram_frac",
+        (col("n_grams") - col("n_distinct_grams")).cast("double") /
+          col("n_grams").cast("double"))
+      .withColumn("is_repetitive",
+        col("top_gram_frac") > maxTopGramFrac || col("dup_gram_frac") > maxDupGramFrac)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Corpus vocabulary statistics: term frequency, document frequency, and
+ * TF-IDF — the token-level census a tokenizer-training / data-balancing
+ * stage needs.
+ *
+ * Scale posture: explode words → per-(token, doc) counts (map-side
+ * combinable) → per-token rollup. Two shuffles keyed on the token, both
+ * moving only (token, count) rows; document text never shuffles, and the
+ * per-doc pre-aggregation means the second exchange carries at most one
+ * row per (token, doc) rather than one per occurrence. No distinct-agg
+ * Expand: df is `count(*)` over the pre-grouped rows.
+ *
+ * Determinism: tf/df are exact longs, `df_frac` is one IEEE division.
+ * `idf`/`tf_idf` use `ln` — fine inside one engine but libm rounding is
+ * not contractually identical across engines, so oracled queries project
+ * the log-free columns only (same policy as the sketch columns in q32).
+ */
+object Vocabulary {
+
+  /** Per-token corpus stats: tf (total occurrences), df (documents
+   *  containing it), df_frac, idf = ln((N+1)/(df+1)), tf_idf = tf·idf. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol), explode(words(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    perDoc
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("df_frac", col("df").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")))
+      .withColumn("tf_idf", col("tf").cast("double") * col("idf"))
+  }
+
+  /** Top-`k` tokens by tf (token asc tie-break) with a 1-based rank.
+   *  The top-k itself is `orderBy().limit(k)` — Spark's distributed
+   *  TakeOrdered, each partition keeps k — and only the k survivors pay
+   *  the single-partition ranking window. */
+  def topTokens(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = tokenStats(docs, idCol, textCol)
+      .orderBy(col("tf").desc, col("token")).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("token"))).cast("long"))
+  }
+}

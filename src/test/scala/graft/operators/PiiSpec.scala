@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii metrics: counts and class-tagged redaction") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@example.co.uk or call 555-123-4567"),
+      (2L, "ssn is 123-45-6789 ok"),
+      (3L, "clean text no contacts"),
+      (4L, "two mails a@b.io c@d.org and 999-888-7777"),
+    ).toDF("doc_id", "text")
+    val m = Pii.withPiiMetrics(docs, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_emails") == 1L)
+    assert(m(1L).getAs[Long]("n_phones") == 1L)
+    assert(m(1L).getAs[Long]("n_ssns") == 0L)
+    assert(m(1L).getAs[String]("redacted") == "mail me at [EMAIL] or call [PHONE]")
+    assert(m(2L).getAs[Long]("n_ssns") == 1L)
+    assert(m(2L).getAs[String]("redacted") == "ssn is [SSN] ok")
+    assert(!m(3L).getAs[Boolean]("has_pii"))
+    assert(m(3L).getAs[String]("redacted") == "clean text no contacts")
+    assert(m(4L).getAs[Long]("n_emails") == 2L)
+    assert(m(4L).getAs[String]("redacted") == "two mails [EMAIL] [EMAIL] and [PHONE]")
+  }
+
+  test("ssn and phone shapes do not cross-match") {
+    val docs = Seq((1L, "p 555-123-4567 s 111-22-3333")).toDF("doc_id", "text")
+    val r = Pii.withPiiMetrics(docs, "text").head()
+    assert(r.getAs[Long]("n_phones") == 1L)
+    assert(r.getAs[Long]("n_ssns") == 1L)
+    assert(r.getAs[String]("redacted") == "p [PHONE] s [SSN]")
+  }
+
+  test("dropPii keeps only clean documents with original columns") {
+    val docs = Seq(
+      (1L, "reach me x@y.com", "s1"),
+      (2L, "nothing here", "s2"),
+    ).toDF("doc_id", "text", "source")
+    val kept = Pii.dropPii(docs, "text")
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "source"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+}

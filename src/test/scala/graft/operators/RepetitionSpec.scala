@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition metrics: exact bigram counts and fractions") {
+    // "a b a b a b" -> bigrams: [a b, b a, a b, b a, a b] = 5 total,
+    // 2 distinct, top "a b" x3
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "one two three four"), // 3 bigrams, all distinct
+      (3L, "solo"),               // <2 words: no grams, no row
+    ).toDF("doc_id", "text")
+    val m = Repetition.repetitionMetrics(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m.keySet == Set(1L, 2L))
+    val r1 = m(1L)
+    assert(r1.getAs[Long]("n_grams") == 5L)
+    assert(r1.getAs[Long]("n_distinct_grams") == 2L)
+    assert(r1.getAs[Long]("top_gram_n") == 3L)
+    assert(r1.getAs[Double]("top_gram_frac") == 3.0 / 5.0)
+    assert(r1.getAs[Double]("dup_gram_frac") == 3.0 / 5.0)
+    assert(r1.getAs[Boolean]("is_repetitive"))
+    val r2 = m(2L)
+    assert(r2.getAs[Long]("n_grams") == 3L)
+    assert(r2.getAs[Double]("dup_gram_frac") == 0.0)
+    // NB: tiny docs still flag on top_gram_frac (1/3 > 0.125) — the gate
+    // is calibrated for real-corpus lengths; see the threshold test below
+    assert(r2.getAs[Double]("top_gram_frac") == 1.0 / 3.0)
+  }
+
+  test("repetition gate thresholds are inclusive-exclusive as declared") {
+    // 8 bigrams, top gram exactly 1/8 = 0.125 -> NOT over the default
+    // threshold (strict >)
+    val text = "x1 x2 x3 x4 x5 x6 x7 x8 x9" // 8 distinct bigrams
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Repetition.repetitionMetrics(docs, "doc_id", "text", n = 2).head()
+    assert(r.getAs[Double]("top_gram_frac") == 0.125)
+    assert(!r.getAs[Boolean]("is_repetitive"))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class VocabularySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats: tf counts occurrences, df counts documents") {
+    val docs = Seq(
+      (1L, "red red blue"),
+      (2L, "red green"),
+    ).toDF("doc_id", "text")
+    val m = Vocabulary.tokenStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("token") -> r).toMap
+    assert(m("red").getAs[Long]("tf") == 3L)
+    assert(m("red").getAs[Long]("df") == 2L)
+    assert(m("blue").getAs[Long]("tf") == 1L)
+    assert(m("blue").getAs[Long]("df") == 1L)
+    assert(m("red").getAs[Double]("df_frac") == 1.0)
+    // idf = ln((N+1)/(df+1)); engine-local (not oracled) but exact here
+    assert(m("blue").getAs[Double]("idf") == math.log(3.0 / 2.0))
+    assert(m("red").getAs[Double]("idf") == 0.0)
+  }
+
+  test("topTokens: tf-desc order with token tie-break and 1-based rank") {
+    val docs = Seq(
+      (1L, "zz aa zz aa zz aa mm"),
+    ).toDF("doc_id", "text")
+    val top = Vocabulary.topTokens(docs, "doc_id", "text", k = 2)
+      .select("token", "rank").collect().map(r => (r.getString(0), r.getLong(1)))
+    // aa and zz tie at tf=3 -> aa first alphabetically
+    assert(top.toSeq.sortBy(_._2) == Seq(("aa", 1L), ("zz", 2L)))
+  }
+}
