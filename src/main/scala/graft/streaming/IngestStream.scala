@@ -145,4 +145,43 @@ object IngestStream {
         col("window.start").as("bar_start"),
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("n_trades"))
+
+  /**
+   * Streaming sessionization via the built-in `session_window`: per-symbol
+   * activity sessions closed by `gap` of event-time inactivity (the
+   * streaming twin of TimeJoins.sessionize). Append mode — a session row
+   * emits once the watermark passes its close, so state is bounded by
+   * (open sessions × keys), not history.
+   */
+  def streamingSessions(ticks: DataFrame, gap: String, watermark: String): DataFrame =
+    ticks
+      .withWatermark("timestamp", watermark)
+      .groupBy(col("symbol"), session_window(col("timestamp"), gap))
+      .agg(count(lit(1)).as("n_ticks"),
+        min(col("timestamp")).as("first_tick"),
+        max(col("timestamp")).as("last_tick"))
+      .select(col("symbol"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("first_tick"), col("last_tick"), col("n_ticks"))
+
+  /**
+   * Stream-stream interval join: each tick picks up every mark for the
+   * same symbol within the trailing `toleranceMs` of event time. Both
+   * sides are watermarked and the join condition carries the time bound,
+   * so the engine can age out buffered state — the two requirements for an
+   * unbounded stream-stream join to run with finite state. `marks` must
+   * expose (mark_symbol, mark_ts, …) to keep the output schema
+   * unambiguous.
+   */
+  def streamStreamMarkJoin(
+      ticks: DataFrame, marks: DataFrame,
+      watermark: String, toleranceMs: Long): DataFrame = {
+    val l = ticks.withWatermark("timestamp", watermark)
+    val r = marks.withWatermark("mark_ts", watermark)
+    l.join(r,
+      col("symbol") === col("mark_symbol") &&
+        col("mark_ts") <= col("timestamp") &&
+        col("mark_ts") >= col("timestamp") - expr(s"INTERVAL $toleranceMs MILLISECONDS"))
+  }
 }

@@ -107,4 +107,51 @@ class IngestStreamSpec extends SparkSpec {
     assert(out.dropDuplicates("timestamp").count() == n)
     assert(n % 100 == 0, s"expected whole single batches, got $n")
   }
+
+  test("streaming session windows close on event-time gaps (session_window)") {
+    TickLake.configure(spark)
+    // 10 rows spread across each 10-min batch at 60 s cadence; keeping only
+    // positions 0-4 leaves a 6-min silence before the next batch, so each
+    // batch is one 5-tick session under a 5-min gap
+    val ticks = IngestStream.syntheticTicks(spark, "NQ",
+      rowsPerBatch = 10, advanceMsPerBatch = 600000L)
+      .where(pmod(unix_millis(col("timestamp")), lit(600000L)) < lit(300000L))
+    val sessions = IngestStream.streamingSessions(ticks, "5 minutes", "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+    runBatches(q, 6)
+    val out = spark.table("sessions_test")
+    assert(out.count() > 0, "no sessions closed past the watermark")
+    // every closed session is exactly one batch's five surviving ticks
+    assert(out.where(col("n_ticks") =!= 5).count() == 0)
+    // 4 minutes of ticks per session: last - first = 240 s
+    assert(out.where(
+      unix_millis(col("last_tick")) - unix_millis(col("first_tick")) =!= 240000L)
+      .count() == 0)
+  }
+
+  test("stream-stream interval join buffers and matches within the time bound") {
+    TickLake.configure(spark)
+    // ticks at 1/s; marks once a minute (position 0 of each batch)
+    def src() = IngestStream.syntheticTicks(spark, "NQ",
+      rowsPerBatch = 60, advanceMsPerBatch = 60000L)
+    val marks = src()
+      .where(pmod(unix_millis(col("timestamp")), lit(60000L)) === 0)
+      .select(col("symbol").as("mark_symbol"), col("timestamp").as("mark_ts"),
+        col("last_price").as("mark_price"))
+    val joined = IngestStream.streamStreamMarkJoin(
+      src(), marks, watermark = "2 minutes", toleranceMs = 60000L)
+      .select(col("symbol"), col("timestamp"), col("mark_ts"), col("mark_price"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+    runBatches(q, 5)
+    val out = spark.table("ssjoin_test")
+    assert(out.count() > 0, "stream-stream join emitted nothing")
+    // the interval law holds on every emitted row
+    assert(out.where(col("mark_ts") > col("timestamp") ||
+      col("mark_ts") < col("timestamp") - expr("INTERVAL 60000 MILLISECONDS"))
+      .count() == 0)
+    // a tick exactly on a minute mark matches both that mark and the prior one
+    assert(out.groupBy("timestamp").count().agg(max("count")).head().getLong(0) >= 2)
+  }
 }
