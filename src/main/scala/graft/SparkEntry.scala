@@ -681,6 +681,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
+
+    // Q52 — unpivot (wide → long): per-flag metric columns melted into
+    // (flag, metric, value) rows — the inverse of the q48 pivot
+    "q52_unpivot_metrics" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double").as("sum_price"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    // Q53 — embedding array stats through the codegen kernels: quantize
+    // once, exact integer squared norms, per-label rollup; rms is
+    // sqrt/division over exact aggregates (both correctly-rounded IEEE
+    // ops), so it is bit-identical cross-engine
+    "q53_embedding_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          Similarity.sqNorm(Similarity.quantize(col("embedding"))).as("nn"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+          sum(col("nn")).as("sum_nn"),
+          min(col("nn")).as("min_nn"), max(col("nn")).as("max_nn"))
+        .withColumn("rms_norm",
+          sqrt(col("sum_nn").cast("double") / col("n_vecs").cast("double")) / lit(1e6))
+        .orderBy(col("label"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1323,6 +1357,32 @@ object SparkEntry {
           |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
           |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // UNION ALL melt mirrors Spark's unpivot
+      "q52_unpivot_metrics" ->
+        """WITH a AS (SELECT l_returnflag,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+          |UNION ALL
+          |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+          |ORDER BY l_returnflag, metric""".stripMargin,
+
+      // same ppm quantization law as the similarity oracles (q19/q25/q31/
+      // q33): exact integer squared norms, IEEE sqrt/division at the end
+      "q53_embedding_stats" ->
+        """WITH q AS (SELECT label, len(embedding) AS dim,
+          |    CAST(list_sum(list_transform(
+          |      list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+          |      v -> v * v)) AS BIGINT) AS nn
+          |  FROM embeddings)
+          |SELECT label, count(*) AS n_vecs,
+          |  min(dim) AS min_dim, max(dim) AS max_dim,
+          |  CAST(sum(nn) AS BIGINT) AS sum_nn, min(nn) AS min_nn, max(nn) AS max_nn,
+          |  sqrt(CAST(sum(nn) AS BIGINT)::DOUBLE / CAST(count(*) AS DOUBLE)) / 1000000.0 AS rms_norm
+          |FROM q GROUP BY label ORDER BY label""".stripMargin,
     )
   }
 }

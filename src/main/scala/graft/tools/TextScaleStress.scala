@@ -54,6 +54,25 @@ object TextScaleStress {
         .agg(count(lit(1)), bit_xor(col("simhash"))).head().getLong(0)
     }
     println(s"[text-stress] simhashes = $sh")
+
+    val rep = time("repetition metrics (100k docs, ~8M bigrams)") {
+      graft.operators.Repetition.repetitionMetrics(docs, "doc_id", "text")
+        .agg(count(lit(1)), sum(when(col("is_repetitive"), 1L).otherwise(0L)))
+        .head()
+    }
+    println(s"[text-stress] repetition rows = ${rep.getLong(0)}, flagged = ${rep.getLong(1)}")
+
+    val vocab = time("vocabulary census + top-50 (100k docs, ~8M tokens)") {
+      graft.operators.Vocabulary.topTokens(docs, "doc_id", "text", k = 50).count()
+    }
+    println(s"[text-stress] top tokens = $vocab (vocab is 1000 hashed words)")
+
+    val pii = time("PII scan + redaction (100k docs)") {
+      graft.operators.Pii.withPiiMetrics(docs, "text")
+        .agg(sum(when(col("has_pii"), 1L).otherwise(0L)), sum(length(col("redacted"))))
+        .head().getLong(0)
+    }
+    println(s"[text-stress] pii docs = $pii (expect 0 on clean corpus)")
     spark.stop()
   }
 }
