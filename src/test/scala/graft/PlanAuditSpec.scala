@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "q27_interval_events" -> "bounded calendar span feeding the day-grain equi-join (the interval join itself is hash)",
     "q19_cosine_topk" -> "DECLARED brute-force baseline: broadcast query side x candidate scan is the semantics (scale paths are q25/q31/q33)",
     "q31_ann_ivf" -> "IVF index build: every vector scores against the broadcast centroid set (centroid count is the user-tuned knob, n/stride)",
+    "q47_vocab_topk" -> "single-row broadcast: the corpus doc count crossJoins onto the token stats (1 x V rows, structurally bounded)",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {
