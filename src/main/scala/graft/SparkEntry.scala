@@ -715,6 +715,34 @@ object SparkEntry {
           sqrt(col("sum_nn").cast("double") / col("n_vecs").cast("double")) / lit(1e6))
         .orderBy(col("label"))
     }),
+
+    // Q54 — Bloom-pruned decontamination: same exact law as q42 (the oracle
+    // is identical), different physical shape — benchmark shingle hashes
+    // build a driver Bloom filter, corpus shingles pass the map-side
+    // graft_bloom_contains probe BEFORE the join, so only bloom-positive
+    // shingles shuffle; the exact string join then removes false positives
+    "q54_bloom_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.contaminationReportBloom(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q55 — string-distance surface: edit distance between each customer
+    // name and its predecessor in the per-nation key order (lag window +
+    // levenshtein — both classic exact algorithms, integer output)
+    "q55_name_distance" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("prev_name", lag(col("c_name"), 1).over(w))
+        .where(col("prev_name").isNotNull && pmod(col("c_custkey"), lit(5)) === 0)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"), col("prev_name"),
+          levenshtein(col("c_name"), col("prev_name")).cast("long").as("edit_dist"))
+        .orderBy(col("c_custkey"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1383,6 +1411,36 @@ object SparkEntry {
           |  CAST(sum(nn) AS BIGINT) AS sum_nn, min(nn) AS min_nn, max(nn) AS max_nn,
           |  sqrt(CAST(sum(nn) AS BIGINT)::DOUBLE / CAST(count(*) AS DOUBLE)) / 1000000.0 AS rms_norm
           |FROM q GROUP BY label ORDER BY label""".stripMargin,
+
+      // identical law (and SQL) to q42: the bloom pre-prune is a physical
+      // optimization whose false positives die in the exact join, so the
+      // report is bit-identical to the unpruned path
+      "q54_bloom_decontamination" ->
+        """WITH w AS (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE source = 'src0'),
+          |corp AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+          |ex AS (SELECT doc_id, unnest(sh) AS s FROM corp),
+          |ov AS (SELECT doc_id, count(*) AS n_overlap FROM ex JOIN bench USING (s) GROUP BY doc_id)
+          |SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+          |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+          |  CASE WHEN len(c.sh) > 0
+          |       THEN CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / CAST(len(c.sh) AS DOUBLE)
+          |       ELSE 0.0 END AS contamination,
+          |  (CASE WHEN len(c.sh) > 0
+          |        THEN CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / CAST(len(c.sh) AS DOUBLE)
+          |        ELSE 0.0 END) >= 0.5 AS contaminated
+          |FROM corp c LEFT JOIN ov USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+
+      "q55_name_distance" ->
+        """SELECT c_custkey, c_nationkey, c_name, prev_name,
+          |  CAST(levenshtein(c_name, prev_name) AS BIGINT) AS edit_dist
+          |FROM (SELECT c_custkey, c_nationkey, c_name,
+          |    lag(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS prev_name
+          |  FROM customer) t
+          |WHERE prev_name IS NOT NULL AND c_custkey % 5 = 0
+          |ORDER BY c_custkey""".stripMargin,
     )
   }
 }

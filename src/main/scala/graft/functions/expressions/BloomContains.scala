@@ -1,0 +1,99 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+/**
+ * Membership probe against a plan-time Bloom filter over 64-bit hashes —
+ * the map-side pre-prune for membership joins whose build side is bounded
+ * (benchmark shingle sets, blocklists): rows that cannot match never
+ * reach the shuffle. False positives are possible (callers keep an exact
+ * verify stage — results stay identical), false negatives are not.
+ *
+ * The bitset ships with the plan as a referenced object (same mechanism
+ * as any broadcast literal); probes are k double-hash positions
+ * `(h1 + i·h2) mod m` with m a power of two, so each probe is one AND +
+ * shift on a long. Build the filter with [[BloomFilter64.build]].
+ */
+case class BloomContains(child: Expression, bits: Array[Long], k: Int)
+    extends UnaryExpression {
+
+  require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
+    "bloom bitset length must be a power of two (words)")
+  require(k >= 1 && k <= 16, "bloom probe count must be in [1, 16]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_contains expects bigint, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override def nullSafeEval(input: Any): Any =
+    BloomFilter64.contains(bits, k, input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.expressions.BloomFilter64.contains($bitsRef, $k, $h);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomFilter64 {
+
+  /** 64-bit finalizer mix (splitmix64) — spreads the 60-bit md5-derived
+   *  hashes over the full word before double hashing. */
+  @inline def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Probe: k positions (h1 + i·h2) & (m-1) over the bit array. */
+  def contains(bits: Array[Long], k: Int, h: Long): Boolean = {
+    val mMask = (bits.length.toLong << 6) - 1L
+    val h1 = mix(h)
+    val h2 = mix(h1) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = (h1 + i * h2) & mMask
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Size and populate a filter for `hashes` at target false-positive
+   *  rate `fpp`: m = -n·ln(p)/ln²2 rounded up to a power of two,
+   *  k = round(m/n·ln2), then every hash inserted. */
+  def build(hashes: Array[Long], fpp: Double): (Array[Long], Int) = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val n = math.max(hashes.length, 1)
+    val ln2 = math.log(2.0)
+    val mIdeal = math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toLong
+    val words = math.max(1, java.lang.Long.highestOneBit(
+      math.max(1L, (mIdeal + 63) / 64) * 2 - 1)).toInt
+    val k = math.max(1, math.min(16,
+      math.round(words.toLong * 64.0 / n * ln2).toInt))
+    val bits = new Array[Long](words)
+    val mMask = (words.toLong << 6) - 1L
+    hashes.foreach { h =>
+      val h1 = mix(h)
+      val h2 = mix(h1) | 1L
+      var i = 0
+      while (i < k) {
+        val pos = (h1 + i * h2) & mMask
+        bits((pos >>> 6).toInt) |= (1L << (pos & 63L))
+        i += 1
+      }
+    }
+    (bits, k)
+  }
+}

@@ -72,4 +72,60 @@ object Decontamination {
         .where(!col("contaminated"))
         .select(col(idCol)),
       idCol)
+
+  /**
+   * Bloom-pruned variant of [[contaminationReport]] — bit-identical
+   * output, different physical shape for the 100 TB case where the corpus
+   * dwarfs the benchmark:
+   *
+   *  1. The benchmark's distinct shingle hashes (60-bit portable — ids of
+   *     the shingle domain, never corpus data) collect to the driver and
+   *     build a Bloom filter at `fpp`. Eval suites are bounded, so this is
+   *     the same bounded-collect class as the bitmap dictionary in Dedup.
+   *  2. Corpus shingles pass the map-side [[graft.functions.expressions.BloomContains]]
+   *     probe BEFORE the equi-join — only (rare) bloom-positive shingles
+   *     shuffle; definite non-members never leave their input partition.
+   *     False positives are eliminated by the exact string join that
+   *     follows, so the report is exactly [[contaminationReport]]'s.
+   *
+   * Tradeoff: the per-doc total shingle count aggregates from a second
+   * map-side pass over the corpus (cheap CPU, (id, count) partials), in
+   * exchange for the join shuffle shrinking from every corpus shingle to
+   * bloom-positive ones only.
+   */
+  def contaminationReportBloom(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextFunctions.portableHash
+    import graft.functions.expressions.{BloomContains, BloomFilter64}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val benchShingles = benchmark
+      .select(explode(wordShingles(col(textCol), shingleN)).as("s"))
+      .distinct()
+    val benchHashes = benchShingles
+      .select(portableHash(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    val (bits, k) = BloomFilter64.build(benchHashes, fpp)
+    val corpusShingles = corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("s"))
+    val perDocTotal = corpusShingles
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val overlap = corpusShingles
+      .where(Bridge.column(BloomContains(
+        Bridge.expression(portableHash(col("s"))), bits, k)))
+      .join(benchShingles, Seq("s"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .select(col(idCol))
+      .join(perDocTotal, Seq(idCol), "left")
+      .join(overlap, Seq(idCol), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("contamination") >= threshold)
+  }
 }

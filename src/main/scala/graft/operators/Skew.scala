@@ -45,4 +45,25 @@ object Skew {
       .groupBy(keyCols.map(col): _*)
       .agg(min(col("_pmin")).as(s"min_$alias"), max(col("_pmax")).as(s"max_$alias"))
   }
+
+  /**
+   * Salted equi-join for a skewed PROBE side: each probe row gets a
+   * deterministic salt from `probeSaltCol` (a per-row column — an id, an
+   * event id — NOT the join key, whose hot value is the problem), and the
+   * build side replicates `buckets`× so every (key, salt) pair finds its
+   * match. A hot key's probe rows then spread over `buckets` reducers
+   * instead of one. Result is row-identical to the plain inner join.
+   *
+   * Use when AQE's runtime skew splitting is unavailable (it only splits
+   * sort-merge partitions) or when a deterministic pre-split is required;
+   * cost is the `buckets`× replication of the build side, so keep the
+   * build side the small one.
+   */
+  def saltedEquiJoin(
+      probe: DataFrame, build: DataFrame, keys: Seq[String],
+      probeSaltCol: Column, buckets: Int = 16): DataFrame = {
+    val p = probe.withColumn("_salt", pmod(hash(probeSaltCol), lit(buckets)))
+    val b = build.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+    p.join(b, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.expressions.BloomFilter64
+
+class BloomFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom filter: zero false negatives, bounded false positives") {
+    val members = (0L until 5000L).map(i => TextFunctions.portableHash64(s"m$i")).toArray
+    val (bits, k) = BloomFilter64.build(members, fpp = 0.01)
+    // every inserted hash MUST pass
+    assert(members.forall(BloomFilter64.contains(bits, k, _)))
+    // non-members pass at roughly fpp (allow generous slack for variance)
+    val probes = (0L until 20000L).map(i => TextFunctions.portableHash64(s"x$i"))
+    val fp = probes.count(BloomFilter64.contains(bits, k, _))
+    assert(fp < 20000 * 0.03, s"false-positive rate too high: $fp / 20000")
+  }
+
+  test("BloomContains expression evaluates inside codegen identically to the kernel") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.BloomContains
+    val members = Array("alpha", "beta", "gamma").map(TextFunctions.portableHash64)
+    val (bits, k) = BloomFilter64.build(members, fpp = 0.001)
+    val df = Seq("alpha", "beta", "gamma", "delta", "epsilon").toDF("s")
+      .withColumn("hit", Bridge.column(BloomContains(
+        Bridge.expression(TextFunctions.portableHash(col("s"))), bits, k)))
+    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("alpha") && got("beta") && got("gamma"))
+    // delta/epsilon are overwhelmingly-likely misses at fpp 0.001 over 3
+    // members; equality with the driver kernel is the real assertion
+    val expect = Seq("alpha", "beta", "gamma", "delta", "epsilon").map(s =>
+      s -> BloomFilter64.contains(bits, k, TextFunctions.portableHash64(s))).toMap
+    assert(got == expect)
+  }
+
+  test("bloom-pruned contamination report equals the exact report") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // fully contaminated
+      (2L, "an entirely different document with its own words inside"),
+      (3L, "the quick brown fox went somewhere else entirely now"), // partial
+      (4L, "x y"), // too short to shingle
+    ).toDF("doc_id", "text")
+    val exact = graft.operators.Decontamination
+      .contaminationReport(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val bloomed = graft.operators.Decontamination
+      .contaminationReportBloom(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(bloomed == exact)
+    assert(exact.map(_.getAs[Boolean]("contaminated")) == Seq(true, false, false, false))
+  }
+}

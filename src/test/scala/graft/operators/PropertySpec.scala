@@ -56,6 +56,76 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: salted equi-join equals plain equi-join") {
+    forAll(Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "hot"), Gen.choose(0, 999)))) { rows =>
+      whenever(rows.nonEmpty) {
+        val probe = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+          .toDF("k", "v", "row_id")
+        val build = Seq(("a", 1L), ("b", 2L), ("hot", 3L)).toDF("k", "dim")
+        val salted = Skew.saltedEquiJoin(probe, build, Seq("k"), col("row_id"), buckets = 4)
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+        val plain = probe.join(build, Seq("k"))
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+        assert(salted.toSeq == plain.toSeq)
+      }
+    }
+  }
+
+  test("property: repetition metrics equal brute-force bigram counting") {
+    forAll(Gen.listOfN(4, docGen)) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = Repetition.repetitionMetrics(docs, "doc_id", "text")
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct_grams"),
+              r.getAs[Long]("top_gram_n")))).toMap
+        texts.zipWithIndex.foreach { case (t, i) =>
+          val ws = t.trim.toLowerCase.split("\\s+").toSeq
+          val grams = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+          if (grams.isEmpty) assert(!got.contains(i.toLong))
+          else {
+            val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+            assert(got(i.toLong) ==
+              ((grams.size.toLong, counts.size.toLong, counts.values.max.toLong)))
+          }
+        }
+      }
+    }
+  }
+
+  test("property: PII redaction is idempotent and clean text is untouched") {
+    val contactGen: Gen[String] = Gen.oneOf(
+      "x@y.io", "a.b@c.org", "555-123-4567", "111-22-3333", "nothing")
+    forAll(Gen.listOfN(6, Gen.zip(docGen, contactGen))) { rows =>
+      whenever(rows.nonEmpty) {
+        val docs = rows.zipWithIndex
+          .map { case ((t, c), i) => (i.toLong, s"$t $c") }.toDF("doc_id", "text")
+        val once = Pii.withPiiMetrics(docs, "text")
+          .select(col("doc_id"), col("redacted").as("text"))
+        val twice = Pii.withPiiMetrics(once, "text")
+        // second pass finds nothing and changes nothing
+        assert(twice.where(col("has_pii")).count() == 0)
+        assert(twice.where(col("redacted") =!= col("text")).count() == 0)
+      }
+    }
+  }
+
+  test("property: vocabulary tf sums to the corpus token count") {
+    forAll(Gen.listOfN(5, docGen)) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val stats = Vocabulary.tokenStats(docs, "doc_id", "text")
+        val tfSum = stats.agg(sum("tf")).head().getLong(0)
+        val nTokens = texts.map(_.trim.toLowerCase.split("\\s+").length.toLong).sum
+        assert(tfSum == nTokens)
+        // df never exceeds the doc count; every df >= 1
+        assert(stats.where(col("df") < 1 || col("df") > texts.size).count() == 0)
+      }
+    }
+  }
+
   test("property: session gaps within <= threshold, across > threshold") {
     val tsGen = Gen.listOfN(25, Gen.choose(0L, 86400L)).map(_.distinct.sorted)
     forAll(tsGen) { seconds =>
