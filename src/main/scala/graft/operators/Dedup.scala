@@ -150,7 +150,12 @@ object Dedup {
     // with no explode and no shuffle (the old explode/min-agg stage hashed
     // every (doc, shingle) row — ~50 rows per doc — through an exchange).
     val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
-    val bands = lshBands(sig, idCol, numHashes, rowsPerBand)
+    // checkpoint the LEAN band frame (id, band, band_key — never text or
+    // vectors) before the self-join: Spark broadcasts one side of the
+    // band join, so without materialization BOTH sides re-run the scan +
+    // signature kernel; with it the kernel runs once and the join reads
+    // cached blocks twice
+    val bands = lshBands(sig, idCol, numHashes, rowsPerBand).localCheckpoint(true)
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Does the LSH band self-join reuse one exchange for both sides, or
+ *  compute the signature pipeline twice? (ReusedExchange check.) */
+object BandJoinPlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val sig = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
+    val bands = graft.operators.Dedup.lshBands(sig, "doc_id", 16, 2)
+    val cands = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+    cands.write.mode("overwrite").format("noop").save()
+    val plan = cands.queryExecution.executedPlan.toString
+    println(s"[band-probe] ReusedExchange occurrences: ${plan.split("ReusedExchange").length - 1}")
+    println(s"[band-probe] scans: ${plan.split("Scan parquet").length - 1}")
+    println(plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("ShuffleQueryStage") || l.contains("Scan parquet") || l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).mkString("\n"))
+    spark.stop()
+  }
+}

@@ -73,6 +73,27 @@ object TextScaleStress {
         .head().getLong(0)
     }
     println(s"[text-stress] pii docs = $pii (expect 0 on clean corpus)")
+
+    // decontamination: first 1000 docs play the benchmark set (every 50th
+    // corpus doc near-copies its predecessor, so docs 949/999/1049... of
+    // the "corpus" overlap heavily with nothing in bench — expected
+    // contamination comes only from vocab-coincidence shingles)
+    val bench = docs.where(col("doc_id") < 1000)
+    val corpus = docs.where(col("doc_id") >= 1000)
+    val exDecon = time("decontamination, exact join (99k x 1k docs)") {
+      graft.operators.Decontamination.contaminationReport(
+          corpus, bench, "doc_id", "text")
+        .agg(sum(when(col("contaminated"), 1L).otherwise(0L)), sum(col("n_overlap")))
+        .head()
+    }
+    println(s"[text-stress] exact decon: contaminated = ${exDecon.getLong(0)}, overlap = ${exDecon.getLong(1)}")
+    val blDecon = time("decontamination, bloom-pruned (99k x 1k docs)") {
+      graft.operators.Decontamination.contaminationReportBloom(
+          corpus, bench, "doc_id", "text")
+        .agg(sum(when(col("contaminated"), 1L).otherwise(0L)), sum(col("n_overlap")))
+        .head()
+    }
+    println(s"[text-stress] bloom decon: contaminated = ${blDecon.getLong(0)}, overlap = ${blDecon.getLong(1)} (must equal exact)")
     spark.stop()
   }
 }
