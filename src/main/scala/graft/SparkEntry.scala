@@ -743,6 +743,40 @@ object SparkEntry {
           levenshtein(col("c_name"), col("prev_name")).cast("long").as("edit_dist"))
         .orderBy(col("c_custkey"))
     }),
+
+    // Q56 — engine-portable Pearson correlation: the built-in corr() sums
+    // doubles (order-sensitive), so the law here runs the textbook formula
+    // over EXACT decimal/long aggregates — value has <= 2 decimals, every
+    // product/sum below is exact, the numerator and x-variance terms round
+    // to integers (both engines' magnitudes stay under 2^53 at any sf),
+    // and only the final divide/sqrt are IEEE ops
+    "q56_correlation" -> ((s, dir) => {
+      val b = t(s, dir, "events").select(col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("x"),
+        get_json_object(col("props"), "$.k").cast("long").as("y"))
+      val a = b.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(DecimalType(18, 2)).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast(DecimalType(19, 2)) * col("y").cast(DecimalType(12, 0)))
+          .cast(DecimalType(18, 2)).as("sxy"),
+        sum(col("x") * col("x")).cast(DecimalType(18, 4)).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      a.select(col("event_type"), col("n"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("syy"),
+          (col("n").cast(DecimalType(12, 0)) * col("sxy") -
+            col("sx").cast(DecimalType(25, 2)) * col("sy").cast(DecimalType(12, 0)))
+            .cast(DecimalType(18, 0)).as("num"),
+          (col("n").cast(DecimalType(12, 0)) * col("sxx") - col("sx") * col("sx"))
+            .cast(DecimalType(18, 0)).as("d1"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+        .select(col("event_type"), col("n"),
+          col("sx").cast("double").as("sum_v"), col("sy").as("sum_k"),
+          (col("num").cast("double") /
+            (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))))
+            .as("corr_vk"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1441,6 +1475,29 @@ object SparkEntry {
           |  FROM customer) t
           |WHERE prev_name IS NOT NULL AND c_custkey % 5 = 0
           |ORDER BY c_custkey""".stripMargin,
+
+      // the same exact-aggregate correlation law; round(x, 0) is
+      // half-away-from-zero = Spark's HALF_UP decimal cast for both signs
+      "q56_correlation" ->
+        """WITH b AS (SELECT event_type,
+          |    CAST(value AS DECIMAL(18,2)) AS x,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+          |  FROM events),
+          |a AS (SELECT event_type, count(*) AS n,
+          |    CAST(sum(x) AS DECIMAL(18,2)) AS sx,
+          |    CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(CAST(x AS DECIMAL(28,2)) * y) AS DECIMAL(18,2)) AS sxy,
+          |    CAST(sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))) AS DECIMAL(18,4)) AS sxx,
+          |    CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM b GROUP BY event_type),
+          |f AS (SELECT event_type, n, sx, sy,
+          |    CAST(round(CAST(n AS DECIMAL(12,0)) * sxy - CAST(sx AS DECIMAL(26,2)) * sy, 0) AS DECIMAL(18,0)) AS num,
+          |    CAST(round(CAST(n AS DECIMAL(12,0)) * sxx - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2)), 0) AS DECIMAL(18,0)) AS d1,
+          |    n * syy - sy * sy AS d2
+          |  FROM a)
+          |SELECT event_type, n, CAST(sx AS DOUBLE) AS sum_v, sy AS sum_k,
+          |  CAST(num AS DOUBLE) / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))) AS corr_vk
+          |FROM f ORDER BY event_type""".stripMargin,
     )
   }
 }
