@@ -777,6 +777,25 @@ object SparkEntry {
             .as("corr_vk"))
         .orderBy(col("event_type"))
     }),
+
+    // Q57 — forward as-of join: each probed event picks up the NEXT
+    // same-user signup at-or-after its timestamp (mirror of q26; DuckDB's
+    // native ASOF with a <= condition is the oracle)
+    "q57_asof_forward" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val signups = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("value")).as("signup_value"))
+        .select(col("user_id"), col("signup_ts"), col("signup_value"))
+      TimeJoins.asOfForward(
+          e.where(pmod(col("event_id"), lit(17)) === 0)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          signups.withColumn("ts", col("signup_ts")),
+          Seq("user_id"), "ts", "ts", Seq("signup_ts", "signup_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("signup_ts"), col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1498,6 +1517,15 @@ object SparkEntry {
           |SELECT event_type, n, CAST(sx AS DOUBLE) AS sum_v, sy AS sum_k,
           |  CAST(num AS DOUBLE) / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))) AS corr_vk
           |FROM f ORDER BY event_type""".stripMargin,
+
+      "q57_asof_forward" ->
+        """WITH signups AS (SELECT user_id, ts AS signup_ts, max(value) AS signup_value
+          |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+          |probe AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 17 = 0)
+          |SELECT p.event_id, p.user_id, p.ts, s.signup_ts, s.signup_value
+          |FROM probe p ASOF LEFT JOIN signups s
+          |  ON p.user_id = s.user_id AND p.ts <= s.signup_ts
+          |ORDER BY p.event_id""".stripMargin,
     )
   }
 }

@@ -54,6 +54,41 @@ object TimeJoins {
   }
 
   /**
+   * Forward as-of join: attach to every left row the payload of the
+   * EARLIEST right row with `rightTs >= leftTs` within the same key — the
+   * "next quote/mark at or after" lookup, mirror of [[asOfBackward]].
+   *
+   * Right rows tag with a side sorting AFTER left at equal ts, and the
+   * window takes the running `first(payload, ignoreNulls)` over
+   * [currentRow, unboundedFollowing], so a right row stamped exactly at
+   * leftTs matches (>= semantics). Same one-shuffle posture.
+   */
+  def asOfForward(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .select((keyCols.map(col) :+ col("_ts") :+ col("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(2))
+      .select((keyCols.map(col) :+ col("_ts") :+ col("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    matched.where(col("_side") === 1).drop("_ts", "_side")
+  }
+
+  /**
    * Interval-containment join at day grain: rows of `events` whose
    * `dayCol` falls inside an interval of `intervals`
    * ([startCol, endCol], both DateType, inclusive). The interval side is

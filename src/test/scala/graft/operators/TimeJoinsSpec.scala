@@ -33,6 +33,28 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out(3).getAs[Timestamp]("quote_ts") == ts("2024-01-01 10:05:00"))
   }
 
+  test("asOfForward attaches the earliest right row at-or-after each left ts") {
+    val quotes = Seq(
+      ("NQ", ts("2024-01-01 10:00:00"), 100.0),
+      ("NQ", ts("2024-01-01 10:05:00"), 101.0),
+      ("ES", ts("2024-01-01 10:01:00"), 50.0),
+    ).toDF("symbol", "ts", "quote")
+    val trades = Seq(
+      (1L, "NQ", ts("2024-01-01 09:59:59")), // before any quote -> 100
+      (2L, "NQ", ts("2024-01-01 10:00:00")), // exactly at quote -> 100 (>= matches)
+      (3L, "NQ", ts("2024-01-01 10:04:59")), // between -> 101
+      (4L, "NQ", ts("2024-01-01 10:06:00")), // after last -> null
+      (5L, "ES", ts("2024-01-01 10:00:00")), // other key -> 50
+    ).toDF("trade_id", "symbol", "ts")
+    val out = TimeJoins.asOfForward(trades,
+        quotes.withColumnRenamed("ts", "quote_ts").withColumn("ts", col("quote_ts")),
+        Seq("symbol"), "ts", "ts", Seq("quote_ts", "quote"))
+      .orderBy("trade_id").collect()
+    assert(out.map(r => Option(r.getAs[Any]("quote"))).toSeq ==
+      Seq(Some(100.0), Some(100.0), Some(101.0), None, Some(50.0)))
+    assert(out(0).getAs[Timestamp]("quote_ts") == ts("2024-01-01 10:00:00"))
+  }
+
   test("intervalJoinByDay matches the theta-join semantics") {
     val intervals = Seq(
       ("u1", java.sql.Date.valueOf("2024-01-10"), java.sql.Date.valueOf("2024-01-12")),
