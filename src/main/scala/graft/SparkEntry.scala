@@ -796,6 +796,22 @@ object SparkEntry {
           col("signup_ts"), col("signup_value"))
         .orderBy(col("event_id"))
     }),
+
+    // Q58 — time-series resample + forward fill: a 6-hour grid per sampled
+    // user carrying the latest event value at-or-before each grid point
+    // (grid explode + backward as-of composed; DuckDB ASOF over the same
+    // integer-truncated grid is the oracle)
+    "q58_resample_ffill" -> ((s, dir) => {
+      val src = t(s, dir, "events")
+        .where(pmod(col("user_id"), lit(10)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("last_value"))
+        .withColumn("src_ts", col("ts"))
+      TimeJoins.resampleFfill(src, Seq("user_id"), "ts",
+          Seq("src_ts", "last_value"), stepSeconds = 21600L)
+        .select(col("user_id"), col("grid_ts"), col("src_ts"), col("last_value"))
+        .orderBy(col("user_id"), col("grid_ts"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1526,6 +1542,18 @@ object SparkEntry {
           |FROM probe p ASOF LEFT JOIN signups s
           |  ON p.user_id = s.user_id AND p.ts <= s.signup_ts
           |ORDER BY p.event_id""".stripMargin,
+
+      "q58_resample_ffill" ->
+        """WITH f AS (SELECT user_id, ts, max(value) AS last_value
+          |  FROM events WHERE user_id % 10 = 0 GROUP BY user_id, ts),
+          |b AS (SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM f GROUP BY user_id),
+          |g AS (SELECT user_id, unnest(generate_series(t0 // 21600000000 * 21600000000, t1, 21600000000)) AS gus FROM b),
+          |grid AS (SELECT user_id, make_timestamp(gus) AS grid_ts FROM g),
+          |s AS (SELECT user_id, ts, ts AS src_ts, last_value FROM f)
+          |SELECT grid.user_id, grid.grid_ts, s.src_ts, s.last_value
+          |FROM grid ASOF LEFT JOIN s
+          |  ON grid.user_id = s.user_id AND s.ts <= grid.grid_ts
+          |ORDER BY grid.user_id, grid.grid_ts""".stripMargin,
     )
   }
 }

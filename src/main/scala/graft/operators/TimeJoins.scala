@@ -106,6 +106,34 @@ object TimeJoins {
   }
 
   /**
+   * Resample to a fixed grid with forward fill: per key, emit one row per
+   * `stepSeconds` from the key's first timestamp (truncated down to the
+   * grid) through its last, carrying the payload of the latest input row
+   * at-or-before each grid point (null before the first). The standard
+   * time-series densification (ffill) — built from the calendar-explode +
+   * backward-as-of primitives, so it inherits their one-shuffle posture.
+   *
+   * `df` must be unique per (key, ts) — pre-aggregate duplicates, or the
+   * fill value at a tied timestamp is nondeterministic.
+   */
+  def resampleFfill(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      payloadCols: Seq[String], stepSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val stepUs = stepSeconds * 1000000L
+    val grid = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(unix_micros(col(tsCol).cast("timestamp"))).as("_t0us"),
+        max(unix_micros(col(tsCol).cast("timestamp"))).as("_t1us"))
+      .select((keyCols.map(col) :+
+        explode(sequence(expr(s"_t0us DIV $stepUs") * stepUs,
+          col("_t1us"), lit(stepUs))).as("_gus")): _*)
+      .withColumn("grid_ts", timestamp_micros(col("_gus")).cast(TimestampNTZType))
+      .drop("_gus")
+    asOfBackward(grid, df, keyCols, "grid_ts", tsCol, payloadCols)
+  }
+
+  /**
    * Gap-based sessionization: assigns `session_id` (0-based per key) that
    * increments whenever the time since the previous event exceeds
    * `gapSeconds`. Deterministic total order via (ts, tieBreak).

@@ -55,6 +55,22 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out(0).getAs[Timestamp]("quote_ts") == ts("2024-01-01 10:00:00"))
   }
 
+  test("resampleFfill densifies to the grid and forward-fills") {
+    val src = Seq(
+      ("NQ", ts("2024-01-01 10:00:30"), 1.0), // grid starts at 10:00 (truncated)
+      ("NQ", ts("2024-01-01 10:02:10"), 2.0),
+      ("NQ", ts("2024-01-01 10:05:00"), 3.0),
+    ).toDF("symbol", "ts", "v").withColumn("src_ts", col("ts"))
+    val out = TimeJoins.resampleFfill(src, Seq("symbol"), "ts",
+        Seq("src_ts", "v"), stepSeconds = 60L)
+      .orderBy("grid_ts").collect()
+    // grid: 10:00, 10:01, ..., 10:05 — six points
+    assert(out.length == 6)
+    assert(out.map(r => Option(r.getAs[Any]("v"))).toSeq ==
+      Seq(None, Some(1.0), Some(1.0), Some(2.0), Some(2.0), Some(3.0)))
+    assert(out(5).getAs[Timestamp]("src_ts") == ts("2024-01-01 10:05:00"))
+  }
+
   test("intervalJoinByDay matches the theta-join semantics") {
     val intervals = Seq(
       ("u1", java.sql.Date.valueOf("2024-01-10"), java.sql.Date.valueOf("2024-01-12")),
