@@ -812,6 +812,15 @@ object SparkEntry {
         .select(col("user_id"), col("grid_ts"), col("src_ts"), col("last_value"))
         .orderBy(col("user_id"), col("grid_ts"))
     }),
+
+    // Q59 — context-window chunking: 40-token windows, 10-token overlap
+    // (stride 30) over each document's whitespace tokens; the oracle
+    // slices the same arrays
+    "q59_doc_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.chunkDocuments(
+          t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 40, overlapTokens = 10)
+        .orderBy(col("doc_id"), col("chunk_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1554,6 +1563,16 @@ object SparkEntry {
           |FROM grid ASOF LEFT JOIN s
           |  ON grid.user_id = s.user_id AND s.ts <= grid.grid_ts
           |ORDER BY grid.user_id, grid.grid_ts""".stripMargin,
+
+      // chunk starts = range(0, n, stride); 1-based inclusive list slice
+      // mirrors Spark's slice(start, length)
+      "q59_doc_chunks" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 30)) AS cs FROM w)
+          |SELECT doc_id, CAST(cs // 30 AS BIGINT) AS chunk_id, CAST(cs AS BIGINT) AS chunk_start,
+          |  array_to_string(ws[cs + 1 : cs + 40], ' ') AS chunk_text,
+          |  CAST(least(40, len(ws) - cs) AS BIGINT) AS chunk_tokens
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     )
   }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.words
+
+/**
+ * Document chunking: split each document into fixed-width token windows
+ * with overlap — the context-window shaping step a training pipeline runs
+ * on documents longer than the model's window (the companion of
+ * [[Packing]], which handles documents shorter than it).
+ *
+ * Law: chunk starts are `0, stride, 2·stride, …` over the whitespace
+ * token array (stride = chunkTokens − overlapTokens); each chunk takes
+ * `chunkTokens` tokens from its start (the final chunk may be shorter,
+ * and a chunk starts only while its start index is inside the document).
+ *
+ * Pure map-side: words → posexplode over the start sequence → slice +
+ * join. No shuffle at all; deterministic and engine-replayable (the
+ * DuckDB oracle slices the same arrays).
+ */
+object Chunking {
+
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      "need chunkTokens > overlapTokens >= 0")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol), words(col(textCol)).as("_w"))
+      .withColumn("_n", size(col("_w")))
+      .select(col(idCol), col("_w"), col("_n"),
+        posexplode(sequence(lit(0), col("_n") - 1, lit(stride)))
+          .as(Seq("chunk_id", "chunk_start")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        array_join(slice(col("_w"), (col("chunk_start") + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens.toLong), (col("_n") - col("chunk_start")).cast("long"))
+          .as("chunk_tokens"))
+  }
+}

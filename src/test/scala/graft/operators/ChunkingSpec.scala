@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDocuments: overlapping windows with exact boundaries") {
+    // 10 tokens, chunk 4, overlap 1 -> stride 3 -> starts 0, 3, 6, 9
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunking.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Long]("chunk_start")).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(out.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(out.map(_.getAs[Long]("chunk_tokens")).toSeq == Seq(4L, 4L, 4L, 1L))
+  }
+
+  test("chunkDocuments: short document yields one short chunk") {
+    val docs = Seq((1L, "only three words")).toDF("doc_id", "text")
+    val out = Chunking.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 40, overlapTokens = 10).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("chunk_text") == "only three words")
+    assert(out.head.getAs[Long]("chunk_tokens") == 3L)
+  }
+}
