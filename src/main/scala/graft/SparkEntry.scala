@@ -821,6 +821,16 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text",
           chunkTokens = 40, overlapTokens = 10)
         .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Q60 — stratified quota sampling: exactly 10 docs per source, the 10
+    // smallest salted portable hashes (deterministic uniform draw; the
+    // oracle replays the identical hash order)
+    "q60_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedTakeK(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", k = 10)
+        .select(col("source"), col("sample_rank"), col("doc_id"))
+        .orderBy(col("source"), col("sample_rank"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1573,6 +1583,16 @@ object SparkEntry {
           |  array_to_string(ws[cs + 1 : cs + 40], ' ') AS chunk_text,
           |  CAST(least(40, len(ws) - cs) AS BIGINT) AS chunk_tokens
           |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+      "q60_stratified_sample" ->
+        """WITH h AS (SELECT source, doc_id,
+          |    ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+          |  FROM documents),
+          |r AS (SELECT source, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS BIGINT) AS sample_rank
+          |  FROM h)
+          |SELECT source, sample_rank, doc_id FROM r
+          |WHERE sample_rank <= 10 ORDER BY source, sample_rank""".stripMargin,
     )
   }
 }

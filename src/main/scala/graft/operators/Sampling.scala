@@ -77,4 +77,26 @@ object Sampling {
       }
     df.withColumn("split", labeled)
   }
+
+  /**
+   * Stratified quota sampling: exactly `k` rows per group (fewer if the
+   * group is smaller), chosen as the k smallest portable hashes of the
+   * id — a deterministic uniform draw that is stable under corpus growth
+   * everywhere EXCEPT genuine hash-order insertions (the standard
+   * "take-k-by-hash" eval-set recipe; `rand()`-ordered sampling is
+   * neither reproducible nor engine-portable).
+   *
+   * One window shuffle partitioned by the group; ties cannot occur
+   * (distinct ids hash distinctly mod 2^60 with near-certainty, and the
+   * id itself tie-breaks).
+   */
+  def stratifiedTakeK(
+      df: DataFrame, idCol: String, groupCol: String, k: Int,
+      salt: String = "strat"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = portableHash(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
 }

@@ -50,4 +50,21 @@ class SamplingSpec extends SparkSpec {
     assert(labeled.size == 2 && labeled.values.forall(_ > 300),
       s"correlated mix/split decisions: $labeled")
   }
+
+  test("stratifiedTakeK: exact quota per group, hash-order deterministic") {
+    val docs = (1L to 40L).map(i => (i, if (i <= 25) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = Sampling.stratifiedTakeK(docs, "doc_id", "source", k = 5)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 5L, "b" -> 5L))
+    // deterministic: a second run selects the identical ids
+    val again = Sampling.stratifiedTakeK(docs, "doc_id", "source", k = 5)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // small group: quota capped at group size
+    val tiny = Sampling.stratifiedTakeK(
+      docs.where(col("doc_id") <= 3), "doc_id", "source", k = 5)
+    assert(tiny.count() == 3)
+  }
 }
