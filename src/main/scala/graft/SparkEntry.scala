@@ -1413,17 +1413,17 @@ object SparkEntry {
           |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text2
           |  FROM documents)
           |SELECT doc_id,
-          |  CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-          |  CAST(len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssns,
-          |  CAST(len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-          |  (len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) +
-          |   len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) +
-          |   len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) > 0 AS has_pii,
+          |  CAST(len(regexp_extract_all(text2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssns,
+          |  CAST(len(regexp_extract_all(text2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+          |  (len(regexp_extract_all(text2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) +
+          |   len(regexp_extract_all(text2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) +
+          |   len(regexp_extract_all(text2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))) > 0 AS has_pii,
           |  regexp_replace(
           |    regexp_replace(
-          |      regexp_replace(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
-          |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
-          |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+          |      regexp_replace(text2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+          |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+          |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS redacted
           |FROM aug ORDER BY doc_id""".stripMargin,
 
       // two-phase token census: per-(token, doc) counts, then the token

@@ -53,33 +53,18 @@ object TextFunctions {
   def words(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /**
-   * Distinct word n-gram shingles, e.g. n=3: ["a b c", "b c d", ...].
-   *
-   * Built by zipping the word array with its shifted copies rather than an
-   * index lambda: higher-order functions are interpreted with no common-
-   * subexpression elimination, so `element_at(words(text), i)` inside a
-   * lambda re-runs the regex split PER ELEMENT (measured 14 s for 5k docs
-   * at sf0.1; this form is ~50×). The split is evaluated n times per row.
-   * `concat` (not concat_ws) nulls out grams that run past the end —
-   * zip_with pads the shorter side with null — and they are filtered.
-   */
-  def wordShingles(text: Column, n: Int): Column = {
-    require(n >= 1, "shingle width must be >= 1")
-    if (n == 1) array_distinct(words(text))
-    else {
-      val grams = (2 to n).foldLeft(words(text))((acc, j) =>
-        zip_with(acc, slice(words(text), j, Int.MaxValue - 16),
-          (a, b) => concat(a, lit(" "), b)))
-      array_distinct(filter(grams, _.isNotNull))
-    }
-  }
-
   /** Word n-grams WITH multiplicity (positional, not deduplicated) — the
    *  domain for repetition statistics, where how often a gram repeats is
-   *  the signal `wordShingles`' array_distinct would erase. Same
-   *  zip-with-shifted-slices construction (HOF lambdas are interpreted;
-   *  index-lambda forms re-run the split per element). */
+   *  the signal `wordShingles`' array_distinct would erase.
+   *
+   *  Built by zipping the word array with its shifted copies rather than
+   *  an index lambda: higher-order functions are interpreted with no
+   *  common-subexpression elimination, so `element_at(words(text), i)`
+   *  inside a lambda re-runs the regex split PER ELEMENT (measured 14 s
+   *  for 5k docs at sf0.1; this form is ~50×). The split is evaluated n
+   *  times per row. `concat` (not concat_ws) nulls out grams that run
+   *  past the end — zip_with pads the shorter side with null — and they
+   *  are filtered. */
   def wordGrams(text: Column, n: Int): Column = {
     require(n >= 1, "gram width must be >= 1")
     if (n == 1) words(text)
@@ -90,6 +75,13 @@ object TextFunctions {
       filter(grams, _.isNotNull)
     }
   }
+
+  /** Distinct word n-gram shingles, e.g. n=3: ["a b c", "b c d", ...] —
+   *  exactly `array_distinct(wordGrams(text, n))`, sharing the zip-with-
+   *  shifted-slices construction (and its interpreted-HOF rationale)
+   *  with the multiplicity-preserving form above. */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordGrams(text, n))
 
   /** Hashes of all character k-grams of the raw text (rolling-hash
    *  fingerprint domain). Shorter-than-k texts yield the empty set.

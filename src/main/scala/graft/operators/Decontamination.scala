@@ -100,9 +100,12 @@ object Decontamination {
     import graft.functions.TextFunctions.portableHash
     import graft.functions.expressions.{BloomContains, BloomFilter64}
     import org.apache.spark.sql.graftbridge.Bridge
+    // checkpoint the lean distinct-shingle frame: both the driver collect
+    // (bloom build) and the exact-verify join consume it — without
+    // materialization the benchmark scan + explode + distinct runs twice
     val benchShingles = benchmark
       .select(explode(wordShingles(col(textCol), shingleN)).as("s"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val benchHashes = benchShingles
       .select(portableHash(col("s")).as("h"))
       .collect().map(_.getLong(0))

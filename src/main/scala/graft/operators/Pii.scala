@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
  */
 object Pii {
 
-  /** Lowercase email addresses. */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  /** NNN-NN-NNNN (SSN shape). */
-  val SsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-  /** NNN-NNN-NNNN (US phone shape). */
-  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  /** Email addresses, any case. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  /** NNN-NN-NNNN (SSN shape). `\b` guards keep substrings of longer
+   *  digit runs (part numbers, ISBNs) from false-matching — RE2 and Java
+   *  agree on `\b`. */
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  /** NNN-NNN-NNNN (US phone shape), boundary-guarded like SSN. */
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
   private def countMatches(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")

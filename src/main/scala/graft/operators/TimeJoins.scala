@@ -30,27 +30,49 @@ object TimeJoins {
    */
   def asOfBackward(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame =
+    asOfFill(left, right, keyCols, leftTs, rightTs, payloadCols, forward = false)
+
+  /** Shared union + running-fill machinery for both as-of directions.
+   *  The payload travels as ONE struct (non-null exactly when the row is
+   *  a right row), so the fill always carries the payload of a single
+   *  right row — per-column fills would stitch values from different
+   *  rows whenever a payload field is null. */
+  private def asOfFill(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      forward: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
+    val payloadType = StructType(payloadCols.map(c => right.schema(c).copy()))
+    // right rows sort before left at equal ts for <= (backward), after
+    // left for >= (forward)
+    val rightSide = if (forward) 2 else 0
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .select((keyCols.map(col) :+ col("_ts") :+ col("_side")) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(payloadType).as("_p"): _*)
     val r = right
       .withColumn("_ts", col(rightTs))
-      .withColumn("_side", lit(0))
+      .withColumn("_side", lit(rightSide))
       .select((keyCols.map(col) :+ col("_ts") :+ col("_side")) ++
-        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("_p"): _*)
+    val base = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    matched.where(col("_side") === 1).drop("_ts", "_side")
+    val filled =
+      if (forward)
+        first(col("_p"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("_p"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val matched = l.unionByName(r).withColumn("_p", filled)
+    payloadCols.foldLeft(matched.where(col("_side") === 1)) { (df, c) =>
+      df.withColumn(c, col("_p").getField(c))
+    }.drop("_ts", "_side", "_p")
   }
 
   /**
@@ -65,28 +87,8 @@ object TimeJoins {
    */
   def asOfForward(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val l = left
-      .withColumn("_ts", col(leftTs))
-      .withColumn("_side", lit(1))
-      .select((keyCols.map(col) :+ col("_ts") :+ col("_side")) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val r = right
-      .withColumn("_ts", col(rightTs))
-      .withColumn("_side", lit(2))
-      .select((keyCols.map(col) :+ col("_ts") :+ col("_side")) ++
-        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val matched = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
-    }
-    matched.where(col("_side") === 1).drop("_ts", "_side")
-  }
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame =
+    asOfFill(left, right, keyCols, leftTs, rightTs, payloadCols, forward = true)
 
   /**
    * Interval-containment join at day grain: rows of `events` whose
@@ -125,8 +127,12 @@ object TimeJoins {
       .groupBy(keyCols.map(col): _*)
       .agg(min(unix_micros(col(tsCol).cast("timestamp"))).as("_t0us"),
         max(unix_micros(col(tsCol).cast("timestamp"))).as("_t1us"))
+      // floor to the grid via pmod (non-negative remainder): exact long
+      // arithmetic AND correct for pre-1970 timestamps, where DIV's
+      // truncation toward zero would round UP and could start the grid
+      // past _t1us (sequence() rejects that)
       .select((keyCols.map(col) :+
-        explode(sequence(expr(s"_t0us DIV $stepUs") * stepUs,
+        explode(sequence(col("_t0us") - pmod(col("_t0us"), lit(stepUs)),
           col("_t1us"), lit(stepUs))).as("_gus")): _*)
       .withColumn("grid_ts", timestamp_micros(col("_gus")).cast(TimestampNTZType))
       .drop("_gus")

@@ -34,6 +34,21 @@ class PiiSpec extends SparkSpec {
     assert(r.getAs[String]("redacted") == "p [PHONE] s [SSN]")
   }
 
+  test("mixed-case emails are caught; longer digit runs are not SSNs") {
+    val docs = Seq(
+      (1L, "Contact John.Doe@Example.COM today"),
+      (2L, "ref 1234-56-7890 is a part number"), // 4-digit prefix: not an SSN
+      (3L, "isbn 555-123-45678 overruns the phone shape"),
+    ).toDF("doc_id", "text")
+    val m = Pii.withPiiMetrics(docs, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_emails") == 1L)
+    assert(m(1L).getAs[String]("redacted") == "Contact [EMAIL] today")
+    assert(!m(2L).getAs[Boolean]("has_pii"))
+    assert(m(2L).getAs[String]("redacted") == "ref 1234-56-7890 is a part number")
+    assert(!m(3L).getAs[Boolean]("has_pii"))
+  }
+
   test("dropPii keeps only clean documents with original columns") {
     val docs = Seq(
       (1L, "reach me x@y.com", "s1"),
