@@ -831,6 +831,21 @@ object SparkEntry {
           "doc_id", "source", k = 10)
         .select(col("source"), col("sample_rank"), col("doc_id"))
         .orderBy(col("source"), col("sample_rank"))),
+
+    // Q61 — explicit GROUPING SETS (the two one-dimension marginals,
+    // without the cross/total sets cube would add) through the SQL-text
+    // path — proves the spark.sql surface alongside the DataFrame API
+    "q61_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |  coalesce(l_linestatus, 'ALL') AS status,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY flag, status""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1593,6 +1608,15 @@ object SparkEntry {
           |  FROM h)
           |SELECT source, sample_rank, doc_id FROM r
           |WHERE sample_rank <= 10 ORDER BY source, sample_rank""".stripMargin,
+
+      "q61_grouping_sets" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |  coalesce(l_linestatus, 'ALL') AS status,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY flag, status""".stripMargin,
     )
   }
 }
