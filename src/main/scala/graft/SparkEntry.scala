@@ -747,28 +747,31 @@ object SparkEntry {
     // Q56 — engine-portable Pearson correlation: the built-in corr() sums
     // doubles (order-sensitive), so the law here runs the textbook formula
     // over EXACT decimal/long aggregates — value has <= 2 decimals, every
-    // product/sum below is exact, the numerator and x-variance terms round
-    // to integers (both engines' magnitudes stay under 2^53 at any sf),
-    // and only the final divide/sqrt are IEEE ops
+    // product/sum below is exact, and only the final divide/sqrt are IEEE
+    // ops. Decimal targets are sized (30-38 digits) so the non-ANSI
+    // casts cannot NULL-on-overflow at any realistic sf: the widest term
+    // (n·Σxy) stays under 10^30 even at 10^12 rows. Beyond 2^53 the final
+    // cast-to-double rounds — that is the documented IEEE edge, not a
+    // correctness hole.
     "q56_correlation" -> ((s, dir) => {
       val b = t(s, dir, "events").select(col("event_type"),
         col("value").cast(DecimalType(18, 2)).as("x"),
         get_json_object(col("props"), "$.k").cast("long").as("y"))
       val a = b.groupBy(col("event_type")).agg(
         count(lit(1)).as("n"),
-        sum(col("x")).cast(DecimalType(18, 2)).as("sx"),
+        sum(col("x")).cast(DecimalType(30, 2)).as("sx"),
         sum(col("y")).as("sy"),
         sum(col("x").cast(DecimalType(19, 2)) * col("y").cast(DecimalType(12, 0)))
-          .cast(DecimalType(18, 2)).as("sxy"),
-        sum(col("x") * col("x")).cast(DecimalType(18, 4)).as("sxx"),
+          .cast(DecimalType(30, 2)).as("sxy"),
+        sum(col("x") * col("x")).cast(DecimalType(30, 4)).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       a.select(col("event_type"), col("n"), col("sx"), col("sy"), col("sxy"),
           col("sxx"), col("syy"),
           (col("n").cast(DecimalType(12, 0)) * col("sxy") -
-            col("sx").cast(DecimalType(25, 2)) * col("sy").cast(DecimalType(12, 0)))
-            .cast(DecimalType(18, 0)).as("num"),
+            col("sx").cast(DecimalType(31, 2)) * col("sy").cast(DecimalType(12, 0)))
+            .cast(DecimalType(38, 0)).as("num"),
           (col("n").cast(DecimalType(12, 0)) * col("sxx") - col("sx") * col("sx"))
-            .cast(DecimalType(18, 0)).as("d1"),
+            .cast(DecimalType(38, 0)).as("d1"),
           (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
         .select(col("event_type"), col("n"),
           col("sx").cast("double").as("sum_v"), col("sy").as("sum_k"),

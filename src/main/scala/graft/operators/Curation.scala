@@ -36,10 +36,11 @@ object Curation {
       Seq(idCol), "left_anti")
   }
 
-  /** Pair-count bound under which `nearDupClusters` solves connected
-   *  components on the driver (union-find) instead of iterating
-   *  distributed label propagation. Verified near-dup pairs are a tiny
-   *  fraction of any corpus (candidates are LSH-bucketed, then
+  /** Undirected PAIR-count bound under which `nearDupClusters` solves
+   *  connected components on the driver (union-find) instead of iterating
+   *  distributed label propagation (the gate counts the doubled directed
+   *  edge frame and compares against 2× this). Verified near-dup pairs
+   *  are a tiny fraction of any corpus (candidates are LSH-bucketed, then
    *  Jaccard-filtered), so even 100 TB corpora usually land under this;
    *  above it the distributed path takes over. Same class of bounded
    *  driver materialization as the day-plan collect in BackfillRunner
@@ -77,7 +78,8 @@ object Curation {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint(true)
     val idOrdering = driverIdOrdering(edges.schema("src").dataType)
-    if (idOrdering.isDefined && edges.count() <= driverMaxEdges)
+    // edges holds both directions, so the undirected pair bound doubles here
+    if (idOrdering.isDefined && edges.count() <= 2L * driverMaxEdges)
       return unionFindClusters(edges, idOrdering.get)
     // localCheckpoint each round: iterative plans MUST truncate lineage or
     // the query tree (and codegen) grows without bound across iterations
@@ -116,7 +118,24 @@ object Curation {
       case LongType    => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
       case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
       case ShortType   => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
-      case StringType  => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      // unsigned UTF-8 byte comparison — matches Spark's UTF8String binary
+      // ordering (= code-point order), NOT Java's UTF-16 code-unit order,
+      // so driver and distributed paths pick identical min labels even for
+      // ids containing supplementary-plane characters
+      case StringType  => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      })
       case _           => None
     }
   }

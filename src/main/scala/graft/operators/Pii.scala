@@ -33,7 +33,13 @@ object Pii {
    * `n_emails`, `n_ssns`, `n_phones`, `has_pii`, and `redacted` with each
    * match replaced by its class tag (`[EMAIL]` / `[SSN]` / `[PHONE]`).
    */
-  def withPiiMetrics(docs: DataFrame, textCol: String): DataFrame =
+  def withPiiMetrics(docs: DataFrame, textCol: String): DataFrame = {
+    // withColumn replaces same-named caller columns silently — refuse
+    // rather than clobber
+    val clash = Seq("n_emails", "n_ssns", "n_phones", "has_pii", "redacted")
+      .filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"input already has output column(s) ${clash.mkString(", ")} — rename them first")
     docs
       .withColumn("n_emails", countMatches(col(textCol), EmailPattern))
       .withColumn("n_ssns", countMatches(col(textCol), SsnPattern))
@@ -46,6 +52,7 @@ object Pii {
             regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
             SsnPattern, "[SSN]"),
           PhonePattern, "[PHONE]"))
+  }
 
   /** Drop documents containing any PII (the conservative policy). */
   def dropPii(docs: DataFrame, textCol: String): DataFrame = {

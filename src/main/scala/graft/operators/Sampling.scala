@@ -68,6 +68,8 @@ object Sampling {
       fractions: Seq[(String, Double)], salt: String = "split"): DataFrame = {
     require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
       "split fractions must sum to <= 1")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column — rename it first")
     val b = hashBucket(col(idCol), salt)
     val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(f => math.round(f * Buckets))
@@ -94,6 +96,8 @@ object Sampling {
       df: DataFrame, idCol: String, groupCol: String, k: Int,
       salt: String = "strat"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("sample_rank"),
+      "input already has a 'sample_rank' column — rename it first")
     val h = portableHash(concat(lit(salt + ":"), col(idCol).cast("string")))
     val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
     df.withColumn("sample_rank", row_number().over(w).cast("long"))

@@ -20,10 +20,20 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
+  /** withColumn silently REPLACES a same-named caller column — a probe
+   *  side already carrying `_salt` would corrupt the join keys — so the
+   *  internal working names are guarded, not trusted. */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has internal working column(s) ${clash.mkString(", ")} — rename them first")
+  }
+
   /** Two-phase salted sum+count per key. Output: keys, sum_<alias>, n_rows. */
   def saltedSumCount(
       df: DataFrame, keyCols: Seq[String], value: Column, alias: String,
       buckets: Int = 16): DataFrame = {
+    requireFresh(df, "_salt", "_psum", "_pn")
     val salted = df.withColumn("_salt", pmod(hash(value), lit(buckets)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
@@ -37,6 +47,7 @@ object Skew {
   def saltedMinMax(
       df: DataFrame, keyCols: Seq[String], value: Column, alias: String,
       buckets: Int = 16): DataFrame = {
+    requireFresh(df, "_salt", "_pmin", "_pmax")
     val salted = df.withColumn("_salt", pmod(hash(value), lit(buckets)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
@@ -62,6 +73,8 @@ object Skew {
   def saltedEquiJoin(
       probe: DataFrame, build: DataFrame, keys: Seq[String],
       probeSaltCol: Column, buckets: Int = 16): DataFrame = {
+    requireFresh(probe, "_salt")
+    requireFresh(build, "_salt")
     val p = probe.withColumn("_salt", pmod(hash(probeSaltCol), lit(buckets)))
     val b = build.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     p.join(b, keys :+ "_salt").drop("_salt")

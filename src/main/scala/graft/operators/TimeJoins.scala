@@ -121,21 +121,21 @@ object TimeJoins {
   def resampleFfill(
       df: DataFrame, keyCols: Seq[String], tsCol: String,
       payloadCols: Seq[String], stepSeconds: Long): DataFrame = {
-    import org.apache.spark.sql.types.TimestampNTZType
-    val stepUs = stepSeconds * 1000000L
+    // Floor and step entirely in the ts column's OWN timestamp domain:
+    // window().start gives the tumbling floor (epoch-aligned wall clock
+    // for NTZ, instant for LTZ) and sequence() steps timestamps directly,
+    // so grid_ts keeps the input's exact type and alignment. Routing via
+    // session-zone epoch micros instead would (a) coerce NTZ↔LTZ in the
+    // as-of union and (b) shift the floor off the wall clock under any
+    // non-UTC session timezone.
     val grid = df
       .groupBy(keyCols.map(col): _*)
-      .agg(min(unix_micros(col(tsCol).cast("timestamp"))).as("_t0us"),
-        max(unix_micros(col(tsCol).cast("timestamp"))).as("_t1us"))
-      // floor to the grid via pmod (non-negative remainder): exact long
-      // arithmetic AND correct for pre-1970 timestamps, where DIV's
-      // truncation toward zero would round UP and could start the grid
-      // past _t1us (sequence() rejects that)
+      .agg(min(col(tsCol)).as("_t0"), max(col(tsCol)).as("_t1"))
       .select((keyCols.map(col) :+
-        explode(sequence(col("_t0us") - pmod(col("_t0us"), lit(stepUs)),
-          col("_t1us"), lit(stepUs))).as("_gus")): _*)
-      .withColumn("grid_ts", timestamp_micros(col("_gus")).cast(TimestampNTZType))
-      .drop("_gus")
+        explode(sequence(
+          window(col("_t0"), s"$stepSeconds seconds").getField("start"),
+          col("_t1"),
+          expr(s"interval $stepSeconds second"))).as("grid_ts")): _*)
     asOfBackward(grid, df, keyCols, "grid_ts", tsCol, payloadCols)
   }
 

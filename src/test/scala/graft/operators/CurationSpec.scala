@@ -58,4 +58,21 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(labels == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA"))
   }
+
+  test("nearDupClusters: supplementary-plane string ids label identically on both paths") {
+    // "😀" (😀, U+1F600) vs "�": Java UTF-16 code-unit order
+    // puts the surrogate pair FIRST (0xD83D < 0xFFFD) while UTF-8 binary /
+    // code-point order puts it LAST (U+1F600 > U+FFFD) — the driver path
+    // must agree with Spark's UTF8String min(), not with Java compareTo
+    val hi = "😀id"
+    val lo = "�id"
+    assert(hi.compareTo(lo) < 0) // Java order would pick the WRONG label
+    val pairs = Seq((hi, lo, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val viaUnionFind = Curation.nearDupClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaPropagation = Curation.nearDupClusters(pairs, driverMaxEdges = -1L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaUnionFind == viaPropagation)
+    assert(viaUnionFind == Map(hi -> lo, lo -> lo))
+  }
 }
