@@ -849,6 +849,44 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY flag, status""".stripMargin)
     }),
+
+    // Q62 — cross-document repeated-trigram boilerplate: the C4-style
+    // census (gram in >= 3 distinct docs → boilerplate) and per-doc
+    // boilerplate fraction; the oracle replays the identical census
+    "q62_boilerplate" -> ((s, dir) =>
+      graft.operators.Boilerplate.boilerplateReport(
+          t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minDocs = 3, threshold = 0.3)
+        .orderBy(col("doc_id"))),
+
+    // Q63 — per-user max drawdown: largest running-peak-to-trough drop of
+    // `value` over (ts, event_id) order — running max + one subtraction
+    // per row, deterministic trough pick (first row attaining the max)
+    "q63_drawdown" -> ((s, dir) =>
+      graft.operators.Rolling.maxDrawdown(
+          t(s, dir, "events"), Seq("user_id"), "ts", "value", col("event_id"))
+        .orderBy(col("user_id"))),
+
+    // Q64 — one distributed k-means Lloyd step over the embeddings:
+    // deterministic stride-50 init, exact integer L2 assignment, per
+    // (cluster, dim) quantized sums → new centroids, exact decimal inertia
+    "q64_kmeans_step" -> ((s, dir) =>
+      graft.operators.Clustering.kmeansStep(
+          t(s, dir, "embeddings"), "vec_id", "embedding", centroidStride = 50)
+        .orderBy(col("cid"), col("dim"))),
+
+    // Q65 — rolling Bollinger-style bands: 20-row exact-decimal window
+    // sums per user → mean/σ/±2σ bands, outlier = value escaping the
+    // PREVIOUS row's completed band; sampled users keep the output bounded
+    "q65_rolling_bands" -> ((s, dir) =>
+      graft.operators.Rolling.rollingBands(
+          t(s, dir, "events").where(pmod(col("user_id"), lit(7)) === 0)
+            .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", "value", col("event_id"), nRows = 20, k = 2.0)
+        .select(col("event_id"), col("user_id"), col("value"), col("roll_n"),
+          col("roll_mean"), col("roll_sd"), col("upper"), col("lower"),
+          coalesce(col("is_outlier"), lit(false)).as("is_outlier"))
+        .orderBy(col("event_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1296,6 +1334,93 @@ object SparkEntry {
 
       // exact shingle-set overlap vs the src0 benchmark union (same
       // 3-gram construction as the q16/q39 oracles)
+      // replays the boilerplate census: trigram in >= 3 distinct docs →
+      // boilerplate; per-doc fraction over distinct trigrams
+      "q62_boilerplate" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |dg AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+          |boiler AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 3),
+          |per AS (SELECT dg.doc_id, count(*) AS n_grams, count(b.gram) AS n_boiler
+          |  FROM dg LEFT JOIN boiler b USING (gram) GROUP BY dg.doc_id)
+          |SELECT d.doc_id, CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+          |  CAST(COALESCE(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+          |  CASE WHEN COALESCE(per.n_grams, 0) > 0
+          |       THEN CAST(per.n_boiler AS DOUBLE) / CAST(per.n_grams AS DOUBLE)
+          |       ELSE 0.0 END AS boiler_frac,
+          |  (CASE WHEN COALESCE(per.n_grams, 0) > 0
+          |        THEN CAST(per.n_boiler AS DOUBLE) / CAST(per.n_grams AS DOUBLE)
+          |        ELSE 0.0 END) >= 0.3 AS is_boiler
+          |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+      // running max over (ts, event_id) order, drawdown = peak - value,
+      // trough = FIRST row attaining the per-user max drawdown
+      "q63_drawdown" ->
+        """WITH r AS (SELECT user_id, ts, event_id, value,
+          |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          |  FROM events),
+          |d AS (SELECT *, peak - value AS dd FROM r),
+          |p AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY dd DESC, ts, event_id) AS rn FROM d)
+          |SELECT user_id, peak AS peak_at_trough, dd AS max_drawdown,
+          |  ts AS trough_ts, value AS trough_value
+          |FROM p WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      // replays the Lloyd step: ppm quantization, exact integer squared-L2
+      // assignment (tie-break on centroid id), per-dim quantized sums and
+      // DECIMAL(38,0) inertia
+      "q64_kmeans_step" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM e),
+          |c AS (SELECT vec_id AS cid, v AS c_v, nn AS c_nn FROM n WHERE vec_id % 50 = 0),
+          |dist AS (SELECT n.vec_id, n.v, c.cid,
+          |    n.nn - 2 * CAST(list_sum(list_transform(range(len(n.v)),
+          |      i -> n.v[i+1] * c.c_v[i+1])) AS BIGINT) + c.c_nn AS sqdist
+          |  FROM n CROSS JOIN c),
+          |asg AS (SELECT vec_id, v, cid, sqdist,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY sqdist, cid) AS rn FROM dist),
+          |a AS (SELECT vec_id, v, cid, sqdist FROM asg WHERE rn = 1),
+          |pc AS (SELECT cid, count(*) AS n_assigned,
+          |    CAST(sum(CAST(sqdist AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS inertia
+          |  FROM a GROUP BY cid),
+          |pd AS (SELECT a.cid, i AS dim, CAST(sum(a.v[i+1]) AS BIGINT) AS sum_q
+          |  FROM a CROSS JOIN range(64) t(i) GROUP BY a.cid, i)
+          |SELECT pd.cid, CAST(pd.dim AS BIGINT) AS dim, pc.n_assigned, pd.sum_q,
+          |  CAST(pd.sum_q AS DOUBLE) / CAST(pc.n_assigned AS DOUBLE) / 1000000.0 AS c_new,
+          |  pc.inertia
+          |FROM pd JOIN pc USING (cid) ORDER BY pd.cid, pd.dim""".stripMargin,
+
+      // replays the exact-decimal rolling band law: 20-row window sums of
+      // DECIMAL(18,2) value and value², textbook population variance, the
+      // same IEEE expression tree, outlier vs the PREVIOUS row's band
+      "q65_rolling_bands" ->
+        """WITH src AS (SELECT event_id, user_id, ts, value FROM events WHERE user_id % 7 = 0),
+          |s AS (SELECT event_id, user_id, ts, value,
+          |    count(*) OVER w AS roll_n,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(28,2)) AS sx,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(30,4)) AS sxx
+          |  FROM src
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+          |m AS (SELECT event_id, user_id, ts, value, roll_n,
+          |    CAST(sx AS DOUBLE) / CAST(roll_n AS DOUBLE) AS mean,
+          |    sqrt(greatest((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          |      / CAST(roll_n AS DOUBLE)) / CAST(roll_n AS DOUBLE), 0.0)) AS sd
+          |  FROM s),
+          |b AS (SELECT event_id, user_id, ts, value, roll_n, mean AS roll_mean, sd AS roll_sd,
+          |    mean + 2.0 * sd AS upper, mean - 2.0 * sd AS lower
+          |  FROM m),
+          |f AS (SELECT *,
+          |    lag(upper) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_upper,
+          |    lag(lower) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_lower
+          |  FROM b)
+          |SELECT event_id, user_id, value, roll_n, roll_mean, roll_sd, upper, lower,
+          |  COALESCE(value > prev_upper OR value < prev_lower, FALSE) AS is_outlier
+          |FROM f ORDER BY event_id""".stripMargin,
+
       "q42_decontamination" ->
         """WITH w AS (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
           |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),

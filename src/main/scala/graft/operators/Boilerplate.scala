@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.wordShingles
+
+/**
+ * Cross-document repeated-n-gram (boilerplate) detection — the C4-style
+ * hygiene pass that finds navigation chrome, license headers, and template
+ * text repeated across many documents, and scores each document by how
+ * much of it is such boilerplate.
+ *
+ * Law: an n-gram is *boilerplate* when it occurs in at least `minDocs`
+ * DISTINCT documents. A document's boilerplate fraction is
+ * `|distinct grams that are boilerplate| / |distinct grams|` (documents too
+ * short to produce a gram score 0). Exact by construction — no sketches —
+ * so a DuckDB oracle replays it verbatim.
+ *
+ * Scale posture (the corpus-wide gram census is the expensive half):
+ *  1. per-doc DISTINCT (doc, gram) first — a partial-aggregate-friendly
+ *     dedup that caps any document's contribution to a gram at 1 before
+ *     anything shuffles;
+ *  2. document frequency = count per gram over that frame — map-side
+ *     combinable, only gram keys + counts shuffle, never text bodies;
+ *  3. the (rare) boilerplate grams hash-join back against the same
+ *     (doc, gram) frame, and the per-doc fractions aggregate map-side.
+ * One shingle pass feeds both the census and the per-doc totals.
+ */
+object Boilerplate {
+
+  /** Distinct (idCol, gram) pairs of the corpus — the shared frame both
+   *  the census and the per-doc rollup aggregate from. */
+  private def docGrams(
+      corpus: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+
+  /** The boilerplate gram census: grams occurring in >= minDocs distinct
+   *  documents, with their document frequencies. Output: (gram, doc_freq). */
+  def repeatedGrams(
+      corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 3): DataFrame =
+    docGrams(corpus, idCol, textCol, n)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocs)
+
+  /**
+   * Per-document boilerplate report. Output:
+   * (idCol, n_grams, n_boiler, boiler_frac, is_boiler).
+   */
+  def boilerplateReport(
+      corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // one exploded frame feeds the census AND the per-doc counts; it is
+    // consumed twice, so cut the scan+shingle lineage once
+    val grams = docGrams(corpus, idCol, textCol, n).localCheckpoint(true)
+    val boiler = grams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= lit(minDocs).cast("long"))
+      .select(col("gram"), lit(1L).as("_hit"))
+    val perDoc = grams
+      .join(boiler, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_boiler"))
+    corpus
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_frac",
+        when(col("n_grams") > 0,
+          col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("is_boiler", col("boiler_frac") >= threshold)
+  }
+
+  /** The clean corpus: documents below the boilerplate threshold. */
+  def dropBoilerplateDocs(
+      corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 3, threshold: Double = 0.5): DataFrame =
+    corpus.join(
+      boilerplateReport(corpus, idCol, textCol, n, minDocs, threshold)
+        .where(!col("is_boiler"))
+        .select(col(idCol)),
+      idCol)
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Similarity.{dot, prepared}
+
+/**
+ * Distributed k-means (one Lloyd iteration) over an embedding column —
+ * the clustering primitive behind corpus topic bucketing, IVF index
+ * training, and embedding-space diagnostics.
+ *
+ * Determinism design (same law as [[Similarity]]): vectors quantize once
+ * to integers (ppm), squared L2 distances are exact 64-bit integer
+ * arithmetic (`‖x‖² − 2·x·c + ‖c‖²`), assignment ties break on centroid
+ * id, and per-cluster inertia sums in DECIMAL(38,0) — no floating-point
+ * accumulation anywhere, so any engine replays the step bit-for-bit.
+ * Initial centroids are deterministic: every `centroidStride`-th vector
+ * (the [[Similarity.ivfCosineTopK]] coarse-quantizer recipe).
+ *
+ * Scale posture: centroids broadcast (k is small by definition); the
+ * assignment pass is one broadcast join + per-row argmin — the corpus
+ * never shuffles for it. The update pass shuffles (cluster, dim) partial
+ * sums — map-side combinable down to k×dims rows per partition — never
+ * raw vectors. This is exactly how a 1000-executor Lloyd step should
+ * look: all-reduce on k×d partials, embarrassingly parallel otherwise.
+ */
+object Clustering {
+
+  /** Assign each vector to its nearest (exact integer squared-L2)
+   *  centroid. Output: input id, `cid`, `sqdist` (long). */
+  def assign(
+      emb: DataFrame, idCol: String, embCol: String,
+      centroidStride: Int = 50): DataFrame = {
+    val vecs = prepared(emb, idCol, embCol)
+    val cents = prepared(emb, idCol, embCol)
+      .where(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("cid"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    val sqdist = col("nn") - lit(2L) * dot(col("qv"), col("c_qv")) + col("c_nn")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sqdist"), col("cid"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("sqdist", sqdist)
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") === 1)
+      .select(col(idCol), col("cid"), col("sqdist"), col("qv"))
+  }
+
+  /**
+   * One full Lloyd step: assignment plus the centroid update, reported
+   * per (cluster, dimension) so the new centroids are first-class data:
+   *
+   * Output: (cid, dim, n_assigned, sum_q, c_new, inertia) where `sum_q`
+   * is the exact per-dimension sum of quantized components (bigint),
+   * `c_new = sum_q / n_assigned / 1e6` (the updated centroid component,
+   * two IEEE ops on exact operands), and `inertia` is the cluster's exact
+   * Σ sqdist in DECIMAL(38,0) (constant across the cluster's dim rows).
+   */
+  def kmeansStep(
+      emb: DataFrame, idCol: String, embCol: String,
+      centroidStride: Int = 50): DataFrame = {
+    // assignment feeds both the per-cluster rollup and the per-dim update
+    val assigned = assign(emb, idCol, embCol, centroidStride).localCheckpoint(true)
+    val perCluster = assigned
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("sqdist").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+          .as("inertia"))
+    val perDim = assigned
+      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("q")).as("sum_q"))
+    perDim.join(perCluster, "cid")
+      .select(col("cid"), col("dim").cast("long").as("dim"), col("n_assigned"),
+        col("sum_q"),
+        (col("sum_q").cast("double") / col("n_assigned").cast("double") / lit(1e6))
+          .as("c_new"),
+        col("inertia"))
+  }
+}

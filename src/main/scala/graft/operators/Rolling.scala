@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Ordered-series analytics over the tick surface: running-peak drawdown
+ * and rolling mean/volatility bands — the per-symbol risk metrics a
+ * trading-data consumer computes over the OHLCV/tick stream.
+ *
+ * Determinism design (FIXTURES.md rule): every aggregate below is either
+ * a running max (order-insensitive), an exact DECIMAL window sum, or a
+ * single IEEE op on already-exact operands — never a floating-point
+ * accumulation — so results are bit-identical across engines and
+ * partitionings. Total order inside a key is (ts, tieBreak).
+ *
+ * Scale posture: both operators are ONE window shuffle partitioned by the
+ * key; at 1000 executors each symbol's series lands on one reducer, the
+ * standard (and correct) layout for ordered per-key scans. Skew is
+ * bounded by the busiest single symbol — the same bound the lake's
+ * (symbol, date) partitioning already imposes.
+ */
+object Rolling {
+
+  /**
+   * Per-row running peak and drawdown, plus the per-key max-drawdown
+   * summary: for each key, the largest peak-to-trough drop
+   * `max(running_max(value) - value)`, with the trough pinned to the
+   * FIRST row attaining it (deterministic via (ts, tieBreak) order).
+   *
+   * Output: (keys..., peak_value, max_drawdown, trough_ts, trough_value).
+   */
+  def maxDrawdown(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreak: Column): DataFrame = {
+    val order = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), tieBreak)
+    val run = df
+      .withColumn("_peak", max(col(valueCol))
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // double subtraction of two exact inputs: one IEEE op, no accumulation
+      .withColumn("_dd", col("_peak") - col(valueCol))
+    val pick = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_dd").desc, col(tsCol), tieBreak)
+    run
+      .withColumn("_r", row_number().over(pick))
+      .where(col("_r") === 1)
+      .select(keyCols.map(col) :+
+        col("_peak").as("peak_at_trough") :+
+        col("_dd").as("max_drawdown") :+
+        col(tsCol).as("trough_ts") :+
+        col(valueCol).as("trough_value"): _*)
+  }
+
+  /**
+   * Rolling mean/volatility bands over the last `nRows` rows per key
+   * (fewer at the head of the series): exact DECIMAL window sums of value
+   * and value², population variance from the textbook identity
+   * `(Σx² − (Σx)²/n)/n`, then mean ± `k`·σ bands and an outlier flag —
+   * the Bollinger-band shape. Values must carry ≤ 2 decimals (the tick
+   * price law); the decimal sums are then exact, and the final
+   * divide/sqrt/compare are single IEEE ops both engines round
+   * identically.
+   *
+   * Output: input columns + (roll_n, roll_mean, roll_sd, upper, lower,
+   * is_outlier — value outside the PREVIOUS row's completed band, so a
+   * spike does not widen the very band that should catch it).
+   */
+  def rollingBands(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreak: Column,
+      nRows: Int = 20, k: Double = 2.0): DataFrame = {
+    val order = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), tieBreak)
+    val frame = order.rowsBetween(-(nRows - 1), Window.currentRow)
+    val x = col(valueCol).cast(DecimalType(18, 2))
+    val withSums = df
+      .withColumn("roll_n", count(lit(1)).over(frame))
+      .withColumn("_sx", sum(x).over(frame).cast(DecimalType(28, 2)))
+      .withColumn("_sxx", sum(x * x).over(frame).cast(DecimalType(30, 4)))
+    val n = col("roll_n").cast("double")
+    val sx = col("_sx").cast("double")
+    val sxx = col("_sxx").cast("double")
+    val mean = sx / n
+    val variance = (sxx - sx * sx / n) / n
+    // clamp the tiny negative zeros catastrophic cancellation can leave
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    withSums
+      .withColumn("roll_mean", mean)
+      .withColumn("roll_sd", sd)
+      .withColumn("upper", mean + lit(k) * sd)
+      .withColumn("lower", mean - lit(k) * sd)
+      .withColumn("is_outlier",
+        col(valueCol) > lag(col("upper"), 1).over(order) ||
+          col(valueCol) < lag(col("lower"), 1).over(order))
+      .drop("_sx", "_sxx")
+  }
+}

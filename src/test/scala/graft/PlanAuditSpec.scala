@@ -68,6 +68,37 @@ class PlanAuditSpec extends SparkSpec {
       s"minhash candidate join regressed to a nested loop:\n${plan.take(2000)}")
   }
 
+  test("boilerplate census pre-checkpoint stage is nested-loop free") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    // the (doc, gram) frame exactly as boilerplateReport builds it, WITHOUT
+    // the checkpoint: hash-aggregate distinct + hash joins only
+    val grams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("gram"))
+      .distinct()
+    val boiler = grams.groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= 3L)
+    val joined = grams.join(boiler.select(col("gram")), Seq("gram"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"boilerplate census regressed to a nested loop:\n${plan.take(2000)}")
+  }
+
+  test("kmeans assignment pre-checkpoint stage broadcasts ONLY the centroid side") {
+    // the crossJoin(broadcast(cents)) is the intended bounded nested loop
+    // (same argument as q31's IVF build: centroid count = n/stride is the
+    // user-tuned knob) — but the corpus side must never be the broadcast
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val plan = graft.operators.Clustering.assign(emb, "vec_id", "embedding", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "kmeans assignment should broadcast the bounded centroid set")
+    // the build side annotation must be the right side (the centroid frame)
+    assert(plan.contains("BuildRight"),
+      s"kmeans assignment broadcast flipped to the corpus side:\n${plan.take(2000)}")
+  }
+
   test("star joins broadcast their dimension sides") {
     val plan = SparkEntry.queries("q11_star_revenue")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // "x y z" is planted in docs 1-3 (>= minDocs=3 → boilerplate);
+  // everything else is unique per doc
+  private def corpus = Seq(
+    (1L, "x y z a1 b1 c1"),  // grams: "x y z","y z a1","z a1 b1","a1 b1 c1"
+    (2L, "x y z a2 b2 c2"),
+    (3L, "x y z a3 b3 c3"),
+    (4L, "p q r s t u"),
+    (5L, "hi"),              // too short to trigram → 0 grams
+  ).toDF("doc_id", "text")
+
+  test("repeatedGrams: census finds exactly the planted gram") {
+    val census = Boilerplate.repeatedGrams(corpus, "doc_id", "text", n = 3, minDocs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census == Map("x y z" -> 3L))
+  }
+
+  test("boilerplateReport: per-doc fractions and flag") {
+    val rep = Boilerplate.boilerplateReport(corpus, "doc_id", "text",
+        n = 3, minDocs = 3, threshold = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rep(1L) == ((4L, 1L, 0.25, true)))  // 1 of 4 grams is boilerplate
+    assert(rep(4L) == ((4L, 0L, 0.0, false)))
+    assert(rep(5L) == ((0L, 0L, 0.0, false))) // gramless doc restored with 0s
+  }
+
+  test("dropBoilerplateDocs: keeps exactly the docs under the threshold") {
+    val kept = Boilerplate.dropBoilerplateDocs(corpus, "doc_id", "text",
+        n = 3, minDocs = 3, threshold = 0.25)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(4L, 5L))
+  }
+
+  test("a gram repeated WITHIN one doc counts that doc once") {
+    val docs = Seq(
+      (1L, "x y z w x y z"), // "x y z" twice in doc 1
+      (2L, "x y z only"),
+    ).toDF("doc_id", "text")
+    // doc_freq must be 2 (distinct docs), not 3 (occurrences)
+    val census = Boilerplate.repeatedGrams(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census == Map("x y z" -> 2L))
+  }
+}

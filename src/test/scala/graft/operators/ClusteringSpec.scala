@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // stride 3 -> centroids are vec_ids 0 and 3 (id 7 is NOT ≡ 0 mod 3);
+  // two obvious groups around (0,0) and (1,1), plus id 7 exactly between
+  // them (tie case)
+  private def emb = Seq(
+    (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.1f, 0.0f)), (2L, Seq(0.0f, 0.1f)),
+    (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.9f, 1.0f)), (5L, Seq(1.0f, 0.9f)),
+    (7L, Seq(0.5f, 0.5f)),
+  ).toDF("vec_id", "embedding")
+
+  test("assign: nearest centroid by exact integer L2, ties to the lower cid") {
+    val out = Clustering.assign(emb, "vec_id", "embedding", centroidStride = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((0L, 0L)))
+    assert(out(1L) == ((0L, 10000000000L)))     // (0.1e6)^2
+    assert(out(2L) == ((0L, 10000000000L)))
+    assert(out(3L) == ((3L, 0L)))
+    assert(out(4L) == ((3L, 10000000000L)))
+    assert(out(5L) == ((3L, 10000000000L)))
+    // (0.5, 0.5) is equidistant -> the lower centroid id wins
+    assert(out(7L) == ((0L, 500000000000L)))
+  }
+
+  test("kmeansStep: per-dim sums, updated centroids, exact inertia") {
+    val out = Clustering.kmeansStep(emb, "vec_id", "embedding", centroidStride = 3)
+      .orderBy("cid", "dim").collect()
+    assert(out.length == 4) // 2 clusters x 2 dims
+    val byKey = out.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val c0d0 = byKey((0L, 0L))
+    assert(c0d0.getAs[Long]("n_assigned") == 4L)
+    assert(c0d0.getAs[Long]("sum_q") == 600000L) // 0 + 100000 + 0 + 500000
+    assert(c0d0.getAs[Double]("c_new") == 0.15)
+    assert(c0d0.getAs[java.math.BigDecimal]("inertia").longValueExact ==
+      520000000000L) // 0 + 1e10 + 1e10 + 5e11
+    val c3d0 = byKey((3L, 0L))
+    assert(c3d0.getAs[Long]("n_assigned") == 3L)
+    assert(c3d0.getAs[Long]("sum_q") == 2900000L) // 1e6 + 0.9e6 + 1e6
+    assert(c3d0.getAs[Double]("c_new") == 2900000.0 / 3.0 / 1e6)
+    assert(c3d0.getAs[java.math.BigDecimal]("inertia").longValueExact ==
+      20000000000L)
+    // inertia is constant across a cluster's dim rows
+    assert(byKey((0L, 1L)).getAs[java.math.BigDecimal]("inertia") ==
+      c0d0.getAs[java.math.BigDecimal]("inertia"))
+  }
+
+  test("kmeansStep: a second step with the SAME data is deterministic") {
+    val a = Clustering.kmeansStep(emb, "vec_id", "embedding", centroidStride = 3)
+      .orderBy("cid", "dim").collect().toSeq
+    val b = Clustering.kmeansStep(emb, "vec_id", "embedding", centroidStride = 3)
+      .orderBy("cid", "dim").collect().toSeq
+    assert(a == b)
+  }
+}

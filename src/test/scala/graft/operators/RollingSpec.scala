@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RollingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+
+  test("maxDrawdown: running peak, trough value and timestamp") {
+    // peak runs 10,12,12,12,12,12; drawdowns 0,0,4,1,7,3 -> max 7 at the 5
+    val df = Seq(
+      (1L, ts(0), 10.0, 1L), (1L, ts(1), 12.0, 2L), (1L, ts(2), 8.0, 3L),
+      (1L, ts(3), 11.0, 4L), (1L, ts(4), 5.0, 5L), (1L, ts(5), 9.0, 6L),
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Rolling.maxDrawdown(df, Seq("user_id"), "ts", "value", col("event_id"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("peak_at_trough") == 12.0)
+    assert(r.getAs[Double]("max_drawdown") == 7.0)
+    assert(r.getAs[Timestamp]("trough_ts") == ts(4))
+    assert(r.getAs[Double]("trough_value") == 5.0)
+  }
+
+  test("maxDrawdown: equal drawdowns pick the EARLIEST trough") {
+    val df = Seq(
+      (1L, ts(0), 10.0, 1L), (1L, ts(1), 5.0, 2L), (1L, ts(2), 5.0, 3L),
+    ).toDF("user_id", "ts", "value", "event_id")
+    val r = Rolling.maxDrawdown(df, Seq("user_id"), "ts", "value", col("event_id"))
+      .collect().head
+    assert(r.getAs[Double]("max_drawdown") == 5.0)
+    assert(r.getAs[Timestamp]("trough_ts") == ts(1))
+  }
+
+  test("maxDrawdown: monotonic rise has zero drawdown at the first row") {
+    val df = Seq(
+      (1L, ts(0), 1.0, 1L), (1L, ts(1), 2.0, 2L), (1L, ts(2), 3.0, 3L),
+    ).toDF("user_id", "ts", "value", "event_id")
+    val r = Rolling.maxDrawdown(df, Seq("user_id"), "ts", "value", col("event_id"))
+      .collect().head
+    assert(r.getAs[Double]("max_drawdown") == 0.0)
+    assert(r.getAs[Timestamp]("trough_ts") == ts(0))
+  }
+
+  test("rollingBands: textbook window sums, bands, and previous-band outliers") {
+    val df = Seq(
+      (1L, ts(0), 1.0, 1L), (1L, ts(1), 2.0, 2L),
+      (1L, ts(2), 3.0, 3L), (1L, ts(3), 4.0, 4L),
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Rolling.rollingBands(df, Seq("user_id"), "ts", "value",
+        col("event_id"), nRows = 3, k = 1.0)
+      .orderBy("event_id").collect()
+    assert(out.map(_.getAs[Long]("roll_n")).toSeq == Seq(1L, 2L, 3L, 3L))
+    // row 2: n=2, sum=3, sumsq=5 -> mean 1.5, var (5-4.5)/2 = 0.25, sd 0.5
+    val r2 = out(1)
+    assert(r2.getAs[Double]("roll_mean") == 1.5)
+    assert(r2.getAs[Double]("roll_sd") == 0.5)
+    assert(r2.getAs[Double]("upper") == 2.0)
+    assert(r2.getAs[Double]("lower") == 1.0)
+    // row 4 window is rows 2-4: sum=9, sumsq=29 -> mean 3, var 2/3
+    val r4 = out(3)
+    assert(r4.getAs[Double]("roll_mean") == 3.0)
+    assert(r4.getAs[Double]("roll_sd") == math.sqrt((29.0 - 9.0 * 9.0 / 3.0) / 3.0))
+    // first row has no previous band (null); every later value breaks its
+    // previous upper band in this rising series
+    assert(out(0).isNullAt(out(0).fieldIndex("is_outlier")))
+    assert(Seq(1, 2, 3).forall(i => out(i).getAs[Boolean]("is_outlier")))
+  }
+
+  test("rollingBands: flat series has sd 0 and no outliers after the head") {
+    val df = Seq(
+      (1L, ts(0), 5.0, 1L), (1L, ts(1), 5.0, 2L), (1L, ts(2), 5.0, 3L),
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Rolling.rollingBands(df, Seq("user_id"), "ts", "value",
+        col("event_id"), nRows = 3, k = 2.0)
+      .orderBy("event_id").collect()
+    assert(out.forall(_.getAs[Double]("roll_sd") == 0.0))
+    assert(Seq(1, 2).forall(i => !out(i).getAs[Boolean]("is_outlier")))
+  }
+}
