@@ -887,6 +887,35 @@ object SparkEntry {
           col("roll_mean"), col("roll_sd"), col("upper"), col("lower"),
           coalesce(col("is_outlier"), lit(false)).as("is_outlier"))
         .orderBy(col("event_id"))),
+
+    // Q66 — heavy hitters under a count-min-sketch contract (the q32
+    // sketch recipe): exact top-20 token frequencies under the oracle,
+    // plus booleans proving this engine's CMS honors its published ε-δ
+    // bounds (estimates themselves are engine-local)
+    "q66_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Vocabulary.heavyHittersWithSketch(
+          t(s, dir, "documents"), "doc_id", "text", k = 20)
+        .select(col("rank").as("rnk"), col("token"), col("tf"),
+          col("overcount_ok"), col("within_eps"))
+        .orderBy(col("rnk"))),
+
+    // Q67 — JSONL interchange round-trip: documents → partitioned gzip
+    // JSONL → explicit-schema read-back → per-source rollup with a
+    // portable-hash text checksum; the oracle computes the identical
+    // rollup from the parquet directly, so any loss/corruption in the
+    // round-trip breaks the hash
+    "q67_jsonl_roundtrip" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val docs = t(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      graft.sources.JsonlLake.write(docs, out, partitionBy = Seq("source"))
+      graft.sources.JsonlLake.read(s, out, docs.schema)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(pmod(portableHash(col("text")), lit(1000000000L))).as("text_checksum"))
+        .orderBy(col("source"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1334,6 +1363,23 @@ object SparkEntry {
 
       // exact shingle-set overlap vs the src0 benchmark union (same
       // 3-gram construction as the q16/q39 oracles)
+      // exact heavy-hitter law replayed; the contract booleans assert
+      // TRUE — the engine must prove its own sketch honors them
+      "q66_heavy_hitters" ->
+        """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+          |st AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY token)
+          |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rnk,
+          |  token, tf, TRUE AS overcount_ok, TRUE AS within_eps
+          |FROM st ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+
+      // the round-trip must be lossless: identical rollup computed from
+      // the parquet source directly
+      "q67_jsonl_roundtrip" ->
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000) AS BIGINT) AS text_checksum
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams
       "q62_boilerplate" ->

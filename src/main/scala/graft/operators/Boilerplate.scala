@@ -30,12 +30,14 @@ import graft.functions.TextFunctions.wordShingles
 object Boilerplate {
 
   /** Distinct (idCol, gram) pairs of the corpus — the shared frame both
-   *  the census and the per-doc rollup aggregate from. */
+   *  the census and the per-doc rollup aggregate from. Already distinct
+   *  WITHOUT a shuffle: wordShingles array_distincts per document before
+   *  the explode, and idCol rows are unique by contract — a .distinct()
+   *  here would re-shuffle the whole exploded frame for nothing. */
   private def docGrams(
       corpus: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     corpus
       .select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
-      .distinct()
 
   /** The boilerplate gram census: grams occurring in >= minDocs distinct
    *  documents, with their document frequencies. Output: (gram, doc_freq). */

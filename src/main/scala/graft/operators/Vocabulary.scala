@@ -53,4 +53,42 @@ object Vocabulary {
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("tf").desc, col("token"))).cast("long"))
   }
+
+  /**
+   * Heavy hitters with a count-min-sketch cross-check (the q32 sketch
+   * recipe): exact top-`k` token frequencies from the two-phase census,
+   * each annotated with the CMS estimate and two contract booleans —
+   *
+   *  - `overcount_ok`: est ≥ exact (CMS never undercounts — a hard
+   *    guarantee, not probabilistic);
+   *  - `within_eps`:  est ≤ exact + ⌈eps·N⌉ (the ε-δ accuracy contract,
+   *    N = total token count).
+   *
+   * An oracle checks the exact columns and asserts the booleans TRUE —
+   * each engine proves its own sketch honors the published contract
+   * (estimates themselves are engine-local, like HLL cardinalities).
+   *
+   * Physical shape: the sketch aggregates in one distributed pass
+   * (mergeable counters — the same all-reduce shape a 1000-executor run
+   * uses); only the k surviving heavy hitters collect to the driver for
+   * estimate lookup, and the estimates rejoin as a broadcast literal map.
+   * Fixed `seed` keeps the sketch bit-deterministic across runs/engines.
+   */
+  def heavyHittersWithSketch(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val tok = docs.select(explode(words(col(textCol))).as("token"))
+    // one distributed job at construction time (the bloom-build precedent):
+    // the sketch is tiny (⌈e/eps⌉ × ⌈ln(1/(1-conf))⌉ longs) and mergeable
+    val cms = tok.stat.countMinSketch("token", eps, confidence, seed)
+    val bound = math.ceil(eps * cms.totalCount()).toLong
+    val top = topTokens(docs, idCol, textCol, k)
+      .select(col("rank"), col("token"), col("tf"))
+    val estimates = top.select(col("token")).collect()
+      .map(_.getString(0)).map(t => t -> cms.estimateCount(t)).toMap
+    top
+      .withColumn("est", element_at(typedlit(estimates), col("token")))
+      .withColumn("overcount_ok", col("est") >= col("tf"))
+      .withColumn("within_eps", col("est") <= col("tf") + lit(bound))
+  }
 }

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * JSONL (newline-delimited JSON) interchange lake — the lingua franca of
+ * LLM corpus distribution. Parquet stays the engine's native format
+ * (TickLake); this source exists so corpora can enter and leave the
+ * pipeline in the format the ecosystem actually ships.
+ *
+ * Scale posture:
+ *  - reads take an EXPLICIT schema — schema inference is a full extra
+ *    pass over 100 TB before the first real job, and silently widens
+ *    types on dirty data. Callers state what they expect; corrupt rows
+ *    land in `_corrupt_record` when `keepCorrupt` is set rather than
+ *    killing the job (PERMISSIVE), or fail fast (FAILFAST) by default.
+ *  - writes partition by the caller's columns (source/split/date …) so
+ *    downstream reads prune directories exactly like the parquet lake.
+ *  - gzip is the default compression: JSONL is an interchange format, so
+ *    universal decompressibility beats splittability at the file level —
+ *    parallelism comes from many files (one per task), not from
+ *    splitting one file. Pass `compression = None` for raw text.
+ */
+object JsonlLake {
+
+  /** Write `df` as partitioned JSONL under `dir`. */
+  def write(
+      df: DataFrame, dir: String, partitionBy: Seq[String] = Nil,
+      compression: Option[String] = Some("gzip")): Unit = {
+    val w = df.write.mode("overwrite")
+    val wc = compression.fold(w)(c => w.option("compression", c))
+    (if (partitionBy.nonEmpty) wc.partitionBy(partitionBy: _*) else wc)
+      .json(dir)
+  }
+
+  /** Read a JSONL lake with an explicit schema (never inferred). */
+  def read(
+      spark: SparkSession, dir: String, schema: StructType,
+      keepCorrupt: Boolean = false): DataFrame = {
+    val r = spark.read.schema(
+      if (keepCorrupt) schema.add("_corrupt_record", "string") else schema)
+    (if (keepCorrupt) r.option("mode", "PERMISSIVE")
+     else r.option("mode", "FAILFAST"))
+      .json(dir)
+  }
+}

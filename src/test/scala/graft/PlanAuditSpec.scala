@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "q19_cosine_topk" -> "DECLARED brute-force baseline: broadcast query side x candidate scan is the semantics (scale paths are q25/q31/q33)",
     "q31_ann_ivf" -> "IVF index build: every vector scores against the broadcast centroid set (centroid count is the user-tuned knob, n/stride)",
     "q47_vocab_topk" -> "single-row broadcast: the corpus doc count crossJoins onto the token stats (1 x V rows, structurally bounded)",
+    "q66_heavy_hitters" -> "same single-row doc-count crossJoin inherited from the q47 token census",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {
@@ -76,7 +77,6 @@ class PlanAuditSpec extends SparkSpec {
     val grams = docs
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("gram"))
-      .distinct()
     val boiler = grams.groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
       .where(col("doc_freq") >= 3L)
     val joined = grams.join(boiler.select(col("gram")), Seq("gram"))

@@ -31,4 +31,29 @@ class VocabularySpec extends SparkSpec {
     // aa and zz tie at tf=3 -> aa first alphabetically
     assert(top.toSeq.sortBy(_._2) == Seq(("aa", 1L), ("zz", 2L)))
   }
+
+  test("heavyHittersWithSketch: exact counts, contract booleans, tight sketch") {
+    val docs = Seq(
+      (1L, "red red red blue blue"),
+      (2L, "red green blue"),
+    ).toDF("doc_id", "text")
+    val out = Vocabulary.heavyHittersWithSketch(docs, "doc_id", "text", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getAs[String]("token"), r.getAs[Long]("tf"))).toSeq ==
+      Seq(("red", 4L), ("blue", 3L), ("green", 1L)))
+    // CMS hard guarantee + ε-bound must hold; with 3 distinct tokens in a
+    // ⌈e/0.001⌉-cell sketch there are no collisions, so est == tf exactly
+    assert(out.forall(_.getAs[Boolean]("overcount_ok")))
+    assert(out.forall(_.getAs[Boolean]("within_eps")))
+    assert(out.forall(r => r.getAs[Long]("est") == r.getAs[Long]("tf")))
+  }
+
+  test("heavyHittersWithSketch: same seed is run-deterministic") {
+    val docs = Seq((1L, "a b c a b a")).toDF("doc_id", "text")
+    val a = Vocabulary.heavyHittersWithSketch(docs, "doc_id", "text", k = 3)
+      .orderBy("rank").collect().toSeq
+    val b = Vocabulary.heavyHittersWithSketch(docs, "doc_id", "text", k = 3)
+      .orderBy("rank").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class JsonlLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("text", StringType),
+    StructField("src", StringType)))
+
+  private def corpus = Seq(
+    (1L, "alpha beta", "a"), (2L, "gamma", "a"),
+    (3L, "delta \"quoted\" and\ttab", "b"),
+  ).toDF("id", "text", "src")
+
+  test("write + read round-trips rows exactly (incl. JSON-escaped text)") {
+    val dir = tmpDir("jsonl")
+    JsonlLake.write(corpus, dir, partitionBy = Seq("src"))
+    val back = JsonlLake.read(spark, dir, schema)
+      .select("id", "text", "src").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(back.toSeq == Seq(
+      (1L, "alpha beta", "a"), (2L, "gamma", "a"),
+      (3L, "delta \"quoted\" and\ttab", "b")))
+  }
+
+  test("partitioned layout prunes on the partition column") {
+    val dir = tmpDir("jsonl")
+    JsonlLake.write(corpus, dir, partitionBy = Seq("src"))
+    // hive-style src=... directories exist
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("src=a", "src=b"))
+    val plan = JsonlLake.read(spark, dir, schema).where(col("src") === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(src"),
+      s"src filter not pushed to partition pruning:\n${plan.take(1500)}")
+  }
+
+  test("gzip compression is on by default, off when asked") {
+    val dir = tmpDir("jsonl")
+    JsonlLake.write(corpus, dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".json.gz")))
+    val dir2 = tmpDir("jsonl")
+    JsonlLake.write(corpus, dir2, compression = None)
+    assert(new java.io.File(dir2).listFiles().exists(_.getName.endsWith(".json")))
+  }
+
+  test("corrupt rows surface in _corrupt_record under keepCorrupt") {
+    val dir = tmpDir("jsonl")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"id": 1, "text": "good", "src": "a"}
+        |{not json at all
+        |""".stripMargin)
+    // Spark refuses plans that project ONLY _corrupt_record from raw
+    // JSON — materialize full rows, then inspect
+    val rows = JsonlLake.read(spark, dir, schema, keepCorrupt = true).collect()
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("_corrupt_record"))) == 1)
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("id")) && r.getLong(r.fieldIndex("id")) == 1L) == 1)
+  }
+}
