@@ -916,6 +916,36 @@ object SparkEntry {
           sum(pmod(portableHash(col("text")), lit(1000000000L))).as("text_checksum"))
         .orderBy(col("source"))
     }),
+
+    // Q68 — execution-quality bars: VWAP/TWAP per (user, hour) next to
+    // the flagship OHLCV; exact decimal price·size sums, one IEEE divide
+    // per benchmark (valid ticks only — the q01 validation gate)
+    "q68_vwap_bars" -> ((s, dir) =>
+      operators.Bars.vwap(t(s, dir, "events").where(col("value") > 0),
+          keyCols = Seq(col("user_id")),
+          bucket = date_trunc("hour", col("ts")).cast(TimestampNTZType),
+          ts = col("ts"), price = col("value"), size = col("value"))
+        .orderBy(col("user_id"), col("bar_start"))),
+
+    // Q69 — per-user realized variance/volatility of tick-over-tick
+    // moves: exact decimal Σd/Σd², textbook identity at the edge
+    "q69_realized_vol" -> ((s, dir) =>
+      operators.Rolling.realizedVariance(
+          t(s, dir, "events").where(col("value") > 0)
+            .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", "value", col("event_id"))
+        .orderBy(col("user_id"))),
+
+    // Q70 — candlestick pattern census over the hourly OHLCV bars:
+    // doji/hammer map-side, engulfing via one lag window on the key
+    "q70_candles" -> ((s, dir) =>
+      operators.Candles.patternCensus(
+          Bars.ohlcv(t(s, dir, "events"),
+            keyCols = Seq(col("user_id")),
+            bucket = date_trunc("hour", col("ts")).cast(TimestampNTZType),
+            ts = col("ts"), price = col("value"), size = col("value")),
+          Seq("user_id"))
+        .orderBy(col("user_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1379,6 +1409,56 @@ object SparkEntry {
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000) AS BIGINT) AS text_checksum
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      // exact decimal price·size sums; the two benchmark divisions are
+      // the only IEEE ops (identical op order to Bars.vwap)
+      "q68_vwap_bars" ->
+        """SELECT user_id, date_trunc('hour', ts) AS bar_start,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          |    / CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS vwap,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS twap,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+          |  count(*) AS n_trades
+          |FROM events WHERE value > 0
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // replays the move law (exact DECIMAL(18,4) diffs over (ts,
+      // event_id) order) and the same (Σd² − (Σd)²/n)/n identity
+      "q69_realized_vol" ->
+        """WITH m AS (SELECT user_id,
+          |    CAST(CAST(value AS DECIMAL(18,4)) - lag(CAST(value AS DECIMAL(18,4)))
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(18,4)) AS d
+          |  FROM events WHERE value > 0),
+          |a AS (SELECT user_id, count(*) AS n_moves,
+          |    CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(d * d) AS DOUBLE) AS sdd
+          |  FROM m WHERE d IS NOT NULL GROUP BY user_id)
+          |SELECT user_id, n_moves,
+          |  (sdd - sd * sd / CAST(n_moves AS DOUBLE)) / CAST(n_moves AS DOUBLE) AS realized_var,
+          |  sqrt(greatest((sdd - sd * sd / CAST(n_moves AS DOUBLE)) / CAST(n_moves AS DOUBLE), 0.0)) AS realized_vol
+          |FROM a ORDER BY user_id""".stripMargin,
+
+      // identical bar construction to q03, then the textbook pattern
+      // predicates (body scaled by 10, never 0.1·range) and flag sums
+      "q70_candles" ->
+        """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar_start,
+          |    arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+          |    arg_max(value, ts) AS close
+          |  FROM events GROUP BY 1, 2),
+          |f AS (SELECT user_id,
+          |    abs(close - open) * 10.0 <= (high - low) AS is_doji,
+          |    (least(open, close) - low) >= 2.0 * abs(close - open)
+          |      AND (high - greatest(open, close)) <= abs(close - open) AS is_hammer,
+          |    lag(close) OVER w < lag(open) OVER w AND close > open
+          |      AND close >= lag(open) OVER w AND open <= lag(close) OVER w AS is_bull_engulf,
+          |    lag(close) OVER w > lag(open) OVER w AND close < open
+          |      AND close <= lag(open) OVER w AND open >= lag(close) OVER w AS is_bear_engulf
+          |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar_start))
+          |SELECT user_id, count(*) AS n_bars,
+          |  CAST(sum(CASE WHEN is_doji THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+          |  CAST(sum(CASE WHEN is_hammer THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer,
+          |  CAST(sum(CASE WHEN coalesce(is_bull_engulf, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+          |  CAST(sum(CASE WHEN coalesce(is_bear_engulf, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf
+          |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

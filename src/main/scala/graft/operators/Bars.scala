@@ -45,4 +45,36 @@ object Bars {
         sum(size.cast(DecimalType(18, 4))).cast("double").as("volume"),
         count(lit(1)).as("n_trades"))
   }
+
+  /**
+   * Execution-quality bars: VWAP and TWAP per (key, bucket) — the
+   * per-bar benchmarks an execution-analytics consumer computes next to
+   * OHLCV (same reference surface as A6; the K-bar design doc's
+   * argMin/argMax family extends naturally to volume weighting).
+   *
+   * Determinism: price·size multiplies exactly in DECIMAL(18,4)² →
+   * DECIMAL(37,8); both sums stay exact decimal at any parallelism; the
+   * VWAP/TWAP divisions are each ONE IEEE op on already-exact operands —
+   * bit-identical across engines and partitionings.
+   *
+   * Physical shape: identical to [[ohlcv]] — one partial+final hash
+   * aggregate, map-side combinable, only per-bar partial sums shuffle.
+   */
+  def vwap(
+      ticks: DataFrame,
+      keyCols: Seq[Column],
+      bucket: Column,
+      ts: Column,
+      price: Column,
+      size: Column): DataFrame = {
+    val p = price.cast(DecimalType(18, 4))
+    val v = size.cast(DecimalType(18, 4))
+    ticks
+      .groupBy((keyCols :+ bucket.as("bar_start")): _*)
+      .agg(
+        (sum(p * v).cast("double") / sum(v).cast("double")).as("vwap"),
+        (sum(p).cast("double") / count(lit(1)).cast("double")).as("twap"),
+        sum(v).cast("double").as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
 }

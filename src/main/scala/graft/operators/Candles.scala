@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Candlestick pattern classification over OHLCV bars — the downstream
+ * consumer of the flagship A6 aggregation (reference design doc
+ * docs/…系統設計文件.md:69-72 produces the bars; a signals stage reads
+ * them). Patterns use the textbook single/two-bar definitions:
+ *
+ *  - doji:              |close−open|·10 ≤ high−low  (body ≤ 10% of range)
+ *  - hammer:            lower shadow ≥ 2·|body| AND upper shadow ≤ |body|
+ *  - bullish engulfing: prev bar red, this bar green, and this body
+ *                       engulfs the previous body (close ≥ prev open,
+ *                       open ≤ prev close)
+ *  - bearish engulfing: the mirror image
+ *
+ * Determinism: open/high/low/close are exact copies of tick values, so
+ * body/range/shadow subtractions are single IEEE ops both engines round
+ * identically; the doji test multiplies by the integer literal 10 rather
+ * than comparing against 0.1·range (0.1 is not exactly representable —
+ * scaling by 10 keeps every operand exact until the final comparison).
+ *
+ * Physical shape: the bars aggregation is map-side combinable (see
+ * [[Bars.ohlcv]]); the two-bar patterns add ONE window shuffle on the
+ * key — at 1000 executors each symbol's bar series is a short ordered
+ * scan on one reducer (bars are already thousands-to-one reduced from
+ * ticks, so this window is metadata-scale relative to the input).
+ */
+object Candles {
+
+  /** Per-bar pattern flags over an OHLCV frame (columns: keys...,
+   *  bar_start, open, high, low, close). */
+  def flagPatterns(bars: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("bar_start"))
+    val body = col("close") - col("open")
+    val range = col("high") - col("low")
+    val absBody = abs(body)
+    val lowerShadow = least(col("open"), col("close")) - col("low")
+    val upperShadow = col("high") - greatest(col("open"), col("close"))
+    val prevOpen = lag(col("open"), 1).over(w)
+    val prevClose = lag(col("close"), 1).over(w)
+    bars
+      .withColumn("is_doji", absBody * lit(10.0) <= range)
+      .withColumn("is_hammer",
+        lowerShadow >= lit(2.0) * absBody && upperShadow <= absBody)
+      .withColumn("is_bull_engulf",
+        prevClose < prevOpen && col("close") > col("open") &&
+          col("close") >= prevOpen && col("open") <= prevClose)
+      .withColumn("is_bear_engulf",
+        prevClose > prevOpen && col("close") < col("open") &&
+          col("close") <= prevOpen && col("open") >= prevClose)
+  }
+
+  /** Per-key pattern census: bar count + per-pattern totals (two-bar
+   *  patterns are false on each key's first bar, never null). */
+  def patternCensus(bars: DataFrame, keyCols: Seq[String]): DataFrame =
+    flagPatterns(bars, keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_bars"),
+        sum(col("is_doji").cast("long")).as("n_doji"),
+        sum(col("is_hammer").cast("long")).as("n_hammer"),
+        sum(coalesce(col("is_bull_engulf"), lit(false)).cast("long")).as("n_bull_engulf"),
+        sum(coalesce(col("is_bear_engulf"), lit(false)).cast("long")).as("n_bear_engulf"))
+}

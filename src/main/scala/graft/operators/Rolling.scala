@@ -97,4 +97,49 @@ object Rolling {
           col(valueCol) < lag(col("lower"), 1).over(order))
       .drop("_sx", "_sxx")
   }
+
+  /**
+   * Per-key realized variance/volatility of tick-over-tick price moves:
+   * d_i = value_i − value_{i−1} over (ts, tieBreak) order, population
+   * variance of the d_i from the textbook identity
+   * `(Σd² − (Σd)²/n)/n`, volatility = √variance.
+   *
+   * Division-free until the edge: the moves subtract exactly in
+   * DECIMAL(18,4) (prices carry ≤4 decimals — the tick price law), d²
+   * multiplies exactly into DECIMAL(38,8), and both sums stay exact
+   * decimal at any parallelism. Only the final identity runs in IEEE
+   * doubles — the same fixed op sequence both engines round identically
+   * (the rollingBands recipe, aggregated per key instead of windowed).
+   *
+   * Physical shape: one window shuffle on the key (the ordered-scan
+   * layout) feeding a map-side-combinable aggregate that reuses the same
+   * partitioning — no second exchange.
+   */
+  def realizedVariance(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreak: Column): DataFrame = {
+    val order = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), tieBreak)
+    val x = col(valueCol).cast(DecimalType(18, 4))
+    // (18,4): keeps d*d at DECIMAL(37,8) — inside the 38-digit cap, so the
+    // square is EXACT; a (19,4) move type would push the product to 39
+    // digits and force a scale-trimming round
+    val moves = df
+      .withColumn("_d", (x - lag(x, 1).over(order)).cast(DecimalType(18, 4)))
+      .where(col("_d").isNotNull)
+    val agg = moves
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_moves"),
+        sum(col("_d")).cast(DecimalType(38, 4)).as("_sd"),
+        sum(col("_d") * col("_d")).cast(DecimalType(38, 8)).as("_sdd"))
+    val n = col("n_moves").cast("double")
+    val sd = col("_sd").cast("double")
+    val sdd = col("_sdd").cast("double")
+    val variance = (sdd - sd * sd / n) / n
+    agg
+      .withColumn("realized_var", variance)
+      .withColumn("realized_vol", sqrt(greatest(variance, lit(0.0))))
+      .drop("_sd", "_sdd")
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+import graft.SparkSpec
+
+class BarsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+
+  test("vwap: exact decimal sums, hand-computed benchmarks") {
+    // Σp·v = 10·1 + 11·2 + 12·1 = 44, Σv = 4 -> vwap 11; twap = 33/3 = 11
+    val ticks = Seq(
+      ("NQ", ts(0), 10.0, 1.0),
+      ("NQ", ts(1), 11.0, 2.0),
+      ("NQ", ts(2), 12.0, 1.0),
+    ).toDF("symbol", "ts", "price", "size")
+    val r = Bars.vwap(ticks, Seq(col("symbol")),
+        date_trunc("hour", col("ts")).cast(TimestampNTZType),
+        col("ts"), col("price"), col("size"))
+      .collect().head
+    assert(r.getAs[Double]("vwap") == 11.0)
+    assert(r.getAs[Double]("twap") == 11.0)
+    assert(r.getAs[Double]("volume") == 4.0)
+    assert(r.getAs[Long]("n_trades") == 3)
+  }
+
+  test("vwap: volume weighting pulls the benchmark toward the heavy trade") {
+    // Σp·v = 10·9 + 20·1 = 110, Σv = 10 -> vwap 11; twap = 15
+    val ticks = Seq(
+      ("NQ", ts(0), 10.0, 9.0),
+      ("NQ", ts(1), 20.0, 1.0),
+    ).toDF("symbol", "ts", "price", "size")
+    val r = Bars.vwap(ticks, Seq(col("symbol")),
+        date_trunc("hour", col("ts")).cast(TimestampNTZType),
+        col("ts"), col("price"), col("size"))
+      .collect().head
+    assert(r.getAs[Double]("vwap") == 11.0)
+    assert(r.getAs[Double]("twap") == 15.0)
+  }
+
+  test("vwap: buckets split bars exactly like ohlcv") {
+    val ticks = Seq(
+      ("NQ", Timestamp.valueOf("2025-01-01 00:30:00"), 10.0, 1.0),
+      ("NQ", Timestamp.valueOf("2025-01-01 01:30:00"), 20.0, 2.0),
+    ).toDF("symbol", "ts", "price", "size")
+    val rows = Bars.vwap(ticks, Seq(col("symbol")),
+        date_trunc("hour", col("ts")).cast(TimestampNTZType),
+        col("ts"), col("price"), col("size"))
+      .orderBy(col("bar_start")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("vwap") == 10.0)
+    assert(rows(1).getAs[Double]("vwap") == 20.0)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CandlesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def h(n: Int) = Timestamp.valueOf(f"2025-01-01 $n%02d:00:00")
+
+  // (key, bar_start, open, high, low, close)
+  private def bars = Seq(
+    // doji: zero body, symmetric shadows (not a hammer: upper shadow > body)
+    ("A", h(0), 10.0, 11.0, 9.0, 10.0),
+    // hammer: long lower shadow (2 >= 2*0.5), tiny upper (0.1 <= 0.5);
+    // green after a flat bar -> not engulfing (prev body is zero)
+    ("A", h(1), 10.0, 10.6, 8.0, 10.5),
+    // red bar setting up the engulf (close 10.2 > prev open 10.0, so it
+    // does NOT bear-engulf the hammer bar itself)
+    ("A", h(2), 11.0, 11.1, 9.9, 10.2),
+    // bullish engulfing: green, close >= prev open, open <= prev close
+    ("A", h(3), 9.9, 11.3, 9.8, 11.2),
+    // bearish engulfing of the green bar: red, close <= prev open (9.9),
+    // open >= prev close (11.2)
+    ("A", h(4), 11.25, 11.4, 9.0, 9.5),
+  ).toDF("symbol", "bar_start", "open", "high", "low", "close")
+
+  test("flagPatterns: textbook doji/hammer/engulfing classification") {
+    val out = Candles.flagPatterns(bars, Seq("symbol"))
+      .orderBy(col("bar_start")).collect()
+    assert(out.map(_.getAs[Boolean]("is_doji")).toSeq ==
+      Seq(true, false, false, false, false))
+    assert(out.map(_.getAs[Boolean]("is_hammer")).toSeq ==
+      Seq(false, true, false, false, false))
+    // first bar has no predecessor: the lag conjuncts are null, so the
+    // flag is null unless a false non-lag conjunct short-circuits it —
+    // either way it never reads true (patternCensus coalesces)
+    assert(out.map(r => Option(r.getAs[java.lang.Boolean]("is_bull_engulf")).exists(_.booleanValue)).toSeq ==
+      Seq(false, false, false, true, false))
+    assert(out.map(r => Option(r.getAs[java.lang.Boolean]("is_bear_engulf")).exists(_.booleanValue)).toSeq ==
+      Seq(false, false, false, false, true))
+  }
+
+  test("patternCensus: per-key totals with null-safe two-bar flags") {
+    val r = Candles.patternCensus(bars, Seq("symbol")).collect().head
+    assert(r.getAs[Long]("n_bars") == 5)
+    assert(r.getAs[Long]("n_doji") == 1)
+    assert(r.getAs[Long]("n_hammer") == 1)
+    assert(r.getAs[Long]("n_bull_engulf") == 1)
+    assert(r.getAs[Long]("n_bear_engulf") == 1)
+  }
+
+  test("flagPatterns: engulfing requires the body to cover the previous body") {
+    val seq = Seq(
+      ("B", h(0), 10.0, 10.5, 9.5, 9.8),  // red, body [9.8, 10.0]
+      ("B", h(1), 9.9, 10.1, 9.85, 9.95), // green but inside -> no engulf
+    ).toDF("symbol", "bar_start", "open", "high", "low", "close")
+    val out = Candles.flagPatterns(seq, Seq("symbol"))
+      .orderBy(col("bar_start")).collect()
+    assert(!out(1).getAs[Boolean]("is_bull_engulf"))
+  }
+}

@@ -82,4 +82,31 @@ class RollingSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("roll_sd") == 0.0))
     assert(Seq(1, 2).forall(i => !out(i).getAs[Boolean]("is_outlier")))
   }
+
+  test("realizedVariance: hand-computed move variance and volatility") {
+    // values 10,12,8,11,5,9 -> moves 2,-4,3,-6,4: n=5, Σd=-1, Σd²=81
+    // var = (81 - 1/5)/5 = 16.16
+    val df = Seq(
+      (1L, ts(0), 10.0, 1L), (1L, ts(1), 12.0, 2L), (1L, ts(2), 8.0, 3L),
+      (1L, ts(3), 11.0, 4L), (1L, ts(4), 5.0, 5L), (1L, ts(5), 9.0, 6L),
+    ).toDF("user_id", "ts", "value", "event_id")
+    val r = Rolling.realizedVariance(df, Seq("user_id"), "ts", "value",
+      col("event_id")).collect().head
+    assert(r.getAs[Long]("n_moves") == 5)
+    val expVar = (81.0 - (-1.0) * (-1.0) / 5.0) / 5.0
+    assert(r.getAs[Double]("realized_var") == expVar)
+    assert(r.getAs[Double]("realized_vol") == math.sqrt(expVar))
+  }
+
+  test("realizedVariance: single-row keys produce no output; flat series has 0") {
+    val df = Seq(
+      (1L, ts(0), 7.0, 1L),                                        // no moves
+      (2L, ts(0), 3.0, 2L), (2L, ts(1), 3.0, 3L), (2L, ts(2), 3.0, 4L),
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Rolling.realizedVariance(df, Seq("user_id"), "ts", "value",
+      col("event_id")).orderBy("user_id").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("user_id") == 2L)
+    assert(out.head.getAs[Double]("realized_var") == 0.0)
+    assert(out.head.getAs[Double]("realized_vol") == 0.0)
+  }
 }
