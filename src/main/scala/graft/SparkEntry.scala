@@ -946,6 +946,13 @@ object SparkEntry {
             ts = col("ts"), price = col("value"), size = col("value")),
           Seq("user_id"))
         .orderBy(col("user_id"))),
+
+    // Q71 — Hamming-banded SimHash near-dup pairs: 4×15-bit slices,
+    // pigeonhole-complete for hamming ≤ 3, equi-join candidates only
+    "q71_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1459,6 +1466,24 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN coalesce(is_bull_engulf, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
           |  CAST(sum(CASE WHEN coalesce(is_bear_engulf, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf
           |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // the q17 signature law + the identical band split: candidates
+      // from (band, 15-bit slice) equality, verified by bit_count(xor)
+      "q71_simhash_pairs" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+          |b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          |      FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) bits GROUP BY doc_id, i),
+          |sig AS (SELECT doc_id, CAST(sum(1::BIGINT << i) AS BIGINT) AS simhash
+          |        FROM b WHERE s > 0 GROUP BY doc_id),
+          |bd AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bval
+          |       FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) t),
+          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+          |    x.simhash AS sa, y.simhash AS sb
+          |  FROM bd x JOIN bd y ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

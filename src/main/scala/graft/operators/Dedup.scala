@@ -225,6 +225,49 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), i)")).as("simhash"))
 
+  /**
+   * SimHash near-duplicate pairs by banded Hamming search: split the
+   * `bits`-bit signature into `bands` equal slices; by pigeonhole, two
+   * signatures within Hamming distance `maxHamming < bands` must agree
+   * EXACTLY on at least one slice — so candidates come from an
+   * equi-join on (band, slice_value) and only candidates pay the
+   * `bit_count(xor)` verify. 100% recall under the distance bound, no
+   * non-equi self-join anywhere in the plan (the q33 lesson).
+   *
+   * Physical shape: `bands` rows per doc (ints only — text and words
+   * never shuffle), hash equi-join on the slice value, distinct on the
+   * surviving pairs, codegen'd xor/bit_count verify. At corpus scale
+   * this is the classic Hamming-LSH layout: shuffle volume is
+   * O(docs·bands) longs, and only genuinely colliding slices meet.
+   *
+   * Output: (id_a, id_b, hamming), id_a < id_b.
+   */
+  def simhashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4, bits: Int = 60): DataFrame = {
+    require(bits % bands == 0, s"bands must divide bits: $bands / $bits")
+    require(maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands: $maxHamming / $bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val banded = simhash(docs, idCol, textCol, bits)
+      .select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bval", expr(s"shiftright(simhash, band * $w) & $mask"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Vocabulary bound for the bitmap Jaccard fast path (16 packed longs). */
   val MaxBitmapVocab = 1024L
 

@@ -116,4 +116,36 @@ class DedupSpec extends SparkSpec {
     assert(k2 == r2, "kernel diverges from relational law on real documents")
     assert(k2.nonEmpty)
   }
+
+  test("simhashNearDupPairs: pigeonhole recall matches brute force on the real fixture") {
+    import org.apache.spark.sql.functions.{bit_count, col}
+    val real = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val banded = Dedup.simhashNearDupPairs(real, "doc_id", "text", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all pairs — the recall oracle the banding must match
+    val sigs = Dedup.simhash(real, "doc_id", "text")
+    val brute = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("h"))
+      .where(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, "banded candidate generation lost (or invented) pairs")
+  }
+
+  test("simhashNearDupPairs: identical docs collide at hamming 0; parameter guards") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical -> hamming 0
+      (3L, "one two three four five six seven eight nine"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", bands = 7)
+    }
+  }
 }
