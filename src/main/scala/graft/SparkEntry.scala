@@ -953,6 +953,21 @@ object SparkEntry {
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3, bands = 4)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Q72 — bigram collocation mining by lift (log-free PMI): exact
+    // DECIMAL(38,0) products, one IEEE division, top-25
+    "q72_collocations" -> ((s, dir) =>
+      operators.Vocabulary.collocations(t(s, dir, "documents"), "doc_id", "text",
+          minCount = 5L, k = 25)
+        .orderBy(col("rank"))),
+
+    // Q73 — BM25 retrieval scoring over a fixed term set with the
+    // rational idf (no ln — the engine-portable recipe); term scores are
+    // separate columns summed in fixed order, never an exploded float agg
+    "q73_bm25" -> ((s, dir) =>
+      operators.Vocabulary.bm25(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("table", "value", "fast", "scan", "agg"), k = 50)
+        .orderBy(col("rank"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1484,6 +1499,59 @@ object SparkEntry {
           |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
           |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // identical lift law: exact DECIMAL(38,0) products cast to double
+      // once each, one IEEE division; HAVING mirrors minCount = 5
+      "q72_collocations" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |uni AS (SELECT unnest(ws) AS tok FROM w),
+          |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM uni),
+          |bg AS (SELECT unnest(list_transform(range(greatest(len(ws) - 1, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2])) AS bigram FROM w),
+          |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg
+          |       GROUP BY bigram HAVING count(*) >= 5),
+          |j AS (SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+          |    CAST(CAST(c_ab AS DECIMAL(38,0)) * m AS DOUBLE)
+          |      / CAST(CAST(a.c AS DECIMAL(38,0)) * b.c AS DOUBLE) AS lift
+          |  FROM bc, tot, uc a, uc b
+          |  WHERE a.tok = string_split(bigram, ' ')[1]
+          |    AND b.tok = string_split(bigram, ' ')[2])
+          |SELECT CAST(row_number() OVER (ORDER BY lift DESC, bigram) AS BIGINT) AS rank,
+          |  bigram, c_ab, c_a, c_b, lift
+          |FROM j ORDER BY lift DESC, bigram LIMIT 25""".stripMargin,
+
+      // the same rational-idf BM25 op sequence, term by term in the same
+      // fixed order; (1.2 + 1.0) folds with the same IEEE add Spark's
+      // plan-time k1+1 uses — never pre-rounded to a different literal
+      "q73_bm25" -> {
+        val terms = Seq("table", "value", "fast", "scan", "agg")
+        val tfSel = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
+        }.mkString(",\n    ")
+        val dfSel = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+        ).mkString(",\n    ")
+        val scoreExpr = terms.indices.map(i =>
+          s"""((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+             |      * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+             |      / (CAST(tf_$i AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""".stripMargin
+        ).mkString("\n    + ")
+        val tfOut = terms.indices.map(i => s"tf_$i").mkString(", ")
+        s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents),
+           |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+           |    $tfSel
+           |  FROM w GROUP BY doc_id),
+           |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+           |    $dfSel
+           |  FROM per),
+           |s AS (SELECT doc_id, dl AS doc_len, $tfOut,
+           |    $scoreExpr AS score
+           |  FROM per, c)
+           |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           |  doc_id, doc_len, score, $tfOut
+           |FROM s ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+      },
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -90,5 +90,117 @@ object Vocabulary {
       .withColumn("est", element_at(typedlit(estimates), col("token")))
       .withColumn("overcount_ok", col("est") >= col("tf"))
       .withColumn("within_eps", col("est") <= col("tf") + lit(bound))
+  }
+
+  /**
+   * Bigram collocation mining by lift (the log-free PMI): for each
+   * within-document bigram "a b",
+   *
+   *   lift = (c_ab · M) / (c_a · c_b)
+   *
+   * with c_ab the bigram count, c_a/c_b unigram counts and M the total
+   * token count — observed co-occurrence over the independence
+   * expectation. Top-`k` bigrams with c_ab ≥ `minCount`, ranked by
+   * (lift desc, bigram).
+   *
+   * Determinism: both products are exact DECIMAL(38,0) (headroom to
+   * ~10^38 — far past any corpus), each cast to double exactly once, and
+   * the lift is ONE IEEE division. No logs anywhere (PMI's ln is libm-
+   * dependent across engines; lift is the same ranking, order-preserved).
+   *
+   * Physical shape: one map-side-combinable bigram count + one unigram
+   * count, two hash joins keyed on the token (broadcast-sized for real
+   * vocabularies), the single-row token total as a broadcast crossJoin
+   * (the q47 pattern), and the top-k via distributed TakeOrdered.
+   */
+  def collocations(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = docs
+      .select(explode(words(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = docs
+      .select(explode(words(col(textCol))).as("tok"))
+      .agg(count(lit(1)).as("m"))
+    val bi = docs
+      .select(explode(wordGrams(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val top = bi
+      .withColumn("tok_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("tok_b", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (dec(col("c_ab")) * col("m")).cast("double") /
+          (dec(col("c_a")) * col("c_b")).cast("double"))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram")).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("lift").desc, col("bigram"))).cast("long"))
+  }
+
+  /**
+   * BM25 document scoring over a FIXED term set, with the rational idf
+   *
+   *   idf_t   = (N − df_t + 0.5) / (df_t + 0.5)
+   *   score_t = idf_t · tf_t·(k1+1) / (tf_t + k1·(1−b + b·dl/avgdl))
+   *   score   = Σ_t score_t   (fixed term order)
+   *
+   * — textbook BM25 with the log dropped from the idf (ln is the one
+   * sub-expression whose last-ulp rounding is not contractually identical
+   * across engines; the rational idf keeps every input an exact integer
+   * and every step a literal IEEE op sequence both engines round
+   * identically — the engine-portability recipe of q47/q56).
+   *
+   * Determinism: term scores are SEPARATE COLUMNS summed in fixed
+   * syntactic order (never a float aggregation over exploded rows, whose
+   * order is partition-dependent). k1 = 1.2, b = 0.75 appear as the same
+   * source literals in both engines, so they parse to the same doubles.
+   *
+   * Physical shape: one explode → per-doc conditional-count aggregate
+   * (map-side combinable, one shuffle on the doc id); corpus constants
+   * (N, Σdl, df_t) reduce to ONE row and broadcast back (the q47
+   * single-row crossJoin); top-`k` via distributed TakeOrdered.
+   */
+  def bm25(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && terms.size <= 16, "fixed term set of 1..16")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum((col("tok") === t).cast("long")).as(s"tf_$i")
+    }
+    val perDoc = docs
+      .select(col(idCol), explode(words(col(textCol))).as("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val constAggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+        terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val consts = perDoc.agg(constAggs.head, constAggs.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(consts))
+    val n = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / n
+    val termScore = (i: Int) => {
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = (n - df + lit(0.5)) / (df + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    }
+    val score = terms.indices.map(termScore).reduceLeft(_ + _)
+    val top = scored
+      .withColumn("score", score)
+      .select(Seq(col(idCol), col("dl").as("doc_len"), col("score")) ++
+        terms.indices.map(i => col(s"tf_$i")): _*)
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
   }
 }

@@ -33,6 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "q31_ann_ivf" -> "IVF index build: every vector scores against the broadcast centroid set (centroid count is the user-tuned knob, n/stride)",
     "q47_vocab_topk" -> "single-row broadcast: the corpus doc count crossJoins onto the token stats (1 x V rows, structurally bounded)",
     "q66_heavy_hitters" -> "same single-row doc-count crossJoin inherited from the q47 token census",
+    "q72_collocations" -> "single-row broadcast: the corpus token total crossJoins onto the bigram stats (1 x B rows, structurally bounded)",
+    "q73_bm25" -> "single-row broadcast: the (N, sum_dl, df_t) corpus constants crossJoin onto per-doc stats (1 x D rows, structurally bounded)",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {

@@ -56,4 +56,56 @@ class VocabularySpec extends SparkSpec {
       .orderBy("rank").collect().toSeq
     assert(a == b)
   }
+
+  test("collocations: hand-computed lift, minCount gate, rank order") {
+    // corpus: "new york" always together (3x), "big apple" split apart.
+    // tokens M = 12; c(new)=c(york)=3 -> lift(new york) = 3*12/9 = 4.0
+    val docs = Seq(
+      (1L, "new york big city"),
+      (2L, "new york big"),
+      (3L, "new york apple city"),
+      (4L, "apple"),
+    ).toDF("doc_id", "text")
+    val out = Vocabulary.collocations(docs, "doc_id", "text", minCount = 3L, k = 5)
+      .collect().map(r => (r.getAs[String]("bigram"), r.getAs[Long]("c_ab"),
+        r.getAs[Double]("lift"), r.getAs[Long]("rank")))
+    assert(out.toSeq == Seq(("new york", 3L, 4.0, 1L)))
+  }
+
+  test("collocations: lift ranks the bound pair above the incidental one") {
+    val docs = Seq(
+      (1L, "a b a b a b x y"),
+      (2L, "x q y q x p y"),
+    ).toDF("doc_id", "text")
+    val out = Vocabulary.collocations(docs, "doc_id", "text", minCount = 2L, k = 10)
+      .collect().map(r => r.getAs[String]("bigram") -> r.getAs[Double]("lift")).toMap
+    assert(out("a b") > out.getOrElse("b a", 0.0))
+    assert(out.keySet.contains("a b"))
+  }
+
+  test("bm25: more matched terms rank higher at equal length; absent terms score 0") {
+    val docs = Seq(
+      (1L, "table value fast pad1 pad2"), // 3 query terms
+      (2L, "table value pad1 pad2 pad3"), // 2 query terms
+      (3L, "pad1 pad2 pad3 pad4 pad5"),   // 0 query terms
+    ).toDF("doc_id", "text")
+    val out = Vocabulary.bm25(docs, "doc_id", "text",
+        terms = Seq("table", "value", "fast", "scan", "agg"), k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out(2).getAs[Double]("score") == 0.0)
+    assert(out(0).getAs[Long]("tf_0") == 1 && out(0).getAs[Long]("tf_2") == 1)
+  }
+
+  test("bm25: tf saturation — doubling tf raises the score sublinearly") {
+    val docs = Seq(
+      (1L, "table x y z"),
+      (2L, "table table y z"),
+    ).toDF("doc_id", "text")
+    val out = Vocabulary.bm25(docs, "doc_id", "text", terms = Seq("table"), k = 2)
+      .orderBy("doc_id").collect()
+    val s1 = out(0).getAs[Double]("score")
+    val s2 = out(1).getAs[Double]("score")
+    assert(s2 > s1 && s2 < 2.0 * s1)
+  }
 }
