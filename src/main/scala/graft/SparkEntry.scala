@@ -968,6 +968,13 @@ object SparkEntry {
       operators.Vocabulary.bm25(t(s, dir, "documents"), "doc_id", "text",
           terms = Seq("table", "value", "fast", "scan", "agg"), k = 50)
         .orderBy(col("rank"))),
+
+    // Q74 — int8 scalar quantization of the embeddings with an
+    // exact-integer reconstruction-error report per label (IVF-SQ8 prep)
+    "q74_int8_quant" -> ((s, dir) =>
+      operators.Quantization.int8Report(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("label"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1552,6 +1559,29 @@ object SparkEntry {
            |  doc_id, doc_len, score, $tfOut
            |FROM s ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
       },
+
+      // replays the 4-step quantization law: ⌊x·10⁶+0.5⌋ integerize,
+      // per-vector |max| scale, ⌊xq·127/qmax+0.5⌋ int8 code (one IEEE
+      // divide), EXACT integer reconstruction error — only the final
+      // mean is a float
+      "q74_int8_quant" ->
+        """WITH x AS (SELECT vec_id, label,
+          |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+          |  FROM embeddings),
+          |m AS (SELECT vec_id, label, xq, list_max(list_transform(xq, v -> abs(v))) AS qmax FROM x),
+          |c AS (SELECT vec_id, label, xq, qmax,
+          |    CASE WHEN qmax = 0 THEN list_transform(xq, v -> 0::BIGINT)
+          |    ELSE list_transform(xq, v -> CAST(floor(CAST(v * 127 AS DOUBLE) / CAST(qmax AS DOUBLE) + 0.5) AS BIGINT)) END AS codes
+          |  FROM m),
+          |e AS (SELECT vec_id, label, codes,
+          |    list_transform(range(len(xq)), i -> abs(xq[i+1] * 127 - codes[i+1] * qmax)) AS errs
+          |  FROM c),
+          |p AS (SELECT label, len(codes) AS nel,
+          |    list_aggregate(errs, 'sum') AS v_err, list_aggregate(errs, 'max') AS v_max FROM e)
+          |SELECT label, count(*) AS n_vecs, CAST(sum(nel) AS BIGINT) AS n_elems,
+          |  CAST(sum(v_err) AS BIGINT) AS sum_abs_err, CAST(max(v_max) AS BIGINT) AS max_err,
+          |  CAST(sum(v_err) AS DOUBLE) / CAST(sum(nel) AS DOUBLE) AS mean_abs_err
+          |FROM p GROUP BY label ORDER BY label""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

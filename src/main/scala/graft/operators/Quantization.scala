@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Int8 scalar quantization of embedding vectors with an exact-integer
+ * error report — the compression pass an ANN index (IVF-SQ8 style) runs
+ * before sharding vectors across a cluster.
+ *
+ * The law (engine-portable, no accumulated floats):
+ *  1. xq_i  = ⌊x_i·10⁶ + 0.5⌋            — the engine's quantized-integer
+ *     embedding domain (same law as the cosine/IVF operators);
+ *  2. qmax  = max_i |xq_i|               — per-vector scale (exact long);
+ *  3. q_i   = ⌊xq_i·127 / qmax + 0.5⌋    — the int8 code: one IEEE
+ *     division of exact longs, floor(+0.5) rounding (zero vectors code
+ *     to all-zero);
+ *  4. err_i = |xq_i·127 − q_i·qmax|      — reconstruction error in the
+ *     127·qmax-scaled integer domain: EXACT long arithmetic, so error
+ *     sums are bit-identical at any parallelism.
+ *
+ * Per-label report: vector/element counts, Σ|err|, max |err|, and the
+ * mean absolute error (the only IEEE division in the output).
+ *
+ * Physical shape: steps 1-4 are pure per-row array expressions — zero
+ * shuffle, text/vector data never moves — followed by ONE map-side-
+ * combinable aggregation on the label. At 100 TB the codes (and this
+ * report) stream out of the scan stage directly.
+ */
+object Quantization {
+
+  private def xqCol(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** Per-vector codes frame: (id, label, qmax, codes) — the artifact an
+   *  index build would persist. */
+  def int8Codes(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val withXq = emb.select(col(idCol), col(labelCol), xqCol(col(vecCol)).as("xq"))
+      .withColumn("qmax", array_max(transform(col("xq"), v => abs(v))))
+    withXq.withColumn("codes",
+      when(col("qmax") === 0, transform(col("xq"), _ => lit(0L)))
+        .otherwise(transform(col("xq"), v =>
+          floor((v * lit(127L)).cast("double") / col("qmax").cast("double") + lit(0.5))
+            .cast("long"))))
+  }
+
+  /** Per-label quantization quality report (see object doc for the law). */
+  def int8Report(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val coded = int8Codes(emb, idCol, vecCol, labelCol)
+      .withColumn("errs", zip_with(col("xq"), col("codes"),
+        (v, q) => abs(v * lit(127L) - q * col("qmax"))))
+      .withColumn("v_err", aggregate(col("errs"), lit(0L), (acc, e) => acc + e))
+      .withColumn("v_max", array_max(col("errs")))
+    coded
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(size(col("codes")).cast("long")).as("n_elems"),
+        sum(col("v_err")).as("sum_abs_err"),
+        max(col("v_max")).as("max_err"))
+      .withColumn("mean_abs_err",
+        col("sum_abs_err").cast("double") / col("n_elems").cast("double"))
+  }
+}

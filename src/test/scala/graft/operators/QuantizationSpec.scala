@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8Codes: hand-computed codes and the zero-vector guard") {
+    // x = [1.0, -0.5, 0.25] -> xq = [1000000, -500000, 250000], qmax = 10^6
+    // codes: 127; floor(-63.5+0.5) = -63; floor(31.75+0.5) = 32
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f), 0),
+      (2L, Seq(0.0f, 0.0f, 0.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Quantization.int8Codes(emb, "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("codes")) == Seq(127L, -63L, 32L))
+    assert(rows(0).getAs[Long]("qmax") == 1000000L)
+    assert(rows(1).getSeq[Long](rows(1).fieldIndex("codes")) == Seq(0L, 0L, 0L))
+  }
+
+  test("int8Report: exact integer error sums, hand-computed") {
+    // errs: |127e6-127e6| = 0; |-63.5e6 + 63e6| = 500000; |31.75e6-32e6| = 250000
+    val emb = Seq((1L, Seq(1.0f, -0.5f, 0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Quantization.int8Report(emb, "vec_id", "embedding", "label")
+      .collect().head
+    assert(r.getAs[Long]("n_vecs") == 1)
+    assert(r.getAs[Long]("n_elems") == 3)
+    assert(r.getAs[Long]("sum_abs_err") == 750000L)
+    assert(r.getAs[Long]("max_err") == 500000L)
+    assert(r.getAs[Double]("mean_abs_err") == 250000.0)
+  }
+
+  test("int8Report: codes are bounded by ±127 and the max element saturates") {
+    val real = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    import org.apache.spark.sql.functions._
+    val codes = Quantization.int8Codes(real, "vec_id", "embedding", "label")
+      .withColumn("cmax", array_max(transform(col("codes"), c => abs(c))))
+    assert(codes.where(col("cmax") > 127).count() == 0)
+    // every non-zero vector's largest |element| codes to exactly ±127
+    assert(codes.where(col("qmax") > 0 && col("cmax") =!= 127).count() == 0)
+  }
+}
