@@ -975,6 +975,19 @@ object SparkEntry {
       operators.Quantization.int8Report(
           t(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy(col("label"))),
+
+    // Q75 — strict-order conversion funnel signup → click → purchase:
+    // min-ts reach per stage, each step strictly after the previous
+    "q75_funnel" -> ((s, dir) =>
+      operators.Funnel.summary(t(s, dir, "events"), "user_id", "ts", "event_type",
+        stages = Seq("signup", "click", "purchase"))),
+
+    // Q76 — weekly cohort retention triangle: Monday-truncated cohort
+    // week of first signup × active-week offset (exact day DIV 7)
+    "q76_cohort_retention" -> ((s, dir) =>
+      operators.Cohorts.weeklyRetention(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "signup")
+        .orderBy(col("cohort_week"), col("week_offset"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1582,6 +1595,36 @@ object SparkEntry {
           |  CAST(sum(v_err) AS BIGINT) AS sum_abs_err, CAST(max(v_max) AS BIGINT) AS max_err,
           |  CAST(sum(v_err) AS DOUBLE) / CAST(sum(nel) AS DOUBLE) AS mean_abs_err
           |FROM p GROUP BY label ORDER BY label""".stripMargin,
+
+      // stage chain replayed as min-aggregates with strict-after joins;
+      // conversions are single IEEE divides of exact counts
+      "q75_funnel" ->
+        """WITH u AS (SELECT DISTINCT user_id FROM events),
+          |s0 AS (SELECT user_id, min(ts) AS ts0 FROM events
+          |       WHERE event_type = 'signup' GROUP BY user_id),
+          |s1 AS (SELECT e.user_id, min(e.ts) AS ts1 FROM events e JOIN s0 USING (user_id)
+          |       WHERE e.event_type = 'click' AND e.ts > s0.ts0 GROUP BY e.user_id),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN s1 USING (user_id)
+          |       WHERE e.event_type = 'purchase' AND e.ts > s1.ts1 GROUP BY e.user_id)
+          |SELECT count(*) AS n_users,
+          |  count(ts0) AS n_stage_0, count(ts1) AS n_stage_1, count(ts2) AS n_stage_2,
+          |  CAST(count(ts1) AS DOUBLE) / CAST(count(ts0) AS DOUBLE) AS conv_1,
+          |  CAST(count(ts2) AS DOUBLE) / CAST(count(ts1) AS DOUBLE) AS conv_2
+          |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+          |LEFT JOIN s2 USING (user_id)""".stripMargin,
+
+      // Monday-truncated weeks in DATE space; offset = exact day diff
+      // integer-divided by 7 (both endpoints are Mondays)
+      "q76_cohort_retention" ->
+        """WITH cohort AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+          |active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events)
+          |SELECT cohort_week,
+          |  CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+          |  count(*) AS n_users
+          |FROM active JOIN cohort USING (user_id)
+          |WHERE week >= cohort_week
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Weekly cohort retention over the event stream: users are cohorted by
+ * the ISO week (Monday-truncated) of their first entry event; a
+ * (cohort_week, week_offset) cell counts the cohort's users active in
+ * that week. The classic retention triangle.
+ *
+ * Determinism notes: week truncation happens in DATE space under the
+ * session's UTC clock (`date_trunc` on an NTZ input yields the
+ * tz-adjusted TIMESTAMP type — the q03 lesson — so it is cast straight
+ * to DATE); the offset is an exact day difference `DIV 7` (both
+ * endpoints are Mondays, so the division is exact integer arithmetic,
+ * never a float).
+ *
+ * Physical shape: one distinct on (user, week) — map-side combinable,
+ * the only pass over the full stream; the cohort frame is one `min`
+ * aggregate on the user key; the join is user-keyed and co-partitioned
+ * with the distinct's output; the final roll-up is cells-scale.
+ * Pre-cohort activity (week < cohort_week) is excluded.
+ */
+object Cohorts {
+
+  def weeklyRetention(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      cohortEvent: String): DataFrame = {
+    val week = (c: org.apache.spark.sql.Column) =>
+      date_trunc("week", c).cast("date")
+    val cohort = events.where(col(typeCol) === cohortEvent)
+      .groupBy(col(userCol))
+      .agg(week(min(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(userCol), week(col(tsCol)).as("week"))
+      .distinct()
+    active.join(cohort, userCol)
+      .where(col("week") >= col("cohort_week"))
+      .withColumn("week_offset",
+        expr("CAST(datediff(week, cohort_week) DIV 7 AS BIGINT)"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

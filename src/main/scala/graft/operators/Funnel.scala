@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered conversion funnel over the event stream: a user reaches stage
+ * i+1 with the FIRST stage-(i+1) event STRICTLY AFTER their stage-i
+ * reach time (min-ts semantics at every stage, so the funnel is
+ * insensitive to event duplication and arrival order).
+ *
+ * Physical shape: one `min` aggregate per stage, every shuffle keyed on
+ * the user id — at 1000 executors the per-stage frames stay
+ * co-partitioned on the same key, and each stage's input is pre-filtered
+ * to one event type before it shuffles (events of other types never
+ * move). Stage frames carry (user, ts) only. The final roll-up reduces
+ * the joined per-user stage times to ONE summary row.
+ */
+object Funnel {
+
+  /**
+   * Per-user stage reach times: (user, ts_0 .. ts_{n-1}), null once the
+   * user falls out. Stage 0 is the entry event; users with no entry
+   * event appear with all-null stage times (the denominator row).
+   */
+  def stageTimes(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least entry + one step")
+    val byType = (t: String) => events.where(col(typeCol) === t)
+    val s0 = byType(stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("ts_0"))
+    // each later stage: first qualifying event strictly after the
+    // previous stage's reach time
+    val stageFrames = stages.tail.zipWithIndex.scanLeft(s0) {
+      case (prev, (t, i)) =>
+        byType(t).as("e")
+          .join(prev.select(col(userCol), col(s"ts_$i")).as("p"), userCol)
+          .where(col(tsCol) > col(s"ts_$i"))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"ts_${i + 1}"))
+    }
+    val users = events.select(col(userCol)).distinct()
+    stageFrames.foldLeft(users)((acc, f) => acc.join(f, Seq(userCol), "left"))
+  }
+
+  /** One-row funnel summary: total users, per-stage reach counts, and
+   *  step conversion rates (each ONE IEEE division of exact counts). */
+  def summary(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    val per = stageTimes(events, userCol, tsCol, typeCol, stages)
+    val countCols = stages.indices.map(i =>
+      count(col(s"ts_$i")).as(s"n_stage_$i"))
+    val agged = per.agg(count(lit(1)).as("n_users"), countCols: _*)
+    val convCols = (1 until stages.size).map(i =>
+      (col(s"n_stage_$i").cast("double") / col(s"n_stage_${i - 1}").cast("double"))
+        .as(s"conv_$i"))
+    agged.select(col("n_users") +: stages.indices.map(i => col(s"n_stage_$i")) ++: convCols: _*)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class CohortsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2025-01-06 is a Monday
+  private def t(d: Int, h: Int = 0) = Timestamp.valueOf(f"2025-01-$d%02d $h%02d:00:00")
+
+  test("weeklyRetention: cohort week, offsets, and pre-cohort exclusion") {
+    val events = Seq(
+      // u1 signs up Wed of week 2025-01-06, active again the next 2 weeks
+      (1L, t(8), "signup"), (1L, t(14), "click"), (1L, t(20), "view"),
+      // u2 same cohort week, active only in the signup week
+      (2L, t(6), "signup"), (2L, t(10), "view"),
+      // u2 pre-signup activity in the PRIOR week must not count
+      (2L, t(3), "view"),
+      // u3 never signs up -> no cohort
+      (3L, t(8), "view"),
+    ).toDF("user_id", "ts", "event_type")
+    val out = Cohorts.weeklyRetention(events, "user_id", "ts", "event_type", "signup")
+      .orderBy("cohort_week", "week_offset").collect()
+    val cells = out.map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+      r.getAs[Long]("week_offset"), r.getAs[Long]("n_users"))).toSeq
+    assert(cells == Seq(
+      ("2025-01-06", 0L, 2L),  // both cohort users active in week 0
+      ("2025-01-06", 1L, 1L),  // only u1 returns in week 1
+      ("2025-01-06", 2L, 1L),  // u1 again in week 2 (t(20) = Mon 01-20)
+    ))
+  }
+
+  test("weeklyRetention: cohort is the week of the FIRST qualifying event") {
+    val events = Seq(
+      (1L, t(14), "signup"),   // second signup later
+      (1L, t(7), "signup"),    // first signup Tue 01-07 -> cohort 01-06
+    ).toDF("user_id", "ts", "event_type")
+    val out = Cohorts.weeklyRetention(events, "user_id", "ts", "event_type", "signup")
+      .orderBy("week_offset").collect()
+    assert(out.head.getAs[java.sql.Date]("cohort_week").toString == "2025-01-06")
+    assert(out.map(_.getAs[Long]("week_offset")).toSeq == Seq(0L, 1L))
+  }
+}

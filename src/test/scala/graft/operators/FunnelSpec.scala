@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+
+  // u1 completes in order; u2 clicked BEFORE signup (out of order -> falls
+  // out at click); u3 signup only; u4 never signs up
+  private def events = Seq(
+    (1L, ts(0), "signup"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+    (2L, ts(0), "click"), (2L, ts(1), "signup"), (2L, ts(2), "purchase"),
+    (3L, ts(0), "signup"),
+    (4L, ts(0), "view"),
+  ).toDF("user_id", "ts", "event_type")
+
+  test("stageTimes: strict ordering gates each stage on the previous reach") {
+    val per = Funnel.stageTimes(events, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(per.length == 4)
+    val u1 = per(0)
+    assert(u1.getAs[Timestamp]("ts_0") == ts(0) &&
+      u1.getAs[Timestamp]("ts_1") == ts(1) && u1.getAs[Timestamp]("ts_2") == ts(2))
+    val u2 = per(1) // click at ts0 precedes signup at ts1 -> no click stage
+    assert(u2.getAs[Timestamp]("ts_0") == ts(1) && u2.isNullAt(u2.fieldIndex("ts_1")))
+    assert(u2.isNullAt(u2.fieldIndex("ts_2"))) // purchase can't skip the click stage
+    val u4 = per(3)
+    assert(u4.isNullAt(u4.fieldIndex("ts_0")))
+  }
+
+  test("summary: reach counts and step conversions") {
+    val r = Funnel.summary(events, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase")).collect().head
+    assert(r.getAs[Long]("n_users") == 4)
+    assert(r.getAs[Long]("n_stage_0") == 3)
+    assert(r.getAs[Long]("n_stage_1") == 1)
+    assert(r.getAs[Long]("n_stage_2") == 1)
+    assert(r.getAs[Double]("conv_1") == 1.0 / 3.0)
+    assert(r.getAs[Double]("conv_2") == 1.0)
+  }
+
+  test("stageTimes: duplicate stage events keep the earliest qualifying one") {
+    val df = Seq(
+      (1L, ts(0), "signup"), (1L, ts(3), "click"), (1L, ts(5), "click"),
+    ).toDF("user_id", "ts", "event_type")
+    val r = Funnel.stageTimes(df, "user_id", "ts", "event_type",
+      Seq("signup", "click")).collect().head
+    assert(r.getAs[Timestamp]("ts_1") == ts(3))
+  }
+}
