@@ -988,6 +988,38 @@ object SparkEntry {
       operators.Cohorts.weeklyRetention(
           t(s, dir, "events"), "user_id", "ts", "event_type", "signup")
         .orderBy(col("cohort_week"), col("week_offset"))),
+
+    // Q77 — pair correlation: two users' series resampled onto the same
+    // epoch-aligned 6 h grid (q58 machinery), then the integer-domain
+    // Pearson recipe (q56) over the aligned pairs — the pair-trading
+    // signal as a composition of engine operators
+    "q77_pair_correlation" -> ((s, dir) => {
+      val f = t(s, dir, "events")
+        .where(col("user_id").isin(10L, 20L))
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("v"))
+      def series(uid: Long) = TimeJoins.resampleFfill(
+          f.where(col("user_id") === uid), Seq("user_id"), "ts",
+          Seq("v"), stepSeconds = 21600L)
+        .select(col("grid_ts"), col("v"))
+      operators.Rolling.alignedPearson(series(10L), series(20L), "grid_ts", "v")
+    }),
+
+    // Q78 — value histogram with cumulative distribution: fixed-width
+    // buckets (floor(v/50), clamped to 20) per event type, running
+    // cumulative counts and the CDF as one IEEE divide per row
+    "q78_value_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      val tot = Window.partitionBy(col("event_type"))
+      t(s, dir, "events").where(col("value") > 0)
+        .withColumn("bucket",
+          least(floor(col("value") / lit(50.0)).cast("long"), lit(20L)))
+        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .withColumn("cdf",
+          col("cum_n").cast("double") / sum(col("n")).over(tot).cast("double"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1625,6 +1657,42 @@ object SparkEntry {
           |FROM active JOIN cohort USING (user_id)
           |WHERE week >= cohort_week
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // q58's grid/ASOF replay for both users, pairwise-complete join,
+      // then exact HUGEINT sums mirroring the DECIMAL(38,0) law — the
+      // final divide/sqrts are the only IEEE ops on either engine
+      "q77_pair_correlation" ->
+        """WITH f AS (SELECT user_id, ts, max(value) AS v FROM events
+          |  WHERE user_id IN (10, 20) GROUP BY user_id, ts),
+          |b AS (SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM f GROUP BY user_id),
+          |g AS (SELECT user_id, unnest(generate_series(t0 // 21600000000 * 21600000000, t1, 21600000000)) AS gus FROM b),
+          |grid AS (SELECT user_id, make_timestamp(gus) AS grid_ts FROM g),
+          |r AS (SELECT grid.user_id, grid.grid_ts, s.v
+          |      FROM grid ASOF LEFT JOIN f s
+          |        ON grid.user_id = s.user_id AND s.ts <= grid.grid_ts),
+          |p AS (SELECT CAST(CAST(a.v AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+          |        CAST(CAST(b.v AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          |      FROM r a JOIN r b ON a.grid_ts = b.grid_ts
+          |        AND a.user_id = 10 AND b.user_id = 20
+          |      WHERE a.v IS NOT NULL AND b.v IS NOT NULL),
+          |a2 AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM p)
+          |SELECT n, CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+          |  CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+          |FROM a2""".stripMargin,
+
+      // identical bucket law (floor of one IEEE divide, clamp 20) and
+      // window cumulative; CDF is one divide of exact counts
+      "q78_value_histogram" ->
+        """WITH h AS (SELECT event_type,
+          |    least(CAST(floor(value / 50.0) AS BIGINT), 20) AS bucket, count(*) AS n
+          |  FROM events WHERE value > 0 GROUP BY 1, 2)
+          |SELECT event_type, bucket, n,
+          |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum_n,
+          |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS DOUBLE)
+          |    / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS cdf
+          |FROM h ORDER BY event_type, bucket""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

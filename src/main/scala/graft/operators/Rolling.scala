@@ -142,4 +142,51 @@ object Rolling {
       .withColumn("realized_vol", sqrt(greatest(variance, lit(0.0))))
       .drop("_sd", "_sdd")
   }
+
+  /**
+   * Pearson correlation between two ALIGNED series (e.g. two symbols'
+   * resampled grids) — the pair-trading signal, engine-portable via the
+   * q56 integer-domain recipe:
+   *
+   *  1. values integerize EXACTLY through the 2-decimal tick law
+   *     (`x·100` in decimal space, never an IEEE multiply);
+   *  2. every sum (Σx, Σy, Σxy, Σx², Σy²) accumulates in DECIMAL(38,0) —
+   *     exact at any parallelism;
+   *  3. the textbook numerator/denominators stay exact decimal;
+   *  4. only the final divide and two sqrts are IEEE.
+   *
+   * Points where either side has no fill yet (grid rows before a series'
+   * first tick) are dropped pairwise.
+   *
+   * Physical shape: one equi-join on the grid timestamp and a single
+   * all-reduce aggregate — both map-side combinable; series payloads are
+   * (ts, long) pairs, so nothing wide ever shuffles.
+   *
+   * Output (one row): n, sum_x, sum_y, corr_xy.
+   */
+  def alignedPearson(
+      a: DataFrame, b: DataFrame, onCol: String, valCol: String): DataFrame = {
+    val xi = (c: Column) => (c.cast(DecimalType(18, 2)) * lit(100)).cast("long")
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val j = a.select(col(onCol).as("_t"), xi(col(valCol)).as("x"))
+      .join(b.select(col(onCol).as("_t"), xi(col(valCol)).as("y")), "_t")
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val agg = j.agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("x"))).cast(DecimalType(38, 0)).as("sx"),
+      sum(d38(col("y"))).cast(DecimalType(38, 0)).as("sy"),
+      sum(d38(col("x")) * col("y")).cast(DecimalType(38, 0)).as("sxy"),
+      sum(d38(col("x")) * col("x")).cast(DecimalType(38, 0)).as("sxx"),
+      sum(d38(col("y")) * col("y")).cast(DecimalType(38, 0)).as("syy"))
+    agg
+      .withColumn("num", d38(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", d38(col("n")) * col("syy") - col("sy") * col("sy"))
+      .select(col("n"),
+        col("sx").cast("long").as("sum_x"),
+        col("sy").cast("long").as("sum_y"),
+        (col("num").cast("double") /
+          (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))))
+          .as("corr_xy"))
+  }
 }

@@ -109,4 +109,26 @@ class RollingSpec extends SparkSpec {
     assert(out.head.getAs[Double]("realized_var") == 0.0)
     assert(out.head.getAs[Double]("realized_vol") == 0.0)
   }
+
+  test("alignedPearson: perfect linear relation gives corr exactly ±1") {
+    val a = Seq((ts(0), 1.0), (ts(1), 2.0), (ts(2), 3.0)).toDF("grid_ts", "v")
+    val up = Seq((ts(0), 2.0), (ts(1), 4.0), (ts(2), 6.0)).toDF("grid_ts", "v")
+    val down = Seq((ts(0), 6.0), (ts(1), 4.0), (ts(2), 2.0)).toDF("grid_ts", "v")
+    // the sqrt pair reintroduces one ulp of slack (sqrt(60000)·sqrt(240000)
+    // is irrational); determinism across engines is the oracle's job
+    val r1 = Rolling.alignedPearson(a, up, "grid_ts", "v").collect().head
+    assert(r1.getAs[Long]("n") == 3)
+    assert(math.abs(r1.getAs[Double]("corr_xy") - 1.0) < 1e-12)
+    val r2 = Rolling.alignedPearson(a, down, "grid_ts", "v").collect().head
+    assert(math.abs(r2.getAs[Double]("corr_xy") + 1.0) < 1e-12)
+  }
+
+  test("alignedPearson: unaligned and null points drop pairwise") {
+    val a = Seq((ts(0), 1.0), (ts(1), 2.0), (ts(3), 9.0)).toDF("grid_ts", "v")
+    val b = Seq((ts(0), Some(5.0)), (ts(1), Some(7.0)), (ts(2), Some(8.0)),
+      (ts(3), Option.empty[Double])).toDF("grid_ts", "v")
+    val r = Rolling.alignedPearson(a, b, "grid_ts", "v").collect().head
+    assert(r.getAs[Long]("n") == 2) // ts0, ts1 only; ts3 pairs with null
+    assert(r.getAs[Long]("sum_x") == 300L && r.getAs[Long]("sum_y") == 1200L)
+  }
 }
