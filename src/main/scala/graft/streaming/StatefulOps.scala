@@ -98,4 +98,22 @@ object StatefulOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /**
+   * At-least-once → effectively-once ingest dedup: drop re-delivered
+   * events whose dedup key was already seen, holding per-key state only
+   * until the watermark passes it (ST6's idempotency as BOUNDED streaming
+   * state — a plain dropDuplicates would grow state forever; the
+   * watermark ages out keys the source can no longer re-deliver).
+   *
+   * The event-time column must be part of the dedup key columns or the
+   * semantics are "first event wins per key" rather than re-delivery
+   * suppression.
+   */
+  def dedupWithinWatermark(
+      events: DataFrame, dedupCols: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(dedupCols)
 }

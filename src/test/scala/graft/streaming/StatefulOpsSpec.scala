@@ -59,4 +59,28 @@ class StatefulOpsSpec extends SparkSpec {
     assert(admittedCount < out.length, "some rows must be denied")
     assert(out.forall(_.getAs[Int]("n_in_window") <= 3), "window never exceeds limit")
   }
+
+  test("dedupWithinWatermark: re-delivered events are suppressed across micro-batches (ST6 streaming)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val events = mem.toDF.toDF("symbol", "ts", "price")
+    val out = StatefulOps.dedupWithinWatermark(events, Seq("symbol", "ts"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: a duplicate INSIDE one batch
+      mem.addData(("NQ", ts(0), 1.0), ("NQ", ts(0), 1.0), ("NQ", ts(1), 2.0))
+      q.processAllAvailable()
+      // batch 2: re-delivery of ts(0) from a later batch, still within
+      // the watermark -> suppressed; a genuinely new event passes
+      mem.addData(("NQ", ts(0), 1.0), ("NQ", ts(2), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test").collect()
+      assert(rows.length == 3, s"expected 3 unique events, got ${rows.length}")
+      assert(rows.map(_.getAs[java.sql.Timestamp]("ts")).toSet == Set(ts(0), ts(1), ts(2)))
+    } finally q.stop()
+  }
 }
