@@ -1020,6 +1020,12 @@ object SparkEntry {
           col("cum_n").cast("double") / sum(col("n")).over(tot).cast("double"))
         .orderBy(col("event_type"), col("bucket"))
     }),
+
+    // Q79 — exact rolling engagement: DAU + trailing-7-day distinct
+    // users via the pair-explode window law (no sketch)
+    "q79_rolling_active" -> ((s, dir) =>
+      operators.Cohorts.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("day"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1693,6 +1699,20 @@ object SparkEntry {
           |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS DOUBLE)
           |    / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS cdf
           |FROM h ORDER BY event_type, bucket""".stripMargin,
+
+      // same pair-explode window law: each (user, day) feeds days
+      // day..day+6, distinct, count — exact trailing-window distinct
+      "q79_rolling_active" ->
+        """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |span AS (SELECT max(day) AS dmax FROM p),
+          |t AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS tday
+          |      FROM p CROSS JOIN (SELECT CAST(unnest(range(7)) AS INTEGER) AS i) o, span
+          |      WHERE day + CAST(i AS INTEGER) <= dmax),
+          |wau AS (SELECT tday AS day, count(*) AS wau FROM t GROUP BY 1),
+          |dau AS (SELECT day, count(*) AS dau FROM p GROUP BY 1)
+          |SELECT wau.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau, wau.wau
+          |FROM wau LEFT JOIN dau USING (day)
+          |ORDER BY day""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

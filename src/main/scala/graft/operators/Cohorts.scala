@@ -42,4 +42,42 @@ object Cohorts {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * Daily + rolling-7-day distinct active users (DAU/WAU) — the EXACT
+   * sliding-window distinct, not a sketch: each (user, day) pair
+   * contributes itself to the 7 trailing windows it belongs to
+   * (day .. day+6), so WAU(d) = |{users active in [d−6, d]}| falls out
+   * of a distinct + count. Trailing windows past the data's last day are
+   * dropped.
+   *
+   * Physical shape: raw events reduce to distinct (user, day) FIRST
+   * (map-side combinable, day-grain), and only those pairs take the ×7
+   * explode — amplification applies to the reduced pair set, never the
+   * event stream. Two distinct shuffles + one cells-scale join; at 100 TB
+   * the pair set is |users|·|days|-bounded, orders of magnitude under the
+   * event count. (The sketch alternative — HLL partials per day, merged
+   * over 7 days — trades exactness for one shuffle; q32's contract-bound
+   * sketches cover that pattern.)
+   */
+  def rollingActiveUsers(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val p = events
+      .select(col(userCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val span = p.agg(max(col("day")).as("dmax"))
+    val windows = p
+      .select(col(userCol), col("day"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .withColumn("tday", date_add(col("day"), col("i")))
+      .crossJoin(broadcast(span))
+      .where(col("tday") <= col("dmax"))
+      .select(col(userCol), col("tday"))
+      .distinct()
+    val wau = windows.groupBy(col("tday").as("day"))
+      .agg(count(lit(1)).as("wau"))
+    val dau = p.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+  }
 }

@@ -42,4 +42,24 @@ class CohortsSpec extends SparkSpec {
     assert(out.head.getAs[java.sql.Date]("cohort_week").toString == "2025-01-06")
     assert(out.map(_.getAs[Long]("week_offset")).toSeq == Seq(0L, 1L))
   }
+
+  test("rollingActiveUsers: exact trailing-7-day distinct, truncated at the last day") {
+    // u1 active day 1 and day 5; u2 active day 1 only; duplicates within
+    // a day collapse. Last active day = 5, so windows stop there.
+    val events = Seq(
+      (1L, t(1, 0), "view"), (1L, t(1, 5), "click"), (1L, t(5), "view"),
+      (2L, t(1), "view"),
+    ).toDF("user_id", "ts", "event_type")
+    val out = Cohorts.rollingActiveUsers(events, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+    assert(out.toSeq == Seq(
+      ("2025-01-01", 2L, 2L),
+      ("2025-01-02", 0L, 2L),  // window [12-27..01-02] still sees both
+      ("2025-01-03", 0L, 2L),
+      ("2025-01-04", 0L, 2L),
+      ("2025-01-05", 1L, 2L),  // u1 re-activates; u2 still inside 7 days
+    ))
+  }
 }
