@@ -1026,6 +1026,35 @@ object SparkEntry {
     "q79_rolling_active" -> ((s, dir) =>
       operators.Cohorts.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts")
         .orderBy(col("day"))),
+
+    // Q80 — longest consecutive-day streak per user: the W1 islands
+    // machinery pointed at PRESENT days, earliest-start tie-break
+    "q80_longest_streak" -> ((s, dir) => {
+      val p = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      CalendarOps.longestStreak(p, Seq("user_id")).orderBy(col("user_id"))
+    }),
+
+    // Q81 — market-basket pair frequencies: distinct event types per
+    // (user, day) basket, pair support via (user, day) equi-self-join
+    // (type inequality is a post-filter on the hash join, never a BNLJ)
+    "q81_basket_pairs" -> ((s, dir) => {
+      val b = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .distinct()
+      val totals = b.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      b.as("x").join(b.as("y"),
+          col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .crossJoin(broadcast(totals))
+        .withColumn("support",
+          col("n_pair").cast("double") / col("n_baskets").cast("double"))
+        .select(col("type_a"), col("type_b"), col("n_pair"), col("support"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1713,6 +1742,31 @@ object SparkEntry {
           |SELECT wau.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau, wau.wau
           |FROM wau LEFT JOIN dau USING (day)
           |ORDER BY day""".stripMargin,
+
+      // q05's islands CTE over PRESENT days, max-length run per user
+      // with the earliest-start tie-break
+      "q80_longest_streak" ->
+        """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |isl AS (SELECT user_id, day,
+          |  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island FROM p),
+          |runs AS (SELECT user_id, min(day) AS s, max(day) AS e FROM isl GROUP BY user_id, island),
+          |r2 AS (SELECT user_id, CAST(date_diff('day', s, e) + 1 AS BIGINT) AS len, s,
+          |  row_number() OVER (PARTITION BY user_id ORDER BY date_diff('day', s, e) DESC, s) AS rn
+          |  FROM runs)
+          |SELECT user_id, len AS streak_len, s AS streak_start
+          |FROM r2 WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      // identical basket law; support is one IEEE divide of exact counts
+      "q81_basket_pairs" ->
+        """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+          |tot AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b)),
+          |p AS (SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_pair
+          |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+          |    AND x.event_type < y.event_type
+          |  GROUP BY 1, 2)
+          |SELECT type_a, type_b, n_pair,
+          |  CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support
+          |FROM p, tot ORDER BY type_a, type_b""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

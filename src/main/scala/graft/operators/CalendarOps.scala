@@ -76,4 +76,26 @@ object CalendarOps {
   /** F3 helper: interval-overlap predicate for range joins (date_range.rs:41-43). */
   def overlaps(s1: Column, e1: Column, s2: Column, e2: Column): Column =
     s1 <= e2 && e1 >= s2
+
+  /**
+   * Longest consecutive-day run per key over a (keys..., day) presence
+   * frame — the W1 islands machinery pointed at PRESENT days instead of
+   * missing ones, reduced to each key's maximum-length island (ties pick
+   * the earliest start, so the winner is deterministic).
+   *
+   * Output: (keys..., streak_len, streak_start). One islands window +
+   * one pick window, both partitioned by the key.
+   */
+  def longestStreak(present: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val runs = islands(present, keyCols)
+      .withColumn("len", (datediff(col("gap_end"), col("gap_start")) + 1).cast("long"))
+    val pick = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("len").desc, col("gap_start"))
+    runs
+      .withColumn("_r", row_number().over(pick))
+      .where(col("_r") === 1)
+      .select(keyCols.map(col) :+
+        col("len").as("streak_len") :+
+        col("gap_start").as("streak_start"): _*)
+  }
 }

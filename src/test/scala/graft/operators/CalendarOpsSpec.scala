@@ -88,4 +88,23 @@ class CalendarOpsSpec extends SparkSpec {
       .orderBy("day").select($"day".cast("string")).as[String].collect()
     assert(plan.toSeq === Seq("2025-01-02", "2025-01-03")) // start dedup'd into gap days
   }
+
+  test("longestStreak: max run wins; equal-length runs pick the earliest start") {
+    val present = Seq(
+      // NQ: runs of 2 (01..02), 3 (04..06), 1 (10) -> streak 3 from 01-04
+      ("NQ", "2025-01-01"), ("NQ", "2025-01-02"),
+      ("NQ", "2025-01-04"), ("NQ", "2025-01-05"), ("NQ", "2025-01-06"),
+      ("NQ", "2025-01-10"),
+      // ES: two runs of 2 -> earliest start wins
+      ("ES", "2025-01-01"), ("ES", "2025-01-02"),
+      ("ES", "2025-01-05"), ("ES", "2025-01-06"),
+    ).map { case (s, d) => (s, Date.valueOf(d)) }.toDF("symbol", "day")
+    val out = CalendarOps.longestStreak(present, Seq("symbol"))
+      .orderBy("symbol").collect()
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("streak_len"),
+      r.getAs[Date]("streak_start").toString)).toSeq == Seq(
+      ("ES", 2L, "2025-01-01"),
+      ("NQ", 3L, "2025-01-04"),
+    ))
+  }
 }
