@@ -146,4 +146,56 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: realizedVariance and vwap are partitioning-invariant (bit-identical)") {
+    // the determinism contract: exact decimal sums mean ANY repartition
+    // produces byte-identical floats — the property a plain double sum fails
+    val rowsGen = Gen.listOfN(30, for {
+      u <- Gen.choose(1L, 3L)
+      s <- Gen.choose(0L, 86400L)
+      p <- Gen.choose(1, 99999).map(_ / 100.0)
+    } yield (u, new java.sql.Timestamp(s * 1000L), p))
+    forAll(rowsGen) { rows =>
+      whenever(rows.map(r => (r._1, r._2)).distinct.size == rows.size) {
+        val df = rows.zipWithIndex
+          .map { case ((u, ts, p), i) => (u, ts, p, i.toLong) }
+          .toDF("user_id", "ts", "value", "event_id")
+        def rv(d: org.apache.spark.sql.DataFrame) =
+          Rolling.realizedVariance(d, Seq("user_id"), "ts", "value", col("event_id"))
+            .orderBy("user_id").collect().toSeq
+        def vw(d: org.apache.spark.sql.DataFrame) =
+          Bars.vwap(d, Seq(col("user_id")), to_date(col("ts")), col("ts"),
+            col("value"), col("value"))
+            .orderBy(col("user_id"), col("bar_start")).collect().toSeq
+        assert(rv(df.repartition(1)) == rv(df.repartition(7, col("event_id"))))
+        assert(vw(df.repartition(1)) == vw(df.repartition(7, col("event_id"))))
+      }
+    }
+  }
+
+  test("property: rollingActiveUsers window law — WAU(d) equals brute-force distinct over [d-6, d]") {
+    val rowsGen = Gen.listOfN(25, for {
+      u <- Gen.choose(1L, 4L)
+      d <- Gen.choose(0, 20)
+    } yield (u, d))
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val base = java.sql.Date.valueOf("2025-01-01").toLocalDate
+        val df = rows.zipWithIndex.map { case ((u, d), i) =>
+          (u, java.sql.Timestamp.valueOf(base.plusDays(d.toLong).atTime(1, 0)))
+        }.toDF("user_id", "ts")
+        val out = Cohorts.rollingActiveUsers(df, "user_id", "ts")
+          .collect().map(r => r.getAs[java.sql.Date]("day").toLocalDate ->
+            (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+        val pairs = rows.map { case (u, d) => (u, base.plusDays(d.toLong)) }.distinct
+        out.foreach { case (day, (dau, wau)) =>
+          val bruteDau = pairs.count(_._2 == day)
+          val bruteWau = pairs.filter { case (_, d) =>
+            !d.isAfter(day) && !d.isBefore(day.minusDays(6)) }.map(_._1).distinct.size
+          assert(dau == bruteDau, s"DAU($day)")
+          assert(wau == bruteWau, s"WAU($day)")
+        }
+      }
+    }
+  }
 }
