@@ -1055,6 +1055,22 @@ object SparkEntry {
         .select(col("type_a"), col("type_b"), col("n_pair"), col("support"))
         .orderBy(col("type_a"), col("type_b"))
     }),
+
+    // Q82 — CSV interchange round-trip (q67's law for delimited text):
+    // free-text columns with quotes/commas must survive the RFC-4180
+    // writer; the oracle computes the rollup from parquet directly
+    "q82_csv_roundtrip" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val docs = t(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      graft.sources.CsvLake.write(docs, out, partitionBy = Seq("source"))
+      graft.sources.CsvLake.read(s, out, docs.schema)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(pmod(portableHash(col("text")), lit(1000000000L))).as("text_checksum"))
+        .orderBy(col("source"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1767,6 +1783,14 @@ object SparkEntry {
           |SELECT type_a, type_b, n_pair,
           |  CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support
           |FROM p, tot ORDER BY type_a, type_b""".stripMargin,
+
+      // lossless CSV round-trip: identical rollup from the parquet source
+      // (q67's oracle, shared law)
+      "q82_csv_roundtrip" ->
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000) AS BIGINT) AS text_checksum
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * CSV interchange lake — the spreadsheet-facing sibling of [[JsonlLake]]
+ * (same posture: parquet is the engine's native format; CSV exists for
+ * data that enters or leaves as delimited text).
+ *
+ * Scale/robustness posture, mirrored from JsonlLake:
+ *  - explicit schema only (inference = an extra full pass + silent type
+ *    widening on dirty data); FAILFAST by default, PERMISSIVE with a
+ *    `_corrupt_record` column when `keepCorrupt` is set;
+ *  - header on, so files are self-describing for the tools CSV serves;
+ *  - quoting/escaping left to Spark's RFC-4180 writer — free-text
+ *    columns with delimiters/newlines round-trip losslessly (the q82
+ *    checksum query proves it);
+ *  - gzip per file; parallelism comes from many files, not splitting.
+ */
+object CsvLake {
+
+  /** Write `df` as partitioned gzip CSV with a header under `dir`. */
+  def write(
+      df: DataFrame, dir: String, partitionBy: Seq[String] = Nil,
+      compression: Option[String] = Some("gzip")): Unit = {
+    val w = df.write.mode("overwrite").option("header", "true")
+    val wc = compression.fold(w)(c => w.option("compression", c))
+    (if (partitionBy.nonEmpty) wc.partitionBy(partitionBy: _*) else wc)
+      .csv(dir)
+  }
+
+  /** Read a CSV lake with an explicit schema (never inferred).
+   *  `multiLine` is on so RFC-4180-quoted newlines inside free-text
+   *  columns parse back — it disables record-level file splitting, which
+   *  costs nothing here: the gzip files are whole-file tasks anyway and
+   *  parallelism comes from file count. */
+  def read(
+      spark: SparkSession, dir: String, schema: StructType,
+      keepCorrupt: Boolean = false): DataFrame = {
+    val r = spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .schema(if (keepCorrupt) schema.add("_corrupt_record", "string") else schema)
+    (if (keepCorrupt) r.option("mode", "PERMISSIVE")
+     else r.option("mode", "FAILFAST"))
+      .csv(dir)
+  }
+}
