@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/**
+ * Dev probe: banded SimHash near-dup pairs at synthetic scale — N base
+ * documents (drawn from the real corpus vocabulary law) plus `nPlant`
+ * planted near-identical variants (one word substituted, so each pair
+ * lands within a few Hamming bits). Reports wall time, candidate-pair
+ * volume, and planted-pair recall of the banded operator vs the brute
+ * signature cross-join as the recall oracle.
+ */
+object SimhashPairsStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 100000
+    val nPlant = if (args.length > 1) args(1).toInt else 1000
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "spark", "window", "sort",
+      "line", "filter", "group", "query", "data", "column", "join", "small",
+      "big", "vector", "stream", "order", "customer", "the", "a")
+    val rnd = new scala.util.Random(42)
+    def doc(): String = Seq.fill(40 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until n).map(i => (i.toLong, doc()))
+    val planted = (0 until nPlant).map { i =>
+      val (srcId, text) = base(rnd.nextInt(n))
+      val ws = text.split(" ")
+      ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.size))
+      ((n + i).toLong, ws.mkString(" "), srcId)
+    }
+    val docs = (base.map { case (i, t) => (i, t) } ++
+      planted.map { case (i, t, _) => (i, t) }).toDF("doc_id", "text")
+      .repartition(16).localCheckpoint(true)
+
+    val t0 = System.nanoTime()
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 3, bands = 4)
+      .localCheckpoint(true)
+    val nPairs = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // recall oracle: brute signature cross-join restricted to planted ids
+    // (full brute force over 100k docs is the O(n^2) we refuse to run as a
+    // *plan*; as a one-off stress oracle on the planted subset it is cheap)
+    val sigs = Dedup.simhash(docs, "doc_id", "text").localCheckpoint(true)
+    val plantedPairs = planted.map { case (pid, _, src) =>
+      (math.min(pid, src), math.max(pid, src))
+    }.toDF("id_a", "id_b")
+    val eligible = plantedPairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sa")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sb")), "id_b")
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+    val nEligible = eligible.count()
+    val found = eligible.select(col("id_a"), col("id_b"))
+      .join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+    println(f"[simhash-stress] n=$n planted=$nPlant pairs=$nPairs secs=$secs%.1f " +
+      s"eligible_planted=$nEligible recalled=$found " +
+      s"recall=${if (nEligible == 0) "n/a" else f"${found.toDouble / nEligible}%.4f"}")
+    spark.stop()
+  }
+}
