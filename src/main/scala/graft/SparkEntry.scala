@@ -1071,6 +1071,32 @@ object SparkEntry {
           sum(pmod(portableHash(col("text")), lit(1000000000L))).as("text_checksum"))
         .orderBy(col("source"))
     }),
+
+    // Q83 — the SKETCH path for rolling distinct (q79's scale
+    // alternative): one HLL sketch per day, 7-day windows merge the
+    // mergeable partials instead of re-exploding user ids — at 100 TB
+    // the per-day sketches are KB-sized whatever the user count. The
+    // q32/q66 contract recipe: oracle checks the exact columns and
+    // asserts the engine's estimate lands within ±5% of exact.
+    "q83_wau_sketch" -> ((s, dir) => {
+      val p = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val daySketch = p.groupBy(col("day")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val span = p.agg(max(col("day")).as("dmax"))
+      val est = daySketch
+        .select(col("sk"), col("day"), explode(sequence(lit(0), lit(6))).as("i"))
+        .withColumn("tday", date_add(col("day"), col("i")))
+        .crossJoin(broadcast(span)).where(col("tday") <= col("dmax"))
+        .groupBy(col("tday").as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+      operators.Cohorts.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts")
+        .join(est, "day")
+        .withColumn("within_tol",
+          abs(col("wau_est") - col("wau")).cast("double") <=
+            col("wau").cast("double") * lit(0.05))
+        .select(col("day"), col("dau"), col("wau"), col("within_tol"))
+        .orderBy(col("day"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1791,6 +1817,21 @@ object SparkEntry {
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000) AS BIGINT) AS text_checksum
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      // exact q79 law + the ±5% sketch contract asserted TRUE (the HLL
+      // estimate itself is engine-local, like q32's cardinalities)
+      "q83_wau_sketch" ->
+        """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |span AS (SELECT max(day) AS dmax FROM p),
+          |t AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS tday
+          |      FROM p CROSS JOIN (SELECT CAST(unnest(range(7)) AS INTEGER) AS i) o, span
+          |      WHERE day + CAST(i AS INTEGER) <= dmax),
+          |wau AS (SELECT tday AS day, count(*) AS wau FROM t GROUP BY 1),
+          |dau AS (SELECT day, count(*) AS dau FROM p GROUP BY 1)
+          |SELECT wau.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau, wau.wau,
+          |  TRUE AS within_tol
+          |FROM wau LEFT JOIN dau USING (day)
+          |ORDER BY day""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

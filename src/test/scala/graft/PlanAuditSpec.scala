@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSpec {
     "q73_bm25" -> "single-row broadcast: the (N, sum_dl, df_t) corpus constants crossJoin onto per-doc stats (1 x D rows, structurally bounded)",
     "q79_rolling_active" -> "single-row broadcast: the max-day span crossJoins onto the (user, day) pairs (1 x P rows, structurally bounded)",
     "q81_basket_pairs" -> "single-row broadcast: the basket total crossJoins onto the pair counts (1 x T^2/2 rows, type domain is structurally bounded)",
+    "q83_wau_sketch" -> "single-row broadcast: the max-day span crossJoins onto per-day HLL sketches (1 x D rows, structurally bounded; inherited from the q79 exact side too)",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {
