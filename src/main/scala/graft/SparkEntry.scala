@@ -1097,6 +1097,14 @@ object SparkEntry {
         .select(col("day"), col("dau"), col("wau"), col("within_tol"))
         .orderBy(col("day"))
     }),
+
+    // Q84 — per-label embedding dispersion without materializing the
+    // centroid: (n·Q − ΣS_d²)/n² in the exact integer domain, one IEEE
+    // divide at the edge — the cluster-quality metric per source/cell
+    "q84_embedding_dispersion" -> ((s, dir) =>
+      operators.Quantization.dispersionReport(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("label"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1832,6 +1840,24 @@ object SparkEntry {
           |  TRUE AS within_tol
           |FROM wau LEFT JOIN dau USING (day)
           |ORDER BY day""".stripMargin,
+
+      // identical dispersion identity over HUGEINT sums; the two divides
+      // mirror the Spark op order exactly
+      "q84_embedding_dispersion" ->
+        """WITH x AS (SELECT vec_id, label,
+          |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+          |  FROM embeddings),
+          |u AS (SELECT label, unnest(list_transform(range(len(xq)),
+          |        i -> struct_pack(dim := i, v := xq[i+1]))) AS s FROM x),
+          |e AS (SELECT label, s.dim AS dim, s.v AS v FROM u),
+          |pd AS (SELECT label, dim, sum(v) AS sd, sum(v * v) AS qd, count(*) AS n
+          |       FROM e GROUP BY 1, 2),
+          |f AS (SELECT label, max(n) AS n_vecs, sum(qd) AS q, sum(sd * sd) AS ss
+          |      FROM pd GROUP BY label)
+          |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+          |  (CAST(n_vecs * q - ss AS DOUBLE) / 1000000000000.0)
+          |    / CAST(n_vecs * n_vecs AS DOUBLE) AS dispersion
+          |FROM f ORDER BY label""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

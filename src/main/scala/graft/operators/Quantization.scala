@@ -45,6 +45,50 @@ object Quantization {
             .cast("long"))))
   }
 
+  /**
+   * Per-label embedding dispersion — mean squared distance to the label
+   * centroid, computed WITHOUT ever materializing the (float) centroid:
+   *
+   *   disp = (1/n)·Σ_i ‖x_i − μ‖²  =  (n·Q − Σ_d S_d²) / n²
+   *
+   * with S_d = Σ_i xq_{i,d} (per-dimension sums) and Q = Σ_i ‖xq_i‖² in
+   * the ⌊x·10⁶+0.5⌋ integer domain — every term an exact DECIMAL(38,0),
+   * so the numerator is exact at any parallelism and only the final
+   * divide (and the 10¹² de-scale) is IEEE. A naive "subtract the float
+   * centroid, average the float distances" is order-dependent twice over.
+   *
+   * The cluster-quality / diversity metric a corpus-balancing stage
+   * reads per source or per k-means cell.
+   *
+   * Physical shape: posexplode to (label, dim) partials — map-side
+   * combinable, |labels|·dim rows shuffle, never vectors — then a
+   * label-level rollup of the dim partials.
+   */
+  def dispersionReport(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val d38 = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val exploded = emb
+      .select(col(labelCol), col(idCol), posexplode(xqCol(col(vecCol))).as(Seq("dim", "xq")))
+    val perDim = exploded
+      .groupBy(col(labelCol), col("dim"))
+      .agg(
+        sum(d38(col("xq"))).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("sd"),
+        sum(d38(col("xq")) * col("xq")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("qd"),
+        count(lit(1)).as("n"))
+    perDim
+      .groupBy(col(labelCol))
+      .agg(
+        max(col("n")).as("n_vecs"),
+        sum(col("qd")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("q"),
+        sum(col("sd") * col("sd")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("ss"))
+      .withColumn("num", d38(col("n_vecs")) * col("q") - col("ss"))
+      .select(col(labelCol), col("n_vecs"),
+        // de-scale the 10⁶-quantized domain (10¹² for squared units):
+        // one divide by an exactly-representable power of ten, then /n²
+        ((col("num").cast("double") / lit(1e12)) /
+          (col("n_vecs") * col("n_vecs")).cast("double")).as("dispersion"))
+  }
+
   /** Per-label quantization quality report (see object doc for the law). */
   def int8Report(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {

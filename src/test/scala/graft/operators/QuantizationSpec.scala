@@ -32,6 +32,23 @@ class QuantizationSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_abs_err") == 250000.0)
   }
 
+  test("dispersionReport: matches the naive centroid computation on a fixture") {
+    // label 0: vectors (1,0), (0,1), (−1,−1) -> centroid (0,0), mean‖x−μ‖²
+    //   = (1 + 1 + 2)/3 = 4/3 exactly in the quantized domain
+    // label 1: two identical vectors -> dispersion 0
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0), (3L, Seq(-1.0f, -1.0f), 0),
+      (4L, Seq(0.5f, 0.5f), 1), (5L, Seq(0.5f, 0.5f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Quantization.dispersionReport(emb, "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+    // n·Q − ΣS² = 3·(1+1+2)·10¹² − 0 = 12·10¹²; /10¹²/9 = 4/3
+    assert(out(0).getAs[Long]("n_vecs") == 3)
+    assert(out(0).getAs[Double]("dispersion") == (12.0 / 9.0))
+    assert(out(1).getAs[Long]("n_vecs") == 2)
+    assert(out(1).getAs[Double]("dispersion") == 0.0)
+  }
+
   test("int8Report: codes are bounded by ±127 and the max element saturates") {
     val real = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     import org.apache.spark.sql.functions._
