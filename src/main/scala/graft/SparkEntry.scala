@@ -1105,6 +1105,19 @@ object SparkEntry {
       operators.Quantization.dispersionReport(
           t(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy(col("label"))),
+
+    // Q85 — day-of-week seasonality: per (event_type, weekday) exact
+    // decimal sums → mean/volume; weekday is Monday=0 on both engines
+    // (Spark weekday() ⇄ DuckDB isodow−1 — dayofweek anchors differ)
+    "q85_dow_seasonality" -> ((s, dir) =>
+      t(s, dir, "events").where(col("value") > 0)
+        .groupBy(col("event_type"), weekday(col("ts")).as("dow"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("volume"),
+          (sum(col("value").cast(DecimalType(18, 4))).cast("double") /
+            count(lit(1)).cast("double")).as("mean_value"))
+        .orderBy(col("event_type"), col("dow"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1858,6 +1871,15 @@ object SparkEntry {
           |  (CAST(n_vecs * q - ss AS DOUBLE) / 1000000000000.0)
           |    / CAST(n_vecs * n_vecs AS DOUBLE) AS dispersion
           |FROM f ORDER BY label""".stripMargin,
+
+      // isodow-1 = Spark's weekday (Monday=0); exact decimal sums, one
+      // IEEE divide for the mean
+      "q85_dow_seasonality" ->
+        """SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_value
+          |FROM events WHERE value > 0
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams
