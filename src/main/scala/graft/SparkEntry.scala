@@ -1079,8 +1079,11 @@ object SparkEntry {
     // q32/q66 contract recipe: oracle checks the exact columns and
     // asserts the engine's estimate lands within ±5% of exact.
     "q83_wau_sketch" -> ((s, dir) => {
+      // ONE event-stream scan: the checkpointed pair frame feeds both the
+      // sketch path and the exact side
       val p = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint(true)
       val daySketch = p.groupBy(col("day")).agg(hll_sketch_agg(col("user_id")).as("sk"))
       val span = p.agg(max(col("day")).as("dmax"))
       val est = daySketch
@@ -1089,7 +1092,7 @@ object SparkEntry {
         .crossJoin(broadcast(span)).where(col("tday") <= col("dmax"))
         .groupBy(col("tday").as("day"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
-      operators.Cohorts.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts")
+      operators.Cohorts.rollingActiveUsersFromPairs(p, "user_id")
         .join(est, "day")
         .withColumn("within_tol",
           abs(col("wau_est") - col("wau")).cast("double") <=

@@ -61,10 +61,15 @@ object Cohorts {
    * sketches cover that pattern.)
    */
   def rollingActiveUsers(
-      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val p = events
-      .select(col(userCol), to_date(col(tsCol)).as("day"))
-      .distinct()
+      events: DataFrame, userCol: String, tsCol: String): DataFrame =
+    rollingActiveUsersFromPairs(
+      events.select(col(userCol), to_date(col(tsCol)).as("day")).distinct(),
+      userCol)
+
+  /** Same law over an already-deduplicated (user, day) pair frame — lets
+   *  callers that also need the pairs (e.g. the q83 sketch twin) scan the
+   *  event stream ONCE and share the frame. */
+  def rollingActiveUsersFromPairs(p: DataFrame, userCol: String): DataFrame = {
     val span = p.agg(max(col("day")).as("dmax"))
     val windows = p
       .select(col(userCol), col("day"),
