@@ -1121,6 +1121,26 @@ object SparkEntry {
           (sum(col("value").cast(DecimalType(18, 4))).cast("double") /
             count(lit(1)).cast("double")).as("mean_value"))
         .orderBy(col("event_type"), col("dow"))),
+
+    // Q86 — on-balance volume: decimal-exact signed-volume cumsum per
+    // user (sampled users keep the output bounded)
+    "q86_obv" -> ((s, dir) =>
+      operators.Rolling.obv(
+          t(s, dir, "events").where(pmod(col("user_id"), lit(13)) === 0)
+            .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", "value", "value", col("event_id"))
+        .select(col("event_id"), col("user_id"), col("value"), col("obv"))
+        .orderBy(col("event_id"))),
+
+    // Q87 — 14-row RSI: gains/losses from exact decimal moves, window
+    // sums stay decimal, fixed IEEE sequence at the edge; full windows only
+    "q87_rsi" -> ((s, dir) =>
+      operators.Rolling.rsi(
+          t(s, dir, "events").where(pmod(col("user_id"), lit(13)) === 0)
+            .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", "value", col("event_id"), nRows = 14)
+        .select(col("event_id"), col("user_id"), col("value"), col("rsi"))
+        .orderBy(col("event_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1883,6 +1903,49 @@ object SparkEntry {
           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_value
           |FROM events WHERE value > 0
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // identical signed-volume law, decimal running sum cast once at
+      // the edge
+      "q86_obv" ->
+        """WITH f AS (SELECT event_id, user_id, ts, value FROM events WHERE user_id % 13 = 0),
+          |m AS (SELECT event_id, user_id, value, ts,
+          |    CAST(value AS DECIMAL(18,4)) AS p,
+          |    lag(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          |    CAST(value AS DECIMAL(18,4)) AS v
+          |  FROM f),
+          |s AS (SELECT event_id, user_id, value, ts,
+          |    CASE WHEN prev IS NULL OR p = prev THEN CAST(0 AS DECIMAL(18,4))
+          |         WHEN p > prev THEN v ELSE -v END AS sv
+          |  FROM m)
+          |SELECT event_id, user_id, value,
+          |  CAST(CAST(sum(sv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,4)) AS DOUBLE) AS obv
+          |FROM s ORDER BY event_id""".stripMargin,
+
+      // identical gain/loss split and window sums; the Σloss = 0 branch
+      // pins RSI to 100 exactly as the operator does
+      "q87_rsi" ->
+        """WITH f AS (SELECT event_id, user_id, ts, value FROM events WHERE user_id % 13 = 0),
+          |m AS (SELECT event_id, user_id, value, ts,
+          |    CAST(CAST(value AS DECIMAL(18,4)) - lag(CAST(value AS DECIMAL(18,4)))
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(18,4)) AS d
+          |  FROM f),
+          |g AS (SELECT event_id, user_id, value, ts,
+          |    CASE WHEN d IS NULL THEN CAST(0 AS DECIMAL(18,4))
+          |         WHEN d > 0 THEN d ELSE CAST(0 AS DECIMAL(18,4)) END AS gn,
+          |    CASE WHEN d IS NULL THEN CAST(0 AS DECIMAL(18,4))
+          |         WHEN d < 0 THEN -d ELSE CAST(0 AS DECIMAL(18,4)) END AS ls
+          |  FROM m),
+          |wnd AS (SELECT event_id, user_id, value,
+          |    count(*) OVER w2 AS n,
+          |    CAST(sum(gn) OVER w2 AS DECIMAL(38,4)) AS sg,
+          |    CAST(sum(ls) OVER w2 AS DECIMAL(38,4)) AS sl
+          |  FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          |SELECT event_id, user_id, value,
+          |  CASE WHEN sl = 0 THEN 100.0
+          |       ELSE 100.0 - 100.0 / (1.0 + CAST(sg AS DOUBLE) / CAST(sl AS DOUBLE)) END AS rsi
+          |FROM wnd WHERE n = 14 ORDER BY event_id""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams

@@ -144,6 +144,68 @@ object Rolling {
   }
 
   /**
+   * On-balance volume: the running cumulative of volume signed by the
+   * price move direction, OBV_t = Σ_{i≤t} sign(p_i − p_{i−1})·v_i.
+   * Signed volumes are exact DECIMAL(18,4) (sign from an exact decimal
+   * comparison) and the running window sum stays decimal — order-exact
+   * at any parallelism, the property a float cumsum loses. First row of
+   * each key contributes 0 (no previous price).
+   *
+   * Output: input columns + obv (double, de-scaled at the edge).
+   * One window shuffle on the key (ordered per-key scan layout).
+   */
+  def obv(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      priceCol: String, volumeCol: String, tieBreak: Column): DataFrame = {
+    val order = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), tieBreak)
+    val p = col(priceCol).cast(DecimalType(18, 4))
+    val v = col(volumeCol).cast(DecimalType(18, 4))
+    val prev = lag(p, 1).over(order)
+    val signed = when(prev.isNull || p === prev, lit(BigDecimal(0)).cast(DecimalType(18, 4)))
+      .otherwise(when(p > prev, v).otherwise(-v))
+    df
+      .withColumn("_sv", signed)
+      .withColumn("obv",
+        sum(col("_sv")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DecimalType(38, 4)).cast("double"))
+      .drop("_sv")
+  }
+
+  /**
+   * Wilder-style RSI over an `nRows`-row window (simple-average variant):
+   * gains/losses split from exact decimal moves, window sums stay
+   * decimal, and the final RSI = 100 − 100/(1 + Σgain/Σloss) is a fixed
+   * IEEE op sequence. Σloss = 0 ⇒ RSI pinned to 100 (and 0/0 ⇒ flat
+   * series ⇒ also pinned by the same branch, the standard convention).
+   * Only rows with a FULL window emit (head-of-series noise suppressed).
+   */
+  def rsi(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreak: Column, nRows: Int = 14): DataFrame = {
+    val order = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), tieBreak)
+    val frame = order.rowsBetween(-(nRows - 1), Window.currentRow)
+    val x = col(valueCol).cast(DecimalType(18, 4))
+    val d = (x - lag(x, 1).over(order)).cast(DecimalType(18, 4))
+    val zero = lit(BigDecimal(0)).cast(DecimalType(18, 4))
+    val gain = when(d.isNull, zero).otherwise(when(d > zero, d).otherwise(zero))
+    val loss = when(d.isNull, zero).otherwise(when(d < zero, -d).otherwise(zero))
+    df
+      .withColumn("_g", gain)
+      .withColumn("_l", loss)
+      .withColumn("_n", count(lit(1)).over(frame))
+      .withColumn("_sg", sum(col("_g")).over(frame).cast(DecimalType(38, 4)))
+      .withColumn("_sl", sum(col("_l")).over(frame).cast(DecimalType(38, 4)))
+      .where(col("_n") === nRows)
+      .withColumn("rsi",
+        when(col("_sl") === zero, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col("_sg").cast("double") / col("_sl").cast("double"))))
+      .drop("_g", "_l", "_n", "_sg", "_sl")
+  }
+
+  /**
    * Pearson correlation between two ALIGNED series (e.g. two symbols'
    * resampled grids) — the pair-trading signal, engine-portable via the
    * q56 integer-domain recipe:

@@ -110,6 +110,38 @@ class RollingSpec extends SparkSpec {
     assert(out.head.getAs[Double]("realized_vol") == 0.0)
   }
 
+  test("obv: signed-volume running sum with flat and first-row zeros") {
+    // prices 10,12,12,9,11 / volume = price
+    // signs: 0 (first), +, 0 (flat), -, + -> obv: 0, 12, 12, 3, 14
+    val df = Seq(
+      (1L, ts(0), 10.0, 1L), (1L, ts(1), 12.0, 2L), (1L, ts(2), 12.0, 3L),
+      (1L, ts(3), 9.0, 4L), (1L, ts(4), 11.0, 5L),
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Rolling.obv(df, Seq("user_id"), "ts", "value", "value", col("event_id"))
+      .orderBy("event_id").collect().map(_.getAs[Double]("obv"))
+    assert(out.toSeq == Seq(0.0, 12.0, 12.0, 3.0, 14.0))
+  }
+
+  test("rsi: hand-computed window, loss-free pin to 100, full windows only") {
+    // 4-row RSI over 10,11,13,12,14: moves _,1,2,-1,2
+    // row4 (first full window): gains 1+2+0=3... window rows 1-4: moves null,1,2,-1
+    //   -> sg=3, sl=1, rsi = 100 - 100/(1+3) = 75
+    // row5: moves 1,2,-1,2 -> sg=5, sl=1, rsi = 100-100/6
+    val df = Seq(
+      (1L, ts(0), 10.0, 1L), (1L, ts(1), 11.0, 2L), (1L, ts(2), 13.0, 3L),
+      (1L, ts(3), 12.0, 4L), (1L, ts(4), 14.0, 5L),
+      // user 2: monotone rise -> sl = 0 -> pinned 100
+      (2L, ts(0), 1.0, 6L), (2L, ts(1), 2.0, 7L), (2L, ts(2), 3.0, 8L),
+      (2L, ts(3), 4.0, 9L),
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Rolling.rsi(df, Seq("user_id"), "ts", "value", col("event_id"), nRows = 4)
+      .orderBy("event_id").collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(4L, 5L, 9L))
+    assert(out(0).getAs[Double]("rsi") == 75.0)
+    assert(out(1).getAs[Double]("rsi") == 100.0 - 100.0 / (1.0 + 5.0))
+    assert(out(2).getAs[Double]("rsi") == 100.0)
+  }
+
   test("alignedPearson: perfect linear relation gives corr exactly ±1") {
     val a = Seq((ts(0), 1.0), (ts(1), 2.0), (ts(2), 3.0)).toDF("grid_ts", "v")
     val up = Seq((ts(0), 2.0), (ts(1), 4.0), (ts(2), 6.0)).toDF("grid_ts", "v")
