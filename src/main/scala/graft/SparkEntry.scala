@@ -1141,6 +1141,52 @@ object SparkEntry {
           Seq("user_id"), "ts", "value", col("event_id"), nRows = 14)
         .select(col("event_id"), col("user_id"), col("value"), col("rsi"))
         .orderBy(col("event_id"))),
+
+    // Q88 — z-score anomaly census: per-type mean/σ from exact decimal
+    // sums (q56 machinery), per-row z in a fixed IEEE sequence, outlier
+    // counts + the max z per type (max is order-insensitive)
+    "q88_anomaly_census" -> ((s, dir) => {
+      val x = col("value").cast(DecimalType(18, 2))
+      val b = t(s, dir, "events").select(col("event_type"), x.as("x"))
+      val stats = b.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(DecimalType(30, 2)).as("sx"),
+        sum(col("x") * col("x")).cast(DecimalType(38, 4)).as("sxx"))
+      val n = col("n").cast("double")
+      val mean = col("sx").cast("double") / n
+      val variance = (col("sxx").cast("double") - col("sx").cast("double") *
+        col("sx").cast("double") / n) / n
+      val withMoments = stats
+        .withColumn("mean", mean)
+        .withColumn("sd", sqrt(greatest(variance, lit(0.0))))
+      b.join(withMoments, "event_type")
+        .withColumn("z",
+          when(col("sd") === 0.0, lit(0.0))
+            .otherwise(abs(col("x").cast("double") - col("mean")) / col("sd")))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("n")).as("n"),
+          sum((col("z") > 3.0).cast("long")).as("n_outliers"),
+          max(col("z")).as("max_z"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Q89 — referential reconciliation via FULL OUTER join: orders
+    // without lineitems, orphan lineitem keys, and match counts — the
+    // data-quality audit shape (completes the demonstrated join surface)
+    "q89_reconciliation" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"))
+      val l = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          sum((col("o_orderkey").isNotNull && col("l_orderkey").isNotNull).cast("long"))
+            .as("n_matched"),
+          sum((col("l_orderkey").isNull).cast("long")).as("n_orders_without_items"),
+          sum((col("o_orderkey").isNull).cast("long")).as("n_orphan_item_keys"),
+          sum(coalesce(col("n_items"), lit(0L))).as("total_lineitems"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1946,6 +1992,39 @@ object SparkEntry {
           |  CASE WHEN sl = 0 THEN 100.0
           |       ELSE 100.0 - 100.0 / (1.0 + CAST(sg AS DOUBLE) / CAST(sl AS DOUBLE)) END AS rsi
           |FROM wnd WHERE n = 14 ORDER BY event_id""".stripMargin,
+
+      // identical moment op order; z per row in the same IEEE sequence;
+      // max over identical doubles is order-insensitive
+      "q88_anomaly_census" ->
+        """WITH b AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x FROM events),
+          |st AS (SELECT event_type, count(*) AS n,
+          |    CAST(sum(x) AS DECIMAL(30,2)) AS sx,
+          |    CAST(sum(x * x) AS DECIMAL(38,4)) AS sxx
+          |  FROM b GROUP BY event_type),
+          |mo AS (SELECT event_type, n,
+          |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          |    sqrt(greatest((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0)) AS sd
+          |  FROM st),
+          |z AS (SELECT b.event_type, mo.n,
+          |    CASE WHEN mo.sd = 0.0 THEN 0.0
+          |         ELSE abs(CAST(b.x AS DOUBLE) - mo.mean) / mo.sd END AS z
+          |  FROM b JOIN mo USING (event_type))
+          |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+          |  CAST(sum(CASE WHEN z > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |  max(z) AS max_z
+          |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // the same FULL OUTER reconciliation
+      "q89_reconciliation" ->
+        """WITH l AS (SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey)
+          |SELECT count(o.o_orderkey) AS n_orders,
+          |  CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL AND l.l_orderkey IS NOT NULL
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+          |  CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_without_items,
+          |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_item_keys,
+          |  CAST(sum(coalesce(l.n_items, 0)) AS BIGINT) AS total_lineitems
+          |FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams
