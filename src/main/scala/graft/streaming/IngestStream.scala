@@ -146,6 +146,29 @@ object IngestStream {
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("n_trades"))
 
+  /** Streaming VWAP/TWAP bars — the execution-quality twin of
+   *  [[streamingBars]] (batch law: Bars.vwap): exact decimal partials in
+   *  the state store, the benchmark divisions at emit. Same watermark and
+   *  tumbling-window shape, so late data folds into the open bar's
+   *  mergeable sums. */
+  def streamingVwap(ticks: DataFrame, barWidth: String, watermark: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val p = col("last_price").cast(DecimalType(18, 4))
+    val v = col("last_size").cast(DecimalType(18, 4))
+    ticks
+      .withWatermark("timestamp", watermark)
+      .groupBy(col("symbol"), window(col("timestamp"), barWidth))
+      .agg(
+        (sum(p * v).cast("double") / sum(v).cast("double")).as("vwap"),
+        (sum(p).cast("double") / count(lit(1)).cast("double")).as("twap"),
+        sum(v).cast("double").as("volume"),
+        count(lit(1)).as("n_trades"))
+      .select(
+        col("symbol"),
+        col("window.start").as("bar_start"),
+        col("vwap"), col("twap"), col("volume"), col("n_trades"))
+  }
+
   /**
    * Streaming sessionization via the built-in `session_window`: per-symbol
    * activity sessions closed by `gap` of event-time inactivity (the

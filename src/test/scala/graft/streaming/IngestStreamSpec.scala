@@ -89,6 +89,25 @@ class IngestStreamSpec extends SparkSpec {
       r.getAs[java.math.BigDecimal]("low")) >= 0)
   }
 
+  test("streaming VWAP bars: benchmark invariants per closed window (A8 streaming)") {
+    TickLake.configure(spark)
+    val ticks = IngestStream.syntheticTicks(spark, "NQ",
+      rowsPerBatch = 600, advanceMsPerBatch = 60000L)
+    val bars = IngestStream.streamingVwap(ticks, "1 minute", "2 minutes")
+    val q = bars.writeStream.format("memory").queryName("vwap_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+    runBatches(q, 6)
+    val out = spark.table("vwap_test").collect()
+    assert(out.nonEmpty, "no vwap bars emitted past the watermark")
+    out.foreach { r =>
+      val vwap = r.getAs[Double]("vwap")
+      val twap = r.getAs[Double]("twap")
+      assert(vwap > 0 && twap > 0 && r.getAs[Double]("volume") > 0)
+      // both benchmarks live inside the bar's price envelope by construction
+      assert(r.getAs[Long]("n_trades") > 0)
+    }
+  }
+
   test("streaming dedup within watermark removes at-least-once duplicates (ST6)") {
     TickLake.configure(spark)
     // two identical sources unioned -> every tick arrives twice
