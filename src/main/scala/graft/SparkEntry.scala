@@ -1187,6 +1187,47 @@ object SparkEntry {
           sum((col("o_orderkey").isNull).cast("long")).as("n_orphan_item_keys"),
           sum(coalesce(col("n_items"), lit(0L))).as("total_lineitems"))
     }),
+
+    // Q90 — cross-source contamination matrix: pairwise 3-gram shingle
+    // Jaccard between SOURCES (q18's inverted-index shape lifted to
+    // corpus grain) — the "how much does slice A leak into slice B"
+    // dashboard a mixing stage reads
+    "q90_source_overlap" -> ((s, dir) => {
+      import graft.functions.TextFunctions.wordShingles
+      val sh = t(s, dir, "documents")
+        .select(col("source"), explode(wordShingles(col("text"), 3)).as("sh"))
+        .distinct()
+      val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(counts.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+        .join(counts.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .select(col("source_a"), col("source_b"), col("n_inter"),
+          col("n_a"), col("n_b"), col("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Q91 — event-type transition matrix: per-user ordered lead pairs,
+    // row-normalized probabilities (one IEEE divide of exact counts) —
+    // the Markov-prep census for behavioral sequence modeling
+    "q91_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tw = Window.partitionBy(col("from_type"))
+      trans
+        .withColumn("prob", col("n").cast("double") / sum(col("n")).over(tw).cast("double"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2025,6 +2066,31 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_item_keys,
           |  CAST(sum(coalesce(l.n_items, 0)) AS BIGINT) AS total_lineitems
           |FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey""".stripMargin,
+
+      // same distinct (source, shingle) domain and inclusion-exclusion
+      "q90_source_overlap" ->
+        """WITH w AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |sh AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS sh FROM w),
+          |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+          |p AS (SELECT x.source AS source_a, y.source AS source_b, CAST(count(*) AS BIGINT) AS n_inter
+          |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+          |  GROUP BY 1, 2)
+          |SELECT source_a, source_b, n_inter, a.n AS n_a, b.n AS n_b,
+          |  CAST(n_inter AS DOUBLE) / CAST(a.n + b.n - n_inter AS DOUBLE) AS jaccard
+          |FROM p JOIN c a ON p.source_a = a.source JOIN c b ON p.source_b = b.source
+          |ORDER BY source_a, source_b""".stripMargin,
+
+      // identical lead-pair law and row normalization
+      "q91_transitions" ->
+        """WITH x AS (SELECT event_type AS from_type,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          |  FROM events),
+          |tr AS (SELECT from_type, to_type, count(*) AS n FROM x
+          |       WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+          |FROM tr ORDER BY from_type, to_type""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams
