@@ -1228,6 +1228,60 @@ object SparkEntry {
         .withColumn("prob", col("n").cast("double") / sum(col("n")).over(tw).cast("double"))
         .orderBy(col("from_type"), col("to_type"))
     }),
+
+    // Q92 — lag-1 autocorrelation per user: the q56 integer-domain
+    // Pearson over (x_t, x_{t−1}) pairs — mean-reversion vs momentum
+    // census per series (sampled users bound the output)
+    "q92_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val xi = (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long")
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val pairs = t(s, dir, "events")
+        .where(pmod(col("user_id"), lit(13)) === 0)
+        .select(col("user_id"), col("ts"), col("event_id"), xi.as("x"))
+        .withColumn("y", lag(col("x"), 1).over(w))
+        .where(col("y").isNotNull)
+      val agg = pairs.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(d38(col("x"))).cast(DecimalType(38, 0)).as("sx"),
+        sum(d38(col("y"))).cast(DecimalType(38, 0)).as("sy"),
+        sum(d38(col("x")) * col("y")).cast(DecimalType(38, 0)).as("sxy"),
+        sum(d38(col("x")) * col("x")).cast(DecimalType(38, 0)).as("sxx"),
+        sum(d38(col("y")) * col("y")).cast(DecimalType(38, 0)).as("syy"))
+      agg
+        .withColumn("num", d38(col("n_pairs")) * col("sxy") - col("sx") * col("sy"))
+        .withColumn("d1", d38(col("n_pairs")) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("d2", d38(col("n_pairs")) * col("syy") - col("sy") * col("sy"))
+        .select(col("user_id"), col("n_pairs"),
+          (col("num").cast("double") /
+            (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))))
+            .as("autocorr"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Q93 — Gini concentration of activity per event type: ranks from a
+    // total (count, user) order, G = (2·Σi·c_i − (n+1)·Σc) / (n·Σc)
+    // exact until ONE IEEE divide — the source-balance inequality metric
+    "q93_activity_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"), col("user_id"))
+      val d38 = (x: Column) => x.cast(DecimalType(38, 0))
+      c.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("c")).as("total"),
+          sum(d38(col("i")) * col("c")).cast(DecimalType(38, 0)).as("swc"))
+        .withColumn("gini",
+          (lit(2) * col("swc").cast("double") -
+            (col("n_users") + 1).cast("double") * col("total").cast("double")) /
+            (col("n_users").cast("double") * col("total").cast("double")))
+        .select(col("event_type"), col("n_users"), col("total"), col("gini"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2091,6 +2145,36 @@ object SparkEntry {
           |SELECT from_type, to_type, n,
           |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
           |FROM tr ORDER BY from_type, to_type""".stripMargin,
+
+      // the q56/q77 exact-sum recipe over lag pairs
+      "q92_autocorr" ->
+        """WITH f AS (SELECT user_id, ts, event_id,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+          |  FROM events WHERE user_id % 13 = 0),
+          |p AS (SELECT user_id, x,
+          |    lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y FROM f),
+          |p2 AS (SELECT * FROM p WHERE y IS NOT NULL),
+          |a AS (SELECT user_id, count(*) AS n_pairs, sum(x) AS sx, sum(y) AS sy,
+          |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          |  FROM p2 GROUP BY user_id)
+          |SELECT user_id, n_pairs,
+          |  CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+          |    / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+          |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS autocorr
+          |FROM a ORDER BY user_id""".stripMargin,
+
+      // identical rank law (total (count, user) order) and Gini identity
+      "q93_activity_gini" ->
+        """WITH c AS (SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, c,
+          |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS BIGINT) AS i
+          |  FROM c),
+          |a AS (SELECT event_type, count(*) AS n_users, CAST(sum(c) AS BIGINT) AS total,
+          |    sum(i * c) AS swc FROM r GROUP BY event_type)
+          |SELECT event_type, n_users, total,
+          |  (2 * CAST(swc AS DOUBLE) - CAST(n_users + 1 AS DOUBLE) * CAST(total AS DOUBLE))
+          |    / (CAST(n_users AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+          |FROM a ORDER BY event_type""".stripMargin,
 
       // replays the boilerplate census: trigram in >= 3 distinct docs →
       // boilerplate; per-doc fraction over distinct trigrams
