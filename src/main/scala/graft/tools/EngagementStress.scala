@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev probe: exact rolling DAU/WAU at synthetic scale — N users with a
+ * deterministic-hash activity pattern over `days` days (~p·N·days
+ * distinct pairs), through `Cohorts.rollingActiveUsersFromPairs`.
+ * Reports wall time plus the structural invariants (DAU ≤ WAU ≤ N, one
+ * row per covered day).
+ */
+object EngagementStress {
+  def main(args: Array[String]): Unit = {
+    val nUsers = if (args.nonEmpty) args(0).toInt else 200000
+    val days = if (args.length > 1) args(1).toInt else 30
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ~2/3 of (user, day) cells active, deterministically (md5-hash law)
+    val pairs = spark.range(nUsers.toLong * days)
+      .select((col("id") % nUsers).as("user_id"),
+        date_add(lit(java.sql.Date.valueOf("2025-01-01")),
+          (col("id") / nUsers).cast("int")).as("day"))
+      .where(conv(substring(md5(concat_ws("#", col("user_id"), col("day"))), 1, 6), 16, 10)
+        .cast("long") % 3 < 2)
+      .localCheckpoint(true)
+
+    val nPairs = pairs.count()
+    val t0 = System.nanoTime()
+    val out = graft.operators.Cohorts.rollingActiveUsersFromPairs(pairs, "user_id")
+      .localCheckpoint(true)
+    val rows = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val bad = out.where(col("wau") < col("dau") || col("wau") > nUsers).count()
+    println(f"[engagement-stress] users=$nUsers days=$days pairs=$nPairs " +
+      f"rows=$rows secs=$secs%.1f invariant_violations=$bad")
+    spark.stop()
+  }
+}
