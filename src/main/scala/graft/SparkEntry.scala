@@ -1282,6 +1282,149 @@ object SparkEntry {
         .select(col("event_type"), col("n_users"), col("total"), col("gini"))
         .orderBy(col("event_type"))
     }),
+
+    // Q94 — EXACT-recall near-dup join via prefix filtering (ppjoin law):
+    // same output contract as q16's LSH path, but deterministic full
+    // recall — the decontamination-grade variant where a missed duplicate
+    // is a bug, not a recall statistic. Oracle = the same brute-force
+    // Jaccard truth q16 is checked against.
+    "q94_prefix_filter_join" -> ((s, dir) =>
+      Dedup.jaccardJoinPrefixFilter(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Q95 — exact least-squares trend per event_type: slope/intercept of
+    // value (cents) against the epoch-day of ts, every sum an exact
+    // decimal (q56 recipe), the final divides one deterministic IEEE
+    // sequence mirrored verbatim in the oracle.
+    "q95_linear_trend" -> ((s, dir) => {
+      val cents = (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long")
+      val day = datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long")
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val a = t(s, dir, "events")
+        .select(col("event_type"), day.as("x"), cents.as("y"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(d38(col("x"))).cast(DecimalType(38, 0)).as("sx"),
+          sum(d38(col("y"))).cast(DecimalType(38, 0)).as("sy"),
+          sum(d38(col("x")) * col("y")).cast(DecimalType(38, 0)).as("sxy"),
+          sum(d38(col("x")) * col("x")).cast(DecimalType(38, 0)).as("sxx"))
+      a
+        .withColumn("num", d38(col("n")) * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("slope_cents", col("num").cast("double") / col("den").cast("double"))
+        .select(col("event_type"), col("n"),
+          (col("slope_cents") / lit(100.0)).as("slope_per_day"),
+          (((col("sy").cast("double") - col("slope_cents") * col("sx").cast("double"))
+            / col("n").cast("double")) / lit(100.0)).as("intercept"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Q96 — max drawdown per user over the cumulative value series:
+    // running sum → running peak → max(peak − cum), ALL in exact integer
+    // cents (the only IEEE op is the final cents→value divide). The
+    // classic risk metric over the tick-lake cumulative P&L shape.
+    "q96_max_drawdown" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cents = (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long")
+      t(s, dir, "events")
+        .where(pmod(col("user_id"), lit(3)) === 0)
+        .select(col("user_id"), col("ts"), col("event_id"), cents.as("v"))
+        .withColumn("cum", sum(col("v")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (sum(col("v")).cast("double") / lit(100.0)).as("final_value"),
+          (max(col("cum")).cast("double") / lit(100.0)).as("peak_value"),
+          (max(col("peak") - col("cum")).cast("double") / lit(100.0)).as("max_drawdown"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Q97 — contingency table with chi-square contribution per cell
+    // (event_type × user bucket): expected counts from exact window-sum
+    // margins, the per-cell (O−E)²/E in one mirrored IEEE sequence.
+    // Association audit between two categoricals — no summed doubles.
+    "q97_chi_cells" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(4)).as("bucket"))
+        .agg(count(lit(1)).as("observed"))
+        .localCheckpoint(true) // margins + grand total re-read this tiny frame
+      val od = col("observed").cast("double")
+      cells
+        .withColumn("row_n", sum(col("observed")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("col_n", sum(col("observed")).over(Window.partitionBy(col("bucket"))))
+        // grand total as a broadcast scalar, NOT an unpartitioned window
+        // (that plan funnels the frame through one partition and logs the
+        // WindowExec warning in every run)
+        .crossJoin(broadcast(cells.agg(sum(col("observed")).as("total_n"))))
+        .withColumn("expected",
+          col("row_n").cast("double") * col("col_n").cast("double") / col("total_n").cast("double"))
+        .select(col("event_type"), col("bucket"), col("observed"), col("expected"),
+          ((od - col("expected")) * (od - col("expected")) / col("expected")).as("chi_cell"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Q98 — TF-IDF keyword extraction, top-3 terms per document: rational
+    // idf (exact integer score ladder tf·(N+1)·10⁶ div (df+1), the q73
+    // BM25 trick) so the ranking is engine-portable with no ln() in any
+    // hash-compared column.
+    "q98_tfidf_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val words = docs
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val rank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_scaled").desc, col("w"))
+      tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
+        .withColumn("score_scaled",
+          expr("tf * (n_docs + 1) * 1000000 div (df + 1)"))
+        .withColumn("rank", row_number().over(rank).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("token"),
+          col("tf"), col("df"), col("score_scaled"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Q99 — robust outlier census per event_type: median/MAD (exact
+    // interpolated percentile ⇄ quantile_cont, the q32-proven bridge),
+    // flag |x − med| > 3·MAD. The heavy-tail-safe twin of q88's z-score.
+    "q99_mad_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      // deviations reused by the MAD agg and the outlier count — checkpoint
+      // so the events scan + median broadcast join runs once
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+        .localCheckpoint(true)
+      val mad = dev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("median"),
+          percentile(col("adev"), lit(0.5)).as("mad"))
+      dev
+        .join(broadcast(mad.select(col("event_type"), col("mad").as("_mad"))), "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("adev") > lit(3.0) * col("_mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+        .join(mad, "event_type")
+        .select(col("event_type"), col("n"), col("median"), col("mad"), col("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Q100 — one-pass table profile census (rows / nulls / exact distinct
+    // per column) over orders — the pre-ingest audit every corpus run
+    // starts with, as a reusable operator.
+    "q100_profile_orders" -> ((s, dir) =>
+      graft.operators.Profile.tableProfile(t(s, dir, "orders"))
+        .orderBy(col("column_name"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2587,6 +2730,113 @@ object SparkEntry {
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY flag, status""".stripMargin,
+
+      // same brute-force shingle-Jaccard truth as q16 — the prefix-filter
+      // path must reproduce it with exact (not probabilistic) recall
+      "q94_prefix_filter_join" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+          |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
+          |FROM p WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q95_linear_trend" ->
+        """WITH b AS (SELECT event_type,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          |  FROM events),
+          |a AS (SELECT event_type, count(*) AS n,
+          |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+          |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+          |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+          |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+          |  FROM b GROUP BY event_type),
+          |f AS (SELECT event_type, n, sx, sy,
+          |    CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+          |      CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS slope_cents
+          |  FROM a)
+          |SELECT event_type, n, slope_cents / 100.0 AS slope_per_day,
+          |  ((CAST(sy AS DOUBLE) - slope_cents * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0 AS intercept
+          |FROM f ORDER BY event_type""".stripMargin,
+
+      "q96_max_drawdown" ->
+        """WITH b AS (SELECT user_id, ts, event_id,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          |  FROM events WHERE user_id % 3 = 0),
+          |cu AS (SELECT user_id, ts, event_id, v,
+          |    sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM b),
+          |c AS (SELECT user_id, v, cum,
+          |    max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          |  FROM cu)
+          |SELECT user_id, count(*) AS n_events,
+          |  CAST(sum(v) AS DOUBLE) / 100.0 AS final_value,
+          |  CAST(max(cum) AS DOUBLE) / 100.0 AS peak_value,
+          |  CAST(max(peak - cum) AS DOUBLE) / 100.0 AS max_drawdown
+          |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q97_chi_cells" ->
+        """WITH cells AS (SELECT event_type, user_id % 4 AS bucket, count(*) AS observed
+          |  FROM events GROUP BY event_type, user_id % 4),
+          |m AS (SELECT event_type, bucket, observed,
+          |    sum(observed) OVER (PARTITION BY event_type) AS row_n,
+          |    sum(observed) OVER (PARTITION BY bucket) AS col_n,
+          |    sum(observed) OVER () AS total_n
+          |  FROM cells),
+          |e AS (SELECT event_type, bucket, observed,
+          |    CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total_n AS DOUBLE) AS expected
+          |  FROM m)
+          |SELECT event_type, bucket, observed, expected,
+          |  (CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected AS chi_cell
+          |FROM e ORDER BY event_type, bucket""".stripMargin,
+
+      // rational-idf score ladder: integer arithmetic end-to-end, ln-free
+      "q98_tfidf_keywords" ->
+        """WITH words AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          |  FROM documents),
+          |tf AS (SELECT doc_id, w, count(*) AS tf FROM words WHERE len(w) > 0 GROUP BY doc_id, w),
+          |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+          |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+          |sc AS (SELECT doc_id, w, tf, df,
+          |    (tf * (n_docs + 1) * 1000000) // (df + 1) AS score_scaled
+          |  FROM tf JOIN dfq USING (w) CROSS JOIN n),
+          |r AS (SELECT doc_id, w, tf, df, score_scaled,
+          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_scaled DESC, w) AS BIGINT) AS rank
+          |  FROM sc)
+          |SELECT doc_id, rank, w AS token, tf, df, score_scaled
+          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      // quantile_cont ⇄ Spark percentile: the q32-proven exact bridge
+      "q99_mad_outliers" ->
+        """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+          |  FROM events GROUP BY event_type),
+          |dev AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+          |  FROM events e JOIN med m USING (event_type)),
+          |mad AS (SELECT event_type, count(*) AS n, max(med) AS median,
+          |    quantile_cont(adev, 0.5) AS mad
+          |  FROM dev GROUP BY event_type)
+          |SELECT d.event_type, m.n, m.median, m.mad,
+          |  CAST(count(*) FILTER (d.adev > 3.0 * m.mad) AS BIGINT) AS n_outliers
+          |FROM dev d JOIN mad m ON d.event_type = m.event_type
+          |GROUP BY d.event_type, m.n, m.median, m.mad
+          |ORDER BY d.event_type""".stripMargin,
+
+      "q100_profile_orders" ->
+        """SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+          |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+          |    count(*) - count(o_orderkey) AS n_nulls, count(DISTINCT o_orderkey) AS n_distinct FROM orders
+          |  UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey) FROM orders
+          |  UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus) FROM orders
+          |  UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT o_totalprice) FROM orders
+          |  UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate) FROM orders
+          |  UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders
+          |) ORDER BY column_name""".stripMargin,
     )
   }
 }

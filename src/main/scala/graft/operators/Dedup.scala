@@ -358,4 +358,68 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /**
+   * EXACT-recall set-similarity join via prefix filtering (the ppjoin
+   * family: Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al. WWW'08): all
+   * pairs of documents whose `shingleN`-word shingle sets have Jaccard ≥
+   * `threshold`, with NO all-pairs enumeration and NO probabilistic miss.
+   *
+   * Law: order every set by one global total order (document frequency
+   * ascending, then shingle — rarest first) and keep each set's first
+   * `|s| - ⌈t·|s|⌉ + 1` elements as its prefix. If two sets' prefixes are
+   * disjoint, their Jaccard is provably < t, so candidates = pairs sharing
+   * ≥ 1 PREFIX shingle, then exact verification. Same output contract as
+   * [[minhashNearDuplicates]] (id_a < id_b, exact verified jaccard), but
+   * deterministic full recall — the decontamination-grade variant where a
+   * missed duplicate is a correctness bug, not a recall statistic.
+   *
+   * Scale posture:
+   *  - The candidate equi-join key is a PREFIX shingle = one of the
+   *    RAREST shingles of either document — anti-skew by construction
+   *    (a shingle appearing in k docs contributes ≤ k(k-1)/2 candidates,
+   *    and high-k shingles are exactly the ones prefixes exclude).
+   *  - A length filter rides the join: J ≥ t forces
+   *    t·|A| ≤ |B| ≤ |A|/t, pruning cross-size pairs before the shuffle.
+   *  - Shuffled payloads are (id, size, shingle) triples and the doc-freq
+   *    table — never text. Verification joins shingle arrays only for
+   *    surviving candidates, like the LSH path.
+   */
+  def jaccardJoinPrefixFilter(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1,
+      "prefix filtering requires 0 < threshold <= 1")
+    // Shingle sets once; checkpointed because three consumers read them
+    // (doc-frequency agg, prefix assignment, exact verify).
+    val sets = docs
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .localCheckpoint(true)
+    val toks = sets.select(
+      col(idCol), size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
+    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // Global rarest-first order (df, s); the per-doc sort window touches
+    // ~|set| rows per key. Prefix length n - ceil(t*n) + 1: if a pair's
+    // prefixes are disjoint, the intersection is confined to the suffixes
+    // — at most ceil(t*n)-1 < t*n ≤ |A∩B| elements of either set — so
+    // J ≥ t is impossible (pigeonhole on the shared global order).
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
+    val prefix = toks.join(dfreq, "s")
+      .withColumn("pos", row_number().over(wDoc))
+      .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col(idCol), col("n"), col("s"))
+      .localCheckpoint(true) // lean (id, n, shingle); both join sides reuse it
+    val candidates = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.s") === col("y.s") &&
+          col(s"x.$idCol") < col(s"y.$idCol") &&
+          // length filter: t·|A| ≤ |B| ≤ |A|/t (A the smaller side either way)
+          col("y.n") * lit(threshold) <= col("x.n") &&
+          col("x.n") * lit(threshold) <= col("y.n"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sets, idCol, threshold)
+  }
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Table profiling: one pass over a table producing per-column data-quality
+ * counters — row count, null count, exact distinct count — in long format
+ * `(column_name, n_rows, n_nulls, n_distinct)`.
+ *
+ * The reference pipeline relies on ad-hoc sanity queries before a backfill
+ * (row counts per file, day coverage — e.g. its parquet metadata scan);
+ * this generalizes that into the standard pre-training-ingest census every
+ * corpus audit starts with.
+ *
+ * Scale posture: a single aggregation job. Multiple exact COUNT(DISTINCT)
+ * in one agg compile to one Expand (k+1 rows per input row for k profiled
+ * columns) — the standard multi-distinct plan, shuffling only
+ * (grouping-id, column value) pairs. For very wide tables at corpus scale,
+ * profile column batches, or swap `exactDistinct = false` to HLL++
+ * (`approx_count_distinct`) which collapses the Expand into mergeable
+ * KB-sized sketches — the same contract split as q83's sketch twin.
+ */
+object Profile {
+
+  def tableProfile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+    val cols = df.columns.toSeq
+    val distinctAgg =
+      if (exactDistinct) (c: String) => countDistinct(col(c))
+      else (c: String) => approx_count_distinct(col(c))
+    val aggs = count(lit(1)).as("_n") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"_nn_$c"),
+        distinctAgg(c).as(s"_nd_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `_nn_$c`, `_nd_$c`").mkString(", ")
+    one
+      .selectExpr("_n",
+        s"stack(${cols.length}, $stackArgs) AS (column_name, _nonnull, n_distinct)")
+      .select(col("column_name"), col("_n").as("n_rows"),
+        (col("_n") - col("_nonnull")).as("n_nulls"), col("n_distinct"))
+  }
+}

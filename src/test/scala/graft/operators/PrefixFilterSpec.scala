@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Prefix-filter exact set-similarity join: recall must equal brute force
+  * at every threshold (the ppjoin pigeonhole law), unlike LSH whose recall
+  * is probabilistic. */
+class PrefixFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy cat", "a"),
+    (3L, "completely different words entirely here now", "a"),
+    (4L, "The  Quick Brown   Fox jumps over the lazy dog", "b"),
+    (5L, "short", "b"),
+  ).toDF("doc_id", "text", "source")
+
+  test("finds the same near-dup pairs as the LSH path on the toy corpus") {
+    val pf = Dedup.jaccardJoinPrefixFilter(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pf == lsh)
+    assert(pf.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("exact recall vs brute force across thresholds on a seeded corpus") {
+    // 80 docs over a 40-word vocabulary (dense overlap — the adversarial
+    // case for candidate pruning), plus 10 planted one-word-substituted
+    // near-dups of the first 10
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val base = (0 until 60).map { i =>
+      val words = (0 until 12 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }
+    val plants = (0 until 10).map { i =>
+      val words = base(i)._2.split(" ")
+      words(rnd.nextInt(words.length)) = "sub" + i
+      (1000L + i, words.mkString(" "))
+    }
+    val corpus = (base ++ plants).toDF("doc_id", "text")
+    // 0.5 = long prefixes / many candidates (recall-adversarial);
+    // 0.85 = shortest prefixes (exercises the ceil arithmetic boundary)
+    for (t <- Seq(0.5, 0.85)) {
+      // brute-force truth: the within-group all-pairs primitive over one group
+      val brute = Dedup.jaccardPairsWithinGroup(
+          corpus.withColumn("g", lit(1)), "doc_id", "text", "g", 3, t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val pf = Dedup.jaccardJoinPrefixFilter(corpus, "doc_id", "text", 3, t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(pf == brute, s"threshold $t: prefix filter must match brute force")
+    }
+  }
+
+  test("plan has no nested-loop or cartesian pair enumeration") {
+    val plan = Dedup.jaccardJoinPrefixFilter(docs, "doc_id", "text", 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

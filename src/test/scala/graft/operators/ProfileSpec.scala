@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (Some(1), Some("a"), Some(1.0)),
+    (Some(2), None, Some(2.0)),
+    (Some(2), Some("b"), None),
+    (None, Some("a"), Some(2.0)),
+  ).toDF("id", "s", "v")
+
+  test("tableProfile reports exact per-column row/null/distinct counters") {
+    val out = Profile.tableProfile(df).orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("id", 4L, 1L, 2L),
+      ("s", 4L, 1L, 2L),
+      ("v", 4L, 1L, 2L)))
+  }
+
+  test("approx variant keeps the same shape and nails small cardinalities") {
+    val out = Profile.tableProfile(df, exactDistinct = false)
+      .orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // HLL++ is exact at these tiny cardinalities
+    assert(out.map(_._4) == Seq(2L, 2L, 2L))
+    assert(out.map(_._3) == Seq(1L, 1L, 1L))
+  }
+}
