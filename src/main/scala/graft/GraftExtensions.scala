@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CharGramSketch, HyperplaneBuckets, LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords, StringArrayCountMatches, WordShingleMinhash}
+import graft.functions.expressions.{CharGramSketch, HyperplaneBuckets, LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords, StringArrayCountMatches, WordShingleHashes, WordShingleMinhash}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's custom
@@ -62,6 +62,12 @@ object GraftExtensions {
         require(children.length == 3, "graft_minhash(text, numHashesLiteral, shingleNLiteral)")
         WordShingleMinhash(children.head,
           children(1).eval().toString.toInt, children(2).eval().toString.toInt)
+      }),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingle_hashes(text, shingleNLiteral)")
+        WordShingleHashes(children.head, children(1).eval().toString.toInt)
       }),
     (FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_lsh_buckets"),

@@ -1425,6 +1425,79 @@ object SparkEntry {
     "q100_profile_orders" -> ((s, dir) =>
       graft.operators.Profile.tableProfile(t(s, dir, "orders"))
         .orderBy(col("column_name"))),
+
+    // Q101 — Bollinger bands: trailing-20 moving average ± 2σ per user.
+    // Window sums Σx and Σx² in exact integer cents, σ from the
+    // (n·Σx² − (Σx)²) identity, one mirrored IEEE tail (÷, sqrt) at the
+    // edge. Full windows only, so every row's band is a 20-sample fact.
+    "q101_bollinger" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 20
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wN = w.rowsBetween(-(n - 1), Window.currentRow)
+      val cents = (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long")
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      t(s, dir, "events")
+        .where(pmod(col("user_id"), lit(5)) === 0)
+        .select(col("user_id"), col("ts"), col("event_id"), cents.as("x"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("sx", sum(d38(col("x"))).over(wN).cast(DecimalType(38, 0)))
+        .withColumn("sxx", sum(d38(col("x")) * col("x")).over(wN).cast(DecimalType(38, 0)))
+        .where(col("rn") >= n)
+        .withColumn("ma_cents", col("sx").cast("double") / lit(n.toDouble))
+        .withColumn("sd_cents",
+          sqrt((lit(n) * col("sxx") - col("sx") * col("sx")).cast("double")) / lit(n.toDouble))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("x").cast("double") / lit(100.0)).as("value"),
+          (col("ma_cents") / lit(100.0)).as("ma20"),
+          ((col("ma_cents") + lit(2.0) * col("sd_cents")) / lit(100.0)).as("upper"),
+          ((col("ma_cents") - lit(2.0) * col("sd_cents")) / lit(100.0)).as("lower"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Q102 — temperature-scaled mixing quotas (the multilingual-sampling
+    // law: weight ∝ count^α with α=0.5 rebalances head/tail sources).
+    // sqrt per source is one deterministic IEEE op; everything summed or
+    // ranked is INTEGER (floor(sqrt·10⁶) weights, integer-div quotas) so
+    // no order-sensitive double sum exists on either engine.
+    "q102_temperature_mix" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val weighted = counts.withColumn("w_scaled",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
+      val totals = weighted.agg(
+        sum(col("w_scaled")).as("w_total"), sum(col("n_docs")).as("n_total"))
+      weighted.crossJoin(broadcast(totals))
+        .withColumn("quota",
+          expr("n_total * w_scaled div w_total")) // integer division: exact
+        .select(col("lang"), col("n_docs"), col("w_scaled"), col("quota"),
+          (col("quota").cast("double") / col("n_total").cast("double")).as("mix_frac"))
+        .orderBy(col("lang"))
+    }),
+
+    // Q103 — decile grid per event type (the distribution-drift audit: a
+    // shifted decile row pinpoints WHERE two slices diverge). Exact
+    // interpolated percentile array ⇄ DuckDB quantile_cont list — the
+    // q32 bridge, nine points per group.
+    "q103_decile_drift" -> ((s, dir) => {
+      val ps = array((1 to 9).map(i => lit(i / 10.0)): _*)
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(percentile(col("value"), ps).as("qs"))
+        .select(col("event_type"), posexplode(col("qs")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("decile"),
+          col("col").as("v"))
+        .orderBy(col("event_type"), col("decile"))
+    }),
+
+    // Q104 — exact-recall CONTAINMENT join (directed): how much of doc a
+    // appears inside doc b — the decontamination measure Jaccard misses
+    // when a short benchmark doc hides in a long corpus doc. Prefix-filter
+    // candidates (a's prefix × b's full list), string-exact verify.
+    "q104_containment_join" -> ((s, dir) =>
+      Dedup.containmentJoinPrefixFilter(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2837,6 +2910,62 @@ object SparkEntry {
           |  UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate) FROM orders
           |  UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders
           |) ORDER BY column_name""".stripMargin,
+
+      "q101_bollinger" ->
+        """WITH b AS (SELECT user_id, ts, event_id,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+          |  FROM events WHERE user_id % 5 = 0),
+          |c AS (SELECT user_id, ts, event_id, x,
+          |    row_number() OVER w AS rn,
+          |    CAST(sum(CAST(x AS DECIMAL(38,0))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS sx,
+          |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS sxx
+          |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |f AS (SELECT user_id, ts, event_id, x,
+          |    CAST(sx AS DOUBLE) / 20.0 AS ma_cents,
+          |    sqrt(CAST(20 * sxx - sx * sx AS DOUBLE)) / 20.0 AS sd_cents
+          |  FROM c WHERE rn >= 20)
+          |SELECT user_id, ts, event_id, CAST(x AS DOUBLE) / 100.0 AS value,
+          |  ma_cents / 100.0 AS ma20,
+          |  (ma_cents + 2.0 * sd_cents) / 100.0 AS upper,
+          |  (ma_cents - 2.0 * sd_cents) / 100.0 AS lower
+          |FROM f ORDER BY user_id, ts, event_id""".stripMargin,
+
+      // integer weight ladder floor(sqrt(n)·10⁶): the only IEEE op is one
+      // per-source sqrt; sums and quotas are integer-exact on both engines
+      "q102_temperature_mix" ->
+        """WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+          |w AS (SELECT lang, n_docs,
+          |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_scaled
+          |  FROM counts),
+          |t AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS w_total,
+          |    CAST(sum(n_docs) AS BIGINT) AS n_total FROM w)
+          |SELECT lang, n_docs, w_scaled,
+          |  (n_total * w_scaled) // w_total AS quota,
+          |  CAST((n_total * w_scaled) // w_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS mix_frac
+          |FROM w CROSS JOIN t ORDER BY lang""".stripMargin,
+
+      "q103_decile_drift" ->
+        """WITH a AS (SELECT event_type,
+          |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+          |  FROM events GROUP BY event_type)
+          |SELECT event_type, CAST(i AS BIGINT) AS decile, qs[i] AS v
+          |FROM a CROSS JOIN (SELECT unnest(range(1, 10)) AS i) g
+          |ORDER BY event_type, decile""".stripMargin,
+
+      // directed brute-force containment truth (prefix filter must
+      // reproduce it with exact recall)
+      "q104_containment_join" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na
+          |      FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+          |SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+          |FROM p WHERE CAST(ni AS DOUBLE) / CAST(na AS DOUBLE) >= 0.6
+          |ORDER BY id_a, id_b""".stripMargin,
     )
   }
 }

@@ -1,0 +1,102 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Fused shingle-set hashes: one pass from raw text to the SORTED DISTINCT
+ * array of 60-bit portable hashes of its `shingleN`-word shingles —
+ * the hash-domain image of `wordShingles(text, n)`, replacing the
+ * interpreted split→transform→zip_with→array_distinct chain (measured
+ * ~150 s for 100k docs) with a single codegen'd kernel.
+ *
+ * Same primitives as [[WordShingleMinhash]] (`UTF8String.toLowerCase/
+ * trim/split` — the code paths Spark's own Lower/StringTrim/StringSplit
+ * call), same 60-bit md5 hash as `graft_hash60` digested over word bytes
+ * + 0x20 separators. Texts with fewer than `shingleN` words yield NULL
+ * (the set-formulation drops such documents; callers filter nulls).
+ *
+ * Consumers operate on the hash-set QUOTIENT of the true shingle set.
+ * For candidate generation that is recall-safe by monotonicity: merging
+ * elements can only grow an intersection and shrink a union, so
+ * J_hash ≥ J_string for every pair — any pair passing a Jaccard
+ * threshold on strings also passes it on hashes. Exactness is then
+ * restored by string-level verification of the (tiny) candidate set.
+ */
+case class WordShingleHashes(child: Expression, shingleN: Int)
+  extends UnaryExpression {
+  require(shingleN >= 1, "bad shingle width")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects string, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashesKernel.compute(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val out = ctx.freshName("shh")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.expressions.WordShingleHashesKernel.compute($a, $shingleN);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleHashesKernel {
+  private val whitespace = UTF8String.fromString("\\s+")
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Per-row kernel; called from generated code. Returns the sorted
+    * distinct 60-bit shingle hashes, or null for sub-shingle texts. */
+  def compute(text: UTF8String, shingleN: Int): ArrayData = {
+    val words = text.toLowerCase.trim.split(whitespace, -1)
+    val m = words.length
+    if (m < shingleN) return null
+    val hs = new Array[Long](m - shingleN + 1)
+    val md = md5.get()
+    val space = Array[Byte](0x20)
+    var i = 0
+    while (i <= m - shingleN) {
+      md.reset()
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) md.update(space)
+        md.update(words(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place unique over the sorted hashes
+    var w = 0
+    var r = 0
+    while (r < hs.length) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w))
+  }
+}

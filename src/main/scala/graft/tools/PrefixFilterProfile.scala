@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.wordShingles
+
+/** Stage-level timing of jaccardJoinPrefixFilter at 100k docs — finds
+  * where the wall-clock goes (cold vs warm, checkpoint vs join vs verify). */
+object PrefixFilterProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pf-prof] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val nDocs = 100000L
+    val docs = spark.range(nDocs)
+      .withColumn("seed", when(col("id") % 50 === 0 && col("id") > 0, col("id") - 1)
+        .otherwise(col("id")))
+      .withColumn("n_words", (pmod(hash(col("seed")), lit(40)) + lit(60)).cast("int"))
+      .withColumn("words", transform(sequence(lit(0), col("n_words") - 1),
+        j => concat(lit("w"), pmod(hash(col("seed"), j), lit(1000)))))
+      .select(col("id").as("doc_id"), concat_ws(" ", col("words")).as("text"))
+      .cache()
+    println(s"[pf-prof] docs = ${docs.count()}")
+
+    val t = 0.5
+    val sets = time("stage1 sets checkpoint (wordShingles all docs)") {
+      docs.select(col("doc_id"), wordShingles(col("text"), 3).as("shingles"))
+        .where(size(col("shingles")) > 0)
+        .localCheckpoint(true)
+    }
+    val toks = sets.select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("s"))
+    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = time("stage2 prefix checkpoint (dfreq join + window)") {
+      toks.join(dfreq, "s")
+        .withColumn("pos", row_number().over(wDoc))
+        .where(col("pos") <= col("n") - ceil(lit(t) * col("n")) + 1)
+        .select(col("doc_id"), col("n"), col("s"))
+        .localCheckpoint(true)
+    }
+    val candidates = time("stage3 candidate self-join + distinct count") {
+      val c = prefix.as("x")
+        .join(prefix.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+            col("y.n") * lit(t) <= col("x.n") && col("x.n") * lit(t) <= col("y.n"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct().localCheckpoint(true)
+      println(s"[pf-prof] candidates = ${c.count()}")
+      c
+    }
+    time("stage4 verify join") {
+      val v = candidates
+        .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("ni").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("ni")).cast("double"))
+        .where(col("jaccard") >= t).count()
+      println(s"[pf-prof] verified pairs = $v")
+    }
+    time("full operator warm rep") {
+      val n = graft.operators.Dedup.jaccardJoinPrefixFilter(docs, "doc_id", "text", 3, t).count()
+      println(s"[pf-prof] operator pairs = $n")
+    }
+    spark.stop()
+  }
+}

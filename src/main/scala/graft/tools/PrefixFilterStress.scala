@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.wordShingles
+
+/** Dev drive: the prefix-filter exact-recall join (D6) at 100k documents
+  * — the same planted-near-dup corpus as TextScaleStress (every 50th doc
+  * near-copies its predecessor), so the expected pair set is known AND
+  * the LSH path provides an independent cross-check. Also reports the
+  * candidate-volume reduction the prefix actually buys vs the
+  * all-shared-shingle join (the scale argument in one number). */
+object PrefixFilterStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pf-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    val nDocs = 100000L
+    val docs = spark.range(nDocs)
+      .withColumn("seed", when(col("id") % 50 === 0 && col("id") > 0, col("id") - 1)
+        .otherwise(col("id")))
+      .withColumn("n_words", (pmod(hash(col("seed")), lit(40)) + lit(60)).cast("int"))
+      .withColumn("words", transform(sequence(lit(0), col("n_words") - 1),
+        j => concat(lit("w"), pmod(hash(col("seed"), j), lit(1000)))))
+      .withColumn("tail", when(col("id") % 50 === 0 && col("id") > 0,
+        concat(lit(" zz"), col("id"))).otherwise(lit("")))
+      .select(col("id").as("doc_id"),
+        concat(concat_ws(" ", col("words")), col("tail")).as("text"))
+      .cache()
+    println(s"[pf-stress] docs = ${docs.count()}")
+
+    val pf = time("prefix-filter exact join (100k docs, t=0.5)") {
+      graft.operators.Dedup.jaccardJoinPrefixFilter(docs, "doc_id", "text", 3, 0.5)
+        .cache()
+    }
+    val nPf = pf.count()
+    println(s"[pf-stress] pairs = $nPf (expect ~${nDocs / 50 - 1} planted)")
+
+    val lsh = time("LSH path on the same corpus (cross-check)") {
+      graft.operators.Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+    }
+    val onlyPf = pf.join(lsh, Seq("id_a", "id_b"), "left_anti").count()
+    val onlyLsh = lsh.join(pf, Seq("id_a", "id_b"), "left_anti").count()
+    println(s"[pf-stress] pf-only pairs = $onlyPf (pairs LSH missed), " +
+      s"lsh-only = $onlyLsh (MUST be 0: exact recall is a superset of any LSH recall)")
+
+    // candidate-volume evidence: pairs sharing >= 1 PREFIX shingle vs
+    // pairs sharing >= 1 shingle at all (what an inverted-index join
+    // without the prefix bound would enumerate)
+    val sets = docs
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    val toks = sets.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
+    val anyShared = time("all-shared-shingle candidate count") {
+      toks.as("x").join(toks.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    }
+    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = toks.join(dfreq, "s")
+      .withColumn("pos", row_number().over(wDoc))
+      .where(col("pos") <= col("n") - ceil(lit(0.5) * col("n")) + 1)
+      .select(col("doc_id"), col("n"), col("s"))
+      .localCheckpoint(true)
+    val prefShared = time("prefix-shingle candidate count") {
+      prefix.as("x").join(prefix.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+            col("y.n") * lit(0.5) <= col("x.n") && col("x.n") * lit(0.5) <= col("y.n"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    }
+    val allPairs = nDocs * (nDocs - 1) / 2
+    println(f"[pf-stress] candidates: all-pairs $allPairs%,d -> shared-shingle " +
+      f"$anyShared%,d -> prefix $prefShared%,d " +
+      f"(${100.0 * prefShared / math.max(anyShared, 1)}%.2f%% of shared-shingle)")
+    spark.stop()
+  }
+}

@@ -38,6 +38,9 @@ class PlanAuditSpec extends SparkSpec {
     "q79_rolling_active" -> "single-row broadcast: the max-day span crossJoins onto the (user, day) pairs (1 x P rows, structurally bounded)",
     "q81_basket_pairs" -> "single-row broadcast: the basket total crossJoins onto the pair counts (1 x T^2/2 rows, type domain is structurally bounded)",
     "q83_wau_sketch" -> "single-row broadcast: the max-day span crossJoins onto per-day HLL sketches (1 x D rows, structurally bounded; inherited from the q79 exact side too)",
+    "q97_chi_cells" -> "single-row broadcast: the grand total crossJoins onto the contingency cells (1 x cells rows, category domain is structurally bounded)",
+    "q98_tfidf_keywords" -> "single-row broadcast: the corpus doc count crossJoins onto (doc, token) tf stats (the q47 pattern, 1 x rows, structurally bounded)",
+    "q102_temperature_mix" -> "single-row broadcast: the (w_total, n_total) constants crossJoin onto per-group weights (1 x groups rows, structurally bounded)",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {

@@ -60,6 +60,73 @@ class PrefixFilterSpec extends SparkSpec {
     }
   }
 
+  test("WordShingleHashes kernel == sorted distinct portableHash of wordShingles") {
+    import graft.functions.TextFunctions.{portableHash, wordShingles}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val corpus = docs.unionByName(Seq(
+      (10L, "a b c a b c a b c", "c"),           // duplicate shingles collapse
+      (11L, "  Mixed   CASE  wS   here  ok ", "c"), // normalization path
+    ).toDF("doc_id", "text", "source"))
+    val kernel = corpus.select(col("doc_id"),
+        Bridge.column(graft.functions.expressions.WordShingleHashes(
+          Bridge.expression(col("text")), 3)).as("hs"))
+      .where(col("hs").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val relational = corpus.select(col("doc_id"),
+        array_sort(array_distinct(transform(
+          wordShingles(col("text"), 3), s => portableHash(s)))).as("hs"))
+      .where(size(col("hs")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel == relational)
+  }
+
+  test("containment join finds short-doc-inside-long-doc pairs Jaccard misses") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),                       // 3 shingles
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"), // superset
+      (3L, "completely different words entirely here now"),
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentJoinPrefixFilter(corpus, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // all 3 of doc 1's shingles appear in doc 2 -> containment(1 in 2) = 1.0;
+    // the reverse direction is 3/10 and must NOT appear at t=0.9
+    assert(cont == Seq((1L, 2L, 1.0)))
+    // Jaccard at the same threshold finds nothing (union dilution)
+    assert(Dedup.jaccardJoinPrefixFilter(corpus, "doc_id", "text", 3, 0.9).isEmpty)
+  }
+
+  test("containment exact recall vs brute force on the seeded corpus") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val base = (0 until 40).map { i =>
+      val words = (0 until 12 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }
+    // plants: doc 1000+i = a 6-word slice of doc i plus noise suffix --
+    // contained in doc i at high containment, low Jaccard
+    val plants = (0 until 8).map { i =>
+      (1000L + i, base(i)._2.split(" ").take(6).mkString(" "))
+    }
+    val corpus = (base ++ plants).toDF("doc_id", "text")
+    val t = 0.7
+    import spark.implicits.newProductEncoder
+    val brute = {
+      val sets = corpus.select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+      sets.as("x").join(sets.as("y"), col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(col("x.sh")).cast("double")).as("c"))
+        .where(col("c") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val pf = Dedup.containmentJoinPrefixFilter(corpus, "doc_id", "text", 3, t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pf == brute)
+    assert(brute.nonEmpty) // the planted slices must actually surface
+  }
+
   test("plan has no nested-loop or cartesian pair enumeration") {
     val plan = Dedup.jaccardJoinPrefixFilter(docs, "doc_id", "text", 3, 0.5)
       .queryExecution.executedPlan.toString
