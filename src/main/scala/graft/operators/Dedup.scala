@@ -395,11 +395,15 @@ object Dedup {
     // Candidate generation runs entirely in the 60-bit HASH image of the
     // shingle sets (fused kernel: one codegen pass per doc, 8-byte join
     // keys — the interpreted string-shingle chain measured 150 s / 100k
-    // docs, the kernel low single digits). Recall-safe by monotonicity:
-    // merging elements under a quotient map can only grow intersections
-    // and shrink unions, so J_hash ≥ J_string for every pair — every pair
-    // at threshold t on strings is also at t on hashes. String-level
-    // verification restores exactness on the surviving candidates.
+    // docs, the kernel low single digits). The hash domain equals the
+    // string domain whenever the hash is injective on the corpus's
+    // shingles; a collision is the ONLY divergence, and the expected
+    // corpus-wide collision count is m²/2^61 for m distinct shingles
+    // (~3e-5 at 100k docs; reaches one expected collision only near
+    // m ≈ 10^9). A collision can add false candidates (harmless — string
+    // verify removes them) or, vanishingly, merge two shingles inside an
+    // intersection and understate J by one element. The recall==brute
+    // force spec laws pin the behavior empirically.
     val hsets = docs
       .select(col(idCol),
         Bridge.column(graft.functions.expressions.WordShingleHashes(
@@ -433,17 +437,28 @@ object Dedup {
           col("x.n") * lit(threshold) <= col("y.n"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
+    // Two-stage verify. Stage 1 on the HASH arrays already in hand —
+    // array_intersect over longs, no text touched — discards the
+    // (possibly huge, on dense-vocabulary corpora) mass of
+    // prefix-colliding non-duplicates; absent a 60-bit collision it keeps
+    // exactly the true pairs. Stage 2 string-verifies the few survivors
+    // exactly — the interpreted shingle chain runs only for docs in a
+    // surviving pair.
+    val hashVerified = candidates
+      .join(hsets.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hsets.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("hi", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .where(col("hi").cast("double") >=
+        lit(threshold) * (size(col("hs_a")) + size(col("hs_b")) - col("hi")).cast("double"))
+      .select(col("id_a"), col("id_b"))
       .localCheckpoint(true) // the candidate-id semi-join + verify both read it
-    // Exact verify on STRING shingles, built only for candidate docs
-    // (semi-join reduction — the LSH path's trick): the expensive
-    // interpreted shingle chain runs for the tiny candidate fraction.
-    val candIds = candidates.select(col("id_a").as(idCol))
-      .unionByName(candidates.select(col("id_b").as(idCol)))
+    val candIds = hashVerified.select(col("id_a").as(idCol))
+      .unionByName(hashVerified.select(col("id_b").as(idCol)))
       .distinct()
     val candSets = docs.join(candIds, idCol)
       .select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
       .localCheckpoint(true)
-    verifyJaccard(candidates, candSets, idCol, threshold)
+    verifyJaccard(hashVerified, candSets, idCol, threshold)
   }
 
   /**
@@ -460,9 +475,10 @@ object Dedup {
    * cannot reach the bound. Candidates therefore join a's PREFIX against
    * b's FULL token list (asymmetric, unlike the Jaccard variant), plus
    * the size filter |b| ≥ ⌈t·|a|⌉. Candidate generation runs in the
-   * 60-bit hash domain (recall-safe: quotients only merge elements, which
-   * cannot shrink an intersection), verification on exact string shingles
-   * of candidate docs only.
+   * 60-bit hash domain (same collision caveat as
+   * [[jaccardJoinPrefixFilter]]: divergence needs a 60-bit collision,
+   * expected count m²/2^61 corpus-wide), verification on exact string
+   * shingles of candidate docs only.
    */
   def containmentJoinPrefixFilter(
       docs: DataFrame, idCol: String, textCol: String,
@@ -493,14 +509,23 @@ object Dedup {
         col("n_b") >= ceil(lit(threshold) * col("n_a")))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // Two-stage verify (see jaccardJoinPrefixFilter): hash-domain
+    // containment first (identical to string containment absent a 60-bit
+    // collision), string-exact on the survivors only.
+    val hashVerified = candidates
+      .join(hsets.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hsets.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
+      .where(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") >=
+        lit(threshold) * size(col("hs_a")).cast("double"))
+      .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
-    val candIds = candidates.select(col("id_a").as(idCol))
-      .unionByName(candidates.select(col("id_b").as(idCol)))
+    val candIds = hashVerified.select(col("id_a").as(idCol))
+      .unionByName(hashVerified.select(col("id_b").as(idCol)))
       .distinct()
     val candSets = docs.join(candIds, idCol)
       .select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
       .localCheckpoint(true)
-    candidates
+    hashVerified
       .join(candSets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(candSets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
