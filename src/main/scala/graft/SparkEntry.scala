@@ -1321,27 +1321,31 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // Q96 — max drawdown per user over the cumulative value series:
-    // running sum → running peak → max(peak − cum), ALL in exact integer
-    // cents (the only IEEE op is the final cents→value divide). The
-    // classic risk metric over the tick-lake cumulative P&L shape.
-    "q96_max_drawdown" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cents = (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long")
-      t(s, dir, "events")
-        .where(pmod(col("user_id"), lit(3)) === 0)
-        .select(col("user_id"), col("ts"), col("event_id"), cents.as("v"))
-        .withColumn("cum", sum(col("v")).over(w))
-        .withColumn("peak", max(col("cum")).over(w))
-        .groupBy(col("user_id"))
+    // Q96 — conversion latency per signup cohort: median/p95 seconds from
+    // a user's first signup to their first purchase at-or-after it (the
+    // exact percentile bridge over integer-second latencies; unconverted
+    // users counted but excluded from the quantiles, like both engines'
+    // null-skipping quantile semantics).
+    "q96_time_to_convert" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val su = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val pu = e.where(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .where(col("ts") >= col("signup_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase_ts"))
+      su.join(pu, Seq("user_id"), "left")
+        .withColumn("cohort_week", date_trunc("week", col("signup_ts")).cast("date"))
+        .withColumn("latency_s",
+          ((unix_micros(col("first_purchase_ts").cast(TimestampType)) -
+            unix_micros(col("signup_ts").cast(TimestampType))) / lit(1000000L)).cast("long"))
+        .groupBy(col("cohort_week"))
         .agg(
-          count(lit(1)).as("n_events"),
-          (sum(col("v")).cast("double") / lit(100.0)).as("final_value"),
-          (max(col("cum")).cast("double") / lit(100.0)).as("peak_value"),
-          (max(col("peak") - col("cum")).cast("double") / lit(100.0)).as("max_drawdown"))
-        .orderBy(col("user_id"))
+          count(lit(1)).as("n_signups"),
+          count(col("latency_s")).as("n_converted"),
+          percentile(col("latency_s"), lit(0.5)).as("p50_latency_s"),
+          percentile(col("latency_s"), lit(0.95)).as("p95_latency_s"))
+        .orderBy(col("cohort_week"))
     }),
 
     // Q97 — contingency table with chi-square contribution per cell
@@ -1426,33 +1430,19 @@ object SparkEntry {
       graft.operators.Profile.tableProfile(t(s, dir, "orders"))
         .orderBy(col("column_name"))),
 
-    // Q101 — Bollinger bands: trailing-20 moving average ± 2σ per user.
-    // Window sums Σx and Σx² in exact integer cents, σ from the
-    // (n·Σx² − (Σx)²) identity, one mirrored IEEE tail (÷, sqrt) at the
-    // edge. Full windows only, so every row's band is a 20-sample fact.
-    "q101_bollinger" -> ((s, dir) => {
+    // Q101 — intraday (hour-of-day) activity profile per event type:
+    // count, exact-decimal value sum, and each hour's share of the type's
+    // traffic — the intraday seasonality twin of q85's weekday rollup.
+    "q101_intraday_profile" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val n = 20
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val wN = w.rowsBetween(-(n - 1), Window.currentRow)
-      val cents = (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long")
-      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
       t(s, dir, "events")
-        .where(pmod(col("user_id"), lit(5)) === 0)
-        .select(col("user_id"), col("ts"), col("event_id"), cents.as("x"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("sx", sum(d38(col("x"))).over(wN).cast(DecimalType(38, 0)))
-        .withColumn("sxx", sum(d38(col("x")) * col("x")).over(wN).cast(DecimalType(38, 0)))
-        .where(col("rn") >= n)
-        .withColumn("ma_cents", col("sx").cast("double") / lit(n.toDouble))
-        .withColumn("sd_cents",
-          sqrt((lit(n) * col("sxx") - col("sx") * col("sx")).cast("double")) / lit(n.toDouble))
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("x").cast("double") / lit(100.0)).as("value"),
-          (col("ma_cents") / lit(100.0)).as("ma20"),
-          ((col("ma_cents") + lit(2.0) * col("sd_cents")) / lit(100.0)).as("upper"),
-          ((col("ma_cents") - lit(2.0) * col("sd_cents")) / lit(100.0)).as("lower"))
-        .orderBy(col("user_id"), col("ts"), col("event_id"))
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+        .withColumn("share",
+          col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("event_type"))).cast("double"))
+        .orderBy(col("event_type"), col("hod"))
     }),
 
     // Q102 — temperature-scaled mixing quotas (the multilingual-sampling
@@ -1498,6 +1488,56 @@ object SparkEntry {
       Dedup.containmentJoinPrefixFilter(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Q105 — benchmark→corpus decontamination report: src0 plays the
+    // benchmark; per corpus source, how many docs CONTAIN a benchmark doc
+    // (exact-recall asymmetric containment — q54's bloom screen is the
+    // probabilistic prefilter twin, this is the audit-grade verdict).
+    "q105_containment_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.benchmarkContainment(
+        docs.where(col("source") === "src0"),
+        docs.where(col("source") =!= "src0"),
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+      val perDoc = pairs.groupBy(col("id_b"))
+        .agg(count(lit(1)).as("n_bench_hits"), max(col("containment")).as("max_cont"))
+      t(s, dir, "documents").where(col("source") =!= "src0")
+        .join(perDoc, col("doc_id") === col("id_b"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_bench_hits").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+          sum(coalesce(col("n_bench_hits"), lit(0L))).as("n_pairs"),
+          max(coalesce(col("max_cont"), lit(0.0))).as("max_containment"))
+        .orderBy(col("source"))
+    }),
+
+    // Q106 — bar-over-bar gap census: hourly OHLC bars (the q03 flagship
+    // machinery) then each bar's open vs the PREVIOUS bar's close — gap
+    // size in exact integer cents, per-user census of count/extremes/
+    // large-gap occurrences. The bar-level continuation analysis tick
+    // deltas (q36) don't see.
+    "q106_bar_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bars = Bars.ohlcv(
+        t(s, dir, "events").where(pmod(col("user_id"), lit(3)) === 0),
+        Seq(col("user_id")),
+        date_trunc("hour", col("ts")).cast(TimestampNTZType),
+        col("ts"), col("value"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("bar_start"))
+      val cents = (c: Column) => (c.cast(DecimalType(18, 2)) * lit(100)).cast("long")
+      bars
+        .withColumn("prev_close", lag(col("close"), 1).over(w))
+        .where(col("prev_close").isNotNull)
+        .withColumn("gap", cents(col("open")) - cents(col("prev_close")))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          (max(col("gap")).cast("double") / lit(100.0)).as("max_gap_up"),
+          (min(col("gap")).cast("double") / lit(100.0)).as("max_gap_down"),
+          sum(when(abs(col("gap")) >= lit(5000L), 1L).otherwise(0L)).as("n_large_gaps"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2836,23 +2876,22 @@ object SparkEntry {
           |  ((CAST(sy AS DOUBLE) - slope_cents * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0 AS intercept
           |FROM f ORDER BY event_type""".stripMargin,
 
-      "q96_max_drawdown" ->
-        """WITH b AS (SELECT user_id, ts, event_id,
-          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-          |  FROM events WHERE user_id % 3 = 0),
-          |cu AS (SELECT user_id, ts, event_id, v,
-          |    sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-          |  FROM b),
-          |c AS (SELECT user_id, v, cum,
-          |    max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
-          |  FROM cu)
-          |SELECT user_id, count(*) AS n_events,
-          |  CAST(sum(v) AS DOUBLE) / 100.0 AS final_value,
-          |  CAST(max(cum) AS DOUBLE) / 100.0 AS peak_value,
-          |  CAST(max(peak - cum) AS DOUBLE) / 100.0 AS max_drawdown
-          |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q96_time_to_convert" ->
+        """WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+          |  WHERE event_type = 'signup' GROUP BY user_id),
+          |pu AS (SELECT e.user_id, min(e.ts) AS first_purchase_ts
+          |  FROM events e JOIN su USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+          |  GROUP BY e.user_id),
+          |lat AS (SELECT su.user_id,
+          |    CAST(date_trunc('week', su.signup_ts) AS DATE) AS cohort_week,
+          |    CAST((epoch_us(pu.first_purchase_ts) - epoch_us(su.signup_ts)) // 1000000 AS BIGINT) AS latency_s
+          |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id)
+          |SELECT cohort_week, count(*) AS n_signups,
+          |  count(latency_s) AS n_converted,
+          |  quantile_cont(latency_s, 0.5) AS p50_latency_s,
+          |  quantile_cont(latency_s, 0.95) AS p95_latency_s
+          |FROM lat GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
 
       "q97_chi_cells" ->
         """WITH cells AS (SELECT event_type, user_id % 4 AS bucket, count(*) AS observed
@@ -2911,26 +2950,13 @@ object SparkEntry {
           |  UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders
           |) ORDER BY column_name""".stripMargin,
 
-      "q101_bollinger" ->
-        """WITH b AS (SELECT user_id, ts, event_id,
-          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-          |  FROM events WHERE user_id % 5 = 0),
-          |c AS (SELECT user_id, ts, event_id, x,
-          |    row_number() OVER w AS rn,
-          |    CAST(sum(CAST(x AS DECIMAL(38,0))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS sx,
-          |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS sxx
-          |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-          |f AS (SELECT user_id, ts, event_id, x,
-          |    CAST(sx AS DOUBLE) / 20.0 AS ma_cents,
-          |    sqrt(CAST(20 * sxx - sx * sx AS DOUBLE)) / 20.0 AS sd_cents
-          |  FROM c WHERE rn >= 20)
-          |SELECT user_id, ts, event_id, CAST(x AS DOUBLE) / 100.0 AS value,
-          |  ma_cents / 100.0 AS ma20,
-          |  (ma_cents + 2.0 * sd_cents) / 100.0 AS upper,
-          |  (ma_cents - 2.0 * sd_cents) / 100.0 AS lower
-          |FROM f ORDER BY user_id, ts, event_id""".stripMargin,
+      "q101_intraday_profile" ->
+        """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+          |  CAST(count(*) AS DOUBLE) /
+          |    CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+          |FROM events GROUP BY event_type, hour(ts)
+          |ORDER BY event_type, hod""".stripMargin,
 
       // integer weight ladder floor(sqrt(n)·10⁶): the only IEEE op is one
       // per-source sqrt; sums and quotas are integer-exact on both engines
@@ -2966,6 +2992,42 @@ object SparkEntry {
           |SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(na AS DOUBLE) AS containment
           |FROM p WHERE CAST(ni AS DOUBLE) / CAST(na AS DOUBLE) >= 0.6
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q105_containment_report" ->
+        """WITH w AS (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |s AS (SELECT doc_id, source, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |bench AS (SELECT doc_id, sh FROM s WHERE source = 'src0' AND len(sh) > 0),
+          |corp AS (SELECT doc_id, source, sh FROM s WHERE source <> 'src0' AND len(sh) > 0),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(a.sh) AS DOUBLE) AS c
+          |      FROM bench a JOIN corp b ON true),
+          |hits AS (SELECT id_b, count(*) AS n_bench_hits, max(c) AS max_cont
+          |      FROM p WHERE c >= 0.5 GROUP BY id_b)
+          |SELECT d.source, count(*) AS n_docs,
+          |  CAST(count(h.id_b) AS BIGINT) AS n_contaminated,
+          |  CAST(COALESCE(sum(h.n_bench_hits), 0) AS BIGINT) AS n_pairs,
+          |  max(COALESCE(h.max_cont, 0.0)) AS max_containment
+          |FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
+          |LEFT JOIN hits h ON d.doc_id = h.id_b
+          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+      "q106_bar_gaps" ->
+        """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar_start,
+          |    arg_min(value, ts) AS open, arg_max(value, ts) AS close
+          |  FROM events WHERE user_id % 3 = 0 GROUP BY 1, 2),
+          |g AS (SELECT user_id, bar_start, open,
+          |    lag(close) OVER (PARTITION BY user_id ORDER BY bar_start) AS prev_close
+          |  FROM bars),
+          |d AS (SELECT user_id,
+          |    CAST(CAST(open AS DECIMAL(18,2)) * 100 AS BIGINT) -
+          |      CAST(CAST(prev_close AS DECIMAL(18,2)) * 100 AS BIGINT) AS gap
+          |  FROM g WHERE prev_close IS NOT NULL)
+          |SELECT user_id, count(*) AS n_gaps,
+          |  CAST(max(gap) AS DOUBLE) / 100.0 AS max_gap_up,
+          |  CAST(min(gap) AS DOUBLE) / 100.0 AS max_gap_down,
+          |  CAST(count(*) FILTER (abs(gap) >= 5000) AS BIGINT) AS n_large_gaps
+          |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     )
   }
 }

@@ -534,4 +534,74 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /**
+   * Asymmetric benchmark→corpus containment join — the production
+   * decontamination shape: directed pairs (a ∈ `bench`, b ∈ `corpus`)
+   * with `|sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold`. Same prefix law and
+   * two-stage verify as [[containmentJoinPrefixFilter]], but prefixes are
+   * built ONLY for the (small) benchmark side and probe the corpus's
+   * full inverted list — candidate volume scales with |bench|·selectivity,
+   * not |corpus|². Document frequency for the global order comes from the
+   * corpus side (benchmark shingles absent from the corpus get df 0 —
+   * rarest; they cannot match anyway, ordering only needs totality).
+   *
+   * Output: (bench_id, corpus_id, containment). Id columns are read from
+   * `idCol` in each frame; the two frames may overlap in ids — callers
+   * disambiguate by construction (e.g. disjoint id spaces or source tags).
+   */
+  def benchmarkContainment(
+      bench: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(threshold > 0 && threshold <= 1,
+      "containment prefix filtering requires 0 < threshold <= 1")
+    def hashSets(df: DataFrame): DataFrame = df
+      .select(col(idCol),
+        Bridge.column(graft.functions.expressions.WordShingleHashes(
+          Bridge.expression(col(textCol)), shingleN)).as("hs"))
+      .where(col("hs").isNotNull)
+      .localCheckpoint(true)
+    val hB = hashSets(bench)
+    val hC = hashSets(corpus)
+    val toksC = hC.select(
+        col(idCol).as("id_b"), size(col("hs")).as("n_b"), explode(col("hs")).as("s"))
+      .localCheckpoint(true) // probe side + df side both read it
+    val dfreq = toksC.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val toksB = hB.select(
+      col(idCol).as("id_a"), size(col("hs")).as("n_a"), explode(col("hs")).as("s"))
+    val wDoc = Window.partitionBy(col("id_a")).orderBy(col("df"), col("s"))
+    val prefixB = toksB.join(dfreq, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("pos", row_number().over(wDoc))
+      .where(col("pos") <= col("n_a") - ceil(lit(threshold) * col("n_a")) + 1)
+      .select(col("id_a"), col("n_a"), col("s"))
+    val candidates = prefixB
+      .join(toksC, "s")
+      .where(col("n_b") >= ceil(lit(threshold) * col("n_a")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val hashVerified = candidates
+      .join(hB.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hC.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
+      .where(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") >=
+        lit(threshold) * size(col("hs_a")).cast("double"))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val setsA = bench
+      .join(hashVerified.select(col("id_a").as(idCol)).distinct(), idCol)
+      .select(col(idCol).as("id_a"), wordShingles(col(textCol), shingleN).as("sh_a"))
+    val setsB = corpus
+      .join(hashVerified.select(col("id_b").as(idCol)).distinct(), idCol)
+      .select(col(idCol).as("id_b"), wordShingles(col(textCol), shingleN).as("sh_b"))
+    hashVerified
+      .join(setsA, "id_a")
+      .join(setsB, "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment",
+        col("n_inter").cast("double") / size(col("sh_a")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

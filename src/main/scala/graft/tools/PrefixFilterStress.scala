@@ -84,6 +84,22 @@ object PrefixFilterStress {
     println(f"[pf-stress] candidates: all-pairs $allPairs%,d -> shared-shingle " +
       f"$anyShared%,d -> prefix $prefShared%,d " +
       f"(${100.0 * prefShared / math.max(anyShared, 1)}%.2f%% of shared-shingle)")
+
+    // Production decontamination shape: docs 0..999 play the benchmark,
+    // the corpus is docs 1000..100k plus exact re-issues of benchmark
+    // docs 0..199 under ids 1000000+i — 200 planted containment-1.0 hits
+    // with known identities, to be recovered at t=0.8.
+    val bench = docs.where(col("doc_id") < 1000L)
+    val replant = docs.where(col("doc_id") < 200L)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") >= 1000L).unionByName(replant)
+    val hits = time("benchmark containment (1k bench vs 99.2k corpus, t=0.8)") {
+      graft.operators.Dedup.benchmarkContainment(
+        bench, corpus, "doc_id", "text", 3, 0.8).cache()
+    }
+    val nHits = hits.count()
+    val planted = hits.where(col("id_b") >= 1000000L && col("id_b") - 1000000L === col("id_a")).count()
+    println(s"[pf-stress] containment hits = $nHits, planted recovered = $planted / 200")
     spark.stop()
   }
 }

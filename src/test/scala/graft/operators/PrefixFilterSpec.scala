@@ -125,6 +125,15 @@ class PrefixFilterSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(pf == brute)
     assert(brute.nonEmpty) // the planted slices must actually surface
+
+    // the asymmetric benchmark→corpus form must agree with the symmetric
+    // join restricted to (bench-id, corpus-id) pairs
+    val bench = corpus.where(col("doc_id") >= 1000L)
+    val corp = corpus.where(col("doc_id") < 1000L)
+    val ab = Dedup.benchmarkContainment(bench, corp, "doc_id", "text", 3, t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ab == brute.filter(p => p._1 >= 1000L && p._2 < 1000L))
+    assert(ab.nonEmpty)
   }
 
   test("plan has no nested-loop or cartesian pair enumeration") {
