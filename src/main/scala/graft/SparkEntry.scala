@@ -1194,9 +1194,12 @@ object SparkEntry {
     // dashboard a mixing stage reads
     "q90_source_overlap" -> ((s, dir) => {
       import graft.functions.TextFunctions.wordShingles
+      // three consumers (per-source counts + both self-join sides) —
+      // checkpoint or the shingle explode+distinct runs for each
       val sh = t(s, dir, "documents")
         .select(col("source"), explode(wordShingles(col("text"), 3)).as("sh"))
         .distinct()
+        .localCheckpoint(true)
       val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       sh.as("x").join(sh.as("y"),
           col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
