@@ -30,12 +30,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.activate(spark) // custom functions + optimizer rule
 
     val warmDir = {
       val tiny = "/root/testdata/sf0.001"
       if (new java.io.File(tiny).isDirectory) tiny else sfDir
     }
+    // SPARK_GRAFT_ONLY=q94,q104 restricts the run (targeted re-measure);
+    // prefix match so "q94" hits "q94_prefix_filter_join".
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(p => n.startsWith(p))))
     names.foreach { name =>
       try materialize(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => () }

@@ -18,8 +18,12 @@ import graft.functions.expressions.{CharGramSketch, HyperplaneBuckets, LongArray
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.functions
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    // §2.10 optimizer depth: the size(array_intersect) peephole — see
+    // IntersectCountRewrite's soundness gates
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -101,4 +105,14 @@ object GraftExtensions {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+
+  /** Full activation for an already-running session: the SQL functions
+    * plus the optimizer rule (via `experimental.extraOptimizations`, the
+    * runtime twin of `injectOptimizerRule`). Idempotent. */
+  def activate(spark: SparkSession): Unit = {
+    register(spark)
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.IntersectCountRewrite))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.IntersectCountRewrite
+  }
 }

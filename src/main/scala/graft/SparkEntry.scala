@@ -1461,6 +1461,13 @@ object SparkEntry {
       val totals = weighted.agg(
         sum(col("w_scaled")).as("w_total"), sum(col("n_docs")).as("n_total"))
       weighted.crossJoin(broadcast(totals))
+        // BIGINT product bound (documented, not widened): n_total·w_scaled
+        // ≈ n^1.5·10⁶ wraps int64 near n ≈ 4e8 docs — fine for any corpus
+        // this mixes (quotas are per-LANG aggregates, not per-doc). Widening
+        // is NOT cross-engine-exact: DuckDB's DECIMAL `//` rounds the
+        // quotient to scale 0 before flooring (86→87 observed) and Spark's
+        // decimal div rounds at scale 6 before truncating, so the two
+        // disagree with each other AND with true integer division.
         .withColumn("quota",
           expr("n_total * w_scaled div w_total")) // integer division: exact
         .select(col("lang"), col("n_docs"), col("w_scaled"), col("quota"),
@@ -1540,6 +1547,30 @@ object SparkEntry {
           (min(col("gap")).cast("double") / lit(100.0)).as("max_gap_down"),
           sum(when(abs(col("gap")) >= lit(5000L), 1L).otherwise(0L)).as("n_large_gaps"))
         .orderBy(col("user_id"))
+    }),
+
+    // Q107 — REAL image decode through javax.imageio (M1 de-stubbed): each
+    // doc_id seeds a deterministic 8×8 RGB pattern, encoded to a genuine
+    // compressed PNG and decoded back with ImageIO inside mapPartitions.
+    // The oracle recomputes the per-channel pixel sums in closed form —
+    // PNG is lossless, so ONLY a real decode reproduces them. Per-lang
+    // rollup keeps the output bounded at any sf.
+    "q107_image_decode" -> ((s, dir) => {
+      implicit val sp = s
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      val stats = Multimodal.decodeImageStats(Multimodal.encodePng(ids)).toDF()
+      t(s, dir, "documents")
+        .join(stats, col("doc_id") === col("media_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_decoded"),
+          sum(col("width").cast("long") * col("height")).as("total_pixels"),
+          sum(col("sum_r")).as("sum_r"),
+          sum(col("sum_g")).as("sum_g"),
+          sum(col("sum_b")).as("sum_b"))
+        .orderBy(col("lang"))
     }),
   )
 
@@ -2490,7 +2521,7 @@ object SparkEntry {
           |pd AS (SELECT a.cid, i AS dim, CAST(sum(a.v[i+1]) AS BIGINT) AS sum_q
           |  FROM a CROSS JOIN range(64) t(i) GROUP BY a.cid, i)
           |SELECT pd.cid, CAST(pd.dim AS BIGINT) AS dim, pc.n_assigned, pd.sum_q,
-          |  CAST(pd.sum_q AS DOUBLE) / CAST(pc.n_assigned AS DOUBLE) / 1000000.0 AS c_new,
+          |  round(CAST(pd.sum_q AS DOUBLE) / CAST(pc.n_assigned AS DOUBLE) / 1000000.0, 9) AS c_new,
           |  pc.inertia
           |FROM pd JOIN pc USING (cid) ORDER BY pd.cid, pd.dim""".stripMargin,
 
@@ -3031,6 +3062,26 @@ object SparkEntry {
           |  CAST(min(gap) AS DOUBLE) / 100.0 AS max_gap_down,
           |  CAST(count(*) FILTER (abs(gap) >= 5000) AS BIGINT) AS n_large_gaps
           |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // replays Q107's closed-form pattern sums: channel c of pixel (x,y)
+      // for seed doc_id is (doc_id*31 + x*7 + y*13 + c*97) % 256 — PNG is
+      // lossless, so the Spark side's REAL ImageIO decode must reproduce
+      // these integers exactly
+      "q107_image_decode" ->
+        """WITH px AS (SELECT x.r AS x, y.r AS y
+          |    FROM range(8) x(r) CROSS JOIN range(8) y(r)),
+          |per AS (SELECT d.doc_id, d.lang,
+          |    CAST(sum((d.doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sr,
+          |    CAST(sum((d.doc_id*31 + x*7 + y*13 + 97) % 256) AS BIGINT) AS sg,
+          |    CAST(sum((d.doc_id*31 + x*7 + y*13 + 194) % 256) AS BIGINT) AS sb
+          |  FROM documents d CROSS JOIN px GROUP BY d.doc_id, d.lang)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_images,
+          |  CAST(count(*) AS BIGINT) AS n_decoded,
+          |  CAST(count(*) * 64 AS BIGINT) AS total_pixels,
+          |  CAST(sum(sr) AS BIGINT) AS sum_r,
+          |  CAST(sum(sg) AS BIGINT) AS sum_g,
+          |  CAST(sum(sb) AS BIGINT) AS sum_b
+          |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     )
   }
 }

@@ -91,3 +91,44 @@ class RateLimiter(
     windows.map(w => w.name -> prune(w, now).size).toMap
   }
 }
+
+/**
+ * Per-ACCOUNT rate limiting (multi-account isolation): the reference keys
+ * every limiter window by the account identity (reference:
+ * ingestion/infrastructure/src/rate_limiting/limiter.rs:145-150 — the
+ * Redis key embeds the account — with the one-worker-per-account model in
+ * docs/…IDD….md:244), so two accounts never share a window budget. This
+ * registry reproduces that law in-process: one independent [[RateLimiter]]
+ * per account string, created on first use, all sharing the same window
+ * configuration and clock.
+ *
+ * Thread-safe: the registry is a ConcurrentHashMap (computeIfAbsent is
+ * atomic); each per-account limiter keeps its own `synchronized` admit.
+ */
+class AccountRateLimiter(
+    windows: Seq[RateLimiter.WindowConfig] = RateLimiter.ReferenceWindows,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private val limiters =
+    new java.util.concurrent.ConcurrentHashMap[String, RateLimiter]()
+
+  /** The account's own limiter (created on first use). */
+  def forAccount(account: String): RateLimiter =
+    limiters.computeIfAbsent(account, _ => new RateLimiter(windows, clock))
+
+  /** One atomic check-then-admit against `account`'s windows only. */
+  def tryAcquire(account: String): Boolean = forAccount(account).tryAcquire()
+
+  /** Wait until `account`'s windows all admit (0 if admissible now). */
+  def waitTimeMs(account: String): Long = forAccount(account).waitTimeMs()
+
+  /** Blocking acquire with the retry-poll loop, scoped to `account`. */
+  def acquire(account: String, maxWaitMs: Long): Boolean =
+    forAccount(account).acquire(maxWaitMs)
+
+  /** Accounts seen so far (diagnostics). */
+  def accounts(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    limiters.keySet().asScala.toSet
+  }
+}

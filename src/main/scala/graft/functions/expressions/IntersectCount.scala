@@ -1,0 +1,80 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+
+/**
+ * Fused `size(array_intersect(a, b))`: the count of distinct elements of
+ * `a` present in `b` (null counted once when present in both — exactly
+ * SQL ArrayIntersect semantics) WITHOUT materializing the intersection
+ * array. Spark's built-in pair evaluates ArrayIntersect fully — hash set,
+ * result buffer, GenericArrayData — then takes its length and throws the
+ * array away; every verify stage of the dedup/containment family runs
+ * that pattern per candidate pair. This expression keeps the hash probes
+ * and drops the allocation.
+ *
+ * Element types are restricted to bigint/string — the engine's candidate
+ * domains (60-bit shingle hashes, shingle strings) — because Java-equality
+ * set semantics coincide with SQL set semantics there; float/double would
+ * need NaN/-0.0 normalization and are left to the built-in.
+ *
+ * Installed by [[graft.plans.IntersectCountRewrite]], never written by
+ * hand — queries keep the declarative `size(array_intersect(...))` form
+ * and the optimizer swaps this in.
+ */
+case class IntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+        if lt == rt && (lt == LongType || lt == StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_intersect_count expects two array<bigint> or two array<string>, " +
+          s"got ${l.simpleString(5)} / ${r.simpleString(5)}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_intersect_count"
+
+  private lazy val elementType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    IntersectCountKernel.count(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], elementType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val etRef = ctx.addReferenceObj("elemType", elementType,
+      classOf[DataType].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"""${ev.value} = graft.functions.expressions.IntersectCountKernel
+         |  .count($l, $r, $etRef);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCountKernel {
+
+  /** Per-row kernel; called from generated code. Distinct-common-element
+    * count with ArrayIntersect's null law (null ∈ result iff null ∈ both). */
+  def count(l: ArrayData, r: ArrayData, et: DataType): Int = {
+    val rs = new java.util.HashSet[Any]()
+    var rHasNull = false
+    r.foreach(et, (_, v) => if (v == null) rHasNull = true else rs.add(v))
+    val seen = new java.util.HashSet[Any]()
+    var c = 0
+    var nullCounted = false
+    l.foreach(et, (_, v) =>
+      if (v == null) {
+        if (rHasNull && !nullCounted) { c += 1; nullCounted = true }
+      } else if (rs.contains(v) && seen.add(v)) c += 1)
+    c
+  }
+}

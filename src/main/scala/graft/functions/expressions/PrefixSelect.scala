@@ -1,0 +1,114 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/**
+ * Per-document ppjoin prefix selection as a single codegen kernel: from a
+ * document's sorted-distinct shingle-hash array (the [[WordShingleHashes]]
+ * image), emit the `n − ⌈t·n⌉ + 1` elements that come FIRST in the global
+ * rarest-first order `(df(s), s)` — the document's prefix for an
+ * exact-recall set-similarity join.
+ *
+ * This replaces the relational formulation (explode → join the document-
+ * frequency table → per-doc `row_number` window → filter), whose window
+ * shuffled and sorted EVERY document's full token list even though ~94%
+ * of documents never produce a candidate. Here prefix selection is a
+ * narrow per-row pass: no explode, no df join, no window shuffle.
+ *
+ * The document-frequency order ships with the plan as two parallel sorted
+ * arrays (`hotS` ascending, `hotDf(i) = df(hotS(i))`) holding only the
+ * `PrefixSelect.MaxHot` most frequent shingles; shingles outside the table
+ * read df 0. Correctness does not depend on df at all — the prefix
+ * pigeonhole law holds for ANY total order shared by all documents, and
+ * `(df_table(s), s)` is one such order — df only steers prefixes toward
+ * rare shingles so the candidate join stays small. Truncating the table
+ * loses df precision only for shingles rare enough to be harmless
+ * candidates anyway. The table is a bounded plan-time structure (≤ 2 MiB),
+ * same shipping mechanism as [[BloomContains]]'s bitset.
+ *
+ * Ties and order inside the emitted array are (df, s) ascending, so an
+ * element's array position IS its rank in the global order — the input to
+ * the ppjoin positional filter. With `full = true` the kernel emits the
+ * ENTIRE set in (df, s) order (the probe side of a containment join,
+ * which needs every token's rank, not just the prefix).
+ */
+case class PrefixSelect(
+    child: Expression, hotS: Array[Long], hotDf: Array[Long], threshold: Double,
+    full: Boolean = false)
+  extends UnaryExpression {
+
+  require(hotS.length == hotDf.length, "df table arrays must be parallel")
+  require(threshold > 0 && threshold <= 1, "prefix selection needs 0 < t <= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_prefix_select expects array<bigint>, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_prefix_select"
+
+  override def nullSafeEval(input: Any): Any =
+    PrefixSelectKernel.select(
+      input.asInstanceOf[ArrayData], hotS, hotDf, threshold, full)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("prefixHotS", hotS, "long[]")
+    val dRef = ctx.addReferenceObj("prefixHotDf", hotDf, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.expressions.PrefixSelectKernel
+         |  .select($a, $sRef, $dRef, $threshold, $full);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PrefixSelect {
+  /** Driver-side df-table bound: 2^17 entries ≈ 2 MiB of longs. Bounded by
+   *  construction like the Bloom build's benchmark-side collect — the hot
+   *  tail of a 100 TB corpus's shingle distribution fits; everything
+   *  below it is candidate-harmless (df small) and reads df 0. */
+  val MaxHot: Int = 1 << 17
+}
+
+object PrefixSelectKernel {
+
+  /** Per-row kernel; called from generated code. `hs` must be sorted
+    * distinct (the WordShingleHashes contract). Returns the prefix —
+    * the m = n − ⌈t·n⌉ + 1 elements smallest in (df, s) order — or, with
+    * `full`, all n elements in that order. */
+  def select(
+      hs: ArrayData, hotS: Array[Long], hotDf: Array[Long],
+      threshold: Double, full: Boolean): ArrayData = {
+    val n = hs.numElements()
+    val m = if (full) n else n - math.ceil(threshold * n).toInt + 1
+    val s = hs.toLongArray() // copy: the input buffer may be row-reused
+    val df = new Array[Long](n)
+    var i = 0
+    var anyHot = false
+    while (i < n) {
+      val j = java.util.Arrays.binarySearch(hotS, s(i))
+      if (j >= 0) { df(i) = hotDf(j); anyHot = true }
+      i += 1
+    }
+    if (!anyHot) // all df 0: s-ascending IS the (df, s) order already
+      return new GenericArrayData(
+        if (m >= n) s else java.util.Arrays.copyOf(s, m))
+    // Stable sort of indices by df; hs is s-ascending, so equal-df runs
+    // keep s order — the result is (df, s)-ascending without a packed key.
+    val idx = new Array[Integer](n)
+    i = 0
+    while (i < n) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+      java.lang.Long.compare(df(a.intValue()), df(b.intValue())))
+    val out = new Array[Long](math.min(m, n))
+    i = 0
+    while (i < out.length) { out(i) = s(idx(i).intValue()); i += 1 }
+    new GenericArrayData(out)
+  }
+}

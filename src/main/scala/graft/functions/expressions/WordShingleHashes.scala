@@ -22,11 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
  * + 0x20 separators. Texts with fewer than `shingleN` words yield NULL
  * (the set-formulation drops such documents; callers filter nulls).
  *
- * Consumers operate on the hash-set QUOTIENT of the true shingle set.
- * For candidate generation that is recall-safe by monotonicity: merging
- * elements can only grow an intersection and shrink a union, so
- * J_hash ≥ J_string for every pair — any pair passing a Jaccard
- * threshold on strings also passes it on hashes. Exactness is then
+ * Consumers operate on the hash-set QUOTIENT of the true shingle set,
+ * which equals the string domain exactly absent a 60-bit collision
+ * (expected corpus-wide collision count m²/2^61 for m distinct shingles
+ * — negligible below m ≈ 10⁹). A collision usually only ADDS spurious
+ * intersection (J_hash > J_string — harmless, the string verify removes
+ * it); the one way it can UNDERSTATE J is merging two shingles that both
+ * sit inside an intersection, shrinking intersection and union together.
+ * So recall claims are "exact absent a 60-bit collision", not an
+ * unconditional J_hash ≥ J_string inequality. Exactness of the OUTPUT is
  * restored by string-level verification of the (tiny) candidate set.
  */
 case class WordShingleHashes(child: Expression, shingleN: Int)

@@ -53,8 +53,11 @@ object Clustering {
    *
    * Output: (cid, dim, n_assigned, sum_q, c_new, inertia) where `sum_q`
    * is the exact per-dimension sum of quantized components (bigint),
-   * `c_new = sum_q / n_assigned / 1e6` (the updated centroid component,
-   * two IEEE ops on exact operands), and `inertia` is the cluster's exact
+   * `c_new = round(sum_q / n_assigned / 1e6, 9)` (the updated centroid
+   * component; rounded to 9 decimals so every engine's text formatter
+   * prints the same digits — ppm inputs make the 9th decimal already
+   * sub-quantization-noise, and the exact value is recoverable from
+   * `(sum_q, n_assigned)`), and `inertia` is the cluster's exact
    * Σ sqdist in DECIMAL(38,0) (constant across the cluster's dim rows).
    */
   def kmeansStep(
@@ -74,7 +77,7 @@ object Clustering {
     perDim.join(perCluster, "cid")
       .select(col("cid"), col("dim").cast("long").as("dim"), col("n_assigned"),
         col("sum_q"),
-        (col("sum_q").cast("double") / col("n_assigned").cast("double") / lit(1e6))
+        round(col("sum_q").cast("double") / col("n_assigned").cast("double") / lit(1e6), 9)
           .as("c_new"),
         col("inertia"))
   }

@@ -360,6 +360,45 @@ object Dedup {
   }
 
   /**
+   * Document-frequency hot table for [[graft.functions.expressions.PrefixSelect]]:
+   * the `MaxHot` most frequent shingle hashes of `hsets` (an (id, "hs")
+   * frame from the WordShingleHashes kernel), as parallel s-sorted arrays.
+   * The df aggregation is map-side combined (distinct hashes per doc, not
+   * occurrences); the collect is bounded at ≤ 2^17 rows (~2 MiB) — same
+   * driver-side-boundedness class as the Bloom build's benchmark collect.
+   */
+  /**
+   * Shingle sets for the docs of a (small, already hash-verified) pair
+   * frame, joined back as `sh_a`/`sh_b` — the string-exact verify tail.
+   * The pair side is BROADCAST through both joins, so the docs tables
+   * stream without shuffling and the interpreted shingle chain runs only
+   * for rows actually in a pair. Barrier-free by design: no intermediate
+   * materialization, the whole verify is one job. Boundedness: the pair
+   * frame survives the hash-domain verify, so its size is the true
+   * near-dup pair count plus vanishing 60-bit-collision false positives —
+   * the same class as the candidate-id collects this replaces.
+   */
+  private def textPairs(
+      pairs: DataFrame, docsA: DataFrame, docsB: DataFrame,
+      idCol: String, textCol: String, shingleN: Int): DataFrame =
+    broadcast(broadcast(pairs)
+        .join(docsA.select(col(idCol).as("id_a"), col(textCol).as("t_a")), "id_a"))
+      .join(docsB.select(col(idCol).as("id_b"), col(textCol).as("t_b")), "id_b")
+      .withColumn("sh_a", wordShingles(col("t_a"), shingleN))
+      .withColumn("sh_b", wordShingles(col("t_b"), shingleN))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+
+  private def hotDfTable(hsets: DataFrame): (Array[Long], Array[Long]) = {
+    val top = hsets.select(explode(col("hs")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("s"))
+      .limit(graft.functions.expressions.PrefixSelect.MaxHot)
+      .collect()
+    val pairs = top.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  /**
    * EXACT-recall set-similarity join via prefix filtering (the ppjoin
    * family: Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al. WWW'08): all
    * pairs of documents whose `shingleN`-word shingle sets have Jaccard ≥
@@ -381,14 +420,19 @@ object Dedup {
    *    and high-k shingles are exactly the ones prefixes exclude).
    *  - A length filter rides the join: J ≥ t forces
    *    t·|A| ≤ |B| ≤ |A|/t, pruning cross-size pairs before the shuffle.
-   *  - Shuffled payloads are (id, size, shingle) triples and the doc-freq
-   *    table — never text. Verification joins shingle arrays only for
-   *    surviving candidates, like the LSH path.
+   *  - Prefix selection itself is a narrow per-row codegen kernel
+   *    ([[graft.functions.expressions.PrefixSelect]]) over a plan-time
+   *    hot-df table — no explode+df-join+window shuffle for the ~94% of
+   *    docs that never reach a candidate (the relational window
+   *    formulation measured 6.5 s at sf0.1; see PrefixSelect's scaladoc
+   *    for why df-table truncation cannot cost recall).
+   *  - Shuffled payloads are (id, size, shingle) triples — never text.
+   *    Verification joins shingle arrays only for surviving candidates,
+   *    like the LSH path.
    */
   def jaccardJoinPrefixFilter(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.Bridge
     require(threshold > 0 && threshold <= 1,
       "prefix filtering requires 0 < threshold <= 1")
@@ -409,32 +453,43 @@ object Dedup {
         Bridge.column(graft.functions.expressions.WordShingleHashes(
           Bridge.expression(col(textCol)), shingleN)).as("hs"))
       .where(col("hs").isNotNull)
-      .localCheckpoint(true) // lean (id, hash-array); df agg + prefix reuse it
-    val toks = hsets.select(
-      col(idCol), size(col("hs")).as("n"), explode(col("hs")).as("s"))
-    // groupBy + re-join beats a partition-only window for df here: the
-    // aggregate's shuffle is map-side combined (distinct hashes, not
-    // occurrences), where the window materializes all 8-byte occurrence
-    // rows per hash partition (measured ~1.7x slower at 100k docs).
-    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // Global rarest-first order (df, s); the per-doc sort window touches
-    // ~|set| rows per key. Prefix length n - ceil(t*n) + 1: if a pair's
-    // prefixes are disjoint, the intersection is confined to the suffixes
-    // — at most ceil(t*n)-1 < t*n ≤ |A∩B| elements of either set — so
-    // J ≥ t is impossible (pigeonhole on the shared global order).
-    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
-    val prefix = toks.join(dfreq, "s")
-      .withColumn("pos", row_number().over(wDoc))
-      .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col(idCol), col("n"), col("s"))
-      .localCheckpoint(true) // lean (id, n, hash); both join sides reuse it
+      // lean (id, hash-array); df agg + prefix + hash verify reuse it.
+      // LAZY checkpoint: the hot-df job materializes it as a side effect
+      // of its own pass — one fewer job barrier than an eager checkpoint.
+      .localCheckpoint(false)
+    // Prefix length n - ceil(t*n) + 1 in the global (df, s) rarest-first
+    // order: if a pair's prefixes are disjoint, the intersection is
+    // confined to the suffixes — at most ceil(t*n)-1 < t*n ≤ |A∩B|
+    // elements of either set — so J ≥ t is impossible (pigeonhole on the
+    // shared global order). Selection runs per-row in the PrefixSelect
+    // kernel against the bounded hot-df table; no shuffle until the
+    // candidate join itself.
+    val (hotS, hotDf) = hotDfTable(hsets)
+    val prefix = hsets.select(
+        col(idCol), size(col("hs")).as("n"),
+        posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
+          Bridge.expression(col("hs")), hotS, hotDf, threshold))).as(Seq("p", "s")))
+      // lean (id, n, pos, hash); both self-join sides reuse it. Lazy: the
+      // candidate job's first side materializes, the second side reads.
+      .localCheckpoint(false)
+    // Positional filter (ppjoin, Xiao et al. WWW'08): matching on tokens at
+    // 0-based global-order ranks (px, py) caps the overlap at
+    // 1 + min(nx−px−1, ny−py−1); J ≥ t needs overlap ≥ ⌈t/(1+t)·(nx+ny)⌉.
+    // Recall-safe: a true pair's FIRST common token (no common element
+    // precedes it, so the cap is genuine and ≥ the true overlap) sits in
+    // both prefixes by the prefix law, and that row always passes; later
+    // common tokens may be pruned, but distinct() only needs one witness.
+    // The ε guards the exact-integer boundary against double round-up.
+    val alpha = ceil(lit(threshold) / (lit(1.0) + lit(threshold)) *
+      (col("x.n") + col("y.n")).cast("double") - lit(1e-9))
     val candidates = prefix.as("x")
       .join(prefix.as("y"),
         col("x.s") === col("y.s") &&
           col(s"x.$idCol") < col(s"y.$idCol") &&
           // length filter: t·|A| ≤ |B| ≤ |A|/t (A the smaller side either way)
           col("y.n") * lit(threshold) <= col("x.n") &&
-          col("x.n") * lit(threshold) <= col("y.n"))
+          col("x.n") * lit(threshold) <= col("y.n") &&
+          lit(1) + least(col("x.n") - col("x.p") - 1, col("y.n") - col("y.p") - 1) >= alpha)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
     // Two-stage verify. Stage 1 on the HASH arrays already in hand —
@@ -451,14 +506,13 @@ object Dedup {
       .where(col("hi").cast("double") >=
         lit(threshold) * (size(col("hs_a")) + size(col("hs_b")) - col("hi")).cast("double"))
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true) // the candidate-id semi-join + verify both read it
-    val candIds = hashVerified.select(col("id_a").as(idCol))
-      .unionByName(hashVerified.select(col("id_b").as(idCol)))
-      .distinct()
-    val candSets = docs.join(candIds, idCol)
-      .select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
-      .localCheckpoint(true)
-    verifyJaccard(hashVerified, candSets, idCol, threshold)
+    textPairs(hashVerified, docs, docs, idCol, textCol, shingleN)
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /**
@@ -483,7 +537,6 @@ object Dedup {
   def containmentJoinPrefixFilter(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.Bridge
     require(threshold > 0 && threshold <= 1,
       "containment prefix filtering requires 0 < threshold <= 1")
@@ -492,21 +545,30 @@ object Dedup {
         Bridge.column(graft.functions.expressions.WordShingleHashes(
           Bridge.expression(col(textCol)), shingleN)).as("hs"))
       .where(col("hs").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: materialized by the hot-df pass
+    val (hotS, hotDf) = hotDfTable(hsets)
+    val prefix = hsets.select(
+      col(idCol).as("id_a"), size(col("hs")).as("n_a"),
+      posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
+        Bridge.expression(col("hs")), hotS, hotDf, threshold))).as(Seq("p_a", "s")))
+    // Probe side carries each token's rank in the SAME global (df, s)
+    // order (full=true) so the positional filter applies: overlap is
+    // capped at 1 + min(n_a−p_a−1, n_b−p_b−1), and c ≥ t needs ≥ ⌈t·n_a⌉.
+    // Recall-safe by the first-common-token argument (see the Jaccard
+    // variant): for a true pair it lies in a's prefix and b's full list,
+    // and its row passes the cap.
     val toks = hsets.select(
-      col(idCol), size(col("hs")).as("n"), explode(col("hs")).as("s"))
-      .localCheckpoint(true) // probe side reads it whole; prefix re-derives from it
-    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
-    val prefix = toks.join(dfreq, "s")
-      .withColumn("pos", row_number().over(wDoc))
-      .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col(idCol).as("id_a"), col("n").as("n_a"), col("s"))
+      col(idCol).as("id_b"), size(col("hs")).as("n_b"),
+      posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
+        Bridge.expression(col("hs")), hotS, hotDf, threshold, full = true)))
+        .as(Seq("p_b", "s")))
     val candidates = prefix
-      .join(toks.select(col(idCol).as("id_b"), col("n").as("n_b"), col("s")), "s")
+      .join(toks, "s")
       .where(col("id_a") =!= col("id_b") &&
         // size filter: |a∩b| ≤ |b|, so c ≥ t needs |b| ≥ ⌈t·|a|⌉
-        col("n_b") >= ceil(lit(threshold) * col("n_a")))
+        col("n_b") >= ceil(lit(threshold) * col("n_a")) &&
+        lit(1) + least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1) >=
+          ceil(lit(threshold) * col("n_a").cast("double") - lit(1e-9)))
       .select(col("id_a"), col("id_b"))
       .distinct()
     // Two-stage verify (see jaccardJoinPrefixFilter): hash-domain
@@ -518,16 +580,7 @@ object Dedup {
       .where(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") >=
         lit(threshold) * size(col("hs_a")).cast("double"))
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    val candIds = hashVerified.select(col("id_a").as(idCol))
-      .unionByName(hashVerified.select(col("id_b").as(idCol)))
-      .distinct()
-    val candSets = docs.join(candIds, idCol)
-      .select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
-      .localCheckpoint(true)
-    hashVerified
-      .join(candSets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(candSets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+    textPairs(hashVerified, docs, docs, idCol, textCol, shingleN)
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("containment",
         col("n_inter").cast("double") / size(col("sh_a")).cast("double"))
@@ -553,7 +606,6 @@ object Dedup {
   def benchmarkContainment(
       bench: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.Bridge
     require(threshold > 0 && threshold <= 1,
       "containment prefix filtering requires 0 < threshold <= 1")
@@ -562,24 +614,30 @@ object Dedup {
         Bridge.column(graft.functions.expressions.WordShingleHashes(
           Bridge.expression(col(textCol)), shingleN)).as("hs"))
       .where(col("hs").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: first consuming job materializes
     val hB = hashSets(bench)
     val hC = hashSets(corpus)
+    // Hot-df table from the CORPUS side (benchmark shingles absent from it
+    // read df 0 — rarest; they cannot match anyway, ordering only needs
+    // totality). Prefixes are built ONLY for the small benchmark side and
+    // BROADCAST to probe the corpus's token stream — the corpus never
+    // shuffles for candidate generation. Both sides carry global-order
+    // ranks for the positional filter (see containmentJoinPrefixFilter).
+    val (hotS, hotDf) = hotDfTable(hC)
     val toksC = hC.select(
-        col(idCol).as("id_b"), size(col("hs")).as("n_b"), explode(col("hs")).as("s"))
-      .localCheckpoint(true) // probe side + df side both read it
-    val dfreq = toksC.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val toksB = hB.select(
-      col(idCol).as("id_a"), size(col("hs")).as("n_a"), explode(col("hs")).as("s"))
-    val wDoc = Window.partitionBy(col("id_a")).orderBy(col("df"), col("s"))
-    val prefixB = toksB.join(dfreq, Seq("s"), "left")
-      .withColumn("df", coalesce(col("df"), lit(0L)))
-      .withColumn("pos", row_number().over(wDoc))
-      .where(col("pos") <= col("n_a") - ceil(lit(threshold) * col("n_a")) + 1)
-      .select(col("id_a"), col("n_a"), col("s"))
-    val candidates = prefixB
+      col(idCol).as("id_b"), size(col("hs")).as("n_b"),
+      posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
+        Bridge.expression(col("hs")), hotS, hotDf, threshold, full = true)))
+        .as(Seq("p_b", "s")))
+    val prefixB = hB.select(
+      col(idCol).as("id_a"), size(col("hs")).as("n_a"),
+      posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
+        Bridge.expression(col("hs")), hotS, hotDf, threshold))).as(Seq("p_a", "s")))
+    val candidates = broadcast(prefixB)
       .join(toksC, "s")
-      .where(col("n_b") >= ceil(lit(threshold) * col("n_a")))
+      .where(col("n_b") >= ceil(lit(threshold) * col("n_a")) &&
+        lit(1) + least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1) >=
+          ceil(lit(threshold) * col("n_a").cast("double") - lit(1e-9)))
       .select(col("id_a"), col("id_b"))
       .distinct()
     val hashVerified = candidates
@@ -588,16 +646,7 @@ object Dedup {
       .where(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") >=
         lit(threshold) * size(col("hs_a")).cast("double"))
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    val setsA = bench
-      .join(hashVerified.select(col("id_a").as(idCol)).distinct(), idCol)
-      .select(col(idCol).as("id_a"), wordShingles(col(textCol), shingleN).as("sh_a"))
-    val setsB = corpus
-      .join(hashVerified.select(col("id_b").as(idCol)).distinct(), idCol)
-      .select(col(idCol).as("id_b"), wordShingles(col(textCol), shingleN).as("sh_b"))
-    hashVerified
-      .join(setsA, "id_a")
-      .join(setsB, "id_b")
+    textPairs(hashVerified, bench, corpus, idCol, textCol, shingleN)
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("containment",
         col("n_inter").cast("double") / size(col("sh_a")).cast("double"))

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
  * large-scale training pipeline ships media through Spark (the bytes stay
  * columnar in Parquet; Spark never interprets them until a decode stage).
  *
- * The decode/feature-extract kernels are STUBBED (this container has no
- * image/audio codecs): `decodeStub` derives deterministic fake features
- * from the bytes. The Spark-side plumbing — schema, partition-wise
- * batching, encoder round-trip, metadata struct — is real and tested, so
- * swapping the stub for an actual JNI/FFmpeg kernel is a one-function
- * change.
+ * The IMAGE path is REAL: `encodePng` / `decodeImageStats` run an actual
+ * PNG encode/decode through `javax.imageio` (JDK-native, headless-safe, no
+ * external codec) inside `mapPartitions` — bytes into a real codec, real
+ * pixel statistics out, oracled end-to-end by q107 (the oracle recomputes
+ * the deterministic test pattern's channel sums in closed form; PNG is
+ * lossless, so a fake decode cannot match). Audio/video feature kernels
+ * remain stubbed (`decodeStub`: no PCM/video codec ships with the JDK);
+ * their plumbing — schema, partition-wise batching, encoder round-trip,
+ * metadata struct — is identical to the proven image path, so swapping in
+ * a JNI/FFmpeg kernel is a one-function change.
  *
  * Scale posture: decode runs via `mapPartitions` so per-partition setup
  * (codec init, model load) amortizes across rows — the Scala analog of
@@ -84,6 +88,93 @@ object Multimodal {
       // ??? real kernel: resize(meta_width, meta_height) / frame-sample /
       // mel-spectrogram. Stub: first 4 bytes scaled to [0,1).
       feature = bytes.take(4).map(b => (b & 0xff) / 256.0f))
+  }
+
+  /** A real encoded image row: PNG bytes + the id that seeded it. */
+  final case class PngRow(media_id: Long, payload: Array[Byte])
+
+  /** Real decoded image statistics. Channel sums are exact integers so the
+   *  oracle compares without float formatting concerns; `decode_ok=false`
+   *  rows (undecodable payloads) carry zeros, not nulls, keeping the
+   *  schema non-nullable. */
+  final case class ImageStats(
+      media_id: Long, decode_ok: Boolean, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic 8×8 RGB test pattern for seed `id`:
+   *  channel c of pixel (x, y) = (id·31 + x·7 + y·13 + c·97) mod 256.
+   *  The closed form is what makes a REAL decode oracle-checkable: the
+   *  DuckDB side recomputes these sums arithmetically, and PNG's lossless
+   *  round-trip means only a genuine decode reproduces them. */
+  val PatternSide = 8
+  def patternValue(id: Long, x: Int, y: Int, c: Int): Int =
+    (((id * 31 + x * 7 + y * 13 + c * 97) % 256) + 256).toInt % 256
+
+  /**
+   * Distributed PNG ENCODE of the test pattern via `javax.imageio`: one
+   * real compressed PNG per id, produced inside mapPartitions (the
+   * ImageIO writer is per-call; a heavier codec would init once per
+   * partition here).
+   */
+  def encodePng(ids: Dataset[java.lang.Long])(implicit spark: SparkSession): Dataset[PngRow] = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val img = new java.awt.image.BufferedImage(
+          PatternSide, PatternSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < PatternSide) {
+          var x = 0
+          while (x < PatternSide) {
+            img.setRGB(x, y,
+              (patternValue(id, x, y, 0) << 16) |
+                (patternValue(id, x, y, 1) << 8) |
+                patternValue(id, x, y, 2))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        PngRow(id, out.toByteArray)
+      }
+    }
+  }
+
+  /**
+   * REAL image decode (M1 de-stubbed): `javax.imageio.ImageIO.read` on the
+   * payload bytes, per-channel pixel sums out. Undecodable payloads
+   * (truncated file, not an image) yield `decode_ok = false` instead of
+   * failing the partition — the reference's per-item error capture law
+   * (ST9) applied to media.
+   */
+  def decodeImageStats(media: Dataset[PngRow])(implicit spark: SparkSession): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) ImageStats(r.media_id, decode_ok = false, 0, 0, 0L, 0L, 0L)
+        else {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(r.media_id, decode_ok = true, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }
+    }
   }
 
   /**

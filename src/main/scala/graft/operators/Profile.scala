@@ -25,18 +25,26 @@ object Profile {
 
   def tableProfile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
     val cols = df.columns.toSeq
+    require(cols.nonEmpty, "tableProfile needs at least one column")
     val distinctAgg =
       if (exactDistinct) (c: String) => countDistinct(col(c))
       else (c: String) => approx_count_distinct(col(c))
     val aggs = count(lit(1)).as("_n") +:
-      cols.flatMap(c => Seq(
-        count(col(c)).as(s"_nn_$c"),
-        distinctAgg(c).as(s"_nd_$c")))
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        count(col(c)).as(s"_nn_$i"),
+        distinctAgg(c).as(s"_nd_$i"))
+      }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', `_nn_$c`, `_nd_$c`").mkString(", ")
+    // Typed Column construction throughout (no selectExpr): a column name
+    // containing a quote/backtick is data here, never parsed SQL. The
+    // long format comes from inline_outer over an array of structs — the
+    // same single-Project shape the stack() formulation compiled to.
+    val entries = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column_name"), col(s"_nn_$i").as("_nonnull"),
+        col(s"_nd_$i").as("n_distinct"))
+    }: _*)
     one
-      .selectExpr("_n",
-        s"stack(${cols.length}, $stackArgs) AS (column_name, _nonnull, n_distinct)")
+      .select(col("_n"), inline_outer(entries))
       .select(col("column_name"), col("_n").as("n_rows"),
         (col("_n") - col("_nonnull")).as("n_nulls"), col("n_distinct"))
   }

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+import graft.functions.expressions.IntersectCount
+
+/**
+ * Optimizer rule (§2.10 depth): rewrite `size(array_intersect(a, b))`
+ * into the fused [[IntersectCount]] — the distinct-common-element count
+ * without building the intersection array. The pattern is the exact-verify
+ * stage of every dedup/containment operator (hash verify on bigint shingle
+ * hashes, string verify on shingle arrays), so the rewrite accelerates the
+ * whole family from ONE place while queries keep the declarative form.
+ *
+ * Soundness gates:
+ *  - only `legacySizeOfNull = false` (the default): there `size(NULL)` is
+ *    NULL, matching IntersectCount's null-propagation; the legacy -1 form
+ *    would diverge on NULL inputs;
+ *  - only bigint/string element arrays, where Java equality == SQL set
+ *    equality (float/double NaN/-0.0 normalization stays with the
+ *    built-in);
+ *  - expression-level only — no plan-shape change, so it composes with
+ *    every strategy and AQE re-plan.
+ *
+ * Registered by `GraftExtensions` via `injectOptimizerRule` (extension-
+ * built sessions) and via `spark.experimental.extraOptimizations`
+ * (`GraftExtensions.activate`) for already-running sessions — both hooks
+ * run after the main optimizer batches, where the rewrite is a pure
+ * peephole.
+ */
+object IntersectCountRewrite extends Rule[LogicalPlan] {
+
+  private def eligible(ai: ArrayIntersect): Boolean =
+    (ai.left.dataType, ai.right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _)) =>
+        lt == rt && (lt == LongType || lt == StringType)
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ai: ArrayIntersect, legacySizeOfNull)
+        if !legacySizeOfNull && eligible(ai) =>
+        IntersectCount(ai.left, ai.right)
+    }
+}

@@ -149,6 +149,60 @@ object TickLake {
       .sortWithinPartitions("symbol", "timestamp")
 
   /**
+   * Hour-grain export to the REFERENCE's artifact shape (S3/ST2 parity):
+   * one timestamp-sorted parquet file per hour, named
+   * `{symbol}_{yyyyMMdd}_{HH}.parquet` in a FLAT directory — byte-for-name
+   * the layout the reference's rotating writer produces (reference:
+   * ingestion/infrastructure/src/repositories/parquet.rs:45-87), so a
+   * consumer expecting that lake (its gap detector, the F6 filename route
+   * below) reads ours unchanged. The lake's native grain stays
+   * (symbol, date) — this is an EXPORT for interop, not the hot path (see
+   * withPartitionCols for the measured day-grain rationale).
+   *
+   * Distributed plan: the day's ticks repartition by hour bucket and write
+   * via partitionBy in one job — each hour lands in exactly one task, so
+   * exactly one sorted file per hour. The final rename into the flat
+   * reference names is driver-side METADATA movement (≤ 24 renames per
+   * symbol-day, through the Hadoop FileSystem API so any cluster FS
+   * works); no row ever passes through the driver.
+   *
+   * Returns the created file names (sorted).
+   */
+  def exportHourFiles(
+      spark: SparkSession, root: String, symbol: String, date: String,
+      outDir: String): Seq[String] = {
+    val tickCols = graft.core.Schemas.tickSchema.fieldNames.map(col).toSeq
+    val staging = s"$outDir/_staging_${symbol}_$date"
+    read(spark, root)
+      .where(col("symbol") === symbol && col("date") === date)
+      .withColumn("hh", date_format(col("timestamp"), "HH"))
+      .repartition(col("hh"))
+      // writer-friendly order: primary hh (the partition column, so the
+      // file writer never re-sorts and destroy timestamp order), then time
+      .sortWithinPartitions("hh", "timestamp")
+      .select(tickCols :+ col("hh"): _*)
+      .write.partitionBy("hh").mode("overwrite").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(conf)
+    val hourDirs = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("hh="))
+    val made = hourDirs.map { d =>
+      val hh = d.getPath.getName.stripPrefix("hh=")
+      val parts = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"expected exactly one file per hour after repartition, got ${parts.length} in ${d.getPath}")
+      val target = new org.apache.hadoop.fs.Path(outDir, s"${symbol}_${date}_$hh.parquet")
+      fs.delete(target, false)
+      fs.rename(parts.head.getPath, target)
+      target.getName
+    }.toSeq.sorted
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    made
+  }
+
+  /**
    * Bucketed lake table (the co-location path at scale): hash-bucketed and
    * sorted by symbol, so symbol-keyed joins between two such tables and
    * symbol-keyed aggregations run with NO shuffle exchange — the shuffle

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Stage-level timing of the PrefixSelect-kernel q94/q104/q105 plans over
+  * the REAL sf documents table (not the synthetic 100k corpus) — where
+  * does the wall-clock go now that prefix selection is a narrow kernel:
+  * the df collect, the candidate join, the hash verify, or the string
+  * verify? Prints per-stage seconds + cardinalities. */
+object PrefixStageProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[probe] docs = ${docs.count()}")
+    val t = 0.5
+    val hsets = time("hsets checkpoint (kernel all docs)") {
+      docs.select(col("doc_id"),
+          Bridge.column(graft.functions.expressions.WordShingleHashes(
+            Bridge.expression(col("text")), 3)).as("hs"))
+        .where(col("hs").isNotNull)
+        .localCheckpoint(true)
+    }
+    val (hotS, hotDf) = time("hot-df table collect") {
+      val top = hsets.select(explode(col("hs")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("s"))
+        .limit(graft.functions.expressions.PrefixSelect.MaxHot)
+        .collect()
+      println(s"[probe] vocab(hot) = ${top.length}")
+      val pairs = top.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      (pairs.map(_._1), pairs.map(_._2))
+    }
+    val prefix = time("prefix checkpoint (PrefixSelect kernel)") {
+      hsets.select(col("doc_id"), size(col("hs")).as("n"),
+          posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
+            Bridge.expression(col("hs")), hotS, hotDf, t))).as(Seq("p", "s")))
+        .localCheckpoint(true)
+    }
+    println(s"[probe] prefix rows = ${prefix.count()}")
+    val candidates = time("candidate self-join + distinct") {
+      val alpha = ceil(lit(t) / (lit(1.0) + lit(t)) *
+        (col("x.n") + col("y.n")).cast("double") - lit(1e-9))
+      val c = prefix.as("x")
+        .join(prefix.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+            col("y.n") * lit(t) <= col("x.n") && col("x.n") * lit(t) <= col("y.n") &&
+            lit(1) + least(col("x.n") - col("x.p") - 1, col("y.n") - col("y.p") - 1) >= alpha)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct().localCheckpoint(true)
+      println(s"[probe] candidates = ${c.count()}")
+      c
+    }
+    val hv = time("hash verify") {
+      val h = candidates
+        .join(hsets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(hsets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .withColumn("hi", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .where(col("hi").cast("double") >=
+          lit(t) * (size(col("hs_a")) + size(col("hs_b")) - col("hi")).cast("double"))
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+      println(s"[probe] hash-verified = ${h.count()}")
+      h
+    }
+    time("string verify (full operator tail)") {
+      val n = graft.operators.Dedup.jaccardJoinPrefixFilter(docs, "doc_id", "text", 3, t).count()
+      println(s"[probe] operator pairs = $n (hash-verified was ${hv.count()})")
+    }
+    spark.stop()
+  }
+}

@@ -85,4 +85,31 @@ class RateLimiterSpec extends AnyFunSuite {
     rl.tryAcquire()
     assert(rl.waitTimeMs() == 0L)
   }
+
+  test("multi-account: two accounts never share a window budget (limiter.rs:145-150)") {
+    val clock = new TestClock()
+    val arl = new AccountRateLimiter(
+      Seq(WindowConfig("w", limit = 2, windowMs = 1000L)), clock.fn)
+    // account A saturates its own budget...
+    assert(arl.tryAcquire("acct_a"))
+    assert(arl.tryAcquire("acct_a"))
+    assert(!arl.tryAcquire("acct_a"))
+    // ...while B's budget is untouched, and vice versa
+    assert(arl.tryAcquire("acct_b"))
+    assert(arl.tryAcquire("acct_b"))
+    assert(!arl.tryAcquire("acct_b"))
+    assert(!arl.tryAcquire("acct_a")) // B's denials did not free A
+    assert(arl.waitTimeMs("acct_a") > 0L)
+    clock.advance(1001L)
+    assert(arl.tryAcquire("acct_a") && arl.tryAcquire("acct_b"))
+    assert(arl.accounts() == Set("acct_a", "acct_b"))
+  }
+
+  test("multi-account: registry hands back the SAME limiter per account (atomic create)") {
+    val arl = new AccountRateLimiter()
+    val hits = java.util.concurrent.ConcurrentHashMap.newKeySet[RateLimiter]()
+    val threads = (0 until 8).map(_ => new Thread(() => hits.add(arl.forAccount("x"))))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(hits.size() == 1) // computeIfAbsent: one limiter, no races
+  }
 }

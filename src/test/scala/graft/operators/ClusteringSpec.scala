@@ -41,7 +41,11 @@ class ClusteringSpec extends SparkSpec {
     val c3d0 = byKey((3L, 0L))
     assert(c3d0.getAs[Long]("n_assigned") == 3L)
     assert(c3d0.getAs[Long]("sum_q") == 2900000L) // 1e6 + 0.9e6 + 1e6
-    assert(c3d0.getAs[Double]("c_new") == 2900000.0 / 3.0 / 1e6)
+    // c_new is rounded to 9 decimals (the cross-engine text-stable
+    // representation; exact value recoverable from sum_q/n_assigned)
+    assert(c3d0.getAs[Double]("c_new") ==
+      BigDecimal(2900000.0 / 3.0 / 1e6)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(c3d0.getAs[java.math.BigDecimal]("inertia").longValueExact ==
       20000000000L)
     // inertia is constant across a cluster's dim rows

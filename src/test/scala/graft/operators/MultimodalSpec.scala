@@ -51,4 +51,43 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(("audio", 1L, 16L, 1L), ("image", 1L, 16L, 1L), ("video", 1L, 16L, 1L)))
   }
+
+  test("REAL png decode: ImageIO round-trip reproduces the pattern sums exactly") {
+    implicit val s = spark
+    val ids = spark.range(0L, 40L).as[java.lang.Long]
+    val encoded = Multimodal.encodePng(ids)
+    // payloads are genuine PNGs: magic bytes, all distinct, realistic size
+    val payloads = encoded.collect().map(r => r.media_id -> r.payload).toMap
+    assert(payloads.size == 40)
+    assert(payloads.values.forall(p =>
+      (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'))
+    val decoded = Multimodal.decodeImageStats(encoded).collect()
+      .map(st => st.media_id -> st).toMap
+    // closed-form truth: PNG is lossless, so a real decode must reproduce
+    // the per-channel pattern sums bit-for-bit
+    for (id <- 0L until 40L) {
+      val st = decoded(id)
+      assert(st.decode_ok && st.width == 8 && st.height == 8)
+      def want(c: Int): Long = (for {
+        y <- 0 until 8; x <- 0 until 8
+      } yield Multimodal.patternValue(id, x, y, c).toLong).sum
+      assert((st.sum_r, st.sum_g, st.sum_b) == (want(0), want(1), want(2)),
+        s"channel sums must match the pattern for id $id")
+    }
+  }
+
+  test("REAL png decode: undecodable payloads flag decode_ok=false, partition survives") {
+    implicit val s = spark
+    import Multimodal.PngRow
+    val good = Multimodal.encodePng(spark.range(0L, 3L).as[java.lang.Long]).collect()
+    val bad = Seq(
+      PngRow(100L, Array[Byte](1, 2, 3, 4)),              // not an image
+      PngRow(101L, good(0).payload.take(10)))              // truncated PNG
+    val mixed = spark.createDataset(good.toSeq ++ bad)
+    val out = Multimodal.decodeImageStats(mixed).collect().map(st => st.media_id -> st).toMap
+    assert(out.size == 5)
+    assert((0L until 3L).forall(out(_).decode_ok))
+    assert(!out(100L).decode_ok && !out(101L).decode_ok)
+    assert(out(100L).width == 0 && out(100L).sum_r == 0L)
+  }
 }

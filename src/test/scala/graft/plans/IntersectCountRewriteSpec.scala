@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The §2.10 optimizer rule: size(array_intersect) must be rewritten to
+  * the fused graft_intersect_count — visibly in the optimized plan — with
+  * bit-identical results, and must NOT fire where its soundness gates
+  * exclude it (element types with NaN semantics). */
+class IntersectCountRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[T](f: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ IntersectCountRewrite
+    try f finally spark.experimental.extraOptimizations = prev
+  }
+
+  private val pairs = Seq(
+    (Seq(1L, 2L, 3L, 3L), Seq(2L, 3L, 4L)),   // dups collapse: count 2
+    (Seq.empty[Long], Seq(1L)),                // empty left: 0
+    (Seq(5L, 5L, 5L), Seq(5L)),                // all-dup: 1
+    (Seq(1L, 2L), Seq(3L, 4L)),                // disjoint: 0
+  ).toDF("a", "b").repartition(2) // real plan: defeat ConvertToLocalRelation
+
+  test("rewrites size(array_intersect) on bigint arrays; results identical") {
+    // def, not val: a DataFrame caches its QueryExecution, which would
+    // freeze the pre-rule plan from the baseline run
+    def q = pairs.select(size(array_intersect(col("a"), col("b"))).as("n"))
+    val baseline = q.collect().map(_.getInt(0)).toSeq
+    withRule {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_intersect_count"),
+        s"rule did not fire:\n$plan")
+      assert(!plan.contains("array_intersect"))
+      assert(q.collect().map(_.getInt(0)).toSeq.sorted == baseline.sorted)
+    }
+    assert(baseline.sorted == Seq(0, 0, 1, 2))
+  }
+
+  test("rewrites string arrays; null elements follow ArrayIntersect law") {
+    val df = Seq(
+      (Seq[String]("x", null, "y"), Seq[String](null, "y", "z")), // null in both + y: 2
+      (Seq[String]("x", null), Seq[String]("x")),                 // null only left: 1
+    ).toDF("a", "b").repartition(2)
+    def q = df.select(size(array_intersect(col("a"), col("b"))).as("n"))
+    val baseline = q.collect().map(_.getInt(0)).toSeq
+    withRule {
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_intersect_count"))
+      assert(q.collect().map(_.getInt(0)).toSeq.sorted == baseline.sorted)
+    }
+    assert(baseline.sorted == Seq(1, 2))
+  }
+
+  test("null ARRAY inputs propagate null (the legacySizeOfNull=false law)") {
+    val df = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]]))
+      .toDF("a", "b").repartition(2)
+    val q = df.select(size(array_intersect(col("a"), col("b"))).as("n"))
+    withRule {
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_intersect_count"))
+      assert(q.collect().head.isNullAt(0))
+    }
+  }
+
+  test("does NOT fire on double arrays (NaN/-0.0 stay with the built-in)") {
+    val df = Seq((Seq(1.0, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
+    val q = df.select(size(array_intersect(col("a"), col("b"))).as("n"))
+    withRule {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("graft_intersect_count"))
+      assert(q.collect().head.getInt(0) == 1)
+    }
+  }
+
+  test("fires inside a real verify-shaped query (join + filter), same output") {
+    val docs = Seq(
+      (1L, Seq(10L, 11L, 12L)), (2L, Seq(11L, 12L, 13L)), (3L, Seq(99L))
+    ).toDF("id", "hs")
+    def q = docs.as("x").join(docs.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        size(array_intersect(col("x.hs"), col("y.hs"))).as("ni"))
+      .where(col("ni") >= 2)
+    val baseline = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    withRule {
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_intersect_count"))
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == baseline)
+    }
+    assert(baseline == Set((1L, 2L, 2)))
+  }
+}

@@ -52,6 +52,29 @@ class TickLakeSpec extends SparkSpec {
     }
   }
 
+  test("exportHourFiles: reference-shaped {symbol}_{date}_{HH}.parquet, sorted, F6-readable") {
+    TickLake.configure(spark)
+    val root = tmpDir("lake")
+    val out = tmpDir("refshape")
+    writeDays(root, "NQ", Seq("2024-01-10"))
+    val made = TickLake.exportHourFiles(spark, root, "NQ", "20240110", out)
+    // one file per hour, reference naming (parquet.rs:45-57)
+    assert(made == (0 until 24).map(h => f"NQ_20240110_$h%02d.parquet"))
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith("_staging")))
+    // each hour file: exactly that hour's ticks, timestamp-sorted, tick schema
+    val h07 = spark.read.parquet(s"$out/NQ_20240110_07.parquet")
+    assert(h07.schema.fieldNames.toSeq == graft.core.Schemas.tickSchema.fieldNames.toSeq)
+    val ts = h07.select(col("timestamp")).collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(ts.length == 60 && ts == ts.sorted)
+    assert(h07.where(hour(col("timestamp")) =!= 7).count() == 0)
+    // the full export is lossless: union of 24 files == the day
+    assert(spark.read.parquet(s"$out/NQ_*.parquet").count() == 1440L)
+    // the F6 filename route (gap.rs law) accepts the exported lake
+    val days = TickLake.existingDatesFromFilenames(spark, out, "NQ")
+      .as[java.sql.Date].collect().map(_.toString).toSeq
+    assert(days == Seq("2024-01-10"))
+  }
+
   test("presentDays is the semi-join complement of missingDays (J2)") {
     val expected = Seq(("NQ", "2024-01-10"), ("NQ", "2024-01-11"), ("NQ", "2024-01-12"))
       .toDF("symbol", "d").select(col("symbol"), to_date(col("d")).as("day"))
