@@ -1572,6 +1572,47 @@ object SparkEntry {
           sum(col("sum_b")).as("sum_b"))
         .orderBy(col("lang"))
     }),
+
+    // Q108 — trading-side capstone (the q44 mirror for the tick pipeline):
+    // validate (F1) -> coverage gap detection (J1/SET2) -> deterministic
+    // mock refill of the missing days (S2 analog; portable arithmetic value
+    // law so DuckDB replays it bit-for-bit) -> daily OHLCV bars (A6) ->
+    // 7-day rolling close (A14 flavor) -> per-day reconciliation marks.
+    // Every stage law is individually oracled (q01/q04/q03/q87); this
+    // query proves they COMPOSE. Physical shape: the missing-day frame is
+    // tiny (|users| × |span|), so the reconciliation join broadcasts; the
+    // bar aggregation is one partial+final hash agg; the rolling window
+    // repartitions by user only.
+    "q108_trading_capstone" -> ((s, dir) => {
+      val valid = t(s, dir, "events").filter(Validation.isValidEvent)
+      val span = valid.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      val users = valid.select(col("user_id")).distinct()
+      val present = valid.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val missing = CalendarOps.missingDays(
+        CalendarOps.expectedDays(users, span), present, Seq("user_id"))
+      // refill law: one mid-day tick per missing (user, day); value derives
+      // from integer arithmetic only so both engines produce the same double
+      val refill = missing.select(
+        col("user_id"),
+        (col("day").cast(TimestampNTZType) + expr("INTERVAL 12 HOURS")).as("ts"),
+        (pmod(col("user_id") * 37L + dayofyear(col("day")).cast("long") * 17L, lit(1000L))
+          .cast("double") / 10.0 + 50.0).as("value"))
+      val merged = valid.select(col("user_id"), col("ts"), col("value")).unionByName(refill)
+      val bars = Bars.ohlcv(merged, Seq(col("user_id")),
+          bucket = to_date(col("ts")), ts = col("ts"),
+          price = col("value"), size = col("value"))
+        .withColumnRenamed("bar_start", "day")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-6, 0)
+      bars
+        .join(broadcast(missing.withColumn("is_refilled", lit(1L))),
+          Seq("user_id", "day"), "left")
+        .withColumn("is_refilled", coalesce(col("is_refilled"), lit(0L)))
+        .withColumn("roll7_close",
+          sum(col("close").cast(DecimalType(18, 4))).over(w).cast("double"))
+        .withColumn("roll7_n", count(lit(1)).over(w))
+        .orderBy(col("user_id"), col("day"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3082,6 +3123,38 @@ object SparkEntry {
           |  CAST(sum(sg) AS BIGINT) AS sum_g,
           |  CAST(sum(sb) AS BIGINT) AS sum_b
           |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // replays the full q108 chain: valid filter -> calendar anti-join ->
+      // arithmetic refill law -> daily OHLCV -> broadcast reconciliation
+      // -> 7-day rolling decimal close sum
+      "q108_trading_capstone" ->
+        """WITH valid AS (SELECT user_id, ts, value FROM events
+          |  WHERE value > 0 AND event_type <> ''),
+          |span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM valid),
+          |cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span),
+          |users AS (SELECT DISTINCT user_id FROM valid),
+          |present AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM valid),
+          |missing AS (SELECT u.user_id, c.day FROM users u CROSS JOIN cal c
+          |  WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.user_id = u.user_id AND p.day = c.day)),
+          |refill AS (SELECT user_id, CAST(day AS TIMESTAMP) + INTERVAL 12 HOUR AS ts,
+          |  CAST((user_id * 37 + dayofyear(day) * 17) % 1000 AS DOUBLE) / 10.0 + 50.0 AS value
+          |  FROM missing),
+          |merged AS (SELECT user_id, ts, value FROM valid
+          |  UNION ALL SELECT user_id, ts, value FROM refill),
+          |bars AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+          |  arg_max(value, ts) AS close,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+          |  count(*) AS n_trades
+          |  FROM merged GROUP BY 1, 2)
+          |SELECT b.user_id, b.day, b.open, b.high, b.low, b.close, b.volume, b.n_trades,
+          |  CAST(CASE WHEN m.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_refilled,
+          |  CAST(sum(CAST(b.close AS DECIMAL(18,4))) OVER (PARTITION BY b.user_id ORDER BY b.day
+          |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll7_close,
+          |  count(*) OVER (PARTITION BY b.user_id ORDER BY b.day
+          |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll7_n
+          |FROM bars b LEFT JOIN missing m ON b.user_id = m.user_id AND b.day = m.day
+          |ORDER BY b.user_id, b.day""".stripMargin,
     )
   }
 }

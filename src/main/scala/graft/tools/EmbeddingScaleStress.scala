@@ -5,66 +5,80 @@ import org.apache.spark.sql.functions._
 
 /**
  * Scale stress for the LSH semantic-dedup path (SURVEY §2.12 SIM4 / q33):
- * 50k 64-dim vectors with 1 000 planted near-dup pairs, mined with
- * `cosineNearDupPairsLsh` at scale-appropriate geometry.
+ * plant near-duplicate embedding pairs in a deterministic pseudo-random
+ * corpus and measure `cosineNearDupPairsLsh` recall + runtime. The
+ * brute-force baseline at 100k vectors would enumerate 5 × 10⁹ pairs —
+ * the whole point of the banded plan is that we never do.
  *
- * Geometry guidance this run demonstrates (recorded in BASELINE.md): the
- * q33 declared query uses 16 bands × 4 planes because its threshold is a
- * loose 0.4 (4-bit buckets are what keep recall ≈ 0.94 there); at
- * corpus scale with a realistic near-dup threshold (≥ 0.85), planes per
- * band must grow so bucket occupancy — and with it candidate volume,
- * which is Σ_buckets O(occ²) per band — stays sub-quadratic:
- * 24 bands × 10 planes gives P(catch | cos = 0.85) ≈ 0.974 while cutting
- * candidates by ~2^6 vs 4-plane buckets. The knobs are exposed on the
- * operator; this stress is the evidence they work at 25× the sf0.1 corpus.
+ * One probe, two regimes (selected by the first argument):
  *
- * Deterministic end to end: vectors derive from id arithmetic, planted
- * perturbations are tiny fixed offsets, LSH planes are md5-derived.
+ *  - `declared` — the q33 declared geometry (16 bands × 4 planes) at a
+ *    near-exact threshold 0.99, default 100k vectors. 4-bit buckets are
+ *    what keep recall ≈ 0.94 at q33's loose 0.4 threshold; this regime
+ *    shows they also hold for near-exact planted pairs at 25× the sf0.1
+ *    corpus.
+ *  - `corpus` — the corpus-scale geometry guidance recorded in
+ *    BASELINE.md: at a realistic near-dup threshold (≥ 0.85), planes per
+ *    band must grow so bucket occupancy — and with it candidate volume,
+ *    which is Σ_buckets O(occ²) per band — stays sub-quadratic.
+ *    24 bands × 10 planes gives P(catch | cos = 0.85) ≈ 0.974 while
+ *    cutting candidates by ~2^6 vs 4-plane buckets. Default 50k vectors.
  *
- * Companion: [[EmbedScaleStress]] covers the other regime — the DECLARED
- * q33 geometry (16 × 4, threshold 0.99) at 100k vectors.
+ * Corpus law (deterministic end to end, no RNG): components come from
+ * xxhash64(id, d) folded to [-1, 1) so dimensions are uncorrelated (an
+ * arithmetic formula in d makes every vector a rotation of the same
+ * progression — the corpus degenerates into one giant near-dup cluster).
+ * Every ⌈n/planted⌉-th vector i also emits a planted near-dup with id
+ * i+n whose components are the base's plus a fixed +0.002 offset
+ * (cosine ≳ 0.999). Recall = fraction of planted (i, i+n) pairs mined.
+ *
+ * Usage: `runMain graft.tools.EmbeddingScaleStress [declared|corpus] [n] [planted]`
  */
 object EmbeddingScaleStress {
   def main(args: Array[String]): Unit = {
-    val n = if (args.length > 0) args(0).toInt else 50000
-    val planted = if (args.length > 1) args(1).toInt else 1000
+    val regime = if (args.nonEmpty) args(0) else "corpus"
+    require(regime == "declared" || regime == "corpus",
+      s"regime must be declared|corpus, got $regime")
+    val declared = regime == "declared"
+    val n = if (args.length > 1) args(1).toInt else if (declared) 100000 else 50000
+    val planted = if (args.length > 2) args(2).toInt else n / 50
+    val (threshold, bands, planes) =
+      if (declared) (0.99, 16, 4) else (0.85, 24, 10)
+
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // base corpus: pseudo-random unit-scale vectors; components come from
-    // xxhash64(id, d) so dimensions are uncorrelated (an arithmetic
-    // formula in d makes every vector a rotation of the same progression —
-    // the corpus degenerates into one giant near-dup cluster)
     val dims = 64
     def baseVec(idc: org.apache.spark.sql.Column) =
       transform(sequence(lit(0), lit(dims - 1)),
         d => (pmod(xxhash64(idc, d), lit(2000)) - lit(1000))
           .cast("float") / lit(1000.0f))
+    val cadence = math.max(1, n / planted)
     val base = spark.range(n.toLong).repartition(32)
       .select(col("id").as("vec_id"), baseVec(col("id")).as("embedding"))
-    // planted near-dups: ids n..n+planted-1 perturb vectors 0..planted-1
-    // by ±1/500 per component — cosine vs the source stays ≈ 0.999
-    val dups = spark.range(planted.toLong)
+    val dups = spark.range(n.toLong).where(pmod(col("id"), lit(cadence)) === 0)
       .select((col("id") + n).as("vec_id"),
         transform(baseVec(col("id")), x => x + lit(0.002f)).as("embedding"))
+    val nPlanted = (n.toLong + cadence - 1) / cadence
     val corpus = base.unionByName(dups).localCheckpoint(true)
-    println(s"[embstress] corpus=${corpus.count()} planted=$planted")
+    println(s"[embstress:$regime] corpus=${corpus.count()} planted=$nPlanted " +
+      s"geometry=${bands}x$planes threshold=$threshold")
 
     val t0 = System.nanoTime()
     val pairs = graft.operators.Similarity.cosineNearDupPairsLsh(
-        corpus, "vec_id", "embedding", threshold = 0.85,
-        numBands = 24, planesPerBand = 10, dims = dims)
+        corpus, "vec_id", "embedding", threshold = threshold,
+        numBands = bands, planesPerBand = planes, dims = dims)
       .localCheckpoint(true)
     val found = pairs.count()
     val secs = (System.nanoTime() - t0) / 1e9
     val plantedHit = pairs
-      .where(col("id_b") === col("id_a") + n && col("id_a") < planted)
+      .where(col("id_b") === col("id_a") + n && pmod(col("id_a"), lit(cadence)) === 0)
       .count()
-    println(f"[embstress] lsh near-dup mining: $secs%.1f s, $found pairs, " +
-      f"planted recall $plantedHit/$planted (${100.0 * plantedHit / planted}%.1f%%)")
+    println(f"[embstress:$regime] lsh near-dup mining: $secs%.1f s, $found pairs, " +
+      f"planted recall $plantedHit/$nPlanted (${100.0 * plantedHit / nPlanted}%.1f%%)")
     spark.stop()
   }
 }

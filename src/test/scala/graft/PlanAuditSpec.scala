@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "q04_missing_days" -> "calendar bounds: 1-row (min,max) span crossJoin, explodes to <= a few thousand days",
     "q05_gap_islands" -> "same bounded calendar crossJoin upstream of the islands window",
     "q07_day_plan" -> "same bounded calendar crossJoin in the expected-days branch",
+    "q108_trading_capstone" -> "same bounded calendar crossJoin (users × 1-row span) feeding the gap-refill stage; every later join is equi/broadcast",
     "q27_interval_events" -> "bounded calendar span feeding the day-grain equi-join (the interval join itself is hash)",
     "q19_cosine_topk" -> "DECLARED brute-force baseline: broadcast query side x candidate scan is the semantics (scale paths are q25/q31/q33)",
     "q31_ann_ivf" -> "IVF index build: every vector scores against the broadcast centroid set (centroid count is the user-tuned knob, n/stride)",
