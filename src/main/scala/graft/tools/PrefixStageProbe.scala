@@ -8,21 +8,27 @@ import org.apache.spark.sql.graftbridge.Bridge
   * the REAL sf documents table (not the synthetic 100k corpus) — where
   * does the wall-clock go now that prefix selection is a narrow kernel:
   * the df collect, the candidate join, the hash verify, or the string
-  * verify? Prints per-stage seconds + cardinalities. */
+  * verify? Prints per-stage seconds + cardinalities.
+  *
+  * Arg 1 selects the plan: `jaccard` (default, the q94 shape) or
+  * `containment` (the q104 shape: a-prefix × b-full inverted list). */
 object PrefixStageProbe {
   def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "jaccard"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.activate(spark) // mirror Bench: IntersectCount rewrite on
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[probe] docs = ${docs.count()}")
+    if (mode == "containment") { containmentProbe(spark, docs); spark.stop(); return }
     val t = 0.5
     val hsets = time("hsets checkpoint (kernel all docs)") {
       docs.select(col("doc_id"),
@@ -78,5 +84,72 @@ object PrefixStageProbe {
       println(s"[probe] operator pairs = $n (hash-verified was ${hv.count()})")
     }
     spark.stop()
+  }
+
+  /** q104 shape: a-prefix × b-full candidate join at t = 0.6. */
+  private def containmentProbe(spark: SparkSession, docs: org.apache.spark.sql.DataFrame): Unit = {
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val t = 0.6
+    val hsets = time("hsets checkpoint") {
+      docs.select(col("doc_id"),
+          Bridge.column(graft.functions.expressions.WordShingleHashes(
+            Bridge.expression(col("text")), 3)).as("hs"))
+        .where(col("hs").isNotNull)
+        .localCheckpoint(true)
+    }
+    val (hotS, hotDf) = time("hot-df table collect") {
+      val top = hsets.select(explode(col("hs")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("s"))
+        .limit(graft.functions.expressions.PrefixSelect.MaxHot)
+        .collect()
+      println(s"[probe] vocab(hot) = ${top.length}")
+      val pairs = top.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      (pairs.map(_._1), pairs.map(_._2))
+    }
+    val prefix = time("a-prefix checkpoint") {
+      hsets.select(col("doc_id").as("id_a"), size(col("hs")).as("n_a"),
+          posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
+            Bridge.expression(col("hs")), hotS, hotDf, t))).as(Seq("p_a", "s")))
+        .localCheckpoint(true)
+    }
+    println(s"[probe] a-prefix rows = ${prefix.count()}")
+    val toks = time("b-full-list checkpoint") {
+      hsets.select(col("doc_id").as("id_b"), size(col("hs")).as("n_b"),
+          posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
+            Bridge.expression(col("hs")), hotS, hotDf, t, full = true)))
+            .as(Seq("p_b", "s")))
+        .localCheckpoint(true)
+    }
+    println(s"[probe] b-full rows = ${toks.count()}")
+    val candidates = time("candidate join + distinct") {
+      val c = prefix.join(toks, "s")
+        .where(col("id_a") =!= col("id_b") &&
+          col("n_b") >= ceil(lit(t) * col("n_a")) &&
+          lit(1) + least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1) >=
+            ceil(lit(t) * col("n_a").cast("double") - lit(1e-9)))
+        .select(col("id_a"), col("id_b"))
+        .distinct().localCheckpoint(true)
+      println(s"[probe] candidates = ${c.count()}")
+      c
+    }
+    val hv = time("hash verify") {
+      val h = candidates
+        .join(hsets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(hsets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .where(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") >=
+          lit(t) * size(col("hs_a")).cast("double"))
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+      println(s"[probe] hash-verified = ${h.count()}")
+      h
+    }
+    time("full operator (end to end)") {
+      val n = graft.operators.Dedup.containmentJoinPrefixFilter(docs, "doc_id", "text", 3, t).count()
+      println(s"[probe] operator pairs = $n (hash-verified was ${hv.count()})")
+    }
   }
 }
