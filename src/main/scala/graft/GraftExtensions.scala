@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // §2.10 optimizer depth: the size(array_intersect) peephole — see
     // IntersectCountRewrite's soundness gates
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+    // §2.10 tier (c): the native merge-scan as-of join operator
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 
@@ -114,5 +116,8 @@ object GraftExtensions {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(graft.plans.IntersectCountRewrite))
       spark.experimental.extraOptimizations = cur :+ graft.plans.IntersectCountRewrite
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies = strats :+ graft.plans.AsofJoinStrategy
   }
 }

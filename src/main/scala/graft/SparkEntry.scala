@@ -1613,6 +1613,63 @@ object SparkEntry {
         .withColumn("roll7_n", count(lit(1)).over(w))
         .orderBy(col("user_id"), col("day"))
     }),
+
+    // Q109 — STAT7 rolling windowed correlation (the windowed twin of q56's
+    // global Pearson): each user's daily flow vs the market aggregate over
+    // a trailing 7-present-day window — the rolling-beta census a quant
+    // surface needs. Determinism: values go to integer CENTS immediately
+    // (DECIMAL(18,2)·100 → long, exact in both engines), every window sum
+    // is integer arithmetic, and the final corr is one mirrored IEEE tail
+    // (num/sqrt(denx·deny)); long→double conversion is identical
+    // round-to-nearest on both engines, so no decimal-type ladder needed.
+    // Physical shape: two map-side-combinable daily rollups, the ~30-row
+    // market frame broadcasts, one user-partitioned window shuffle.
+    "q109_rolling_corr" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id"), to_date(col("ts")).as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      val daily = e.groupBy(col("user_id"), col("day")).agg(sum(col("cents")).as("x"))
+      val market = e.groupBy(col("day")).agg(sum(col("cents")).as("y"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-6, 0)
+      daily.join(broadcast(market), "day")
+        .withColumn("nw", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .where(col("nw") === 7)
+        .withColumn("num", (lit(7L) * col("sxy") - col("sx") * col("sy")).cast("double"))
+        .withColumn("denx", (lit(7L) * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("deny", (lit(7L) * col("syy") - col("sy") * col("sy")).cast("double"))
+        .where(col("denx") > 0 && col("deny") > 0)
+        .select(col("user_id"), col("day"),
+          (col("num") / sqrt(col("denx") * col("deny"))).as("corr7"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Q110 — TJ1 through the NATIVE merge-scan as-of operator
+    // (plans/AsofJoin.scala: custom LogicalPlan + SparkStrategy +
+    // SparkPlan, the §2.10 tier-(c) extension): q26's backward-as-of
+    // contract on a different probe slice, planned as one exchange + sort
+    // per side + a single O(|L|+|R|) merge pass — the DuckDB ASOF oracle
+    // now gates the custom physical operator itself.
+    "q110_asof_native" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val signups = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("value")).as("signup_value"))
+        .select(col("user_id"), col("signup_ts"), col("signup_value"))
+      TimeJoins.asOfBackwardMerge(
+          e.where(pmod(col("event_id"), lit(13)) === 0)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          signups.withColumn("ts", col("signup_ts")),
+          Seq("user_id"), "ts", "ts", Seq("signup_ts", "signup_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("signup_ts"), col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3155,6 +3212,40 @@ object SparkEntry {
           |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll7_n
           |FROM bars b LEFT JOIN missing m ON b.user_id = m.user_id AND b.day = m.day
           |ORDER BY b.user_id, b.day""".stripMargin,
+
+      // integer-cents domain end-to-end; DuckDB's BIGINT window sums widen
+      // to HUGEINT but represent the same integers, and the final
+      // int→double conversions round identically — the IEEE tail
+      // (num / sqrt(denx·deny)) is mirrored operation-for-operation
+      "q109_rolling_corr" ->
+        """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+          |daily AS (SELECT user_id, day, sum(cents) AS x FROM e GROUP BY 1, 2),
+          |market AS (SELECT day, sum(cents) AS y FROM e GROUP BY 1),
+          |j AS (SELECT d.user_id, d.day, d.x, m.y FROM daily d JOIN market m USING (day)),
+          |wf AS (SELECT user_id, day,
+          |    count(*) OVER w AS nw,
+          |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+          |    sum(x*x) OVER w AS sxx, sum(y*y) OVER w AS syy, sum(x*y) OVER w AS sxy
+          |  FROM j WINDOW w AS (PARTITION BY user_id ORDER BY day
+          |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+          |SELECT user_id, day,
+          |  CAST(7*sxy - sx*sy AS DOUBLE) /
+          |    sqrt(CAST(7*sxx - sx*sx AS DOUBLE) * CAST(7*syy - sy*sy AS DOUBLE)) AS corr7
+          |FROM wf
+          |WHERE nw = 7 AND 7*sxx - sx*sx > 0 AND 7*syy - sy*sy > 0
+          |ORDER BY user_id, day""".stripMargin,
+
+      // q26's ASOF oracle on the %13 probe slice — gates the native
+      // merge-scan operator
+      "q110_asof_native" ->
+        """WITH signups AS (SELECT user_id, ts AS signup_ts, max(value) AS signup_value
+          |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+          |probe AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 13 = 0)
+          |SELECT p.event_id, p.user_id, p.ts, s.signup_ts, s.signup_value
+          |FROM probe p ASOF LEFT JOIN signups s
+          |  ON p.user_id = s.user_id AND s.signup_ts <= p.ts
+          |ORDER BY p.event_id""".stripMargin,
     )
   }
 }

@@ -164,4 +164,38 @@ object TimeJoins {
         min(ts).as("session_start"),
         max(ts).as("session_end"),
         count(lit(1)).as("n_events"))
+
+  /**
+   * Backward as-of join through the NATIVE merge-scan operator
+   * ([[graft.plans.AsofJoinPlan]] → `AsofJoinExec`, the §2.10 tier-(c)
+   * extension) — same contract as [[asOfBackward]], different physical
+   * plan: one hash exchange + sort per side, then a single O(|L|+|R|)
+   * merge pass with O(1) state, instead of union + running-last window.
+   * Requires the planner strategy to be registered
+   * (`GraftExtensions.activate(spark)` or the extensions config).
+   *
+   * The right side re-aliases wholesale before plan surgery so its
+   * attribute ids never collide with the left's (both frames may derive
+   * from the same scan — e.g. probes and marks both cut from `events`).
+   */
+  def asOfBackwardMerge(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val sep = "__asof_r_"
+    val rFresh = right.select(right.columns.toSeq.map(c => col(c).as(sep + c)): _*)
+    val lPlan = Bridge.analyzed(left)
+    val rPlan = Bridge.analyzed(rFresh)
+    def attrOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${plan.output.map(_.name)}"))
+    val node = graft.plans.AsofJoinPlan(
+      lPlan, rPlan,
+      keyCols.map(attrOf(lPlan, _)), keyCols.map(c => attrOf(rPlan, sep + c)),
+      attrOf(lPlan, leftTs), attrOf(rPlan, sep + rightTs),
+      payloadCols.map(c => attrOf(rPlan, sep + c)))
+    payloadCols.foldLeft(Bridge.ofRows(left.sparkSession, node)) { (df, c) =>
+      df.withColumnRenamed(sep + c, c)
+    }
+  }
 }

@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/**
+ * Whole-operator Catalyst extension (§2.10 tier (c)): a native backward
+ * AS-OF join — logical node + planner strategy + merge-scan physical
+ * operator, registered through `SparkSessionExtensions.injectPlannerStrategy`
+ * (`GraftExtensions`).
+ *
+ * Semantics (the reference surface's "latest mark at or before" lookup,
+ * same contract as `TimeJoins.asOfBackward` / DuckDB `ASOF LEFT JOIN ...
+ * ON l.k = r.k AND r.ts <= l.ts`): every left row keeps the payload of the
+ * LATEST right row with `rightTime <= leftTime` in the same key group —
+ * null payload when no such row. Ties on rightTime resolve to the last
+ * row in (key, time) sort order, matching the union+window formulation's
+ * running-`last`.
+ *
+ * Physical shape — and why a custom operator at all: the DataFrame
+ * re-expression (union + running-last window) pays a union of both inputs
+ * plus a window that materializes each key partition. This operator
+ * declares `ClusteredDistribution` on the keys and per-partition
+ * `(key, time)` ordering, so EnsureRequirements plans exactly one hash
+ * exchange + sort per side (the SortMergeJoin shape), and the join itself
+ * is a single forward merge scan: O(|L| + |R|) per partition, O(1) state
+ * (one held payload row), no window buffer, no union blow-up. At 100 TB
+ * both sides stream through the merge without materializing anything.
+ *
+ * Scale note: skewed keys shuffle like any SMJ — AQE's skew handling does
+ * not split custom nodes, so pathological single-key skew should pre-salt
+ * (`Skew.saltedJoin` pattern) — same caveat as the window formulation,
+ * which materializes the whole skewed partition instead.
+ */
+case class AsofJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightPayload: Seq[Attribute])
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case _ => Nil
+  }
+}
+
+/**
+ * Merge-scan backward as-of join. Children arrive key-clustered and
+ * `(key, time)`-sorted (declared below; EnsureRequirements inserts the
+ * exchanges/sorts). Each partition advances one cursor over each sorted
+ * stream: the right cursor moves while its (key, time) is at-or-behind
+ * the current left row, holding a copy of the last in-key row it passed —
+ * that held row IS the as-of match.
+ */
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightPayload: Seq[Attribute])
+  extends BinaryExecNode {
+
+  require(leftKeys.length == rightKeys.length, "as-of key arity mismatch")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of key types must match pairwise")
+  require(leftTime.dataType == rightTime.dataType,
+    "as-of time columns must share a type")
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val payload = rightPayload
+    val timeType = leftTime.dataType
+    val keyTypes = leftKeys.map(_.dataType)
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val payloadProj = UnsafeProjection.create(payload, rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val keyOrd: Ordering[InternalRow] =
+        RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd: Ordering[Any] =
+        TypeUtils.getInterpretedOrdering(timeType).asInstanceOf[Ordering[Any]]
+      val nullPayload = new GenericInternalRow(payload.length)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // current right row (copied — shuffle readers reuse row buffers)
+        private var rCur: InternalRow = _
+        // last in-key right row passed by the cursor, and its key
+        private var held: UnsafeRow = _
+        private var heldKey: UnsafeRow = _
+        private def advanceRight(): Unit =
+          rCur = if (rIter.hasNext) rIter.next().copy() else null
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lTime = lTimeProj(lRow).get(0, timeType)
+          var scanning = rCur != null
+          while (scanning) {
+            val cmp = keyOrd.compare(rKeyProj(rCur), lKey)
+            if (cmp < 0) {
+              // right key behind left: irrelevant now and forever (keys ascend)
+              advanceRight()
+            } else if (cmp > 0) {
+              scanning = false // right cursor is ahead of this left row's key
+            } else {
+              val rTime = rTimeProj(rCur).get(0, timeType)
+              if (rTime == null) {
+                advanceRight() // null time matches nothing; nulls sort first
+              } else if (lTime != null && timeOrd.lteq(rTime, lTime)) {
+                held = payloadProj(rCur).copy()
+                heldKey = rKeyProj(rCur).copy()
+                advanceRight()
+              } else {
+                scanning = false // right cursor is ahead in time (or lTime null)
+              }
+            }
+            if (rCur == null) scanning = false
+          }
+          val matched =
+            held != null && heldKey != null && keyOrd.compare(heldKey, lKey) == 0
+          resultProj(joined(lRow, if (matched) held else nullPayload))
+        }
+      }
+    }
+  }
+}

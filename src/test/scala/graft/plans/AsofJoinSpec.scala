@@ -1,0 +1,90 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftExtensions, SparkSpec}
+import graft.operators.TimeJoins
+
+/** The §2.10 tier-(c) native as-of join: the merge-scan physical operator
+  * must (a) appear in the executed plan with one exchange + sort per side,
+  * and (b) agree row-for-row with the union+window formulation on
+  * adversarial vectors — ties at equal ts, keys with no match, null
+  * payloads, multi-key streams, and a randomized cross-check. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.activate(spark)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // probes: (key, ts, probe_id); marks: (key, ts, mark)
+  private val probes = Seq(
+    ("a", ts("2024-01-01 10:00:00"), 1L),  // before any mark -> null
+    ("a", ts("2024-01-01 11:00:00"), 2L),  // exactly at mark m1 -> m1 (<=)
+    ("a", ts("2024-01-01 12:30:00"), 3L),  // between m1 and m2 -> m1
+    ("a", ts("2024-01-01 13:00:00"), 4L),  // at tie pair -> LAST tie row
+    ("b", ts("2024-01-01 09:00:00"), 5L),  // key with marks, all later -> null
+    ("c", ts("2024-01-01 09:00:00"), 6L),  // key with no marks at all -> null
+    ("a", ts("2024-01-02 00:00:00"), 7L)   // far after -> latest mark
+  ).toDF("k", "t", "probe_id")
+
+  private val marks = Seq(
+    ("a", ts("2024-01-01 11:00:00"), "m1"),
+    ("a", ts("2024-01-01 13:00:00"), "tie_first"),
+    ("a", ts("2024-01-01 13:00:00"), "tie_last"),
+    ("b", ts("2024-01-01 22:00:00"), "late_b")
+  ).toDF("k", "t", "mark")
+
+  test("merge exec plans with one exchange+sort per side and appears in the plan") {
+    val df = TimeJoins.asOfBackwardMerge(
+      probes, marks, Seq("k"), "t", "t", Seq("mark"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("AsofJoin"), s"native operator missing:\n$physical")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, saw $exchanges:\n$physical")
+  }
+
+  test("backward as-of vectors: nulls, exact-at, ties resolve to last") {
+    val out = TimeJoins.asOfBackwardMerge(
+        probes, marks, Seq("k"), "t", "t", Seq("mark"))
+      .select(col("probe_id"), col("mark"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains("m1"))
+    assert(out(3L).contains("m1"))
+    assert(out(4L).contains("tie_last")) // running-last tie law
+    assert(out(5L).isEmpty)
+    assert(out(6L).isEmpty)
+    assert(out(7L).contains("tie_last"))
+  }
+
+  test("merge exec == union+window formulation on a randomized stream") {
+    // deterministic pseudo-random corpus: 40 keys x ~100 probes, ~60 marks
+    val probesR = spark.range(4000).select(
+      concat(lit("k"), pmod(col("id"), lit(40))).as("k"),
+      timestamp_micros((lit(1700000000000000L) +
+        pmod(hash(col("id")).cast("long"), lit(86400000000L)) * 7).cast("long")).as("t"),
+      col("id").as("probe_id"))
+    val marksR = spark.range(2400).select(
+      concat(lit("k"), pmod(col("id"), lit(41))).as("k"), // 41: some keys markless
+      timestamp_micros((lit(1700000000000000L) +
+        pmod(hash(col("id"), lit(7)).cast("long"), lit(86400000000L)) * 7).cast("long")).as("t"),
+      (col("id") * 3).as("mark"))
+      // unique (k, t) so both formulations' tie law is irrelevant here
+      .groupBy(col("k"), col("t")).agg(max(col("mark")).as("mark"))
+    val viaMerge = TimeJoins.asOfBackwardMerge(
+        probesR, marksR, Seq("k"), "t", "t", Seq("mark"))
+      .select(col("probe_id"), col("mark"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val viaWindow = TimeJoins.asOfBackward(
+        probesR, marksR, Seq("k"), "t", "t", Seq("mark"))
+      .select(col("probe_id"), col("mark"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(viaMerge.size == 4000 && viaWindow.size == 4000)
+    assert(viaMerge == viaWindow)
+    assert(viaMerge.values.exists(_.nonEmpty) && viaMerge.values.exists(_.isEmpty),
+      "corpus must exercise both matched and unmatched probes")
+  }
+}
