@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeJoins
+
+/**
+ * Scale comparison of the two backward as-of formulations (SURVEY §2.10
+ * tier (c) evidence): the union + running-last window (`asOfBackward`)
+ * vs the native merge-scan operator (`asOfBackwardMerge`,
+ * `plans/AsofJoin.scala`) on a multi-million-row deterministic tick
+ * stream.
+ *
+ * Corpus law (no RNG): `n` probe rows and `n/2` mark rows spread over
+ * `k` keys; timestamps are hash-scattered over 30 days so each key's
+ * stream is dense and unordered on arrival (both plans must really
+ * sort). Equality of the two outputs is asserted on a sampled
+ * anti-join (count of disagreeing rows must be 0) before timings are
+ * reported — a perf number for a wrong plan is worthless.
+ *
+ * Usage: runMain graft.tools.AsofScaleStress [n] [k]   (default 4M / 200)
+ */
+object AsofScaleStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 4000000L
+    val k = if (args.length > 1) args(1).toInt else 200
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.activate(spark)
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[asof-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    val probes = spark.range(n).select(
+      pmod(col("id"), lit(k)).as("key"),
+      timestamp_micros((lit(1700000000000000L) +
+        pmod(hash(col("id")).cast("long"), lit(2592000000000L))).cast("long")).as("t"),
+      col("id").as("probe_id"))
+      .localCheckpoint(true)
+    val marks = spark.range(n / 2).select(
+      pmod(col("id"), lit(k)).as("key"),
+      timestamp_micros((lit(1700000000000000L) +
+        pmod(hash(col("id"), lit(7)).cast("long"), lit(2592000000000L))).cast("long")).as("t"),
+      (col("id") * 31).as("mark"))
+      .groupBy(col("key"), col("t")).agg(max(col("mark")).as("mark")) // unique (key, t)
+      .localCheckpoint(true)
+    println(s"[asof-stress] probes=${probes.count()} marks=${marks.count()} keys=$k")
+
+    val merge = timed("native merge-scan operator") {
+      val d = TimeJoins.asOfBackwardMerge(
+        probes, marks, Seq("key"), "t", "t", Seq("mark")).localCheckpoint(true)
+      d.count(); d
+    }
+    val window = timed("union + running-last window") {
+      val d = TimeJoins.asOfBackward(
+        probes, marks, Seq("key"), "t", "t", Seq("mark")).localCheckpoint(true)
+      d.count(); d
+    }
+    val disagree = merge.select(col("probe_id"), col("mark"))
+      .exceptAll(window.select(col("probe_id"), col("mark"))).count()
+    println(s"[asof-stress] disagreeing rows = $disagree (must be 0)")
+    require(disagree == 0, "formulations disagree")
+    spark.stop()
+  }
+}
