@@ -1670,6 +1670,25 @@ object SparkEntry {
           col("signup_ts"), col("signup_value"))
         .orderBy(col("event_id"))
     }),
+
+    // Q111 — TJ2 through the native operator, forward direction: q57's
+    // earliest-at-or-after contract on the %13 probe slice; the forward
+    // merge needs no held state (the resting cursor is the match).
+    "q111_asof_native_fwd" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val signups = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("value")).as("signup_value"))
+        .select(col("user_id"), col("signup_ts"), col("signup_value"))
+      TimeJoins.asOfForwardMerge(
+          e.where(pmod(col("event_id"), lit(13)) === 0)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          signups.withColumn("ts", col("signup_ts")),
+          Seq("user_id"), "ts", "ts", Seq("signup_ts", "signup_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("signup_ts"), col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3245,6 +3264,17 @@ object SparkEntry {
           |SELECT p.event_id, p.user_id, p.ts, s.signup_ts, s.signup_value
           |FROM probe p ASOF LEFT JOIN signups s
           |  ON p.user_id = s.user_id AND s.signup_ts <= p.ts
+          |ORDER BY p.event_id""".stripMargin,
+
+      // q57's forward ASOF oracle on the %13 slice — gates the native
+      // forward merge
+      "q111_asof_native_fwd" ->
+        """WITH signups AS (SELECT user_id, ts AS signup_ts, max(value) AS signup_value
+          |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+          |probe AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 13 = 0)
+          |SELECT p.event_id, p.user_id, p.ts, s.signup_ts, s.signup_value
+          |FROM probe p ASOF LEFT JOIN signups s
+          |  ON p.user_id = s.user_id AND p.ts <= s.signup_ts
           |ORDER BY p.event_id""".stripMargin,
     )
   }

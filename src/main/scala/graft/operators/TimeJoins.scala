@@ -180,7 +180,22 @@ object TimeJoins {
    */
   def asOfBackwardMerge(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame =
+    asOfMerge(left, right, keyCols, leftTs, rightTs, payloadCols, forward = false)
+
+  /** Forward twin of [[asOfBackwardMerge]]: earliest right row with
+    * `rightTs >= leftTs` per key, through the same native operator
+    * (`forward = true` needs no held state at all — the resting cursor IS
+    * the match). Same contract as [[asOfForward]]. */
+  def asOfForwardMerge(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame =
+    asOfMerge(left, right, keyCols, leftTs, rightTs, payloadCols, forward = true)
+
+  private def asOfMerge(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      forward: Boolean): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val sep = "__asof_r_"
     val rFresh = right.select(right.columns.toSeq.map(c => col(c).as(sep + c)): _*)
@@ -193,7 +208,7 @@ object TimeJoins {
       lPlan, rPlan,
       keyCols.map(attrOf(lPlan, _)), keyCols.map(c => attrOf(rPlan, sep + c)),
       attrOf(lPlan, leftTs), attrOf(rPlan, sep + rightTs),
-      payloadCols.map(c => attrOf(rPlan, sep + c)))
+      payloadCols.map(c => attrOf(rPlan, sep + c)), forward)
     payloadCols.foldLeft(Bridge.ofRows(left.sparkSession, node)) { (df, c) =>
       df.withColumnRenamed(sep + c, c)
     }

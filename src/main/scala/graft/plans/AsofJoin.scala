@@ -44,7 +44,8 @@ case class AsofJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightPayload: Seq[Attribute])
+    rightPayload: Seq[Attribute],
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -58,19 +59,29 @@ case class AsofJoinPlan(
 /** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload, fwd) :: Nil
     case _ => Nil
   }
 }
 
 /**
- * Merge-scan backward as-of join. Children arrive key-clustered and
+ * Merge-scan as-of join. Children arrive key-clustered and
  * `(key, time)`-sorted (declared below; EnsureRequirements inserts the
  * exchanges/sorts). Each partition advances one cursor over each sorted
- * stream: the right cursor moves while its (key, time) is at-or-behind
- * the current left row, holding a copy of the last in-key row it passed —
- * that held row IS the as-of match.
+ * stream.
+ *
+ * Backward (`forward = false`): the right cursor moves while its
+ * (key, time) is at-or-behind the current left row, holding a copy of the
+ * last in-key row it passed — that held row IS the as-of match.
+ *
+ * Forward (`forward = true`): the right cursor moves while its time is
+ * strictly BEFORE the current left row's (same key); the row it then
+ * rests on is the earliest at-or-after match — no held state at all,
+ * because later left rows can only need rows further right. Ties at an
+ * equal right time resolve to the first in sort order; pre-aggregate
+ * rights to unique (key, time) for a deterministic pick (the same
+ * contract as the window formulation).
  */
 case class AsofJoinExec(
     left: SparkPlan,
@@ -79,7 +90,8 @@ case class AsofJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightPayload: Seq[Attribute])
+    rightPayload: Seq[Attribute],
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   require(leftKeys.length == rightKeys.length, "as-of key arity mismatch")
@@ -149,6 +161,12 @@ case class AsofJoinExec(
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
           val lTime = lTimeProj(lRow).get(0, timeType)
+          if (forward) nextForward(lRow, lKey, lTime)
+          else nextBackward(lRow, lKey, lTime)
+        }
+
+        private def nextBackward(
+            lRow: InternalRow, lKey: UnsafeRow, lTime: Any): InternalRow = {
           var scanning = rCur != null
           while (scanning) {
             val cmp = keyOrd.compare(rKeyProj(rCur), lKey)
@@ -174,6 +192,34 @@ case class AsofJoinExec(
           val matched =
             held != null && heldKey != null && keyOrd.compare(heldKey, lKey) == 0
           resultProj(joined(lRow, if (matched) held else nullPayload))
+        }
+
+        private def nextForward(
+            lRow: InternalRow, lKey: UnsafeRow, lTime: Any): InternalRow = {
+          // advance while the right row cannot serve this (or any later)
+          // left row: key behind, or same key with time strictly before —
+          // later left rows only ever need times further right
+          var scanning = rCur != null && lTime != null
+          while (scanning) {
+            val cmp = keyOrd.compare(rKeyProj(rCur), lKey)
+            if (cmp < 0) {
+              advanceRight()
+            } else if (cmp == 0) {
+              val rTime = rTimeProj(rCur).get(0, timeType)
+              if (rTime == null || timeOrd.lt(rTime, lTime)) advanceRight()
+              else scanning = false // resting on the earliest at-or-after row
+            } else {
+              scanning = false
+            }
+            if (rCur == null) scanning = false
+          }
+          val matched = lTime != null && rCur != null && {
+            keyOrd.compare(rKeyProj(rCur), lKey) == 0 && {
+              val rTime = rTimeProj(rCur).get(0, timeType)
+              rTime != null && timeOrd.gteq(rTime, lTime)
+            }
+          }
+          resultProj(joined(lRow, if (matched) payloadProj(rCur) else nullPayload))
         }
       }
     }

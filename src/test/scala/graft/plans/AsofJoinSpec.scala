@@ -60,6 +60,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(7L).contains("tie_last"))
   }
 
+  test("forward as-of vectors: earliest at-or-after, exact-at, nulls") {
+    val out = TimeJoins.asOfForwardMerge(
+        probes, marks, Seq("k"), "t", "t", Seq("mark"))
+      .select(col("probe_id"), col("mark"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("m1"))        // earliest mark after 10:00
+    assert(out(2L).contains("m1"))        // exactly at -> matches (>=)
+    assert(out(3L).exists(_.startsWith("tie"))) // next is the 13:00 tie pair
+    assert(out(5L).contains("late_b"))    // b's only mark is later
+    assert(out(6L).isEmpty)               // no marks for key c
+    assert(out(7L).isEmpty)               // after the last mark -> null
+  }
+
   test("merge exec == union+window formulation on a randomized stream") {
     // deterministic pseudo-random corpus: 40 keys x ~100 probes, ~60 marks
     val probesR = spark.range(4000).select(
@@ -86,5 +99,15 @@ class AsofJoinSpec extends SparkSpec {
     assert(viaMerge == viaWindow)
     assert(viaMerge.values.exists(_.nonEmpty) && viaMerge.values.exists(_.isEmpty),
       "corpus must exercise both matched and unmatched probes")
+
+    val fwdMerge = TimeJoins.asOfForwardMerge(
+        probesR, marksR, Seq("k"), "t", "t", Seq("mark"))
+      .select(col("probe_id"), col("mark"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val fwdWindow = TimeJoins.asOfForward(
+        probesR, marksR, Seq("k"), "t", "t", Seq("mark"))
+      .select(col("probe_id"), col("mark"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fwdMerge == fwdWindow)
   }
 }
