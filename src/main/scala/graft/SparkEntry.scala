@@ -1689,6 +1689,48 @@ object SparkEntry {
           col("signup_ts"), col("signup_value"))
         .orderBy(col("event_id"))
     }),
+
+    // Q112 — CDC1 SCD2 history reconstruction: replay the event stream as
+    // a change-data-capture log (error = tombstone/D, anything else =
+    // upsert/U) into type-2 validity intervals — every upsert opens a
+    // version valid [ts, next-change-ts), a tombstone closes the open
+    // version without opening one, and the last open version per user is
+    // current. The lakehouse lineage artifact a training-data audit reads
+    // ("what was this record's state when the snapshot was cut"). One
+    // user-partitioned lead window; timestamps unique per user (verified
+    // against the fixtures), so versions are deterministic.
+    "q112_cdc_scd2" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .where(col("event_type") =!= "error") // tombstones close, never open
+        .select(
+          col("user_id"),
+          col("ts").as("valid_from"),
+          col("valid_to"),
+          col("event_type").as("state_type"),
+          col("value").as("state_value"),
+          col("valid_to").isNull.cast("int").cast("long").as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // Q113 — CDC2 current-state snapshot (the MERGE-INTO target q112's
+    // history compacts to): last-writer-wins per user via one
+    // map-side-combinable max_by aggregate; users whose LAST change is a
+    // tombstone are absent. Ties impossible (per-user ts unique in the
+    // fixtures; q112 documents the same contract).
+    "q113_cdc_snapshot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("ts")).as("last_ts"),
+          max_by(col("event_type"), col("ts")).as("state_type"),
+          max_by(col("value"), col("ts")).as("state_value"),
+          count(lit(1)).as("n_changes"))
+        .where(col("state_type") =!= "error")
+        .orderBy(col("user_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3276,6 +3318,27 @@ object SparkEntry {
           |FROM probe p ASOF LEFT JOIN signups s
           |  ON p.user_id = s.user_id AND p.ts <= s.signup_ts
           |ORDER BY p.event_id""".stripMargin,
+
+      // the lead window runs over ALL ops (tombstones close the previous
+      // version), then tombstone rows drop — same law as the Spark side
+      "q112_cdc_scd2" ->
+        """WITH log AS (SELECT user_id, ts, event_type, value,
+          |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+          |  FROM events)
+          |SELECT user_id, ts AS valid_from, valid_to,
+          |  event_type AS state_type, value AS state_value,
+          |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+          |FROM log WHERE event_type <> 'error'
+          |ORDER BY user_id, valid_from""".stripMargin,
+
+      "q113_cdc_snapshot" ->
+        """SELECT user_id, max(ts) AS last_ts,
+          |  arg_max(event_type, ts) AS state_type,
+          |  arg_max(value, ts) AS state_value,
+          |  count(*) AS n_changes
+          |FROM events GROUP BY user_id
+          |HAVING arg_max(event_type, ts) <> 'error'
+          |ORDER BY user_id""".stripMargin,
     )
   }
 }
