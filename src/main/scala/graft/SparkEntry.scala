@@ -1731,6 +1731,23 @@ object SparkEntry {
           count(lit(1)).as("n_changes"))
         .where(col("state_type") =!= "error")
         .orderBy(col("user_id"))),
+
+    // Q114 — GRAPH1 iterative propagation: integer-exact PageRank (3
+    // damped iterations, 17/20 rational damping, truncating integer
+    // division — no IEEE anywhere) over the symmetrized customer↔supplier
+    // bipartite graph induced by orders×lineitem. Node ids disambiguate
+    // the two key spaces (cust·10, supp·10+1). The oracle unrolls the
+    // same three integer steps, so ranks hash-match as BIGINTs.
+    "q114_graph_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 10).cast("long").as("src"),
+          (col("l_suppkey") * 10 + 1).cast("long").as("dst"))
+        .distinct()
+      val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pagerankIntegers(edges, iterations = 3)
+        .orderBy(col("node"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3339,6 +3356,33 @@ object SparkEntry {
           |FROM events GROUP BY user_id
           |HAVING arg_max(event_type, ts) <> 'error'
           |ORDER BY user_id""".stripMargin,
+
+      // three unrolled integer PR steps (recursive CTEs cannot aggregate);
+      // every sum wraps in CAST(... AS BIGINT) because DuckDB's sum(BIGINT)
+      // widens to HUGEINT — values are the same integers, the cast only
+      // pins the declared type for the schema-strict compare
+      "q114_graph_pagerank" ->
+        """WITH e0 AS (SELECT DISTINCT CAST(o_custkey*10 AS BIGINT) AS src,
+          |    CAST(l_suppkey*10+1 AS BIGINT) AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+          |c1 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+          |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          |r1 AS (SELECT n.node, CAST(150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+          |c2 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+          |  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          |r2 AS (SELECT n.node, CAST(150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+          |c3 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+          |  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          |r3 AS (SELECT n.node, CAST(150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
     )
   }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph propagation in the EXACT integer domain — PageRank with
+ * damping 0.85 over a directed edge list, every step a pure integer
+ * function so a SQL oracle replays it bit-for-bit:
+ *
+ *   r₀(v)    = scale                        (scale = 10¹²)
+ *   rₖ₊₁(v)  = floor(0.15·scale) + (17 · Σ_{u→v} (rₖ(u) DIV deg(u))) DIV 20
+ *
+ * The per-neighbor share uses truncating integer division (identical in
+ * Spark `DIV` and DuckDB `//` for non-negative operands), and the 0.85
+ * damping is the rational 17/20 applied as multiply-then-DIV — no IEEE
+ * ops anywhere, so ranks are engine- and parallelism-exact at any scale.
+ *
+ * Physical shape per iteration: ranks join the (broadcast-size or
+ * shuffled) edge list on src, contributions aggregate map-side per dst,
+ * and a left join back to the node set keeps contribution-less nodes at
+ * the base rank. Lineage truncates per iteration via `localCheckpoint`
+ * (lazy) so k iterations never re-run iteration 1 — the q39/q64
+ * iterative-plan convention.
+ *
+ * Overflow bound: Σ-mass stays ≈ |V|·scale, so 17·sum fits a long for
+ * |V| up to ~5·10⁵ at scale 10¹²; larger graphs lower the scale.
+ */
+object Graph {
+
+  /** @param edges (src: long, dst: long) directed edges, pre-deduped.
+    * @return (node, rank) — rank in units of `scale` (long). */
+  def pagerankIntegers(
+      edges: DataFrame, iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "1..20 iterations")
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(deg, "src").localCheckpoint(false)
+    val base = scale * 15L / 100L
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank DIV deg").as("share"))
+        .groupBy(col("node")).agg(sum(col("share")).as("s"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("17 * coalesce(s, 0L) DIV 20")).as("rank"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Integer-exact PageRank: hand-computed vectors on canonical graphs and
+  * the parallelism-invariance law (exact integer arithmetic must not care
+  * how the edge list is partitioned). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  test("symmetric pair is a fixed point of the integer recurrence") {
+    // A<->B, deg 1 each: r1 = 0.15S + (17*S) DIV 20 = S exactly
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val ranks = Graph.pagerankIntegers(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks == Map(1L -> S, 2L -> S))
+  }
+
+  test("3-leaf star: hand-computed first iteration") {
+    // center 0 <-> leaves 1,2,3 (symmetrized): deg(0)=3, deg(leaf)=1
+    // r1(center) = 1.5e11 + (17 * 3e12) DIV 20          = 2700000000000
+    // r1(leaf)   = 1.5e11 + (17 * (1e12 DIV 3)) DIV 20  =  433333333333
+    val edges = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 0L, 2L -> 0L, 3L -> 0L)
+      .toDF("src", "dst")
+    val ranks = Graph.pagerankIntegers(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) == 2700000000000L)
+    assert(ranks(1L) == 433333333333L)
+    assert(ranks(2L) == 433333333333L && ranks(3L) == 433333333333L)
+  }
+
+  test("ranks are partitioning-invariant (exact integer law)") {
+    val edges0 = spark.range(300).select(
+      pmod(col("id"), lit(50)).as("src"),
+      pmod(hash(col("id")).cast("long"), lit(50)).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val edges = edges0.unionByName(
+      edges0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.pagerankIntegers(df, iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(edges.repartition(1))
+    val b = run(edges.repartition(7, col("dst")))
+    assert(a == b)
+    assert(a.nonEmpty && a.values.exists(_ != S), "graph must not be trivial")
+  }
+}
