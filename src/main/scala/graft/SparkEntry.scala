@@ -1745,7 +1745,9 @@ object SparkEntry {
           (col("l_suppkey") * 10 + 1).cast("long").as("dst"))
         .distinct()
       val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.Graph.pagerankIntegers(edges, iterations = 3)
+      // broadcastRanks: |V| = |customers|+|suppliers| — dimension-table
+      // bounded at any tested sf (16.5k rows at sf0.1)
+      graft.operators.Graph.pagerankIntegers(edges, iterations = 3, broadcastRanks = true)
         .orderBy(col("node"))
     }),
   )

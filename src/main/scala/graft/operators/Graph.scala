@@ -29,9 +29,15 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** @param edges (src: long, dst: long) directed edges, pre-deduped.
+    * @param broadcastRanks caller-asserted "node set fits the driver"
+    *   fast path: the per-iteration rank frame (|V| rows of two longs)
+    *   broadcasts into the edge join, halving shuffles per iteration —
+    *   the edge list then shuffles once (contribution rollup), not twice.
+    *   Default false keeps the fully-distributed shape for unbounded V.
     * @return (node, rank) — rank in units of `scale` (long). */
   def pagerankIntegers(
-      edges: DataFrame, iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+      edges: DataFrame, iterations: Int = 3, scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20, "1..20 iterations")
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
@@ -43,8 +49,9 @@ object Graph {
     val base = scale * 15L / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iterations) {
+      val rankSide = ranks.withColumnRenamed("node", "src")
       val contrib = edgesDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(if (broadcastRanks) broadcast(rankSide) else rankSide, "src")
         .select(col("dst").as("node"), expr("rank DIV deg").as("share"))
         .groupBy(col("node")).agg(sum(col("share")).as("s"))
       ranks = nodes
