@@ -116,4 +116,69 @@ object StatefulOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(dedupCols)
+
+  final case class AsofStreamState(marks: List[(Long, Double)]) // ts desc
+  final case class AsofEnriched(
+      symbol: String, ts: Timestamp,
+      mark_ts: Option[Timestamp], mark_value: Option[Double])
+
+  /**
+   * Streaming backward as-of enrichment — the streaming twin of
+   * `TimeJoins.asOfBackwardMerge` (TJ1): every probe row picks up the
+   * latest mark with `mark.ts <= probe.ts` in its key, from per-key
+   * mark state.
+   *
+   * Both inputs union into one keyed stream (side-tagged — the standard
+   * two-input shape for `flatMapGroupsWithState`); within a batch, rows
+   * process in event-time order with marks ahead of probes at equal ts,
+   * so in-batch ordering is exact. ACROSS batches the semantics are
+   * at-arrival: a mark arriving in a later batch than a probe it
+   * precedes in event time does NOT retro-correct the already-emitted
+   * probe — the standard streaming-enrichment contract (exact
+   * reconciliation is the batch operator's job).
+   *
+   * State is bounded: marks older than `lookback` behind the key's
+   * newest mark are pruned, except the single newest of them — the
+   * "last known value" an arbitrarily-late probe still needs. State per
+   * key is therefore O(marks-in-lookback), not O(stream).
+   *
+   * @param probes (symbol, timestamp)
+   * @param marks  (symbol, timestamp, mark_value)
+   */
+  def streamingAsofEnrich(
+      probes: DataFrame, marks: DataFrame, lookbackUs: Long)(
+      implicit spark: SparkSession): Dataset[AsofEnriched] = {
+    import spark.implicits._
+    val tagged = probes
+      .select(col("symbol"),
+        unix_micros(col("timestamp").cast("timestamp")).as("ts_us"),
+        lit(false).as("is_mark"), lit(0.0).as("mark_value"))
+      .unionByName(marks.select(col("symbol"),
+        unix_micros(col("timestamp").cast("timestamp")).as("ts_us"),
+        lit(true).as("is_mark"), col("mark_value")))
+    tagged
+      .as[(String, Long, Boolean, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofStreamState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol, rows, state: GroupState[AsofStreamState]) =>
+          var ms = state.getOption.map(_.marks).getOrElse(Nil)
+          // marks before probes at equal ts (<= semantics): false < true
+          val out = rows.toSeq.sortBy { case (_, ts, isMark, _) => (ts, !isMark) }
+            .flatMap {
+              case (_, ts, true, v) =>
+                ms = ((ts, v) :: ms).sortBy(-_._1)
+                val horizon = ms.head._1 - lookbackUs
+                val (recent, old) = ms.partition(_._1 >= horizon)
+                ms = recent ++ old.take(1) // keep one last-known beyond lookback
+                Nil
+              case (_, ts, false, _) =>
+                val hit = ms.find(_._1 <= ts)
+                AsofEnriched(symbol, new Timestamp(ts / 1000),
+                  hit.map(m => new Timestamp(m._1 / 1000)), hit.map(_._2)) :: Nil
+            }
+          state.update(AsofStreamState(ms))
+          out.iterator
+      }
+  }
 }

@@ -83,4 +83,43 @@ class StatefulOpsSpec extends SparkSpec {
       assert(rows.map(_.getAs[java.sql.Timestamp]("ts")).toSet == Set(ts(0), ts(1), ts(2)))
     } finally q.stop()
   }
+
+  test("streamingAsofEnrich: in-batch order, cross-batch mark state, lookback keeps last-known") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    val probeMem = MemoryStream[(String, java.sql.Timestamp)]
+    val markMem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val out = StatefulOps.streamingAsofEnrich(
+      probeMem.toDF.toDF("symbol", "timestamp"),
+      markMem.toDF.toDF("symbol", "timestamp", "mark_value"),
+      lookbackUs = 5L * 60 * 1000000) // 5-minute lookback
+    val q = out.writeStream.format("memory").queryName("asof_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: marks at :01 and :03; probes at :00 (before any mark ->
+      // null), :02 (-> :01 mark), :03 (equal ts -> :03 mark, marks-first)
+      markMem.addData(("NQ", ts(1), 10.0), ("NQ", ts(3), 30.0))
+      probeMem.addData(("NQ", ts(0)), ("NQ", ts(2)), ("NQ", ts(3)))
+      q.processAllAvailable()
+      // batch 2: probe at :04 matches batch-1 state (:03 mark); a mark at
+      // :20 prunes :01/:03 beyond the 5-min lookback but must KEEP :03 as
+      // last-known; probe at :15 (behind :20, after :03) -> :03 mark
+      probeMem.addData(("NQ", ts(4)))
+      q.processAllAvailable()
+      markMem.addData(("NQ", ts(20), 99.0))
+      probeMem.addData(("NQ", ts(15)))
+      q.processAllAvailable()
+      val rows = spark.table("asof_test").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("ts") ->
+          (Option(r.getAs[java.sql.Timestamp]("mark_ts")), Option(r.getAs[Any]("mark_value")))).toMap
+      assert(rows(ts(0)) == (None, None))
+      assert(rows(ts(2)) == (Some(ts(1)), Some(10.0)))
+      assert(rows(ts(3)) == (Some(ts(3)), Some(30.0)))
+      assert(rows(ts(4)) == (Some(ts(3)), Some(30.0)))
+      assert(rows(ts(15)) == (Some(ts(3)), Some(30.0)), "last-known mark must survive pruning")
+    } finally q.stop()
+  }
 }
