@@ -1750,6 +1750,26 @@ object SparkEntry {
       graft.operators.Graph.pagerankIntegers(edges, iterations = 3, broadcastRanks = true)
         .orderBy(col("node"))
     }),
+
+    // Q115 — J3 general form through the NATIVE sweep interval join
+    // (plans/IntervalJoin.scala): ad-attribution assignment — every
+    // purchase pairs with ALL of its user's view windows ([view_ts,
+    // view_ts + 3 days]) containing it. One sweep pass per key instead of
+    // SMJ-with-range-residual's per-key cross product.
+    "q115_interval_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      val windows = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 3 DAYS")).as("w_end"),
+          col("event_id").as("view_id"))
+      TimeJoins.intervalJoinSweep(purchases, windows, Seq("user_id"),
+          "purchase_ts", "w_start", "w_end", Seq("view_id", "w_start"))
+        .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+          col("view_id"), col("w_start").as("view_ts"))
+        .orderBy(col("purchase_id"), col("view_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3385,6 +3405,15 @@ object SparkEntry {
           |r3 AS (SELECT n.node, CAST(150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
           |  FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
           |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
+      "q115_interval_attribution" ->
+        """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+          |  v.event_id AS view_id, v.ts AS view_ts
+          |FROM events p JOIN events v
+          |  ON p.user_id = v.user_id
+          | AND p.event_type = 'purchase' AND v.event_type = 'view'
+          | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 3 DAY
+          |ORDER BY purchase_id, view_id""".stripMargin,
     )
   }
 }

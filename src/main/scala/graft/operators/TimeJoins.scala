@@ -197,6 +197,45 @@ object TimeJoins {
       leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame =
     asOfMerge(left, right, keyCols, leftTs, rightTs, payloadCols, forward = true)
 
+  /**
+   * Point-in-interval join through the NATIVE sweep operator
+   * ([[graft.plans.IntervalJoinPlan]] → `IntervalJoinExec`): every probe
+   * row pairs with every same-key interval containing its time
+   * (`start <= t <= end`, inclusive; inner join — unmatched probes drop).
+   * Same result as `probes.join(intervals, keys && t.between(start, end))`
+   * but one sweep pass per key instead of SortMergeJoin's per-key cross
+   * product with a range residual.
+   *
+   * Null keys are filtered on both sides (SQL inner-join parity — the
+   * merge scan would otherwise pair null keys like values).
+   */
+  def intervalJoinSweep(
+      probes: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+      probeTs: String, startCol: String, endCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val exp = probes.sparkSession.experimental
+    if (!exp.extraStrategies.contains(graft.plans.IntervalJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.IntervalJoinStrategy
+    val sep = "__iv_r_"
+    val lNN = keyCols.foldLeft(probes)((d, c) => d.where(col(c).isNotNull))
+    val rNN = keyCols.foldLeft(intervals)((d, c) => d.where(col(c).isNotNull))
+    val rFresh = rNN.select(rNN.columns.toSeq.map(c => col(c).as(sep + c)): _*)
+    val lPlan = Bridge.analyzed(lNN)
+    val rPlan = Bridge.analyzed(rFresh)
+    def attrOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${plan.output.map(_.name)}"))
+    val node = graft.plans.IntervalJoinPlan(
+      lPlan, rPlan,
+      keyCols.map(attrOf(lPlan, _)), keyCols.map(c => attrOf(rPlan, sep + c)),
+      attrOf(lPlan, probeTs), attrOf(rPlan, sep + startCol), attrOf(rPlan, sep + endCol),
+      payloadCols.map(c => attrOf(rPlan, sep + c)))
+    payloadCols.foldLeft(Bridge.ofRows(probes.sparkSession, node)) { (df, c) =>
+      df.withColumnRenamed(sep + c, c)
+    }
+  }
+
   private def asOfMerge(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, payloadCols: Seq[String],

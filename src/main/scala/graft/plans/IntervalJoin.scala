@@ -1,0 +1,227 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/**
+ * Whole-operator Catalyst extension (§2.10 tier (c), the [[AsofJoinPlan]]
+ * sibling): a native POINT-IN-INTERVAL join — every left (probe) row pairs
+ * with every right interval of the same key whose `[start, end]` contains
+ * the probe time (inclusive both ends; inner-join semantics, probes with
+ * no containing interval emit nothing).
+ *
+ * This is the reference surface's interval-overlap lookup (J3) in its
+ * general form — the day-grain equi-join in `TimeJoins.intervalJoin` only
+ * covers date-resolution intervals — plus the ad-attribution /
+ * event-to-window assignment shape a training-data pipeline needs
+ * (each conversion matched to ALL open attribution windows of its key).
+ *
+ * Physical shape — and why not a plain range join: Spark plans
+ * `l.key = r.key AND t BETWEEN start AND end` as a SortMergeJoin on the
+ * key with the range as a post-join residual, so a hot key compares every
+ * probe against every interval (O(|L_k|·|R_k|) per key). This operator
+ * declares the same one-exchange-plus-sort-per-side requirement but
+ * sweeps both sorted streams ONCE: probes ascend in time, the interval
+ * cursor admits intervals as their `start` passes, and a bounded active
+ * set holds only intervals whose `end` hasn't passed — per key
+ * O(|L_k| + |R_k| + output) time and O(max concurrent overlap) state.
+ * At 100 TB both sides stream through; nothing materializes beyond the
+ * active window set.
+ *
+ * Null semantics (SQL inner-join parity): a null probe time, null start,
+ * or null end matches nothing. Null KEYS are the caller's contract — the
+ * wrapper filters them (merge order would otherwise pair null keys like
+ * values, which SQL never does).
+ *
+ * Skew: single-key skew shuffles like any SMJ; AQE does not split custom
+ * nodes — pre-salt pathological keys (`Skew.saltedJoin` pattern).
+ */
+case class IntervalJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    probeTime: Expression,
+    ivStart: Expression,
+    ivEnd: Expression,
+    rightPayload: Seq[Attribute])
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ rightPayload
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[IntervalJoinPlan]] as [[IntervalJoinExec]]. */
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinPlan(l, r, lk, rk, t, s, e, payload) =>
+      IntervalJoinExec(planLater(l), planLater(r), lk, rk, t, s, e, payload) :: Nil
+    case _ => Nil
+  }
+}
+
+/**
+ * Sweep merge-scan interval join. Children arrive key-clustered, left
+ * sorted `(key, probeTime)`, right sorted `(key, start)` (declared below;
+ * EnsureRequirements inserts the exchanges/sorts).
+ *
+ * Per left row: (1) a key change clears the active set; (2) the right
+ * cursor admits same-key intervals while `start <= t` (copying their
+ * `(end, payload)`), discards behind-key intervals, and rests on the
+ * first interval with `start > t` — later probes only ever need starts
+ * further right; (3) intervals with `end < t` evict permanently (probe
+ * times ascend within the key, so they can never match again); (4) every
+ * surviving active interval is a match — `start <= t` held at admission,
+ * `end >= t` survived eviction.
+ *
+ * Emission order per probe is the right side's `(key, start)` sort order;
+ * rows tied on `(key, start)` keep arrival order — the match SET is
+ * order-independent, so results are deterministic as a multiset.
+ */
+case class IntervalJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    probeTime: Expression,
+    ivStart: Expression,
+    ivEnd: Expression,
+    rightPayload: Seq[Attribute])
+  extends BinaryExecNode {
+
+  require(leftKeys.length == rightKeys.length, "interval-join key arity mismatch")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "interval-join key types must match pairwise")
+  require(probeTime.dataType == ivStart.dataType && probeTime.dataType == ivEnd.dataType,
+    "probe time and interval bounds must share a type")
+
+  override def output: Seq[Attribute] = left.output ++ rightPayload
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ probeTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ ivStart).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val tExpr = probeTime
+    val sExpr = ivStart
+    val eExpr = ivEnd
+    val payload = rightPayload
+    val timeType = probeTime.dataType
+    val keyTypes = leftKeys.map(_.dataType)
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val tProj = UnsafeProjection.create(Seq(tExpr), lOut)
+      val sProj = UnsafeProjection.create(Seq(sExpr), rOut)
+      val eProj = UnsafeProjection.create(Seq(eExpr), rOut)
+      val payloadProj = UnsafeProjection.create(payload, rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val keyOrd: Ordering[InternalRow] =
+        RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd: Ordering[Any] =
+        TypeUtils.getInterpretedOrdering(timeType).asInstanceOf[Ordering[Any]]
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rCur: InternalRow = _ // copied — shuffle readers reuse buffers
+        // intervals of `activeKey` admitted (start <= last probe t) and
+        // not yet evicted (end >= last probe t): (end, payload)
+        private val active = new ArrayBuffer[(Any, UnsafeRow)]
+        private var activeKey: UnsafeRow = _
+        private var pendingRow: InternalRow = _ // current probe, copied
+        private var pendingIdx: Int = 0 // next active entry to emit
+
+        private def advanceRight(): Unit =
+          rCur = if (rIter.hasNext) rIter.next().copy() else null
+        advanceRight()
+
+        override def hasNext: Boolean = {
+          while (pendingIdx >= active.length || pendingRow == null) {
+            if (!lIter.hasNext) return false
+            feed(lIter.next())
+          }
+          true
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val out = resultProj(joined(pendingRow, active(pendingIdx)._2))
+          pendingIdx += 1
+          out
+        }
+
+        /** Process one probe row; leaves matches in active[0..) with
+          * pendingIdx = 0 (no matches → pendingRow stays null). */
+        private def feed(lRow: InternalRow): Unit = {
+          pendingRow = null
+          pendingIdx = 0
+          val lKey = lKeyProj(lRow)
+          val t = tProj(lRow).get(0, timeType)
+          if (t == null) return // null probe time matches nothing
+          if (activeKey == null || keyOrd.compare(activeKey, lKey) != 0) {
+            active.clear()
+            activeKey = lKey.copy()
+          }
+          // admit same-key intervals with start <= t; discard behind keys
+          var scanning = rCur != null
+          while (scanning) {
+            val cmp = keyOrd.compare(rKeyProj(rCur), lKey)
+            if (cmp < 0) {
+              advanceRight()
+            } else if (cmp > 0) {
+              scanning = false
+            } else {
+              val s = sProj(rCur).get(0, timeType)
+              if (s == null) {
+                advanceRight() // null start matches nothing; nulls sort first
+              } else if (timeOrd.lteq(s, t)) {
+                val e = eProj(rCur).get(0, timeType)
+                // dead-on-arrival intervals (end < t, incl. end < start)
+                // never match this or any later probe — skip the copy
+                if (e != null && timeOrd.gteq(e, t)) {
+                  active += ((e, payloadProj(rCur).copy()))
+                }
+                advanceRight()
+              } else {
+                scanning = false // start > t: later probes may still need it
+              }
+            }
+            if (rCur == null) scanning = false
+          }
+          // evict passed intervals: end < t can never match again
+          var i = active.length - 1
+          while (i >= 0) {
+            if (timeOrd.lt(active(i)._1, t)) active.remove(i)
+            i -= 1
+          }
+          if (active.nonEmpty) pendingRow = lRow.copy()
+        }
+      }
+    }
+  }
+}

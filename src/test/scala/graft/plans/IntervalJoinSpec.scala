@@ -1,0 +1,88 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TimeJoins
+
+/** The native sweep interval join: (a) plans with one exchange + sort per
+  * side, (b) matches hand vectors — overlapping windows, inclusive bounds,
+  * dead intervals, null bounds/keys — and (c) agrees as a multiset with the
+  * naive range-join formulation on a randomized corpus. */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // probes: (key, t, probe_id)
+  private val probes = Seq(
+    ("a", ts("2024-01-01 10:00:00"), 1L),  // inside iv1 only
+    ("a", ts("2024-01-01 11:00:00"), 2L),  // inside iv1 AND iv2 (overlap)
+    ("a", ts("2024-01-01 12:00:00"), 3L),  // == iv1.end AND inside iv2: inclusive end
+    ("a", ts("2024-01-01 18:00:00"), 4L),  // after all intervals -> nothing
+    ("b", ts("2024-01-01 10:30:00"), 5L),  // == iv4.start: inclusive start
+    ("c", ts("2024-01-01 10:00:00"), 6L),  // key with no intervals
+    (null.asInstanceOf[String], ts("2024-01-01 10:00:00"), 7L) // null key drops
+  ).toDF("k", "t", "probe_id")
+
+  // intervals: (key, start, end, iv_id)
+  private val intervals = Seq(
+    ("a", ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00"), "iv1"),
+    ("a", ts("2024-01-01 10:30:00"), ts("2024-01-01 13:00:00"), "iv2"),
+    ("a", ts("2024-01-01 14:00:00"), ts("2024-01-01 13:00:00"), "iv3_dead"), // end < start
+    ("b", ts("2024-01-01 10:30:00"), ts("2024-01-01 11:00:00"), "iv4"),
+    ("b", null.asInstanceOf[Timestamp], ts("2024-01-01 23:00:00"), "iv5_nullstart"),
+    ("b", ts("2024-01-01 09:00:00"), null.asInstanceOf[Timestamp], "iv6_nullend"),
+    (null.asInstanceOf[String], ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), "iv7_nullkey")
+  ).toDF("k", "s", "e", "iv_id")
+
+  test("sweep exec plans with one exchange+sort per side") {
+    val df = TimeJoins.intervalJoinSweep(
+      probes, intervals, Seq("k"), "t", "s", "e", Seq("iv_id"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("IntervalJoin"), s"native operator missing:\n$physical")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, saw $exchanges:\n$physical")
+  }
+
+  test("hand vectors: overlap fan-out, inclusive bounds, dead/null intervals, null keys") {
+    val out = TimeJoins.intervalJoinSweep(
+        probes, intervals, Seq("k"), "t", "s", "e", Seq("iv_id"))
+      .select(col("probe_id"), col("iv_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byProbe = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byProbe(1L) == Set("iv1"))
+    assert(byProbe(2L) == Set("iv1", "iv2"), "overlapping windows must BOTH match")
+    assert(byProbe(3L) == Set("iv1", "iv2"), "end bound is inclusive")
+    assert(!byProbe.contains(4L), "probe after all intervals emits nothing")
+    assert(byProbe(5L) == Set("iv4"), "start bound is inclusive; null-bound intervals never match")
+    assert(!byProbe.contains(6L) && !byProbe.contains(7L), "no-interval key and null key emit nothing")
+    assert(out.length == 6, s"exact multiset size: ${out.toSeq}")
+  }
+
+  test("sweep == naive range join on a randomized multi-key corpus") {
+    // 30 keys; interval lengths vary so active-set sizes vary (0..~8 deep)
+    val probesR = spark.range(3000).select(
+      pmod(col("id"), lit(30)).as("k"),
+      (lit(1000000L) + pmod(hash(col("id")).cast("long"), lit(500000L))).as("t"),
+      col("id").as("probe_id"))
+    val intervalsR = spark.range(900).select(
+      pmod(col("id"), lit(31)).as("k"),
+      (lit(1000000L) + pmod(hash(col("id"), lit(3)).cast("long"), lit(500000L))).as("s"),
+      col("id").as("iv_id"))
+      .withColumn("e", col("s") + pmod(hash(col("iv_id"), lit(5)).cast("long"), lit(40000L)))
+    val viaSweep = TimeJoins.intervalJoinSweep(
+        probesR, intervalsR, Seq("k"), "t", "s", "e", Seq("iv_id"))
+      .select(col("probe_id"), col("iv_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaRange = probesR.join(intervalsR,
+        probesR("k") === intervalsR("k") &&
+          col("t") >= col("s") && col("t") <= col("e"))
+      .select(col("probe_id"), col("iv_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaSweep.nonEmpty, "corpus must produce matches")
+    assert(viaSweep == viaRange)
+  }
+}
