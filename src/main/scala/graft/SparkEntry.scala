@@ -1770,6 +1770,23 @@ object SparkEntry {
           col("view_id"), col("w_start").as("view_ts"))
         .orderBy(col("purchase_id"), col("view_id"))
     }),
+
+    // Q116 — GRAPH2 multi-source BFS reachability: minimum hop distance
+    // from the first five customers over the symmetrized customer↔supplier
+    // graph (q114's edge construction), frontier expansion to a fixpoint
+    // under an 8-hop cap. The oracle is a recursive CTE with the same cap.
+    "q116_graph_bfs" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 10).cast("long").as("src"),
+          (col("l_suppkey") * 10 + 1).cast("long").as("dst"))
+        .distinct()
+      val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "customer").where(col("c_custkey") <= 5)
+        .select((col("c_custkey") * 10).cast("long").as("node"))
+      graft.operators.Graph.bfsLevels(edges, seeds, maxLevel = 8)
+        .orderBy(col("node"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3414,6 +3431,21 @@ object SparkEntry {
           | AND p.event_type = 'purchase' AND v.event_type = 'view'
           | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 3 DAY
           |ORDER BY purchase_id, view_id""".stripMargin,
+
+      "q116_graph_bfs" ->
+        """WITH RECURSIVE e0 AS (SELECT DISTINCT CAST(o_custkey*10 AS BIGINT) AS src,
+          |    CAST(l_suppkey*10+1 AS BIGINT) AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          |seeds AS (SELECT DISTINCT CAST(c_custkey*10 AS BIGINT) AS node
+          |  FROM customer WHERE c_custkey <= 5),
+          |reach(node, level) AS (
+          |  SELECT node, CAST(0 AS BIGINT) AS level FROM seeds
+          |  UNION
+          |  SELECT e.dst, r.level + 1 FROM reach r JOIN edges e ON e.src = r.node
+          |  WHERE r.level < 8)
+          |SELECT node, CAST(min(level) AS BIGINT) AS level FROM reach
+          |GROUP BY node ORDER BY node""".stripMargin,
     )
   }
 }

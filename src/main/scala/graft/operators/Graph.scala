@@ -62,4 +62,57 @@ object Graph {
     }
     ranks
   }
+
+  /**
+   * Multi-source BFS: minimum hop distance from a seed set along directed
+   * edges, capped at `maxLevel` (a node whose shortest path exceeds the
+   * cap is absent from the result — mirroring a recursive-CTE oracle's
+   * `WHERE level < cap` termination guard).
+   *
+   * Frontier-expansion shape (the Pregel BFS): each iteration joins ONLY
+   * the frontier (nodes first reached last iteration) with the edge list,
+   * dedups the successor set, and anti-joins the visited set — so a node
+   * joins edges exactly once over the whole run, and total work is
+   * O(E + V·iterations) shuffled rows, not O(E·iterations). Lineage
+   * truncates per iteration via `localCheckpoint` (the q114 convention);
+   * the per-iteration `isEmpty` convergence probe is a driver-side
+   * scalar, not row data.
+   *
+   * At 100 TB the visited set re-shuffles once per iteration for the
+   * anti-join; diameter of real corpus/entity graphs is small (≤ ~6), so
+   * the constant is bounded. For truly deep graphs, co-partition `levels`
+   * and `frontier` by node (bucketed persistence) to make the anti-join
+   * exchange-free.
+   *
+   * @param edges (src: long, dst: long) directed; symmetrize for
+   *   undirected reachability.
+   * @param seeds (node: long), level 0; deduped here.
+   * @return (node, level) — level = min hops from any seed, 0..maxLevel.
+   */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxLevel: Int = 20): DataFrame = {
+    require(maxLevel >= 0 && maxLevel <= 64, "0..64 levels")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint(false)
+    var levels = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("level", lit(0L)).localCheckpoint(false)
+    var frontier = levels.select(col("node"))
+    var lvl = 0
+    var open = true
+    while (open && lvl < maxLevel) {
+      lvl += 1
+      val next = frontier.withColumnRenamed("node", "src")
+        .join(e, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(levels, Seq("node"), "left_anti")
+        .withColumn("level", lit(lvl.toLong))
+        .localCheckpoint(false)
+      if (next.isEmpty) open = false
+      else {
+        levels = levels.unionByName(next).localCheckpoint(false)
+        frontier = next.select(col("node"))
+      }
+    }
+    levels
+  }
 }

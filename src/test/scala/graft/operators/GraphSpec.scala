@@ -48,4 +48,43 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty && a.values.exists(_ != S), "graph must not be trivial")
   }
+
+  test("bfsLevels: chain with cycle, min distance, unreachable absent, cap honored") {
+    // 1 -> 2 -> 3 -> 4 -> 1 (cycle back), plus shortcut 1 -> 4; 9 isolated
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 4L)
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.bfsLevels(edges, seeds, maxLevel = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L),
+      s"shortcut must win over the long path and 9 must be absent: $out")
+    // cap cuts the frontier: from seed 1 with cap 1, node 3 is unreached
+    val capped = Graph.bfsLevels(edges, seeds, maxLevel = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("bfsLevels: multi-seed min distance matches driver-side Dijkstra on a random graph") {
+    val edgesDf = spark.range(400).select(
+      pmod(col("id"), lit(60)).as("src"),
+      pmod(hash(col("id")).cast("long"), lit(60)).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val seedsDf = Seq(0L, 7L).toDF("node")
+    val out = Graph.bfsLevels(edgesDf, seedsDf, maxLevel = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force BFS on the driver over the same edge list
+    val adj = edgesDf.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var dist = Map(0L -> 0L, 7L -> 0L)
+    var frontier = Set(0L, 7L)
+    var lvl = 0L
+    while (frontier.nonEmpty) {
+      lvl += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+      dist ++= next.map(_ -> lvl)
+      frontier = next
+    }
+    assert(out == dist)
+    assert(out.values.max >= 2, "graph must exercise multi-hop paths")
+  }
 }
