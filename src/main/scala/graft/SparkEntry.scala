@@ -1787,6 +1787,48 @@ object SparkEntry {
       graft.operators.Graph.bfsLevels(edges, seeds, maxLevel = 8)
         .orderBy(col("node"))
     }),
+
+    // Q117 — §2.8 multi-level aggregation: ROLLUP over (nation, order
+    // year) revenue — (nation, year) + per-nation + grand-total levels in
+    // ONE pass (Catalyst expands the grouping sets map-side; no
+    // re-aggregation job per level). Decimal-exact revenue (q34 recipe);
+    // rollup nulls surface as '(all)' / -1 labels so the ORDER BY is
+    // engine-neutral (no natural nulls in either grouping column).
+    "q117_rollup_revenue" -> ((s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev"))
+      joined.rollup(col("n_name"), col("yr"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
+          coalesce(col("yr"), lit(-1L)).as("yr"),
+          col("revenue"), col("n_rows"))
+        .orderBy(col("nation"), col("yr"))
+    }),
+
+    // Q118 — PCA-prep covariance statistics over the leading 16 embedding
+    // dims in the exact quantized-integer domain (sufficient statistics
+    // n/sxy/sx/sy bit-exact; cov is one mirrored IEEE sequence).
+    "q118_covariance_prep" -> ((s, dir) =>
+      graft.operators.Quantization.covariancePrep(
+          t(s, dir, "embeddings"), "embedding", nDims = 16)
+        .orderBy(col("i"), col("j"))),
+
+    // Q119 — deterministic corpus sharding manifest: stable hash-shard
+    // assignment (portable md5 law — id's fate independent of scan order
+    // and engine) rolled up into the per-shard manifest a distributed
+    // writer publishes (doc count, char budget, id range).
+    "q119_corpus_shards" -> ((s, dir) =>
+      graft.operators.Sampling.assignShards(t(s, dir, "documents"), "doc_id", nShards = 64)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3446,6 +3488,40 @@ object SparkEntry {
           |  WHERE r.level < 8)
           |SELECT node, CAST(min(level) AS BIGINT) AS level FROM reach
           |GROUP BY node ORDER BY node""".stripMargin,
+
+      "q117_rollup_revenue" ->
+        """SELECT COALESCE(n_name, '(all)') AS nation,
+          |  COALESCE(year(o_orderdate), -1) AS yr,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_rows
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY ROLLUP (n_name, year(o_orderdate))
+          |ORDER BY nation, yr""".stripMargin,
+
+      "q118_covariance_prep" ->
+        """WITH x AS (SELECT list_transform(embedding[1:16],
+          |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+          |  FROM embeddings),
+          |u AS (SELECT i, xq[i+1] AS v FROM x, (SELECT unnest(range(16)) AS i)),
+          |s AS (SELECT i, CAST(sum(v) AS BIGINT) AS s FROM u GROUP BY i),
+          |tri AS (SELECT a.i AS i, b.j AS j, count(*) AS n,
+          |    CAST(sum(xq[a.i+1] * xq[b.j+1]) AS BIGINT) AS sxy
+          |  FROM x, (SELECT unnest(range(16)) AS i) a, (SELECT unnest(range(16)) AS j) b
+          |  WHERE b.j >= a.i GROUP BY a.i, b.j)
+          |SELECT t.i, t.j, t.n, t.sxy, si.s AS sx, sj.s AS sy,
+          |  (CAST(t.n AS DOUBLE) * CAST(t.sxy AS DOUBLE)
+          |    - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE))
+          |   / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) * 1000000000000.0) AS cov
+          |FROM tri t JOIN s si ON t.i = si.i JOIN s sj ON t.j = sj.i
+          |ORDER BY t.i, t.j""".stripMargin,
+
+      "q119_corpus_shards" ->
+        """SELECT ('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT % 64 AS shard,
+          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -89,6 +89,51 @@ object Quantization {
           (col("n_vecs") * col("n_vecs")).cast("double")).as("dispersion"))
   }
 
+  /**
+   * PCA-prep covariance statistics over the leading `nDims` embedding
+   * dimensions, in the exact quantized-integer domain: for every
+   * upper-triangle dimension pair (i ≤ j) the sufficient statistics
+   *
+   *   n, S_xy = Σ xq_i·xq_j, S_x = Σ xq_i, S_y = Σ xq_j
+   *
+   * plus the de-scaled sample covariance (n·S_xy − S_x·S_y)/(n²·10¹²) —
+   * the Gram/covariance input an iterative PCA (power iteration, Lanczos)
+   * or a whitening transform consumes. Sums are exact longs, so the
+   * sufficient statistics are bit-identical at any parallelism; only the
+   * final `cov` divide is IEEE (and both engines replay the identical op
+   * sequence on identical operands). Overflow bound (documented, not
+   * widened — the q102 convention): |xq| ≤ 10⁶ for unit-normalized
+   * inputs, so S_xy ≤ n·10¹² fits a long for n up to ~9·10⁶ vectors;
+   * larger corpora drop the quantization scale.
+   *
+   * Physical shape: the d²/2 pair products are pure per-row array
+   * expressions (vectors never shuffle) feeding ONE map-side-combinable
+   * aggregation — shuffle volume is partitions × d²/2 partial rows,
+   * independent of corpus size. The per-dimension sums reduce the same
+   * way and broadcast-join back onto the pair grid (d rows).
+   */
+  def covariancePrep(emb: DataFrame, vecCol: String, nDims: Int): DataFrame = {
+    require(nDims >= 1 && nDims <= 128, "1..128 leading dimensions")
+    val xq = emb.select(xqCol(slice(col(vecCol), 1, nDims)).as("xq"))
+    val tri = xq.select(explode(flatten(transform(col("xq"), (vi, i) =>
+        transform(slice(col("xq"), i + lit(1), lit(nDims) - i), (vj, jo) =>
+          struct(i.cast("long").as("i"), (i + jo).cast("long").as("j"),
+            (vi * vj).as("prod")))))).as("pr"))
+      .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.prod").as("prod"))
+    val sxy = tri.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("prod")).as("sxy"))
+    val dims = xq.select(posexplode(col("xq")).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(sum(col("v")).as("s"))
+    sxy
+      .join(broadcast(dims.select(col("d").as("i"), col("s").as("sx"))), "i")
+      .join(broadcast(dims.select(col("d").as("j"), col("s").as("sy"))), "j")
+      .withColumn("cov",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double") * lit(1e12)))
+      .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"), col("sy"), col("cov"))
+  }
+
   /** Per-label quantization quality report (see object doc for the law). */
   def int8Report(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {

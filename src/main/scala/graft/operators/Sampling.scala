@@ -81,6 +81,28 @@ object Sampling {
   }
 
   /**
+   * Deterministic corpus sharding: stable shard id in [0, nShards) as a
+   * pure function of the document id — the global-shuffle-and-shard pass
+   * that materializes a training corpus as N reproducible output files.
+   * Unlike `repartition(n)` (round-robin of an arbitrary scan order, a
+   * different corpus every run) the assignment survives retries, corpus
+   * growth, and engine changes; writers route with
+   * `df.repartition(col("shard")).write.partitionBy("shard")` so each
+   * shard lands as one co-located unit. Map-side projection — no shuffle
+   * until the writer's routing exchange.
+   */
+  def assignShards(
+      df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20), "1..2^20 shards")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — rename it first")
+    df.withColumn("shard",
+      pmod(portableHash(concat(lit(salt + ":"), col(idCol).cast("string"))),
+        lit(nShards.toLong)))
+  }
+
+  /**
    * Stratified quota sampling: exactly `k` rows per group (fewer if the
    * group is smaller), chosen as the k smallest portable hashes of the
    * id — a deterministic uniform draw that is stable under corpus growth

@@ -49,6 +49,38 @@ class QuantizationSpec extends SparkSpec {
     assert(out(1).getAs[Double]("dispersion") == 0.0)
   }
 
+  test("covariancePrep: hand-computed sufficient statistics on a 2-dim corpus") {
+    // vectors (1.0, 2.0), (3.0, 4.0) -> xq rows (1e6, 2e6), (3e6, 4e6)
+    // pair (0,0): sxy = 1e12 + 9e12 = 10e12 ; sx = sy = 4e6
+    // pair (0,1): sxy = 2e12 + 12e12 = 14e12 ; sx = 4e6, sy = 6e6
+    // pair (1,1): sxy = 4e12 + 16e12 = 20e12 ; sx = sy = 6e6
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Quantization.covariancePrep(emb, "embedding", nDims = 2)
+      .orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out((0L, 0L)) == ((2L, 10000000000000L, 4000000L, 4000000L,
+      (2.0 * 10e12 - 4e6 * 4e6) / (4.0 * 1e12))))
+    assert(out((0L, 1L)) == ((2L, 14000000000000L, 4000000L, 6000000L,
+      (2.0 * 14e12 - 4e6 * 6e6) / (4.0 * 1e12))))
+    assert(out((1L, 1L)) == ((2L, 20000000000000L, 6000000L, 6000000L,
+      (2.0 * 20e12 - 6e6 * 6e6) / (4.0 * 1e12))))
+    assert(out.size == 3, "upper triangle only")
+  }
+
+  test("covariancePrep: partitioning-invariant exact sums on real vectors") {
+    val real = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Quantization.covariancePrep(df, "embedding", nDims = 8)
+        .orderBy("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(run(real.repartition(1)) == run(real.repartition(13)))
+    assert(run(real).size == 36) // C(8,2) + 8 diagonal
+  }
+
   test("int8Report: codes are bounded by ±127 and the max element saturates") {
     val real = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     import org.apache.spark.sql.functions._

@@ -67,4 +67,21 @@ class SamplingSpec extends SparkSpec {
       docs.where(col("doc_id") <= 3), "doc_id", "source", k = 5)
     assert(tiny.count() == 3)
   }
+
+  test("assignShards: stable under partitioning and growth, covers [0, n), roughly balanced") {
+    val a = Sampling.assignShards(corpus.repartition(1), "doc_id", nShards = 16)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.assignShards(corpus.repartition(11, col("source")), "doc_id", nShards = 16)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "shard must be a pure function of the id")
+    // growing the corpus never moves an existing doc
+    val grown = Sampling.assignShards(
+        spark.range(4000).select(col("id").as("doc_id")), "doc_id", nShards = 16)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.forall { case (id, s) => grown(id) == s })
+    assert(a.values.toSet == (0L until 16L).toSet, "all shards populated")
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.values.max < 3 * sizes.values.min,
+      s"md5 buckets should be roughly balanced at n=2000: $sizes")
+  }
 }
