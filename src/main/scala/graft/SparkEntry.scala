@@ -1829,6 +1829,58 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("shard"))),
+
+    // Q120 — nested EXISTS/NOT EXISTS composition (TPC-H Q21 family):
+    // customers with ≥1 urgent order and NO failed order — two correlated
+    // subqueries planned as one semi + one anti join, both on the same
+    // broadcast-ready dimension key (no subquery re-execution per row).
+    "q120_nested_exists" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      t(s, dir, "customer")
+        .join(o.where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("k_u")), col("c_custkey") === col("k_u"), "left_semi")
+        .join(o.where(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k_f")), col("c_custkey") === col("k_f"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Q121 — incremental aggregate maintenance: corpus stats as MERGEABLE
+    // partials (count/sum/max are all re-aggregable), base ⊎ delta
+    // re-aggregated == full recompute. The algebra that lets a 100 TB
+    // nightly stats job process ONLY the day's delta and fold it into
+    // yesterday's materialized partials; the oracle is the full recompute.
+    "q121_incremental_merge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def partial(df: DataFrame) = df.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"))
+      partial(d.where(pmod(col("doc_id"), lit(10)) =!= 0))
+        .unionByName(partial(d.where(pmod(col("doc_id"), lit(10)) === 0)))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_chars")).as("total_chars"),
+          max(col("max_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Q122 — order-independent table digest (anti-entropy fingerprint):
+    // per-source row count + exact-decimal sum of a canonical per-row
+    // 60-bit hash. Two 100 TB lakes compare by exchanging |sources| digest
+    // rows — no row data moves; any single-row divergence flips the sum.
+    // Addition is commutative, so the digest is partitioning- and
+    // order-invariant (the property a repartition-heavy engine needs).
+    "q122_table_digest" -> ((s, dir) => {
+      val rowStr = concat_ws("\u0001",
+        col("doc_id").cast("string"), col("lang"), col("source"),
+        col("n_chars").cast("string"), md5(col("text")))
+      t(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.TextFunctions.portableHash(rowStr).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("digest"))
+        .orderBy(col("source"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3522,6 +3574,27 @@ object SparkEntry {
           |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q120_nested_exists" ->
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          |    AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          |    AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q121_incremental_merge" ->
+        """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  max(n_chars) AS max_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q122_table_digest" ->
+        """SELECT source, count(*) AS n_rows,
+          |  CAST(sum(CAST(('0x' || substr(md5(
+          |      doc_id || chr(1) || lang || chr(1) || source || chr(1)
+          |      || n_chars || chr(1) || md5(text)), 1, 15))::BIGINT
+          |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     )
   }
 }
