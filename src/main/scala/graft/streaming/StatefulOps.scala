@@ -117,6 +117,80 @@ object StatefulOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(dedupCols)
 
+  final case class IvWindow(start: Long, end: Long, windowId: Long)
+  final case class IvStreamState(windows: List[IvWindow], tMax: Long)
+  final case class IvMatched(
+      symbol: String, probe_ts: Timestamp, probe_id: Long, window_id: Long)
+
+  /**
+   * Streaming point-in-interval attribution — the streaming twin of
+   * `TimeJoins.intervalJoinSweep` (the native batch sweep operator):
+   * every probe pairs with ALL of its key's open windows containing its
+   * event time.
+   *
+   * Two side-tagged inputs union into one keyed stream (the
+   * `streamingAsofEnrich` shape); within a batch, rows process in
+   * event-time order with window-opens ahead of probes at equal ts, so
+   * in-batch ordering is exact (inclusive [start, end] both ends, like
+   * the batch operator). ACROSS batches the contract is at-arrival: a
+   * probe matches the windows in state when it arrives — a window
+   * arriving later does not retro-match, and a probe arriving after its
+   * windows were evicted misses them (exact reconciliation is the batch
+   * operator's job).
+   *
+   * State is bounded: windows whose `end` is behind the key's max seen
+   * event time evict on every update — state per key is O(windows still
+   * open at the event-time frontier), not O(stream). No last-known
+   * retention (unlike the as-of twin): a closed window is dead for every
+   * on-time probe.
+   *
+   * @param probes  (symbol, timestamp, probe_id)
+   * @param windows (symbol, w_start, w_end, window_id) — event-time
+   *                interval per row, inclusive bounds
+   */
+  def streamingIntervalAttribution(
+      probes: DataFrame, windows: DataFrame)(
+      implicit spark: SparkSession): Dataset[IvMatched] = {
+    import spark.implicits._
+    val tagged = probes
+      .select(col("symbol"),
+        unix_micros(col("timestamp").cast("timestamp")).as("t1_us"),
+        lit(Long.MinValue).as("t2_us"),
+        lit(false).as("is_window"), col("probe_id").cast("long").as("row_id"))
+      .unionByName(windows.select(col("symbol"),
+        unix_micros(col("w_start").cast("timestamp")).as("t1_us"),
+        unix_micros(col("w_end").cast("timestamp")).as("t2_us"),
+        lit(true).as("is_window"), col("window_id").cast("long").as("row_id")))
+    tagged
+      .as[(String, Long, Long, Boolean, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[IvStreamState, IvMatched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol, rows, state: GroupState[IvStreamState]) =>
+          val st0 = state.getOption.getOrElse(IvStreamState(Nil, Long.MinValue))
+          var ws = st0.windows
+          var tMax = st0.tMax
+          // windows before probes at equal ts (inclusive start): false < true
+          val out = rows.toSeq
+            .sortBy { case (_, t1, _, isW, _) => (t1, !isW) }
+            .flatMap {
+              case (_, start, end, true, wid) =>
+                if (end >= start) ws = IvWindow(start, end, wid) :: ws
+                if (start > tMax) tMax = start
+                ws = ws.filter(_.end >= tMax) // frontier eviction
+                Nil
+              case (_, ts, _, false, pid) =>
+                if (ts > tMax) tMax = ts
+                ws = ws.filter(_.end >= tMax)
+                ws.filter(w => w.start <= ts && ts <= w.end)
+                  .sortBy(w => (w.start, w.windowId))
+                  .map(w => IvMatched(symbol, new Timestamp(ts / 1000), pid, w.windowId))
+            }
+          state.update(IvStreamState(ws, tMax))
+          out.iterator
+      }
+  }
+
   final case class AsofStreamState(marks: List[(Long, Double)]) // ts desc
   final case class AsofEnriched(
       symbol: String, ts: Timestamp,

@@ -122,4 +122,44 @@ class StatefulOpsSpec extends SparkSpec {
       assert(rows(ts(15)) == (Some(ts(3)), Some(30.0)), "last-known mark must survive pruning")
     } finally q.stop()
   }
+
+  test("streamingIntervalAttribution: overlap fan-out, cross-batch state, frontier eviction") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    val probeMem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val winMem = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+    val out = StatefulOps.streamingIntervalAttribution(
+      probeMem.toDF.toDF("symbol", "timestamp", "probe_id"),
+      winMem.toDF.toDF("symbol", "w_start", "w_end", "window_id"))
+    val q = out.writeStream.format("memory").queryName("iv_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: windows w1=[:01,:05], w2=[:03,:08] (overlap), probes at
+      // :00 (no window yet -> nothing), :04 (both), :05 (w1 inclusive end + w2)
+      winMem.addData(("NQ", ts(1), ts(5), 1L), ("NQ", ts(3), ts(8), 2L))
+      probeMem.addData(("NQ", ts(0), 100L), ("NQ", ts(4), 101L), ("NQ", ts(5), 102L))
+      q.processAllAvailable()
+      // batch 2: probe at :07 matches only w2 (w1 evicted: end :05 < tMax :07
+      // after this row advances the frontier — but :07 <= w2.end keeps w2)
+      probeMem.addData(("NQ", ts(7), 103L))
+      q.processAllAvailable()
+      // batch 3: frontier advances to :20 via a new window; late probe at :08
+      // arrives AFTER w2 evicted -> at-arrival miss (documented contract)
+      winMem.addData(("NQ", ts(20), ts(25), 3L))
+      q.processAllAvailable()
+      probeMem.addData(("NQ", ts(8), 104L))
+      q.processAllAvailable()
+      val rows = spark.table("iv_test").collect()
+        .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("window_id"))
+      val byProbe = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(!byProbe.contains(100L), "probe before any window matches nothing")
+      assert(byProbe(101L) == Set(1L, 2L), "overlapping windows BOTH match")
+      assert(byProbe(102L) == Set(1L, 2L), "end bound inclusive")
+      assert(byProbe(103L) == Set(2L), "closed window evicted at the frontier")
+      assert(!byProbe.contains(104L), "late probe after eviction misses (at-arrival)")
+    } finally q.stop()
+  }
 }
