@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeJoins
+
+/**
+ * Scale comparison of the two point-in-interval formulations (SURVEY
+ * §2.10 tier (c) evidence, the `AsofScaleStress` twin): Spark's native
+ * planning of `l.key = r.key AND t BETWEEN start AND end` (SortMergeJoin
+ * on the key + range residual — every probe compares against every
+ * same-key interval) vs the sweep merge-scan operator
+ * (`TimeJoins.intervalJoinSweep`, `plans/IntervalJoin.scala` — one
+ * forward pass per key with an active-window set).
+ *
+ * Corpus law (no RNG): `n` probes and `n/8` intervals over `k` keys,
+ * hash-scattered over 30 days (xxhash64 — a 32-bit hash pmod'ed by a
+ * 30-day µs span would compress everything into the first ~36 minutes
+ * and the true match volume explodes to billions); interval lengths are
+ * hash-varied up to ~40 min so the active set stays small (~2-3) while
+ * per-key interval counts are large — the regime where the SMJ
+ * residual's per-key cross product (n/k probes × n/8k intervals) dwarfs
+ * the true match volume. Output equality is asserted (exceptAll both
+ * directions = 0) before timings are reported.
+ *
+ * Measured at n=2M, k=50 (40k probes × 5k intervals per key, 4.63M
+ * matches): sweep 2.6 s vs SMJ+residual 29.7 s — 11×, identical output.
+ *
+ * Usage: runMain graft.tools.IntervalScaleStress [n] [k] (default 2M / 50)
+ */
+object IntervalScaleStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val k = if (args.length > 1) args(1).toInt else 50
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.activate(spark)
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[iv-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    val span = 2592000000000L // 30 days in µs
+    val probes = spark.range(n).select(
+      pmod(col("id"), lit(k)).as("key"),
+      (lit(1700000000000000L) +
+        pmod(xxhash64(col("id")), lit(span))).as("t"),
+      col("id").as("probe_id"))
+      .localCheckpoint(true)
+    val intervals = spark.range(n / 8).select(
+      pmod(col("id"), lit(k)).as("key"),
+      (lit(1700000000000000L) +
+        pmod(xxhash64(col("id"), lit(3)), lit(span))).as("s"),
+      col("id").as("iv_id"))
+      .withColumn("e", col("s") + pmod(xxhash64(col("iv_id"), lit(5)), lit(2400000000L)))
+      .localCheckpoint(true)
+    println(s"[iv-stress] probes=${probes.count()} intervals=${intervals.count()} keys=$k")
+
+    val sweep = timed("native sweep operator") {
+      val d = TimeJoins.intervalJoinSweep(
+        probes, intervals, Seq("key"), "t", "s", "e", Seq("iv_id")).localCheckpoint(true)
+      println(s"[iv-stress] sweep matches = ${d.count()}"); d
+    }
+    val smj = timed("SortMergeJoin + range residual") {
+      val d = probes.join(intervals,
+          probes("key") === intervals("key") &&
+            col("t") >= col("s") && col("t") <= col("e"))
+        .select(col("probe_id"), col("iv_id")).localCheckpoint(true)
+      println(s"[iv-stress] smj matches = ${d.count()}"); d
+    }
+    val a = sweep.select(col("probe_id"), col("iv_id"))
+    val disagree = a.exceptAll(smj).count() + smj.exceptAll(a).count()
+    println(s"[iv-stress] disagreeing rows = $disagree (must be 0)")
+    require(disagree == 0, "formulations disagree")
+    spark.stop()
+  }
+}
