@@ -1881,6 +1881,77 @@ object SparkEntry {
           sum(col("h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("digest"))
         .orderBy(col("source"))
     }),
+
+    // Q123 — peak concurrent sessions per event_type: sessionize per
+    // (user, event_type) as in q28, then the +1/-1 boundary sweep
+    // (TimeJoins.peakConcurrency). Capacity-planning composition — max
+    // simultaneous open sessions and the first instant the peak holds.
+    "q123_peak_concurrency" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sess = TimeJoins.sessionStats(
+        TimeJoins.sessionize(e, Seq("user_id", "event_type"), col("ts"),
+          gapSeconds = 1800L, tieBreak = col("event_id")),
+        Seq("user_id", "event_type"), col("ts"))
+      TimeJoins.peakConcurrency(sess, Seq("event_type"),
+          col("session_start"), col("session_end"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Q124 — TPC-H Q17 family: correlated scalar subqueries (per-part
+    // quantity threshold), written in SQL so Catalyst's decorrelation
+    // plans them as aggregated joins — no per-row subquery re-execution.
+    // The 0.2·avg threshold is cross-multiplied into the integer domain
+    // (qty·5·n < Σqty; quantities are integral in this corpus) so the
+    // borderline predicate is exact on both engines — no IEEE division.
+    "q124_small_qty_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql("""
+        SELECT p_brand, count(*) AS n_small,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_rev
+        FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        WHERE CAST(l_quantity AS BIGINT) * 5 *
+            (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT sum(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+             WHERE l3.l_partkey = l.l_partkey)
+        GROUP BY p_brand ORDER BY p_brand""")
+    }),
+
+    // Q125 — deterministic weighted priority sample: 5 orders per
+    // priority class drawn ∝ order value via the integer A-ES analog
+    // (Sampling.weightedPriorityTakeK) — engine-portable, replayable,
+    // no rand() anywhere.
+    "q125_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedPriorityTakeK(
+          t(s, dir, "orders"), "o_orderkey", "o_orderpriority",
+          weight = expr("CAST(floor(o_totalprice) AS BIGINT) + 1"), k = 5)
+        .select(col("o_orderpriority"), col("sample_rank"), col("o_orderkey"),
+          col("priority"))
+        .orderBy(col("o_orderpriority"), col("sample_rank"))),
+
+    // Q126 — per-source token-distribution Gini impurity (the rational
+    // sibling of entropy): corpus repetitiveness audit, integer-exact
+    // ppm, no logarithms in compared columns (q73/q98 rule).
+    "q126_token_impurity" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tokenImpurity(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))),
+
+    // Q127 — skew-safe equi-join law at query level: first-day activity
+    // per event type computed through Skew.saltedEquiJoin (probe salted
+    // by event_id, build side replicated 16×) — result identical to the
+    // plain join the oracle runs. q29's salting law lifted from
+    // aggregation to join.
+    "q127_salted_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val firstTs = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      graft.operators.Skew.saltedEquiJoin(e, firstTs, Seq("user_id"), col("event_id"))
+        .where(to_date(col("ts")) === to_date(col("first_ts")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_first_day"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3595,6 +3666,70 @@ object SparkEntry {
           |      || n_chars || chr(1) || md5(text)), 1, 15))::BIGINT
           |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "q123_peak_concurrency" ->
+        """WITH o AS (SELECT user_id, event_type, ts, event_id,
+          |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |      (PARTITION BY user_id, event_type ORDER BY ts, event_id) > 1800000000
+          |    THEN 1 ELSE 0 END AS ns
+          |  FROM events),
+          |s AS (SELECT user_id, event_type, ts, CAST(sum(ns) OVER
+          |    (PARTITION BY user_id, event_type ORDER BY ts, event_id
+          |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |  FROM o),
+          |b AS (SELECT user_id, event_type, session_id, min(ts) AS st, max(ts) AS en
+          |  FROM s GROUP BY 1, 2, 3),
+          |d AS (SELECT event_type, st AS pt, 1 AS delta FROM b
+          |  UNION ALL SELECT event_type, en + INTERVAL 1 MICROSECOND, -1 FROM b),
+          |g AS (SELECT event_type, pt, sum(delta) AS delta FROM d GROUP BY 1, 2),
+          |r AS (SELECT event_type, pt, CAST(sum(delta) OVER
+          |    (PARTITION BY event_type ORDER BY pt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+          |  FROM g),
+          |p AS (SELECT event_type, pt, cc, max(cc) OVER (PARTITION BY event_type) AS mx FROM r)
+          |SELECT event_type, CAST(mx AS BIGINT) AS peak, min(pt) AS peak_at
+          |FROM p WHERE cc = mx GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+
+      "q124_small_qty_revenue" ->
+        """SELECT p_brand, count(*) AS n_small,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_rev
+          |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+          |WHERE CAST(l_quantity AS BIGINT) * 5 *
+          |    (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          |  < (SELECT sum(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+          |     WHERE l3.l_partkey = l.l_partkey)
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+      "q125_weighted_sample" ->
+        """WITH b AS (SELECT o_orderpriority, o_orderkey,
+          |    ((('0x' || substr(md5('wsample:' || o_orderkey), 1, 15))::BIGINT % 1048576)
+          |      * 1000000) // (CAST(floor(o_totalprice) AS BIGINT) + 1) AS priority
+          |  FROM orders),
+          |r AS (SELECT o_orderpriority, o_orderkey, priority,
+          |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+          |      ORDER BY priority, o_orderkey) AS BIGINT) AS sample_rank
+          |  FROM b)
+          |SELECT o_orderpriority, sample_rank, o_orderkey, priority
+          |FROM r WHERE sample_rank <= 5
+          |ORDER BY o_orderpriority, sample_rank""".stripMargin,
+
+      "q126_token_impurity" ->
+        """WITH w AS (SELECT source,
+          |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+          |c AS (SELECT source, token, count(*) AS c FROM w GROUP BY 1, 2),
+          |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    count(*) AS n_distinct, CAST(sum(c*c) AS BIGINT) AS s2
+          |  FROM c GROUP BY 1)
+          |SELECT source, n_tokens, n_distinct, s2,
+          |  1000000 - ((s2 // n_tokens) * 1000000) // n_tokens AS impurity_ppm
+          |FROM s ORDER BY source""".stripMargin,
+
+      "q127_salted_join" ->
+        """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+          |SELECT event_type, count(*) AS n_first_day,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM events e JOIN f USING (user_id)
+          |WHERE CAST(e.ts AS DATE) = CAST(f.first_ts AS DATE)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -125,4 +125,36 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .where(col("sample_rank") <= k)
   }
+
+  /**
+   * Deterministic weighted priority sampling: `k` rows per group, drawn
+   * with probability increasing in a per-row integer `weight` — the
+   * integer-exact analog of exponential-key (A-ES) reservoir sampling.
+   * Each row gets priority `(h * 1000000) DIV weight` where `h` is the
+   * portable hash of the id reduced to 20 bits (so the product stays
+   * far inside int64 on every engine); the k SMALLEST priorities win.
+   * Doubling a row's weight halves its expected priority; the whole
+   * order is integer arithmetic, so any SQL engine replays the exact
+   * same sample — no `rand()`, no IEEE division.
+   *
+   * `weight` must be a positive integral column (caller casts/clamps).
+   * One window shuffle per group, same posture as [[stratifiedTakeK]].
+   */
+  def weightedPriorityTakeK(
+      df: DataFrame, idCol: String, groupCol: String, weight: Column,
+      k: Int, salt: String = "wsample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clash = Seq("sample_rank", "priority", "_wpk_h", "_wpk_w").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has internal column(s) ${clash.mkString(", ")} — rename them first")
+    val h = pmod(
+      portableHash(concat(lit(salt + ":"), col(idCol).cast("string"))),
+      lit(1048576L))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("priority"), col(idCol))
+    df.withColumn("_wpk_h", h).withColumn("_wpk_w", weight)
+      .withColumn("priority", expr("(_wpk_h * 1000000) DIV _wpk_w"))
+      .drop("_wpk_h", "_wpk_w")
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
 }

@@ -127,4 +127,33 @@ object TextAnalysis {
       // replaces counted an empty gram set (0) — keep that contract
       .withColumn("n_distinct_grams", coalesce(col("_sk.n_distinct_grams"), lit(0L)))
       .drop("_sk")
+
+  /**
+   * Token-distribution Gini impurity per group, in parts-per-million:
+   * `1 − Σ pᵢ²` where `pᵢ` is token i's share of the group's tokens —
+   * 0 for a degenerate one-token corpus, → 1 − 1/V for a uniform
+   * V-token vocabulary. A diversity/repetitiveness audit per source
+   * (entropy's rational-arithmetic sibling: no logarithms, so the value
+   * is INTEGER-exact and engine-portable, per the q73/q98 no-ln rule).
+   *
+   * The ppm value is computed as `1e6 − ((S DIV N)·1e6) DIV N` over
+   * `S = Σ cᵢ²`, `N = Σ cᵢ` — two truncating divisions both engines
+   * replay bit-identically; the staged form keeps every intermediate
+   * under int64 at any corpus size where S itself fits (N ≤ 3·10⁹).
+   *
+   * Two hash aggregates, both map-side combinable: (group, token) counts,
+   * then per-group moments. Whitespace tokenization (`words`).
+   */
+  def tokenImpurity(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(groupCol), explode(words(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("s2"))
+      .withColumn("impurity_ppm",
+        lit(1000000L) - expr("((s2 DIV n_tokens) * 1000000) DIV n_tokens"))
 }

@@ -171,6 +171,42 @@ object TimeJoins {
         count(lit(1)).as("n_events"))
 
   /**
+   * Peak concurrency per key over a frame of closed intervals
+   * `[startCol, endCol]`: the classic +1/-1 boundary sweep. Each interval
+   * contributes a `+1` change point at its start and a `-1` at
+   * `end + 1µs` (closed end: an interval ending exactly at time T is
+   * still live AT T); coincident change points collapse in a pre-window
+   * map-side-combinable aggregate, then one running sum per key yields
+   * the concurrency step function. Output per key: `peak` (max concurrent
+   * intervals) and `peak_at` (earliest instant the peak is reached).
+   *
+   * Scale posture: 2|intervals| change-point rows, one hash shuffle for
+   * the collapse, one window shuffle per key for the running sum — the
+   * window partitions carry only distinct change points (≤ 2 per
+   * interval), never the raw event volume. Capacity-planning shape:
+   * "how many sessions/backfill jobs/open windows ran at once".
+   */
+  def peakConcurrency(
+      intervals: DataFrame, keyCols: Seq[String],
+      startCol: Column, endCol: Column): DataFrame = {
+    val ks = keyCols.map(col)
+    val deltas = intervals.select((ks :+ startCol.as("pt") :+ lit(1L).as("delta")): _*)
+      .unionByName(intervals.select(
+        (ks :+ (endCol + expr("INTERVAL 1 MICROSECOND")).as("pt")
+          :+ lit(-1L).as("delta")): _*))
+    val collapsed = deltas
+      .groupBy((ks :+ col("pt")): _*)
+      .agg(sum(col("delta")).as("delta"))
+    val run = Window.partitionBy(ks: _*).orderBy(col("pt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cc = collapsed.withColumn("cc", sum(col("delta")).over(run))
+    cc.withColumn("peak", max(col("cc")).over(Window.partitionBy(ks: _*)))
+      .where(col("cc") === col("peak"))
+      .groupBy(ks: _*)
+      .agg(max(col("cc")).as("peak"), min(col("pt")).as("peak_at"))
+  }
+
+  /**
    * Backward as-of join through the NATIVE merge-scan operator
    * ([[graft.plans.AsofJoinPlan]] → `AsofJoinExec`, the §2.10 tier-(c)
    * extension) — same contract as [[asOfBackward]], different physical

@@ -84,4 +84,32 @@ class SamplingSpec extends SparkSpec {
     assert(sizes.values.max < 3 * sizes.values.min,
       s"md5 buckets should be roughly balanced at n=2000: $sizes")
   }
+
+  test("weightedPriorityTakeK: exact integer priorities, k bound, driver-mirror parity") {
+    val rows = Seq(("g1", 1L, 10L), ("g1", 2L, 1L), ("g1", 3L, 1000L),
+      ("g1", 4L, 5L), ("g2", 5L, 1L), ("g2", 6L, 1L)).toDF("g", "id", "w")
+    val out = Sampling.weightedPriorityTakeK(rows, "id", "g", col("w"), k = 3)
+      .select(col("id"), col("priority")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 5, "min(3,4) + min(3,2) survivors")
+    val weights = Map(1L -> 10L, 2L -> 1L, 3L -> 1000L, 4L -> 5L, 5L -> 1L, 6L -> 1L)
+    out.foreach { case (id, p) =>
+      val h = graft.functions.TextFunctions.portableHash64(s"wsample:$id") % 1048576L
+      assert(p == h * 1000000L / weights(id),
+        s"id=$id: plan priority $p != driver mirror")
+    }
+  }
+
+  test("weightedPriorityTakeK: raising a row's weight never worsens its priority") {
+    val rows = spark.range(300).select(
+      col("id"), lit("g").as("g"), (pmod(col("id"), lit(9)) + lit(1)).as("w"))
+    val p1 = Sampling.weightedPriorityTakeK(rows, "id", "g", col("w"), k = 300)
+      .select("id", "priority").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p2 = Sampling.weightedPriorityTakeK(rows.withColumn("w", col("w") * 10),
+        "id", "g", col("w"), k = 300)
+      .select("id", "priority").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.keySet == p2.keySet)
+    assert(p1.forall { case (id, p) => p2(id) <= p },
+      "10x weight must weakly lower every integer priority")
+  }
 }

@@ -79,4 +79,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kernel(0) == Seq(3L, 1L, 0L, 0L))
     assert(kernel(4) == Seq(1L, 0L, 2L, 3L))
   }
+
+  test("tokenImpurity: staged integer ppm formula, hand-computed moments") {
+    val docs = Seq(
+      ("s1", "a a b"), ("s1", "A  b"), // a:3 b:2 -> N=5, S=13, V=2
+      ("s2", "x x x"),                 // degenerate one-token corpus -> 0 ppm
+    ).toDF("source", "text")
+    val out = TextAnalysis.tokenImpurity(docs, "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Long]("impurity_ppm")))
+    // s1: 1e6 - ((13 DIV 5) * 1e6) DIV 5 = 1e6 - 400000 = 600000
+    assert(out.toSeq == Seq(
+      ("s1", 5L, 2L, 13L, 600000L),
+      ("s2", 3L, 1L, 9L, 0L)))
+  }
 }

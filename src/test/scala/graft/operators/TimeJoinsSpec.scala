@@ -104,4 +104,37 @@ class TimeJoinsSpec extends SparkSpec {
     assert(stats.map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq ==
       Seq(("u1", 0L, 3L), ("u1", 1L, 1L), ("u2", 0L, 1L)))
   }
+
+  test("peakConcurrency: closed-end sweep, hand-computed peak and first peak instant") {
+    val iv = Seq(
+      // A: third interval starts exactly at the first's CLOSED end
+      // -> all three live at 10:10:00 (peak 3, first held there)
+      ("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+      ("A", ts("2024-01-01 10:05:00"), ts("2024-01-01 10:20:00")),
+      ("A", ts("2024-01-01 10:10:00"), ts("2024-01-01 10:15:00")),
+      ("A", ts("2024-01-01 11:00:00"), ts("2024-01-01 11:01:00")),
+      ("B", ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00")),
+    ).toDF("k", "s", "e")
+    val out = TimeJoins.peakConcurrency(iv, Seq("k"), col("s"), col("e"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("peak"),
+      r.getAs[Timestamp]("peak_at"))).toSeq ==
+      Seq(("A", 3L, ts("2024-01-01 10:10:00")), ("B", 1L, ts("2024-01-01 09:00:00"))))
+  }
+
+  test("peakConcurrency is invariant to input partitioning") {
+    val base = spark.range(500).selectExpr(
+        "id",
+        "CAST(id % 7 AS STRING) AS k",
+        "timestamp_micros(1700000000000000 + (id * 97) % 240 * 60000000) AS s")
+      .withColumn("s", col("s").cast("timestamp_ntz"))
+      .withColumn("e", expr("timestampadd(MINUTE, CAST(id % 29 + 1 AS INT), s)"))
+      .drop("id")
+    val a = TimeJoins.peakConcurrency(base, Seq("k"), col("s"), col("e"))
+      .orderBy("k").collect().toSeq
+    val b = TimeJoins.peakConcurrency(base.repartition(13, col("e")), Seq("k"),
+        col("s"), col("e"))
+      .orderBy("k").collect().toSeq
+    assert(a == b)
+  }
 }
