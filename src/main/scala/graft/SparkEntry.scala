@@ -1952,6 +1952,20 @@ object SparkEntry {
           sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
         .orderBy(col("event_type"))
     }),
+
+    // Q128 — duration-weighted TWAP per (user, day): the price path
+    // weighted by µs-until-next-tick (Bars.twapSpans; q68's twap column
+    // is the equal-weight per-tick variant). Integer µs weights and an
+    // exact decimal weighted sum; the quotient is rounded to 6 dp because
+    // the numerator's internal digits exceed 2^53 on day-long buckets and
+    // the decimal→double cast is engine-rounding-sensitive (q34 rule).
+    "q128_twap_spans" -> ((s, dir) =>
+      Bars.twapSpans(t(s, dir, "events").where(col("value") > 0),
+          keyCols = Seq(col("user_id")), bucket = to_date(col("ts")),
+          ts = col("ts"), tieBreak = col("event_id"), price = col("value"))
+        .select(col("user_id"), col("bucket").as("day"), col("n_spans"),
+          col("den_us"), round(col("twap"), 6).as("twap"))
+        .orderBy(col("user_id"), col("day"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3730,6 +3744,20 @@ object SparkEntry {
           |FROM events e JOIN f USING (user_id)
           |WHERE CAST(e.ts AS DATE) = CAST(f.first_ts AS DATE)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q128_twap_spans" ->
+        """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+          |  FROM events WHERE value > 0),
+          |s AS (SELECT user_id, day, value,
+          |    epoch_us(lead(ts) OVER (PARTITION BY user_id, day
+          |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+          |  FROM e)
+          |SELECT user_id, day, count(*) AS n_spans,
+          |  CAST(sum(dt_us) AS BIGINT) AS den_us,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,4)) * dt_us) AS DOUBLE)
+          |    / CAST(CAST(sum(dt_us) AS BIGINT) AS DOUBLE), 6) AS twap
+          |FROM s WHERE dt_us IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     )
   }
 }

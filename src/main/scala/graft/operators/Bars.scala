@@ -77,4 +77,68 @@ object Bars {
         sum(v).cast("double").as("volume"),
         count(lit(1)).as("n_trades"))
   }
+
+  /**
+   * Duration-weighted TWAP per (key, bucket): each tick's price weighs by
+   * the µs until the NEXT tick in the same bucket — the true time-weighted
+   * mean of the piecewise-constant price path ([[vwap]]'s `twap` column is
+   * the equal-weight per-tick variant). The last tick of a bucket closes
+   * no span and carries no weight. Weights are exact integer µs and the
+   * weighted sum is exact decimal — partitioning-invariant. The final
+   * value is one division on those exact operands, but the numerator's
+   * INTERNAL digits (price·µs · 10⁴) exceed 2⁵³ on day-long buckets, so
+   * the decimal→double cast itself is engine-rounding-sensitive:
+   * cross-engine consumers compare on `round(twap, 6)` (q34 precedent),
+   * within-engine replays are exact.
+   *
+   * One window shuffle on (key, bucket) for the lead, then the usual
+   * map-side-combinable aggregate. Output: keys, bucket, n_spans,
+   * den_us, twap.
+   */
+  def twapSpans(
+      ticks: DataFrame, keyCols: Seq[Column], bucket: Column,
+      ts: Column, tieBreak: Column, price: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!ticks.columns.contains("_dt_us"),
+      "input already has a '_dt_us' column — rename it first")
+    val w = Window.partitionBy((keyCols :+ bucket): _*).orderBy(ts, tieBreak)
+    val dt = unix_micros(lead(ts, 1).over(w).cast("timestamp")) -
+      unix_micros(ts.cast("timestamp"))
+    ticks
+      .withColumn("_dt_us", dt)
+      .where(col("_dt_us").isNotNull)
+      .groupBy((keyCols :+ bucket.as("bucket")): _*)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_dt_us")).as("den_us"),
+        sum(price.cast(DecimalType(18, 4)) * col("_dt_us")).as("_num"))
+      .withColumn("twap", col("_num").cast("double") / col("den_us").cast("double"))
+      .drop("_num")
+  }
+
+  /**
+   * Fold finer OHLCV bars into coarser ones WITHOUT touching raw ticks —
+   * the OHLC merge algebra (open = earliest fine bar's open, close =
+   * latest's close, high/low = max/min, volume/n_trades = sums). This is
+   * the INC1 mergeability shape for the trading aggregate: a nightly
+   * 100 TB job keeps 1-minute partials and folds them into any coarser
+   * grain without a raw re-scan; `foldOhlcv(ohlcv(fine)) == ohlcv(coarse)`
+   * exactly (spec-enforced).
+   *
+   * Volume re-enters the exact DECIMAL(18,4) domain before summing — the
+   * double→decimal(18,4) round-trip is lossless at 4 dp, so the fold sum
+   * is order-independent like the original.
+   */
+  def foldOhlcv(bars: DataFrame, keyCols: Seq[Column], coarseBucket: Column): DataFrame = {
+    require(!bars.columns.contains("_fine_start"),
+      "input already has a '_fine_start' column — rename it first")
+    bars.withColumn("_fine_start", col("bar_start"))
+      .groupBy((keyCols :+ coarseBucket.as("bar_start")): _*)
+      .agg(
+        min_by(col("open"), col("_fine_start")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("_fine_start")).as("close"),
+        sum(col("volume").cast(DecimalType(18, 4))).cast("double").as("volume"),
+        sum(col("n_trades")).as("n_trades"))
+  }
 }

@@ -63,6 +63,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(stale.isEmpty, s"allowlist entries whose plans are now clean (remove them): ${stale.mkString(", ")}")
   }
 
+  test("top-k-per-group plans the WindowGroupLimit pushdown (no full-partition rank sort)") {
+    val plan = SparkEntry.queries("q35_top_orders")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "q35's rnk<=3 filter should push into WindowGroupLimitExec (per-partition " +
+        "top-k heaps before the window sort) — losing that pushdown means a full " +
+        "per-key sort of every customer's orders at 100 TB")
+  }
+
   test("pre-checkpoint candidate stages are nested-loop free (checkpoint blind-spot coverage)") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")

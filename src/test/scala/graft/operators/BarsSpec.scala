@@ -56,4 +56,45 @@ class BarsSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("vwap") == 10.0)
     assert(rows(1).getAs[Double]("vwap") == 20.0)
   }
+
+  test("twapSpans: duration weighting, last tick weightless, hand-computed") {
+    // spans: 10.0 held 1 min, 20.0 held 3 min -> twap = (10·60 + 20·180)/240 = 17.5
+    // (equal-weight twap would say 40/3 — the duration weighting is the point)
+    val ticks = Seq(
+      ("NQ", ts(0), 1L, 10.0),
+      ("NQ", ts(1), 2L, 20.0),
+      ("NQ", ts(4), 3L, 30.0), // closes no span
+      ("ES", ts(0), 4L, 50.0), // singleton key: no spans at all
+    ).toDF("symbol", "ts", "event_id", "price")
+    val out = Bars.twapSpans(ticks, Seq(col("symbol")),
+        to_date(col("ts")), col("ts"), col("event_id"), col("price"))
+      .collect()
+    assert(out.length == 1, "singleton keys close no spans")
+    val r = out.head
+    assert(r.getAs[String]("symbol") == "NQ" || r.getAs[Any]("symbol") == "NQ")
+    assert(r.getAs[Long]("n_spans") == 2)
+    assert(r.getAs[Long]("den_us") == 240000000L)
+    assert(r.getAs[Double]("twap") == 17.5)
+  }
+
+  test("foldOhlcv: folding 1-minute bars equals aggregating raw ticks at the hour") {
+    // deterministic walk over 2 keys x 3 hours, ~5 ticks/minute
+    val ticks = spark.range(3600).selectExpr(
+        "CAST(id % 2 AS STRING) AS symbol",
+        "timestamp_micros(1735689600000000 + (id DIV 2) * 6100000) AS ts",
+        "CAST(100 + (id * 37) % 55 AS DOUBLE) + 0.25 AS price",
+        "CAST(1 + (id * 13) % 7 AS DOUBLE) AS size")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val fine = Bars.ohlcv(ticks, Seq(col("symbol")),
+      date_trunc("minute", col("ts")).cast(TimestampNTZType),
+      col("ts"), col("price"), col("size"))
+    val folded = Bars.foldOhlcv(fine, Seq(col("symbol")),
+      date_trunc("hour", col("bar_start")).cast(TimestampNTZType))
+    val direct = Bars.ohlcv(ticks, Seq(col("symbol")),
+      date_trunc("hour", col("ts")).cast(TimestampNTZType),
+      col("ts"), col("price"), col("size"))
+    val a = folded.orderBy("symbol", "bar_start").collect().toSeq
+    val b = direct.orderBy("symbol", "bar_start").collect().toSeq
+    assert(a.nonEmpty && a == b, "fold of fine bars must equal the direct coarse aggregate")
+  }
 }
