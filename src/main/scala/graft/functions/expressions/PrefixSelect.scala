@@ -38,11 +38,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  */
 case class PrefixSelect(
     child: Expression, hotS: Array[Long], hotDf: Array[Long], threshold: Double,
-    full: Boolean = false)
+    full: Boolean = false, extra: Int = 0)
   extends UnaryExpression {
 
   require(hotS.length == hotDf.length, "df table arrays must be parallel")
   require(threshold > 0 && threshold <= 1, "prefix selection needs 0 < t <= 1")
+  require(extra >= 0, "prefix extension must be non-negative")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -54,14 +55,14 @@ case class PrefixSelect(
 
   override def nullSafeEval(input: Any): Any =
     PrefixSelectKernel.select(
-      input.asInstanceOf[ArrayData], hotS, hotDf, threshold, full)
+      input.asInstanceOf[ArrayData], hotS, hotDf, threshold, full, extra)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val sRef = ctx.addReferenceObj("prefixHotS", hotS, "long[]")
     val dRef = ctx.addReferenceObj("prefixHotDf", hotDf, "long[]")
     nullSafeCodeGen(ctx, ev, a =>
       s"""${ev.value} = graft.functions.expressions.PrefixSelectKernel
-         |  .select($a, $sRef, $dRef, $threshold, $full);""".stripMargin)
+         |  .select($a, $sRef, $dRef, $threshold, $full, $extra);""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -80,13 +81,16 @@ object PrefixSelectKernel {
 
   /** Per-row kernel; called from generated code. `hs` must be sorted
     * distinct (the WordShingleHashes contract). Returns the prefix —
-    * the m = n − ⌈t·n⌉ + 1 elements smallest in (df, s) order — or, with
-    * `full`, all n elements in that order. */
+    * the m = n − ⌈t·n⌉ + 1 + extra elements smallest in (df, s) order
+    * (the ppjoin l-extension: with `extra` = k−1 a true pair is
+    * guaranteed ≥ min(k, ⌈t·n⌉) common tokens inside the window, so a
+    * match-count filter can demand more than one) — or, with `full`,
+    * all n elements in that order. */
   def select(
       hs: ArrayData, hotS: Array[Long], hotDf: Array[Long],
-      threshold: Double, full: Boolean): ArrayData = {
+      threshold: Double, full: Boolean, extra: Int = 0): ArrayData = {
     val n = hs.numElements()
-    val m = if (full) n else n - math.ceil(threshold * n).toInt + 1
+    val m = if (full) n else n - math.ceil(threshold * n).toInt + 1 + extra
     val s = hs.toLongArray() // copy: the input buffer may be row-reused
     val df = new Array[Long](n)
     var i = 0

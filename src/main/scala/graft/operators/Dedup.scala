@@ -432,10 +432,12 @@ object Dedup {
    */
   def jaccardJoinPrefixFilter(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      minWindowMatches: Int = 2): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(threshold > 0 && threshold <= 1,
       "prefix filtering requires 0 < threshold <= 1")
+    require(minWindowMatches >= 1, "the match-count demand must be >= 1")
     // Candidate generation runs entirely in the 60-bit HASH image of the
     // shingle sets (fused kernel: one codegen pass per doc, 8-byte join
     // keys — the interpreted string-shingle chain measured 150 s / 100k
@@ -465,10 +467,20 @@ object Dedup {
     // kernel against the bounded hot-df table; no shuffle until the
     // candidate join itself.
     val (hotS, hotDf) = hotDfTable(hsets)
+    // l-extended prefixes (k = minWindowMatches): with both windows
+    // lengthened to n − ⌈t·n⌉ + k, a true pair's first
+    // min(k, ⌈t·max(nx,ny)⌉) common tokens (global order) sit in BOTH
+    // windows — the i-th smallest common token escapes x's window only
+    // when ≥ Lx−i+1 of x's nx−c non-common tokens precede it, i.e. only
+    // for i > c − ⌈t·nx⌉ + k, and J ≥ t forces c ≥ ⌈t·max⌉. So the pair
+    // aggregate below can demand that many matches instead of one — the
+    // filter that bites on a dense small vocabulary, where any single
+    // hot token pairs everything with everything.
     val prefix = hsets.select(
         col(idCol), size(col("hs")).as("n"),
         posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
-          Bridge.expression(col("hs")), hotS, hotDf, threshold))).as(Seq("p", "s")))
+          Bridge.expression(col("hs")), hotS, hotDf, threshold,
+          extra = minWindowMatches - 1))).as(Seq("p", "s")))
       // lean (id, n, pos, hash); both self-join sides reuse it. Lazy: the
       // candidate job's first side materializes, the second side reads.
       .localCheckpoint(false)
@@ -488,10 +500,19 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol") &&
           // length filter: t·|A| ≤ |B| ≤ |A|/t (A the smaller side either way)
           col("y.n") * lit(threshold) <= col("x.n") &&
-          col("x.n") * lit(threshold) <= col("y.n") &&
-          lit(1) + least(col("x.n") - col("x.p") - 1, col("y.n") - col("y.p") - 1) >= alpha)
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
+          col("x.n") * lit(threshold) <= col("y.n"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_match"),
+        max(greatest(col("x.n"), col("y.n"))).as("n_max"),
+        // positional test stays an EXISTS across the pair's rows: the
+        // first common token's row always passes for a true pair; later
+        // rows may fail the generic cap, so it must never gate the count
+        max(when(lit(1) +
+            least(col("x.n") - col("x.p") - 1, col("y.n") - col("y.p") - 1) >=
+            alpha, 1L).otherwise(0L)).as("pos_ok"))
+      .where(col("pos_ok") === 1L && col("n_match") >=
+        least(lit(minWindowMatches.toLong), ceil(lit(threshold) * col("n_max"))))
+      .select(col("id_a"), col("id_b"))
     // Two-stage verify. Stage 1 on the HASH arrays already in hand —
     // array_intersect over longs, no text touched — discards the
     // (possibly huge, on dense-vocabulary corpora) mass of
@@ -536,10 +557,12 @@ object Dedup {
    */
   def containmentJoinPrefixFilter(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      minWindowMatches: Int = 2): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(threshold > 0 && threshold <= 1,
       "containment prefix filtering requires 0 < threshold <= 1")
+    require(minWindowMatches >= 1, "the match-count demand must be >= 1")
     val hsets = docs
       .select(col(idCol),
         Bridge.column(graft.functions.expressions.WordShingleHashes(
@@ -547,16 +570,27 @@ object Dedup {
       .where(col("hs").isNotNull)
       .localCheckpoint(false) // lazy: materialized by the hot-df pass
     val (hotS, hotDf) = hotDfTable(hsets)
+    // l-extended prefix (ppjoin extension, Xiao et al.): lengthening the
+    // window by minWindowMatches−1 guarantees a true pair shares
+    // ≥ min(minWindowMatches, ⌈t·n_a⌉) tokens INSIDE it (pigeonhole:
+    // ≤ ⌈t·n_a⌉ − k common tokens can hide beyond an (n_a−⌈t·n_a⌉+k)-token
+    // window), so the candidate aggregate can demand more than one match —
+    // the filter that actually bites on a dense small-vocabulary corpus,
+    // where every single hot token pairs everything with everything.
     val prefix = hsets.select(
       col(idCol).as("id_a"), size(col("hs")).as("n_a"),
       posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
-        Bridge.expression(col("hs")), hotS, hotDf, threshold))).as(Seq("p_a", "s")))
+        Bridge.expression(col("hs")), hotS, hotDf, threshold,
+        extra = minWindowMatches - 1))).as(Seq("p_a", "s")))
     // Probe side carries each token's rank in the SAME global (df, s)
     // order (full=true) so the positional filter applies: overlap is
     // capped at 1 + min(n_a−p_a−1, n_b−p_b−1), and c ≥ t needs ≥ ⌈t·n_a⌉.
     // Recall-safe by the first-common-token argument (see the Jaccard
     // variant): for a true pair it lies in a's prefix and b's full list,
-    // and its row passes the cap.
+    // and its row passes the cap — so the pair-level MAX of the row
+    // predicate is 1 for every true pair (later common tokens may fail
+    // the generic row cap; that is why the positional test is an EXISTS
+    // across the pair's rows, never a row filter under the match count).
     val toks = hsets.select(
       col(idCol).as("id_b"), size(col("hs")).as("n_b"),
       posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
@@ -566,11 +600,16 @@ object Dedup {
       .join(toks, "s")
       .where(col("id_a") =!= col("id_b") &&
         // size filter: |a∩b| ≤ |b|, so c ≥ t needs |b| ≥ ⌈t·|a|⌉
-        col("n_b") >= ceil(lit(threshold) * col("n_a")) &&
-        lit(1) + least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1) >=
-          ceil(lit(threshold) * col("n_a").cast("double") - lit(1e-9)))
+        col("n_b") >= ceil(lit(threshold) * col("n_a")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_match"), max(col("n_a")).as("n_a"),
+        max(when(lit(1) +
+            least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1) >=
+            ceil(lit(threshold) * col("n_a").cast("double") - lit(1e-9)), 1L)
+          .otherwise(0L)).as("pos_ok"))
+      .where(col("pos_ok") === 1L && col("n_match") >=
+        least(lit(minWindowMatches.toLong), ceil(lit(threshold) * col("n_a"))))
       .select(col("id_a"), col("id_b"))
-      .distinct()
     // Two-stage verify (see jaccardJoinPrefixFilter): hash-domain
     // containment first (identical to string containment absent a 60-bit
     // collision), string-exact on the survivors only.
@@ -605,10 +644,12 @@ object Dedup {
    */
   def benchmarkContainment(
       bench: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      minWindowMatches: Int = 2): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(threshold > 0 && threshold <= 1,
       "containment prefix filtering requires 0 < threshold <= 1")
+    require(minWindowMatches >= 1, "the match-count demand must be >= 1")
     def hashSets(df: DataFrame): DataFrame = df
       .select(col(idCol),
         Bridge.column(graft.functions.expressions.WordShingleHashes(
@@ -629,17 +670,27 @@ object Dedup {
       posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
         Bridge.expression(col("hs")), hotS, hotDf, threshold, full = true)))
         .as(Seq("p_b", "s")))
+    // l-extended benchmark prefixes (see containmentJoinPrefixFilter):
+    // window grows by minWindowMatches−1 so the pair aggregate can demand
+    // ≥ min(k, ⌈t·n_a⌉) window matches; the positional test stays an
+    // EXISTS over the pair's rows (recall argument in the sibling).
     val prefixB = hB.select(
       col(idCol).as("id_a"), size(col("hs")).as("n_a"),
       posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
-        Bridge.expression(col("hs")), hotS, hotDf, threshold))).as(Seq("p_a", "s")))
+        Bridge.expression(col("hs")), hotS, hotDf, threshold,
+        extra = minWindowMatches - 1))).as(Seq("p_a", "s")))
     val candidates = broadcast(prefixB)
       .join(toksC, "s")
-      .where(col("n_b") >= ceil(lit(threshold) * col("n_a")) &&
-        lit(1) + least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1) >=
-          ceil(lit(threshold) * col("n_a").cast("double") - lit(1e-9)))
+      .where(col("n_b") >= ceil(lit(threshold) * col("n_a")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_match"), max(col("n_a")).as("n_a"),
+        max(when(lit(1) +
+            least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1) >=
+            ceil(lit(threshold) * col("n_a").cast("double") - lit(1e-9)), 1L)
+          .otherwise(0L)).as("pos_ok"))
+      .where(col("pos_ok") === 1L && col("n_match") >=
+        least(lit(minWindowMatches.toLong), ceil(lit(threshold) * col("n_a"))))
       .select(col("id_a"), col("id_b"))
-      .distinct()
     val hashVerified = candidates
       .join(hB.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hC.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")

@@ -47,23 +47,31 @@ object PrefixStageProbe {
       val pairs = top.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       (pairs.map(_._1), pairs.map(_._2))
     }
-    val prefix = time("prefix checkpoint (PrefixSelect kernel)") {
+    val prefix = time("prefix checkpoint (PrefixSelect kernel, l-extended k=2)") {
       hsets.select(col("doc_id"), size(col("hs")).as("n"),
           posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
-            Bridge.expression(col("hs")), hotS, hotDf, t))).as(Seq("p", "s")))
+            Bridge.expression(col("hs")), hotS, hotDf, t, extra = 1)))
+            .as(Seq("p", "s")))
         .localCheckpoint(true)
     }
     println(s"[probe] prefix rows = ${prefix.count()}")
-    val candidates = time("candidate self-join + distinct") {
+    val candidates = time("candidate self-join + match-count aggregate") {
       val alpha = ceil(lit(t) / (lit(1.0) + lit(t)) *
         (col("x.n") + col("y.n")).cast("double") - lit(1e-9))
       val c = prefix.as("x")
         .join(prefix.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
-            col("y.n") * lit(t) <= col("x.n") && col("x.n") * lit(t) <= col("y.n") &&
-            lit(1) + least(col("x.n") - col("x.p") - 1, col("y.n") - col("y.p") - 1) >= alpha)
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct().localCheckpoint(true)
+            col("y.n") * lit(t) <= col("x.n") && col("x.n") * lit(t) <= col("y.n"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_match"),
+          max(greatest(col("x.n"), col("y.n"))).as("n_max"),
+          max(when(lit(1) +
+              least(col("x.n") - col("x.p") - 1, col("y.n") - col("y.p") - 1) >=
+              alpha, 1L).otherwise(0L)).as("pos_ok"))
+        .where(col("pos_ok") === 1L && col("n_match") >=
+          least(lit(2L), ceil(lit(t) * col("n_max"))))
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
       println(s"[probe] candidates = ${c.count()}")
       c
     }
@@ -110,10 +118,11 @@ object PrefixStageProbe {
       val pairs = top.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       (pairs.map(_._1), pairs.map(_._2))
     }
-    val prefix = time("a-prefix checkpoint") {
+    val prefix = time("a-prefix checkpoint (l-extended, k=2)") {
       hsets.select(col("doc_id").as("id_a"), size(col("hs")).as("n_a"),
           posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
-            Bridge.expression(col("hs")), hotS, hotDf, t))).as(Seq("p_a", "s")))
+            Bridge.expression(col("hs")), hotS, hotDf, t, extra = 1)))
+            .as(Seq("p_a", "s")))
         .localCheckpoint(true)
     }
     println(s"[probe] a-prefix rows = ${prefix.count()}")
@@ -125,14 +134,20 @@ object PrefixStageProbe {
         .localCheckpoint(true)
     }
     println(s"[probe] b-full rows = ${toks.count()}")
-    val candidates = time("candidate join + distinct") {
+    val candidates = time("candidate join + match-count aggregate") {
       val c = prefix.join(toks, "s")
         .where(col("id_a") =!= col("id_b") &&
-          col("n_b") >= ceil(lit(t) * col("n_a")) &&
-          lit(1) + least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1) >=
-            ceil(lit(t) * col("n_a").cast("double") - lit(1e-9)))
+          col("n_b") >= ceil(lit(t) * col("n_a")))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_match"), max(col("n_a")).as("n_a"),
+          max(when(lit(1) +
+              least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1) >=
+              ceil(lit(t) * col("n_a").cast("double") - lit(1e-9)), 1L)
+            .otherwise(0L)).as("pos_ok"))
+        .where(col("pos_ok") === 1L && col("n_match") >=
+          least(lit(2L), ceil(lit(t) * col("n_a"))))
         .select(col("id_a"), col("id_b"))
-        .distinct().localCheckpoint(true)
+        .localCheckpoint(true)
       println(s"[probe] candidates = ${c.count()}")
       c
     }

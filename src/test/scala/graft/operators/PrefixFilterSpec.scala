@@ -142,4 +142,23 @@ class PrefixFilterSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("l-extension match-count demand is recall-neutral (k = 1, 2, 4 agree)") {
+    // same seeded corpus family as the recall laws; tiny docs exercise the
+    // min(k, ceil(t·n)) guard where the guaranteed match count is < k
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val corpus = ((0 until 40).map { i =>
+      val words = (0 until 4 + rnd.nextInt(16)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    } :+ (999L, "w1 w2 w3")).toDF("doc_id", "text") // 1-shingle doc
+    for (t <- Seq(0.5, 0.8)) {
+      val jk = (k: Int) => Dedup.jaccardJoinPrefixFilter(corpus, "doc_id", "text", 3, t, k)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(jk(2) == jk(1) && jk(4) == jk(1), s"jaccard t=$t")
+      val ck = (k: Int) => Dedup.containmentJoinPrefixFilter(corpus, "doc_id", "text", 3, t, k)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(ck(2) == ck(1) && ck(4) == ck(1), s"containment t=$t")
+    }
+  }
 }
