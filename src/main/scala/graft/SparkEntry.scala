@@ -1966,6 +1966,16 @@ object SparkEntry {
         .select(col("user_id"), col("bucket").as("day"), col("n_spans"),
           col("den_us"), round(col("twap"), 6).as("twap"))
         .orderBy(col("user_id"), col("day"))),
+
+    // Q129 — PCA power-iteration step over q118's quantized covariance,
+    // entirely in the exact decimal domain (Quantization.covPowerStep):
+    // the covariance NUMERATOR matvec against the deterministic ±1 seed —
+    // the q64-kmeans-step pattern applied to PCA; scale constants cancel
+    // in the eigendirection so nothing leaves integers.
+    "q129_cov_power_step" -> ((s, dir) =>
+      graft.operators.Quantization.covPowerStep(
+          t(s, dir, "embeddings"), "embedding", nDims = 16)
+        .orderBy(col("dim"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3758,6 +3768,25 @@ object SparkEntry {
           |    / CAST(CAST(sum(dt_us) AS BIGINT) AS DOUBLE), 6) AS twap
           |FROM s WHERE dt_us IS NOT NULL
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q129_cov_power_step" ->
+        """WITH x AS (SELECT list_transform(embedding[1:16],
+          |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+          |  FROM embeddings),
+          |u AS (SELECT i, xq[i+1] AS v FROM x, (SELECT unnest(range(16)) AS i)),
+          |s AS (SELECT i, CAST(sum(v) AS BIGINT) AS s FROM u GROUP BY i),
+          |tri AS (SELECT a.i AS i, b.j AS j, count(*) AS n,
+          |    CAST(sum(xq[a.i+1] * xq[b.j+1]) AS BIGINT) AS sxy
+          |  FROM x, (SELECT unnest(range(16)) AS i) a, (SELECT unnest(range(16)) AS j) b
+          |  WHERE b.j >= a.i GROUP BY a.i, b.j),
+          |cn AS (SELECT t.i, t.j,
+          |    CAST(t.n AS HUGEINT) * t.sxy - CAST(si.s AS HUGEINT) * sj.s AS covnum
+          |  FROM tri t JOIN s si ON t.i = si.i JOIN s sj ON t.j = sj.i),
+          |sym AS (SELECT i AS dim, j AS colj, covnum FROM cn
+          |  UNION ALL SELECT j AS dim, i AS colj, covnum FROM cn WHERE i <> j)
+          |SELECT dim, CAST(sum(covnum *
+          |    (CASE WHEN colj % 2 = 0 THEN 1 ELSE -1 END)) AS DECIMAL(38,0)) AS v1
+          |FROM sym GROUP BY dim ORDER BY dim""".stripMargin,
     )
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Int8 scalar quantization of embedding vectors with an exact-integer
@@ -132,6 +133,42 @@ object Quantization {
           - col("sx").cast("double") * col("sy").cast("double"))
           / (col("n").cast("double") * col("n").cast("double") * lit(1e12)))
       .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"), col("sy"), col("cov"))
+  }
+
+  /**
+   * One PCA power-iteration step over the quantized covariance, entirely
+   * in the exact decimal domain: v₁ᵢ = Σⱼ covnum(i,j)·v₀ⱼ where
+   * covnum(i,j) = n·S_xy − S_x·S_y is the covariance NUMERATOR from
+   * [[covariancePrep]]'s sufficient statistics (the 1/(n²·10¹²) scale is
+   * a positive constant — irrelevant to the eigendirection, so the
+   * iteration never leaves integers) and v₀ = (+1,−1,+1,…) is the fixed
+   * deterministic seed. Longs widen to DECIMAL(38,0) BEFORE the products
+   * (n·S_xy alone overflows int64 at ~10⁵ vectors).
+   *
+   * This is the q64-kmeans-step pattern for PCA: the driver of a real
+   * power iteration would loop this step and normalize between rounds;
+   * one exact step is the verifiable unit. The d×d matvec runs on the
+   * ~d²/2 suffstat rows (a broadcast-scale frame), NOT the corpus.
+   */
+  def covPowerStep(emb: DataFrame, vecCol: String, nDims: Int): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    // eager checkpoint: the symmetric expansion reads this tiny frame
+    // twice; without it the corpus-wide suffstats job would run twice
+    val stats = covariancePrep(emb, vecCol, nDims)
+      .withColumn("covnum",
+        (col("n").cast(d38) * col("sxy").cast(d38) -
+          col("sx").cast(d38) * col("sy").cast(d38)).cast(d38))
+      .select(col("i"), col("j"), col("covnum"))
+      .localCheckpoint(true)
+    val sym = stats
+      .select(col("i").as("dim"), col("j").as("colj"), col("covnum"))
+      .unionByName(stats.where(col("i") =!= col("j"))
+        .select(col("j").as("dim"), col("i").as("colj"), col("covnum")))
+    sym
+      .withColumn("v0",
+        when(pmod(col("colj"), lit(2)) === 0, lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col("dim"))
+      .agg(sum((col("covnum") * col("v0")).cast(d38)).cast(d38).as("v1"))
   }
 
   /** Per-label quantization quality report (see object doc for the law). */

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * ORC interchange lake — the columnar sibling of [[CsvLake]]/[[JsonlLake]]
+ * for exchange with ORC-native warehouses (Hive/Trino deployments).
+ * Parquet stays the engine's native format; ORC exists so a consumer on
+ * the other side of that boundary can read our exports without a
+ * conversion hop, and so their extracts load without one.
+ *
+ * Scale posture: ORC is columnar with min/max stripe statistics, so the
+ * things that matter at 100 TB — column pruning, predicate pushdown into
+ * stripe skipping, partition-directory pruning — work exactly as on the
+ * parquet lake (the round-trip spec pins pushdown on the read path).
+ * Compression is zstd, the same tradeoff the parquet lake makes.
+ *
+ * TIMESTAMP_NTZ note: Spark's ORC writer stores NTZ as `TimestampNTZType`
+ * natively (ORC `TIMESTAMP_INSTANT` vs `TIMESTAMP` distinction), so the
+ * naive-UTC pipeline convention survives the round trip unchanged —
+ * spec-asserted, since this is exactly the class of silent tz laundering
+ * the round-1 q03 failure taught us to pin.
+ */
+object OrcLake {
+
+  /** Write `df` as partitioned zstd ORC under `dir`. */
+  def write(
+      df: DataFrame, dir: String, partitionBy: Seq[String] = Nil,
+      compression: String = "zstd"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(dir)
+  }
+
+  /** Read an ORC lake (schema travels in the file footers). */
+  def read(spark: SparkSession, dir: String): DataFrame = spark.read.orc(dir)
+}

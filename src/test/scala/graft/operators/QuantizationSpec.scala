@@ -90,4 +90,33 @@ class QuantizationSpec extends SparkSpec {
     // every non-zero vector's largest |element| codes to exactly ±127
     assert(codes.where(col("qmax") > 0 && col("cmax") =!= 127).count() == 0)
   }
+
+  test("covPowerStep: matvec equals the driver-side exact computation") {
+    import org.apache.spark.sql.functions._
+    val emb = Seq(
+      Tuple1(Array(0.31f, -0.44f, 0.07f, 0.92f)),
+      Tuple1(Array(-0.12f, 0.55f, 0.33f, -0.08f)),
+      Tuple1(Array(0.71f, 0.02f, -0.64f, 0.19f)),
+      Tuple1(Array(0.05f, -0.27f, 0.48f, 0.61f)),
+      Tuple1(Array(-0.39f, 0.18f, 0.11f, -0.75f)),
+    ).toDF("v")
+    val d = 4
+    // driver-side truth from the SAME suffstats contract
+    val stats = Quantization.covariancePrep(emb, "v", d).collect()
+      .map(r => ((r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt),
+        (BigInt(r.getAs[Long]("n")), BigInt(r.getAs[Long]("sxy")),
+          BigInt(r.getAs[Long]("sx")), BigInt(r.getAs[Long]("sy"))))).toMap
+    // symmetric: sxy(i,j) = sxy(j,i) and the sx·sy product commutes
+    def covnum(i: Int, j: Int): BigInt = {
+      val (n, sxy, sx, sy) = stats((math.min(i, j), math.max(i, j)))
+      n * sxy - sx * sy
+    }
+    val v0 = (0 until d).map(j => if (j % 2 == 0) BigInt(1) else BigInt(-1))
+    val expect = (0 until d).map(i =>
+      (0 until d).map(j => covnum(i, j) * v0(j)).sum)
+    val got = Quantization.covPowerStep(emb, "v", d)
+      .orderBy("dim").collect()
+      .map(r => BigInt(r.getDecimal(1).toBigInteger)).toSeq
+    assert(got == expect)
+  }
 }

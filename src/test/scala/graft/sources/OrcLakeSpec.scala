@@ -1,0 +1,48 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+import graft.SparkSpec
+
+class OrcLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("round-trip: values, NTZ timestamps and partitioning survive") {
+    val ticks = Seq(
+      (1L, "NQ", Timestamp.valueOf("2025-01-01 10:00:00"), 100.25),
+      (2L, "NQ", Timestamp.valueOf("2025-01-01 11:30:00"), 101.5),
+      (3L, "ES", Timestamp.valueOf("2025-01-01 10:15:00"), 50.0),
+    ).toDF("tick_id", "symbol", "ts", "price")
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+    val dir = tmpDir("orc-lake")
+    OrcLake.write(ticks, dir, partitionBy = Seq("symbol"))
+    val back = OrcLake.read(spark, dir)
+    // NTZ must survive: silent widening to tz-adjusted TIMESTAMP is the
+    // round-1 q03 failure class
+    assert(back.schema("ts").dataType == TimestampNTZType)
+    val a = ticks.select("tick_id", "symbol", "ts", "price")
+      .orderBy("tick_id").collect().toSeq
+    val b = back.select("tick_id", "symbol", "ts", "price")
+      .orderBy("tick_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("read path prunes partitions and pushes predicates into the scan") {
+    val docs = spark.range(1000).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("source"),
+      (col("id") * 7).as("n_chars"))
+    val dir = tmpDir("orc-push")
+    OrcLake.write(docs, dir, partitionBy = Seq("source"))
+    val q = OrcLake.read(spark, dir)
+      .where(col("source") === "s1" && col("n_chars") > 3000)
+      .select("doc_id", "n_chars")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,3000)]"),
+      s"predicate must reach the ORC scan:\n${plan.take(1200)}")
+    assert(q.count() == 143, "s1 ids are 1 mod 4; 4k/7 < id <= 999")
+  }
+}
