@@ -869,7 +869,8 @@ object SparkEntry {
 
     // Q64 — one distributed k-means Lloyd step over the embeddings:
     // deterministic stride-50 init, exact integer L2 assignment, per
-    // (cluster, dim) quantized sums → new centroids, exact decimal inertia
+    // (cluster, dim) quantized sums → new centroids, exact inertia
+    // (emitted as a canonical decimal string — unbounded in sf)
     "q64_kmeans_step" -> ((s, dir) =>
       graft.operators.Clustering.kmeansStep(
           t(s, dir, "embeddings"), "vec_id", "embedding", centroidStride = 50)
@@ -1878,7 +1879,12 @@ object SparkEntry {
           graft.functions.TextFunctions.portableHash(rowStr).as("h"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("digest"))
+          // digest emitted as its canonical decimal string: Σ of 60-bit
+          // hashes exceeds int64 already at sf0.01 (~1.7e19) and a
+          // DECIMAL(38,0) column gets float64-laundered by pandas/Arrow
+          // bridges; the digit string survives any bridge exactly
+          sum(col("h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+            .cast("string").as("digest"))
         .orderBy(col("source"))
     }),
 
@@ -2920,7 +2926,7 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY vec_id ORDER BY sqdist, cid) AS rn FROM dist),
           |a AS (SELECT vec_id, v, cid, sqdist FROM asg WHERE rn = 1),
           |pc AS (SELECT cid, count(*) AS n_assigned,
-          |    CAST(sum(CAST(sqdist AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS inertia
+          |    CAST(CAST(sum(CAST(sqdist AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS inertia
           |  FROM a GROUP BY cid),
           |pd AS (SELECT a.cid, i AS dim, CAST(sum(a.v[i+1]) AS BIGINT) AS sum_q
           |  FROM a CROSS JOIN range(64) t(i) GROUP BY a.cid, i)
@@ -3685,10 +3691,10 @@ object SparkEntry {
 
       "q122_table_digest" ->
         """SELECT source, count(*) AS n_rows,
-          |  CAST(sum(CAST(('0x' || substr(md5(
+          |  CAST(CAST(sum(CAST(('0x' || substr(md5(
           |      doc_id || chr(1) || lang || chr(1) || source || chr(1)
           |      || n_chars || chr(1) || md5(text)), 1, 15))::BIGINT
-          |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest
+          |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS digest
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "q123_peak_concurrency" ->
@@ -3784,8 +3790,8 @@ object SparkEntry {
           |  FROM tri t JOIN s si ON t.i = si.i JOIN s sj ON t.j = sj.i),
           |sym AS (SELECT i AS dim, j AS colj, covnum FROM cn
           |  UNION ALL SELECT j AS dim, i AS colj, covnum FROM cn WHERE i <> j)
-          |SELECT dim, CAST(sum(covnum *
-          |    (CASE WHEN colj % 2 = 0 THEN 1 ELSE -1 END)) AS DECIMAL(38,0)) AS v1
+          |SELECT dim, CAST(CAST(sum(covnum *
+          |    (CASE WHEN colj % 2 = 0 THEN 1 ELSE -1 END)) AS DECIMAL(38,0)) AS VARCHAR) AS v1
           |FROM sym GROUP BY dim ORDER BY dim""".stripMargin,
     )
   }

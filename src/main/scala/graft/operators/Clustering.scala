@@ -58,7 +58,13 @@ object Clustering {
    * prints the same digits — ppm inputs make the 9th decimal already
    * sub-quantization-noise, and the exact value is recoverable from
    * `(sum_q, n_assigned)`), and `inertia` is the cluster's exact
-   * Σ sqdist in DECIMAL(38,0) (constant across the cluster's dim rows).
+   * Σ sqdist — accumulated in DECIMAL(38,0), EMITTED as its canonical
+   * decimal string (constant across the cluster's dim rows). The string
+   * form is deliberate: inertia is unbounded in corpus size, so any
+   * fixed-width numeric output either overflows (int64) or gets
+   * laundered through float64 by downstream bridges (pandas/Arrow
+   * consumers silently read DECIMAL(38,0) as 1.40e19 instead of the
+   * exact 14022766191828033785). Digits survive every bridge.
    */
   def kmeansStep(
       emb: DataFrame, idCol: String, embCol: String,
@@ -79,6 +85,6 @@ object Clustering {
         col("sum_q"),
         round(col("sum_q").cast("double") / col("n_assigned").cast("double") / lit(1e6), 9)
           .as("c_new"),
-        col("inertia"))
+        col("inertia").cast("string").as("inertia"))
   }
 }

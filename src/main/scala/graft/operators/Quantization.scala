@@ -168,7 +168,12 @@ object Quantization {
       .withColumn("v0",
         when(pmod(col("colj"), lit(2)) === 0, lit(1L)).otherwise(lit(-1L)))
       .groupBy(col("dim"))
-      .agg(sum((col("covnum") * col("v0")).cast(d38)).cast(d38).as("v1"))
+      .agg(sum((col("covnum") * col("v0")).cast(d38)).cast(d38).as("v1d"))
+      // emit v1 as its canonical decimal string: covnum ~ n²·σ²·10¹² is
+      // unbounded in corpus size, so int64 overflows at scale and a
+      // DECIMAL(38,0) column gets float64-laundered by pandas/Arrow
+      // bridges downstream; the digit string is exact through any bridge
+      .select(col("dim"), col("v1d").cast("string").as("v1"))
   }
 
   /** Per-label quantization quality report (see object doc for the law). */

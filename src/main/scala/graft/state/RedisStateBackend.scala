@@ -1,0 +1,161 @@
+package graft.state
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/**
+ * Redis adapter for the [[StateBackend]] CAS contract (SURVEY.md §2.1 S6
+ * — the "Redis/DB adapters slot in behind the same two methods" variant;
+ * reference: ingestion/infrastructure/src/state/redis.rs:52-252, whose
+ * job state is a Redis hash mutated under a Lua check-and-set).
+ *
+ * Layout mirrors the reference: one Redis HASH per key, payload fields
+ * stored verbatim plus a `__graft_state_version` field carrying the CAS
+ * version. Atomicity comes from Redis's documented optimistic-CAS
+ * transaction shape instead of Lua — `WATCH key` / read / `MULTI` /
+ * writes / `EXEC` — which every Redis-protocol server supports and which
+ * gives the identical guarantee the Lua script gives the reference: if
+ * ANY other client touches the key between the read and the EXEC, the
+ * EXEC returns nil and the CAS reports failure, so at most one of any
+ * number of racing writers installs version N+1. (Lua-vs-WATCH is an
+ * implementation choice on the same Redis consistency primitive; WATCH
+ * keeps this adapter dependency-free and testable against an embedded
+ * RESP server.)
+ *
+ * Connection model: one socket per backend instance, all commands
+ * serialized on it (`synchronized`) because WATCH state is
+ * per-connection. Concurrent drivers each construct their own instance —
+ * exactly the multiplexed-connection-per-process shape the reference
+ * uses. Reconnect-on-IOException is deliberate NOT built in: the
+ * reference surfaces Redis-down as a backend error and so do we
+ * (fail-stop beats silently dropping a WATCH).
+ *
+ * RESP2 client is inline and minimal (~60 lines): command arrays out,
+ * the five reply types in. No external client library — build.sbt is
+ * frozen and the protocol is tiny.
+ */
+class RedisStateBackend(
+    host: String, port: Int, prefix: String = "graft:state:")
+  extends StateBackend with AutoCloseable {
+
+  private val VersionField = "__graft_state_version"
+
+  private val sock = new Socket()
+  sock.connect(new InetSocketAddress(host, port), 5000)
+  sock.setSoTimeout(10000)
+  private val in = new BufferedInputStream(sock.getInputStream)
+  private val out = new BufferedOutputStream(sock.getOutputStream)
+
+  // ---- RESP2 wire ----------------------------------------------------
+
+  private def send(args: Seq[String]): Unit = {
+    out.write(s"*${args.length}\r\n".getBytes(UTF_8))
+    args.foreach { a =>
+      val b = a.getBytes(UTF_8)
+      out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+      out.write(b)
+      out.write("\r\n".getBytes(UTF_8))
+    }
+    out.flush()
+  }
+
+  private def readLine(): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != '\r') {
+      if (c < 0) throw new java.io.EOFException("redis connection closed")
+      sb.append(c.toChar)
+      c = in.read()
+    }
+    in.read() // \n
+    sb.toString
+  }
+
+  /** One reply: String (simple or bulk), Long (integer), null (nil bulk
+    * or nil array), Seq[Any] (array) — or throws on an -ERR line. */
+  private def readReply(): Any = {
+    val line = readLine()
+    line.charAt(0) match {
+      case '+' => line.substring(1)
+      case '-' => throw new java.io.IOException(s"redis error: ${line.substring(1)}")
+      case ':' => line.substring(1).toLong
+      case '$' =>
+        val n = line.substring(1).toInt
+        if (n < 0) null
+        else {
+          val buf = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = in.read(buf, off, n - off)
+            if (r < 0) throw new java.io.EOFException("redis connection closed")
+            off += r
+          }
+          in.read(); in.read() // \r\n
+          new String(buf, UTF_8)
+        }
+      case '*' =>
+        val n = line.substring(1).toInt
+        if (n < 0) null else Seq.fill(n)(readReply())
+      case c => throw new java.io.IOException(s"bad RESP type byte: $c")
+    }
+  }
+
+  private def cmd(args: String*): Any = { send(args); readReply() }
+
+  // ---- StateBackend --------------------------------------------------
+
+  private def rkey(key: String) = prefix + key
+
+  private def parseHash(reply: Any): Option[(Map[String, String], Long)] =
+    reply match {
+      case null => None
+      case s: Seq[_] if s.isEmpty => None
+      case s: Seq[_] =>
+        val m = s.map(_.asInstanceOf[String]).grouped(2)
+          .map { case Seq(f, v) => f -> v }.toMap
+        Some((m - VersionField, m.getOrElse(VersionField, "0").toLong))
+    }
+
+  override def read(key: String): Option[(Map[String, String], Long)] =
+    synchronized { parseHash(cmd("HGETALL", rkey(key))) }
+
+  override def writeVersioned(
+      key: String, payload: Map[String, String], expectVersion: Long): Boolean =
+    synchronized {
+      val k = rkey(key)
+      cmd("WATCH", k)
+      val cur = parseHash(cmd("HGETALL", k)).map(_._2).getOrElse(0L)
+      if (cur != expectVersion) { cmd("UNWATCH"); return false }
+      cmd("MULTI")
+      cmd("DEL", k) // queued: clears fields absent from the new payload
+      val fields = (payload + (VersionField -> (expectVersion + 1).toString))
+        .flatMap { case (f, v) => Seq(f, v) }.toSeq
+      cmd(("HSET" +: k +: fields): _*)
+      // EXEC → nil iff a racing client touched the key since WATCH: the
+      // loser of the version slot, exactly the DirStateBackend law
+      cmd("EXEC") != null
+    }
+
+  override def keys(): Seq[String] = synchronized {
+    // SCAN, not KEYS: non-blocking on a production server (the key count
+    // is small by contract, but the server may hold other data)
+    val acc = Seq.newBuilder[String]
+    var cursor = "0"
+    var first = true
+    while (first || cursor != "0") {
+      first = false
+      val Seq(next: String, ks: Seq[_]) =
+        cmd("SCAN", cursor, "MATCH", prefix + "*", "COUNT", "100")
+          .asInstanceOf[Seq[Any]]: @unchecked
+      cursor = next
+      ks.foreach(k => acc += k.asInstanceOf[String].substring(prefix.length))
+    }
+    acc.result()
+  }
+
+  override def close(): Unit = {
+    try cmd("QUIT") catch { case _: Exception => () }
+    sock.close()
+  }
+}

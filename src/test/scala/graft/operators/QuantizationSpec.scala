@@ -116,7 +116,7 @@ class QuantizationSpec extends SparkSpec {
       (0 until d).map(j => covnum(i, j) * v0(j)).sum)
     val got = Quantization.covPowerStep(emb, "v", d)
       .orderBy("dim").collect()
-      .map(r => BigInt(r.getDecimal(1).toBigInteger)).toSeq
+      .map(r => BigInt(r.getString(1))).toSeq
     assert(got == expect)
   }
 }

@@ -1,0 +1,158 @@
+package graft.state
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+/**
+ * Embedded RESP2 server for [[RedisStateBackend]] specs — the hash +
+ * WATCH/MULTI/EXEC subset, with REAL optimistic-transaction semantics:
+ * every write bumps a per-key modification counter under one global
+ * lock; EXEC aborts (nil) iff any key WATCHed by the connection changed
+ * since the WATCH. That is the exact consistency primitive the adapter's
+ * CAS builds on, so races the spec drives through two connections
+ * exercise the same interleavings a real Redis would arbitrate.
+ *
+ * Single global lock — contention is irrelevant in tests and it makes
+ * EXEC trivially atomic (as it is on the genuinely single-threaded real
+ * server).
+ */
+final class MiniRedis {
+  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+
+  private val lock = new Object
+  private val hashes = mutable.Map[String, mutable.LinkedHashMap[String, String]]()
+  private val touch = mutable.Map[String, Long]().withDefaultValue(0L)
+  @volatile private var running = true
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => serve(s))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () } // closed during shutdown
+    }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = { running = false; server.close() }
+
+  // ---- per-connection ------------------------------------------------
+
+  private def serve(sock: Socket): Unit = {
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    val watched = mutable.Map[String, Long]() // key -> touch at WATCH
+    var inMulti = false
+    val queued = mutable.Buffer[Seq[String]]()
+
+    def readLine(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      if (c < 0) throw new java.io.EOFException
+      while (c != '\r') { sb.append(c.toChar); c = in.read() }
+      in.read()
+      sb.toString
+    }
+
+    def readCommand(): Seq[String] = {
+      val n = readLine().stripPrefix("*").toInt
+      (0 until n).map { _ =>
+        val len = readLine().stripPrefix("$").toInt
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val r = in.read(buf, off, len - off)
+          if (r < 0) throw new java.io.EOFException
+          off += r
+        }
+        in.read(); in.read()
+        new String(buf, UTF_8)
+      }
+    }
+
+    def write(s: String): Unit = out.write(s.getBytes(UTF_8))
+    def writeReply(r: Any): Unit = r match {
+      case null => write("*-1\r\n")
+      case () => write("$-1\r\n")
+      case s: String if s.startsWith("+") || s.startsWith("-") => write(s + "\r\n")
+      case s: String =>
+        val b = s.getBytes(UTF_8)
+        write(s"$$${b.length}\r\n"); out.write(b); write("\r\n")
+      case n: Long => write(s":$n\r\n")
+      case n: Int => write(s":$n\r\n")
+      case xs: Seq[_] => write(s"*${xs.length}\r\n"); xs.foreach(writeReply)
+    }
+
+    /** Execute one non-transactional command under the global lock. */
+    def exec(c: Seq[String]): Any = lock.synchronized {
+      c.head.toUpperCase match {
+        case "PING" => "+PONG"
+        case "HSET" =>
+          val k = c(1)
+          val h = hashes.getOrElseUpdate(k, mutable.LinkedHashMap())
+          val pairs = c.drop(2).grouped(2).toSeq
+          val added = pairs.count { case Seq(f, _) => !h.contains(f) }
+          pairs.foreach { case Seq(f, v) => h(f) = v }
+          touch(k) = touch(k) + 1
+          added.toLong
+        case "HGETALL" =>
+          hashes.get(c(1)).map(_.flatMap { case (f, v) => Seq(f, v) }.toSeq)
+            .getOrElse(Seq.empty[String])
+        case "DEL" =>
+          val n = c.tail.count { k =>
+            val had = hashes.remove(k).isDefined
+            if (had) touch(k) = touch(k) + 1
+            had
+          }
+          n.toLong
+        case "SCAN" =>
+          // single-pass cursor: everything in one page, next cursor "0"
+          val pat = c.indexOf("MATCH") match {
+            case -1 => "*"
+            case i => c(i + 1)
+          }
+          val rx = java.util.regex.Pattern.quote(pat)
+            .replace("*", "\\E.*\\Q").r
+          Seq("0", hashes.keys.filter(k => rx.matches(k)).toSeq)
+        case "QUIT" => "+OK"
+        case other => s"-ERR unknown command '$other'"
+      }
+    }
+
+    try {
+      var open = true
+      while (open) {
+        val c = readCommand()
+        c.head.toUpperCase match {
+          case "WATCH" => lock.synchronized {
+            c.tail.foreach(k => watched(k) = touch(k))
+          }; writeReply("+OK")
+          case "UNWATCH" => watched.clear(); writeReply("+OK")
+          case "MULTI" => inMulti = true; queued.clear(); writeReply("+OK")
+          case "DISCARD" => inMulti = false; queued.clear(); watched.clear(); writeReply("+OK")
+          case "EXEC" =>
+            val reply = lock.synchronized {
+              val dirty = watched.exists { case (k, v) => touch(k) != v }
+              watched.clear()
+              inMulti = false
+              if (dirty) null // aborted: a watched key changed
+              else queued.map(exec).toSeq
+            }
+            queued.clear()
+            writeReply(reply)
+          case _ if inMulti => queued += c; writeReply("+QUEUED")
+          case "QUIT" => writeReply("+OK"); open = false
+          case _ => writeReply(exec(c))
+        }
+        out.flush()
+      }
+    } catch { case _: Exception => () } finally sock.close()
+  }
+}

@@ -1,0 +1,125 @@
+package graft.state
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.state.JobStateStore._
+
+/**
+ * [[RedisStateBackend]] against an embedded RESP server ([[MiniRedis]]):
+ * the same reference behaviors JobStateStoreSpec pins for the Dir and
+ * InMemory backends (ingestion/infrastructure/tests/
+ * job_state_repository_test.rs:22-108), driven through real Redis wire
+ * protocol and WATCH/MULTI/EXEC CAS — plus the backend race laws, with
+ * each racing driver on its OWN connection (WATCH is per-connection
+ * state, exactly the multi-driver deployment shape).
+ */
+class RedisStateBackendSpec extends AnyFunSuite {
+
+  private def withRedis(f: (MiniRedis, () => RedisStateBackend) => Unit): Unit = {
+    val srv = new MiniRedis
+    try f(srv, () => new RedisStateBackend("127.0.0.1", srv.port))
+    finally srv.close()
+  }
+
+  private val state = JobState(
+    status = JobStatus.Running,
+    jobInstanceId = "inst-1",
+    cursor = 1700000000000L,
+    endTime = 1700086399999L,
+    heartbeatAt = 1700000005000L,
+    criticalRanges = Seq(CriticalRange("2023-11-14", "2023-11-15")),
+    lastErrorType = Some("ApiTimeout"))
+
+  test("upsert/get round-trip preserves every field (job_state_repository_test.rs:22-44)") {
+    withRedis { (_, mk) =>
+      val s = new JobStateStore(mk())
+      s.put("ingest:job:NQ:2023-11-14", state)
+      assert(s.get("ingest:job:NQ:2023-11-14").contains(state))
+      assert(s.get("nope").isEmpty)
+    }
+  }
+
+  test("CAS rejects a stale instance id (job_state_repository_test.rs:46-72)") {
+    withRedis { (_, mk) =>
+      val s = new JobStateStore(mk())
+      s.put("k", state)
+      assert(!s.updateCursor("k", "stale-instance", 42L))
+      assert(s.get("k").get.cursor == state.cursor)
+      assert(s.updateCursor("k", "inst-1", 1700000100000L))
+      assert(s.get("k").get.cursor == 1700000100000L)
+    }
+  }
+
+  test("restart fencing: zombie writes rejected after takeover (job_state_repository_test.rs:74-108)") {
+    withRedis { (_, mk) =>
+      // zombie and successor on SEPARATE connections, as deployed
+      val old = new JobStateStore(mk())
+      val neu = new JobStateStore(mk())
+      old.put("k", state)
+      neu.put("k", state.copy(jobInstanceId = "inst-2"))
+      assert(!old.updateCursor("k", "inst-1", 999L))
+      assert(!old.updateStatus("k", "inst-1", JobStatus.Completed))
+      assert(!old.heartbeat("k", "inst-1", 1L))
+      assert(!old.saveError("k", "inst-1", "boom"))
+      val cur = neu.get("k").get
+      assert(cur.jobInstanceId == "inst-2" && cur.cursor == state.cursor)
+      assert(neu.updateStatus("k", "inst-2", JobStatus.Completed))
+      assert(neu.get("k").get.status == JobStatus.Completed)
+    }
+  }
+
+  test("CAS: exactly one winner per version slot across connections") {
+    withRedis { (_, mk) =>
+      val b1 = mk(); val b2 = mk()
+      assert(b1.writeVersioned("k", Map("x" -> "1"), 0L))
+      assert(!b2.writeVersioned("k", Map("x" -> "2"), 0L), "second create must lose")
+      val (p, v) = b2.read("k").get
+      assert(p("x") == "1" && v == 1L)
+      // both race for v2 — exactly one wins
+      val wins = Seq(
+        b1.writeVersioned("k", Map("x" -> "a"), 1L),
+        b2.writeVersioned("k", Map("x" -> "b"), 1L))
+      assert(wins.count(identity) == 1)
+      assert(b1.read("k").get._2 == 2L)
+      // payload fields absent from the winning write are CLEARED (DEL in
+      // the transaction): versioned replace, not merge
+      assert(b1.writeVersioned("k", Map("y" -> "only"), 2L))
+      assert(b1.read("k").get._1 == Map("y" -> "only"))
+    }
+  }
+
+  test("concurrent fenced increments through separate connections lose no update (state/redis.rs:26-42 atomicity law)") {
+    withRedis { (_, mk) =>
+      val seed = new JobStateStore(mk())
+      seed.put("k", state.copy(cursor = 0L))
+      val writers = 8
+      val perWriter = 25
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      val results = (0 until writers).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            val s = new JobStateStore(mk()) // own connection per driver
+            (0 until perWriter).count(_ =>
+              s.casUpdate("k", "inst-1")(st => st.copy(cursor = st.cursor + 1)))
+          }
+        })
+      }
+      pool.shutdown()
+      assert(results.map(_.get()).sum == writers * perWriter,
+        "a fenced writer with a current instance id must retry version races, not drop updates")
+      assert(seed.get("k").get.cursor == writers.toLong * perWriter)
+    }
+  }
+
+  test("keys() lists only this prefix, round-tripping names") {
+    withRedis { (srv, mk) =>
+      val b = mk()
+      val other = new RedisStateBackend("127.0.0.1", srv.port, prefix = "other:")
+      assert(b.writeVersioned("ingest:job:NQ:2023-11-14", Map("a" -> "1"), 0L))
+      assert(b.writeVersioned("k2", Map("a" -> "1"), 0L))
+      assert(other.writeVersioned("k3", Map("a" -> "1"), 0L))
+      assert(b.keys().sorted == Seq("ingest:job:NQ:2023-11-14", "k2"))
+      assert(other.keys() == Seq("k3"))
+    }
+  }
+}

@@ -76,6 +76,31 @@ def schema_diff(spark_schema, duck_cols, duck_types):
     return None
 
 
+def decimal_cols_arrow(schema):
+    import pyarrow as pa
+    return {f.name for f in schema if pa.types.is_decimal(f.type)}
+
+
+def decimal_cols_duck(cols, types):
+    return {c for c, t in zip(cols, types)
+            if re.fullmatch(r"DECIMAL\(\d+,\d+\)", str(t))}
+
+
+def stringify_decimals(df: pd.DataFrame, cols) -> pd.DataFrame:
+    """Exact-string form for decimal-typed columns. decimal.Decimal str()
+    preserves every digit at the declared scale on BOTH sides (duckdb via
+    arrow, spark via parquet), so a DECIMAL(38,0) beyond 2^53 compares
+    exactly instead of being laundered through float64 (the r5 lesson:
+    diff() float-cast any column where EITHER side was float, so the
+    oracle's fetchdf()-float64 DECIMAL always 'passed' locally while the
+    driver's exact hash bridge failed)."""
+    for c in cols:
+        if c in df.columns:
+            df[c] = df[c].apply(lambda v: None if v is None or (
+                isinstance(v, float) and math.isnan(v)) else str(v))
+    return df
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Value-level canonicalization ONLY (schema is checked separately and
     strictly). Unifies physical representations of the SAME logical type:
@@ -131,7 +156,10 @@ def main(sf_dir, out_dir, only=()):
         try:
             rel = con.sql(sql)
             duck_cols, duck_types = rel.columns, rel.types
-            duck = rel.fetchdf()
+            dec_duck = decimal_cols_duck(duck_cols, duck_types)
+            # fetchdf() converts DECIMAL to float64 (silently lossy past
+            # 2^53); the arrow path preserves decimal128 → decimal.Decimal
+            duck = rel.arrow().to_pandas() if dec_duck else rel.fetchdf()
         except Exception as e:
             failed.append((name, f"DUCKDB ERROR: {e}"))
             continue
@@ -145,6 +173,8 @@ def main(sf_dir, out_dir, only=()):
         if sd:
             failed.append((name, f"SCHEMA: {sd}"))
             continue
+        spark = stringify_decimals(spark, decimal_cols_arrow(spark_schema))
+        duck = stringify_decimals(duck, dec_duck)
         d = diff(name, canon(spark), canon(duck))
         if d:
             failed.append((name, d))

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Meta-test for tools/compare.py's decimal handling (the r5 bridge bug).
+
+Scenario: a DECIMAL(38,0) result column whose values exceed 2^53 —
+e.g. q122's table digest, 1.4e19. Round 5's diff() cast both sides to
+float64 whenever either side was float (the duck side arrived as float64
+via fetchdf), so a one-unit divergence in the 20th digit ALWAYS passed
+locally while the driver's exact hash bridge failed. This test pins the
+fix: the duck side is fetched through arrow (decimal.Decimal preserved),
+both sides stringify to exact digits, and a one-unit divergence FAILS.
+
+Run: python3 tools/compare_selftest.py   (exit 0 = gate healthy)
+"""
+import decimal
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+sys.path.insert(0, "tools")
+from compare import canon, decimal_cols_arrow, decimal_cols_duck, diff, stringify_decimals
+
+BIG = "14022766191828033785"          # > 2^53: float64 rounds to ...34e19
+BIG_OFF1 = "14022766191828033786"     # one unit apart — float64-identical
+
+
+def duck_side(value: str):
+    rel = duckdb.sql(f"SELECT 'a' AS k, CAST('{value}' AS DECIMAL(38,0)) AS d")
+    cols, types = rel.columns, rel.types
+    dec = decimal_cols_duck(cols, types)
+    assert dec == {"d"}, f"duck decimal detection broken: {dec}"
+    return stringify_decimals(rel.arrow().to_pandas(), dec)
+
+
+def spark_side(value: str):
+    tbl = pa.table({
+        "k": pa.array(["a"], pa.string()),
+        "d": pa.array([decimal.Decimal(value)], pa.decimal128(38, 0)),
+    })
+    dec = decimal_cols_arrow(tbl.schema)
+    assert dec == {"d"}, f"arrow decimal detection broken: {dec}"
+    return stringify_decimals(tbl.to_pandas(), dec)
+
+
+def main():
+    # 1. exact match passes
+    d = diff("self", canon(spark_side(BIG)), canon(duck_side(BIG)))
+    assert d is None, f"exact decimal match should pass, got: {d}"
+
+    # 2. one-unit divergence past 2^53 FAILS (the r5 escape)
+    d = diff("self", canon(spark_side(BIG)), canon(duck_side(BIG_OFF1)))
+    assert d is not None, "one-unit DECIMAL(38,0) divergence passed the gate"
+
+    # 3. regression witness: the old float64 laundering really did hide it
+    a = pd.DataFrame({"d": [float(decimal.Decimal(BIG))]})
+    b = pd.DataFrame({"d": [float(decimal.Decimal(BIG_OFF1))]})
+    assert diff("old", a, b) is None, \
+        "float64 no longer conflates the witness values — update the test"
+
+    print("compare_selftest: OK (exact pass, off-by-one fail, float64 witness)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
