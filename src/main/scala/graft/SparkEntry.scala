@@ -1982,6 +1982,29 @@ object SparkEntry {
       graft.operators.Quantization.covPowerStep(
           t(s, dir, "embeddings"), "embedding", nDims = 16)
         .orderBy(col("dim"))),
+
+    // Q130 — REAL audio decode (M1 audio de-stubbed, the q107 trick for
+    // sound): every doc id becomes a genuine RIFF/WAV PCM clip via
+    // javax.sound.sampled, decoded back by a real header parse + frame
+    // read inside mapPartitions. The oracle recomputes the closed-form
+    // sample sums — WAV PCM is lossless, so only a genuine decode
+    // matches. Per-lang rollup keeps output bounded at any sf.
+    "q130_audio_decode" -> ((s, dir) => {
+      implicit val sp = s
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      val stats = Multimodal.decodeAudioStats(Multimodal.encodeWav(ids)).toDF()
+      t(s, dir, "documents")
+        .join(stats, col("doc_id") === col("media_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_decoded"),
+          sum(col("n_samples")).as("total_samples"),
+          sum(col("sum_pcm")).as("sum_pcm"),
+          sum(col("peak").cast("long")).as("sum_peak"))
+        .orderBy(col("lang"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3793,6 +3816,21 @@ object SparkEntry {
           |SELECT dim, CAST(CAST(sum(covnum *
           |    (CASE WHEN colj % 2 = 0 THEN 1 ELSE -1 END)) AS DECIMAL(38,0)) AS VARCHAR) AS v1
           |FROM sym GROUP BY dim ORDER BY dim""".stripMargin,
+
+      // replays the WAV law in closed form: 64 samples per clip,
+      // sample i = ((doc_id*31 + i*7 + 13) % 65536) - 32768; a real RIFF
+      // parse + PCM frame decode is the only way Spark's side matches
+      "q130_audio_decode" ->
+        """WITH per AS (SELECT d.doc_id, d.lang,
+          |    CAST(sum(((d.doc_id*31 + i.r*7 + 13) % 65536) - 32768) AS BIGINT) AS s,
+          |    CAST(max(abs(((d.doc_id*31 + i.r*7 + 13) % 65536) - 32768)) AS BIGINT) AS pk
+          |  FROM documents d CROSS JOIN range(64) i(r) GROUP BY d.doc_id, d.lang)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_clips,
+          |  CAST(count(*) AS BIGINT) AS n_decoded,
+          |  CAST(count(*) * 64 AS BIGINT) AS total_samples,
+          |  CAST(sum(s) AS BIGINT) AS sum_pcm,
+          |  CAST(sum(pk) AS BIGINT) AS sum_peak
+          |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     )
   }
 }

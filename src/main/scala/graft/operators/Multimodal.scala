@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
  * external codec) inside `mapPartitions` — bytes into a real codec, real
  * pixel statistics out, oracled end-to-end by q107 (the oracle recomputes
  * the deterministic test pattern's channel sums in closed form; PNG is
- * lossless, so a fake decode cannot match). Audio/video feature kernels
- * remain stubbed (`decodeStub`: no PCM/video codec ships with the JDK);
- * their plumbing — schema, partition-wise batching, encoder round-trip,
- * metadata struct — is identical to the proven image path, so swapping in
- * a JNI/FFmpeg kernel is a one-function change.
+ * lossless, so a fake decode cannot match). The AUDIO path is REAL too:
+ * `encodeWav` / `decodeAudioStats` run an actual WAV PCM encode/decode
+ * through `javax.sound.sampled` (JDK-native; parsing never touches audio
+ * hardware), oracled by q130 the same closed-form way — PCM is lossless,
+ * so only a genuine decode reproduces the sample sums. Only the VIDEO
+ * feature kernel remains stubbed (`decodeStub`: no video codec ships
+ * with the JDK); its plumbing — schema, partition-wise batching, encoder
+ * round-trip, metadata struct — is identical to the two proven paths, so
+ * swapping in a JNI/FFmpeg kernel is a one-function change.
  *
  * Scale posture: decode runs via `mapPartitions` so per-partition setup
  * (codec init, model load) amortizes across rows — the Scala analog of
@@ -42,7 +46,8 @@ object Multimodal {
       modality: String,
       n_bytes: Int,
       checksum: Long,
-      // ??? real kernel: decoded pixel/PCM stats. Stub: deterministic
+      // ??? real kernel (video only — image: decodeImageStats, audio:
+      // decodeAudioStats): decoded frame stats. Stub: deterministic
       // byte-level stats so tests can assert exact values.
       mean_byte: Double,
       feature: Array[Float])
@@ -85,8 +90,8 @@ object Multimodal {
       n_bytes = bytes.length,
       checksum = bytes.foldLeft(1L)((a, b) => a * 31 + (b & 0xff)),
       mean_byte = sum.toDouble / bytes.length,
-      // ??? real kernel: resize(meta_width, meta_height) / frame-sample /
-      // mel-spectrogram. Stub: first 4 bytes scaled to [0,1).
+      // ??? real kernel (video only): frame-sample + resize(meta_width,
+      // meta_height). Stub: first 4 bytes scaled to [0,1).
       feature = bytes.take(4).map(b => (b & 0xff) / 256.0f))
   }
 
@@ -172,6 +177,93 @@ object Multimodal {
             y += 1
           }
           ImageStats(r.media_id, decode_ok = true, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }
+    }
+  }
+
+  /** A real encoded audio clip: WAV (RIFF/PCM) bytes + the seeding id. */
+  final case class WavRow(media_id: Long, payload: Array[Byte])
+
+  /** Real decoded audio statistics — integer-exact so the oracle compares
+   *  without float formatting concerns. Undecodable payloads carry zeros
+   *  with `decode_ok = false` (per-item error capture, ST9). */
+  final case class AudioStats(
+      media_id: Long, decode_ok: Boolean, n_samples: Long, sample_rate: Int,
+      sum_pcm: Long, peak: Int)
+
+  /** Deterministic 16-bit PCM test signal for seed `id`:
+   *  sample i = ((id·31 + i·7 + 13) mod 65536) − 32768. The closed form
+   *  is what makes a REAL decode oracle-checkable (the q107 trick for
+   *  audio): WAV PCM is lossless, so only a genuine RIFF parse + sample
+   *  decode reproduces these sums. */
+  val WavSamples = 64
+  val WavRate = 8000
+  def wavSample(id: Long, i: Int): Int =
+    ((((id * 31 + i * 7 + 13) % 65536) + 65536) % 65536).toInt - 32768
+
+  /**
+   * Distributed WAV ENCODE of the test signal via `javax.sound.sampled`:
+   * one real RIFF/PCM file per id (44-byte header + 16-bit little-endian
+   * mono frames), produced inside mapPartitions.
+   */
+  def encodeWav(ids: Dataset[java.lang.Long])(implicit spark: SparkSession): Dataset[WavRow] = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        WavRate.toFloat, 16, 1, true, false) // 16-bit signed LE mono
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val pcm = new Array[Byte](WavSamples * 2)
+        var i = 0
+        while (i < WavSamples) {
+          val v = wavSample(id, i)
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        WavRow(id, out.toByteArray)
+      }
+    }
+  }
+
+  /**
+   * REAL audio decode (M1 audio de-stubbed): `AudioSystem
+   * .getAudioInputStream` parses the RIFF header (format, rate, frame
+   * count — nothing is trusted from the producer side), then the PCM
+   * frames decode to per-clip exact sums. File parsing in
+   * `javax.sound.sampled` never opens an audio device, so this is
+   * headless-safe on any executor.
+   */
+  def decodeAudioStats(media: Dataset[WavRow])(implicit spark: SparkSession): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unsupported PCM shape: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var (sum, peak, i) = (0L, 0, 0)
+          while (i < n) {
+            val v = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            sum += v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          AudioStats(r.media_id, decode_ok = true, n.toLong,
+            fmt.getSampleRate.toInt, sum, peak)
+        } catch {
+          case _: Exception =>
+            AudioStats(r.media_id, decode_ok = false, 0L, 0, 0L, 0)
         }
       }
     }

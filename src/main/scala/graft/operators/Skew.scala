@@ -79,4 +79,39 @@ object Skew {
     val b = build.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     p.join(b, keys :+ "_salt").drop("_salt")
   }
+
+  /**
+   * Pre-salt composition for the NATIVE as-of join — the executable
+   * answer to `AsofJoinPlan`'s documented caveat that AQE cannot split
+   * skew on custom nodes. Same replication law as [[saltedEquiJoin]]:
+   * probe rows salt deterministically on a per-row column (NOT the join
+   * key), the mark side replicates `buckets`×, and the merge runs on
+   * `keys :+ _salt` — each (key, salt) group sees ALL of the key's mark
+   * rows but only 1/buckets of its probe rows, so the backward scan
+   * resolves every probe against the full mark stream and the result is
+   * ROW-IDENTICAL to the unsalted operator (property-spec'd) while a hot
+   * key's probe volume spreads over `buckets` reducers.
+   *
+   * Cost: `buckets`× the mark side's shuffle+sort — keep marks the small
+   * side (the typical as-of shape: sparse marks, dense probes). The
+   * same composition works for [[graft.operators.TimeJoins.asOfForwardMerge]]
+   * via `forward = true`.
+   */
+  def saltedAsOf(
+      probe: DataFrame, marks: DataFrame, keyCols: Seq[String],
+      probeTs: String, markTs: String, payloadCols: Seq[String],
+      probeSaltCol: Column, buckets: Int = 16, forward: Boolean = false): DataFrame = {
+    requireFresh(probe, "_salt")
+    requireFresh(marks, "_salt")
+    val p = probe.withColumn("_salt", pmod(hash(probeSaltCol), lit(buckets)))
+    val m = marks.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+    val joined =
+      if (forward)
+        graft.operators.TimeJoins.asOfForwardMerge(
+          p, m, keyCols :+ "_salt", probeTs, markTs, payloadCols)
+      else
+        graft.operators.TimeJoins.asOfBackwardMerge(
+          p, m, keyCols :+ "_salt", probeTs, markTs, payloadCols)
+    joined.drop("_salt")
+  }
 }

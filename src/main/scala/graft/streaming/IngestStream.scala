@@ -54,6 +54,47 @@ object IngestStream {
     tickColumns(spread, symbol, seed)
   }
 
+  /**
+   * Production-shaped source path (S1's non-synthetic variant): decode
+   * ticks from a Kafka-shaped topic stream — [[graft.streaming.sources
+   * .TopicLogProvider]], whose seven-column output schema is
+   * byte-identical to the Kafka connector's — into the canonical tick
+   * frame. The decode law is the inverse of [[tickPayload]]: record
+   * `value` is a UTF-8 JSON tick. Everything downstream (validation
+   * split, event-time partitioning, the parquet sink, checkpointing) is
+   * the SAME code path the synthetic source feeds; moving to real Kafka
+   * is `.format("kafka")` plus broker options.
+   */
+  def topicTicks(spark: SparkSession, topicRoot: String, topic: String): DataFrame = {
+    val payload = new org.apache.spark.sql.types.StructType()
+      .add("ts_ms", "long").add("symbol", "string")
+      .add("bid_price", Schemas.PriceType).add("bid_size", "int")
+      .add("ask_price", Schemas.PriceType).add("ask_size", "int")
+      .add("last_price", Schemas.PriceType).add("last_size", "int")
+    spark.readStream
+      .format("topiclog")
+      .option("path", topicRoot)
+      .option("topic", topic)
+      .load()
+      .select(from_json(col("value").cast("string"), payload).as("t"))
+      .select(
+        timestamp_millis(col("t.ts_ms")).as("timestamp"),
+        col("t.symbol").as("symbol"),
+        col("t.bid_price").as("bid_price"), col("t.bid_size").as("bid_size"),
+        col("t.ask_price").as("ask_price"), col("t.ask_size").as("ask_size"),
+        col("t.last_price").as("last_price"), col("t.last_size").as("last_size"))
+  }
+
+  /** Producer-side encoding for [[topicTicks]] (specs and embedded
+   *  producers): one tick as UTF-8 JSON bytes. */
+  def tickPayload(
+      tsMs: Long, symbol: String,
+      bid: BigDecimal, bidSize: Int, ask: BigDecimal, askSize: Int,
+      last: BigDecimal, lastSize: Int): Array[Byte] =
+    (s"""{"ts_ms":$tsMs,"symbol":"$symbol","bid_price":$bid,"bid_size":$bidSize,""" +
+      s""""ask_price":$ask,"ask_size":$askSize,"last_price":$last,"last_size":$lastSize}""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   /** The tick law over (timestamp, value) rows — shared by batch mocks and
    *  the stream source. */
   private[graft] def tickColumns(df: DataFrame, symbol: String, seed: Int): DataFrame = {

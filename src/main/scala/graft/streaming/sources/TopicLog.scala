@@ -1,0 +1,116 @@
+package graft.streaming.sources
+
+import java.io.{DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.file.{Files, Path, Paths}
+
+/**
+ * File-backed topic log — the storage under the Kafka-shaped streaming
+ * source (SURVEY.md §2.1 S1 production variant; reference port:
+ * ingestion/application/src/ports.rs:5-8, whose live gateway the mock
+ * implements at infrastructure/src/gateways/market_data.rs:57-77).
+ *
+ * Semantics are Kafka's, deliberately: a topic is a set of numbered
+ * partitions; a partition is an append-only record log addressed by a
+ * dense offset sequence 0..n; records are (key, value, timestamp) byte
+ * payloads; ONE writer per partition (Kafka's leader rule — concurrent
+ * producers to the same partition must serialize upstream, e.g. one
+ * producer thread per partition as in the spec). Readers are lock-free:
+ * they never see a record until its index entry is fully visible.
+ *
+ * Layout per partition (`<root>/<topic>/p<partition>/`):
+ *  - `log` — framed records: [8B timestampMs][4B keyLen][key][4B valLen][value]
+ *  - `idx` — one big-endian 8-byte LOG byte-position per record; the
+ *    record with offset i starts at idx[i]. `nextOffset = len(idx) / 8`.
+ *    The log write lands (flushed) BEFORE its idx entry, so any offset
+ *    the index admits is fully readable — the same publish barrier a
+ *    Kafka follower gets from the high watermark.
+ *
+ * This is NOT a Kafka replacement (no replication, no consumer groups —
+ * Spark's checkpoint owns progress exactly as it does over real Kafka);
+ * it is the smallest storage that makes offset-ranged micro-batch
+ * planning honest enough to spec end-to-end. Swapping in real Kafka is
+ * a `.format("kafka")` string change — the source schema below is
+ * byte-identical to the Kafka connector's.
+ */
+object TopicLog {
+
+  def partitionDir(root: String, topic: String, partition: Int): Path =
+    Paths.get(root, topic, s"p$partition")
+
+  /** Partitions currently present for a topic (created by first append). */
+  def partitions(root: String, topic: String): Seq[Int] = {
+    val t = Paths.get(root, topic)
+    if (!Files.isDirectory(t)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(t).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("p") => s.substring(1).toInt }
+        .toSeq.sorted
+    }
+  }
+
+  /** Next offset (= record count) per partition. */
+  def latestOffsets(root: String, topic: String): Map[Int, Long] =
+    partitions(root, topic).map { p =>
+      val idx = partitionDir(root, topic, p).resolve("idx")
+      p -> (if (Files.exists(idx)) Files.size(idx) / 8 else 0L)
+    }.toMap
+
+  /** Single-writer append (the Kafka leader rule); returns the record's
+    * offset. Log bytes are flushed before the index entry is written —
+    * the reader-visible publish barrier. */
+  def append(
+      root: String, topic: String, partition: Int,
+      key: Array[Byte], value: Array[Byte], timestampMs: Long): Long = {
+    val dir = partitionDir(root, topic, partition)
+    Files.createDirectories(dir)
+    val logF = dir.resolve("log").toFile
+    val idxF = dir.resolve("idx").toFile
+    val pos = logF.length()
+    val log = new DataOutputStream(new FileOutputStream(logF, true))
+    try {
+      log.writeLong(timestampMs)
+      log.writeInt(key.length); log.write(key)
+      log.writeInt(value.length); log.write(value)
+      log.flush()
+    } finally log.close()
+    val off = idxF.length() / 8
+    val idx = new DataOutputStream(new FileOutputStream(idxF, true))
+    try { idx.writeLong(pos); idx.flush() } finally idx.close()
+    off
+  }
+
+  /** One decoded record. */
+  final case class Record(
+      offset: Long, timestampMs: Long, key: Array[Byte], value: Array[Byte])
+
+  /** Read offsets [from, until) of one partition. */
+  def read(
+      root: String, topic: String, partition: Int,
+      from: Long, until: Long): Iterator[Record] = {
+    if (until <= from) return Iterator.empty
+    val dir = partitionDir(root, topic, partition)
+    val idx = new RandomAccessFile(dir.resolve("idx").toFile, "r")
+    val startPos =
+      try { idx.seek(from * 8); idx.readLong() } finally idx.close()
+    val log = new RandomAccessFile(dir.resolve("log").toFile, "r")
+    log.seek(startPos)
+    new Iterator[Record] {
+      private var cursor = from
+      override def hasNext: Boolean = {
+        val more = cursor < until
+        if (!more) log.close()
+        more
+      }
+      override def next(): Record = {
+        val ts = log.readLong()
+        val key = new Array[Byte](log.readInt()); log.readFully(key)
+        val value = new Array[Byte](log.readInt()); log.readFully(value)
+        val r = Record(cursor, ts, key, value)
+        cursor += 1
+        r
+      }
+    }
+  }
+}

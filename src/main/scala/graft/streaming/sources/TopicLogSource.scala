@@ -1,0 +1,143 @@
+package graft.streaming.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Kafka-shaped Structured Streaming source over a [[TopicLog]]
+ * (SURVEY.md §2.1 S1 — the "custom SparkDataStream/Kafka source"
+ * production variant; the rate-micro-batch synthetic remains the mock
+ * gateway analog). `spark.readStream.format("topiclog")
+ * .option("path", root).option("topic", t).load()`.
+ *
+ * The output schema is BYTE-IDENTICAL to the Kafka connector's seven
+ * columns (key, value, topic, partition, offset, timestamp,
+ * timestampType), so every consumer written against this source — the
+ * ingest pipeline included — moves to real Kafka by changing the format
+ * string. What this implementation keeps honest:
+ *
+ *  - **Offset-ranged planning.** A micro-batch is the half-open range
+ *    (startOffsets, endOffsets] per partition, serialized into Spark's
+ *    checkpoint as JSON. Replay of a committed batch re-reads exactly
+ *    the same records (the log is immutable) — the same exactly-once
+ *    story the Kafka source has.
+ *  - **One InputPartition per topic-partition**: reader parallelism and
+ *    data locality match partition count, as with Kafka; a 1000-executor
+ *    cluster reading a 2000-partition topic schedules 2000 independent
+ *    range reads with no coordination.
+ *  - **No driver state outside the checkpoint**: latestOffset is a
+ *    stat of the index files; commit() is a no-op (progress is owned by
+ *    the checkpoint, as with Kafka's consumer-group-less DSv2 source).
+ */
+class TopicLogProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "topiclog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TopicLogSource.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TopicLogTable(
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("topiclog: option 'path' is required")),
+      Option(properties.get("topic")).getOrElse(
+        throw new IllegalArgumentException("topiclog: option 'topic' is required")))
+}
+
+object TopicLogSource {
+  /** The Kafka source schema, column for column. */
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+}
+
+class TopicLogTable(root: String, topic: String) extends Table with SupportsRead {
+  override def name(): String = s"topiclog($root, $topic)"
+  override def schema(): StructType = TopicLogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = TopicLogSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new TopicLogMicroBatchStream(root, topic)
+    }
+}
+
+/** Per-partition next-offset map, JSON-serialized into the checkpoint. */
+case class TopicLogOffset(parts: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    parts.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }
+      .mkString("{", ",", "}")
+}
+
+object TopicLogOffset {
+  private val Entry = """"(\d+)":(\d+)""".r
+  def fromJson(s: String): TopicLogOffset =
+    TopicLogOffset(Entry.findAllMatchIn(s)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+/** One micro-batch task: offsets [from, until) of a single partition. */
+case class TopicLogInputPartition(
+    root: String, topic: String, partition: Int, from: Long, until: Long)
+  extends InputPartition
+
+class TopicLogMicroBatchStream(root: String, topic: String)
+  extends MicroBatchStream {
+
+  override def initialOffset(): Offset =
+    TopicLogOffset(TopicLog.latestOffsets(root, topic).map { case (p, _) => p -> 0L })
+
+  override def latestOffset(): Offset =
+    TopicLogOffset(TopicLog.latestOffsets(root, topic))
+
+  override def deserializeOffset(json: String): Offset =
+    TopicLogOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TopicLogOffset].parts.withDefaultValue(0L)
+    val e = end.asInstanceOf[TopicLogOffset].parts
+    e.toSeq.sorted.collect {
+      case (p, until) if until > s(p) =>
+        TopicLogInputPartition(root, topic, p, s(p), until)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val ip = partition.asInstanceOf[TopicLogInputPartition]
+      val records = TopicLog.read(ip.root, ip.topic, ip.partition, ip.from, ip.until)
+      val topicUtf8 = UTF8String.fromString(ip.topic)
+      new PartitionReader[InternalRow] {
+        private var cur: TopicLog.Record = _
+        override def next(): Boolean = {
+          val more = records.hasNext
+          if (more) cur = records.next()
+          more
+        }
+        override def get(): InternalRow = new GenericInternalRow(Array[Any](
+          cur.key, cur.value, topicUtf8, ip.partition, cur.offset,
+          cur.timestampMs * 1000L, // micros
+          0)) // timestampType: CreateTime, as Kafka reports for producer stamps
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = () // checkpoint owns progress
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/**
+ * Scale-growth measurement for the containment/prefix family
+ * (q94/q104/q105; VERDICT r5 follow-up): candidate volume and wall time
+ * at sf0.1-equivalent vs sf1-equivalent corpus sizes, swept over the
+ * l-extension knob `minWindowMatches` (k) — the number the k-knob
+ * guidance in BASELINE.md records.
+ *
+ * The corpus is REALISTIC, not the adversarial dense-vocabulary
+ * synthetic of PrefixFilterStress: ~50 words per doc drawn Zipf-ish
+ * (u³-warped uniform over a 20k-word vocabulary — a hot head, a long
+ * tail), so 3-word shingles are mostly corpus-unique, as in natural
+ * text. Every 100th doc embeds its predecessor's full text (planted
+ * TRUE containment pairs) so recall stays observable at every setting.
+ *
+ * Usage: runMain graft.tools.ContainmentScaleStress [nDocs ...]
+ *        (default sweep: 5000 50000 — the sf0.1 / sf1 documents sizes)
+ */
+object ContainmentScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(5000L, 50000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.activate(spark)
+    val t = 0.5
+
+    sizes.foreach { n =>
+      val docs = corpus(spark, n).localCheckpoint(true)
+      println(s"[containment-scale] ---- nDocs=$n (planted pairs ~${n / 100}) ----")
+      Seq(1, 2, 3).foreach { k =>
+        val cand = candidateCount(spark, docs, t, k)
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.Dedup.containmentJoinPrefixFilter(
+          docs, "doc_id", "text", shingleN = 3, threshold = t,
+          minWindowMatches = k).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[containment-scale] nDocs=$n k=$k candidates=$cand " +
+          f"pairs=$pairs wall=$secs%.2f s")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Zipf-ish corpus: doc i = 45+hash(i)%10 words, word j =
+    * "w" + ⌊u³·20000⌋ with u uniform from hash(i,j); every 100th doc
+    * appends doc i−1's words (a planted superset → containment pair). */
+  private def corpus(spark: SparkSession, n: Long): DataFrame = {
+    def words(seed: org.apache.spark.sql.Column) = transform(
+      sequence(lit(0), (pmod(hash(seed), lit(10)) + lit(44)).cast("int")),
+      j => {
+        val u = pmod(hash(seed, j), lit(1000000)).cast("double") / lit(1000000.0)
+        concat(lit("w"), floor(u * u * u * lit(20000.0)).cast("long"))
+      })
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 100 === 0 && col("id") > 0,
+        concat_ws(" ", concat(words(col("id") - 1), words(col("id")))))
+        .otherwise(concat_ws(" ", words(col("id")))).as("text"))
+  }
+
+  /** The candidate-stage cardinality `containmentJoinPrefixFilter` feeds
+    * its verify stages — the volume that grows with corpus size (mirrors
+    * the operator's prefix join; kept in sync with Dedup.scala). */
+  private def candidateCount(
+      spark: SparkSession, docs: DataFrame, t: Double, k: Int): Long = {
+    val hsets = docs.select(col("doc_id"),
+        Bridge.column(graft.functions.expressions.WordShingleHashes(
+          Bridge.expression(col("text")), 3)).as("hs"))
+      .where(col("hs").isNotNull)
+      .localCheckpoint(true)
+    val top = hsets.select(explode(col("hs")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("s"))
+      .limit(graft.functions.expressions.PrefixSelect.MaxHot)
+      .collect()
+    val pairsSorted = top.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val (hotS, hotDf) = (pairsSorted.map(_._1), pairsSorted.map(_._2))
+    val prefix = hsets.select(
+      col("doc_id").as("id_a"), size(col("hs")).as("n_a"),
+      posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
+        Bridge.expression(col("hs")), hotS, hotDf, t, extra = k - 1)))
+        .as(Seq("p_a", "s")))
+    val toks = hsets.select(
+      col("doc_id").as("id_b"), size(col("hs")).as("n_b"),
+      posexplode(Bridge.column(graft.functions.expressions.PrefixSelect(
+        Bridge.expression(col("hs")), hotS, hotDf, t, full = true)))
+        .as(Seq("p_b", "s")))
+    prefix.join(toks, "s")
+      .where(col("id_a") =!= col("id_b") &&
+        col("n_b") >= ceil(lit(t) * col("n_a")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_match"), max(col("n_a")).as("n_a"))
+      .where(col("n_match") >= least(lit(k.toLong),
+        ceil(lit(t) * col("n_a"))))
+      .count()
+  }
+}

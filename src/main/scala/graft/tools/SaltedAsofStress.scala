@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Skew, TimeJoins}
+
+/**
+ * Skewed-key stress for the pre-salt as-of composition
+ * (`Skew.saltedAsOf` — the executable answer to `plans/AsofJoin.scala`'s
+ * caveat that AQE cannot split skew on custom plan nodes).
+ *
+ * Corpus law (no RNG): `n` probe rows where `hotFrac` of ALL probes land
+ * on ONE key and the rest spread over `k-1` cold keys — the adversarial
+ * shape for any key-clustered merge: one reducer owns `hotFrac` of the
+ * work while 31 idle. Marks stay uniform (the typical as-of shape:
+ * sparse marks, dense probes). Equality of salted vs unsalted output is
+ * asserted via anti-join before timings — a perf number for a wrong
+ * plan is worthless.
+ *
+ * Usage: runMain graft.tools.SaltedAsofStress [n] [k] [hotPct] [buckets]
+ *        (default 4M probes / 200 keys / 80% hot / 32 buckets)
+ */
+object SaltedAsofStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 4000000L
+    val k = if (args.length > 1) args(1).toInt else 200
+    val hotPct = if (args.length > 2) args(2).toInt else 80
+    val buckets = if (args.length > 3) args(3).toInt else 32
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.activate(spark)
+
+    def timed(label: String)(f: => Long): Long = {
+      val t0 = System.nanoTime(); val c = f
+      println(f"[salted-asof] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($c rows)"); c
+    }
+
+    // hotPct% of probes on key 0, the rest uniform over keys 1..k-1
+    val probes = spark.range(n).select(
+      when(pmod(hash(col("id"), lit(3)).cast("long"), lit(100L)) < hotPct, lit(0L))
+        .otherwise(pmod(hash(col("id"), lit(5)).cast("long"), lit(k.toLong - 1)) + 1L)
+        .as("key"),
+      timestamp_micros((lit(1700000000000000L) +
+        pmod(hash(col("id")).cast("long"), lit(2592000000000L))).cast("long")).as("t"),
+      col("id").as("probe_id"))
+      .localCheckpoint(true)
+    val marks = spark.range(n / 8).select(
+      pmod(col("id"), lit(k)).as("key"),
+      timestamp_micros((lit(1700000000000000L) +
+        pmod(hash(col("id"), lit(7)).cast("long"), lit(2592000000000L))).cast("long")).as("t"),
+      (col("id") * 31).as("mark"))
+      .groupBy(col("key"), col("t")).agg(max(col("mark")).as("mark")) // unique (key, t)
+      .localCheckpoint(true)
+    val hotRows = probes.where(col("key") === 0L).count()
+    println(s"[salted-asof] probes=${probes.count()} (hot key holds $hotRows) " +
+      s"marks=${marks.count()} keys=$k buckets=$buckets")
+
+    val unsalted = TimeJoins.asOfBackwardMerge(
+      probes, marks, Seq("key"), "t", "t", Seq("mark"))
+    val salted = Skew.saltedAsOf(
+      probes, marks, Seq("key"), "t", "t", Seq("mark"),
+      probeSaltCol = col("probe_id"), buckets = buckets)
+
+    // correctness first: bitwise-identical result sets
+    val u = unsalted.localCheckpoint(true)
+    val s = salted.localCheckpoint(true)
+    val disagree = u.select(col("probe_id"), col("mark"))
+      .exceptAll(s.select(col("probe_id"), col("mark"))).count() +
+      s.select(col("probe_id"), col("mark"))
+        .exceptAll(u.select(col("probe_id"), col("mark"))).count()
+    println(s"[salted-asof] disagreeing rows = $disagree (must be 0)")
+    require(disagree == 0, "salted and unsalted as-of disagree")
+
+    // timings on fresh plans (checkpointed inputs, so scan cost is flat)
+    timed(s"unsalted merge (hot key on one reducer)") {
+      TimeJoins.asOfBackwardMerge(probes, marks, Seq("key"), "t", "t", Seq("mark"))
+        .write.mode("overwrite").format("noop").save(); 0L
+    }
+    timed(s"salted merge ($buckets buckets)") {
+      Skew.saltedAsOf(probes, marks, Seq("key"), "t", "t", Seq("mark"),
+        probeSaltCol = col("probe_id"), buckets = buckets)
+        .write.mode("overwrite").format("noop").save(); 0L
+    }
+    spark.stop()
+  }
+}

@@ -90,4 +90,45 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(100L).decode_ok && !out(101L).decode_ok)
     assert(out(100L).width == 0 && out(100L).sum_r == 0L)
   }
+
+  test("REAL wav decode: javax.sound round-trip reproduces the signal sums exactly") {
+    implicit val s = spark
+    val ids = spark.range(0L, 40L).as[java.lang.Long]
+    val encoded = Multimodal.encodeWav(ids)
+    // payloads are genuine RIFF/WAVE files: magic bytes, 44-byte header +
+    // 2 bytes per sample
+    val payloads = encoded.collect().map(r => r.media_id -> r.payload).toMap
+    assert(payloads.size == 40)
+    assert(payloads.values.forall(p =>
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E' &&
+        p.length == 44 + Multimodal.WavSamples * 2))
+    val decoded = Multimodal.decodeAudioStats(encoded).collect()
+      .map(st => st.media_id -> st).toMap
+    // closed-form truth: PCM is lossless, so a real RIFF parse + frame
+    // decode must reproduce the exact sample sums and peaks
+    for (id <- 0L until 40L) {
+      val st = decoded(id)
+      assert(st.decode_ok && st.n_samples == Multimodal.WavSamples &&
+        st.sample_rate == Multimodal.WavRate)
+      val samples = (0 until Multimodal.WavSamples).map(Multimodal.wavSample(id, _))
+      assert(st.sum_pcm == samples.map(_.toLong).sum, s"sample sum for id $id")
+      assert(st.peak == samples.map(math.abs).max, s"peak for id $id")
+    }
+  }
+
+  test("REAL wav decode: undecodable payloads flag decode_ok=false, partition survives") {
+    implicit val s = spark
+    import Multimodal.WavRow
+    val good = Multimodal.encodeWav(spark.range(0L, 3L).as[java.lang.Long]).collect()
+    val bad = Seq(
+      WavRow(100L, Array[Byte](1, 2, 3, 4)),   // not a RIFF file
+      WavRow(101L, good(0).payload.take(20)))  // truncated header
+    val mixed = spark.createDataset(good.toSeq ++ bad)
+    val out = Multimodal.decodeAudioStats(mixed).collect().map(st => st.media_id -> st).toMap
+    assert(out.size == 5)
+    assert((0L until 3L).forall(out(_).decode_ok))
+    assert(!out(100L).decode_ok && !out(101L).decode_ok)
+    assert(out(100L).n_samples == 0L && out(100L).sum_pcm == 0L)
+  }
 }

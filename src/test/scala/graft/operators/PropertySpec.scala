@@ -71,6 +71,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: salted native as-of equals unsalted (backward and forward)") {
+    // skew-shaped generator: most probes land on "hot"
+    val rowGen = Gen.zip(
+      Gen.frequency(4 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b")),
+      Gen.choose(0L, 500L))
+    forAll(Gen.zip(Gen.listOfN(30, rowGen), Gen.listOfN(8, rowGen))) {
+      case (probeRows, markRows) =>
+        whenever(probeRows.nonEmpty && markRows.nonEmpty) {
+          val probe = probeRows.zipWithIndex
+            .map { case ((k, t), i) => (k, t * 16, i.toLong) }.toDF("k", "t", "row_id")
+          // mark times made unique per key (t*16+i): equal-(k,mt) ties
+          // resolve by physical order, which no law pins on either plan
+          val marks = markRows.zipWithIndex
+            .map { case ((k, t), i) => (k, t * 16 + i, s"m$i") }.toDF("k", "mt", "payload")
+          for (fwd <- Seq(false, true)) {
+            def run(df: org.apache.spark.sql.DataFrame) = df
+              .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                Option(r.getString(3)))).sorted.toSeq
+            val plain = run(
+              if (fwd) TimeJoins.asOfForwardMerge(probe, marks, Seq("k"), "t", "mt", Seq("payload"))
+              else TimeJoins.asOfBackwardMerge(probe, marks, Seq("k"), "t", "mt", Seq("payload")))
+            val salted = run(Skew.saltedAsOf(probe, marks, Seq("k"), "t", "mt",
+              Seq("payload"), col("row_id"), buckets = 4, forward = fwd))
+            assert(salted == plain, s"forward=$fwd")
+          }
+        }
+    }
+  }
+
   test("property: repetition metrics equal brute-force bigram counting") {
     forAll(Gen.listOfN(4, docGen)) { texts =>
       whenever(texts.nonEmpty) {

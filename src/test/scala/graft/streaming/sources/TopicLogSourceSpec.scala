@@ -1,0 +1,117 @@
+package graft.streaming.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streaming.IngestStream
+
+/** The Kafka-shaped source end-to-end (SURVEY.md §2.1 S1 production
+  * variant): wire schema, offset-ranged batches, checkpointed resume
+  * without duplication, and the full ingest pipeline (decode → validate →
+  * event-time-partitioned parquet) fed from a topic instead of the
+  * synthetic rate source. */
+class TopicLogSourceSpec extends SparkSpec {
+
+  private def bytes(s: String) = s.getBytes(UTF_8)
+
+  test("log: offsets are dense per partition; ranged reads return exact records") {
+    val root = tmpDir("topiclog")
+    assert(TopicLog.append(root, "t", 0, bytes("k0"), bytes("v0"), 1000L) == 0L)
+    assert(TopicLog.append(root, "t", 0, bytes("k1"), bytes("v1"), 2000L) == 1L)
+    assert(TopicLog.append(root, "t", 1, bytes("k2"), bytes("v2"), 3000L) == 0L)
+    assert(TopicLog.latestOffsets(root, "t") == Map(0 -> 2L, 1 -> 1L))
+    val r = TopicLog.read(root, "t", 0, 1L, 2L).toSeq
+    assert(r.length == 1 && r.head.offset == 1L &&
+      new String(r.head.value, UTF_8) == "v1" && r.head.timestampMs == 2000L)
+    assert(TopicLog.read(root, "t", 0, 2L, 2L).isEmpty)
+  }
+
+  test("source schema is byte-identical to the Kafka connector's") {
+    val root = tmpDir("topiclog-schema")
+    TopicLog.append(root, "t", 0, bytes("k"), bytes("v"), 1000L)
+    val df = spark.readStream.format("topiclog")
+      .option("path", root).option("topic", "t").load()
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "key" -> "binary", "value" -> "binary", "topic" -> "string",
+      "partition" -> "int", "offset" -> "bigint",
+      "timestamp" -> "timestamp", "timestampType" -> "int"))
+  }
+
+  test("offset JSON round-trips through the checkpoint format") {
+    val o = TopicLogOffset(Map(0 -> 5L, 3 -> 17L))
+    assert(TopicLogOffset.fromJson(o.json()) == o)
+    assert(o.json() == """{"0":5,"3":17}""")
+  }
+
+  test("micro-batches cover appended records exactly once across restarts") {
+    val root = tmpDir("topiclog-eo")
+    val out = tmpDir("topiclog-eo-out")
+    val ckpt = tmpDir("topiclog-eo-ckpt")
+    (0 until 10).foreach(i =>
+      TopicLog.append(root, "t", i % 2, bytes(s"k$i"), bytes(s"v$i"), 1000L + i))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("topiclog")
+        .option("path", root).option("topic", "t").load()
+        .selectExpr("CAST(key AS STRING) AS k", "CAST(value AS STRING) AS v",
+          "partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000L)
+    }
+
+    drain()
+    assert(spark.read.parquet(out).count() == 10)
+    // restart with the same checkpoint and MORE data: only the new
+    // offsets replay — the committed ranges never re-emit
+    (10 until 15).foreach(i =>
+      TopicLog.append(root, "t", i % 2, bytes(s"k$i"), bytes(s"v$i"), 1000L + i))
+    drain()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 15, "restart duplicated or dropped records")
+    assert(back.select("k").distinct().count() == 15)
+    // offsets are dense per partition, starting at 0
+    val offs = back.groupBy(col("partition"))
+      .agg(min("offset").as("lo"), max("offset").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(offs == Set((0, 0L, 7L, 8L), (1, 0L, 6L, 7L)))
+  }
+
+  test("ingest pipeline from a topic: decode → validate → partitioned lake (S1 production shape)") {
+    graft.sources.TickLake.configure(spark)
+    val root = tmpDir("topiclog-ingest")
+    val lake = tmpDir("topiclog-ingest-lake")
+    val ckpt = tmpDir("topiclog-ingest-ckpt")
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    // 2 partitions × 3 valid ticks + 1 invalid (negative bid → quarantined
+    // by the validation split; here: just absent from the valid lake)
+    (0 until 6).foreach { i =>
+      val pay = IngestStream.tickPayload(t0 + i * 60000L, "NQ",
+        bid = BigDecimal("16000.25"), bidSize = 2, ask = BigDecimal("16000.50"),
+        askSize = 3, last = BigDecimal("16000.50"), lastSize = 1 + i)
+      TopicLog.append(root, "ticks", i % 2, bytes(s"NQ-$i"), pay, t0 + i * 60000L)
+    }
+    TopicLog.append(root, "ticks", 0, bytes("bad"),
+      IngestStream.tickPayload(t0, "NQ", BigDecimal("-1"), 1,
+        BigDecimal("16000.50"), 1, BigDecimal("16000.50"), 1), t0)
+
+    val q = IngestStream.start(
+      IngestStream.topicTicks(spark, root, "ticks"), lake, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(60000L)
+
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 6, "valid ticks only")
+    assert(back.where(col("bid_price") <= 0).count() == 0)
+    // the decode law preserved values exactly (decimal, not float)
+    assert(back.agg(sum(col("last_size"))).head.getLong(0) == (1 to 6).sum)
+    assert(back.select("bid_price").distinct().head.getDecimal(0)
+      .compareTo(new java.math.BigDecimal("16000.2500")) == 0)
+    // event-time partition columns came from the payload timestamp
+    assert(back.where(col("date") =!= "20240101").count() == 0)
+  }
+}
