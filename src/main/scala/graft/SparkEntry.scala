@@ -2005,6 +2005,57 @@ object SparkEntry {
           sum(col("peak").cast("long")).as("sum_peak"))
         .orderBy(col("lang"))
     }),
+
+    // Q131 — REAL video decode with REAL frame-sampling (M1 fully
+    // de-stubbed): every doc id becomes a genuine multi-frame animated
+    // GIF (indexed palettes → lossless), decoded by a genuine
+    // ImageReader frame walk that samples every 2nd frame. The oracle
+    // recomputes the sampled frames' channel sums in closed form — only
+    // a real multi-frame decode + sample matches. Per-lang rollup.
+    "q131_video_decode" -> ((s, dir) => {
+      implicit val sp = s
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      val stats = Multimodal.decodeVideoStats(
+        Multimodal.encodeGif(ids), frameStep = 2).toDF()
+      t(s, dir, "documents")
+        .join(stats, col("doc_id") === col("media_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_decoded"),
+          sum(col("n_frames").cast("long")).as("total_frames"),
+          sum(col("n_sampled").cast("long")).as("total_sampled"),
+          sum(col("sum_r")).as("sum_r"),
+          sum(col("sum_g")).as("sum_g"),
+          sum(col("sum_b")).as("sum_b"))
+        .orderBy(col("lang"))
+    }),
+
+    // Q132 — REAL image resize (the decode→transform→encode third of the
+    // media kernel set): encode the 8×8 pattern, nearest-neighbor
+    // downscale ×2 through the codec (decode + explicit (2x,2y) sample +
+    // PNG re-encode), decode the 4×4 result. The oracle recomputes the
+    // EVEN-coordinate pattern sums — only a real resize of really
+    // decoded pixels matches. Per-lang rollup.
+    "q132_image_resize" -> ((s, dir) => {
+      implicit val sp = s
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      val stats = Multimodal.decodeImageStats(
+        Multimodal.resizePng(Multimodal.encodePng(ids), factor = 2)).toDF()
+      t(s, dir, "documents")
+        .join(stats, col("doc_id") === col("media_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_decoded"),
+          sum(col("width").cast("long") * col("height")).as("total_pixels"),
+          sum(col("sum_r")).as("sum_r"),
+          sum(col("sum_g")).as("sum_g"),
+          sum(col("sum_b")).as("sum_b"))
+        .orderBy(col("lang"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3830,6 +3881,45 @@ object SparkEntry {
           |  CAST(count(*) * 64 AS BIGINT) AS total_samples,
           |  CAST(sum(s) AS BIGINT) AS sum_pcm,
           |  CAST(sum(pk) AS BIGINT) AS sum_peak
+          |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // replays the sampled-frame law in closed form: frames 0 and 2 of
+      // 4, channel c of pixel (x,y) in frame f =
+      // (doc_id*31 + x*7 + y*13 + c*97 + f*41) % 256; GIF's indexed
+      // palette is lossless, so only a real frame walk matches
+      "q131_video_decode" ->
+        """WITH px AS (SELECT x.r AS x, y.r AS y, f.r * 2 AS f
+          |    FROM range(8) x(r) CROSS JOIN range(8) y(r) CROSS JOIN range(2) f(r)),
+          |per AS (SELECT d.doc_id, d.lang,
+          |    CAST(sum((d.doc_id*31 + x*7 + y*13 + f*41) % 256) AS BIGINT) AS sr,
+          |    CAST(sum((d.doc_id*31 + x*7 + y*13 + 97 + f*41) % 256) AS BIGINT) AS sg,
+          |    CAST(sum((d.doc_id*31 + x*7 + y*13 + 194 + f*41) % 256) AS BIGINT) AS sb
+          |  FROM documents d CROSS JOIN px GROUP BY d.doc_id, d.lang)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_clips,
+          |  CAST(count(*) AS BIGINT) AS n_decoded,
+          |  CAST(count(*) * 4 AS BIGINT) AS total_frames,
+          |  CAST(count(*) * 2 AS BIGINT) AS total_sampled,
+          |  CAST(sum(sr) AS BIGINT) AS sum_r,
+          |  CAST(sum(sg) AS BIGINT) AS sum_g,
+          |  CAST(sum(sb) AS BIGINT) AS sum_b
+          |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // replays the ×2 nearest-neighbor law: the 4×4 result's pixel (x,y)
+      // is the pattern at (2x, 2y) — even coordinates only
+      "q132_image_resize" ->
+        """WITH px AS (SELECT x.r * 2 AS x, y.r * 2 AS y
+          |    FROM range(4) x(r) CROSS JOIN range(4) y(r)),
+          |per AS (SELECT d.doc_id, d.lang,
+          |    CAST(sum((d.doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sr,
+          |    CAST(sum((d.doc_id*31 + x*7 + y*13 + 97) % 256) AS BIGINT) AS sg,
+          |    CAST(sum((d.doc_id*31 + x*7 + y*13 + 194) % 256) AS BIGINT) AS sb
+          |  FROM documents d CROSS JOIN px GROUP BY d.doc_id, d.lang)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_images,
+          |  CAST(count(*) AS BIGINT) AS n_decoded,
+          |  CAST(count(*) * 16 AS BIGINT) AS total_pixels,
+          |  CAST(sum(sr) AS BIGINT) AS sum_r,
+          |  CAST(sum(sg) AS BIGINT) AS sum_g,
+          |  CAST(sum(sb) AS BIGINT) AS sum_b
           |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     )
   }

@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
  * `encodeWav` / `decodeAudioStats` run an actual WAV PCM encode/decode
  * through `javax.sound.sampled` (JDK-native; parsing never touches audio
  * hardware), oracled by q130 the same closed-form way — PCM is lossless,
- * so only a genuine decode reproduces the sample sums. Only the VIDEO
- * feature kernel remains stubbed (`decodeStub`: no video codec ships
- * with the JDK); its plumbing — schema, partition-wise batching, encoder
- * round-trip, metadata struct — is identical to the two proven paths, so
- * swapping in a JNI/FFmpeg kernel is a one-function change.
+ * so only a genuine decode reproduces the sample sums. The VIDEO path is
+ * REAL as well: `encodeGif` / `decodeVideoStats` run a genuine
+ * multi-frame codec (animated GIF through `javax.imageio` — lossless
+ * for indexed ≤256-color frames) with real frame-sampling, oracled by
+ * q131. `decodeStub` remains only as the generic byte-level test harness
+ * for the plumbing specs; no modality depends on it. A production
+ * JNI/FFmpeg kernel for richer codecs (H.264, FLAC, …) slots into any
+ * of the three paths as a one-function change.
  *
  * Scale posture: decode runs via `mapPartitions` so per-partition setup
  * (codec init, model load) amortizes across rows — the Scala analog of
@@ -46,9 +49,10 @@ object Multimodal {
       modality: String,
       n_bytes: Int,
       checksum: Long,
-      // ??? real kernel (video only — image: decodeImageStats, audio:
-      // decodeAudioStats): decoded frame stats. Stub: deterministic
-      // byte-level stats so tests can assert exact values.
+      // test-harness fake (every real kernel lives elsewhere: image
+      // decodeImageStats, audio decodeAudioStats, video
+      // decodeVideoStats): deterministic byte-level stats so the
+      // plumbing specs assert exact values with no codec in the loop.
       mean_byte: Double,
       feature: Array[Float])
 
@@ -90,8 +94,7 @@ object Multimodal {
       n_bytes = bytes.length,
       checksum = bytes.foldLeft(1L)((a, b) => a * 31 + (b & 0xff)),
       mean_byte = sum.toDouble / bytes.length,
-      // ??? real kernel (video only): frame-sample + resize(meta_width,
-      // meta_height). Stub: first 4 bytes scaled to [0,1).
+      // harness fake feature vector: first 4 bytes scaled to [0,1).
       feature = bytes.take(4).map(b => (b & 0xff) / 256.0f))
   }
 
@@ -177,6 +180,174 @@ object Multimodal {
             y += 1
           }
           ImageStats(r.media_id, decode_ok = true, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }
+    }
+  }
+
+  /**
+   * REAL image RESIZE: decode the payload, nearest-neighbor downscale by
+   * an integer `factor` (destination pixel (x,y) samples source pixel
+   * (x·factor, y·factor) — the explicit sample rule keeps the law
+   * closed-form; library resamplers have implementation-defined rounding),
+   * re-encode PNG. A full decode → transform → encode pass through the
+   * codec per row, amortized per partition. Undecodable payloads emit an
+   * EMPTY payload, which the downstream decode stage flags
+   * `decode_ok = false` (ST9 per-item error capture, composed).
+   */
+  def resizePng(media: Dataset[PngRow], factor: Int)(
+      implicit spark: SparkSession): Dataset[PngRow] = {
+    import spark.implicits._
+    require(factor >= 1, "resize factor must be >= 1")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, "undecodable")
+          val (w, h) = (img.getWidth / factor, img.getHeight / factor)
+          require(w > 0 && h > 0, "image smaller than factor")
+          val small = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              small.setRGB(x, y, img.getRGB(x * factor, y * factor))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(small, "png", out)
+          PngRow(r.media_id, out.toByteArray)
+        } catch {
+          case _: Exception => PngRow(r.media_id, Array.empty[Byte])
+        }
+      }
+    }
+  }
+
+  /** A real encoded multi-frame clip: animated GIF bytes + the seed id. */
+  final case class GifRow(media_id: Long, payload: Array[Byte])
+
+  /** Real decoded video statistics, frame-SAMPLED (every `step`-th frame)
+   *  — integer-exact channel sums over the sampled frames. Undecodable
+   *  payloads carry zeros with `decode_ok = false` (ST9). */
+  final case class VideoStats(
+      media_id: Long, decode_ok: Boolean, n_frames: Int, n_sampled: Int,
+      width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Frames per clip and the deterministic per-frame pattern: channel c
+   *  of pixel (x, y) in frame f = (id·31 + x·7 + y·13 + c·97 + f·41)
+   *  mod 256 — [[patternValue]] extended by a frame term. GIF palettes
+   *  hold 256 colors and an 8×8 frame has ≤64 distinct colors, so the
+   *  encode is LOSSLESS and the closed form is a true decode oracle,
+   *  exactly the q107/q130 law applied to multi-frame media. */
+  val GifFrames = 4
+  def framePatternValue(id: Long, x: Int, y: Int, c: Int, f: Int): Int =
+    ((((id * 31 + x * 7 + y * 13 + c * 97 + f * 41) % 256) + 256) % 256).toInt
+
+  /**
+   * Distributed animated-GIF ENCODE via `javax.imageio`: one real
+   * multi-frame GIF per id (`prepareWriteSequence`/`writeToSequence`
+   * — the writer is initialized once per PARTITION and reused across
+   * rows, the codec-amortization pattern the object doc promises).
+   */
+  def encodeGif(ids: Dataset[java.lang.Long])(implicit spark: SparkSession): Dataset[GifRow] = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < GifFrames) {
+          // exact per-frame palette (≤64 colors for an 8×8 frame): the
+          // GIF writer would quantize a straight RGB image to a default
+          // web palette, destroying losslessness — an indexed image with
+          // the frame's own colors encodes bit-exact
+          val rgbs = Array.tabulate(PatternSide * PatternSide) { i =>
+            val (x, y) = (i % PatternSide, i / PatternSide)
+            (framePatternValue(id, x, y, 0, f) << 16) |
+              (framePatternValue(id, x, y, 1, f) << 8) |
+              framePatternValue(id, x, y, 2, f)
+          }
+          val palette = rgbs.distinct
+          val icm = new java.awt.image.IndexColorModel(
+            8, palette.length,
+            palette.map(v => ((v >> 16) & 0xff).toByte),
+            palette.map(v => ((v >> 8) & 0xff).toByte),
+            palette.map(v => (v & 0xff).toByte))
+          val img = new java.awt.image.BufferedImage(
+            PatternSide, PatternSide,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          var y = 0
+          while (y < PatternSide) {
+            var x = 0
+            while (x < PatternSide) {
+              img.setRGB(x, y, rgbs(y * PatternSide + x))
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        GifRow(id, out.toByteArray)
+      }
+    }
+  }
+
+  /**
+   * REAL video decode (M1 fully de-stubbed): `ImageReader.getNumImages`
+   * counts the stored frames, then every `frameStep`-th frame decodes to
+   * per-channel pixel sums — genuine frame-sampling over a genuine
+   * multi-frame codec, the operation the stub only described. Reader
+   * initialized once per partition; undecodable payloads yield
+   * `decode_ok = false` without failing the partition.
+   */
+  def decodeVideoStats(media: Dataset[GifRow], frameStep: Int = 2)(
+      implicit spark: SparkSession): Dataset[VideoStats] = {
+    import spark.implicits._
+    require(frameStep >= 1, "frameStep must be >= 1")
+    media.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+      rows.map { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          require(n > 0, "no frames")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var (f, sampled, w, h) = (0, 0, 0, 0)
+          while (f < n) {
+            val img = reader.read(f)
+            w = img.getWidth; h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            sampled += 1
+            f += frameStep
+          }
+          VideoStats(r.media_id, decode_ok = true, n, sampled, w, h, sr, sg, sb)
+        } catch {
+          case _: Exception =>
+            VideoStats(r.media_id, decode_ok = false, 0, 0, 0, 0, 0L, 0L, 0L)
         }
       }
     }

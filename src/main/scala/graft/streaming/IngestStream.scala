@@ -85,6 +85,63 @@ object IngestStream {
         col("t.last_price").as("last_price"), col("t.last_size").as("last_size"))
   }
 
+  /**
+   * Producer (sink) side of the bus — the write twin of [[topicTicks]]:
+   * every micro-batch appends the frame's ticks to a Kafka-shaped
+   * [[graft.streaming.sources.TopicLog]] topic, keyed by symbol and
+   * routed to `pmod(hash(symbol), partitions)` so one symbol's ticks
+   * stay ordered within one partition (Kafka's keyed-producer law).
+   * The batch repartitions by that topic-partition id before writing,
+   * which makes each topic partition single-writer within the batch
+   * (the log's leader rule).
+   *
+   * Delivery is AT-LEAST-ONCE, exactly like the Kafka sink: a retried
+   * task re-appends its rows. Consumers dedupe downstream
+   * ([[withStreamingDedup]] / `dropDuplicatesWithinWatermark` on the
+   * tick key) — the same pairing a real Kafka deployment uses.
+   */
+  def startTopicSink(
+      ticks: DataFrame,
+      topicRoot: String,
+      topic: String,
+      partitions: Int,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    require(partitions >= 1, "a topic needs >= 1 partitions")
+    ticks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBatchToTopic(batch, topicRoot, topic, partitions)
+      }
+      .start()
+  }
+
+  /** One batch → topic append (shared by the streaming sink and batch
+    * producers). Exposed for direct batch use. */
+  def writeBatchToTopic(
+      batch: DataFrame, topicRoot: String, topic: String, partitions: Int): Unit = {
+    val routed = batch
+      .withColumn("_p", pmod(hash(col("symbol")), lit(partitions)).cast("int"))
+      .withColumn("_key", col("symbol").cast("binary"))
+      .withColumn("_ts_ms", unix_millis(col("timestamp")))
+      .withColumn("_value", to_json(struct(
+        col("_ts_ms").as("ts_ms"), col("symbol"),
+        col("bid_price"), col("bid_size"), col("ask_price"), col("ask_size"),
+        col("last_price"), col("last_size"))).cast("binary"))
+      .select(col("_p"), col("_key"), col("_value"), col("_ts_ms"))
+      // one Spark partition per topic partition id -> single writer per
+      // log partition within the batch (the TopicLog leader rule)
+      .repartition(partitions, col("_p"))
+    routed.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        graft.streaming.sources.TopicLog.append(
+          topicRoot, topic, r.getInt(0),
+          r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2), r.getLong(3))
+      }
+    }
+  }
+
   /** Producer-side encoding for [[topicTicks]] (specs and embedded
    *  producers): one tick as UTF-8 JSON bytes. */
   def tickPayload(

@@ -45,12 +45,17 @@ class TopicLogProvider extends TableProvider with DataSourceRegister {
     TopicLogSource.schema
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // option keys may arrive case-preserved or lower-cased depending on
+    // which harness path built the map — normalize once
+    val opts = new CaseInsensitiveStringMap(properties)
     new TopicLogTable(
-      Option(properties.get("path")).getOrElse(
+      Option(opts.get("path")).getOrElse(
         throw new IllegalArgumentException("topiclog: option 'path' is required")),
-      Option(properties.get("topic")).getOrElse(
-        throw new IllegalArgumentException("topiclog: option 'topic' is required")))
+      Option(opts.get("topic")).getOrElse(
+        throw new IllegalArgumentException("topiclog: option 'topic' is required")),
+      Option(opts.get("maxRecordsPerBatch")).map(_.toLong))
+  }
 }
 
 object TopicLogSource {
@@ -65,7 +70,8 @@ object TopicLogSource {
     StructField("timestampType", IntegerType)))
 }
 
-class TopicLogTable(root: String, topic: String) extends Table with SupportsRead {
+class TopicLogTable(root: String, topic: String, maxPerBatch: Option[Long] = None)
+  extends Table with SupportsRead {
   override def name(): String = s"topiclog($root, $topic)"
   override def schema(): StructType = TopicLogSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -74,7 +80,7 @@ class TopicLogTable(root: String, topic: String) extends Table with SupportsRead
     () => new Scan {
       override def readSchema(): StructType = TopicLogSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new TopicLogMicroBatchStream(root, topic)
+        new TopicLogMicroBatchStream(root, topic, maxPerBatch)
     }
 }
 
@@ -97,14 +103,58 @@ case class TopicLogInputPartition(
     root: String, topic: String, partition: Int, from: Long, until: Long)
   extends InputPartition
 
-class TopicLogMicroBatchStream(root: String, topic: String)
-  extends MicroBatchStream {
+class TopicLogMicroBatchStream(
+    root: String, topic: String, maxPerBatch: Option[Long] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset =
     TopicLogOffset(TopicLog.latestOffsets(root, topic).map { case (p, _) => p -> 0L })
 
   override def latestOffset(): Offset =
     TopicLogOffset(TopicLog.latestOffsets(root, topic))
+
+  /** Trigger.AvailableNow end-bound, captured once at query start (the
+    * Kafka source's shape: implementing SupportsTriggerAvailableNow
+    * ourselves keeps per-batch admission control live — Spark's generic
+    * AvailableNowDataStreamWrapper for sources without it captures the
+    * end with allAvailable and skips the per-batch limit). */
+  @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(TopicLog.latestOffsets(root, topic))
+
+  /** Admission control (the Kafka source's `maxOffsetsPerTrigger` twin):
+    * a `maxRecordsPerBatch` option bounds every micro-batch, so a deep
+    * backlog replays as many bounded transactional batches instead of
+    * one giant one — checkpoint commits stay small and a mid-backfill
+    * crash loses at most one bounded batch. Budget is handed to
+    * partitions in ascending partition order (deterministic; a starved
+    * partition is picked up by the next batch since the budget resets
+    * per trigger). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[TopicLogOffset].parts.withDefaultValue(0L)
+    val real = TopicLog.latestOffsets(root, topic)
+    // under AvailableNow, never plan past the end captured at start
+    val target = availableNowEnd match {
+      case Some(end) => real.map { case (p, o) => p -> math.min(o, end.getOrElse(p, 0L)) }
+      case None => real
+    }
+    limit match {
+      case mr: ReadMaxRows =>
+        var budget = mr.maxRows()
+        TopicLogOffset(target.toSeq.sorted.map { case (p, latest) =>
+          val take = math.max(0L, math.min(latest - s(p), budget))
+          budget -= take
+          p -> (s(p) + take)
+        }.toMap)
+      case _ => TopicLogOffset(target)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     TopicLogOffset.fromJson(json)

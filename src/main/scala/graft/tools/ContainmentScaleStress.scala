@@ -27,6 +27,11 @@ object ContainmentScaleStress {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // force the shuffle-join shape a 100 TB run would use: at 500k docs
+      // Spark's size estimate tries to BROADCAST the multi-GB exploded
+      // prefix frame and overruns the driver — a measurement artifact of
+      // the single-JVM harness, not the plan under test
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftExtensions.activate(spark)

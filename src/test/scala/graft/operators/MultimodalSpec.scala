@@ -91,6 +91,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(100L).width == 0 && out(100L).sum_r == 0L)
   }
 
+  test("REAL png resize: decode → ×2 nearest-neighbor sample → re-encode, even-pixel sums exact") {
+    implicit val s = spark
+    val ids = spark.range(0L, 20L).as[java.lang.Long]
+    val resized = Multimodal.resizePng(Multimodal.encodePng(ids), factor = 2)
+    val out = Multimodal.decodeImageStats(resized).collect().map(st => st.media_id -> st).toMap
+    for (id <- 0L until 20L) {
+      val st = out(id)
+      assert(st.decode_ok && st.width == 4 && st.height == 4)
+      def want(c: Int): Long = (for {
+        y <- 0 until 4; x <- 0 until 4
+      } yield Multimodal.patternValue(id, 2 * x, 2 * y, c).toLong).sum
+      assert((st.sum_r, st.sum_g, st.sum_b) == (want(0), want(1), want(2)),
+        s"resized sums must be the even-coordinate pattern for id $id")
+    }
+    // composed ST9: garbage in → empty payload out → decode_ok=false
+    import Multimodal.PngRow
+    val bad = Multimodal.resizePng(
+      spark.createDataset(Seq(PngRow(9L, Array[Byte](5, 5)))), factor = 2)
+    val badStats = Multimodal.decodeImageStats(bad).collect()
+    assert(badStats.length == 1 && !badStats.head.decode_ok)
+  }
+
   test("REAL wav decode: javax.sound round-trip reproduces the signal sums exactly") {
     implicit val s = spark
     val ids = spark.range(0L, 40L).as[java.lang.Long]
@@ -130,5 +152,53 @@ class MultimodalSpec extends SparkSpec {
     assert((0L until 3L).forall(out(_).decode_ok))
     assert(!out(100L).decode_ok && !out(101L).decode_ok)
     assert(out(100L).n_samples == 0L && out(100L).sum_pcm == 0L)
+  }
+
+  test("REAL gif video decode: frame walk + sampling reproduces the pattern sums exactly") {
+    implicit val s = spark
+    val ids = spark.range(0L, 40L).as[java.lang.Long]
+    val encoded = Multimodal.encodeGif(ids)
+    // payloads are genuine GIFs: magic bytes, multi-frame
+    val payloads = encoded.collect().map(r => r.media_id -> r.payload).toMap
+    assert(payloads.size == 40)
+    assert(payloads.values.forall(p =>
+      p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'))
+    // full decode (every frame): closed-form truth over all 4 frames
+    val all = Multimodal.decodeVideoStats(encoded, frameStep = 1).collect()
+      .map(st => st.media_id -> st).toMap
+    // sampled decode (every 2nd frame = frames 0, 2)
+    val sampled = Multimodal.decodeVideoStats(encoded, frameStep = 2).collect()
+      .map(st => st.media_id -> st).toMap
+    def want(id: Long, frames: Seq[Int], c: Int): Long = (for {
+      f <- frames; y <- 0 until 8; x <- 0 until 8
+    } yield Multimodal.framePatternValue(id, x, y, c, f).toLong).sum
+    for (id <- 0L until 40L) {
+      val a = all(id)
+      assert(a.decode_ok && a.n_frames == 4 && a.n_sampled == 4 &&
+        a.width == 8 && a.height == 8)
+      assert((a.sum_r, a.sum_g, a.sum_b) ==
+        (want(id, 0 until 4, 0), want(id, 0 until 4, 1), want(id, 0 until 4, 2)),
+        s"full-frame sums for id $id")
+      val sm = sampled(id)
+      assert(sm.n_frames == 4 && sm.n_sampled == 2)
+      assert((sm.sum_r, sm.sum_g, sm.sum_b) ==
+        (want(id, Seq(0, 2), 0), want(id, Seq(0, 2), 1), want(id, Seq(0, 2), 2)),
+        s"sampled-frame sums for id $id")
+    }
+  }
+
+  test("REAL gif video decode: undecodable payloads flag decode_ok=false, partition survives") {
+    implicit val s = spark
+    import Multimodal.GifRow
+    val good = Multimodal.encodeGif(spark.range(0L, 3L).as[java.lang.Long]).collect()
+    val bad = Seq(
+      GifRow(100L, Array[Byte](9, 9, 9, 9)),   // not a GIF
+      GifRow(101L, good(0).payload.take(16)))  // truncated header
+    val mixed = spark.createDataset(good.toSeq ++ bad)
+    val out = Multimodal.decodeVideoStats(mixed).collect().map(st => st.media_id -> st).toMap
+    assert(out.size == 5)
+    assert((0L until 3L).forall(out(_).decode_ok))
+    assert(!out(100L).decode_ok && !out(101L).decode_ok)
+    assert(out(100L).n_frames == 0 && out(100L).sum_r == 0L)
   }
 }

@@ -81,6 +81,108 @@ class TopicLogSourceSpec extends SparkSpec {
     assert(offs == Set((0, 0L, 7L, 8L), (1, 0L, 6L, 7L)))
   }
 
+  test("admission control: maxRecordsPerBatch bounds every micro-batch (maxOffsetsPerTrigger twin)") {
+    val root = tmpDir("topiclog-ac")
+    val out = tmpDir("topiclog-ac-out")
+    val ckpt = tmpDir("topiclog-ac-ckpt")
+    (0 until 10).foreach(i =>
+      TopicLog.append(root, "t", i % 2, bytes(s"k$i"), bytes(s"v$i"), 1000L + i))
+    val q = spark.readStream.format("topiclog")
+      .option("path", root).option("topic", "t")
+      .option("maxRecordsPerBatch", "4")
+      .load()
+      .selectExpr("CAST(key AS STRING) AS k")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000L)
+    // 10 records under a 4-row cap: ≥3 bounded transactional batches,
+    // no batch exceeding the cap, nothing lost or duplicated
+    val batchRows = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batchRows.forall(_ <= 4), s"a batch exceeded the cap: ${batchRows.toSeq}")
+    assert(batchRows.length >= 3, s"backlog not split: ${batchRows.toSeq}")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 10 && back.distinct().count() == 10)
+  }
+
+  test("topic source composes with watermarked stateful aggregation (streaming bars)") {
+    graft.sources.TickLake.configure(spark)
+    val root = tmpDir("topiclog-bars")
+    val out = tmpDir("topiclog-bars-out")
+    val ckpt = tmpDir("topiclog-bars-ckpt")
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    // 2 one-minute bars' worth of ticks, then a late watermark-closer
+    val prices = Seq("10.00" -> 0L, "12.00" -> 20L, "11.00" -> 40L, // bar 0
+      "20.00" -> 60L, "18.00" -> 80L)                               // bar 1
+    prices.zipWithIndex.foreach { case ((p, sec), i) =>
+      TopicLog.append(root, "ticks", 0, bytes(s"k$i"),
+        IngestStream.tickPayload(t0 + sec * 1000L, "NQ",
+          BigDecimal(p), 1, BigDecimal(p), 1, BigDecimal(p), 1 + i), t0)
+    }
+    // closer tick far past both windows so the watermark emits them
+    TopicLog.append(root, "ticks", 0, bytes("close"),
+      IngestStream.tickPayload(t0 + 3600000L, "NQ",
+        BigDecimal("30.00"), 1, BigDecimal("30.00"), 1, BigDecimal("30.00"), 9), t0)
+
+    val bars = IngestStream.streamingBars(
+      IngestStream.topicTicks(spark, root, "ticks"), "1 minute", "10 seconds")
+    val q = bars.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000L)
+    val back = spark.read.parquet(out).orderBy("bar_start").collect()
+    assert(back.length == 2, s"expected the two closed bars, got ${back.length}")
+    val b0 = back(0)
+    assert(b0.getAs[java.math.BigDecimal]("open").compareTo(new java.math.BigDecimal("10.00")) == 0)
+    assert(b0.getAs[java.math.BigDecimal]("high").compareTo(new java.math.BigDecimal("12.00")) == 0)
+    assert(b0.getAs[java.math.BigDecimal]("close").compareTo(new java.math.BigDecimal("11.00")) == 0)
+    assert(b0.getAs[Long]("volume") == 1L + 2L + 3L)
+    val b1 = back(1)
+    assert(b1.getAs[java.math.BigDecimal]("high").compareTo(new java.math.BigDecimal("20.00")) == 0)
+    assert(b1.getAs[Long]("n_trades") == 2L)
+  }
+
+  test("producer → topic → consumer round-trip: the bus loop closes") {
+    graft.sources.TickLake.configure(spark)
+    import spark.implicits._
+    val root = tmpDir("topiclog-rt")
+    val out = tmpDir("topiclog-rt-out")
+    val ckpt = tmpDir("topiclog-rt-ckpt")
+    val t0 = 1704067200000L
+    val src = Seq(
+      (new java.sql.Timestamp(t0), "NQ", BigDecimal("15999.87"), 2,
+        BigDecimal("16000.12"), 3, BigDecimal("16000.00"), 1),
+      (new java.sql.Timestamp(t0 + 1000), "ES", BigDecimal("5000.25"), 4,
+        BigDecimal("5000.50"), 5, BigDecimal("5000.50"), 2),
+      (new java.sql.Timestamp(t0 + 2000), "NQ", BigDecimal("16000.25"), 1,
+        BigDecimal("16000.50"), 2, BigDecimal("16000.37"), 3))
+      .toDF("timestamp", "symbol", "bid_price", "bid_size",
+        "ask_price", "ask_size", "last_price", "last_size")
+      .select(col("timestamp"), col("symbol"),
+        col("bid_price").cast(graft.core.Schemas.PriceType).as("bid_price"), col("bid_size"),
+        col("ask_price").cast(graft.core.Schemas.PriceType).as("ask_price"), col("ask_size"),
+        col("last_price").cast(graft.core.Schemas.PriceType).as("last_price"), col("last_size"))
+
+    IngestStream.writeBatchToTopic(src, root, "bus", partitions = 2)
+    // keyed routing: each symbol's records share one partition
+    val perPart = TopicLog.latestOffsets(root, "bus")
+    assert(perPart.values.sum == 3)
+
+    val q = IngestStream.topicTicks(spark, root, "bus")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    // decimal-exact round trip through to_json / from_json
+    val nq = back.where(col("symbol") === "NQ" && col("last_size") === 1).head
+    assert(nq.getAs[java.math.BigDecimal]("bid_price")
+      .compareTo(new java.math.BigDecimal("15999.87")) == 0)
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
   test("ingest pipeline from a topic: decode → validate → partitioned lake (S1 production shape)") {
     graft.sources.TickLake.configure(spark)
     val root = tmpDir("topiclog-ingest")
