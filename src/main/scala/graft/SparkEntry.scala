@@ -1559,7 +1559,11 @@ object SparkEntry {
     "q107_image_decode" -> ((s, dir) => {
       implicit val sp = s
       import s.implicits._
-      val ids = t(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      // the documents scan is one small file -> one partition; codec work
+      // is CPU-bound per row, so spread the ids across the executors
+      // first (the shuffle moves only longs — negligible vs the decode)
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[java.lang.Long]
       val stats = Multimodal.decodeImageStats(Multimodal.encodePng(ids)).toDF()
       t(s, dir, "documents")
         .join(stats, col("doc_id") === col("media_id"))
@@ -1992,7 +1996,11 @@ object SparkEntry {
     "q130_audio_decode" -> ((s, dir) => {
       implicit val sp = s
       import s.implicits._
-      val ids = t(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      // the documents scan is one small file -> one partition; codec work
+      // is CPU-bound per row, so spread the ids across the executors
+      // first (the shuffle moves only longs — negligible vs the decode)
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[java.lang.Long]
       val stats = Multimodal.decodeAudioStats(Multimodal.encodeWav(ids)).toDF()
       t(s, dir, "documents")
         .join(stats, col("doc_id") === col("media_id"))
@@ -2015,7 +2023,11 @@ object SparkEntry {
     "q131_video_decode" -> ((s, dir) => {
       implicit val sp = s
       import s.implicits._
-      val ids = t(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      // the documents scan is one small file -> one partition; codec work
+      // is CPU-bound per row, so spread the ids across the executors
+      // first (the shuffle moves only longs — negligible vs the decode)
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[java.lang.Long]
       val stats = Multimodal.decodeVideoStats(
         Multimodal.encodeGif(ids), frameStep = 2).toDF()
       t(s, dir, "documents")
@@ -2041,7 +2053,11 @@ object SparkEntry {
     "q132_image_resize" -> ((s, dir) => {
       implicit val sp = s
       import s.implicits._
-      val ids = t(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      // the documents scan is one small file -> one partition; codec work
+      // is CPU-bound per row, so spread the ids across the executors
+      // first (the shuffle moves only longs — negligible vs the decode)
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[java.lang.Long]
       val stats = Multimodal.decodeImageStats(
         Multimodal.resizePng(Multimodal.encodePng(ids), factor = 2)).toDF()
       t(s, dir, "documents")

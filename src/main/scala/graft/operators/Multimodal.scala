@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  /** ImageIO's default stream cache is a TEMP FILE per read/write — at
+   *  corpus scale that is one disk round-trip per image, dominating the
+   *  actual codec work. In-memory caching is correct for byte-array
+   *  payloads; call once per partition before codec work (idempotent
+   *  JVM-static flag). */
+  private[operators] def disableImageIoFileCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRow(
       media_id: Long,
@@ -127,6 +135,7 @@ object Multimodal {
   def encodePng(ids: Dataset[java.lang.Long])(implicit spark: SparkSession): Dataset[PngRow] = {
     import spark.implicits._
     ids.mapPartitions { it =>
+      disableImageIoFileCache()
       it.map { boxed =>
         val id = boxed.longValue()
         val img = new java.awt.image.BufferedImage(
@@ -160,6 +169,7 @@ object Multimodal {
   def decodeImageStats(media: Dataset[PngRow])(implicit spark: SparkSession): Dataset[ImageStats] = {
     import spark.implicits._
     media.mapPartitions { rows =>
+      disableImageIoFileCache()
       rows.map { r =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -200,6 +210,7 @@ object Multimodal {
     import spark.implicits._
     require(factor >= 1, "resize factor must be >= 1")
     media.mapPartitions { rows =>
+      disableImageIoFileCache()
       rows.map { r =>
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -256,6 +267,7 @@ object Multimodal {
   def encodeGif(ids: Dataset[java.lang.Long])(implicit spark: SparkSession): Dataset[GifRow] = {
     import spark.implicits._
     ids.mapPartitions { it =>
+      disableImageIoFileCache()
       val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
       it.map { boxed =>
         val id = boxed.longValue()
@@ -316,6 +328,7 @@ object Multimodal {
     import spark.implicits._
     require(frameStep >= 1, "frameStep must be >= 1")
     media.mapPartitions { rows =>
+      disableImageIoFileCache()
       val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
       rows.map { r =>
         try {
