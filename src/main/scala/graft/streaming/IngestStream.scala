@@ -134,10 +134,12 @@ object IngestStream {
       // log partition within the batch (the TopicLog leader rule)
       .repartition(partitions, col("_p"))
     routed.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      rows.foreach { r =>
-        graft.streaming.sources.TopicLog.append(
-          topicRoot, topic, r.getInt(0),
-          r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2), r.getLong(3))
+      // batch append per topic partition: one stream open per (task,
+      // partition) instead of per record — the production producer shape
+      rows.toSeq.groupBy(_.getInt(0)).foreach { case (p, rs) =>
+        graft.streaming.sources.TopicLog.appendAll(topicRoot, topic, p,
+          rs.iterator.map(r =>
+            (r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2), r.getLong(3))))
       }
     }
   }

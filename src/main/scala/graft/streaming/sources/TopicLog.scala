@@ -81,6 +81,39 @@ object TopicLog {
     off
   }
 
+  /** Batch append (the production producer shape): one log/idx stream
+    * open per call instead of per record. Same single-writer law and
+    * publish barrier as [[append]] — all log bytes flush before any of
+    * the batch's index entries land, so readers see either none or a
+    * prefix of the batch. Returns the first offset assigned. */
+  def appendAll(
+      root: String, topic: String, partition: Int,
+      records: Iterator[(Array[Byte], Array[Byte], Long)]): Long = {
+    val dir = partitionDir(root, topic, partition)
+    Files.createDirectories(dir)
+    val logF = dir.resolve("log").toFile
+    val idxF = dir.resolve("idx").toFile
+    var pos = logF.length()
+    val first = idxF.length() / 8
+    val positions = Array.newBuilder[Long]
+    val log = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(logF, true), 1 << 16))
+    try {
+      records.foreach { case (key, value, tsMs) =>
+        positions += pos
+        log.writeLong(tsMs)
+        log.writeInt(key.length); log.write(key)
+        log.writeInt(value.length); log.write(value)
+        pos += 8 + 4 + key.length + 4 + value.length
+      }
+      log.flush()
+    } finally log.close()
+    val idx = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(idxF, true), 1 << 16))
+    try { positions.result().foreach(idx.writeLong); idx.flush() } finally idx.close()
+    first
+  }
+
   /** One decoded record. */
   final case class Record(
       offset: Long, timestampMs: Long, key: Array[Byte], value: Array[Byte])

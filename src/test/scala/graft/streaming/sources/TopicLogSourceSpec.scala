@@ -29,6 +29,21 @@ class TopicLogSourceSpec extends SparkSpec {
     assert(TopicLog.read(root, "t", 0, 2L, 2L).isEmpty)
   }
 
+  test("log: batch append interoperates with single appends and ranged reads") {
+    val root = tmpDir("topiclog-batch")
+    TopicLog.append(root, "t", 0, bytes("k0"), bytes("v0"), 1000L)
+    val first = TopicLog.appendAll(root, "t", 0, Iterator(
+      (bytes("k1"), bytes("v1"), 2000L),
+      (bytes("k2"), bytes("v2"), 3000L),
+      (bytes("k3"), bytes("v3"), 4000L)))
+    assert(first == 1L)
+    assert(TopicLog.append(root, "t", 0, bytes("k4"), bytes("v4"), 5000L) == 4L)
+    assert(TopicLog.latestOffsets(root, "t") == Map(0 -> 5L))
+    val r = TopicLog.read(root, "t", 0, 0L, 5L).toSeq
+    assert(r.map(x => new String(x.value, UTF_8)) == Seq("v0", "v1", "v2", "v3", "v4"))
+    assert(r.map(_.timestampMs) == Seq(1000L, 2000L, 3000L, 4000L, 5000L))
+  }
+
   test("source schema is byte-identical to the Kafka connector's") {
     val root = tmpDir("topiclog-schema")
     TopicLog.append(root, "t", 0, bytes("k"), bytes("v"), 1000L)
