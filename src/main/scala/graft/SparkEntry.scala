@@ -2072,6 +2072,31 @@ object SparkEntry {
           sum(col("sum_b")).as("sum_b"))
         .orderBy(col("lang"))
     }),
+
+    // Q134 — incremental-ingestion near-dup screen: which NEW docs
+    // (doc_id ≡ 0 mod 7) near-duplicate ANYTHING already in the corpus
+    // (the rest)? Exact-recall prefix join over the tagged union,
+    // cross-side pairs only, best match per new doc (max jaccard, tie →
+    // smallest corpus id). The deterministic law a resumable ingest
+    // pipeline needs: a crash-replay flags the identical set.
+    "q134_incremental_neardups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.crossCorpusNearDups(
+          docs.where(pmod(col("doc_id"), lit(7)) === 0),
+          docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .orderBy(col("new_id"))
+    }),
+
+    // Q133 — one BPE merge step (tokenizer training's inner loop as a
+    // corpus job): word-frequency scan (the only corpus-proportional
+    // stage), then frequency-weighted adjacent character-pair counts over
+    // the VOCABULARY, ranked (count desc, pair asc) — rank 1 is the merge
+    // a BPE trainer takes. Pair table bounded by alphabet², so every
+    // iteration after the scan is megabytes at any corpus size.
+    "q133_bpe_merge_step" -> ((s, dir) =>
+      graft.operators.Bpe.mergeStep(t(s, dir, "documents"), "text", k = 20)
+        .orderBy(col("rank"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3937,6 +3962,35 @@ object SparkEntry {
           |  CAST(sum(sg) AS BIGINT) AS sum_g,
           |  CAST(sum(sb) AS BIGINT) AS sum_b
           |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // replays the BPE pair law: lowercase [a-z]+ words, per-word
+      // frequency, weighted adjacent char pairs, (count desc, pair asc)
+      "q133_bpe_merge_step" ->
+        """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+          |v AS (SELECT w, count(*) AS freq FROM w WHERE len(w) >= 2 GROUP BY w),
+          |p AS (SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, freq
+          |  FROM v, (SELECT unnest(range(1, 100)) AS i) ix WHERE i <= len(w) - 1),
+          |c AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_count FROM p GROUP BY l, r),
+          |rk AS (SELECT row_number() OVER (ORDER BY pair_count DESC, l, r) AS rank, l, r, pair_count FROM c)
+          |SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right", pair_count
+          |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+      // brute-force directional truth: every (new, corpus) pair's exact
+      // jaccard, then the best match per new doc (max j, tie min id)
+      "q134_incremental_neardups" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |p AS (SELECT n.doc_id AS new_id, c.doc_id AS matched_id,
+          |        len(list_intersect(n.sh, c.sh)) AS ni, len(n.sh) AS na, len(c.sh) AS nb
+          |      FROM s n JOIN s c ON n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0),
+          |j AS (SELECT new_id, matched_id,
+          |        CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard FROM p
+          |      WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
+          |rk AS (SELECT new_id, matched_id, jaccard,
+          |        row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, matched_id) AS rn
+          |      FROM j)
+          |SELECT new_id, matched_id, jaccard FROM rk WHERE rn = 1 ORDER BY new_id""".stripMargin,
     )
   }
 }

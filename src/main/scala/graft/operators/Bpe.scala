@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * One BPE (byte-pair-encoding) merge step over a corpus — the inner loop
+ * of tokenizer TRAINING, which is itself a large-scale data job on the
+ * training corpus (the reference surface has no tokenizer; this is part
+ * of the §2.12 LLM-pipeline extension set).
+ *
+ * The algorithm's distributed trick, preserved here: pair statistics are
+ * computed over the WORD VOCABULARY weighted by word frequency, never
+ * over the raw corpus — one corpus-wide scan builds (word, freq), and
+ * every subsequent merge iteration is vocabulary-sized work (|V| ≪
+ * corpus; on a 100 TB corpus the vocab table is megabytes). A driver
+ * loop would alternate `mergeStep` with applying the chosen merge to the
+ * vocabulary's symbol sequences; one exact step is the verifiable unit
+ * (the q64/q129 pattern).
+ *
+ * Determinism law (cross-engine): words are lowercased `[a-z]+` runs
+ * (the q22 token-law alphabet restricted to letters, so both engines
+ * split characters identically with no unicode-segmentation ambiguity);
+ * initial symbols are single characters; ranking orders by
+ * (pair_count DESC, pair ASC) — total and replayable on any engine.
+ *
+ * Output: top-`k` candidate merges as (rank, left, right, pair_count) —
+ * rank 1 IS the merge a BPE trainer would take this step.
+ */
+object Bpe {
+
+  def mergeStep(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // one corpus scan -> (word, freq): the only corpus-proportional stage,
+    // map-side combinable to the vocabulary size
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 2) // a 1-char word has no pairs
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // vocabulary-sized from here on: adjacent character pairs per word,
+    // weighted by the word's corpus frequency
+    val pairs = words
+      .select(col("freq"),
+        posexplode(transform(sequence(lit(0), length(col("w")) - 2),
+          i => struct(
+            col("w").substr(i + 1, lit(1)).as("l"),
+            col("w").substr(i + 2, lit(1)).as("r"))))
+          .as(Seq("p", "pr")))
+      .select(col("freq"), col("pr.l").as("left"), col("pr.r").as("right"))
+    pairs
+      .groupBy(col("left"), col("right"))
+      .agg(sum(col("freq")).as("pair_count"))
+      // global rank window is structurally bounded: distinct single-char
+      // pairs ≤ alphabet² = 676 rows, regardless of corpus size
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+          col("pair_count").desc, col("left"), col("right"))))
+      .where(col("rank") <= k)
+      .select(col("rank").cast("long").as("rank"),
+        col("left"), col("right"), col("pair_count"))
+  }
+}

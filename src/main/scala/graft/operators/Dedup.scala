@@ -704,4 +704,43 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /**
+   * Directional cross-corpus near-dup join — the INCREMENTAL-INGESTION
+   * production shape: which `newDocs` are near-duplicates (exact
+   * verified Jaccard ≥ `threshold`) of ANYTHING already in `corpus`?
+   * Composes the exact-recall prefix-filter join over the tagged union,
+   * keeps only cross-side pairs, and reports each flagged new doc's BEST
+   * match (max jaccard, tie → smallest corpus id) — deterministic, so a
+   * re-run after a crash flags the identical set.
+   *
+   * Ids must be unique ACROSS both frames (they address one lake).
+   * Scale posture inherits the prefix join's: candidate volume is
+   * output-proportional on realistic vocabularies
+   * (tools/ContainmentScaleStress), and the heavy side is never
+   * re-shingled per pair — the union is one frame, one hot-df pass.
+   * Output: (new_id, matched_id, jaccard).
+   */
+  def crossCorpusNearDups(
+      newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val tagged = newDocs.select(col(idCol), col(textCol)).withColumn("_new", lit(true))
+      .unionByName(corpus.select(col(idCol), col(textCol)).withColumn("_new", lit(false)))
+    val sides = tagged.select(col(idCol).as("_sid"), col("_new"))
+    val pairs = jaccardJoinPrefixFilter(tagged, idCol, textCol, shingleN, threshold)
+      .join(sides.select(col("_sid").as("id_a"), col("_new").as("_new_a")), "id_a")
+      .join(sides.select(col("_sid").as("id_b"), col("_new").as("_new_b")), "id_b")
+      .where(col("_new_a") =!= col("_new_b")) // cross-side only
+      .select(
+        when(col("_new_a"), col("id_a")).otherwise(col("id_b")).as("new_id"),
+        when(col("_new_a"), col("id_b")).otherwise(col("id_a")).as("matched_id"),
+        col("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("matched_id"))
+    pairs
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") === 1)
+      .select(col("new_id"), col("matched_id"), col("jaccard"))
+  }
 }

@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** One BPE merge step: frequency-weighted pair counts over the word
+  * vocabulary, deterministic ranking. Hand-computed corpus truth. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeStep: pair counts are word-frequency weighted and rank deterministically") {
+    // vocabulary: "aba" x3, "ab" x2, "zz" x1; "i" (len 1) contributes none
+    val docs = Seq(
+      "aba ab! ABA i",
+      "aba, ab zz").toDF("text")
+    val out = Bpe.mergeStep(docs, "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pairs: ab: 3(aba)+2(ab)=5 ; ba: 3 ; zz: 1
+    assert(out.toSeq == Seq(
+      (1L, "a", "b", 5L),
+      (2L, "b", "a", 3L),
+      (3L, "z", "z", 1L)))
+  }
+
+  test("mergeStep: k bounds the output and ties rank lexicographically") {
+    val docs = Seq("xy qr xy qr").toDF("text") // xy:2, qr:2 — tie
+    val out = Bpe.mergeStep(docs, "text", k = 1).collect()
+    assert(out.length == 1)
+    // tie on count 2 -> lexicographically smaller pair wins rank 1
+    assert(out.head.getString(1) == "q" && out.head.getString(2) == "r")
+  }
+}

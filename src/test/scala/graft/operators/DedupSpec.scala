@@ -148,4 +148,23 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashNearDupPairs(docs, "doc_id", "text", bands = 7)
     }
   }
+
+  test("crossCorpusNearDups: directional best-match screen, deterministic ties") {
+    // new side: 10 (near-dup of corpus 1 AND 2), 11 (unique)
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "nothing shares any shingle with these tokens")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDups(newDocs, corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly one row: new 10's best match is corpus 1 at jaccard 1.0
+    // (2 also clears the threshold but loses on jaccard); 11 is clean
+    assert(out.toSeq == Seq((10L, 1L, 1.0)))
+    // direction matters: nothing reports corpus ids as new
+    assert(!out.exists(_._1 <= 3L))
+  }
 }

@@ -7,12 +7,23 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.state.JobStateStore._
 
 /** Ports the reference's job-state repository behaviors
-  * (ingestion/infrastructure/tests/job_state_repository_test.rs). */
+  * (ingestion/infrastructure/tests/job_state_repository_test.rs) and runs
+  * every behavior over ALL THREE backends — Dir (hard-link version
+  * slots), InMemory, and Redis (RESP2 wire against an embedded server) —
+  * so the store semantics are proven backend-independent, exactly the
+  * pluggability S6 claims. */
 class JobStateStoreSpec extends AnyFunSuite {
 
-  private def freshStore(): JobStateStore =
-    new JobStateStore(Paths.get(
-      java.nio.file.Files.createTempDirectory("jobstate").toString))
+  /** Every behavior below runs per backend. Redis gets a fresh embedded
+    * server per store (closed by JVM exit; specs are short-lived). */
+  private val backends: Seq[(String, () => JobStateStore)] = Seq(
+    "dir" -> (() => new JobStateStore(Paths.get(
+      java.nio.file.Files.createTempDirectory("jobstate").toString))),
+    "memory" -> (() => new JobStateStore(new InMemoryStateBackend)),
+    "redis" -> (() => {
+      val srv = new MiniRedis
+      new JobStateStore(new RedisStateBackend("127.0.0.1", srv.port))
+    }))
 
   private val state = JobState(
     status = JobStatus.Running,
@@ -23,47 +34,50 @@ class JobStateStoreSpec extends AnyFunSuite {
     criticalRanges = Seq(CriticalRange("2023-11-14", "2023-11-15")),
     lastErrorType = Some("ApiTimeout"))
 
-  test("upsert/get round-trip preserves every field (job_state_repository_test.rs:22-44)") {
-    val s = freshStore()
-    s.put("ingest:job:NQ:2023-11-14", state)
-    assert(s.get("ingest:job:NQ:2023-11-14").contains(state))
-  }
+  for ((label, freshStore) <- backends) {
 
-  test("get of unknown key is None") {
-    assert(freshStore().get("nope").isEmpty)
-  }
+    test(s"[$label] upsert/get round-trip preserves every field (job_state_repository_test.rs:22-44)") {
+      val s = freshStore()
+      s.put("ingest:job:NQ:2023-11-14", state)
+      assert(s.get("ingest:job:NQ:2023-11-14").contains(state))
+    }
 
-  test("CAS rejects a stale instance id (job_state_repository_test.rs:46-72)") {
-    val s = freshStore()
-    s.put("k", state)
-    assert(!s.updateCursor("k", "stale-instance", 42L))
-    assert(s.get("k").get.cursor == state.cursor) // no side effect
-    assert(s.updateCursor("k", "inst-1", 1700000100000L))
-    assert(s.get("k").get.cursor == 1700000100000L)
-  }
+    test(s"[$label] get of unknown key is None") {
+      assert(freshStore().get("nope").isEmpty)
+    }
 
-  test("restart fencing: old instance cannot overwrite after takeover (job_state_repository_test.rs:74-108)") {
-    val s = freshStore()
-    s.put("k", state)
-    // takeover: new instance replaces the id, preserves cursor
-    s.put("k", state.copy(jobInstanceId = "inst-2"))
-    // the zombie's writes are all rejected
-    assert(!s.updateCursor("k", "inst-1", 999L))
-    assert(!s.updateStatus("k", "inst-1", JobStatus.Completed))
-    assert(!s.heartbeat("k", "inst-1", 1L))
-    assert(!s.saveError("k", "inst-1", "boom"))
-    val cur = s.get("k").get
-    assert(cur.jobInstanceId == "inst-2" && cur.cursor == state.cursor)
-    // the new instance's writes succeed
-    assert(s.updateStatus("k", "inst-2", JobStatus.Completed))
-    assert(s.get("k").get.status == JobStatus.Completed)
-  }
+    test(s"[$label] CAS rejects a stale instance id (job_state_repository_test.rs:46-72)") {
+      val s = freshStore()
+      s.put("k", state)
+      assert(!s.updateCursor("k", "stale-instance", 42L))
+      assert(s.get("k").get.cursor == state.cursor) // no side effect
+      assert(s.updateCursor("k", "inst-1", 1700000100000L))
+      assert(s.get("k").get.cursor == 1700000100000L)
+    }
 
-  test("empty critical ranges and error type round-trip") {
-    val s = freshStore()
-    val bare = state.copy(criticalRanges = Nil, lastErrorType = None)
-    s.put("k", bare)
-    assert(s.get("k").contains(bare))
+    test(s"[$label] restart fencing: old instance cannot overwrite after takeover (job_state_repository_test.rs:74-108)") {
+      val s = freshStore()
+      s.put("k", state)
+      // takeover: new instance replaces the id, preserves cursor
+      s.put("k", state.copy(jobInstanceId = "inst-2"))
+      // the zombie's writes are all rejected
+      assert(!s.updateCursor("k", "inst-1", 999L))
+      assert(!s.updateStatus("k", "inst-1", JobStatus.Completed))
+      assert(!s.heartbeat("k", "inst-1", 1L))
+      assert(!s.saveError("k", "inst-1", "boom"))
+      val cur = s.get("k").get
+      assert(cur.jobInstanceId == "inst-2" && cur.cursor == state.cursor)
+      // the new instance's writes succeed
+      assert(s.updateStatus("k", "inst-2", JobStatus.Completed))
+      assert(s.get("k").get.status == JobStatus.Completed)
+    }
+
+    test(s"[$label] empty critical ranges and error type round-trip") {
+      val s = freshStore()
+      val bare = state.copy(criticalRanges = Nil, lastErrorType = None)
+      s.put("k", bare)
+      assert(s.get("k").contains(bare))
+    }
   }
 
   test("DirStateBackend CAS: exactly one winner per version slot across independent store handles") {

@@ -44,6 +44,32 @@ class TopicLogSourceSpec extends SparkSpec {
     assert(r.map(_.timestampMs) == Seq(1000L, 2000L, 3000L, 4000L, 5000L))
   }
 
+  test("log: publish barrier — a concurrent reader only ever observes dense prefixes") {
+    val root = tmpDir("topiclog-race")
+    val n = 300
+    val writer = new Thread(() => {
+      (0 until n).foreach { i =>
+        if (i % 50 == 0) Thread.sleep(1) // interleave with the reader
+        TopicLog.append(root, "t", 0, bytes(s"k$i"), bytes(s"v$i"), 1000L + i)
+      }
+    })
+    writer.start()
+    var observed = 0L
+    while (observed < n) {
+      val latest = TopicLog.latestOffsets(root, "t").getOrElse(0, 0L)
+      if (latest > 0) {
+        // every offset the index admits must read back complete & in order
+        val vals = TopicLog.read(root, "t", 0, 0L, latest)
+          .map(r => new String(r.value, UTF_8)).toSeq
+        assert(vals == (0L until latest).map(i => s"v$i"),
+          s"reader saw a torn/unordered prefix at latest=$latest")
+        observed = latest
+      }
+    }
+    writer.join(30000)
+    assert(TopicLog.latestOffsets(root, "t") == Map(0 -> n.toLong))
+  }
+
   test("source schema is byte-identical to the Kafka connector's") {
     val root = tmpDir("topiclog-schema")
     TopicLog.append(root, "t", 0, bytes("k"), bytes("v"), 1000L)
