@@ -65,17 +65,28 @@ object IngestStream {
    * the SAME code path the synthetic source feeds; moving to real Kafka
    * is `.format("kafka")` plus broker options.
    */
-  def topicTicks(spark: SparkSession, topicRoot: String, topic: String): DataFrame = {
+  def topicTicks(
+      spark: SparkSession, topicRoot: String, topic: String,
+      maxRecordsPerBatch: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream
+      .format("topiclog")
+      .option("path", topicRoot)
+      .option("topic", topic)
+    decodeTickValues(
+      maxRecordsPerBatch.fold(reader)(m =>
+        reader.option("maxRecordsPerBatch", m.toString)).load())
+  }
+
+  /** The tick decode law over any Kafka-schema frame (streaming or
+   *  batch): record `value` = UTF-8 JSON tick, the inverse of
+   *  [[tickPayload]]. Shared by [[topicTicks]] and the stress tools. */
+  def decodeTickValues(records: DataFrame): DataFrame = {
     val payload = new org.apache.spark.sql.types.StructType()
       .add("ts_ms", "long").add("symbol", "string")
       .add("bid_price", Schemas.PriceType).add("bid_size", "int")
       .add("ask_price", Schemas.PriceType).add("ask_size", "int")
       .add("last_price", Schemas.PriceType).add("last_size", "int")
-    spark.readStream
-      .format("topiclog")
-      .option("path", topicRoot)
-      .option("topic", topic)
-      .load()
+    records
       .select(from_json(col("value").cast("string"), payload).as("t"))
       .select(
         timestamp_millis(col("t.ts_ms")).as("timestamp"),

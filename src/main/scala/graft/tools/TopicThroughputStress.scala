@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.IngestStream
+import graft.streaming.sources.TopicLog
+
+/**
+ * End-to-end throughput of the Kafka-shaped bus (S1 production path):
+ * produce N JSON ticks into a P-partition topic via the batch producer
+ * (`writeBatchToTopic` → `TopicLog.appendAll`), then stream them back
+ * through the DSv2 source + decode + validate + event-time-partitioned
+ * parquet sink under Trigger.AvailableNow with bounded batches.
+ *
+ * Reports producer and consumer records/s plus the batch count the
+ * admission cap produced. Corpus is the deterministic synthetic tick law
+ * (no RNG).
+ *
+ * Usage: runMain graft.tools.TopicThroughputStress [n] [partitions] [maxPerBatch]
+ *        (default 1M ticks / 8 partitions / 250k-record batches)
+ */
+object TopicThroughputStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val parts = if (args.length > 1) args(1).toInt else 8
+    val maxPer = if (args.length > 2) args(2).toLong else 250000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("topic-stress").toString
+    val lake = Files.createTempDirectory("topic-stress-lake").toString
+    val ckpt = Files.createTempDirectory("topic-stress-ckpt").toString
+
+    // deterministic ticks across 8 symbols, one hour of event time
+    val ticks = spark.range(n).select(
+      timestamp_millis(lit(1704067200000L) + col("id") % 3600000L).as("timestamp"),
+      concat(lit("SYM"), pmod(col("id"), lit(8))).as("symbol"),
+      (lit(16000.0) + pmod(hash(col("id")), lit(100000)).cast("double") / 10000.0)
+        .cast(graft.core.Schemas.PriceType).as("bid_price"),
+      lit(1).as("bid_size"),
+      (lit(16000.25) + pmod(hash(col("id")), lit(100000)).cast("double") / 10000.0)
+        .cast(graft.core.Schemas.PriceType).as("ask_price"),
+      lit(2).as("ask_size"),
+      (lit(16000.12) + pmod(hash(col("id")), lit(100000)).cast("double") / 10000.0)
+        .cast(graft.core.Schemas.PriceType).as("last_price"),
+      lit(3).as("last_size"))
+      .localCheckpoint(true)
+
+    val t0 = System.nanoTime()
+    IngestStream.writeBatchToTopic(ticks, root, "ticks", parts)
+    val produceSec = (System.nanoTime() - t0) / 1e9
+    val counts = TopicLog.latestOffsets(root, "ticks")
+    println(f"[topic-stress] produced ${counts.values.sum} records into " +
+      f"${counts.size} partitions in $produceSec%.1f s " +
+      f"(${counts.values.sum / produceSec}%.0f rec/s)")
+
+    val t1 = System.nanoTime()
+    val q = IngestStream.start(
+      IngestStream.topicTicks(spark, root, "ticks", Some(maxPer)),
+      lake, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(600000L)
+    val consumeSec = (System.nanoTime() - t1) / 1e9
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val rows = spark.read.parquet(lake).count()
+    println(f"[topic-stress] consumed $rows records in $consumeSec%.1f s " +
+      f"(${rows / consumeSec}%.0f rec/s) across $batches bounded batches " +
+      f"(cap $maxPer)")
+    require(rows == n, s"lost records: $rows != $n")
+    spark.stop()
+  }
+}
