@@ -173,4 +173,31 @@ class IngestStreamSpec extends SparkSpec {
     // a tick exactly on a minute mark matches both that mark and the prior one
     assert(out.groupBy("timestamp").count().agg(max("count")).head().getLong(0) >= 2)
   }
+
+  test("non-rate source end-to-end: topic bus feeds the same ingest pipeline (S1 production variant)") {
+    // the Kafka-shaped path: produce ticks onto the topiclog bus, then run
+    // the SAME validate -> event-time-partition -> parquet pipeline the
+    // rate source feeds (deep coverage lives in TopicLogSourceSpec; this
+    // pins that IngestStream.start is source-agnostic)
+    import graft.streaming.sources.TopicLog
+    TickLake.configure(spark)
+    val root = tmpDir("ingest-topic")
+    val lake = tmpDir("ingest-topic-lake")
+    val ckpt = tmpDir("ingest-topic-ckpt")
+    val t0 = 1704067200000L
+    (0 until 5).foreach { i =>
+      TopicLog.append(root, "ticks", i % 2, s"NQ-$i".getBytes("UTF-8"),
+        IngestStream.tickPayload(t0 + i * 1000L, "NQ",
+          BigDecimal("16000.25"), 1, BigDecimal("16000.50"), 1,
+          BigDecimal("16000.37"), 1 + i), t0)
+    }
+    val q = IngestStream.start(
+      IngestStream.topicTicks(spark, root, "ticks"), lake, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000L)
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 5)
+    assert(back.agg(sum(col("last_size"))).head.getLong(0) == (1 to 5).sum)
+    assert(back.where(col("date") =!= "20240101").count() == 0)
+  }
 }

@@ -55,7 +55,8 @@ class TopicLogSourceSpec extends SparkSpec {
     })
     writer.start()
     var observed = 0L
-    while (observed < n) {
+    val deadline = System.currentTimeMillis() + 60000L
+    while (observed < n && System.currentTimeMillis() < deadline) {
       val latest = TopicLog.latestOffsets(root, "t").getOrElse(0, 0L)
       if (latest > 0) {
         // every offset the index admits must read back complete & in order
@@ -67,6 +68,7 @@ class TopicLogSourceSpec extends SparkSpec {
       }
     }
     writer.join(30000)
+    assert(observed == n, s"reader never caught up (writer died?): observed=$observed")
     assert(TopicLog.latestOffsets(root, "t") == Map(0 -> n.toLong))
   }
 
@@ -120,6 +122,33 @@ class TopicLogSourceSpec extends SparkSpec {
       .agg(min("offset").as("lo"), max("offset").as("hi"), count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(offs == Set((0, 0L, 7L, 8L), (1, 0L, 6L, 7L)))
+  }
+
+  test("a partition created mid-stream is discovered and read from offset 0 (Kafka parity)") {
+    val root = tmpDir("topiclog-newpart")
+    val out = tmpDir("topiclog-newpart-out")
+    val ckpt = tmpDir("topiclog-newpart-ckpt")
+    (0 until 4).foreach(i =>
+      TopicLog.append(root, "t", 0, bytes(s"a$i"), bytes(s"v$i"), 1000L + i))
+    def drain(): Unit = {
+      val q = spark.readStream.format("topiclog")
+        .option("path", root).option("topic", "t").load()
+        .selectExpr("CAST(key AS STRING) AS k", "partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000L)
+    }
+    drain()
+    // partition 1 did not exist during the first run
+    (0 until 3).foreach(i =>
+      TopicLog.append(root, "t", 1, bytes(s"b$i"), bytes(s"w$i"), 2000L + i))
+    drain()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 7)
+    assert(back.where(col("partition") === 1).count() == 3,
+      "the late-created partition must be read from its offset 0")
+    assert(back.select("k").distinct().count() == 7)
   }
 
   test("admission control: maxRecordsPerBatch bounds every micro-batch (maxOffsetsPerTrigger twin)") {
