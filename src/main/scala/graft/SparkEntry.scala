@@ -2088,6 +2088,19 @@ object SparkEntry {
         .orderBy(col("new_id"))
     }),
 
+    // Q135 — z-order clustering audit (the OPTIMIZE-ZORDER layout op):
+    // Morton-interleave (l_partkey, l_suppkey), slice the observed
+    // z-range into 64 buckets (a bucket models one file after
+    // repartitionByRange(z)), report each bucket's per-dim min/max —
+    // the footer statistics data skipping consumes. The interleave is
+    // exact bit arithmetic, replayed term-for-term in the oracle;
+    // output ≤ 64 rows at any sf.
+    "q135_zorder_clustering" -> ((s, dir) =>
+      graft.operators.ZOrder.clusterReport(
+          t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          bits = 25, buckets = 64)
+        .orderBy(col("bucket"))),
+
     // Q133 — one BPE merge step (tokenizer training's inner loop as a
     // corpus job): word-frequency scan (the only corpus-proportional
     // stage), then frequency-weighted adjacent character-pair counts over
@@ -3991,6 +4004,20 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, matched_id) AS rn
           |      FROM j)
           |SELECT new_id, matched_id, jaccard FROM rk WHERE rn = 1 ORDER BY new_id""".stripMargin,
+
+      // replays the Morton interleave term-for-term (bit positions don't
+      // overlap, so + == bitwise-or on both engines)
+      "q135_zorder_clustering" -> {
+        val z = graft.operators.ZOrder.interleave2Sql(
+          "CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)", bits = 25)
+        s"""WITH z AS (SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b,
+           |    ($z) AS zv FROM lineitem),
+           |m AS (SELECT max(zv) AS zmax FROM z)
+           |SELECT (zv * 64) // (zmax + 1) AS bucket, count(*) AS n_rows,
+           |  CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+           |  CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+           |FROM z, m GROUP BY 1 ORDER BY 1""".stripMargin
+      },
     )
   }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order (Morton) clustering for multi-dimensional data skipping — the
+ * lake-LAYOUT operator behind "OPTIMIZE ZORDER BY" in commercial lake
+ * formats, absent from OSS Spark: interleave the bits of two key columns
+ * so that range-partitioning on ONE derived value co-locates rows that
+ * are close in BOTH dimensions. Files then carry tight min/max ranges on
+ * every z-dimension, and a predicate on either column prunes most files
+ * at the footer — at 100 TB this is the difference between scanning a
+ * corpus and scanning a slice, with zero runtime cost (layout only).
+ *
+ * The interleave is exact 64-bit integer arithmetic (bit i of `a` →
+ * position 2i, bit i of `b` → 2i+1), built from codegen'd bitwise
+ * builtins — no UDF — and replayable in any engine's SQL, so the derived
+ * z-value itself is oracle-checkable (q135). Inputs must be non-negative
+ * and < 2^bits (enforced: out-of-domain rows would silently interleave
+ * into the wrong bucket and a "clustered" lake would quietly stop
+ * pruning — fail loudly instead).
+ *
+ * `clusterReport` is the audit query a lake operator runs after
+ * re-clustering: bucket rows by z-prefix (what a file is, post
+ * range-partition) and report each bucket's per-dimension min/max spans
+ * — the exact statistics footer pruning consumes. Spec asserts the
+ * skipping law: z-layout bounds BOTH dims' spans per bucket, while a
+ * single-dim sort leaves the other dim's span at full width.
+ */
+object ZOrder {
+
+  /** Morton-interleave the low `bits` bits of two non-negative longs.
+    * Out-of-domain values (negative, or ≥ 2^bits) raise — silent
+    * truncation would corrupt the layout's pruning guarantee. */
+  def interleave2(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, "1..31 bits per dimension")
+    val bound = 1L << bits
+    def checked(c: Column): Column =
+      when(c.cast("long") < 0 || c.cast("long") >= bound,
+        raise_error(concat(lit(s"zorder: value out of [0, $bound): "), c.cast("string"))))
+        .otherwise(c.cast("long"))
+    val (ca, cb) = (checked(a), checked(b))
+    // non-overlapping bit positions -> sum == bitwise-or, and + keeps the
+    // expression replayable with identical semantics in ANSI SQL oracles
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(ca.bitwiseAND(lit(1L << i)), i) +
+        shiftleft(cb.bitwiseAND(lit(1L << i)), i + 1)
+    }
+  }
+
+  /** The same interleave as ANSI SQL text (oracle side). */
+  def interleave2Sql(a: String, b: String, bits: Int = 21): String =
+    (0 until bits).map { i =>
+      s"(($a & ${1L << i}) << $i) + (($b & ${1L << i}) << ${i + 1})"
+    }.mkString(" + ")
+
+  /**
+   * Post-clustering audit: split the OBSERVED z-range into `buckets`
+   * equal slices (a bucket models one file after
+   * `repartitionByRange(z)`), with each bucket's row count and
+   * per-dimension min/max — the footer statistics pruning reads. The
+   * z-max comes from a one-row aggregate broadcast (the q47/q73
+   * single-row crossJoin precedent), so the report is data-relative:
+   * meaningful at sf0.01 and at 100 TB alike, always ≤ `buckets` rows.
+   * Overflow bound: z·buckets needs 2·bits + log₂(buckets) < 63.
+   */
+  def clusterReport(
+      df: DataFrame, aCol: String, bCol: String,
+      bits: Int = 21, buckets: Int = 64): DataFrame = {
+    require(2 * bits + (63 - java.lang.Long.numberOfLeadingZeros(buckets.toLong)) < 63,
+      s"z*buckets would overflow long: bits=$bits buckets=$buckets")
+    val base = df.select(
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"),
+      interleave2(col(aCol), col(bCol), bits).as("z"))
+    base
+      .crossJoin(broadcast(base.agg(max(col("z")).as("zmax"))))
+      .withColumn("bucket", expr(s"z * $buckets DIV (zmax + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+  }
+
+  /**
+   * Lay out `df` z-ordered into `numFiles` range partitions: rows sort
+   * by z within partitions, so every output file covers one tight
+   * z-range — tight min/max on every dimension. This is the write-side
+   * op; pair with parquet's footer stats for scan-time skipping.
+   */
+  def zOrderLayout(
+      df: DataFrame, aCol: String, bCol: String,
+      numFiles: Int, bits: Int = 21): DataFrame = {
+    val withZ = df.withColumn("_z", interleave2(col(aCol), col(bCol), bits))
+    withZ
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+}

@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpec {
     "q97_chi_cells" -> "single-row broadcast: the grand total crossJoins onto the contingency cells (1 x cells rows, category domain is structurally bounded)",
     "q98_tfidf_keywords" -> "single-row broadcast: the corpus doc count crossJoins onto (doc, token) tf stats (the q47 pattern, 1 x rows, structurally bounded)",
     "q102_temperature_mix" -> "single-row broadcast: the (w_total, n_total) constants crossJoin onto per-group weights (1 x groups rows, structurally bounded)",
+    "q135_zorder_clustering" -> "single-row broadcast: the observed z-max crossJoins onto the z rows to slice data-relative buckets (1 x rows, structurally bounded)",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {

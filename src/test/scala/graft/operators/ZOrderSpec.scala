@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave2: known bit patterns and round-trip bounds") {
+    val df = Seq((5L, 3L), (0L, 0L), (1L, 0L), (0L, 1L), (7L, 7L))
+      .toDF("a", "b")
+      .select(ZOrder.interleave2(col("a"), col("b"), bits = 3).as("z"))
+    // a=0b101,b=0b011: a bits -> pos 0,4 (1+16); b bits -> pos 1,3 (2+8) = 27
+    assert(df.as[Long].collect().toSeq == Seq(27L, 0L, 1L, 2L, 63L))
+  }
+
+  test("interleave2: driver-side truth on random pairs (property)") {
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val rows = (0 until 64).map(i => ((i * 2654435761L) % 2048, (i * 40503L) % 2048))
+    val got = rows.toDF("a", "b")
+      .select(ZOrder.interleave2(col("a"), col("b"), bits = 11).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == rows.map { case (a, b) => morton(a, b, 11) })
+  }
+
+  test("interleave2: out-of-domain values fail loudly, not silently") {
+    val bad = Seq((-1L, 0L)).toDF("a", "b")
+      .select(ZOrder.interleave2(col("a"), col("b"), bits = 4).as("z"))
+    intercept[Exception] { bad.collect() }
+    val big = Seq((16L, 0L)).toDF("a", "b") // 16 == 2^4, out of range
+      .select(ZOrder.interleave2(col("a"), col("b"), bits = 4).as("z"))
+    intercept[Exception] { big.collect() }
+  }
+
+  test("skipping law: z-layout bounds BOTH dims per file; single-dim sort does not") {
+    // uniform 2-d grid: 64x64 keys, one row each
+    val grid = spark.range(64L * 64L).select(
+      (col("id") / 64L).cast("long").as("a"),
+      pmod(col("id"), lit(64L)).as("b"))
+    val files = 16
+
+    val z = ZOrder.zOrderLayout(grid, "a", "b", numFiles = files, bits = 6)
+      .withColumn("_file", spark_partition_id())
+    val zs = z.groupBy(col("_file"))
+      .agg((max(col("a")) - min(col("a"))).as("sa"),
+        (max(col("b")) - min(col("b"))).as("sb"))
+      .agg(sum(col("sa")), sum(col("sb"))).head()
+    val (zSpanA, zSpanB) = (zs.getLong(0), zs.getLong(1))
+
+    val naive = grid.repartitionByRange(files, col("a"))
+      .sortWithinPartitions(col("a"))
+      .withColumn("_file", spark_partition_id())
+    val ns = naive.groupBy(col("_file"))
+      .agg((max(col("a")) - min(col("a"))).as("sa"),
+        (max(col("b")) - min(col("b"))).as("sb"))
+      .agg(sum(col("sa")), sum(col("sb"))).head()
+    val (nSpanA, nSpanB) = (ns.getLong(0), ns.getLong(1))
+
+    // the single-dim layout leaves b's span at full width in EVERY file
+    assert(nSpanB == files.toLong * 63L, s"naive b-span should be full: $nSpanB")
+    // z-order cuts the second dimension's total span by >= 3x on a grid
+    assert(zSpanB * 3 <= nSpanB, s"z b-span $zSpanB !<< naive $nSpanB")
+    // the z trade: near-square tiles, BOTH dims bounded and balanced —
+    // combined span (what pruning sees when predicates hit either dim
+    // with equal likelihood) at most half the single-dim layout's
+    assert(zSpanA + zSpanB <= (nSpanA + nSpanB) / 2,
+      s"combined z-span ${zSpanA + zSpanB} !<< naive ${nSpanA + nSpanB}")
+    // balance: neither dim degenerates (within 2x of each other)
+    assert(zSpanA <= zSpanB * 2 && zSpanB <= zSpanA * 2,
+      s"z spans unbalanced: a=$zSpanA b=$zSpanB")
+  }
+
+  test("clusterReport buckets are bounded and carry tight per-dim ranges") {
+    val grid = spark.range(32L * 32L).select(
+      (col("id") / 32L).cast("long").as("a"),
+      pmod(col("id"), lit(32L)).as("b"))
+    val rep = ZOrder.clusterReport(grid, "a", "b", bits = 5, buckets = 16)
+      .orderBy("bucket").collect()
+    // zmax = 1023 (full grid), so 16 equal slices = z >> 6:
+    // 16 buckets, each 64 rows (8x8 z-squares)
+    assert(rep.length == 16)
+    assert(rep.forall(_.getAs[Long]("n_rows") == 64L))
+    // each bucket covers an 8x8 square: span 7 in both dims
+    assert(rep.forall(r => r.getAs[Long]("max_a") - r.getAs[Long]("min_a") == 7L &&
+      r.getAs[Long]("max_b") - r.getAs[Long]("min_b") == 7L))
+  }
+}
