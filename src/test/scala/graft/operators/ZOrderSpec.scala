@@ -87,4 +87,23 @@ class ZOrderSpec extends SparkSpec {
     assert(rep.forall(r => r.getAs[Long]("max_a") - r.getAs[Long]("min_a") == 7L &&
       r.getAs[Long]("max_b") - r.getAs[Long]("min_b") == 7L))
   }
+
+  test("z-layout survives into real parquet files: every file's footer range is tight on BOTH dims") {
+    val grid = spark.range(64L * 64L).select(
+      (col("id") / 64L).cast("long").as("a"),
+      pmod(col("id"), lit(64L)).as("b"))
+    val dir = tmpDir("zorder-parquet")
+    ZOrder.zOrderLayout(grid, "a", "b", numFiles = 16, bits = 6)
+      .write.mode("overwrite").parquet(dir)
+    // per physical file — what parquet footer pruning actually consults
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("a")) - min(col("a"))).as("sa"),
+        (max(col("b")) - min(col("b"))).as("sb"))
+      .collect()
+    assert(perFile.length == 16)
+    // every real file bounds BOTH dimensions well under the full 0..63
+    assert(perFile.forall(r => r.getAs[Long]("sa") <= 31L && r.getAs[Long]("sb") <= 31L),
+      perFile.map(r => (r.getAs[Long]("sa"), r.getAs[Long]("sb"))).mkString(","))
+  }
 }
