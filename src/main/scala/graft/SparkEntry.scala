@@ -3982,7 +3982,8 @@ object SparkEntry {
         """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
           |v AS (SELECT w, count(*) AS freq FROM w WHERE len(w) >= 2 GROUP BY w),
           |p AS (SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, freq
-          |  FROM v, (SELECT unnest(range(1, 100)) AS i) ix WHERE i <= len(w) - 1),
+          |  FROM v, (SELECT unnest(range(1, (SELECT max(len(w)) FROM v))) AS i) ix
+          |  WHERE i <= len(w) - 1),
           |c AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_count FROM p GROUP BY l, r),
           |rk AS (SELECT row_number() OVER (ORDER BY pair_count DESC, l, r) AS rank, l, r, pair_count FROM c)
           |SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right", pair_count

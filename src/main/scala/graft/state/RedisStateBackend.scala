@@ -1,9 +1,5 @@
 package graft.state
 
-import java.io.{BufferedInputStream, BufferedOutputStream}
-import java.net.{InetSocketAddress, Socket}
-import java.nio.charset.StandardCharsets.UTF_8
-
 /**
  * Redis adapter for the [[StateBackend]] CAS contract (SURVEY.md §2.1 S6
  * — the "Redis/DB adapters slot in behind the same two methods" variant;
@@ -31,9 +27,10 @@ import java.nio.charset.StandardCharsets.UTF_8
  * reference surfaces Redis-down as a backend error and so do we
  * (fail-stop beats silently dropping a WATCH).
  *
- * RESP2 client is inline and minimal (~60 lines): command arrays out,
- * the five reply types in. No external client library — build.sbt is
- * frozen and the protocol is tiny.
+ * The RESP2 wire lives in the shared [[RespClient]] (also under the
+ * distributed rate limiter): command arrays out, the five reply types
+ * in. No external client library — build.sbt is frozen and the protocol
+ * is tiny.
  */
 class RedisStateBackend(
     host: String, port: Int, prefix: String = "graft:state:")
@@ -41,67 +38,10 @@ class RedisStateBackend(
 
   private val VersionField = "__graft_state_version"
 
-  private val sock = new Socket()
-  sock.connect(new InetSocketAddress(host, port), 5000)
-  sock.setSoTimeout(10000)
-  private val in = new BufferedInputStream(sock.getInputStream)
-  private val out = new BufferedOutputStream(sock.getOutputStream)
+  private val client = new RespClient(host, port)
 
-  // ---- RESP2 wire ----------------------------------------------------
-
-  private def send(args: Seq[String]): Unit = {
-    out.write(s"*${args.length}\r\n".getBytes(UTF_8))
-    args.foreach { a =>
-      val b = a.getBytes(UTF_8)
-      out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
-      out.write(b)
-      out.write("\r\n".getBytes(UTF_8))
-    }
-    out.flush()
-  }
-
-  private def readLine(): String = {
-    val sb = new StringBuilder
-    var c = in.read()
-    while (c != '\r') {
-      if (c < 0) throw new java.io.EOFException("redis connection closed")
-      sb.append(c.toChar)
-      c = in.read()
-    }
-    in.read() // \n
-    sb.toString
-  }
-
-  /** One reply: String (simple or bulk), Long (integer), null (nil bulk
-    * or nil array), Seq[Any] (array) — or throws on an -ERR line. */
-  private def readReply(): Any = {
-    val line = readLine()
-    line.charAt(0) match {
-      case '+' => line.substring(1)
-      case '-' => throw new java.io.IOException(s"redis error: ${line.substring(1)}")
-      case ':' => line.substring(1).toLong
-      case '$' =>
-        val n = line.substring(1).toInt
-        if (n < 0) null
-        else {
-          val buf = new Array[Byte](n)
-          var off = 0
-          while (off < n) {
-            val r = in.read(buf, off, n - off)
-            if (r < 0) throw new java.io.EOFException("redis connection closed")
-            off += r
-          }
-          in.read(); in.read() // \r\n
-          new String(buf, UTF_8)
-        }
-      case '*' =>
-        val n = line.substring(1).toInt
-        if (n < 0) null else Seq.fill(n)(readReply())
-      case c => throw new java.io.IOException(s"bad RESP type byte: $c")
-    }
-  }
-
-  private def cmd(args: String*): Any = { send(args); readReply() }
+  // WATCH…EXEC conversations lock the connection for their whole span
+  private def cmd(args: String*): Any = client.cmd(args: _*)
 
   // ---- StateBackend --------------------------------------------------
 
@@ -118,11 +58,11 @@ class RedisStateBackend(
     }
 
   override def read(key: String): Option[(Map[String, String], Long)] =
-    synchronized { parseHash(cmd("HGETALL", rkey(key))) }
+    client.synchronized { parseHash(cmd("HGETALL", rkey(key))) }
 
   override def writeVersioned(
       key: String, payload: Map[String, String], expectVersion: Long): Boolean =
-    synchronized {
+    client.synchronized {
       val k = rkey(key)
       cmd("WATCH", k)
       val cur = parseHash(cmd("HGETALL", k)).map(_._2).getOrElse(0L)
@@ -137,7 +77,7 @@ class RedisStateBackend(
       cmd("EXEC") != null
     }
 
-  override def keys(): Seq[String] = synchronized {
+  override def keys(): Seq[String] = client.synchronized {
     // SCAN, not KEYS: non-blocking on a production server (the key count
     // is small by contract, but the server may hold other data)
     val acc = Seq.newBuilder[String]
@@ -154,8 +94,5 @@ class RedisStateBackend(
     acc.result()
   }
 
-  override def close(): Unit = {
-    try cmd("QUIT") catch { case _: Exception => () }
-    sock.close()
-  }
+  override def close(): Unit = client.close()
 }

@@ -1,0 +1,96 @@
+package graft.state
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/**
+ * Minimal RESP2 connection (~80 lines), shared by the Redis adapters
+ * ([[RedisStateBackend]], [[graft.app.RedisRateLimiter]]): command arrays
+ * out, the five reply types in. No external client library — build.sbt
+ * is frozen and the protocol is tiny, written from the public RESP spec.
+ *
+ * Thread model: ONE socket, all commands serialized by callers
+ * synchronizing on THIS object. Single commands may use [[cmd]] directly
+ * (it locks itself); multi-command conversations that must not interleave
+ * with other threads on the same connection — WATCH…MULTI…EXEC, TIME
+ * followed by the transaction it stamps — wrap the whole sequence in
+ * `client.synchronized { … }` (the lock is reentrant, so nested [[cmd]]
+ * calls are fine). WATCH state is per-connection, which is why the
+ * conversation must own the connection for its whole span.
+ *
+ * Reconnect-on-IOException is deliberately NOT built in: the reference
+ * surfaces Redis-down as a backend error and so do we (fail-stop beats
+ * silently dropping a WATCH).
+ */
+final class RespClient(
+    host: String, port: Int,
+    connectTimeoutMs: Int = 5000, soTimeoutMs: Int = 10000)
+  extends AutoCloseable {
+
+  private val sock = new Socket()
+  sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  sock.setSoTimeout(soTimeoutMs)
+  private val in = new BufferedInputStream(sock.getInputStream)
+  private val out = new BufferedOutputStream(sock.getOutputStream)
+
+  private def send(args: Seq[String]): Unit = {
+    out.write(s"*${args.length}\r\n".getBytes(UTF_8))
+    args.foreach { a =>
+      val b = a.getBytes(UTF_8)
+      out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+      out.write(b)
+      out.write("\r\n".getBytes(UTF_8))
+    }
+    out.flush()
+  }
+
+  private def readLine(): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != '\r') {
+      if (c < 0) throw new java.io.EOFException("redis connection closed")
+      sb.append(c.toChar)
+      c = in.read()
+    }
+    in.read() // \n
+    sb.toString
+  }
+
+  /** One reply: String (simple or bulk), Long (integer), null (nil bulk
+    * or nil array), Seq[Any] (array) — or throws on an -ERR line. */
+  private def readReply(): Any = {
+    val line = readLine()
+    line.charAt(0) match {
+      case '+' => line.substring(1)
+      case '-' => throw new java.io.IOException(s"redis error: ${line.substring(1)}")
+      case ':' => line.substring(1).toLong
+      case '$' =>
+        val n = line.substring(1).toInt
+        if (n < 0) null
+        else {
+          val buf = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = in.read(buf, off, n - off)
+            if (r < 0) throw new java.io.EOFException("redis connection closed")
+            off += r
+          }
+          in.read(); in.read() // \r\n
+          new String(buf, UTF_8)
+        }
+      case '*' =>
+        val n = line.substring(1).toInt
+        if (n < 0) null else Seq.fill(n)(readReply())
+      case c => throw new java.io.IOException(s"bad RESP type byte: $c")
+    }
+  }
+
+  /** One request/reply round-trip, atomic on this connection. */
+  def cmd(args: String*): Any = synchronized { send(args); readReply() }
+
+  override def close(): Unit = synchronized {
+    try cmd("QUIT") catch { case _: Exception => () }
+    sock.close()
+  }
+}

@@ -155,15 +155,33 @@ object IngestStream {
     }
   }
 
+  /** JSON string-escape for the tick payload: quote, backslash, and
+   *  control chars. Without it a symbol containing `"` or `\` produced
+   *  invalid JSON that `from_json` turned into an all-null row — a silent
+   *  drop into the validation reject path instead of a loud producer
+   *  failure. */
+  private[graft] def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.result()
+  }
+
   /** Producer-side encoding for [[topicTicks]] (specs and embedded
    *  producers): one tick as UTF-8 JSON bytes. */
   def tickPayload(
       tsMs: Long, symbol: String,
       bid: BigDecimal, bidSize: Int, ask: BigDecimal, askSize: Int,
-      last: BigDecimal, lastSize: Int): Array[Byte] =
-    (s"""{"ts_ms":$tsMs,"symbol":"$symbol","bid_price":$bid,"bid_size":$bidSize,""" +
+      last: BigDecimal, lastSize: Int): Array[Byte] = {
+    val sym = jsonEscape(symbol)
+    (s"""{"ts_ms":$tsMs,"symbol":"$sym","bid_price":$bid,"bid_size":$bidSize,""" +
       s""""ask_price":$ask,"ask_size":$askSize,"last_price":$last,"last_size":$lastSize}""")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** The tick law over (timestamp, value) rows — shared by batch mocks and
    *  the stream source. */

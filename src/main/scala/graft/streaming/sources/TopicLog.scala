@@ -12,9 +12,18 @@ import java.nio.file.{Files, Path, Paths}
  * Semantics are Kafka's, deliberately: a topic is a set of numbered
  * partitions; a partition is an append-only record log addressed by a
  * dense offset sequence 0..n; records are (key, value, timestamp) byte
- * payloads; ONE writer per partition (Kafka's leader rule — concurrent
- * producers to the same partition must serialize upstream, e.g. one
- * producer thread per partition as in the spec). Readers are lock-free:
+ * payloads; ONE writer per partition (Kafka's leader rule). Unlike a
+ * broker, this log has no single leader process to serialize producers —
+ * Spark can run overlapping attempts of the same write task (speculation,
+ * or a zombie attempt still flushing while its retry runs), and two
+ * concurrent appends opening the log at the same length would interleave
+ * buffered frames and corrupt the framing (worse than the documented
+ * at-least-once duplication). Appends therefore serialize per partition
+ * directory: an in-JVM monitor (local mode / multiple task threads in one
+ * executor) nested inside an OS [[java.nio.channels.FileLock]] on
+ * `<dir>/.lock` (separate executors on a shared filesystem). Duplication
+ * from a retried attempt remains possible and documented — consumers
+ * dedupe — but frames can no longer interleave. Readers stay lock-free:
  * they never see a record until its index entry is fully visible.
  *
  * Layout per partition (`<root>/<topic>/p<partition>/`):
@@ -36,6 +45,28 @@ object TopicLog {
 
   def partitionDir(root: String, topic: String, partition: Int): Path =
     Paths.get(root, topic, s"p$partition")
+
+  // Writer serialization (see class doc): one monitor per partition dir in
+  // this JVM, then an OS file lock for writers in other processes. The
+  // monitor is required — FileLock is held per-JVM, so two task threads in
+  // one executor would hit OverlappingFileLockException, not block.
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withWriterLock[T](dir: Path)(body: => T): T = {
+    val monitor =
+      jvmLocks.computeIfAbsent(dir.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        dir.resolve(".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock() // blocks until any other process's writer exits
+        try body finally fl.release()
+      } finally ch.close()
+    }
+  }
 
   /** Partitions currently present for a topic (created by first append). */
   def partitions(root: String, topic: String): Seq[Int] = {
@@ -65,20 +96,22 @@ object TopicLog {
       key: Array[Byte], value: Array[Byte], timestampMs: Long): Long = {
     val dir = partitionDir(root, topic, partition)
     Files.createDirectories(dir)
-    val logF = dir.resolve("log").toFile
-    val idxF = dir.resolve("idx").toFile
-    val pos = logF.length()
-    val log = new DataOutputStream(new FileOutputStream(logF, true))
-    try {
-      log.writeLong(timestampMs)
-      log.writeInt(key.length); log.write(key)
-      log.writeInt(value.length); log.write(value)
-      log.flush()
-    } finally log.close()
-    val off = idxF.length() / 8
-    val idx = new DataOutputStream(new FileOutputStream(idxF, true))
-    try { idx.writeLong(pos); idx.flush() } finally idx.close()
-    off
+    withWriterLock(dir) {
+      val logF = dir.resolve("log").toFile
+      val idxF = dir.resolve("idx").toFile
+      val pos = logF.length()
+      val log = new DataOutputStream(new FileOutputStream(logF, true))
+      try {
+        log.writeLong(timestampMs)
+        log.writeInt(key.length); log.write(key)
+        log.writeInt(value.length); log.write(value)
+        log.flush()
+      } finally log.close()
+      val off = idxF.length() / 8
+      val idx = new DataOutputStream(new FileOutputStream(idxF, true))
+      try { idx.writeLong(pos); idx.flush() } finally idx.close()
+      off
+    }
   }
 
   /** Batch append (the production producer shape): one log/idx stream
@@ -91,32 +124,60 @@ object TopicLog {
       records: Iterator[(Array[Byte], Array[Byte], Long)]): Long = {
     val dir = partitionDir(root, topic, partition)
     Files.createDirectories(dir)
-    val logF = dir.resolve("log").toFile
-    val idxF = dir.resolve("idx").toFile
-    var pos = logF.length()
-    val first = idxF.length() / 8
-    val positions = Array.newBuilder[Long]
-    val log = new DataOutputStream(new java.io.BufferedOutputStream(
-      new FileOutputStream(logF, true), 1 << 16))
-    try {
-      records.foreach { case (key, value, tsMs) =>
-        positions += pos
-        log.writeLong(tsMs)
-        log.writeInt(key.length); log.write(key)
-        log.writeInt(value.length); log.write(value)
-        pos += 8 + 4 + key.length + 4 + value.length
-      }
-      log.flush()
-    } finally log.close()
-    val idx = new DataOutputStream(new java.io.BufferedOutputStream(
-      new FileOutputStream(idxF, true), 1 << 16))
-    try { positions.result().foreach(idx.writeLong); idx.flush() } finally idx.close()
-    first
+    withWriterLock(dir) {
+      val logF = dir.resolve("log").toFile
+      val idxF = dir.resolve("idx").toFile
+      var pos = logF.length()
+      val first = idxF.length() / 8
+      val positions = Array.newBuilder[Long]
+      val log = new DataOutputStream(new java.io.BufferedOutputStream(
+        new FileOutputStream(logF, true), 1 << 16))
+      try {
+        records.foreach { case (key, value, tsMs) =>
+          positions += pos
+          log.writeLong(tsMs)
+          log.writeInt(key.length); log.write(key)
+          log.writeInt(value.length); log.write(value)
+          pos += 8 + 4 + key.length + 4 + value.length
+        }
+        log.flush()
+      } finally log.close()
+      val idx = new DataOutputStream(new java.io.BufferedOutputStream(
+        new FileOutputStream(idxF, true), 1 << 16))
+      try { positions.result().foreach(idx.writeLong); idx.flush() } finally idx.close()
+      first
+    }
   }
 
   /** One decoded record. */
   final case class Record(
       offset: Long, timestampMs: Long, key: Array[Byte], value: Array[Byte])
+
+  /** A partition range read: an iterator that owns its file handle.
+    * Exhausting it closes the handle, but callers that may stop early
+    * (limits, cancellation, a failing downstream) MUST call [[close]] —
+    * the DSv2 `PartitionReader.close()` does. Close is idempotent. */
+  final class ReadCursor private[sources] (
+      log: java.io.DataInputStream, from: Long, until: Long)
+    extends Iterator[Record] with AutoCloseable {
+    private var cursor = from
+    private var closed = false
+    override def hasNext: Boolean = {
+      val more = cursor < until
+      if (!more) close()
+      more
+    }
+    override def next(): Record = {
+      val ts = log.readLong()
+      val key = new Array[Byte](log.readInt()); log.readFully(key)
+      val value = new Array[Byte](log.readInt()); log.readFully(value)
+      val r = Record(cursor, ts, key, value)
+      cursor += 1
+      r
+    }
+    override def close(): Unit =
+      if (!closed) { closed = true; log.close() }
+  }
 
   /** Read offsets [from, until) of one partition. The log stream is
     * BUFFERED (64 KiB) on top of the positioned channel: the record
@@ -125,9 +186,12 @@ object TopicLog {
     * throughput stress; decode+sink dominate the rest). */
   def read(
       root: String, topic: String, partition: Int,
-      from: Long, until: Long): Iterator[Record] = {
-    if (until <= from) return Iterator.empty
+      from: Long, until: Long): ReadCursor = {
     val dir = partitionDir(root, topic, partition)
+    if (until <= from)
+      return new ReadCursor(
+        new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(Array.emptyByteArray)), from, from)
     val idx = new RandomAccessFile(dir.resolve("idx").toFile, "r")
     val startPos =
       try { idx.seek(from * 8); idx.readLong() } finally idx.close()
@@ -135,21 +199,6 @@ object TopicLog {
     ch.position(startPos)
     val log = new java.io.DataInputStream(new java.io.BufferedInputStream(
       java.nio.channels.Channels.newInputStream(ch), 1 << 16))
-    new Iterator[Record] {
-      private var cursor = from
-      override def hasNext: Boolean = {
-        val more = cursor < until
-        if (!more) log.close()
-        more
-      }
-      override def next(): Record = {
-        val ts = log.readLong()
-        val key = new Array[Byte](log.readInt()); log.readFully(key)
-        val value = new Array[Byte](log.readInt()); log.readFully(value)
-        val r = Record(cursor, ts, key, value)
-        cursor += 1
-        r
-      }
-    }
+    new ReadCursor(log, from, until)
   }
 }

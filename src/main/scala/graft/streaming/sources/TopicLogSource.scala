@@ -184,7 +184,9 @@ class TopicLogMicroBatchStream(
           cur.key, cur.value, topicUtf8, ip.partition, cur.offset,
           cur.timestampMs * 1000L, // micros
           0)) // timestampType: CreateTime, as Kafka reports for producer stamps
-        override def close(): Unit = ()
+        // a task stopped early (limit/cancel/failure) must not leak the
+        // log file handle — the cursor's close is idempotent
+        override def close(): Unit = records.close()
       }
     }
 

@@ -7,8 +7,10 @@ import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
 
 /**
- * Embedded RESP2 server for [[RedisStateBackend]] specs — the hash +
- * WATCH/MULTI/EXEC subset, with REAL optimistic-transaction semantics:
+ * Embedded RESP2 server for the Redis adapter specs ([[RedisStateBackend]],
+ * [[graft.app.RedisRateLimiter]]) — the hash + sorted-set +
+ * WATCH/MULTI/EXEC + TIME/EXPIRE subset, with REAL optimistic-transaction
+ * semantics:
  * every write bumps a per-key modification counter under one global
  * lock; EXEC aborts (nil) iff any key WATCHed by the connection changed
  * since the WATCH. That is the exact consistency primitive the adapter's
@@ -19,14 +21,44 @@ import scala.collection.mutable
  * EXEC trivially atomic (as it is on the genuinely single-threaded real
  * server).
  */
-final class MiniRedis {
+final class MiniRedis(clock: () => Long = () => System.currentTimeMillis()) {
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
 
   private val lock = new Object
   private val hashes = mutable.Map[String, mutable.LinkedHashMap[String, String]]()
+  // sorted sets: member -> score (ms); iteration order irrelevant, reads sort
+  private val zsets = mutable.Map[String, mutable.LinkedHashMap[String, Double]]()
+  private val expireAtMs = mutable.Map[String, Long]()
   private val touch = mutable.Map[String, Long]().withDefaultValue(0L)
   @volatile private var running = true
+
+  /** Lazy TTL application (real Redis expires lazily + actively; lazy
+    * alone is observationally equivalent for single-key commands). Must
+    * run inside the global lock. An expiry is a write: it bumps touch. */
+  private def expireIfDue(k: String): Unit =
+    expireAtMs.get(k).foreach { at =>
+      if (clock() >= at) {
+        expireAtMs.remove(k)
+        if (zsets.remove(k).isDefined | hashes.remove(k).isDefined)
+          touch(k) = touch(k) + 1
+      }
+    }
+
+  /** RESP range bound: "-inf" / "+inf" / "(x" (exclusive) / "x". */
+  private def bound(s: String): (Double, Boolean) = s match {
+    case "-inf" => (Double.NegativeInfinity, true)
+    case "+inf" => (Double.PositiveInfinity, true)
+    case x if x.startsWith("(") => (x.substring(1).toDouble, false)
+    case x => (x.toDouble, true)
+  }
+
+  private def inRange(score: Double, min: String, max: String): Boolean = {
+    val (lo, loInc) = bound(min)
+    val (hi, hiInc) = bound(max)
+    (if (loInc) score >= lo else score > lo) &&
+      (if (hiInc) score <= hi else score < hi)
+  }
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -78,11 +110,15 @@ final class MiniRedis {
     }
 
     def write(s: String): Unit = out.write(s.getBytes(UTF_8))
+    // Server-generated simple-string / error replies carry distinct
+    // wrapper types: sniffing a leading '+'/'-' off plain Strings turned
+    // legitimate stored values like "-1" into RESP protocol errors.
     def writeReply(r: Any): Unit = r match {
       case null => write("*-1\r\n")
       case () => write("$-1\r\n")
-      case s: String if s.startsWith("+") || s.startsWith("-") => write(s + "\r\n")
-      case s: String =>
+      case MiniRedis.Simple(s) => write(s"+$s\r\n")
+      case MiniRedis.Err(s) => write(s"-$s\r\n")
+      case s: String => // data strings are ALWAYS bulk strings
         val b = s.getBytes(UTF_8)
         write(s"$$${b.length}\r\n"); out.write(b); write("\r\n")
       case n: Long => write(s":$n\r\n")
@@ -93,7 +129,7 @@ final class MiniRedis {
     /** Execute one non-transactional command under the global lock. */
     def exec(c: Seq[String]): Any = lock.synchronized {
       c.head.toUpperCase match {
-        case "PING" => "+PONG"
+        case "PING" => MiniRedis.Simple("PONG")
         case "HSET" =>
           val k = c(1)
           val h = hashes.getOrElseUpdate(k, mutable.LinkedHashMap())
@@ -107,7 +143,8 @@ final class MiniRedis {
             .getOrElse(Seq.empty[String])
         case "DEL" =>
           val n = c.tail.count { k =>
-            val had = hashes.remove(k).isDefined
+            val had = hashes.remove(k).isDefined | zsets.remove(k).isDefined
+            expireAtMs.remove(k)
             if (had) touch(k) = touch(k) + 1
             had
           }
@@ -121,8 +158,72 @@ final class MiniRedis {
           val rx = java.util.regex.Pattern.quote(pat)
             .replace("*", "\\E.*\\Q").r
           Seq("0", hashes.keys.filter(k => rx.matches(k)).toSeq)
-        case "QUIT" => "+OK"
-        case other => s"-ERR unknown command '$other'"
+        case "TIME" =>
+          // server clock — the limiter's single source of truth
+          // (limiter.lua:22-24); seconds + microseconds as bulk strings
+          val ms = clock()
+          Seq((ms / 1000L).toString, ((ms % 1000L) * 1000L).toString)
+        case "ZADD" =>
+          val k = c(1); expireIfDue(k)
+          val z = zsets.getOrElseUpdate(k, mutable.LinkedHashMap())
+          val pairs = c.drop(2).grouped(2).toSeq
+          val added = pairs.count { case Seq(_, m) => !z.contains(m) }
+          pairs.foreach { case Seq(score, m) => z(m) = score.toDouble }
+          touch(k) = touch(k) + 1
+          added.toLong
+        case "ZCARD" =>
+          val k = c(1); expireIfDue(k)
+          zsets.get(k).map(_.size.toLong).getOrElse(0L)
+        case "ZCOUNT" =>
+          val k = c(1); expireIfDue(k)
+          zsets.get(k).map(_.valuesIterator.count(inRange(_, c(2), c(3))).toLong)
+            .getOrElse(0L)
+        case "ZREMRANGEBYSCORE" =>
+          val k = c(1); expireIfDue(k)
+          zsets.get(k) match {
+            case None => 0L
+            case Some(z) =>
+              val doomed = z.collect {
+                case (m, s) if inRange(s, c(2), c(3)) => m
+              }.toSeq
+              doomed.foreach(z.remove)
+              if (z.isEmpty) zsets.remove(k)
+              if (doomed.nonEmpty) touch(k) = touch(k) + 1
+              doomed.length.toLong
+          }
+        case "ZRANGEBYSCORE" =>
+          // subset: [WITHSCORES] [LIMIT offset count]; score-then-member order
+          val k = c(1); expireIfDue(k)
+          val withScores = c.exists(_.toUpperCase == "WITHSCORES")
+          val (off, cnt) = c.map(_.toUpperCase).indexOf("LIMIT") match {
+            case -1 => (0, Int.MaxValue)
+            case i => (c(i + 1).toInt, c(i + 2).toInt match {
+              case n if n < 0 => Int.MaxValue
+              case n => n
+            })
+          }
+          val hits = zsets.get(k).map(_.toSeq
+              .filter { case (_, s) => inRange(s, c(2), c(3)) }
+              .sortBy { case (m, s) => (s, m) }
+              .slice(off, if (cnt == Int.MaxValue) Int.MaxValue else off + cnt))
+            .getOrElse(Seq.empty)
+          if (withScores)
+            hits.flatMap { case (m, s) =>
+              Seq(m, if (s == s.floor && !s.isInfinite) s.toLong.toString else s.toString)
+            }
+          else hits.map(_._1)
+        case "EXPIRE" =>
+          val k = c(1); expireIfDue(k)
+          if (zsets.contains(k) || hashes.contains(k)) {
+            expireAtMs(k) = clock() + c(2).toLong * 1000L
+            1L
+          } else 0L
+        case "PTTL" =>
+          val k = c(1); expireIfDue(k)
+          if (!(zsets.contains(k) || hashes.contains(k))) -2L
+          else expireAtMs.get(k).map(at => math.max(0L, at - clock())).getOrElse(-1L)
+        case "QUIT" => MiniRedis.Simple("OK")
+        case other => MiniRedis.Err(s"ERR unknown command '$other'")
       }
     }
 
@@ -133,10 +234,10 @@ final class MiniRedis {
         c.head.toUpperCase match {
           case "WATCH" => lock.synchronized {
             c.tail.foreach(k => watched(k) = touch(k))
-          }; writeReply("+OK")
-          case "UNWATCH" => watched.clear(); writeReply("+OK")
-          case "MULTI" => inMulti = true; queued.clear(); writeReply("+OK")
-          case "DISCARD" => inMulti = false; queued.clear(); watched.clear(); writeReply("+OK")
+          }; writeReply(MiniRedis.Simple("OK"))
+          case "UNWATCH" => watched.clear(); writeReply(MiniRedis.Simple("OK"))
+          case "MULTI" => inMulti = true; queued.clear(); writeReply(MiniRedis.Simple("OK"))
+          case "DISCARD" => inMulti = false; queued.clear(); watched.clear(); writeReply(MiniRedis.Simple("OK"))
           case "EXEC" =>
             val reply = lock.synchronized {
               val dirty = watched.exists { case (k, v) => touch(k) != v }
@@ -147,12 +248,19 @@ final class MiniRedis {
             }
             queued.clear()
             writeReply(reply)
-          case _ if inMulti => queued += c; writeReply("+QUEUED")
-          case "QUIT" => writeReply("+OK"); open = false
+          case _ if inMulti => queued += c; writeReply(MiniRedis.Simple("QUEUED"))
+          case "QUIT" => writeReply(MiniRedis.Simple("OK")); open = false
           case _ => writeReply(exec(c))
         }
         out.flush()
       }
     } catch { case _: Exception => () } finally sock.close()
   }
+}
+
+object MiniRedis {
+  /** A server-generated RESP simple-string reply (never stored data). */
+  final case class Simple(s: String)
+  /** A server-generated RESP error reply. */
+  final case class Err(s: String)
 }

@@ -122,4 +122,18 @@ class RedisStateBackendSpec extends AnyFunSuite {
       assert(other.keys() == Seq("k3"))
     }
   }
+
+  test("values beginning with '-' or '+' read back as data, not RESP errors") {
+    // regression: the embedded server once sniffed leading '+'/'-' off
+    // stored strings and emitted them as simple/error replies — a cursor
+    // serialized as "-1" then failed every read with a protocol error
+    withRedis { (_, mk) =>
+      val b = mk()
+      assert(b.writeVersioned("neg", Map("cursor" -> "-1", "note" -> "+ok-ish"), 0L))
+      val (payload, v) = b.read("neg").get
+      assert(v == 1L)
+      assert(payload("cursor") == "-1")
+      assert(payload("note") == "+ok-ish")
+    }
+  }
 }

@@ -286,4 +286,62 @@ class TopicLogSourceSpec extends SparkSpec {
     // event-time partition columns came from the payload timestamp
     assert(back.where(col("date") =!= "20240101").count() == 0)
   }
+
+  test("log: concurrent appendAll attempts to one partition never interleave frames") {
+    // Spark can run overlapping attempts of the same write task
+    // (speculation, zombie + retry). Appends serialize per partition dir,
+    // so the outcome is duplication at worst — never corrupted framing.
+    val root = tmpDir("topiclog-writers")
+    val writers = 8
+    val perWriter = 200
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        (0 until perWriter).foreach { i =>
+          TopicLog.appendAll(root, "t", 0,
+            Iterator((bytes(s"w$w"), bytes(s"w$w-r$i-" + "x" * (i % 37)), 1000L + i)))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val total = TopicLog.latestOffsets(root, "t")(0)
+    assert(total == writers.toLong * perWriter)
+    // every frame decodes and belongs to exactly one writer, counts intact
+    val recs = TopicLog.read(root, "t", 0, 0L, total).toSeq
+    assert(recs.length == writers * perWriter)
+    val byWriter = recs.groupBy(r => new String(r.key, UTF_8))
+    assert(byWriter.keySet == (0 until writers).map(w => s"w$w").toSet)
+    byWriter.foreach { case (w, rs) =>
+      assert(rs.length == perWriter, s"writer $w lost/duplicated frames")
+      assert(rs.forall(r => new String(r.value, UTF_8).startsWith(w + "-r")))
+    }
+  }
+
+  test("log: ReadCursor closes early-stopped reads idempotently") {
+    val root = tmpDir("topiclog-close")
+    (0 until 10).foreach(i =>
+      TopicLog.append(root, "t", 0, bytes(s"k$i"), bytes(s"v$i"), 1000L + i))
+    val cur = TopicLog.read(root, "t", 0, 0L, 10L)
+    assert(cur.hasNext && cur.next().offset == 0L)
+    cur.close() // task stopped early (limit/cancel) — handle must release
+    cur.close() // idempotent
+    // empty range still yields a closeable cursor
+    val empty = TopicLog.read(root, "t", 0, 5L, 5L)
+    assert(!empty.hasNext); empty.close()
+  }
+
+  test("payload: symbols with quotes/backslashes survive the JSON round-trip") {
+    val spark = this.spark
+    val nasty = """E"S\1"""
+    val payload = IngestStream.tickPayload(
+      1700000000000L, nasty, BigDecimal("99.75"), 1,
+      BigDecimal("100.25"), 2, BigDecimal("100.00"), 3)
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(payload)),
+      new org.apache.spark.sql.types.StructType()
+        .add("value", org.apache.spark.sql.types.BinaryType))
+    val out = IngestStream.decodeTickValues(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("symbol") == nasty) // NOT an all-null reject row
+    assert(out.head.getAs[java.math.BigDecimal]("last_price") != null)
+  }
 }
