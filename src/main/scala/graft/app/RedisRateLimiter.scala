@@ -1,0 +1,137 @@
+package graft.app
+
+import graft.state.RespClient
+
+/**
+ * Distributed multi-window sliding-window rate limiter over Redis
+ * (SURVEY.md §2.9 ST5, the cross-process variant): the reference enforces
+ * its admit law in shared Redis so ANY number of processes on one account
+ * share one budget (reference: ingestion/infrastructure/src/rate_limiting/
+ * limiter.lua:22-53, keyed per account at limiter.rs:145-150). The in-JVM
+ * [[RateLimiter]] proves the law for a single driver; this adapter makes
+ * it hold across drivers.
+ *
+ * State layout is the reference's, field for field: one ZSET per
+ * (account, window) whose members are unique request ids scored by admit
+ * time in ms, keys carrying the window duration
+ * (`<prefix><account>:<durationMs>ms` — the reference formats
+ * `rate_limit:ib:historical:{account}:{secs}s`), each key EXPIREd at
+ * window + 5 s so idle accounts garbage-collect server-side
+ * (limiter.lua:48-50).
+ *
+ * Atomicity: the Lua script's read-check-write runs as one unit because
+ * Redis executes scripts serially. Without Lua the SAME guarantee comes
+ * from the documented optimistic-CAS shape — `WATCH` all window keys,
+ * read-only checks (`ZCOUNT` over the live range), then
+ * `MULTI`/prune+`ZADD`+`EXPIRE`/`EXEC`. If any other client touches any
+ * window key between WATCH and EXEC, EXEC returns nil and we rerun the
+ * whole check — so an admit is only ever recorded against window counts
+ * that were true at commit time. Deny records nothing anywhere, exactly
+ * the Lua early-return (limiter.lua:38-42).
+ *
+ * Clock: server `TIME` by default — the single source of truth across
+ * processes, as the Lua script insists (limiter.lua:22-24); injectable
+ * for deterministic specs. The TIME call happens AFTER WATCH so a stale
+ * read of the clock cannot pair with fresher window state.
+ *
+ * Scale posture: this is driver-side control plane (one admit per
+ * historical fetch, ~per-second cadence); contention is a handful of
+ * drivers per account, so the optimistic retry loop converges in one or
+ * two rounds. Executors never touch it.
+ */
+class RedisRateLimiter(
+    client: RespClient,
+    windows: Seq[RateLimiter.WindowConfig] = RateLimiter.ReferenceWindows,
+    keyPrefix: String = "graft:rate:",
+    clock: Option[() => Long] = None) {
+
+  require(windows.nonEmpty, "at least one window")
+
+  private def keys(account: String): Seq[String] =
+    windows.map(w => s"$keyPrefix$account:${w.windowMs}ms")
+
+  /** Server epoch-ms via TIME (or the injected spec clock). Callers hold
+    * `client.synchronized`. */
+  private def nowMs(): Long = clock match {
+    case Some(c) => c()
+    case None =>
+      val Seq(secs: String, micros: String) =
+        client.cmd("TIME").asInstanceOf[Seq[Any]]: @unchecked
+      secs.toLong * 1000L + micros.toLong / 1000L
+  }
+
+  private val reqCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** One atomic check-then-admit across ALL windows of `account`,
+    * shared with every other process pointing at the same Redis. */
+  def tryAcquire(account: String): Boolean = client.synchronized {
+    val ks = keys(account)
+    while (true) {
+      client.cmd(("WATCH" +: ks): _*)
+      val now = nowMs()
+      val admissible = windows.zip(ks).forall { case (w, k) =>
+        // live events: score > now - window (prune is deferred to admit;
+        // ZCOUNT over the live range is read-only so WATCH stays clean)
+        client.cmd("ZCOUNT", k, s"(${now - w.windowMs}", "+inf")
+          .asInstanceOf[Long] < w.limit
+      }
+      if (!admissible) { client.cmd("UNWATCH"); return false }
+      // unique member per admit (limiter.lua's request_id arg): counter +
+      // identity hash disambiguates same-ms admits from several handles
+      val reqId = s"$now-${System.identityHashCode(this)}-${reqCounter.incrementAndGet()}"
+      client.cmd("MULTI")
+      windows.zip(ks).foreach { case (w, k) =>
+        client.cmd("ZREMRANGEBYSCORE", k, "-inf", (now - w.windowMs).toString)
+        client.cmd("ZADD", k, now.toString, reqId)
+        client.cmd("EXPIRE", k, (w.windowMs / 1000L + 5L).toString)
+      }
+      if (client.cmd("EXEC") != null) return true
+      // a racing admit touched a window between WATCH and EXEC: recheck
+      // against the new counts (the loser must NOT blind-retry its ZADD)
+    }
+    false // unreachable
+  }
+
+  /** Milliseconds until the earliest instant every window admits (0 if
+    * admissible now). Read-only — never mutates window state. */
+  def waitTimeMs(account: String): Long = client.synchronized {
+    val now = nowMs()
+    windows.zip(keys(account)).map { case (w, k) =>
+      val min = s"(${now - w.windowMs}"
+      val live = client.cmd("ZCOUNT", k, min, "+inf").asInstanceOf[Long]
+      if (live < w.limit) 0L
+      else {
+        // the blocking admit is the (live - limit + 1)-th oldest live
+        // event; the window admits once its score leaves the range
+        val idx = (live - w.limit).toInt
+        client.cmd("ZRANGEBYSCORE", k, min, "+inf", "WITHSCORES",
+            "LIMIT", idx.toString, "1") match {
+          case Seq(_, score: String) =>
+            (score.toDouble.toLong + w.windowMs) - now + 1
+          case _ => 0L // raced away: admissible now
+        }
+      }
+    }.max
+  }
+
+  /** Blocking acquire with the reference's retry-poll loop
+    * (limiter.rs:131-191: poll every RetryDelayMs). False on timeout. */
+  def acquire(account: String, maxWaitMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var admitted = tryAcquire(account)
+    while (!admitted && System.currentTimeMillis() < deadline) {
+      Thread.sleep(RateLimiter.RetryDelayMs)
+      admitted = tryAcquire(account)
+    }
+    admitted
+  }
+
+  /** Current per-window live occupancy for `account` (diagnostics). */
+  def occupancy(account: String): Map[String, Long] = client.synchronized {
+    val now = nowMs()
+    windows.zip(keys(account)).map { case (w, k) =>
+      w.name ->
+        client.cmd("ZCOUNT", k, s"(${now - w.windowMs}", "+inf").asInstanceOf[Long]
+    }.toMap
+  }
+}
