@@ -2110,7 +2110,41 @@ object SparkEntry {
     "q133_bpe_merge_step" -> ((s, dir) =>
       graft.operators.Bpe.mergeStep(t(s, dir, "documents"), "text", k = 20)
         .orderBy(col("rank"))),
+
+    // Q136 — the BPE TRAINER loop (q133 iterated): 5 rounds of
+    // count → argmax → greedy merge-apply over the weighted vocabulary.
+    // One corpus scan total; each round is vocabulary-sized with a 1-row
+    // bounded collect for the argmax. The oracle replays the identical
+    // deterministic ranking with the loop unrolled into 5 CTE stages,
+    // merges applied via non-overlapping string replace on a
+    // space-framed symbol encoding (same greedy left-to-right law).
+    "q136_bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text", nMerges = 5)
+        .orderBy(col("merge_rank"))),
   )
+
+  /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
+    * stage picks the (count DESC, pair ASC) argmax over space-framed
+    * symbol strings (`" a  b  c "`) and applies it with `replace`, whose
+    * left-to-right non-overlapping scan IS the BPE greedy apply law —
+    * per-symbol framing keeps adjacent matches from sharing delimiter
+    * chars, so `" a  a  a "` correctly becomes `" aa  a "`. */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val stages = (1 to nMerges).map { k =>
+      s"""s$k AS (SELECT freq, str_split(trim(enc), '  ') AS s FROM v${k - 1}),
+         |x$k AS (SELECT freq, s, unnest(range(1, len(s))) AS i FROM s$k),
+         |p$k AS (SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM x$k GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |m$k AS (SELECT CAST($k AS BIGINT) AS merge_rank, l AS "left", r AS "right", cnt AS pair_count FROM b$k),
+         |v$k AS (SELECT w, freq, replace(enc, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS enc FROM v${k - 1}, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    s"""WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       |vocab AS (SELECT w, count(*) AS freq FROM w0 WHERE len(w) >= 2 GROUP BY w),
+       |v0 AS (SELECT w, freq, array_to_string(list_transform(regexp_extract_all(w, '.'), c -> ' ' || c || ' '), '') AS enc FROM vocab),
+       |$stages
+       |SELECT merge_rank, "left", "right", pair_count FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     val missingDaysCte =
@@ -4005,6 +4039,9 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, matched_id) AS rn
           |      FROM j)
           |SELECT new_id, matched_id, jaccard FROM rk WHERE rn = 1 ORDER BY new_id""".stripMargin,
+
+      // the trainer loop replay (see bpeTrainOracleSql scaladoc)
+      "q136_bpe_train" -> bpeTrainOracleSql(5),
 
       // replays the Morton interleave term-for-term (bit positions don't
       // overlap, so + == bitwise-or on both engines)

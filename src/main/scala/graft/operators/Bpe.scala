@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -58,5 +58,96 @@ object Bpe {
       .where(col("rank") <= k)
       .select(col("rank").cast("long").as("rank"),
         col("left"), col("right"), col("pair_count"))
+  }
+
+  /** The corpus → (word, freq, syms) table that every training iteration
+    * re-scans: words as in [[mergeStep]], symbols initialized to single
+    * characters. This is the ONLY corpus-proportional stage of training;
+    * it is localCheckpoint-ed so the per-iteration lineage starts from a
+    * materialized vocabulary-sized table. */
+  private def initialVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("w"), ""))
+      .localCheckpoint()
+
+  /** Frequency-weighted adjacent SYMBOL pairs of a vocab state (the
+    * per-iteration count; symbols may be multi-char after merges). */
+  private def symbolPairs(vocab: DataFrame): DataFrame =
+    vocab
+      .where(size(col("syms")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(
+            element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("pr"))
+      .groupBy(col("pr.l").as("left"), col("pr.r").as("right"))
+      .agg(sum(col("freq")).as("pair_count"))
+
+  /** Greedy left-to-right non-overlapping application of merge (l, r) to
+    * a symbol array — the BPE apply law — as a single codegen'd fold
+    * (`aggregate`): append each symbol unless the output's last symbol is
+    * `l` and the incoming one is `r`, in which case the pair collapses to
+    * `l+r`. The CaseWhen branches evaluate in order, so the empty-output
+    * guard keeps `element_at(acc, -1)` away from empty arrays under ANSI
+    * mode. Non-overlap falls out of the fold: a just-merged `l+r` is a
+    * NEW symbol and only matches a following `r` if `l+r == l` (never —
+    * `r` is non-empty), exactly the sequential-scan rule. */
+  private[graft] def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) === 0, array(s))
+          .when(element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /**
+   * The full BPE TRAINER loop: `nMerges` iterations of count → pick →
+   * apply, the iterated form of [[mergeStep]] (which is iteration 1's
+   * count alone). Output: the learned merge table
+   * (merge_rank, left, right, pair_count), merge_rank 1..nMerges in
+   * learn order — the artifact a tokenizer ships.
+   *
+   * Distributed shape (the 100 TB posture): ONE corpus-proportional scan
+   * builds the weighted vocabulary; every iteration after it is
+   * vocabulary-sized — a pair count (map-side combinable groupBy), a
+   * 1-row `collect` of the winning pair (bounded by construction), and a
+   * codegen'd fold rewriting each word's symbol array. Lineage is
+   * truncated with `localCheckpoint` every 4 iterations so the plan never
+   * grows with nMerges (the q114/q116 iterative-operator pattern).
+   *
+   * Determinism law: ranking is (pair_count DESC, left ASC, right ASC) —
+   * total, so both engines pick the same merge every iteration; apply is
+   * the greedy law of [[applyMerge]]. Training stops early if no pairs
+   * remain (vocabulary fully merged).
+   */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = initialVocab(docs, textCol)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var m = 1
+    var exhausted = false
+    while (m <= nMerges && !exhausted) {
+      // bounded collect: exactly one row — the trainer's argmax
+      val best = symbolPairs(vocab)
+        .orderBy(col("pair_count").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((m.toLong, l, r, cnt))
+        vocab = vocab.withColumn("syms", applyMerge(col("syms"), l, r))
+        if (m % 4 == 0) vocab = vocab.localCheckpoint()
+        m += 1
+      }
+    }
+    merges.result().toDF("merge_rank", "left", "right", "pair_count")
   }
 }

@@ -28,4 +28,43 @@ class BpeSpec extends SparkSpec {
     // tie on count 2 -> lexicographically smaller pair wins rank 1
     assert(out.head.getString(1) == "q" && out.head.getString(2) == "r")
   }
+
+  test("applyMerge: greedy left-to-right, non-overlapping (the fold law)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq("a", "a", "a"), "a", "a"),      // aaa -> [aa, a], not [a, aa]
+      (Seq("a", "a", "b"), "a", "b"),      // -> [a, ab]
+      (Seq("b", "b", "a"), "b", "a"),      // -> [b, ba]
+      (Seq("a", "a", "a", "a"), "a", "a")) // -> [aa, aa]
+      .toDF("syms", "l", "r")
+    def applied(l: String, r: String) = df.where(col("l") === l && col("r") === r)
+      .select(Bpe.applyMerge(col("syms"), l, r)).collect().map(_.getSeq[String](0).toList)
+    assert(applied("a", "a").toList == List(List("aa", "a"), List("aa", "aa")))
+    assert(applied("a", "b").head == List("a", "ab"))
+    assert(applied("b", "a").head == List("b", "ba"))
+  }
+
+  test("train: subword merges, tie-break, and early stop (hand-replayed)") {
+    // vocabulary: "aaab" x3. chars a,a,a,b
+    // it1: (a,a)=6, (a,b)=3 -> merge (a,a,6); apply -> [aa, a, b]
+    // it2: (aa,a)=3, (a,b)=3 -> TIE, left asc: "a" < "aa" -> (a,b,3); -> [aa, ab]
+    // it3: (aa,ab)=3 -> the SUBWORD pair a single-char step never sees; -> [aaab]
+    // it4: no pairs left -> early stop at 3 merges
+    val docs = Seq("aaab aaab", "aaab").toDF("text")
+    val out = Bpe.train(docs, "text", nMerges = 4)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 6L),
+      (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 3L)))
+  }
+
+  test("train: first merge equals mergeStep's rank 1 (the loop extends the step)") {
+    val docs = Seq("the cat the hat", "the bat").toDF("text")
+    val step = Bpe.mergeStep(docs, "text", k = 1).collect().head
+    val loop = Bpe.train(docs, "text", nMerges = 1).collect().head
+    assert((loop.getString(1), loop.getString(2), loop.getLong(3)) ==
+      (step.getString(1), step.getString(2), step.getLong(3)))
+  }
 }
