@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.operators.ZOrder
+
+/**
+ * Per-file statistics manifest — the table-format role (Delta/Iceberg's
+ * file-level min/max index) for a plain parquet lake, closing the gap the
+ * round-1 listing stress exposed: directory listing is O(files) and
+ * dominated jobs at 36k directories, and parquet footer pruning still
+ * STATs+opens every file to read its footer. A manifest makes pruned
+ * reads listing-free: one tiny parquet (one row per data file: row count
+ * + min/max per stat column — the same statistics
+ * [[ZOrder.clusterReport]] audits) plus a schema sidecar, both under
+ * `<dir>/_graft_manifest/` (the underscore prefix hides them from data
+ * scans, the `_spark_metadata` convention).
+ *
+ * Reference anchor: the ordered-table role ClickHouse plays in the
+ * reference's design (docs/…系統設計文件.md:60-68) — an ordered store whose
+ * sparse index prunes by primary-key range. [[optimize]] is the lake
+ * maintenance op that buys the same read shape on parquet: compact into
+ * `numFiles` z-ordered range partitions (tight min/max on BOTH
+ * dimensions per file) and index them in one pass.
+ *
+ * At 100 TB: the manifest is `numFiles` rows regardless of data volume;
+ * a pruned read costs one manifest file read + opens of only the
+ * overlapping data files — no listing of the data directory, no footer
+ * reads of pruned files. Stats are gathered in the SAME distributed scan
+ * shape as any aggregate (groupBy input_file_name), so building the
+ * index never funnels rows through the driver.
+ */
+object LakeManifest {
+
+  val ManifestDir = "_graft_manifest"
+
+  private def filesPath(dir: String) = s"$dir/$ManifestDir/files"
+  private def schemaPath(dir: String) = s"$dir/$ManifestDir/schema.json"
+
+  /**
+   * Build/refresh the manifest for a laid-out directory: one distributed
+   * scan, one manifest row per data file. `stats` names the indexed
+   * dimensions; each may be a raw column or a derived expression (e.g. a
+   * symbol hash-bucket) — the SAME expression must then be handed to
+   * [[readPruned]] so row-level residual filtering agrees with the index.
+   */
+  def write(
+      spark: SparkSession, dir: String,
+      stats: Seq[(String, Column)]): Unit = {
+    require(stats.nonEmpty, "at least one stat column")
+    val data = spark.read.parquet(dir)
+    val aggs = count(lit(1)).as("n_rows") +: stats.flatMap { case (name, c) =>
+      Seq(min(c).as(s"min_$name"), max(c).as(s"max_$name"))
+    }
+    data
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .repartition(1) // numFiles rows: ONE manifest file, one listing unit
+      .write.mode("overwrite").parquet(filesPath(dir))
+    // schema sidecar: lets a pruned-to-zero read return the right shape
+    // without opening any data file
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(schemaPath(dir)), true)
+    try out.write(data.schema.json.getBytes(UTF_8)) finally out.close()
+    snapshots.remove(dir) // a same-ms rewrite must not serve stale entries
+  }
+
+  /** Convenience overload: stat columns are plain data columns. */
+  def write(spark: SparkSession, dir: String, statCols: Seq[String])(
+      implicit d: DummyImplicit): Unit =
+    write(spark, dir, statCols.map(c => c -> col(c)))
+
+  /** The manifest table itself (operator diagnostics / audits). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(filesPath(dir))
+
+  /** Driver-side manifest snapshot: (file, dim -> [min, max]) per data
+    * file, cached per lake dir and invalidated by the manifest's
+    * modification time — the Delta/Iceberg snapshot-cache shape. Bounded
+    * by construction: `numFiles` entries (the compaction knob), so a
+    * 100 TB lake of 100k files caches a few MB on the driver and a
+    * pruned read pays ZERO Spark jobs for metadata after the first.
+    * Integral stat dims only (the pruning API is Long-ranged). */
+  private final case class Snapshot(
+      mtime: Long, entries: Seq[(String, Map[String, (Long, Long)])])
+  private val snapshots =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+
+  private def snapshot(
+      spark: SparkSession, dir: String): Seq[(String, Map[String, (Long, Long)])] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(filesPath(dir)))
+        .getModificationTime
+    val cached = snapshots.get(dir)
+    if (cached != null && cached.mtime == mtime) cached.entries
+    else {
+      val m = read(spark, dir)
+      val dims = m.schema.fieldNames.collect {
+        case n if n.startsWith("min_") => n.stripPrefix("min_")
+      }.toSeq
+      val cols = col("file") +:
+        dims.flatMap(d => Seq(col(s"min_$d").cast("long"), col(s"max_$d").cast("long")))
+      val entries = m.select(cols: _*).collect().toSeq.map { r =>
+        val ranges = dims.zipWithIndex.map { case (d, i) =>
+          d -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+        }.toMap
+        r.getString(0) -> ranges
+      }
+      snapshots.put(dir, Snapshot(mtime, entries))
+      entries
+    }
+  }
+
+  /**
+   * The one-pass lake maintenance op: compact `df` into `numFiles`
+   * z-ordered range partitions on (aCol, bCol) ([[ZOrder.zOrderLayout]]
+   * — every output file covers one tight z-range, so both dimensions
+   * carry tight per-file min/max), then index the result. After this,
+   * [[readPruned]] serves any box predicate on the two dimensions at the
+   * z-order file-touch fraction with no directory listing.
+   */
+  def optimize(
+      df: DataFrame, dir: String, aCol: String, bCol: String,
+      numFiles: Int, bits: Int = 21): Unit = {
+    ZOrder.zOrderLayout(df, aCol, bCol, numFiles, bits)
+      .write.mode("overwrite").parquet(dir)
+    write(df.sparkSession, dir, Seq(aCol, bCol))
+  }
+
+  /**
+   * Manifest-pruned read: `ranges` gives inclusive [lo, hi] bounds per
+   * indexed dimension. The ONLY metadata touched is the manifest (one
+   * file); data files are then addressed by explicit path — the data
+   * directory is never listed. Row-level residual filters re-apply the
+   * same bounds (a surviving file may still hold out-of-box rows), via
+   * `exprs` for derived dimensions. The manifest collect is bounded by
+   * `numFiles` — the compaction knob, not the data volume.
+   *
+   * Note: explicit-path reads carry no Hive partition columns; [[optimize]]
+   * writes flat z-ordered files, so nothing is lost — partitioned lakes
+   * keep their partition-pruned path instead.
+   */
+  def readPruned(
+      spark: SparkSession, dir: String,
+      ranges: Map[String, (Long, Long)],
+      exprs: Map[String, Column] = Map.empty): DataFrame = {
+    require(ranges.nonEmpty, "at least one pruning range")
+    // prune against the cached driver-side snapshot: zero Spark jobs for
+    // metadata after the first read of this lake dir
+    val snap = snapshot(spark, dir)
+    snap.headOption.foreach { case (_, stats) =>
+      val unknown = ranges.keySet -- stats.keySet
+      require(unknown.isEmpty,
+        s"dims not in manifest: ${unknown.mkString(", ")} (have: ${stats.keys.mkString(", ")})")
+    }
+    val files = snap.collect {
+      case (file, stats) if ranges.forall { case (name, (lo, hi)) =>
+        val (mn, mx) = stats(name); mx >= lo && mn <= hi
+      } => file
+    }.sorted
+    val rowFilter = ranges.map { case (name, (lo, hi)) =>
+      val dim = exprs.getOrElse(name, col(name))
+      dim >= lit(lo) && dim <= lit(hi)
+    }.reduce(_ && _)
+    if (files.isEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(schemaPath(dir)))
+      val schemaJson =
+        try new String(in.readAllBytes(), UTF_8) finally in.close()
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        DataType.fromJson(schemaJson).asInstanceOf[StructType])
+    } else spark.read.parquet(files.toIndexedSeq: _*).where(rowFilter)
+  }
+}

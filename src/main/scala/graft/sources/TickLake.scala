@@ -202,6 +202,65 @@ object TickLake {
     made
   }
 
+  /** The z-layout dimensions for tick data, shared by [[optimizeDay]]'s
+    * writer and manifest so index and data can never disagree: a symbol
+    * hash-bucket (point symbol predicates prune to ~1/2^symBits of
+    * files) and the epoch minute (time-range predicates prune to the
+    * window's share). Derived, not stored — the manifest recomputes them
+    * from base columns during its stats scan. */
+  private[graft] def symBucketExpr(symBits: Int) =
+    pmod(hash(col("symbol")), lit(1L << symBits)).cast("long")
+  private[graft] val tsMinuteExpr =
+    floor(unix_millis(col("timestamp")) / lit(60000L)).cast("long")
+
+  /**
+   * Day maintenance in one pass (the S7 compaction composed with the
+   * z-order layout and the [[LakeManifest]]): rewrite `date`'s ticks as
+   * `numFiles` z-ordered files on (symbol-bucket, minute) and index them.
+   * After this, [[readPrunedRange]] serves "one symbol, one time window"
+   * — the dominant tick-lake read — by opening only the files whose
+   * manifest ranges overlap, with NO listing of the data directory.
+   * Epoch minutes fit 26 bits well past 2100; buckets need symBits.
+   */
+  def optimizeDay(
+      spark: SparkSession, root: String, date: String, outDir: String,
+      numFiles: Int, symBits: Int = 8): Unit = {
+    val tickCols = graft.core.Schemas.tickSchema.fieldNames.map(col).toSeq
+    val day = read(spark, root).where(col("date") === date)
+      .select(tickCols: _*)
+      .withColumn("_sb", symBucketExpr(symBits))
+      .withColumn("_tm", tsMinuteExpr)
+    graft.operators.ZOrder.zOrderLayout(day, "_sb", "_tm", numFiles, bits = 26)
+      .drop("_sb", "_tm")
+      .write.mode("overwrite").parquet(outDir)
+    LakeManifest.write(spark, outDir,
+      Seq("sym_bucket" -> symBucketExpr(symBits), "ts_minute" -> tsMinuteExpr))
+  }
+
+  /**
+   * Manifest-pruned point-symbol/time-window read over an
+   * [[optimizeDay]] output. The symbol's bucket comes from a 1-row local
+   * query so driver and executor hash identically; the residual
+   * `symbol === s` filter removes bucket-collision rows.
+   */
+  def readPrunedRange(
+      spark: SparkSession, dir: String, symbol: String,
+      fromTsMs: Long, untilTsMs: Long, symBits: Int = 8): DataFrame = {
+    val bucket = spark.range(1)
+      .select(pmod(hash(lit(symbol)), lit(1L << symBits)).cast("long"))
+      .collect()(0).getLong(0) // 1 row: the driver-side bucket of `symbol`
+    LakeManifest.readPruned(spark, dir,
+      ranges = Map(
+        "sym_bucket" -> (bucket, bucket),
+        "ts_minute" -> (fromTsMs / 60000L, (untilTsMs - 1) / 60000L)),
+      exprs = Map(
+        "sym_bucket" -> symBucketExpr(symBits),
+        "ts_minute" -> tsMinuteExpr))
+      .where(col("symbol") === symbol &&
+        col("timestamp") >= timestamp_millis(lit(fromTsMs)) &&
+        col("timestamp") < timestamp_millis(lit(untilTsMs)))
+  }
+
   /**
    * Bucketed lake table (the co-location path at scale): hash-bucketed and
    * sorted by symbol, so symbol-keyed joins between two such tables and

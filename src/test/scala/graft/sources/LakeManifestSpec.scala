@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * The manifest laws: (1) a pruned read returns EXACTLY the rows of a
+ * plain filtered read; (2) it opens only manifest-selected files — a
+ * strict subset under a box predicate on a z-ordered layout (the
+ * data-skipping law), at most the z-order file-touch fraction; (3) a
+ * pruned-to-zero read returns an empty frame with the data schema
+ * without opening any data file; (4) the TickLake day composition
+ * (compact + z-order + manifest) serves symbol/time-window reads pruned.
+ */
+class LakeManifestSpec extends SparkSpec {
+
+  // two hash-scattered 256-value keys, 40k rows -> 16 z-ordered files
+  private def corpus(n: Long) = spark.range(n).select(
+    col("id"),
+    pmod(hash(col("id"), lit(1)).cast("long"), lit(256L)).as("a"),
+    pmod(hash(col("id"), lit(2)).cast("long"), lit(256L)).as("b"))
+
+  test("optimize + readPruned: row-identical to a plain filtered read, fewer files opened") {
+    val dir = tmpDir("manifest")
+    LakeManifest.optimize(corpus(40000L), dir, "a", "b", numFiles = 16, bits = 9)
+    val (aLo, aHi, bLo, bHi) = (32L, 95L, 160L, 223L) // a 1/16th box
+    val pruned = LakeManifest.readPruned(spark, dir,
+      Map("a" -> (aLo, aHi), "b" -> (bLo, bHi)))
+    val plain = spark.read.parquet(dir)
+      .where(col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+    // identical rows
+    assert(pruned.count() == plain.count() && plain.count() > 0)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    // the skipping law: the box touches a strict subset of files, and
+    // no more than the manifest says overlap
+    val total = spark.read.parquet(dir).inputFiles.length
+    val opened = pruned.inputFiles.length
+    val manifestSel = LakeManifest.read(spark, dir)
+      .where(col("max_a") >= aLo && col("min_a") <= aHi &&
+        col("max_b") >= bLo && col("min_b") <= bHi).count()
+    assert(total == 16)
+    assert(opened.toLong == manifestSel)
+    assert(opened < total, s"box predicate opened all $total files")
+  }
+
+  test("manifest rows carry the layout's per-file stats (n_rows sums to corpus)") {
+    val dir = tmpDir("manifest-stats")
+    LakeManifest.optimize(corpus(10000L), dir, "a", "b", numFiles = 8, bits = 9)
+    val m = LakeManifest.read(spark, dir)
+    assert(m.count() == spark.read.parquet(dir).inputFiles.length.toLong)
+    assert(m.agg(sum(col("n_rows"))).collect()(0).getLong(0) == 10000L)
+    // every file's ranges are sane
+    assert(m.where(col("min_a") > col("max_a") || col("min_b") > col("max_b")).isEmpty)
+  }
+
+  test("pruned-to-zero: empty frame with the data schema, zero data files opened") {
+    val dir = tmpDir("manifest-zero")
+    LakeManifest.optimize(corpus(5000L), dir, "a", "b", numFiles = 4, bits = 9)
+    val out = LakeManifest.readPruned(spark, dir,
+      Map("a" -> (10000L, 20000L))) // outside the [0, 256) domain
+    assert(out.schema == spark.read.parquet(dir).schema)
+    assert(out.isEmpty)
+    assert(out.inputFiles.isEmpty)
+  }
+
+  test("z-ordered manifest prunes BOTH dims; a single-sort manifest prunes only its own") {
+    val n = 40000L
+    val zDir = tmpDir("manifest-z")
+    LakeManifest.optimize(corpus(n), zDir, "a", "b", numFiles = 16, bits = 9)
+    val aDir = tmpDir("manifest-asort")
+    corpus(n).repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(aDir)
+    LakeManifest.write(spark, aDir, Seq("a", "b"))
+    def touchedForB(dir: String): Long =
+      LakeManifest.read(spark, dir)
+        .where(col("max_b") >= 64L && col("min_b") <= 79L).count() // b-window
+    val zTouched = touchedForB(zDir)
+    val aTouched = touchedForB(aDir)
+    assert(aTouched == 16L, "a-sorted layout cannot prune on b at all")
+    assert(zTouched < 16L, s"z layout should prune on b, touched $zTouched/16")
+  }
+
+  test("TickLake.optimizeDay + readPrunedRange: pruned symbol/time-window read") {
+    val root = tmpDir("ticklake-opt")
+    val out = tmpDir("ticklake-opt-out")
+    val symbols = Seq("NQ", "ES", "YM", "RTY", "CL", "GC", "SI", "HG")
+    val day = java.time.LocalDate.of(2023, 11, 14)
+    val dayMs = day.toEpochDay * 86400000L
+    val ticks = symbols.map(s => MockData.historicalDay(spark, s, day))
+      .reduce(_ unionAll _)
+    TickLake.append(ticks, root)
+    TickLake.optimizeDay(spark, root, "20231114", out, numFiles = 16, symBits = 4)
+    val from = dayMs + 3 * 3600000L
+    val until = dayMs + 4 * 3600000L
+    val pruned = TickLake.readPrunedRange(spark, out, "NQ", from, until, symBits = 4)
+    val plain = spark.read.parquet(out)
+      .where(col("symbol") === "NQ" &&
+        col("timestamp") >= timestamp_millis(lit(from)) &&
+        col("timestamp") < timestamp_millis(lit(until)))
+    assert(pruned.count() == plain.count() && plain.count() > 0)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    // one symbol bucket x one hour of minutes -> a strict file subset
+    assert(pruned.inputFiles.length < spark.read.parquet(out).inputFiles.length)
+  }
+}
