@@ -101,6 +101,87 @@ object Skew {
    * multiply the replicated mark sort. The same composition works for
    * [[graft.operators.TimeJoins.asOfForwardMerge]] via `forward = true`.
    */
+  /**
+   * The bucket-knob law automated: derive `buckets` from the probe-side
+   * key histogram instead of hand-tuning. One sampled count-by-key
+   * aggregate (map-side combinable to ≤ |distinct keys| rows, then a
+   * 1-row max/sum collect) estimates the hottest key's share of probe
+   * rows; the hot key needs `ceil(hotShare × parallelism)` reducers for
+   * its heaviest salted bucket to carry about an even 1/parallelism of
+   * the work — and NO more, since past that spread extra buckets only
+   * multiply the replicated mark sort (measured in BASELINE.md: at 95%
+   * skew, 8 buckets ran 2.8× the unsalted plan while 32 managed 1.6×).
+   * A uniform key histogram derives 1 — the unsalted plan, zero
+   * replication cost — so the helper is safe to call unconditionally.
+   *
+   * The hot-share term alone over-buckets when the build side is not
+   * tiny: every bucket replicates the whole mark stream into the
+   * shuffle+sort, and the measured curve (4M probes / 500k marks / 95%
+   * skew) is FLAT from 4 to 16 buckets (3.6-3.7 s) then degrades (31
+   * buckets: 8.4 s) as the replicated mark sort overtakes the hot key's
+   * spread. Passing `buildRows` adds the second term of the law: cap
+   * buckets so replicated build rows stay within ~2× the probe volume
+   * (`2 × probeRows / buildRows`) — on the measured corpus that caps at
+   * 16, the top of the flat plateau.
+   *
+   * Sampling is seeded (deterministic replay); at 100 TB the 5% default
+   * still reads every partition, so pass a smaller fraction or pre-agg —
+   * the estimate only needs the hot key's ORDER of magnitude.
+   */
+  def autoBuckets(
+      probe: DataFrame, keyCols: Seq[String], parallelism: Int,
+      sampleFraction: Double = 0.05, maxBuckets: Int = 64,
+      buildRows: Long = 0L): Int = {
+    require(parallelism >= 1 && maxBuckets >= 1)
+    val sampled =
+      if (sampleFraction >= 1.0) probe
+      else probe.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val hist = sampled
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(max(col("_n")).as("_hot"), sum(col("_n")).as("_total"))
+      .collect()(0) // 1 row: (hottest key's sample count, sample size)
+    if (hist.isNullAt(0) || hist.getLong(1) == 0L) 1
+    else {
+      val hotShare = hist.getLong(0).toDouble / hist.getLong(1)
+      val bySkew = math.ceil(hotShare * parallelism).toInt
+      val byReplication =
+        if (buildRows <= 0L) Int.MaxValue
+        else {
+          val probeRowsEst = hist.getLong(1) / math.min(1.0, sampleFraction)
+          math.max(1, (2.0 * probeRowsEst / buildRows).toInt)
+        }
+      math.max(1, math.min(math.min(maxBuckets, byReplication), bySkew))
+    }
+  }
+
+  /** [[saltedAsOf]] with [[autoBuckets]] wired in — both terms of the
+    * law: the probe histogram gives the skew term, `marks.count()` (one
+    * scan of the SMALL side) gives the replication cap. 1 derived bucket
+    * short-circuits to the plain native merge (no mark replication). */
+  def saltedAsOfAuto(
+      probe: DataFrame, marks: DataFrame, keyCols: Seq[String],
+      probeTs: String, markTs: String, payloadCols: Seq[String],
+      probeSaltCol: Column, maxBuckets: Int = 64,
+      sampleFraction: Double = 0.05, forward: Boolean = false): DataFrame = {
+    val parallelism =
+      try probe.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: NumberFormatException =>
+        probe.sparkSession.sparkContext.defaultParallelism }
+    val buckets = autoBuckets(
+      probe, keyCols, parallelism, sampleFraction, maxBuckets,
+      buildRows = marks.count())
+    if (buckets <= 1) {
+      if (forward)
+        graft.operators.TimeJoins.asOfForwardMerge(
+          probe, marks, keyCols, probeTs, markTs, payloadCols)
+      else
+        graft.operators.TimeJoins.asOfBackwardMerge(
+          probe, marks, keyCols, probeTs, markTs, payloadCols)
+    } else
+      saltedAsOf(probe, marks, keyCols, probeTs, markTs, payloadCols,
+        probeSaltCol, buckets, forward)
+  }
+
   def saltedAsOf(
       probe: DataFrame, marks: DataFrame, keyCols: Seq[String],
       probeTs: String, markTs: String, payloadCols: Seq[String],

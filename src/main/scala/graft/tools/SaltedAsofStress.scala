@@ -85,6 +85,17 @@ object SaltedAsofStress {
         probeSaltCol = col("probe_id"), buckets = buckets)
         .write.mode("overwrite").format("noop").save(); 0L
     }
+    // the automated knob, both terms: skew (hotShare x parallelism)
+    // capped by the replication budget (2 x probes / marks)
+    val autoB = Skew.autoBuckets(probes, Seq("key"), parallelism = 32,
+      buildRows = marks.count())
+    println(s"[salted-asof] autoBuckets derived $autoB " +
+      s"(skew term ceil(${hotPct}% x 32), replication cap 2 x probes/marks)")
+    timed(s"salted merge (auto: $autoB buckets)") {
+      Skew.saltedAsOfAuto(probes, marks, Seq("key"), "t", "t", Seq("mark"),
+        probeSaltCol = col("probe_id"))
+        .write.mode("overwrite").format("noop").save(); 0L
+    }
     spark.stop()
   }
 }

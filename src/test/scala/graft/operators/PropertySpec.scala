@@ -95,9 +95,39 @@ class PropertySpec extends SparkSpec {
             val salted = run(Skew.saltedAsOf(probe, marks, Seq("k"), "t", "mt",
               Seq("payload"), col("row_id"), buckets = 4, forward = fwd))
             assert(salted == plain, s"forward=$fwd")
+            // the auto-bucket wrapper must preserve the same identity
+            // whatever bucket count its histogram sample derives
+            val auto = run(Skew.saltedAsOfAuto(probe, marks, Seq("k"), "t", "mt",
+              Seq("payload"), col("row_id"), sampleFraction = 1.0, forward = fwd))
+            assert(auto == plain, s"auto forward=$fwd")
           }
         }
     }
+  }
+
+  test("autoBuckets: sized to the hot key's mass, 1 on uniform keys") {
+    // 90% of 2000 rows on one key, parallelism 32 -> ceil(0.9*32) = 29
+    val skewed = (0 until 2000).map(i =>
+      (if (i % 10 != 0) "hot" else s"cold${i % 7}", i.toLong)).toDF("k", "row_id")
+    val b = Skew.autoBuckets(skewed, Seq("k"), parallelism = 32, sampleFraction = 1.0)
+    assert(b == 29, s"derived $b")
+    // uniform: hottest share ~1/16 -> ceil(2) = 2 at parallelism 32,
+    // and exactly 1 at parallelism <= 16 (no replication cost)
+    val uniform = (0 until 1600).map(i => (s"k${i % 16}", i.toLong)).toDF("k", "row_id")
+    assert(Skew.autoBuckets(uniform, Seq("k"), parallelism = 16, sampleFraction = 1.0) == 1)
+    // cap respected
+    assert(Skew.autoBuckets(skewed, Seq("k"), parallelism = 1000,
+      sampleFraction = 1.0, maxBuckets = 64) == 64)
+    // replication term: 2000 probes / 500 build rows caps at 2*2000/500=8
+    // even though the skew term alone says 29
+    assert(Skew.autoBuckets(skewed, Seq("k"), parallelism = 32,
+      sampleFraction = 1.0, buildRows = 500L) == 8)
+    // a build side bigger than the probes refuses to salt at all
+    assert(Skew.autoBuckets(skewed, Seq("k"), parallelism = 32,
+      sampleFraction = 1.0, buildRows = 5000L) == 1)
+    // empty probe: the unsalted plan
+    assert(Skew.autoBuckets(skewed.where(lit(false)), Seq("k"), parallelism = 32,
+      sampleFraction = 1.0) == 1)
   }
 
   test("property: repetition metrics equal brute-force bigram counting") {
