@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CharGramSketch, HyperplaneBuckets, LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords, StringArrayCountMatches, WordShingleHashes, WordShingleMinhash}
+import graft.functions.expressions.{CharGramSketch, HyperplaneBuckets, LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords, StringArrayCountMatches, TickDecode, TickEncode, WordShingleHashes, WordShingleMinhash}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's custom
@@ -82,6 +82,15 @@ object GraftExtensions {
           "graft_lsh_buckets(quantizedVec, numBandsLiteral, planesPerBandLiteral, dimsLiteral)")
         HyperplaneBuckets(children.head, children(1).eval().toString.toInt,
           children(2).eval().toString.toInt, children(3).eval().toString.toInt)
+      }),
+    (FunctionIdentifier("graft_tick_encode"),
+      new ExpressionInfo(classOf[TickEncode].getName, "graft_tick_encode"),
+      (children: Seq[Expression]) => TickEncode(children)),
+    (FunctionIdentifier("graft_tick_decode"),
+      new ExpressionInfo(classOf[TickDecode].getName, "graft_tick_decode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_tick_decode(binary)")
+        TickDecode(children.head)
       }),
     (FunctionIdentifier("graft_count_matches"),
       new ExpressionInfo(classOf[StringArrayCountMatches].getName, "graft_count_matches"),

@@ -1,0 +1,159 @@
+package graft.functions.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Fixed-width binary tick codec for the topic bus — the consumer-side
+ * answer to the measured 7× producer/consumer throughput gap
+ * (BASELINE.md r6: 430k produce vs 62k consume rec/s): the JSON payload
+ * spends the decode stage in per-record Jackson parsing and decimal
+ * string conversion, while this layout decodes with eight buffer reads.
+ * Both directions are codegen'd Catalyst expressions (the engine's
+ * kernel pattern — no UDF in the hot path), so encode/decode fuse into
+ * the producer/consumer stages' generated Java.
+ *
+ * Wire layout (big-endian, 47 bytes + symbol):
+ *   [1B version=1][8B ts_ms][8B bid unscaled][8B ask unscaled]
+ *   [8B last unscaled][4B bid_size][4B ask_size][4B last_size]
+ *   [2B symLen][symbol UTF-8]
+ * Prices travel as Decimal(10,4) unscaled longs — exact, no float
+ * rounding, same as the parquet schema's decimals. A malformed or
+ * wrong-version record decodes to NULL (the `from_json` contract), so
+ * the validation/quarantine split downstream handles bus corruption the
+ * same way it handles bad JSON.
+ */
+object TickBinaryCodec {
+
+  val Version: Byte = 1
+  private val HeaderLen = 47
+
+  val payloadType: StructType = new StructType()
+    .add("ts_ms", LongType)
+    .add("symbol", StringType)
+    .add("bid_price", DecimalType(10, 4)).add("bid_size", IntegerType)
+    .add("ask_price", DecimalType(10, 4)).add("ask_size", IntegerType)
+    .add("last_price", DecimalType(10, 4)).add("last_size", IntegerType)
+
+  /** Per-row encode kernel; called from generated code. */
+  def encode(
+      tsMs: Long, symbol: UTF8String,
+      bid: Decimal, bidSize: Int, ask: Decimal, askSize: Int,
+      last: Decimal, lastSize: Int): Array[Byte] = {
+    val sym = symbol.getBytes
+    require(sym.length <= Short.MaxValue, "symbol too long for the tick codec")
+    val out = new Array[Byte](HeaderLen + sym.length)
+    val b = ByteBuffer.wrap(out)
+    b.put(Version)
+    b.putLong(tsMs)
+    b.putLong(bid.toUnscaledLong)
+    b.putLong(ask.toUnscaledLong)
+    b.putLong(last.toUnscaledLong)
+    b.putInt(bidSize); b.putInt(askSize); b.putInt(lastSize)
+    b.putShort(sym.length.toShort)
+    b.put(sym)
+    out
+  }
+
+  /** Per-row decode kernel; null on malformed input (the from_json
+    * contract — the quarantine split owns bus corruption). */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < HeaderLen || bytes(0) != Version) return null
+    val b = ByteBuffer.wrap(bytes)
+    b.get() // version, checked above
+    val tsMs = b.getLong
+    val bid = Decimal.createUnsafe(b.getLong, 10, 4)
+    val ask = Decimal.createUnsafe(b.getLong, 10, 4)
+    val last = Decimal.createUnsafe(b.getLong, 10, 4)
+    val bidSize = b.getInt; val askSize = b.getInt; val lastSize = b.getInt
+    val symLen = b.getShort.toInt
+    if (symLen < 0 || bytes.length != HeaderLen + symLen) return null
+    val sym = UTF8String.fromBytes(bytes, HeaderLen, symLen)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](tsMs, sym, bid, bidSize, ask, askSize, last, lastSize))
+  }
+}
+
+/** `graft_tick_encode(ts_ms, symbol, bid, bid_size, ask, ask_size, last,
+  * last_size)` → binary. Null if ANY field is null (a tick with a hole
+  * is not encodable; the producer validates upstream). */
+case class TickEncode(children: Seq[Expression]) extends Expression {
+
+  private val expected: Seq[DataType] = Seq(
+    LongType, StringType,
+    DecimalType(10, 4), IntegerType,
+    DecimalType(10, 4), IntegerType,
+    DecimalType(10, 4), IntegerType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.length != 8)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_tick_encode expects 8 args, got ${children.length}")
+    else children.map(_.dataType).zip(expected).zipWithIndex.collectFirst {
+      case ((got, want), i) if got != want =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_tick_encode arg ${i + 1}: expected ${want.simpleString}, got ${got.simpleString(5)}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "graft_tick_encode"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else TickBinaryCodec.encode(
+      vs(0).asInstanceOf[Long], vs(1).asInstanceOf[UTF8String],
+      vs(2).asInstanceOf[Decimal], vs(3).asInstanceOf[Int],
+      vs(4).asInstanceOf[Decimal], vs(5).asInstanceOf[Int],
+      vs(6).asInstanceOf[Decimal], vs(7).asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(e => s"${e.isNull}").mkString(" || ")
+    val args = evals.map(e => s"${e.value}").mkString(", ")
+    ev.copy(code = code"""
+      ${evals.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $anyNull;
+      byte[] ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expressions.TickBinaryCodec.encode($args);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** `graft_tick_decode(binary)` → the tick payload struct; null on
+  * malformed bytes (the from_json contract). */
+case class TickDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_tick_decode expects binary, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = TickBinaryCodec.payloadType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tick_decode"
+
+  override def nullSafeEval(input: Any): Any =
+    TickBinaryCodec.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.expressions.TickBinaryCodec.decode($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -67,14 +67,19 @@ object IngestStream {
    */
   def topicTicks(
       spark: SparkSession, topicRoot: String, topic: String,
-      maxRecordsPerBatch: Option[Long] = None): DataFrame = {
+      maxRecordsPerBatch: Option[Long] = None,
+      codec: String = "json"): DataFrame = {
     val reader = spark.readStream
       .format("topiclog")
       .option("path", topicRoot)
       .option("topic", topic)
-    decodeTickValues(
-      maxRecordsPerBatch.fold(reader)(m =>
-        reader.option("maxRecordsPerBatch", m.toString)).load())
+    val records = maxRecordsPerBatch.fold(reader)(m =>
+      reader.option("maxRecordsPerBatch", m.toString)).load()
+    codec match {
+      case "json" => decodeTickValues(records)
+      case "binary" => decodeTickValuesBinary(records)
+      case other => throw new IllegalArgumentException(s"unknown tick codec: $other")
+    }
   }
 
   /** The tick decode law over any Kafka-schema frame (streaming or
@@ -88,6 +93,25 @@ object IngestStream {
       .add("last_price", Schemas.PriceType).add("last_size", "int")
     records
       .select(from_json(col("value").cast("string"), payload).as("t"))
+      .select(
+        timestamp_millis(col("t.ts_ms")).as("timestamp"),
+        col("t.symbol").as("symbol"),
+        col("t.bid_price").as("bid_price"), col("t.bid_size").as("bid_size"),
+        col("t.ask_price").as("ask_price"), col("t.ask_size").as("ask_size"),
+        col("t.last_price").as("last_price"), col("t.last_size").as("last_size"))
+  }
+
+  /** The BINARY decode twin of [[decodeTickValues]] — the fixed-width
+   *  codegen codec ([[graft.functions.expressions.TickBinaryCodec]]),
+   *  built for the measured decode bottleneck on the bus consumer
+   *  (BASELINE.md r6: JSON decode held consume at ~62k rec/s against a
+   *  430k rec/s producer). Same null-on-malformed contract as from_json,
+   *  so the validation/quarantine split downstream is unchanged. */
+  def decodeTickValuesBinary(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    records
+      .select(Bridge.column(graft.functions.expressions.TickDecode(
+        Bridge.expression(col("value")))).as("t"))
       .select(
         timestamp_millis(col("t.ts_ms")).as("timestamp"),
         col("t.symbol").as("symbol"),
@@ -117,29 +141,45 @@ object IngestStream {
       topic: String,
       partitions: Int,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      codec: String = "json"): StreamingQuery = {
     require(partitions >= 1, "a topic needs >= 1 partitions")
     ticks.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeBatchToTopic(batch, topicRoot, topic, partitions)
+        writeBatchToTopic(batch, topicRoot, topic, partitions, codec)
       }
       .start()
   }
 
   /** One batch → topic append (shared by the streaming sink and batch
-    * producers). Exposed for direct batch use. */
+    * producers). Exposed for direct batch use. `codec`: "json" (the
+    * interop default — any consumer can read it) or "binary" (the
+    * fixed-width codegen codec; pair with `topicTicks(codec="binary")`
+    * — ~an order of magnitude cheaper to decode, see BASELINE.md r7). */
   def writeBatchToTopic(
-      batch: DataFrame, topicRoot: String, topic: String, partitions: Int): Unit = {
+      batch: DataFrame, topicRoot: String, topic: String, partitions: Int,
+      codec: String = "json"): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val valueCol = codec match {
+      case "json" => to_json(struct(
+        col("_ts_ms").as("ts_ms"), col("symbol"),
+        col("bid_price"), col("bid_size"), col("ask_price"), col("ask_size"),
+        col("last_price"), col("last_size"))).cast("binary")
+      case "binary" => Bridge.column(graft.functions.expressions.TickEncode(
+        Seq(col("_ts_ms"), col("symbol"),
+          col("bid_price").cast(Schemas.PriceType), col("bid_size"),
+          col("ask_price").cast(Schemas.PriceType), col("ask_size"),
+          col("last_price").cast(Schemas.PriceType), col("last_size"))
+          .map(Bridge.expression)))
+      case other => throw new IllegalArgumentException(s"unknown tick codec: $other")
+    }
     val routed = batch
       .withColumn("_p", pmod(hash(col("symbol")), lit(partitions)).cast("int"))
       .withColumn("_key", col("symbol").cast("binary"))
       .withColumn("_ts_ms", unix_millis(col("timestamp")))
-      .withColumn("_value", to_json(struct(
-        col("_ts_ms").as("ts_ms"), col("symbol"),
-        col("bid_price"), col("bid_size"), col("ask_price"), col("ask_size"),
-        col("last_price"), col("last_size"))).cast("binary"))
+      .withColumn("_value", valueCol)
       .select(col("_p"), col("_key"), col("_value"), col("_ts_ms"))
       // one Spark partition per topic partition id -> single writer per
       // log partition within the batch (the TopicLog leader rule)

@@ -51,26 +51,37 @@ object TopicThroughputStress {
       lit(3).as("last_size"))
       .localCheckpoint(true)
 
-    val t0 = System.nanoTime()
-    IngestStream.writeBatchToTopic(ticks, root, "ticks", parts)
-    val produceSec = (System.nanoTime() - t0) / 1e9
-    val counts = TopicLog.latestOffsets(root, "ticks")
-    println(f"[topic-stress] produced ${counts.values.sum} records into " +
-      f"${counts.size} partitions in $produceSec%.1f s " +
-      f"(${counts.values.sum / produceSec}%.0f rec/s)")
+    for (codec <- Seq("json", "binary")) {
+      val topic = s"ticks_$codec"
+      val codecLake = s"$lake/$codec"
+      val codecCkpt = s"$ckpt/$codec"
+      val t0 = System.nanoTime()
+      IngestStream.writeBatchToTopic(ticks, root, topic, parts, codec)
+      val produceSec = (System.nanoTime() - t0) / 1e9
+      val counts = TopicLog.latestOffsets(root, topic)
+      println(f"[topic-stress] $codec: produced ${counts.values.sum} records into " +
+        f"${counts.size} partitions in $produceSec%.1f s " +
+        f"(${counts.values.sum / produceSec}%.0f rec/s)")
 
-    val t1 = System.nanoTime()
-    val q = IngestStream.start(
-      IngestStream.topicTicks(spark, root, "ticks", Some(maxPer)),
-      lake, ckpt, Trigger.AvailableNow())
-    q.awaitTermination(600000L)
-    val consumeSec = (System.nanoTime() - t1) / 1e9
-    val batches = q.recentProgress.count(_.numInputRows > 0)
-    val rows = spark.read.parquet(lake).count()
-    println(f"[topic-stress] consumed $rows records in $consumeSec%.1f s " +
-      f"(${rows / consumeSec}%.0f rec/s) across $batches bounded batches " +
-      f"(cap $maxPer)")
-    require(rows == n, s"lost records: $rows != $n")
+      val t1 = System.nanoTime()
+      val q = IngestStream.start(
+        IngestStream.topicTicks(spark, root, topic, Some(maxPer), codec),
+        codecLake, codecCkpt, Trigger.AvailableNow())
+      q.awaitTermination(600000L)
+      val consumeSec = (System.nanoTime() - t1) / 1e9
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      val rows = spark.read.parquet(codecLake).count()
+      println(f"[topic-stress] $codec: consumed $rows records in $consumeSec%.1f s " +
+        f"(${rows / consumeSec}%.0f rec/s) across $batches bounded batches " +
+        f"(cap $maxPer)")
+      require(rows == n, s"lost records ($codec): $rows != $n")
+    }
+    // the two lakes must agree row for row: codecs change bytes, not data
+    val j = spark.read.parquet(s"$lake/json")
+    val b = spark.read.parquet(s"$lake/binary")
+    require(j.exceptAll(b).isEmpty && b.exceptAll(j).isEmpty,
+      "json and binary codec lakes disagree")
+    println("[topic-stress] json and binary lakes row-identical")
     spark.stop()
   }
 }

@@ -344,4 +344,45 @@ class TopicLogSourceSpec extends SparkSpec {
     assert(out.head.getAs[String]("symbol") == nasty) // NOT an all-null reject row
     assert(out.head.getAs[java.math.BigDecimal]("last_price") != null)
   }
+
+  test("binary tick codec: stream round-trip equals the JSON path; malformed rejects") {
+    val spark = this.spark
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("topiclog-codec")
+    val ticks = spark.range(200).select(
+      timestamp_millis(lit(1704067200000L) + col("id") * 100L).as("timestamp"),
+      concat(lit("SYM"), pmod(col("id"), lit(3))).as("symbol"),
+      lit(BigDecimal("15999.8750")).cast(graft.core.Schemas.PriceType).as("bid_price"),
+      lit(7).as("bid_size"),
+      lit(BigDecimal("16000.1250")).cast(graft.core.Schemas.PriceType).as("ask_price"),
+      lit(9).as("ask_size"),
+      lit(BigDecimal("16000.0000")).cast(graft.core.Schemas.PriceType).as("last_price"),
+      lit(3).as("last_size"))
+    IngestStream.writeBatchToTopic(ticks, root, "tj", 2, codec = "json")
+    IngestStream.writeBatchToTopic(ticks, root, "tb", 2, codec = "binary")
+    def drain(topic: String, codec: String) = {
+      val out = tmpDir(s"codec-out-$codec")
+      val ckpt = tmpDir(s"codec-ckpt-$codec")
+      val q = IngestStream.start(
+        IngestStream.topicTicks(spark, root, topic, None, codec),
+        out, ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(120000L)
+      spark.read.parquet(out).drop("date")
+    }
+    val j = drain("tj", "json")
+    val b = drain("tb", "binary")
+    assert(j.count() == 200 && b.count() == 200)
+    assert(j.exceptAll(b).isEmpty && b.exceptAll(j).isEmpty)
+    // malformed binary records decode to null (the from_json contract)
+    TopicLog.append(root, "tb2", 0, bytes("k"), Array[Byte](9, 9, 9), 1L)
+    TopicLog.append(root, "tb2", 0, bytes("k"),
+      Array.fill[Byte](60)(0), 2L) // right length class, wrong version
+    val decoded = IngestStream.decodeTickValuesBinary(
+      spark.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(Array[Byte](1, 2, 3)): org.apache.spark.sql.Row),
+        new org.apache.spark.sql.types.StructType()
+          .add("value", org.apache.spark.sql.types.BinaryType))).collect()
+    assert(decoded.length == 1 && decoded.head.isNullAt(1)) // null symbol -> reject path
+  }
 }
