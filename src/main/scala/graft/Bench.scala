@@ -69,7 +69,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full line to a file: the r6 driver artifact kept
+    // only the tail of stdout and lost 75 of 135 per-query medians — a
+    // committed file makes every bench reproducible from the repo.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"tools/bench_${java.time.LocalDate.now()}_${System.currentTimeMillis() / 1000 % 86400}.json")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out).getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      System.err.println(s"[bench] full JSON persisted to $out")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not persist JSON: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -2111,6 +2111,29 @@ object SparkEntry {
       graft.operators.Bpe.mergeStep(t(s, dir, "documents"), "text", k = 20)
         .orderBy(col("rank"))),
 
+    // Q137 — manifest-pruned lake scan, end to end: compact lineitem
+    // into 32 z-ordered files + per-file min/max manifest (one
+    // maintenance pass), then serve a (l_partkey, l_suppkey) box through
+    // LakeManifest.readPruned — files addressed by explicit path from
+    // the driver-cached snapshot, the data directory never listed, only
+    // manifest-overlapping files opened. The oracle is the plain filter:
+    // pruning must be invisible to results.
+    "q137_manifest_pruned_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val lake = java.nio.file.Files.createTempDirectory("q137_lake").toString
+      graft.sources.LakeManifest.optimize(
+        li, lake, "l_partkey", "l_suppkey", numFiles = 32, bits = 21)
+      graft.sources.LakeManifest.readPruned(s, lake,
+          Map("l_partkey" -> (1L, 1000L), "l_suppkey" -> (1L, 50L)))
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // Q136 — the BPE TRAINER loop (q133 iterated): 5 rounds of
     // count → argmax → greedy merge-apply over the weighted vocabulary.
     // One corpus scan total; each round is vocabulary-sized with a 1-row
@@ -4042,6 +4065,16 @@ object SparkEntry {
 
       // the trainer loop replay (see bpeTrainOracleSql scaladoc)
       "q136_bpe_train" -> bpeTrainOracleSql(5),
+
+      // the pruned read must equal the plain filter — pruning is layout,
+      // not semantics
+      "q137_manifest_pruned_scan" ->
+        """SELECT l_suppkey,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n_rows
+          |FROM lineitem
+          |WHERE l_partkey BETWEEN 1 AND 1000 AND l_suppkey BETWEEN 1 AND 50
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // replays the Morton interleave term-for-term (bit positions don't
       // overlap, so + == bitwise-or on both engines)

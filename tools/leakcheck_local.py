@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Self-scan for non-public references, with provenance.
+
+The driver-side LEAKCHECK artifact carries no commit hash or timestamp,
+so a re-scan is indistinguishable from a relabel (r5/r6 ADVICE nit).
+This local twin runs the same class of scan over the repo's tracked
+sources and stamps WHAT was scanned: commit, dirty-file count, UTC time.
+
+Categories scanned (everything in this repo must derive from public
+knowledge only): cloud bucket URIs, internal-looking hostnames/URLs,
+non-public package roots, credential-shaped strings, and environment
+variables that are not Spark/JVM/SBT/public ones.
+
+Usage: python3 tools/leakcheck_local.py   (writes LEAKCHECK_LOCAL.json)
+"""
+import json
+import re
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+PATTERNS = {
+    "bucket_uri": re.compile(r"\b(?:s3|s3a|gs|wasbs?|abfss?|oss|cos)://[\w.-]+"),
+    "internal_host": re.compile(
+        r"\b[\w.-]+\.(?:corp|internal|intranet|private)\b|\binternal\.[\w.-]+\.(?:com|net|io)\b"),
+    "nonpublic_import": re.compile(
+        r"^\s*import\s+(?!java\.|javax\.|scala\.|org\.apache\.|org\.scalatest\.|"
+        r"org\.scalacheck\.|graft\.|org\.slf4j\.)[a-z][\w.]+\.[A-Z]", re.M),
+    "credential": re.compile(
+        r"(?i)\b(?:api[_-]?key|secret[_-]?key|password|token)\s*[:=]\s*[\"'][^\"']{8,}"),
+    "env_var": re.compile(r"sys\.env(?:\.get(?:OrElse)?)?\(\"(?!SPARK_|JAVA_|SBT_|PATH)"),
+}
+
+ALLOW = {
+    # RESP protocol doc strings, spec fixtures, and the skill file are not leaks
+    "env_var": re.compile(r"SPARK_GRAFT_"),
+}
+
+
+def tracked_sources():
+    out = subprocess.run(
+        ["git", "-C", str(REPO), "ls-files"], capture_output=True, text=True, check=True)
+    for rel in out.stdout.splitlines():
+        p = REPO / rel
+        if p.suffix in {".scala", ".py", ".md", ".sbt", ".json"} and p.is_file():
+            yield rel, p
+
+
+def main():
+    hits = []
+    n_files = 0
+    for rel, p in tracked_sources():
+        n_files += 1
+        try:
+            text = p.read_text(errors="replace")
+        except OSError:
+            continue
+        for cat, rx in PATTERNS.items():
+            for m in rx.finditer(text):
+                frag = m.group(0)
+                if cat in ALLOW and ALLOW[cat].search(frag):
+                    continue
+                line = text.count("\n", 0, m.start()) + 1
+                hits.append({"category": cat, "file": rel, "line": line,
+                             "match": frag[:120]})
+    commit = subprocess.run(
+        ["git", "-C", str(REPO), "rev-parse", "HEAD"],
+        capture_output=True, text=True, check=True).stdout.strip()
+    dirty = subprocess.run(
+        ["git", "-C", str(REPO), "status", "--porcelain"],
+        capture_output=True, text=True, check=True).stdout.splitlines()
+    artifact = {
+        "commit": commit,
+        "dirty_files": len(dirty),
+        "scanned_at_utc": datetime.now(timezone.utc).isoformat(),
+        "files_scanned": n_files,
+        "n_hits": len(hits),
+        "hits": hits,
+    }
+    out = REPO / "LEAKCHECK_LOCAL.json"
+    out.write_text(json.dumps(artifact, indent=2) + "\n")
+    print(f"[leakcheck] {n_files} files, {len(hits)} hits -> {out.name} "
+          f"@ {commit[:10]} ({len(dirty)} dirty)")
+    return 0 if not hits else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
