@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -74,6 +76,63 @@ object LakeManifest {
   def write(spark: SparkSession, dir: String, statCols: Seq[String])(
       implicit d: DummyImplicit): Unit =
     write(spark, dir, statCols.map(c => c -> col(c)))
+
+  /**
+   * Incremental refresh after appends: scan ONLY data files absent from
+   * the current manifest and union their stats in — cost proportional to
+   * the NEW data, not the lake. The write side lists the directory once
+   * (maintenance may list; it is the READ path the manifest keeps
+   * listing-free); membership compares parquet file NAMES, which Spark
+   * writers make globally unique. The dimensions indexed are the ones
+   * already in the manifest — schema drift in the stat set requires a
+   * full [[write]]. Returns the number of newly indexed files.
+   *
+   * The merged manifest routes through the driver (old rows `collect` +
+   * new stats `collect`) — bounded by numFiles like every manifest op —
+   * so the rewrite never reads the parquet it is replacing.
+   */
+  def refresh(
+      spark: SparkSession, dir: String,
+      stats: Seq[(String, Column)]): Int = {
+    require(stats.nonEmpty, "at least one stat column")
+    val manifest = read(spark, dir)
+    val oldRows = manifest.collect() // ≤ numFiles
+    val known = oldRows.map(r =>
+      r.getString(r.fieldIndex("file")).split('/').last).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          !known(n)
+      }
+    if (fresh.isEmpty) return 0
+    val aggs = count(lit(1)).as("n_rows") +: stats.flatMap { case (name, c) =>
+      Seq(min(c).as(s"min_$name"), max(c).as(s"max_$name"))
+    }
+    val newRows = spark.read
+      .schema(DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
+      .parquet(fresh.map(_.toString).toIndexedSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val merged = spark.createDataFrame(
+      new java.util.ArrayList[Row]((oldRows ++ newRows).toSeq.asJava),
+      manifest.schema)
+    merged.repartition(1).write.mode("overwrite").parquet(filesPath(dir))
+    snapshots.remove(dir)
+    fresh.length
+  }
+
+  private def readSchemaJson(spark: SparkSession, dir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(schemaPath(dir)))
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
+  }
 
   /** The manifest table itself (operator diagnostics / audits). */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -169,15 +228,10 @@ object LakeManifest {
       val dim = exprs.getOrElse(name, col(name))
       dim >= lit(lo) && dim <= lit(hi)
     }.reduce(_ && _)
-    if (files.isEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(new org.apache.hadoop.fs.Path(schemaPath(dir)))
-      val schemaJson =
-        try new String(in.readAllBytes(), UTF_8) finally in.close()
+    if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
-        DataType.fromJson(schemaJson).asInstanceOf[StructType])
-    } else spark.read.parquet(files.toIndexedSeq: _*).where(rowFilter)
+        DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
+    else spark.read.parquet(files.toIndexedSeq: _*).where(rowFilter)
   }
 }

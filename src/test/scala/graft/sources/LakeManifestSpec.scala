@@ -103,4 +103,24 @@ class LakeManifestSpec extends SparkSpec {
     // one symbol bucket x one hour of minutes -> a strict file subset
     assert(pruned.inputFiles.length < spark.read.parquet(out).inputFiles.length)
   }
+
+  test("refresh: appended files index incrementally; pruned reads see them") {
+    val dir = tmpDir("manifest-refresh")
+    val dims = Seq("a" -> col("a"), "b" -> col("b"))
+    LakeManifest.optimize(corpus(10000L), dir, "a", "b", numFiles = 8, bits = 9)
+    assert(LakeManifest.refresh(spark, dir, dims) == 0) // no new files: no-op
+    // append a 2-file batch with keys outside the existing [0, 256) domain
+    spark.range(1000).select(
+        (col("id") + 100000L).as("id"), lit(300L).as("a"), lit(300L).as("b"))
+      .coalesce(2).write.mode("append").parquet(dir)
+    assert(LakeManifest.refresh(spark, dir, dims) == 2) // ONLY the new files scanned
+    val m = LakeManifest.read(spark, dir)
+    assert(m.count() == spark.read.parquet(dir).inputFiles.length.toLong)
+    assert(m.agg(sum(col("n_rows"))).collect()(0).getLong(0) == 11000L)
+    // a probe inside the appended range opens exactly the appended files
+    val pruned = LakeManifest.readPruned(spark, dir,
+      Map("a" -> (300L, 300L), "b" -> (300L, 300L)))
+    assert(pruned.count() == 1000L)
+    assert(pruned.inputFiles.length == 2)
+  }
 }
