@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The binary tick codec kernels in isolation: exact round-trip
+  * (decimals bit-exact, multibyte symbols), SQL reachability through the
+  * registered functions, and the null-on-malformed decode contract. */
+class TickBinaryCodecSpec extends SparkSpec {
+
+  test("encode/decode round-trip is exact, including multibyte symbols") {
+    graft.GraftExtensions.activate(spark)
+    val df = spark.range(3).select(
+      (lit(1700000000000L) + col("id")).as("ts_ms"),
+      concat(lit("納NQ_"), col("id")).as("symbol"), // multibyte + ascii
+      lit(BigDecimal("-99999.9999")).cast("decimal(10,4)").as("bid"),
+      lit(Int.MaxValue).as("bid_size"),
+      lit(BigDecimal("999999.9999")).cast("decimal(10,4)").as("ask"),
+      lit(0).as("ask_size"),
+      lit(BigDecimal("0.0001")).cast("decimal(10,4)").as("last"),
+      lit(-7).as("last_size"))
+    val out = df.selectExpr(
+      """graft_tick_decode(graft_tick_encode(
+           ts_ms, symbol, bid, bid_size, ask, ask_size, last, last_size)) AS t""")
+      .select("t.*").collect()
+    assert(out.length == 3)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == 1700000000000L + i)
+      assert(r.getString(1) == s"納NQ_$i")
+      assert(r.getDecimal(2).toPlainString == "-99999.9999")
+      assert(r.getInt(3) == Int.MaxValue)
+      assert(r.getDecimal(4).toPlainString == "999999.9999")
+      assert(r.getInt(5) == 0)
+      assert(r.getDecimal(6).toPlainString == "0.0001")
+      assert(r.getInt(7) == -7)
+    }
+  }
+
+  test("decode: malformed, truncated, and wrong-version payloads are null") {
+    graft.GraftExtensions.activate(spark)
+    val cases = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      Array[Byte](1, 2, 3),                  // too short
+      Array.fill[Byte](47)(0),               // wrong version (0)
+      Array[Byte](1) ++ Array.fill[Byte](46)(0) ++ Array[Byte](9)) // symLen 0 but extra byte
+    import spark.implicits._
+    val out = cases.toDF("value")
+      .selectExpr("graft_tick_decode(value) AS t").collect()
+    assert(out.forall(_.isNullAt(0)))
+    // a valid zero-symbol payload still decodes (symLen 0 is legal)
+    val ok = Seq(Array[Byte](1) ++ Array.fill[Byte](46)(0)).toDF("value")
+      .selectExpr("graft_tick_decode(value) AS t").collect()
+    assert(!ok.head.isNullAt(0))
+    assert(ok.head.getStruct(0).getString(1) == "")
+  }
+}
