@@ -2134,6 +2134,21 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // Q138 — tokenize with the trained vocab (q136's consumer): train 5
+    // merges, then per-doc token counts — merges applied once per
+    // DISTINCT word (vocabulary-sized fold), occurrences equi-join the
+    // word -> n_tokens map. The oracle replays training (the q136 CTE
+    // chain) and counts surviving symbols per word from the same
+    // space-framed encoding.
+    "q138_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", nMerges = 5)
+        .orderBy(col("merge_rank")).collect() // bounded: 5 rows
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // Q136 — the BPE TRAINER loop (q133 iterated): 5 rounds of
     // count → argmax → greedy merge-apply over the weighted vocabulary.
     // One corpus scan total; each round is vocabulary-sized with a 1-row
@@ -2167,6 +2182,25 @@ object SparkEntry {
        |v0 AS (SELECT w, freq, array_to_string(list_transform(regexp_extract_all(w, '.'), c -> ' ' || c || ' '), '') AS enc FROM vocab),
        |$stages
        |SELECT merge_rank, "left", "right", pair_count FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Bpe.tokenCounts]] over a
+    * [[graft.operators.Bpe.train]]-ed vocab: the q136 CTE chain to state
+    * v{n}, symbols-per-word from the space-framed encoding, then the
+    * per-doc join+sum (length-1 words count 1 token). */
+  private def bpeTokenizeOracleSql(nMerges: Int): String = {
+    val trainSql = bpeTrainOracleSql(nMerges)
+    // everything up to the final SELECT is the CTE chain; re-open it with
+    // a comma to append the tokenize stages
+    val ctes = trainSql.substring(0, trainSql.lastIndexOf("SELECT merge_rank"))
+      .stripTrailing() + ",\n"
+    s"""${ctes}tok AS (SELECT w, CAST(len(str_split(trim(enc), '  ')) AS BIGINT) AS wt FROM v$nMerges),
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       |agg AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN len(w) = 1 THEN 1 ELSE t.wt END) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_words
+       |  FROM dw LEFT JOIN tok t USING (w) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_words FROM agg ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = {
@@ -4065,6 +4099,9 @@ object SparkEntry {
 
       // the trainer loop replay (see bpeTrainOracleSql scaladoc)
       "q136_bpe_train" -> bpeTrainOracleSql(5),
+
+      // tokenize under the trained vocab (see bpeTokenizeOracleSql)
+      "q138_bpe_tokenize" -> bpeTokenizeOracleSql(5),
 
       // the pruned read must equal the plain filter — pruning is layout,
       // not semantics

@@ -150,4 +150,50 @@ object Bpe {
     }
     merges.result().toDF("merge_rank", "left", "right", "pair_count")
   }
+
+  /**
+   * TOKENIZE with a learned merge table — the consumer side of [[train]]
+   * (the pipeline op a corpus job actually runs per epoch: token counts
+   * under the trained vocab, for packing budgets and mixture weights).
+   *
+   * Distributed shape: the merge table applies to the DISTINCT-WORD
+   * vocabulary, never per occurrence — one fold of [[applyMerge]] per
+   * merge over a vocabulary-sized frame (lineage checkpoint-truncated
+   * every 8 merges), then every (doc, word) instance equi-joins the
+   * word → n_tokens map and sums per doc. Corpus-proportional work is
+   * one explode + one hash join + one aggregation; the merge-application
+   * cost is amortized over all occurrences of each word.
+   *
+   * Law: words are the [a-z]+ runs of [[train]]; a length-1 word is one
+   * token (it has no pairs and is excluded from the trained vocabulary);
+   * longer words count the symbols left after applying `merges` in rank
+   * order with the greedy [[applyMerge]] law. Docs with no words emit no
+   * row.
+   */
+  def tokenCounts(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 2)
+      .distinct()
+      .withColumn("syms", split(col("w"), ""))
+      .localCheckpoint()
+    val applied = merges.zipWithIndex.foldLeft(vocab) {
+      case (df, ((l, r), i)) =>
+        val next = df.withColumn("syms", applyMerge(col("syms"), l, r))
+        if ((i + 1) % 8 == 0) next.localCheckpoint() else next
+    }
+    val tokensPerWord = applied
+      .select(col("w"), size(col("syms")).cast("long").as("n_tokens"))
+    docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 1)
+      .join(tokensPerWord, Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(coalesce(col("n_tokens"), lit(1L))).as("n_tokens"),
+        count(lit(1)).as("n_words"))
+  }
 }

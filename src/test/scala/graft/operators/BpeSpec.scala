@@ -67,4 +67,17 @@ class BpeSpec extends SparkSpec {
     assert((loop.getString(1), loop.getString(2), loop.getLong(3)) ==
       (step.getString(1), step.getString(2), step.getLong(3)))
   }
+
+  test("tokenCounts: trained merges collapse words; length-1 words count 1") {
+    val docs = Seq((1L, "aaab aaab x"), (2L, "aaab"), (3L, "ab cd")).toDF("doc_id", "text")
+    // training on this corpus learns (a,a), (a,b), (aa,ab), (c,d); under
+    // those merges "aaab" -> [aaab] = 1 token, "ab" -> [ab] = 1,
+    // "cd" -> [cd] = 1, "x" -> 1 (length-1 law)
+    val merges = Bpe.train(docs, "text", nMerges = 4)
+      .orderBy("merge_rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 3L), (2L, 1L, 1L), (3L, 2L, 2L)))
+  }
 }
