@@ -1481,13 +1481,36 @@ object SparkEntry {
     // interpolated percentile array ⇄ DuckDB quantile_cont list — the
     // q32 bridge, nine points per group.
     "q103_decile_drift" -> ((s, dir) => {
-      val ps = array((1 to 9).map(i => lit(i / 10.0)): _*)
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(percentile(col("value"), ps).as("qs"))
-        .select(col("event_type"), posexplode(col("qs")))
-        .select(col("event_type"), (col("pos") + 1).cast("long").as("decile"),
-          col("col").as("v"))
+      // Continuous deciles computed EXPLICITLY from order statistics:
+      // pos = (i/10) * (n-1); v = x_lo + (pos - floor(pos)) * (x_hi - x_lo).
+      // This is percentile_cont's exact definition, but spelled out so
+      // BOTH engines run the identical IEEE operation sequence — the
+      // builtin pair (Spark `percentile` / DuckDB `quantile_cont`)
+      // computes the same math with a different op order and diverged by
+      // 1 ULP on one sf0.1 row (the r7 gate's only red). Order ties are
+      // harmless: equal values interpolate to the same v either way.
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value").cast("double").as("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"))
+      val ranked = ev.withColumn("r", row_number().over(w).cast("long") - 1L)
+      val grid = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          explode(sequence(lit(1), lit(9))).as("decile"))
+        .withColumn("pos",
+          (col("decile").cast("double") / lit(10.0)) * (col("n") - 1L).cast("double"))
+        .withColumn("lo", floor(col("pos")).cast("long"))
+        .withColumn("hi", least(floor(col("pos")).cast("long") + 1L, col("n") - 1L))
+      val lov = ranked.select(col("event_type").as("et1"),
+        col("r").as("r1"), col("value").as("v_lo"))
+      val hiv = ranked.select(col("event_type").as("et2"),
+        col("r").as("r2"), col("value").as("v_hi"))
+      grid
+        .join(lov, col("event_type") === col("et1") && col("lo") === col("r1"))
+        .join(hiv, col("event_type") === col("et2") && col("hi") === col("r2"))
+        .select(col("event_type"), col("decile").cast("long").as("decile"),
+          (col("v_lo") +
+            (col("pos") - floor(col("pos"))) * (col("v_hi") - col("v_lo"))).as("v"))
         .orderBy(col("event_type"), col("decile"))
     }),
 
@@ -3635,13 +3658,26 @@ object SparkEntry {
           |  CAST((n_total * w_scaled) // w_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS mix_frac
           |FROM w CROSS JOIN t ORDER BY lang""".stripMargin,
 
+      // identical IEEE op order to the Spark side (see its comment):
+      // pos = (i/10)*(n-1); v = x_lo + (pos - floor(pos))*(x_hi - x_lo)
       "q103_decile_drift" ->
-        """WITH a AS (SELECT event_type,
-          |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
-          |  FROM events GROUP BY event_type)
-          |SELECT event_type, CAST(i AS BIGINT) AS decile, qs[i] AS v
-          |FROM a CROSS JOIN (SELECT unnest(range(1, 10)) AS i) g
-          |ORDER BY event_type, decile""".stripMargin,
+        """WITH o AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)) - 1 AS r
+          |  FROM events),
+          |n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+          |g AS (SELECT event_type, n,
+          |    i, (CAST(i AS DOUBLE) / 10.0) * CAST(n - 1 AS DOUBLE) AS pos
+          |  FROM n CROSS JOIN (SELECT unnest(range(1, 10)) AS i) ix),
+          |sel AS (SELECT event_type, i, pos,
+          |    CAST(floor(pos) AS BIGINT) AS lo,
+          |    least(CAST(floor(pos) AS BIGINT) + 1, n - 1) AS hi
+          |  FROM g)
+          |SELECT s.event_type, CAST(s.i AS BIGINT) AS decile,
+          |  lo_v.value + (s.pos - floor(s.pos)) * (hi_v.value - lo_v.value) AS v
+          |FROM sel s
+          |JOIN o lo_v ON s.event_type = lo_v.event_type AND s.lo = lo_v.r
+          |JOIN o hi_v ON s.event_type = hi_v.event_type AND s.hi = hi_v.r
+          |ORDER BY s.event_type, decile""".stripMargin,
 
       // directed brute-force containment truth (prefix filter must
       // reproduce it with exact recall)

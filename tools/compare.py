@@ -153,6 +153,16 @@ def main(sf_dir, out_dir, only=()):
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        # Spark result FIRST: a missing dump must not pay for its oracle —
+        # some sf0.1 oracles run for an hour, and a partial Verify dump
+        # used to trigger every one of them just to print MISSING.
+        try:
+            spark_schema = pads.dataset(f"{out_dir}/{name}").schema
+            spark = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            failed.append((name, f"SPARK RESULT MISSING: {e}"))
+            print(f"FAIL {name}: SPARK RESULT MISSING", flush=True)
+            continue
         try:
             rel = con.sql(sql)
             duck_cols, duck_types = rel.columns, rel.types
@@ -162,12 +172,7 @@ def main(sf_dir, out_dir, only=()):
             duck = rel.arrow().to_pandas() if dec_duck else rel.fetchdf()
         except Exception as e:
             failed.append((name, f"DUCKDB ERROR: {e}"))
-            continue
-        try:
-            spark_schema = pads.dataset(f"{out_dir}/{name}").schema
-            spark = pd.read_parquet(f"{out_dir}/{name}")
-        except Exception as e:
-            failed.append((name, f"SPARK RESULT MISSING: {e}"))
+            print(f"FAIL {name}: DUCKDB ERROR", flush=True)
             continue
         sd = schema_diff(spark_schema, duck_cols, duck_types)
         if sd:
@@ -178,8 +183,10 @@ def main(sf_dir, out_dir, only=()):
         d = diff(name, canon(spark), canon(duck))
         if d:
             failed.append((name, d))
+            print(f"FAIL {name} (live): {d}", flush=True)
         else:
             passed.append((name, len(spark)))
+            print(f"pass {name} (live)", flush=True)
     for n, rows in passed:
         print(f"PASS {n} ({rows} rows)")
     for n, d in failed:
