@@ -101,7 +101,16 @@ object LakeManifest {
       r.getString(r.fieldIndex("file")).split('/').last).toSet
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    // flat lakes only (what optimize writes): a Hive-partitioned lake's
+    // files live in subdirectories this top-level listing never visits,
+    // and refresh would silently report "0 new files" — fail loudly
+    val dataDirs = entries.filter(e => e.isDirectory &&
+      !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+    require(dataDirs.isEmpty,
+      s"refresh supports flat lakes only; found partition-style subdirs: " +
+        dataDirs.take(3).map(_.getPath.getName).mkString(", "))
+    val fresh = entries
       .filter(_.isFile)
       .map(_.getPath)
       .filter { p =>

@@ -123,4 +123,16 @@ class LakeManifestSpec extends SparkSpec {
     assert(pruned.count() == 1000L)
     assert(pruned.inputFiles.length == 2)
   }
+
+  test("refresh refuses a partitioned lake instead of silently indexing nothing") {
+    val dir = tmpDir("manifest-refresh-part")
+    LakeManifest.optimize(corpus(2000L), dir, "a", "b", numFiles = 2, bits = 9)
+    // simulate a partition-style subdir landing in the lake
+    corpus(100L).withColumn("p", lit("x"))
+      .write.partitionBy("p").mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      LakeManifest.refresh(spark, dir, Seq("a" -> col("a"), "b" -> col("b")))
+    }
+    assert(e.getMessage.contains("flat lakes only"))
+  }
 }
