@@ -1,0 +1,127 @@
+package graft.app
+
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{LakeManifest, TickLake}
+import graft.state.JobStateStore
+import graft.state.JobStateStore._
+
+/**
+ * Lake maintenance driver: the compaction loop that keeps the read side
+ * fast — the operational tier the reference delegates to ClickHouse's
+ * background merges (docs/…系統設計文件.md:60-68) and table formats run as
+ * OPTIMIZE jobs. Composes three proven components into one resumable
+ * service, with the same control-plane laws as [[BackfillRunner]]:
+ *
+ *  1. acquire-or-takeover under heartbeat fencing (S6/ST7) — one
+ *     maintainer per output lake, zombies fenced by instance id;
+ *  2. plan = days present in the source lake (partition metadata only)
+ *     minus days already carrying a manifest in the output lake —
+ *     idempotent: a re-run after crash or no-op change optimizes nothing;
+ *  3. ordered per-day loop: heartbeat → [[TickLake.optimizeDay]]
+ *     (compact + z-order on (symbol-bucket, minute) + manifest) → cursor
+ *     CAS; per-day errors recorded, loop continues (ST9);
+ *  4. finalize COMPLETED/FAILED + report.
+ *
+ * Only day STRINGS cross the driver — bounded by calendar size. Each
+ * day's rewrite is one distributed job; output days are self-contained
+ * `outRoot/<date>/` flat z-ordered lakes served by
+ * [[TickLake.readPrunedRange]] with no directory listing.
+ */
+object LakeMaintenanceRunner {
+
+  def jobKey(outRoot: String): String = s"maintain:lake:$outRoot"
+
+  final case class MaintenanceReport(
+      jobInstanceId: String,
+      daysOptimized: Seq[String],
+      daysSkipped: Seq[String],
+      failedDays: Seq[(String, String)],
+      finalStatus: JobStatus)
+
+  /** Days present in the source lake — pure partition discovery. */
+  def sourceDays(spark: SparkSession, root: String): Seq[String] =
+    TickLake.read(spark, root)
+      .select(col("date").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // bounded: calendar-sized
+
+  /** A day is optimized iff its output manifest exists (the manifest is
+    * written LAST in optimizeDay, so its presence implies a complete
+    * rewrite — the crash-consistency marker). */
+  def isOptimized(spark: SparkSession, outRoot: String, date: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$outRoot/$date/${LakeManifest.ManifestDir}/files")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /**
+   * Run maintenance over every unoptimized day. `doOptimize` is
+   * injectable for fault vectors; the default is the real
+   * [[TickLake.optimizeDay]] with the given layout knobs.
+   */
+  def maintain(
+      spark: SparkSession,
+      store: JobStateStore,
+      root: String,
+      outRoot: String,
+      numFiles: Int = 16,
+      symBits: Int = 8,
+      now: () => Long = () => System.currentTimeMillis(),
+      doOptimize: Option[String => Unit] = None): MaintenanceReport = {
+    val optimize: String => Unit = doOptimize.getOrElse(date =>
+      TickLake.optimizeDay(spark, root, date, s"$outRoot/$date", numFiles, symBits))
+
+    val key = jobKey(outRoot)
+    val t0 = now()
+    val job = store.get(key) match {
+      case Some(s) if s.status == JobStatus.Running =>
+        if (t0 - s.heartbeatAt <= BackfillRunner.HeartbeatTimeoutMs)
+          throw BackfillRunner.JobAlreadyRunning(key)
+        else { // stale maintainer: take over, rotate the fencing id
+          val taken = s.copy(jobInstanceId = UUID.randomUUID().toString, heartbeatAt = t0)
+          store.put(key, taken)
+          taken
+        }
+      case _ =>
+        val fresh = JobState(
+          status = JobStatus.Running,
+          jobInstanceId = UUID.randomUUID().toString,
+          cursor = 0L,
+          endTime = 0L,
+          heartbeatAt = t0)
+        store.put(key, fresh)
+        fresh
+    }
+    val inst = job.jobInstanceId
+
+    val all = sourceDays(spark, root)
+    val (done, todo) = all.partition(isOptimized(spark, outRoot, _))
+    val failed = mutable.ListBuffer.empty[(String, String)]
+    val optimized = mutable.ListBuffer.empty[String]
+
+    todo.foreach { date =>
+      if (!store.heartbeat(key, inst, now()))
+        // fenced: a newer maintainer took over — stop writing immediately
+        return MaintenanceReport(inst, optimized.toSeq, done,
+          failed.toSeq :+ (date -> "fenced: lost job ownership"), JobStatus.Failed)
+      Try(optimize(date)) match {
+        case Success(_) =>
+          optimized += date
+          store.updateCursor(key, inst, now())
+        case Failure(e) => // ST9: record, continue with the rest
+          failed += (date -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          store.saveError(key, inst, e.getClass.getSimpleName)
+      }
+    }
+
+    val status = if (failed.isEmpty) JobStatus.Completed else JobStatus.Failed
+    store.updateStatus(key, inst, status)
+    MaintenanceReport(inst, optimized.toSeq, done, failed.toSeq, status)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.app
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{MockData, TickLake}
+import graft.state.{InMemoryStateBackend, JobStateStore}
+import graft.state.JobStateStore._
+
+/** The maintenance loop's laws: full-lake optimization with pruned reads
+  * over the output, idempotent re-runs, per-day error capture that keeps
+  * the loop going (ST9), and heartbeat fencing (ST7). */
+class LakeMaintenanceRunnerSpec extends SparkSpec {
+
+  private def buildLake(root: String, days: Seq[LocalDate]): Unit = {
+    val symbols = Seq("NQ", "ES", "YM")
+    val ticks = (for (s <- symbols; d <- days)
+      yield MockData.historicalDay(spark, s, d)).reduce(_ unionAll _)
+    TickLake.append(ticks, root)
+  }
+
+  private def store() = new JobStateStore(new InMemoryStateBackend)
+
+  test("maintain: optimizes every day once, pruned reads serve the output, re-run is a no-op") {
+    val root = tmpDir("maint-lake")
+    val out = tmpDir("maint-out")
+    val days = Seq(LocalDate.of(2023, 11, 14), LocalDate.of(2023, 11, 15))
+    buildLake(root, days)
+    val st = store()
+    val r1 = LakeMaintenanceRunner.maintain(spark, st, root, out,
+      numFiles = 4, symBits = 4)
+    assert(r1.finalStatus == JobStatus.Completed)
+    assert(r1.daysOptimized == Seq("20231114", "20231115") && r1.daysSkipped.isEmpty)
+    // pruned read over an optimized day equals the source day's slice
+    val dayMs = days.head.toEpochDay * 86400000L
+    val pruned = TickLake.readPrunedRange(spark, s"$out/20231114", "NQ",
+      dayMs, dayMs + 3600000L, symBits = 4)
+    assert(pruned.count() == 60) // one hour of minute ticks
+    // idempotent: everything already carries a manifest
+    val r2 = LakeMaintenanceRunner.maintain(spark, st, root, out,
+      numFiles = 4, symBits = 4)
+    assert(r2.daysOptimized.isEmpty &&
+      r2.daysSkipped == Seq("20231114", "20231115") &&
+      r2.finalStatus == JobStatus.Completed)
+  }
+
+  test("maintain: a failing day is recorded and the rest still optimize (ST9)") {
+    val root = tmpDir("maint-lake2")
+    val out = tmpDir("maint-out2")
+    val days = Seq(LocalDate.of(2023, 11, 14), LocalDate.of(2023, 11, 15),
+      LocalDate.of(2023, 11, 16))
+    buildLake(root, days)
+    val st = store()
+    val r = LakeMaintenanceRunner.maintain(spark, st, root, out,
+      numFiles = 4, symBits = 4,
+      doOptimize = Some { date =>
+        if (date == "20231115") throw new RuntimeException("disk full")
+        TickLake.optimizeDay(spark, root, date, s"$out/$date", 4, 4)
+      })
+    assert(r.daysOptimized == Seq("20231114", "20231116"))
+    assert(r.failedDays.map(_._1) == Seq("20231115"))
+    assert(r.finalStatus == JobStatus.Failed)
+    assert(st.get(LakeMaintenanceRunner.jobKey(out)).get.lastErrorType
+      .contains("RuntimeException"))
+    // the failed day is retried on the next run; the others are skipped
+    val r2 = LakeMaintenanceRunner.maintain(spark, st, root, out,
+      numFiles = 4, symBits = 4)
+    assert(r2.daysOptimized == Seq("20231115") && r2.finalStatus == JobStatus.Completed)
+  }
+
+  test("maintain: a live maintainer blocks a second; a stale one is taken over (ST7)") {
+    val root = tmpDir("maint-lake3")
+    val out = tmpDir("maint-out3")
+    buildLake(root, Seq(LocalDate.of(2023, 11, 14)))
+    val st = store()
+    val key = LakeMaintenanceRunner.jobKey(out)
+    st.put(key, JobState(
+      status = JobStatus.Running, jobInstanceId = "live-maintainer",
+      cursor = 0L, endTime = 0L, heartbeatAt = System.currentTimeMillis()))
+    intercept[BackfillRunner.JobAlreadyRunning] {
+      LakeMaintenanceRunner.maintain(spark, st, root, out, numFiles = 4, symBits = 4)
+    }
+    // stale heartbeat: takeover rotates the instance id and proceeds
+    st.put(key, st.get(key).get.copy(
+      heartbeatAt = System.currentTimeMillis() - BackfillRunner.HeartbeatTimeoutMs - 1))
+    val r = LakeMaintenanceRunner.maintain(spark, st, root, out, numFiles = 4, symBits = 4)
+    assert(r.finalStatus == JobStatus.Completed)
+    assert(r.jobInstanceId != "live-maintainer") // fenced the zombie
+    assert(r.daysOptimized == Seq("20231114"))
+  }
+}
