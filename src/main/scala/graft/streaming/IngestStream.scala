@@ -130,10 +130,16 @@ object IngestStream {
    * which makes each topic partition single-writer within the batch
    * (the log's leader rule).
    *
-   * Delivery is AT-LEAST-ONCE, exactly like the Kafka sink: a retried
-   * task re-appends its rows. Consumers dedupe downstream
-   * ([[withStreamingDedup]] / `dropDuplicatesWithinWatermark` on the
-   * tick key) — the same pairing a real Kafka deployment uses.
+   * Delivery: IDEMPOTENT per batch — the sink appends through
+   * [[graft.streaming.sources.TopicLog.appendAllIdempotent]] fenced by
+   * (checkpointDir, batchId), Kafka's idempotent-producer law. A retried
+   * or speculated task attempt, and the batch replay after a
+   * checkpoint-recovering restart, are skipped as duplicates; only a
+   * crash BETWEEN a partition's index flush and its sequence record
+   * degrades that batch to at-least-once (the Kafka contract too —
+   * cross-failure exactly-once needs a transaction coordinator).
+   * Consumers that need absolute exactness still pair with
+   * [[withStreamingDedup]] on the tick key.
    */
   def startTopicSink(
       ticks: DataFrame,
@@ -147,8 +153,11 @@ object IngestStream {
     ticks.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeBatchToTopic(batch, topicRoot, topic, partitions, codec)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fence by (checkpoint, batchId): stable across restarts, monotone
+        // per query — the idempotent-producer identity
+        writeBatchToTopic(batch, topicRoot, topic, partitions, codec,
+          fence = Some((s"ckpt:$checkpointDir", batchId)))
       }
       .start()
   }
@@ -157,10 +166,12 @@ object IngestStream {
     * producers). Exposed for direct batch use. `codec`: "json" (the
     * interop default — any consumer can read it) or "binary" (the
     * fixed-width codegen codec; pair with `topicTicks(codec="binary")`
-    * — ~an order of magnitude cheaper to decode, see BASELINE.md r7). */
+    * — ~an order of magnitude cheaper to decode, see BASELINE.md r7).
+    * `fence = Some((producerId, seq))` makes the append idempotent per
+    * partition (see [[startTopicSink]]'s delivery contract). */
   def writeBatchToTopic(
       batch: DataFrame, topicRoot: String, topic: String, partitions: Int,
-      codec: String = "json"): Unit = {
+      codec: String = "json", fence: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.graftbridge.Bridge
     val valueCol = codec match {
       case "json" => to_json(struct(
@@ -188,9 +199,15 @@ object IngestStream {
       // batch append per topic partition: one stream open per (task,
       // partition) instead of per record — the production producer shape
       rows.toSeq.groupBy(_.getInt(0)).foreach { case (p, rs) =>
-        graft.streaming.sources.TopicLog.appendAll(topicRoot, topic, p,
-          rs.iterator.map(r =>
-            (r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2), r.getLong(3))))
+        val recs = rs.iterator.map(r =>
+          (r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2), r.getLong(3)))
+        fence match {
+          case Some((producerId, seq)) =>
+            graft.streaming.sources.TopicLog.appendAllIdempotent(
+              topicRoot, topic, p, producerId, seq, recs)
+          case None =>
+            graft.streaming.sources.TopicLog.appendAll(topicRoot, topic, p, recs)
+        }
       }
     }
   }

@@ -124,28 +124,93 @@ object TopicLog {
       records: Iterator[(Array[Byte], Array[Byte], Long)]): Long = {
     val dir = partitionDir(root, topic, partition)
     Files.createDirectories(dir)
+    withWriterLock(dir)(appendAllLocked(dir, records))
+  }
+
+  /** The batch-append body; callers hold the partition writer lock. */
+  private def appendAllLocked(
+      dir: Path, records: Iterator[(Array[Byte], Array[Byte], Long)]): Long = {
+    val logF = dir.resolve("log").toFile
+    val idxF = dir.resolve("idx").toFile
+    var pos = logF.length()
+    val first = idxF.length() / 8
+    val positions = Array.newBuilder[Long]
+    val log = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(logF, true), 1 << 16))
+    try {
+      records.foreach { case (key, value, tsMs) =>
+        positions += pos
+        log.writeLong(tsMs)
+        log.writeInt(key.length); log.write(key)
+        log.writeInt(value.length); log.write(value)
+        pos += 8 + 4 + key.length + 4 + value.length
+      }
+      log.flush()
+    } finally log.close()
+    val idx = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(idxF, true), 1 << 16))
+    try { positions.result().foreach(idx.writeLong); idx.flush() } finally idx.close()
+    first
+  }
+
+  // ---- idempotent producer fencing (Kafka's idempotent-producer law) --
+
+  /** Last sequence accepted per producer id on one partition, stored as
+    * `producers.properties` in the partition dir, replaced via
+    * temp-write + ATOMIC_MOVE under the writer lock. */
+  private def producerSeqs(dir: Path): Map[String, Long] = {
+    val f = dir.resolve("producers.properties")
+    if (!Files.exists(f)) Map.empty
+    else {
+      val p = new java.util.Properties()
+      val in = Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k).toLong).toMap
+    }
+  }
+
+  private def writeProducerSeqs(dir: Path, seqs: Map[String, Long]): Unit = {
+    val p = new java.util.Properties()
+    seqs.foreach { case (k, v) => p.setProperty(k, v.toString) }
+    val tmp = Files.createTempFile(dir, ".producers", ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try p.store(out, null) finally out.close()
+    Files.move(tmp, dir.resolve("producers.properties"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /**
+   * Idempotent batch append — the Kafka idempotent-producer law on this
+   * log: a (producerId, seq) pair already accepted on the partition is
+   * skipped wholesale, so the retried/speculated task attempts Spark is
+   * allowed to run (and the batch replay after a checkpoint-recovering
+   * restart) no longer duplicate records. Sequence state updates AFTER
+   * the index flush, inside the same writer lock: a crash between index
+   * and sequence write degrades to the documented at-least-once (the
+   * retry re-appends) — never to lost records. Exactly Kafka's contract:
+   * idempotence per producer session; cross-failure exactly-once needs a
+   * transaction coordinator neither log has.
+   *
+   * `seq` must be monotone per (producerId, partition) — Spark's batchId
+   * is; accepted iff `seq > lastSeq`. Returns Some(firstOffset) when
+   * appended, None when fenced as a duplicate.
+   */
+  def appendAllIdempotent(
+      root: String, topic: String, partition: Int,
+      producerId: String, seq: Long,
+      records: Iterator[(Array[Byte], Array[Byte], Long)]): Option[Long] = {
+    val dir = partitionDir(root, topic, partition)
+    Files.createDirectories(dir)
     withWriterLock(dir) {
-      val logF = dir.resolve("log").toFile
-      val idxF = dir.resolve("idx").toFile
-      var pos = logF.length()
-      val first = idxF.length() / 8
-      val positions = Array.newBuilder[Long]
-      val log = new DataOutputStream(new java.io.BufferedOutputStream(
-        new FileOutputStream(logF, true), 1 << 16))
-      try {
-        records.foreach { case (key, value, tsMs) =>
-          positions += pos
-          log.writeLong(tsMs)
-          log.writeInt(key.length); log.write(key)
-          log.writeInt(value.length); log.write(value)
-          pos += 8 + 4 + key.length + 4 + value.length
-        }
-        log.flush()
-      } finally log.close()
-      val idx = new DataOutputStream(new java.io.BufferedOutputStream(
-        new FileOutputStream(idxF, true), 1 << 16))
-      try { positions.result().foreach(idx.writeLong); idx.flush() } finally idx.close()
-      first
+      val seqs = producerSeqs(dir)
+      if (seqs.get(producerId).exists(seq <= _)) None
+      else {
+        val first = appendAllLocked(dir, records)
+        writeProducerSeqs(dir, seqs + (producerId -> seq))
+        Some(first)
+      }
     }
   }
 

@@ -385,4 +385,45 @@ class TopicLogSourceSpec extends SparkSpec {
           .add("value", org.apache.spark.sql.types.BinaryType))).collect()
     assert(decoded.length == 1 && decoded.head.isNullAt(1)) // null symbol -> reject path
   }
+
+  test("idempotent producer: duplicate (producer, seq) batches are fenced, not re-appended") {
+    val root = tmpDir("topiclog-idem")
+    def batch(tag: String) = Iterator((bytes("k"), bytes(tag), 1000L))
+    assert(TopicLog.appendAllIdempotent(root, "t", 0, "prodA", 1L, batch("a1")) == Some(0L))
+    // task retry / speculation / checkpoint replay: same seq -> fenced
+    assert(TopicLog.appendAllIdempotent(root, "t", 0, "prodA", 1L, batch("a1-dup")).isEmpty)
+    assert(TopicLog.latestOffsets(root, "t")(0) == 1L)
+    // stale seq after progress is also fenced
+    assert(TopicLog.appendAllIdempotent(root, "t", 0, "prodA", 2L, batch("a2")) == Some(1L))
+    assert(TopicLog.appendAllIdempotent(root, "t", 0, "prodA", 1L, batch("a1-late")).isEmpty)
+    // other producers and partitions have independent sequences
+    assert(TopicLog.appendAllIdempotent(root, "t", 0, "prodB", 1L, batch("b1")) == Some(2L))
+    assert(TopicLog.appendAllIdempotent(root, "t", 1, "prodA", 1L, batch("a1-p1")) == Some(0L))
+    val vals = TopicLog.read(root, "t", 0, 0L, 3L).map(r => new String(r.value, UTF_8)).toSeq
+    assert(vals == Seq("a1", "a2", "b1")) // no duplicate frames anywhere
+  }
+
+  test("fenced batch write: replaying a batch leaves offsets unchanged") {
+    val spark = this.spark
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("topiclog-fence")
+    val ticks = spark.range(100).select(
+      timestamp_millis(lit(1704067200000L) + col("id")).as("timestamp"),
+      concat(lit("S"), pmod(col("id"), lit(4))).as("symbol"),
+      lit(BigDecimal("10.0000")).cast(graft.core.Schemas.PriceType).as("bid_price"),
+      lit(1).as("bid_size"),
+      lit(BigDecimal("10.5000")).cast(graft.core.Schemas.PriceType).as("ask_price"),
+      lit(2).as("ask_size"),
+      lit(BigDecimal("10.2500")).cast(graft.core.Schemas.PriceType).as("last_price"),
+      lit(3).as("last_size"))
+    IngestStream.writeBatchToTopic(ticks, root, "t", 3, fence = Some(("q1", 0L)))
+    val after1 = TopicLog.latestOffsets(root, "t").values.sum
+    assert(after1 == 100L)
+    // the same batch id replays (restart recovery) -> nothing appended
+    IngestStream.writeBatchToTopic(ticks, root, "t", 3, fence = Some(("q1", 0L)))
+    assert(TopicLog.latestOffsets(root, "t").values.sum == 100L)
+    // the next batch appends normally
+    IngestStream.writeBatchToTopic(ticks, root, "t", 3, fence = Some(("q1", 1L)))
+    assert(TopicLog.latestOffsets(root, "t").values.sum == 200L)
+  }
 }
