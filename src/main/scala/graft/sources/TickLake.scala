@@ -262,6 +262,44 @@ object TickLake {
   }
 
   /**
+   * Cross-day pruned read over a [[graft.app.LakeMaintenanceRunner]]
+   * output tree (`outRoot/<yyyyMMdd>/`, one flat z-ordered lake + manifest
+   * per day): the day list derives ARITHMETICALLY from the time range —
+   * no listing anywhere on the read path — and each present day serves
+   * its slice via [[readPrunedRange]]; days not yet optimized are
+   * skipped (callers wanting completeness check
+   * [[graft.app.LakeMaintenanceRunner.isOptimized]] first). The union is
+   * bounded by the range's calendar size, and each member is an
+   * explicit-file-path scan, so a month-window symbol read over a year
+   * lake touches ~30 manifests and only their overlapping files.
+   */
+  def readPrunedRangeDays(
+      spark: SparkSession, outRoot: String, symbol: String,
+      fromTsMs: Long, untilTsMs: Long, symBits: Int = 8): DataFrame = {
+    require(untilTsMs > fromTsMs, "empty time range")
+    val dayFmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
+    val from = java.time.Instant.ofEpochMilli(fromTsMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val until = java.time.Instant.ofEpochMilli(untilTsMs - 1)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val days = Iterator.iterate(from)(_.plusDays(1))
+      .takeWhile(!_.isAfter(until)).map(_.format(dayFmt)).toSeq
+    val fs = new org.apache.hadoop.fs.Path(outRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = days.filter { d =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$outRoot/$d/${graft.sources.LakeManifest.ManifestDir}/files"))
+    }
+    if (present.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.core.Schemas.tickSchema)
+    else present.map(d =>
+        readPrunedRange(spark, s"$outRoot/$d", symbol, fromTsMs, untilTsMs, symBits))
+      .reduce(_ unionAll _)
+  }
+
+  /**
    * Bucketed lake table (the co-location path at scale): hash-bucketed and
    * sorted by symbol, so symbol-keyed joins between two such tables and
    * symbol-keyed aggregations run with NO shuffle exchange — the shuffle

@@ -90,4 +90,24 @@ class LakeMaintenanceRunnerSpec extends SparkSpec {
     assert(r.jobInstanceId != "live-maintainer") // fenced the zombie
     assert(r.daysOptimized == Seq("20231114"))
   }
+
+  test("readPrunedRangeDays: a cross-day window unions per-day pruned slices, listing nothing") {
+    val root = tmpDir("maint-lake4")
+    val out = tmpDir("maint-out4")
+    val days = Seq(LocalDate.of(2023, 11, 14), LocalDate.of(2023, 11, 15),
+      LocalDate.of(2023, 11, 16))
+    buildLake(root, days)
+    LakeMaintenanceRunner.maintain(spark, store(), root, out, numFiles = 4, symBits = 4)
+    // window: last 2 hours of day 1 through first 3 hours of day 2
+    val d1 = days.head.toEpochDay * 86400000L
+    val from = d1 + 22 * 3600000L
+    val until = d1 + 27 * 3600000L
+    val got = TickLake.readPrunedRangeDays(spark, out, "ES", from, until, symBits = 4)
+    assert(got.count() == 5 * 60) // five hours of minute ticks, one symbol
+    assert(got.where(col("symbol") =!= "ES").isEmpty)
+    // window entirely before the lake: empty with the tick schema
+    val none = TickLake.readPrunedRangeDays(spark, out, "ES",
+      d1 - 86400000L, d1 - 3600000L, symBits = 4)
+    assert(none.isEmpty && none.schema == graft.core.Schemas.tickSchema)
+  }
 }
