@@ -2182,6 +2182,98 @@ object SparkEntry {
     "q136_bpe_train" -> ((s, dir) =>
       graft.operators.Bpe.train(t(s, dir, "documents"), "text", nMerges = 5)
         .orderBy(col("merge_rank"))),
+
+    // Q139 — D10 typo-grade near-dup join: every cross-source vocabulary
+    // word pair within Levenshtein distance 1 (label drift / OCR-noise
+    // screen — the edit-distance family member shingle Jaccard can't
+    // express). Candidates come from the SymSpell deletion-neighborhood
+    // EQUI-join (provably full recall at d=1), verified with the built-in
+    // levenshtein; the oracle computes the truth DIRECTLY via a
+    // length-banded self-join, so a green row proves recall, not just
+    // self-consistency. Vocabulary-sized after one corpus scan.
+    "q139_vocab_variants" -> ((s, dir) =>
+      graft.operators.EditDistance.vocabularyVariantPairs(
+          Seq(
+            (t(s, dir, "documents"), "text"),
+            (t(s, dir, "part"), "p_name"),
+            (t(s, dir, "events"), "event_type"),
+            (t(s, dir, "nation"), "n_name"),
+            (t(s, dir, "region"), "r_name"),
+            (t(s, dir, "customer"), "c_mktsegment"),
+            (t(s, dir, "orders"), "o_orderpriority")),
+          minLen = 3)
+        .orderBy(col("word_a"), col("word_b"))),
+
+    // Q140 — BAND1 numeric band join: same-brand part pairs whose retail
+    // prices sit within 1.00 of each other, via the bucketed equi-join
+    // (bucket = cents div eps, probe visits {b, b+1}) instead of the
+    // quadratic non-equi self-join Spark would otherwise plan. Exact
+    // integer cents domain (floor(x*100 + 0.5) on both engines); census
+    // per brand keeps output bounded at any sf while fingerprinting the
+    // full pair set (count + sum/min/max of gaps).
+    "q140_price_band_pairs" -> ((s, dir) =>
+      graft.operators.BandJoin.bandPairs(
+          t(s, dir, "part").select(col("p_brand"), col("p_partkey"),
+            floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents")),
+          keyCols = Seq("p_brand"), idCol = "p_partkey", valCol = "cents",
+          eps = 100L)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("gap")).as("sum_gap"),
+          min(col("gap")).as("min_gap"),
+          max(col("gap")).as("max_gap"))
+        .orderBy(col("p_brand"))),
+
+    // Q141 — CDC3 snapshot diff: the q113 LWW snapshot cut at two times,
+    // full-outer-diffed into insert/delete/update rows (the MERGE-INTO
+    // changeset between the T1 and T2 cuts; q122's digest is the cheap
+    // "did anything change" guard, this is the drill-down). Output ∝
+    // churn, never table size.
+    "q141_cdc_snapshot_diff" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      def cut(at: String) = graft.operators.Cdc.snapshotAt(
+        e, "user_id", "ts", "event_type", Seq("value"),
+        lit(at).cast(TimestampNTZType), tombstoneType = "error")
+      graft.operators.Cdc.snapshotDiff(
+          cut("2024-01-10 00:00:00"), cut("2024-01-20 00:00:00"),
+          "user_id", Seq("state_type", "value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Q142 — GRAPH3 triangle census over the part co-occurrence graph
+    // (parts sharing an order), with the degree-ordered orientation that
+    // bounds wedge candidates to O(m^1.5) total regardless of hub skew —
+    // the Chiba–Nishizeki shape naive neighbor joins lack. Clustering
+    // coefficient in exact ppm (integer DIV, no IEEE).
+    "q142_graph_triangles" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = e0.as("a")
+        .join(e0.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+      graft.operators.Graph.triangleStats(edges)
+    }),
+
+    // Q143 — RRF1 hybrid-retrieval fusion: the q73 BM25 lexical top-50
+    // and the q19-law cosine top-50 (query = vec 0) fused by reciprocal
+    // rank fusion in the exact integer domain (contrib = 10⁹ DIV
+    // (60 + rank) — no IEEE, both engines replay the order bit-for-bit).
+    // The retrieval-family capstone: lexical and semantic rankers compose
+    // under one oracle.
+    "q143_rrf_fusion" -> ((s, dir) => {
+      val textRank = operators.Vocabulary.bm25(
+          t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("table", "value", "fast", "scan", "agg"), k = 50)
+        .select(col("doc_id").as("id"), col("rank"))
+      val semRank = Similarity.cosineTopK(
+          t(s, dir, "embeddings").where(col("vec_id") === 0),
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      operators.Ranking.reciprocalRankFusion(
+          Seq(textRank, semRank), "id", "rank", topK = 20)
+        .orderBy(col("rank"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -4161,6 +4253,122 @@ object SparkEntry {
            |  CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
            |  CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
            |FROM z, m GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+
+      // the DIRECT truth (length-banded self-join + levenshtein): a green
+      // row proves the deletion-neighborhood scheme's full recall
+      "q139_vocab_variants" ->
+        """WITH src AS (
+          |  SELECT lower(text) AS s FROM documents
+          |  UNION ALL SELECT lower(p_name) FROM part
+          |  UNION ALL SELECT lower(event_type) FROM events
+          |  UNION ALL SELECT lower(n_name) FROM nation
+          |  UNION ALL SELECT lower(r_name) FROM region
+          |  UNION ALL SELECT lower(c_mktsegment) FROM customer
+          |  UNION ALL SELECT lower(o_orderpriority) FROM orders),
+          |w AS (SELECT unnest(regexp_extract_all(s, '[a-z]+')) AS w FROM src),
+          |v AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w WHERE len(w) >= 3 GROUP BY w)
+          |SELECT a.w AS word_a, a.freq AS freq_a, b.w AS word_b, b.freq AS freq_b
+          |FROM v a JOIN v b
+          |  ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= 1 AND levenshtein(a.w, b.w) <= 1
+          |ORDER BY word_a, word_b""".stripMargin,
+
+      // the plain non-equi band self-join — the bucketed equi-join must be
+      // invisible to results
+      "q140_price_band_pairs" ->
+        """WITH p AS (SELECT p_brand, p_partkey,
+          |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents FROM part)
+          |SELECT a.p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS sum_gap,
+          |  CAST(min(abs(a.cents - b.cents)) AS BIGINT) AS min_gap,
+          |  CAST(max(abs(a.cents - b.cents)) AS BIGINT) AS max_gap
+          |FROM p a JOIN p b
+          |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          |  AND abs(a.cents - b.cents) <= 100
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // two arg_max cuts full-outer-joined; update compares both value
+      // columns (non-null on both sides by construction)
+      "q141_cdc_snapshot_diff" ->
+        """WITH s1 AS (
+          |  SELECT user_id, arg_max(event_type, ts) AS state_type, arg_max(value, ts) AS value
+          |  FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00' GROUP BY user_id
+          |  HAVING arg_max(event_type, ts) <> 'error'),
+          |s2 AS (
+          |  SELECT user_id, arg_max(event_type, ts) AS state_type, arg_max(value, ts) AS value
+          |  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00' GROUP BY user_id
+          |  HAVING arg_max(event_type, ts) <> 'error'),
+          |d AS (SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+          |    CASE WHEN s1.user_id IS NULL THEN 'insert'
+          |         WHEN s2.user_id IS NULL THEN 'delete'
+          |         WHEN s1.state_type <> s2.state_type OR s1.value <> s2.value THEN 'update'
+          |    END AS change,
+          |    s1.state_type AS old_state_type, s1.value AS old_value,
+          |    s2.state_type AS new_state_type, s2.value AS new_value
+          |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+          |SELECT user_id, change, old_state_type, old_value, new_state_type, new_value
+          |FROM d WHERE change IS NOT NULL ORDER BY user_id""".stripMargin,
+
+      // naive a<b<c triangle join — counts each triangle once, the truth
+      // the oriented wedge join must reproduce
+      "q142_graph_triangles" ->
+        """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |ed AS (SELECT DISTINCT a.p AS u, b.p AS v FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p),
+          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+          |  FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+          |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+          |  (SELECT CAST(sum(deg) // 2 AS BIGINT) FROM deg) AS n_edges,
+          |  (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+          |  n_triangles,
+          |  CAST((3 * n_triangles * 1000000)
+          |    // (SELECT sum((deg * (deg - 1)) // 2) FROM deg) AS BIGINT) AS clustering_ppm
+          |FROM tri""".stripMargin,
+
+      // the q73 BM25 chain + the q19 cosine chain (query vec 0), fused
+      // with integer-DIV reciprocal-rank contributions
+      "q143_rrf_fusion" -> {
+        val terms = Seq("table", "value", "fast", "scan", "agg")
+        val tfSel = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
+        }.mkString(",\n    ")
+        val dfSel = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+        ).mkString(",\n    ")
+        val scoreExpr = terms.indices.map(i =>
+          s"""((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+             |      * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+             |      / (CAST(tf_$i AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""".stripMargin
+        ).mkString("\n    + ")
+        s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents),
+           |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+           |    $tfSel
+           |  FROM w GROUP BY doc_id),
+           |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+           |    $dfSel
+           |  FROM per),
+           |bs AS (SELECT doc_id, $scoreExpr AS score FROM per, c),
+           |br AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           |  FROM bs ORDER BY score DESC, doc_id LIMIT 50),
+           |e AS (SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM e),
+           |p AS (SELECT c.vec_id AS neighbor_id,
+           |    CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1])) AS BIGINT) AS dot,
+           |    q.nn AS qn, c.nn AS cn
+           |  FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> q.vec_id),
+           |sr0 AS (SELECT neighbor_id,
+           |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim FROM p),
+           |sr AS (SELECT neighbor_id AS id, row_number() OVER (ORDER BY sim DESC, neighbor_id) AS r
+           |  FROM sr0 ORDER BY sim DESC, neighbor_id LIMIT 50),
+           |u AS (SELECT id, r FROM br UNION ALL SELECT id, r FROM sr),
+           |f AS (SELECT id, CAST(sum(1000000000 // (60 + r)) AS BIGINT) AS rrf_score,
+           |    CAST(count(*) AS BIGINT) AS n_lists
+           |  FROM u GROUP BY id),
+           |rk AS (SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, id) AS BIGINT) AS rank,
+           |    id, rrf_score, n_lists FROM f)
+           |SELECT rank, id, rrf_score, n_lists FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
       },
     )
   }

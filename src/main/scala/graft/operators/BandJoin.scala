@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Numeric band self-join: all row pairs (within optional equi-key groups)
+ * whose integer values differ by at most `eps` — the |a − b| ≤ ε join
+ * (BAND1). Spark plans a raw `abs(a.v − b.v) <= eps` self-join as a
+ * broadcast-nested-loop (or an SMJ keyed only on the equi-part with a
+ * per-key cross product) — quadratic in the hot regime. This operator
+ * makes it a hash EQUI-join:
+ *
+ * Bucket law: bucket = v div eps (floor division; values here are
+ * non-negative integer domains like cents). If |va − vb| ≤ eps then
+ * bucket(a) and bucket(b) differ by at most 1, so probing buckets
+ * {b−1, b, b+1} from ONE side has full recall; the exact |va − vb| ≤ eps
+ * predicate verifies candidates after the hash join. Cost: 3× replication
+ * of the probe side's (key, bucket, id, v) rows — never payload columns —
+ * against the unreplicated build side; candidates per bucket are bounded
+ * by that bucket's occupancy, i.e. output-proportional for any data whose
+ * values aren't pathologically piled into one ε-window (that regime is
+ * genuine output explosion — the pairs themselves are quadratic — not a
+ * planning artifact; cap it upstream by tightening eps or adding key
+ * columns, exactly like the containment family's k-knob).
+ *
+ * Pairs are canonical: idA < idB, each pair exactly once (the same-bucket
+ * case would otherwise appear from both probe directions — restricting
+ * probes to offsets {0, +1} with a strict order on ids dedups without a
+ * distinct).
+ */
+object BandJoin {
+
+  /**
+   * Pair rows within `eps` on `valCol` (a LONG integer domain), grouped by
+   * `keyCols` equality. Input needs an id column unique per row.
+   * Output: keyCols ++ (id_a, val_a, id_b, val_b, gap) with id_a < id_b,
+   * gap = |val_a − val_b|.
+   */
+  def bandPairs(
+      df: DataFrame, keyCols: Seq[String], idCol: String, valCol: String,
+      eps: Long): DataFrame = {
+    require(eps >= 1, "eps must be >= 1")
+    val slim = df.select(
+      (keyCols.map(col) :+ col(idCol).as("bj_id") :+ col(valCol).as("bj_v")): _*)
+      .withColumn("bucket", floor(col("bj_v") / eps).cast("long"))
+    // probe side visits its own bucket and the next one up; build side
+    // stays put. offset 0 catches same-bucket pairs (id order dedups),
+    // offset +1 catches the cross-boundary pairs once (probe below,
+    // build above); a −1 offset would double-count them.
+    val probe = slim
+      .withColumn("off", explode(array(lit(0L), lit(1L))))
+      .select((keyCols.map(col) :+
+        (col("bucket") + col("off")).as("jb") :+
+        col("off") :+
+        col("bj_id").as("id_a") :+ col("bj_v").as("val_a")): _*)
+    val build = slim.select((keyCols.map(col) :+
+      col("bucket").as("jb") :+
+      col("bj_id").as("id_b") :+ col("bj_v").as("val_b")): _*)
+    probe.join(build, keyCols :+ "jb")
+      // same bucket (off=0): strict id order keeps each pair once and
+      // drops self-pairs; adjacent buckets (off=1): the bucket order
+      // already orients the pair, so only the band check applies — but
+      // canonical id_a < id_b output still wants the smaller id first
+      .where(
+        (col("off") === 0 && col("id_a") < col("id_b")) ||
+        (col("off") === 1))
+      .where(abs(col("val_a") - col("val_b")) <= eps)
+      .select((keyCols.map(col) :+
+        least(col("id_a"), col("id_b")).as("id_a_c") :+
+        greatest(col("id_a"), col("id_b")).as("id_b_c") :+
+        when(col("id_a") < col("id_b"), col("val_a")).otherwise(col("val_b")).as("val_a_c") :+
+        when(col("id_a") < col("id_b"), col("val_b")).otherwise(col("val_a")).as("val_b_c") :+
+        abs(col("val_a") - col("val_b")).as("gap")): _*)
+      .withColumnsRenamed(Map(
+        "id_a_c" -> "id_a", "id_b_c" -> "id_b",
+        "val_a_c" -> "val_a", "val_b_c" -> "val_b"))
+  }
+}

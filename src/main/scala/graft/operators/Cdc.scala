@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Change-data-capture snapshot algebra (CDC3), completing the family:
+ * q112 replays a changelog into SCD2 history, q113 compacts it to the
+ * current state — this operator DIFFS two states. The anti-entropy /
+ * audit op for incremental pipelines: "what changed between the T1 cut
+ * and the T2 cut", as rows a MERGE INTO could apply or a reviewer could
+ * read. (The digest q122 answers *whether* two tables differ in O(1)
+ * output; the diff answers *what* — both are needed at 100 TB, the digest
+ * as the cheap guard, the diff as the drill-down.)
+ *
+ * Scale posture: one full-outer hash join on the key columns; value
+ * comparison is a map-side struct equality; unchanged keys (the vast
+ * majority in an incremental world) are filtered before anything else
+ * shuffles further. Output ∝ churn, not table size.
+ */
+object Cdc {
+
+  /**
+   * Last-writer-wins state of a changelog at cut time `asOf`: one
+   * map-side-combinable max_by per key over rows with ts ≤ asOf; keys
+   * whose final change at the cut is a tombstone are absent (the q113
+   * law, time-bounded).
+   */
+  def snapshotAt(
+      changelog: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      valueCols: Seq[String], asOf: Column, tombstoneType: String): DataFrame =
+    changelog
+      .where(col(tsCol) <= asOf)
+      .groupBy(col(keyCol))
+      .agg(
+        max_by(col(typeCol), col(tsCol)).as("state_type"),
+        valueCols.map(c => max_by(col(c), col(tsCol)).as(c)): _*)
+      .where(col("state_type") =!= tombstoneType)
+
+  /**
+   * Keyed diff of two snapshots with identical schemas:
+   * insert = key only in `after`; delete = key only in `before`;
+   * update = key in both with any value column differing (null-safe).
+   * Output: key, change ∈ {insert, delete, update}, old_/new_ value
+   * columns (null on the absent side). Unchanged keys emit nothing.
+   */
+  def snapshotDiff(
+      before: DataFrame, after: DataFrame, keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val a = before.select(col(keyCol),
+      struct(valueCols.map(col): _*).as("old_v"))
+    val b = after.select(col(keyCol),
+      struct(valueCols.map(col): _*).as("new_v"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("old_v").isNull, lit("insert"))
+          .when(col("new_v").isNull, lit("delete"))
+          .when(!(col("old_v") <=> col("new_v")), lit("update")))
+      .where(col("change").isNotNull)
+      .select(
+        (col(keyCol) +: col("change") +:
+          valueCols.map(c => col(s"old_v.$c").as(s"old_$c")) ++:
+          valueCols.map(c => col(s"new_v.$c").as(s"new_$c"))): _*)
+  }
+}

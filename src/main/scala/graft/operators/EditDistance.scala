@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.portableHash
+
+/**
+ * Typo-grade near-duplicate detection over a corpus VOCABULARY: all word
+ * pairs within Levenshtein distance 1, found without an all-pairs scan.
+ * The dedup-family member (D10) the shingle/MinHash operators can't cover:
+ * Jaccard over n-grams dilutes to uselessness on single-token variants
+ * ("cold"/"old"), yet exactly those pairs are what OCR-noise screens,
+ * label-drift audits, and spell-normalization passes need.
+ *
+ * Candidate law (the SymSpell deletion-neighborhood): let D(w) be {w} ∪
+ * {w with one character deleted}. If lev(a, b) ≤ 1 then D(a) ∩ D(b) ≠ ∅ —
+ *   equal:        a ∈ both;
+ *   substitution: deleting the differing position from each side yields the
+ *                 same string;
+ *   insert/delete (|a|+1 = |b|): deleting the inserted character from b
+ *                 yields a, and a ∈ D(a).
+ * So an EQUI-join on deletion variants has FULL recall at distance 1; the
+ * converse does not hold (sharing a variant only bounds lev ≤ 2), so
+ * candidates verify with the built-in `levenshtein` — false candidates and
+ * variant-hash collisions both die there. The correctness gate's oracle
+ * computes the truth DIRECTLY (length-banded self-join + levenshtein), so
+ * a green row proves the full-recall claim, not just self-consistency.
+ *
+ * Scale posture (the 100 TB design):
+ *  - ONE corpus-proportional stage: the word-frequency scan (map-side
+ *    combinable groupBy). Everything after runs on the VOCABULARY — |V| ≪
+ *    corpus, megabytes at any corpus size (the Bpe.scala argument).
+ *  - Variant generation is a map-side projection: |w|+1 variants per word,
+ *    shuffled as (60-bit portable hash, word, freq) — never text bodies.
+ *  - The candidate join's per-key fanout is structurally bounded: the
+ *    words whose neighborhood contains a fixed variant v are v itself plus
+ *    single-character insertions into v — at most 1 + 26·(|v|+1) for the
+ *    [a-z] alphabet. No quadratic regime exists, no salting needed.
+ *  - Distance-d generalization (d-deep deletion neighborhoods) multiplies
+ *    variant count by O(|w|^d); d = 1 is the operator's contract here and
+ *    covers the dominant single-edit noise class.
+ */
+object EditDistance {
+
+  /** {w} ∪ single-char deletions of w, deduplicated — all map-side. */
+  private[graft] def deletionNeighborhood(w: Column): Column =
+    array_union(
+      array(w),
+      transform(sequence(lit(1), length(w)),
+        i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w)))))
+
+  /**
+   * Word vocabulary of one or more text columns: lowercase `[a-z]+` runs
+   * (the Bpe/q22 cross-engine token law) of length ≥ `minLen`, with total
+   * corpus frequency. Input frames each contribute one string column.
+   */
+  def vocabulary(sources: Seq[(DataFrame, String)], minLen: Int = 3): DataFrame = {
+    require(sources.nonEmpty, "at least one (frame, column) source")
+    val words = sources
+      .map { case (df, c) =>
+        df.select(explode(split(lower(col(c)), "[^a-z]+")).as("w"))
+      }
+      .reduce(_ unionByName _)
+    words
+      .where(length(col("w")) >= minLen)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+  }
+
+  /**
+   * All vocabulary pairs with lev(a, b) ≤ 1 via the deletion-neighborhood
+   * equi-join. Input: (w, freq); output: (word_a, freq_a, word_b, freq_b)
+   * with word_a < word_b, one row per pair.
+   */
+  def variantPairs(vocab: DataFrame): DataFrame = {
+    val cands = vocab.select(
+      col("w"), col("freq"),
+      explode(deletionNeighborhood(col("w"))).as("variant"))
+      // shuffle a fixed-width hash, not the variant string; collisions are
+      // spurious candidates and the levenshtein verify removes them
+      .select(col("w"), col("freq"), portableHash(col("variant")).as("vh"))
+    val a = cands.select(col("vh"), col("w").as("word_a"), col("freq").as("freq_a"))
+    val b = cands.select(col("vh"), col("w").as("word_b"), col("freq").as("freq_b"))
+    a.join(b, Seq("vh"))
+      .where(col("word_a") < col("word_b"))
+      .select(col("word_a"), col("freq_a"), col("word_b"), col("freq_b"))
+      .distinct() // a pair may share several variants; verify each pair once
+      .where(levenshtein(col("word_a"), col("word_b")) <= 1)
+  }
+
+  /** [[vocabulary]] composed with [[variantPairs]]. */
+  def vocabularyVariantPairs(
+      sources: Seq[(DataFrame, String)], minLen: Int = 3): DataFrame =
+    variantPairs(vocabulary(sources, minLen))
+}

@@ -115,4 +115,67 @@ object Graph {
     }
     levels
   }
+
+  /**
+   * Triangle census over an UNDIRECTED graph (GRAPH3), with the
+   * degree-ordered orientation that makes distributed triangle counting
+   * feasible: orient every edge from the endpoint that is smaller under
+   * the total order ≺ = (degree, node id) toward the larger. Then each
+   * triangle {a ≺ b ≺ c} materializes exactly once — as the wedge
+   * (a→b, a→c) closed by the edge b→c — and, the scale property, the
+   * out-degree of every node is O(√m) (a node of degree d > √(2m) has
+   * fewer than √(2m) neighbors of ≥ its degree), so the wedge self-join
+   * produces O(m^{3/2}) candidates TOTAL regardless of skew: the hub that
+   * makes the naive neighbor join quadratic has near-zero OUT-degree
+   * here. This is the arboricity bound of Chiba–Nishizeki, the standard
+   * MapReduce triangle recipe.
+   *
+   * Output: one row — n_nodes, n_edges, n_wedges (= Σ d(d−1)/2, the open
+   * + closed two-paths), n_triangles, and the global clustering
+   * coefficient 3·triangles/wedges in exact ppm (integer multiply then
+   * truncating DIV — engine-portable, no IEEE).
+   *
+   * @param edges undirected edge list as (u: long, v: long); dedup and
+   *   canonicalization (u < v, no self-loops) happen here.
+   */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("u"), col("v")).cast("long").as("u"),
+        greatest(col("u"), col("v")).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = canon.select(col("u").as("node"))
+      .unionByName(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, node): src ≺ dst
+    val withDeg = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst"), col("dv").as("ddst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("ddst")))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddst"))
+      .localCheckpoint(false)
+    // wedges from each source's out-neighborhood, ordered under ≺ so the
+    // closing edge is itself oriented low→high
+    val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+    val wedges = e1.join(e2, "src")
+      .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("b").as("src"), col("c").as("dst"))
+    val triCount = wedges
+      .join(oriented.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(deg) DIV 2").as("n_edges"),
+        sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"))
+      // single-row constant join: both sides are one row by construction
+      .crossJoin(broadcast(triCount))
+      .withColumn("clustering_ppm",
+        expr("(3 * n_triangles * 1000000) DIV n_wedges"))
+  }
 }

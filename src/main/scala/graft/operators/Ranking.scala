@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Rank fusion for hybrid retrieval (RRF1): combine the rankings different
+ * retrievers produce (BM25 lexical, embedding-cosine semantic, ...) into
+ * one list — reciprocal rank fusion, the standard score-free combiner
+ * (Cormack & Clarke's RRF: score(d) = Σ_r 1/(k₀ + rank_r(d)), k₀ = 60).
+ * Score-FREE matters: BM25 scores and cosine similarities live on
+ * incomparable scales; RRF consumes only the rank positions.
+ *
+ * Engine-portable arithmetic (the repo's rational-sibling recipe): each
+ * contribution is the truncating integer division `scale DIV (k₀ + rank)`
+ * — no IEEE anywhere, so fused scores and the fused order replay exactly
+ * on any engine. With scale = 10⁹ the quantization error per term is
+ * < 10⁻⁹ · (k₀+rank)⁻¹-relative — far below any rank-order effect for
+ * realistic list depths.
+ *
+ * Scale posture: inputs are top-k lists — already bounded — so the union
+ * is Σ|lists| rows of (id, rank); one map-side-combinable sum per id and
+ * one global rank window over a structurally bounded frame. The expensive
+ * work lives in the upstream rankers (q73's one-shuffle BM25, q19/q25's
+ * broadcast/bucketed cosine), which keep their own 100 TB shapes; fusion
+ * adds nothing corpus-proportional.
+ */
+object Ranking {
+
+  /**
+   * @param rankings one frame per retriever, each carrying `idCol` and
+   *   `rankCol` (1-based ranks; only listed rows contribute).
+   * @return (rank, id, rrf_score, n_lists) — rrf_score = Σ scale DIV
+   *   (k0 + rank_r), n_lists = how many input lists contained the id,
+   *   rank by (rrf_score desc, id), cut to `topK`.
+   */
+  def reciprocalRankFusion(
+      rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      topK: Int, k0: Long = 60L, scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(topK >= 1 && k0 >= 0 && scale >= 1, "bad fusion constants")
+    val union = rankings
+      .map(df => df.select(
+        col(idCol).cast("long").as("id"), col(rankCol).cast("long").as("r")))
+      .reduce(_ unionByName _)
+    union
+      .select(col("id"), expr(s"$scale DIV ($k0 + r)").as("contrib"))
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).as("rrf_score"), count(lit(1)).as("n_lists"))
+      // global window over Σ top-k rows — structurally bounded by the
+      // input list depths, never corpus-sized
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_score").desc, col("id"))).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("rank"), col("id"), col("rrf_score"), col("n_lists"))
+  }
+}

@@ -43,6 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     "q98_tfidf_keywords" -> "single-row broadcast: the corpus doc count crossJoins onto (doc, token) tf stats (the q47 pattern, 1 x rows, structurally bounded)",
     "q102_temperature_mix" -> "single-row broadcast: the (w_total, n_total) constants crossJoin onto per-group weights (1 x groups rows, structurally bounded)",
     "q135_zorder_clustering" -> "single-row broadcast: the observed z-max crossJoins onto the z rows to slice data-relative buckets (1 x rows, structurally bounded)",
+    "q142_graph_triangles" -> "single-row broadcast: the 1-row triangle count crossJoins onto the 1-row degree rollup (1 x 1 by construction)",
+    "q143_rrf_fusion" -> "inherits q19's declared brute-force baseline with a SINGLE broadcast query vector (1 x candidates); fusion itself is equi-only, scale rankers are q25/q31/q33",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {

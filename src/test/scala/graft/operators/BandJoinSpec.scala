@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BAND1 bucketed band join: boundary vectors (gap exactly eps, zero gap,
+  * cross-bucket pairs), key isolation, and the exactly-once/row-identity
+  * property against the brute-force non-equi join. */
+class BandJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long, Long)], eps: Long) =
+    BandJoin.bandPairs(
+        rows.toDF("k", "id", "v"),
+        keyCols = Seq("k"), idCol = "id", valCol = "v", eps = eps)
+      .select(col("k"), col("id_a"), col("id_b"), col("gap"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+
+  test("boundary vectors: gap == eps kept, eps+1 dropped, zero gap kept once") {
+    val rows = Seq(
+      ("k", 1L, 0L), ("k", 2L, 100L),   // cross-bucket, gap exactly eps
+      ("k", 3L, 101L),                  // gap 101 vs id1 -> excluded; 1 vs id2
+      ("k", 4L, 100L))                  // tie with id2: gap 0, same bucket
+    val got = run(rows, eps = 100L).toSet
+    assert(got == Set(
+      ("k", 1L, 2L, 100L),
+      ("k", 1L, 4L, 100L),
+      ("k", 2L, 3L, 1L),
+      ("k", 2L, 4L, 0L),
+      ("k", 3L, 4L, 1L)))
+  }
+
+  test("pairs never cross equi-key groups") {
+    val got = run(Seq(("a", 1L, 10L), ("b", 2L, 10L)), eps = 5L)
+    assert(got.isEmpty)
+  }
+
+  test("row-identity + exactly-once vs the brute-force non-equi join") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      (s"g${i % 3}", i.toLong, rnd.nextInt(500).toLong))
+    val eps = 7L
+    val got = run(rows, eps)
+    // exactly-once: no duplicate (k, id_a, id_b)
+    assert(got.size == got.map(t => (t._1, t._2, t._3)).distinct.size)
+    // canonical order
+    assert(got.forall(t => t._2 < t._3))
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && a._2 < b._2 && math.abs(a._3 - b._3) <= eps
+    } yield (a._1, a._2, b._2, math.abs(a._3 - b._3))).toSet
+    assert(want.nonEmpty, "fixture must generate pairs")
+    assert(got.toSet == want,
+      s"missing=${want -- got.toSet} spurious=${got.toSet -- want}")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CDC3 snapshot algebra: LWW cut semantics (boundary-inclusive,
+  * tombstone-terminal keys absent) and the diff's four outcomes —
+  * insert / delete / update / unchanged-silent — including the null-safe
+  * value comparison a plain <> would get wrong. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val changelog = Seq(
+    // user 1: created early, updated between cuts -> update
+    (1L, ts("2024-01-01 00:00:00"), "view", Some(1.0)),
+    (1L, ts("2024-01-15 00:00:00"), "click", Some(2.0)),
+    // user 2: tombstoned between cuts -> delete
+    (2L, ts("2024-01-02 00:00:00"), "view", Some(5.0)),
+    (2L, ts("2024-01-16 00:00:00"), "error", Some(0.0)),
+    // user 3: first appears between cuts -> insert
+    (3L, ts("2024-01-12 00:00:00"), "signup", Some(7.0)),
+    // user 4: unchanged -> absent from the diff
+    (4L, ts("2024-01-03 00:00:00"), "view", Some(9.0)),
+    // user 5: exactly AT the first cut (boundary inclusive), value -> null
+    (5L, ts("2024-01-10 00:00:00"), "view", Some(3.0)),
+    (5L, ts("2024-01-11 00:00:00"), "view", None),
+    // user 6: tombstoned before BOTH cuts -> absent everywhere
+    (6L, ts("2024-01-04 00:00:00"), "view", Some(1.0)),
+    (6L, ts("2024-01-05 00:00:00"), "error", Some(0.0)),
+  ).toDF("user_id", "ts", "event_type", "value")
+
+  private def cut(at: String) = Cdc.snapshotAt(
+    changelog, "user_id", "ts", "event_type", Seq("value"),
+    lit(at).cast("timestamp"), tombstoneType = "error")
+
+  test("snapshotAt: LWW per key, cut-inclusive, tombstone-terminal keys absent") {
+    val s1 = cut("2024-01-10 00:00:00")
+      .select(col("user_id"), col("state_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(s1 == Map(1L -> "view", 2L -> "view", 4L -> "view", 5L -> "view"),
+      s"user 5's boundary row must be included, 6 absent: $s1")
+  }
+
+  test("snapshotDiff: insert/delete/update classified, unchanged silent, null-safe") {
+    val diff = Cdc.snapshotDiff(
+        cut("2024-01-10 00:00:00"), cut("2024-01-20 00:00:00"),
+        "user_id", Seq("state_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(diff == Map(
+      1L -> "update",
+      2L -> "delete",
+      3L -> "insert",
+      5L -> "update"), // 3.0 -> null: only a null-safe compare flags this
+      s"got $diff")
+  }
+
+  test("diff of a snapshot with itself is empty") {
+    val s = cut("2024-01-20 00:00:00")
+    assert(Cdc.snapshotDiff(s, s, "user_id", Seq("state_type", "value")).isEmpty)
+  }
+}

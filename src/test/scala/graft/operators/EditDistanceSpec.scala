@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** D10 deletion-neighborhood (SymSpell) edit-distance join: fixed vectors
+  * for each edit class, and the FULL-RECALL property against a driver-side
+  * brute-force Levenshtein over a collision-rich random vocabulary. */
+class EditDistanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("deletion neighborhood: the word plus each single deletion, deduped") {
+    val out = Seq("cab").toDF("w")
+      .select(EditDistance.deletionNeighborhood(col("w")).as("d"))
+      .as[Seq[String]].head()
+    assert(out.toSet == Set("cab", "ab", "cb", "ca"))
+    val dup = Seq("aaa").toDF("w")
+      .select(EditDistance.deletionNeighborhood(col("w")).as("d"))
+      .as[Seq[String]].head()
+    assert(dup.toSet == Set("aaa", "aa"), s"duplicate variants must dedup: $dup")
+  }
+
+  test("fixed vectors: substitution, prefix-delete, suffix-delete, interior-insert") {
+    val docs = Seq(
+      "cold cold old hot not",  // cold/old (prefix delete), hot/not (substitution)
+      "low slow slow",          // low/slow (prefix insert)
+      "care crate alone").toDF("text") // care/crate = ed 2 -> must NOT pair
+    val pairs = EditDistance.vocabularyVariantPairs(Seq((docs, "text")), minLen = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(pairs.toSet == Set(
+      ("cold", 2L, "old", 1L),
+      ("hot", 1L, "not", 1L),
+      ("low", 1L, "slow", 2L)))
+  }
+
+  test("full recall vs brute-force levenshtein on a collision-rich vocabulary") {
+    val rnd = new scala.util.Random(7)
+    // 3-letter alphabet, lengths 3..6: dense enough that every edit class
+    // (equal-length substitution, insert, delete) occurs many times
+    val words = Seq.fill(300)(
+      (1 to (3 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val docs = words.toDF("text")
+    val got = EditDistance.vocabularyVariantPairs(Seq((docs, "text")), minLen = 3)
+      .select(col("word_a"), col("word_b"))
+      .as[(String, String)].collect().toSet
+    val vocab = words.distinct.filter(_.length >= 3)
+    val want = (for {
+      a <- vocab; b <- vocab
+      if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture must generate pairs")
+    assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+  }
+
+  test("vocabulary merges frequencies across sources") {
+    val d1 = Seq("ship ship fast").toDF("text")
+    val d2 = Seq(("ship slow", "x")).toDF("name", "junk")
+    val v = EditDistance.vocabulary(Seq((d1, "text"), (d2, "name")), minLen = 3)
+      .as[(String, Long)].collect().toMap
+    assert(v == Map("ship" -> 3L, "fast" -> 1L, "slow" -> 1L))
+  }
+}

@@ -87,4 +87,38 @@ class GraphSpec extends SparkSpec {
     assert(out == dist)
     assert(out.values.max >= 2, "graph must exercise multi-hop paths")
   }
+
+  test("triangleStats: hand-computed census on triangle + pendant") {
+    // triangle {1,2,3} plus pendant 3-4: deg = (2,2,3,1)
+    // wedges = 1+1+3+0 = 5, triangles = 1, ppm = 3e6 DIV 5 = 600000
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L).toDF("u", "v")
+    val r = Graph.triangleStats(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((4L, 4L, 5L, 1L, 600000L)))
+  }
+
+  test("triangleStats: reversed/duplicate edges and self-loops canonicalize away") {
+    val edges = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 1L, 2L -> 3L)
+      .toDF("u", "v")
+    val r = Graph.triangleStats(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) == ((3L, 3L, 1L)))
+  }
+
+  test("triangleStats: oriented wedge count matches driver brute force, hub included") {
+    val rnd = new scala.util.Random(13)
+    // random graph + a deliberate hub (node 0 connected to everything):
+    // the regime where an unoriented neighbor join would blow up and a
+    // wrong orientation double- or zero-counts hub triangles
+    val base = (1 to 500).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val hub = (1 to 39).map(i => (0L, i.toLong))
+    val all = (base ++ hub).filter(e => e._1 != e._2)
+    val canon = all.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val want = (for {
+      (a, b) <- canon; (c, d) <- canon
+      if a == c && b < d && canon.contains((b, d))
+    } yield 1).size
+    val r = Graph.triangleStats(all.toDF("u", "v")).collect().head
+    assert(r.getLong(3) == want.toLong, s"expected $want triangles, got ${r.getLong(3)}")
+    assert(r.getLong(1) == canon.size.toLong)
+  }
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** RRF1 reciprocal-rank fusion: hand-computed integer contributions,
+  * consensus-beats-single-list behavior, tie-break, and the topK cut. */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fuse(lists: Seq[Seq[(Long, Long)]], topK: Int) =
+    Ranking.reciprocalRankFusion(
+        lists.map(_.toDF("id", "rank")), "id", "rank", topK = topK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("hand-computed contributions: 10^9 DIV (60 + rank), summed") {
+    // id 1: rank 1 + rank 2 -> 1e9/61 + 1e9/62 = 16393442 + 16129032
+    // id 2: rank 2 + rank 1 -> identical sum, tie broken by id
+    // id 3: rank 3 in one list only -> 1e9/63 = 15873015
+    val out = fuse(Seq(
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)),
+      Seq((2L, 1L), (1L, 2L))), topK = 10)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 32522474L, 2L),
+      (2L, 2L, 32522474L, 2L),
+      (3L, 3L, 15873015L, 1L)))
+  }
+
+  test("an id high on both lists outranks a single-list rank-1") {
+    // consensus law: (rank 3, rank 3) = 2 * 1e9/63 = 31746030 beats a
+    // lone rank-1 16393442
+    val out = fuse(Seq(
+      Seq((9L, 1L), (5L, 3L)),
+      Seq((5L, 3L))), topK = 10)
+    assert(out.head._2 == 5L && out(1)._2 == 9L)
+    assert(out.head._3 == 31746030L)
+  }
+
+  test("topK cuts after fused ranking, not per input list") {
+    val out = fuse(Seq((1L to 30L).map(i => (i, i))), topK = 5)
+    assert(out.map(_._2).toSeq == (1L to 5L).toSeq)
+  }
+}
