@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/**
+ * Pipeline observability without extra passes (OBS1): named accumulator
+ * metrics attached to the SAME scan that does the work, via
+ * `Dataset.observe` (Catalyst's CollectMetrics node). The data-quality
+ * counters an ingest pipeline must expose — rows seen, rows rejected,
+ * event-time high-water mark — normally cost a second aggregation job
+ * over the source; observed metrics ride the existing job for free and
+ * work identically in batch (read via `Observation.get`, which blocks on
+ * the action's listener callback) and Structured Streaming (delivered
+ * per micro-batch in `StreamingQueryProgress.observedMetrics` — the hook
+ * a lag/quality monitor consumes, the reference IDD's monitoring tier).
+ *
+ * Only aggregate expressions are legal in observe; everything here is a
+ * map-side-combinable count/sum/max, so the metrics add no shuffle and
+ * no measurable cost at any scale.
+ */
+object Observe {
+
+  private def ingestMetricExprs(valid: Column, tsCol: String): Seq[Column] = Seq(
+    count(lit(1)).as("n_rows"),
+    sum(when(valid, 1L).otherwise(0L)).as("n_valid"),
+    sum(when(!coalesce(valid, lit(false)), 1L).otherwise(0L)).as("n_rejected"),
+    max(col(tsCol)).as("max_event_ts"))
+
+  /** Batch form: attach BEFORE the validation split so one scan reports
+    * totals, rejects, and the event-time frontier; `obs.get` after the
+    * action returns the map. */
+  def withIngestMetrics(
+      df: DataFrame, obs: Observation,
+      valid: Column = Validation.isValidTick,
+      tsCol: String = "timestamp"): DataFrame = {
+    val es = ingestMetricExprs(valid, tsCol)
+    df.observe(obs, es.head, es.tail: _*)
+  }
+
+  /** Streaming form: metrics arrive per micro-batch under `name` in
+    * `StreamingQueryProgress.observedMetrics`. */
+  def withIngestMetrics(
+      df: DataFrame, name: String, valid: Column, tsCol: String): DataFrame = {
+    val es = ingestMetricExprs(valid, tsCol)
+    df.observe(name, es.head, es.tail: _*)
+  }
+}

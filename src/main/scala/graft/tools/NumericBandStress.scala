@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale evidence for BAND1 (`operators/BandJoin.scala`, q140): the
+ * bucketed equi-join formulation of |a−b| ≤ ε vs Spark's native plan for
+ * the raw non-equi condition (SortMergeJoin on the equi key + a range
+ * residual = a per-key CROSS PRODUCT filtered after the fact — the
+ * IntervalScaleStress pathology in scalar form).
+ *
+ * Corpus law (no RNG): n rows over k keys, values hash-scattered over a
+ * `domain`-sized integer range; expected pair volume ≈ n²·2ε/(k·domain)/2
+ * — sized so the true output is ~1M pairs while the naive residual
+ * examines (n/k)²/2 candidates per key, ~200× more.
+ *
+ * Both formulations run, output equality is asserted (exceptAll both
+ * directions = 0), then each is timed. A second, larger pass times the
+ * bucketed form alone in the regime where the naive plan is no longer
+ * feasible (candidate volume grows with (n/k)², output stays linear).
+ *
+ * Usage: runMain graft.tools.NumericBandStress [n] [k] (default 400k/50)
+ */
+object NumericBandStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 400000L
+    val k = if (args.length > 1) args(1).toInt else 50
+    val eps = 100L
+    val domain = 2000000L // per-key value density n/(k*domain) ~ 4e-3 per unit
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[band-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    def corpus(rows: Long) = spark.range(rows).select(
+      pmod(col("id"), lit(k)).as("key"),
+      col("id").as("rid"),
+      pmod(xxhash64(col("id")), lit(domain)).as("v"))
+      .localCheckpoint(true)
+
+    val df = corpus(n)
+    val bucketed = graft.operators.BandJoin.bandPairs(
+      df, keyCols = Seq("key"), idCol = "rid", valCol = "v", eps = eps)
+      .select(col("key"), col("id_a"), col("id_b"))
+    val a = df.select(col("key"), col("rid").as("id_a"), col("v").as("va"))
+    val b = df.select(col("key").as("key2"), col("rid").as("id_b"), col("v").as("vb"))
+    val naive = a.join(b,
+      col("key") === col("key2") && col("id_a") < col("id_b") &&
+        abs(col("va") - col("vb")) <= eps)
+      .select(col("key"), col("id_a"), col("id_b"))
+
+    val diff1 = bucketed.exceptAll(naive).count()
+    val diff2 = naive.exceptAll(bucketed).count()
+    println(s"[band-stress] disagreement: $diff1 + $diff2 rows (must be 0)")
+    require(diff1 == 0 && diff2 == 0, "formulations disagree")
+
+    val pairs = timed(s"bucketed equi-join n=$n")(
+      bucketed.write.mode("overwrite").format("noop").save())
+    timed(s"naive SMJ+residual n=$n")(
+      naive.write.mode("overwrite").format("noop").save())
+    println(s"[band-stress] pair volume: ${bucketed.count()}; " +
+      s"naive residual candidates/key = ${(n / k) * (n / k) / 2}")
+
+    // the regime the naive plan can't reach: 10x rows, same density
+    val big = corpus(n * 10)
+    val bigPairs = graft.operators.BandJoin.bandPairs(
+      big, keyCols = Seq("key"), idCol = "rid", valCol = "v", eps = eps)
+    timed(s"bucketed equi-join n=${n * 10} (naive infeasible: " +
+      s"${(n * 10 / k) * (n * 10 / k) / 2} candidates/key)")(
+      bigPairs.write.mode("overwrite").format("noop").save())
+    println(s"[band-stress] pair volume at 10x: ${bigPairs.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft.core
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** OBS1: observed metrics ride the working scan — batch values match
+  * direct aggregation, and every micro-batch of a streaming query
+  * reports its own slice. */
+class ObserveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ticks(rows: (String, Timestamp, Double)*) =
+    rows.toDF("symbol", "timestamp", "last_price")
+      .withColumn("bid_price", col("last_price"))
+      .withColumn("ask_price", col("last_price"))
+
+  test("batch: one action yields totals, rejects, and the ts frontier") {
+    val df = ticks(
+      ("NQ", Timestamp.valueOf("2024-01-01 10:00:00"), 100.0),
+      ("NQ", Timestamp.valueOf("2024-01-01 11:00:00"), 101.0),
+      ("",   Timestamp.valueOf("2024-01-01 12:00:00"), 102.0),  // empty symbol
+      ("NQ", Timestamp.valueOf("2024-01-01 13:00:00"), -1.0))   // bad price
+    val obs = Observation("ingest")
+    val observed = Observe.withIngestMetrics(df, obs)
+    val (valid, quarantined) = Validation.split(observed)
+    assert(valid.count() == 2L) // the action the metrics ride on
+    val m = obs.get
+    assert(m("n_rows") == 4L && m("n_valid") == 2L && m("n_rejected") == 2L)
+    assert(m("max_event_ts") == Timestamp.valueOf("2024-01-01 13:00:00"))
+    assert(quarantined.count() == 2L)
+  }
+
+  test("streaming: each micro-batch reports its own metrics slice") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val df = mem.toDF().toDF("symbol", "timestamp", "last_price")
+      .withColumn("bid_price", col("last_price"))
+      .withColumn("ask_price", col("last_price"))
+    val observed = Observe.withIngestMetrics(
+      df, "ingest", Validation.isValidTick, "timestamp")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = observed.writeStream.format("noop")
+      .option("checkpointLocation", tmpDir("obs_ck")).start()
+    try {
+      mem.addData(
+        ("NQ", Timestamp.valueOf("2024-01-01 10:00:00"), 100.0),
+        ("",   Timestamp.valueOf("2024-01-01 10:00:01"), 100.0))
+      q.processAllAvailable()
+      val m1 = q.lastProgress.observedMetrics.get("ingest")
+      seen += ((m1.getAs[Long]("n_rows"), m1.getAs[Long]("n_rejected")))
+      mem.addData(("NQ", Timestamp.valueOf("2024-01-01 10:00:02"), 101.0))
+      q.processAllAvailable()
+      val m2 = q.lastProgress.observedMetrics.get("ingest")
+      seen += ((m2.getAs[Long]("n_rows"), m2.getAs[Long]("n_rejected")))
+    } finally q.stop()
+    assert(seen.toSeq == Seq((2L, 1L), (1L, 0L)),
+      s"per-batch slices, not cumulative: $seen")
+  }
+}
