@@ -2274,6 +2274,22 @@ object SparkEntry {
           Seq(textRank, semRank), "id", "rank", topK = 20)
         .orderBy(col("rank"))
     }),
+
+    // Q144 — STAT8 exact weighted median: per (returnflag, linestatus),
+    // the quantity-weighted median of extendedprice in integer cents —
+    // min{x : 2·cumw(x) ≥ W}, the division-free threshold law (the
+    // volume-weighted location statistic the q99 percentile bridge can't
+    // express). One shuffle; cumulative window and total share the key
+    // partitioning.
+    "q144_weighted_median" -> ((s, dir) =>
+      graft.operators.WeightedStats.weightedMedian(
+          t(s, dir, "lineitem").select(
+            col("l_returnflag"), col("l_linestatus"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+            floor(col("l_quantity") + 0.5).cast("long").as("w")),
+          keyCols = Seq("l_returnflag", "l_linestatus"),
+          valCol = "cents", weightCol = "w")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -4370,6 +4386,23 @@ object SparkEntry {
            |    id, rrf_score, n_lists FROM f)
            |SELECT rank, id, rrf_score, n_lists FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
       },
+
+      // the same division-free threshold law: first value whose doubled
+      // cumulative weight reaches the per-key total
+      "q144_weighted_median" ->
+        """WITH li AS (SELECT l_returnflag, l_linestatus,
+          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+          |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+          |  FROM lineitem),
+          |c AS (SELECT l_returnflag, l_linestatus, cents, w,
+          |    sum(w) OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY cents
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_cum,
+          |    sum(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS w_tot
+          |  FROM li)
+          |SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(max(w_tot) AS BIGINT) AS total_w,
+          |  CAST(min(CASE WHEN w_cum * 2 >= w_tot THEN cents END) AS BIGINT) AS wmedian
+          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     )
   }
 }

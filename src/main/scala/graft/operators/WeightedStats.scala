@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Weighted order statistics in the exact integer domain (STAT8). The
+ * unweighted percentile bridge (q99/q103's interpolated order statistic)
+ * cannot express "median PRICE weighted by SIZE" — the duration-weighted /
+ * volume-weighted location statistics a trading or corpus-mixing surface
+ * needs. Computed with NO division at all: the lower weighted median is
+ *
+ *   wmedian = min{ x : 2·cumw(x) ≥ W }        (W = Σ weights per key)
+ *
+ * — the threshold compare stays in integers (2·cumw vs W), so results are
+ * engine- and parallelism-exact at any scale.
+ *
+ * Tie law: rows sharing a value may split the cumulative frame
+ * arbitrarily, but the first VALUE whose cumulative weight crosses W/2 is
+ * unchanged by any intra-tie order — the statistic is deterministic
+ * without a tie-break column.
+ *
+ * Physical shape: ONE shuffle on the key — the cumulative window and the
+ * per-key total share the same partitioning; the final rollup is
+ * map-side-combinable over already-keyed rows.
+ */
+object WeightedStats {
+
+  /**
+   * Per-key lower weighted median of `valCol` (LONG) weighted by
+   * `weightCol` (LONG, must be > 0 — zero-weight rows should be filtered
+   * upstream; they cannot carry the median).
+   * Output: keyCols ++ (n_rows, total_w, wmedian).
+   */
+  def weightedMedian(
+      df: DataFrame, keyCols: Seq[String], valCol: String,
+      weightCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val byKey = Window.partitionBy(keys: _*)
+    val cumw = Window.partitionBy(keys: _*)
+      .orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("w_cum", sum(col(weightCol)).over(cumw))
+      .withColumn("w_tot", sum(col(weightCol)).over(byKey))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("w_tot")).as("total_w"),
+        min(when(col("w_cum") * 2 >= col("w_tot"), col(valCol))).as("wmedian"))
+  }
+}

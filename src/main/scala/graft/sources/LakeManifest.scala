@@ -243,4 +243,43 @@ object LakeManifest {
         DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
     else spark.read.parquet(files.toIndexedSeq: _*).where(rowFilter)
   }
+
+  /**
+   * The Delta-VACUUM role: delete data files the manifest does NOT
+   * reference, but only those older than `retentionMs` — the retention
+   * horizon is what makes vacuum safe to run concurrently with appends
+   * (a freshly appended file awaiting [[refresh]] is unreferenced but
+   * young, and must survive). Orphans accumulate from interrupted
+   * [[optimize]] runs and abandoned writer attempts; they corrupt only
+   * FULL directory scans (`spark.read.parquet(dir)` double-counts them —
+   * manifest-pruned reads never see them), and they cost storage.
+   *
+   * Flat lakes only (what [[optimize]] writes; same refusal law as
+   * [[refresh]]). Maintenance may list the directory — it is the read
+   * path that stays listing-free. Returns the deleted paths
+   * (`dryRun = true` returns the candidates without deleting).
+   */
+  def vacuum(
+      spark: SparkSession, dir: String, retentionMs: Long,
+      dryRun: Boolean = false): Seq[String] = {
+    require(retentionMs >= 0, "retention must be >= 0")
+    val known = read(spark, dir).select(col("file")).collect()
+      .map(_.getString(0).split('/').last).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    val dataDirs = entries.filter(e => e.isDirectory &&
+      !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+    require(dataDirs.isEmpty,
+      s"vacuum supports flat lakes only; found partition-style subdirs: " +
+        dataDirs.take(3).map(_.getPath.getName).mkString(", "))
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val orphans = entries.filter { e =>
+      val n = e.getPath.getName
+      e.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".") && !known(n) && e.getModificationTime < cutoff
+    }
+    if (!dryRun) orphans.foreach(e => fs.delete(e.getPath, false))
+    orphans.map(_.getPath.toString).toSeq.sorted
+  }
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** STAT8 weighted median: hand vectors (threshold boundary, lower-median
+  * convention, value ties), partitioning invariance, and a brute-force
+  * property. */
+class WeightedStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long, Long)]) =
+    WeightedStats.weightedMedian(
+        rows.toDF("k", "v", "w"), Seq("k"), "v", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("hand vectors: heavy tail wins, even split takes the LOWER value, ties safe") {
+    val out = run(Seq(
+      // heavy last value: W=12, only cum(30)=12 doubles past 12
+      ("a", 10L, 1L), ("a", 20L, 1L), ("a", 30L, 10L),
+      // even split: 2*cum(10)=2 >= W=2 -> lower median 10
+      ("b", 10L, 1L), ("b", 20L, 1L),
+      // duplicate values around the threshold
+      ("c", 10L, 1L), ("c", 10L, 1L), ("c", 20L, 2L)))
+    assert(out == Map(
+      "a" -> ((3L, 12L, 30L)),
+      "b" -> ((2L, 2L, 10L)),
+      "c" -> ((3L, 4L, 10L))))
+  }
+
+  test("partitioning-invariant and equal to the driver brute force") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 500).map(i =>
+      (s"g${i % 4}", rnd.nextInt(100).toLong, 1L + rnd.nextInt(9)))
+    def brute(g: Seq[(Long, Long)]): Long = {
+      val tot = g.map(_._2).sum
+      val sorted = g.sortBy(_._1)
+      var cum = 0L
+      sorted.find { case (_, w) => cum += w; 2 * cum >= tot }.get._1
+    }
+    val want = rows.groupBy(_._1).map { case (k, g) =>
+      k -> brute(g.map(t => (t._2, t._3)))
+    }
+    val df = rows.toDF("k", "v", "w")
+    val a = WeightedStats.weightedMedian(df.repartition(1), Seq("k"), "v", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val b = WeightedStats.weightedMedian(df.repartition(7, col("v")), Seq("k"), "v", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a == want && b == want)
+  }
+}

@@ -135,4 +135,32 @@ class LakeManifestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("flat lakes only"))
   }
+
+  test("vacuum: retention-gated orphan delete; referenced and young files survive") {
+    val dir = tmpDir("manifest-vacuum")
+    LakeManifest.optimize(corpus(2000L), dir, "a", "b", numFiles = 4, bits = 9)
+    val manifestRows = 2000L
+    // orphan = a writer attempt the manifest never saw
+    corpus(500L).coalesce(1).write.mode("append").parquet(dir)
+    val fullBefore = spark.read.parquet(dir).count()
+    assert(fullBefore == 2500L, "orphan pollutes the full directory scan")
+    // manifest-pruned reads never saw the orphan
+    assert(LakeManifest.readPruned(spark, dir, Map("a" -> (0L, 1000L)))
+      .count() == manifestRows)
+    // young orphan survives a retention window
+    assert(LakeManifest.vacuum(spark, dir, retentionMs = 3600000L).isEmpty)
+    // dryRun lists it, deletes nothing
+    val cands = LakeManifest.vacuum(spark, dir, retentionMs = 0L, dryRun = true)
+    assert(cands.size == 1)
+    assert(spark.read.parquet(dir).count() == 2500L)
+    // expired retention: orphan goes, referenced files stay, full scan and
+    // manifest agree again
+    val deleted = LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    assert(deleted == cands)
+    assert(spark.read.parquet(dir).count() == manifestRows)
+    assert(LakeManifest.readPruned(spark, dir, Map("a" -> (0L, 1000L)))
+      .count() == manifestRows)
+    // idempotent
+    assert(LakeManifest.vacuum(spark, dir, retentionMs = 0L).isEmpty)
+  }
 }
