@@ -55,4 +55,40 @@ object Ranking {
       .where(col("rank") <= topK)
       .select(col("rank"), col("id"), col("rrf_score"), col("n_lists"))
   }
+
+  /**
+   * Retrieval-quality evaluation (EVAL1): per-query recall of an
+   * approximate top-k list against an exact one — the measurement that
+   * turns "we use LSH buckets" into a recall NUMBER, which is how an ANN
+   * knob (planes, probes, bands) gets tuned in production. Recall is
+   * exact rational ppm (`hits·10⁶ DIV k_truth` — no IEEE); first_hit_rank
+   * is the MRR ingredient, left as the exact integer rank (its reciprocal
+   * is presentation, not pipeline, arithmetic).
+   *
+   * Scale posture: both inputs are top-k lists (bounded by queries × k);
+   * one equi-join on (query, item) and two map-side-combinable rollups —
+   * the evaluation never touches the corpus, only the rankers' outputs.
+   * A query with an empty approx list (e.g. a lone LSH bucket) reports
+   * zero hits, not a dropped row: truth drives the join.
+   */
+  def recallReport(
+      truth: DataFrame, approx: DataFrame,
+      queryCol: String, itemCol: String, rankCol: String): DataFrame = {
+    val t = truth.select(col(queryCol).as("q"), col(itemCol).as("item"))
+    val a = approx.select(
+      col(queryCol).as("q"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as("r"))
+    val kt = t.groupBy(col("q")).agg(count(lit(1)).as("k_truth"))
+    val ka = a.groupBy(col("q")).agg(count(lit(1)).as("k_approx"))
+    val hits = a.join(t, Seq("q", "item"), "left_semi")
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("hits"), min(col("r")).as("first_hit_rank"))
+    kt.join(ka, Seq("q"), "left")
+      .join(hits, Seq("q"), "left")
+      .withColumn("k_approx", coalesce(col("k_approx"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 DIV k_truth"))
+      .select(col("q").as(queryCol), col("k_truth"), col("k_approx"),
+        col("n_hits"), col("first_hit_rank"), col("recall_ppm"))
+  }
 }

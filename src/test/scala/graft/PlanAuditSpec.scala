@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     "q135_zorder_clustering" -> "single-row broadcast: the observed z-max crossJoins onto the z rows to slice data-relative buckets (1 x rows, structurally bounded)",
     "q142_graph_triangles" -> "single-row broadcast: the 1-row triangle count crossJoins onto the 1-row degree rollup (1 x 1 by construction)",
     "q143_rrf_fusion" -> "inherits q19's declared brute-force baseline with a SINGLE broadcast query vector (1 x candidates); fusion itself is equi-only, scale rankers are q25/q31/q33",
+    "q145_ann_recall" -> "the TRUTH side is q19's declared brute-force baseline (that is what recall is measured AGAINST); the approx side and the metric itself are equi-only",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {

@@ -39,4 +39,24 @@ class RankingSpec extends SparkSpec {
     val out = fuse(Seq((1L to 30L).map(i => (i, i))), topK = 5)
     assert(out.map(_._2).toSeq == (1L to 5L).toSeq)
   }
+
+  test("recallReport: partial hits, perfect recall, and empty-approx queries") {
+    val truth = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), // q1: 3 truth items
+      (2L, 20L, 1L), (2L, 21L, 2L),                // q2: 2 truth items
+      (3L, 30L, 1L)                                // q3: LSH found nothing
+    ).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq(
+      (1L, 99L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), // q1: 2/3, first hit at 2
+      (2L, 20L, 1L), (2L, 21L, 2L)                 // q2: 2/2, first hit at 1
+    ).toDF("query_id", "neighbor_id", "rank")
+    val out = Ranking.recallReport(truth, approx, "query_id", "neighbor_id", "rank")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, 2L, 2L, 666666L)),
+      2L -> ((2L, 2L, 2L, 1L, 1000000L)),
+      3L -> ((1L, 0L, 0L, -1L, 0L))))
+  }
 }
