@@ -2305,6 +2305,18 @@ object SparkEntry {
           "query_id", "neighbor_id", "rank")
         .orderBy(col("query_id"))
     }),
+
+    // Q146 — STAT9 exact trimmed mean: per event_type, the 10%-trimmed
+    // mean of value in integer cents — drop exactly n DIV 10 rows from
+    // each end of the value order (integer trim law; ties can't move the
+    // kept multiset), sum exact, ONE IEEE divide at the edge. The robust
+    // mean between A15's z-scores and STAT5's median/MAD.
+    "q146_trimmed_mean" -> ((s, dir) =>
+      graft.operators.WeightedStats.trimmedMean(
+          t(s, dir, "events").select(col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+          keyCols = Seq("event_type"), valCol = "cents")
+        .orderBy(col("event_type"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -4466,6 +4478,23 @@ object SparkEntry {
           |FROM kt LEFT JOIN ka ON kt.query_id = ka.query_id
           |  LEFT JOIN h ON kt.query_id = h.query_id
           |ORDER BY kt.query_id""".stripMargin,
+
+      // identical integer trim law; tie order can't change the kept
+      // value multiset, so the sum and the final divide replay exactly
+      "q146_trimmed_mean" ->
+        """WITH v AS (SELECT event_type,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+          |r AS (SELECT event_type, cents,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+          |    count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM v),
+          |c AS (SELECT event_type, cents, rn, n, n // 10 AS cut FROM r)
+          |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+          |  CAST(sum(CASE WHEN rn > cut AND rn <= n - cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(sum(CASE WHEN rn > cut AND rn <= n - cut THEN cents ELSE 0 END) AS BIGINT) AS sum_kept,
+          |  CAST(sum(CASE WHEN rn > cut AND rn <= n - cut THEN cents ELSE 0 END) AS DOUBLE)
+          |    / CAST(sum(CASE WHEN rn > cut AND rn <= n - cut THEN 1 ELSE 0 END) AS DOUBLE) AS trimmed_mean
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -50,4 +50,38 @@ object WeightedStats {
         max(col("w_tot")).as("total_w"),
         min(when(col("w_cum") * 2 >= col("w_tot"), col(valCol))).as("wmedian"))
   }
+
+  /**
+   * Per-key trimmed mean of `valCol` (LONG), dropping exactly
+   * `n·trimNum DIV trimDen` rows from EACH end of the value order
+   * (STAT9) — the outlier-robust location statistic between the plain
+   * mean and the median. Integer-exact trim law: the dropped COUNT per
+   * end is a truncating integer expression, and although row_number
+   * breaks value ties arbitrarily, the kept VALUE MULTISET is unchanged
+   * by which duplicate instance is dropped — so the sum, and therefore
+   * the one final IEEE division, are deterministic on any engine.
+   * Output: keyCols ++ (n_rows, n_kept, sum_kept, trimmed_mean).
+   */
+  def trimmedMean(
+      df: DataFrame, keyCols: Seq[String], valCol: String,
+      trimNum: Int = 1, trimDen: Int = 10): DataFrame = {
+    require(trimNum >= 0 && trimDen >= 1 && 2 * trimNum < trimDen,
+      "trim fraction must leave something in the middle")
+    val keys = keyCols.map(col)
+    val order = Window.partitionBy(keys: _*).orderBy(col(valCol))
+    val byKey = Window.partitionBy(keys: _*)
+    df
+      .withColumn("rn", row_number().over(order).cast("long"))
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("cut", expr(s"n * $trimNum DIV $trimDen"))
+      .groupBy(keys: _*)
+      .agg(
+        max(col("n")).as("n_rows"),
+        sum(when(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"),
+          col(valCol)).otherwise(0L)).as("sum_kept"))
+      .withColumn("trimmed_mean",
+        col("sum_kept").cast("double") / col("n_kept").cast("double"))
+  }
 }

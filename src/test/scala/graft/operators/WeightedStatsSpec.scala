@@ -50,4 +50,32 @@ class WeightedStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(a == want && b == want)
   }
+
+  test("trimmedMean: integer cut law, ties at the cut can't move the kept sum") {
+    // n=10, cut=1: drop one 0 and one 100; ties (three 0s) are safe
+    // because the kept multiset {0,0,5,5,5,5,5,100} is order-independent
+    val rows = Seq(0L, 0L, 0L, 5L, 5L, 5L, 5L, 5L, 100L, 100L)
+      .map(("k", _)).toSeq
+    val out = WeightedStats.trimmedMean(
+        rows.toDF("k", "v"), Seq("k"), "v")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.head == ((10L, 8L, 125L, 15.625)))
+  }
+
+  test("trimmedMean equals the driver brute force under any partitioning") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 300).map(i => (s"g${i % 3}", rnd.nextInt(1000).toLong))
+    val want = rows.groupBy(_._1).map { case (k, g) =>
+      val sorted = g.map(_._2).sorted
+      val cut = (sorted.size / 10)
+      val kept = sorted.slice(cut, sorted.size - cut)
+      k -> ((kept.size.toLong, kept.sum))
+    }
+    val df = rows.toDF("k", "v")
+    for (d <- Seq(df.repartition(1), df.repartition(5, col("v")))) {
+      val got = WeightedStats.trimmedMean(d, Seq("k"), "v")
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == want)
+    }
+  }
 }
