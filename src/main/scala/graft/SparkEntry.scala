@@ -2317,6 +2317,22 @@ object SparkEntry {
             floor(col("value") * 100 + 0.5).cast("long").as("cents")),
           keyCols = Seq("event_type"), valCol = "cents")
         .orderBy(col("event_type"))),
+
+    // Q147 — SAMP3 deterministic Poisson bootstrap: 5 replicate resamples
+    // with per-row Poisson(1) counts from the portable-hash ppm ladder
+    // (thresholds are driver-computed literals shared with the oracle) —
+    // per (type, replicate) effective-n and weighted sums, the exact
+    // inputs a bootstrap CI reads. Counts, never materialized copies.
+    "q147_poisson_bootstrap" -> ((s, dir) =>
+      operators.Sampling.poissonBootstrap(
+          t(s, dir, "events").select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+          idCol = "event_id", salt = "boot", replicates = 5)
+        .groupBy(col("event_type"), col("replicate"))
+        .agg(
+          sum(col("boot_w")).as("n_eff"),
+          sum(col("boot_w") * col("cents")).as("sum_cents"))
+        .orderBy(col("event_type"), col("replicate"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -4495,6 +4511,26 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN rn > cut AND rn <= n - cut THEN cents ELSE 0 END) AS DOUBLE)
           |    / CAST(sum(CASE WHEN rn > cut AND rn <= n - cut THEN 1 ELSE 0 END) AS DOUBLE) AS trimmed_mean
           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same ppm threshold ladder (identical driver-computed literals),
+      // same portable-hash bucket law per (salt, replicate, id)
+      "q147_poisson_bootstrap" -> {
+        val ladder = graft.operators.Sampling.poissonPpmThresholds(8)
+          .map(t => s"(CASE WHEN bucket >= $t THEN 1 ELSE 0 END)")
+          .mkString("\n    + ")
+        s"""WITH b AS (SELECT unnest(range(5)) AS replicate),
+           |v AS (SELECT e.event_type, b.replicate,
+           |    CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents,
+           |    ('0x' || substr(md5('boot#' || b.replicate || ':' || e.event_id), 1, 15))::BIGINT % 1000000 AS bucket
+           |  FROM events e, b),
+           |w AS (SELECT event_type, replicate, cents,
+           |    $ladder AS boot_w
+           |  FROM v)
+           |SELECT event_type, CAST(replicate AS BIGINT) AS replicate,
+           |  CAST(sum(boot_w) AS BIGINT) AS n_eff,
+           |  CAST(sum(boot_w * cents) AS BIGINT) AS sum_cents
+           |FROM w WHERE boot_w > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
     )
   }
 }

@@ -157,4 +157,52 @@ object Sampling {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .where(col("sample_rank") <= k)
   }
+
+  /** Cumulative Poisson(λ=1) probabilities as ppm integer thresholds,
+    * capped at `maxCopies` (residual mass lands on the cap). Computed
+    * ONCE on the driver and embedded as identical literals in the Spark
+    * plan and the oracle SQL — the replicate-count decision is then an
+    * integer comparison both engines replay exactly. */
+  private[graft] def poissonPpmThresholds(maxCopies: Int): Seq[Long] = {
+    var pk = math.exp(-1.0)
+    var cum = 0.0
+    (0 until maxCopies).map { k =>
+      if (k > 0) pk = pk / k
+      cum += pk
+      math.floor(cum * Buckets).toLong
+    }
+  }
+
+  /**
+   * Deterministic Poisson bootstrap (SAMP3): `replicates` independent
+   * resamples of the corpus, each row drawn Poisson(1) times per
+   * replicate — the scale-standard bootstrap (true with-replacement
+   * resampling needs global coordination; Poisson counts are independent
+   * per row, exactly what a distributed scan can decide map-side).
+   * Deterministic: the count is a pure function of (salt, replicate, id)
+   * through the portable-hash ppm bucket and the fixed threshold ladder —
+   * reproducible across retries, partitionings, and engines, where
+   * rand()-based bootstrap is none of these.
+   *
+   * Output: input columns + (replicate, boot_w in 1..maxCopies); rows
+   * drawn zero times in a replicate emit nothing. Downstream aggregates
+   * weight by `boot_w` instead of materializing copies — corpus×B rows
+   * carry ONE small long, payloads are never duplicated.
+   */
+  def poissonBootstrap(
+      df: DataFrame, idCol: String, salt: String, replicates: Int,
+      maxCopies: Int = 8): DataFrame = {
+    require(replicates >= 1 && replicates <= 64, "1..64 replicates")
+    val ts = poissonPpmThresholds(maxCopies)
+    val perReplicate = (0 until replicates).map { b =>
+      val bucket = hashBucket(col(idCol), s"$salt#$b")
+      val copies = ts.map(t => (bucket >= lit(t)).cast("long")).reduce(_ + _)
+      struct(lit(b.toLong).as("replicate"), copies.as("boot_w"))
+    }
+    df.withColumn("_boot", explode(array(perReplicate: _*)))
+      .withColumn("replicate", col("_boot.replicate"))
+      .withColumn("boot_w", col("_boot.boot_w"))
+      .drop("_boot")
+      .where(col("boot_w") > 0)
+  }
 }

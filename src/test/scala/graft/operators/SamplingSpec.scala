@@ -112,4 +112,37 @@ class SamplingSpec extends SparkSpec {
     assert(p1.forall { case (id, p) => p2(id) <= p },
       "10x weight must weakly lower every integer priority")
   }
+
+  test("poissonBootstrap: ppm ladder anchors, Poisson(1) mass, independent replicates") {
+    // threshold ladder: cum Poisson(1) in ppm — t0 = floor(e^-1 * 1e6)
+    val ts = Sampling.poissonPpmThresholds(8)
+    assert(ts.head == 367879L && ts(1) == 735758L)
+    assert(ts == ts.sorted && ts.last <= 1000000L)
+
+    val ids = spark.range(10000).toDF("id")
+    val boot = Sampling.poissonBootstrap(ids, "id", "bs", replicates = 2)
+      .select(col("id"), col("replicate"), col("boot_w"))
+    val byRep = boot.groupBy("replicate")
+      .agg(sum(col("boot_w")).as("n_eff"), max(col("boot_w")).as("max_w"),
+        count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // each replicate's effective size concentrates around n (Poisson(1)
+    // mean 1; sd/n = 1% at n=10k — 5% is a >5-sigma bound)
+    byRep.values.foreach { case (nEff, maxW, nRows) =>
+      assert(math.abs(nEff - 10000L) < 500L, s"n_eff=$nEff")
+      assert(maxW >= 2L, "multi-copy draws must occur")
+      assert(nRows < 10000L, "zero-copy rows must be absent")
+    }
+    // replicates draw independently: the two per-id count vectors differ
+    val perId = boot.groupBy("id").pivot("replicate", Seq(0, 1))
+      .sum("boot_w").collect()
+    assert(perId.exists(r => r.isNullAt(1) != r.isNullAt(2) ||
+      (!r.isNullAt(1) && !r.isNullAt(2) && r.getLong(1) != r.getLong(2))))
+    // deterministic under repartitioning
+    val again = Sampling.poissonBootstrap(ids.repartition(7), "id", "bs", 2)
+      .select(col("id"), col("replicate"), col("boot_w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = boot.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == base)
+  }
 }
