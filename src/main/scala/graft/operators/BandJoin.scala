@@ -43,7 +43,9 @@ object BandJoin {
     require(eps >= 1, "eps must be >= 1")
     val slim = df.select(
       (keyCols.map(col) :+ col(idCol).as("bj_id") :+ col(valCol).as("bj_v")): _*)
-      .withColumn("bucket", floor(col("bj_v") / eps).cast("long"))
+      // integer division, NOT floor(v/eps): the double round-trip loses
+      // exactness past 2^53 and a misassigned bucket is a missed pair
+      .withColumn("bucket", expr(s"bj_v DIV $eps"))
     // probe side visits its own bucket and the next one up; build side
     // stays put. offset 0 catches same-bucket pairs (id order dedups),
     // offset +1 catches the cross-boundary pairs once (probe below,

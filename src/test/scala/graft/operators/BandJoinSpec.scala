@@ -36,6 +36,14 @@ class BandJoinSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("values beyond 2^53 bucket exactly (integer DIV, no double round-trip)") {
+    val v = (1L << 60) + 12345L
+    val got = run(Seq(
+      ("k", 1L, v), ("k", 2L, v + 100L),       // boundary pair at huge magnitude
+      ("k", 3L, v + 201L)), eps = 100L)        // 101 past id2 -> excluded
+    assert(got.toSet == Set(("k", 1L, 2L, 100L)))
+  }
+
   test("row-identity + exactly-once vs the brute-force non-equi join") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 400).map(i =>
