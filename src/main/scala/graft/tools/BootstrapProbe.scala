@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decompose q147's cost: events load, hash-only, ladder-only, full
+  * bootstrap, and a restructured explode-then-hash variant. */
+object BootstrapProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[boot-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val base = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    println(s"[boot-probe] rows = ${base.count()}")
+    for (rep <- 1 to 2) {
+      timed("load+agg only")(noop(base.groupBy("event_type").count()))
+      timed("one hash per row")(noop(base.select(
+        graft.operators.Sampling.hashBucket(col("event_id"), "x").as("b"))))
+      timed("5 hashes per row")(noop(base.select(
+        (0 until 5).map(b => graft.operators.Sampling
+          .hashBucket(col("event_id"), s"x#$b").as(s"b$b")): _*)))
+      timed("full poissonBootstrap + agg")(noop(
+        graft.operators.Sampling.poissonBootstrap(base, "event_id", "boot", 5)
+          .groupBy(col("event_type"), col("replicate"))
+          .agg(sum(col("boot_w")).as("n_eff"),
+            sum(col("boot_w") * col("cents")).as("sum_cents"))))
+      // restructured: explode replicate ids first, hash once as a column
+      val alt = base
+        .withColumn("replicate", explode(sequence(lit(0L), lit(4L))))
+        .withColumn("bucket", pmod(graft.functions.TextFunctions.portableHash(
+          concat(lit("boot#"), col("replicate").cast("string"), lit(":"),
+            col("event_id").cast("string"))), lit(1000000L)))
+        .withColumn("boot_w",
+          graft.operators.Sampling.poissonPpmThresholds(8)
+            .map(t => (col("bucket") >= lit(t)).cast("long")).reduce(_ + _))
+        .where(col("boot_w") > 0)
+      timed("explode-then-hash variant + agg")(noop(
+        alt.groupBy(col("event_type"), col("replicate"))
+          .agg(sum(col("boot_w")).as("n_eff"),
+            sum(col("boot_w") * col("cents")).as("sum_cents"))))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decompose q142's cost: edge construction, canon+degrees, orient,
+  * wedge generation alone, wedges+closing probe. */
+object TriangleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[tri-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val e0 = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = e0.as("a")
+      .join(e0.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+    for (_ <- 1 to 2) {
+      timed("edge construction count")(edges.count())
+      val canon = edges
+        .select(least(col("u"), col("v")).cast("long").as("u"),
+          greatest(col("u"), col("v")).cast("long").as("v"))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      timed("canon localCheckpoint (eager)")(())
+      val deg = canon.select(col("u").as("node"))
+        .unionByName(canon.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = canon
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      val oriented = withDeg.select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("ddst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("ddst")))
+          .as("e"))
+        .select(col("e.src"), col("e.dst"), col("e.ddst"))
+      timed("orient count (incl degree joins)")(oriented.count())
+      val or2 = oriented.localCheckpoint(true)
+      timed("orient localCheckpoint eager")(())
+      val e1 = or2.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+      val e2 = or2.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+      val wedges = e1.join(e2, "src")
+        .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+        .select(col("b").as("src"), col("c").as("dst"))
+      timed("wedge count")(println(s"  wedges = ${wedges.count()}"))
+      val closing = or2.select(col("src"), col("dst"))
+      timed("wedges + broadcast semi probe")(println(
+        s"  tri = ${wedges.join(broadcast(closing), Seq("src", "dst"), "left_semi").count()}"))
+      timed("wedges + shuffle-hash semi probe")(println(
+        s"  tri = ${wedges.join(closing.hint("shuffle_hash"), Seq("src", "dst"), "left_semi").count()}"))
+    }
+    spark.stop()
+  }
+}
