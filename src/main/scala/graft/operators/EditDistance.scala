@@ -50,6 +50,20 @@ object EditDistance {
       transform(sequence(lit(1), length(w)),
         i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w)))))
 
+  /** Depth-d deletion neighborhood: all strings reachable by deleting up
+    * to `d` characters. The SymSpell completeness law generalizes: if
+    * lev(a, b) ≤ d then deleting (at most d) characters from each side
+    * reaches a common string — align an optimal edit script and delete
+    * every substituted/inserted position from its own side — so the
+    * equi-join on depth-d variants keeps FULL recall at distance d.
+    * Variant count grows O(|w|^d); d ≤ 2 is the practical envelope. */
+  private[graft] def deletionNeighborhoodD(w: Column, d: Int): Column = {
+    require(d >= 1 && d <= 3, "deletion depth 1..3")
+    (2 to d).foldLeft(deletionNeighborhood(w)) { (acc, _) =>
+      array_distinct(flatten(transform(acc, v => deletionNeighborhood(v))))
+    }
+  }
+
   /**
    * Word vocabulary of one or more text columns: lowercase `[a-z]+` runs
    * (the Bpe/q22 cross-engine token law) of length ≥ `minLen`, with total
@@ -69,14 +83,15 @@ object EditDistance {
   }
 
   /**
-   * All vocabulary pairs with lev(a, b) ≤ 1 via the deletion-neighborhood
-   * equi-join. Input: (w, freq); output: (word_a, freq_a, word_b, freq_b)
-   * with word_a < word_b, one row per pair.
+   * All vocabulary pairs with lev(a, b) ≤ `maxDistance` via the
+   * deletion-neighborhood equi-join (depth = maxDistance, full recall by
+   * the completeness law above). Input: (w, freq); output: (word_a,
+   * freq_a, word_b, freq_b) with word_a < word_b, one row per pair.
    */
-  def variantPairs(vocab: DataFrame): DataFrame = {
+  def variantPairs(vocab: DataFrame, maxDistance: Int = 1): DataFrame = {
     val cands = vocab.select(
       col("w"), col("freq"),
-      explode(deletionNeighborhood(col("w"))).as("variant"))
+      explode(deletionNeighborhoodD(col("w"), maxDistance)).as("variant"))
       // shuffle a fixed-width hash, not the variant string; collisions are
       // spurious candidates and the levenshtein verify removes them
       .select(col("w"), col("freq"), portableHash(col("variant")).as("vh"))
@@ -86,11 +101,12 @@ object EditDistance {
       .where(col("word_a") < col("word_b"))
       .select(col("word_a"), col("freq_a"), col("word_b"), col("freq_b"))
       .distinct() // a pair may share several variants; verify each pair once
-      .where(levenshtein(col("word_a"), col("word_b")) <= 1)
+      .where(levenshtein(col("word_a"), col("word_b")) <= maxDistance)
   }
 
   /** [[vocabulary]] composed with [[variantPairs]]. */
   def vocabularyVariantPairs(
-      sources: Seq[(DataFrame, String)], minLen: Int = 3): DataFrame =
-    variantPairs(vocabulary(sources, minLen))
+      sources: Seq[(DataFrame, String)], minLen: Int = 3,
+      maxDistance: Int = 1): DataFrame =
+    variantPairs(vocabulary(sources, minLen), maxDistance)
 }

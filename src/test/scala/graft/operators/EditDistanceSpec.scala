@@ -65,6 +65,20 @@ class EditDistanceSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
   }
 
+  test("depth-2 neighborhood join has full recall at lev <= 2") {
+    val rnd = new scala.util.Random(23)
+    val words = Seq.fill(150)(
+      (1 to (4 + rnd.nextInt(3))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val vocab = EditDistance.vocabulary(Seq((words.toDF("text"), "text")), minLen = 4)
+    val got = EditDistance.variantPairs(vocab, maxDistance = 2)
+      .select(col("word_a"), col("word_b"))
+      .as[(String, String)].collect().toSet
+    val vs = words.distinct.filter(_.length >= 4)
+    val want = (for { a <- vs; b <- vs if a < b && lev(a, b) <= 2 } yield (a, b)).toSet
+    assert(want.exists { case (a, b) => lev(a, b) == 2 }, "fixture needs distance-2 pairs")
+    assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+  }
+
   test("vocabulary merges frequencies across sources") {
     val d1 = Seq("ship ship fast").toDF("text")
     val d2 = Seq(("ship slow", "x")).toDF("name", "junk")
