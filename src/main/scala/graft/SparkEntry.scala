@@ -2336,6 +2336,22 @@ object SparkEntry {
           sum(col("boot_w")).as("n_eff"),
           sum(col("boot_w") * col("cents")).as("sum_cents"))
         .orderBy(col("event_type"), col("replicate"))),
+
+    // Q148 — SIM7 multi-probe LSH measured by the EVAL1 gauge: same
+    // truth as q145, approx = each query probing its bucket plus all
+    // 1-bit-flip neighbors — the standard recall-vs-cost dial, here with
+    // the recall NUMBER proving the dial works (q148 recall_ppm ≥ q145's
+    // per query, at ×9 query-side candidates).
+    "q148_ann_multiprobe_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.where(pmod(col("vec_id"), lit(50)) === 0)
+      val truth = Similarity.cosineTopK(qs, e, "vec_id", "embedding", k = 3)
+      val approx = Similarity.annCosineTopKMultiProbe(qs, e, "vec_id", "embedding",
+        k = 3, numPlanes = 8)
+      operators.Ranking.recallReport(truth, approx,
+          "query_id", "neighbor_id", "rank")
+        .orderBy(col("query_id"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -4534,6 +4550,57 @@ object SparkEntry {
            |  CAST(sum(boot_w * cents) AS BIGINT) AS sum_cents
            |FROM w WHERE boot_w > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       },
+
+      // q145's chains with the approx side probing bucket ∪ 1-bit flips
+      "q148_ann_multiprobe_recall" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM e),
+          |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |        CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1])) AS BIGINT) AS dot,
+          |        q.nn AS qn, c.nn AS cn
+          |      FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+          |br AS (SELECT query_id, neighbor_id,
+          |        CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim FROM bp),
+          |brr AS (SELECT query_id, neighbor_id,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM br),
+          |truth AS (SELECT query_id, neighbor_id FROM brr WHERE rank <= 3),
+          |pl AS (SELECT p, d,
+          |        CASE WHEN ('0x' || substr(md5('plane#' || p || ':dim#' || d), 1, 15))::BIGINT % 2 = 0
+          |             THEN 1 ELSE -1 END AS sgn
+          |       FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)),
+          |side AS (SELECT n.vec_id, pl.p, sum(pl.sgn * n.v[pl.d + 1]) AS s
+          |         FROM n, pl GROUP BY n.vec_id, pl.p),
+          |bk AS (SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+          |       FROM side GROUP BY vec_id),
+          |nb AS (SELECT n.vec_id, n.v, n.nn, bk.bucket FROM n JOIN bk USING (vec_id)),
+          |qs AS (SELECT vec_id, v, nn, bucket FROM nb WHERE vec_id % 50 = 0),
+          |probes AS (SELECT vec_id, v, nn, xor(bucket, 1::BIGINT << p) AS pb
+          |             FROM qs, (SELECT unnest(range(8)) AS p) px
+          |           UNION ALL SELECT vec_id, v, nn, bucket FROM qs),
+          |ap AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |        CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1])) AS BIGINT) AS dot,
+          |        q.nn AS qn, c.nn AS cn
+          |      FROM probes q JOIN nb c ON q.pb = c.bucket AND c.vec_id <> q.vec_id),
+          |ar AS (SELECT query_id, neighbor_id,
+          |        CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim FROM ap),
+          |arr AS (SELECT query_id, neighbor_id, sim,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM ar),
+          |approx AS (SELECT query_id, neighbor_id, rank FROM arr WHERE rank <= 3),
+          |kt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k_truth FROM truth GROUP BY 1),
+          |ka AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k_approx FROM approx GROUP BY 1),
+          |h AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+          |        CAST(min(a.rank) AS BIGINT) AS first_hit_rank
+          |      FROM approx a JOIN truth t ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+          |      GROUP BY 1)
+          |SELECT kt.query_id, kt.k_truth,
+          |  coalesce(ka.k_approx, 0) AS k_approx,
+          |  coalesce(h.n_hits, 0) AS n_hits,
+          |  h.first_hit_rank,
+          |  CAST((coalesce(h.n_hits, 0) * 1000000) // kt.k_truth AS BIGINT) AS recall_ppm
+          |FROM kt LEFT JOIN ka ON kt.query_id = ka.query_id
+          |  LEFT JOIN h ON kt.query_id = h.query_id
+          |ORDER BY kt.query_id""".stripMargin,
     )
   }
 }

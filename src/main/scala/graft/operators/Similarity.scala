@@ -105,6 +105,44 @@ object Similarity {
   }
 
   /**
+   * Multi-probe LSH ANN (SIM7): each query probes its own bucket PLUS
+   * every bucket at Hamming distance 1 (one hyperplane bit flipped) —
+   * the standard multi-probe trade: a vector near a hyperplane lands on
+   * the other side with probability ∝ its distance to the plane, so the
+   * 1-bit-flip buckets hold most of the recall the single bucket loses.
+   * Candidate volume rises ×(numPlanes+1) on the QUERY side only (the
+   * query frame explodes its probe list; the big candidate side is
+   * untouched and still equi-joins on its one bucket) — recall gain at a
+   * bounded, query-proportional cost, measured by
+   * [[graft.operators.Ranking.recallReport]] (q148 vs q145 in the
+   * declared set).
+   */
+  def annCosineTopKMultiProbe(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, k: Int, numPlanes: Int = 8,
+      dims: Int = 64): DataFrame = {
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket",
+        element_at(exprCol(HyperplaneBuckets(expression(col("qv")), 1, numPlanes, dims)), 1))
+    val probes = (0 until numPlanes)
+      .map(p => col("bucket").bitwiseXOR(lit(1L << p))) :+ col("bucket")
+    val q = withBucket(prepared(queries, idCol, embCol))
+      .withColumn("q_bucket", explode(array(probes: _*)))
+      .drop("bucket")
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed("qv", "q_qv").withColumnRenamed("nn", "q_nn")
+    val c = withBucket(prepared(candidates, idCol, embCol))
+      .withColumnRenamed(idCol, "neighbor_id")
+    // a candidate owns exactly ONE bucket and the probe list is distinct,
+    // so (query, neighbor) pairs cannot duplicate — no dedup needed
+    rankTopK(
+      c.join(q, col("bucket") === col("q_bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", dot(col("q_qv"), col("qv"))),
+      k)
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, brute-force formulation: all
    * pairs with cosine ≥ `threshold`, id_a < id_b. O(n²) by construction
    * (Spark executes the non-equi self-join as a broadcast nested loop) —

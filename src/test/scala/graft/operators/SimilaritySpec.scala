@@ -47,6 +47,32 @@ class SimilaritySpec extends SparkSpec {
     assert(!ann.exists(r => r.getLong(0) == 0L && r.getLong(2) == 3L))
   }
 
+  test("multi-probe dominates single-probe recall per query, no duplicate pairs") {
+    val rnd = new scala.util.Random(29)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val qs = emb.where(pmod($"vec_id", lit(40)) === 0) // 5 queries
+    val truth = Similarity.cosineTopK(qs, emb, "vec_id", "embedding", k = 5)
+    def hits(approx: org.apache.spark.sql.DataFrame) =
+      Ranking.recallReport(truth, approx, "query_id", "neighbor_id", "rank")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val single = Similarity.annCosineTopK(qs, emb, "vec_id", "embedding",
+      k = 5, numPlanes = 6, dims = 16)
+    val multi = Similarity.annCosineTopKMultiProbe(qs, emb, "vec_id", "embedding",
+      k = 5, numPlanes = 6, dims = 16)
+    // no duplicate (query, neighbor) pairs from the probe expansion
+    val pairs = multi.select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length)
+    val hs = hits(single); val hm = hits(multi)
+    // candidate-superset argument: a truth item in single-probe's top-k
+    // can only be displaced in multi-probe by globally-better items,
+    // which are themselves truth — so per-query hits never decrease
+    hs.keySet.foreach(q => assert(hm(q) >= hs(q), s"query $q lost recall"))
+    assert(hm.values.sum >= hs.values.sum)
+    assert(hm.values.sum > 0, "fixture produced no hits at all")
+  }
+
   test("ivfCosineTopK: results are a subset of brute force with identical sims") {
     val brute = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
