@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Compare two Bench JSON files (the persisted one-line artifacts).
+
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [--top N]
+
+Prints totals, per-query-mean ratio, the shared-subset totals (the honest
+regression signal — new queries inflate raw totals), and the largest
+per-query deltas in both directions.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    top = 10
+    for a in sys.argv[1:]:
+        if a.startswith("--top"):
+            top = int(a.split("=", 1)[1]) if "=" in a else top
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    so, sn = sum(oq[k] for k in shared), sum(nq[k] for k in shared)
+    print(f"old: {old['value']:.1f}s / {len(oq)}q = {old['value']/len(oq):.3f}s/q")
+    print(f"new: {new['value']:.1f}s / {len(nq)}q = {new['value']/len(nq):.3f}s/q")
+    print(f"shared {len(shared)}q: {so:.1f}s -> {sn:.1f}s "
+          f"({(sn-so)/so*100:+.1f}% — box drift if spread thinly, plan change if concentrated)")
+    if added:
+        print(f"added ({len(added)}): " +
+              ", ".join(f"{k}={nq[k]:.2f}s" for k in added))
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    deltas = sorted(((nq[k] - oq[k], k) for k in shared), reverse=True)
+    print(f"top {top} regressions (shared):")
+    for d, k in deltas[:top]:
+        if d <= 0:
+            break
+        print(f"  {k}: {oq[k]:.2f} -> {nq[k]:.2f} ({d:+.2f})")
+    print(f"top {top} improvements (shared):")
+    for d, k in deltas[::-1][:top]:
+        if d >= 0:
+            break
+        print(f"  {k}: {oq[k]:.2f} -> {nq[k]:.2f} ({d:+.2f})")
+
+
+if __name__ == "__main__":
+    main()
