@@ -2352,6 +2352,19 @@ object SparkEntry {
           "query_id", "neighbor_id", "rank")
         .orderBy(col("query_id"))
     }),
+
+    // Q149 — GRAPH5 graph profile census over the part co-occurrence
+    // graph: exact integer degree quantiles via the q144 threshold law
+    // on the DEGREE HISTOGRAM (rows = distinct degree values), mean
+    // degree in integer ppm — the pre-flight audit for every graph job.
+    "q149_graph_profile" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = e0.as("a")
+        .join(e0.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+      graft.operators.Graph.profile(edges)
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -4601,6 +4614,27 @@ object SparkEntry {
           |FROM kt LEFT JOIN ka ON kt.query_id = ka.query_id
           |  LEFT JOIN h ON kt.query_id = h.query_id
           |ORDER BY kt.query_id""".stripMargin,
+
+      // same threshold law over the degree histogram
+      "q149_graph_profile" ->
+        """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |ed AS (SELECT DISTINCT a.p AS u, b.p AS v FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p),
+          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+          |  FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+          |hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY 1),
+          |c AS (SELECT deg, cnt,
+          |    sum(cnt) OVER (ORDER BY deg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    sum(cnt) OVER () AS n
+          |  FROM hist)
+          |SELECT CAST(max(n) AS BIGINT) AS n_nodes,
+          |  CAST(sum(deg * cnt) // 2 AS BIGINT) AS n_edges,
+          |  CAST(min(deg) AS BIGINT) AS min_deg,
+          |  CAST(min(CASE WHEN cum * 10 >= n * 1 THEN deg END) AS BIGINT) AS p10_deg,
+          |  CAST(min(CASE WHEN cum * 2 >= n THEN deg END) AS BIGINT) AS med_deg,
+          |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN deg END) AS BIGINT) AS p90_deg,
+          |  CAST(max(deg) AS BIGINT) AS max_deg,
+          |  CAST((2 * (CAST(sum(deg * cnt) AS BIGINT) // 2) * 1000000) // CAST(max(n) AS BIGINT) AS BIGINT) AS mean_deg_ppm
+          |FROM c""".stripMargin,
     )
   }
 }

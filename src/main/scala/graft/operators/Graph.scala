@@ -117,6 +117,48 @@ object Graph {
   }
 
   /**
+   * Graph profile census (GRAPH5) — the DQ1 table-profile idea for a
+   * graph: node/edge counts, exact integer degree quantiles, and the
+   * mean degree in exact ppm. The pre-flight audit every graph job needs
+   * (is this the hub-skewed regime? did symmetrization double edges?),
+   * with every statistic engine-replayable:
+   *  - quantiles use the division-free threshold law (q144/q146):
+   *    p_i = min{ d : 10·cumcount(d) ≥ i·n } over the DEGREE HISTOGRAM —
+   *    the cumulative window runs on (deg, count) rollup rows, bounded by
+   *    distinct degree VALUES, never the node count;
+   *  - mean degree = (2·m·10⁶) DIV n — integer, no IEEE anywhere.
+   */
+  def profile(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("u"), col("v")).cast("long").as("u"),
+        greatest(col("u"), col("v")).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .unionByName(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // histogram grain: rows = distinct degree values (tiny at any scale)
+    val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("deg"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    cum.agg(
+        max(col("n")).as("n_nodes"),
+        expr("sum(deg * cnt) DIV 2").as("n_edges"),
+        min(col("deg")).as("min_deg"),
+        min(when(col("cum") * 10 >= col("n") * 1, col("deg"))).as("p10_deg"),
+        min(when(col("cum") * 2 >= col("n"), col("deg"))).as("med_deg"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("deg"))).as("p90_deg"),
+        max(col("deg")).as("max_deg"))
+      .withColumn("mean_deg_ppm", expr("(2 * n_edges * 1000000) DIV n_nodes"))
+  }
+
+  /**
    * Triangle census over an UNDIRECTED graph (GRAPH3), with the
    * degree-ordered orientation that makes distributed triangle counting
    * feasible: orient every edge from the endpoint that is smaller under

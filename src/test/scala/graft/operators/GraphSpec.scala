@@ -88,6 +88,31 @@ class GraphSpec extends SparkSpec {
     assert(out.values.max >= 2, "graph must exercise multi-hop paths")
   }
 
+  test("profile: star-graph hand vector, threshold-law quantiles") {
+    // star: center 0 <-> leaves 1..4; degrees {4, 1, 1, 1, 1}
+    // hist (1,4),(4,1); cum 4,5; p10 = 1, med = 1 (2*4 >= 5), p90 = 4
+    val edges = (1L to 4L).map(i => (0L, i)).toDF("u", "v")
+    val r = Graph.profile(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      == ((5L, 4L, 1L, 1L, 1L, 4L, 4L, 1600000L)))
+  }
+
+  test("profile quantiles equal the sorted-degree threshold brute force") {
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 600).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).toDF("u", "v")
+    val canon = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val degs = (canon.map(_._1) ++ canon.map(_._2))
+      .groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+    def q(i: Int): Long = degs(
+      degs.indices.find(j => (j + 1) * 10 >= degs.size * i).get)
+    val r = Graph.profile(edges).collect().head
+    assert(r.getLong(0) == degs.size.toLong && r.getLong(1) == canon.size.toLong)
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((q(1), q(5), q(9))))
+  }
+
   test("triangleStats: hand-computed census on triangle + pendant") {
     // triangle {1,2,3} plus pendant 3-4: deg = (2,2,3,1)
     // wedges = 1+1+3+0 = 5, triangles = 1, ppm = 3e6 DIV 5 = 600000
