@@ -2365,6 +2365,84 @@ object SparkEntry {
         .select(col("a.p").as("u"), col("b.p").as("v"))
       graft.operators.Graph.profile(edges)
     }),
+
+    // Q150 — D11 span-level duplication census + first-occurrence
+    // survival over word-8-gram windows: n_dup counts instances whose
+    // span text lives in ≥ 2 docs (cross-doc boilerplate), n_first what
+    // keep-first span dedup would retain — the sub-document dedup
+    // modality (C4 / RefinedWeb / Lee et al.) doc-level D1–D10 miss.
+    // Only (hash, doc_id, pos) triples ever shuffle.
+    "q150_span_dedup" -> ((s, dir) =>
+      operators.SpanDedup.spanReport(
+          t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))),
+
+    // Q151 — T15 bigram familiarity: the CCNet perplexity-filter shape in
+    // exact integers — each bigram instance contributes min(corpus_count,
+    // 64); fam_ppm = Σ·10⁶ DIV (n·64). Low score = rare transitions =
+    // gibberish/outlier. Model join is an equi-self-join on the bigram
+    // hash; the model is vocabulary²-, not corpus-, sized.
+    "q151_bigram_familiarity" -> ((s, dir) =>
+      operators.LangModel.familiarityReport(
+          t(s, dir, "documents"), "doc_id", "text", cap = 64L)
+        .orderBy(col("doc_id"))),
+
+    // Q152 — SEL1 DSIR-style domain-relevance selection: hashed-bigram
+    // (mod 1024) target profile from src0, every other doc scored by
+    // mean target-profile mass of its features, top-20 kept — the
+    // data-selection step that tilts a corpus toward a target domain.
+    // The profile is ≤ 1024 rows by construction → broadcast join, zero
+    // corpus shuffle on the scoring side.
+    "q152_domain_relevance" -> ((s, dir) =>
+      operators.LangModel.domainRelevanceTopK(
+          t(s, dir, "documents"), "doc_id", "text", "source",
+          isTarget = col("source") === "src0", nBuckets = 1024, topK = 20)),
+
+    // Q153 — FEAT1 half-life recency rollup: exact dyadic decay — weight
+    // = 2^(20 − age_days DIV 7) as a 64-bit integer (older than 20
+    // half-lives ⇒ exactly 0), decayed mean = one IEEE divide of two
+    // exact longs. The order-sensitive float `pow(0.5, age/h)` sum a
+    // feature store can't replay, made deterministic. One shuffle.
+    "q153_decay_rollup" -> ((s, dir) =>
+      operators.Decay.halfLifeRollup(
+          t(s, dir, "events").select(col("event_type"),
+            to_date(col("ts")).as("day"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+          keyCols = Seq("event_type"), dayCol = "day", valCol = "cents",
+          halfLifeDays = 7, kCap = 20)
+        .orderBy(col("event_type"))),
+
+    // Q154 — SEL2 quality-binned curriculum schedule: equal-depth bins
+    // over (score desc, id) with a salted portable-hash shuffle inside
+    // each bin — the deterministic easy-first epoch order a trainer
+    // reads. Score = type-token ratio in ppm (integer). Both global
+    // ranks are two-level (class histogram + within-class window) — no
+    // single-partition pass over the corpus.
+    "q154_curriculum" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          expr("CAST(size(array_distinct(w)) AS BIGINT) * 1000000" +
+            " DIV CAST(size(w) AS BIGINT)").as("score_ppm"))
+      operators.Curriculum.schedule(scored, "doc_id", "score_ppm",
+        nBins = 10, salt = "cur")
+    }),
+
+    // Q155 — SIM8 contrastive triplet mining: per anchor (vec_id % 25 =
+    // 0), the hardest positive (most-similar same-label) and hardest
+    // negative (most-similar other-label) from its multi-probe LSH
+    // neighborhood — the triplets a metric-learning loop trains on.
+    // Anchor-complete LEFT join: an anchor with no same/other-label
+    // candidate in its probed buckets reports NULLs, not a dropped row.
+    "q155_hard_triplets" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardTriplets(
+          e.where(pmod(col("vec_id"), lit(25)) === 0), e,
+          "vec_id", "embedding", "label", numPlanes = 8)
+        .withColumn("anchor_label", col("anchor_label").cast("long"))
+        .orderBy(col("anchor_id"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -4635,6 +4713,125 @@ object SparkEntry {
           |  CAST(max(deg) AS BIGINT) AS max_deg,
           |  CAST((2 * (CAST(sum(deg * cnt) AS BIGINT) // 2) * 1000000) // CAST(max(n) AS BIGINT) AS BIGINT) AS mean_deg_ppm
           |FROM c""".stripMargin,
+
+      // same 8-word windows, same 60-bit span hashes, same single-integer
+      // (doc_id·2³⁰ + pos) first-occurrence law
+      "q150_span_dedup" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |g0 AS (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM w),
+          |g AS (SELECT doc_id, i AS pos,
+          |    ('0x' || substr(md5(array_to_string(ws[i+1:i+8], ' ')), 1, 15))::BIGINT AS h FROM g0),
+          |c AS (SELECT h, count(DISTINCT doc_id) AS n_docs,
+          |    min(doc_id * 1073741824 + pos) AS first_ord FROM g GROUP BY 1),
+          |j AS (SELECT g.doc_id, g.pos, c.n_docs, c.first_ord FROM g JOIN c USING (h))
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+          |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          |  CAST(sum(CASE WHEN doc_id * 1073741824 + pos = first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+          |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same bigram hashes, same self-inclusive corpus counts, same
+      // capped-count integer mean
+      "q151_bigram_familiarity" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |g0 AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM w),
+          |g AS (SELECT doc_id,
+          |    ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS bh FROM g0),
+          |m AS (SELECT bh, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  CAST(sum(least(m.cnt, 64)) AS BIGINT) AS fam_sum,
+          |  CAST(sum(least(m.cnt, 64)) * 1000000 // (count(*) * 64) AS BIGINT) AS fam_ppm
+          |FROM g JOIN m USING (bh) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same hashed-bigram buckets (mod 1024), same src0 profile, same
+      // left-join-zero law for unseen buckets
+      "q152_domain_relevance" ->
+        """WITH w AS (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |g0 AS (SELECT doc_id, source, ws, unnest(range(len(ws) - 1)) AS i FROM w),
+          |g AS (SELECT doc_id, source,
+          |    ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT % 1024 AS bucket FROM g0),
+          |p AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tcnt FROM g WHERE source = 'src0' GROUP BY 1),
+          |s AS (SELECT g.doc_id, g.source, CAST(count(*) AS BIGINT) AS n_feats,
+          |    CAST(sum(coalesce(p.tcnt, 0)) AS BIGINT) AS rel_sum
+          |  FROM g LEFT JOIN p USING (bucket) WHERE g.source <> 'src0' GROUP BY 1, 2),
+          |r AS (SELECT doc_id, source, n_feats, rel_sum,
+          |    CAST(rel_sum * 1000000 // n_feats AS BIGINT) AS rel_ppm FROM s)
+          |SELECT CAST(row_number() OVER (ORDER BY rel_ppm DESC, doc_id) AS BIGINT) AS rank,
+          |  doc_id, source, n_feats, rel_sum, rel_ppm
+          |FROM r ORDER BY rel_ppm DESC, doc_id LIMIT 20""".stripMargin,
+
+      // same dyadic shift weights against the same corpus-max reference
+      // day; the mean is the identical two-exact-longs divide
+      "q153_decay_rollup" ->
+        """WITH v AS (SELECT event_type, ts::DATE AS day,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+          |r AS (SELECT max(day) AS ref_day FROM v),
+          |k AS (SELECT event_type, cents,
+          |    date_diff('day', day, r.ref_day) // 7 AS k FROM v, r),
+          |w AS (SELECT event_type, cents,
+          |    CASE WHEN k <= 20 THEN 1::BIGINT << CAST(20 - k AS INT)
+          |         ELSE 0::BIGINT END AS w FROM k)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+          |  CAST(sum(w) AS BIGINT) AS w_sum,
+          |  CAST(sum(w * cents) AS BIGINT) AS decayed_sum,
+          |  CASE WHEN sum(w) > 0
+          |       THEN CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE) END AS decayed_mean
+          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // plain one-level row_number ranks — provably equal to the engine's
+      // two-level histogram-offset ranks; same md5 shuffle key
+      "q154_curriculum" ->
+        """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |s AS (SELECT doc_id,
+          |    CAST(len(list_distinct(ws)) AS BIGINT) * 1000000 // CAST(len(ws) AS BIGINT) AS score_ppm FROM w),
+          |r AS (SELECT doc_id, score_ppm,
+          |    row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rnk,
+          |    count(*) OVER () AS n FROM s),
+          |b AS (SELECT doc_id, score_ppm, (rnk - 1) * 10 // n AS bin,
+          |    ('0x' || substr(md5('cur#' || doc_id), 1, 15))::BIGINT AS sh FROM r)
+          |SELECT CAST(row_number() OVER (ORDER BY bin, sh, doc_id) AS BIGINT) AS epoch_pos,
+          |  doc_id, CAST(score_ppm AS BIGINT) AS score_ppm, CAST(bin AS BIGINT) AS bin
+          |FROM b ORDER BY epoch_pos""".stripMargin,
+
+      // q148's plane/bucket/probe chains with labels carried; two
+      // (sim desc, id) argmax cuts, anchor-complete left joins
+      "q155_hard_triplets" ->
+        """WITH e AS (SELECT vec_id, label, list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, label, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM e),
+          |pl AS (SELECT p, d,
+          |        CASE WHEN ('0x' || substr(md5('plane#' || p || ':dim#' || d), 1, 15))::BIGINT % 2 = 0
+          |             THEN 1 ELSE -1 END AS sgn
+          |       FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)),
+          |side AS (SELECT n.vec_id, pl.p, sum(pl.sgn * n.v[pl.d + 1]) AS s
+          |         FROM n, pl GROUP BY n.vec_id, pl.p),
+          |bk AS (SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+          |       FROM side GROUP BY vec_id),
+          |nb AS (SELECT n.vec_id, n.label, n.v, n.nn, bk.bucket FROM n JOIN bk USING (vec_id)),
+          |qs AS (SELECT vec_id, label, v, nn, bucket FROM nb WHERE vec_id % 25 = 0),
+          |probes AS (SELECT vec_id, label, v, nn, xor(bucket, 1::BIGINT << p) AS pb
+          |             FROM qs, (SELECT unnest(range(8)) AS p) px
+          |           UNION ALL SELECT vec_id, label, v, nn, bucket FROM qs),
+          |ap AS (SELECT q.vec_id AS anchor_id, q.label AS a_label,
+          |        c.vec_id AS cand_id, c.label AS c_label,
+          |        CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1])) AS BIGINT) AS dot,
+          |        q.nn AS qn, c.nn AS cn
+          |      FROM probes q JOIN nb c ON q.pb = c.bucket AND c.vec_id <> q.vec_id),
+          |sims AS (SELECT anchor_id, a_label, cand_id, c_label,
+          |        CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim FROM ap),
+          |pos AS (SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim FROM (
+          |    SELECT anchor_id, cand_id, sim,
+          |      row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) AS rn
+          |    FROM sims WHERE c_label = a_label) t WHERE rn = 1),
+          |neg AS (SELECT anchor_id, cand_id AS neg_id, sim AS neg_sim FROM (
+          |    SELECT anchor_id, cand_id, sim,
+          |      row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) AS rn
+          |    FROM sims WHERE c_label <> a_label) t WHERE rn = 1),
+          |a AS (SELECT vec_id AS anchor_id, CAST(label AS BIGINT) AS anchor_label FROM qs)
+          |SELECT a.anchor_id, a.anchor_label, pos.pos_id, pos.pos_sim, neg.neg_id, neg.neg_sim
+          |FROM a LEFT JOIN pos USING (anchor_id) LEFT JOIN neg USING (anchor_id)
+          |ORDER BY a.anchor_id""".stripMargin,
     )
   }
 }

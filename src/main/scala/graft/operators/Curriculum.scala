@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Quality-binned curriculum scheduling (SEL2) — the step between scoring
+ * a corpus and feeding it to a trainer: assign every document to one of
+ * `nBins` quality bins (bin 0 = best score) and emit a deterministic
+ * epoch order that walks the bins best-first with a reproducible shuffle
+ * INSIDE each bin (curriculum learning's "easy/clean first" schedule,
+ * with the intra-bin order decorrelated from ingest order — a sorted-by-
+ * anything feed is a biased batch stream).
+ *
+ * Exact-rank law: bin(d) = (rank(d) − 1)·nBins DIV n over the total order
+ * (score desc, doc_id asc) — equal-depth bins, deterministic under ties.
+ * The intra-bin shuffle key is the portable 60-bit hash of
+ * "salt#doc_id", so the schedule replays bit-identically across engines,
+ * retries, and partitionings; changing the salt is a fresh epoch
+ * permutation with zero data movement.
+ *
+ * Scale posture — global rank WITHOUT a single-partition pass: a bare
+ * `row_number() OVER (ORDER BY …)` collapses the corpus into one task.
+ * Instead both ranks here are two-level:
+ *   rank = cum_before(sort-key class) + row_number within class,
+ * where the within-class window partitions BY the class key (distributed)
+ * and cum_before comes from a cumulative sum over the CLASS HISTOGRAM —
+ * a frame bounded by the number of distinct classes (≤ 10⁶+1 ppm score
+ * values; ≤ nBins bins), not by corpus size, then broadcast back. The
+ * corpus itself is only ever hash-partitioned and window-scanned by
+ * class key. (Skew bound: a within-class window is one task per tie
+ * class — at ppm score resolution tie classes are corpus/10⁶-scale;
+ * a coarser score column is the dial if a corpus degenerates.)
+ */
+object Curriculum {
+
+  /** Two-level exact global rank of (`keyCol` in `desc`ending order,
+   *  `idCol` asc): adds `rank` (1-based long) plus a `n_total` column. */
+  private def globalRank(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val inClass = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    val histCum = Window.orderBy(col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = df.groupBy(col(keyCol)).agg(count(lit(1)).as("class_n"))
+      .withColumn("cum_thru", sum(col("class_n")).over(histCum))
+      .withColumn("cum_before", col("cum_thru") - col("class_n"))
+      .withColumn("n_total", sum(col("class_n")).over(
+        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col(keyCol), col("cum_before"), col("n_total"))
+    df.withColumn("rn_class", row_number().over(inClass).cast("long"))
+      .join(broadcast(hist), Seq(keyCol))
+      .withColumn("rank", col("cum_before") + col("rn_class"))
+      .drop("rn_class", "cum_before")
+  }
+
+  /**
+   * The curriculum schedule over a pre-scored corpus:
+   *   (epoch_pos, doc_id-as-`idCol`, score, bin)
+   * ordered by epoch_pos = the position the trainer reads the doc at.
+   * `scoreCol` must be an integer column (exact comparisons; use a ppm
+   * law upstream). Bin 0 holds the highest scores.
+   */
+  def schedule(scored: DataFrame, idCol: String, scoreCol: String,
+      nBins: Int = 10, salt: String = "cur"): DataFrame = {
+    require(nBins >= 1, "nBins >= 1")
+    val ranked = globalRank(scored.select(col(idCol), col(scoreCol)),
+        scoreCol, idCol)
+      .withColumn("bin", expr(s"(rank - 1) * $nBins DIV n_total"))
+      .withColumn("sh",
+        TextFunctions.portableHash(concat(lit(salt + "#"), col(idCol))))
+    // epoch position: same two-level law, class key = bin (≤ nBins
+    // classes), intra-bin order = (shuffle hash, id)
+    val inBin = Window.partitionBy(col("bin"))
+      .orderBy(col("sh"), col(idCol))
+    val offCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranked.groupBy(col("bin")).agg(count(lit(1)).as("bin_n"))
+      .withColumn("off", sum(col("bin_n")).over(offCum) - col("bin_n"))
+      .select(col("bin"), col("off"))
+    ranked
+      .withColumn("rn_bin", row_number().over(inBin).cast("long"))
+      .join(broadcast(offsets), Seq("bin"))
+      .withColumn("epoch_pos", col("off") + col("rn_bin"))
+      .select(col("epoch_pos"), col(idCol), col(scoreCol), col("bin"))
+      .orderBy(col("epoch_pos"))
+  }
+}

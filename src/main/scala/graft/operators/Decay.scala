@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Half-life recency weighting in exact dyadic arithmetic (FEAT1) — the
+ * feature-engineering rollup every training/feature pipeline carries
+ * ("recent behavior matters more"), made engine- and parallelism-exact.
+ *
+ * Floating-point exponential decay (`value · exp(−λ·age)` or
+ * `pow(0.5, age/h)`) is order-sensitive under summation and not
+ * bit-portable across engines. The dyadic law replaces it with integer
+ * shifts: bucket age into half-life steps k = age_days DIV h, and weight
+ * each row by 2^(K−k) — an exact 64-bit integer for k ≤ K; rows older
+ * than K half-lives (weight < 2⁻ᴷ of a fresh row) contribute exactly 0,
+ * a documented cutoff rather than silent underflow. All sums are integer
+ * sums of integer terms; the decayed mean = decayed_sum / w_sum is ONE
+ * IEEE division of two exact integers at the edge — the engine-wide
+ * convention.
+ *
+ * The reference day is the corpus max event day, so the weights are a
+ * pure function of the data (re-running tomorrow re-weights — that is
+ * the semantics of "recency relative to the feed head"; pass a frozen
+ * literal upstream for snapshot-pinned features).
+ *
+ * Scale posture: the reference day is a 1-row broadcast (the constant
+ * cross-join idiom); weighting is map-side codegen; the rollup is one
+ * map-side-combinable aggregate — a single shuffle on the key, payload
+ * three longs per key. At 100 TB this is the same shape as any
+ * sum/count rollup.
+ */
+object Decay {
+
+  /**
+   * Per-key half-life rollup of `valCol` (LONG) with ages taken from
+   * `dayCol` (DATE) against the global max day:
+   *   keyCols ++ (n_rows, n_live, w_sum, decayed_sum, decayed_mean)
+   * where w = 2^(K − age DIV h) for age DIV h ≤ K else 0, w_sum = Σw,
+   * decayed_sum = Σ w·val (both exact longs), n_live counts weighted
+   * rows, and decayed_mean = decayed_sum / w_sum (one IEEE divide;
+   * NULL when no row is live).
+   *
+   * Overflow bound (caller's contract): |val| · 2ᴷ · n_rows must stay
+   * under 2⁶³ — with the default K = 20 that is ~8·10¹² rows of
+   * million-scale values per key.
+   */
+  def halfLifeRollup(
+      df: DataFrame, keyCols: Seq[String], dayCol: String, valCol: String,
+      halfLifeDays: Int = 7, kCap: Int = 20): DataFrame = {
+    require(halfLifeDays >= 1, "half-life must be >= 1 day")
+    require(kCap >= 1 && kCap <= 62, "kCap in [1, 62]")
+    val keys = keyCols.map(col)
+    val ref = df.agg(max(col(dayCol)).as("ref_day"))
+    df.crossJoin(broadcast(ref))
+      .withColumn("k", expr(s"datediff(ref_day, $dayCol) DIV $halfLifeDays"))
+      .withColumn("w",
+        expr(s"CASE WHEN k <= $kCap THEN shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST($kCap - k AS INT)) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_live"),
+        sum(col("w")).as("w_sum"),
+        sum(col("w") * col(valCol)).as("decayed_sum"))
+      .withColumn("decayed_mean",
+        when(col("w_sum") > 0,
+          col("decayed_sum").cast("double") / col("w_sum").cast("double")))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Corpus-statistics language-model scoring over word bigrams — the
+ * quality-filter and data-selection tier of a training-data pipeline,
+ * in exact integer arithmetic.
+ *
+ * T15 — bigram familiarity (the CCNet perplexity-filter shape): a
+ * document whose word TRANSITIONS are common corpus-wide reads as fluent
+ * common text; one full of never-seen-elsewhere transitions reads as
+ * gibberish/outlier. Instead of a smoothed log-probability (whose `ln`
+ * is not guaranteed bit-identical across engines), the score is the
+ * capped-count mean: each bigram instance contributes min(corpus_count,
+ * cap), and fam_ppm = Σcontrib·10⁶ DIV (n_bigrams·cap) ∈ [0, 10⁶] —
+ * monotone in the same evidence a perplexity filter reads, engine- and
+ * parallelism-exact. The cap keeps a handful of stop-bigrams from
+ * dominating (the same reason CCNet bins perplexity rather than ranking
+ * raw).
+ *
+ * SEL1 — DSIR-style domain-relevance selection (Xie et al., "Data
+ * Selection for Language Models via Importance Resampling"): represent
+ * text by HASHED bigram features (portable-hash mod nBuckets — DSIR's
+ * exact feature map), build the target domain's bucket-count profile,
+ * and score every non-target document by the mean target-profile mass
+ * of its features. The full importance weight needs a log-ratio; the
+ * integer law keeps the target-likelihood numerator (the discriminative
+ * part) and ranks on rel_ppm = Σ profile[bucket]·10⁶ DIV n_feats —
+ * deterministic, and the profile is nBuckets rows by construction, so
+ * the scoring join BROADCASTS no matter how big the corpus is.
+ *
+ * Scale posture: both passes explode bigrams map-side and shuffle only
+ * (hash/bucket, count) pairs. T15's model join is a self-equi-join on
+ * the bigram hash (count partials map-side combinable; at 100 TB the
+ * model is vocabulary², not corpus, sized). SEL1's profile is bounded by
+ * nBuckets — the scoring side is ONE broadcast hash join, zero shuffle
+ * of the corpus.
+ */
+object LangModel {
+
+  /** (doc_id, extra cols, bh) — one row per bigram INSTANCE (multiplicity
+   *  preserved), bh = 60-bit portable hash of the "w1 w2" bigram text.
+   *  Documents with < 2 words contribute no rows. */
+  def bigramInstances(docs: DataFrame, idCol: String, textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame =
+    docs.select(
+      (col(idCol).as("doc_id") +: keepCols.map(col)) :+
+        explode(TextFunctions.wordGrams(col(textCol), 2)).as("bg"): _*)
+      .withColumn("bh", TextFunctions.portableHash(col("bg")))
+      .drop("bg")
+
+  /**
+   * T15 per-document bigram familiarity:
+   *   (doc_id, n_bigrams, fam_sum, fam_ppm)
+   * fam_sum = Σ min(corpus_count(bigram), cap) over the doc's bigram
+   * instances (a doc's own occurrences count toward the corpus model —
+   * the standard self-inclusive corpus statistic); fam_ppm as above.
+   * Only docs with ≥ 1 bigram (≥ 2 words) appear.
+   */
+  def familiarityReport(docs: DataFrame, idCol: String, textCol: String,
+      cap: Long = 64L): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val inst = bigramInstances(docs, idCol, textCol)
+    val model = inst.groupBy("bh").agg(count(lit(1)).as("cnt"))
+    inst.join(model, "bh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(least(col("cnt"), lit(cap))).as("fam_sum"))
+      .withColumn("fam_ppm", expr(s"fam_sum * 1000000 DIV (n_bigrams * $cap)"))
+  }
+
+  /**
+   * SEL1 domain-relevance selection: score every document OUTSIDE the
+   * target slice by the target's hashed-bigram profile and keep the topK
+   * by (rel_ppm desc, doc_id asc).
+   *   (rank, doc_id, source, n_feats, rel_sum, rel_ppm)
+   * `isTarget` is a boolean column over `docs`' columns (e.g.
+   * col("source") === "src0"). Buckets absent from the profile contribute
+   * 0 (left join), so n_feats counts ALL of a doc's bigram instances.
+   */
+  def domainRelevanceTopK(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, isTarget: org.apache.spark.sql.Column,
+      nBuckets: Int = 1024, topK: Int = 20): DataFrame = {
+    require(nBuckets >= 2 && topK >= 1, "nBuckets >= 2, topK >= 1")
+    val inst = bigramInstances(docs, idCol, textCol, keepCols = Seq(sourceCol))
+      .withColumn("is_target", isTarget)
+      .withColumn("bucket", pmod(col("bh"), lit(nBuckets.toLong)))
+    val profile = inst.where(col("is_target"))
+      .groupBy("bucket").agg(count(lit(1)).as("tcnt"))
+    val scored = inst.where(!col("is_target"))
+      .join(broadcast(profile), Seq("bucket"), "left")
+      .groupBy(col("doc_id"), col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(coalesce(col("tcnt"), lit(0L))).as("rel_sum"))
+      .withColumn("rel_ppm", expr("rel_sum * 1000000 DIV n_feats"))
+    scored
+      .orderBy(col("rel_ppm").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rel_ppm").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col(sourceCol), col("n_feats"),
+        col("rel_sum"), col("rel_ppm"))
+  }
+}

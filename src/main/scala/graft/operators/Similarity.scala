@@ -273,6 +273,77 @@ object Similarity {
     dot(qv, typedlit(signs))
   }
 
+  /**
+   * Contrastive-training triplet mining (SIM8): for each anchor, the
+   * hardest POSITIVE (most-similar same-label candidate) and hardest
+   * NEGATIVE (most-similar different-label candidate) from the anchor's
+   * multi-probe LSH neighborhood — the (anchor, positive, negative)
+   * triplets a metric-learning / embedding-finetune loop trains on.
+   * "Hardest negative" = the impostor closest to the anchor; mining it
+   * from the LSH buckets instead of the full corpus is the standard
+   * scale move (the impostors that matter are by definition near the
+   * anchor, i.e. in its probed buckets).
+   *
+   * Determinism: candidate ranking is (sim desc, id asc) over the exact
+   * quantized-integer cosine — same law as every ranker here. Anchors
+   * whose probed buckets hold no same-label (or no different-label)
+   * candidate report NULLs for that side rather than dropping: an
+   * anchor-keyed LEFT join, so the triplet frame is anchor-complete and
+   * a trainer can count its own coverage.
+   *
+   * Scale posture: identical to [[annCosineTopKMultiProbe]] — the probe
+   * list explodes the (small) anchor side ×(numPlanes+1), candidates
+   * equi-join on their ONE bucket, and only (id, label, bucket, qv)
+   * moves. Two windows over the candidate pairs share one
+   * anchor-partitioning.
+   */
+  def hardTriplets(
+      anchors: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, labelCol: String,
+      numPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket",
+        element_at(exprCol(HyperplaneBuckets(expression(col("qv")), 1, numPlanes, dims)), 1))
+    val probes = (0 until numPlanes)
+      .map(p => col("bucket").bitwiseXOR(lit(1L << p))) :+ col("bucket")
+    val aPrep = withBucket(
+      anchors.select(col(idCol), col(embCol), col(labelCol))
+        .withColumn("qv", quantize(col(embCol))).drop(embCol)
+        .withColumn("nn", sqNorm(col("qv"))))
+      .withColumnRenamed(idCol, "anchor_id")
+      .withColumnRenamed(labelCol, "anchor_label")
+      .withColumnRenamed("qv", "a_qv").withColumnRenamed("nn", "a_nn")
+    val aProbed = aPrep.withColumn("probe", explode(array(probes: _*))).drop("bucket")
+    val c = withBucket(
+      candidates.select(col(idCol), col(embCol), col(labelCol))
+        .withColumn("qv", quantize(col(embCol))).drop(embCol)
+        .withColumn("nn", sqNorm(col("qv"))))
+      .withColumnRenamed(idCol, "cand_id")
+      .withColumnRenamed(labelCol, "cand_label")
+    val pairs = c.join(aProbed, col("bucket") === col("probe"))
+      .where(col("anchor_id") =!= col("cand_id"))
+      .withColumn("sim",
+        cosine(dot(col("a_qv"), col("qv")), col("a_nn"), col("nn")))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("cand_id"), col("cand_label"), col("sim"))
+    def top1(filtered: DataFrame, idOut: String, simOut: String): DataFrame = {
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("sim").desc, col("cand_id"))
+      filtered.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("anchor_id"), col("cand_id").as(idOut), col("sim").as(simOut))
+    }
+    val pos = top1(pairs.where(col("cand_label") === col("anchor_label")),
+      "pos_id", "pos_sim")
+    val neg = top1(pairs.where(col("cand_label") =!= col("anchor_label")),
+      "neg_id", "neg_sim")
+    aPrep.select(col("anchor_id"), col("anchor_label"))
+      .join(pos, Seq("anchor_id"), "left")
+      .join(neg, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("anchor_label"),
+        col("pos_id"), col("pos_sim"), col("neg_id"), col("neg_sim"))
+  }
+
   private def rankTopK(pairsWithDot: DataFrame, k: Int): DataFrame = {
     val sim = cosine(col("dot"), col("q_nn"), col("nn"))
     val w = Window.partitionBy(col("query_id")).orderBy(sim.desc, col("neighbor_id"))

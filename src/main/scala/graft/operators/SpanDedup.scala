@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Span-level duplication census and first-occurrence survival (D11) — the
+ * sub-document dedup modality the D1–D10 family (whole-doc exact / near)
+ * does not cover: a corpus can be document-unique while still feeding the
+ * same boilerplate span to the model thousands of times. The unit is the
+ * word k-gram window (every position, multiplicity preserved), the natural
+ * "sentence" of a delimiter-free corpus; the laws are the public
+ * span-dedup recipes (C4's repeated three-sentence spans, RefinedWeb's
+ * line dedup, Lee et al.'s duplicated-substring removal) re-expressed
+ * over word windows.
+ *
+ * Two laws, both exact:
+ *  - census: a window instance is DUPLICATED if its text occurs in ≥ 2
+ *    distinct documents (cross-doc boilerplate — the training-loss
+ *    redundancy measure);
+ *  - survival: an instance SURVIVES span-dedup iff it is the global first
+ *    occurrence of its text, ordered by (doc_id, pos) — the keep-first
+ *    rule every dedup pass needs to be retry-/engine-stable. The order
+ *    key is the single integer doc_id·2³⁰ + pos, so "first" is one
+ *    integer MIN, portable to any engine.
+ *
+ * Determinism: windows are compared by their 60-bit portable content hash
+ * ([[TextFunctions.portableHash]]) — both engines hash the same UTF-8
+ * span text, so census and survival replay bit-identically (any md5
+ * collision would fool both sides equally; at 2⁶⁰ over corpus-sized
+ * window counts the expected collision count is ~0).
+ *
+ * Scale posture: per-doc window explosion is map-side (one codegen'd
+ * split + zip per doc); the only shuffled payload is (hash, doc_id, pos)
+ * triples — never text. Census aggregates (count, distinct-doc count,
+ * min order key) are all map-side combinable, and the join back to
+ * instances re-uses the hash partitioning. At 100 TB the window count is
+ * ~tokens × 1, the same order as every other token-grain pass in the
+ * engine; stride/k are the volume dials and both sides of the oracle
+ * share them.
+ */
+object SpanDedup {
+
+  /** Per-instance window frame: (doc_id, pos, h) — pos is the 0-based
+   *  word offset of the k-word window. Documents shorter than k words
+   *  contribute no rows (they have no k-window; the census is over
+   *  windows, not docs). */
+  def windows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, "span width must be >= 2 words")
+    docs.select(
+        col(idCol).as("doc_id"),
+        posexplode(TextFunctions.wordGrams(col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        TextFunctions.portableHash(col("gram")).as("h"))
+  }
+
+  /**
+   * Per-document span-duplication report over word-`k`-gram windows:
+   *   (doc_id, n_windows, n_dup, n_first, dup_ppm)
+   * where n_dup counts instances whose span text occurs in ≥ 2 distinct
+   * docs, n_first counts instances that are the global (doc_id, pos)-first
+   * occurrence of their span (= what survives keep-first span dedup), and
+   * dup_ppm = n_dup·10⁶ DIV n_windows. Only documents with ≥ 1 window
+   * appear (len ≥ k words) — the oracle shares the law.
+   */
+  def spanReport(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = windows(docs, idCol, textCol, k)
+    // order key fits a long: pos < 2^30 words/doc, doc_id < 2^33
+    val inst = w.withColumn("ord", col("doc_id") * lit(1073741824L) + col("pos"))
+    val census = inst.groupBy("h").agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      min(col("ord")).as("first_ord"))
+    inst.join(census, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("ord") === col("first_ord"), 1L).otherwise(0L)).as("n_first"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_windows"))
+  }
+}

@@ -46,6 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "q142_graph_triangles" -> "single-row broadcast: the 1-row triangle count crossJoins onto the 1-row degree rollup (1 x 1 by construction)",
     "q143_rrf_fusion" -> "inherits q19's declared brute-force baseline with a SINGLE broadcast query vector (1 x candidates); fusion itself is equi-only, scale rankers are q25/q31/q33",
     "q145_ann_recall" -> "the TRUTH side is q19's declared brute-force baseline (that is what recall is measured AGAINST); the approx side and the metric itself are equi-only",
+    "q148_ann_multiprobe_recall" -> "same as q145: the truth side is the declared brute-force baseline the multi-probe recall is measured against; probe expansion + candidate join are equi-only",
+    "q153_decay_rollup" -> "single-row broadcast: the 1-row corpus max-day reference crossJoins onto the events (1 x rows, structurally bounded)",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {

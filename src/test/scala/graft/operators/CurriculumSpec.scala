@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SEL2 curriculum schedule: the two-level histogram-offset ranks must
+  * equal the brute-force single-window law, bins must be equal-depth,
+  * the salt must permute only within bins, and the schedule must be a
+  * pure function of the data (partitioning invariance). */
+class CurriculumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    // few distinct scores -> dense tie classes, the regime where a wrong
+    // tie law would diverge from the brute-force rank
+    (1 to n).map(i => (i.toLong, (rnd.nextInt(7) * 100).toLong))
+      .toDF("id", "score")
+  }
+
+  /** Brute-force replay of the schedule law on the driver. */
+  private def brute(rows: Seq[(Long, Long)], nBins: Int, salt: String) = {
+    val n = rows.size
+    val ranked = rows.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, s), i) =>
+        val bin = (i.toLong * nBins) / n
+        val sh = graft.functions.TextFunctions.portableHash64(s"$salt#$id")
+        (id, s, bin, sh)
+      }
+    ranked.sortBy { case (id, _, bin, sh) => (bin, sh, id) }.zipWithIndex
+      .map { case ((id, s, bin, _), p) => (p + 1L, id, s, bin) }
+  }
+
+  test("schedule == brute-force law (dense ties, n=97, nBins=10)") {
+    val df = corpus(97, seed = 3)
+    val got = Curriculum.schedule(df, "id", "score", nBins = 10, salt = "s7")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = brute(df.as[(Long, Long)].collect().toSeq, 10, "s7")
+    assert(got == want)
+  }
+
+  test("bins are equal-depth (sizes differ by at most 1) and ordered by score") {
+    val df = corpus(103, seed = 9)
+    val sched = Curriculum.schedule(df, "id", "score", nBins = 10, salt = "x")
+    val sizes = sched.groupBy("bin").count().orderBy("bin")
+      .as[(Long, Long)].collect()
+    assert(sizes.map(_._2).max - sizes.map(_._2).min <= 1)
+    // a doc in a lower bin never has a smaller score than one in a
+    // higher bin UNLESS they tie (ties may straddle a bin edge)
+    val perBin = sched.groupBy("bin")
+      .agg(min("score").as("lo"), max("score").as("hi"))
+      .orderBy("bin").as[(Long, Long, Long)].collect()
+    perBin.sliding(2).foreach {
+      case Array((_, lo, _), (_, _, hi2)) => assert(lo >= hi2)
+      case _ =>
+    }
+  }
+
+  test("salt permutes within bins only; epoch_pos is a permutation of 1..n") {
+    val df = corpus(60, seed = 1)
+    val s1 = Curriculum.schedule(df, "id", "score", 10, "epoch1")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val s2 = Curriculum.schedule(df, "id", "score", 10, "epoch2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(s1.map(_._1).sorted == (1L to 60L))
+    // same doc -> same bin under either salt; order inside bins differs
+    val bin1 = s1.map(r => r._2 -> r._4).toMap
+    val bin2 = s2.map(r => r._2 -> r._4).toMap
+    assert(bin1 == bin2)
+    assert(s1.map(_._2) != s2.map(_._2), "two salts should give different epoch orders")
+  }
+
+  test("partitioning invariance") {
+    val df = corpus(80, seed = 4)
+    val a = Curriculum.schedule(df, "id", "score", 10, "s").collect().toSeq
+    val b = Curriculum.schedule(df.repartition(7), "id", "score", 10, "s").collect().toSeq
+    assert(a == b)
+  }
+}

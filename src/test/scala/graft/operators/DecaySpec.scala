@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** FEAT1 half-life decay rollup: exact dyadic weight vectors, the kCap
+  * cutoff, the no-live-rows NULL mean, and partitioning invariance. */
+class DecaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("hand vector: shift weights, cutoff, exact mean") {
+    // ref day = 2024-03-31; half-life 2 days, cap K=3 -> weights 2^(3-k)
+    val rows = Seq(
+      ("a", d("2024-03-31"), 10L),  // age 0, k=0, w=8
+      ("a", d("2024-03-30"), 20L),  // age 1, k=0, w=8
+      ("a", d("2024-03-29"), 30L),  // age 2, k=1, w=4
+      ("a", d("2024-03-25"), 40L),  // age 6, k=3, w=1
+      ("a", d("2024-03-01"), 50L),  // age 30, k=15 > 3 -> w=0, not live
+      ("b", d("2024-02-01"), 70L)   // age 59, k=29 -> w=0: all-dead key
+    ).toDF("k1", "day", "v")
+    val rep = Decay.halfLifeRollup(rows, Seq("k1"), "day", "v",
+        halfLifeDays = 2, kCap = 3)
+      .orderBy("k1").collect()
+    val a = rep(0)
+    assert(a.getLong(1) == 5L && a.getLong(2) == 4L)         // n_rows, n_live
+    assert(a.getLong(3) == 8 + 8 + 4 + 1)                     // w_sum = 21
+    assert(a.getLong(4) == 80 + 160 + 120 + 40)               // decayed_sum = 400
+    assert(a.getDouble(5) == 400.0 / 21.0)                    // one IEEE divide
+    val b = rep(1)
+    assert(b.getLong(2) == 0L && b.getLong(3) == 0L && b.isNullAt(5),
+      s"all-dead key must report NULL mean: $b")
+  }
+
+  test("fresh rows dominate: one fresh row outweighs any number of rows kCap half-lives old") {
+    val rows = (("hot", d("2024-01-31"), 1L) +:
+      Seq.fill(100)(("hot", d("2024-01-01"), 1000L))).toDF("k1", "day", "v")
+    val rep = Decay.halfLifeRollup(rows, Seq("k1"), "day", "v",
+      halfLifeDays = 2, kCap = 10).collect().head
+    // fresh w = 2^10 = 1024; each old row (age 30, k=15 > 10) w = 0
+    assert(rep.getLong(3) == 1024L && rep.getLong(4) == 1024L)
+  }
+
+  test("partitioning invariance") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map { i =>
+      (s"t${i % 3}", d(f"2024-01-${1 + rnd.nextInt(28)}%02d"), rnd.nextInt(1000).toLong)
+    }.toDF("k1", "day", "v")
+    val a = Decay.halfLifeRollup(rows, Seq("k1"), "day", "v")
+      .orderBy("k1").collect().toSeq
+    val b = Decay.halfLifeRollup(rows.repartition(13), Seq("k1"), "day", "v")
+      .orderBy("k1").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** T15 bigram familiarity + SEL1 domain-relevance selection: hand-counted
+  * vectors (cap law, self-inclusive model, left-join-zero buckets),
+  * ranking determinism, and partitioning invariance. */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("familiarity: hand-counted capped means (cap=2)") {
+    // corpus bigrams: "a b" x3 (docs 1,1,2), "b a" x1 (doc 1), "c d" x1 (doc 3)
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: "a b", "b a", "a b"
+      (2L, "a b"),       // bigrams: "a b"
+      (3L, "c d")        // bigrams: "c d"
+    ).toDF("doc_id", "text")
+    val rep = LangModel.familiarityReport(docs, "doc_id", "text", cap = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: contribs min(3,2)+min(1,1... wait "b a" count=1 -> 1)+min(3,2)
+    //   = 2+1+2 = 5 of max 6 -> 833333 ppm
+    // doc 2: min(3,2) = 2 of max 2 -> 1000000
+    // doc 3: min(1,2) = 1 of max 2 -> 500000
+    assert(rep.toSeq == Seq(
+      (1L, 3L, 5L, 833333L),
+      (2L, 1L, 2L, 1000000L),
+      (3L, 1L, 1L, 500000L)))
+  }
+
+  test("familiarity: docs with < 2 words contribute no row") {
+    val docs = Seq((1L, "only"), (2L, "a b")).toDF("doc_id", "text")
+    val rep = LangModel.familiarityReport(docs, "doc_id", "text")
+    assert(rep.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("domain relevance: profile mass law and zero for unseen buckets") {
+    // target (src t): bigrams "a b" x2, "b c" x1; probe docs reuse or miss them
+    val docs = Seq(
+      (1L, "t", "a b a b c"),  // target: "a b","b a","a b","b c"
+      (2L, "u", "a b x"),      // feats: "a b" (in profile), "b x" (absent)
+      (3L, "u", "zz qq")       // feats: "zz qq" (absent) -> rel_sum 0
+    ).toDF("doc_id", "source", "text")
+    val rep = LangModel.domainRelevanceTopK(docs, "doc_id", "text", "source",
+        isTarget = col("source") === "t", nBuckets = 1024, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // target profile buckets: h("a b")%1024 -> 2, h("b a")%1024 -> 1, h("b c")%1024 -> 1
+    // doc 2: feats=2, rel_sum = profile("a b")=2 + 0 = 2 -> 1000000 ppm
+    // doc 3: feats=1, rel_sum = 0 -> 0 ppm
+    assert(rep.toSeq == Seq(
+      (1L, 2L, "u", 2L, 2L, 1000000L),
+      (2L, 3L, "u", 1L, 0L, 0L)))
+  }
+
+  test("partitioning invariance (both reports)") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (2 + rnd.nextInt(8))).map(_ => words(rnd.nextInt(5))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val f1 = LangModel.familiarityReport(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val f2 = LangModel.familiarityReport(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(f1 == f2)
+    val d1 = LangModel.domainRelevanceTopK(docs.withColumn("source",
+        when(col("doc_id") <= 10, "t").otherwise("u")),
+      "doc_id", "text", "source", col("source") === "t").collect().toSeq
+    val d2 = LangModel.domainRelevanceTopK(docs.repartition(5).withColumn("source",
+        when(col("doc_id") <= 10, "t").otherwise("u")),
+      "doc_id", "text", "source", col("source") === "t").collect().toSeq
+    assert(d1 == d2)
+  }
+}

@@ -115,6 +115,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains((0L, 1L)), "high-sim planted pair missed by 16x4 banding")
   }
 
+  test("hardTriplets: hardest same-label positive, hardest other-label negative, NULL when absent") {
+    // labels: 0 -> {0, 1, 4}, 1 -> {2, 3}; dims=4 keeps every vector in
+    // reach of the anchor's multi-probe neighborhood (8 planes over a
+    // 4-dim space collapse to few distinct buckets)
+    val labeled = vecs.withColumn("label",
+      when(col("vec_id").isin(2L, 3L), 1).otherwise(0))
+    val out = Similarity.hardTriplets(
+        labeled.where($"vec_id" === 0), labeled,
+        "vec_id", "embedding", "label", numPlanes = 8, dims = 4)
+      .collect().head
+    assert(out.getLong(0) == 0L)
+    // brute truth for anchor 0: same-label sims 1 (0.994) > 4 (0.970);
+    // other-label sims 2 (0.0) > 3 (-1.0)
+    val pos = Option(out.get(2)).map(_.asInstanceOf[Long])
+    val neg = Option(out.get(4)).map(_.asInstanceOf[Long])
+    // multi-probe may miss a bucket, but anything found must be the
+    // hardest of its class among the probed candidates; with 4 dims the
+    // neighborhood comfortably holds vec 1 (nearly collinear)
+    assert(pos.contains(1L), s"hardest positive should be vec 1, got $pos")
+    neg.foreach(n => assert(Seq(2L, 3L).contains(n)))
+    if (neg.contains(3L))
+      fail("vec 2 (orthogonal) outranks vec 3 (opposite); top-1 must not be 3")
+  }
+
+  test("hardTriplets: anchor with no other-label candidate reports NULL negative") {
+    val sameLabel = vecs.withColumn("label", lit(0))
+    val out = Similarity.hardTriplets(
+        sameLabel.where($"vec_id" === 0), sameLabel,
+        "vec_id", "embedding", "label", numPlanes = 8, dims = 4)
+      .collect().head
+    assert(!out.isNullAt(0) && out.isNullAt(4) && out.isNullAt(5),
+      s"negative side must be NULL for a single-label corpus: $out")
+  }
+
   test("HyperplaneBuckets kernel matches the composed planeSide formulation bit-for-bit") {
     import org.apache.spark.sql.graftbridge.Bridge
     import graft.functions.expressions.HyperplaneBuckets

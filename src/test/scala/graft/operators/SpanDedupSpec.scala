@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** D11 span-level duplication census: hand vectors for the census and
+  * keep-first survival laws, structural invariants, and partitioning
+  * invariance (the report must be a pure function of the corpus). */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1 and doc 2 share one 3-word span ("b c d"); doc 3 is disjoint;
+  // doc 4 is too short for any window
+  private val docs = Seq(
+    (1L, "a b c d e"),   // windows: "a b c", "b c d", "c d e"
+    (2L, "x b c d y"),   // windows: "x b c", "b c d", "c d y"
+    (3L, "p q r s"),     // windows: "p q r", "q r s"
+    (4L, "t u")          // no 3-word window
+  ).toDF("doc_id", "text")
+
+  test("census + keep-first survival on the hand corpus (k=3)") {
+    val rep = SpanDedup.spanReport(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rep.toSeq == Seq(
+      // doc 1: 3 windows; "b c d" is cross-doc (n_dup=1); all three are
+      // global firsts (doc 1 precedes doc 2)
+      (1L, 3L, 1L, 3L, 333333L),
+      // doc 2: "b c d" duplicated AND not first (doc 1 owns it)
+      (2L, 3L, 1L, 2L, 333333L),
+      (3L, 2L, 0L, 2L, 0L)))
+  }
+
+  test("doc shorter than k words contributes no row") {
+    val rep = SpanDedup.spanReport(docs, "doc_id", "text", k = 3)
+    assert(rep.where(col("doc_id") === 4L).count() == 0)
+  }
+
+  test("structural invariants: firsts == distinct spans; dups live in multi-doc spans") {
+    val w = SpanDedup.windows(docs, "doc_id", "text", k = 3)
+    val rep = SpanDedup.spanReport(docs, "doc_id", "text", k = 3)
+    val sums = rep.agg(
+      sum("n_windows").as("nw"), sum("n_first").as("nf"), sum("n_dup").as("nd"))
+      .collect().head
+    assert(sums.getLong(0) == w.count())
+    // every distinct span text has exactly one global first occurrence
+    assert(sums.getLong(1) == w.select("h").distinct().count())
+    // duplicated-instance total = instances of hashes with >= 2 docs
+    val expectedDup = w.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("n"))
+      .where(col("nd") >= 2).agg(coalesce(sum("n"), lit(0L))).collect().head.getLong(0)
+    assert(sums.getLong(2) == expectedDup)
+  }
+
+  test("partitioning invariance") {
+    val a = SpanDedup.spanReport(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect().toSeq
+    val b = SpanDedup.spanReport(docs.repartition(7), "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
