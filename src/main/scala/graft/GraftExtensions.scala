@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CharGramSketch, HyperplaneBuckets, LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords, StringArrayCountMatches, TickDecode, TickEncode, WordShingleHashes, WordShingleMinhash}
+import graft.functions.expressions.{CharGramSketch, HyperplaneBuckets, LongArrayDot, PortableHash60, QuantizeToLong, SimHashWords, StringArrayCountMatches, TickDecode, TickEncode, WordGramHashes, WordShingleHashes, WordShingleMinhash}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's custom
@@ -74,6 +74,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_shingle_hashes(text, shingleNLiteral)")
         WordShingleHashes(children.head, children(1).eval().toString.toInt)
+      }),
+    (FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[WordGramHashes].getName, "graft_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_gram_hashes(text, gramNLiteral)")
+        WordGramHashes(children.head, children(1).eval().toString.toInt)
       }),
     (FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_lsh_buckets"),

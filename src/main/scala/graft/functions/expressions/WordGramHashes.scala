@@ -1,0 +1,93 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Fused POSITIONAL word-gram hashes: one pass from raw text to the
+ * in-order array of 60-bit portable hashes of its `gramN`-word windows —
+ * element i is the hash of the window starting at word offset i,
+ * duplicates preserved. The multiplicity/position-keeping sibling of
+ * [[WordShingleHashes]] (which sorts and dedups into a SET): span-grain
+ * consumers (D11's census/survival law, T15/SEL1's bigram instances)
+ * need which position a gram sits at and how often it repeats, exactly
+ * what the set form erases.
+ *
+ * Same word law as `TextFunctions.words` (lowercase, trim, split \s+),
+ * same md5-over-words+0x20-separators digest as [[WordShingleMinhash]] —
+ * bit-identical to `portableHash(concat_ws(" ", window words))`, which is
+ * what the DuckDB oracles hash. Replaces the interpreted
+ * split→(k−1)×zip_with→concat chain (each zip_with lambda re-evaluates
+ * the split per element) with a single codegen'd kernel call.
+ * Texts with fewer than `gramN` words yield NULL (callers' explode
+ * drops them — the "no window" law).
+ */
+case class WordGramHashes(child: Expression, gramN: Int)
+  extends UnaryExpression {
+  require(gramN >= 1, "bad gram width")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hashes expects string, got ${t.simpleString(5)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WordGramHashesKernel.compute(input.asInstanceOf[UTF8String], gramN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val out = ctx.freshName("wgh")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.expressions.WordGramHashesKernel.compute($a, $gramN);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGramHashesKernel {
+  private val whitespace = UTF8String.fromString("\\s+")
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Per-row kernel; called from generated code. Returns the positional
+    * 60-bit gram hashes in text order, or null for sub-gram texts. */
+  def compute(text: UTF8String, gramN: Int): ArrayData = {
+    val words = text.toLowerCase.trim.split(whitespace, -1)
+    val m = words.length
+    if (m < gramN) return null
+    val hs = new Array[Long](m - gramN + 1)
+    val md = md5.get()
+    val space = Array[Byte](0x20)
+    var i = 0
+    while (i <= m - gramN) {
+      md.reset()
+      var j = 0
+      while (j < gramN) {
+        if (j > 0) md.update(space)
+        md.update(words(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+}

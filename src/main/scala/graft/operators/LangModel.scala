@@ -43,15 +43,17 @@ import graft.functions.TextFunctions
 object LangModel {
 
   /** (doc_id, extra cols, bh) — one row per bigram INSTANCE (multiplicity
-   *  preserved), bh = 60-bit portable hash of the "w1 w2" bigram text.
-   *  Documents with < 2 words contribute no rows. */
+   *  preserved), bh = 60-bit portable hash of the "w1 w2" bigram text via
+   *  the fused positional [[graft.functions.expressions.WordGramHashes]]
+   *  kernel. Documents with < 2 words contribute no rows. */
   def bigramInstances(docs: DataFrame, idCol: String, textCol: String,
-      keepCols: Seq[String] = Nil): DataFrame =
+      keepCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     docs.select(
       (col(idCol).as("doc_id") +: keepCols.map(col)) :+
-        explode(TextFunctions.wordGrams(col(textCol), 2)).as("bg"): _*)
-      .withColumn("bh", TextFunctions.portableHash(col("bg")))
-      .drop("bg")
+        explode(Bridge.column(graft.functions.expressions.WordGramHashes(
+          Bridge.expression(col(textCol)), 2))).as("bh"): _*)
+  }
 
   /**
    * T15 per-document bigram familiarity:

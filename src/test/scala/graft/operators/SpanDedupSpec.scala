@@ -54,6 +54,27 @@ class SpanDedupSpec extends SparkSpec {
     assert(sums.getLong(2) == expectedDup)
   }
 
+  test("WordGramHashes kernel == positional portableHash of wordGrams (order + multiplicity)") {
+    import graft.functions.TextFunctions.{portableHash, wordGrams}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val corpus = docs.unionByName(Seq(
+      (10L, "a b a b a b"),               // repeated grams must NOT collapse
+      (11L, "  Mixed   CASE  wS   here ") // normalization path
+    ).toDF("doc_id", "text"))
+    for (k <- Seq(2, 3)) {
+      val kernel = corpus.select(col("doc_id"),
+          Bridge.column(graft.functions.expressions.WordGramHashes(
+            Bridge.expression(col("text")), k)).as("hs"))
+        .where(col("hs").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val relational = corpus.select(col("doc_id"),
+          transform(wordGrams(col("text"), k), g => portableHash(g)).as("hs"))
+        .where(size(col("hs")) > 0)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(kernel == relational, s"k=$k")
+    }
+  }
+
   test("partitioning invariance") {
     val a = SpanDedup.spanReport(docs, "doc_id", "text", k = 3)
       .orderBy("doc_id").collect().toSeq
