@@ -2443,6 +2443,27 @@ object SparkEntry {
         .withColumn("anchor_label", col("anchor_label").cast("long"))
         .orderBy(col("anchor_id"))
     }),
+
+    // Q156 — SK3 count-min sketch self-audit over document tokens: the
+    // d=4 × w=512 sketch table (≤ 2048 shuffled groups regardless of
+    // vocabulary), probed at the top-20 exact tokens — est, observed
+    // overcount, and the structural one-sided guarantee est ≥ exact as
+    // an assertable column. The frequency sketch completing SK1/SK2.
+    "q156_countmin_audit" -> ((s, dir) =>
+      operators.CountMin.auditReport(
+          t(s, dir, "documents").select(
+            explode(graft.functions.TextFunctions.words(col("text"))).as("tok")),
+          "tok", d = 4, w = 512, k = 20)),
+
+    // Q157 — DRIFT1 token-distribution drift: exact total-variation
+    // distance of each source vs the rest of the corpus — integer
+    // numerator (absent-token mass folded closed-form, no source×vocab
+    // cross frame), one IEEE divide. The ingest-drift monitor run
+    // before mixing.
+    "q157_source_drift" -> ((s, dir) =>
+      operators.Drift.tokenDriftReport(
+          t(s, dir, "documents"), "text", "source")
+        .orderBy(col("source"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -4832,6 +4853,51 @@ object SparkEntry {
           |SELECT a.anchor_id, a.anchor_label, pos.pos_id, pos.pos_sim, neg.neg_id, neg.neg_sim
           |FROM a LEFT JOIN pos USING (anchor_id) LEFT JOIN neg USING (anchor_id)
           |ORDER BY a.anchor_id""".stripMargin,
+
+      // same salted row hashes (cms#r#item), same min-over-rows estimate,
+      // same top-20 probe cut
+      "q156_countmin_audit" ->
+        """WITH inst AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item FROM documents),
+          |rws AS (SELECT unnest(range(4)) AS r),
+          |cells AS (SELECT rws.r,
+          |    ('0x' || substr(md5('cms#' || rws.r || '#' || inst.item), 1, 15))::BIGINT % 512 AS c
+          |  FROM inst, rws),
+          |sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+          |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact FROM inst GROUP BY 1
+          |  ORDER BY exact DESC, item LIMIT 20),
+          |probe AS (SELECT ex.item, rws.r,
+          |    ('0x' || substr(md5('cms#' || rws.r || '#' || ex.item), 1, 15))::BIGINT % 512 AS c
+          |  FROM ex, rws),
+          |est AS (SELECT p.item, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+          |  FROM probe p LEFT JOIN sk USING (r, c) GROUP BY 1)
+          |SELECT ex.item, ex.exact, est.est,
+          |  est.est - ex.exact AS overcount,
+          |  est.est >= ex.exact AS sound
+          |FROM ex JOIN est USING (item)
+          |ORDER BY ex.exact DESC, ex.item""".stripMargin,
+
+      // identical exact-rational TV algebra: present-token numerator +
+      // closed-form absent mass, one divide
+      "q157_source_drift" ->
+        """WITH inst AS (SELECT source AS src,
+          |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+          |bysrc AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c_s FROM inst GROUP BY 1, 2),
+          |bytok AS (SELECT tok, CAST(sum(c_s) AS BIGINT) AS c_all FROM bysrc GROUP BY 1),
+          |tots AS (SELECT src, CAST(sum(c_s) AS BIGINT) AS n_s,
+          |    CAST(sum(sum(c_s)) OVER () AS BIGINT) AS n_all FROM bysrc GROUP BY src),
+          |j AS (SELECT b.src, b.c_s, t.c_all, tt.n_s, tt.n_all
+          |  FROM bysrc b JOIN bytok t USING (tok) JOIN tots tt USING (src)),
+          |g AS (SELECT src, max(n_s) AS n_tokens, CAST(count(*) AS BIGINT) AS distinct_tokens,
+          |    max(n_all) AS n_all,
+          |    CAST(sum(abs(c_s * (n_all - n_s) - (c_all - c_s) * n_s)) AS BIGINT) AS present_num,
+          |    CAST(sum(c_all) AS BIGINT) AS cov
+          |  FROM j GROUP BY 1)
+          |SELECT src AS source, n_tokens, distinct_tokens,
+          |  CAST(present_num + n_tokens * (n_all - cov) AS BIGINT) AS tv_num,
+          |  CASE WHEN n_all > n_tokens THEN
+          |    CAST(present_num + n_tokens * (n_all - cov) AS DOUBLE)
+          |      / (2.0 * CAST(n_tokens AS DOUBLE) * CAST(n_all - n_tokens AS DOUBLE)) END AS tv
+          |FROM g ORDER BY source""".stripMargin,
     )
   }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Count–min sketch as a relational operator (SK3) — the frequency
+ * sketch completing the SK family (SK1 HLL distinct, SK2 mergeable
+ * rolling distinct): approximate per-item counts in d·w cells of memory
+ * REGARDLESS of vocabulary size (Cormode & Muthukrishnan's CM sketch).
+ *
+ * The sketch IS a table: cell (row r, col hash_r(item) mod w) holds the
+ * count of instances landing there; estimate(item) = min over the d
+ * rows. Expressed relationally the build is explode(d rows) → count by
+ * (row, col) — a groupBy with AT MOST d·w groups, map-side combinable,
+ * so the shuffle payload is sketch-sized while the exact alternative
+ * shuffles a vocabulary-sized group set. Sketches from disjoint corpora
+ * merge by cell-wise addition (union the tables, re-sum) — the
+ * streaming/partitioned-ingest property that makes CMS a pipeline tool
+ * rather than a demo.
+ *
+ * Determinism + guarantee: row hashes are portable-md5 salted per row
+ * ("cms#r#item") — both engines compute identical cells. The ONE-SIDED
+ * error law (est ≥ true count, always — collisions only ever ADD) is
+ * structural and carried as an assertable column; the probabilistic side
+ * (est ≤ true + 2N/w with prob ≥ 1 − 2^−d) is reported as observed
+ * slack, the honest analogue of SK1's tolerance booleans.
+ */
+object CountMin {
+
+  /** The d×w sketch table (row, col, cnt) for the instances of
+   *  `itemCol` (STRING). Rows with NULL items are ignored. */
+  def sketch(df: DataFrame, itemCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, "d in [1,16], w >= 2")
+    df.where(col(itemCol).isNotNull)
+      .select(col(itemCol).as("item"),
+        explode(array((0 until d).map(lit): _*)).as("row"))
+      .select(col("row"),
+        pmod(TextFunctions.portableHash(
+          concat(lit("cms#"), col("row"), lit("#"), col("item"))),
+          lit(w.toLong)).as("col"))
+      .groupBy(col("row"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (a frame with `item`): est = min over
+   *  the d rows of the probed cell (0 if a cell is empty). Output:
+   *  (item, est). The probe side is broadcast; the sketch is d·w rows. */
+  def estimates(sketchTable: DataFrame, probes: DataFrame, d: Int, w: Int): DataFrame = {
+    val probed = probes.select(col("item"))
+      .select(col("item"), explode(array((0 until d).map(lit): _*)).as("row"))
+      .select(col("item"), col("row"),
+        pmod(TextFunctions.portableHash(
+          concat(lit("cms#"), col("row"), lit("#"), col("item"))),
+          lit(w.toLong)).as("col"))
+    probed.join(sketchTable, Seq("row", "col"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /**
+   * The self-auditing report the declared query carries: sketch the
+   * instances of `itemCol`, probe the top-`k` items by exact count
+   * (count desc, item asc), and emit per item:
+   *   (item, exact, est, overcount, sound)
+   * where overcount = est − exact (observed slack) and sound = est ≥ exact —
+   * the structural one-sided guarantee, TRUE on every row by
+   * construction; a FALSE would mean the sketch law itself is broken.
+   */
+  def auditReport(df: DataFrame, itemCol: String, d: Int, w: Int, k: Int): DataFrame = {
+    val sk = sketch(df, itemCol, d, w)
+    val exact = df.where(col(itemCol).isNotNull)
+      .groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("item")).limit(k)
+    estimates(sk, exact.select("item"), d, w)
+      .join(exact, "item")
+      .select(col("item"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"),
+        (col("est") >= col("exact")).as("sound"))
+      .orderBy(col("exact").desc, col("item"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Distribution-drift audit between corpus slices (DRIFT1): the exact
+ * total-variation distance between each source's token distribution and
+ * the rest of the corpus — the "did this ingest batch / provider change
+ * under us" monitor a training pipeline runs before mixing (the role PSI
+ * / KL drift checks play in feature stores, without their `ln`, which is
+ * not bit-portable across engines).
+ *
+ * Exact-rational law: with c_s(t) per-source counts, c_r(t) = c_all(t) −
+ * c_s(t) the complement, n_s / n_r the totals,
+ *
+ *   TV(s) = ½ Σ_t | c_s(t)/n_s − c_r(t)/n_r |
+ *         = Σ_t | c_s(t)·n_r − c_r(t)·n_s |  /  (2·n_s·n_r)
+ *
+ * The numerator is an exact 64-bit integer sum; the one IEEE division
+ * happens at the edge. Tokens absent from source s still contribute
+ * (c_all·n_s each); rather than materializing the source × vocabulary
+ * cross frame, the absent mass folds into closed form:
+ *
+ *   Σ_{t∉s} c_all(t)·n_s = n_s · (n_all − cov_s),  cov_s = Σ_{t∈s} c_all(t)
+ *
+ * so the whole report runs on equi-joins over vocabulary-bounded frames.
+ *
+ * Scale posture: one token-count pass (groupBy source×token — bounded by
+ * |sources|·|vocab|, not corpus), one vocab rollup, one sources-sized
+ * window for the grand total. Text never shuffles; everything after the
+ * first count is sketch-sized. TV = 0 iff distributions are identical;
+ * TV = 1 iff disjoint support — the report is directly thresholdable.
+ */
+object Drift {
+
+  /**
+   * Per-source drift report:
+   *   (source, n_tokens, distinct_tokens, tv_num, tv)
+   * where tv_num is the exact integer numerator above and tv the one
+   * IEEE division (NULL if the complement is empty — a single-source
+   * corpus has nothing to drift from).
+   *
+   * Overflow contract: Σ_t c_all(t)·max(n_s) must stay under 2⁶³ —
+   * n_corpus · n_largest_slice < 2⁶³, i.e. fine below ~3·10⁹ tokens per
+   * slice at 3·10⁹ corpus tokens; shard the corpus into epochs before
+   * that (the same law every exact-integer rollup here carries).
+   */
+  def tokenDriftReport(docs: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val inst = docs.select(col(sourceCol).as("src"),
+      explode(TextFunctions.words(col(textCol))).as("tok"))
+    val bySrc = inst.groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c_s"))
+    val byTok = bySrc.groupBy(col("tok")).agg(sum(col("c_s")).as("c_all"))
+    val totals = bySrc.groupBy(col("src")).agg(sum(col("c_s")).as("n_s"))
+      .withColumn("n_all", sum(col("n_s")).over(
+        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    bySrc
+      .join(byTok, "tok")
+      .join(broadcast(totals), "src")
+      .groupBy(col("src"))
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        max(col("n_all")).as("_n_all"),
+        sum(abs(col("c_s") * (col("n_all") - col("n_s")) -
+          (col("c_all") - col("c_s")) * col("n_s"))).as("_present"),
+        sum(col("c_all")).as("_cov"))
+      .withColumn("tv_num",
+        col("_present") + col("n_tokens") * (col("_n_all") - col("_cov")))
+      .withColumn("tv",
+        when(col("_n_all") > col("n_tokens"),
+          col("tv_num").cast("double") /
+            (lit(2.0) * col("n_tokens").cast("double") *
+              (col("_n_all") - col("n_tokens")).cast("double"))))
+      .select(col("src").as("source"), col("n_tokens"),
+        col("distinct_tokens"), col("tv_num"), col("tv"))
+  }
+}

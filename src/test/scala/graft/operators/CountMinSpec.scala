@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** SK3 count-min sketch: cell law vs driver-side hashes, cell-wise merge,
+  * and the structural one-sided guarantee under forced collisions. */
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bucket(row: Int, item: String, w: Int): Long = {
+    val h = TextFunctions.portableHash64(s"cms#$row#$item")
+    ((h % w) + w) % w
+  }
+
+  test("sketch cells match the driver-side hash law") {
+    val items = Seq("a", "b", "a", "c", "a", "b")
+    val sk = CountMin.sketch(items.toDF("item"), "item", d = 3, w = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = items.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.flatMap { case (it, n) =>
+        (0 until 3).map(r => (r, bucket(r, it, 16)) -> n)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(sk == want)
+  }
+
+  test("sketches merge by cell-wise sum (union-then-sum == sum of parts)") {
+    val a = (1 to 50).map(i => s"k${i % 7}").toDF("item")
+    val b = (1 to 80).map(i => s"k${i % 11}").toDF("item")
+    val whole = CountMin.sketch(a.unionByName(b), "item", d = 4, w = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = CountMin.sketch(a, "item", 4, 32)
+      .unionByName(CountMin.sketch(b, "item", 4, 32))
+      .groupBy("row", "col").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole == merged)
+  }
+
+  test("one-sided guarantee holds for EVERY key under forced collisions (w=8)") {
+    val rnd = new scala.util.Random(13)
+    val items = (1 to 500).map(_ => s"t${rnd.nextInt(40)}").toDF("item")
+    val rep = CountMin.auditReport(items, "item", d = 3, w = 8, k = 40)
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getBoolean(4), s"soundness violated: $r")
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+    // with 40 keys in 8 columns, collisions are certain: some overcount
+    // must be strictly positive or the fixture is not exercising the law
+    assert(rep.exists(_.getLong(3) > 0), "fixture produced no collisions")
+  }
+
+  test("estimate of an absent item is the colliding mass, never negative") {
+    val sk = CountMin.sketch(Seq("x", "y", "x").toDF("item"), "item", 2, 4)
+    val est = CountMin.estimates(sk, Seq("zzz").toDF("item"), 2, 4)
+      .collect().head.getLong(1)
+    assert(est >= 0L)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DRIFT1 exact total-variation drift: boundary laws (identical -> 0,
+  * disjoint -> 1), brute-force equality over the full token union, and
+  * partitioning invariance. */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tvBrute(rows: Seq[(String, String)]): Map[String, Double] = {
+    val toks = rows.flatMap { case (s, t) =>
+      t.trim.toLowerCase.split("\\s+").map(s -> _)
+    }
+    val nAll = toks.size.toDouble
+    val all = toks.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    toks.groupBy(_._1).map { case (src, xs) =>
+      val cs = xs.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val ns = xs.size.toDouble
+      val nr = nAll - ns
+      val tv = all.keys.map { t =>
+        val a = cs.getOrElse(t, 0.0) / ns
+        val b = (all(t) - cs.getOrElse(t, 0.0)) / nr
+        math.abs(a - b)
+      }.sum / 2.0
+      src -> tv
+    }
+  }
+
+  test("identical distributions drift 0; disjoint vocabularies drift 1") {
+    val docs = Seq(
+      ("s1", "a b c a"), ("s2", "a b c a"),   // same distribution
+      ("s3", "zz yy zz zz")                    // disjoint support
+    ).toDF("source", "text")
+    val rep = Drift.tokenDriftReport(docs, "text", "source")
+      .orderBy("source").collect()
+    val bySrc = rep.map(r => r.getString(0) -> r).toMap
+    // s3 is fully disjoint from the rest -> TV exactly 1
+    assert(bySrc("s3").getLong(3) ==
+      2L * bySrc("s3").getLong(1) * (rep.map(_.getLong(1)).sum - bySrc("s3").getLong(1)))
+    assert(bySrc("s3").getDouble(4) == 1.0)
+    // s1 vs (s2 ∪ s3): NOT zero (s3 pollutes the complement) — but
+    // s1 and s2 must report identical drift by symmetry
+    assert(bySrc("s1").getLong(3) == bySrc("s2").getLong(3))
+  }
+
+  test("two identical slices only: both drift exactly 0") {
+    val docs = Seq(("s1", "a b b c"), ("s2", "a b b c")).toDF("source", "text")
+    val rep = Drift.tokenDriftReport(docs, "text", "source").collect()
+    rep.foreach { r =>
+      assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0, s"expected zero drift: $r")
+    }
+  }
+
+  test("single-source corpus reports NULL tv (nothing to drift from)") {
+    val docs = Seq(("only", "a b c")).toDF("source", "text")
+    val r = Drift.tokenDriftReport(docs, "text", "source").collect().head
+    assert(r.getLong(3) == 0L && r.isNullAt(4))
+  }
+
+  test("matches brute force over a random corpus (within one ulp of the exact rational)") {
+    val rnd = new scala.util.Random(17)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g")
+    val rows = (1 to 60).map { i =>
+      (s"s${i % 4}", (1 to (3 + rnd.nextInt(10)))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val got = Drift.tokenDriftReport(rows.toDF("source", "text"), "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val want = tvBrute(rows)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (s, tv) =>
+      assert(math.abs(tv - want(s)) < 1e-12, s"source $s: $tv vs ${want(s)}")
+    }
+  }
+
+  test("partitioning invariance") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 80).map(i =>
+      (s"s${i % 5}", (1 to 8).map(_ => s"w${rnd.nextInt(12)}").mkString(" ")))
+      .toDF("source", "text")
+    val a = Drift.tokenDriftReport(rows, "text", "source")
+      .orderBy("source").collect().toSeq
+    val b = Drift.tokenDriftReport(rows.repartition(9), "text", "source")
+      .orderBy("source").collect().toSeq
+    assert(a == b)
+  }
+}
