@@ -255,4 +255,78 @@ object StatefulOps {
           out.iterator
       }
   }
+
+  final case class DecayDayCell(day: Long, sum: Long, cnt: Long)
+  final case class DecayFeatState(cells: List[DecayDayCell])
+  final case class DecayedFeature(
+      key: String, ref_day: java.sql.Date, n_live: Long,
+      w_sum: Long, decayed_sum: Long, decayed_mean: Option[Double])
+
+  /**
+   * FEAT1's streaming twin: the half-life decayed per-key feature
+   * ([[graft.operators.Decay.halfLifeRollup]]'s exact dyadic law —
+   * w = 2^(kCap − age DIV h), 0 beyond kCap) maintained as stream state
+   * and re-emitted after every micro-batch — the "recency-weighted user
+   * feature" a feature store serves, updated at ingest latency instead
+   * of recomputed by a nightly batch.
+   *
+   * Exactness across batch slicing: float decay state (`s ← s·λ + v`)
+   * depends on WHEN batches arrive; here the state is the per-day
+   * (sum, count) histogram, so the emitted numbers are a pure function
+   * of the rows seen so far — any re-batching of the same rows yields
+   * identical output (spec-pinned against the batch operator).
+   *
+   * BOUNDED state: cells older than kCap half-lives of the key's
+   * frontier can never regain weight (the frontier is monotone), so
+   * they are pruned — at most (kCap+1)·h day-cells (three longs each)
+   * per key, e.g. 147 cells at the 7-day/20-cap default.
+   *
+   * Frontier semantics: the reference day is the KEY's own max event
+   * day (its stream frontier). The batch operator references the global
+   * corpus max; the two agree for every key whose feed reaches the
+   * corpus frontier — the steady-state of a live feed (the spec pins
+   * both the agreeing and the lagging-key case). n_live counts rows
+   * still carrying weight; dead rows are pruned, not counted, which is
+   * what lets the state stay bounded.
+   *
+   * Input columns: key (string), day (date), v (long). Output mode:
+   * Update.
+   */
+  def streamingHalfLifeFeature(
+      rows: DataFrame, halfLifeDays: Int = 7, kCap: Int = 20)(
+      implicit spark: SparkSession): Dataset[DecayedFeature] = {
+    import spark.implicits._
+    require(halfLifeDays >= 1, "half-life must be >= 1 day")
+    require(kCap >= 1 && kCap <= 62, "kCap in [1, 62]")
+    val h = halfLifeDays.toLong
+    val cap = kCap.toLong
+    rows
+      .select(col("key").cast("string"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"),
+        col("v").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DecayFeatState, DecayedFeature](GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[DecayFeatState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+          state.getOption.foreach(_.cells.foreach(c => m(c.day) = (c.sum, c.cnt)))
+          it.foreach { case (_, ed, v) =>
+            val (s0, c0) = m.getOrElse(ed, (0L, 0L))
+            m(ed) = (s0 + v, c0 + 1L)
+          }
+          val ref = m.keysIterator.max
+          val live = m.filter { case (d, _) => (ref - d) / h <= cap }
+          state.update(DecayFeatState(
+            live.toList.sortBy(_._1).map { case (d, (s, c)) => DecayDayCell(d, s, c) }))
+          var wSum = 0L; var dSum = 0L; var nLive = 0L
+          live.foreach { case (d, (s, c)) =>
+            val w = 1L << (cap - (ref - d) / h).toInt
+            wSum += w * c; dSum += w * s; nLive += c
+          }
+          DecayedFeature(key,
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(ref)),
+            nLive, wSum, dSum,
+            if (wSum > 0) Some(dSum.toDouble / wSum.toDouble) else None)
+      }
+  }
 }

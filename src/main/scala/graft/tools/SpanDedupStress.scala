@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-growth measurement for the D11 span-dedup census (q150): window
+ * volume, duplicated-span mass, and wall time at sf1- and sf10-equivalent
+ * corpus sizes (the documents table is 5k docs at sf0.1 → 50k / 500k
+ * here), on a realistic corpus — Zipf-ish vocabulary so spans are mostly
+ * corpus-unique, plus PLANTED boilerplate: a pool of 16 fixed 8-word
+ * snippets appended to every third doc, the cross-doc repeated-span mass
+ * a web corpus carries (headers, footers, licence blocks).
+ *
+ * What the numbers must show for the 100 TB posture:
+ *  - window count and wall time grow LINEARLY with the corpus (the census
+ *    is explode → two hash-partitioned aggregates → hash join, nothing
+ *    pairwise);
+ *  - duplicated instances ≈ the planted boilerplate mass (the law finds
+ *    exactly the planted spans, not hash-collision noise);
+ *  - the structural invariant Σ n_first == |distinct spans| holds at
+ *    every size (the survival law stays exact under scale).
+ *
+ * Usage: runMain graft.tools.SpanDedupStress [nDocs ...]
+ *        (default sweep: 50000 500000)
+ */
+object SpanDedupStress {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(50000L, 500000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.activate(spark)
+
+    sizes.foreach { n =>
+      val docs = corpus(spark, n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val rep = graft.operators.SpanDedup.spanReport(docs, "doc_id", "text", k = 8)
+        .localCheckpoint(true)
+      val agg = rep.agg(
+        count(lit(1)).as("docs"), sum("n_windows").as("win"),
+        sum("n_dup").as("dup"), sum("n_first").as("first")).collect().head
+      val secs = (System.nanoTime() - t0) / 1e9
+      val distinct = graft.operators.SpanDedup.windows(docs, "doc_id", "text", 8)
+        .select("h").distinct().count()
+      println(f"[span-stress] nDocs=$n docs=${agg.getLong(0)} windows=${agg.getLong(1)} " +
+        f"dup=${agg.getLong(2)} (${agg.getLong(2) * 100.0 / agg.getLong(1)}%.1f%%) " +
+        f"first=${agg.getLong(3)} distinct=$distinct wall=$secs%.2f s " +
+        f"invariant=${if (agg.getLong(3) == distinct) "OK" else "BROKEN"}")
+    }
+    spark.stop()
+  }
+
+  /** ~50 Zipf-ish words per doc (u³-warped over a 20k vocab); every 3rd
+    * doc appends one of 16 fixed 8-word boilerplate snippets. */
+  private def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val snippets = (0 until 16).map(j =>
+      (0 until 8).map(w => s"bp${j}x$w").mkString(" "))
+    def words(seed: org.apache.spark.sql.Column) = transform(
+      sequence(lit(0), (pmod(hash(seed), lit(10)) + lit(44)).cast("int")),
+      j => {
+        val u = pmod(hash(seed, j), lit(1000000)).cast("double") / lit(1000000.0)
+        concat(lit("w"), floor(u * u * u * lit(20000.0)).cast("long"))
+      })
+    val snippetCol = element_at(
+      array(snippets.map(lit): _*), (pmod(hash(col("id")), lit(16)) + lit(1)).cast("int"))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 3 === 0,
+        concat_ws(" ", concat_ws(" ", words(col("id"))), snippetCol))
+        .otherwise(concat_ws(" ", words(col("id")))).as("text"))
+  }
+}

@@ -84,6 +84,58 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHalfLifeFeature: re-batching invariant, equals the batch law at the frontier, prunes dead cells") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def d(x: String) = java.sql.Date.valueOf(x)
+    // key A: live ladder incl. a dead-old row; key B: lags the corpus
+    // frontier (its OWN frontier is 03-25)
+    val rows = Seq(
+      ("A", d("2024-03-31"), 10L), ("A", d("2024-03-30"), 20L),
+      ("A", d("2024-03-29"), 30L), ("A", d("2024-03-25"), 40L),
+      ("A", d("2024-01-01"), 50L), // (ref-day)/h = 45/2 > cap 3 -> pruned
+      ("B", d("2024-03-25"), 70L), ("B", d("2024-03-24"), 80L))
+
+    def run(batches: Seq[Seq[(String, java.sql.Date, Long)]], name: String) = {
+      val mem = MemoryStream[(String, java.sql.Date, Long)]
+      val out = StatefulOps.streamingHalfLifeFeature(
+        mem.toDF.toDF("key", "day", "v"), halfLifeDays = 2, kCap = 3)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // last emission per key = the final feature value
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getDate(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.last }
+    }
+
+    val oneShot = run(Seq(rows), "decay_one")
+    val sliced = run(Seq(rows.take(2), rows.slice(2, 5), rows.drop(5)), "decay_three")
+    assert(oneShot == sliced, "final feature must not depend on batch slicing")
+
+    // equals the batch operator per key (each key referenced to its own
+    // frontier = batch global max over that key's rows)
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val batch = graft.operators.Decay.halfLifeRollup(
+          rs.toDF("key", "day", "v"), Seq("key"), "day", "v",
+          halfLifeDays = 2, kCap = 3).collect().head
+      val stream = oneShot(k)
+      assert(stream._3 == batch.getLong(2), s"$k n_live")   // n_live
+      assert(stream._4 == batch.getLong(3), s"$k w_sum")
+      assert(stream._5 == batch.getLong(4), s"$k decayed_sum")
+      assert(stream._6 == Option(batch.get(5)).map(_.asInstanceOf[Double]), s"$k mean")
+    }
+    // the dead A-row was pruned: n_live 4 of 5, and key B keeps its own
+    // (lagging) frontier
+    assert(oneShot("A")._3 == 4L)
+    assert(oneShot("B")._2 == d("2024-03-25"))
+  }
+
   test("streamingAsofEnrich: in-batch order, cross-batch mark state, lookback keeps last-known") {
     implicit val s = spark
     import spark.implicits._
