@@ -2464,6 +2464,56 @@ object SparkEntry {
       operators.Drift.tokenDriftReport(
           t(s, dir, "documents"), "text", "source")
         .orderBy(col("source"))),
+
+    // Q158 — T16 tokenizer fertility by source: the metric a tokenizer
+    // is EVALUATED by (tokens per word, chars per token), per corpus
+    // slice, under the q136-trained 5-merge BPE vocab — composes trainer
+    // (T13) + tokenize (T14) into the per-source report that decides
+    // whether a vocab suits a new ingest source. Integer ppm ratios.
+    "q158_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", nMerges = 5)
+        .orderBy(col("merge_rank")).collect() // bounded: 5 rows
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .withColumn("fertility_ppm",
+          expr("total_tokens * 1000000 DIV total_words"))
+        .withColumn("compression_ppm",
+          expr("total_chars * 1000000 DIV total_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Q159 — VOC2 vocabulary coverage curve: how many rank-ordered types
+    // cover 50 / 90 / 99 % of token mass — the vocab-truncation sizing
+    // number (threshold law over the rank-ordered type histogram; the
+    // only unpartitioned window runs on the vocabulary frame, never the
+    // corpus). One wide row.
+    "q159_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.words(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val byRank = Window.orderBy(col("tf").desc, col("tok"))
+      val ranked = tf
+        .withColumn("rnk", row_number().over(byRank).cast("long"))
+        .withColumn("cum", sum(col("tf")).over(
+          byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("tf")).over(
+          Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      ranked.agg(
+        max(col("total")).as("total_tokens"),
+        count(lit(1)).as("total_types"),
+        min(when(col("cum") * 100 >= col("total") * 50, col("rnk"))).as("types_p50"),
+        min(when(col("cum") * 100 >= col("total") * 90, col("rnk"))).as("types_p90"),
+        min(when(col("cum") * 100 >= col("total") * 99, col("rnk"))).as("types_p99"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -2506,6 +2556,26 @@ object SparkEntry {
        |    count(*) AS n_words
        |  FROM dw LEFT JOIN tok t USING (w) GROUP BY doc_id)
        |SELECT doc_id, n_tokens, n_words FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** q158's oracle: the q138 train+tokenize CTE chain, rolled up per
+    * source with the integer ppm fertility/compression ratios. */
+  private def bpeFertilityOracleSql(nMerges: Int): String = {
+    val tokSql = bpeTokenizeOracleSql(nMerges)
+    // keep everything through the `tok` stage; replace the per-doc tail
+    val ctes = tokSql.substring(0, tokSql.indexOf("dw AS"))
+    s"""${ctes}dw AS (SELECT doc_id, source, n_chars,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       |agg AS (SELECT doc_id, any_value(source) AS source, any_value(n_chars) AS n_chars,
+       |    CAST(sum(CASE WHEN len(w) = 1 THEN 1 ELSE t.wt END) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_words
+       |  FROM dw LEFT JOIN tok t USING (w) GROUP BY doc_id)
+       |SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(n_words) AS BIGINT) AS total_words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_tokens) * 1000000 // sum(n_words) AS BIGINT) AS fertility_ppm,
+       |  CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT) AS compression_ppm
+       |FROM agg GROUP BY source ORDER BY source""".stripMargin
   }
 
   def oracleSql: Map[String, String] = {
@@ -4898,6 +4968,25 @@ object SparkEntry {
           |    CAST(present_num + n_tokens * (n_all - cov) AS DOUBLE)
           |      / (2.0 * CAST(n_tokens AS DOUBLE) * CAST(n_all - n_tokens AS DOUBLE)) END AS tv
           |FROM g ORDER BY source""".stripMargin,
+
+      // the q136/q138 train+tokenize chain rolled up per source
+      "q158_tokenizer_fertility" -> bpeFertilityOracleSql(5),
+
+      // same threshold law over the rank-ordered type histogram
+      "q159_vocab_coverage" ->
+        """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+          |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1),
+          |r AS (SELECT tok, tf,
+          |    CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rnk,
+          |    sum(tf) OVER (ORDER BY tf DESC, tok
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    sum(tf) OVER () AS total FROM tf)
+          |SELECT CAST(max(total) AS BIGINT) AS total_tokens,
+          |  CAST(count(*) AS BIGINT) AS total_types,
+          |  CAST(min(CASE WHEN cum * 100 >= total * 50 THEN rnk END) AS BIGINT) AS types_p50,
+          |  CAST(min(CASE WHEN cum * 100 >= total * 90 THEN rnk END) AS BIGINT) AS types_p90,
+          |  CAST(min(CASE WHEN cum * 100 >= total * 99 THEN rnk END) AS BIGINT) AS types_p99
+          |FROM r""".stripMargin,
     )
   }
 }
