@@ -53,6 +53,37 @@ class CountMinSpec extends SparkSpec {
     assert(rep.exists(_.getLong(3) > 0), "fixture produced no collisions")
   }
 
+  test("the sketch is streaming-native: update-mode running counts == batch sketch") {
+    // CMS's original habitat is a stream; the relational form needs no
+    // custom state — cell counts are a streaming groupBy in Update mode,
+    // and after all batches the cells must equal the batch sketch over
+    // the union of the batches (the cell-wise-merge law, live).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.TextFunctions
+    val mem = MemoryStream[String]
+    val cells = mem.toDF.toDF("item")
+      .select(col("item"), explode(array((0 until 3).map(lit): _*)).as("row"))
+      .select(col("row"),
+        pmod(TextFunctions.portableHash(
+          concat(lit("cms#"), col("row"), lit("#"), col("item"))),
+          lit(16L)).as("col"))
+      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
+    val q = cells.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    val b1 = Seq("a", "b", "a", "c")
+    val b2 = Seq("b", "b", "d", "a")
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = CountMin.sketch((b1 ++ b2).toDF("item"), "item", d = 3, w = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("estimate of an absent item is the colliding mass, never negative") {
     val sk = CountMin.sketch(Seq("x", "y", "x").toDF("item"), "item", 2, 4)
     val est = CountMin.estimates(sk, Seq("zzz").toDF("item"), 2, 4)
