@@ -34,6 +34,13 @@ import graft.functions.TextFunctions
  * class key. (Skew bound: a within-class window is one task per tie
  * class — at ppm score resolution tie classes are corpus/10⁶-scale;
  * a coarser score column is the dial if a corpus degenerates.)
+ *
+ * Measured (tools/CurriculumScaleStress, dense-tie 1000-value scores,
+ * row-identical outputs): at 2M local rows the naive single-window form
+ * wins on constant factors (7.7 vs 11.9 s); at 20M the single task is
+ * already the bottleneck (74.8 vs 38.2 s, 2.0×) — and on a cluster the
+ * naive form is a one-executor memory cliff, which is the actual reason
+ * for the two-level shape.
  */
 object Curriculum {
 

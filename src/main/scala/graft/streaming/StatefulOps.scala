@@ -256,6 +256,69 @@ object StatefulOps {
       }
   }
 
+  final case class DriftCell(bucket: Long, cnt: Long)
+  final case class DriftState(cells: List[DriftCell])
+  final case class DriftUpdate(
+      key: String, n_tokens: Long, n_buckets_seen: Long,
+      tv_num: Long, tv: Double)
+
+  /**
+   * DRIFT1's streaming twin: live ingest-drift monitoring — each key's
+   * (e.g. source's) token stream is folded into a `nBuckets`-cell hashed
+   * histogram as stream state, and after every micro-batch the exact
+   * total-variation distance between the key's cumulative bucket
+   * distribution and a FROZEN reference profile is re-emitted. This is
+   * the "provider changed under us" alarm at ingest latency; the batch
+   * operator ([[graft.operators.Drift.tokenDriftReport]]) is the
+   * offline audit.
+   *
+   * Bucket-level TV is a LOWER bound of token-level TV (merging tokens
+   * into buckets can only cancel opposing deviations — the
+   * data-processing inequality), so a bucket-level alarm is always a
+   * true token-level alarm; the bucket count is the resolution dial.
+   *
+   * Same exact-rational law as the batch op: with c_b the key's bucket
+   * counts (N = Σc) and r_b the reference's (R = Σr),
+   *   tv_num = Σ_b |c_b·R − r_b·N|,   tv = tv_num / (2·N·R)
+   * — integer numerator, one IEEE divide per emission.
+   *
+   * BOUNDED state: ≤ nBuckets (bucket, count) cells per key, whatever
+   * the vocabulary or stream length. Input columns: key (string),
+   * bucket (long — hash tokens upstream with
+   * `pmod(portableHash(concat(lit("drift#"), tok)), lit(nBuckets))` so
+   * batch and stream share the bucket law). Output mode: Update.
+   */
+  def streamingBucketDrift(
+      rows: DataFrame, reference: Map[Long, Long], nBuckets: Int)(
+      implicit spark: SparkSession): Dataset[DriftUpdate] = {
+    import spark.implicits._
+    require(nBuckets >= 2, "nBuckets >= 2")
+    require(reference.nonEmpty && reference.values.forall(_ > 0),
+      "reference profile must be non-empty with positive counts")
+    require(reference.keys.forall(b => b >= 0 && b < nBuckets),
+      "reference buckets out of range")
+    val refTotal = reference.values.sum
+    rows
+      .select(col("key").cast("string"), col("bucket").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DriftState, DriftUpdate](GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[DriftState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(_.cells.foreach(c => m(c.bucket) = c.cnt))
+          it.foreach { case (_, b) => m(b) = m.getOrElse(b, 0L) + 1L }
+          state.update(DriftState(
+            m.toList.sortBy(_._1).map { case (b, c) => DriftCell(b, c) }))
+          val n = m.valuesIterator.sum
+          // union of observed and reference buckets carries the full mass
+          val tvNum = (m.keySet ++ reference.keySet).iterator.map { b =>
+            math.abs(m.getOrElse(b, 0L) * refTotal - reference.getOrElse(b, 0L) * n)
+          }.sum
+          DriftUpdate(key, n, m.size.toLong, tvNum,
+            tvNum.toDouble / (2.0 * n.toDouble * refTotal.toDouble))
+      }
+  }
+
   final case class DecayDayCell(day: Long, sum: Long, cnt: Long)
   final case class DecayFeatState(cells: List[DecayDayCell])
   final case class DecayedFeature(

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Measures the SEL2 design claim: the curriculum's two-level
+ * (histogram-offset) global ranks against the naive single-window
+ * formulation (`row_number() OVER (ORDER BY …)` with no partition — one
+ * task sorts the corpus) at corpus sizes where the difference matters.
+ *
+ * Expected shape: identical output rows; the naive plan serializes into
+ * a single task per window (two of them — score rank, then epoch
+ * position) while the two-level plan keeps every corpus-sized stage
+ * hash-partitioned and only ever single-tasks the class histograms
+ * (≤ distinct-scores / ≤ nBins rows).
+ *
+ * Usage: runMain graft.tools.CurriculumScaleStress [nRows ...]
+ *        (default sweep: 2000000 10000000)
+ */
+object CurriculumScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(2000000L, 10000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.activate(spark)
+
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    sizes.foreach { n =>
+      // few distinct scores (ppm-style ladder of 1000) -> dense tie
+      // classes, the realistic quality-score regime
+      val scored = spark.range(n).select(
+        col("id"),
+        (pmod(hash(col("id")), lit(1000)) * lit(1000)).cast("long").as("score"))
+        .localCheckpoint(true)
+
+      val t0 = System.nanoTime()
+      noop(graft.operators.Curriculum.schedule(scored, "id", "score", 10, "s"))
+      val twoLevel = (System.nanoTime() - t0) / 1e9
+
+      val t1 = System.nanoTime()
+      noop(naiveSchedule(scored))
+      val naive = (System.nanoTime() - t1) / 1e9
+
+      // row-identity check (the two formulations must agree bit-for-bit)
+      val diff = graft.operators.Curriculum.schedule(scored, "id", "score", 10, "s")
+        .exceptAll(naiveSchedule(scored)).count()
+      println(f"[curriculum-stress] n=$n twoLevel=$twoLevel%.2f s " +
+        f"naiveSingleWindow=$naive%.2f s (${naive / twoLevel}%.1f×) rowDiff=$diff")
+    }
+    spark.stop()
+  }
+
+  /** The formulation the operator refuses to use: two corpus-sized
+    * unpartitioned windows. */
+  private def naiveSchedule(scored: DataFrame): DataFrame = {
+    val byScore = Window.orderBy(col("score").desc, col("id"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .withColumn("n_total", count(lit(1)).over(
+        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("bin", expr("(rank - 1) * 10 DIV n_total"))
+      .withColumn("sh", graft.functions.TextFunctions.portableHash(
+        concat(lit("s#"), col("id"))))
+    ranked
+      .withColumn("epoch_pos", row_number().over(
+        Window.orderBy(col("bin"), col("sh"), col("id"))).cast("long"))
+      .select(col("epoch_pos"), col("id"), col("score"), col("bin"))
+      .orderBy(col("epoch_pos"))
+  }
+}

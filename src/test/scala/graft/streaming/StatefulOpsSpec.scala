@@ -136,6 +136,49 @@ class StatefulOpsSpec extends SparkSpec {
     assert(oneShot("B")._2 == d("2024-03-25"))
   }
 
+  test("streamingBucketDrift: re-batching invariant, matches the exact bucket-TV replay, converges on a matching stream") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val nB = 8
+    // reference: bucket 0 heavy, 1 light
+    val ref = Map(0L -> 6L, 1L -> 2L)
+    val rows = Seq( // (key, bucket)
+      ("A", 0L), ("A", 0L), ("A", 0L), ("A", 1L),   // A tracks the reference
+      ("B", 5L), ("B", 5L), ("B", 6L))              // B is fully disjoint
+
+    def run(batches: Seq[Seq[(String, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long)]
+      val out = StatefulOps.streamingBucketDrift(
+        mem.toDF.toDF("key", "bucket"), ref, nB)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.last }
+    }
+
+    val one = run(Seq(rows), "drift_one")
+    val sliced = run(Seq(rows.take(3), rows.slice(3, 5), rows.drop(5)), "drift_three")
+    assert(one == sliced, "cumulative drift must not depend on batch slicing")
+
+    // driver replay of the exact law
+    def tvNum(counts: Map[Long, Long]): Long = {
+      val n = counts.values.sum; val r = ref.values.sum
+      (counts.keySet ++ ref.keySet).toSeq
+        .map(b => math.abs(counts.getOrElse(b, 0L) * r - ref.getOrElse(b, 0L) * n)).sum
+    }
+    val aCounts = Map(0L -> 3L, 1L -> 1L)
+    assert(one("A")._4 == tvNum(aCounts))
+    // A has ref's exact shape? 3:1 vs 6:2 -> proportional -> TV = 0
+    assert(one("A")._5 == 0.0)
+    // B disjoint from the reference support -> TV = 1
+    assert(one("B")._5 == 1.0)
+  }
+
   test("streamingAsofEnrich: in-batch order, cross-batch mark state, lookback keeps last-known") {
     implicit val s = spark
     import spark.implicits._
