@@ -2514,6 +2514,41 @@ object SparkEntry {
         min(when(col("cum") * 100 >= col("total") * 90, col("rnk"))).as("types_p90"),
         min(when(col("cum") * 100 >= col("total") * 99, col("rnk"))).as("types_p99"))
     }),
+
+    // Q160 — CUR2 quality-aware canonical selection: q39's transitive
+    // near-dup clusters consolidated by KEEPING THE BEST-QUALITY member
+    // (TTR-ppm score, argmax by score desc, id asc) instead of the
+    // lowest id — the consolidation policy of a production dedup pass.
+    "q160_canonical_selection" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
+      val clusters = graft.operators.Curation.nearDupClusters(pairs)
+      val scored = docs
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          expr("CAST(size(array_distinct(w)) AS BIGINT) * 1000000" +
+            " DIV CAST(size(w) AS BIGINT)").as("score_ppm"))
+      graft.operators.Curation.selectCanonical(clusters, scored, "doc_id", "score_ppm")
+        .orderBy(col("cluster_id"))
+    }),
+
+    // Q161 — SAMP4 deterministic negative sampling: 4 pseudo-random
+    // part negatives per sampled (order, part) positive, drawn by
+    // portable hash onto the item dictionary's dense rank — stable
+    // under retries/engines where rand() draws are not; accidental hits
+    // (drawn negative is a true positive of the order) are flagged, not
+    // re-drawn.
+    "q161_negative_samples" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val interactions = li
+        .select(col("l_orderkey").as("order_key"), col("l_partkey").as("pos_item"))
+        .where(pmod(col("order_key"), lit(100)) === 0)
+      graft.operators.Sampling.negativeSamples(
+          interactions, "order_key", "pos_item",
+          items = li.select(col("l_partkey")), itemCol = "l_partkey", k = 4)
+        .orderBy(col("order_key"), col("pos_item"), col("j"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -4987,6 +5022,52 @@ object SparkEntry {
           |  CAST(min(CASE WHEN cum * 100 >= total * 90 THEN rnk END) AS BIGINT) AS types_p90,
           |  CAST(min(CASE WHEN cum * 100 >= total * 99 THEN rnk END) AS BIGINT) AS types_p99
           |FROM r""".stripMargin,
+
+      // q39's recursive-CTE cluster chain + the TTR score + the
+      // (score desc, id asc) argmax per cluster
+      "q160_canonical_selection" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+          |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          |pr AS (SELECT id_a, id_b FROM p
+          |       WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
+          |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+          |reach AS (SELECT u, v FROM edges
+          |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+          |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+          |sc AS (SELECT doc_id,
+          |    CAST(len(list_distinct(ws)) AS BIGINT) * 1000000 // CAST(len(ws) AS BIGINT) AS score_ppm FROM w),
+          |m AS (SELECT cl.cluster_id, cl.doc_id, sc.score_ppm,
+          |    row_number() OVER (PARTITION BY cl.cluster_id
+          |      ORDER BY sc.score_ppm DESC, cl.doc_id) AS rn
+          |  FROM cl JOIN sc USING (doc_id))
+          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+          |  CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_id,
+          |  CAST(min(CASE WHEN rn = 1 THEN score_ppm END) AS BIGINT) AS kept_score,
+          |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same hash-onto-dense-rank draw law, same accidental-hit flag
+      "q161_negative_samples" ->
+        """WITH pos AS (SELECT DISTINCT l_orderkey AS order_key, l_partkey AS pos_item FROM lineitem),
+          |ps AS (SELECT * FROM pos WHERE order_key % 100 = 0),
+          |items AS (SELECT item, CAST(row_number() OVER (ORDER BY item) AS BIGINT) AS rnk
+          |  FROM (SELECT DISTINCT l_partkey AS item FROM lineitem)),
+          |nn AS (SELECT count(*) AS n FROM items),
+          |jx AS (SELECT unnest(range(1, 5)) AS j),
+          |cand AS (SELECT ps.order_key, ps.pos_item, jx.j,
+          |    ('0x' || substr(md5('neg#' || ps.order_key || '#' || ps.pos_item || '#' || jx.j), 1, 15))::BIGINT
+          |      % nn.n + 1 AS rnk
+          |  FROM ps, jx, nn),
+          |wn AS (SELECT c.order_key, c.pos_item, c.j, i.item AS neg_item
+          |  FROM cand c JOIN items i USING (rnk))
+          |SELECT w.order_key, w.pos_item, CAST(w.j AS BIGINT) AS j, w.neg_item,
+          |  EXISTS (SELECT 1 FROM pos p2
+          |          WHERE p2.order_key = w.order_key AND p2.pos_item = w.neg_item) AS accidental
+          |FROM wn w ORDER BY 1, 2, 3""".stripMargin,
     )
   }
 }

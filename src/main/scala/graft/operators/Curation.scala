@@ -110,6 +110,34 @@ object Curation {
     labels
   }
 
+  /**
+   * Quality-aware canonical selection (CUR2): the dedup CONSOLIDATION
+   * policy — given cluster labels (from [[nearDupClusters]]) and an
+   * integer per-doc quality score, keep the BEST-quality member of each
+   * cluster instead of the lowest id (keep-lowest-id discards a clean
+   * original whenever a noisy copy happens to have a smaller id; every
+   * production dedup pass keeps by quality). Deterministic argmax:
+   * (score desc, id asc).
+   *
+   * Output per cluster: (cluster_id, n_members, kept_id, kept_score,
+   * n_dropped). One window + rollup sharing the cluster partitioning.
+   */
+  def selectCanonical(
+      clusters: DataFrame, scored: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clusters.join(scored, clusters("id") === scored(idCol)).drop("id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(when(col("rn") === 1, col(idCol))).as("kept_id"),
+        min(when(col("rn") === 1, col(scoreCol))).as("kept_score"))
+      .withColumn("n_dropped", col("n_members") - 1)
+  }
+
   /** Total ordering for the id column on the driver fast path; None for
    *  types we don't order (those always take the distributed path). */
   private def driverIdOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {

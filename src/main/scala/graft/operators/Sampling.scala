@@ -214,4 +214,59 @@ object Sampling {
       .drop("_boot_bucket")
       .where(col("boot_w") > 0)
   }
+
+  /**
+   * Deterministic uniform negative sampling (SAMP4) — the word2vec /
+   * two-tower recsys training step: for each (group, positive item)
+   * interaction, draw `k` pseudo-random items from the item dictionary.
+   * rand()-based draws are irreproducible across retries/engines; here
+   * draw j for a positive is the portable hash of "salt#group#item#j"
+   * mapped onto the DENSE RANK of the item dictionary — a pure function
+   * of the interaction, stable under re-partitioning and corpus growth
+   * of OTHER items (the dictionary rank only moves when the item set
+   * itself changes, which is the correct invalidation).
+   *
+   * An accidental hit (the drawn negative is actually a positive of the
+   * same group) is FLAGGED, not silently re-drawn: deterministic
+   * rejection re-draws cascade data-dependently, while downstream
+   * losses either drop or down-weight flagged rows — the standard
+   * practice. Expected flag rate = positives-per-group / |items|.
+   *
+   * Scale posture: the dictionary is item-cardinality-sized (its dense
+   * rank runs on the vocabulary frame, never the interaction stream);
+   * `nItems` arrives as a driver scalar (one bounded count job);
+   * drawing is a map-side explode ×k; resolving ranks to items and
+   * flagging accidentals are two hash joins, the first against the
+   * broadcastable dictionary.
+   *
+   * Output: (groupCol, posCol, j, neg_item, accidental).
+   */
+  def negativeSamples(
+      interactions: DataFrame, groupCol: String, posCol: String,
+      items: DataFrame, itemCol: String, k: Int,
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1 && k <= 64, "1..64 negatives per positive")
+    val dict = items.select(col(itemCol).as("_item")).distinct()
+      .withColumn("_rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_item"))).cast("long"))
+    val nItems = dict.count() // bounded: item-dictionary cardinality
+    require(nItems > 0, "empty item dictionary")
+    val pos = interactions.select(col(groupCol), col(posCol)).distinct()
+    val drawn = pos
+      .withColumn("j", explode(sequence(lit(1L), lit(k.toLong))))
+      .withColumn("_rnk", pmod(
+        portableHash(concat(
+          lit(salt + "#"), col(groupCol).cast("string"),
+          lit("#"), col(posCol).cast("string"),
+          lit("#"), col("j").cast("string"))),
+        lit(nItems)) + lit(1L))
+      .join(broadcast(dict), Seq("_rnk"))
+      .withColumnRenamed("_item", "neg_item")
+    drawn
+      .join(pos.select(col(groupCol), col(posCol).as("neg_item"))
+          .withColumn("_hit", lit(true)),
+        Seq(groupCol, "neg_item"), "left")
+      .withColumn("accidental", coalesce(col("_hit"), lit(false)))
+      .select(col(groupCol), col(posCol), col("j"), col("neg_item"), col("accidental"))
+  }
 }

@@ -21,6 +21,23 @@ class CurationSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 6L))
   }
 
+  test("selectCanonical: keeps the best-quality member, ties break to lowest id") {
+    import org.apache.spark.sql.functions._
+    // clusters: {1,5,9} labeled 1; {2,4} labeled 2
+    val clusters = Seq((1L, 1L), (5L, 1L), (9L, 1L), (2L, 2L), (4L, 2L))
+      .toDF("id", "cluster_id")
+    val scored = Seq(
+      (1L, 100L), (5L, 900L), (9L, 900L),   // 5 and 9 tie ahead of 1 -> keep 5
+      (2L, 300L), (4L, 700L)                 // keep 4 (NOT the lowest id)
+    ).toDF("doc_id", "score_ppm")
+    val out = Curation.selectCanonical(clusters, scored, "doc_id", "score_ppm")
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 5L, 900L, 2L),
+      (2L, 2L, 4L, 700L, 1L)))
+  }
+
   test("nearDupClusters: min label propagates across chains") {
     // chain 1-2-3 plus isolated pair 10-11: clusters {1,2,3}->1, {10,11}->10
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8))

@@ -113,6 +113,38 @@ class SamplingSpec extends SparkSpec {
       "10x weight must weakly lower every integer priority")
   }
 
+  test("negativeSamples: driver-mirror parity, k draws per positive, accidental flags exact") {
+    import graft.functions.TextFunctions.portableHash64
+    val interactions = Seq(
+      (10L, 100L), (10L, 101L), (20L, 102L),
+      (30L, 100L), (30L, 101L), (30L, 102L), (30L, 103L)) // ALL items -> all accidental
+      .toDF("g", "item")
+    val items = Seq(100L, 101L, 102L, 103L).toDF("it")
+    val out = Sampling.negativeSamples(interactions, "g", "item",
+        items, "it", k = 3, salt = "t")
+      .orderBy("g", "item", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // 7 positives x 3 draws
+    assert(out.length == 21)
+    // driver replay: rank = h("t#g#item#j") mod 4 + 1 onto sorted items
+    val dict = Seq(100L, 101L, 102L, 103L)
+    out.foreach { case (g, p, j, neg, acc) =>
+      val h = portableHash64(s"t#$g#$p#$j")
+      assert(neg == dict((((h % 4) + 4) % 4).toInt), s"draw mismatch at ($g,$p,$j)")
+      val positives = Map(10L -> Set(100L, 101L), 20L -> Set(102L),
+        30L -> Set(100L, 101L, 102L, 103L))
+      assert(acc == positives(g).contains(neg), s"flag mismatch at ($g,$p,$j)")
+    }
+    // group 30 holds the whole dictionary: every draw must be flagged
+    assert(out.filter(_._1 == 30L).forall(_._5))
+    // partitioning invariance
+    val re = Sampling.negativeSamples(interactions.repartition(5), "g", "item",
+        items.repartition(3), "it", k = 3, salt = "t")
+      .orderBy("g", "item", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("poissonBootstrap: ppm ladder anchors, Poisson(1) mass, independent replicates") {
     // threshold ladder: cum Poisson(1) in ppm — t0 = floor(e^-1 * 1e6)
     val ts = Sampling.poissonPpmThresholds(8)
