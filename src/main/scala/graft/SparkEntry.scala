@@ -2549,6 +2549,22 @@ object SparkEntry {
           items = li.select(col("l_partkey")), itemCol = "l_partkey", k = 4)
         .orderBy(col("order_key"), col("pos_item"), col("j"))
     }),
+
+    // Q162 — P3 k-anonymity audit over events: quasi-identifier =
+    // (event_type, day, value band) — the linkable attribute combination
+    // — subject = user_id; how many QI groups re-identify their users
+    // (distinct-subject count 1 / 2–4 / 5–19 / 20+), the governance gate
+    // a dataset passes before shipping. All four risk buckets are
+    // populated at sf0.01 (141 critical / 163 / 240 / 165 groups).
+    "q162_k_anonymity" -> ((s, dir) =>
+      graft.operators.Pii.kAnonymityAudit(
+          t(s, dir, "events").select(col("event_type"),
+            to_date(col("ts")).as("day"),
+            floor(col("value") / 50).cast("long").as("value_band"),
+            col("user_id")),
+          quasiIdCols = Seq("event_type", "day", "value_band"),
+          subjectCol = "user_id")
+        .orderBy(col("anonymity_bucket"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5068,6 +5084,23 @@ object SparkEntry {
           |  EXISTS (SELECT 1 FROM pos p2
           |          WHERE p2.order_key = w.order_key AND p2.pos_item = w.neg_item) AS accidental
           |FROM wn w ORDER BY 1, 2, 3""".stripMargin,
+
+      // same QI grouping, distinct-subject census, and bucket fences
+      "q162_k_anonymity" ->
+        """WITH g AS (SELECT event_type, ts::DATE AS day,
+          |    CAST(floor(value / 50) AS BIGINT) AS value_band,
+          |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_subj,
+          |    CAST(count(*) AS BIGINT) AS n_rows
+          |  FROM events GROUP BY 1, 2, 3),
+          |b AS (SELECT CASE WHEN n_subj = 1 THEN '1_critical'
+          |                  WHEN n_subj <= 4 THEN '2_low'
+          |                  WHEN n_subj <= 19 THEN '3_medium'
+          |                  ELSE '4_anonymous' END AS anonymity_bucket,
+          |             n_subj, n_rows FROM g)
+          |SELECT anonymity_bucket, CAST(count(*) AS BIGINT) AS n_groups,
+          |  CAST(sum(n_subj) AS BIGINT) AS n_subjects,
+          |  CAST(sum(n_rows) AS BIGINT) AS n_rows
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -55,6 +55,42 @@ object Pii {
   }
 
   /** Drop documents containing any PII (the conservative policy). */
+  /**
+   * k-anonymity audit (P3) — the re-identification risk census a
+   * governance gate runs before a dataset ships: group rows by their
+   * quasi-identifier combination (the attributes an adversary can link
+   * externally) and count the DISTINCT subjects per combination; a
+   * combination with fewer than k subjects re-identifies them (Sweeney's
+   * k-anonymity). Output per k-threshold bucket:
+   *   (anonymity_bucket, n_groups, n_subjects, n_rows)
+   * where anonymity_bucket buckets the per-group subject count as
+   * 1 / 2..4 / 5..19 / 20+ — the suppression worklist (bucket "1" is
+   * the critical list), in one report instead of a per-group dump.
+   *
+   * Exact integers throughout; one shuffle on the QI combination (the
+   * distinct-subject count is a two-level aggregate sharing that
+   * partitioning), then a 4-row rollup.
+   */
+  def kAnonymityAudit(
+      df: DataFrame, quasiIdCols: Seq[String], subjectCol: String): DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
+    val groups = df
+      .groupBy(quasiIdCols.map(col): _*)
+      .agg(countDistinct(col(subjectCol)).as("n_subj"),
+        count(lit(1)).as("n_rows"))
+    groups
+      .withColumn("anonymity_bucket",
+        when(col("n_subj") === 1, "1_critical")
+          .when(col("n_subj") <= 4, "2_low")
+          .when(col("n_subj") <= 19, "3_medium")
+          .otherwise("4_anonymous"))
+      .groupBy(col("anonymity_bucket"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("n_subj")).as("n_subjects"),
+        sum(col("n_rows")).as("n_rows"))
+  }
+
   def dropPii(docs: DataFrame, textCol: String): DataFrame = {
     val marked = withPiiMetrics(docs, textCol)
     marked.where(!col("has_pii")).select(docs.columns.map(col): _*)

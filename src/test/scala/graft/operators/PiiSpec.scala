@@ -58,4 +58,24 @@ class PiiSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("doc_id", "text", "source"))
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("kAnonymityAudit: distinct-subject census per QI group, bucket fences exact") {
+    import org.apache.spark.sql.functions._
+    // QI (a, b): group (x,1) -> 1 subject over 3 rows (critical);
+    // (x,2) -> 4 subjects (low, boundary); (y,1) -> 5 subjects (medium
+    // boundary); (y,2) -> 20 subjects (anonymous boundary)
+    val rows =
+      Seq.fill(3)(("x", 1, 7L)) ++
+      (1L to 4L).map(u => ("x", 2, u)) ++
+      (1L to 5L).map(u => ("y", 1, u)) ++
+      (1L to 20L).flatMap(u => Seq(("y", 2, u), ("y", 2, u))) // dup rows, same subjects
+    val out = Pii.kAnonymityAudit(rows.toDF("a", "b", "subj"), Seq("a", "b"), "subj")
+      .orderBy("anonymity_bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("1_critical", 1L, 1L, 3L),
+      ("2_low", 1L, 4L, 4L),
+      ("3_medium", 1L, 5L, 5L),
+      ("4_anonymous", 1L, 20L, 40L)))
+  }
 }
