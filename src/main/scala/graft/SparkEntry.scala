@@ -2565,6 +2565,20 @@ object SparkEntry {
           quasiIdCols = Seq("event_type", "day", "value_band"),
           subjectCol = "user_id")
         .orderBy(col("anonymity_bucket"))),
+
+    // Q163 — D13 semantic decontamination: corpus embeddings within 0.35
+    // cosine of any "benchmark" embedding (vec_id % 20 = 0), candidates
+    // via the SIM4 banded hyperplane law joined CROSS-FRAME, exact
+    // verify, best-match evidence per flagged item — the paraphrase-
+    // grade leg n-gram overlap (q42) and bloom membership (q54) miss.
+    "q163_semantic_decontamination" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Decontamination.semanticContamination(
+          corpus = e.where(pmod(col("vec_id"), lit(20)) =!= 0),
+          benchmark = e.where(pmod(col("vec_id"), lit(20)) === 0),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("corpus_id"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5101,6 +5115,33 @@ object SparkEntry {
           |  CAST(sum(n_subj) AS BIGINT) AS n_subjects,
           |  CAST(sum(n_rows) AS BIGINT) AS n_rows
           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // q33's band law with the candidate join CROSS-FRAME, then the
+      // (sim desc, id) best-match cut per flagged corpus item
+      "q163_semantic_decontamination" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM e),
+          |pl AS (SELECT p, d,
+          |        CASE WHEN ('0x' || substr(md5('plane#' || p || ':dim#' || d), 1, 15))::BIGINT % 2 = 0
+          |             THEN 1 ELSE -1 END AS sgn
+          |       FROM (SELECT unnest(range(64)) AS p), (SELECT unnest(range(64)) AS d)),
+          |side AS (SELECT n.vec_id, pl.p, sum(pl.sgn * n.v[pl.d + 1]) AS s
+          |         FROM n, pl GROUP BY n.vec_id, pl.p),
+          |bk AS (SELECT vec_id, p // 4 AS band,
+          |         CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << (p % 4) ELSE 0 END) AS BIGINT) AS bucket
+          |       FROM side GROUP BY vec_id, p // 4),
+          |cand AS (SELECT DISTINCT c.vec_id AS corpus_id, b.vec_id AS bench_id
+          |         FROM bk c JOIN bk b ON c.band = b.band AND c.bucket = b.bucket
+          |         WHERE c.vec_id % 20 <> 0 AND b.vec_id % 20 = 0),
+          |p2 AS (SELECT corpus_id, bench_id,
+          |    CAST(CAST(list_sum(list_transform(range(len(nc.v)), i -> nc.v[i+1] * nb.v[i+1])) AS BIGINT) AS DOUBLE)
+          |      / (sqrt(CAST(nc.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+          |  FROM cand JOIN n nc ON nc.vec_id = corpus_id JOIN n nb ON nb.vec_id = bench_id),
+          |fl AS (SELECT corpus_id, bench_id, sim,
+          |    row_number() OVER (PARTITION BY corpus_id ORDER BY sim DESC, bench_id) AS rn
+          |  FROM p2 WHERE sim >= 0.35)
+          |SELECT corpus_id, bench_id, sim FROM fl WHERE rn = 1 ORDER BY corpus_id""".stripMargin,
     )
   }
 }

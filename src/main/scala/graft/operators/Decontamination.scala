@@ -93,6 +93,66 @@ object Decontamination {
    * exchange for the join shuffle shrinking from every corpus shingle to
    * bloom-positive ones only.
    */
+  /**
+   * Semantic (embedding-level) decontamination (D13) — the third leg of
+   * the decontamination family: n-gram overlap (q42) and bloom-pruned
+   * membership (q54) catch verbatim and near-verbatim leakage, but a
+   * PARAPHRASED benchmark item shares no shingles with its source; the
+   * semantic pass flags corpus items whose EMBEDDING sits within
+   * `threshold` cosine of any benchmark item (the SemDeDup/semantic-
+   * decontamination recipe applied cross-frame).
+   *
+   * Candidates come from the SAME banded random-hyperplane law as SIM4
+   * (numBands × planesPerBand buckets, md5 plane signs) but joined
+   * CROSS-FRAME: corpus bands ⋈ benchmark bands on (band, bucket).
+   * Verification is the exact quantized-integer cosine; per corpus item
+   * the best-matching benchmark item ((sim desc, id) argmax) is
+   * reported — the evidence row a removal decision audits.
+   *
+   * Scale posture: the benchmark side is an eval suite — tiny by
+   * definition — so its banded frame AND its vectors broadcast; the
+   * corpus never shuffles (band explode is map-side, candidates leave
+   * the stage bucket-pruned). Recall follows the band law (a pair
+   * surfaces iff it collides in ≥ 1 band); both engines replay the
+   * identical bucket computation, so the flagged set is deterministic.
+   *
+   * Output: (corpus_id, bench_id, sim) for flagged corpus items only.
+   */
+  def semanticContamination(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String, embCol: String,
+      threshold: Double, numBands: Int = 16, planesPerBand: Int = 4,
+      dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    import graft.functions.expressions.HyperplaneBuckets
+    def prep(df: DataFrame, as: String): (DataFrame, DataFrame) = {
+      val p = Similarity.prepared(df, idCol, embCol)
+        .withColumnRenamed(idCol, as).localCheckpoint(true)
+      val banded = p.select(col(as),
+          posexplode(exprCol(HyperplaneBuckets(
+            expression(col("qv")), numBands, planesPerBand, dims))))
+        .select(col(as), col("pos").as("band"), col("col").as("bucket"))
+      (p, banded)
+    }
+    val (cVecs, cBands) = prep(corpus, "corpus_id")
+    val (bVecs, bBands) = prep(benchmark, "bench_id")
+    val cands = cBands
+      .join(broadcast(bBands), Seq("band", "bucket"))
+      .select(col("corpus_id"), col("bench_id")).distinct()
+    val verified = cands
+      .join(cVecs, "corpus_id")
+      .join(broadcast(bVecs.withColumnRenamed("qv", "b_qv")
+        .withColumnRenamed("nn", "b_nn")), "bench_id")
+      .withColumn("sim", Similarity.cosine(
+        Similarity.dot(col("qv"), col("b_qv")), col("nn"), col("b_nn")))
+      .where(col("sim") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("corpus_id"))
+      .orderBy(col("sim").desc, col("bench_id"))
+    verified.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("corpus_id"), col("bench_id"), col("sim"))
+  }
+
   def contaminationReportBloom(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,

@@ -41,4 +41,34 @@ class DecontaminationSpec extends SparkSpec {
       .where(col("contaminated")).select("doc_id").as[Long].collect().sorted
     assert(strict.toSeq == Seq(1L, 3L)) // 2/3 >= 2/3 inclusive
   }
+
+  test("semanticContamination: flags are a subset of brute force with identical sims; near-copies always caught") {
+    // benchmark vectors 100/101; corpus: 1 ~= copy of 100 (must flag),
+    // 2 orthogonal-ish (must not at 0.9), 3 ~= copy of 101 (must flag)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val bench = Seq(
+      (100L, v(1.0, 0.0, 0.0, 0.0)), (101L, v(0.0, 1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(0.99, 0.01, 0.0, 0.0)),
+      (2L, v(0.0, 0.0, 1.0, 0.0)),
+      (3L, v(0.01, 0.98, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Decontamination.semanticContamination(
+        corpus, bench, "vec_id", "embedding", threshold = 0.9, dims = 4)
+      .orderBy("corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // a near-copy agrees with its source on EVERY hyperplane side, so it
+    // shares all bands — band recall cannot miss it
+    assert(out.map(x => (x._1, x._2)).toSeq == Seq((1L, 100L), (3L, 101L)))
+    out.foreach { case (_, _, sim) => assert(sim >= 0.9) }
+    // brute-force agreement: every flagged sim equals the exact cosine
+    val brute = Similarity.cosineTopK(bench, corpus.unionByName(bench),
+      "vec_id", "embedding", k = 3)
+    val bruteSims = brute.collect()
+      .map(r => (r.getLong(2), r.getLong(0)) -> r.getDouble(3)).toMap
+    out.foreach { case (c, b, sim) =>
+      assert(math.abs(bruteSims((c, b)) - sim) == 0.0, s"sim mismatch for ($c,$b)")
+    }
+  }
 }
