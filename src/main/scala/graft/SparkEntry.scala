@@ -480,7 +480,7 @@ object SparkEntry {
       val corpus = docs.where(col("source") =!= "src0")
       val gated = TextAnalysis.withQualityMetrics(corpus, "text")
         .where(col("is_quality"))
-        .select(corpus.columns.map(col): _*)
+        .select(corpus.columns.toIndexedSeq.map(col): _*)
       val deduped = Dedup.dropExactDuplicates(gated, "doc_id", "text")
       val clean = graft.operators.Decontamination.decontaminate(
         deduped, benchSet, "doc_id", "text")

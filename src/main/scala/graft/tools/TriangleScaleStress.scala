@@ -56,7 +56,7 @@ object TriangleScaleStress {
     def volumes(ce: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
       val deg = ce.select(col("a").as("x")).unionByName(ce.select(col("b").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
-      val naive = deg.agg(sum(expr("d * (d - 1) DIV 2"))).head.getLong(0)
+      val naive = deg.agg(sum(expr("d * (d - 1) DIV 2"))).head().getLong(0)
       val degM = deg
       val wd = ce
         .join(degM.select(col("x").as("a"), col("d").as("da")), "a")
@@ -64,8 +64,8 @@ object TriangleScaleStress {
         .select(when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("a")).otherwise(col("b")).as("src"))
         .groupBy("src").agg(count(lit(1)).as("od"))
-      val oriented = wd.agg(sum(expr("od * (od - 1) DIV 2"))).head.getLong(0)
-      val maxDeg = deg.agg(max(col("d"))).head.getLong(0)
+      val oriented = wd.agg(sum(expr("od * (od - 1) DIV 2"))).head().getLong(0)
+      val maxDeg = deg.agg(max(col("d"))).head().getLong(0)
       (naive, oriented, maxDeg)
     }
 
