@@ -60,6 +60,7 @@ case class WordGramHashes(child: Expression, gramN: Int)
 
 object WordGramHashesKernel {
   private val whitespace = UTF8String.fromString("\\s+")
+  private val space = Array[Byte](0x20)
   private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
@@ -69,16 +70,20 @@ object WordGramHashesKernel {
     val words = text.toLowerCase.trim.split(whitespace, -1)
     val m = words.length
     if (m < gramN) return null
+    // each word participates in up to gramN windows — extract its UTF-8
+    // bytes ONCE, not once per window (getBytes may copy)
+    val bytes = new Array[Array[Byte]](m)
+    var w = 0
+    while (w < m) { bytes(w) = words(w).getBytes; w += 1 }
     val hs = new Array[Long](m - gramN + 1)
     val md = md5.get()
-    val space = Array[Byte](0x20)
     var i = 0
     while (i <= m - gramN) {
       md.reset()
       var j = 0
       while (j < gramN) {
         if (j > 0) md.update(space)
-        md.update(words(i + j).getBytes)
+        md.update(bytes(i + j))
         j += 1
       }
       val d = md.digest()

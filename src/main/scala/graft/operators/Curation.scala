@@ -121,19 +121,30 @@ object Curation {
    *
    * Output per cluster: (cluster_id, n_members, kept_id, kept_score,
    * n_dropped). One window + rollup sharing the cluster partitioning.
+   *
+   * Membership is taken from `clusters` via a LEFT join: a member the
+   * scoring pass skipped (e.g. a zero-word doc) still counts toward
+   * n_members/n_dropped and ranks LAST (desc_nulls_last), so the report
+   * never misstates cluster size and an unscored doc can only be kept if
+   * the whole cluster is unscored.
    */
   def selectCanonical(
       clusters: DataFrame, scored: DataFrame, idCol: String,
       scoreCol: String): DataFrame = {
+    // internal member-id name avoids clobbering a caller idCol of "id"
+    val members = clusters.select(
+      col("id").as("_member_id"), col("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    clusters.join(scored, clusters("id") === scored(idCol)).drop("id")
+      .orderBy(col(scoreCol).desc_nulls_last, col("_member_id"))
+    members
+      .join(scored.select(col(idCol).as("_member_id"), col(scoreCol)),
+        Seq("_member_id"), "left")
       .withColumn("rn", row_number().over(w))
       .groupBy(col("cluster_id"))
       .agg(
         count(lit(1)).as("n_members"),
-        min(when(col("rn") === 1, col(idCol))).as("kept_id"),
+        min(when(col("rn") === 1, col("_member_id"))).as("kept_id"),
         min(when(col("rn") === 1, col(scoreCol))).as("kept_score"))
       .withColumn("n_dropped", col("n_members") - 1)
   }

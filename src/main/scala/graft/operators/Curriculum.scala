@@ -73,7 +73,14 @@ object Curriculum {
   def schedule(scored: DataFrame, idCol: String, scoreCol: String,
       nBins: Int = 10, salt: String = "cur"): DataFrame = {
     require(nBins >= 1, "nBins >= 1")
-    val ranked = globalRank(scored.select(col(idCol), col(scoreCol)),
+    // NULL scores are EXCLUDED up front: a doc with no score has no place
+    // in a quality order (impute upstream if it should). Filtering before
+    // the histogram keeps the equal-depth law exact — a NULL class would
+    // inflate n_total while the non-null-safe rank join dropped its rows,
+    // silently underfilling the last bins.
+    val ranked = globalRank(
+        scored.select(col(idCol), col(scoreCol))
+          .where(col(scoreCol).isNotNull),
         scoreCol, idCol)
       .withColumn("bin", expr(s"(rank - 1) * $nBins DIV n_total"))
       .withColumn("sh",

@@ -124,17 +124,22 @@ object Decontamination {
       dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
     import graft.functions.expressions.HyperplaneBuckets
-    def prep(df: DataFrame, as: String): (DataFrame, DataFrame) = {
-      val p = Similarity.prepared(df, idCol, embCol)
-        .withColumnRenamed(idCol, as).localCheckpoint(true)
+    // only the BENCHMARK side checkpoints (it is eval-suite-sized and
+    // read twice as a broadcast); the corpus side recomputes its map-side
+    // prep for the two consumers instead — materializing corpus-sized
+    // quantized vectors to executor storage would be the exact cliff the
+    // "corpus never shuffles" posture exists to avoid
+    def prep(df: DataFrame, as: String, checkpoint: Boolean): (DataFrame, DataFrame) = {
+      val p0 = Similarity.prepared(df, idCol, embCol).withColumnRenamed(idCol, as)
+      val p = if (checkpoint) p0.localCheckpoint(true) else p0
       val banded = p.select(col(as),
           posexplode(exprCol(HyperplaneBuckets(
             expression(col("qv")), numBands, planesPerBand, dims))))
         .select(col(as), col("pos").as("band"), col("col").as("bucket"))
       (p, banded)
     }
-    val (cVecs, cBands) = prep(corpus, "corpus_id")
-    val (bVecs, bBands) = prep(benchmark, "bench_id")
+    val (cVecs, cBands) = prep(corpus, "corpus_id", checkpoint = false)
+    val (bVecs, bBands) = prep(benchmark, "bench_id", checkpoint = true)
     val cands = cBands
       .join(broadcast(bBands), Seq("band", "bucket"))
       .select(col("corpus_id"), col("bench_id")).distinct()

@@ -54,7 +54,6 @@ object Pii {
           PhonePattern, "[PHONE]"))
   }
 
-  /** Drop documents containing any PII (the conservative policy). */
   /**
    * k-anonymity audit (P3) — the re-identification risk census a
    * governance gate runs before a dataset ships: group rows by their
@@ -91,6 +90,7 @@ object Pii {
         sum(col("n_rows")).as("n_rows"))
   }
 
+  /** Drop documents containing any PII (the conservative policy). */
   def dropPii(docs: DataFrame, textCol: String): DataFrame = {
     val marked = withPiiMetrics(docs, textCol)
     marked.where(!col("has_pii")).select(docs.columns.map(col): _*)

@@ -246,12 +246,18 @@ object Sampling {
       items: DataFrame, itemCol: String, k: Int,
       salt: String = "neg"): DataFrame = {
     require(k >= 1 && k <= 64, "1..64 negatives per positive")
+    // both reused frames checkpoint: dict is read by count() + the rank
+    // join, pos by the draw side + the accidental-flag side — without
+    // the checkpoint each pays its distinct (and dict its dictionary
+    // sort) twice
     val dict = items.select(col(itemCol).as("_item")).distinct()
       .withColumn("_rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("_item"))).cast("long"))
+      .localCheckpoint(true)
     val nItems = dict.count() // bounded: item-dictionary cardinality
     require(nItems > 0, "empty item dictionary")
     val pos = interactions.select(col(groupCol), col(posCol)).distinct()
+      .localCheckpoint(true)
     val drawn = pos
       .withColumn("j", explode(sequence(lit(1L), lit(k.toLong))))
       .withColumn("_rnk", pmod(

@@ -286,7 +286,16 @@ object StatefulOps {
    * the vocabulary or stream length. Input columns: key (string),
    * bucket (long — hash tokens upstream with
    * `pmod(portableHash(concat(lit("drift#"), tok)), lit(nBuckets))` so
-   * batch and stream share the bucket law). Output mode: Update.
+   * batch and stream share the bucket law). Rows with a NULL key or
+   * bucket are dropped up front (the quarantine contract — one poison
+   * record must not kill the monitor). Output mode: Update.
+   *
+   * Overflow contract: TV only reads the reference's PROPORTIONS, so the
+   * profile is normalized by its gcd here; after that the products
+   * c_b·R and r_b·N need N·R < 2⁶³ — with a gcd-reduced eval-suite
+   * profile (R ≤ ~10⁶) that is ~10¹² stream tokens per key before the
+   * key must be re-based (the same exact-integer shard law as the batch
+   * operator).
    */
   def streamingBucketDrift(
       rows: DataFrame, reference: Map[Long, Long], nBuckets: Int)(
@@ -297,9 +306,12 @@ object StatefulOps {
       "reference profile must be non-empty with positive counts")
     require(reference.keys.forall(b => b >= 0 && b < nBuckets),
       "reference buckets out of range")
-    val refTotal = reference.values.sum
+    val g = reference.values.reduce(gcd)
+    val ref = reference.map { case (b, c) => b -> c / g }
+    val refTotal = ref.values.sum
     rows
       .select(col("key").cast("string"), col("bucket").cast("long"))
+      .where(col("key").isNotNull && col("bucket").isNotNull)
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[DriftState, DriftUpdate](GroupStateTimeout.NoTimeout()) {
@@ -311,13 +323,16 @@ object StatefulOps {
             m.toList.sortBy(_._1).map { case (b, c) => DriftCell(b, c) }))
           val n = m.valuesIterator.sum
           // union of observed and reference buckets carries the full mass
-          val tvNum = (m.keySet ++ reference.keySet).iterator.map { b =>
-            math.abs(m.getOrElse(b, 0L) * refTotal - reference.getOrElse(b, 0L) * n)
+          val tvNum = (m.keySet ++ ref.keySet).iterator.map { b =>
+            math.abs(m.getOrElse(b, 0L) * refTotal - ref.getOrElse(b, 0L) * n)
           }.sum
           DriftUpdate(key, n, m.size.toLong, tvNum,
             tvNum.toDouble / (2.0 * n.toDouble * refTotal.toDouble))
       }
   }
+
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
   final case class DecayDayCell(day: Long, sum: Long, cnt: Long)
   final case class DecayFeatState(cells: List[DecayDayCell])
@@ -363,10 +378,14 @@ object StatefulOps {
     require(kCap >= 1 && kCap <= 62, "kCap in [1, 62]")
     val h = halfLifeDays.toLong
     val cap = kCap.toLong
+    // NULL key/day/v rows are dropped up front — the primitive-Long
+    // encoder would otherwise throw and kill the query on one poison
+    // record (the quarantine contract: reject, don't die)
     rows
       .select(col("key").cast("string"),
         datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"),
         col("v").cast("long"))
+      .where(col("key").isNotNull && col("ed").isNotNull && col("v").isNotNull)
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[DecayFeatState, DecayedFeature](GroupStateTimeout.NoTimeout()) {

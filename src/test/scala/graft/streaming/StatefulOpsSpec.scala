@@ -165,11 +165,14 @@ class StatefulOpsSpec extends SparkSpec {
     val sliced = run(Seq(rows.take(3), rows.slice(3, 5), rows.drop(5)), "drift_three")
     assert(one == sliced, "cumulative drift must not depend on batch slicing")
 
-    // driver replay of the exact law
+    // driver replay of the exact law (the op gcd-reduces the reference —
+    // TV reads proportions only — so the replay reduces too)
     def tvNum(counts: Map[Long, Long]): Long = {
-      val n = counts.values.sum; val r = ref.values.sum
-      (counts.keySet ++ ref.keySet).toSeq
-        .map(b => math.abs(counts.getOrElse(b, 0L) * r - ref.getOrElse(b, 0L) * n)).sum
+      val g = ref.values.reduce((a, b) => BigInt(a).gcd(BigInt(b)).toLong)
+      val rr = ref.map { case (b, c) => b -> c / g }
+      val n = counts.values.sum; val r = rr.values.sum
+      (counts.keySet ++ rr.keySet).toSeq
+        .map(b => math.abs(counts.getOrElse(b, 0L) * r - rr.getOrElse(b, 0L) * n)).sum
     }
     val aCounts = Map(0L -> 3L, 1L -> 1L)
     assert(one("A")._4 == tvNum(aCounts))
