@@ -182,6 +182,55 @@ class StatefulOpsSpec extends SparkSpec {
     assert(one("B")._5 == 1.0)
   }
 
+  test("streamingHalfLifeFeature state survives a query RESTART from checkpoint") {
+    // the twins' specs replay batches inside one query; this one proves
+    // the state actually round-trips the checkpoint — stop after batch 1,
+    // start a NEW query on the same checkpoint, feed batch 2, and the
+    // final feature must equal the one-shot run
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def d(x: String) = java.sql.Date.valueOf(x)
+    val b1 = Seq(("A", d("2024-03-25"), 40L), ("A", d("2024-03-29"), 30L))
+    val b2 = Seq(("A", d("2024-03-30"), 20L), ("A", d("2024-03-31"), 10L))
+    val ckpt = tmpDir("decay-ckpt")
+
+    val mem = MemoryStream[(String, java.sql.Date, Long)]
+    // the memory sink refuses checkpoint recovery; foreachBatch supports
+    // it and appends each emission to a driver-side buffer
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Double)]()
+    def start() = StatefulOps.streamingHalfLifeFeature(
+        mem.toDF.toDF("key", "day", "v"), halfLifeDays = 2, kCap = 3)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StatefulOps.DecayedFeature],
+          _: Long) =>
+        df.collect().foreach(f => emitted.add(
+          (f.n_live, f.w_sum, f.decayed_sum, f.decayed_mean.getOrElse(Double.NaN))))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+
+    val q1 = start()
+    try { mem.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start() // NEW query instance, same checkpoint
+    try { mem.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+
+    val all = emitted.toArray(Array.empty[(Long, Long, Long, Double)])
+    assert(all.nonEmpty)
+    val last = all.last
+    // one-shot truth over b1 ++ b2 = the batch law at the key frontier;
+    // state lost across the restart would undercount all four numbers
+    val batch = graft.operators.Decay.halfLifeRollup(
+      (b1 ++ b2).toDF("key", "day", "v"), Seq("key"), "day", "v",
+      halfLifeDays = 2, kCap = 3).collect().head
+    assert(last._1 == batch.getLong(2), "n_live")
+    assert(last._2 == batch.getLong(3), "w_sum")
+    assert(last._3 == batch.getLong(4), "decayed_sum")
+    assert(last._4 == batch.getDouble(5), "decayed_mean")
+  }
+
   test("bus -> drift monitor end-to-end: the shifted key alarms, the steady key stays at zero") {
     // the S8 topic bus feeding the DRIFT1s alarm — the live deployment
     // shape: tokens arrive as bus records (key = source, value = token),
