@@ -75,6 +75,18 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("graft_gram_hashes is SQL-reachable and matches the kernel") {
+    graft.GraftExtensions.activate(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_gram_hashes('a b c', 2) AS hs").head().getSeq[Long](0)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val viaApi = Seq("a b c").toDF("t")
+      .select(Bridge.column(graft.functions.expressions.WordGramHashes(
+        Bridge.expression(col("t")), 2)).as("hs"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.length == 2)
+  }
+
   test("partitioning invariance") {
     val a = SpanDedup.spanReport(docs, "doc_id", "text", k = 3)
       .orderBy("doc_id").collect().toSeq
