@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale measurement for C2's DISTRIBUTED min-label propagation path
+ * (`Curation.nearDupClusters` above the driver union-find bound): rounds,
+ * wall time, and exactness at millions of edges — the regime a 100 TB
+ * near-dup pass actually lands in.
+ *
+ * The graph has a KNOWN component structure so correctness is checked in
+ * closed form: nodes 0..n−1 are partitioned into rings of `ringSize`
+ * (node i connects to its ring neighbor), plus every ring gets one chord
+ * to keep diameters at ringSize/2 — each component's true label is its
+ * minimum node id = ring index × ringSize. Diameter controls the round
+ * count, so ringSize is the convergence dial: the documented law is
+ * O(diameter) rounds at one hop per round.
+ *
+ * Usage: runMain graft.tools.ClusterScaleStress [nEdges ringSize ...]
+ *        (default: 5000000 8 — 5M edges of shallow components, the
+ *        near-dup shape; and 1000000 64 — deeper components stressing
+ *        the round count)
+ */
+object ClusterScaleStress {
+  def main(args: Array[String]): Unit = {
+    val cases: Seq[(Long, Int)] =
+      if (args.nonEmpty) args.grouped(2).map(a => (a(0).toLong, a(1).toInt)).toSeq
+      else Seq((5000000L, 8), (1000000L, 64))
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.activate(spark)
+
+    cases.foreach { case (nEdges, ringSize) =>
+      val n = nEdges // ring edges ~= node count (one edge per node)
+      // ring edges: i -- (i+1 within ring); component = i DIV ringSize
+      val edges = spark.range(n).select(
+          col("id").as("id_a"),
+          when((col("id") + 1) % ringSize === 0, col("id") + 1 - ringSize)
+            .otherwise(col("id") + 1).as("id_b"))
+        .where(col("id_a") =!= col("id_b"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val labels = graft.operators.Curation.nearDupClusters(
+          edges, maxIter = ringSize, // diameter bound
+          driverMaxEdges = 0L)       // force the DISTRIBUTED path
+        .localCheckpoint(true)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // closed-form truth: label(node) = (node DIV ringSize) * ringSize
+      val wrong = labels.where(
+        col("cluster_id") =!= expr(s"(id DIV $ringSize) * $ringSize")).count()
+      val nLabels = labels.count()
+      println(f"[cluster-stress] edges=$n ringSize=$ringSize (diameter=${ringSize / 2}) " +
+        f"nodes=$nLabels wall=$secs%.1f s wrongLabels=$wrong " +
+        f"${if (wrong == 0) "EXACT" else "BROKEN"}")
+    }
+    spark.stop()
+  }
+}
