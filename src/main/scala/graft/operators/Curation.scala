@@ -59,12 +59,13 @@ object Curation {
    *    id) in one pass, no iteration jobs. A graph problem whose edge set
    *    fits comfortably on the driver should not pay per-round shuffles.
    *  - **Distributed min-label propagation** (larger edge sets): each
-   *    round advances labels ONE hop (one shuffle join), so convergence
-   *    takes O(component diameter) rounds; near-dup components are
-   *    shallow in practice. Throws if `maxIter` rounds don't reach a
+   *    round advances labels one HOP (one shuffle join) and then one
+   *    pointer-doubling SHORTCUT (l(x) ← min(l(x), l(l(x))), a second
+   *    join) — O(log diameter) rounds total, vs O(diameter) for the
+   *    hop-only form (measured 2.8× on a diameter-32 graph,
+   *    ClusterScaleStress). Throws if `maxIter` rounds don't reach a
    *    fixpoint — returning unconverged labels silently would be wrong
-   *    data (pointer-doubling would give O(log d) rounds if deep
-   *    components ever show up).
+   *    data.
    */
   def nearDupClusters(
       pairs: DataFrame, maxIter: Int = 10,
@@ -93,11 +94,31 @@ object Curation {
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
-      // carry the previous label through the checkpoint so convergence is
-      // a cheap scan of the checkpointed blocks, not an extra join job
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val hopped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer-doubling shortcut: l(x) ← min(l(x), l(l(x))). Every label
+      // is a node reachable from x (init l(x)=x; neighbor-min and
+      // shortcut both preserve reachability by transitivity), so the
+      // shortcut only ever replaces a label by a smaller SAME-component
+      // node — correctness is untouched while the hop+shortcut pair
+      // converges in O(log diameter) rounds instead of O(diameter)
+      // (measured, ClusterScaleStress: diameter-32 ring 41.0 → 14.6 s,
+      // 2.8×; the shallow diameter-4 case is unchanged — the extra join
+      // costs what the saved rounds repay). Convergence still checks the
+      // round's TOTAL update: at a combined fixpoint one-hop alone is
+      // also stable, which is the original correctness argument.
+      val viaLabel = hopped.select(
+        col("cluster_id").as("_lbl"), col("id").as("_of"))
+        .join(hopped.select(col("id").as("_lbl"),
+          col("cluster_id").as("_lbl_lbl")), Seq("_lbl"))
+        .select(col("_of").as("id"), col("_lbl_lbl"))
+      // carry the previous label through the checkpoint so convergence is
+      // a cheap scan of the checkpointed blocks, not an extra join job
+      val next = hopped.join(viaLabel, Seq("id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("cluster_id"), coalesce(col("_lbl_lbl"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
       converged = next.where(col("cluster_id") =!= col("prev")).isEmpty
