@@ -2579,6 +2579,32 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("corpus_id"))
     }),
+
+    // Q164 — D14 perceptual image dedup census: every doc carries the
+    // image of seed doc_id % 40 (planted duplicate classes), images are
+    // REAL PNGs decoded back, and the average-hash over decoded pixels
+    // buckets them — docs per perceptual hash, classes per hash (two
+    // seeds colliding = a perceptual near-dup bucket). The image
+    // modality's dedup key; only 8-byte hashes ever shuffle.
+    "q164_image_ahash_dedup" -> ((s, dir) => {
+      implicit val sp = s
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(40L)).as("seed"))
+      val seeds = docs.select(col("seed")).distinct()
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[java.lang.Long]
+      val hashes = Multimodal.imageAHash(Multimodal.encodePng(seeds)).toDF()
+        .where(col("decode_ok"))
+        .select(col("media_id").as("seed"), col("ahash"))
+      docs.join(hashes, "seed")
+        .groupBy(col("ahash"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("seed")).as("n_classes"),
+          min(col("seed")).as("min_seed"))
+        .orderBy(col("ahash"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5142,6 +5168,28 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY corpus_id ORDER BY sim DESC, bench_id) AS rn
           |  FROM p2 WHERE sim >= 0.35)
           |SELECT corpus_id, bench_id, sim FROM fl WHERE rn = 1 ORDER BY corpus_id""".stripMargin,
+
+      // replays the pattern law arithmetically: gray = (r+g+b) DIV 3,
+      // mean = Σ DIV 64, bit (y·8+x) iff gray > mean — only a genuine
+      // PNG decode reproduces the same hashes on the Spark side
+      "q164_image_ahash_dedup" ->
+        """WITH seeds AS (SELECT DISTINCT doc_id % 40 AS seed FROM documents),
+          |px AS (SELECT x.r AS x, y.r AS y FROM range(8) x(r) CROSS JOIN range(8) y(r)),
+          |g AS (SELECT s.seed, px.x, px.y,
+          |    (((s.seed*31 + px.x*7 + px.y*13) % 256)
+          |     + ((s.seed*31 + px.x*7 + px.y*13 + 97) % 256)
+          |     + ((s.seed*31 + px.x*7 + px.y*13 + 194) % 256)) // 3 AS gray
+          |  FROM seeds s CROSS JOIN px),
+          |m AS (SELECT seed, CAST(sum(gray) AS BIGINT) // 64 AS mean FROM g GROUP BY 1),
+          |h AS (SELECT g.seed,
+          |    CAST(bit_or(CASE WHEN g.gray > m.mean AND g.y * 8 + g.x < 63
+          |      THEN 1::BIGINT << CAST(g.y * 8 + g.x AS INT) ELSE 0::BIGINT END) AS BIGINT) AS ahash
+          |  FROM g JOIN m USING (seed) GROUP BY g.seed),
+          |d AS (SELECT doc_id, doc_id % 40 AS seed FROM documents)
+          |SELECT h.ahash, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT d.seed) AS BIGINT) AS n_classes,
+          |  CAST(min(d.seed) AS BIGINT) AS min_seed
+          |FROM d JOIN h USING (seed) GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -195,6 +195,69 @@ object Multimodal {
     }
   }
 
+  final case class ImageHash(media_id: Long, decode_ok: Boolean, ahash: Long)
+
+  /**
+   * Perceptual average-hash over REAL decoded pixels (D14 — the image
+   * modality's dedup key, the role the 60-bit text hash plays for
+   * documents): gray(x,y) = (r+g+b) DIV 3, mean = Σgray DIV (w·h), bit
+   * (y·w + x) set iff gray > mean — the classic aHash, stable under
+   * small pixel perturbations (a bit only flips when a pixel crosses the
+   * image mean), which is what makes equality-on-hash a NEAR-duplicate
+   * bucket rather than an exact-bytes one. All arithmetic is integer
+   * (truncating DIVs), so the DuckDB oracle replays the hash from the
+   * pattern law while Spark computes it from a genuine PNG decode —
+   * agreement proves the real codec path end-to-end.
+   *
+   * Scale posture: one decode pass per image inside mapPartitions; the
+   * census downstream groups 8-byte hashes — image bytes never shuffle.
+   * Undecodable payloads report decode_ok = false with hash 0.
+   */
+  def imageAHash(media: Dataset[PngRow])(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      disableImageIoFileCache()
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) ImageHash(r.media_id, decode_ok = false, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val gray = new Array[Int](w * h)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              gray(y * w + x) = g
+              sum += g
+              x += 1
+            }
+            y += 1
+          }
+          val mean = sum / (w * h)
+          var hash = 0L
+          var i = 0
+          // 63 bits, not 64: bit 63 would need 1<<63, which integer-
+          // overflow-checking engines (DuckDB) refuse — one pixel of
+          // discrimination is noise next to keeping the hash a plain
+          // signed BIGINT on every engine
+          val n = math.min(w * h, 63)
+          while (i < n) {
+            if (gray(i) > mean) hash |= 1L << i
+            i += 1
+          }
+          ImageHash(r.media_id, decode_ok = true, hash)
+        }
+      }
+    }
+  }
+
   /**
    * REAL image RESIZE: decode the payload, nearest-neighbor downscale by
    * an integer `factor` (destination pixel (x,y) samples source pixel

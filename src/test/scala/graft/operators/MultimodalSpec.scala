@@ -91,6 +91,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(100L).width == 0 && out(100L).sum_r == 0L)
   }
 
+  test("imageAHash: real-decode hashes match the driver law; stable under sub-mean perturbation") {
+    implicit val s = spark
+    import Multimodal.PngRow
+    val ids = spark.range(0L, 40L).as[java.lang.Long]
+    val hashes = Multimodal.imageAHash(Multimodal.encodePng(ids)).collect()
+      .map(h => h.media_id -> h).toMap
+    // driver replay of the aHash law from the pattern
+    def want(id: Long): Long = {
+      val gray = for (y <- 0 until 8; x <- 0 until 8)
+        yield (0 to 2).map(c => Multimodal.patternValue(id, x, y, c)).sum / 3
+      val mean = gray.map(_.toLong).sum / 64
+      gray.take(63).zipWithIndex
+        .collect { case (g, i) if g > mean => 1L << i }
+        .foldLeft(0L)(_ | _)
+    }
+    (0L until 40L).foreach { id =>
+      assert(hashes(id).decode_ok && hashes(id).ahash == want(id), s"id $id")
+    }
+    // perturbation stability: bump one pixel by 1 where it does not cross
+    // the image mean -> identical hash (the NEAR-dup property exact-byte
+    // hashing lacks). Pixel (0,0) of id 0: gray moves by <=1; assert the
+    // bit decision is unchanged before relying on it.
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(
+        Multimodal.encodePng(spark.range(0L, 1L).as[java.lang.Long])
+          .head().payload))
+    val rgb0 = img.getRGB(0, 0)
+    val g0 = (((rgb0 >> 16) & 0xff) + ((rgb0 >> 8) & 0xff) + (rgb0 & 0xff)) / 3
+    val grays = for (y <- 0 until 8; x <- 0 until 8) yield {
+      val p = img.getRGB(x, y)
+      (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+    }
+    val mean0 = grays.map(_.toLong).sum / 64
+    assume(math.abs(g0 - mean0) > 2, "fixture pixel too close to the mean")
+    img.setRGB(0, 0, rgb0 + 0x010101) // +1 per channel
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val perturbed = Multimodal.imageAHash(
+      spark.createDataset(Seq(PngRow(0L, out.toByteArray)))).head()
+    assert(perturbed.decode_ok && perturbed.ahash == hashes(0L).ahash,
+      "a sub-mean-crossing perturbation must not move the hash")
+    // undecodable -> flagged, hash 0
+    val badHash = Multimodal.imageAHash(
+      spark.createDataset(Seq(PngRow(9L, Array[Byte](1, 2, 3))))).head()
+    assert(!badHash.decode_ok && badHash.ahash == 0L)
+  }
+
   test("REAL png resize: decode → ×2 nearest-neighbor sample → re-encode, even-pixel sums exact") {
     implicit val s = spark
     val ids = spark.range(0L, 20L).as[java.lang.Long]
