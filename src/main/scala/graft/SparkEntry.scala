@@ -2605,6 +2605,33 @@ object SparkEntry {
           min(col("seed")).as("min_seed"))
         .orderBy(col("ahash"))
     }),
+
+    // Q165 — D15 audio fingerprint dedup census: chirp-family clips
+    // (id-dependent wrap position → genuinely different energy contours)
+    // decoded from REAL RIFF/PCM, fingerprinted by the frame-energy
+    // contour (bit f ⇔ E_{f+1} > E_f — gain-invariant, the Shazam-class
+    // opening move), bucketed — 13 contour buckets over 40 planted
+    // classes at sf0.01, collisions = near-identical contours.
+    "q165_audio_fingerprint_dedup" -> ((s, dir) => {
+      implicit val sp = s
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(40L)).as("seed"))
+      val seeds = docs.select(col("seed")).distinct()
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[java.lang.Long]
+      val fps = Multimodal.audioFingerprint(
+          Multimodal.encodeWavChirp(seeds), frameLen = 4).toDF()
+        .where(col("decode_ok"))
+        .select(col("media_id").as("seed"), col("fingerprint"))
+      docs.join(fps, "seed")
+        .groupBy(col("fingerprint"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("seed")).as("n_classes"),
+          min(col("seed")).as("min_seed"))
+        .orderBy(col("fingerprint"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5190,6 +5217,26 @@ object SparkEntry {
           |  CAST(count(DISTINCT d.seed) AS BIGINT) AS n_classes,
           |  CAST(min(d.seed) AS BIGINT) AS min_seed
           |FROM d JOIN h USING (seed) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // replays the chirp law + frame-energy contour arithmetically —
+      // only a genuine RIFF/PCM decode reproduces it on the Spark side
+      "q165_audio_fingerprint_dedup" ->
+        """WITH seeds AS (SELECT DISTINCT doc_id % 40 AS seed FROM documents),
+          |sm AS (SELECT s.seed, i.r AS i,
+          |    ((s.seed * 2654435761 + 3 * i.r * i.r + 13) % 65536) - 32768 AS v
+          |  FROM seeds s CROSS JOIN range(64) i(r)),
+          |fe AS (SELECT seed, i // 4 AS f, CAST(sum(abs(v)) AS BIGINT) AS e
+          |  FROM sm GROUP BY 1, 2),
+          |fp AS (SELECT a.seed,
+          |    CAST(bit_or(CASE WHEN b.e > a.e
+          |      THEN 1::BIGINT << CAST(a.f AS INT) ELSE 0::BIGINT END) AS BIGINT) AS fingerprint
+          |  FROM fe a JOIN fe b ON a.seed = b.seed AND b.f = a.f + 1
+          |  GROUP BY a.seed),
+          |d AS (SELECT doc_id, doc_id % 40 AS seed FROM documents)
+          |SELECT fp.fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT d.seed) AS BIGINT) AS n_classes,
+          |  CAST(min(d.seed) AS BIGINT) AS min_seed
+          |FROM d JOIN fp USING (seed) GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -473,6 +473,109 @@ object Multimodal {
       .iterator().asScala.toSeq
   }
 
+  /** Chirp-family test clip: sample i of clip `id` =
+   *  ((id·2654435761 + 3·i² + 13) mod 65536) − 32768 — the quadratic
+   *  phase plus a Knuth-spread id offset puts the 16-bit wraparound at
+   *  an id-dependent position INSIDE the 64-sample clip, so energy
+   *  contours genuinely differ per clip (the linear wavSample ramp is
+   *  contour-degenerate: |v| is monotone for every small id, which is
+   *  the right fixture for sum/peak laws but useless for fingerprints). */
+  def chirpSample(id: Long, i: Int): Int =
+    ((((id * 2654435761L + 3L * i * i + 13) % 65536) + 65536) % 65536).toInt - 32768
+
+  /** Distributed WAV ENCODE of the chirp family (same RIFF/PCM shape as
+   *  [[encodeWav]], different signal law). */
+  def encodeWavChirp(ids: Dataset[java.lang.Long])(
+      implicit spark: SparkSession): Dataset[WavRow] = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        WavRate.toFloat, 16, 1, true, false)
+      val writer = wavWriter()
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val pcm = new Array[Byte](WavSamples * 2)
+        var i = 0
+        while (i < WavSamples) {
+          val v = chirpSample(id, i)
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        WavRow(id, out.toByteArray)
+      }
+    }
+  }
+
+  final case class AudioFingerprint(
+      media_id: Long, decode_ok: Boolean, n_frames: Long, fingerprint: Long)
+
+  /**
+   * Audio fingerprint over REAL decoded PCM (D15 — the audio modality's
+   * dedup key, completing the text-hash / image-aHash family): the clip
+   * is cut into `frameLen`-sample frames, each frame's energy is the
+   * exact integer Σ|sample|, and bit f of the fingerprint is set iff
+   * E_{f+1} > E_f — the energy-CONTOUR signature (the opening move of
+   * Shazam-class fingerprints), invariant to constant gain scaling and
+   * DC-free offsets, so equality buckets re-encodes of the same signal.
+   * All arithmetic is integer; the DuckDB oracle replays the contour
+   * from the synthesis law while Spark computes it from a genuine
+   * RIFF/PCM decode — agreement proves the codec path.
+   *
+   * Scale posture: one decode pass per clip in mapPartitions (SPIs
+   * resolved once per partition, not through AudioSystem's global
+   * lock); downstream census groups 8-byte fingerprints — audio bytes
+   * never shuffle. Undecodable payloads flag decode_ok = false.
+   */
+  def audioFingerprint(media: Dataset[WavRow], frameLen: Int = 4)(
+      implicit spark: SparkSession): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    require(frameLen >= 1, "frameLen >= 1")
+    media.mapPartitions { rows =>
+      val readers = wavReaders()
+      def openAudio(payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+        readers.iterator.flatMap { rd =>
+          try Some(rd.getAudioInputStream(new java.io.ByteArrayInputStream(payload)))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          }
+        }.nextOption().getOrElse(
+          throw new javax.sound.sampled.UnsupportedAudioFileException("no SPI matched"))
+      rows.map { r =>
+        try {
+          val ais = openAudio(r.payload)
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unsupported PCM shape: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val nFrames = n / frameLen // trailing partial frame dropped
+          val energy = new Array[Long](nFrames)
+          var i = 0
+          while (i < nFrames * frameLen) {
+            val v = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            energy(i / frameLen) += math.abs(v).toLong
+            i += 1
+          }
+          var fp = 0L
+          var f = 0
+          val bits = math.min(nFrames - 1, 63)
+          while (f < bits) {
+            if (energy(f + 1) > energy(f)) fp |= 1L << f
+            f += 1
+          }
+          AudioFingerprint(r.media_id, decode_ok = true, nFrames.toLong, fp)
+        } catch {
+          case _: Exception => AudioFingerprint(r.media_id, decode_ok = false, 0L, 0L)
+        }
+      }
+    }
+  }
+
   def encodeWav(ids: Dataset[java.lang.Long])(implicit spark: SparkSession): Dataset[WavRow] = {
     import spark.implicits._
     ids.mapPartitions { it =>

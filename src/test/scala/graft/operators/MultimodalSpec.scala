@@ -160,6 +160,49 @@ class MultimodalSpec extends SparkSpec {
     assert(badStats.length == 1 && !badStats.head.decode_ok)
   }
 
+  test("audioFingerprint: real-decode contours match the driver law; gain-invariant; bad payload flagged") {
+    implicit val s = spark
+    import Multimodal.WavRow
+    val ids = spark.range(0L, 40L).as[java.lang.Long]
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.encodeWavChirp(ids), frameLen = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    def want(id: Long): Long = {
+      val e = (0 until 16).map(f =>
+        (0 until 4).map(j => math.abs(Multimodal.chirpSample(id, f * 4 + j)).toLong).sum)
+      (0 until 15).collect { case f if e(f + 1) > e(f) => 1L << f }.foldLeft(0L)(_ | _)
+    }
+    (0L until 40L).foreach { id =>
+      assert(fps(id).decode_ok && fps(id).n_frames == 16 && fps(id).fingerprint == want(id), s"id $id")
+    }
+    // the planted family has real contour collisions (near-identical
+    // contours bucket together) but is not degenerate
+    val distinct = fps.values.map(_.fingerprint).toSet.size
+    assert(distinct > 1 && distinct < 40, s"expected a non-trivial census, got $distinct buckets")
+    // gain invariance: halving every sample scales all frame energies
+    // uniformly -> identical contour bits (the property that makes the
+    // fingerprint a dedup key across re-encodes at different volume)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](64 * 2)
+    (0 until 64).foreach { i =>
+      val v = Multimodal.chirpSample(3L, i) / 2
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 64L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val halved = Multimodal.audioFingerprint(
+      spark.createDataset(Seq(WavRow(3L, out.toByteArray)))).head()
+    assert(halved.decode_ok && halved.fingerprint == fps(3L).fingerprint,
+      "uniform gain change must not move the contour fingerprint")
+    val bad = Multimodal.audioFingerprint(
+      spark.createDataset(Seq(WavRow(9L, Array[Byte](1, 2, 3))))).head()
+    assert(!bad.decode_ok && bad.fingerprint == 0L)
+  }
+
   test("REAL wav decode: javax.sound round-trip reproduces the signal sums exactly") {
     implicit val s = spark
     val ids = spark.range(0L, 40L).as[java.lang.Long]
