@@ -2681,7 +2681,9 @@ object SparkEntry {
   private def bpeFertilityOracleSql(nMerges: Int): String = {
     val tokSql = bpeTokenizeOracleSql(nMerges)
     // keep everything through the `tok` stage; replace the per-doc tail
-    val ctes = tokSql.substring(0, tokSql.indexOf("dw AS"))
+    val cut = tokSql.indexOf("dw AS")
+    require(cut > 0, "q138 oracle shape changed — update the q158 CTE surgery")
+    val ctes = tokSql.substring(0, cut)
     s"""${ctes}dw AS (SELECT doc_id, source, n_chars,
        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
        |agg AS (SELECT doc_id, any_value(source) AS source, any_value(n_chars) AS n_chars,
