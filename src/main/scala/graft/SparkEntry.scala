@@ -2632,6 +2632,31 @@ object SparkEntry {
           min(col("seed")).as("min_seed"))
         .orderBy(col("fingerprint"))
     }),
+
+    // Q166 — D16 video signature dedup census: real multi-frame GIF
+    // decodes signed by keyframe-aHash (spatial, bits 0–59) + temporal
+    // luma contour (motion direction, bits 60–62) — the keyframe+motion
+    // composition, closing the per-modality dedup-key family
+    // (text / image / audio / video).
+    "q166_video_signature_dedup" -> ((s, dir) => {
+      implicit val sp = s
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(40L)).as("seed"))
+      val seeds = docs.select(col("seed")).distinct()
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[java.lang.Long]
+      val sigs = Multimodal.videoSignature(Multimodal.encodeGif(seeds)).toDF()
+        .where(col("decode_ok"))
+        .select(col("media_id").as("seed"), col("signature"))
+      docs.join(sigs, "seed")
+        .groupBy(col("signature"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("seed")).as("n_classes"),
+          min(col("seed")).as("min_seed"))
+        .orderBy(col("signature"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5239,6 +5264,38 @@ object SparkEntry {
           |  CAST(count(DISTINCT d.seed) AS BIGINT) AS n_classes,
           |  CAST(min(d.seed) AS BIGINT) AS min_seed
           |FROM d JOIN fp USING (seed) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // keyframe aHash + temporal contour replayed from the frame-pattern
+      // law — GIF's palette is lossless at <=256 colors/frame, so only a
+      // genuine multi-frame decode reproduces both parts
+      "q166_video_signature_dedup" ->
+        """WITH seeds AS (SELECT DISTINCT doc_id % 40 AS seed FROM documents),
+          |px AS (SELECT x.r AS x, y.r AS y FROM range(8) x(r) CROSS JOIN range(8) y(r)),
+          |g0 AS (SELECT s.seed, px.x, px.y,
+          |    (((s.seed*31 + px.x*7 + px.y*13) % 256)
+          |     + ((s.seed*31 + px.x*7 + px.y*13 + 97) % 256)
+          |     + ((s.seed*31 + px.x*7 + px.y*13 + 194) % 256)) // 3 AS gray
+          |  FROM seeds s CROSS JOIN px),
+          |m AS (SELECT seed, CAST(sum(gray) AS BIGINT) // 64 AS mean FROM g0 GROUP BY 1),
+          |ky AS (SELECT g0.seed,
+          |    CAST(bit_or(CASE WHEN g0.gray > m.mean AND g0.y * 8 + g0.x < 60
+          |      THEN 1::BIGINT << CAST(g0.y * 8 + g0.x AS INT) ELSE 0::BIGINT END) AS BIGINT) AS k
+          |  FROM g0 JOIN m USING (seed) GROUP BY g0.seed),
+          |fr AS (SELECT s.seed, f.r AS f, CAST(sum(
+          |    (((s.seed*31 + px.x*7 + px.y*13 + f.r*41) % 256)
+          |     + ((s.seed*31 + px.x*7 + px.y*13 + 97 + f.r*41) % 256)
+          |     + ((s.seed*31 + px.x*7 + px.y*13 + 194 + f.r*41) % 256)) // 3) AS BIGINT) AS fs
+          |  FROM seeds s CROSS JOIN px CROSS JOIN range(4) f(r) GROUP BY 1, 2),
+          |tc AS (SELECT a.seed,
+          |    CAST(bit_or(CASE WHEN b.fs > a.fs
+          |      THEN 1::BIGINT << CAST(60 + a.f AS INT) ELSE 0::BIGINT END) AS BIGINT) AS t
+          |  FROM fr a JOIN fr b ON a.seed = b.seed AND b.f = a.f + 1 GROUP BY a.seed),
+          |sig AS (SELECT ky.seed, ky.k | tc.t AS signature FROM ky JOIN tc USING (seed)),
+          |d AS (SELECT doc_id, doc_id % 40 AS seed FROM documents)
+          |SELECT sig.signature, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT d.seed) AS BIGINT) AS n_classes,
+          |  CAST(min(d.seed) AS BIGINT) AS min_seed
+          |FROM d JOIN sig USING (seed) GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

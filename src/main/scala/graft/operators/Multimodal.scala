@@ -429,6 +429,103 @@ object Multimodal {
     }
   }
 
+  final case class VideoSignature(
+      media_id: Long, decode_ok: Boolean, n_frames: Long, signature: Long)
+
+  /**
+   * Video signature over a REAL multi-frame decode (D16 — the video
+   * modality's dedup key, closing the per-modality family): the standard
+   * keyframe + motion composition —
+   *   bits 0..59: the first frame's average-hash (first 60 pixels of the
+   *               [[imageAHash]] law — the spatial keyframe signature);
+   *   bits 60..62: the temporal luma contour (bit 60+f set iff frame
+   *               f+1's gray sum > frame f's — the motion direction
+   *               signature, gain-invariant like D15's).
+   * Top bit stays clear, so the signature is a plain positive BIGINT on
+   * every engine. Exact integer arithmetic throughout; GIF's palette is
+   * lossless for ≤256-color frames, so the DuckDB oracle replays both
+   * parts from the frame-pattern law while Spark walks genuine decoded
+   * frames.
+   *
+   * Scale posture: one decode pass per clip in mapPartitions (reader
+   * reused per partition); the census downstream groups 8-byte
+   * signatures — video bytes never shuffle.
+   */
+  def videoSignature(media: Dataset[GifRow])(
+      implicit spark: SparkSession): Dataset[VideoSignature] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      disableImageIoFileCache()
+      val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+      rows.map { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          require(n > 0, "no frames")
+          val frameSum = new Array[Long](n)
+          var key = 0L
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            val w = img.getWidth
+            val h = img.getHeight
+            if (f == 0) {
+              // keyframe aHash: gray, mean, first 60 pixel bits
+              val gray = new Array[Int](w * h)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                  gray(y * w + x) = g
+                  sum += g
+                  x += 1
+                }
+                y += 1
+              }
+              frameSum(0) = sum
+              val mean = sum / (w * h)
+              var i = 0
+              val bits = math.min(w * h, 60)
+              while (i < bits) {
+                if (gray(i) > mean) key |= 1L << i
+                i += 1
+              }
+            } else {
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                  x += 1
+                }
+                y += 1
+              }
+              frameSum(f) = sum
+            }
+            f += 1
+          }
+          var sig = key
+          var t = 0
+          val tBits = math.min(n - 1, 3)
+          while (t < tBits) {
+            if (frameSum(t + 1) > frameSum(t)) sig |= 1L << (60 + t)
+            t += 1
+          }
+          VideoSignature(r.media_id, decode_ok = true, n.toLong, sig)
+        } catch {
+          case _: Exception => VideoSignature(r.media_id, decode_ok = false, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /** A real encoded audio clip: WAV (RIFF/PCM) bytes + the seeding id. */
   final case class WavRow(media_id: Long, payload: Array[Byte])
 

@@ -244,6 +244,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out(100L).n_samples == 0L && out(100L).sum_pcm == 0L)
   }
 
+  test("videoSignature: keyframe aHash + temporal contour match the driver law; bad payload flagged") {
+    implicit val s = spark
+    import Multimodal.GifRow
+    val ids = spark.range(0L, 40L).as[java.lang.Long]
+    val sigs = Multimodal.videoSignature(Multimodal.encodeGif(ids)).collect()
+      .map(v => v.media_id -> v).toMap
+    def want(id: Long): Long = {
+      def gray(x: Int, y: Int, f: Int): Int =
+        (0 to 2).map(c => Multimodal.framePatternValue(id, x, y, c, f)).sum / 3
+      val g0 = for (y <- 0 until 8; x <- 0 until 8) yield gray(x, y, 0)
+      val mean = g0.map(_.toLong).sum / 64
+      val key = g0.take(60).zipWithIndex
+        .collect { case (g, i) if g > mean => 1L << i }.foldLeft(0L)(_ | _)
+      val fs = (0 until 4).map(f =>
+        (for (y <- 0 until 8; x <- 0 until 8) yield gray(x, y, f).toLong).sum)
+      val tc = (0 until 3).collect { case f if fs(f + 1) > fs(f) => 1L << (60 + f) }
+        .foldLeft(0L)(_ | _)
+      key | tc
+    }
+    (0L until 40L).foreach { id =>
+      assert(sigs(id).decode_ok && sigs(id).n_frames == 4 &&
+        sigs(id).signature == want(id), s"id $id")
+    }
+    val distinct = sigs.values.map(_.signature).toSet.size
+    assert(distinct > 1 && distinct <= 40)
+    val bad = Multimodal.videoSignature(
+      spark.createDataset(Seq(GifRow(9L, Array[Byte](1, 2, 3))))).head()
+    assert(!bad.decode_ok && bad.signature == 0L)
+  }
+
   test("REAL gif video decode: frame walk + sampling reproduces the pattern sums exactly") {
     implicit val s = spark
     val ids = spark.range(0L, 40L).as[java.lang.Long]
