@@ -2657,6 +2657,22 @@ object SparkEntry {
           min(col("seed")).as("min_seed"))
         .orderBy(col("signature"))
     }),
+
+    // Q167 — P4 l-diversity audit: k-anonymity's blind spot. QI =
+    // (day, value band) — an adversary who knows when and roughly how
+    // much — sensitive = event_type. A QI group homogeneous in
+    // event_type discloses the action with certainty no matter how many
+    // subjects it holds; homogeneity_ppm is the plurality-guess success
+    // rate as an exact rational. Pairs with q162's subject-count census.
+    "q167_l_diversity" -> ((s, dir) =>
+      graft.operators.Pii.lDiversityAudit(
+          t(s, dir, "events").select(
+            to_date(col("ts")).as("day"),
+            floor(col("value") / 50).cast("long").as("value_band"),
+            col("event_type")),
+          quasiIdCols = Seq("day", "value_band"),
+          sensitiveCol = "event_type")
+        .orderBy(col("diversity_bucket"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5296,6 +5312,27 @@ object SparkEntry {
           |  CAST(count(DISTINCT d.seed) AS BIGINT) AS n_classes,
           |  CAST(min(d.seed) AS BIGINT) AS min_seed
           |FROM d JOIN sig USING (seed) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // two chained integer aggregates then the 4-row bucket rollup;
+      // homogeneity as exact rational ppm (no IEEE division)
+      "q167_l_diversity" ->
+        """WITH c AS (SELECT ts::DATE AS day,
+          |    CAST(floor(value / 50) AS BIGINT) AS value_band, event_type,
+          |    count(*) AS cnt
+          |  FROM events GROUP BY 1, 2, 3),
+          |g AS (SELECT day, value_band, count(*) AS l_distinct,
+          |    sum(cnt) AS n_rows, max(cnt) AS top_cnt
+          |  FROM c GROUP BY 1, 2),
+          |b AS (SELECT CASE WHEN l_distinct = 1 THEN '1_homogeneous'
+          |                  WHEN l_distinct = 2 THEN '2_low'
+          |                  WHEN l_distinct <= 4 THEN '3_medium'
+          |                  ELSE '4_diverse' END AS diversity_bucket,
+          |             n_rows, top_cnt * 1000000 // n_rows AS homogeneity_ppm
+          |      FROM g)
+          |SELECT diversity_bucket, CAST(count(*) AS BIGINT) AS n_groups,
+          |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+          |  CAST(max(homogeneity_ppm) AS BIGINT) AS max_homogeneity_ppm
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -90,6 +90,57 @@ object Pii {
         sum(col("n_rows")).as("n_rows"))
   }
 
+  /**
+   * l-diversity audit (P4) — k-anonymity's blind spot, measured: a group
+   * can hold 50 distinct subjects (k-anonymous) yet be HOMOGENEOUS in the
+   * sensitive attribute, so linking anyone into the group discloses the
+   * attribute with certainty (Machanavajjhala's homogeneity attack;
+   * "l-Diversity: Privacy Beyond k-Anonymity", ICDE 2006). Group rows by
+   * the quasi-identifier combination and measure the sensitive-value
+   * distribution inside each group:
+   *   l_distinct       = distinct sensitive values (distinct-l)
+   *   homogeneity_ppm  = top_cnt·10⁶ DIV n_rows — the adversary's
+   *                      plurality-guess success rate, exact rational
+   * bucketed as 1 / 2 / 3..4 / 5+ distinct values (bucket "1" is the
+   * certain-disclosure worklist). Output one census row per bucket:
+   *   (diversity_bucket, n_groups, n_rows, max_homogeneity_ppm)
+   *
+   * Distinct-l is deliberately the reported notion (entropy-l needs
+   * transcendental logs — not bit-stable across engines); homogeneity_ppm
+   * carries the same signal exactly (entropy-l low ⇔ homogeneity high).
+   *
+   * Exact integers throughout. Two chained aggregates — (QI, sensitive)
+   * then QI — share one hash partitioning (the second is a prefix of the
+   * first's keys, Catalyst reuses the exchange), then a ≤4-row rollup.
+   * At 100 TB this is one shuffle of small count rows; nothing pairwise.
+   */
+  def lDiversityAudit(
+      df: DataFrame, quasiIdCols: Seq[String], sensitiveCol: String): DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiIdCols.contains(sensitiveCol),
+      "sensitive attribute cannot also be a quasi-identifier")
+    val cells = df
+      .groupBy((quasiIdCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    cells
+      .groupBy(quasiIdCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("l_distinct"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("top_cnt"))
+      .withColumn("homogeneity_ppm", expr("top_cnt * 1000000 DIV n_rows"))
+      .withColumn("diversity_bucket",
+        when(col("l_distinct") === 1, "1_homogeneous")
+          .when(col("l_distinct") === 2, "2_low")
+          .when(col("l_distinct") <= 4, "3_medium")
+          .otherwise("4_diverse"))
+      .groupBy(col("diversity_bucket"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("n_rows")).as("n_rows"),
+        max(col("homogeneity_ppm")).as("max_homogeneity_ppm"))
+  }
+
   /** Drop documents containing any PII (the conservative policy). */
   def dropPii(docs: DataFrame, textCol: String): DataFrame = {
     val marked = withPiiMetrics(docs, textCol)

@@ -78,4 +78,33 @@ class PiiSpec extends SparkSpec {
       ("3_medium", 1L, 5L, 5L),
       ("4_anonymous", 1L, 20L, 40L)))
   }
+
+  test("lDiversityAudit: bucket fences, homogeneity ppm exact, k-anonymous-but-homogeneous caught") {
+    // QI (a, b), sensitive s:
+    //  (x,1): 10 rows all s="flu"          -> 1 distinct, homogeneity 10⁶
+    //         (50 subjects would NOT save it — the q162 blind spot)
+    //  (x,2): 2 values 3:1                 -> 2_low, top 3/4 = 750000
+    //  (y,1): 4 values 1:1:1:1             -> 3_medium (boundary), 250000
+    //  (y,2): 5 values, one twice (6 rows) -> 4_diverse, 2/6 = 333333
+    val rows =
+      Seq.fill(10)(("x", 1, "flu")) ++
+      (Seq.fill(3)(("x", 2, "flu")) :+ (("x", 2, "ok"))) ++
+      Seq("a", "b", "c", "d").map(v => ("y", 1, v)) ++
+      ("e" +: Seq("a", "b", "c", "d", "e")).map(v => ("y", 2, v))
+    val out = Pii.lDiversityAudit(rows.toDF("a", "b", "s"), Seq("a", "b"), "s")
+      .orderBy("diversity_bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("1_homogeneous", 1L, 10L, 1000000L),
+      ("2_low", 1L, 4L, 750000L),
+      ("3_medium", 1L, 4L, 250000L),
+      ("4_diverse", 1L, 6L, 333333L)))
+  }
+
+  test("lDiversityAudit refuses a sensitive column that is also a QI") {
+    val df = Seq(("x", 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Pii.lDiversityAudit(df, Seq("a"), "a")
+    }
+  }
 }
