@@ -2673,6 +2673,28 @@ object SparkEntry {
           quasiIdCols = Seq("day", "value_band"),
           sensitiveCol = "event_type")
         .orderBy(col("diversity_bucket"))),
+
+    // Q168 — EVAL1 calibration audit: reliability diagram + ECE for a
+    // planted OVERCONFIDENT classifier (predicted p = value's cents
+    // digits / 100, true positive rate = p² via a portable-hash label
+    // draw), so the report shows the real failure shape: high bins
+    // under-deliver, gap growing with p, ECE the row-weighted total.
+    // Exact integer rationals end to end; one bin aggregate then a
+    // 10-row window.
+    "q168_calibration_ece" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val scored = t(s, dir, "events")
+        .select(col("event_id"), col("value"))
+        .withColumn("cents",
+          pmod(floor(col("value") * 100).cast("long"), lit(100L)))
+        .withColumn("draw",
+          pmod(portableHash(concat(lit("cal:"), col("event_id").cast("string"))),
+            lit(100L)))
+        .withColumn("label",
+          (col("draw") < expr("cents * cents DIV 100")).cast("long"))
+      graft.operators.Calibration.reliability(scored, "cents", "label")
+        .orderBy(col("bin"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5333,6 +5355,28 @@ object SparkEntry {
           |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
           |  CAST(max(homogeneity_ppm) AS BIGINT) AS max_homogeneity_ppm
           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the planted p² label law replayed via the shared md5 hash; all
+      // ratios exact integer // — Spark DIV and DuckDB // agree on
+      // non-negative operands
+      "q168_calibration_ece" ->
+        """WITH s AS (SELECT event_id,
+          |    CAST(floor(value * 100) AS BIGINT) % 100 AS cents FROM events),
+          |l AS (SELECT cents,
+          |    CASE WHEN ('0x' || substr(md5('cal:' || event_id), 1, 15))::BIGINT % 100
+          |         < cents * cents // 100 THEN 1 ELSE 0 END AS label FROM s),
+          |b AS (SELECT cents // 10 AS bin, CAST(count(*) AS BIGINT) AS n,
+          |    sum(cents) AS sum_cents, sum(label) AS n_pos
+          |  FROM l GROUP BY 1),
+          |g AS (SELECT bin, n, sum_cents * 10000 // n AS mean_pred_ppm,
+          |    n_pos * 1000000 // n AS emp_ppm FROM b),
+          |e AS (SELECT bin, n, mean_pred_ppm, emp_ppm,
+          |    abs(mean_pred_ppm - emp_ppm) AS gap_ppm FROM g)
+          |SELECT bin, n, CAST(mean_pred_ppm AS BIGINT) AS mean_pred_ppm,
+          |  CAST(emp_ppm AS BIGINT) AS emp_ppm,
+          |  CAST(gap_ppm AS BIGINT) AS gap_ppm,
+          |  CAST(sum(n * gap_ppm) OVER () // sum(n) OVER () AS BIGINT) AS ece_ppm
+          |FROM e ORDER BY bin""".stripMargin,
     )
   }
 }

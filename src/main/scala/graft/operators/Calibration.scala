@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-calibration audit (EVAL1) — the reliability diagram + expected
+ * calibration error a training pipeline runs over its quality/filter
+ * classifier before trusting its scores as probabilities (Guo et al.,
+ * "On Calibration of Modern Neural Networks", ICML 2017). A score column
+ * is only a probability if, among rows scored ~p, a fraction ~p are
+ * actually positive; ECE is the row-weighted mean gap between the two.
+ *
+ * Everything is exact integer rationals — scores enter as integer cents
+ * (0..99), means/rates leave as ppm via `DIV` — so the report is
+ * bit-identical across engines (no IEEE mean drift):
+ *   bin           = cents DIV (100/nBins) — equal-width probability bins
+ *   mean_pred_ppm = Σcents·10⁴ DIV n  (cents·10⁴ = ppm)
+ *   emp_ppm       = n_pos·10⁶ DIV n
+ *   gap_ppm       = |mean_pred_ppm − emp_ppm|
+ *   ece_ppm       = Σ_bins n·gap_ppm DIV Σ_bins n   (same on every row)
+ *
+ * Scale shape: one hash aggregate on the bin id (map-side partials over
+ * however many TB of scored rows → nBins tiny rows), then the ECE window
+ * over those nBins rows. The single-partition window moves ≤ nBins rows —
+ * a constant — so the plan is one real shuffle regardless of input size.
+ */
+object Calibration {
+
+  /**
+   * Reliability census over `(predCentsCol, labelCol)`:
+   * `(bin, n, mean_pred_ppm, emp_ppm, gap_ppm, ece_ppm)`, one row per
+   * non-empty bin. `predCentsCol` must be an integral score in 0..99
+   * (the caller's probability × 100); `labelCol` an integral/boolean 0/1.
+   */
+  def reliability(scored: DataFrame, predCentsCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 100 % nBins == 0,
+      s"nBins must divide 100 (got $nBins)")
+    val width = 100 / nBins
+    scored
+      .groupBy(expr(s"$predCentsCol DIV $width").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(predCentsCol).cast("long")).as("sum_cents"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+      .withColumn("mean_pred_ppm", expr("sum_cents * 10000 DIV n"))
+      .withColumn("emp_ppm", expr("n_pos * 1000000 DIV n"))
+      .withColumn("gap_ppm", abs(col("mean_pred_ppm") - col("emp_ppm")))
+      .withColumn("ece_ppm",
+        expr("(sum(n * gap_ppm) OVER ()) DIV (sum(n) OVER ())"))
+      .select("bin", "n", "mean_pred_ppm", "emp_ppm", "gap_ppm", "ece_ppm")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CalibrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reliability: per-bin exact rational means, gap, and row-weighted ECE") {
+    // bin 0: two rows at cents=5, one positive -> mean 50000 ppm, emp
+    // 500000, gap 450000; bin 9: three rows at cents=90, all positive ->
+    // mean 900000, emp 1000000, gap 100000.
+    // ECE = (2*450000 + 3*100000) DIV 5 = 240000 on every row.
+    val scored = Seq(
+      (5L, 1L), (5L, 0L),
+      (90L, 1L), (90L, 1L), (90L, 1L),
+    ).toDF("cents", "label")
+    val out = Calibration.reliability(scored, "cents", "label")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 50000L, 500000L, 450000L, 240000L),
+      (9L, 3L, 900000L, 1000000L, 100000L, 240000L)))
+  }
+
+  test("reliability: a perfectly calibrated bin has zero gap and zero ECE") {
+    val scored = (1 to 10).map(i => (50L, if (i <= 5) 1L else 0L))
+      .toDF("cents", "label")
+    val r = Calibration.reliability(scored, "cents", "label").head()
+    assert(r.getAs[Long]("mean_pred_ppm") == 500000L)
+    assert(r.getAs[Long]("emp_ppm") == 500000L)
+    assert(r.getAs[Long]("gap_ppm") == 0L)
+    assert(r.getAs[Long]("ece_ppm") == 0L)
+  }
+
+  test("reliability: bin width follows nBins; invalid nBins refused") {
+    val scored = Seq((5L, 0L), (30L, 1L), (99L, 1L)).toDF("cents", "label")
+    val bins = Calibration.reliability(scored, "cents", "label", nBins = 4)
+      .orderBy("bin").select("bin").as[Long].collect().toSeq
+    assert(bins == Seq(0L, 1L, 3L)) // width 25: 5->0, 30->1, 99->3
+    intercept[IllegalArgumentException] {
+      Calibration.reliability(scored, "cents", "label", nBins = 7)
+    }
+  }
+}
