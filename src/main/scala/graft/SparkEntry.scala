@@ -2695,6 +2695,29 @@ object SparkEntry {
       graft.operators.Calibration.reliability(scored, "cents", "label")
         .orderBy(col("bin"))
     }),
+
+    // Q169 — MIX3 mixture-reweighting step (linearized DoReMi): domain
+    // proxy loss = 10⁶ − pooled type/token ratio ppm (repetitive = easy,
+    // lexically dense = hard), reference = row-weighted mean, η = 8.
+    // The corpus collapses to one 20-row domain census in a single
+    // aggregate; the MW update then moves only census rows.
+    "q169_mixture_reweight" -> ((s, dir) => {
+      import graft.functions.TextFunctions.words
+      val stats = t(s, dir, "documents")
+        .select(col("source"), words(col("text")).as("ws"))
+        .select(col("source"),
+          size(array_distinct(col("ws"))).cast("long").as("nd"),
+          size(col("ws")).cast("long").as("nw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nd")).as("sum_distinct"), sum(col("nw")).as("sum_words"))
+        .withColumn("loss_ppm",
+          expr("1000000 - sum_distinct * 1000000 DIV sum_words"))
+        .select("source", "n_docs", "loss_ppm")
+      graft.operators.Sampling.mixtureReweight(
+          stats, "source", "n_docs", "loss_ppm", etaNum = 8, etaDen = 1)
+        .orderBy(col("source"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5377,6 +5400,27 @@ object SparkEntry {
           |  CAST(gap_ppm AS BIGINT) AS gap_ppm,
           |  CAST(sum(n * gap_ppm) OVER () // sum(n) OVER () AS BIGINT) AS ece_ppm
           |FROM e ORDER BY bin""".stripMargin,
+
+      // q160's word/TTR law pooled per source, then the integer MW step;
+      // window sums run over the 20-row census only
+      "q169_mixture_reweight" ->
+        """WITH w AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |d AS (SELECT source, CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
+          |    CAST(len(ws) AS BIGINT) AS nw FROM w),
+          |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |    sum(nd) AS sd, sum(nw) AS sw FROM d GROUP BY 1),
+          |l AS (SELECT source, n_docs,
+          |    CAST(1000000 - sd * 1000000 // sw AS BIGINT) AS loss_ppm FROM st),
+          |r AS (SELECT source, n_docs, loss_ppm,
+          |    CAST(sum(n_docs * loss_ppm) OVER () // sum(n_docs) OVER () AS BIGINT) AS ref_loss_ppm,
+          |    CAST(count(*) OVER () AS BIGINT) AS k FROM l),
+          |x AS (SELECT source, n_docs, loss_ppm, ref_loss_ppm,
+          |    CAST(greatest(0, loss_ppm - ref_loss_ppm) AS BIGINT) AS excess_ppm,
+          |    CAST(1000000 // k AS BIGINT) AS w0_ppm FROM r),
+          |f AS (SELECT *, 1000000 + 8 * excess_ppm // 1 AS factor_ppm FROM x)
+          |SELECT source, n_docs, loss_ppm, ref_loss_ppm, excess_ppm, w0_ppm,
+          |  CAST(w0_ppm * factor_ppm * 1000000 // sum(w0_ppm * factor_ppm) OVER () AS BIGINT) AS new_w_ppm
+          |FROM f ORDER BY source""".stripMargin,
     )
   }
 }

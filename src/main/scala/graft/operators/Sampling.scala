@@ -275,4 +275,47 @@ object Sampling {
       .withColumn("accidental", coalesce(col("_hit"), lit(false)))
       .select(col(groupCol), col(posCol), col("j"), col("neg_item"), col("accidental"))
   }
+
+  /**
+   * Domain-mixture reweighting step (MIX3) — the linearized multiplicative-
+   * weights update DoReMi runs between proxy-model epochs (Xie et al.,
+   * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+   * Pretraining", NeurIPS 2023): domains whose proxy loss EXCEEDS the
+   * row-weighted reference loss are up-weighted proportionally to the
+   * excess, then the weight vector renormalizes. Where DoReMi uses
+   * w·exp(η·excess), this takes the first-order w·(1 + η·excess) — the
+   * same ascent direction, and exactly representable in integer
+   * rationals, so the step is bit-identical across engines (exp is not).
+   *
+   *   ref_loss_ppm = Σ n·loss DIV Σ n         (row-weighted reference)
+   *   excess_ppm   = max(0, loss − ref_loss)   (clamp, as DoReMi does)
+   *   factor_ppm   = 10⁶ + etaNum·excess DIV etaDen
+   *   new_w_ppm    = w0·factor·10⁶ DIV Σ w0·factor,  w0 = 10⁶ DIV k
+   *
+   * Input contract: `domainStats` is the per-domain census (one row per
+   * domain — thousands at most, REQUIRED small by nature: it arrives
+   * pre-aggregated from however many TB of documents). The windows here
+   * therefore move only the domain census, never corpus rows: at 100 TB
+   * the heavy work is the caller's one aggregate down to k rows.
+   */
+  def mixtureReweight(domainStats: DataFrame, domainCol: String,
+      nCol: String, lossPpmCol: String,
+      etaNum: Long = 1L, etaDen: Long = 1L): DataFrame = {
+    require(etaNum > 0 && etaDen > 0, "eta must be a positive rational")
+    // factor_ppm ≤ 10⁶(1+η); the renorm numerator w0·factor·10⁶ peaks at
+    // k=1 as 10⁶·10⁶(1+η)·10⁶ — η ≤ 8 keeps it under Long.MaxValue
+    require(etaNum <= 8 * etaDen, "eta must be ≤ 8 (integer-overflow bound)")
+    domainStats
+      .withColumn("ref_loss_ppm",
+        expr(s"sum($nCol * $lossPpmCol) OVER () DIV sum($nCol) OVER ()"))
+      .withColumn("excess_ppm",
+        greatest(lit(0L), col(lossPpmCol) - col("ref_loss_ppm")))
+      .withColumn("w0_ppm", expr("1000000 DIV count(1) OVER ()"))
+      .withColumn("factor_ppm",
+        expr(s"1000000 + $etaNum * excess_ppm DIV $etaDen"))
+      .withColumn("new_w_ppm",
+        expr("w0_ppm * factor_ppm * 1000000 DIV sum(w0_ppm * factor_ppm) OVER ()"))
+      .select(col(domainCol), col(nCol), col(lossPpmCol),
+        col("ref_loss_ppm"), col("excess_ppm"), col("w0_ppm"), col("new_w_ppm"))
+  }
 }

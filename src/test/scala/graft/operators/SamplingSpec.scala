@@ -177,4 +177,35 @@ class SamplingSpec extends SparkSpec {
     val base = boot.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again == base)
   }
+
+  test("mixtureReweight: hand-computed MW step, clamp at reference, exact renorm") {
+    // ref = (1*400000 + 3*600000) DIV 4 = 550000; A below ref clamps to
+    // excess 0, B carries 50000. η=1: factors 10⁶ / 1.05·10⁶, w0 =
+    // 500000 each → new = 5e17 // 1.025e12 = 487804 vs 512195.
+    val stats = Seq(("a", 1L, 400000L), ("b", 3L, 600000L))
+      .toDF("domain", "n_docs", "loss_ppm")
+    val out = Sampling.mixtureReweight(stats, "domain", "n_docs", "loss_ppm")
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("excess_ppm"),
+        r.getAs[Long]("w0_ppm"), r.getAs[Long]("new_w_ppm")))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 500000L, 487804L),
+      ("b", 50000L, 500000L, 512195L)))
+  }
+
+  test("mixtureReweight: uniform losses are a fixed point; eta bound enforced") {
+    val stats = Seq(("a", 5L, 300000L), ("b", 7L, 300000L), ("c", 2L, 300000L))
+      .toDF("domain", "n_docs", "loss_ppm")
+    val out = Sampling.mixtureReweight(stats, "domain", "n_docs", "loss_ppm",
+        etaNum = 8, etaDen = 1)
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("excess_ppm") == 0L)
+      assert(r.getAs[Long]("new_w_ppm") == r.getAs[Long]("w0_ppm"))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureReweight(stats, "domain", "n_docs", "loss_ppm",
+        etaNum = 9, etaDen = 1)
+    }
+  }
 }
