@@ -2718,6 +2718,59 @@ object SparkEntry {
           stats, "source", "n_docs", "loss_ppm", etaNum = 8, etaDen = 1)
         .orderBy(col("source"))
     }),
+
+    // Q170 — ER1 blocked record linkage: every customer spawns three
+    // planted record variants of a hash-derived 3-word name (clean /
+    // adjacent-swap mid-word-2 / substitution at word-1 pos 3), blocked
+    // on word-1's first two characters — stable under both typo laws by
+    // construction, so within-entity recall is exact. Thresholded
+    // levenshtein (≤2) scores within-block pairs, components label via
+    // union-find / min-label, and the census reports (cluster size,
+    // distinct entities) — the purity proof that linkage reunites each
+    // entity's variants without cross-entity merges.
+    "q170_record_linkage" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      def word(h: String): Column = concat(
+        Seq(1L, 26L, 676L, 17576L, 456976L, 11881376L).map(p =>
+          expr(s"char(97 + ($h DIV $p) % 26)")): _*)
+      val named = t(s, dir, "customer")
+        .select(col("c_custkey").as("ek"))
+        .withColumn("_h1", portableHash(
+          concat(lit("ername:"), col("ek").cast("string"), lit(":1"))))
+        .withColumn("_h2", portableHash(
+          concat(lit("ername:"), col("ek").cast("string"), lit(":2"))))
+        .withColumn("_h3", portableHash(
+          concat(lit("ername:"), col("ek").cast("string"), lit(":3"))))
+        .select(col("ek"), word("_h1").as("w1"), word("_h2").as("w2"),
+          word("_h3").as("w3"))
+      val v0 = named.select(col("ek"), expr("ek * 3").as("rid"),
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("nm"),
+        substring(col("w1"), 1, 2).as("bk"))
+      val v1 = named.select(col("ek"), expr("ek * 3 + 1").as("rid"),
+        concat_ws(" ", col("w1"),
+          concat(substring(col("w2"), 1, 3), substring(col("w2"), 5, 1),
+            substring(col("w2"), 4, 1), substring(col("w2"), 6, 1)),
+          col("w3")).as("nm"),
+        substring(col("w1"), 1, 2).as("bk"))
+      val v2 = named.select(col("ek"), expr("ek * 3 + 2").as("rid"),
+        concat_ws(" ",
+          concat(substring(col("w1"), 1, 2),
+            when(substring(col("w1"), 3, 1) === "z", lit("q")).otherwise(lit("z")),
+            substring(col("w1"), 4, 3)),
+          col("w2"), col("w3")).as("nm"),
+        substring(col("w1"), 1, 2).as("bk"))
+      val rec = v0.unionByName(v1).unionByName(v2)
+      val linked = graft.operators.RecordLinkage.linkRecords(
+        rec, "rid", "nm", "bk", maxEdit = 2)
+      rec.select(col("rid"), col("ek"))
+        .join(linked, col("rid") === col("id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(col("ek")).as("n_entities"))
+        .groupBy(col("n_records"), col("n_entities"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("n_records"), col("n_entities"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5421,6 +5474,48 @@ object SparkEntry {
           |SELECT source, n_docs, loss_ppm, ref_loss_ppm, excess_ppm, w0_ppm,
           |  CAST(w0_ppm * factor_ppm * 1000000 // sum(w0_ppm * factor_ppm) OVER () AS BIGINT) AS new_w_ppm
           |FROM f ORDER BY source""".stripMargin,
+
+      // replays name generation (md5-hash base-26 words), both typo
+      // laws, the block+levenshtein edges, and reachability clustering
+      "q170_record_linkage" ->
+        """WITH RECURSIVE c AS (SELECT c_custkey AS ek FROM customer),
+          |hw AS (SELECT ek, i.r AS i,
+          |    ('0x' || substr(md5('ername:' || ek || ':' || i.r), 1, 15))::BIGINT AS h
+          |  FROM c CROSS JOIN range(1, 4) i(r)),
+          |wd AS (SELECT ek, i,
+          |    chr(97 + CAST(h % 26 AS INT)) || chr(97 + CAST((h // 26) % 26 AS INT))
+          |    || chr(97 + CAST((h // 676) % 26 AS INT)) || chr(97 + CAST((h // 17576) % 26 AS INT))
+          |    || chr(97 + CAST((h // 456976) % 26 AS INT)) || chr(97 + CAST((h // 11881376) % 26 AS INT)) AS w
+          |  FROM hw),
+          |nm AS (SELECT ek, max(CASE WHEN i = 1 THEN w END) AS w1,
+          |    max(CASE WHEN i = 2 THEN w END) AS w2,
+          |    max(CASE WHEN i = 3 THEN w END) AS w3 FROM wd GROUP BY ek),
+          |rec AS (
+          |  SELECT ek, ek * 3 AS rid, w1 || ' ' || w2 || ' ' || w3 AS nm,
+          |      substr(w1, 1, 2) AS bk FROM nm
+          |  UNION ALL
+          |  SELECT ek, ek * 3 + 1,
+          |      w1 || ' ' || substr(w2, 1, 3) || substr(w2, 5, 1) || substr(w2, 4, 1)
+          |         || substr(w2, 6, 1) || ' ' || w3,
+          |      substr(w1, 1, 2) FROM nm
+          |  UNION ALL
+          |  SELECT ek, ek * 3 + 2,
+          |      substr(w1, 1, 2) || (CASE WHEN substr(w1, 3, 1) = 'z' THEN 'q' ELSE 'z' END)
+          |         || substr(w1, 4, 3) || ' ' || w2 || ' ' || w3,
+          |      substr(w1, 1, 2) FROM nm),
+          |pr AS (SELECT a.rid AS u, b.rid AS v FROM rec a JOIN rec b
+          |       ON a.bk = b.bk AND a.rid < b.rid
+          |       WHERE levenshtein(a.nm, b.nm) <= 2),
+          |edges AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+          |reach AS (SELECT u, v FROM edges
+          |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+          |lab AS (SELECT u AS rid, least(u, min(v)) AS cl FROM reach GROUP BY u),
+          |fl AS (SELECT rec.rid, rec.ek, coalesce(lab.cl, rec.rid) AS cl
+          |       FROM rec LEFT JOIN lab USING (rid)),
+          |cls AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_records,
+          |    CAST(count(DISTINCT ek) AS BIGINT) AS n_entities FROM fl GROUP BY cl)
+          |SELECT n_records, n_entities, CAST(count(*) AS BIGINT) AS n_clusters
+          |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     )
   }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Blocked record linkage (ER1) — the entity-resolution pass that merges
+ * differently-spelled records of the same real-world entity (Fellegi &
+ * Sunter 1969; the blocking + compare + cluster shape every production
+ * ER system uses). Three stages, each with the scale-correct plan:
+ *
+ *  1. BLOCK: records self-join on a caller-chosen blocking key — an
+ *     equi-join, so candidate generation is hash-partitioned and never
+ *     all-pairs. The key must be chosen perturbation-stable (e.g. a
+ *     prefix the expected typo classes cannot touch); recall is then
+ *     exact by construction, the classic blocking bargain.
+ *  2. COMPARE: candidate pairs score with Spark's THRESHOLDED
+ *     `levenshtein(l, r, k)` — the banded O(k·n) DP that abandons a row
+ *     as soon as the distance must exceed k, rather than the full O(n²)
+ *     matrix; pairs at distance ≤ k become edges.
+ *  3. CLUSTER: [[Curation.nearDupClusters]] (driver union-find under the
+ *     edge bound, distributed min-label + pointer-doubling above it)
+ *     labels each component; records with no edge keep their own id.
+ *
+ * Returns one row per input record: `(id, cluster_id)` with cluster_id
+ * = the component's smallest record id. Census/consolidation policy
+ * (canonical pick, purity vs a truth column) is the caller's layer —
+ * see q170 and [[Curation.selectCanonical]].
+ */
+object RecordLinkage {
+
+  def linkRecords(records: DataFrame, idCol: String, nameCol: String,
+      blockKeyCol: String, maxEdit: Int): DataFrame = {
+    require(maxEdit >= 1, "maxEdit must be >= 1")
+    val left = records.select(col(blockKeyCol).as("_bk"),
+      col(idCol).as("id_a"), col(nameCol).as("_na"))
+    val right = records.select(col(blockKeyCol).as("_bk"),
+      col(idCol).as("id_b"), col(nameCol).as("_nb"))
+    val pairs = left.join(right, Seq("_bk"))
+      .where(col("id_a") < col("id_b"))
+      // 3-arg levenshtein returns -1 once the distance provably exceeds
+      // maxEdit — the early-abandon band that makes dense blocks cheap
+      .where(expr(s"levenshtein(_na, _nb, $maxEdit)") =!= -1)
+      .select(col("id_a"), col("id_b"))
+    val labels = Curation.nearDupClusters(pairs)
+    records.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+  }
+}

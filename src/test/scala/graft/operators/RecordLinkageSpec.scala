@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def link(recs: Seq[(Long, String, String)], maxEdit: Int = 2) =
+    RecordLinkage.linkRecords(recs.toDF("rid", "nm", "bk"), "rid", "nm", "bk", maxEdit)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+
+  test("linkRecords: typo variants link within a block, far names and other blocks do not") {
+    val m = link(Seq(
+      (1L, "alpha bravo", "al"),
+      (2L, "alpah bravo", "al"), // adjacent swap: distance 2 -> linked
+      (3L, "alpha bravx", "al"), // substitution: distance 1 -> linked
+      (4L, "zzzzz xxxxx", "zz"), // no edges: own cluster
+      (5L, "alpha bravo", "xx"), // identical name, DIFFERENT block: blocking must not compare it
+      (6L, "abcde fghij", "ab"),
+      (7L, "vwxyz fghij", "ab"), // same block but distance 5 -> no edge
+    ))
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert(m(4L) == 4L)
+    assert(m(5L) == 5L) // the blocking bargain: recall only within blocks
+    assert(m(6L) == 6L && m(7L) == 7L)
+  }
+
+  test("linkRecords: clusters close transitively past the pairwise threshold") {
+    // a-b and b-c are each distance 2; a-c is distance 4 — one component
+    val m = link(Seq(
+      (10L, "aaaaaa", "aa"),
+      (11L, "aaaazz", "aa"),
+      (12L, "aazzzz", "aa"),
+    ))
+    assert(m.values.toSet == Set(10L))
+  }
+
+  test("linkRecords: maxEdit is the band — distance 2 drops out at maxEdit 1") {
+    val m = link(Seq(
+      (1L, "alpha bravo", "al"),
+      (2L, "alpah bravo", "al"), // distance 2
+      (3L, "alpha bravx", "al"), // distance 1
+    ), maxEdit = 1)
+    assert(m(1L) == 1L && m(3L) == 1L)
+    assert(m(2L) == 2L)
+  }
+}
