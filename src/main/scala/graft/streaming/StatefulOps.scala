@@ -411,4 +411,62 @@ object StatefulOps {
             if (wSum > 0) Some(dSum.toDouble / wSum.toDouble) else None)
       }
   }
+
+  final case class CalBinCell(bin: Long, n: Long, sumCents: Long, nPos: Long)
+  final case class CalState(cells: List[CalBinCell])
+  final case class CalibrationUpdate(
+      key: String, n: Long, ece_ppm: Long, max_gap_ppm: Long, worst_bin: Long)
+
+  /**
+   * EVAL1's streaming twin: [[graft.operators.Calibration.reliability]]'s
+   * exact integer law maintained as stream state — the live calibration
+   * monitor a serving pipeline runs over its quality classifier, raising
+   * the miscalibration alarm at ingest latency instead of a nightly
+   * batch. Input columns: `key` (model/stream id), `cents` (score 0..99),
+   * `label` (0/1). Emits per key per micro-batch the cumulative
+   * (n, ece_ppm, max_gap_ppm, worst_bin) — worst_bin ties break to the
+   * lowest bin, deterministically.
+   *
+   * Exactness across batch slicing: state is the per-bin
+   * (n, Σcents, n_pos) histogram — a pure function of the rows seen, so
+   * any re-batching emits identical numbers, and the emitted ECE equals
+   * the batch operator's on the same rows (both spec-pinned). BOUNDED
+   * state: ≤ nBins cells of three longs per key, by construction.
+   */
+  def streamingReliability(rows: DataFrame, nBins: Int = 10)(
+      implicit spark: SparkSession): Dataset[CalibrationUpdate] = {
+    import spark.implicits._
+    require(nBins >= 2 && 100 % nBins == 0,
+      s"nBins must divide 100 (got $nBins)")
+    val width = 100 / nBins
+    rows
+      .select(col("key").cast("string"), col("cents").cast("long"),
+        col("label").cast("long"))
+      .where(col("key").isNotNull && col("cents").isNotNull &&
+        col("label").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CalState, CalibrationUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[CalState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, (Long, Long, Long)]
+          state.getOption.foreach(_.cells.foreach(c =>
+            m(c.bin) = (c.n, c.sumCents, c.nPos)))
+          it.foreach { case (_, cents, label) =>
+            val b = cents / width
+            val (n0, s0, p0) = m.getOrElse(b, (0L, 0L, 0L))
+            m(b) = (n0 + 1L, s0 + cents, p0 + label)
+          }
+          state.update(CalState(m.toList.sortBy(_._1)
+            .map { case (b, (n, s, p)) => CalBinCell(b, n, s, p) }))
+          // the batch law bin by bin: gaps in ppm, ECE row-weighted
+          var nTot = 0L; var eceNum = 0L; var maxGap = -1L; var worst = -1L
+          m.toList.sortBy(_._1).foreach { case (b, (n, s, p)) =>
+            val gap = math.abs(s * 10000L / n - p * 1000000L / n)
+            nTot += n; eceNum += n * gap
+            if (gap > maxGap) { maxGap = gap; worst = b }
+          }
+          CalibrationUpdate(key, nTot, eceNum / nTot, maxGap, worst)
+      }
+  }
 }

@@ -357,4 +357,43 @@ class StatefulOpsSpec extends SparkSpec {
       assert(!byProbe.contains(104L), "late probe after eviction misses (at-arrival)")
     } finally q.stop()
   }
+
+  test("streamingReliability: re-batching invariant, equals the batch law, deterministic worst bin") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // key M = CalibrationSpec's hand-computed case; key N perfectly
+    // calibrated at cents=50
+    val rows = Seq(
+      ("M", 5L, 1L), ("M", 5L, 0L),
+      ("M", 90L, 1L), ("M", 90L, 1L), ("M", 90L, 1L)) ++
+      (1 to 10).map(i => ("N", 50L, if (i <= 5) 1L else 0L))
+
+    def run(batches: Seq[Seq[(String, Long, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Long)]
+      val out = StatefulOps.streamingReliability(
+        mem.toDF.toDF("key", "cents", "label"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.last }
+    }
+
+    val one = run(Seq(rows), "cal_one")
+    val sliced = run(Seq(rows.take(2), rows.slice(2, 9), rows.drop(9)), "cal_three")
+    assert(one == sliced, "cumulative calibration must not depend on batch slicing")
+    // the batch law's numbers (CalibrationSpec): ece 240000, worst bin 0
+    // at gap 450000
+    assert(one("M") == ("M", 5L, 240000L, 450000L, 0L))
+    assert(one("N") == ("N", 10L, 0L, 0L, 5L))
+    // cross-check against the batch operator on the same rows
+    val batch = graft.operators.Calibration.reliability(
+      rows.filter(_._1 == "M").map(t => (t._2, t._3)).toDF("cents", "label"),
+      "cents", "label").head()
+    assert(batch.getAs[Long]("ece_ppm") == one("M")._3)
+  }
 }
