@@ -2771,6 +2771,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("n_records"), col("n_entities"))
     }),
+
+    // Q171 — GOV1 leakage-safe split: q40's per-doc hash split lets the
+    // two halves of a near-dup pair straddle train/val — silent eval
+    // contamination. The fix is one substitution: key the split hash on
+    // the near-dup CLUSTER id (q39's chain), so clusters move whole.
+    // The census quantifies what that buys: n_rescued = docs in
+    // multi-doc clusters whose naive per-doc split disagrees with their
+    // cluster's split — each one a leak seam the naive law would open.
+    "q171_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
+      val labels = graft.operators.Curation.nearDupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val clustered = docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val frac = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val safe = graft.operators.Sampling.assignSplit(clustered, "cluster_id", frac)
+        .withColumnRenamed("split", "split_safe")
+      val both = graft.operators.Sampling.assignSplit(safe, "doc_id", frac)
+        .withColumnRenamed("split", "split_naive")
+        .withColumn("csize", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      both
+        .groupBy(col("split_safe").as("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(when(col("csize") > 1 && col("split_naive") =!= col("split_safe"),
+            1L).otherwise(0L)).as("n_rescued"))
+        .orderBy(col("split"))
+    }),
+
+    // Q172 — EVAL2 inter-annotator agreement: Cohen's kappa per
+    // event_type for two planted raters — A labels by the cents rule
+    // (70% positive), B flips A's label on a 20% portable-hash draw —
+    // so po ≈ 0.8 OVERSTATES reliability against the skewed-base-rate
+    // chance floor pe ≈ 0.56, and kappa ≈ 0.54 is the honest number.
+    // One suffstat aggregate; exact integer rationals.
+    "q172_annotator_kappa" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val labeled = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("cents",
+          pmod(floor(col("value") * 100).cast("long"), lit(100L)))
+        .withColumn("a", (col("cents") >= 30).cast("long"))
+        .withColumn("b",
+          when(pmod(portableHash(concat(lit("rater:"),
+            col("event_id").cast("string"))), lit(100L)) < 20,
+            lit(1L) - col("a")).otherwise(col("a")))
+      graft.operators.Agreement.cohenKappa(labeled, "event_type", "a", "b")
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5516,6 +5570,65 @@ object SparkEntry {
           |    CAST(count(DISTINCT ek) AS BIGINT) AS n_entities FROM fl GROUP BY cl)
           |SELECT n_records, n_entities, CAST(count(*) AS BIGINT) AS n_clusters
           |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // q39's exact-Jaccard cluster chain, then both split laws (cluster-
+      // keyed and doc-keyed md5 buckets) and the rescued-leak census
+      "q171_leakage_safe_split" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+          |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          |pr AS (SELECT id_a, id_b FROM p
+          |       WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
+          |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+          |reach AS (SELECT u, v FROM edges
+          |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+          |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+          |cl AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+          |       FROM documents d LEFT JOIN lab USING (doc_id)),
+          |cs AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1),
+          |b AS (SELECT cl.doc_id, cl.cluster_id, cs.csize,
+          |    ('0x' || substr(md5('split:' || cl.cluster_id), 1, 15))::BIGINT % 1000000 AS gb,
+          |    ('0x' || substr(md5('split:' || cl.doc_id), 1, 15))::BIGINT % 1000000 AS db
+          |  FROM cl JOIN cs USING (cluster_id)),
+          |sp AS (SELECT doc_id, cluster_id, csize,
+          |    CASE WHEN gb < 800000 THEN 'train' WHEN gb < 900000 THEN 'val' ELSE 'test' END AS split_safe,
+          |    CASE WHEN db < 800000 THEN 'train' WHEN db < 900000 THEN 'val' ELSE 'test' END AS split_naive
+          |  FROM b)
+          |SELECT split_safe AS split, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+          |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+          |  CAST(sum(CASE WHEN csize > 1 AND split_naive <> split_safe THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued
+          |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // both rater laws replayed, then the integer kappa closed form;
+      // negative-kappa branch divides magnitudes so truncation agrees
+      "q172_annotator_kappa" ->
+        """WITH s AS (SELECT event_type, event_id,
+          |    CAST(floor(value * 100) AS BIGINT) % 100 AS cents FROM events),
+          |l AS (SELECT event_type,
+          |    CASE WHEN cents >= 30 THEN 1 ELSE 0 END AS a,
+          |    CASE WHEN ('0x' || substr(md5('rater:' || event_id), 1, 15))::BIGINT % 100 < 20
+          |         THEN 1 - (CASE WHEN cents >= 30 THEN 1 ELSE 0 END)
+          |         ELSE (CASE WHEN cents >= 30 THEN 1 ELSE 0 END) END AS b
+          |  FROM s),
+          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+          |    CAST(sum(a) AS BIGINT) AS na1, CAST(sum(b) AS BIGINT) AS nb1
+          |  FROM l GROUP BY 1),
+          |x AS (SELECT event_type, n, agree,
+          |    na1 * nb1 + (n - na1) * (n - nb1) AS pe_num FROM g)
+          |SELECT event_type, n, agree,
+          |  CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+          |  CAST(pe_num * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+          |  CAST(CASE WHEN n * n - pe_num = 0 THEN NULL
+          |       WHEN agree * n - pe_num >= 0
+          |         THEN (agree * n - pe_num) * 1000000 // (n * n - pe_num)
+          |       ELSE -((pe_num - agree * n) * 1000000 // (n * n - pe_num))
+          |  END AS BIGINT) AS kappa_ppm
+          |FROM x ORDER BY event_type""".stripMargin,
     )
   }
 }

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale measurement for ER1 (`RecordLinkage.linkRecords`), and the
+ * blocking-key-cardinality law it exists to demonstrate: candidate volume
+ * is Σ_blocks n_b·(n_b−1)/2, so a FIXED key (q170's 2-char prefix, 676
+ * blocks) degrades quadratically as the corpus grows — at 3M records it
+ * is ~6.6G candidate pairs, unrunnable — while a key whose cardinality
+ * scales with the corpus (the 2+2-char composite over two words, 457k
+ * blocks, still perturbation-stable under both planted typo laws) keeps
+ * candidates near-linear and the full linkage tractable.
+ *
+ * The fixture is q170's exactly: each entity spawns three variants
+ * (clean / adjacent-swap mid-word-2 / substitution at word-1 pos 3) of a
+ * hash-derived 3-word name, so truth is closed-form: every record's
+ * cluster must be its entity's minimum record id (= entity·3), and any
+ * deviation is either a missed link (recall break) or a cross-entity
+ * merge (precision break) — counted separately.
+ *
+ * Usage: runMain graft.tools.LinkageScaleStress [nEntities ...]
+ *        (default: 100000 1000000)
+ */
+object LinkageScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sizes: Seq[Long] =
+      if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(100000L, 1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.activate(spark)
+    import graft.functions.TextFunctions.portableHash
+
+    def word(h: String): Column = concat(
+      Seq(1L, 26L, 676L, 17576L, 456976L, 11881376L).map(p =>
+        expr(s"char(97 + ($h DIV $p) % 26)")): _*)
+
+    sizes.foreach { nEntities =>
+      val named = spark.range(nEntities).select(col("id").as("ek"))
+        .withColumn("_h1", portableHash(
+          concat(lit("ername:"), col("ek").cast("string"), lit(":1"))))
+        .withColumn("_h2", portableHash(
+          concat(lit("ername:"), col("ek").cast("string"), lit(":2"))))
+        .withColumn("_h3", portableHash(
+          concat(lit("ername:"), col("ek").cast("string"), lit(":3"))))
+        .select(col("ek"), word("_h1").as("w1"), word("_h2").as("w2"),
+          word("_h3").as("w3"))
+      val v0 = named.select(col("ek"), expr("ek * 3").as("rid"),
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("nm"),
+        col("w1"), col("w2"))
+      val v1 = named.select(col("ek"), expr("ek * 3 + 1").as("rid"),
+        concat_ws(" ", col("w1"),
+          concat(substring(col("w2"), 1, 3), substring(col("w2"), 5, 1),
+            substring(col("w2"), 4, 1), substring(col("w2"), 6, 1)),
+          col("w3")).as("nm"),
+        col("w1"), col("w2"))
+      val v2 = named.select(col("ek"), expr("ek * 3 + 2").as("rid"),
+        concat_ws(" ",
+          concat(substring(col("w1"), 1, 2),
+            when(substring(col("w1"), 3, 1) === "z", lit("q")).otherwise(lit("z")),
+            substring(col("w1"), 4, 3)),
+          col("w2"), col("w3")).as("nm"),
+        col("w1"), col("w2"))
+      val rec = v0.unionByName(v1).unionByName(v2)
+        // both keys are perturbation-stable: v2 edits w1 pos 3, v1 edits
+        // w2 pos 4-5 — neither touches either 2-char prefix
+        .withColumn("bk2", substring(col("w1"), 1, 2))
+        .withColumn("bk4", concat(substring(col("w1"), 1, 2),
+          substring(col("w2"), 1, 2)))
+        .drop("w1", "w2")
+        .localCheckpoint(true)
+      val nRec = rec.count()
+
+      // candidate-volume census per key — cheap aggregates, no join
+      Seq("bk2", "bk4").foreach { bk =>
+        val c = rec.groupBy(col(bk)).agg(count(lit(1)).as("nb"))
+          .agg(count(lit(1)).as("blocks"), max(col("nb")).as("maxb"),
+            sum(expr("nb * (nb - 1) DIV 2")).as("cands"))
+          .head()
+        println(f"[linkage-stress] entities=$nEntities key=$bk " +
+          f"blocks=${c.getAs[Long]("blocks")} maxBlock=${c.getAs[Long]("maxb")} " +
+          f"candidates=${c.getAs[Long]("cands")}")
+      }
+
+      // full linkage on the scaling key (bk2 end-to-end only while its
+      // candidate volume stays sane)
+      val keys = if (nEntities <= 100000L) Seq("bk2", "bk4") else Seq("bk4")
+      keys.foreach { bk =>
+        val t0 = System.nanoTime()
+        val linked = graft.operators.RecordLinkage.linkRecords(
+            rec, "rid", "nm", bk, maxEdit = 2)
+          .localCheckpoint(true)
+        val secs = (System.nanoTime() - t0) / 1e9
+        // closed-form truth: cluster = (rid DIV 3) * 3
+        val missed = linked.where(col("cluster_id") > expr("(id DIV 3) * 3")).count()
+        val merged = linked.where(col("cluster_id") < expr("(id DIV 3) * 3")).count()
+        println(f"[linkage-stress] entities=$nEntities key=$bk records=$nRec " +
+          f"wall=$secs%.1f s missedLinks=$missed crossEntityMerged=$merged " +
+          f"${if (missed == 0 && merged == 0) "EXACT" else "DEVIANT"}")
+      }
+    }
+    spark.stop()
+  }
+}
