@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Inter-annotator agreement (EVAL2) — Cohen's kappa over paired binary
+ * labels (Cohen 1960), the gate a labeling pipeline runs before trusting
+ * human (or model-as-judge) annotations: raw agreement po overstates
+ * reliability when the label distribution is skewed, kappa corrects by
+ * the chance-agreement floor pe.
+ *
+ * For binary labels the whole statistic is a ratio of integer suffstats:
+ *   agree   = #(a = b)
+ *   pe·n²   = na1·nb1 + na0·nb0     (chance agreement, unnormalized)
+ *   po_ppm  = agree·10⁶ DIV n
+ *   pe_ppm  = (na1·nb1 + na0·nb0)·10⁶ DIV n²
+ *   kappa_ppm = (agree·n − pe·n²)·10⁶ DIV (n² − pe·n²)
+ * — exact integer rationals, bit-identical across engines. kappa_ppm is
+ * NULL for a degenerate group (pe = 1: both annotators constant — kappa
+ * is undefined there, and emitting 0 would misread as "chance-level").
+ *
+ * Scale shape: ONE map-side-combinable aggregate collapses the corpus to
+ * five longs per group; every suffstat is additive, so shard-and-merge
+ * works at any scale. The final ppm formulas multiply n² — safe in longs
+ * to n ≈ 3·10⁶ rows per group; beyond that, merge suffstats first and
+ * evaluate the closed form on the merged census (the stats, not the
+ * rows, are what the formula needs).
+ */
+object Agreement {
+
+  /** Per-group kappa census over binary (0/1) label columns:
+   *  `(group, n, agree, po_ppm, pe_ppm, kappa_ppm)`. */
+  def cohenKappa(df: DataFrame, groupCol: String,
+      aCol: String, bCol: String): DataFrame = {
+    df
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)).as("agree"),
+        sum(col(aCol).cast("long")).as("na1"),
+        sum(col(bCol).cast("long")).as("nb1"))
+      .withColumn("pe_num",
+        expr("na1 * nb1 + (n - na1) * (n - nb1)"))
+      .withColumn("po_ppm", expr("agree * 1000000 DIV n"))
+      .withColumn("pe_ppm", expr("pe_num * 1000000 DIV (n * n)"))
+      // kappa can be negative (worse than chance); integer division of
+      // negatives differs across engines (Spark DIV truncates toward
+      // zero, DuckDB // floors), so divide magnitudes and reattach the
+      // sign — identical everywhere
+      .withColumn("kappa_ppm",
+        when(expr("n * n - pe_num") === 0L, lit(null).cast("long"))
+          .when(expr("agree * n - pe_num") >= 0L,
+            expr("(agree * n - pe_num) * 1000000 DIV (n * n - pe_num)"))
+          .otherwise(-expr("(pe_num - agree * n) * 1000000 DIV (n * n - pe_num)")))
+      .select(groupCol, "n", "agree", "po_ppm", "pe_ppm", "kappa_ppm")
+  }
+}

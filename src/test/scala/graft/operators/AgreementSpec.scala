@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kappa(rows: Seq[(String, Long, Long)]) =
+    Agreement.cohenKappa(rows.toDF("g", "a", "b"), "g", "a", "b")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+
+  test("cohenKappa: hand-computed census, perfect, degenerate, worse-than-chance") {
+    val m = kappa(Seq(
+      // g1: n=4 agree=3 na1=2 nb1=3 -> pe_num=2*3+2*1=8,
+      // po=750000, pe=500000, kappa=(12-8)e6/(16-8)=500000
+      ("g1", 1L, 1L), ("g1", 1L, 1L), ("g1", 0L, 0L), ("g1", 0L, 1L),
+      // g2: perfect agreement on a mixed base -> kappa = 10^6
+      ("g2", 1L, 1L), ("g2", 0L, 0L),
+      // g3: both raters constant -> pe = 1, kappa undefined -> NULL
+      ("g3", 1L, 1L), ("g3", 1L, 1L),
+      // g4: perfect DISagreement -> kappa = -10^6 (sign-symmetric division)
+      ("g4", 1L, 0L), ("g4", 0L, 1L),
+    ))
+    assert(m("g1") == ((4L, 3L, 750000L, 500000L, Some(500000L))))
+    assert(m("g2") == ((2L, 2L, 1000000L, 500000L, Some(1000000L))))
+    assert(m("g3") == ((2L, 2L, 1000000L, 1000000L, None)))
+    assert(m("g4") == ((2L, 0L, 0L, 500000L, Some(-1000000L))))
+  }
+
+  test("cohenKappa: skewed base rate — high raw agreement, chance-level kappa") {
+    // 9 of 10 rows are (1,1) but B's lone positive miss is A's lone
+    // negative: po = 800000 looks strong, kappa says chance-adjacent
+    val rows = Seq.fill(8)(("s", 1L, 1L)) ++ Seq(("s", 1L, 0L), ("s", 0L, 1L))
+    val m = kappa(rows)
+    val (n, agree, po, pe, k) = m("s")
+    assert((n, agree, po) == ((10L, 8L, 800000L)))
+    assert(pe == 820000L) // pe_num = 9*9 + 1*1 = 82 over n^2 = 100
+    // po < pe: agreement is WORSE than the skew predicts -> kappa < 0
+    // ((80-82)*10^6 magnitude-divided by 18 = -111111)
+    assert(k.contains(-111111L), s"got $k")
+  }
+}
