@@ -2825,6 +2825,36 @@ object SparkEntry {
       graft.operators.Agreement.cohenKappa(labeled, "event_type", "a", "b")
         .orderBy(col("event_type"))
     }),
+
+    // Q173 — GOV2 corpus datasheet: the per-source "data card"
+    // (Gebru et al., "Datasheets for Datasets") a release gate stamps on
+    // a corpus — size, token mass, exact-dup rate, quality-gate rate,
+    // dominant-language rate — composing the q15/q20/q21/q22 laws into
+    // ONE wide per-source rollup. Everything reduces map-side except the
+    // dup count's md5-key distinct; text leaves the scan once.
+    "q173_corpus_datasheet" -> ((s, dir) => {
+      val enriched = TextAnalysis.withTokenCounts(
+        TextAnalysis.withQualityMetrics(
+          TextAnalysis.withLangId(t(s, dir, "documents"), "text"), "text"),
+        "text")
+        .withColumn("nh", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      enriched
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("n_tokens"),
+          countDistinct(col("nh")).as("n_distinct"),
+          sum(when(col("is_quality"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .withColumn("mean_tokens", expr("n_tokens DIV n_docs"))
+        .withColumn("exact_dup_ppm",
+          expr("(n_docs - n_distinct) * 1000000 DIV n_docs"))
+        .withColumn("quality_ppm", expr("n_quality * 1000000 DIV n_docs"))
+        .withColumn("en_ppm", expr("n_en * 1000000 DIV n_docs"))
+        .select("source", "n_docs", "n_tokens", "mean_tokens",
+          "exact_dup_ppm", "quality_ppm", "en_ppm")
+        .orderBy(col("source"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5629,6 +5659,40 @@ object SparkEntry {
           |       ELSE -((pe_num - agree * n) * 1000000 // (n * n - pe_num))
           |  END AS BIGINT) AS kappa_ppm
           |FROM x ORDER BY event_type""".stripMargin,
+
+      // the q15 (md5 norm-text dup), q20 (marker argmax), q21 (quality
+      // gate) and q22 (ws tokens) laws composed into one per-source card
+      "q173_corpus_datasheet" ->
+        """WITH w AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS ws,
+          |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS nh FROM documents),
+          |m AS (SELECT source, nh, CAST(len(ws) AS BIGINT) AS n_words,
+          |  CAST(len(list_filter(ws, x -> x = 'a')) + len(list_filter(ws, x -> x = 'the')) AS DOUBLE)
+          |    / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+          |  len(list_filter(ws, x -> x = 'der')) + len(list_filter(ws, x -> x = 'die')) + len(list_filter(ws, x -> x = 'und')) + len(list_filter(ws, x -> x = 'nicht')) + len(list_filter(ws, x -> x = 'das')) AS s_de,
+          |  len(list_filter(ws, x -> x = 'the')) + len(list_filter(ws, x -> x = 'a')) + len(list_filter(ws, x -> x = 'and')) + len(list_filter(ws, x -> x = 'of')) + len(list_filter(ws, x -> x = 'to')) AS s_en,
+          |  len(list_filter(ws, x -> x = 'el')) + len(list_filter(ws, x -> x = 'la')) + len(list_filter(ws, x -> x = 'que')) + len(list_filter(ws, x -> x = 'los')) + len(list_filter(ws, x -> x = 'una')) AS s_es,
+          |  len(list_filter(ws, x -> x = 'le')) + len(list_filter(ws, x -> x = 'la')) + len(list_filter(ws, x -> x = 'et')) + len(list_filter(ws, x -> x = 'les')) + len(list_filter(ws, x -> x = 'des')) AS s_fr,
+          |  len(list_filter(ws, x -> x = '的')) + len(list_filter(ws, x -> x = '是')) + len(list_filter(ws, x -> x = '了')) + len(list_filter(ws, x -> x = '在')) + len(list_filter(ws, x -> x = '我')) AS s_zh
+          | FROM w),
+          |p AS (SELECT source, nh, n_words, stop_ratio,
+          |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+          | FROM m),
+          |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+          |  CAST(count(DISTINCT nh) AS BIGINT) AS n_distinct,
+          |  CAST(sum(CASE WHEN n_words BETWEEN 30 AND 120 AND stop_ratio <= 0.2
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+          |  CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+          | FROM p GROUP BY 1)
+          |SELECT source, n_docs, n_tokens,
+          |  CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens,
+          |  CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT) AS exact_dup_ppm,
+          |  CAST(n_quality * 1000000 // n_docs AS BIGINT) AS quality_ppm,
+          |  CAST(n_en * 1000000 // n_docs AS BIGINT) AS en_ppm
+          |FROM g ORDER BY source""".stripMargin,
     )
   }
 }
