@@ -2855,6 +2855,44 @@ object SparkEntry {
           "exact_dup_ppm", "quality_ppm", "en_ppm")
         .orderBy(col("source"))
     }),
+
+    // Q174 — DQ2 Benford first-digit audit: the fraud/data-quality
+    // forensic — per event_type, the first-digit histogram of the exact
+    // integer cents against Benford's expectation (shared ppm literals,
+    // no transcendentals in-plan), reported as an exact-rational TV
+    // distance plus the digit-1 share. events' uniform-ish values fail
+    // Benford loudly (uniform magnitudes ≠ scale-invariant) — that
+    // flag IS the audit working. One map-side digit extract, one
+    // aggregate, 9-digit rollup per type.
+    "q174_benford_audit" -> ((s, dir) => {
+      val bppm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val bCase = (1 to 9).map(d => s"WHEN d = $d THEN ${bppm(d - 1)}")
+        .mkString("CASE ", " ", " END")
+      val digits = t(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .where(col("cents") >= 1)
+        .withColumn("d", substring(col("cents").cast("string"), 1, 1).cast("long"))
+      digits
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bppm", expr(bCase))
+        // n over the ≤9 digit rows per type — the corpus is already
+        // reduced; this window moves digit-census rows only
+        .withColumn("n", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("n")).as("n"),
+          sum(when(col("d") === 1, col("cnt")).otherwise(0L)).as("n_d1"),
+          sum(abs(col("cnt") * lit(1000000L) - col("bppm") * col("n")))
+            .as("_sum_dev"))
+        .withColumn("d1_ppm", expr("n_d1 * 1000000 DIV n"))
+        .withColumn("tv_ppm", expr("_sum_dev DIV (2 * n)"))
+        .select("event_type", "n", "d1_ppm", "tv_ppm")
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5693,6 +5731,27 @@ object SparkEntry {
           |  CAST(n_quality * 1000000 // n_docs AS BIGINT) AS quality_ppm,
           |  CAST(n_en * 1000000 // n_docs AS BIGINT) AS en_ppm
           |FROM g ORDER BY source""".stripMargin,
+
+      // identical Benford ppm literals; TV over the observed digit
+      // support (all 9 digits occur for every type on this data)
+      "q174_benford_audit" ->
+        """WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+          |  FROM events WHERE floor(value * 100) >= 1),
+          |d0 AS (SELECT event_type,
+          |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS d FROM v),
+          |c AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM d0 GROUP BY 1, 2),
+          |b AS (SELECT event_type, d, cnt,
+          |    CASE WHEN d = 1 THEN 301030 WHEN d = 2 THEN 176091
+          |         WHEN d = 3 THEN 124939 WHEN d = 4 THEN 96910
+          |         WHEN d = 5 THEN 79181 WHEN d = 6 THEN 66947
+          |         WHEN d = 7 THEN 57992 WHEN d = 8 THEN 51153
+          |         ELSE 45757 END AS bppm,
+          |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM c)
+          |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+          |  CAST(sum(CASE WHEN d = 1 THEN cnt ELSE 0 END) * 1000000 // max(n) AS BIGINT) AS d1_ppm,
+          |  CAST(sum(abs(cnt * 1000000 - bppm * n)) // (2 * max(n)) AS BIGINT) AS tv_ppm
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }
