@@ -54,6 +54,29 @@ object SparkEntry {
     e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_ticks"), max(col("ts")).as("max_ts"))
 
+  /** Q178/Q179 shared fixture: the documents table recast as a web
+   *  corpus — each doc gets a deterministic site id and 1–2 planted
+   *  outbound URLs appended to its text (uppercase WWW.D<k> exercises
+   *  the canonicalization fold; the second link is hash-gated so link
+   *  counts vary). The PLANT is the fixture; the extraction under test
+   *  runs the real regexp over the combined prose+URL text. Both engines
+   *  build the identical corpus from the portable-hash law. */
+  private def plantedWebLinks(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.portableHash
+    def h(salt: String) = portableHash(
+      concat(lit(salt + ":"), col("doc_id").cast("string")))
+    val docs = t(s, dir, "documents")
+      .withColumn("site", pmod(h("site"), lit(37L)))
+      .withColumn("aug", concat(col("text"),
+        lit(" See https://WWW.D"),
+        pmod(h("link1"), lit(23L)).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"), lit("?utm=1"),
+        when(pmod(h("link2n"), lit(2L)) === 0L,
+          concat(lit(" and http://d"), pmod(h("link2"), lit(23L)).cast("string"),
+            lit(".example.com/x#f"))).otherwise(lit(""))))
+    graft.operators.WebGraph.extractLinks(docs, "aug", "doc_id", "site")
+  }
+
   // ---- declared queries ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2892,6 +2915,100 @@ object SparkEntry {
         .withColumn("tv_ppm", expr("_sum_dev DIV (2 * n)"))
         .select("event_type", "n", "d1_ppm", "tv_ppm")
         .orderBy(col("event_type"))
+    }),
+
+    // Q175 — EVAL3 exact ROC-AUC per slice: q168 asks whether scores are
+    // honest probabilities; this asks whether they RANK positives above
+    // negatives at all (Mann–Whitney, ties half-credited). Planted
+    // discriminative scorer: label = 1 iff hash(id) mod 2^15 < cents, so
+    // P(pos|score) rises linearly with the score and AUC lands well
+    // above 500000 ppm — a degenerate fixture (AUC ≈ ½ or 1) would not
+    // exercise the tie/cumulative arithmetic. Windows run over the
+    // (key, score) HISTOGRAM, never raw rows — the GRAPH5 degree-
+    // histogram trick applied to classifier evaluation.
+    "q175_roc_auc" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val scored = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("label",
+          when(pmod(portableHash(concat(lit("auc:"),
+            col("event_id").cast("string"))), lit(32768L)) < col("cents"),
+            1L).otherwise(0L))
+      graft.operators.Calibration.rocAuc(scored, "event_type", "cents", "label")
+        .orderBy(col("event_type"))
+    }),
+
+    // Q176 — DRIFT2 CUSUM change-point: the sequential mean-shift alarm
+    // (Page) via the prefix identity S_t = P_t − min(0, min_{j≤t} P_j) —
+    // two windows over ONE per-key sort, exact integers end-to-end (the
+    // reference mean enters as the rational ref_sum/n_calib, cleared by
+    // scaling through n_calib). Planted shift: 'click' jumps +30000
+    // cents from Jan 21 (signal ≈ 2·10⁷·n_calib by month end), all
+    // other types carry only reflected-random-walk noise (≲ 2·10⁶ per
+    // unit) — the h = 5·10⁶ cents threshold separates them by 10×.
+    "q176_cusum_changepoint" -> ((s, dir) => {
+      val shifted = t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          (floor(col("value") * 100).cast("long") +
+            when(col("event_type") === "click" &&
+              col("ts") >= lit("2024-01-21 00:00:00").cast(TimestampNTZType),
+              30000L).otherwise(0L)).as("cents"))
+      graft.operators.Drift.cusum(shifted, "event_type", "ts", "event_id",
+          "cents", lit("2024-01-11 00:00:00").cast(TimestampNTZType),
+          hCents = 5000000L)
+        .orderBy(col("event_type"))
+    }),
+
+    // Q177 — FEAT2 leave-one-out target encoding: the high-cardinality
+    // categorical transform with the label-leakage fix built in
+    // (enc_i excludes row i's own target) plus the Micci-Barreca
+    // smoothed variant folding the global prior — all exact integer
+    // rationals (µcents via DIV), category stats broadcast back, corpus
+    // never shuffles. Reported on the deterministic id % 97 probe subset
+    // (the q13 pattern) so the result stays bounded.
+    "q177_loo_target_encoding" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("cat", concat(col("event_type"), lit(":"),
+          pmod(col("user_id"), lit(25L)).cast("string")))
+      graft.operators.TargetEncoding.looEncode(e, col("cat"), col("cents"))
+        .where(pmod(col("event_id"), lit(97L)) === 0L)
+        .select("event_id", "cat", "cents", "n_cat", "loo_ucents",
+          "smooth_ucents")
+        .orderBy(col("event_id"))
+    }),
+
+    // Q178 — WEB1 outbound-link extraction + domain census: the
+    // crawl-side opening move (URL-level dedup keys, per-domain quotas,
+    // blocklist review all start here). Extraction is one codegen'd
+    // regexp_extract_all in the Java∩RE2 dialect subset; the host fold
+    // (lowercase, strip one www. label) is the canonical-domain law.
+    // Text never shuffles — only (doc, site, domain) link rows move into
+    // one map-side-combinable census aggregate.
+    "q178_web_domain_census" -> ((s, dir) =>
+      graft.operators.WebGraph.domainCensus(
+          plantedWebLinks(s, dir), "doc_id", "site")
+        .orderBy(col("domain"))),
+
+    // Q179 — WEB2 domain-graph PageRank: q178's links lifted to the
+    // site→domain edge list (q114 node-id convention: site·10,
+    // domain·10+1) and ranked by the integer-exact damped propagation —
+    // the link-graph quality signal (Common Crawl ranks domains the
+    // same way). Directed: sites are pure sources and rest at base
+    // rank, domains accumulate in-link mass. Oracle unrolls the same
+    // three integer steps over the same planted edges.
+    "q179_web_pagerank" -> ((s, dir) => {
+      val edges = plantedWebLinks(s, dir)
+        .withColumn("didx",
+          regexp_extract(col("domain"), "d([0-9]+)", 1).cast("long"))
+        .select((col("site") * 10).cast("long").as("src"),
+          (col("didx") * 10 + 1).cast("long").as("dst"))
+        .distinct()
+      graft.operators.Graph.pagerankIntegers(edges, iterations = 3,
+          broadcastRanks = true)
+        .orderBy(col("node"))
     }),
   )
 
@@ -5752,6 +5869,135 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN d = 1 THEN cnt ELSE 0 END) * 1000000 // max(n) AS BIGINT) AS d1_ppm,
           |  CAST(sum(abs(cnt * 1000000 - bppm * n)) // (2 * max(n)) AS BIGINT) AS tv_ppm
           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the histogram AUC law: 2U = Σ_s p(s)·(2·Q<(s) + q(s)); identical
+      // planted-label hash literal on both sides
+      "q175_roc_auc" ->
+        """WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+          |    CASE WHEN ('0x' || substr(md5('auc:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 32768
+          |         < CAST(floor(value * 100) AS BIGINT) THEN 1 ELSE 0 END AS label
+          |  FROM events),
+          |h AS (SELECT event_type, cents, CAST(sum(label) AS BIGINT) AS n_pos,
+          |    CAST(count(*) - sum(label) AS BIGINT) AS n_neg FROM v GROUP BY 1, 2),
+          |c AS (SELECT event_type, cents, n_pos, n_neg,
+          |    COALESCE(sum(n_neg) OVER (PARTITION BY event_type ORDER BY cents
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg FROM h),
+          |g AS (SELECT event_type, CAST(sum(n_pos + n_neg) AS BIGINT) AS n,
+          |    CAST(sum(n_pos) AS BIGINT) AS n_pos, CAST(sum(n_neg) AS BIGINT) AS n_neg,
+          |    CAST(count(*) AS BIGINT) AS n_scores,
+          |    sum(CAST(n_pos AS HUGEINT) * (2 * cum_neg + n_neg)) AS num2 FROM c GROUP BY 1)
+          |SELECT event_type, n, n_pos, n_neg, n_scores,
+          |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          |       ELSE CAST((num2 * 1000000) // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+          |  END AS auc_ppm
+          |FROM g ORDER BY event_type""".stripMargin,
+
+      // the prefix identity S_t = P_t − min(0, min_{j≤t} P_j); same
+      // planted +30000-cent shift and 5·10⁶-cent threshold
+      "q176_cusum_changepoint" ->
+        """WITH v AS (SELECT event_type, ts, event_id,
+          |    CAST(floor(value * 100) AS BIGINT) +
+          |      CASE WHEN event_type = 'click' AND ts >= TIMESTAMP '2024-01-21 00:00:00'
+          |           THEN 30000 ELSE 0 END AS cents
+          |  FROM events),
+          |cal AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_calib,
+          |    CAST(sum(cents) AS BIGINT) AS ref_sum
+          |  FROM v WHERE ts < TIMESTAMP '2024-01-11 00:00:00' GROUP BY 1),
+          |sc AS (SELECT v.event_type, ts, event_id, cents, n_calib, ref_sum,
+          |    cents * n_calib - ref_sum AS d
+          |  FROM v JOIN cal USING (event_type)
+          |  WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'),
+          |p AS (SELECT *, sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM sc),
+          |st AS (SELECT *, p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s FROM p),
+          |a AS (SELECT *, s > 5000000 * n_calib AS alarm FROM st)
+          |SELECT event_type, CAST(max(n_calib) AS BIGINT) AS n_calib,
+          |  CAST(max(ref_sum) // max(n_calib) AS BIGINT) AS ref_cents,
+          |  CAST(count(*) AS BIGINT) AS n_obs,
+          |  CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm,
+          |  min(CASE WHEN alarm THEN ts END) AS first_alarm_ts,
+          |  CAST(max(s) // max(n_calib) AS BIGINT) AS max_stat_cents
+          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // loo = (T_c − t)·10⁶ // (n_c − 1); smoothed folds the global
+      // prior at m = 20 pseudo-rows, both staged through HUGEINT
+      "q177_loo_target_encoding" ->
+        """WITH e AS (SELECT event_id, event_type || ':' || CAST(user_id % 25 AS VARCHAR) AS cat,
+          |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+          |c AS (SELECT cat, CAST(count(*) AS BIGINT) AS n_cat,
+          |    CAST(sum(cents) AS BIGINT) AS t_cat FROM e GROUP BY 1),
+          |g AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+          |    CAST(sum(cents) AS BIGINT) AS t_all FROM e)
+          |SELECT event_id, cat, cents, n_cat,
+          |  CASE WHEN n_cat = 1 THEN NULL
+          |       ELSE CAST((t_cat - cents) * 1000000 // (n_cat - 1) AS BIGINT) END AS loo_ucents,
+          |  CAST(((CAST(t_cat AS HUGEINT) - cents) * n_all + 20 * CAST(t_all AS HUGEINT)) * 1000000
+          |    // ((n_cat - 1 + 20) * CAST(n_all AS HUGEINT)) AS BIGINT) AS smooth_ucents
+          |FROM e JOIN c USING (cat) CROSS JOIN g
+          |WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+
+      // identical plant (portable-hash site/link law), identical
+      // Java∩RE2 extraction pattern and www-fold
+      "q178_web_domain_census" ->
+        """WITH d AS (SELECT doc_id, text,
+          |    ('0x'||substr(md5('site:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 37 AS site,
+          |    ('0x'||substr(md5('link1:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 23 AS d1,
+          |    ('0x'||substr(md5('link2:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 23 AS d2,
+          |    ('0x'||substr(md5('link2n:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 AS h2
+          |  FROM documents),
+          |a AS (SELECT doc_id, site,
+          |    text || ' See https://WWW.D' || CAST(d1 AS VARCHAR) || '.example.com/p/'
+          |      || CAST(doc_id AS VARCHAR) || '?utm=1' ||
+          |    CASE WHEN h2 = 0 THEN ' and http://d' || CAST(d2 AS VARCHAR) || '.example.com/x#f'
+          |         ELSE '' END AS aug FROM d),
+          |l AS (SELECT doc_id, site,
+          |    regexp_replace(lower(unnest(regexp_extract_all(aug, 'https?://([A-Za-z0-9.-]+)', 1))),
+          |      '^www\.', '') AS domain
+          |  FROM a)
+          |SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT site) AS BIGINT) AS n_sites
+          |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // q114's unrolled integer pagerank over the planted site→domain
+      // edges (directed — sites rest at base rank)
+      "q179_web_pagerank" ->
+        """WITH d AS (SELECT doc_id, text,
+          |    ('0x'||substr(md5('site:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 37 AS site,
+          |    ('0x'||substr(md5('link1:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 23 AS d1,
+          |    ('0x'||substr(md5('link2:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 23 AS d2,
+          |    ('0x'||substr(md5('link2n:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 AS h2
+          |  FROM documents),
+          |a AS (SELECT doc_id, site,
+          |    text || ' See https://WWW.D' || CAST(d1 AS VARCHAR) || '.example.com/p/'
+          |      || CAST(doc_id AS VARCHAR) || '?utm=1' ||
+          |    CASE WHEN h2 = 0 THEN ' and http://d' || CAST(d2 AS VARCHAR) || '.example.com/x#f'
+          |         ELSE '' END AS aug FROM d),
+          |l AS (SELECT doc_id, site,
+          |    regexp_replace(lower(unnest(regexp_extract_all(aug, 'https?://([A-Za-z0-9.-]+)', 1))),
+          |      '^www\.', '') AS domain
+          |  FROM a),
+          |edges AS (SELECT DISTINCT CAST(site*10 AS BIGINT) AS src,
+          |    CAST(CAST(regexp_extract(domain, 'd([0-9]+)', 1) AS BIGINT)*10+1 AS BIGINT) AS dst
+          |  FROM l),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+          |c1 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+          |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          |r1 AS (SELECT n.node, CAST(150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+          |c2 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+          |  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          |r2 AS (SELECT n.node, CAST(150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+          |c3 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+          |  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          |r3 AS (SELECT n.node, CAST(150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
     )
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -50,5 +51,60 @@ object Calibration {
       .withColumn("ece_ppm",
         expr("(sum(n * gap_ppm) OVER ()) DIV (sum(n) OVER ())"))
       .select("bin", "n", "mean_pred_ppm", "emp_ppm", "gap_ppm", "ece_ppm")
+  }
+
+  /**
+   * Exact ROC-AUC per key (EVAL3) — the ranking-quality twin of
+   * [[reliability]]: calibration asks whether scores are honest
+   * probabilities, AUC asks whether they ORDER positives above negatives
+   * at all (a model can ace one and fail the other). AUC is the
+   * Mann–Whitney statistic: the probability a random positive outranks a
+   * random negative, ties counting half.
+   *
+   * Exact-rational law over the SCORE HISTOGRAM, never raw rows: with
+   * p(s)/q(s) the positive/negative counts at score s and
+   * Q<(s) = Σ_{s'<s} q(s'),
+   *
+   *   2·U = Σ_s p(s) · (2·Q<(s) + q(s))      (ties give the q(s) term)
+   *   AUC = U / (n_pos·n_neg)
+   *
+   * reported as `auc_ppm = (2U·10⁶) DIV (2·n_pos·n_neg)` with the sums
+   * widened to DECIMAL(38,0) before the multiply — bit-identical across
+   * engines (rank-based AUC needs no IEEE at all), NULL when a key has
+   * only one class (AUC is undefined, not 0.5).
+   *
+   * Scale posture: the raw-row pass is ONE map-side-combinable aggregate
+   * to the (key, score) histogram; the cumulative window and the rollup
+   * then move histogram rows only — bounded by the score domain (integer
+   * cents ⇒ ≤ a few 10⁴ rows per key), never corpus size. This is the
+   * GRAPH5 degree-histogram trick applied to classifier evaluation: the
+   * naive row-rank formulation would sort every scored row per key.
+   */
+  def rocAuc(scored: DataFrame, keyCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val below = Window.partitionBy(col(keyCol)).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .groupBy(col(keyCol), col(scoreCol).cast("long").as("score"))
+      .agg(
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("n_neg"))
+      .withColumn("cum_neg", coalesce(sum(col("n_neg")).over(below), lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(
+        (sum(col("n_pos")) + sum(col("n_neg"))).as("n"),
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(expr("CAST(n_pos AS DECIMAL(38,0)) * (2 * cum_neg + n_neg)"))
+          .as("num2"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((num2 * 1000000) DIV
+              |  (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"""
+              .stripMargin)))
+      .select(keyCol, "n", "n_pos", "n_neg", "n_scores", "auc_ppm")
   }
 }

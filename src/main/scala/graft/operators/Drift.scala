@@ -79,4 +79,71 @@ object Drift {
       .select(col("src").as("source"), col("n_tokens"),
         col("distinct_tokens"), col("tv_num"), col("tv"))
   }
+
+  /**
+   * CUSUM change-point detection per key (DRIFT2) — the sequential
+   * mean-shift alarm (Page 1954) that complements [[tokenDriftReport]]'s
+   * whole-slice census: TV asks "do two finished slices differ", CUSUM
+   * asks "at which ROW did this series start running above its
+   * calibration mean". The classic recursion
+   *
+   *   S_t = max(0, S_{t−1} + (x_t − ref)),  alarm when S_t > h
+   *
+   * looks inherently sequential, but the standard prefix identity makes
+   * it two window functions: with P_t = Σ_{j≤t}(x_j − ref),
+   *
+   *   S_t = P_t − min(0, min_{j≤t} P_j)
+   *
+   * — a running sum and a running min over ONE sort. The reference mean
+   * is the exact rational refSum/refCnt from the key's calibration
+   * window (rows before `calibEnd`), and the whole law is cleared of
+   * division by scaling through refCnt: d_t = x_t·refCnt − refSum, with
+   * the threshold compared as S > h·refCnt. Everything is exact 64-bit
+   * integers, so alarm positions are bit-identical across engines.
+   *
+   * Overflow contract: |d_t| ≤ maxCents·refCnt, and P sums n_obs of
+   * them — maxCents·refCnt·n_obs must stay under 2⁶³ (at 10⁴ cents ·
+   * 10⁵ calib rows · 10⁹ obs it would not: cap the calibration count or
+   * shard the series into epochs first; the declared query's frame is
+   * orders of magnitude inside the bound).
+   *
+   * Scale posture: calibration is one map-side-combinable aggregate
+   * broadcast back; detection is one shuffle on the key and one sort
+   * carrying both windows. Per-key work is inherently ordered (CUSUM is
+   * a sequential statistic) — parallelism comes from the key count, the
+   * same contract as every running-window operator here (A13 OBV, A14
+   * RSI). Report: (key, n_calib, ref_cents, n_obs, n_alarm,
+   * first_alarm_ts, max_stat_cents); keys with no calibration rows are
+   * dropped (no reference to drift from), alarm columns NULL when the
+   * statistic never crosses.
+   */
+  def cusum(obs: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      centsCol: String, calibEnd: org.apache.spark.sql.Column,
+      hCents: Long): DataFrame = {
+    val calib = obs.where(col(tsCol) < calibEnd)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_calib"),
+        sum(col(centsCol).cast("long")).as("ref_sum"))
+    val ordered = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val prefix = ordered.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val scored = obs.where(col(tsCol) >= calibEnd)
+      .join(broadcast(calib), keyCol)
+      .withColumn("d",
+        col(centsCol).cast("long") * col("n_calib") - col("ref_sum"))
+      .withColumn("p", sum(col("d")).over(prefix))
+      .withColumn("s",
+        col("p") - least(lit(0L), min(col("p")).over(prefix)))
+      .withColumn("alarm", col("s") > lit(hCents) * col("n_calib"))
+    scored
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("n_calib")).as("n_calib"),
+        expr("MAX(ref_sum) DIV MAX(n_calib)").as("ref_cents"),
+        count(lit(1)).as("n_obs"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarm"),
+        min(when(col("alarm"), col(tsCol))).as("first_alarm_ts"),
+        expr("MAX(s) DIV MAX(n_calib)").as("max_stat_cents"))
+  }
 }

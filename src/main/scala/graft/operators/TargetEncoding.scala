@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Leave-one-out target encoding (FEAT2) — the categorical-feature
+ * transform a tabular training pipeline applies to high-cardinality
+ * columns: replace category c on row i by the mean target of the OTHER
+ * rows of c. Including row i's own target leaks the label into the
+ * feature (the classic target-leakage bug); the leave-one-out form
+ *
+ *   enc_i = (T_c − t_i) / (n_c − 1)
+ *
+ * is the standard fix (and what CatBoost-style encoders approximate).
+ *
+ * Exact-rational law: targets enter as integer cents, T_c and n_c are
+ * exact 64-bit sums, and the encoding leaves as
+ * `loo_ucents = (T_c − t_i)·10⁶ DIV (n_c − 1)` — micro-cents, truncating
+ * integer division, bit-identical across engines. Singleton categories
+ * (n_c = 1) encode NULL: there is no "other rows" mean, and imputing the
+ * global prior is a policy choice left to the caller.
+ *
+ * Smoothed variant in the same exact domain: with prior weight m and the
+ * GLOBAL mean folded in as exact sums (G = Σt over all rows, N = count),
+ *
+ *   smooth_ucents = ((T_c − t_i)·N + m·G)·10⁶ DIV ((n_c − 1 + m)·N)
+ *
+ * — the Micci-Barreca shrinkage encoder, division-free until the edge.
+ *
+ * Scale posture: one map-side-combinable aggregate to the category
+ * frame (|categories| rows, never corpus), broadcast back over an
+ * equi-join, then pure per-row arithmetic — the corpus never shuffles
+ * and no window runs over raw rows. Overflow: (T_c − t)·N·10⁶ widens to
+ * DECIMAL(38,0) before the multiply, so the bound is ~10³² total cents —
+ * beyond any real corpus.
+ */
+object TargetEncoding {
+
+  /**
+   * Append `n_cat`, `loo_ucents`, `smooth_ucents` for each row's
+   * category. `priorWeight` is the m above (rows of pseudo-prior).
+   */
+  def looEncode(df: DataFrame, catCol: Column, centsCol: Column,
+      priorWeight: Long = 20L): DataFrame = {
+    val withKeys = df
+      .withColumn("_cat", catCol)
+      .withColumn("_t", centsCol.cast("long"))
+    val cats = withKeys
+      .groupBy(col("_cat"))
+      .agg(count(lit(1)).as("n_cat"), sum(col("_t")).as("_t_cat"))
+    val globals = withKeys.agg(count(lit(1)).as("_n_all"),
+      sum(col("_t")).as("_t_all"))
+    withKeys
+      .join(broadcast(cats), "_cat")
+      .crossJoin(broadcast(globals))
+      .withColumn("loo_ucents",
+        when(col("n_cat") === 1L, lit(null).cast("long"))
+          .otherwise(expr("(_t_cat - _t) * 1000000 DIV (n_cat - 1)")))
+      .withColumn("smooth_ucents", expr(
+        s"""CAST(((CAST(_t_cat AS DECIMAL(38,0)) - _t) * _n_all
+           |      + $priorWeight * CAST(_t_all AS DECIMAL(38,0))) * 1000000
+           |  DIV ((n_cat - 1 + $priorWeight) * CAST(_n_all AS DECIMAL(38,0)))
+           |  AS BIGINT)""".stripMargin))
+      .drop("_cat", "_t", "_t_cat", "_n_all", "_t_all")
+  }
+}

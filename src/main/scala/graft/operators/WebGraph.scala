@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Web-corpus link structure (WEB1) — the crawl-side operators a training
+ * pipeline runs before any text filter: extract outbound links from page
+ * text, canonicalize them to a registrable domain key, and census the
+ * domain in-link structure (the input to URL-level dedup, per-domain
+ * quota sampling, and link-graph quality signals à la Common Crawl's
+ * harmonic-centrality rankings).
+ *
+ * Extraction is one codegen'd `regexp_extract_all` projection — the
+ * pattern `https?://([A-Za-z0-9.-]+)` is deliberately inside the common
+ * subset of Java regex and RE2 (no lookaround, no backrefs), so the
+ * DuckDB oracle replays it verbatim. Canonicalization is the standard
+ * host fold: lowercase, strip one leading `www.` label (scheme, path,
+ * query and fragment never reach the key because the host group stops at
+ * the first non-host char).
+ *
+ * Scale posture: extraction and canonicalization are pure map-side
+ * projections (text never shuffles — only (doc, domain) link rows move);
+ * the census is one map-side-combinable aggregate on the domain key.
+ * Link rows are corpus-proportional but tiny (two small columns), and
+ * per-domain skew (every page links example.com) lands in an AGGREGATE,
+ * where map-side partials absorb it — not in a join.
+ */
+object WebGraph {
+
+  private val hostPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /**
+   * One row per extracted link: carries `keyCols` through and appends
+   * `domain` (canonical host). Pages with no links contribute no rows.
+   */
+  def extractLinks(docs: DataFrame, textCol: String, keyCols: String*): DataFrame =
+    docs
+      .select(keyCols.map(col) :+
+        explode(regexp_extract_all(col(textCol), lit(hostPattern), lit(1)))
+          .as("host"): _*)
+      .withColumn("domain",
+        regexp_replace(lower(col("host")), "^www\\.", ""))
+      .drop("host")
+
+  /**
+   * Per-domain in-link census over link rows carrying a `siteCol` (the
+   * linking page's site key): total links, distinct linking documents,
+   * distinct linking sites — ordered report for quota/blocklist review.
+   */
+  def domainCensus(links: DataFrame, docCol: String, siteCol: String): DataFrame =
+    links
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_links"),
+        countDistinct(col(docCol)).as("n_docs"),
+        countDistinct(col(siteCol)).as("n_sites"))
+}

@@ -42,4 +42,48 @@ class CalibrationSpec extends SparkSpec {
       Calibration.reliability(scored, "cents", "label", nBins = 7)
     }
   }
+
+  test("rocAuc: hand-computed AUC with a tie, per key") {
+    // key a: pos at scores {3, 2}, neg at {2, 1}.
+    //   pairs = 4; pos3 beats both negs (2), pos2 beats neg1 (1) and
+    //   ties neg2 (0.5) -> U = 3.5 -> AUC = 0.875 = 875000 ppm.
+    // key b: perfect separation -> 1000000 ppm.
+    val scored = Seq(
+      ("a", 3L, 1L), ("a", 2L, 1L), ("a", 2L, 0L), ("a", 1L, 0L),
+      ("b", 9L, 1L), ("b", 1L, 0L),
+    ).toDF("k", "score", "label")
+    val out = Calibration.rocAuc(scored, "k", "score", "label")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("a", 4L, 2L, 2L, 3L, 875000L),
+      ("b", 2L, 1L, 1L, 2L, 1000000L)))
+  }
+
+  test("rocAuc: random scores give ~0.5; one-class keys give NULL") {
+    // label independent of score: AUC of the all-ties histogram is
+    // exactly 500000 ppm when every score carries the same pos/neg mix
+    // (label keys off i/10, score off i%10 — decorrelated by design;
+    // i%2 would share parity with the score and encode a classifier)
+    val flat = (1 to 100).map(i => ("f", (i % 10).toLong, ((i / 10) % 2).toLong))
+      .toDF("k", "score", "label")
+    assert(Calibration.rocAuc(flat, "k", "score", "label")
+      .head().getAs[Long]("auc_ppm") == 500000L)
+    val onesided = Seq(("o", 5L, 1L), ("o", 7L, 1L)).toDF("k", "score", "label")
+    assert(Calibration.rocAuc(onesided, "k", "score", "label")
+      .head().isNullAt(5))
+  }
+
+  test("rocAuc: reversing the classifier mirrors AUC around 1/2") {
+    val scored = Seq(
+      ("a", 3L, 1L), ("a", 2L, 1L), ("a", 2L, 0L), ("a", 1L, 0L),
+    ).toDF("k", "score", "label")
+    val rev = scored.selectExpr("k", "-score AS score", "label")
+    val auc = Calibration.rocAuc(scored, "k", "score", "label")
+      .head().getAs[Long]("auc_ppm")
+    val aucRev = Calibration.rocAuc(rev, "k", "score", "label")
+      .head().getAs[Long]("auc_ppm")
+    assert(auc == 875000L && aucRev == 125000L)
+  }
 }

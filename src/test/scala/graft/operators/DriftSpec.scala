@@ -87,4 +87,82 @@ class DriftSpec extends SparkSpec {
       .orderBy("source").collect().toSeq
     assert(a == b)
   }
+
+  // ---- DRIFT2 CUSUM ----
+
+  private def ts(day: Int, sec: Int) =
+    java.time.LocalDateTime.of(2024, 1, day, 0, 0, 0).plusSeconds(sec)
+
+  /** Driver-side replay of the classic recursion
+    * S_t = max(0, S_{t-1} + x_t·n − refSum) — the law the prefix identity
+    * must reproduce. */
+  private def cusumBrute(calib: Seq[Long], obs: Seq[Long], hCents: Long)
+      : (Long, Long, Option[Int], Long) = {
+    val n = calib.size.toLong
+    val refSum = calib.sum
+    var s = 0L; var nAlarm = 0L; var first: Option[Int] = None; var maxS = 0L
+    obs.zipWithIndex.foreach { case (x, i) =>
+      s = math.max(0L, s + x * n - refSum)
+      maxS = math.max(maxS, s)
+      if (s > hCents * n) { nAlarm += 1; if (first.isEmpty) first = Some(i) }
+    }
+    (nAlarm, maxS / n, first, refSum / n)
+  }
+
+  private def cusumDf(rows: Seq[(String, java.time.LocalDateTime, Long, Long)]) =
+    rows.toDF("k", "ts", "id", "cents")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+
+  test("cusum: prefix identity reproduces the classic recursion exactly") {
+    val rnd = new scala.util.Random(7)
+    val calib = (1 to 40).map(_ => 900L + rnd.nextInt(200))
+    val obs = (1 to 120).map(i =>
+      if (i > 60) 1150L + rnd.nextInt(200) else 900L + rnd.nextInt(200))
+    val rows =
+      calib.zipWithIndex.map { case (c, i) => ("k", ts(1, i), i.toLong, c) } ++
+        obs.zipWithIndex.map { case (c, i) => ("k", ts(5, i), i.toLong, c) }
+    val out = Drift.cusum(cusumDf(rows), "k", "ts", "id", "cents",
+      lit("2024-01-03 00:00:00").cast("timestamp_ntz"), hCents = 3000L)
+      .head()
+    val (nAlarm, maxS, first, ref) =
+      cusumBrute(calib.map(_.toLong), obs.map(_.toLong), 3000L)
+    assert(out.getAs[Long]("n_calib") == 40L)
+    assert(out.getAs[Long]("ref_cents") == ref)
+    assert(out.getAs[Long]("n_obs") == 120L)
+    assert(out.getAs[Long]("n_alarm") == nAlarm && nAlarm > 0)
+    assert(out.getAs[Long]("max_stat_cents") == maxS)
+    val firstTs = out.getAs[java.time.LocalDateTime]("first_alarm_ts")
+    assert(firstTs == ts(5, first.get))
+  }
+
+  test("cusum: stable series never alarms; keys without calibration drop") {
+    val rows =
+      (0 until 20).map(i => ("flat", ts(1, i), i.toLong, 1000L)) ++
+        (0 until 50).map(i => ("flat", ts(5, i), i.toLong, 1000L)) ++
+        (0 until 30).map(i => ("late", ts(5, i), i.toLong, 5000L))
+    val out = Drift.cusum(cusumDf(rows), "k", "ts", "id", "cents",
+      lit("2024-01-03 00:00:00").cast("timestamp_ntz"), hCents = 1L)
+      .collect()
+    assert(out.length == 1) // 'late' has no calibration rows
+    val r = out.head
+    assert(r.getAs[String]("k") == "flat")
+    assert(r.getAs[Long]("n_alarm") == 0L)
+    assert(r.isNullAt(r.fieldIndex("first_alarm_ts")))
+    assert(r.getAs[Long]("max_stat_cents") == 0L)
+  }
+
+  test("cusum: reflection resets after a dip (max(0,·) semantics)") {
+    // calib mean 100; obs dips far below then returns to mean + 10:
+    // without the max(0,·) reflection the dip's deficit would mask the
+    // later drift — with it, S climbs immediately after the dip.
+    val calib = (0 until 10).map(i => ("k", ts(1, i), i.toLong, 100L))
+    val obs = (0 until 5).map(i => ("k", ts(5, i), i.toLong, 0L)) ++
+      (5 until 25).map(i => ("k", ts(5, i), i.toLong, 110L))
+    val out = Drift.cusum(cusumDf(calib ++ obs), "k", "ts", "id", "cents",
+      lit("2024-01-03 00:00:00").cast("timestamp_ntz"), hCents = 100L)
+      .head()
+    // 20 steps of +10 = +200 > h=100: alarms despite the -500 dip before
+    assert(out.getAs[Long]("n_alarm") > 0)
+    assert(out.getAs[Long]("max_stat_cents") == 200L)
+  }
 }

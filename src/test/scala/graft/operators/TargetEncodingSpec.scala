@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** FEAT2 leave-one-out target encoding: hand-computed exact rationals,
+  * the no-self-leakage law, singleton NULL semantics, and the shrinkage
+  * limit behavior of the smoothed variant. */
+class TargetEncodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("looEncode: hand-computed loo and smoothed values") {
+    // cat a: targets 100, 200, 300 (T=600). loo(100) = 500/2 = 250.
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 300L),
+      (4L, "b", 50L),
+    ).toDF("id", "cat", "cents")
+    val out = TargetEncoding.looEncode(df, col("cat"), col("cents"))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("n_cat")).toSeq == Seq(3L, 3L, 3L, 1L))
+    assert(out(0).getAs[Long]("loo_ucents") == 250L * 1000000)
+    assert(out(1).getAs[Long]("loo_ucents") == 200L * 1000000)
+    assert(out(2).getAs[Long]("loo_ucents") == 150L * 1000000)
+    assert(out(3).isNullAt(out(3).fieldIndex("loo_ucents"))) // singleton
+    // smoothed, m=20, global T=650 over N=4:
+    // row 1: ((600-100)*4 + 20*650)*1e6 // ((3-1+20)*4) = 15000e6 // 88
+    assert(out(0).getAs[Long]("smooth_ucents") ==
+      (500L * 4 + 20L * 650) * 1000000L / ((3 - 1 + 20) * 4))
+    // singleton still gets a smoothed value (pure prior shrinkage:
+    // T_cat − t = 0, so only the m·G term survives)
+    assert(out(3).getAs[Long]("smooth_ucents") ==
+      (0L * 4 + 20L * 650) * 1000000L / (20L * 4))
+  }
+
+  test("looEncode: encoding a row never sees its own label") {
+    // two rows per cat with wildly different targets: each row's loo is
+    // exactly the OTHER row's target — the leakage-free definition
+    val df = Seq(
+      (1L, "c", 0L), (2L, "c", 1000000L),
+    ).toDF("id", "cat", "cents")
+    val out = TargetEncoding.looEncode(df, col("cat"), col("cents"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("loo_ucents") == 1000000L * 1000000L)
+    assert(out(1).getAs[Long]("loo_ucents") == 0L)
+  }
+
+  test("looEncode: smoothing shrinks toward the global mean as n_cat falls") {
+    // global mean 100 exactly; cat 'big' (100 rows at 200) barely moves,
+    // cat 'tiny' (2 rows at 200) lands much closer to the prior
+    val rows = (1 to 100).map(i => (i.toLong, "big", 200L)) ++
+      Seq((101L, "tiny", 200L), (102L, "tiny", 200L)) ++
+      (103 to 204).map(i => (i.toLong, "rest", 0L))
+    val df = rows.toDF("id", "cat", "cents")
+    val out = TargetEncoding.looEncode(df, col("cat"), col("cents"))
+      .where(col("cat") =!= "rest")
+      .select("cat", "smooth_ucents").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val globalU = 100L * 1000000L // exact global mean in ucents
+    assert(math.abs(out("big") - 200L * 1000000L) <
+      math.abs(out("big") - globalU)) // big stays near its own mean
+    assert(math.abs(out("tiny") - globalU) <
+      math.abs(out("tiny") - 200L * 1000000L)) // tiny shrinks to prior
+  }
+}

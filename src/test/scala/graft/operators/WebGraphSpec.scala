@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** WEB1 link extraction + domain census: hand extraction vectors, the
+  * canonicalization fold, and census distinct-count semantics. */
+class WebGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractLinks: host-only extraction, multiple links, linkless docs") {
+    val docs = Seq(
+      (1L, "s1", "see https://A.Example.COM/path?q=1#f and http://b.org end"),
+      (2L, "s1", "no links here"),
+      (3L, "s2", "tight(https://c.net)paren and a port http://d.io:8080/x"),
+    ).toDF("doc_id", "site", "text")
+    val out = WebGraph.extractLinks(docs, "text", "doc_id", "site")
+      .orderBy("doc_id", "domain")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    // the port never reaches the domain (':' is not a host char); the
+    // paren terminates the host the same way
+    assert(out == Seq((1L, "a.example.com"), (1L, "b.org"),
+      (3L, "c.net"), (3L, "d.io")))
+  }
+
+  test("extractLinks: canonicalization strips exactly one leading www label") {
+    val docs = Seq(
+      (1L, "x", "https://WWW.Site.com/a"),
+      (2L, "x", "http://www.www.deep.net/b"),
+      (3L, "x", "https://notwww.com/c"), // 'www' must be a full label
+    ).toDF("doc_id", "site", "text")
+    val out = WebGraph.extractLinks(docs, "text", "doc_id")
+      .orderBy("doc_id").select("domain").as[String].collect().toSeq
+    assert(out == Seq("site.com", "www.deep.net", "notwww.com"))
+  }
+
+  test("domainCensus: links vs distinct docs vs distinct sites") {
+    // domain d gets 3 links from 2 docs on 1 site + 1 link from site 2
+    val links = Seq(
+      (1L, "s1", "d.com"), (1L, "s1", "d.com"), (2L, "s1", "d.com"),
+      (3L, "s2", "d.com"),
+      (4L, "s9", "only.net"),
+    ).toDF("doc_id", "site", "domain")
+    val out = WebGraph.domainCensus(links, "doc_id", "site")
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("d.com", 4L, 3L, 2L), ("only.net", 1L, 1L, 1L)))
+  }
+}
