@@ -3010,6 +3010,43 @@ object SparkEntry {
           broadcastRanks = true)
         .orderBy(col("node"))
     }),
+
+    // Q180 — GEO1 planar radius self-join: all point pairs within
+    // r = 2000 micro-units on a 10⁶×10⁶ grid (hash-scattered from
+    // event ids). The engine runs the 9-cell grid equi-join with exact
+    // integer verification; the ORACLE computes the truth DIRECTLY with
+    // a banded inequality join — green therefore PROVES the grid law's
+    // full recall on this data, the q140 evidence pattern lifted to 2-D.
+    "q180_geo_radius_join" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val pts = t(s, dir, "events")
+        .select(col("event_id").as("id"),
+          pmod(portableHash(concat(lit("gx:"), col("event_id").cast("string"))),
+            lit(1000000L)).as("x"),
+          pmod(portableHash(concat(lit("gy:"), col("event_id").cast("string"))),
+            lit(1000000L)).as("y"))
+      graft.operators.GeoJoin.radiusPairs(pts, "id", "x", "y", r = 2000L)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Q181 — FC1 forecast-baseline backtest: naive vs seasonal-naive
+    // MAE on the per-(type, day) cents rollup, exact integer sums, MASE
+    // ratio in ppm. Planted weekly seasonality on 'view' (+weekday·10⁵
+    // cents — q85's Monday-anchored weekday bridge) makes its season-ago
+    // forecast beat yesterday's by ~5×, while the unplanted types score
+    // ≈ 10⁶ — the report separates real seasonality from noise, which
+    // is exactly what the census is for.
+    "q181_forecast_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents0"))
+        .withColumn("cents", col("cents0") +
+          when(col("event_type") === "view",
+            weekday(col("day")).cast("long") * 100000L).otherwise(0L))
+      graft.operators.Rolling.forecastBacktest(daily, "event_type", "day",
+          "cents", seasonLag = 7)
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -5998,6 +6035,45 @@ object SparkEntry {
           |r3 AS (SELECT n.node, CAST(150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
           |  FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
           |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
+      // the oracle computes the radius truth DIRECTLY (banded
+      // inequality join) — green proves the engine's 9-cell grid law
+      // has full recall on this data
+      "q180_geo_radius_join" ->
+        """WITH p AS (SELECT event_id AS id,
+          |    ('0x'||substr(md5('gx:'||CAST(event_id AS VARCHAR)),1,15))::BIGINT % 1000000 AS x,
+          |    ('0x'||substr(md5('gy:'||CAST(event_id AS VARCHAR)),1,15))::BIGINT % 1000000 AS y
+          |  FROM events)
+          |SELECT a.id AS a_id, b.id AS b_id,
+          |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS d2
+          |FROM p a JOIN p b ON a.id < b.id
+          |  AND a.x BETWEEN b.x - 2000 AND b.x + 2000
+          |  AND a.y BETWEEN b.y - 2000 AND b.y + 2000
+          |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000
+          |ORDER BY a_id, b_id""".stripMargin,
+
+      // same planted weekday seasonality (isodow-1 = Spark weekday,
+      // the q85 bridge); sums-not-means keep the ratio division-free
+      "q181_forecast_backtest" ->
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) +
+          |      CASE WHEN event_type = 'view'
+          |           THEN (isodow(CAST(ts AS DATE)) - 1) * 100000 ELSE 0 END AS cents
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |f AS (SELECT event_type, day, cents,
+          |    lag(cents, 1) OVER w AS f_naive,
+          |    lag(cents, 7) OVER w AS f_snaive
+          |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+          |    CAST(sum(abs(cents - f_naive)) AS BIGINT) AS ae_naive,
+          |    CAST(sum(abs(cents - f_snaive)) AS BIGINT) AS ae_snaive
+          |  FROM f WHERE f_snaive IS NOT NULL GROUP BY 1)
+          |SELECT event_type, n_eval,
+          |  CAST(ae_naive // n_eval AS BIGINT) AS mae_naive_cents,
+          |  CAST(ae_snaive // n_eval AS BIGINT) AS mae_snaive_cents,
+          |  CASE WHEN ae_naive = 0 THEN NULL
+          |       ELSE CAST(ae_snaive * 1000000 // ae_naive AS BIGINT) END AS mase_ppm
+          |FROM g ORDER BY event_type""".stripMargin,
     )
   }
 }

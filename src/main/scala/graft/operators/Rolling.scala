@@ -251,4 +251,51 @@ object Rolling {
           (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))))
           .as("corr_xy"))
   }
+
+  /**
+   * Forecast-baseline backtest (FC1) — the seasonal-strength census a
+   * forecasting pipeline runs before fitting anything: score the two
+   * standard baselines, naive (ŷ_t = y_{t−1}) and seasonal-naive
+   * (ŷ_t = y_{t−season}), on the same evaluation support and report
+   * their exact MAE ratio — the MASE ingredient (Hyndman–Koehler), with
+   * the seasonal-naive as the model under test. `mase_ppm < 10⁶` means
+   * the series carries real seasonality at that lag (the season-ago
+   * value beats yesterday's); `≈ 10⁶` means the lag is noise.
+   *
+   * Exact law: both forecasts are `lag` windows over one per-key sort;
+   * absolute errors sum as exact integer cents; the ratio leaves as
+   * `mase_ppm = Σ|e_snaive|·10⁶ DIV Σ|e_naive|` — sums, not means, so
+   * no intermediate division. Evaluation rows are those where the
+   * seasonal forecast exists (rows season+1..n), which the naive
+   * forecast then also covers — equal support, fair comparison. A
+   * constant series (Σ|e_naive| = 0) reports NULL, not a division blowup.
+   *
+   * Scale posture: input is a per-(key, period) rollup — already
+   * reduced by orders of magnitude before the window — then ONE key
+   * shuffle carries both lags and the final aggregate. Per-key work is
+   * sequential by nature (it is a time series); parallelism is the key
+   * count, the A13/A14 contract.
+   */
+  def forecastBacktest(daily: DataFrame, keyCol: String, dayCol: String,
+      centsCol: String, seasonLag: Int = 7): DataFrame = {
+    require(seasonLag >= 2, s"seasonLag must be >= 2 (got $seasonLag)")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    daily
+      .withColumn("_c", col(centsCol).cast("long"))
+      .withColumn("f_naive", lag(col("_c"), 1).over(w))
+      .withColumn("f_snaive", lag(col("_c"), seasonLag).over(w))
+      .where(col("f_snaive").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(abs(col("_c") - col("f_naive"))).as("ae_naive"),
+        sum(abs(col("_c") - col("f_snaive"))).as("ae_snaive"))
+      .withColumn("mae_naive_cents", expr("ae_naive DIV n_eval"))
+      .withColumn("mae_snaive_cents", expr("ae_snaive DIV n_eval"))
+      .withColumn("mase_ppm",
+        when(col("ae_naive") === 0L, lit(null).cast("long"))
+          .otherwise(expr("ae_snaive * 1000000 DIV ae_naive")))
+      .select(keyCol, "n_eval", "mae_naive_cents", "mae_snaive_cents",
+        "mase_ppm")
+  }
 }

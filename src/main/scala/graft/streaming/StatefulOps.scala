@@ -469,4 +469,71 @@ object StatefulOps {
           CalibrationUpdate(key, nTot, eceNum / nTot, maxGap, worst)
       }
   }
+
+  final case class CusumState(p: Long, minP: Long, nObs: Long,
+      nAlarm: Long, firstAlarmUs: Long, maxS: Long) // firstAlarmUs −1 = none
+  final case class CusumUpdate(key: String, n_obs: Long, n_alarm: Long,
+      first_alarm_us: Option[Long], stat_cents: Long, max_stat_cents: Long,
+      alarm_active: Boolean)
+
+  /**
+   * Streaming CUSUM change-point monitor — the live twin of
+   * [[graft.operators.Drift.cusum]] (DRIFT2): per-key mean-shift alarm
+   * over an event stream, with the calibration reference (refSum,
+   * refCnt exact-rational mean) computed batch-side and passed in.
+   *
+   * The state is SIX LONGS per key — the running prefix sum P, its
+   * running minimum, and the alarm census — regardless of stream
+   * length: the prefix identity S = P − min(0, minP) needs no history.
+   * That makes this the cheapest stateful operator in the file (the
+   * drift/decay twins carry bounded histograms; this carries O(1)).
+   *
+   * Rows are processed in event-time order WITHIN each micro-batch
+   * (CUSUM is order-sensitive); across batches the at-arrival contract
+   * of TJ1s applies — when batches respect event order the final state
+   * is a pure function of the rows seen, so it is re-batching invariant
+   * and equals the batch operator at the frontier (both spec-pinned).
+   * Keys absent from the calibration map are dropped, as in batch.
+   *
+   * Expects columns: key (string), ts_us (long, event-time µs),
+   * cents (long). Output mode: Update.
+   */
+  def streamingCusum(rows: DataFrame, calib: Map[String, (Long, Long)],
+      hCents: Long)(implicit spark: SparkSession): Dataset[CusumUpdate] = {
+    import spark.implicits._
+    require(calib.values.forall(_._2 > 0), "calibration counts must be > 0")
+    rows
+      .select(col("key").cast("string"), col("ts_us").cast("long"),
+        col("cents").cast("long"))
+      .where(col("key").isNotNull && col("ts_us").isNotNull &&
+        col("cents").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[CusumState]) =>
+          calib.get(key) match {
+            case None => Iterator.empty // no reference to drift from
+            case Some((refSum, refCnt)) =>
+              var st = state.getOption.getOrElse(
+                CusumState(0L, 0L, 0L, 0L, -1L, 0L))
+              val hScaled = hCents * refCnt
+              it.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsUs, cents) =>
+                val p = st.p + (cents * refCnt - refSum)
+                val minP = math.min(st.minP, p)
+                val s = p - math.min(0L, minP)
+                val alarmed = s > hScaled
+                st = CusumState(p, minP, st.nObs + 1L,
+                  st.nAlarm + (if (alarmed) 1L else 0L),
+                  if (alarmed && st.firstAlarmUs < 0L) tsUs else st.firstAlarmUs,
+                  math.max(st.maxS, s))
+              }
+              state.update(st)
+              val sNow = st.p - math.min(0L, st.minP)
+              Iterator.single(CusumUpdate(key, st.nObs, st.nAlarm,
+                if (st.firstAlarmUs < 0L) None else Some(st.firstAlarmUs),
+                sNow / refCnt, st.maxS / refCnt, sNow > hScaled))
+          }
+      }
+  }
 }

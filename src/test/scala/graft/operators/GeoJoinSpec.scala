@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** GEO1 grid radius join: brute-force recall equality on random points,
+  * the negative-coordinate cell-adjacency case, boundary exactness, and
+  * the isolated-point census semantics. */
+class GeoJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(pts: Seq[(Long, Long, Long)], r: Long) =
+    (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1, d2)).sortBy(p => (p._1, p._2))
+
+  test("radiusPairs: equals brute force on a random cloud (full recall)") {
+    val rnd = new scala.util.Random(41)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextLong(10000) - 5000, rnd.nextLong(10000) - 5000))
+    val out = GeoJoin.radiusPairs(pts.toDF("id", "x", "y"), "id", "x", "y", 700L)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = brute(pts, 700L)
+    assert(expect.nonEmpty && out == expect)
+  }
+
+  test("radiusPairs: pairs straddling zero and exact boundary distances") {
+    // a/b straddle the origin (cells -1 and 0 under truncating DIV);
+    // c sits exactly r away from b (boundary included: d2 == r²);
+    // d sits r+1 away from c (excluded)
+    val pts = Seq(
+      (1L, -3L, 0L), (2L, 3L, 0L), (3L, 13L, 0L), (4L, 13L, 11L))
+    val out = GeoJoin.radiusPairs(pts.toDF("id", "x", "y"), "id", "x", "y", 10L)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == brute(pts, 10L))
+    assert(out.contains((1L, 2L, 36L)))   // straddles cell boundary
+    assert(out.contains((2L, 3L, 100L)))  // exactly r
+    assert(!out.exists(p => p._1 == 3L && p._2 == 4L)) // r+1 out
+  }
+
+  test("radiusPairs: each unordered pair appears exactly once") {
+    // a dense same-cell clump — the case where naive 9-cell probing
+    // would duplicate pairs without the strict id ordering
+    val pts = (1L to 20L).map(i => (i, 100L + i % 3, 200L + i % 2))
+    val out = GeoJoin.radiusPairs(pts.toDF("id", "x", "y"), "id", "x", "y", 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length)
+    assert(out.length == 20 * 19 / 2) // all pairs within r in one clump
+  }
+
+  test("neighborCensus: isolated points report zero") {
+    val pts = Seq((1L, 0L, 0L), (2L, 5L, 0L), (3L, 1000L, 1000L))
+    val out = GeoJoin.neighborCensus(pts.toDF("id", "x", "y"), "id", "x", "y", 10L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 0L)))
+  }
+}

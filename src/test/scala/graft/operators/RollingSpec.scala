@@ -163,4 +163,46 @@ class RollingSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 2) // ts0, ts1 only; ts3 pairs with null
     assert(r.getAs[Long]("sum_x") == 300L && r.getAs[Long]("sum_y") == 1200L)
   }
+
+  // ---- FC1 forecast backtest ----
+
+  private def day(i: Int) = java.sql.Date.valueOf(
+    java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+
+  test("forecastBacktest: hand-computed MAEs on equal support") {
+    // series 10,20,10,20,10 with seasonLag=2: eval rows are t=2..4.
+    // naive errors |10-20|,|20-10|,|10-20| = 30; snaive errors 0,0,0.
+    val rows = Seq(10L, 20L, 10L, 20L, 10L).zipWithIndex
+      .map { case (c, i) => ("k", day(i), c) }
+    val r = Rolling.forecastBacktest(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents", seasonLag = 2).head()
+    assert(r.getAs[Long]("n_eval") == 3L)
+    assert(r.getAs[Long]("mae_naive_cents") == 10L)
+    assert(r.getAs[Long]("mae_snaive_cents") == 0L)
+    assert(r.getAs[Long]("mase_ppm") == 0L) // perfect seasonality
+  }
+
+  test("forecastBacktest: constant series reports NULL mase, not a blowup") {
+    val rows = (0 until 10).map(i => ("k", day(i), 500L))
+    val r = Rolling.forecastBacktest(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents", seasonLag = 3).head()
+    assert(r.getAs[Long]("mae_naive_cents") == 0L)
+    assert(r.isNullAt(r.fieldIndex("mase_ppm")))
+  }
+
+  test("forecastBacktest: trending series scores snaive WORSE than naive") {
+    // linear trend +10/day: naive err = 10 every day, snaive err = 70
+    // at lag 7 -> mase_ppm = 7,000,000 (the anti-seasonal flag)
+    val rows = (0 until 21).map(i => ("k", day(i), 100L + 10L * i))
+    val r = Rolling.forecastBacktest(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents", seasonLag = 7).head()
+    assert(r.getAs[Long]("n_eval") == 14L)
+    assert(r.getAs[Long]("mase_ppm") == 7000000L)
+  }
+
+  test("forecastBacktest: short series (<= seasonLag rows) yields no report") {
+    val rows = (0 until 5).map(i => ("k", day(i), 100L + i.toLong))
+    assert(Rolling.forecastBacktest(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents", seasonLag = 7).isEmpty)
+  }
 }

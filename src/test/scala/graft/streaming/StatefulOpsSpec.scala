@@ -396,4 +396,65 @@ class StatefulOpsSpec extends SparkSpec {
       "cents", "label").head()
     assert(batch.getAs[Long]("ece_ppm") == one("M")._3)
   }
+
+  test("streamingCusum: O(1) state equals the batch operator; re-batching invariant; uncalibrated keys drop") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // shifted key S: mean 100 in calibration, obs run at 100 then jump
+    // to 160; steady key F holds the mean; key X has no calibration
+    val calib = Map("S" -> (1000L, 10L), "F" -> (2000L, 20L))
+    def obs(k: String, n: Int, f: Int => Long) =
+      (0 until n).map(i => (k, 1000000L * i, f(i)))
+    val rows = obs("S", 30, i => if (i >= 15) 160L else 100L) ++
+      obs("F", 30, _ => 100L) ++ obs("X", 5, _ => 999L)
+
+    def run(batches: Seq[Seq[(String, Long, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Long)]
+      val out = StatefulOps.streamingCusum(
+        mem.toDF.toDF("key", "ts_us", "cents"), calib, hCents = 300L)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.maxBy(_._2) }
+    }
+
+    val one = run(Seq(rows), "cusum_one")
+    val sliced = run(Seq(rows.take(20), rows.slice(20, 40), rows.drop(40)),
+      "cusum_three")
+    assert(one == sliced, "final census must not depend on batch slicing")
+    assert(!one.contains("X"), "uncalibrated keys emit nothing")
+    // S: 15 steps of +60 after the shift; S_t crosses h=300 at the 6th
+    // shifted row (S=360) -> 10 alarm rows, first at i=20, max 900
+    val sRow = one("S")
+    assert(sRow == (("S", 30L, 10L, Some(20000000L), 900L, 900L, true)))
+    assert(one("F")._3 == 0L && one("F")._5 == 0L)
+    // equals the batch operator at the frontier (same calibration law:
+    // feed calibration rows before the cut, obs rows after)
+    val calRows = (0 until 10).map(i => ("S", tsn(1, i), i.toLong, 100L)) ++
+      (0 until 20).map(i => ("F", tsn(1, i), i.toLong, 100L))
+    val obsRows = rows.filter(_._1 != "X").zipWithIndex.map { case ((k, us, c), i) =>
+      (k, tsn(5, (us / 1000000L).toInt), i.toLong, c)
+    }
+    val batch = graft.operators.Drift.cusum(
+      (calRows ++ obsRows).toDF("k", "ts", "id", "cents")
+        .withColumn("ts", col("ts").cast("timestamp_ntz")),
+      "k", "ts", "id", "cents",
+      lit("2024-01-03 00:00:00").cast("timestamp_ntz"), hCents = 300L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("S", "F").foreach { k =>
+      assert(batch(k).getAs[Long]("n_obs") == one(k)._2, s"$k n_obs")
+      assert(batch(k).getAs[Long]("n_alarm") == one(k)._3, s"$k n_alarm")
+      assert(batch(k).getAs[Long]("max_stat_cents") == one(k)._6, s"$k max_stat")
+    }
+  }
+
+  private def tsn(day: Int, sec: Int) =
+    java.time.LocalDateTime.of(2024, 1, day, 0, 0, 0).plusSeconds(sec.toLong)
 }
