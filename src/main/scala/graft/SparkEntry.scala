@@ -3047,6 +3047,85 @@ object SparkEntry {
           "cents", seasonLag = 7)
         .orderBy(col("event_type"))
     }),
+
+    // Q182 — A23 quote-book microstructure census: spread / locked /
+    // crossed occurrences, size imbalance, and the microprice deviation
+    // (size-weighted fair value minus mid) — every per-row rational
+    // through SIGN-SPLIT integer division (Spark DIV truncates, DuckDB
+    // // floors; they disagree on negatives, and the planted 1-in-200
+    // crossed quotes make the spread signed). Quotes planted from the
+    // portable-hash law: mid = cents+5000, half-spread hash%40, sizes
+    // 1+hash%50 — one map-side pass, one aggregate.
+    "q182_microstructure" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      def h(salt: String) = portableHash(
+        concat(lit(salt + ":"), col("event_id").cast("string")))
+      val q = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          (floor(col("value") * 100).cast("long") + 5000L).as("mid"))
+        .withColumn("hs", pmod(h("sp"), lit(40L)) + 1L)
+        .withColumn("crossed", pmod(h("cr"), lit(200L)) === 0L)
+        .withColumn("bid", when(col("crossed"), col("mid") + col("hs"))
+          .otherwise(col("mid") - col("hs")))
+        .withColumn("ask", when(col("crossed"), col("mid") - col("hs"))
+          .otherwise(col("mid") + col("hs")))
+        .withColumn("bs", pmod(h("bs"), lit(50L)) + 1L)
+        .withColumn("az", pmod(h("az"), lit(50L)) + 1L)
+      graft.operators.Microstructure.quoteCensus(q, "event_type",
+          "bid", "ask", "bs", "az")
+        .orderBy(col("event_type"))
+    }),
+
+    // Q183 — FEAT3 winsorized robust scaling: permille-rank cut values
+    // from the division-free threshold law (q144's recipe on the VALUE
+    // HISTOGRAM — windows never touch raw rows), tails clamped not
+    // dropped, clipped counts reported, exact winsorized mean. The
+    // heavy-tail-safe normalization step a feature pipeline runs where
+    // q88's z-scores would let one outlier own the scale.
+    "q183_winsorized_scale" -> ((s, dir) =>
+      graft.operators.WeightedStats.winsorizedMeans(
+          t(s, dir, "events")
+            .select(col("event_type"),
+              floor(col("value") * 100).cast("long").as("cents")),
+          "event_type", "cents", loPermille = 10, hiPermille = 990)
+        .orderBy(col("event_type"))),
+
+    // Q184 — DRIFT3 1-D Wasserstein drift: the magnitude-aware twin of
+    // q157's total variation — earth-mover distance of each type's
+    // cents distribution vs the rest, exact integer numerator over the
+    // (value × slice) grid, gaps charged between adjacent observed
+    // values, ONE IEEE division at the edge. 'error' rows are planted
+    // +2000 cents so the report shows a ~2000-cent move for a
+    // distribution TV alone would just call "different".
+    "q184_wasserstein_drift" -> ((s, dir) =>
+      graft.operators.Drift.wasserstein1(
+          t(s, dir, "events")
+            .select(col("event_type"),
+              (floor(col("value") * 100).cast("long") +
+                when(col("event_type") === "error", 2000L).otherwise(0L))
+                .as("cents")),
+          "event_type", "cents")
+        .orderBy(col("event_type"))),
+
+    // Q185 — PHRASE1 positional phrase search: exact phrase containment
+    // via the posting-list position-arithmetic law (explode → equi-join
+    // on word → per-alignment term count = L). Queries are the first
+    // three words of docs 0–2 (self-derived, so both engines agree on
+    // the phrase strings). The ORACLE computes doc-level containment
+    // DIRECTLY by substring on space-framed normalized text — green
+    // proves the positional law against independent truth; overlap
+    // counting (where the two laws differ by design) is spec-pinned.
+    "q185_phrase_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrases = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("phrase_id"),
+          concat_ws(" ",
+            slice(graft.functions.TextFunctions.words(col("text")), 1, 3))
+            .as("phrase"))
+      graft.operators.PhraseSearch.phraseCensus(docs, "doc_id", "text", phrases)
+        .select("phrase_id", "phrase", "n_docs", "first_doc")
+        .orderBy(col("phrase_id"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -6074,6 +6153,101 @@ object SparkEntry {
           |  CASE WHEN ae_naive = 0 THEN NULL
           |       ELSE CAST(ae_snaive * 1000000 // ae_naive AS BIGINT) END AS mase_ppm
           |FROM g ORDER BY event_type""".stripMargin,
+
+      // identical planted quote law; every signed rational sign-split
+      // (// floors, Spark DIV truncates — they disagree on negatives)
+      "q182_microstructure" ->
+        """WITH q AS (SELECT event_type,
+          |    CAST(floor(value*100) AS BIGINT) + 5000 AS mid,
+          |    ('0x'||substr(md5('sp:'||CAST(event_id AS VARCHAR)),1,15))::BIGINT % 40 + 1 AS hs,
+          |    ('0x'||substr(md5('cr:'||CAST(event_id AS VARCHAR)),1,15))::BIGINT % 200 = 0 AS crossed,
+          |    ('0x'||substr(md5('bs:'||CAST(event_id AS VARCHAR)),1,15))::BIGINT % 50 + 1 AS bs,
+          |    ('0x'||substr(md5('az:'||CAST(event_id AS VARCHAR)),1,15))::BIGINT % 50 + 1 AS az
+          |  FROM events),
+          |r AS (SELECT event_type,
+          |    CASE WHEN crossed THEN (mid - hs) - (mid + hs)
+          |         ELSE (mid + hs) - (mid - hs) END AS spread,
+          |    bs, az, bs + az AS den FROM q),
+          |r2 AS (SELECT event_type, spread, bs, az, den,
+          |    CASE WHEN bs - az < 0 THEN -((az - bs) * 1000000 // den)
+          |         ELSE (bs - az) * 1000000 // den END AS imb_ppm,
+          |    spread * (bs - az) AS dev_num FROM r),
+          |r3 AS (SELECT *, CASE WHEN dev_num < 0 THEN -((-dev_num) * 1000000 // (2*den))
+          |    ELSE dev_num * 1000000 // (2*den) END AS dev_ucents FROM r2),
+          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN spread = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_locked,
+          |    CAST(sum(CASE WHEN spread < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossed,
+          |    CAST(sum(spread) AS BIGINT) AS ss, CAST(sum(imb_ppm) AS BIGINT) AS si,
+          |    CAST(sum(dev_ucents) AS BIGINT) AS sd
+          |  FROM r3 GROUP BY 1)
+          |SELECT event_type, n, n_locked, n_crossed,
+          |  CAST(CASE WHEN ss < 0 THEN -((-ss) // n) ELSE ss // n END AS BIGINT) AS mean_spread_cents,
+          |  CAST(CASE WHEN si < 0 THEN -((-si) // n) ELSE si // n END AS BIGINT) AS mean_imb_ppm,
+          |  CAST(CASE WHEN sd < 0 THEN -((-sd) // n) ELSE sd // n END AS BIGINT) AS mean_dev_ucents
+          |FROM g ORDER BY event_type""".stripMargin,
+
+      // the q144 threshold law at 10/990 permille over the value
+      // histogram; clamp-then-sum stays exact
+      "q183_winsorized_scale" ->
+        """WITH h AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS v,
+          |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+          |w AS (SELECT event_type, v, c,
+          |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+          |t AS (SELECT event_type, v, c, cum, n,
+          |    min(CASE WHEN cum * 1000 >= 10 * n THEN v END)
+          |      OVER (PARTITION BY event_type) AS lo,
+          |    min(CASE WHEN cum * 1000 >= 990 * n THEN v END)
+          |      OVER (PARTITION BY event_type) AS hi FROM w)
+          |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+          |  CAST(max(lo) AS BIGINT) AS lo_cents, CAST(max(hi) AS BIGINT) AS hi_cents,
+          |  CAST(sum(CASE WHEN v < lo THEN c ELSE 0 END) AS BIGINT) AS n_clip_lo,
+          |  CAST(sum(CASE WHEN v > hi THEN c ELSE 0 END) AS BIGINT) AS n_clip_hi,
+          |  CAST(sum(c * greatest(least(v, hi), lo)) // max(n) AS BIGINT) AS wmean_cents
+          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the W1 grid law: |F_s − F_r| charged by the gap to the next
+      // observed value, exact integer numerator, one IEEE division
+      "q184_wasserstein_drift" ->
+        """WITH e AS (SELECT event_type AS slice, CAST(floor(value*100) AS BIGINT) +
+          |    CASE WHEN event_type = 'error' THEN 2000 ELSE 0 END AS v FROM events),
+          |h AS (SELECT slice, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+          |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS c_all FROM h GROUP BY 1),
+          |vg AS (SELECT v, c_all, COALESCE(lead(v) OVER (ORDER BY v) - v, 0) AS gap FROM vals),
+          |s AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n_s FROM h GROUP BY 1),
+          |st AS (SELECT slice, n_s, sum(n_s) OVER () AS n_all FROM s),
+          |grid AS (SELECT st.slice, st.n_s, st.n_all, vg.v, vg.c_all, vg.gap,
+          |    COALESCE(h.c, 0) AS c_s
+          |  FROM vg CROSS JOIN st LEFT JOIN h ON h.slice = st.slice AND h.v = vg.v),
+          |cu AS (SELECT *, sum(c_s) OVER w AS cum_s, sum(c_all) OVER w AS cum_all FROM grid
+          |  WINDOW w AS (PARTITION BY slice ORDER BY v
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |g AS (SELECT slice, CAST(max(n_s) AS BIGINT) AS n_s,
+          |    CAST(max(n_all - n_s) AS BIGINT) AS n_rest,
+          |    CAST(sum(abs(cum_s * (n_all - n_s) - (cum_all - cum_s) * n_s) * gap) AS BIGINT) AS w1_num
+          |  FROM cu GROUP BY 1)
+          |SELECT slice AS event_type, n_s, w1_num,
+          |  CASE WHEN n_rest > 0 THEN CAST(w1_num AS DOUBLE) /
+          |    (CAST(n_s AS DOUBLE) * CAST(n_rest AS DOUBLE)) END AS w1_cents
+          |FROM g ORDER BY event_type""".stripMargin,
+
+      // DIRECT containment truth by substring on space-framed
+      // normalized text — independent of the engine's positional law
+      "q185_phrase_search" ->
+        """WITH ph AS (SELECT doc_id AS phrase_id,
+          |    array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:3], ' ') AS phrase
+          |  FROM documents WHERE doc_id < 3),
+          |n AS (SELECT doc_id,
+          |    ' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g') || ' ' AS s
+          |  FROM documents),
+          |m AS (SELECT phrase_id, phrase, doc_id FROM ph, n
+          |  WHERE contains(s, ' ' || phrase || ' ')),
+          |g AS (SELECT phrase_id, phrase, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(min(doc_id) AS BIGINT) AS first_doc FROM m GROUP BY 1, 2)
+          |SELECT ph.phrase_id, ph.phrase,
+          |  CAST(COALESCE(g.n_docs, 0) AS BIGINT) AS n_docs, g.first_doc
+          |FROM ph LEFT JOIN g USING (phrase_id, phrase) ORDER BY phrase_id""".stripMargin,
     )
   }
 }

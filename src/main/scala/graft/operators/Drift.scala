@@ -117,6 +117,67 @@ object Drift {
    * dropped (no reference to drift from), alarm columns NULL when the
    * statistic never crosses.
    */
+  /**
+   * 1-D Wasserstein (earth-mover) drift per slice (DRIFT3) — the
+   * magnitude-aware complement of [[tokenDriftReport]]'s total
+   * variation: TV counts how much mass sits in the wrong place, W₁
+   * also charges for HOW FAR it must move (a +1-cent shift of every
+   * value has TV ≈ 1 but tiny W₁; a bimodal split at the same TV has
+   * large W₁). For empirical distributions on integers,
+   *
+   *   W₁(s, rest) = Σ_v |F_s(v) − F_r(v)| · gap(v)
+   *               = Σ_v |cum_s(v)·n_r − cum_r(v)·n_s| · gap(v) / (n_s·n_r)
+   *
+   * with gap(v) = next observed value − v (0 after the last). The
+   * numerator is an exact 64-bit integer; the single IEEE division is
+   * the edge. Values a slice never saw still carry its cum forward —
+   * the (value × slice) GRID materializes that, joined from the value
+   * histogram and the slice totals.
+   *
+   * Scale posture: one map-side-combinable (slice, value) count, then
+   * every window runs on frames bounded by |values| · |slices| — the
+   * value DOMAIN (integer cents) times a dimension-sized slice set,
+   * never corpus rows. The slice frame broadcasts into the grid build.
+   * Overflow: cum·n_rest·gap ≤ n² · maxGap must stay under 2⁶³ — at
+   * 10⁹ rows and 10⁴-cent gaps that bound binds; widen to
+   * DECIMAL(38,0) partials (the q128 recipe) before then.
+   */
+  def wasserstein1(df: DataFrame, sliceCol: String, centsCol: String): DataFrame = {
+    val hist = df
+      .groupBy(col(sliceCol).as("slice"), col(centsCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val valueOrder = Window.orderBy(col("v"))
+    val vals = hist.groupBy(col("v")).agg(sum(col("c")).as("c_all"))
+      // value-domain frame: the single-partition windows here run over
+      // |distinct values| rows (bounded domain), never corpus rows
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(valueOrder) - col("v"), lit(0L)))
+    val slices = hist.groupBy(col("slice")).agg(sum(col("c")).as("n_s"))
+      .withColumn("n_all", sum(col("n_s")).over(
+        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val grid = vals.crossJoin(broadcast(slices)) // |values| × |slices|, bounded
+      .join(hist, Seq("slice", "v"), "left")
+      .withColumn("c_s", coalesce(col("c"), lit(0L)))
+    val cumW = Window.partitionBy(col("slice")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_s", sum(col("c_s")).over(cumW))
+      .withColumn("cum_all", sum(col("c_all")).over(cumW))
+      .withColumn("term",
+        abs(col("cum_s") * (col("n_all") - col("n_s")) -
+          (col("cum_all") - col("cum_s")) * col("n_s")) * col("gap"))
+      .groupBy(col("slice"))
+      .agg(max(col("n_s")).as("n_s"),
+        max(col("n_all") - col("n_s")).as("n_rest"),
+        sum(col("term")).as("w1_num"))
+      .withColumn("w1_cents",
+        when(col("n_rest") > 0L,
+          col("w1_num").cast("double") /
+            (col("n_s").cast("double") * col("n_rest").cast("double"))))
+      .select(col("slice").as(sliceCol), col("n_s"), col("w1_num"),
+        col("w1_cents"))
+  }
+
   def cusum(obs: DataFrame, keyCol: String, tsCol: String, idCol: String,
       centsCol: String, calibEnd: org.apache.spark.sql.Column,
       hCents: Long): DataFrame = {

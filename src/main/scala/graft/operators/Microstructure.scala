@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Quote-book microstructure census (A23) — the bid/ask analytics the
+ * tick schema carries but OHLCV bars ignore: spread statistics,
+ * locked/crossed-market occurrences, size imbalance, and the microprice
+ * (size-weighted fair value, Stoikov's "micro-price" first ingredient)
+ *
+ *   micro = (bid·askSz + ask·bidSz) / (bidSz + askSz)
+ *   micro − mid = (ask − bid)(bidSz − askSz) / (2(bidSz + askSz))
+ *
+ * — the deviation form is what we aggregate: it is zero when sizes
+ * balance, positive when the bid side is heavier (price pressure up).
+ *
+ * Exact-rational discipline: prices enter as integer cents, sizes as
+ * integer lots. Every per-row rational goes through SIGN-SPLIT integer
+ * division — `sdiv(n, d) = sign(n)·(|n| DIV d)` — because Spark's DIV
+ * truncates toward zero while DuckDB's `//` floors: on negative
+ * numerators they disagree by one, and crossed quotes make every spread
+ * statistic signed (the q172 negative-kappa lesson, systematized).
+ *
+ * Scale posture: all per-row columns are map-side projections; the
+ * census is ONE map-side-combinable aggregate per key. Nothing joins,
+ * nothing windows — quote volume reduces in a single pass.
+ */
+object Microstructure {
+
+  /**
+   * Census per key over quote rows `(bidCents, askCents, bidSz, askSz)`:
+   * `(key, n, n_locked, n_crossed, mean_spread_cents, mean_imb_ppm,
+   * mean_dev_ucents)` — spread mean sign-split (crossed books make it
+   * signed), imbalance in ppm of total size, microprice deviation in
+   * µcents.
+   */
+  def quoteCensus(quotes: DataFrame, keyCol: String, bidCents: String,
+      askCents: String, bidSz: String, askSz: String): DataFrame = {
+    val rows = quotes.select(
+      col(keyCol),
+      (col(askCents).cast("long") - col(bidCents).cast("long")).as("spread"),
+      col(bidSz).cast("long").as("bs"),
+      col(askSz).cast("long").as("as_"))
+      .withColumn("den", col("bs") + col("as_"))
+      // sign-split per-row rationals (both engines: |n| DIV d, re-signed)
+      .withColumn("imb_ppm", expr(
+        """CASE WHEN bs - as_ < 0 THEN -((as_ - bs) * 1000000 DIV den)
+          |     ELSE (bs - as_) * 1000000 DIV den END""".stripMargin))
+      .withColumn("dev_num", col("spread") * (col("bs") - col("as_")))
+      .withColumn("dev_ucents", expr(
+        """CASE WHEN dev_num < 0 THEN -((-dev_num) * 1000000 DIV (2 * den))
+          |     ELSE dev_num * 1000000 DIV (2 * den) END""".stripMargin))
+    rows
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("spread") === 0L, 1L).otherwise(0L)).as("n_locked"),
+        sum(when(col("spread") < 0L, 1L).otherwise(0L)).as("n_crossed"),
+        sum(col("spread")).as("_sum_spread"),
+        sum(col("imb_ppm")).as("_sum_imb"),
+        sum(col("dev_ucents")).as("_sum_dev"))
+      .withColumn("mean_spread_cents", expr(
+        """CASE WHEN _sum_spread < 0 THEN -((-_sum_spread) DIV n)
+          |     ELSE _sum_spread DIV n END""".stripMargin))
+      .withColumn("mean_imb_ppm", expr(
+        """CASE WHEN _sum_imb < 0 THEN -((-_sum_imb) DIV n)
+          |     ELSE _sum_imb DIV n END""".stripMargin))
+      .withColumn("mean_dev_ucents", expr(
+        """CASE WHEN _sum_dev < 0 THEN -((-_sum_dev) DIV n)
+          |     ELSE _sum_dev DIV n END""".stripMargin))
+      .select(keyCol, "n", "n_locked", "n_crossed", "mean_spread_cents",
+        "mean_imb_ppm", "mean_dev_ucents")
+  }
+}

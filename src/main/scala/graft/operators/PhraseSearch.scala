@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Positional phrase search (PHRASE1) — exact multi-word phrase matching
+ * over a corpus via the positional inverted-index law, the IR-side
+ * operator the retrieval tier (BM25 q73, RRF q143) ranks ON TOP OF but
+ * cannot express: BM25 sees bags of words; "new york" ≠ "york new".
+ *
+ * The law: explode the corpus to (doc, pos, word) postings and each
+ * phrase to (phrase, idx, word) query terms; the EQUI-join on word
+ * yields, per candidate alignment start = pos − idx, one row per query
+ * term the document satisfies at that alignment — a full match is
+ * exactly the alignments with all L terms present:
+ *
+ *   match(doc, phrase, start) ⇔ |{idx : token(start+idx) = word(idx)}| = L
+ *
+ * This is how a search engine's phrase operator works (posting-list
+ * intersection with position arithmetic), and it counts OVERLAPPING
+ * occurrences — "a a a" contains "a a" twice — where substring-replace
+ * counting does not (the spec pins that distinction; the declared
+ * query's oracle therefore checks doc-level containment, which is
+ * overlap-free, against DuckDB's direct substring truth).
+ *
+ * Scale posture: postings are corpus-token-proportional but carry three
+ * small columns (the text itself never shuffles); the phrase side is a
+ * broadcast by definition (a query set is tiny). The join fans out only
+ * where vocabulary matches — candidates per posting ≤ occurrences of
+ * that word across all phrases — and the match filter is one map-side
+ * combinable count per (doc, phrase, start).
+ */
+object PhraseSearch {
+
+  /**
+   * All phrase matches: `(phrase_id, doc, start)` — token-offset start
+   * of each (possibly overlapping) occurrence. `phrases` must carry
+   * `(phrase_id, phrase)` with space-separated words; matching is on
+   * the same normalized lowercase whitespace tokens as the corpus.
+   */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame): DataFrame = {
+    val postings = docs.select(col(idCol).as("doc"),
+      posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "w")))
+    val terms = phrases
+      .select(col("phrase_id"),
+        split(trim(lower(col("phrase"))), "\\s+").as("ws"))
+      .withColumn("len", size(col("ws")))
+      .select(col("phrase_id"), col("len"),
+        posexplode(col("ws")).as(Seq("idx", "w")))
+    postings
+      .join(broadcast(terms), "w")
+      .select(col("doc"), col("phrase_id"), col("len"),
+        (col("pos") - col("idx")).as("start"))
+      .where(col("start") >= 0L)
+      .groupBy(col("doc"), col("phrase_id"), col("start"))
+      .agg(max(col("len")).as("len"), count(lit(1)).as("hits"))
+      .where(col("hits") === col("len"))
+      .select("phrase_id", "doc", "start")
+  }
+
+  /**
+   * Per-phrase census over [[phraseMatches]]: documents containing the
+   * phrase, total (overlap-counted) occurrences, and the first matching
+   * doc — the result page a phrase query renders.
+   */
+  def phraseCensus(docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame): DataFrame =
+    phrases.select("phrase_id", "phrase")
+      .join(
+        phraseMatches(docs, idCol, textCol, phrases)
+          .groupBy(col("phrase_id"))
+          .agg(countDistinct(col("doc")).as("n_docs"),
+            count(lit(1)).as("n_matches"),
+            min(col("doc")).as("first_doc")),
+        Seq("phrase_id"), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+}

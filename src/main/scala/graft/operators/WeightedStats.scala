@@ -84,4 +84,60 @@ object WeightedStats {
       .withColumn("trimmed_mean",
         col("sum_kept").cast("double") / col("n_kept").cast("double"))
   }
+
+  /**
+   * Winsorized census per key (FEAT3) — the clipping twin of
+   * [[trimmedMean]]: instead of DROPPING the tails, clamp them to the
+   * permille-rank cut values (winsorization, the robust-scaling step a
+   * feature pipeline applies before normalization so one fat-finger
+   * outlier can't own the scale).
+   *
+   * Cut values come from the division-free threshold law (the q144
+   * weighted-median recipe): over the per-key VALUE HISTOGRAM with
+   * cumulative counts,
+   *
+   *   lo = min{ v : 1000·cum(v) ≥ loPermille·n }
+   *   hi = min{ v : 1000·cum(v) ≥ hiPermille·n }
+   *
+   * — integer compares, no interpolation, deterministic under ties
+   * (the cut is a value the data actually contains). The winsorized
+   * mean then sums c(v)·clamp(v, lo, hi) exactly, one DIV at the edge.
+   *
+   * Scale posture: one map-side-combinable histogram aggregate over
+   * however many rows, then windows and the clamp rollup over HISTOGRAM
+   * rows (bounded by the value domain per key, never corpus size) — the
+   * GRAPH5/EVAL3 histogram-frame trick again.
+   */
+  def winsorizedMeans(df: DataFrame, keyCol: String, centsCol: String,
+      loPermille: Int = 10, hiPermille: Int = 990): DataFrame = {
+    require(0 < loPermille && loPermille < hiPermille && hiPermille < 1000,
+      s"need 0 < lo < hi < 1000 permille (got $loPermille, $hiPermille)")
+    val cumW = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keyW = Window.partitionBy(col(keyCol))
+    val hist = df
+      .groupBy(col(keyCol), col(centsCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(keyW))
+      .withColumn("lo", min(when(
+        col("cum") * 1000L >= lit(loPermille.toLong) * col("n"), col("v")))
+        .over(keyW))
+      .withColumn("hi", min(when(
+        col("cum") * 1000L >= lit(hiPermille.toLong) * col("n"), col("v")))
+        .over(keyW))
+    hist
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("lo")).as("lo_cents"),
+        max(col("hi")).as("hi_cents"),
+        sum(when(col("v") < col("lo"), col("c")).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi"), col("c")).otherwise(0L)).as("n_clip_hi"),
+        sum(col("c") * greatest(least(col("v"), col("hi")), col("lo")))
+          .as("_wsum"))
+      .withColumn("wmean_cents", expr("_wsum DIV n"))
+      .select(keyCol, "n", "lo_cents", "hi_cents", "n_clip_lo", "n_clip_hi",
+        "wmean_cents")
+  }
 }

@@ -48,6 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     "q145_ann_recall" -> "the TRUTH side is q19's declared brute-force baseline (that is what recall is measured AGAINST); the approx side and the metric itself are equi-only",
     "q148_ann_multiprobe_recall" -> "same as q145: the truth side is the declared brute-force baseline the multi-probe recall is measured against; probe expansion + candidate join are equi-only",
     "q153_decay_rollup" -> "single-row broadcast: the 1-row corpus max-day reference crossJoins onto the events (1 x rows, structurally bounded)",
+    "q177_loo_target_encoding" -> "single-row broadcast: the (n_all, t_all) global-prior constants crossJoin onto the rows (1 x rows, structurally bounded)",
+    "q184_wasserstein_drift" -> "bounded grid build: the slice frame (dimension-sized) crossJoins onto the value histogram (|values| x |slices|, value-DOMAIN bounded, never corpus rows)",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {

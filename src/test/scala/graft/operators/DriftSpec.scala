@@ -88,6 +88,50 @@ class DriftSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- DRIFT3 1-D Wasserstein ----
+
+  test("wasserstein1: hand-computed grid law") {
+    // A = {0, 10}, B = {100, 110}: same shape shifted +100 -> W1 = 100
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 100L), ("B", 110L))
+      .toDF("slice", "cents")
+    val out = Drift.wasserstein1(df, "slice", "cents")
+      .orderBy("slice").collect()
+    assert(out.map(_.getAs[Long]("w1_num")).toSeq == Seq(400L, 400L))
+    assert(out.map(_.getAs[Double]("w1_cents")).toSeq == Seq(100.0, 100.0))
+  }
+
+  test("wasserstein1: pure translation costs exactly the shift (where TV saturates)") {
+    val rnd = new scala.util.Random(17)
+    val vals = (1 to 200).map(_ => rnd.nextLong(5000))
+    val shift = 777L
+    val rows = vals.map(("A", _)) ++ vals.map(v => ("B", v + shift))
+    val out = Drift.wasserstein1(rows.toDF("slice", "cents"), "slice", "cents")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("w1_cents")).toMap
+    assert(out("A") == shift.toDouble && out("B") == shift.toDouble)
+    // same fixture under TV: completely disjoint supports would read 1.0
+    // regardless of HOW FAR the mass moved — W1 carries the magnitude
+  }
+
+  test("wasserstein1: identical slices drift zero; single slice reports NULL") {
+    val same = Seq(("A", 5L), ("A", 9L), ("B", 5L), ("B", 9L))
+      .toDF("slice", "cents")
+    assert(Drift.wasserstein1(same, "slice", "cents")
+      .collect().forall(_.getAs[Long]("w1_num") == 0L))
+    val solo = Seq(("A", 5L)).toDF("slice", "cents")
+    val r = Drift.wasserstein1(solo, "slice", "cents").head()
+    assert(r.isNullAt(r.fieldIndex("w1_cents")))
+  }
+
+  test("wasserstein1: partitioning invariance") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 300).map(i => (s"s${i % 4}", rnd.nextLong(100)))
+    val df = rows.toDF("slice", "cents")
+    val a = Drift.wasserstein1(df, "slice", "cents").orderBy("slice").collect().toSeq
+    val b = Drift.wasserstein1(df.repartition(7), "slice", "cents")
+      .orderBy("slice").collect().toSeq
+    assert(a == b)
+  }
+
   // ---- DRIFT2 CUSUM ----
 
   private def ts(day: Int, sec: Int) =

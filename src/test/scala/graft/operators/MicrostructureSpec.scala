@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** A23 quote census: hand-computed spread/imbalance/microprice vectors,
+  * locked/crossed counting, and the sign-split division law. */
+class MicrostructureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quoteCensus: hand-computed microprice deviation and imbalance") {
+    // one quote: bid 100, ask 110, bidSz 30, askSz 10.
+    // micro = (100*10 + 110*30)/40 = 107.5, mid = 105 -> dev = +2.5 =
+    // 2_500_000 ucents; imb = (30-10)*1e6 DIV 40 = 500_000.
+    val q = Seq(("k", 100L, 110L, 30L, 10L)).toDF("k", "bid", "ask", "bs", "az")
+    val r = Microstructure.quoteCensus(q, "k", "bid", "ask", "bs", "az").head()
+    assert(r.getAs[Long]("n") == 1L)
+    assert(r.getAs[Long]("mean_spread_cents") == 10L)
+    assert(r.getAs[Long]("mean_imb_ppm") == 500000L)
+    assert(r.getAs[Long]("mean_dev_ucents") == 2500000L)
+  }
+
+  test("quoteCensus: locked and crossed books count; crossed dev flips sign") {
+    val q = Seq(
+      ("k", 100L, 100L, 5L, 5L),   // locked: spread 0, dev 0
+      ("k", 105L, 95L, 30L, 10L),  // crossed: spread -10, heavy bid ->
+                                   // dev = (-10)(20)*1e6/(2*40) = -2.5e6
+    ).toDF("k", "bid", "ask", "bs", "az")
+    val r = Microstructure.quoteCensus(q, "k", "bid", "ask", "bs", "az").head()
+    assert(r.getAs[Long]("n_locked") == 1L && r.getAs[Long]("n_crossed") == 1L)
+    // sums: spread -10 over 2 -> sign-split mean -5; dev -2.5e6/2
+    assert(r.getAs[Long]("mean_spread_cents") == -5L)
+    assert(r.getAs[Long]("mean_dev_ucents") == -1250000L)
+  }
+
+  test("quoteCensus: sign-split division truncates magnitudes (both engines agree)") {
+    // sum_spread = -3 over n = 2: floor gives -2, truncation gives -1;
+    // the sign-split law pins -(3 DIV 2) = -1 on BOTH engines
+    val q = Seq(
+      ("k", 100L, 101L, 1L, 1L),  // spread +1
+      ("k", 102L, 98L, 1L, 1L),   // spread -4
+    ).toDF("k", "bid", "ask", "bs", "az")
+    val r = Microstructure.quoteCensus(q, "k", "bid", "ask", "bs", "az").head()
+    assert(r.getAs[Long]("mean_spread_cents") == -1L)
+  }
+
+  test("quoteCensus: balanced sizes give zero deviation regardless of spread") {
+    val q = Seq(("k", 90L, 130L, 7L, 7L)).toDF("k", "bid", "ask", "bs", "az")
+    val r = Microstructure.quoteCensus(q, "k", "bid", "ask", "bs", "az").head()
+    assert(r.getAs[Long]("mean_dev_ucents") == 0L)
+    assert(r.getAs[Long]("mean_imb_ppm") == 0L)
+    assert(r.getAs[Long]("mean_spread_cents") == 40L)
+  }
+}

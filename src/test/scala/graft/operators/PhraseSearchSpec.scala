@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PHRASE1 positional phrase search: hand match vectors, overlapping
+  * occurrence counting (where substring-replace counting differs by
+  * design), repeated-word phrases, and census semantics. */
+class PhraseSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val phrases = Seq(
+    (1L, "quick brown fox"),
+    (2L, "a a"),
+    (3L, "missing entirely"),
+  ).toDF("phrase_id", "phrase")
+
+  test("phraseMatches: exact token alignment, start offsets, no partials") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "quick brown dog quick brown fox"),
+      (12L, "brown fox quick"), // words present, order wrong -> no match
+    ).toDF("doc_id", "text")
+    val out = PhraseSearch.phraseMatches(docs, "doc_id", "text",
+        phrases.where($"phrase_id" === 1L))
+      .orderBy("doc", "start").collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((10L, 1), (11L, 3)))
+  }
+
+  test("phraseMatches: overlapping occurrences each count (a a a -> two matches of 'a a')") {
+    val docs = Seq((20L, "a a a b a a")).toDF("doc_id", "text")
+    val out = PhraseSearch.phraseMatches(docs, "doc_id", "text",
+        phrases.where($"phrase_id" === 2L))
+      .orderBy("start").collect().map(_.getInt(2)).toSeq
+    // starts 0 and 1 overlap — the positional law counts both; a
+    // substring replace() count would see only one in "a a a"
+    assert(out == Seq(0, 1, 4))
+  }
+
+  test("phraseMatches: case and whitespace normalize like the corpus law") {
+    val docs = Seq((30L, "  The   QUICK brown   fox ")).toDF("doc_id", "text")
+    val out = PhraseSearch.phraseMatches(docs, "doc_id", "text",
+      phrases.where($"phrase_id" === 1L)).collect()
+    assert(out.length == 1 && out.head.getInt(2) == 1)
+  }
+
+  test("phraseCensus: unmatched phrases report zero docs, not missing rows") {
+    val docs = Seq(
+      (1L, "quick brown fox here"), (2L, "a a and quick brown fox")
+    ).toDF("doc_id", "text")
+    val out = PhraseSearch.phraseCensus(docs, "doc_id", "text", phrases)
+      .orderBy("phrase_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_matches"))).toSeq
+    assert(out == Seq((1L, 2L, 2L), (2L, 1L, 1L), (3L, 0L, 0L)))
+  }
+}

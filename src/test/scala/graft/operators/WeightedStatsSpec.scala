@@ -78,4 +78,40 @@ class WeightedStatsSpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  // ---- FEAT3 winsorized means ----
+
+  test("winsorizedMeans: hand-computed cuts, clip counts, and clamped mean") {
+    // 100 values 1..100 at lo=10/hi=990 permille: lo = min{v: cum >= 1}
+    // = 1, hi = min{v: 1000 cum >= 990*100} = 99. Clips: none below 1,
+    // one above 99 (v=100 -> 99). wmean = (sum(1..99) + 99) DIV 100.
+    val df = (1L to 100L).map(v => ("k", v)).toDF("k", "cents")
+    val r = WeightedStats.winsorizedMeans(df, "k", "cents").head()
+    assert(r.getAs[Long]("lo_cents") == 1L)
+    assert(r.getAs[Long]("hi_cents") == 99L)
+    assert(r.getAs[Long]("n_clip_lo") == 0L && r.getAs[Long]("n_clip_hi") == 1L)
+    assert(r.getAs[Long]("wmean_cents") == ((1L to 99L).sum + 99L) / 100L)
+  }
+
+  test("winsorizedMeans: a fat outlier moves the plain mean, not the winsorized one") {
+    val base = (1L to 99L).map(v => ("k", 50L + (v % 3))) // tight cluster
+    val spiked = base :+ (("k", 1000000L))
+    val r = WeightedStats.winsorizedMeans(spiked.toDF("k", "cents"),
+      "k", "cents", loPermille = 10, hiPermille = 950).head()
+    assert(r.getAs[Long]("n_clip_hi") >= 1L)
+    assert(r.getAs[Long]("wmean_cents") <= 53L) // outlier clamped to hi=52-ish
+    val plainMean = (base.map(_._2).sum + 1000000L) / 100L
+    assert(plainMean > 10000L) // the spike owns the plain mean
+  }
+
+  test("winsorizedMeans: repeated-value mass lands cuts on real data values") {
+    // all mass at two values: cuts must be data values, never interpolated
+    val df = (Seq.fill(60)(("k", 10L)) ++ Seq.fill(40)(("k", 20L)))
+      .toDF("k", "cents")
+    val r = WeightedStats.winsorizedMeans(df, "k", "cents",
+      loPermille = 500, hiPermille = 700).head()
+    assert(r.getAs[Long]("lo_cents") == 10L) // cum 60 >= 50
+    assert(r.getAs[Long]("hi_cents") == 20L) // cum 100 >= 70
+    assert(r.getAs[Long]("wmean_cents") == (60L * 10 + 40L * 20) / 100L)
+  }
 }
