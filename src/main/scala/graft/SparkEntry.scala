@@ -3126,6 +3126,67 @@ object SparkEntry {
         .select("phrase_id", "phrase", "n_docs", "first_doc")
         .orderBy(col("phrase_id"))
     }),
+
+    // Q186 — WEB3 canonical-URL dedup census: the URL-level dedup key
+    // (C4/RefinedWeb dedup crawled pages by canonical URL before any
+    // text pass). Five planted raw spellings per logical target —
+    // www-prefixed + trailing slash, http, utm-tagged, upper-case host
+    // + fragment, and a content param mixed with a tracking param —
+    // fold to two canonical classes (base and ?id=9). The census
+    // reports raw occurrences, distinct spellings, and the keep-first
+    // survivor per canonical key.
+    "q186_url_dedup" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      def h(salt: String) = portableHash(
+        concat(lit(salt + ":"), col("doc_id").cast("string")))
+      val tgt = pmod(h("t"), lit(50L)).cast("string")
+      val form = pmod(h("f"), lit(5L))
+      val docs = t(s, dir, "documents").withColumn("aug",
+        concat(col("text"), lit(" "),
+          when(form === 0L, concat(lit("https://www.d"), tgt,
+            lit(".example.com/p/"), tgt, lit("/")))
+          .when(form === 1L, concat(lit("http://d"), tgt,
+            lit(".example.com/p/"), tgt))
+          .when(form === 2L, concat(lit("https://d"), tgt,
+            lit(".example.com/p/"), tgt, lit("?utm_source=x")))
+          .when(form === 3L, concat(lit("https://D"), tgt,
+            lit(".EXAMPLE.com/p/"), tgt, lit("#sec")))
+          .otherwise(concat(lit("https://d"), tgt,
+            lit(".example.com/p/"), tgt, lit("?id=9&utm_c=z")))))
+      graft.operators.WebGraph.urlDedupCensus(
+          graft.operators.WebGraph.extractCanonicalUrls(docs, "aug", "doc_id"),
+          "doc_id")
+        .orderBy(col("canon"))
+    }),
+
+    // Q187 — TXT6 script/charset census per language slice: character-
+    // class composition (ASCII letters / digits / whitespace / CJK
+    // ideographs / residual) in exact ppm — the vocabulary-free
+    // complement of q20's marker-word language ID, and the gate that
+    // catches table dumps (digit-heavy) and mislabeled CJK ingests.
+    // On THIS corpus the census reports cjk_ppm = 0 even for the 'zh'
+    // slice — the synthetic zh docs are romanized ASCII — which is
+    // precisely the mislabeled-ingest signal the audit exists to raise
+    // (a real zh source would carry ~80% CJK mass; the MultimodalSpec-
+    // style hand vector in TextAnalysisSpec pins the CJK counting).
+    "q187_script_census" -> ((s, dir) =>
+      TextAnalysis.scriptCensus(t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("lang"))),
+
+    // Q188 — EVAL4 exact Kendall tau-b: do token count and char count
+    // RANK documents the same way per source (they should — near-
+    // perfect concordance is the designed fixture)? Pair counting runs
+    // on the joint score HISTOGRAM (cells self-join per key, volume
+    // bounded by the score domains, corpus-independent), tie terms from
+    // the marginals in closed form, integers until the two √ at the
+    // edge.
+    "q188_kendall_tau" -> ((s, dir) => {
+      val d = TextAnalysis.withTokenCounts(t(s, dir, "documents"), "text")
+      graft.operators.Ranking.kendallTau(
+          d.select(col("source"), col("ws_tokens"), col("n_chars")),
+          "source", "ws_tokens", "n_chars")
+        .orderBy(col("source"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -6248,6 +6309,82 @@ object SparkEntry {
           |SELECT ph.phrase_id, ph.phrase,
           |  CAST(COALESCE(g.n_docs, 0) AS BIGINT) AS n_docs, g.first_doc
           |FROM ph LEFT JOIN g USING (phrase_id, phrase) ORDER BY phrase_id""".stripMargin,
+
+      // identical five-spelling plant; identical canonical fold (scheme
+      // drop, www/fragment/trailing-slash strip, utm_* param drop)
+      "q186_url_dedup" ->
+        """WITH d AS (SELECT doc_id, text,
+          |    CAST(('0x'||substr(md5('t:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 50 AS VARCHAR) AS tg,
+          |    ('0x'||substr(md5('f:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 5 AS form
+          |  FROM documents),
+          |a AS (SELECT doc_id, text || ' ' ||
+          |    CASE form
+          |      WHEN 0 THEN 'https://www.d' || tg || '.example.com/p/' || tg || '/'
+          |      WHEN 1 THEN 'http://d' || tg || '.example.com/p/' || tg
+          |      WHEN 2 THEN 'https://d' || tg || '.example.com/p/' || tg || '?utm_source=x'
+          |      WHEN 3 THEN 'https://D' || tg || '.EXAMPLE.com/p/' || tg || '#sec'
+          |      ELSE 'https://d' || tg || '.example.com/p/' || tg || '?id=9&utm_c=z'
+          |    END AS aug FROM d),
+          |u AS (SELECT doc_id,
+          |    unnest(regexp_extract_all(aug, '(https?://[^\s]+)', 1)) AS url FROM a),
+          |c AS (SELECT doc_id, url,
+          |    regexp_replace(lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)), '^www\.', '')
+          |    || regexp_replace(regexp_extract(url, 'https?://[A-Za-z0-9.-]+(/[^?#\s]*)', 1), '/+$', '')
+          |    || CASE WHEN k <> '' THEN '?' || k ELSE '' END AS canon
+          |  FROM (SELECT doc_id, url,
+          |      array_to_string(list_filter(str_split(regexp_extract(url, '\?([^#\s]*)', 1), '&'),
+          |        p -> NOT starts_with(p, 'utm_') AND p <> ''), '&') AS k FROM u))
+          |SELECT canon, CAST(count(*) AS BIGINT) AS n_raw,
+          |  CAST(count(DISTINCT url) AS BIGINT) AS n_spellings,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  CAST(min(doc_id) AS BIGINT) AS first_doc
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same char classes; the CJK range is the literal U+4E00..U+9FFF
+      // pair on both engines
+      "q187_script_census" ->
+        """WITH c AS (SELECT lang, CAST(len(lower(text)) AS BIGINT) AS nch,
+          |    CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT) AS l,
+          |    CAST(len(regexp_extract_all(lower(text), '[0-9]')) AS BIGINT) AS dg,
+          |    CAST(len(regexp_extract_all(lower(text), '\s')) AS BIGINT) AS sp,
+          |    CAST(len(regexp_extract_all(lower(text), '[一-鿿]')) AS BIGINT) AS cj
+          |  FROM documents)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(nch) AS BIGINT) AS n_chars,
+          |  CAST(sum(l) * 1000000 // sum(nch) AS BIGINT) AS latin_ppm,
+          |  CAST(sum(dg) * 1000000 // sum(nch) AS BIGINT) AS digit_ppm,
+          |  CAST(sum(sp) * 1000000 // sum(nch) AS BIGINT) AS space_ppm,
+          |  CAST(sum(cj) * 1000000 // sum(nch) AS BIGINT) AS cjk_ppm,
+          |  CAST((sum(nch) - sum(l) - sum(dg) - sum(sp) - sum(cj)) * 1000000 // sum(nch) AS BIGINT) AS other_ppm
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the joint-histogram tau-b law: cells self-join on strict x
+      // order, tie terms from marginals, two sqrt at the edge in the
+      // same operation order
+      "q188_kendall_tau" ->
+        """WITH d AS (SELECT source,
+          |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS x,
+          |    CAST(n_chars AS BIGINT) AS y FROM documents),
+          |cells AS (SELECT source, x, y, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2, 3),
+          |p AS (SELECT a.source,
+          |    sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS nc,
+          |    sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS nd
+          |  FROM cells a JOIN cells b ON a.source = b.source AND a.x < b.x GROUP BY 1),
+          |tx AS (SELECT source, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_x
+          |  FROM (SELECT source, x, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+          |ty AS (SELECT source, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_y
+          |  FROM (SELECT source, y, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+          |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+          |    CAST(sum(c) * (sum(c) - 1) // 2 AS BIGINT) AS n0 FROM cells GROUP BY 1)
+          |SELECT source, n,
+          |  CAST(COALESCE(nc, 0) AS BIGINT) AS nc, CAST(COALESCE(nd, 0) AS BIGINT) AS nd,
+          |  ties_x, ties_y,
+          |  CASE WHEN n0 = ties_x OR n0 = ties_y THEN NULL
+          |       ELSE CAST(COALESCE(nc, 0) - COALESCE(nd, 0) AS DOUBLE)
+          |         / sqrt(CAST(n0 - ties_x AS DOUBLE)) / sqrt(CAST(n0 - ties_y AS DOUBLE))
+          |  END AS tau_b
+          |FROM tot LEFT JOIN p USING (source) JOIN tx USING (source) JOIN ty USING (source)
+          |ORDER BY source""".stripMargin,
     )
   }
 }

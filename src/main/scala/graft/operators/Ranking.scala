@@ -91,4 +91,69 @@ object Ranking {
       .select(col("q").as(queryCol), col("k_truth"), col("k_approx"),
         col("n_hits"), col("first_hit_rank"), col("recall_ppm"))
   }
+
+  /**
+   * Exact Kendall tau-b rank agreement per key (EVAL4) — do two scoring
+   * columns ORDER a population the same way? The pairwise complement of
+   * q56's Pearson (which measures linear co-movement, not agreement)
+   * and the metric for "do my lexical and semantic rankers agree":
+   *
+   *   tau_b = (nc − nd) / √(n₀−n₁) / √(n₀−n₂)
+   *
+   * with nc/nd the concordant/discordant pair counts, n₀ = n(n−1)/2,
+   * n₁/n₂ the x-tie/y-tie pair counts. Everything except the two √ is
+   * exact integer arithmetic (DECIMAL(38,0)-widened products).
+   *
+   * Pair counting runs on the JOINT SCORE HISTOGRAM, never raw rows:
+   * cells (x, y, c) self-join per key on the strict x₁ < x₂ residual,
+   * so the pair volume is |cells|² bounded by the score DOMAINS
+   * (corpus-independent — the EVAL3/GRAPH5 histogram trick applied to
+   * pair statistics). Tie terms come from the x/y marginals in closed
+   * form, no pair join at all. Keys with all-tied x or y report NULL
+   * (tau undefined), not a division blowup.
+   */
+  def kendallTau(scored: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = scored
+      .groupBy(col(keyCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // reused four times below; cells are tiny
+    val pairs = cells.as("a")
+      .join(cells.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col("a.x") < col("b.x"))
+      .groupBy(col(s"a.$keyCol").as(keyCol))
+      .agg(
+        sum(when(col("a.y") < col("b.y"),
+          expr("CAST(a.c AS DECIMAL(38,0)) * b.c")).otherwise(expr("CAST(0 AS DECIMAL(38,0))")))
+          .as("nc"),
+        sum(when(col("a.y") > col("b.y"),
+          expr("CAST(a.c AS DECIMAL(38,0)) * b.c")).otherwise(expr("CAST(0 AS DECIMAL(38,0))")))
+          .as("nd"))
+    def tiePairs(marginal: String) = cells
+      .groupBy(col(keyCol), col(marginal))
+      .agg(sum(col("c")).as("t"))
+      .groupBy(col(keyCol))
+      .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1) DIV 2")).as(s"n_$marginal"))
+    val totals = cells.groupBy(col(keyCol))
+      .agg(sum(col("c")).as("n"))
+      .withColumn("n0", expr("CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2"))
+    totals
+      .join(pairs, Seq(keyCol), "left") // all-x-tied keys have no pairs
+      .withColumn("nc", coalesce(col("nc"), lit(0L).cast("decimal(38,0)")))
+      .withColumn("nd", coalesce(col("nd"), lit(0L).cast("decimal(38,0)")))
+      .join(tiePairs("x"), keyCol)
+      .join(tiePairs("y"), keyCol)
+      .select(col(keyCol), col("n"),
+        col("nc").cast("long").as("nc"), col("nd").cast("long").as("nd"),
+        col("n_x").cast("long").as("ties_x"),
+        col("n_y").cast("long").as("ties_y"),
+        when(col("n0") === col("n_x") || col("n0") === col("n_y"),
+          lit(null).cast("double"))
+          .otherwise((col("nc") - col("nd")).cast("double") /
+            sqrt((col("n0") - col("n_x")).cast("double")) /
+            sqrt((col("n0") - col("n_y")).cast("double")))
+          .as("tau_b"))
+  }
 }

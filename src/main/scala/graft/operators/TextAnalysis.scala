@@ -156,4 +156,44 @@ object TextAnalysis {
         sum(col("c") * col("c")).as("s2"))
       .withColumn("impurity_ppm",
         lit(1000000L) - expr("((s2 DIV n_tokens) * 1000000) DIV n_tokens"))
+
+  /**
+   * Script/charset census per slice (TXT6) — the character-class
+   * composition a crawl-quality gate reads before any tokenizer sees
+   * the text: a "Latin" document that is 40% digits is a table dump, a
+   * CJK share above zero in an "en" source is a mislabeled ingest, and
+   * the residual class catches mojibake and control garbage. This is
+   * the character-level complement of T1's word-marker language ID
+   * (fast, vocabulary-free, and robust to unknown languages).
+   *
+   * Counts are `regexp_count` projections over lowercased text — ASCII
+   * letters, digits, whitespace, CJK unified ideographs — with the
+   * residual as total minus the named classes; everything sums exactly
+   * and leaves as ppm of total characters via DIV. Pure map-side; one
+   * aggregate per slice; text never shuffles.
+   */
+  def scriptCensus(docs: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    docs
+      .select(col(sliceCol),
+        length(t).cast("long").as("nch"),
+        regexp_count(t, lit("[a-z]")).cast("long").as("latin"),
+        regexp_count(t, lit("[0-9]")).cast("long").as("digit"),
+        regexp_count(t, lit("\\s")).cast("long").as("space"),
+        regexp_count(t, lit("[一-鿿]")).cast("long").as("cjk"))
+      .groupBy(col(sliceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nch")).as("n_chars"),
+        sum(col("latin")).as("_l"), sum(col("digit")).as("_d"),
+        sum(col("space")).as("_s"), sum(col("cjk")).as("_c"))
+      .withColumn("latin_ppm", expr("_l * 1000000 DIV n_chars"))
+      .withColumn("digit_ppm", expr("_d * 1000000 DIV n_chars"))
+      .withColumn("space_ppm", expr("_s * 1000000 DIV n_chars"))
+      .withColumn("cjk_ppm", expr("_c * 1000000 DIV n_chars"))
+      .withColumn("other_ppm", expr(
+        "(n_chars - _l - _d - _s - _c) * 1000000 DIV n_chars"))
+      .select(sliceCol, "n_docs", "n_chars", "latin_ppm", "digit_ppm",
+        "space_ppm", "cjk_ppm", "other_ppm")
+  }
 }

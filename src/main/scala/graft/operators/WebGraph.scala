@@ -55,4 +55,58 @@ object WebGraph {
         count(lit(1)).as("n_links"),
         countDistinct(col(docCol)).as("n_docs"),
         countDistinct(col(siteCol)).as("n_sites"))
+
+  /**
+   * Full-URL extraction + canonicalization (WEB3) — the URL-level dedup
+   * key (C4 and RefinedWeb dedup crawled pages by canonical URL before
+   * any text pass). One row per URL with `canon`, folding the raw
+   * variants a crawler actually sees onto one key:
+   *
+   *   - scheme dropped (http ≡ https),
+   *   - host lowercased, one leading `www.` label stripped,
+   *   - fragment dropped (`#…` is client-side),
+   *   - trailing path slashes stripped (`/p/7/` ≡ `/p/7`),
+   *   - `utm_*` tracking params dropped, OTHER params kept in order
+   *     (an `id=9` is content-addressing; reordering is a policy choice
+   *     this fold deliberately does not make).
+   *
+   * All pieces are regexp/array projections in the Java∩RE2 subset —
+   * the one higher-order `filter` runs over a handful of query params,
+   * nowhere near a hot loop. Pages with no URLs contribute nothing.
+   */
+  def extractCanonicalUrls(docs: DataFrame, textCol: String,
+      keyCols: String*): DataFrame =
+    docs
+      .select(keyCols.map(col) :+
+        explode(regexp_extract_all(col(textCol),
+          lit("""(https?://[^\s]+)"""), lit(1))).as("url"): _*)
+      .withColumn("_host", regexp_replace(
+        lower(regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1)),
+        "^www\\.", ""))
+      .withColumn("_path", regexp_replace(
+        regexp_extract(col("url"), "https?://[A-Za-z0-9.-]+(/[^?#\\s]*)", 1),
+        "/+$", ""))
+      .withColumn("_kept", array_join(expr(
+        "filter(split(regexp_extract(url, '\\\\?([^#\\\\s]*)', 1), '&')," +
+          " p -> NOT startswith(p, 'utm_') AND p != '')"), "&"))
+      .withColumn("canon", concat(col("_host"), col("_path"),
+        when(col("_kept") =!= "", concat(lit("?"), col("_kept")))
+          .otherwise(lit(""))))
+      .drop("_host", "_path", "_kept")
+
+  /**
+   * Canonical-URL dedup census over [[extractCanonicalUrls]] rows:
+   * per canonical key, raw occurrences, distinct raw spellings,
+   * distinct documents, and the keep-first survivor doc — the report a
+   * URL-level dedup pass acts on (everything but `first_doc`'s row of
+   * each canonical group is a re-crawl duplicate).
+   */
+  def urlDedupCensus(urls: DataFrame, docCol: String): DataFrame =
+    urls
+      .groupBy(col("canon"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        countDistinct(col("url")).as("n_spellings"),
+        countDistinct(col(docCol)).as("n_docs"),
+        min(col(docCol)).as("first_doc"))
 }

@@ -59,4 +59,54 @@ class RankingSpec extends SparkSpec {
       2L -> ((2L, 2L, 2L, 1L, 1000000L)),
       3L -> ((1L, 0L, 0L, -1L, 0L))))
   }
+
+  // ---- EVAL4 Kendall tau-b ----
+
+  /** Brute-force tau-b ingredients over raw (x, y) pairs. */
+  private def tauBrute(xs: Seq[(Long, Long)]) = {
+    var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L
+    for (i <- xs.indices; j <- xs.indices if i < j) {
+      val ((x1, y1), (x2, y2)) = (xs(i), xs(j))
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) nc += 1 else nd += 1
+      }
+      if (x1 == x2) tx += 1
+      if (y1 == y2) ty += 1
+    }
+    (nc, nd, tx, ty)
+  }
+
+  test("kendallTau: matches brute force incl. ties on a random cloud") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(59)
+    val xs = (1 to 150).map { _ =>
+      val x = rnd.nextLong(12); (x, x / 2 + rnd.nextLong(6)) // correlated, tied-heavy
+    }
+    val df = xs.map { case (x, y) => ("k", x, y) }.toDF("k", "x", "y")
+    val r = Ranking.kendallTau(df, "k", "x", "y").head()
+    val (nc, nd, tx, ty) = tauBrute(xs)
+    assert(r.getAs[Long]("nc") == nc && r.getAs[Long]("nd") == nd)
+    assert(r.getAs[Long]("ties_x") == tx && r.getAs[Long]("ties_y") == ty)
+    val n0 = 150L * 149L / 2L
+    val expect = (nc - nd).toDouble / math.sqrt((n0 - tx).toDouble) /
+      math.sqrt((n0 - ty).toDouble)
+    assert(math.abs(r.getAs[Double]("tau_b") - expect) < 1e-12)
+    assert(r.getAs[Double]("tau_b") > 0.5) // the fixture is correlated
+    // partitioning invariance of the histogram law
+    val r2 = Ranking.kendallTau(df.repartition(7, col("x")), "k", "x", "y").head()
+    assert(r.getAs[Long]("nc") == r2.getAs[Long]("nc") &&
+      r.getAs[Double]("tau_b") == r2.getAs[Double]("tau_b"))
+  }
+
+  test("kendallTau: perfect order 1, reversed order -1, all-tied NULL") {
+    val asc = (1L to 20L).map(i => ("a", i, i * 3))
+    val desc = (1L to 20L).map(i => ("d", i, 100L - i))
+    val tied = (1L to 5L).map(_ => ("t", 7L, 7L))
+    val out = Ranking.kendallTau((asc ++ desc ++ tied).toDF("k", "x", "y"),
+      "k", "x", "y").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("tau_b") == 1.0)
+    assert(out("d").getAs[Double]("tau_b") == -1.0)
+    assert(out("t").isNullAt(out("t").fieldIndex("tau_b")))
+    assert(out("t").getAs[Long]("n") == 5L) // the key still reports
+  }
 }

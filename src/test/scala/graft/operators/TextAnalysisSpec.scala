@@ -94,4 +94,27 @@ class TextAnalysisSpec extends SparkSpec {
       ("s1", 5L, 2L, 13L, 600000L),
       ("s2", 3L, 1L, 9L, 0L)))
   }
+
+  test("scriptCensus: hand-counted char classes; CJK and residual split") {
+    // "Ab1 的!" lowercased = "ab1 的!" -> 6 chars: 2 latin, 1 digit,
+    // 1 space, 1 CJK, 1 other
+    val docs = Seq(("x", "Ab1 的!")).toDF("lang", "text")
+    val r = TextAnalysis.scriptCensus(docs, "lang", "text").head()
+    assert(r.getAs[Long]("n_chars") == 6L)
+    assert(r.getAs[Long]("latin_ppm") == 2L * 1000000 / 6)
+    assert(r.getAs[Long]("digit_ppm") == 1000000L / 6)
+    assert(r.getAs[Long]("space_ppm") == 1000000L / 6)
+    assert(r.getAs[Long]("cjk_ppm") == 1000000L / 6)
+    assert(r.getAs[Long]("other_ppm") == 1000000L / 6)
+  }
+
+  test("scriptCensus: pure-ASCII text reports zero cjk and zero other") {
+    // 15 letters + 5 spaces = 20 chars: shares divide 10^6 exactly
+    val docs = Seq(("en", "abc def ghi jkl mno ")).toDF("lang", "text")
+    val r = TextAnalysis.scriptCensus(docs, "lang", "text").head()
+    assert(r.getAs[Long]("cjk_ppm") == 0L)
+    assert(r.getAs[Long]("other_ppm") == 0L)
+    assert(r.getAs[Long]("latin_ppm") == 750000L)
+    assert(r.getAs[Long]("space_ppm") == 250000L)
+  }
 }

@@ -45,4 +45,44 @@ class WebGraphSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(("d.com", 4L, 3L, 2L), ("only.net", 1L, 1L, 1L)))
   }
+
+  test("extractCanonicalUrls: the five raw spellings fold per the canonical law") {
+    val docs = Seq(
+      (1L, "a https://www.D.example.com/p/7/ b"),
+      (2L, "a http://d.example.com/p/7 b"),
+      (3L, "a https://d.example.com/p/7?utm_source=x b"),
+      (4L, "a https://D.EXAMPLE.com/p/7#sec b"),
+      (5L, "a https://d.example.com/p/7?id=9&utm_c=z b"),
+      (6L, "a https://d.example.com/p/7?utm_a=1&id=9&utm_b=2 b"),
+    ).toDF("doc_id", "text")
+    val out = WebGraph.extractCanonicalUrls(docs, "text", "doc_id")
+      .orderBy("doc_id").select("canon").as[String].collect().toSeq
+    assert(out == Seq(
+      "d.example.com/p/7", "d.example.com/p/7", "d.example.com/p/7",
+      "d.example.com/p/7", "d.example.com/p/7?id=9", "d.example.com/p/7?id=9"))
+  }
+
+  test("extractCanonicalUrls: bare-host URL, multi-param order preserved") {
+    val docs = Seq(
+      (1L, "x https://Site.org y"),               // no path at all
+      (2L, "x https://s.org/a?b=1&utm_z=0&c=2 y"), // keeps b=1&c=2 in order
+    ).toDF("doc_id", "text")
+    val out = WebGraph.extractCanonicalUrls(docs, "text", "doc_id")
+      .orderBy("doc_id").select("canon").as[String].collect().toSeq
+    assert(out == Seq("site.org", "s.org/a?b=1&c=2"))
+  }
+
+  test("urlDedupCensus: raw vs spelling vs doc counts and keep-first") {
+    val urls = Seq(
+      (3L, "https://a.com/x", "a.com/x"),
+      (1L, "https://a.com/x", "a.com/x"),  // same spelling, earlier doc
+      (2L, "http://www.a.com/x/", "a.com/x"),
+      (9L, "https://b.net/", "b.net"),
+    ).toDF("doc_id", "url", "canon")
+    val out = WebGraph.urlDedupCensus(urls, "doc_id")
+      .orderBy("canon").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(("a.com/x", 3L, 2L, 3L, 1L), ("b.net", 1L, 1L, 1L, 9L)))
+  }
 }
