@@ -3187,6 +3187,40 @@ object SparkEntry {
           "source", "ws_tokens", "n_chars")
         .orderBy(col("source"))
     }),
+
+    // Q189 — A24 seasonal decomposition, period 7: the classical
+    // additive split x = trend + seasonal + remainder with denominators
+    // CLEARED instead of divided (d7 = 7x − Σ₇x, weekday means as exact
+    // sign-split milli-units) — q181 DETECTS weekly seasonality, this
+    // MEASURES its amplitude and sizes what's left. Same planted
+    // +weekday·10⁵ ladder on 'view': its amplitude reads ~6·10⁵ cents
+    // with the other types near their noise floor.
+    "q189_seasonal_decompose" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents0"))
+        .withColumn("cents", col("cents0") +
+          when(col("event_type") === "view",
+            weekday(col("day")).cast("long") * 100000L).otherwise(0L))
+      graft.operators.Rolling.seasonalDecompose(daily, "event_type",
+          "day", "cents")
+        .orderBy(col("event_type"))
+    }),
+
+    // Q190 — SK4 Good–Turing frequency-of-frequencies over word
+    // TRIGRAMS (the n-gram LM domain — unigrams on this 30-word
+    // vocabulary all occur thousands of times, trigrams have a real
+    // hapax tail): N_r, mass r·N_r, the adjusted count r* ppm, the
+    // unseen-mass estimate p₀ = N₁/N, and the r = −1 tail rollup so no
+    // mass silently drops. Everything after the token count runs on
+    // ≤ maxR+1 rows.
+    "q190_good_turing" -> ((s, dir) => {
+      import graft.functions.TextFunctions.wordGrams
+      val toks = t(s, dir, "documents")
+        .select(explode(wordGrams(col("text"), 3)).as("tok"))
+      graft.operators.Vocabulary.goodTuring(toks, "tok", maxR = 15)
+        .orderBy(col("r"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -6385,6 +6419,59 @@ object SparkEntry {
           |  END AS tau_b
           |FROM tot LEFT JOIN p USING (source) JOIN tx USING (source) JOIN ty USING (source)
           |ORDER BY source""".stripMargin,
+
+      // the cleared-denominator decomposition: d7 = 7x − Σ₇x, weekday
+      // means in sign-split milli-units, amp/remainder re-scaled by
+      // 7000; isodow−1 = Spark weekday (q85 bridge)
+      "q189_seasonal_decompose" ->
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) +
+          |      CASE WHEN event_type = 'view'
+          |           THEN (isodow(CAST(ts AS DATE)) - 1) * 100000 ELSE 0 END AS cents
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |f AS (SELECT event_type, day, cents, count(*) OVER w AS n7, sum(cents) OVER w AS s7
+          |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+          |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |g AS (SELECT event_type, day, cents * 7 - s7 AS d7, isodow(day) - 1 AS wd
+          |  FROM f WHERE n7 = 7),
+          |se AS (SELECT event_type, wd, CAST(sum(d7) AS BIGINT) AS sw,
+          |    CAST(count(*) AS BIGINT) AS nw FROM g GROUP BY 1, 2),
+          |sm AS (SELECT event_type, wd,
+          |    CASE WHEN sw < 0 THEN -((-sw) * 1000 // nw) ELSE sw * 1000 // nw END AS m1000
+          |  FROM se),
+          |amp AS (SELECT event_type, CAST((max(m1000) - min(m1000)) // 7000 AS BIGINT)
+          |    AS seasonal_amp_cents FROM sm GROUP BY 1),
+          |r AS (SELECT g.event_type, CAST(count(*) AS BIGINT) AS n_full,
+          |    CAST(max(abs(g.d7 * 1000 - sm.m1000)) // 7000 AS BIGINT) AS max_abs_rem_cents
+          |  FROM g JOIN sm ON g.event_type = sm.event_type AND g.wd = sm.wd GROUP BY 1),
+          |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+          |SELECT nd.event_type, n_days, n_full, seasonal_amp_cents, max_abs_rem_cents
+          |FROM nd LEFT JOIN r USING (event_type) LEFT JOIN amp USING (event_type)
+          |ORDER BY event_type""".stripMargin,
+
+      // trigram frequency-of-frequencies; r+1 probe is a left self-join
+      // on the N_r frame; tail rolls into r = −1
+      "q190_good_turing" ->
+        """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |g0 AS (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM w),
+          |g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok FROM g0),
+          |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS r FROM g GROUP BY 1),
+          |ff AS (SELECT r, CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY 1),
+          |tot AS (SELECT CAST(sum(r * n_types) AS BIGINT) AS n_tokens,
+          |    CAST(sum(CASE WHEN r = 1 THEN n_types ELSE 0 END) AS BIGINT) AS n1 FROM ff),
+          |head AS (SELECT a.r, a.n_types, a.r * a.n_types AS mass,
+          |    CASE WHEN b.n_types IS NULL THEN NULL
+          |         ELSE CAST((a.r + 1) * b.n_types * 1000000 // a.n_types AS BIGINT)
+          |    END AS gt_r_ppm
+          |  FROM ff a LEFT JOIN ff b ON b.r = a.r + 1 WHERE a.r <= 15),
+          |tl AS (SELECT CAST(-1 AS BIGINT) AS r, CAST(sum(n_types) AS BIGINT) AS n_types,
+          |    CAST(sum(r * n_types) AS BIGINT) AS mass, NULL AS gt_r_ppm
+          |  FROM ff WHERE r > 15 HAVING count(*) > 0),
+          |u AS (SELECT * FROM head UNION ALL SELECT * FROM tl)
+          |SELECT u.r, u.n_types, CAST(u.mass AS BIGINT) AS mass,
+          |  CAST(u.gt_r_ppm AS BIGINT) AS gt_r_ppm,
+          |  CAST(n1 * 1000000 // n_tokens AS BIGINT) AS p0_ppm
+          |FROM u CROSS JOIN tot ORDER BY u.r""".stripMargin,
     )
   }
 }

@@ -298,4 +298,69 @@ object Rolling {
       .select(keyCol, "n_eval", "mae_naive_cents", "mae_snaive_cents",
         "mase_ppm")
   }
+
+  /**
+   * Classical seasonal decomposition, period-7 (A24) — the STL-shaped
+   * additive split x = trend + seasonal + remainder in exact integer
+   * arithmetic, reported per key as the diagnostic a forecasting /
+   * anomaly pipeline reads before choosing a model (FC1 *detects*
+   * seasonality; this *measures* it and sizes what's left):
+   *
+   *   trend_t    = centered 7-day mean (full windows only — the
+   *                standard moving-average trend, edges dropped)
+   *   seasonal_w = per-weekday mean of (x − trend)
+   *   remainder  = x − trend − seasonal_{w(t)}
+   *
+   * To keep everything integer-exact across engines, the law clears
+   * denominators instead of dividing: d7 = 7x − Σ₇x (7·detrended),
+   * per-weekday mean of d7 as the exact pair (S_w = Σd7, n_w), and the
+   * remainder test scales through 7·n_w. Every division that does
+   * happen is SIGN-SPLIT (detrended values are signed; truncating DIV
+   * vs flooring `//` disagree below zero — the A23 discipline).
+   *
+   * Report: (key, n_days, n_full, seasonal_amp_cents = (max_w S_w/n_w −
+   * min_w S_w/n_w)/7 in sign-split cents, max_abs_rem_cents). A key
+   * whose amp dwarfs its remainder is seasonal; the reverse is noise.
+   *
+   * Scale posture: input is the per-(key, day) rollup (already tiny);
+   * one key shuffle carries the centered window, the weekday aggregate
+   * and the final rollup. The weekday frame is ≤ 7 rows per key.
+   */
+  def seasonalDecompose(daily: DataFrame, keyCol: String, dayCol: String,
+      centsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(-3, 3)
+    val full = daily
+      .withColumn("_c", col(centsCol).cast("long"))
+      .withColumn("_n7", count(lit(1)).over(w))
+      .withColumn("_s7", sum(col("_c")).over(w))
+      .where(col("_n7") === 7L) // full centered windows only
+      .withColumn("d7", col("_c") * 7L - col("_s7")) // 7·(x − trend)
+      .withColumn("wd", weekday(col(dayCol)).cast("long"))
+    val seasonal = full
+      .groupBy(col(keyCol), col("wd"))
+      .agg(sum(col("d7")).as("sw"), count(lit(1)).as("nw"))
+      // exact weekday mean of d7 in sign-split milli-units: the ×1000
+      // keeps resolution through the DIV without leaving integers
+      .withColumn("m1000", expr(
+        """CASE WHEN sw < 0 THEN -((-sw) * 1000 DIV nw)
+          |     ELSE sw * 1000 DIV nw END""".stripMargin))
+    val amp = seasonal
+      .groupBy(col(keyCol))
+      .agg(expr("(MAX(m1000) - MIN(m1000)) DIV 7000")
+        .as("seasonal_amp_cents"))
+    val rem = full
+      .join(seasonal.select(col(keyCol), col("wd"), col("m1000")),
+        Seq(keyCol, "wd"))
+      // 7000·remainder = 1000·(d7 − mean_w d7) = 1000·d7 − m1000
+      .withColumn("rem7k", col("d7") * 1000L - col("m1000"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_full"),
+        expr("MAX(ABS(rem7k)) DIV 7000").as("max_abs_rem_cents"))
+    daily.groupBy(col(keyCol)).agg(count(lit(1)).as("n_days"))
+      .join(rem, Seq(keyCol), "left")
+      .join(amp, Seq(keyCol), "left")
+      .select(keyCol, "n_days", "n_full", "seasonal_amp_cents",
+        "max_abs_rem_cents")
+  }
 }

@@ -203,4 +203,58 @@ object Vocabulary {
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
   }
+
+  /**
+   * Good–Turing frequency-of-frequencies census (SK4) — the smoothing
+   * table an n-gram LM or a vocabulary-truncation decision reads: N_r =
+   * how many types occur exactly r times, with the Good–Turing adjusted
+   * count r* = (r+1)·N_{r+1}/N_r and the unseen-mass estimate
+   * p₀ = N₁/N (Gale & Sampson's "leave-one-out" identity). A corpus
+   * whose N₁ share is high is mostly hapax legomena — more data will
+   * keep surprising the model; a low p₀ says the vocabulary has
+   * converged. The same table is the empirical Zipf tail (N_r ~ r^−2
+   * for natural text), so a bent tail flags synthetic or template data.
+   *
+   * Exact law: all counts are exact integers; r* leaves as
+   * `gt_r_ppm = (r+1)·N_{r+1}·10⁶ DIV N_r` (NULL where N_{r+1} = 0 —
+   * the raw estimator is undefined there; smoothing N_r itself is a
+   * modeling choice left to the caller), p₀ as `p0_ppm = N₁·10⁶ DIV N`
+   * on every row (the ece_ppm convention).
+   *
+   * Scale posture: one corpus-proportional token count (map-side
+   * combinable), one vocabulary-proportional rollup to the N_r frame,
+   * then everything — the r+1 self-join included — runs on ≤ maxR
+   * rows. Types with r > maxR aggregate into one `r = −1` tail row
+   * (count + mass) so the report never silently drops mass.
+   */
+  def goodTuring(tokens: DataFrame, tokCol: String, maxR: Int = 15): DataFrame = {
+    require(maxR >= 2, s"maxR must be >= 2 (got $maxR)")
+    val counts = tokens
+      .groupBy(col(tokCol).as("tok")).agg(count(lit(1)).as("r"))
+    val freqOfFreq = counts.groupBy(col("r")).agg(count(lit(1)).as("n_types"))
+      .localCheckpoint(false) // tiny; reused for the r+1 probe + totals
+    val totals = freqOfFreq.agg(
+      sum(col("r") * col("n_types")).as("n_tokens"),
+      sum(when(col("r") === 1L, col("n_types")).otherwise(0L)).as("n1"))
+    val head = freqOfFreq.where(col("r") <= maxR)
+      .join(freqOfFreq.select((col("r") - 1L).as("r"),
+        col("n_types").as("n_next")), Seq("r"), "left")
+    val tail = freqOfFreq.where(col("r") > maxR)
+      .agg(count(lit(1)).cast("long").as("_nrows"),
+        coalesce(sum(col("n_types")), lit(0L)).as("n_types"),
+        coalesce(sum(col("r") * col("n_types")), lit(0L)).as("mass"))
+      .where(col("_nrows") > 0L)
+      .select(lit(-1L).as("r"), col("n_types"), col("mass"),
+        lit(null).cast("long").as("gt_r_ppm"))
+    head
+      .withColumn("mass", col("r") * col("n_types"))
+      .withColumn("gt_r_ppm",
+        when(col("n_next").isNull, lit(null).cast("long"))
+          .otherwise(expr("(r + 1) * n_next * 1000000 DIV n_types")))
+      .select("r", "n_types", "mass", "gt_r_ppm")
+      .unionByName(tail)
+      .crossJoin(broadcast(totals))
+      .withColumn("p0_ppm", expr("n1 * 1000000 DIV n_tokens"))
+      .select("r", "n_types", "mass", "gt_r_ppm", "p0_ppm")
+  }
 }

@@ -108,4 +108,37 @@ class VocabularySpec extends SparkSpec {
     val s2 = out(1).getAs[Double]("score")
     assert(s2 > s1 && s2 < 2.0 * s1)
   }
+
+  // ---- SK4 Good–Turing ----
+
+  test("goodTuring: hand-computed N_r table, r*, p0, and tail rollup") {
+    // tokens: a×1, b×1, c×2, d×2, e×2, f×3, g×20 (tail)
+    val toks = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d") ++ Seq.fill(2)("e") ++ Seq.fill(3)("f") ++
+      Seq.fill(20)("g")).map(Tuple1(_)).toDF("tok")
+    val out = Vocabulary.goodTuring(toks, "tok", maxR = 5)
+      .orderBy("r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+    // N1=2 N2=3 N3=1; N=31, p0 = 2e6 DIV 31 = 64516
+    assert(out.toSeq == Seq(
+      (-1L, 1L, 20L, None, 64516L),            // tail: g
+      (1L, 2L, 2L, Some(2L * 3 * 1000000 / 2), 64516L), // r*=(2)(3)/2
+      (2L, 3L, 6L, Some(3L * 1 * 1000000 / 3), 64516L),
+      (3L, 1L, 3L, None, 64516L)))             // N4 = 0 -> NULL
+  }
+
+  test("goodTuring: no tail row when nothing exceeds maxR") {
+    val toks = Seq("a", "a", "b").map(Tuple1(_)).toDF("tok")
+    val rs = Vocabulary.goodTuring(toks, "tok", maxR = 5)
+      .select("r").as[Long].collect().toSeq.sorted
+    assert(rs == Seq(1L, 2L))
+  }
+
+  test("goodTuring: mass conservation — Σ mass over all rows = token count") {
+    val rnd = new scala.util.Random(13)
+    val toks = (1 to 500).map(_ => Tuple1(s"t${rnd.nextInt(120)}")).toDF("tok")
+    val out = Vocabulary.goodTuring(toks, "tok", maxR = 3).collect()
+    assert(out.map(_.getAs[Long]("mass")).sum == 500L)
+  }
 }
