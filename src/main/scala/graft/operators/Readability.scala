@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Readability census (TXT7) — the Flesch–Kincaid-style grade estimate a
+ * corpus-quality gate runs alongside the T2 heuristics: legalese and
+ * OCR soup score high, listicles score low, and a source whose grade
+ * distribution shifts between ingests changed its upstream content.
+ *
+ * The classic formula FK = 0.39·(W/S) + 11.8·(Syl/W) − 15.59 uses
+ * decimal constants and two ratios — re-expressed here as one exact
+ * integer law in centigrade units (×100), with every division a
+ * truncating DIV so the per-doc grade is bit-identical across engines:
+ *
+ *   g100 = 39·W DIV S + 1180·Syl DIV W − 1559
+ *
+ * Ingredients are regexp counts over the lowercased text: words =
+ * non-space runs, sentences = [.!?]+ runs floored at 1 (headline-style
+ * fragments count as one sentence), syllables = the standard
+ * vowel-group proxy [aeiouy]+ (the counting convention virtually every
+ * readability tool uses). g100 can be negative on telegraphic text —
+ * the per-source mean is sign-split (the A23 discipline).
+ *
+ * Scale posture: three codegen'd regexp_count projections and ONE
+ * map-side-combinable aggregate per slice. Text never shuffles.
+ */
+object Readability {
+
+  /** Per-slice report: `(slice, n_docs, mean_g100, n_grade12plus,
+    * n_negative)` — mean centigrade, college-level doc count (g100 ≥
+    * 1200), and degenerate-text count (negative grade). */
+  def fleschKincaid(docs: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    docs
+      .select(col(sliceCol),
+        regexp_count(t, lit("\\S+")).cast("long").as("_w"),
+        greatest(regexp_count(t, lit("[.!?]+")).cast("long"), lit(1L)).as("_s"),
+        regexp_count(t, lit("[aeiouy]+")).cast("long").as("_syl"))
+      .where(col("_w") > 0L)
+      .withColumn("g100",
+        expr("39 * _w DIV _s") + expr("1180 * _syl DIV _w") - lit(1559L))
+      .groupBy(col(sliceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("g100")).as("_sg"),
+        sum(when(col("g100") >= 1200L, 1L).otherwise(0L)).as("n_grade12plus"),
+        sum(when(col("g100") < 0L, 1L).otherwise(0L)).as("n_negative"))
+      .withColumn("mean_g100", expr(
+        """CASE WHEN _sg < 0 THEN -((-_sg) DIV n_docs)
+          |     ELSE _sg DIV n_docs END""".stripMargin))
+      .select(sliceCol, "n_docs", "mean_g100", "n_grade12plus", "n_negative")
+  }
+}

@@ -318,4 +318,49 @@ object Sampling {
       .select(col(domainCol), col(nCol), col(lossPpmCol),
         col("ref_loss_ppm"), col("excess_ppm"), col("w0_ppm"), col("new_w_ppm"))
   }
+
+  /**
+   * Epoch/repetition schedule (C9) — the data-recipe step that turns a
+   * mixture into a concrete training plan: given per-source token
+   * masses, temperature weights (q102's √n ladder), and a total token
+   * budget, how many EPOCHS of each source does the run see? Small
+   * high-quality sources get repeated (the LLaMA-style up-sampling),
+   * but never past `capEpochs` — repetition beyond a few epochs is
+   * where memorization risk outruns the mixture gain, so the cap is a
+   * first-class knob and the report shows exactly where it binds
+   * (`capped = true` rows surrendered budget).
+   *
+   * Exact law (one IEEE √ per source, everything after integer):
+   *   w_s         = ⌊√n_s · 10⁶⌋                     (q102's ladder)
+   *   quota_s     = B·w_s DIV Σw                     (DECIMAL(38,0))
+   *   epochs_ppm  = min(cap·10⁶, quota_s·10⁶ DIV n_s)
+   *   planned_s   = epochs_ppm·n_s DIV 10⁶
+   *
+   * Scale posture: the corpus collapses to the per-source census in
+   * one aggregate upstream (the caller passes (source, n_tokens));
+   * this operator moves |sources| rows through one window.
+   */
+  def epochSchedule(sourceTokens: DataFrame, sourceCol: String,
+      tokensCol: String, budgetTokens: Long, capEpochs: Int = 4): DataFrame = {
+    require(budgetTokens > 0 && capEpochs >= 1, "need budget > 0, cap >= 1")
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    sourceTokens
+      .select(col(sourceCol), col(tokensCol).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0L)
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+      .withColumn("_wsum", sum(col("weight")).over(all))
+      .withColumn("quota_tokens", expr(
+        s"CAST(CAST($budgetTokens AS DECIMAL(38,0)) * weight DIV _wsum AS BIGINT)"))
+      .withColumn("epochs_ppm", least(lit(capEpochs * 1000000L),
+        expr("CAST(CAST(quota_tokens AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)")))
+      .withColumn("capped", col("epochs_ppm") === lit(capEpochs * 1000000L))
+      .withColumn("planned_tokens", expr(
+        "CAST(CAST(epochs_ppm AS DECIMAL(38,0)) * n_tokens DIV 1000000 AS BIGINT)"))
+      .select(sourceCol, "n_tokens", "weight", "quota_tokens",
+        "epochs_ppm", "capped", "planned_tokens")
+  }
 }

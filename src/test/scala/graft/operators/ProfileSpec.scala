@@ -29,4 +29,36 @@ class ProfileSpec extends SparkSpec {
     assert(out.map(_._4) == Seq(2L, 2L, 2L))
     assert(out.map(_._3) == Seq(1L, 1L, 1L))
   }
+
+  // ---- DQ3 FD audit ----
+
+  test("fdAudit: clean FD, violated FD, NULL semantics, deterministic sample") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val rows = Seq(
+      Row(1L, "a"), Row(1L, "a"),       // clean group
+      Row(2L, "a"), Row(2L, "b"),       // violation (2 distinct)
+      Row(3L, "x"), Row(3L, null),      // NULL rhs is a distinct value
+      Row(null.asInstanceOf[Any], "z"), // NULL lhs excluded
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val r = Profile.fdAudit(df, "t: k -> v", Seq("k"), "v").head()
+    assert(r.getString(0) == "t: k -> v")
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_violations") == 2L) // groups 2 and 3
+    assert(r.getAs[Long]("max_rhs_distinct") == 2L)
+    assert(r.getAs[String]("sample_lhs") == "2") // min violating key
+  }
+
+  test("fdAudit: composite LHS joins with '|' and audits clean when unique") {
+    val df = Seq((1L, 1L, "p"), (1L, 2L, "q"), (2L, 1L, "p"))
+      .toDF("a", "b", "v")
+    val r = Profile.fdAudit(df, "t: (a,b) -> v", Seq("a", "b"), "v").head()
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_violations") == 0L)
+    assert(r.isNullAt(r.fieldIndex("sample_lhs")))
+  }
 }

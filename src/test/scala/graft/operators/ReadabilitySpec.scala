@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** TXT7 readability census: hand-computed centigrade vectors, the
+  * sentence floor, sign-split means, and empty-doc exclusion. */
+class ReadabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fleschKincaid: hand-computed centigrade vector") {
+    // "the cat sat on the mat." -> W=6, S=1, vowel groups: e,a,a,o,e,a=6
+    // g100 = 39*6 DIV 1 + 1180*6 DIV 6 - 1559 = 234 + 1180 - 1559 = -145
+    val docs = Seq(("k", "the cat sat on the mat.")).toDF("s", "text")
+    val r = Readability.fleschKincaid(docs, "s", "text").head()
+    assert(r.getAs[Long]("mean_g100") == -145L)
+    assert(r.getAs[Long]("n_negative") == 1L)
+  }
+
+  test("fleschKincaid: longer sentences and words raise the grade") {
+    val simple = ("a", "we go. we run. it is fun.")
+    val dense = ("b", "notwithstanding considerable organizational " +
+      "complexities, the implementation demonstrated extraordinary " +
+      "methodological sophistication throughout")
+    val out = Readability.fleschKincaid(Seq(simple, dense).toDF("s", "text"),
+      "s", "text").collect().map(r => r.getString(0) ->
+      r.getAs[Long]("mean_g100")).toMap
+    assert(out("b") > out("a") + 500L) // 5+ grades apart
+    assert(out("b") >= 1200L)          // college-level flag territory
+  }
+
+  test("fleschKincaid: unpunctuated text counts one sentence; empty docs drop") {
+    val docs = Seq(("k", "just a headline no punctuation"), ("k", " "))
+      .toDF("s", "text")
+    val r = Readability.fleschKincaid(docs, "s", "text").head()
+    assert(r.getAs[Long]("n_docs") == 1L) // the blank doc has W = 0
+  }
+}

@@ -208,4 +208,36 @@ class SamplingSpec extends SparkSpec {
         etaNum = 9, etaDen = 1)
     }
   }
+
+  // ---- C9 epoch schedule ----
+
+  test("epochSchedule: small sources repeat more, the cap binds and is reported") {
+    // tokens 100 vs 10000: √n weights 10 vs 100 -> quotas 1:10, but
+    // epochs = quota/n favor the SMALL source 10:1 — it hits the cap
+    val st = Seq(("small", 100L), ("big", 10000L)).toDF("src", "n_tokens")
+    val out = Sampling.epochSchedule(st, "src", "n_tokens",
+      budgetTokens = 20000L, capEpochs = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (sm, bg) = (out("small"), out("big"))
+    // weights: floor(√100·1e6)=1e7, floor(√10000·1e6)=1e8; Σ=1.1e8
+    assert(sm.getAs[Long]("weight") == 10000000L)
+    assert(bg.getAs[Long]("weight") == 100000000L)
+    // quotas: 20000·w DIV Σw = 1818 / 18181
+    assert(sm.getAs[Long]("quota_tokens") == 1818L)
+    assert(bg.getAs[Long]("quota_tokens") == 18181L)
+    // epochs: small would be 18.18 -> capped at 4; big 1.8181
+    assert(sm.getAs[Boolean]("capped") && sm.getAs[Long]("epochs_ppm") == 4000000L)
+    assert(!bg.getAs[Boolean]("capped") && bg.getAs[Long]("epochs_ppm") == 1818100L)
+    assert(sm.getAs[Long]("planned_tokens") == 400L)
+    assert(bg.getAs[Long]("planned_tokens") == 18181L)
+  }
+
+  test("epochSchedule: equal sources split the budget exactly; zero-token sources drop") {
+    val st = Seq(("a", 400L), ("b", 400L), ("z", 0L)).toDF("src", "n_tokens")
+    val out = Sampling.epochSchedule(st, "src", "n_tokens",
+      budgetTokens = 800L, capEpochs = 4).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("quota_tokens") == 400L))
+    assert(out.forall(_.getAs[Long]("epochs_ppm") == 1000000L)) // exactly 1 epoch
+  }
 }
