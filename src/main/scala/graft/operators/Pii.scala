@@ -146,4 +146,48 @@ object Pii {
     val marked = withPiiMetrics(docs, textCol)
     marked.where(!col("has_pii")).select(docs.columns.map(col): _*)
   }
+
+  /**
+   * Secret/credential scan (SEC1) — the truffleHog-class governance
+   * gate a pre-training corpus runs beside the PII pass: leaked cloud
+   * keys, VCS tokens, and private-key material must be found (and the
+   * documents quarantined) BEFORE a model memorizes them. Four
+   * structural detectors, all in the Java∩RE2 regex subset:
+   *
+   *   aws  — `AKIA[0-9A-Z]{16}`           (AWS access key id)
+   *   ghp  — `ghp_[A-Za-z0-9]{36}`        (GitHub personal token)
+   *   pem  — `-----BEGIN [A-Z ]*PRIVATE KEY-----`
+   *   hex  — `\b[0-9a-f]{40}\b`           (40-hex blob: SHA1-shaped
+   *          credentials/tokens; a high-recall tripwire, reviewed not
+   *          auto-dropped)
+   *
+   * (Entropy scoring — the other truffleHog leg — needs logs, which are
+   * not bit-portable; the structural classes carry the audit here.)
+   *
+   * Per-slice census: docs flagged, per-class match counts, and the
+   * deterministic min flagged doc id per slice. Pure map-side
+   * `regexp_count` projections + one aggregate; text never shuffles.
+   */
+  def secretScan(docs: DataFrame, sliceCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .select(col(sliceCol), col(idCol),
+        regexp_count(t, lit("AKIA[0-9A-Z]{16}")).cast("long").as("_aws"),
+        regexp_count(t, lit("ghp_[A-Za-z0-9]{36}")).cast("long").as("_ghp"),
+        regexp_count(t, lit("-----BEGIN [A-Z ]*PRIVATE KEY-----"))
+          .cast("long").as("_pem"),
+        regexp_count(t, lit("\\b[0-9a-f]{40}\\b")).cast("long").as("_hex"))
+      .withColumn("_any",
+        col("_aws") + col("_ghp") + col("_pem") + col("_hex") > 0L)
+      .groupBy(col(sliceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_any"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("_aws")).as("n_aws"),
+        sum(col("_ghp")).as("n_ghp"),
+        sum(col("_pem")).as("n_pem"),
+        sum(col("_hex")).as("n_hex"),
+        min(when(col("_any"), col(idCol))).as("first_flagged"))
+  }
 }
