@@ -3328,6 +3328,42 @@ object SparkEntry {
       graft.operators.Pii.secretScan(planted, "source", "doc_id", "aug")
         .orderBy(col("source"))
     }),
+
+    // Q196 — DQ4 declarative rule-suite audit: the Deequ-style ingest
+    // contract as data — six value-level invariants evaluated in ONE
+    // pass (map-side exploded (rule, pass, id) stream, one aggregate on
+    // six keys), NULL-as-failure semantics, deterministic min failing
+    // id per rule. value_under_300 fails on the real tail (max ≈
+    // 327.53) — a passing suite that can't fail proves nothing.
+    "q196_rule_audit" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Profile.ruleAudit(e, "event_id", Seq(
+          "value_positive" -> (col("value") > 0),
+          "value_under_300" -> (col("value") < 300),
+          "type_in_domain" -> col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"),
+          "ts_in_2024" -> (year(col("ts")) === 2024),
+          "props_json_k" -> col("props").rlike("^\\{\"k\": [0-9]+\\}$"),
+          "user_in_range" -> col("user_id").between(0, 149)))
+        .orderBy(col("rule"))
+    }),
+
+    // Q197 — EVAL5 pinball-loss backtest at τ = 0.9 (scaled ×10 so the
+    // asymmetric law stays integer-exact): under-forecasting costs 9×
+    // an over-forecast — the capacity-planning risk q181's MAE can't
+    // see. Same planted weekly ladder; 'view''s seasonal-naive keeps
+    // its edge under the asymmetric loss too.
+    "q197_pinball_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents0"))
+        .withColumn("cents", col("cents0") +
+          when(col("event_type") === "view",
+            weekday(col("day")).cast("long") * 100000L).otherwise(0L))
+      graft.operators.Rolling.pinballBacktest(daily, "event_type", "day",
+          "cents", seasonLag = 7)
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -6725,6 +6761,52 @@ object SparkEntry {
           |  CAST(sum(pem) AS BIGINT) AS n_pem, CAST(sum(hex) AS BIGINT) AS n_hex,
           |  CAST(min(CASE WHEN aws + ghp + pem + hex > 0 THEN doc_id END) AS BIGINT) AS first_flagged
           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // six rules, NULL-as-failure via COALESCE(pred, FALSE); one
+      // union of per-rule projections, one rollup
+      "q196_rule_audit" ->
+        """WITH u AS (
+          |  SELECT 'value_positive' AS rule,
+          |    COALESCE(value > 0, FALSE) AS pass, event_id AS id FROM events
+          |  UNION ALL SELECT 'value_under_300',
+          |    COALESCE(value < 300, FALSE), event_id FROM events
+          |  UNION ALL SELECT 'type_in_domain',
+          |    COALESCE(event_type IN ('click','view','purchase','signup','error'), FALSE),
+          |    event_id FROM events
+          |  UNION ALL SELECT 'ts_in_2024',
+          |    COALESCE(year(ts) = 2024, FALSE), event_id FROM events
+          |  UNION ALL SELECT 'props_json_k',
+          |    COALESCE(regexp_matches(props, '^\{"k": [0-9]+\}$'), FALSE), event_id FROM events
+          |  UNION ALL SELECT 'user_in_range',
+          |    COALESCE(user_id BETWEEN 0 AND 149, FALSE), event_id FROM events)
+          |SELECT rule, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+          |  CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) * 1000000 // count(*) AS BIGINT) AS fail_ppm,
+          |  CAST(min(CASE WHEN NOT pass THEN id END) AS BIGINT) AS sample_id
+          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // pb90×10 = 9·(y−f)⁺ + (f−y)⁺ on the q181 eval support
+      "q197_pinball_backtest" ->
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) +
+          |      CASE WHEN event_type = 'view'
+          |           THEN (isodow(CAST(ts AS DATE)) - 1) * 100000 ELSE 0 END AS cents
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |f AS (SELECT event_type, day, cents,
+          |    lag(cents, 1) OVER w AS f_naive,
+          |    lag(cents, 7) OVER w AS f_snaive
+          |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+          |    CAST(sum(abs(cents - f_naive)) AS BIGINT) AS pb50x2_naive,
+          |    CAST(sum(abs(cents - f_snaive)) AS BIGINT) AS pb50x2_snaive,
+          |    CAST(sum(greatest(cents - f_naive, 0) * 9 + greatest(f_naive - cents, 0)) AS BIGINT) AS pb90x10_naive,
+          |    CAST(sum(greatest(cents - f_snaive, 0) * 9 + greatest(f_snaive - cents, 0)) AS BIGINT) AS pb90x10_snaive
+          |  FROM f WHERE f_snaive IS NOT NULL GROUP BY 1)
+          |SELECT event_type, n_eval, pb50x2_naive, pb50x2_snaive,
+          |  pb90x10_naive, pb90x10_snaive,
+          |  CASE WHEN pb90x10_naive = 0 THEN NULL
+          |       ELSE CAST(pb90x10_snaive * 1000000 // pb90x10_naive AS BIGINT) END AS ratio90_ppm
+          |FROM g ORDER BY event_type""".stripMargin,
     )
   }
 }

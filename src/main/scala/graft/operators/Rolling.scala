@@ -300,6 +300,47 @@ object Rolling {
   }
 
   /**
+   * Quantile (pinball) loss backtest (EVAL5) — [[forecastBacktest]]
+   * scores point accuracy; this scores ASYMMETRIC risk, which is what
+   * capacity planning actually prices (under-forecasting a load peak
+   * costs 9× an over-forecast at the τ = 0.9 quantile):
+   *
+   *   L_τ(y, f) = τ·(y−f)⁺ + (1−τ)·(f−y)⁺
+   *
+   * Integer-exact at τ = 0.9 by scaling ×10: pb90×10 = 9·(y−f)⁺ +
+   * (f−y)⁺ (at τ = 0.5, ×2 is just |y−f| — reported for reference).
+   * Both baseline forecasts (naive lag-1, seasonal-naive lag-s) score
+   * on the same evaluation support; the snaive/naive ratio leaves as
+   * exact ppm. Everything on the already-reduced daily rollup — one
+   * key shuffle carries both lags and the rollup.
+   */
+  def pinballBacktest(daily: DataFrame, keyCol: String, dayCol: String,
+      centsCol: String, seasonLag: Int = 7): DataFrame = {
+    require(seasonLag >= 2, s"seasonLag must be >= 2 (got $seasonLag)")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    def pb90x10(f: String) =
+      sum(greatest(col("_c") - col(f), lit(0L)) * 9L +
+        greatest(col(f) - col("_c"), lit(0L)))
+    daily
+      .withColumn("_c", col(centsCol).cast("long"))
+      .withColumn("f_naive", lag(col("_c"), 1).over(w))
+      .withColumn("f_snaive", lag(col("_c"), seasonLag).over(w))
+      .where(col("f_snaive").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(abs(col("_c") - col("f_naive"))).as("pb50x2_naive"),
+        sum(abs(col("_c") - col("f_snaive"))).as("pb50x2_snaive"),
+        pb90x10("f_naive").as("pb90x10_naive"),
+        pb90x10("f_snaive").as("pb90x10_snaive"))
+      .withColumn("ratio90_ppm",
+        when(col("pb90x10_naive") === 0L, lit(null).cast("long"))
+          .otherwise(expr("pb90x10_snaive * 1000000 DIV pb90x10_naive")))
+      .select(keyCol, "n_eval", "pb50x2_naive", "pb50x2_snaive",
+        "pb90x10_naive", "pb90x10_snaive", "ratio90_ppm")
+  }
+
+  /**
    * Classical seasonal decomposition, period-7 (A24) — the STL-shaped
    * additive split x = trend + seasonal + remainder in exact integer
    * arithmetic, reported per key as the diagnostic a forecasting /

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class ProfileSpec extends SparkSpec {
@@ -60,5 +62,40 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("n_groups") == 3L)
     assert(r.getAs[Long]("n_violations") == 0L)
     assert(r.isNullAt(r.fieldIndex("sample_lhs")))
+  }
+
+  // ---- DQ4 rule audit ----
+
+  test("ruleAudit: pass/fail counts, NULL-as-failure, deterministic sample") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    val rows = Seq(Row(1L, 10L), Row(2L, -5L), Row(3L, null), Row(4L, 20L))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = Profile.ruleAudit(df, "id", Seq(
+        "v_positive" -> (col("v") > 0),
+        "v_under_15" -> (col("v") < 15),
+        "always" -> lit(true)))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("always", 4L, 0L, 0L, -1L),
+      // NULL v fails BOTH comparisons (unprovable contract = broken)
+      ("v_positive", 4L, 2L, 500000L, 2L),
+      ("v_under_15", 4L, 2L, 500000L, 3L)))
+  }
+
+  test("ruleAudit: one source pass regardless of rule count") {
+    // the exploded stream reads the source once; spot-check the plan
+    // has a single scan of the input relation
+    val df = (1L to 50L).map(i => (i, i * 2)).toDF("id", "v")
+    val audit = Profile.ruleAudit(df, "id",
+      (1 to 8).map(k => s"r$k" -> (col("v") > k * 10)))
+    val scans = audit.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("LocalTableScan"))
+    assert(scans == 1, "rules must share one pass, not one scan per rule")
+    assert(audit.count() == 8L)
   }
 }

@@ -206,6 +206,31 @@ class RollingSpec extends SparkSpec {
       "k", "day", "cents", seasonLag = 7).isEmpty)
   }
 
+  // ---- EVAL5 pinball backtest ----
+
+  test("pinballBacktest: asymmetric loss prices under-forecasting 9x") {
+    // seasonLag 2; series 10,10,20,10: eval rows t=2 (y=20) and t=3
+    // (y=10). naive: t2 f=10 under by 10 -> 90; t3 f=20 over by 10 ->
+    // 10; pb90x10_naive = 100. snaive: t2 f=10 -> 90; t3 f=10 -> 0.
+    val rows = Seq(10L, 10L, 20L, 10L).zipWithIndex
+      .map { case (c, i) => ("k", day(i), c) }
+    val r = Rolling.pinballBacktest(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents", seasonLag = 2).head()
+    assert(r.getAs[Long]("n_eval") == 2L)
+    assert(r.getAs[Long]("pb90x10_naive") == 100L)
+    assert(r.getAs[Long]("pb90x10_snaive") == 90L)
+    assert(r.getAs[Long]("pb50x2_naive") == 20L) // |e| sums
+    assert(r.getAs[Long]("ratio90_ppm") == 900000L)
+  }
+
+  test("pinballBacktest: perfect forecasts score zero and NULL ratio") {
+    val rows = (0 until 10).map(i => ("k", day(i), 77L))
+    val r = Rolling.pinballBacktest(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents", seasonLag = 3).head()
+    assert(r.getAs[Long]("pb90x10_naive") == 0L)
+    assert(r.isNullAt(r.fieldIndex("ratio90_ppm")))
+  }
+
   // ---- A24 seasonal decomposition ----
 
   test("seasonalDecompose: pure weekly pattern -> amplitude exact, remainder zero") {
