@@ -1,0 +1,133 @@
+package graft.streaming.sources
+
+import graft.state.StateBackend
+
+/**
+ * Consumer-group committed offsets for the topic log (S8d) — the last
+ * leg of the Kafka-shaped bus semantics: [[TopicLog]] gives ordered,
+ * offset-addressed partitions and an idempotent producer (S8c); this
+ * gives COOPERATING CONSUMERS a shared, crash-safe notion of progress,
+ * which is what Kafka's `__consumer_offsets` + generation fencing
+ * provide. Without it every consumer restart re-reads from zero or
+ * invents its own checkpoint.
+ *
+ * Laws (each mirrors the Kafka protocol piece named):
+ *  - **join → generation bump.** A consumer joins `(group, topic)` and
+ *    receives a fresh generation number; joining fences EVERY earlier
+ *    generation (the rebalance law). State transition is a CAS on the
+ *    group key, so concurrent joins serialize and each winner sees a
+ *    distinct generation.
+ *  - **fenced commits.** A commit carries the member's generation; a
+ *    commit from any generation other than the current one is rejected
+ *    (the zombie-consumer law — a stalled consumer that missed a
+ *    rebalance cannot clobber the new owner's progress). Same shape as
+ *    the job store's instance-id fencing (ST7), reused deliberately.
+ *  - **monotone offsets.** A commit that would move any partition's
+ *    offset BACKWARDS is rejected unless `allowRewind` — Kafka permits
+ *    explicit seeks but an accidental regression (stale buffer, retry
+ *    of an old request) must not silently re-expand the at-least-once
+ *    window.
+ *  - **at-least-once resume.** `committed` is the next offset to read
+ *    (Kafka convention: committed = last processed + 1). A consumer
+ *    that crashes after processing but before committing re-reads that
+ *    batch — duplication, never loss.
+ *
+ * The store is a thin law layer over the same pluggable [[StateBackend]]
+ * as the job store, so one box uses the directory backend, a fleet uses
+ * Redis, and every behavior is spec'd against all backends. Payload is
+ * one map per (group, topic): `generation`, `owner`, and `o<p>` per
+ * partition — a handful of fields, read/written whole under CAS.
+ */
+final class TopicConsumerGroup(backend: StateBackend) {
+
+  private def key(group: String, topic: String) = s"cg:$group:$topic"
+
+  /** Join the group: bump the generation, fence all earlier members.
+    * Returns the member's generation. */
+  def join(group: String, topic: String, memberId: String): Long = {
+    val k = key(group, topic)
+    while (true) {
+      backend.read(k) match {
+        case None =>
+          if (backend.writeVersioned(k,
+            Map("generation" -> "1", "owner" -> memberId), 0L)) return 1L
+        case Some((p, v)) =>
+          val gen = p.getOrElse("generation", "0").toLong + 1L
+          if (backend.writeVersioned(k,
+            p + ("generation" -> gen.toString) + ("owner" -> memberId), v))
+            return gen
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Next offset to read per partition (absent partition = 0). */
+  def committed(group: String, topic: String): Map[Int, Long] =
+    backend.read(key(group, topic)) match {
+      case None => Map.empty
+      case Some((p, _)) => p.collect {
+        case (f, v) if f.startsWith("o") && f.drop(1).forall(_.isDigit) =>
+          f.drop(1).toInt -> v.toLong
+      }
+    }
+
+  /**
+   * Commit per-partition next-read offsets. Returns false (nothing
+   * written) if the member's generation is stale, the group is unknown,
+   * or (without `allowRewind`) any offset would regress.
+   */
+  def commit(group: String, topic: String, memberId: String,
+      generation: Long, offsets: Map[Int, Long],
+      allowRewind: Boolean = false): Boolean = {
+    val k = key(group, topic)
+    while (true) {
+      backend.read(k) match {
+        case None => return false // commit before any join: no group
+        case Some((p, v)) =>
+          if (p.getOrElse("generation", "0").toLong != generation ||
+            p.getOrElse("owner", "") != memberId) return false // fenced
+          val current = committedFrom(p)
+          if (!allowRewind &&
+            offsets.exists { case (pt, o) => o < current.getOrElse(pt, 0L) })
+            return false
+          val merged = p ++ offsets.map { case (pt, o) => s"o$pt" -> o.toString }
+          if (backend.writeVersioned(k, merged, v)) return true
+        // CAS lost to a concurrent join/commit: re-read and re-check —
+        // a lost race to a JOIN will then fail the generation test
+      }
+    }
+    false // unreachable
+  }
+
+  private def committedFrom(p: Map[String, String]): Map[Int, Long] =
+    p.collect {
+      case (f, v) if f.startsWith("o") && f.drop(1).forall(_.isDigit) =>
+        f.drop(1).toInt -> v.toLong
+    }
+
+  /**
+   * One at-least-once consumer poll: read every partition from the
+   * group's committed offsets to the current log end, hand the batch to
+   * `process`, then commit the advanced offsets — the canonical
+   * consume-then-commit loop (crash between process and commit ⇒ the
+   * batch replays, matching the bus's at-least-once contract).
+   * Returns records delivered, or -1 if the commit was fenced.
+   */
+  def pollAndCommit(root: String, topic: String, group: String,
+      memberId: String, generation: Long)(
+      process: Iterator[TopicLog.Record] => Unit): Long = {
+    val from = committed(group, topic)
+    val until = TopicLog.latestOffsets(root, topic)
+    var delivered = 0L
+    val advanced = until.map { case (p, end) =>
+      val start = from.getOrElse(p, 0L)
+      if (end > start) {
+        val cur = TopicLog.read(root, topic, p, start, end)
+        try process(cur.map { r => delivered += 1; r }) finally cur.close()
+      }
+      p -> math.max(start, end)
+    }
+    if (commit(group, topic, memberId, generation, advanced)) delivered
+    else -1L
+  }
+}

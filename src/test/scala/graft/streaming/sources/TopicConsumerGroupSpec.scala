@@ -1,0 +1,110 @@
+package graft.streaming.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.state.{DirStateBackend, InMemoryStateBackend, StateBackend}
+
+/** S8d consumer-group offsets: the Kafka committed-offset + generation
+  * fencing laws over every state backend — resume without reprocessing,
+  * zombie commits rejected, offset regressions refused, the
+  * consume-then-commit at-least-once loop. */
+class TopicConsumerGroupSpec extends AnyFunSuite {
+
+  private def bytes(s: String) = s.getBytes(UTF_8)
+
+  private def backends: Seq[(String, () => StateBackend)] = Seq(
+    "inmemory" -> (() => new InMemoryStateBackend),
+    "dir" -> (() => new DirStateBackend(
+      Files.createTempDirectory("cgspec"))))
+
+  private def freshTopic(): String = {
+    val root = Files.createTempDirectory("cgtopic").toString
+    (0 until 30).foreach { i =>
+      TopicLog.append(root, "t", i % 2, bytes(s"k$i"), bytes(s"v$i"), 1000L + i)
+    }
+    root
+  }
+
+  for ((name, mk) <- backends) {
+
+    test(s"[$name] sequential consumers resume from committed offsets, no reprocessing") {
+      val root = freshTopic()
+      val cg = new TopicConsumerGroup(mk())
+      val g1 = cg.join("g", "t", "c1")
+      var seen = Vector.empty[String]
+      val n1 = cg.pollAndCommit(root, "t", "g", "c1", g1)(
+        it => it.foreach(r => seen :+= new String(r.value, UTF_8)))
+      assert(n1 == 30L && seen.size == 30)
+      // nothing new: the next poll delivers zero, commit still succeeds
+      assert(cg.pollAndCommit(root, "t", "g", "c1", g1)(_.foreach(_ => ())) == 0L)
+      // append more, then a NEW member takes over (generation bump) and
+      // sees ONLY the tail
+      (30 until 40).foreach { i =>
+        TopicLog.append(root, "t", i % 2, bytes(s"k$i"), bytes(s"v$i"), 1000L + i)
+      }
+      val g2 = cg.join("g", "t", "c2")
+      var tail = Vector.empty[String]
+      val n2 = cg.pollAndCommit(root, "t", "g", "c2", g2)(
+        it => it.foreach(r => tail :+= new String(r.value, UTF_8)))
+      assert(n2 == 10L)
+      assert(tail.forall(v => v.drop(1).toInt >= 30))
+    }
+
+    test(s"[$name] zombie generation cannot commit after a rebalance") {
+      val root = freshTopic()
+      val cg = new TopicConsumerGroup(mk())
+      val g1 = cg.join("g", "t", "old")
+      val g2 = cg.join("g", "t", "new") // fences g1
+      assert(g2 == g1 + 1)
+      assert(!cg.commit("g", "t", "old", g1, Map(0 -> 5L)))
+      assert(cg.pollAndCommit(root, "t", "g", "old", g1)(_.foreach(_ => ())) == -1L)
+      // the new member commits fine and its progress is visible
+      assert(cg.commit("g", "t", "new", g2, Map(0 -> 5L)))
+      assert(cg.committed("g", "t") == Map(0 -> 5L))
+    }
+
+    test(s"[$name] offset regressions are refused unless explicitly allowed") {
+      val cg = new TopicConsumerGroup(mk())
+      val g = cg.join("g", "t", "c")
+      assert(cg.commit("g", "t", "c", g, Map(0 -> 10L, 1 -> 7L)))
+      assert(!cg.commit("g", "t", "c", g, Map(0 -> 9L))) // rewind refused
+      assert(cg.committed("g", "t") == Map(0 -> 10L, 1 -> 7L))
+      assert(cg.commit("g", "t", "c", g, Map(0 -> 3L), allowRewind = true))
+      assert(cg.committed("g", "t")(0) == 3L)
+      // commit to an unknown group is refused outright
+      assert(!cg.commit("nope", "t", "c", g, Map(0 -> 1L)))
+    }
+
+    test(s"[$name] groups and topics are isolated budgets") {
+      val cg = new TopicConsumerGroup(mk())
+      val ga = cg.join("a", "t", "c")
+      val gb = cg.join("b", "t", "c")
+      assert(cg.commit("a", "t", "c", ga, Map(0 -> 4L)))
+      assert(cg.committed("b", "t").isEmpty)
+      assert(cg.commit("b", "t", "c", gb, Map(0 -> 9L)))
+      assert(cg.committed("a", "t") == Map(0 -> 4L))
+    }
+  }
+
+  test("crash between process and commit replays the batch (at-least-once)") {
+    val root = freshTopic()
+    val cg = new TopicConsumerGroup(new InMemoryStateBackend)
+    val g = cg.join("g", "t", "c")
+    var firstSeen = 0
+    intercept[RuntimeException] {
+      cg.pollAndCommit(root, "t", "g", "c", g) { it =>
+        it.take(7).foreach(_ => firstSeen += 1)
+        throw new RuntimeException("crash mid-batch")
+      }
+    }
+    assert(firstSeen == 7)
+    assert(cg.committed("g", "t").isEmpty) // nothing committed
+    var replayed = 0
+    val n = cg.pollAndCommit(root, "t", "g", "c", g)(
+      it => it.foreach(_ => replayed += 1))
+    assert(n == 30L && replayed == 30) // full replay, duplication not loss
+  }
+}
