@@ -5,7 +5,7 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.state.{DirStateBackend, InMemoryStateBackend, StateBackend}
+import graft.state.{DirStateBackend, InMemoryStateBackend, MiniRedis, RedisStateBackend, StateBackend}
 
 /** S8d consumer-group offsets: the Kafka committed-offset + generation
   * fencing laws over every state backend — resume without reprocessing,
@@ -15,10 +15,14 @@ class TopicConsumerGroupSpec extends AnyFunSuite {
 
   private def bytes(s: String) = s.getBytes(UTF_8)
 
+  private val redis = new MiniRedis // one embedded server for the suite
+
   private def backends: Seq[(String, () => StateBackend)] = Seq(
     "inmemory" -> (() => new InMemoryStateBackend),
     "dir" -> (() => new DirStateBackend(
-      Files.createTempDirectory("cgspec"))))
+      Files.createTempDirectory("cgspec"))),
+    "redis" -> { var n = 0; () => { n += 1
+      new RedisStateBackend("127.0.0.1", redis.port, prefix = s"cg$n:") } })
 
   private def freshTopic(): String = {
     val root = Files.createTempDirectory("cgtopic").toString
