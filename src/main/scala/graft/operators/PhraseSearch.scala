@@ -79,4 +79,39 @@ object PhraseSearch {
         Seq("phrase_id"), "left")
       .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+
+  /**
+   * Keyword-in-context (KWIC) snippets (IR3) — the result-page view on
+   * top of [[phraseMatches]]: for every occurrence, the matched tokens
+   * plus `contextWords` of context each side, on the same normalized
+   * token frame the matcher ran on (so the snippet provably contains
+   * the phrase — no separate substring pass that could disagree with
+   * the positional law).
+   *
+   * Scale posture: matches are hit-bounded and broadcast back onto the
+   * corpus for one hash join; the snippet slice is a per-row array op.
+   * Documents never shuffle — only (doc, phrase, start, snippet) rows
+   * leave, and the snippet is ≤ L + 2·contextWords words by
+   * construction.
+   */
+  def kwic(docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame, contextWords: Int = 2): DataFrame = {
+    require(contextWords >= 0, "contextWords must be >= 0")
+    val matches = phraseMatches(docs, idCol, textCol, phrases)
+      .join(broadcast(phrases
+        .select(col("phrase_id"),
+          size(split(trim(lower(col("phrase"))), "\\s+")).as("len"))),
+        "phrase_id")
+    docs
+      .select(col(idCol).as("doc"),
+        TextFunctions.words(col(textCol)).as("ws"))
+      .join(broadcast(matches), "doc")
+      // 1-based window [a, start+len+ctx], clamped by slice()
+      .withColumn("a", greatest(col("start") + 1 - contextWords, lit(1)))
+      .withColumn("snippet", concat_ws(" ",
+        slice(col("ws"), col("a"),
+          col("start") + col("len") + contextWords - col("a") + 1)))
+      .select(col("phrase_id"), col("doc"),
+        col("start").cast("long").as("start"), col("snippet"))
+  }
 }

@@ -169,17 +169,9 @@ object Pii {
    * `regexp_count` projections + one aggregate; text never shuffles.
    */
   def secretScan(docs: DataFrame, sliceCol: String, idCol: String,
-      textCol: String): DataFrame = {
-    val t = col(textCol)
-    docs
-      .select(col(sliceCol), col(idCol),
-        regexp_count(t, lit("AKIA[0-9A-Z]{16}")).cast("long").as("_aws"),
-        regexp_count(t, lit("ghp_[A-Za-z0-9]{36}")).cast("long").as("_ghp"),
-        regexp_count(t, lit("-----BEGIN [A-Z ]*PRIVATE KEY-----"))
-          .cast("long").as("_pem"),
-        regexp_count(t, lit("\\b[0-9a-f]{40}\\b")).cast("long").as("_hex"))
-      .withColumn("_any",
-        col("_aws") + col("_ghp") + col("_pem") + col("_hex") > 0L)
+      textCol: String): DataFrame =
+    withSecretFlags(docs.select(col(sliceCol), col(idCol), col(textCol)),
+      textCol)
       .groupBy(col(sliceCol))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -189,5 +181,23 @@ object Pii {
         sum(col("_pem")).as("n_pem"),
         sum(col("_hex")).as("n_hex"),
         min(when(col("_any"), col(idCol))).as("first_flagged"))
+
+  /** Per-document detector columns under [[secretScan]]: `_aws`, `_ghp`,
+    * `_pem`, `_hex` match counts and the `_any` flag — exposed so
+    * composite release gates (GOV3) can fold secret evidence into a
+    * wider per-doc frame without re-stating the patterns. */
+  def withSecretFlags(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("_aws",
+        regexp_count(t, lit("AKIA[0-9A-Z]{16}")).cast("long"))
+      .withColumn("_ghp",
+        regexp_count(t, lit("ghp_[A-Za-z0-9]{36}")).cast("long"))
+      .withColumn("_pem",
+        regexp_count(t, lit("-----BEGIN [A-Z ]*PRIVATE KEY-----")).cast("long"))
+      .withColumn("_hex",
+        regexp_count(t, lit("\\b[0-9a-f]{40}\\b")).cast("long"))
+      .withColumn("_any",
+        col("_aws") + col("_ghp") + col("_pem") + col("_hex") > 0L)
   }
 }

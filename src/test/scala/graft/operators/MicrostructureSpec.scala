@@ -50,4 +50,39 @@ class MicrostructureSpec extends SparkSpec {
     assert(r.getAs[Long]("mean_imb_ppm") == 0L)
     assert(r.getAs[Long]("mean_spread_cents") == 40L)
   }
+
+  // ---- A25 order-flow imbalance ----
+
+  private def ofiDf(rows: Seq[(Long, Long, Long, Long)]) =
+    rows.zipWithIndex.map { case ((b, a, qb, qa), i) =>
+      ("k", i.toLong, i.toLong, b, a, qb, qa)
+    }.toDF("k", "ts", "id", "bid", "ask", "bs", "az")
+
+  test("orderFlowImbalance: the CKS update rule, hand-computed") {
+    // t0 -> t1: bid rises 100->101 (add qb=7), ask rises 200->201
+    //   (ask side: a>pa adds -(-pqa) = +pqa=4) -> ofi = 7 + 4 = 11
+    // t1 -> t2: bid falls (−pqb=−7), ask falls (−qa=−6) -> −7+6... sign:
+    //   −(qa·1 − 0) = −6 -> ofi = −7 − 6 = −13
+    val rows = Seq(
+      (100L, 200L, 5L, 4L),
+      (101L, 201L, 7L, 5L),
+      (100L, 200L, 9L, 6L))
+    val out = Microstructure.orderFlowImbalance(ofiDf(rows),
+      "k", "ts", "id", "bid", "ask", "bs", "az").head()
+    assert(out.getAs[Long]("n") == 2L)
+    assert(out.getAs[Long]("n_pos") == 1L && out.getAs[Long]("n_neg") == 1L)
+    assert(out.getAs[Long]("max_abs_ofi") == 13L)
+    // sum = 11 − 13 = −2 -> mean_ofi_m = −(2000 DIV 2) = −1000
+    assert(out.getAs[Long]("mean_ofi_m") == -1000L)
+  }
+
+  test("orderFlowImbalance: unchanged prices net the size delta") {
+    // prices static: ofi = (qb − pqb) − (qa − pqa) = (8−5) − (2−4) = 5
+    val rows = Seq((100L, 200L, 5L, 4L), (100L, 200L, 8L, 2L))
+    val out = Microstructure.orderFlowImbalance(ofiDf(rows),
+      "k", "ts", "id", "bid", "ask", "bs", "az").head()
+    assert(out.getAs[Long]("n") == 1L)
+    assert(out.getAs[Long]("max_abs_ofi") == 5L)
+    assert(out.getAs[Long]("mean_ofi_m") == 5000L)
+  }
 }

@@ -44,6 +44,30 @@ class PhraseSearchSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getInt(2) == 1)
   }
 
+  test("kwic: context clamps at both document edges; snippet contains the phrase") {
+    val docs = Seq(
+      (1L, "quick brown fox starts here"),          // match at 0: left clamp
+      (2L, "the end holds quick brown fox"),        // match at end: right clamp
+      (3L, "a b quick brown fox c d"),              // full two-sided context
+    ).toDF("doc_id", "text")
+    val out = PhraseSearch.kwic(docs, "doc_id", "text",
+        phrases.where($"phrase_id" === 1L), contextWords = 2)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, "quick brown fox starts here"),
+      (2L, 3L, "end holds quick brown fox"), // start 3: left ctx = 2 words
+      (3L, 2L, "a b quick brown fox c d")))
+    assert(out.forall(_._3.contains("quick brown fox")))
+  }
+
+  test("kwic: zero context renders exactly the matched tokens") {
+    val docs = Seq((1L, "x quick brown fox y")).toDF("doc_id", "text")
+    val out = PhraseSearch.kwic(docs, "doc_id", "text",
+      phrases.where($"phrase_id" === 1L), contextWords = 0).head()
+    assert(out.getString(3) == "quick brown fox")
+  }
+
   test("phraseCensus: unmatched phrases report zero docs, not missing rows") {
     val docs = Seq(
       (1L, "quick brown fox here"), (2L, "a a and quick brown fox")
