@@ -3469,6 +3469,48 @@ object SparkEntry {
           "release_ok")
         .orderBy(col("source"))
     }),
+
+    // Q201 — TJ5 as-of join with staleness tolerance (pandas
+    // merge_asof(tolerance=…)): q110's enrichment through the SAME
+    // native merge plan, but marks older than 2 days are no match at
+    // all — payload nulls — because silently carrying arbitrarily
+    // stale state forward is the classic enrichment bug. The tolerance
+    // is a pure projection on the merge output (no second join, no
+    // extra shuffle).
+    "q201_asof_tolerance" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val signups = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("value")).as("signup_value"))
+        .select(col("user_id"), col("signup_ts"), col("signup_value"))
+      TimeJoins.asOfBackwardWithin(
+          e.where(pmod(col("event_id"), lit(13)) === 0)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          signups.withColumn("ts", col("signup_ts")),
+          Seq("user_id"), "ts", "ts", Seq("signup_ts", "signup_value"),
+          matchTsCol = "signup_ts", tolerance = "INTERVAL 2 DAYS")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("signup_ts"), col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Q202 — GRAPH4 k-core peel over the symmetrized customer↔supplier
+    // graph (q114's edges): iterated degree-< k removal, FOUR unrolled
+    // rounds (the q114 oracle convention — peeling is monotone, so
+    // converged rounds are no-ops and the `converged` column reports
+    // whether four sufficed). The dense-center extraction a fraud/
+    // community pass runs before expensive per-cluster work.
+    "q202_kcore" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 10).cast("long").as("src"),
+          (col("l_suppkey") * 10 + 1).cast("long").as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.kCorePeel(edges, k = 8, rounds = 4)
+        .orderBy(col("node"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -7011,6 +7053,48 @@ object SparkEntry {
           |  CAST(n_quality * 1000000 // n_docs AS BIGINT) AS quality_ppm,
           |  n_secret = 0 AND n_quality * 1000000 // n_docs >= 600000 AS release_ok
           |FROM g ORDER BY source""".stripMargin,
+
+      // DuckDB native ASOF + the identical staleness projection
+      "q201_asof_tolerance" ->
+        """WITH signups AS (SELECT user_id, ts AS signup_ts, max(value) AS signup_value
+          |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+          |probe AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 13 = 0),
+          |j AS (SELECT p.event_id, p.user_id, p.ts, s.signup_ts, s.signup_value
+          |  FROM probe p ASOF LEFT JOIN signups s
+          |    ON p.user_id = s.user_id AND s.signup_ts <= p.ts)
+          |SELECT event_id, user_id, ts,
+          |  CASE WHEN signup_ts IS NULL OR signup_ts < ts - INTERVAL 2 DAY
+          |       THEN NULL ELSE signup_ts END AS signup_ts,
+          |  CASE WHEN signup_ts IS NULL OR signup_ts < ts - INTERVAL 2 DAY
+          |       THEN NULL ELSE signup_value END AS signup_value
+          |FROM j ORDER BY event_id""".stripMargin,
+
+      // four unrolled peel rounds (monotone: converged rounds no-op);
+      // converged = round 4 changed nothing vs round 3
+      "q202_kcore" ->
+        """WITH e0x AS (SELECT DISTINCT CAST(o_custkey*10 AS BIGINT) AS src,
+          |    CAST(l_suppkey*10+1 AS BIGINT) AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e0 AS (SELECT src, dst FROM e0x UNION ALL SELECT dst, src FROM e0x),
+          |d1 AS (SELECT src, count(*) AS c FROM e0 GROUP BY 1),
+          |s1 AS (SELECT src FROM d1 WHERE c >= 8),
+          |e1 AS (SELECT e.src, e.dst FROM e0 e
+          |  JOIN s1 a ON e.src = a.src JOIN s1 b ON e.dst = b.src),
+          |d2 AS (SELECT src, count(*) AS c FROM e1 GROUP BY 1),
+          |s2 AS (SELECT src FROM d2 WHERE c >= 8),
+          |e2 AS (SELECT e.src, e.dst FROM e1 e
+          |  JOIN s2 a ON e.src = a.src JOIN s2 b ON e.dst = b.src),
+          |d3 AS (SELECT src, count(*) AS c FROM e2 GROUP BY 1),
+          |s3 AS (SELECT src FROM d3 WHERE c >= 8),
+          |e3 AS (SELECT e.src, e.dst FROM e2 e
+          |  JOIN s3 a ON e.src = a.src JOIN s3 b ON e.dst = b.src),
+          |d4 AS (SELECT src, count(*) AS c FROM e3 GROUP BY 1),
+          |s4 AS (SELECT src FROM d4 WHERE c >= 8),
+          |e4 AS (SELECT e.src, e.dst FROM e3 e
+          |  JOIN s4 a ON e.src = a.src JOIN s4 b ON e.dst = b.src)
+          |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree,
+          |  (SELECT count(*) FROM e4) = (SELECT count(*) FROM e3) AS converged
+          |FROM e4 GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

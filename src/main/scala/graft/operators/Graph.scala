@@ -240,4 +240,54 @@ object Graph {
       .withColumn("clustering_ppm",
         expr("(3 * n_triangles * 1000000) DIV n_wedges"))
   }
+
+  /**
+   * k-core peel (GRAPH4) — iterated removal of nodes with degree < k:
+   * the standard dense-subgraph extraction (community cores, spam-farm
+   * detection, "which suppliers sit in the tightly coupled center").
+   * A node survives the k-core iff it has ≥ k neighbors who THEMSELVES
+   * survive — hence the iteration; one degree filter is not enough
+   * (removing a node can demote its neighbors).
+   *
+   * The declared law runs a FIXED round count (deterministic and
+   * oracle-unrollable, the q114 pagerank convention); peeling is
+   * monotone, so once no node falls in a round the result is the true
+   * k-core and further rounds are no-ops — the report carries
+   * `converged` so the caller knows whether `rounds` sufficed.
+   *
+   * Scale posture: per round, one degree aggregate + two semi-joins
+   * (edges against surviving nodes); survivors only ever shrink, so
+   * per-round cost is bounded by the current edge set. Lineage
+   * truncates per round via `localCheckpoint` (the iterative-op
+   * convention — k rounds never re-run round 1).
+   *
+   * @param edges directed representation of an UNDIRECTED graph:
+   *   symmetrize before calling (degree = neighbor count either way).
+   * @return (node, degree, converged) — survivors with their degree
+   *   inside the core; empty when the k-core is empty.
+   */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 20, "k >= 1, 1..20 rounds")
+    var e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(false)
+    var changed = true
+    var r = 0
+    while (r < rounds && changed) {
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val survivors = deg.where(col("deg") >= k).select(col("src"))
+        .localCheckpoint(false)
+      val e2 = e
+        .join(survivors, Seq("src"), "left_semi")
+        .join(survivors.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(false)
+      // convergence = no node lost an edge this round (cheap driver
+      // scalar on the already-checkpointed frames)
+      changed = e2.count() != e.count()
+      e = e2
+      r += 1
+    }
+    val converged = !changed
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      .withColumn("converged", lit(converged))
+  }
 }

@@ -224,6 +224,42 @@ object TimeJoins {
       leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame =
     asOfMerge(left, right, keyCols, leftTs, rightTs, payloadCols, forward = false)
 
+  /**
+   * Backward as-of join with a STALENESS TOLERANCE (TJ5) — pandas
+   * `merge_asof(tolerance=…)` semantics: a mark older than
+   * `leftTs − tolerance` is no match at all (payload nulls, LEFT
+   * semantics preserved), because "the last quote we have is from three
+   * days ago" is usually worse than no quote — enrichment joins that
+   * silently carry arbitrarily stale state forward are a classic data
+   * bug this operator makes impossible.
+   *
+   * Physically the native merge plan runs UNCHANGED (one exchange +
+   * sort per side, O(1) merge state); the tolerance is a pure per-row
+   * projection on its output — the match timestamp is already in the
+   * payload, so no second join, no window, no extra shuffle.
+   *
+   * @param matchTsCol the payload column carrying the matched right
+   *   timestamp (must be in `payloadCols` — it is what staleness is
+   *   measured against).
+   * @param tolerance SQL interval expression, e.g. `"INTERVAL 2 DAYS"`.
+   */
+  def asOfBackwardWithin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      matchTsCol: String, tolerance: String): DataFrame = {
+    require(payloadCols.contains(matchTsCol),
+      s"matchTsCol $matchTsCol must be one of the payload columns")
+    val joined = asOfMerge(left, right, keyCols, leftTs, rightTs,
+      payloadCols, forward = false)
+    val stale = col(matchTsCol).isNull ||
+      col(matchTsCol) < col(leftTs) - expr(tolerance)
+    // null every payload column on stale matches — matchTsCol LAST so
+    // the other columns' staleness test still sees it
+    (payloadCols.filterNot(_ == matchTsCol) :+ matchTsCol)
+      .foldLeft(joined)((df, c) =>
+        df.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
+  }
+
   /** Forward twin of [[asOfBackwardMerge]]: earliest right row with
     * `rightTs >= leftTs` per key, through the same native operator
     * (`forward = true` needs no held state at all — the resting cursor IS

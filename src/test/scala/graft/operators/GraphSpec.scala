@@ -146,4 +146,45 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(3) == want.toLong, s"expected $want triangles, got ${r.getLong(3)}")
     assert(r.getLong(1) == canon.size.toLong)
   }
+
+  // ---- GRAPH4 k-core ----
+
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("kCorePeel: the cascade case a single degree filter gets wrong") {
+    // triangle 1-2-3 plus a pendant chain 3-4, 4-5: for k=2, node 5
+    // (deg 1) falls first, THEN 4 (demoted to deg 1) — the 2-core is
+    // exactly the triangle. One filter pass would keep node 4.
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    val out = Graph.kCorePeel(edges, k = 2, rounds = 6)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)))
+  }
+
+  test("kCorePeel: empty core when k exceeds every degree") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L)))
+    assert(Graph.kCorePeel(edges, k = 3, rounds = 4).isEmpty)
+  }
+
+  test("kCorePeel: a clique survives intact at k = size − 1") {
+    val nodes = (1L to 5L)
+    val clique = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val out = Graph.kCorePeel(sym(clique.toSeq), k = 4, rounds = 3)
+      .orderBy("node").collect()
+    assert(out.length == 5 && out.forall(_.getLong(1) == 4L))
+    assert(out.forall(_.getBoolean(2)))
+  }
+
+  test("kCorePeel: fixed-round truncation reports converged = false on a long chain") {
+    // path graph 1-2-...-10 with k=1: nothing ever falls (every node
+    // keeps degree >= 1), converged after round 1. But k=2 peels one
+    // node per round from each end — 2 rounds cannot finish a 10-chain
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val r2 = Graph.kCorePeel(sym(chain), k = 2, rounds = 2).collect()
+    assert(r2.nonEmpty && r2.forall(!_.getBoolean(2))) // truncated
+    val r9 = Graph.kCorePeel(sym(chain), k = 2, rounds = 9)
+    assert(r9.isEmpty) // the true 2-core of a path is empty
+  }
 }

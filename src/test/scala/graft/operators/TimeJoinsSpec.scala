@@ -137,4 +137,47 @@ class TimeJoinsSpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(a == b)
   }
+
+  // ---- TJ5 as-of with tolerance ----
+
+  test("asOfBackwardWithin: stale matches null out, fresh ones survive, never-matched stay null") {
+    val marks = Seq(
+      ("u", ts("2024-01-01 00:00:00"), 1.0), // stale for the late probe
+      ("u", ts("2024-01-10 00:00:00"), 2.0),
+    ).toDF("k", "mts", "v").withColumn("ts", col("mts"))
+    val probes = Seq(
+      ("u", 1L, ts("2024-01-01 12:00:00")), // 12h after mark 1: fresh
+      ("u", 2L, ts("2024-01-05 00:00:00")), // 4d after mark 1: STALE
+      ("u", 3L, ts("2024-01-11 00:00:00")), // 1d after mark 2: fresh
+      ("w", 4L, ts("2024-01-05 00:00:00")), // no marks at all
+    ).toDF("k", "id", "ts")
+    val out = TimeJoins.asOfBackwardWithin(probes, marks, Seq("k"),
+        "ts", "ts", Seq("mts", "v"), matchTsCol = "mts",
+        tolerance = "INTERVAL 2 DAYS")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Timestamp]("mts") == ts("2024-01-01 00:00:00"))
+    assert(out(0).getAs[Double]("v") == 1.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("mts")) &&
+      out(1).isNullAt(out(1).fieldIndex("v"))) // stale -> full null-out
+    assert(out(2).getAs[Double]("v") == 2.0)
+    assert(out(3).isNullAt(out(3).fieldIndex("mts")))
+  }
+
+  test("asOfBackwardWithin: boundary — exactly tolerance-old still matches") {
+    val marks = Seq(("u", ts("2024-01-01 00:00:00"), 5.0))
+      .toDF("k", "mts", "v").withColumn("ts", col("mts"))
+    val probes = Seq(("u", 1L, ts("2024-01-03 00:00:00")))
+      .toDF("k", "id", "ts")
+    val out = TimeJoins.asOfBackwardWithin(probes, marks, Seq("k"),
+      "ts", "ts", Seq("mts", "v"), "mts", "INTERVAL 2 DAYS").head()
+    assert(out.getAs[Double]("v") == 5.0) // mts == ts − tol: inclusive
+  }
+
+  test("asOfBackwardWithin refuses a matchTsCol outside the payload") {
+    val df = Seq(("u", 1L, ts("2024-01-01 00:00:00"))).toDF("k", "id", "ts")
+    intercept[IllegalArgumentException] {
+      TimeJoins.asOfBackwardWithin(df, df, Seq("k"), "ts", "ts",
+        Seq("id"), "nope", "INTERVAL 1 DAY")
+    }
+  }
 }
