@@ -3511,6 +3511,70 @@ object SparkEntry {
       graft.operators.Graph.kCorePeel(edges, k = 8, rounds = 4)
         .orderBy(col("node"))
     }),
+
+    // Q203 — EXP1 difference-in-differences: the 2×2 design that nets
+    // out the group baseline gap AND the common time trend; the planted
+    // +3000-cent effect (treated × post × purchase, ~5.5σ of the DID
+    // noise at sf0.01) reads back unambiguously on the purchase slice
+    // while the other types stay inside their ±2σ noise band. Deterministic unit-hash assignment (the q40 law) is what
+    // makes the report re-auditable — rand() assignment could not be.
+    "q203_did" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val e = t(s, dir, "events")
+        .withColumn("treated", pmod(portableHash(concat(lit("exp:"),
+          col("user_id").cast("string"))), lit(2L)) === 0L)
+        .withColumn("post",
+          col("ts") >= lit("2024-01-16 00:00:00").cast(TimestampNTZType))
+        .withColumn("cents", floor(col("value") * 100).cast("long") +
+          when(col("treated") && col("post") &&
+            col("event_type") === "purchase", 3000L).otherwise(0L))
+      graft.operators.Experiment.did(e, "event_type", col("treated"),
+          col("post"), col("cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Q204 — EXP2 CUPED variance reduction: per-user pre-period totals
+    // as the covariate, post totals (with a planted +100-cent treated
+    // lift) as the metric — θ from exact DECIMAL(38,0) suffstats (q56
+    // recipe), the adjusted gap and 1−ρ² in one mirrored IEEE tail.
+    // The metric carries a planted engagement-persistence component
+    // (y += x DIV 2 — heavy users stay heavy), so the pre covariate
+    // has real signal and var_ratio lands well below 1 — the CUPED
+    // mechanism demonstrated, not just computed.
+    "q204_cuped" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val e = t(s, dir, "events")
+        .withColumn("post",
+          col("ts") >= lit("2024-01-16 00:00:00").cast(TimestampNTZType))
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val units = e.groupBy(col("user_id"))
+        .agg(
+          sum(when(!col("post"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("post"), col("cents")).otherwise(0L)).as("y0"))
+        .withColumn("treated", pmod(portableHash(concat(lit("exp:"),
+          col("user_id").cast("string"))), lit(2L)) === 0L)
+        .withColumn("y", col("y0") + expr("x DIV 2") +
+          when(col("treated"), 10000L).otherwise(0L))
+      graft.operators.Experiment.cuped(units, col("treated"),
+        col("x"), col("y"))
+    }),
+
+    // Q205 — EXP3 sample-ratio-mismatch check: the dashboard's first
+    // row — a planted broken 30/70 assignment fires the χ² flag at the
+    // shared 3.841459 critical literal while the clean 50/50 hash
+    // split passes; unit-grain counts (SRM on events would confound
+    // with engagement).
+    "q205_srm_check" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      def h = portableHash(concat(lit("exp:"), col("user_id").cast("string")))
+      val users = t(s, dir, "events").select(col("user_id")).distinct()
+      val arms = users.select(lit("clean").as("segment"),
+          (pmod(h, lit(2L)) === 0L).as("t"))
+        .unionByName(users.select(lit("broken").as("segment"),
+          (pmod(h, lit(10L)) < 3L).as("t")))
+      graft.operators.Experiment.srmCheck(arms, "segment", col("t"))
+        .orderBy(col("segment"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -7095,6 +7159,97 @@ object SparkEntry {
           |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree,
           |  (SELECT count(*) FROM e4) = (SELECT count(*) FROM e3) AS converged
           |FROM e4 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same planted effect + unit-hash assignment; cell means as
+      // sign-split µcents, DID their exact difference
+      "q203_did" ->
+        """WITH e AS (SELECT event_type,
+          |    ('0x'||substr(md5('exp:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2 = 0 AS t,
+          |    ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
+          |    CAST(floor(value*100) AS BIGINT) +
+          |      CASE WHEN ('0x'||substr(md5('exp:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2 = 0
+          |             AND ts >= TIMESTAMP '2024-01-16 00:00:00' AND event_type = 'purchase'
+          |           THEN 3000 ELSE 0 END AS c
+          |  FROM events),
+          |g AS (SELECT event_type,
+          |    CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+          |    CAST(sum(CASE WHEN t AND p THEN c ELSE 0 END) AS BIGINT) AS s_tp,
+          |    CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_ta,
+          |    CAST(sum(CASE WHEN t AND NOT p THEN c ELSE 0 END) AS BIGINT) AS s_ta,
+          |    CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+          |    CAST(sum(CASE WHEN NOT t AND p THEN c ELSE 0 END) AS BIGINT) AS s_cp,
+          |    CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_ca,
+          |    CAST(sum(CASE WHEN NOT t AND NOT p THEN c ELSE 0 END) AS BIGINT) AS s_ca
+          |  FROM e GROUP BY 1),
+          |m AS (SELECT *,
+          |    CASE WHEN n_tp = 0 THEN NULL ELSE CAST(CASE WHEN s_tp < 0 THEN -((-s_tp) * 1000000 // n_tp) ELSE s_tp * 1000000 // n_tp END AS BIGINT) END AS m_tp,
+          |    CASE WHEN n_ta = 0 THEN NULL ELSE CAST(CASE WHEN s_ta < 0 THEN -((-s_ta) * 1000000 // n_ta) ELSE s_ta * 1000000 // n_ta END AS BIGINT) END AS m_ta,
+          |    CASE WHEN n_cp = 0 THEN NULL ELSE CAST(CASE WHEN s_cp < 0 THEN -((-s_cp) * 1000000 // n_cp) ELSE s_cp * 1000000 // n_cp END AS BIGINT) END AS m_cp,
+          |    CASE WHEN n_ca = 0 THEN NULL ELSE CAST(CASE WHEN s_ca < 0 THEN -((-s_ca) * 1000000 // n_ca) ELSE s_ca * 1000000 // n_ca END AS BIGINT) END AS m_ca
+          |  FROM g)
+          |SELECT event_type, n_tp, n_ta, n_cp, n_ca, m_tp, m_ta, m_cp, m_ca,
+          |  (m_tp - m_ta) - (m_cp - m_ca) AS did_ucents
+          |FROM m ORDER BY event_type""".stripMargin,
+
+      // q56-recipe suffstats, identical IEEE operation sequence for
+      // theta / gaps / variance ratio
+      "q204_cuped" ->
+        """WITH e AS (SELECT user_id,
+          |    ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
+          |    CAST(floor(value*100) AS BIGINT) AS c
+          |  FROM events),
+          |u AS (SELECT user_id,
+          |    CAST(sum(CASE WHEN NOT p THEN c ELSE 0 END) AS BIGINT) AS x,
+          |    CAST(sum(CASE WHEN p THEN c ELSE 0 END) AS BIGINT) AS y0
+          |  FROM e GROUP BY 1),
+          |v AS (SELECT x,
+          |    y0 + x // 2 + CASE WHEN ('0x'||substr(md5('exp:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2 = 0
+          |         THEN 10000 ELSE 0 END AS y,
+          |    ('0x'||substr(md5('exp:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2 = 0 AS t
+          |  FROM u),
+          |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+          |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+          |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+          |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          |    CAST(sum(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+          |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS sy_t
+          |  FROM v),
+          |w AS (SELECT *,
+          |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_num,
+          |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS var_num,
+          |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary_num
+          |  FROM g)
+          |SELECT n, n_t, sx AS sum_x, sy AS sum_y,
+          |  CAST(cov_num AS DOUBLE) / CAST(var_num AS DOUBLE) AS theta,
+          |  CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+          |    CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE) AS raw_gap,
+          |  (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+          |    CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) -
+          |  (CAST(cov_num AS DOUBLE) / CAST(var_num AS DOUBLE)) *
+          |    (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+          |      CAST(sx - sx_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) AS adj_gap,
+          |  1.0 - (CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE)) /
+          |    (CAST(var_num AS DOUBLE) * CAST(vary_num AS DOUBLE)) AS var_ratio
+          |FROM w""".stripMargin,
+
+      // unit-grain arms; χ² in exact µ-units vs the shared 3.841459
+      // critical literal
+      "q205_srm_check" ->
+        """WITH u AS (SELECT DISTINCT user_id FROM events),
+          |a AS (SELECT 'clean' AS segment,
+          |    ('0x'||substr(md5('exp:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2 = 0 AS t FROM u
+          |  UNION ALL SELECT 'broken',
+          |    ('0x'||substr(md5('exp:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 10 < 3 FROM u),
+          |g AS (SELECT segment,
+          |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_c
+          |  FROM a GROUP BY 1)
+          |SELECT segment, n_t, n_c,
+          |  CAST((n_t - n_c) * (n_t - n_c) * 1000000 // (n_t + n_c) AS BIGINT) AS chi2_u,
+          |  (n_t - n_c) * (n_t - n_c) * 1000000 // (n_t + n_c) > 3841459 AS srm_flag
+          |FROM g ORDER BY segment""".stripMargin,
     )
   }
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Experimentation analytics (EXP1–EXP3) — the A/B-testing tier a
+ * product pipeline runs beside the behavioral censuses (funnel,
+ * retention, transition): assignment sanity, effect estimation, and
+ * variance reduction. All three follow the engine's exact-arithmetic
+ * discipline: integer cents in, exact integer sufficient statistics,
+ * sign-split DIV for every signed rational, IEEE only in mirrored
+ * final expressions.
+ *
+ * Assignment is DETERMINISTIC by unit hash (the q40 split law) — the
+ * industry standard, and what makes every report here replayable: a
+ * rand() assignment could never be re-audited.
+ */
+object Experiment {
+
+  private def sdivExpr(num: String, den: String, scale: Long): String =
+    s"""CASE WHEN $num < 0 THEN -((-($num)) * $scale DIV ($den))
+       |     ELSE ($num) * $scale DIV ($den) END""".stripMargin
+
+  /**
+   * Difference-in-differences (EXP1): per slice, the 2×2
+   * (treat/control × pre/post) cell means in exact µcents and the DID
+   * estimate — the design that nets out both the group baseline gap
+   * and the common time trend; what survives is the treatment effect:
+   *
+   *   DID = (T̄_post − T̄_pre) − (C̄_post − C̄_pre)
+   *
+   * Cell means are sign-split integer µcents (each cell's DIV is the
+   * defined law, so the report replays bit-identically); the DID is
+   * their exact integer difference.
+   *
+   * Scale posture: one map-side-combinable aggregate to 4 cells per
+   * slice, then pure arithmetic on the cell frame. Slices with an
+   * empty cell report NULL (no estimate, not a division blowup).
+   */
+  def did(rows: DataFrame, sliceCol: String, treatCol: Column,
+      postCol: Column, centsCol: Column): DataFrame = {
+    val cells = rows
+      .select(col(sliceCol), treatCol.as("t"), postCol.as("p"),
+        centsCol.cast("long").as("c"))
+      .groupBy(col(sliceCol))
+      .agg(
+        sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("n_tp"),
+        sum(when(col("t") && col("p"), col("c")).otherwise(0L)).as("s_tp"),
+        sum(when(col("t") && !col("p"), 1L).otherwise(0L)).as("n_ta"),
+        sum(when(col("t") && !col("p"), col("c")).otherwise(0L)).as("s_ta"),
+        sum(when(!col("t") && col("p"), 1L).otherwise(0L)).as("n_cp"),
+        sum(when(!col("t") && col("p"), col("c")).otherwise(0L)).as("s_cp"),
+        sum(when(!col("t") && !col("p"), 1L).otherwise(0L)).as("n_ca"),
+        sum(when(!col("t") && !col("p"), col("c")).otherwise(0L)).as("s_ca"))
+    Seq("tp", "ta", "cp", "ca").foldLeft(cells)((df, cell) =>
+      df.withColumn(s"m_$cell",
+        when(col(s"n_$cell") === 0L, lit(null).cast("long"))
+          .otherwise(expr(sdivExpr(s"s_$cell", s"n_$cell", 1000000L)))))
+      .withColumn("did_ucents",
+        (col("m_tp") - col("m_ta")) - (col("m_cp") - col("m_ca")))
+      .select(sliceCol, "n_tp", "n_ta", "n_cp", "n_ca",
+        "m_tp", "m_ta", "m_cp", "m_ca", "did_ucents")
+  }
+
+  /**
+   * CUPED variance reduction (EXP2) — Deng et al.'s controlled
+   * pre-period adjustment: with per-unit pre-metric x and post-metric
+   * y, the adjusted metric y − θ(x − x̄) (θ = cov(x,y)/var(x)) has the
+   * same expectation but var·(1 − ρ²) — experiments read out weeks
+   * earlier at the same power. The report carries the exact integer
+   * suffstats (n, Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) — the q56
+   * recipe) plus the IEEE tail in ONE mirrored operation sequence:
+   * θ, raw treated−control gap, adjusted gap, and the variance ratio
+   * 1 − ρ².
+   *
+   * Input is the per-unit frame (unit, treated, x, y) — built upstream
+   * by one aggregate over raw events; this operator's own work is one
+   * global + one per-arm aggregate over units.
+   */
+  def cuped(units: DataFrame, treatCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val u = units.select(treatCol.as("t"),
+      xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+    val g = u.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(d38(col("x")) * col("y")).cast(DecimalType(38, 0)).as("sxy"),
+      sum(d38(col("x")) * col("x")).cast(DecimalType(38, 0)).as("sxx"),
+      sum(d38(col("y")) * col("y")).cast(DecimalType(38, 0)).as("syy"),
+      sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("t"), col("x")).otherwise(0L)).as("sx_t"),
+      sum(when(col("t"), col("y")).otherwise(0L)).as("sy_t"))
+      .withColumn("cov_num", d38(col("n")) * col("sxy") - d38(col("sx")) * col("sy"))
+      .withColumn("var_num", d38(col("n")) * col("sxx") - d38(col("sx")) * col("sx"))
+      .withColumn("vary_num", d38(col("n")) * col("syy") - d38(col("sy")) * col("sy"))
+    g.select(
+      col("n"), col("n_t"),
+      col("sx").cast("long").as("sum_x"), col("sy").cast("long").as("sum_y"),
+      // θ and the gaps: one fixed IEEE sequence, mirrored in the oracle
+      (col("cov_num").cast("double") / col("var_num").cast("double")).as("theta"),
+      (col("sy_t").cast("double") / col("n_t").cast("double") -
+        (col("sy") - col("sy_t")).cast("double") /
+          (col("n") - col("n_t")).cast("double")).as("raw_gap"),
+      ((col("sy_t").cast("double") / col("n_t").cast("double") -
+        (col("sy") - col("sy_t")).cast("double") /
+          (col("n") - col("n_t")).cast("double")) -
+        (col("cov_num").cast("double") / col("var_num").cast("double")) *
+          (col("sx_t").cast("double") / col("n_t").cast("double") -
+            (col("sx") - col("sx_t")).cast("double") /
+              (col("n") - col("n_t")).cast("double"))).as("adj_gap"),
+      (lit(1.0) -
+        (col("cov_num").cast("double") * col("cov_num").cast("double")) /
+          (col("var_num").cast("double") * col("vary_num").cast("double")))
+        .as("var_ratio"))
+  }
+
+  /**
+   * Sample-ratio-mismatch check (EXP3) — the first thing to read on
+   * any experiment dashboard: if the observed arm counts are not
+   * statistically compatible with the DESIGNED split, every metric
+   * below is untrustworthy (assignment, logging, or bot filtering is
+   * broken). For a designed 50/50, the 1-df chi-square is the exact
+   * rational (n_t − n_c)²/(n_t + n_c), kept integer as µ-units; the
+   * flag compares against the p = 0.05 critical value 3.841459 (a
+   * shared literal — the one constant both engines carry verbatim).
+   *
+   * One aggregate per slice; unit-grain input (count each unit once —
+   * SRM on event counts would confound with engagement).
+   */
+  def srmCheck(units: DataFrame, sliceCol: String, treatCol: Column): DataFrame =
+    units
+      .select(col(sliceCol), treatCol.as("t"))
+      .groupBy(col(sliceCol))
+      .agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"))
+      .withColumn("chi2_u", expr(
+        "(n_t - n_c) * (n_t - n_c) * 1000000 DIV (n_t + n_c)"))
+      .withColumn("srm_flag", col("chi2_u") > lit(3841459L))
+      .select(sliceCol, "n_t", "n_c", "chi2_u", "srm_flag")
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** EXP1–EXP3 experimentation tier: hand-computed DID cells, the CUPED
+  * identities (expectation preserved, variance reduced, θ recovery),
+  * and SRM flag fences. */
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("did: nets out baseline gap and common trend, recovers the planted effect") {
+    // control: 100 pre -> 120 post (trend +20)
+    // treated: 150 pre -> 200 post (baseline +50, trend +20, effect +30)
+    val rows = Seq(
+      ("s", true, false, 150L), ("s", true, false, 150L),
+      ("s", true, true, 200L), ("s", true, true, 200L),
+      ("s", false, false, 100L), ("s", false, false, 100L),
+      ("s", false, true, 120L), ("s", false, true, 120L),
+    ).toDF("k", "t", "p", "c")
+    val r = Experiment.did(rows, "k", col("t"), col("p"), col("c")).head()
+    assert(r.getAs[Long]("m_tp") == 200000000L)
+    assert(r.getAs[Long]("did_ucents") == 30L * 1000000)
+  }
+
+  test("did: an empty cell yields NULL, not a blowup") {
+    val rows = Seq(("s", true, true, 10L), ("s", false, false, 5L))
+      .toDF("k", "t", "p", "c")
+    val r = Experiment.did(rows, "k", col("t"), col("p"), col("c")).head()
+    assert(r.isNullAt(r.fieldIndex("m_ta")))
+    assert(r.isNullAt(r.fieldIndex("did_ucents")))
+  }
+
+  test("cuped: perfect covariate absorbs all metric variance; effect estimate survives") {
+    // y = 2x exactly + 7 for treated: theta = 2, adjusted gap = 7
+    // exactly, var_ratio -> ~0 (all variance explained)
+    val units = (1L to 40L).map { i =>
+      val treated = i % 2 == 0
+      val x = 100L + (i * 37L) % 50L
+      (treated, x, 2L * x + (if (treated) 7L else 0L))
+    }.toDF("t", "x", "y")
+    val r = Experiment.cuped(units, col("t"), col("x"), col("y")).head()
+    assert(math.abs(r.getAs[Double]("theta") - 2.0) < 0.05)
+    assert(math.abs(r.getAs[Double]("adj_gap") - 7.0) < 0.5)
+    assert(r.getAs[Double]("var_ratio") < 0.05)
+    // raw gap is polluted by whatever x-imbalance the arms carry;
+    // the adjusted gap strips exactly that pollution
+    val xGapPollution = math.abs(r.getAs[Double]("raw_gap") - 7.0)
+    assert(math.abs(r.getAs[Double]("adj_gap") - 7.0) <= xGapPollution + 1e-9)
+  }
+
+  test("cuped: uncorrelated covariate leaves the gap and variance alone") {
+    val rnd = new scala.util.Random(31)
+    val units = (1 to 400).map { i =>
+      (i % 2 == 0, rnd.nextLong(100), 500L + rnd.nextLong(100))
+    }.toDF("t", "x", "y")
+    val r = Experiment.cuped(units, col("t"), col("x"), col("y")).head()
+    assert(math.abs(r.getAs[Double]("theta")) < 0.2)
+    assert(r.getAs[Double]("var_ratio") > 0.9) // nothing to reduce
+    assert(math.abs(r.getAs[Double]("adj_gap") - r.getAs[Double]("raw_gap")) < 5.0)
+  }
+
+  test("srmCheck: the designed split passes, a broken one fires at the 3.84 fence") {
+    // 100 units 50/50 -> chi2 = 0; 30/70 -> 1600/100 = 16e6 > 3.84e6
+    val arms = ((1 to 50).map(_ => ("ok", true)) ++
+      (1 to 50).map(_ => ("ok", false)) ++
+      (1 to 30).map(_ => ("bad", true)) ++
+      (1 to 70).map(_ => ("bad", false))).toDF("seg", "t")
+    val out = Experiment.srmCheck(arms, "seg", col("t"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("ok").getAs[Long]("chi2_u") == 0L)
+    assert(!out("ok").getAs[Boolean]("srm_flag"))
+    assert(out("bad").getAs[Long]("chi2_u") == 16000000L)
+    assert(out("bad").getAs[Boolean]("srm_flag"))
+    // the fence itself: |diff| = 19 of 100 -> 3.61e6 passes, 20 -> 4e6 fires
+    val edge = ((1 to 60).map(_ => ("e1", true)) ++ (1 to 40).map(_ => ("e1", false)) ++
+      (1 to 59).map(_ => ("e2", true)) ++ (1 to 41).map(_ => ("e2", false))
+      ).toDF("seg", "t")
+    val e = Experiment.srmCheck(edge, "seg", col("t"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("srm_flag")).toMap
+    assert(e("e1") && !e("e2"))
+  }
+}
