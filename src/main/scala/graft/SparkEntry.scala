@@ -3575,6 +3575,40 @@ object SparkEntry {
       graft.operators.Experiment.srmCheck(arms, "segment", col("t"))
         .orderBy(col("segment"))
     }),
+
+    // Q206 — EXP4 minimum detectable effect: the design-time half of
+    // the experimentation tier — what lift CAN these arm sizes resolve
+    // at α = 0.05 / 80% power? σ from exact DECIMAL(38,0) suffstats,
+    // the z-sum 2.801585 a shared literal, one mirrored IEEE tail. A
+    // dashboard whose observed effects sit under its own MDE line is
+    // reading noise — q203's planted 3000-cent effect clears the
+    // purchase slice's MDE, which is the design check passing.
+    "q206_mde" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val e = t(s, dir, "events")
+        .withColumn("treated", pmod(portableHash(concat(lit("exp:"),
+          col("user_id").cast("string"))), lit(2L)) === 0L)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      graft.operators.Experiment.mde(e, "event_type", col("treated"),
+          col("cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Q207 — SURV1 discrete-hazard survival census: per lifetime day k,
+    // at-risk / churned / censored counts and the exact hazard ppm —
+    // the Kaplan–Meier ingredient with RIGHT-CENSORING handled (users
+    // last seen on the corpus's final day haven't churned; counting
+    // them would bias every hazard upward). The event stream is
+    // sparsified to the id % 29 slice so per-user activity is a few
+    // scattered days and lifetimes actually SPREAD (the full stream has
+    // every user active wall-to-wall — all-maximal lifetimes, a
+    // degenerate curve). Windows run on the lifetime HISTOGRAM (≤ span
+    // rows), never the user count.
+    "q207_discrete_hazard" -> ((s, dir) =>
+      graft.operators.Survival.discreteHazard(
+          t(s, dir, "events").where(pmod(col("event_id"), lit(29L)) === 0L),
+          "user_id", to_date(col("ts")))
+        .orderBy(col("k"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -7250,6 +7284,45 @@ object SparkEntry {
           |  CAST((n_t - n_c) * (n_t - n_c) * 1000000 // (n_t + n_c) AS BIGINT) AS chi2_u,
           |  (n_t - n_c) * (n_t - n_c) * 1000000 // (n_t + n_c) > 3841459 AS srm_flag
           |FROM g ORDER BY segment""".stripMargin,
+
+      // pooled σ from exact suffstats; the z-sum literal and the IEEE
+      // sequence mirrored
+      "q206_mde" ->
+        """WITH e AS (SELECT event_type,
+          |    ('0x'||substr(md5('exp:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2 = 0 AS t,
+          |    CAST(floor(value*100) AS BIGINT) AS c
+          |  FROM events),
+          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(c) AS BIGINT) AS sc,
+          |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc,
+          |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+          |  FROM e GROUP BY 1),
+          |w AS (SELECT *, n - n_t AS n_c,
+          |    CAST(n AS HUGEINT) * scc - CAST(sc AS HUGEINT) * sc AS var_num FROM g)
+          |SELECT event_type, n_t, n_c,
+          |  sqrt(CAST(var_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd_cents,
+          |  2.801585 * sqrt(CAST(var_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+          |    * sqrt(2.0 / CAST(least(n_t, n_c) AS DOUBLE)) AS mde_cents
+          |FROM w ORDER BY event_type""".stripMargin,
+
+      // lifetime = last − first per user; censored = last == corpus
+      // max day; at-risk = reversed cumsum on the lifetime histogram
+      "q207_discrete_hazard" ->
+        """WITH s AS (SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+          |  FROM events WHERE event_id % 29 = 0 GROUP BY 1),
+          |mx AS (SELECT max(l) AS max_day FROM s),
+          |lt AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS k,
+          |    l = (SELECT max_day FROM mx) AS censored FROM s),
+          |h AS (SELECT k, CAST(count(*) AS BIGINT) AS n_ending,
+          |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_churned,
+          |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+          |  FROM lt GROUP BY 1)
+          |SELECT k, CAST(sum(n_ending) OVER (ORDER BY k DESC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+          |  n_churned, n_censored,
+          |  CAST(n_churned * 1000000 // sum(n_ending) OVER (ORDER BY k DESC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hazard_ppm
+          |FROM h ORDER BY k""".stripMargin,
     )
   }
 }

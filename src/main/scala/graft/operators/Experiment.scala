@@ -130,6 +130,47 @@ object Experiment {
    * One aggregate per slice; unit-grain input (count each unit once —
    * SRM on event counts would confound with engagement).
    */
+  /**
+   * Minimum detectable effect (EXP4) — the design-time half of the
+   * tier: before an experiment runs, what lift CAN these arm sizes
+   * resolve? The two-sample normal approximation at α = 0.05 (two-
+   * sided) and 80% power:
+   *
+   *   MDE = (z_{α/2} + z_β) · σ · √(2/n_arm)
+   *       = 2.801585 · σ · √(2/min(n_t, n_c))
+   *
+   * — the z-sum is a shared literal (z_{0.025} = 1.959964, z_{0.8} =
+   * 0.841621), σ the pooled population standard deviation from exact
+   * integer suffstats (n·Σc² − (Σc)² over n², the q56 recipe), and the
+   * whole IEEE tail one mirrored operation sequence. A dashboard whose
+   * observed effects sit below its own MDE line is reading noise.
+   *
+   * One map-side-combinable aggregate per slice; suffstats widen to
+   * DECIMAL(38,0) before the products.
+   */
+  def mde(rows: DataFrame, sliceCol: String, treatCol: Column,
+      centsCol: Column): DataFrame = {
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    rows
+      .select(col(sliceCol), treatCol.as("t"), centsCol.cast("long").as("c"))
+      .groupBy(col(sliceCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("sc"),
+        sum(d38(col("c")) * col("c")).cast(DecimalType(38, 0)).as("scc"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_t"))
+      .withColumn("n_c", col("n") - col("n_t"))
+      .withColumn("var_num",
+        expr("CAST(n AS DECIMAL(38,0)) * scc - CAST(sc AS DECIMAL(38,0)) * sc"))
+      .withColumn("sd_cents",
+        sqrt(col("var_num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))))
+      .withColumn("mde_cents",
+        lit(2.801585) * col("sd_cents") *
+          sqrt(lit(2.0) / least(col("n_t"), col("n_c")).cast("double")))
+      .select(sliceCol, "n_t", "n_c", "sd_cents", "mde_cents")
+  }
+
   def srmCheck(units: DataFrame, sliceCol: String, treatCol: Column): DataFrame =
     units
       .select(col(sliceCol), treatCol.as("t"))

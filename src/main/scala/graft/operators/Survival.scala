@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Discrete-time survival census (SURV1) — the churn/retention view a
+ * lifecycle dashboard is built from: for each lifetime day k, how many
+ * users were still at risk, how many churned exactly there, and the
+ * discrete hazard h(k) = churned(k)/at_risk(k) — the exact-integer
+ * ingredient of the Kaplan–Meier estimator (the KM survival curve is
+ * Π(1 − h(k)); the product is presentation arithmetic, the hazards are
+ * the pipeline output).
+ *
+ * RIGHT-CENSORING is handled properly — the part naive "days active"
+ * rollups get wrong: a user whose last activity falls on the corpus's
+ * final observed day has not churned, we just stopped watching. Such
+ * users count in the at-risk denominators up to their censor time but
+ * never in a churn numerator; ignoring this biases every hazard upward
+ * (the classic immortal-dashboard bug in reverse).
+ *
+ * Exact law: lifetime = last_day − first_day per unit;
+ * at_risk(k) = |{u : lifetime_u ≥ k}| (a reversed cumulative sum over
+ * the lifetime histogram); churned(k) = |{u : lifetime_u = k, not
+ * censored}|; hazard_ppm = churned·10⁶ DIV at_risk.
+ *
+ * Scale posture: one aggregate to per-unit (first, last), one 1-row
+ * max-day broadcast for the censor boundary, then every window runs on
+ * the LIFETIME HISTOGRAM (≤ observation-span rows, never unit count) —
+ * the threshold-law frame discipline again.
+ */
+object Survival {
+
+  /**
+   * Per-lifetime-day report `(k, n_at_risk, n_churned, n_censored,
+   * hazard_ppm)` over unit activity rows `(unitCol, dayCol)`.
+   */
+  def discreteHazard(events: DataFrame, unitCol: String, dayCol: Column): DataFrame = {
+    val spans = events
+      .select(col(unitCol).as("u"), dayCol.as("d"))
+      .groupBy(col("u"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val maxDay = spans.agg(max(col("l")).as("max_day"))
+    val lifetimes = spans
+      .crossJoin(broadcast(maxDay)) // 1-row censor boundary
+      .withColumn("k", datediff(col("l"), col("f")).cast("long"))
+      .withColumn("censored", col("l") === col("max_day"))
+    val hist = lifetimes
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_ending"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churned"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    // at_risk(k) = Σ_{k' >= k} n_ending — reversed cumsum on the
+    // lifetime histogram (rows = distinct lifetimes, never unit count)
+    val atRisk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist
+      .withColumn("n_at_risk", sum(col("n_ending")).over(atRisk))
+      .withColumn("hazard_ppm", expr("n_churned * 1000000 DIV n_at_risk"))
+      .select("k", "n_at_risk", "n_churned", "n_censored", "hazard_ppm")
+  }
+}

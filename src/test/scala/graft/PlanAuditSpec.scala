@@ -52,6 +52,7 @@ class PlanAuditSpec extends SparkSpec {
     "q184_wasserstein_drift" -> "bounded grid build: the slice frame (dimension-sized) crossJoins onto the value histogram (|values| x |slices|, value-DOMAIN bounded, never corpus rows)",
     "q190_good_turing" -> "single-row broadcast: the (n_tokens, n1) totals crossJoin onto the <= maxR+1 report rows (1 x rows, structurally bounded)",
     "q194_dim_ablation_recall" -> "both sides are q19's DECLARED brute-force baseline (truth AND the truncated-dim ranker under measurement) — dim ablation is priced against exact truth by definition; the recall join itself is equi-only",
+    "q207_discrete_hazard" -> "single-row broadcast: the 1-row corpus max-day censor boundary crossJoins onto the per-unit spans (1 x units, structurally bounded)",
   )
 
   test("no declared query plans an unbounded nested-loop or cartesian join") {

@@ -81,4 +81,20 @@ class ExperimentSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Boolean]("srm_flag")).toMap
     assert(e("e1") && !e("e2"))
   }
+
+  test("mde: hand-computed sd and the arm-size/variance scaling laws") {
+    // values alternate 0/200 -> population sd = 100 exactly
+    val rows = (1 to 400).map(i => ("s", i % 2 == 0, if (i % 2 == 0) 200L else 0L))
+      .toDF("k", "t", "c")
+    val r = Experiment.mde(rows, "k", col("t"), col("c")).head()
+    assert(math.abs(r.getAs[Double]("sd_cents") - 100.0) < 1e-9)
+    // mde = 2.801585 * 100 * sqrt(2/200)
+    val expect = 2.801585 * 100.0 * math.sqrt(2.0 / 200.0)
+    assert(math.abs(r.getAs[Double]("mde_cents") - expect) < 1e-9)
+    // quadrupling n halves the MDE (sqrt law)
+    val big = (1 to 1600).map(i => ("s", i % 2 == 0, if (i % 2 == 0) 200L else 0L))
+      .toDF("k", "t", "c")
+    val r4 = Experiment.mde(big, "k", col("t"), col("c")).head()
+    assert(math.abs(r4.getAs[Double]("mde_cents") - expect / 2.0) < 1e-9)
+  }
 }

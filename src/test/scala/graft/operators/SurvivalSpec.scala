@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SURV1 discrete hazard: hand-computed at-risk/churn table, the
+  * right-censoring law, and the all-censored degenerate case. */
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(x: String) = java.sql.Date.valueOf(x)
+
+  test("discreteHazard: hand-computed table with censoring") {
+    // corpus max day = 01-10.
+    // u1: 01-01..01-03 -> k=2, churned (l < max)
+    // u2: 01-01..01-01 -> k=0, churned
+    // u3: 01-02..01-10 -> k=8, CENSORED (active on the last day)
+    // u4: 01-05..01-07 -> k=2, churned
+    val rows = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-03")),
+      (2L, d("2024-01-01")),
+      (3L, d("2024-01-02")), (3L, d("2024-01-10")),
+      (4L, d("2024-01-05")), (4L, d("2024-01-07")),
+    ).toDF("u", "day")
+    val out = Survival.discreteHazard(rows, "u", col("day"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (0L, 4L, 1L, 0L, 250000L),  // all 4 at risk, u2 churns
+      (2L, 3L, 2L, 0L, 666666L),  // u1, u3, u4 at risk; u1+u4 churn
+      (8L, 1L, 0L, 1L, 0L)))      // u3 censored: hazard 0, not 1
+  }
+
+  test("discreteHazard: a single-day corpus is fully censored") {
+    val rows = Seq((1L, d("2024-01-01")), (2L, d("2024-01-01")))
+      .toDF("u", "day")
+    val r = Survival.discreteHazard(rows, "u", col("day")).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 2L) // nobody churned
+    assert(r.getLong(4) == 0L)
+  }
+
+  test("discreteHazard: ignoring censoring would inflate the tail hazard") {
+    // 5 users all active through the final day: proper handling says
+    // hazard 0 everywhere; a naive law would read 100% churn at k-max
+    val rows = (1L to 5L).flatMap(u =>
+      Seq((u, d("2024-01-01")), (u, d("2024-01-09")))).toDF("u", "day")
+    val out = Survival.discreteHazard(rows, "u", col("day")).collect()
+    assert(out.forall(_.getLong(4) == 0L))
+    assert(out.map(_.getLong(3)).sum == 5L)
+  }
+}
