@@ -3609,6 +3609,48 @@ object SparkEntry {
           t(s, dir, "events").where(pmod(col("event_id"), lit(29L)) === 0L),
           "user_id", to_date(col("ts")))
         .orderBy(col("k"))),
+
+    // Q208 — GOV4 corpus concentration: the Lorenz curve + Gini
+    // COEFFICIENT of char mass across sources — "does one source own
+    // the corpus?" as a governance artifact. Rank-covariance Gini in
+    // exact ppm; every window on the 20-row source census. (This is
+    // inequality-Gini, not q46's token Gini IMPURITY.)
+    "q208_lorenz_concentration" -> ((s, dir) =>
+      graft.operators.Concentration.lorenz(
+          t(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy(col("r"))),
+
+    // Q209 — DQ5 overdispersion audit: the Fano factor (variance/mean
+    // of DAILY counts, zero days included via the global 30-day span)
+    // per event type — the arrival-process forensic that flags batch
+    // replays and bot bursts (Fano ≫ 1) or suspiciously metronomic
+    // schedules (Fano ≪ 1) against the Poisson baseline of 10⁶ ppm.
+    "q209_fano_dispersion" -> ((s, dir) =>
+      graft.operators.Dispersion.fano(
+          t(s, dir, "events"), "event_type", to_date(col("ts")))
+        .orderBy(col("key"))),
+
+    // Q210 — DRIFT4 chi-square homogeneity: did the binned value
+    // distribution move between the first and second half of the
+    // observation window? Pearson χ² in exact ppm (DECIMAL(38,0)
+    // squares — the q128 recipe), alarm line pinned at the df=7
+    // α=0.05 critical value 14.067140. The fence is data-derived
+    // (half the observed day span, 1-row broadcast), the bins are the
+    // q162-style value bands (6250-cent steps, top band open).
+    "q210_chi2_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val bounds = e.agg(
+        min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val framed = e.crossJoin(broadcast(bounds)) // 1-row span fence
+        .withColumn("post",
+          datediff(to_date(col("ts")), col("d0")) >=
+            expr("(datediff(d1, d0) + 1) DIV 2"))
+      graft.operators.Drift.chiSquare(framed, col("post"),
+          least(lit(7L), expr("CAST(floor(value * 100) AS BIGINT) DIV 6250")),
+          14067140L)
+        .orderBy(col("bin"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -7323,6 +7365,65 @@ object SparkEntry {
           |  CAST(n_churned * 1000000 // sum(n_ending) OVER (ORDER BY k DESC
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hazard_ppm
           |FROM h ORDER BY k""".stripMargin,
+
+      "q208_lorenz_concentration" ->
+        """WITH c AS (SELECT source AS "group", CAST(sum(n_chars) AS BIGINT) AS w
+          |  FROM documents GROUP BY 1),
+          |r AS (SELECT "group", w,
+          |    CAST(row_number() OVER (ORDER BY w, "group") AS BIGINT) AS r,
+          |    CAST(sum(w) OVER (ORDER BY w, "group"
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+          |    CAST(sum(w) OVER () AS BIGINT) AS tot_w,
+          |    CAST(count(*) OVER () AS BIGINT) AS n FROM c),
+          |s AS (SELECT *, CAST(sum(r * w) OVER () AS BIGINT) AS rw_sum FROM r)
+          |SELECT "group", w, r, cum_w,
+          |  CAST(cum_w * 1000000 // tot_w AS BIGINT) AS cum_share_ppm,
+          |  CAST((2 * rw_sum - (n + 1) * tot_w) * 1000000 // (n * tot_w) AS BIGINT) AS gini_ppm
+          |FROM s ORDER BY r""".stripMargin,
+
+      "q209_fano_dispersion" ->
+        """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS dd,
+          |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+          |n AS (SELECT CAST(count(DISTINCT dd) AS BIGINT) AS n_days FROM d),
+          |s AS (SELECT key, CAST(sum(c) AS BIGINT) AS n_events,
+          |    CAST(sum(c * c) AS BIGINT) AS c2 FROM d GROUP BY 1)
+          |SELECT key, n_days, n_events,
+          |  CAST(n_events * 1000000 // n_days AS BIGINT) AS mean_ppm,
+          |  CAST((n_days * c2 - n_events * n_events) * 1000000
+          |    // (n_days * n_events) AS BIGINT) AS fano_ppm,
+          |  (n_days * c2 - n_events * n_events) * 1000000
+          |    // (n_days * n_events) > 2000000 AS burst_flag
+          |FROM s, n ORDER BY key""".stripMargin,
+
+      "q210_chi2_drift" ->
+        """WITH sp AS (SELECT min(CAST(ts AS DATE)) AS d0,
+          |    (datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1) // 2 AS half
+          |  FROM events),
+          |b AS (SELECT least(7, CAST(floor(value * 100) AS BIGINT) // 6250) AS bin,
+          |    datediff('day', sp.d0, CAST(ts AS DATE)) >= sp.half AS post
+          |  FROM events, sp),
+          |c AS (SELECT bin,
+          |    CAST(sum(CASE WHEN post THEN 0 ELSE 1 END) AS BIGINT) AS o_pre,
+          |    CAST(sum(CASE WHEN post THEN 1 ELSE 0 END) AS BIGINT) AS o_post
+          |  FROM b GROUP BY 1),
+          |t AS (SELECT CAST(sum(o_pre) AS BIGINT) AS n_pre,
+          |    CAST(sum(o_post) AS BIGINT) AS n_post FROM c),
+          |g AS (SELECT bin, o_pre, o_post, o_pre + o_post AS tb,
+          |    n_pre + n_post AS n_all, n_pre, n_post FROM c, t),
+          |x AS (SELECT bin, o_pre, o_post,
+          |    CASE WHEN n_pre > 0 AND n_post > 0 THEN
+          |      CAST((CAST(o_pre * n_all - n_pre * tb AS HUGEINT)
+          |          * (o_pre * n_all - n_pre * tb) * 1000000)
+          |        // (n_pre * tb * n_all)
+          |      + (CAST(o_post * n_all - n_post * tb AS HUGEINT)
+          |          * (o_post * n_all - n_post * tb) * 1000000)
+          |        // (n_post * tb * n_all) AS BIGINT)
+          |    END AS chi2_bin_ppm FROM g)
+          |SELECT bin, o_pre, o_post, chi2_bin_ppm,
+          |  CAST(sum(chi2_bin_ppm) OVER () AS BIGINT) AS chi2_ppm,
+          |  CAST(count(*) OVER () - 1 AS BIGINT) AS dof,
+          |  sum(chi2_bin_ppm) OVER () > 14067140 AS drift_flag
+          |FROM x ORDER BY bin""".stripMargin,
     )
   }
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Autocorrelation census (FC2) — the lag-k ACF of a daily aggregate
+ * series, the diagnostic read before picking a forecast model: a spike
+ * at lag 7 says "weekly seasonality, difference it or add the term"
+ * (confirming what q189's period-7 decomposition assumes), a slow
+ * geometric decay says "trend/AR — q181's naive backtest will lag it",
+ * all-noise says the naive forecaster is already optimal.
+ *
+ * Per lag k: pairs (v_d, v_{d+k}) joined on the CALENDAR (d+k must be
+ * an observed day — missing days break pairs honestly rather than
+ * letting a ROW lead splice across gaps), then the exact-suffstat
+ * Pearson correlation of the paired sub-series, quadratics in
+ * DECIMAL(38,0) (daily cent sums square past 2⁶³), emitted as
+ * canonical decimal strings (q122 bridge) with the one mirrored
+ * decimal→double IEEE tail (the [[Graph.assortativity]] convention).
+ *
+ * Scale posture: the corpus collapses to the DAY census in one
+ * aggregate; the lag frame (≤ maxLag rows) broadcasts onto census rows
+ * and the pair join is an equi-join on (d+k) — everything after the
+ * first aggregate is bounded by observation days × maxLag.
+ */
+object Autocorrelation {
+
+  /**
+   * Per-lag report `(lag, n_pairs, sx, sy, cov_num, var_x_num,
+   * var_y_num, r_fp)` for lags 1..maxLag of the daily sum of
+   * `centsCol` keyed by `dayCol`. Lags with fewer than 2 pairs or a
+   * constant sub-series report NULL `r_fp` (no estimate, not a
+   * division blowup).
+   */
+  def acf(df: DataFrame, dayCol: Column, centsCol: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, "1 <= maxLag <= 366")
+    val series = df
+      .select(dayCol.as("d"), centsCol.cast("long").as("v"))
+      .groupBy(col("d"))
+      .agg(sum(col("v")).as("v"))
+    val lagged = series
+      .withColumn("lag", explode(array((1 to maxLag).map(k => lit(k.toLong)): _*)))
+      .withColumn("d2", expr("date_add(d, CAST(lag AS INT))"))
+      .join(series.select(col("d").as("d2"), col("v").as("w")), Seq("d2"))
+    lagged
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("v")).as("sx"),
+        sum(col("w")).as("sy"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sxx"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("syy"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * w")).as("sxy"))
+      .withColumn("num", expr("n_pairs * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("d1", expr("n_pairs * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("d2", expr("n_pairs * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("r_fp", expr(
+        """CASE WHEN d1 > 0 AND d2 > 0 THEN
+          |  CAST(num AS DOUBLE) /
+          |    sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+          |END""".stripMargin))
+      .select(col("lag"), col("n_pairs"), col("sx"), col("sy"),
+        col("num").cast("decimal(38,0)").cast("string").as("cov_num"),
+        col("d1").cast("decimal(38,0)").cast("string").as("var_x_num"),
+        col("d2").cast("decimal(38,0)").cast("string").as("var_y_num"),
+        col("r_fp"))
+  }
+}

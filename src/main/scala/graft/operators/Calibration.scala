@@ -107,4 +107,52 @@ object Calibration {
               .stripMargin)))
       .select(keyCol, "n", "n_pos", "n_neg", "n_scores", "auc_ppm")
   }
+
+  /**
+   * Threshold-sweep confusion census (EVAL6) — the operating-point view
+   * the other two evaluation lenses don't give: [[reliability]] asks
+   * "are the scores honest probabilities?", [[rocAuc]] asks "do they
+   * rank?", this asks "what precision/recall/F1 do I get if I DEPLOY at
+   * threshold t?" for a grid of thresholds — the table a release gate
+   * reads to pick its cut.
+   *
+   * Exact law per (key, t), predict positive iff score ≥ t:
+   *   precision_ppm = TP·10⁶ DIV (TP+FP)       (NULL if nothing flagged)
+   *   recall_ppm    = TP·10⁶ DIV (TP+FN)       (NULL if no positives)
+   *   f1_ppm        = 2·TP·10⁶ DIV (2·TP+FP+FN) (the harmonic mean,
+   *                   in its single-division integer form)
+   *
+   * Scale posture: the corpus collapses to the (key, score) HISTOGRAM
+   * in one map-side-combinable aggregate (the [[rocAuc]] trick); the
+   * threshold grid then explodes onto histogram rows — |keys| ×
+   * |score domain| × |grid|, never raw rows.
+   */
+  def confusionSweep(scored: DataFrame, keyCol: String, scoreCol: String,
+      labelCol: String, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    val hist = scored
+      .groupBy(col(keyCol), col(scoreCol).cast("long").as("score"))
+      .agg(
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("n_neg"))
+    hist
+      .withColumn("thr", explode(array(thresholds.map(lit(_)): _*)))
+      .groupBy(col(keyCol), col("thr"))
+      .agg(
+        sum(when(col("score") >= col("thr"), col("n_pos")).otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr"), col("n_neg")).otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr"), col("n_pos")).otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("thr"), col("n_neg")).otherwise(0L)).as("tn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0L,
+          expr("tp * 1000000 DIV (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0L,
+          expr("tp * 1000000 DIV (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          expr("2 * tp * 1000000 DIV (2 * tp + fp + fn)")))
+      .select(keyCol, "thr", "tp", "fp", "fn", "tn",
+        "precision_ppm", "recall_ppm", "f1_ppm")
+  }
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus concentration audit (GOV4) — the Lorenz curve and Gini
+ * COEFFICIENT of how a weight (chars, tokens, revenue) is distributed
+ * across groups (sources, domains, suppliers). This is the inequality
+ * statistic, not the [[TextAnalysis]] Gini *impurity*: a curated
+ * training mix wants to know "does one source own 80% of the tokens?",
+ * and the Lorenz table is the governance artifact that answers it
+ * (the data-mixing analogue of a market-share audit).
+ *
+ * Exact law, ranks ascending by (weight, group) so ties are
+ * deterministic (and Σ r·w is tie-order invariant anyway — equal
+ * weights commute):
+ *
+ *   G = (2·Σ r·w_r − (n+1)·W) · 10⁶ DIV (n·W)
+ *
+ * the classic rank-covariance form of the Gini coefficient, truncated
+ * to ppm as the defined output law. Lorenz rows carry the cumulative
+ * share so the curve replays bit-identically.
+ *
+ * Scale posture: the corpus collapses to the GROUP CENSUS in one
+ * map-side-combinable aggregate; every window (rank, cumsum, totals)
+ * runs on census rows — bounded by the number of groups, never corpus
+ * size. Weights are summed as BIGINT (chars fit comfortably; callers
+ * with larger weights pre-scale).
+ */
+object Concentration {
+
+  /**
+   * Lorenz/Gini report `(group, w, r, cum_w, cum_share_ppm, gini_ppm)`
+   * over rows weighted by `weightCol`, grouped by `groupCol`. One row
+   * per group, ascending by rank; `gini_ppm` is constant across rows
+   * (the curve's summary statistic, carried on every row so the
+   * artifact is self-contained).
+   */
+  def lorenz(rows: DataFrame, groupCol: String, weightCol: Column): DataFrame = {
+    val census = rows
+      .select(col(groupCol).as("group"), weightCol.cast("long").as("wt"))
+      .groupBy(col("group"))
+      .agg(sum(col("wt")).as("w"))
+    val byRank = Window.orderBy(col("w"), col("group"))
+    val all = Window.orderBy(col("w"), col("group"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    census
+      .withColumn("r", row_number().over(byRank).cast("long"))
+      .withColumn("cum_w", sum(col("w")).over(byRank))
+      .withColumn("tot_w", sum(col("w")).over(all))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("rw_sum", sum(col("r") * col("w")).over(all))
+      .withColumn("cum_share_ppm", expr("cum_w * 1000000 DIV tot_w"))
+      .withColumn("gini_ppm",
+        expr("(2 * rw_sum - (n + 1) * tot_w) * 1000000 DIV (n * tot_w)"))
+      .select("group", "w", "r", "cum_w", "cum_share_ppm", "gini_ppm")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Overdispersion audit (DQ5) — the Fano factor (variance-to-mean
+ * ratio) of per-day event counts, per key. A Poisson arrival process
+ * has Fano = 1; organic user traffic is mildly overdispersed; batch
+ * replays, bot bursts, and ingest stutters show up as Fano ≫ 1 (all
+ * of a key's volume landing on a few days), while a metronomic
+ * scheduled job is UNDERdispersed (Fano ≪ 1 — suspiciously even).
+ * This is the burstiness forensic that separates organic streams from
+ * machine artifacts in a training corpus, complementing the q174
+ * Benford digit audit (value forensics) with arrival forensics.
+ *
+ * Days with ZERO events count: the denominator is the GLOBAL observed
+ * day span (distinct days anywhere in the stream), so a key active on
+ * 3 of 60 days is measured against all 60 — absent days contribute 0
+ * to both Σc and Σc² but sit in n, exactly the zeros a per-key GROUP
+ * BY would silently drop (and dropping them biases Fano down, hiding
+ * the burst).
+ *
+ * Exact law over daily counts c_d, n = global day count:
+ *   mean_mppm  = Σc · 10⁶ DIV n                       (events/day, ppm)
+ *   fano_ppm   = (n·Σc² − (Σc)²) · 10⁶ DIV (n·Σc)    (population var / mean)
+ *
+ * Scale posture: corpus → (key, day) census in one aggregate, census →
+ * per-key suffstats in a second map-side-combinable aggregate, the
+ * 1-row global day count broadcast. Σc² of daily counts stays far
+ * inside BIGINT at any realistic per-key day volume (c_d ≤ 2 ⁹ per day
+ * would still leave 2⁴⁵ headroom).
+ */
+object Dispersion {
+
+  /**
+   * Per-key report `(key, n_days, n_events, mean_ppm, fano_ppm,
+   * burst_flag)` over event rows; `burst_flag` marks Fano > 2×10⁶
+   * (twice the Poisson baseline — the conventional "investigate" line).
+   */
+  def fano(events: DataFrame, keyCol: String, dayCol: Column): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), dayCol.as("d"))
+      .groupBy(col("key"), col("d"))
+      .agg(count(lit(1)).as("c"))
+    val spanDays = daily.agg(countDistinct(col("d")).as("n_days"))
+    daily
+      .groupBy(col("key"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("c2"))
+      .crossJoin(broadcast(spanDays)) // 1-row global observation span
+      .withColumn("mean_ppm", expr("n_events * 1000000 DIV n_days"))
+      .withColumn("fano_ppm",
+        expr("(n_days * c2 - n_events * n_events) * 1000000 DIV (n_days * n_events)"))
+      .withColumn("burst_flag", col("fano_ppm") > lit(2000000L))
+      .select("key", "n_days", "n_events", "mean_ppm", "fano_ppm", "burst_flag")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -176,6 +176,69 @@ object Drift {
             (col("n_s").cast("double") * col("n_rest").cast("double"))))
       .select(col("slice").as(sliceCol), col("n_s"), col("w1_num"),
         col("w1_cents"))
+  }
+
+  /**
+   * Two-window chi-square homogeneity test (DRIFT4) — "did the binned
+   * value distribution change between the first and second half of the
+   * observation window?" as Pearson's χ². This complements the family's
+   * other lenses: total-variation ([[tokenDriftReport]]) weights every
+   * bin equally, [[wasserstein1]] weights by distance moved, χ² weights
+   * each bin's deviation by its expected mass — the classical test with
+   * a CALIBRATED alarm line (the df-dependent critical value), which TV
+   * and W1 don't have.
+   *
+   * Exact law per bin b and window w ∈ {pre, post}, with t_b = o_pre +
+   * o_post, N = n_pre + n_post, e_wb = n_w·t_b/N:
+   *
+   *   contrib = (o_wb − e_wb)²/e_wb
+   *           = (o_wb·N − n_w·t_b)² · 10⁶ DIV (n_w·t_b·N)   [ppm]
+   *
+   * The square crosses 2⁶³ at corpus sizes the family already handles
+   * via the q128 recipe, so it runs in DECIMAL(38,0) (HUGEINT on the
+   * oracle); the per-bin truncation-then-sum is the defined output law
+   * (replays bit-identically). `chi2_ppm` = Σ contributions, compared
+   * against the caller's critical value in ppm (pinned per df — e.g.
+   * 14.067·10⁶ for df=7 at α=0.05), since df = |bins|−1 is a data
+   * property.
+   *
+   * Scale posture: corpus → (bin, window) census in one map-side
+   * aggregate; the 1-row window-total frame broadcasts; every window
+   * function runs on the BIN frame (≤ |bins| rows). Nothing downstream
+   * of the first aggregate sees corpus rows.
+   */
+  def chiSquare(df: DataFrame, postCol: Column, binCol: Column,
+      critPpm: Long): DataFrame = {
+    val census = df
+      .select(postCol.as("post"), binCol.as("bin"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(!col("post"), 1L).otherwise(0L)).as("o_pre"),
+        sum(when(col("post"), 1L).otherwise(0L)).as("o_post"))
+    val totals = census.agg(
+      sum(col("o_pre")).as("n_pre"),
+      sum(col("o_post")).as("n_post"))
+    val contrib = census
+      .crossJoin(broadcast(totals)) // 1-row window totals
+      .withColumn("t", col("o_pre") + col("o_post"))
+      .withColumn("n_all", col("n_pre") + col("n_post"))
+      .withColumn("chi2_bin_ppm", expr(
+        """CASE WHEN n_pre > 0 AND n_post > 0 THEN
+          |  CAST((o_pre * n_all - n_pre * t) AS DECIMAL(38,0))
+          |    * (o_pre * n_all - n_pre * t) * 1000000
+          |    DIV (n_pre * t * n_all)
+          |  + CAST((o_post * n_all - n_post * t) AS DECIMAL(38,0))
+          |    * (o_post * n_all - n_post * t) * 1000000
+          |    DIV (n_post * t * n_all)
+          |END""".stripMargin))
+    val binFrame = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    contrib
+      .withColumn("chi2_ppm", sum(col("chi2_bin_ppm")).over(binFrame))
+      .withColumn("dof", (count(lit(1)).over(binFrame) - 1L))
+      .withColumn("drift_flag", col("chi2_ppm") > lit(critPpm))
+      .select("bin", "o_pre", "o_post", "chi2_bin_ppm", "chi2_ppm",
+        "dof", "drift_flag")
   }
 
   def cusum(obs: DataFrame, keyCol: String, tsCol: String, idCol: String,

@@ -290,4 +290,62 @@ object Graph {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
       .withColumn("converged", lit(converged))
   }
+
+  /**
+   * Degree assortativity (GRAPH6) — Newman's r: the Pearson correlation
+   * of endpoint degrees across edges. Positive r = hubs wire to hubs
+   * (social-network shape), negative = hubs wire to leaves (hub-and-
+   * spoke / bipartite star shape). The one-number wiring audit run
+   * before committing to a partitioning strategy: a strongly negative r
+   * says the hot keys concentrate on hub-leaf edges — exactly the skew
+   * [[graft.operators.Skew]] salting exists for.
+   *
+   * Input convention matches [[profile]]/[[kCorePeel]]: a SYMMETRIZED
+   * directed edge list (each undirected edge present both ways), so
+   * out-degree IS undirected degree and each edge contributes both
+   * orientations to the correlation — Newman's undirected definition.
+   *
+   * Exact suffstats, IEEE only in the mirrored tail: m, Σx, Σy fit
+   * BIGINT; the quadratics (Σx², Σy², Σxy) and the covariance terms run
+   * in DECIMAL(38,0) (the q128 recipe — Σx² crosses 2⁶³ near 10⁹ edges
+   * of degree 10³) and are emitted as canonical decimal STRINGS (the
+   * q122 bridge: digit strings survive every Arrow/pandas bridge
+   * exactly). r_fp = num/√(d1·d2) is computed decimal→double with one
+   * division and one IEEE-exact sqrt — both engines see identical
+   * inputs, so the double matches bit-for-bit.
+   *
+   * Scale posture: one degree aggregate, two equi-joins to decorate
+   * edges with endpoint degrees (degree frame is node-sized; Spark
+   * broadcasts it when small), one map-side-combinable global rollup to
+   * a single row. No windows, no driver state.
+   */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val decorated = e
+      .join(deg.select(col("node").as("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), Seq("dst"))
+    decorated
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .withColumn("num", expr("m * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("d1", expr("m * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("d2", expr("m * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("r_fp", expr(
+        """CASE WHEN d1 > 0 AND d2 > 0 THEN
+          |  CAST(num AS DOUBLE) /
+          |    sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+          |END""".stripMargin))
+      .select(col("m"), col("sx"), col("sy"),
+        col("num").cast("decimal(38,0)").cast("string").as("cov_num"),
+        col("d1").cast("decimal(38,0)").cast("string").as("var_x_num"),
+        col("d2").cast("decimal(38,0)").cast("string").as("var_y_num"),
+        col("r_fp"))
+  }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GOV4 Lorenz/Gini: hand-computed coefficient, the equality and
+  * total-concentration poles, and tie-order invariance of Σ r·w. */
+class ConcentrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lorenz: hand-computed Gini over three groups") {
+    // weights 1, 2, 7 ascending: W=10, n=3, Σr·w = 1+4+21 = 26
+    // G = (2·26 − 4·10)/(3·10) = 12/30 = 0.4 → 400000 ppm
+    val rows = Seq(("a", 1L), ("b", 2L), ("c", 7L)).toDF("g", "w")
+    val out = Concentration.lorenz(rows, "g", col("w"))
+      .orderBy("r").collect()
+    assert(out.map(_.getLong(5)).toSeq == Seq(400000L, 400000L, 400000L))
+    assert(out.map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq(("a", 1L, 100000L), ("b", 3L, 300000L), ("c", 10L, 1000000L)))
+  }
+
+  test("lorenz: perfect equality reports Gini 0") {
+    val rows = (1 to 5).map(i => (s"g$i", 10L)).toDF("g", "w")
+    val out = Concentration.lorenz(rows, "g", col("w")).collect()
+    assert(out.forall(_.getLong(5) == 0L))
+  }
+
+  test("lorenz: total concentration approaches (n-1)/n") {
+    // one group owns everything: G = (n−1)/n = 0.75 → 750000 ppm
+    val rows = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 100L))
+      .toDF("g", "w")
+    val out = Concentration.lorenz(rows, "g", col("w")).collect()
+    assert(out.forall(_.getLong(5) == 750000L))
+  }
+
+  test("lorenz: rows pre-aggregate per group and ties don't disturb Gini") {
+    // group b split across rows (3+4=7); a and c tie at weight 7 —
+    // Σ r·w is invariant under tie order, so Gini is deterministic
+    val rows = Seq(("a", 7L), ("b", 3L), ("b", 4L), ("c", 7L))
+      .toDF("g", "w")
+    val out = Concentration.lorenz(rows, "g", col("w"))
+      .orderBy("r").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c")) // tie by name
+    assert(out.map(_.getLong(1)).toSeq == Seq(7L, 7L, 7L))
+    assert(out.forall(_.getLong(5) == 0L)) // equal groups → 0
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DQ5 Fano factor: hand-computed dispersion, the zero-day law (absent
+  * days count against the global span), and the burst/metronome poles. */
+class DispersionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(x: String) = java.sql.Date.valueOf(x)
+
+  test("fano: hand-computed factor over a 4-day span") {
+    // key a: daily counts (2, 2, 2, 2) over the 4 observed days —
+    //   var 0 → Fano 0 (metronome)
+    // key b: counts (8, 0, 0, 0) — all mass on one day:
+    //   Σc=8, Σc²=64, n=4 → var = (4·64 − 64)/16 = 12, mean 2,
+    //   Fano = 6 → 6,000,000 ppm, burst
+    val rows =
+      (1 to 4).flatMap(i => Seq.fill(2)(("a", d(f"2024-01-0$i")))) ++
+        Seq.fill(8)(("b", d("2024-01-01")))
+    val out = Dispersion.fano(rows.toDF("k", "day"), "k", col("day"))
+      .orderBy("key").collect()
+    val a = out(0); val b = out(1)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4),
+      a.getBoolean(5)) == (4L, 8L, 2000000L, 0L, false))
+    assert((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4),
+      b.getBoolean(5)) == (4L, 8L, 2000000L, 6000000L, true))
+  }
+
+  test("fano: zero days are counted via the global span, not dropped") {
+    // key sparse is active 1 of 10 days; a per-key GROUP BY would see
+    // n=1 (var 0, Fano 0) — the global-span law sees the burst
+    val rows = (1 to 10).map(i => ("dense", d(f"2024-01-${i}%02d"))) ++
+      Seq(("sparse", d("2024-01-05")))
+    val out = Dispersion.fano(rows.toDF("k", "day"), "k", col("day"))
+      .orderBy("key").collect()
+    val sparse = out.find(_.getString(0) == "sparse").get
+    assert(sparse.getLong(1) == 10L) // global span, not 1
+    // Σc=1, Σc²=1, n=10 → Fano = (10−1)/10 = 0.9 → 900000 ppm
+    assert(sparse.getLong(4) == 900000L)
+  }
+
+  test("fano: mild spread reports sub-Poisson dispersion, no flag") {
+    // counts (1, 2, 3, 2) : Σc=8, Σc²=18, n=4
+    // var = (72 − 64)/16 = 0.5, mean 2 → Fano 0.25 → 250000 ppm
+    val rows = Seq(
+      ("k", d("2024-01-01")),
+      ("k", d("2024-01-02")), ("k", d("2024-01-02")),
+      ("k", d("2024-01-03")), ("k", d("2024-01-03")), ("k", d("2024-01-03")),
+      ("k", d("2024-01-04")), ("k", d("2024-01-04")))
+    val out = Dispersion.fano(rows.toDF("k", "day"), "k", col("day"))
+      .head()
+    assert(out.getLong(4) == 250000L && !out.getBoolean(5))
+  }
+}

@@ -209,4 +209,49 @@ class DriftSpec extends SparkSpec {
     assert(out.getAs[Long]("n_alarm") > 0)
     assert(out.getAs[Long]("max_stat_cents") == 200L)
   }
+
+  // ---- DRIFT4 chi-square homogeneity ----
+
+  private def chiDf(rows: Seq[(Boolean, Long)]) =
+    rows.toDF("post", "bin")
+
+  test("chiSquare: complete separation yields χ² = N") {
+    // the 2×2 textbook identity: pre all in bin 0, post all in bin 1
+    // → χ² = N = 20 → 20,000,000 ppm; each bin contributes N/2
+    val rows = Seq.fill(10)((false, 0L)) ++ Seq.fill(10)((true, 1L))
+    val out = Drift.chiSquare(chiDf(rows), col("post"), col("bin"),
+      critPpm = 3841459L).orderBy("bin").collect()
+    assert(out.map(_.getLong(3)).toSeq == Seq(10000000L, 10000000L))
+    assert(out.forall(_.getLong(4) == 20000000L))
+    assert(out.forall(_.getBoolean(6)))
+    assert(out.head.getLong(5) == 1L) // df = 2 bins − 1
+  }
+
+  test("chiSquare: identical windows report zero and no flag") {
+    val rows = (0L to 3L).flatMap(b =>
+      Seq.fill(5)((false, b)) ++ Seq.fill(5)((true, b)))
+    val out = Drift.chiSquare(chiDf(rows), col("post"), col("bin"),
+      critPpm = 3841459L).collect()
+    assert(out.forall(_.getLong(4) == 0L))
+    assert(out.forall(!_.getBoolean(6)))
+  }
+
+  test("chiSquare: hand-computed asymmetric table") {
+    // bin 0: pre 30 / post 10; bin 1: pre 10 / post 30. N=80,
+    // n_pre=n_post=40, t=40 each: e=20 per cell, (o−e)²/e = 100/20 = 5
+    // per cell → 10 per bin → χ² = 20 → 20,000,000 ppm
+    val rows = Seq.fill(30)((false, 0L)) ++ Seq.fill(10)((true, 0L)) ++
+      Seq.fill(10)((false, 1L)) ++ Seq.fill(30)((true, 1L))
+    val out = Drift.chiSquare(chiDf(rows), col("post"), col("bin"),
+      critPpm = 3841459L).orderBy("bin").collect()
+    assert(out.map(_.getLong(3)).toSeq == Seq(10000000L, 10000000L))
+    assert(out.forall(_.getLong(4) == 20000000L))
+  }
+
+  test("chiSquare: an empty window reports NULL, not a blowup") {
+    val rows = Seq.fill(10)((false, 0L)) ++ Seq.fill(5)((false, 1L))
+    val out = Drift.chiSquare(chiDf(rows), col("post"), col("bin"),
+      critPpm = 3841459L).orderBy("bin").collect()
+    assert(out.forall(_.isNullAt(3))) // no post window → no estimate
+  }
 }
