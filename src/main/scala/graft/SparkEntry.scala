@@ -3651,6 +3651,61 @@ object SparkEntry {
           14067140L)
         .orderBy(col("bin"))
     }),
+
+    // Q211 — GRAPH6 degree assortativity: Newman's r over the q114
+    // customer↔supplier graph — DO hubs wire to hubs? Bipartite
+    // commerce graphs run disassortative (big buyers spread across
+    // many small suppliers), and a strongly negative r is the
+    // pre-partitioning skew warning. Quadratic suffstats in
+    // DECIMAL(38,0) emitted as canonical digit strings (q122 bridge),
+    // r itself one mirrored decimal→double tail (÷ and IEEE-exact √).
+    "q211_assortativity" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 10).cast("long").as("src"),
+          (col("l_suppkey") * 10 + 1).cast("long").as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.assortativity(edges)
+    }),
+
+    // Q212 — FC2 autocorrelation census: lag-1..7 ACF of the daily
+    // revenue series — the pre-model diagnostic (a lag-7 spike
+    // confirms q189's weekly-seasonality assumption; slow decay warns
+    // q181's naive backtest will lag a trend). Pairs join on the
+    // CALENDAR (d+k observed), Pearson per lag from exact suffstats,
+    // the assortativity output convention.
+    "q212_acf" -> ((s, dir) =>
+      graft.operators.Autocorrelation.acf(
+          t(s, dir, "orders"), to_date(col("o_orderdate")),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+          maxLag = 7)
+        .orderBy(col("lag"))),
+
+    // Q213 — EVAL6 threshold-sweep confusion census: per event type and
+    // deployment threshold t ∈ {10..90}, the TP/FP/FN/TN cells and
+    // precision/recall/F1 in exact ppm — the operating-point table a
+    // release gate reads (q168 asked "honest?", q175 asked "ranks?",
+    // this asks "what do I ship at cut t?"). Same planted p²
+    // overconfident scorer as q168, so the three evaluation lenses
+    // read the SAME classifier. Histogram trick: corpus → (key, score)
+    // census, grid explodes on census rows only.
+    "q213_confusion_sweep" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val scored = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("cents",
+          pmod(floor(col("value") * 100).cast("long"), lit(100L)))
+        .withColumn("draw",
+          pmod(portableHash(concat(lit("cal:"), col("event_id").cast("string"))),
+            lit(100L)))
+        .withColumn("label",
+          (col("draw") < expr("cents * cents DIV 100")).cast("long"))
+      graft.operators.Calibration.confusionSweep(scored, "event_type",
+          "cents", "label", thresholds = (1L to 9L).map(_ * 10L))
+        .orderBy(col("event_type"), col("thr"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -7424,6 +7479,78 @@ object SparkEntry {
           |  CAST(count(*) OVER () - 1 AS BIGINT) AS dof,
           |  sum(chi2_bin_ppm) OVER () > 14067140 AS drift_flag
           |FROM x ORDER BY bin""".stripMargin,
+
+      "q211_assortativity" ->
+        """WITH e0 AS (SELECT DISTINCT o_custkey * 10 AS src, l_suppkey * 10 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+          |dec AS (SELECT dx.deg AS x, dy.deg AS y FROM e
+          |  JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node),
+          |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+          |    sum(CAST(y AS HUGEINT) * y) AS syy,
+          |    sum(CAST(x AS HUGEINT) * y) AS sxy FROM dec),
+          |f AS (SELECT m, sx, sy,
+          |    m * sxy - CAST(sx AS HUGEINT) * sy AS num,
+          |    m * sxx - CAST(sx AS HUGEINT) * sx AS d1,
+          |    m * syy - CAST(sy AS HUGEINT) * sy AS d2 FROM s)
+          |SELECT m, sx, sy, CAST(num AS VARCHAR) AS cov_num,
+          |  CAST(d1 AS VARCHAR) AS var_x_num, CAST(d2 AS VARCHAR) AS var_y_num,
+          |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+          |    CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+          |  END AS r_fp
+          |FROM f""".stripMargin,
+
+      "q212_acf" ->
+        """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+          |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+          |  FROM orders GROUP BY 1),
+          |p AS (SELECT l.lag, a.v, b.v AS w
+          |  FROM s a, (SELECT unnest(range(1, 8)) AS lag) l
+          |  JOIN s b ON b.d = a.d + to_days(CAST(l.lag AS INTEGER))),
+          |g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+          |    CAST(sum(v) AS BIGINT) AS sx, CAST(sum(w) AS BIGINT) AS sy,
+          |    sum(CAST(v AS HUGEINT) * v) AS sxx,
+          |    sum(CAST(w AS HUGEINT) * w) AS syy,
+          |    sum(CAST(v AS HUGEINT) * w) AS sxy
+          |  FROM p GROUP BY 1),
+          |f AS (SELECT lag, n_pairs, sx, sy,
+          |    n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS num,
+          |    n_pairs * sxx - CAST(sx AS HUGEINT) * sx AS d1,
+          |    n_pairs * syy - CAST(sy AS HUGEINT) * sy AS d2 FROM g)
+          |SELECT CAST(lag AS BIGINT) AS lag, n_pairs, sx, sy,
+          |  CAST(num AS VARCHAR) AS cov_num,
+          |  CAST(d1 AS VARCHAR) AS var_x_num, CAST(d2 AS VARCHAR) AS var_y_num,
+          |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+          |    CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+          |  END AS r_fp
+          |FROM f ORDER BY lag""".stripMargin,
+
+      "q213_confusion_sweep" ->
+        """WITH s AS (SELECT event_type,
+          |    CAST(floor(value * 100) AS BIGINT) % 100 AS score,
+          |    CASE WHEN ('0x' || substr(md5('cal:' || event_id), 1, 15))::BIGINT % 100
+          |         < (CAST(floor(value * 100) AS BIGINT) % 100)
+          |           * (CAST(floor(value * 100) AS BIGINT) % 100) // 100
+          |      THEN 1 ELSE 0 END AS label FROM events),
+          |h AS (SELECT event_type, score, CAST(sum(label) AS BIGINT) AS n_pos,
+          |    CAST(count(*) - sum(label) AS BIGINT) AS n_neg
+          |  FROM s GROUP BY 1, 2),
+          |x AS (SELECT event_type, t.thr, score, n_pos, n_neg
+          |  FROM h, (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS thr) t),
+          |c AS (SELECT event_type, CAST(thr AS BIGINT) AS thr,
+          |    CAST(sum(CASE WHEN score >= thr THEN n_pos ELSE 0 END) AS BIGINT) AS tp,
+          |    CAST(sum(CASE WHEN score >= thr THEN n_neg ELSE 0 END) AS BIGINT) AS fp,
+          |    CAST(sum(CASE WHEN score < thr THEN n_pos ELSE 0 END) AS BIGINT) AS fn,
+          |    CAST(sum(CASE WHEN score < thr THEN n_neg ELSE 0 END) AS BIGINT) AS tn
+          |  FROM x GROUP BY 1, 2)
+          |SELECT event_type, thr, tp, fp, fn, tn,
+          |  CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END AS precision_ppm,
+          |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS recall_ppm,
+          |  CASE WHEN 2 * tp + fp + fn > 0 THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+          |FROM c ORDER BY event_type, thr""".stripMargin,
     )
   }
 }

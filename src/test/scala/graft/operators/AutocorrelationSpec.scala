@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** FC2 ACF: perfect-correlation pole, the calendar-join gap law (missing
+  * days break pairs instead of splicing), and degenerate NULLs. */
+class AutocorrelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(x: String) = java.sql.Date.valueOf(x)
+
+  test("acf: a linear series is perfectly autocorrelated at every lag") {
+    val rows = (1 to 6).map(i => (d(f"2024-01-0$i"), i.toLong * 100L))
+      .toDF("day", "cents")
+    val out = Autocorrelation.acf(rows, col("day"), col("cents"), maxLag = 3)
+      .orderBy("lag").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(5L, 4L, 3L)) // pair counts
+    assert(out.forall(_.getAs[Double]("r_fp") == 1.0))
+  }
+
+  test("acf: rows pre-aggregate per day before pairing") {
+    // day 1 split across two rows (60+40 = 100) — the series must see
+    // the DAILY sum, not row-grain values
+    val rows = Seq((d("2024-01-01"), 60L), (d("2024-01-01"), 40L),
+      (d("2024-01-02"), 200L), (d("2024-01-03"), 300L))
+      .toDF("day", "cents")
+    val out = Autocorrelation.acf(rows, col("day"), col("cents"), maxLag = 1)
+      .head()
+    assert(out.getLong(1) == 2L && out.getAs[Double]("r_fp") == 1.0)
+  }
+
+  test("acf: a missing day breaks pairs instead of splicing across the gap") {
+    // days 1, 2, 4 — lag-1 has ONLY (d1,d2): a ROW-lead would splice
+    // (d2,d4) and invent a lag-1 pair two days apart
+    val rows = Seq((d("2024-01-01"), 100L), (d("2024-01-02"), 900L),
+      (d("2024-01-04"), 500L)).toDF("day", "cents")
+    val out = Autocorrelation.acf(rows, col("day"), col("cents"), maxLag = 2)
+      .orderBy("lag").collect()
+    assert(out(0).getLong(1) == 1L) // lag 1: only (d1, d2)
+    assert(out(0).isNullAt(out(0).fieldIndex("r_fp"))) // 1 pair → no estimate
+    assert(out(1).getLong(1) == 1L) // lag 2: only (d2, d4); d1+2 is the gap
+  }
+
+  test("acf: a constant series reports NULL (zero variance)") {
+    val rows = (1 to 5).map(i => (d(f"2024-01-0$i"), 700L)).toDF("day", "cents")
+    val out = Autocorrelation.acf(rows, col("day"), col("cents"), maxLag = 2)
+      .collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("r_fp"))))
+  }
+}

@@ -86,4 +86,48 @@ class CalibrationSpec extends SparkSpec {
       .head().getAs[Long]("auc_ppm")
     assert(auc == 875000L && aucRev == 125000L)
   }
+
+  // ---- EVAL6 confusion sweep ----
+
+  test("confusionSweep: hand-computed cells at two thresholds") {
+    // scores/labels: (1,0) (3,0) (5,1) (7,0) (9,1)
+    // t=4: predict + for {5,7,9} → TP=2 FP=1 FN=0 TN=2
+    //   P = 2/3 → 666666, R = 1 → 1000000, F1 = 4/5 → 800000
+    // t=8: predict + for {9}    → TP=1 FP=0 FN=1 TN=3
+    //   P = 1000000, R = 500000, F1 = 2/3 → 666666
+    val scored = Seq(("k", 1L, 0L), ("k", 3L, 0L), ("k", 5L, 1L),
+      ("k", 7L, 0L), ("k", 9L, 1L)).toDF("k", "score", "label")
+    val out = Calibration.confusionSweep(scored, "k", "score", "label",
+      Seq(4L, 8L)).orderBy("thr").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+      r.getLong(8))).toSeq == Seq(
+      (4L, 2L, 1L, 0L, 2L, 666666L, 1000000L, 800000L),
+      (8L, 1L, 0L, 1L, 3L, 1000000L, 500000L, 666666L)))
+  }
+
+  test("confusionSweep: score equal to the threshold predicts positive") {
+    val scored = Seq(("k", 5L, 1L)).toDF("k", "score", "label")
+    val r = Calibration.confusionSweep(scored, "k", "score", "label",
+      Seq(5L)).head()
+    assert(r.getLong(2) == 1L && r.getLong(4) == 0L) // TP, not FN
+  }
+
+  test("confusionSweep: empty cells report NULL ratios, not blowups") {
+    // nothing predicted positive at t=10 → precision NULL; no positive
+    // labels at all → recall NULL everywhere
+    val scored = Seq(("k", 1L, 0L), ("k", 2L, 0L)).toDF("k", "score", "label")
+    val r = Calibration.confusionSweep(scored, "k", "score", "label",
+      Seq(10L)).head()
+    assert(r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8))
+  }
+
+  test("confusionSweep: a perfect classifier at its separating cut") {
+    val scored = ((1 to 5).map(i => ("k", i.toLong, 0L)) ++
+      (6 to 10).map(i => ("k", i.toLong, 1L))).toDF("k", "score", "label")
+    val r = Calibration.confusionSweep(scored, "k", "score", "label",
+      Seq(6L)).head()
+    assert(r.getLong(6) == 1000000L && r.getLong(7) == 1000000L &&
+      r.getLong(8) == 1000000L)
+  }
 }

@@ -187,4 +187,33 @@ class GraphSpec extends SparkSpec {
     val r9 = Graph.kCorePeel(sym(chain), k = 2, rounds = 9)
     assert(r9.isEmpty) // the true 2-core of a path is empty
   }
+
+  // ---- GRAPH6 assortativity ----
+
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    // K_{1,3}: center degree 3, leaves degree 1 — the textbook r = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val out = Graph.assortativity(sym(star)).head()
+    assert(out.getAs[Double]("r_fp") == -1.0)
+    assert(out.getAs[Long]("m") == 6L)
+  }
+
+  test("assortativity: a regular graph has no degree variance (NULL r)") {
+    // 4-cycle: every degree 2 → var_x = 0 → no estimate, not a blowup
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val out = Graph.assortativity(sym(cycle)).head()
+    assert(out.isNullAt(out.fieldIndex("r_fp")))
+    assert(out.getAs[String]("var_x_num") == "0")
+  }
+
+  test("assortativity: hand-computed triangle-plus-pendant") {
+    // triangle a,b,c + pendant d on a: degrees 3,2,2,1.
+    // m=8, Σx=Σy=18, Σx²=44, Σxy=38 → num=−20, d1=d2=28 → r=−20/28
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L))
+    val out = Graph.assortativity(sym(g)).head()
+    assert(out.getAs[String]("cov_num") == "-20")
+    assert(out.getAs[String]("var_x_num") == "28")
+    assert(out.getAs[String]("var_y_num") == "28")
+    assert(out.getAs[Double]("r_fp") == -20.0 / 28.0)
+  }
 }
