@@ -3706,6 +3706,47 @@ object SparkEntry {
           "cents", "label", thresholds = (1L to 9L).map(_ * 10L))
         .orderBy(col("event_type"), col("thr"))
     }),
+
+    // Q214 — GOV5 provenance rollup: when dedup collapses a near-dup
+    // cluster to one survivor, the survivor must carry the UNION of its
+    // members' origins — dropping merged copies' provenance silently
+    // launders attribution/licensing obligations. Per multi-member q39
+    // cluster: canonical member, member/source counts, the sorted
+    // source list, and the mixed_source flag marking exactly the
+    // clusters where consolidation changes obligations.
+    "q214_provenance_rollup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val pairs = Dedup.minhashNearDuplicates(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      val labels = graft.operators.Curation.nearDupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val clustered = docs.join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      graft.operators.Curation.provenanceRollup(clustered, "cluster_id",
+          "doc_id", "source")
+        .orderBy(col("cluster_id"))
+    }),
+
+    // Q215 — DQ6 referential-integrity orphan census: child rows whose
+    // FK has no parent vanish from every inner join downstream — this
+    // makes the loss visible per relation before any star join is
+    // trusted (the q193 FD audit's sibling, on the FK side). Parent
+    // sides collapse to distinct keys (broadcast-sized dims); one
+    // shuffle join + one aggregate per relation.
+    "q215_fk_orphans" -> ((s, dir) => {
+      import graft.operators.Integrity.fkOrphans
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      fkOrphans("lineitem->orders", li, col("l_orderkey"),
+          o, col("o_orderkey"))
+        .unionByName(fkOrphans("lineitem->part", li, col("l_partkey"),
+          t(s, dir, "part"), col("p_partkey")))
+        .unionByName(fkOrphans("lineitem->supplier", li, col("l_suppkey"),
+          t(s, dir, "supplier"), col("s_suppkey")))
+        .unionByName(fkOrphans("orders->customer", o, col("o_custkey"),
+          t(s, dir, "customer"), col("c_custkey")))
+        .orderBy(col("relation"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -7551,6 +7592,53 @@ object SparkEntry {
           |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS recall_ppm,
           |  CASE WHEN 2 * tp + fp + fn > 0 THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
           |FROM c ORDER BY event_type, thr""".stripMargin,
+
+      // q39's recursive exact-Jaccard cluster chain + the provenance
+      // union rollup over multi-member clusters
+      "q214_provenance_rollup" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+          |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          |pr AS (SELECT id_a, id_b FROM p
+          |       WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
+          |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+          |reach AS (SELECT u, v FROM edges
+          |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+          |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+          |cl AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.source
+          |       FROM documents d LEFT JOIN lab l USING (doc_id)),
+          |g AS (SELECT cluster_id, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+          |        CAST(count(*) AS BIGINT) AS n_members,
+          |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |        array_to_string(list_sort(list(DISTINCT source)), ',') AS provenance
+          |      FROM cl GROUP BY 1)
+          |SELECT cluster_id, canonical_id, n_members, n_sources, provenance,
+          |  n_sources > 1 AS mixed_source
+          |FROM g WHERE n_members > 1 ORDER BY cluster_id""".stripMargin,
+
+      "q215_fk_orphans" ->
+        """WITH rel AS (
+          |  SELECT 'lineitem->orders' AS relation, l_orderkey AS k FROM lineitem
+          |  UNION ALL SELECT 'lineitem->part', l_partkey FROM lineitem
+          |  UNION ALL SELECT 'lineitem->supplier', l_suppkey FROM lineitem
+          |  UNION ALL SELECT 'orders->customer', o_custkey FROM orders),
+          |par AS (
+          |  SELECT 'lineitem->orders' AS relation, o_orderkey AS k FROM orders
+          |  UNION ALL SELECT 'lineitem->part', p_partkey FROM part
+          |  UNION ALL SELECT 'lineitem->supplier', s_suppkey FROM supplier
+          |  UNION ALL SELECT 'orders->customer', c_custkey FROM customer),
+          |pd AS (SELECT DISTINCT relation, k, 1 AS present FROM par WHERE k IS NOT NULL),
+          |j AS (SELECT r.relation, r.k, pd.present FROM rel r
+          |      LEFT JOIN pd ON r.relation = pd.relation AND r.k = pd.k)
+          |SELECT relation, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+          |  CAST(sum(CASE WHEN present IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+          |  CAST(count(DISTINCT CASE WHEN present IS NULL THEN k END) AS BIGINT) AS n_orphan_keys,
+          |  CAST(sum(CASE WHEN present IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS orphan_ppm
+          |FROM j GROUP BY 1 ORDER BY relation""".stripMargin,
     )
   }
 }

@@ -232,4 +232,41 @@ object Curation {
     edges.sparkSession.createDataFrame(rows.asJava,
       StructType(Seq(StructField("id", idType), StructField("cluster_id", idType))))
   }
+
+  /**
+   * Provenance rollup through dedup clusters (GOV5) — the governance
+   * side of consolidation: when [[selectCanonical]] (or keep-lowest)
+   * collapses a near-dup cluster to one survivor, the survivor's
+   * provenance must become the UNION of its members' origins — a doc
+   * that also circulated under other sources carries those sources'
+   * attribution/licensing obligations, and dropping the merged copies'
+   * provenance silently launders them away (the data-governance bug
+   * this report exists to prevent).
+   *
+   * Per multi-member cluster: the canonical member (min id — the q39
+   * convention), member count, distinct-source count, the sorted
+   * comma-joined source list (deterministic — a set in declared order),
+   * and a `mixed_source` flag marking exactly the clusters where
+   * consolidation changes obligations.
+   *
+   * Scale posture: one aggregate on the cluster partitioning; the
+   * source list is bounded by the SOURCE DOMAIN (a dimension), never
+   * cluster size, so `collect_set` state stays small even for a
+   * pathological million-member cluster.
+   */
+  def provenanceRollup(clustered: DataFrame, clusterCol: String,
+      idCol: String, sourceCol: String): DataFrame = {
+    clustered
+      .groupBy(col(clusterCol).as("cluster_id"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        array_join(sort_array(collect_set(col(sourceCol))), ",")
+          .as("provenance"))
+      .where(col("n_members") > 1L)
+      .withColumn("mixed_source", col("n_sources") > 1L)
+      .select("cluster_id", "canonical_id", "n_members", "n_sources",
+        "provenance", "mixed_source")
+  }
 }

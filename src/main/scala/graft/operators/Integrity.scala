@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Referential-integrity orphan census (DQ6) — the foreign-key audit
+ * run before any star-schema join is trusted: child rows whose key has
+ * no parent silently VANISH from every inner join downstream (a report
+ * that "just" undercounts), and explode into NULLs under left joins.
+ * This census makes the loss visible per relation, as counts and ppm,
+ * so a pipeline can gate on it (the q193 FD audit found the testdata's
+ * composite PK broken — this is the sibling check on the FK side).
+ *
+ * Exact law per relation: one LEFT join child→distinct-parent-keys,
+ * then one aggregate:
+ *   n_rows / n_keys          — child volume (rows, distinct keys)
+ *   n_orphan_rows / n_orphan_keys — rows/keys with no parent
+ *   orphan_ppm = n_orphan_rows·10⁶ DIV n_rows
+ *
+ * Scale posture: the parent side collapses to its DISTINCT key set
+ * before the join (dimension-sized for dim tables, and Spark
+ * broadcasts it when small); one shuffle join + one map-side-combinable
+ * aggregate per relation; NULL child keys count as orphans (a NULL FK
+ * can't join either — same downstream loss, same bucket).
+ */
+object Integrity {
+
+  /**
+   * One-row orphan report for `relation`: child rows keyed by
+   * `childKey` checked against the distinct `parentKey` set.
+   */
+  def fkOrphans(relation: String, child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame = {
+    val parents = parent.select(parentKey.as("k")).where(col("k").isNotNull)
+      .distinct().withColumn("present", lit(1L))
+    child.select(childKey.as("k"))
+      .join(parents, Seq("k"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("k")).as("n_keys"),
+        sum(when(col("present").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
+        countDistinct(when(col("present").isNull, col("k"))).as("n_orphan_keys"))
+      .withColumn("relation", lit(relation))
+      .withColumn("orphan_ppm", expr("n_orphan_rows * 1000000 DIV n_rows"))
+      .select("relation", "n_rows", "n_keys", "n_orphan_rows",
+        "n_orphan_keys", "orphan_ppm")
+  }
+}

@@ -331,6 +331,62 @@ object StatefulOps {
       }
   }
 
+  final case class Chi2Update(
+      key: String, n: Long, chi2_ppm: Long, n_novel: Long, alarm: Boolean)
+
+  /**
+   * DRIFT4's streaming twin: live χ² goodness-of-fit against a
+   * calibration profile — [[streamingBucketDrift]] reads the same state
+   * shape through the total-variation lens; this reads it through
+   * Pearson's χ², which weights each bucket's deviation by its expected
+   * mass and so carries a CALIBRATED alarm line (`critPpm`, pinned per
+   * df = |reference|−1 like the batch operator's knob).
+   *
+   * Exact law per reference bucket b (R = Σ ref, n = rows seen):
+   *   contrib = (o_b·R − ref_b·n)² · 10⁶ DIV (ref_b·n·R)
+   * computed in BigInt (the square crosses 2⁶³ while state is still
+   * tiny) and emitted as a Long ppm. Buckets OBSERVED but absent from
+   * the reference have expected mass zero — χ² is undefined there, so
+   * their rows are reported as `n_novel` (novel-mass count, an alarm of
+   * its own) and excluded from the statistic, rather than laundered
+   * into a divide-by-zero or a silent drop.
+   *
+   * State per key is the bucket histogram — bounded by the BUCKET
+   * DOMAIN, never stream length (the DRIFT1s discipline). Output mode:
+   * Update.
+   */
+  def streamingChiSquare(
+      rows: DataFrame, reference: Map[Long, Long], critPpm: Long)(
+      implicit spark: SparkSession): Dataset[Chi2Update] = {
+    import spark.implicits._
+    require(reference.nonEmpty && reference.values.forall(_ > 0),
+      "reference profile must be non-empty with positive counts")
+    val refTotal = reference.values.sum
+    rows
+      .select(col("key").cast("string"), col("bucket").cast("long"))
+      .where(col("key").isNotNull && col("bucket").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DriftState, Chi2Update](GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[DriftState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(_.cells.foreach(c => m(c.bucket) = c.cnt))
+          it.foreach { case (_, b) => m(b) = m.getOrElse(b, 0L) + 1L }
+          state.update(DriftState(
+            m.toList.sortBy(_._1).map { case (b, c) => DriftCell(b, c) }))
+          val novel = m.iterator.collect {
+            case (b, c) if !reference.contains(b) => c
+          }.sum
+          val n = m.valuesIterator.sum - novel
+          val chi2 = if (n == 0L) 0L
+          else reference.iterator.map { case (b, r) =>
+            val d = BigInt(m.getOrElse(b, 0L)) * refTotal - BigInt(r) * n
+            (d * d * 1000000 / (BigInt(r) * n * refTotal)).toLong
+          }.sum
+          Chi2Update(key, n, chi2, novel, chi2 > critPpm)
+      }
+  }
+
   @annotation.tailrec
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 

@@ -92,4 +92,33 @@ class CurationSpec extends SparkSpec {
     assert(viaUnionFind == viaPropagation)
     assert(viaUnionFind == Map(hi -> lo, lo -> lo))
   }
+
+  // ---- GOV5 provenance rollup ----
+
+  test("provenanceRollup: unions sources, flags mixed clusters, drops singletons") {
+    // cluster 1: docs 1,3,7 from sources {b, a, a} → provenance "a,b",
+    // mixed. cluster 2: docs 2,4 both from c → pure. doc 9: singleton.
+    val clustered = Seq(
+      (1L, 1L, "b"), (3L, 1L, "a"), (7L, 1L, "a"),
+      (2L, 2L, "c"), (4L, 2L, "c"),
+      (9L, 9L, "d"),
+    ).toDF("doc_id", "cluster_id", "source")
+    val out = Curation.provenanceRollup(clustered, "cluster_id", "doc_id",
+      "source").orderBy("cluster_id").collect()
+    assert(out.length == 2) // singleton 9 is not a governance row
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getString(4), r.getBoolean(5))).toSeq == Seq(
+      (1L, 1L, 3L, 2L, "a,b", true),
+      (2L, 2L, 2L, 1L, "c", false)))
+  }
+
+  test("provenanceRollup: the source list is the DISTINCT set, sorted") {
+    // 4 members from 2 sources arriving in scrambled order — the
+    // provenance string must be set-deterministic, not arrival-ordered
+    val clustered = Seq((4L, 1L, "z"), (1L, 1L, "m"), (3L, 1L, "z"),
+      (2L, 1L, "m")).toDF("doc_id", "cluster_id", "source")
+    val r = Curation.provenanceRollup(clustered, "cluster_id", "doc_id",
+      "source").head()
+    assert(r.getString(4) == "m,z" && r.getLong(1) == 1L)
+  }
 }

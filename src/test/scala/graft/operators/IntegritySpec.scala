@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DQ6 FK orphans: hand-computed census, the NULL-key law (rows count
+  * as orphans, keys don't), and the clean-relation zero row. */
+class IntegritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fkOrphans: hand-computed orphan census") {
+    // children: keys 1,1,2,3,3,3; parents: {1,2} → key 3 orphaned
+    // (3 rows, 1 key); 6 rows, 3 keys, orphan_ppm = 3e6/6 = 500000
+    val child = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("k")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Integrity.fkOrphans("c->p", child, col("k"), parent, col("pk"))
+      .head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      (("c->p", 6L, 3L, 3L, 1L, 500000L)))
+  }
+
+  test("fkOrphans: NULL child keys are orphan rows but not keys") {
+    val child = Seq(Some(1L), None, None).toDF("k")
+    val parent = Seq(1L).toDF("pk")
+    val r = Integrity.fkOrphans("c->p", child, col("k"), parent, col("pk"))
+      .head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L) // rows 3, keys 1
+    assert(r.getLong(3) == 2L && r.getLong(4) == 0L) // orphan rows, not keys
+  }
+
+  test("fkOrphans: a clean relation reports zeros") {
+    val child = Seq(1L, 2L, 2L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk") // extra parents are fine
+    val r = Integrity.fkOrphans("c->p", child, col("k"), parent, col("pk"))
+      .head()
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 0L)
+  }
+
+  test("fkOrphans: duplicate parent keys don't double-count matches") {
+    val child = Seq(1L, 1L).toDF("k")
+    val parent = Seq(1L, 1L, 1L).toDF("pk") // parent side must distinct
+    val r = Integrity.fkOrphans("c->p", child, col("k"), parent, col("pk"))
+      .head()
+    assert(r.getLong(1) == 2L && r.getLong(3) == 0L)
+  }
+}

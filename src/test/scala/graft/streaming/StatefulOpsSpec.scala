@@ -455,6 +455,44 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingChiSquare: hand-computed fit, novel-mass split, re-batching invariance") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference 50/50 over buckets {0, 1}, R = 2
+    val ref = Map(0L -> 1L, 1L -> 1L)
+    // A: 4 rows all in bucket 0 → per bucket: (o·R − r·n)² = (8−4)² = 16
+    //   contrib = 16·10⁶ DIV (1·4·2) = 2·10⁶ each → χ² = 4·10⁶ (= n, the
+    //   complete-separation identity) → alarms at crit 3.84·10⁶
+    // B: 2+2 exactly the reference → χ² = 0; 3 rows in bucket 9 are
+    //   NOVEL mass (no expectation) — counted, not divided by zero
+    val rows = Seq(("A", 0L), ("A", 0L), ("A", 0L), ("A", 0L),
+      ("B", 0L), ("B", 0L), ("B", 1L), ("B", 1L),
+      ("B", 9L), ("B", 9L), ("B", 9L))
+
+    def run(batches: Seq[Seq[(String, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long)]
+      val out = StatefulOps.streamingChiSquare(
+        mem.toDF.toDF("key", "bucket"), ref, critPpm = 3841459L)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.last }
+    }
+
+    val one = run(Seq(rows), "chi2_one")
+    assert(one("A") == (("A", 4L, 4000000L, 0L, true)))
+    assert(one("B") == (("B", 4L, 0L, 3L, false)))
+    val sliced = run(Seq(rows.take(4), rows.slice(4, 7), rows.drop(7)),
+      "chi2_three")
+    assert(one == sliced, "cumulative chi2 must not depend on batch slicing")
+  }
+
   private def tsn(day: Int, sec: Int) =
     java.time.LocalDateTime.of(2024, 1, day, 0, 0, 0).plusSeconds(sec.toLong)
 }
