@@ -3747,6 +3747,47 @@ object SparkEntry {
           t(s, dir, "customer"), col("c_custkey")))
         .orderBy(col("relation"))
     }),
+
+    // Q216 — B7 association rules: q81's basket pair support finished
+    // into the directed rule table (confidence is asymmetric, lift vs
+    // independence) — the affinity-mining readout. Same (user, day)
+    // baskets of event types; item counts and the basket total
+    // broadcast onto the q81 pair plan.
+    "q216_association_rules" -> ((s, dir) =>
+      graft.operators.Association.rules(
+          t(s, dir, "events")
+            .select(col("user_id"), to_date(col("ts")).as("day"),
+              col("event_type")),
+          Seq(col("user_id"), col("day")), col("event_type"))
+        .orderBy(col("antecedent"), col("consequent"))),
+
+    // Q217 — GRAPH7 per-node local clustering coefficient over the
+    // q142 part co-occurrence graph: the per-node refinement of q142's
+    // one global number (brokers vs core members), same degree-ordered
+    // wedge recipe but an inner closing join so each triangle credits
+    // all three corners.
+    "q217_local_clustering" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = e0.as("a")
+        .join(e0.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+      graft.operators.Graph.localClustering(edges)
+        .orderBy(col("node"))
+    }),
+
+    // Q218 — FC3 Mann–Kendall trend census per order priority on the
+    // q212 daily revenue series: the assumption-free "is there a
+    // monotone trend" gate read before q189's decomposition or q181's
+    // backtest, tie-corrected variance and the shared 3.841459 critical
+    // line, exact integers end to end (DECIMAL(38,0) for the z²
+    // numerator — it crosses 2⁶³ past ~1200 days).
+    "q218_mann_kendall" -> ((s, dir) =>
+      graft.operators.Trend.mannKendall(
+          t(s, dir, "orders"), col("o_orderpriority"),
+          to_date(col("o_orderdate")),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .orderBy(col("key"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -7639,6 +7680,72 @@ object SparkEntry {
           |  CAST(count(DISTINCT CASE WHEN present IS NULL THEN k END) AS BIGINT) AS n_orphan_keys,
           |  CAST(sum(CASE WHEN present IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS orphan_ppm
           |FROM j GROUP BY 1 ORDER BY relation""".stripMargin,
+
+      // q81's basket/pair CTEs + item counts; lift via HUGEINT (the
+      // Spark side runs DECIMAL(38,0)) — truncating // both engines
+      "q216_association_rules" ->
+        """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+          |tot AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b)),
+          |it AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+          |p AS (SELECT x.event_type AS ia, y.event_type AS ib, CAST(count(*) AS BIGINT) AS n_pair
+          |      FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+          |        AND x.event_type < y.event_type
+          |      GROUP BY 1, 2),
+          |d AS (SELECT ia AS antecedent, ib AS consequent, n_pair FROM p
+          |      UNION ALL SELECT ib, ia, n_pair FROM p)
+          |SELECT d.antecedent, d.consequent, d.n_pair,
+          |  a.n_item AS n_a, c.n_item AS n_b, CAST(tot.n_baskets AS BIGINT) AS n_baskets,
+          |  d.n_pair * 1000000 // tot.n_baskets AS support_ppm,
+          |  d.n_pair * 1000000 // a.n_item AS conf_ppm,
+          |  CAST((CAST(d.n_pair AS HUGEINT) * tot.n_baskets * 1000000)
+          |    // (CAST(a.n_item AS HUGEINT) * c.n_item) AS BIGINT) AS lift_ppm
+          |FROM d JOIN it a ON d.antecedent = a.event_type
+          |  JOIN it c ON d.consequent = c.event_type CROSS JOIN tot
+          |ORDER BY antecedent, consequent""".stripMargin,
+
+      // q142's naive a<b<c triangle truth, corners exploded so each
+      // triangle credits all three nodes; canonical u<v makes the
+      // (a,b)(b,c)(a,c) pattern enumerate each triangle exactly once
+      "q217_local_clustering" ->
+        """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |ed AS (SELECT DISTINCT CAST(a.p AS BIGINT) AS u, CAST(b.p AS BIGINT) AS v
+          |  FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p),
+          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+          |  FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+          |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+          |corners AS (SELECT unnest([a, b, c]) AS node FROM tri),
+          |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY 1)
+          |SELECT deg.node, deg.deg, coalesce(tc.n_tri, 0) AS n_tri,
+          |  CASE WHEN deg.deg >= 2
+          |    THEN 2 * coalesce(tc.n_tri, 0) * 1000000 // (deg.deg * (deg.deg - 1)) END AS lcc_ppm
+          |FROM deg LEFT JOIN tc USING (node) ORDER BY node""".stripMargin,
+
+      // q212's daily series; S from day-ordered sign pairs, tie-corrected
+      // Var·18, z² numerator via HUGEINT mirroring Spark's DECIMAL(38,0)
+      "q218_mann_kendall" ->
+        """WITH s AS (SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS d,
+          |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+          |  FROM orders GROUP BY 1, 2),
+          |p AS (SELECT a.key,
+          |    CAST(sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+          |  FROM s a JOIN s b ON a.key = b.key AND a.d < b.d GROUP BY 1),
+          |t AS (SELECT key, v, CAST(count(*) AS BIGINT) AS t FROM s GROUP BY 1, 2),
+          |tt AS (SELECT key, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+          |    CAST(sum(t) AS BIGINT) AS n_days FROM t GROUP BY 1),
+          |f AS (SELECT tt.key, tt.n_days, coalesce(p.s_stat, 0) AS s_stat,
+          |    tt.n_days * (tt.n_days - 1) * (2 * tt.n_days + 5) - tt.tie18 AS var18
+          |  FROM tt LEFT JOIN p ON tt.key = p.key),
+          |z AS (SELECT key, n_days, s_stat, var18,
+          |    CASE WHEN var18 <= 0 THEN NULL
+          |         WHEN s_stat = 0 THEN CAST(0 AS BIGINT)
+          |         ELSE CAST((CAST(18 AS HUGEINT) * (abs(s_stat) - 1) * (abs(s_stat) - 1) * 1000000)
+          |              // CAST(var18 AS HUGEINT) AS BIGINT) END AS z2_ppm
+          |  FROM f)
+          |SELECT key, n_days, s_stat, var18, z2_ppm,
+          |  CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down' ELSE 'flat' END AS trend,
+          |  CASE WHEN z2_ppm IS NULL THEN NULL ELSE z2_ppm > 3841459 END AS significant
+          |FROM z ORDER BY key""".stripMargin,
     )
   }
 }

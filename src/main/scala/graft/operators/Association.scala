@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Association-rule strength (B7) — q81's market-basket pair support
+ * finished into the full rule table: for each DIRECTED rule a→b over
+ * baskets (the affinity-mining readout behind "users who did a also
+ * did b"),
+ *
+ *   support_ppm = n_ab·10⁶ DIV N          (how common is the pair)
+ *   conf_ppm    = n_ab·10⁶ DIV n_a        (P(b | a), the rule's hit rate)
+ *   lift_ppm    = n_ab·N·10⁶ DIV (n_a·n_b) (vs independence: 10⁶ = no
+ *                                          association, >10⁶ = affinity)
+ *
+ * all exact truncating integer arithmetic — conf/support stay in int64
+ * at any corpus (n_ab ≤ N), while the lift numerator n_ab·N·10⁶
+ * crosses 2⁶³ once baskets exceed ~3M, so it runs in DECIMAL(38,0)
+ * with a truncating DIV back to BIGINT (the q128 recipe; HUGEINT on
+ * the DuckDB side).
+ *
+ * Scale posture: baskets dedupe map-side; item counts and the
+ * basket-keyed pair self-join are the q81 plan (pair volume bounded by
+ * basket_size² per basket, never corpus²); item counts and the basket
+ * total are ITEM-DOMAIN-sized and broadcast onto the pair frame — no
+ * extra shuffle beyond q81's.
+ */
+object Association {
+
+  /**
+   * Directed rule table over baskets identified by `basketCols`,
+   * items in `itemCol`. Both directions of every co-occurring pair are
+   * emitted (conf is asymmetric; support and lift are shared).
+   */
+  def rules(df: DataFrame, basketCols: Seq[Column], itemCol: Column): DataFrame = {
+    val b = df.select(basketCols :+ itemCol.as("item"): _*).distinct()
+      .localCheckpoint(false)
+    val keyNames = basketCols.indices.map(i => s"_b$i")
+    val named = b.toDF(keyNames :+ "item": _*)
+    val totals = named.select(keyNames.map(col): _*).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val items = named.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = named.as("x")
+      .join(named.as("y"),
+        keyNames.map(n => col(s"x.$n") === col(s"y.$n"))
+          .reduce(_ && _) && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
+      .agg(count(lit(1)).as("n_pair"))
+    val directed = pairs
+      .select(col("ia").as("antecedent"), col("ib").as("consequent"), col("n_pair"))
+      .unionByName(pairs.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("n_pair")))
+    directed
+      .join(broadcast(items.select(col("item").as("antecedent"),
+        col("n_item").as("n_a"))), Seq("antecedent"))
+      .join(broadcast(items.select(col("item").as("consequent"),
+        col("n_item").as("n_b"))), Seq("consequent"))
+      .crossJoin(broadcast(totals)) // single-row constant join
+      .withColumn("support_ppm", expr("n_pair * 1000000 DIV n_baskets"))
+      .withColumn("conf_ppm", expr("n_pair * 1000000 DIV n_a"))
+      .withColumn("lift_ppm", expr(
+        """(CAST(n_pair AS DECIMAL(38,0)) * n_baskets * 1000000)
+          |DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)""".stripMargin))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        col("support_ppm"), col("conf_ppm"), col("lift_ppm"))
+  }
+}

@@ -348,4 +348,67 @@ object Graph {
         col("d2").cast("decimal(38,0)").cast("string").as("var_y_num"),
         col("r_fp"))
   }
+
+  /**
+   * Per-node local clustering coefficient (GRAPH7) — [[triangleStats]]
+   * gives the one-number global transitivity; this gives the per-node
+   * view lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the standard
+   * "how clique-like is v's neighborhood" signal (Watts–Strogatz):
+   * hubs with LOW lcc are brokers bridging communities, hubs with HIGH
+   * lcc sit inside dense cores — the per-node refinement a partitioner
+   * or community detector reads after q142's global number.
+   *
+   * Same Chiba–Nishizeki degree-ordered orientation as
+   * [[triangleStats]] (wedges O(m^1.5) total regardless of hub skew),
+   * but the closing probe is an INNER hash join (not a semi-join): each
+   * triangle must surface once as its (a,b,c) triple so all THREE
+   * corners can be credited — a triangle through v counts toward
+   * tri(v) no matter where v sits in the ≺ order. Explode the triple,
+   * one count per node, join the degree frame.
+   *
+   * Exact ppm law: lcc_ppm = 2·tri·10⁶ DIV (deg·(deg−1)), NULL when
+   * deg < 2 (no wedge to close — 0 would claim "never closes", NULL
+   * says "question undefined"). tri ≤ deg² keeps the numerator far
+   * inside int64 for any realistic degree.
+   */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("u"), col("v")).cast("long").as("u"),
+        greatest(col("u"), col("v")).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = canon.select(col("u").as("node"))
+      .unionByName(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst"), col("dv").as("ddst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("ddst")))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddst"))
+      .localCheckpoint(false)
+    // partition by wedge volume, not input bytes (triangleStats note)
+    val parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    val bySrc = oriented.repartition(parallelism, col("src"))
+    val e1 = bySrc.select(col("src").as("a"), col("dst").as("b"), col("ddst").as("db"))
+    val e2 = bySrc.select(col("src").as("a"), col("dst").as("c"), col("ddst").as("dc"))
+    val wedges = e1.join(e2, "a")
+      .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val triangles = wedges
+      .join(closing.hint("shuffle_hash"), Seq("b", "c"))
+    val triPerNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("lcc_ppm",
+        expr("CASE WHEN deg >= 2 THEN (2 * n_tri * 1000000) DIV (deg * (deg - 1)) END"))
+      .select(col("node"), col("deg"), col("n_tri"), col("lcc_ppm"))
+  }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mann–Kendall trend census (FC3) — the nonparametric "is there a
+ * monotone trend at all" test that completes the time-series
+ * diagnostic shelf: q189 decomposes, q212 reads persistence (ACF),
+ * q181 backtests a forecaster — this answers the question asked BEFORE
+ * all three, with no distributional assumption and no IEEE anywhere:
+ *
+ *   S     = Σ_{i<j} sgn(v_j − v_i)                (day-ordered pairs)
+ *   Var·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)   (tie-corrected, ×18
+ *                                                  keeps it integral)
+ *   z²·10⁶ = 18·(|S|−1)²·10⁶ DIV Var18            (the continuity-
+ *                                                  corrected z, squared)
+ *
+ * and the 95% two-sided decision is z² > 1.959964² → z2_ppm > 3841459
+ * — the SAME pinned critical line as q203's SRM check and q210's χ²
+ * (1 df), so every gate in the suite alarms on one constant.
+ *
+ * Everything is exact integer/decimal: sgn sums are int64; the z²
+ * numerator 18·(|S|−1)²·10⁶ crosses 2⁶³ once n_days exceeds ~1200
+ * (S ≤ n(n−1)/2), so it runs in DECIMAL(38,0) with a truncating DIV
+ * back to BIGINT (the q128/q211 recipe) — bit-identical in DuckDB via
+ * HUGEINT. S = 0 pins z² = 0 (the textbook S∓1 correction is defined
+ * per sign); Var18 = 0 (n < 2, or every value tied) yields NULL — the
+ * question is undefined, not answered "flat".
+ *
+ * Scale posture: the pair explosion is CALENDAR² per key — days are a
+ * dimension, not a corpus: the pair count is the SAME at sf0.01 and at
+ * 100 TB, only the per-day pre-aggregate (one map-side-combinable
+ * groupBy) sees corpus-proportional rows. Pairs hash-join on the key;
+ * tie census is a second aggregate sharing the daily frame.
+ */
+object Trend {
+
+  /**
+   * Per-key Mann–Kendall over the daily series Σ`valueCol` by
+   * (`keyCol`, `dayCol`). Output per key: n_days, s_stat, var18,
+   * z2_ppm, trend ('up'/'down'/'flat' by sgn S), significant
+   * (z2_ppm > `critPpm`).
+   */
+  def mannKendall(df: DataFrame, keyCol: Column, dayCol: Column,
+      valueCol: Column, critPpm: Long = 3841459L): DataFrame = {
+    val daily = df
+      .groupBy(keyCol.as("key"), dayCol.as("d"))
+      .agg(sum(valueCol).as("v"))
+      .localCheckpoint(false)
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.key") === col("b.key") && col("a.d") < col("b.d"))
+      .groupBy(col("a.key").as("key"))
+      .agg(sum(signum(col("b.v") - col("a.v")).cast("long")).as("s_stat"))
+    val ties = daily
+      .groupBy(col("key"), col("v")).agg(count(lit(1)).as("t"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"),
+        sum(col("t")).as("n_days"))
+    ties.join(pairs, Seq("key"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie18"))
+      .withColumn("z2_ppm", expr(
+        """CASE WHEN var18 <= 0 THEN NULL
+          |     WHEN s_stat = 0 THEN CAST(0 AS BIGINT)
+          |     ELSE (CAST(18 AS DECIMAL(38,0)) * (abs(s_stat) - 1)
+          |           * (abs(s_stat) - 1) * 1000000)
+          |          DIV CAST(var18 AS DECIMAL(38,0)) END""".stripMargin))
+      .withColumn("trend",
+        when(col("s_stat") > 0, lit("up"))
+          .when(col("s_stat") < 0, lit("down")).otherwise(lit("flat")))
+      .withColumn("significant",
+        when(col("z2_ppm").isNull, lit(null).cast("boolean"))
+          .otherwise(col("z2_ppm") > critPpm))
+      .select(col("key"), col("n_days"), col("s_stat"), col("var18"),
+        col("z2_ppm"), col("trend"), col("significant"))
+  }
+}

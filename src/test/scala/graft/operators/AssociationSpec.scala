@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Association rules (B7): hand-computed support/confidence/lift and the
+  * basket-dedup law. */
+class AssociationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed rule table over four baskets") {
+    // b1{x,y} b2{x,y} b3{x,z} b4{y}: N=4, n_x=3 n_y=3 n_z=1,
+    // pairs (x,y)=2 (x,z)=1
+    val df = Seq(
+      (1, "x"), (1, "y"), (2, "x"), (2, "y"),
+      (3, "x"), (3, "z"), (4, "y"),
+      (1, "x"), // duplicate row: baskets are SETS, must not double-count
+    ).toDF("basket", "item")
+    val out = Association.rules(df, Seq(col("basket")), col("item"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))).toMap
+    assert(out.size == 4) // both directions of both pairs
+    // x→y: conf 2e6/3, support 2e6/4, lift 2*4e6/(3*3)
+    assert(out(("x", "y")) == ((2L, 3L, 3L, 4L, 500000L, 666666L, 888888L)))
+    assert(out(("y", "x")) == ((2L, 3L, 3L, 4L, 500000L, 666666L, 888888L)))
+    // x→z asymmetric confidence: 1e6/3 vs z→x 1e6/1
+    assert(out(("x", "z")) == ((1L, 3L, 1L, 4L, 250000L, 333333L, 1333333L)))
+    assert(out(("z", "x")) == ((1L, 1L, 3L, 4L, 250000L, 1000000L, 1333333L)))
+  }
+
+  test("multi-column basket key: (user, day) baskets do not leak across days") {
+    val df = Seq(
+      ("u1", 1, "a"), ("u1", 1, "b"), // one basket with a+b
+      ("u1", 2, "a"), ("u2", 1, "b"), // a and b in separate baskets
+    ).toDF("user", "day", "item")
+    val out = Association.rules(df, Seq(col("user"), col("day")), col("item"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(8)))).toMap
+    // n_pair=1, N=3, n_a=2, n_b=2 → lift = 1*3e6/4 = 750000
+    assert(out(("a", "b")) == ((1L, 750000L)))
+    assert(out(("b", "a")) == ((1L, 750000L)))
+  }
+}

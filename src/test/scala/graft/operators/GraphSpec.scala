@@ -216,4 +216,41 @@ class GraphSpec extends SparkSpec {
     assert(out.getAs[String]("var_y_num") == "28")
     assert(out.getAs[Double]("r_fp") == -20.0 / 28.0)
   }
+
+  // ---- GRAPH7 local clustering coefficient ----
+
+  test("localClustering: triangle-plus-pendant hand case, NULL below degree 2") {
+    // 1-2, 2-3, 1-3 (a triangle) + 3-4 (pendant). deg: 1:2 2:2 3:3 4:1.
+    // Every triangle corner gets credited; 4 has no wedge -> NULL.
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L).toDF("u", "v")
+    val out = Graph.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 1000000L)),
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)),
+      4L -> ((1L, 0L, -1L))))
+  }
+
+  test("localClustering: K4 is all-ones; per-node sums = 3x global count") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("u", "v")
+    val out = Graph.localClustering(k4).collect()
+    assert(out.length == 4)
+    // each node: deg 3, C(3,2)=3 wedges all closed -> 3 triangles, lcc 1
+    assert(out.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L &&
+      r.getLong(3) == 1000000L))
+    // invariant vs the global census on a messier graph (hub included)
+    val rnd = new scala.util.Random(7)
+    val messy = ((1 to 400).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)) ++
+      (1 to 29).map(i => (0L, i.toLong))).filter(e => e._1 != e._2)
+    val perNode = Graph.localClustering(messy.toDF("u", "v"))
+      .agg(sum(col("n_tri"))).collect().head.getLong(0)
+    val global = Graph.triangleStats(messy.toDF("u", "v"))
+      .collect().head.getLong(3)
+    assert(perNode == 3L * global,
+      s"corner credits $perNode != 3 * $global triangles")
+  }
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Mann–Kendall (FC3): hand-computed S/Var18/z² on canonical series,
+  * the tie-degenerate NULL, and the daily pre-aggregation law. */
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(rows: Seq[(String, Int, Long)]) =
+    Trend.mannKendall(
+      rows.toDF("k", "dayN", "v"),
+      col("k"), col("dayN"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getString(5),
+        if (r.isNullAt(6)) null else java.lang.Boolean.valueOf(r.getBoolean(6)))))
+      .toMap
+
+  test("strictly monotone series: S = ±n(n−1)/2, n=5 crosses the 95% line, n=4 does not") {
+    // up, n=5: S=10, Var18 = 5*4*15 = 300, z² = 18*81e6 DIV 300 = 4,860,000
+    // down, n=4 (mirrored): S=-6, Var18 = 4*3*13 = 156,
+    //   z² = 18*25e6 DIV 156 = 2,884,615 — same statistic, below the line
+    val rows =
+      (1 to 5).map(i => ("up", i, i * 10L)) ++
+      (1 to 4).map(i => ("dn", i, 100L - i * 10L))
+    val out = mk(rows)
+    assert(out("up") == ((5L, 10L, 300L, 4860000L, "up",
+      java.lang.Boolean.TRUE)))
+    assert(out("dn") == ((4L, -6L, 156L, 2884615L, "down",
+      java.lang.Boolean.FALSE)))
+  }
+
+  test("all-tied series: Var18 = 0, z² and significant are NULL, trend flat") {
+    val out = mk((1 to 6).map(i => ("t", i, 7L)))
+    assert(out("t") == ((6L, 0L, 0L, -1L, "flat", null)))
+  }
+
+  test("partial ties: the correction subtracts t(t−1)(2t+5) per tied value") {
+    // values 1,1,2 over days 1..3: pairs (1,2):0 (1,3):+1 (2,3):+1 → S=2
+    // Var18 = 3*2*11 − 2*1*9 = 66 − 18 = 48; z² = 18*1e6 DIV 48 = 375000
+    val out = mk(Seq(("p", 1, 1L), ("p", 2, 1L), ("p", 3, 2L)))
+    assert(out("p") == ((3L, 2L, 48L, 375000L, "up", java.lang.Boolean.FALSE)))
+  }
+
+  test("rows aggregate to the daily sum before pairing") {
+    // day 1: 5+5=10, day 2: 20 → identical to the two-day series (10, 20):
+    // S=1, Var18 = 2*1*9 = 18, z² = 18*0 DIV 18 = 0 (continuity correction)
+    val out = mk(Seq(("a", 1, 5L), ("a", 1, 5L), ("a", 2, 20L)))
+    assert(out("a") == ((2L, 1L, 18L, 0L, "up", java.lang.Boolean.FALSE)))
+  }
+}
