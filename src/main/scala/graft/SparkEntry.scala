@@ -3788,6 +3788,38 @@ object SparkEntry {
           to_date(col("o_orderdate")),
           (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
         .orderBy(col("key"))),
+
+    // Q219 — DQ7 median/MAD robust outlier census on the daily event
+    // revenue series: the anomaly fence that survives the anomaly
+    // (50% breakdown vs a mean/σ fence that masks). Lower medians via
+    // the q144 threshold bridge, 5-MAD integer fence, deterministic
+    // first-flagged day.
+    "q219_mad_outliers" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      graft.operators.Robust.madOutlierCensus(daily, Seq("event_type"),
+          "day", "cents", k = 5)
+        .orderBy(col("event_type"))
+    }),
+
+    // Q220 — EVAL7 split-conformal interval calibration on the q181
+    // backtest frame: the distribution-free 90% band width (k-th
+    // smallest |y − f_snaive| on a hash-split calibration set,
+    // k = ceil((n+1)·0.9)) plus the empirical coverage check — q181
+    // scores accuracy, q197 asymmetric risk, this prices uncertainty,
+    // all on ONE forecaster.
+    "q220_conformal_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents0"))
+        .withColumn("cents", col("cents0") +
+          when(col("event_type") === "view",
+            weekday(col("day")).cast("long") * 100000L).otherwise(0L))
+      graft.operators.Rolling.conformalBacktest(daily, "event_type", "day",
+          "cents", seasonLag = 7)
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -7746,6 +7778,63 @@ object SparkEntry {
           |  CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down' ELSE 'flat' END AS trend,
           |  CASE WHEN z2_ppm IS NULL THEN NULL ELSE z2_ppm > 3841459 END AS significant
           |FROM z ORDER BY key""".stripMargin,
+
+      // both medians via the q144 cumulative-count bridge; 5-MAD fence
+      "q219_mad_outliers" ->
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM events GROUP BY 1, 2),
+          |c1 AS (SELECT event_type, day, cents,
+          |    count(*) OVER (PARTITION BY event_type ORDER BY cents
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    count(*) OVER (PARTITION BY event_type) AS n FROM daily),
+          |m AS (SELECT event_type, min(CASE WHEN 2 * cum >= n THEN cents END) AS median
+          |  FROM c1 GROUP BY 1),
+          |d AS (SELECT daily.event_type, day, cents, abs(cents - median) AS dev, median
+          |  FROM daily JOIN m USING (event_type)),
+          |c2 AS (SELECT event_type, day, dev, median,
+          |    count(*) OVER (PARTITION BY event_type ORDER BY dev
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+          |md AS (SELECT event_type, min(CASE WHEN 2 * cum >= n THEN dev END) AS mad
+          |  FROM c2 GROUP BY 1)
+          |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+          |  max(d.median) AS median, max(md.mad) AS mad,
+          |  CAST(sum(CASE WHEN d.dev > 5 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |  max(d.dev) AS max_abs_dev,
+          |  min(CASE WHEN d.dev > 5 * md.mad THEN day END) AS first_outlier_tag
+          |FROM d JOIN md USING (event_type) GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // q181's daily frame; hash-split calibration, k-th-smallest bridge
+      "q220_conformal_backtest" ->
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) +
+          |      CASE WHEN event_type = 'view'
+          |           THEN (isodow(CAST(ts AS DATE)) - 1) * 100000 ELSE 0 END AS cents
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |f AS (SELECT event_type, day, cents,
+          |    lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS fs FROM daily),
+          |sc AS (SELECT event_type, day, abs(cents - fs) AS score,
+          |    ('0x' || substr(md5('conf:' || event_type || ':' || strftime(day, '%Y-%m-%d')), 1, 15))::BIGINT % 5 < 4 AS is_cal
+          |  FROM f WHERE fs IS NOT NULL),
+          |c1 AS (SELECT event_type, score,
+          |    count(*) OVER (PARTITION BY event_type ORDER BY score
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM sc WHERE is_cal),
+          |q AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_cal,
+          |    CAST(max((9 * (n + 1) + 9) // 10) AS BIGINT) AS k_rank,
+          |    min(CASE WHEN cum >= (9 * (n + 1) + 9) // 10 THEN score END) AS qhat_cents
+          |  FROM c1 GROUP BY 1),
+          |e AS (SELECT sc.event_type, CAST(count(*) AS BIGINT) AS n_eval,
+          |    CAST(sum(CASE WHEN score <= qhat_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_covered0
+          |  FROM sc JOIN q USING (event_type) WHERE NOT is_cal GROUP BY 1)
+          |SELECT q.event_type, q.n_cal, q.k_rank, q.qhat_cents,
+          |  coalesce(e.n_eval, 0) AS n_eval,
+          |  CASE WHEN q.qhat_cents IS NULL THEN NULL ELSE coalesce(e.n_covered0, 0) END AS n_covered,
+          |  CASE WHEN q.qhat_cents IS NULL OR coalesce(e.n_eval, 0) = 0 THEN NULL
+          |       ELSE coalesce(e.n_covered0, 0) * 1000000 // e.n_eval END AS coverage_ppm
+          |FROM q LEFT JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
     )
   }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Median/MAD robust outlier census (DQ7) — the anomaly forensic that
+ * survives the anomaly: a mean/σ fence moves when the outlier it is
+ * hunting lands in the window (masking), the median/MAD fence does not
+ * (50% breakdown point). Per key over an integer series:
+ *
+ *   med  = lower median of v          (min{x : 2·cnt(≤x) ≥ n})
+ *   mad  = lower median of |v − med|  (same bridge, deviation frame)
+ *   outlier(v) ⇔ |v − med| > k·MAD    (k integer — the "k-MAD fence";
+ *                                      k=5 ≈ a 3.4σ fence on normal data)
+ *
+ * No IEEE anywhere: both medians use the q144 threshold bridge (first
+ * value whose cumulative count crosses half — deterministic under any
+ * intra-tie order), the fence compare is integer. The textbook MAD=0
+ * hazard (a majority-constant series makes EVERY deviating row an
+ * outlier) is kept as stated — that is the correct reading of "the
+ * typical deviation is zero" — and visible in the output via mad = 0.
+ *
+ * Scale posture: two windowed passes + one rollup, ALL on the same key
+ * partitioning (the deviation frame inherits the median join's
+ * partitioning — one logical shuffle family, no re-keying). Rows per
+ * key are a daily series, calendar-bounded.
+ */
+object Robust {
+
+  /** Lower median per key via the cumulative-count bridge. */
+  private def lowerMedian(df: DataFrame, keys: Seq[Column], valCol: Column,
+      out: String): DataFrame = {
+    val cum = Window.partitionBy(keys: _*).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byKey = Window.partitionBy(keys: _*)
+    df
+      .withColumn("_cum", count(lit(1)).over(cum))
+      .withColumn("_n", count(lit(1)).over(byKey))
+      .groupBy(keys: _*)
+      .agg(min(when(col("_cum") * 2 >= col("_n"), valCol)).as(out))
+  }
+
+  /**
+   * Per-key census over (`keyCols`, `tagCol`, `valCol`) rows — one row
+   * per observation, `tagCol` a deterministic label (e.g. the day) for
+   * the first-outlier report. Output per key: n_rows, median, mad,
+   * n_outliers, max_abs_dev, first_outlier_tag.
+   */
+  def madOutlierCensus(df: DataFrame, keyCols: Seq[String], tagCol: String,
+      valCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"the MAD multiple must be >= 1 (got $k)")
+    val keys = keyCols.map(col)
+    val base = df.select(keyCols.map(col) ++
+      Seq(col(tagCol).as("_tag"), col(valCol).cast("long").as("_v")): _*)
+      .localCheckpoint(false)
+    val med = lowerMedian(base, keys, col("_v"), "median")
+    val dev = base.join(med, keyCols)
+      .withColumn("_dev", abs(col("_v") - col("median")))
+    val mad = lowerMedian(dev, keys, col("_dev"), "mad")
+    dev.join(mad, keyCols)
+      .withColumn("_out", col("_dev") > col("mad") * k)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("_out"), 1L).otherwise(0L)).as("n_outliers"),
+        max(col("_dev")).as("max_abs_dev"),
+        min(when(col("_out"), col("_tag"))).as("first_outlier_tag"))
+  }
+}

@@ -404,4 +404,76 @@ object Rolling {
       .select(keyCol, "n_days", "n_full", "seasonal_amp_cents",
         "max_abs_rem_cents")
   }
+
+  /**
+   * Split-conformal interval calibration (EVAL7) — [[forecastBacktest]]
+   * scores a point forecast; this prices its UNCERTAINTY with the only
+   * distribution-free guarantee on offer (Vovk; Lei et al.): hold out a
+   * calibration set, take the k-th smallest nonconformity score with
+   *
+   *   k = ⌈(n_cal + 1)·0.9⌉          (finite-sample 90% coverage)
+   *
+   * and the band f ± qhat covers fresh points with probability ≥ 0.9 —
+   * no normality, no variance model. Nonconformity here is |y − f| of
+   * the seasonal-naive forecast on the SAME daily frame q181/q197
+   * score, so the three read one forecaster: accuracy, asymmetric
+   * risk, calibrated width.
+   *
+   * Everything integer-exact: the 80/20 calibration/evaluation split is
+   * the portable-hash law (a day's fate is a pure function of
+   * (key, day) — engine-replayable, scan-order-free), k is a ceiling
+   * division ((9·(n_cal+1) + 9) DIV 10), qhat is the q144 threshold
+   * bridge (min{x : cnt_cal(≤x) ≥ k} — no row_number tie hazard), and
+   * the empirical check coverage_ppm = covered·10⁶ DIV n_eval should
+   * straddle 900000. k > n_cal (too few calibration days) yields NULL
+   * qhat/coverage — the honest "cannot calibrate yet", not a clamp.
+   *
+   * Scale posture: one key-partitioned lag window (shared with the
+   * other backtests), one windowed cumulative count on the calibration
+   * subset, two rollups on the same key partitioning.
+   */
+  def conformalBacktest(daily: DataFrame, keyCol: String, dayCol: String,
+      centsCol: String, seasonLag: Int = 7): DataFrame = {
+    require(seasonLag >= 2, s"seasonLag must be >= 2 (got $seasonLag)")
+    import graft.functions.TextFunctions.portableHash
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val scored = daily
+      .withColumn("_c", col(centsCol).cast("long"))
+      .withColumn("_f", lag(col("_c"), seasonLag).over(w))
+      .where(col("_f").isNotNull)
+      .withColumn("score", abs(col("_c") - col("_f")))
+      .withColumn("is_cal", pmod(portableHash(concat(lit("conf:"),
+        col(keyCol).cast("string"), lit(":"), col(dayCol).cast("string"))),
+        lit(5L)) < 4L)
+      .localCheckpoint(false)
+    val cal = scored.where(col("is_cal"))
+    val cumW = Window.partitionBy(col(keyCol)).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byKey = Window.partitionBy(col(keyCol))
+    val qhat = cal
+      .withColumn("_cum", count(lit(1)).over(cumW))
+      .withColumn("_n", count(lit(1)).over(byKey))
+      .withColumn("_k", expr("(9 * (_n + 1) + 9) DIV 10"))
+      .groupBy(col(keyCol))
+      .agg(max(col("_n")).as("n_cal"), max(col("_k")).as("k_rank"),
+        min(when(col("_cum") >= col("_k"), col("score"))).as("qhat_cents"))
+      // k > n_cal: the bridge found no crossing -> qhat_cents NULL already
+    val eval = scored.where(!col("is_cal"))
+      .join(qhat, Seq(keyCol), "left")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("score") <= col("qhat_cents"), 1L).otherwise(0L))
+          .as("n_covered0"))
+    qhat.join(eval, Seq(keyCol), "left")
+      .withColumn("n_eval", coalesce(col("n_eval"), lit(0L)))
+      .withColumn("n_covered",
+        when(col("qhat_cents").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("n_covered0"), lit(0L))))
+      .withColumn("coverage_ppm",
+        when(col("qhat_cents").isNull || col("n_eval") === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr("n_covered * 1000000 DIV n_eval")))
+      .select(keyCol, "n_cal", "k_rank", "qhat_cents", "n_eval", "n_covered",
+        "coverage_ppm")
+  }
 }

@@ -387,6 +387,73 @@ object StatefulOps {
       }
   }
 
+  final case class TrendCell(day: Long, v: Long)
+  final case class TrendState(cells: List[TrendCell])
+  final case class TrendUpdate(
+      key: String, n_days: Long, s_stat: Long, var18: Long,
+      z2_ppm: Option[Long], trend: String, significant: Option[Boolean])
+
+  /**
+   * FC3's streaming twin: live Mann–Kendall over an accumulating daily
+   * series — the monitor that answers "has this metric started
+   * drifting monotonically" while the stream runs, with the same exact
+   * law as the batch operator (`Trend.mannKendall`): S from
+   * day-ordered sign pairs, tie-corrected Var·18, continuity-corrected
+   * z² in ppm vs `critPpm`.
+   *
+   * State per key is the (day → running sum) histogram — CALENDAR-
+   * bounded, never stream-length-bounded (the DRIFT1s discipline): a
+   * day's value may arrive across many batches and the cell keeps the
+   * running daily SUM, so re-batching cannot change any emitted
+   * statistic. S/ties recompute from the merged state each batch —
+   * days² work on a calendar-sized frame (thousands), microseconds in
+   * practice and the price of exactness under late/split arrivals: an
+   * incremental S would go stale the moment an EXISTING day's sum
+   * moves, which late data does routinely. Output mode: Update.
+   */
+  def streamingMannKendall(
+      rows: DataFrame, critPpm: Long = 3841459L)(
+      implicit spark: SparkSession): Dataset[TrendUpdate] = {
+    import spark.implicits._
+    rows
+      .select(col("key").cast("string"), col("day").cast("long"),
+        col("v").cast("long"))
+      .where(col("key").isNotNull && col("day").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TrendState, TrendUpdate](GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[TrendState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(_.cells.foreach(c => m(c.day) = c.v))
+          it.foreach { case (_, d, v) => m(d) = m.getOrElse(d, 0L) + v }
+          state.update(TrendState(
+            m.toList.sortBy(_._1).map { case (d, v) => TrendCell(d, v) }))
+          val series = m.toArray.sortBy(_._1).map(_._2)
+          val n = series.length.toLong
+          var s = 0L
+          var i = 0
+          while (i < series.length) {
+            var j = i + 1
+            while (j < series.length) {
+              s += java.lang.Long.signum(series(j) - series(i)); j += 1
+            }
+            i += 1
+          }
+          val tie18 = series.groupBy(identity).valuesIterator
+            .map { g => val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }
+            .sum
+          val var18 = n * (n - 1) * (2 * n + 5) - tie18
+          val z2 =
+            if (var18 <= 0) None
+            else if (s == 0) Some(0L)
+            else Some((BigInt(18) * (math.abs(s) - 1) * (math.abs(s) - 1)
+              * 1000000 / var18).toLong)
+          TrendUpdate(key, n, s, var18, z2,
+            if (s > 0) "up" else if (s < 0) "down" else "flat",
+            z2.map(_ > critPpm))
+      }
+  }
+
   @annotation.tailrec
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 

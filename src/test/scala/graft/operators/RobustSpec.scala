@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Median/MAD outlier census (DQ7): hand-computed fences, the lower-median
+  * bridge on even counts, and the MAD=0 majority-constant hazard. */
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def census(rows: Seq[(String, Int, Long)], k: Int = 5) =
+    Robust.madOutlierCensus(
+      rows.toDF("key", "tag", "v"), Seq("key"), "tag", "v", k)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) -1 else r.getInt(6)))).toMap
+
+  test("hand case: one wild value crosses the 5-MAD fence, the rest do not") {
+    // values 1,2,3,4,100: median 3 (lower bridge), devs {2,1,0,1,97},
+    // MAD 1 -> fence at 5; only 97 crosses; first (only) outlier tag 50
+    val out = census(Seq(("a", 10, 1L), ("a", 20, 2L), ("a", 30, 3L),
+      ("a", 40, 4L), ("a", 50, 100L)))
+    assert(out("a") == ((5L, 3L, 1L, 1L, 97L, 50)))
+  }
+
+  test("even count takes the LOWER median, deterministically") {
+    // 1,2,3,4: 2*cum >= 4 first at value 2
+    val out = census(Seq(("e", 1, 1L), ("e", 2, 2L), ("e", 3, 3L),
+      ("e", 4, 4L)))
+    val (_, med, _, _, _, _) = out("e")
+    assert(med == 2L)
+  }
+
+  test("MAD = 0 on a majority-constant series flags every deviating row") {
+    // 5,5,5,9: median 5, devs {0,0,0,4}, MAD 0 -> fence at 0: the single
+    // 9 is an outlier (the documented 'typical deviation is zero' law)
+    val out = census(Seq(("c", 1, 5L), ("c", 2, 5L), ("c", 3, 5L),
+      ("c", 4, 9L)))
+    assert(out("c") == ((4L, 5L, 0L, 1L, 4L, 4)))
+  }
+
+  test("fence multiple k widens the fence: k=100 un-flags the wild value") {
+    val rows = Seq(("a", 10, 1L), ("a", 20, 2L), ("a", 30, 3L),
+      ("a", 40, 4L), ("a", 50, 100L))
+    val out = census(rows, k = 100)
+    assert(out("a") == ((5L, 3L, 1L, 0L, 97L, -1)))
+  }
+}

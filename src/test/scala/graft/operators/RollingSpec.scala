@@ -279,4 +279,50 @@ class RollingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_days") == 5L)
     assert(r.isNullAt(r.fieldIndex("n_full")))
   }
+
+  // ---- EVAL7 split-conformal calibration ----
+
+  test("conformalBacktest: qhat is the k-th smallest calibration score (driver replay)") {
+    // period-2 series with a planted one-off deviation, scores 0 except
+    // around the spike; replay the hash split driver-side and check the
+    // k-th order statistic exactly.
+    import graft.functions.TextFunctions.portableHash64
+    val cents = (0 until 40).map(i => if (i == 25) 777L else (i % 2) * 100L)
+    val rows = cents.zipWithIndex.map { case (c, i) => ("k", day(i), c) }
+    val r = Rolling.conformalBacktest(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents", seasonLag = 2).head()
+    val scored = (2 until 40).map(i => i -> math.abs(cents(i) - cents(i - 2)).toLong)
+    val calScores = scored.collect {
+      case (i, sc) if math.floorMod(
+        portableHash64(s"conf:k:${day(i)}"), 5L) < 4L => sc
+    }.sorted
+    val nCal = calScores.length.toLong
+    val k = (9 * (nCal + 1) + 9) / 10
+    assert(r.getAs[Long]("n_cal") == nCal && r.getAs[Long]("k_rank") == k)
+    if (k <= nCal)
+      assert(r.getAs[Long]("qhat_cents") == calScores(k.toInt - 1))
+    assert(r.getAs[Long]("n_eval") == (scored.length - nCal))
+  }
+
+  test("conformalBacktest: too few calibration days yields NULL qhat and coverage") {
+    // 10 days at lag 7 -> 3 scored rows; k = ceil(0.9*(n+1)) > n for any
+    // n <= 8, so calibration cannot cross the bridge
+    val rows = (0 until 10).map(i => ("k", day(i), 100L * i))
+    val r = Rolling.conformalBacktest(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents", seasonLag = 7).head()
+    assert(r.getAs[Long]("k_rank") > r.getAs[Long]("n_cal"))
+    assert(r.isNullAt(r.fieldIndex("qhat_cents")))
+    assert(r.isNullAt(r.fieldIndex("n_covered")))
+    assert(r.isNullAt(r.fieldIndex("coverage_ppm")))
+  }
+
+  test("conformalBacktest: constant-score series covers every eval day") {
+    // strict +10/day trend at lag 7: every score is exactly 70, so
+    // qhat = 70 and the band covers 100% of eval days
+    val rows = (0 until 60).map(i => ("k", day(i), 100L + 10L * i))
+    val r = Rolling.conformalBacktest(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents", seasonLag = 7).head()
+    assert(r.getAs[Long]("qhat_cents") == 70L)
+    assert(r.getAs[Long]("coverage_ppm") == 1000000L)
+  }
 }

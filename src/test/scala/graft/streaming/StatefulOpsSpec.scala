@@ -493,6 +493,55 @@ class StatefulOpsSpec extends SparkSpec {
     assert(one == sliced, "cumulative chi2 must not depend on batch slicing")
   }
 
+  test("streamingMannKendall: equals the batch law, day sums merge across batches") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // key "up": strictly increasing over 5 days — S=10, Var18=300,
+    // z²=4,860,000 significant (the TrendSpec hand case); day 5's value
+    // arrives SPLIT across two batches (30 = 20+10) so the cell must
+    // keep the running daily sum, not last-write-wins.
+    // key "fl": all tied — Var18=0, NULL z².
+    val batch1 = Seq(("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("up", 5L, 20L), ("fl", 1L, 7L), ("fl", 2L, 7L))
+    val batch2 = Seq(("up", 4L, 40L), ("up", 5L, 30L), ("fl", 3L, 7L))
+    // net day 5 = 20 + 30 = 50: strictly monotone 10,20,30,40,50
+
+    def run(batches: Seq[Seq[(String, Long, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Long)]
+      val out = StatefulOps.streamingMannKendall(
+        mem.toDF.toDF("key", "day", "v"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getString(5),
+          if (r.isNullAt(6)) null else java.lang.Boolean.valueOf(r.getBoolean(6))))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.last }
+    }
+
+    val two = run(Seq(batch1, batch2), "mk_two")
+    assert(two("up") == (("up", 5L, 10L, 300L, 4860000L, "up",
+      java.lang.Boolean.TRUE)))
+    assert(two("fl") == (("fl", 3L, 0L, 0L, -1L, "flat", null)))
+    // re-batching invariance: one batch with everything
+    val one = run(Seq(batch1 ++ batch2), "mk_one")
+    assert(one == two, "final MK statistics must not depend on batching")
+    // and the batch operator agrees on the merged series
+    val merged = (batch1 ++ batch2).toDF("key", "day", "v")
+    val batch = graft.operators.Trend.mannKendall(
+      merged, col("key"), col("day"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getString(5),
+        if (r.isNullAt(6)) null else java.lang.Boolean.valueOf(r.getBoolean(6))))
+      .map(t => t._1 -> t).toMap
+    assert(batch == two.toMap)
+  }
+
   private def tsn(day: Int, sec: Int) =
     java.time.LocalDateTime.of(2024, 1, day, 0, 0, 0).plusSeconds(sec.toLong)
 }
