@@ -3820,6 +3820,47 @@ object SparkEntry {
           "cents", seasonLag = 7)
         .orderBy(col("event_type"))
     }),
+
+    // Q221 — FC4 cross-correlation census: does click volume LEAD
+    // purchase volume? Per lag k ∈ [−7, +7], pairs (clicks_d,
+    // purchases_{d+k}) on the calendar (q212's honest-gaps law), exact
+    // suffstats, one mirrored IEEE tail. The k = 0 column is the
+    // aligned correlation; the peak's sign of k names the leader.
+    "q221_ccf" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Autocorrelation.ccf(
+          ev.where(col("event_type") === "click"),
+          to_date(col("ts")), lit(1L),
+          ev.where(col("event_type") === "purchase"),
+          to_date(col("ts")), lit(1L), maxLag = 7)
+        .orderBy(col("lag"))
+    }),
+
+    // Q222 — EVAL8 isotonic calibration fit: the FIXER to q168's
+    // audit — the PAV recalibration map over the q213 scorer at RAW
+    // cent granularity (100 buckets: decile pooling hides the
+    // violations, per-cent sampling noise produces real ones to pool),
+    // computed by the exact minimax identity
+    // fit(b) = max_{j≤b} min_{k≥b} interval-rate(j,k) with all
+    // fraction comparisons cross-multiplied in DECIMAL(38,0). The
+    // calibration family closes: q168 measures, q213 prices the cut,
+    // this repairs the map.
+    "q222_isotonic_fit" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val scored = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("cents",
+          pmod(floor(col("value") * 100).cast("long"), lit(100L)))
+        .withColumn("draw",
+          pmod(portableHash(concat(lit("cal:"), col("event_id").cast("string"))),
+            lit(100L)))
+        .withColumn("label",
+          (col("draw") < expr("cents * cents DIV 100")).cast("long"))
+        .withColumn("bucket", col("cents"))
+      graft.operators.Calibration.isotonicFit(scored, "event_type",
+          "bucket", "label")
+        .orderBy(col("event_type"), col("bucket"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -7835,6 +7876,71 @@ object SparkEntry {
           |  CASE WHEN q.qhat_cents IS NULL OR coalesce(e.n_eval, 0) = 0 THEN NULL
           |       ELSE coalesce(e.n_covered0, 0) * 1000000 // e.n_eval END AS coverage_ppm
           |FROM q LEFT JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+
+      // q212's suffstat law over two day censuses; signed lags
+      "q221_ccf" ->
+        """WITH sx AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          |  FROM events WHERE event_type = 'click' GROUP BY 1),
+          |sy AS (SELECT CAST(ts AS DATE) AS d2, CAST(count(*) AS BIGINT) AS w
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |p AS (SELECT l.lag, a.v, b.w
+          |  FROM sx a, (SELECT unnest(range(-7, 8)) AS lag) l
+          |  JOIN sy b ON b.d2 = a.d + to_days(CAST(l.lag AS INTEGER))),
+          |g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+          |    CAST(sum(v) AS BIGINT) AS sx, CAST(sum(w) AS BIGINT) AS sy,
+          |    sum(CAST(v AS HUGEINT) * v) AS sxx,
+          |    sum(CAST(w AS HUGEINT) * w) AS syy,
+          |    sum(CAST(v AS HUGEINT) * w) AS sxy
+          |  FROM p GROUP BY 1),
+          |f AS (SELECT lag, n_pairs, sx, sy,
+          |    n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS num,
+          |    n_pairs * sxx - CAST(sx AS HUGEINT) * sx AS d1,
+          |    n_pairs * syy - CAST(sy AS HUGEINT) * sy AS d2 FROM g)
+          |SELECT CAST(lag AS BIGINT) AS lag, n_pairs, sx, sy,
+          |  CAST(num AS VARCHAR) AS cov_num,
+          |  CAST(d1 AS VARCHAR) AS var_x_num, CAST(d2 AS VARCHAR) AS var_y_num,
+          |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+          |    CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+          |  END AS r_fp
+          |FROM f ORDER BY lag""".stripMargin,
+
+      // q213's planted scorer → decile histogram → the PAV minimax
+      // identity with cross-multiplied fraction extrema (HUGEINT
+      // mirroring Spark's DECIMAL(38,0)); NOT EXISTS = the anti-joins
+      "q222_isotonic_fit" ->
+        """WITH sc AS (SELECT event_type,
+          |    CAST(floor(value * 100) AS BIGINT) % 100 AS cents,
+          |    CASE WHEN ('0x' || substr(md5('cal:' || event_id), 1, 15))::BIGINT % 100
+          |         < (CAST(floor(value * 100) AS BIGINT) % 100)
+          |           * (CAST(floor(value * 100) AS BIGINT) % 100) // 100
+          |      THEN 1 ELSE 0 END AS label FROM events),
+          |h AS (SELECT event_type AS key, cents AS b,
+          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+          |  FROM sc GROUP BY 1, 2),
+          |pre AS (SELECT key, b, n, pos,
+          |    CAST(sum(pos) OVER (PARTITION BY key ORDER BY b) AS BIGINT) AS ck,
+          |    CAST(sum(n) OVER (PARTITION BY key ORDER BY b) AS BIGINT) AS cn FROM h),
+          |iv AS (SELECT s.key, s.b AS jb, e.b AS kb,
+          |    e.ck - (s.ck - s.pos) AS num, e.cn - (s.cn - s.n) AS den
+          |  FROM pre s JOIN pre e ON s.key = e.key AND s.b <= e.b),
+          |fr AS (SELECT h.key, h.b, iv.jb, iv.kb, iv.num, iv.den
+          |  FROM h JOIN iv ON h.key = iv.key AND iv.jb <= h.b AND h.b <= iv.kb),
+          |mk AS (SELECT * FROM fr x WHERE NOT EXISTS (
+          |  SELECT 1 FROM fr y WHERE y.key = x.key AND y.b = x.b AND y.jb = x.jb
+          |    AND (CAST(y.num AS HUGEINT) * x.den < CAST(x.num AS HUGEINT) * y.den
+          |      OR (CAST(y.num AS HUGEINT) * x.den = CAST(x.num AS HUGEINT) * y.den
+          |          AND y.kb < x.kb)))),
+          |ft AS (SELECT * FROM mk x WHERE NOT EXISTS (
+          |  SELECT 1 FROM mk y WHERE y.key = x.key AND y.b = x.b
+          |    AND (CAST(y.num AS HUGEINT) * x.den > CAST(x.num AS HUGEINT) * y.den
+          |      OR (CAST(y.num AS HUGEINT) * x.den = CAST(x.num AS HUGEINT) * y.den
+          |          AND y.jb < x.jb))))
+          |SELECT h.key AS event_type, h.b AS bucket, h.n, h.pos AS n_pos,
+          |  CAST(h.pos * 1000000 // h.n AS BIGINT) AS raw_ppm,
+          |  CAST(ft.num AS BIGINT) AS fit_num, CAST(ft.den AS BIGINT) AS fit_den,
+          |  CAST(ft.num * 1000000 // ft.den AS BIGINT) AS fit_ppm
+          |FROM h JOIN ft ON h.key = ft.key AND h.b = ft.b
+          |ORDER BY event_type, bucket""".stripMargin,
     )
   }
 }

@@ -67,4 +67,57 @@ object Autocorrelation {
         col("d2").cast("decimal(38,0)").cast("string").as("var_y_num"),
         col("r_fp"))
   }
+
+  /**
+   * Cross-correlation census (FC4) — [[acf]]'s two-series sibling: the
+   * lead–lag diagnostic "does X move BEFORE Y" (does click volume lead
+   * purchase volume, does quote flow lead trades). Per lag
+   * k ∈ [−maxLag, +maxLag], pairs (x_d, y_{d+k}) joined on the
+   * CALENDAR (same honest-gaps law as the ACF — a ROW lead would
+   * splice across missing days), exact-suffstat Pearson per lag with
+   * the same DECIMAL(38,0) quadratics / canonical-string emission /
+   * one mirrored IEEE tail. A peak at k > 0 reads "X leads Y by k
+   * days"; k < 0, Y leads X; the k = 0 column reproduces the aligned
+   * zero-lag correlation.
+   *
+   * Scale posture: both corpora collapse to their day censuses first;
+   * the (2·maxLag+1)-row lag frame explodes onto the X census and the
+   * pair join is an equi-join on the shifted day — everything after
+   * the two day aggregates is bounded by days × lags.
+   */
+  def ccf(dfX: DataFrame, xDay: Column, xVal: Column,
+      dfY: DataFrame, yDay: Column, yVal: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, "1 <= maxLag <= 366")
+    val sx = dfX.select(xDay.as("d"), xVal.cast("long").as("v"))
+      .groupBy(col("d")).agg(sum(col("v")).as("v"))
+    val sy = dfY.select(yDay.as("d2"), yVal.cast("long").as("w"))
+      .groupBy(col("d2")).agg(sum(col("w")).as("w"))
+    val lagged = sx
+      .withColumn("lag", explode(array(
+        (-maxLag to maxLag).map(k => lit(k.toLong)): _*)))
+      .withColumn("d2", expr("date_add(d, CAST(lag AS INT))"))
+      .join(sy, Seq("d2"))
+    lagged
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("v")).as("sx"),
+        sum(col("w")).as("sy"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sxx"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("syy"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * w")).as("sxy"))
+      .withColumn("num", expr("n_pairs * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("d1", expr("n_pairs * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("d2", expr("n_pairs * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("r_fp", expr(
+        """CASE WHEN d1 > 0 AND d2 > 0 THEN
+          |  CAST(num AS DOUBLE) /
+          |    sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+          |END""".stripMargin))
+      .select(col("lag"), col("n_pairs"), col("sx"), col("sy"),
+        col("num").cast("decimal(38,0)").cast("string").as("cov_num"),
+        col("d1").cast("decimal(38,0)").cast("string").as("var_x_num"),
+        col("d2").cast("decimal(38,0)").cast("string").as("var_y_num"),
+        col("r_fp"))
+  }
 }

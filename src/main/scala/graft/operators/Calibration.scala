@@ -155,4 +155,80 @@ object Calibration {
       .select(keyCol, "thr", "tp", "fp", "fn", "tn",
         "precision_ppm", "recall_ppm", "f1_ppm")
   }
+
+  /**
+   * Isotonic calibration fit (EVAL8) — the FIXER to [[reliability]]'s
+   * measurer: the q168 audit says the scorer is overconfident; this
+   * computes the monotone-nondecreasing recalibration map (the PAV /
+   * isotonic-regression fit of Zadrozny–Elkan) that a serving layer
+   * applies on top of the raw score. Computed NOT by the sequential
+   * pool-adjacent-violators sweep (driver-shaped, order-dependent) but
+   * by its closed-form minimax identity over the bucket histogram:
+   *
+   *   fit(b) = max_{j≤b} min_{k≥b} A(j,k),   A(j,k) = Σ_{j..k} pos
+   *                                                  / Σ_{j..k} n
+   *
+   * which equals the PAV solution exactly (Ayer et al. 1955, the
+   * standard minimax representation) and is pure relational algebra:
+   * the corpus collapses to the per-(key, bucket) histogram, intervals
+   * come from prefix sums (B² rows per key), positions explode onto
+   * containing intervals (B³), and BOTH extrema are computed by exact
+   * FRACTION comparison — cross-multiplication in DECIMAL(38,0), never
+   * an IEEE divide — via anti-joins with a deterministic tie-break
+   * (smallest k for the min, smallest j for the max), so the reported
+   * representative (fit_num, fit_den) is engine-exact, not just the
+   * value. B is the SCORE-BUCKET domain (a constant ~10–100): every
+   * frame after the first aggregate is key-count × B³, independent of
+   * corpus size.
+   *
+   * Output per (key, bucket): n, n_pos, raw_ppm, fit_num, fit_den,
+   * fit_ppm — fit_ppm is non-decreasing in bucket (the isotonic
+   * guarantee, spec-pinned against a driver PAV replay).
+   */
+  def isotonicFit(scored: DataFrame, keyCol: String, bucketCol: String,
+      labelCol: String): DataFrame = {
+    val h = scored
+      .groupBy(col(keyCol).as("key"), col(bucketCol).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("pos"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("key")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = h
+      .withColumn("ck", sum(col("pos")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+    val starts = pre.select(col("key"), col("b").as("jb"),
+      (col("ck") - col("pos")).as("ck0"), (col("cn") - col("n")).as("cn0"))
+    val ends = pre.select(col("key"), col("b").as("kb"),
+      col("ck"), col("cn"))
+    val ivals = starts.join(ends, Seq("key")).where(col("jb") <= col("kb"))
+      .select(col("key"), col("jb"), col("kb"),
+        (col("ck") - col("ck0")).as("num"), (col("cn") - col("cn0")).as("den"))
+    val frame = h.select(col("key"), col("b"))
+      .join(ivals, Seq("key"))
+      .where(col("jb") <= col("b") && col("b") <= col("kb"))
+    // min over k >= b for each (key, b, j): x survives iff no y is a
+    // strictly smaller fraction, or an equal fraction with smaller k
+    val minK = frame.as("x").join(frame.as("y"),
+        col("x.key") === col("y.key") && col("x.b") === col("y.b") &&
+          col("x.jb") === col("y.jb") &&
+          (expr("CAST(y.num AS DECIMAL(38,0)) * x.den < CAST(x.num AS DECIMAL(38,0)) * y.den") ||
+            (expr("CAST(y.num AS DECIMAL(38,0)) * x.den = CAST(x.num AS DECIMAL(38,0)) * y.den") &&
+              col("y.kb") < col("x.kb"))),
+        "left_anti")
+    // max over j <= b for each (key, b): symmetric, smallest j on ties
+    val fit = minK.as("x").join(minK.as("y"),
+        col("x.key") === col("y.key") && col("x.b") === col("y.b") &&
+          (expr("CAST(y.num AS DECIMAL(38,0)) * x.den > CAST(x.num AS DECIMAL(38,0)) * y.den") ||
+            (expr("CAST(y.num AS DECIMAL(38,0)) * x.den = CAST(x.num AS DECIMAL(38,0)) * y.den") &&
+              col("y.jb") < col("x.jb"))),
+        "left_anti")
+      .select(col("key"), col("b"),
+        col("num").as("fit_num"), col("den").as("fit_den"))
+    h.join(fit, Seq("key", "b"))
+      .withColumn("raw_ppm", expr("pos * 1000000 DIV n"))
+      .withColumn("fit_ppm", expr("fit_num * 1000000 DIV fit_den"))
+      .select(col("key").as(keyCol), col("b").as("bucket"), col("n"),
+        col("pos").as("n_pos"), col("raw_ppm"),
+        col("fit_num"), col("fit_den"), col("fit_ppm"))
+  }
 }

@@ -50,4 +50,38 @@ class AutocorrelationSpec extends SparkSpec {
       .collect()
     assert(out.forall(r => r.isNullAt(r.fieldIndex("r_fp"))))
   }
+
+  // ---- FC4 cross-correlation ----
+
+  test("ccf: a planted one-day lead peaks exactly at lag +1") {
+    // y_d = x_{d-1} (y follows x by one day): the lag +1 column pairs
+    // x_d with y_{d+1} = x_d -> perfect correlation; lag 0 pairs the
+    // linear series against itself shifted, also 1.0 on a line — so
+    // plant a NON-linear x to isolate the peak
+    val xs = Seq(10L, 70L, 20L, 90L, 40L, 80L, 30L)
+    val x = xs.zipWithIndex.map { case (v, i) => (d(f"2024-01-0${i + 1}"), v) }
+      .toDF("day", "v")
+    val y = xs.zipWithIndex.map { case (v, i) => (d(f"2024-01-0${i + 2}"), v) }
+      .toDF("day", "v")
+    val out = Autocorrelation.ccf(x, col("day"), col("v"),
+        y, col("day"), col("v"), maxLag = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(7)) Double.NaN else r.getAs[Double]("r_fp"))).toMap
+    assert(out(1L) == 1.0, "lag +1 must be the exact-copy pole")
+    assert(out(0L) < 1.0 && out(-1L) < 1.0 && out(2L) < 1.0)
+  }
+
+  test("ccf: lag 0 equals the ACF convention and gaps break pairs") {
+    // y present on days 1,2,4: lag 0 pairs days {1,2,4}; lag +1 pairs
+    // x_d with y_{d+1} — only (x1,y2) and (x3,y4) qualify, and x3 is
+    // missing from x, so exactly one pair survives
+    val x = Seq((d("2024-01-01"), 10L), (d("2024-01-02"), 30L),
+      (d("2024-01-04"), 20L)).toDF("day", "v")
+    val y = Seq((d("2024-01-01"), 5L), (d("2024-01-02"), 15L),
+      (d("2024-01-04"), 25L)).toDF("day", "v")
+    val out = Autocorrelation.ccf(x, col("day"), col("v"),
+        y, col("day"), col("v"), maxLag = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 3L && out(1L) == 1L && out(-1L) == 1L)
+  }
 }

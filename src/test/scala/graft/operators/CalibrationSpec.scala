@@ -130,4 +130,70 @@ class CalibrationSpec extends SparkSpec {
     assert(r.getLong(6) == 1000000L && r.getLong(7) == 1000000L &&
       r.getLong(8) == 1000000L)
   }
+
+  // ---- EVAL8 isotonic fit ----
+
+  /** Textbook sequential PAV over (pos, n) buckets in bucket order —
+    * the reference implementation the minimax identity must equal. */
+  private def pavReference(cells: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    // stack of pooled blocks (num, den, width)
+    val st = scala.collection.mutable.Stack.empty[(Long, Long, Int)]
+    cells.foreach { case (p, n) =>
+      var blk = (p, n, 1)
+      // pool while the previous block's rate exceeds this one's
+      while (st.nonEmpty &&
+        st.top._1 * blk._2 >= blk._1 * st.top._2) {
+        val t = st.pop(); blk = (t._1 + blk._1, t._2 + blk._2, t._3 + blk._3)
+      }
+      st.push(blk)
+    }
+    st.toList.reverse.flatMap { case (p, n, w) => Seq.fill(w)((p, n)) }
+  }
+
+  private def runIso(rows: Seq[(String, Long, Long)]) =
+    Calibration.isotonicFit(
+      rows.toDF("k", "bucket", "label"), "k", "bucket", "label")
+      .orderBy("k", "bucket").collect()
+
+  test("isotonicFit: hand case pools the violating pair") {
+    // buckets 1,2,3 with rates 1/2, 0/2, 2/2: PAV pools (1,2) -> 1/4
+    val rows =
+      Seq(("a", 1L, 1L), ("a", 1L, 0L), ("a", 2L, 0L), ("a", 2L, 0L),
+        ("a", 3L, 1L), ("a", 3L, 1L))
+    val out = runIso(rows).map(r => (r.getLong(1), r.getLong(5), r.getLong(6),
+      r.getLong(7)))
+    assert(out.toSeq == Seq((1L, 1L, 4L, 250000L), (2L, 1L, 4L, 250000L),
+      (3L, 2L, 2L, 1000000L)))
+  }
+
+  test("isotonicFit: already-monotone input is returned unchanged") {
+    val rows = Seq(("m", 1L, 0L), ("m", 2L, 0L), ("m", 2L, 1L),
+      ("m", 3L, 1L))
+    val out = runIso(rows).map(r => (r.getLong(1), r.getLong(4), r.getLong(7)))
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 500000L, 500000L),
+      (3L, 1000000L, 1000000L)))
+  }
+
+  test("isotonicFit: equals sequential PAV on random histograms, and is monotone") {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      key <- Seq("x", "y"); b <- 0L until 12L
+      i <- 0 until (1 + rnd.nextInt(5))
+    } yield (key, b, if (rnd.nextInt(100) < 8 * b) 1L else 0L)
+    val out = runIso(rows)
+    Seq("x", "y").foreach { key =>
+      val mine = out.filter(_.getString(0) == key)
+        .map(r => (r.getLong(1), r.getLong(5), r.getLong(6)))
+      val cells = rows.filter(_._1 == key).groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, g) => (g.map(_._3).sum, g.size.toLong) }
+      val want = pavReference(cells)
+      // compare as exact fractions (representatives may differ in form)
+      mine.map(t => (t._2, t._3)).zip(want).foreach { case ((fn, fd), (wn, wd)) =>
+        assert(fn * wd == wn * fd, s"$key: $fn/$fd != $wn/$wd")
+      }
+      val ppm = out.filter(_.getString(0) == key).map(_.getLong(7))
+      assert(ppm.zip(ppm.tail).forall { case (a, b) => a <= b },
+        s"$key: fit must be non-decreasing")
+    }
+  }
 }
