@@ -3861,6 +3861,47 @@ object SparkEntry {
           "bucket", "label")
         .orderBy(col("event_type"), col("bucket"))
     }),
+
+    // Q223 — STAT11 Spearman rank correlation per return flag of
+    // (quantity, discount cents) — ranks WITHOUT a global sort: the
+    // average rank of a value is a pure function of the value
+    // HISTOGRAM (2·rank = 2·cnt(<v) + t + 1), so the corpus collapses
+    // to domain-sized marginal + joint histograms and the single-
+    // reducer row_number() hazard never exists.
+    "q223_spearman" -> ((s, dir) =>
+      graft.operators.RankCorrelation.spearman(
+          t(s, dir, "lineitem"), col("l_returnflag"),
+          floor(col("l_quantity")).cast("long"),
+          floor(col("l_discount") * 100).cast("long"))
+        .orderBy(col("key"))),
+
+    // Q224 — SAMP5 largest-remainder proportional allocation: a
+    // 100-doc sample budget split across sources by Hamilton's
+    // apportionment (quotas sum EXACTLY to the budget, extras by
+    // remainder rank — no IEEE rounding), each stratum drawn as its
+    // n_h smallest portable id-hashes with a replayable checksum.
+    "q224_proportional_sample" -> ((s, dir) =>
+      graft.operators.Sampling.proportionalAllocation(
+          t(s, dir, "documents"), "doc_id", "source", total = 100L)
+        .orderBy(col("stratum"))),
+
+    // Q225 — EXP5 paired sign test: per event type, "did it beat the
+    // view baseline on more days than coin-flip chance explains" —
+    // matched on the DAY, sign-only (no variance model), the q203 SRM
+    // statistic applied to discordant pairs against the shared
+    // 3.841459 line.
+    "q225_sign_test" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val base = daily.where(col("event_type") === "view")
+        .select(col("day"), col("c").as("b"))
+      val paired = daily.where(col("event_type") =!= "view")
+        .join(base, Seq("day"))
+      graft.operators.Experiment.pairedSignTest(paired, "event_type",
+          col("c"), col("b"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -7941,6 +7982,81 @@ object SparkEntry {
           |  CAST(ft.num * 1000000 // ft.den AS BIGINT) AS fit_ppm
           |FROM h JOIN ft ON h.key = ft.key AND h.b = ft.b
           |ORDER BY event_type, bucket""".stripMargin,
+
+      // histogram-rank law: 2·avg-rank = 2·cnt(<v) + t + 1, weighted
+      // Pearson suffstats over the joint histogram (HUGEINT mirrors
+      // Spark's DECIMAL(38,0))
+      "q223_spearman" ->
+        """WITH b AS (SELECT l_returnflag AS key, CAST(floor(l_quantity) AS BIGINT) AS x,
+          |    CAST(floor(l_discount * 100) AS BIGINT) AS y FROM lineitem),
+          |j AS (SELECT key, x, y, CAST(count(*) AS BIGINT) AS w FROM b GROUP BY 1, 2, 3),
+          |hx AS (SELECT key, x, CAST(sum(w) AS BIGINT) AS t FROM j GROUP BY 1, 2),
+          |hx2 AS (SELECT key, x,
+          |    2 * (CAST(sum(t) OVER (PARTITION BY key ORDER BY x) AS BIGINT) - t) + t + 1 AS rx2 FROM hx),
+          |hy AS (SELECT key, y, CAST(sum(w) AS BIGINT) AS t FROM j GROUP BY 1, 2),
+          |hy2 AS (SELECT key, y,
+          |    2 * (CAST(sum(t) OVER (PARTITION BY key ORDER BY y) AS BIGINT) - t) + t + 1 AS ry2 FROM hy),
+          |m AS (SELECT j.key, j.w, hx2.rx2, hy2.ry2 FROM j
+          |  JOIN hx2 ON j.key = hx2.key AND j.x = hx2.x
+          |  JOIN hy2 ON j.key = hy2.key AND j.y = hy2.y),
+          |g AS (SELECT key, CAST(sum(w) AS BIGINT) AS n,
+          |    sum(CAST(w AS HUGEINT) * rx2) AS sx, sum(CAST(w AS HUGEINT) * ry2) AS sy,
+          |    sum(CAST(w AS HUGEINT) * rx2 * rx2) AS sxx,
+          |    sum(CAST(w AS HUGEINT) * ry2 * ry2) AS syy,
+          |    sum(CAST(w AS HUGEINT) * rx2 * ry2) AS sxy
+          |  FROM m GROUP BY 1),
+          |f AS (SELECT key, n, n * sxy - sx * sy AS num,
+          |    n * sxx - sx * sx AS d1, n * syy - sy * sy AS d2 FROM g)
+          |SELECT key, n, CAST(num AS VARCHAR) AS cov_num,
+          |  CAST(d1 AS VARCHAR) AS var_x_num, CAST(d2 AS VARCHAR) AS var_y_num,
+          |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+          |    CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+          |  END AS rho_fp
+          |FROM f ORDER BY key""".stripMargin,
+
+      // Hamilton apportionment + the portable-hash draw, checksummed
+      "q224_proportional_sample" ->
+        """WITH s AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_rows FROM documents GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS N FROM s),
+          |q AS (SELECT stratum, n_rows,
+          |    CAST(CAST(100 AS HUGEINT) * n_rows // N AS BIGINT) AS base_quota,
+          |    CAST(100 AS HUGEINT) * n_rows - (CAST(100 AS HUGEINT) * n_rows // N) * N AS rem
+          |  FROM s, t),
+          |e AS (SELECT CAST(sum(base_quota) AS BIGINT) AS sb FROM q),
+          |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, stratum) AS rr,
+          |    100 - e.sb AS extras FROM q, e),
+          |a AS (SELECT stratum, n_rows, base_quota,
+          |    CAST(CASE WHEN rr <= extras THEN 1 ELSE 0 END AS BIGINT) AS extra,
+          |    CAST(base_quota + CASE WHEN rr <= extras THEN 1 ELSE 0 END AS BIGINT) AS n_alloc FROM r),
+          |d AS (SELECT source AS stratum, doc_id,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY ('0x' || substr(md5('alloc:' || doc_id), 1, 15))::BIGINT, doc_id) AS dr
+          |  FROM documents),
+          |sel AS (SELECT d.stratum, CAST(count(*) AS BIGINT) AS n_selected,
+          |    CAST(sum(doc_id) AS BIGINT) AS sel_id_sum
+          |  FROM d JOIN a USING (stratum) WHERE d.dr <= a.n_alloc GROUP BY 1)
+          |SELECT a.stratum, a.n_rows, a.base_quota, a.extra, a.n_alloc,
+          |  coalesce(sel.n_selected, 0) AS n_selected, sel.sel_id_sum
+          |FROM a LEFT JOIN sel USING (stratum) ORDER BY stratum""".stripMargin,
+
+      // day-matched sign counts, the q203 chi-square on discordant pairs
+      "q225_sign_test" ->
+        """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+          |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+          |base AS (SELECT day, c AS b FROM daily WHERE event_type = 'view'),
+          |p AS (SELECT d.event_type, d.c, base.b FROM daily d
+          |  JOIN base USING (day) WHERE d.event_type <> 'view'),
+          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+          |    CAST(sum(CASE WHEN c > b THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+          |    CAST(sum(CASE WHEN c < b THEN 1 ELSE 0 END) AS BIGINT) AS n_minus
+          |  FROM p GROUP BY 1)
+          |SELECT event_type, n_pairs, n_plus, n_minus,
+          |  n_pairs - n_plus - n_minus AS n_ties,
+          |  CASE WHEN n_plus + n_minus = 0 THEN NULL
+          |       ELSE (n_plus - n_minus) * (n_plus - n_minus) * 1000000 // (n_plus + n_minus) END AS chi2_u,
+          |  CASE WHEN n_plus + n_minus = 0 THEN NULL
+          |       ELSE (n_plus - n_minus) * (n_plus - n_minus) * 1000000 // (n_plus + n_minus) > 3841459 END AS significant
+          |FROM g ORDER BY event_type""".stripMargin,
     )
   }
 }

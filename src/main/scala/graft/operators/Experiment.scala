@@ -182,4 +182,43 @@ object Experiment {
         "(n_t - n_c) * (n_t - n_c) * 1000000 DIV (n_t + n_c)"))
       .withColumn("srm_flag", col("chi2_u") > lit(3841459L))
       .select(sliceCol, "n_t", "n_c", "chi2_u", "srm_flag")
+
+  /**
+   * Paired sign test (EXP5) — the matched-pairs gate: each row is one
+   * matched unit (a day, a user, a stratified pair) carrying both
+   * arms' measurements; the test asks "does A beat B on more units
+   * than coin-flip chance explains", using ONLY the sign of the
+   * difference — no variance model, no normality, immune to any
+   * monotone transform of the metric. The McNemar/sign χ² with 1 df:
+   *
+   *   χ²·10⁶ = (n₊ − n₋)²·10⁶ DIV (n₊ + n₋)      (ties drop out)
+   *
+   * against the shared 3.841459 line ([[srmCheck]]'s constant — the
+   * suite's one critical value). Exactly [[srmCheck]]'s statistic with
+   * the discordant-pair counts in place of arm counts — deliberately,
+   * so the two reports read identically. NULL when every pair ties
+   * (no evidence either way, not "not significant").
+   *
+   * One map-side sign projection + one aggregate; nothing here is more
+   * than key-cardinality rows after the first combine.
+   */
+  def pairedSignTest(pairs: DataFrame, keyCol: String, aCol: Column,
+      bCol: Column, critPpm: Long = 3841459L): DataFrame =
+    pairs
+      .select(col(keyCol), aCol.cast("long").as("a"), bCol.cast("long").as("b"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("a") > col("b"), 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("a") < col("b"), 1L).otherwise(0L)).as("n_minus"))
+      .withColumn("n_ties", col("n_pairs") - col("n_plus") - col("n_minus"))
+      .withColumn("chi2_u",
+        when(col("n_plus") + col("n_minus") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(n_plus - n_minus) * (n_plus - n_minus) * 1000000 DIV (n_plus + n_minus)")))
+      .withColumn("significant",
+        when(col("chi2_u").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_u") > critPpm))
+      .select(keyCol, "n_pairs", "n_plus", "n_minus", "n_ties", "chi2_u",
+        "significant")
 }

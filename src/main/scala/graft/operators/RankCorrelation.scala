@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Spearman rank correlation WITHOUT a global sort (STAT11) — the
+ * monotone-association statistic (q188's Kendall τ reads concordance;
+ * Spearman is Pearson on RANKS, the other standard) computed the
+ * scale-correct way: ranking a 100 TB column with `row_number()` over
+ * an unpartitioned window is a single-reducer death sentence, but when
+ * the two columns have bounded DOMAINS (quantities, buckets, grades —
+ * the columns rank statistics are actually run on), the average rank
+ * of value v is a pure function of the VALUE HISTOGRAM:
+ *
+ *   2·rank(v) = 2·cnt(< v) + t_v + 1        (average rank, doubled to
+ *                                            stay integral under ties)
+ *
+ * so ranks come from two domain-sized histograms + one windowed
+ * cumsum over DOMAIN rows (constant), and the correlation runs as
+ * weighted Pearson suffstats over the JOINT histogram — the corpus is
+ * touched exactly twice (marginal + joint aggregates, both
+ * map-side-combinable), shuffled never by row.
+ *
+ * Exactness: doubled ranks ≤ 2n keep everything integral; suffstats
+ * (Σw·rx², Σw·rx·ry …) run in DECIMAL(38,0) (the moment terms reach
+ * 4n⁴, crossing 2⁶³ past ~10⁴ rows and staying inside 38 digits to
+ * ~10⁹ rows per key — shard or rescale ranks beyond that), emitted as
+ * canonical digit strings (q122 bridge) with ρ as the one mirrored
+ * decimal→double IEEE tail (the [[Graph.assortativity]] convention).
+ * NULL ρ when either marginal is constant (zero rank variance).
+ */
+object RankCorrelation {
+
+  /**
+   * Per-key Spearman ρ of (`xCol`, `yCol`) — both expected to be
+   * integer-valued with bounded domain. Output per key: n, the exact
+   * suffstat strings, rho_fp.
+   */
+  def spearman(df: DataFrame, keyCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val base = df.select(keyCol.as("key"), xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val joint = base.groupBy(col("key"), col("x"), col("y"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(false)
+    def ranks(valCol: String, out: String) = {
+      val cum = Window.partitionBy(col("key")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joint.groupBy(col("key"), col(valCol))
+        .agg(sum(col("w")).as("t"))
+        .withColumn("cumt", sum(col("t")).over(cum))
+        // 2·avg-rank = 2·cnt(<v) + t + 1 = 2·(cumt − t) + t + 1
+        .select(col("key"), col(valCol),
+          (lit(2L) * (col("cumt") - col("t")) + col("t") + 1L).as(out))
+    }
+    joint
+      .join(ranks("x", "rx2"), Seq("key", "x"))
+      .join(ranks("y", "ry2"), Seq("key", "y"))
+      .groupBy(col("key"))
+      .agg(
+        sum(col("w")).as("n"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * rx2")).as("sx"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * ry2")).as("sy"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * rx2 * rx2")).as("sxx"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * ry2 * ry2")).as("syy"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * rx2 * ry2")).as("sxy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("d1", expr("n * sxx - sx * sx"))
+      .withColumn("d2", expr("n * syy - sy * sy"))
+      .withColumn("rho_fp", expr(
+        """CASE WHEN d1 > 0 AND d2 > 0 THEN
+          |  CAST(num AS DOUBLE) /
+          |    sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+          |END""".stripMargin))
+      .select(col("key"), col("n"),
+        col("num").cast("decimal(38,0)").cast("string").as("cov_num"),
+        col("d1").cast("decimal(38,0)").cast("string").as("var_x_num"),
+        col("d2").cast("decimal(38,0)").cast("string").as("var_y_num"),
+        col("rho_fp"))
+  }
+}

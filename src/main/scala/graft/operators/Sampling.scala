@@ -363,4 +363,62 @@ object Sampling {
       .select(sourceCol, "n_tokens", "weight", "quota_tokens",
         "epochs_ppm", "capped", "planned_tokens")
   }
+
+  /**
+   * Largest-remainder proportional allocation + deterministic draw
+   * (SAMP5) — the survey-sampling step [[stratifiedTakeK]] (fixed k per
+   * stratum) cannot express: split a TOTAL budget across strata
+   * proportionally to their sizes, with Hamilton's apportionment making
+   * the integer quotas sum EXACTLY to the budget:
+   *
+   *   base_h  = ⌊total·N_h / N⌋
+   *   r_h     = total·N_h − base_h·N       (the remainder, scaled by N)
+   *   extras: total − Σ base_h strata get +1, by r_h DESC (ties: stratum
+   *   ASC — fully deterministic, no IEEE rounding anywhere)
+   *
+   * then each stratum's n_h rows are drawn as the n_h smallest portable
+   * id-hashes (the [[stratifiedTakeK]] draw). The products total·N_h run
+   * in DECIMAL(38,0) (they cross 2⁶³ once budget × corpus passes ~10¹⁸).
+   *
+   * Output per stratum: n_rows, base_quota, extra (0/1), n_alloc, and
+   * the draw receipt (n_selected, sel_id_sum — a checksum any engine
+   * can replay). The apportionment ranking moves |strata| rows through
+   * one single-partition window — domain-sized, the q168 ECE posture.
+   */
+  def proportionalAllocation(
+      df: DataFrame, idCol: String, stratumCol: String, total: Long,
+      salt: String = "alloc"): DataFrame = {
+    require(total >= 0, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(false)
+    val all = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quota = sizes
+      .withColumn("_n", sum(col("n_rows")).over(all))
+      .withColumn("base_quota", expr(
+        s"CAST(CAST($total AS DECIMAL(38,0)) * n_rows DIV _n AS BIGINT)"))
+      .withColumn("_rem", expr(
+        s"CAST($total AS DECIMAL(38,0)) * n_rows - CAST(base_quota AS DECIMAL(38,0)) * _n"))
+      .withColumn("_extras", lit(total) - sum(col("base_quota")).over(all))
+      .withColumn("_rrank", row_number().over(
+        Window.orderBy(col("_rem").desc, col("stratum"))).cast("long"))
+      .withColumn("extra", (col("_rrank") <= col("_extras")).cast("long"))
+      .withColumn("n_alloc", col("base_quota") + col("extra"))
+    val h = portableHash(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val draw = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
+    val selected = df
+      .withColumn("_dr", row_number().over(draw).cast("long"))
+      .join(broadcast(quota.select(col("stratum").as(stratumCol),
+        col("n_alloc").as("_na"))), Seq(stratumCol))
+      .where(col("_dr") <= col("_na"))
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col(idCol).cast("long")).as("sel_id_sum"))
+    quota.join(selected, Seq("stratum"), "left")
+      .withColumn("n_selected", coalesce(col("n_selected"), lit(0L)))
+      .select(col("stratum"), col("n_rows"), col("base_quota"),
+        col("extra"), col("n_alloc"), col("n_selected"), col("sel_id_sum"))
+  }
 }

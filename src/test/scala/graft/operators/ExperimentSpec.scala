@@ -97,4 +97,26 @@ class ExperimentSpec extends SparkSpec {
     val r4 = Experiment.mde(big, "k", col("t"), col("c")).head()
     assert(math.abs(r4.getAs[Double]("mde_cents") - expect / 2.0) < 1e-9)
   }
+  // ---- EXP5 paired sign test ----
+
+  test("pairedSignTest: hand-computed discordant chi-square and the tie law") {
+    // key s: 9 up, 1 down, 2 ties -> chi2 = 64e6/10 = 6.4e6 significant
+    // key w: 3 up, 3 down -> chi2 0, not significant
+    // key t: all ties -> NULL chi2/significant
+    val rows =
+      (1 to 9).map(i => ("s", 10L + i, 5L)) ++ Seq(("s", 1L, 5L)) ++
+        Seq(("s", 5L, 5L), ("s", 7L, 7L)) ++
+      Seq(("w", 2L, 1L), ("w", 3L, 1L), ("w", 4L, 1L),
+        ("w", 0L, 1L), ("w", 0L, 2L), ("w", 0L, 3L)) ++
+      Seq(("t", 4L, 4L), ("t", 9L, 9L))
+    val out = Experiment.pairedSignTest(rows.toDF("k", "a", "b"), "k",
+      col("a"), col("b")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) null else java.lang.Boolean.valueOf(r.getBoolean(6)))))
+      .toMap
+    assert(out("s") == ((12L, 9L, 1L, 2L, 6400000L, java.lang.Boolean.TRUE)))
+    assert(out("w") == ((6L, 3L, 3L, 0L, 0L, java.lang.Boolean.FALSE)))
+    assert(out("t") == ((2L, 0L, 0L, 2L, -1L, null)))
+  }
 }

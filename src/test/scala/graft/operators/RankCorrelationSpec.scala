@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** STAT11 Spearman via histogram ranks: poles, the tie-averaged rank law
+  * against a driver replay, and the constant-marginal NULL. */
+class RankCorrelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rho(rows: Seq[(String, Long, Long)]) =
+    RankCorrelation.spearman(rows.toDF("k", "x", "y"), col("k"), col("x"),
+      col("y")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))).toMap
+
+  test("monotone relation is exactly ±1 regardless of nonlinearity") {
+    // y = x^3 (nonlinear, monotone): Pearson < 1 but Spearman = 1
+    val up = (1L to 6L).map(i => ("u", i, i * i * i))
+    val dn = (1L to 6L).map(i => ("d", i, 1000L - i * i * i))
+    val out = rho(up ++ dn)
+    assert(out("u")._2 == 1.0 && out("d")._2 == -1.0)
+  }
+
+  test("tie-averaged ranks match a driver replay on a messy sample") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map(_ => ("m", rnd.nextInt(8).toLong,
+      rnd.nextInt(5).toLong))
+    // driver Spearman with average ranks
+    def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted.zipWithIndex.map { case (v, i) => (v, i + 1.0) }
+      sorted.groupBy(_._1).map { case (v, g) =>
+        v -> g.map(_._2).sum / g.size
+      }
+    }
+    val xs = rows.map(_._2); val ys = rows.map(_._3)
+    val rx = avgRanks(xs); val ry = avgRanks(ys)
+    val px = xs.map(rx); val py = ys.map(ry)
+    val n = rows.size
+    val mx = px.sum / n; val my = py.sum / n
+    val cov = px.zip(py).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = px.map(a => (a - mx) * (a - mx)).sum
+    val vy = py.map(b => (b - my) * (b - my)).sum
+    val want = cov / math.sqrt(vx * vy)
+    val got = rho(rows)("m")._2
+    assert(math.abs(got - want) < 1e-9, s"$got != $want")
+  }
+
+  test("a constant marginal reports NULL, not a division blowup") {
+    val out = rho(Seq(("c", 1L, 5L), ("c", 2L, 5L), ("c", 3L, 5L)))
+    assert(out("c")._1 == 3L && out("c")._2.isNaN)
+  }
+
+  test("rows with NULLs drop pairwise") {
+    val df = Seq(("k", Some(1L), Some(10L)), ("k", Some(2L), Some(20L)),
+      ("k", Option.empty[Long], Some(30L)), ("k", Some(3L), Some(30L)))
+      .toDF("k", "x", "y")
+    val r = RankCorrelation.spearman(df, col("k"), col("x"), col("y"))
+      .head()
+    assert(r.getLong(1) == 3L && r.getDouble(5) == 1.0)
+  }
+}

@@ -240,4 +240,40 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("quota_tokens") == 400L))
     assert(out.forall(_.getAs[Long]("epochs_ppm") == 1000000L)) // exactly 1 epoch
   }
+  // ---- SAMP5 proportional allocation ----
+
+  test("proportionalAllocation: Hamilton quotas sum exactly to the budget") {
+    // strata sizes 5, 3, 2 with budget 7: exact shares 3.5, 2.1, 1.4 ->
+    // bases 3, 2, 1 (sum 6), one extra to the largest remainder (.5 -> a)
+    val df = (1L to 5L).map(i => (i, "a")) ++ (6L to 8L).map(i => (i, "b")) ++
+      (9L to 10L).map(i => (i, "c"))
+    val out = Sampling.proportionalAllocation(
+      df.toDF("id", "src"), "id", "src", total = 7L)
+      .orderBy("stratum").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") == ((5L, 3L, 1L, 4L, 4L)))
+    assert(out("b") == ((3L, 2L, 0L, 2L, 2L)))
+    assert(out("c") == ((2L, 1L, 0L, 1L, 1L)))
+  }
+
+  test("proportionalAllocation: remainder ties break by stratum name, draw is hash-deterministic") {
+    // sizes 2, 2 with budget 3: bases 1, 1; equal remainders -> 'a' wins
+    import graft.functions.TextFunctions.portableHash64
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("id", "src")
+    val rows = Sampling.proportionalAllocation(df, "id", "src", total = 3L)
+      .orderBy("stratum").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(4))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+    // the b stratum picks the id with the smaller portable hash
+    val wantB = Seq(3L, 4L).minBy(i => (portableHash64(s"alloc:$i"), i))
+    assert(rows(1).getLong(6) == wantB)
+  }
+
+  test("proportionalAllocation: zero budget allocates and selects nothing") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "src")
+    val out = Sampling.proportionalAllocation(df, "id", "src", total = 0L)
+      .collect()
+    assert(out.forall(r => r.getLong(4) == 0L && r.getLong(5) == 0L))
+  }
 }
