@@ -3902,6 +3902,24 @@ object SparkEntry {
           col("c"), col("b"))
         .orderBy(col("event_type"))
     }),
+
+    // Q226 — EXP6 Wilcoxon signed-rank on the same day-matched frame
+    // as q225: the nonparametric trio closes (q225 signs → this ranks
+    // magnitudes → q218 monotone trend), ranks via the STAT11
+    // histogram law (no per-row sort), denominators cleared to exact
+    // integers, the shared 3.841459 line.
+    "q226_wilcoxon" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val base = daily.where(col("event_type") === "view")
+        .select(col("day"), col("c").as("b"))
+      val paired = daily.where(col("event_type") =!= "view")
+        .join(base, Seq("day"))
+      graft.operators.Experiment.wilcoxonSignedRank(paired, "event_type",
+          col("c"), col("b"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8057,6 +8075,34 @@ object SparkEntry {
           |  CASE WHEN n_plus + n_minus = 0 THEN NULL
           |       ELSE (n_plus - n_minus) * (n_plus - n_minus) * 1000000 // (n_plus + n_minus) > 3841459 END AS significant
           |FROM g ORDER BY event_type""".stripMargin,
+
+      // histogram-ranked |d|, cleared denominators, HUGEINT z² numerator
+      "q226_wilcoxon" ->
+        """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+          |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+          |base AS (SELECT day, c AS b FROM daily WHERE event_type = 'view'),
+          |nz AS (SELECT d.event_type, d.c - base.b AS d FROM daily d
+          |  JOIN base USING (day) WHERE d.event_type <> 'view' AND d.c <> base.b),
+          |h AS (SELECT event_type, abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+          |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_pos
+          |  FROM nz GROUP BY 1, 2),
+          |r AS (SELECT event_type, t, t_pos,
+          |    2 * (CAST(sum(t) OVER (PARTITION BY event_type ORDER BY ad) AS BIGINT) - t) + t + 1 AS r2
+          |  FROM h),
+          |g AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n_pairs,
+          |    CAST(sum(t_pos * r2) AS BIGINT) AS w_plus2,
+          |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM r GROUP BY 1),
+          |f AS (SELECT event_type, n_pairs, w_plus2,
+          |    2 * w_plus2 - n_pairs * (n_pairs + 1) AS num4,
+          |    2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tie3 AS var48 FROM g),
+          |z AS (SELECT event_type, n_pairs, w_plus2, num4, var48,
+          |    CASE WHEN var48 <= 0 THEN NULL
+          |         ELSE CAST((CAST(3 AS HUGEINT) * num4 * num4 * 1000000)
+          |              // CAST(var48 AS HUGEINT) AS BIGINT) END AS z2_ppm
+          |  FROM f)
+          |SELECT event_type, n_pairs, w_plus2, num4, var48, z2_ppm,
+          |  CASE WHEN z2_ppm IS NULL THEN NULL ELSE z2_ppm > 3841459 END AS significant
+          |FROM z ORDER BY event_type""".stripMargin,
     )
   }
 }

@@ -221,4 +221,66 @@ object Experiment {
           .otherwise(col("chi2_u") > critPpm))
       .select(keyCol, "n_pairs", "n_plus", "n_minus", "n_ties", "chi2_u",
         "significant")
+
+  /**
+   * Wilcoxon signed-rank test (EXP6) — between [[pairedSignTest]]
+   * (signs only) and a paired t-test (full magnitudes + normality):
+   * rank the |differences|, sum the ranks of the positive ones, ask if
+   * that sum is off-center. Uses magnitude ORDER (robust to outliers)
+   * without a distribution assumption — the standard paired workhorse.
+   *
+   * Exact integer law, denominators cleared (ranks via the STAT11
+   * histogram trick — never a per-row row_number):
+   *
+   *   2W₊    = Σ_{d>0} 2·avgrank(|d|)     (tie-averaged, doubled)
+   *   num4   = 2·(2W₊) − n(n+1)           (4·(W₊ − mean))
+   *   Var·48 = 2n(n+1)(2n+1) − Σ_t (t³−t) (tie-corrected)
+   *   z²·10⁶ = 3·num4²·10⁶ DIV Var48      (z² = num4²/16 ÷ Var48/48)
+   *
+   * vs the shared 3.841459 line. Zero differences drop (the standard
+   * Wilcoxon convention — they carry no direction); n = 0 → NULL.
+   * num4² runs in DECIMAL(38,0) (it crosses 2⁶³ past ~40k nonzero
+   * pairs per key).
+   *
+   * Scale posture: pairs collapse to the per-key |d| HISTOGRAM (one
+   * aggregate); ranks come from a key-partitioned cumsum over
+   * histogram rows; two key-sized rollups finish. Nothing after the
+   * first combine exceeds key-count × |d|-domain rows.
+   */
+  def wilcoxonSignedRank(pairs: DataFrame, keyCol: String, aCol: Column,
+      bCol: Column, critPpm: Long = 3841459L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = pairs
+      .select(col(keyCol).as("key"),
+        (aCol.cast("long") - bCol.cast("long")).as("d"))
+      .where(col("d") =!= 0L)
+    val hist = d.groupBy(col("key"), abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("t_pos"))
+    val cum = Window.partitionBy(col("key")).orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cumt", sum(col("t")).over(cum))
+      // 2·avgrank = 2·cnt(<ad) + t + 1
+      .withColumn("r2", lit(2L) * (col("cumt") - col("t")) + col("t") + 1L)
+    ranked
+      .groupBy(col("key"))
+      .agg(
+        sum(col("t")).as("n_pairs"),
+        sum(col("t_pos") * col("r2")).as("w_plus2"),
+        sum(expr("t * t * t - t")).as("tie3"))
+      .withColumn("num4",
+        expr("2 * w_plus2 - n_pairs * (n_pairs + 1)"))
+      .withColumn("var48",
+        expr("2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tie3"))
+      .withColumn("z2_ppm", expr(
+        """CASE WHEN var48 <= 0 THEN NULL
+          |ELSE (CAST(3 AS DECIMAL(38,0)) * num4 * num4 * 1000000)
+          |     DIV CAST(var48 AS DECIMAL(38,0)) END""".stripMargin))
+      .withColumn("significant",
+        when(col("z2_ppm").isNull, lit(null).cast("boolean"))
+          .otherwise(col("z2_ppm") > critPpm))
+      .select(col("key").as(keyCol), col("n_pairs"), col("w_plus2"),
+        col("num4"), col("var48"), col("z2_ppm"), col("significant"))
+  }
 }

@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale evidence for STAT11 (`operators/RankCorrelation.scala`, q223):
+ * histogram ranks vs the textbook global-sort ranking. The naive
+ * Spearman ranks every row with `row_number()/rank()` over an
+ * UNPARTITIONED window — Spark plans a single-partition sort: one
+ * reducer swallows the corpus, the exact plan shape that dies first at
+ * cluster scale. The histogram law never ranks rows at all: ranks are
+ * a function of the value census (domain-sized), so the corpus moves
+ * through two map-side-combinable aggregates only.
+ *
+ * Corpus law (no RNG): n rows, x = h(id) mod 64, y = (x + h'(id) mod 32)
+ * mod 64 — bounded domains with genuine positive association, the
+ * column shape rank statistics actually run on.
+ *
+ * A small slice cross-checks the two formulations for IDENTICAL
+ * suffstats before timing the big passes.
+ *
+ * Usage: runMain graft.tools.SpearmanScaleStress [n] (default 20M)
+ */
+object SpearmanScaleStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 20000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val res = f
+      println(f"[spearman-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); res
+    }
+
+    def rows(m: Long) = spark.range(m).select(
+      lit("k").as("k"),
+      pmod(xxhash64(col("id"), lit(1)), lit(64L)).as("x"))
+      .withColumn("y", pmod(col("x") + pmod(xxhash64(col("id"), lit(2)),
+        lit(32L)), lit(64L)))
+      .localCheckpoint(true)
+
+    /** The textbook formulation: tie-averaged ranks from TWO
+      * unpartitioned sorts, then the same suffstat rollup. */
+    def globalSortRho(df: org.apache.spark.sql.DataFrame): Double = {
+      def r2(c: String, out: String) = {
+        // avg rank over the whole frame: rank() gives cnt(<v)+1, count
+        // over the value gives t -> 2*avg = 2*(rank-1) + t + 1
+        val byV = Window.orderBy(col(c))
+        val tied = Window.partitionBy(col(c))
+        df.select(col(c))
+          .withColumn("_r", rank().over(byV).cast("long"))
+          .withColumn("_t", count(lit(1)).over(tied))
+          .select(col(c), (lit(2L) * (col("_r") - 1L) + col("_t") + 1L).as(out))
+      }
+      // reuse the operator's rollup by joining per-row doubled ranks
+      val rx = r2("x", "rx2").groupBy(col("x")).agg(max(col("rx2")).as("rx2"))
+      val ry = r2("y", "ry2").groupBy(col("y")).agg(max(col("ry2")).as("ry2"))
+      val m = df.join(rx, "x").join(ry, "y")
+        .agg(
+          count(lit(1)).as("nn"),
+          sum(expr("CAST(rx2 AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(ry2 AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(rx2 AS DECIMAL(38,0)) * rx2")).as("sxx"),
+          sum(expr("CAST(ry2 AS DECIMAL(38,0)) * ry2")).as("syy"),
+          sum(expr("CAST(rx2 AS DECIMAL(38,0)) * ry2")).as("sxy"))
+        .withColumn("rho", expr(
+          """CAST(nn * sxy - sx * sy AS DOUBLE) /
+            |sqrt(CAST(nn * sxx - sx * sx AS DOUBLE) *
+            |     CAST(nn * syy - sy * sy AS DOUBLE))""".stripMargin))
+        .head()
+      m.getAs[Double]("rho")
+    }
+
+    // cross-check at a size the global sort is comfortable with
+    val small = rows(200000L)
+    val histRho = graft.operators.RankCorrelation
+      .spearman(small, col("k"), col("x"), col("y"))
+      .head().getAs[Double]("rho_fp")
+    val sortRho = globalSortRho(small)
+    require(histRho == sortRho,
+      s"formulations disagree: histogram $histRho vs global-sort $sortRho")
+    println(s"[spearman-stress] cross-check OK at 200k: rho = $histRho")
+
+    Seq(n / 4, n).foreach { m =>
+      val df = rows(m)
+      timed(f"histogram ranks  n=$m%,d") {
+        graft.operators.RankCorrelation.spearman(df, col("k"), col("x"),
+          col("y")).head()
+      }
+      timed(f"global-sort ranks n=$m%,d") { globalSortRho(df) }
+      df.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -119,4 +119,30 @@ class ExperimentSpec extends SparkSpec {
     assert(out("w") == ((6L, 3L, 3L, 0L, 0L, java.lang.Boolean.FALSE)))
     assert(out("t") == ((2L, 0L, 0L, 2L, -1L, null)))
   }
+  // ---- EXP6 Wilcoxon signed-rank ----
+
+  test("wilcoxonSignedRank: textbook hand case, tie correction, zero-diff drop") {
+    // key h: diffs +1,+2,+3,-4,+5 (distinct |d|): W+ = 11, 2W+ = 22,
+    //   num4 = 44-30 = 14, Var48 = 2*5*6*11 = 660,
+    //   z2 = 3*196e6 DIV 660 = 890909 (z = 0.944, not significant)
+    // key t: diffs +1,-1,+2 (tied |d|=1): 2W+ = 3+6 = 9, num4 = 6,
+    //   tie3 = 6, Var48 = 168-6 = 162, z2 = 3*36e6 DIV 162 = 666666
+    // key s: ten positive distinct diffs -> z2 = 3*110^2*1e6 DIV 4620
+    //   = 7857142, significant
+    // key z: only zero diffs -> key absent (no direction, no test)
+    val rows =
+      Seq(("h", 11L, 10L), ("h", 12L, 10L), ("h", 13L, 10L),
+        ("h", 6L, 10L), ("h", 15L, 10L)) ++
+      Seq(("t", 11L, 10L), ("t", 9L, 10L), ("t", 12L, 10L)) ++
+      (1 to 10).map(i => ("s", 10L + i, 10L)) ++
+      Seq(("z", 5L, 5L), ("z", 6L, 6L))
+    val out = Experiment.wilcoxonSignedRank(rows.toDF("k", "a", "b"), "k",
+      col("a"), col("b")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(!out.contains("z"))
+    assert(out("h") == ((5L, 22L, 14L, 660L, 890909L, false)))
+    assert(out("t") == ((3L, 9L, 6L, 162L, 666666L, false)))
+    assert(out("s") == ((10L, 110L, 110L, 4620L, 7857142L, true)))
+  }
 }
