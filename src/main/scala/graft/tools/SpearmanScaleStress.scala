@@ -37,11 +37,14 @@ object SpearmanScaleStress {
       println(f"[spearman-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); res
     }
 
-    def rows(m: Long) = spark.range(m).select(
-      lit("k").as("k"),
-      pmod(xxhash64(col("id"), lit(1)), lit(64L)).as("x"))
-      .withColumn("y", pmod(col("x") + pmod(xxhash64(col("id"), lit(2)),
-        lit(32L)), lit(64L)))
+    def rows(m: Long) = spark.range(m)
+      .withColumn("k", lit("k"))
+      .withColumn("x", pmod(xxhash64(col("id"), lit(1)), lit(64L)))
+      // y = x + uniform noise, NO wraparound (a mod would cancel the
+      // association): monotone-ish signal, rho ~ 0.9
+      .withColumn("y", col("x") + pmod(xxhash64(col("id"), lit(2)),
+        lit(32L)))
+      .drop("id")
       .localCheckpoint(true)
 
     /** The textbook formulation: tie-averaged ranks from TWO
