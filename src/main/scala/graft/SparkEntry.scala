@@ -3920,6 +3920,30 @@ object SparkEntry {
           col("c"), col("b"))
         .orderBy(col("event_type"))
     }),
+
+    // Q227 — M2b audio downsample: q130 proves the clips DECODE; this
+    // runs the first real DSP stage on the decoded PCM — box-filter
+    // decimation ×4 (64 → 16 samples), block means in sign-split
+    // truncating division so the closed-form oracle replays every
+    // output sample. Real RIFF parse per clip, per-lang rollup.
+    "q227_audio_downsample" -> ((s, dir) => {
+      implicit val sp = s
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[java.lang.Long]
+      val stats = Multimodal.downsampleAudioStats(
+        Multimodal.encodeWav(ids), factor = 4).toDF()
+      t(s, dir, "documents")
+        .join(stats, col("doc_id") === col("media_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_decoded"),
+          sum(col("n_blocks")).as("total_blocks"),
+          sum(col("sum_ds")).as("sum_ds"),
+          sum(col("peak_ds")).as("sum_peak_ds"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8103,6 +8127,24 @@ object SparkEntry {
           |SELECT event_type, n_pairs, w_plus2, num4, var48, z2_ppm,
           |  CASE WHEN z2_ppm IS NULL THEN NULL ELSE z2_ppm > 3841459 END AS significant
           |FROM z ORDER BY event_type""".stripMargin,
+
+      // q130's closed-form sample law, block-summed then sign-split
+      // block means — only a real decode + real decimation reproduces it
+      "q227_audio_downsample" ->
+        """WITH blk AS (SELECT d.doc_id, d.lang, b.r AS b,
+          |    CAST(sum(((d.doc_id*31 + (b.r*4 + j.r)*7 + 13) % 65536) - 32768) AS BIGINT) AS s
+          |  FROM documents d CROSS JOIN range(16) b(r) CROSS JOIN range(4) j(r)
+          |  GROUP BY 1, 2, 3),
+          |a AS (SELECT doc_id, lang,
+          |    CASE WHEN s < 0 THEN -((-s) // 4) ELSE s // 4 END AS avg FROM blk),
+          |per AS (SELECT doc_id, lang, CAST(sum(avg) AS BIGINT) AS sds,
+          |    CAST(max(abs(avg)) AS BIGINT) AS pk FROM a GROUP BY 1, 2)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_clips,
+          |  CAST(count(*) AS BIGINT) AS n_decoded,
+          |  CAST(count(*) * 16 AS BIGINT) AS total_blocks,
+          |  CAST(sum(sds) AS BIGINT) AS sum_ds,
+          |  CAST(sum(pk) AS BIGINT) AS sum_peak_ds
+          |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     )
   }
 }

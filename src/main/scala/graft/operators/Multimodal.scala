@@ -743,6 +743,75 @@ object Multimodal {
     }
   }
 
+  final case class AudioDsStats(
+      media_id: Long, decode_ok: Boolean, n_blocks: Long, sum_ds: Long,
+      peak_ds: Long)
+
+  /**
+   * Audio downsample stage (M2b) — the first real DSP step after
+   * [[decodeAudioStats]]'s "can we read it at all": box-filter
+   * decimation by `factor` (each output sample is the mean of a
+   * `factor`-block of input PCM — the anti-aliasing-lite resample a
+   * feature extractor runs before fingerprinting at a lower rate).
+   * The DECODE is the real codec path (RIFF parse via the per-partition
+   * SPI readers — nothing trusted from the producer); the block mean is
+   * SIGN-SPLIT truncating integer division (PCM is signed; Spark DIV
+   * truncates, DuckDB `//` floors — they disagree below zero, the A23
+   * discipline), so the closed-form oracle replays every output sample
+   * bit-for-bit. Trailing partial blocks drop (full blocks only — the
+   * resampler contract).
+   *
+   * Per clip: decode_ok, n_blocks, Σ decimated samples, peak |sample|.
+   * Same mapPartitions codec posture as every media stage: CPU-bound
+   * per row, no shuffle, parallelism = partition count.
+   */
+  def downsampleAudioStats(media: Dataset[WavRow], factor: Int)(
+      implicit spark: SparkSession): Dataset[AudioDsStats] = {
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val readers = wavReaders()
+      def openAudio(payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+        readers.iterator.flatMap { rd =>
+          try Some(rd.getAudioInputStream(new java.io.ByteArrayInputStream(payload)))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          }
+        }.nextOption().getOrElse(
+          throw new javax.sound.sampled.UnsupportedAudioFileException("no SPI matched"))
+      rows.map { r =>
+        try {
+          val ais = openAudio(r.payload)
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unsupported PCM shape: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val nBlocks = n / factor
+          var (sumDs, peakDs, b) = (0L, 0L, 0)
+          while (b < nBlocks) {
+            var (s, j) = (0L, 0)
+            while (j < factor) {
+              val i = b * factor + j
+              s += ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+              j += 1
+            }
+            // sign-split truncation toward zero (mirrors Spark DIV)
+            val avg = if (s < 0) -((-s) / factor) else s / factor
+            sumDs += avg
+            if (math.abs(avg) > peakDs) peakDs = math.abs(avg)
+            b += 1
+          }
+          AudioDsStats(r.media_id, decode_ok = true, nBlocks.toLong, sumDs,
+            peakDs)
+        } catch {
+          case _: Exception =>
+            AudioDsStats(r.media_id, decode_ok = false, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /**
    * SQL-expressible media metadata (no decode): byte length, content hash.
    * This is the oracle-checkable slice of the multimodal path — binary

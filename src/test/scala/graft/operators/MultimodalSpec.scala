@@ -321,4 +321,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(100L).decode_ok && !out(101L).decode_ok)
     assert(out(100L).n_frames == 0 && out(100L).sum_r == 0L)
   }
+
+  test("REAL audio downsample: block means match the driver law; factor=1 is identity; bad payload flagged") {
+    implicit val sp = spark
+    import spark.implicits._
+    val ids = spark.createDataset(Seq(1L, 2L, 7L).map(java.lang.Long.valueOf))
+    val wavs = Multimodal.encodeWav(ids)
+    val ds4 = Multimodal.downsampleAudioStats(wavs, factor = 4).collect()
+      .map(st => st.media_id -> st).toMap
+    // driver replay of the closed-form law
+    def want(id: Long) = {
+      val avgs = (0 until 16).map { b =>
+        val s = (0 until 4).map(j => Multimodal.wavSample(id, b * 4 + j).toLong).sum
+        if (s < 0) -((-s) / 4) else s / 4
+      }
+      (avgs.sum, avgs.map(math.abs).max)
+    }
+    Seq(1L, 2L, 7L).foreach { id =>
+      val (ws, wp) = want(id)
+      assert(ds4(id).decode_ok && ds4(id).n_blocks == 16L)
+      assert(ds4(id).sum_ds == ws && ds4(id).peak_ds == wp, s"clip $id")
+    }
+    // factor 1: decimation is the identity — sums equal the plain decode
+    val plain = Multimodal.decodeAudioStats(wavs).collect()
+      .map(st => st.media_id -> st).toMap
+    val ds1 = Multimodal.downsampleAudioStats(wavs, factor = 1).collect()
+      .map(st => st.media_id -> st).toMap
+    Seq(1L, 2L, 7L).foreach { id =>
+      assert(ds1(id).sum_ds == plain(id).sum_pcm)
+      assert(ds1(id).n_blocks == plain(id).n_samples)
+    }
+    // corrupt payload flags, partition survives
+    val bad = spark.createDataset(Seq(
+      Multimodal.WavRow(99L, Array[Byte](1, 2, 3))))
+    val out = Multimodal.downsampleAudioStats(bad, factor = 4).collect().head
+    assert(!out.decode_ok && out.n_blocks == 0L && out.sum_ds == 0L)
+  }
 }
