@@ -3944,6 +3944,47 @@ object SparkEntry {
           sum(col("peak_ds")).as("sum_peak_ds"))
         .orderBy(col("lang"))
     }),
+
+    // Q228 — A26 fulfillment-latency census: order→ship days per
+    // priority with a 30-day commitment — late-rate ppm + exact
+    // p50/p90/p99 via the histogram threshold bridge (latency domains
+    // are DAYS: the corpus collapses to a per-key day histogram in one
+    // combine, percentiles walk histogram rows).
+    "q228_latency_census" -> ((s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("od"),
+          to_date(col("l_shipdate")).as("ship"))
+      graft.operators.Latency.latencyCensus(j, Seq("o_orderpriority"),
+          col("od"), col("ship"), expr("date_add(od, 30)"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q229 — EXP7 Mann–Whitney U: the UNPAIRED rank test closing the
+    // shelf (q225 signs, q226 paired ranks, this independent samples):
+    // per event type, are its daily volumes stochastically larger than
+    // view's? Pooled histogram ranks (STAT11 law), cleared
+    // denominators, the shared 3.841459 line; the view baseline
+    // replicates per key through a constant-key hash join (type-domain
+    // × calendar rows, bounded).
+    "q229_mann_whitney" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val others = daily.where(col("event_type") =!= "view")
+        .select(col("event_type"), lit(true).as("is_a"), col("c").as("v"))
+      val keys = daily.where(col("event_type") =!= "view")
+        .select(col("event_type")).distinct().withColumn("_d", lit(1))
+      val viewRows = daily.where(col("event_type") === "view")
+        .select(lit(1).as("_d"), col("c").as("v"))
+      val replicated = keys.join(viewRows, Seq("_d"))
+        .select(col("event_type"), lit(false).as("is_a"), col("v"))
+      graft.operators.Experiment.mannWhitney(
+          others.unionByName(replicated), "event_type", col("is_a"), col("v"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8145,6 +8186,59 @@ object SparkEntry {
           |  CAST(sum(sds) AS BIGINT) AS sum_ds,
           |  CAST(sum(pk) AS BIGINT) AS sum_peak_ds
           |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // day-histogram + threshold-bridge percentiles, 30-day SLA flag
+      "q228_latency_census" ->
+        """WITH b AS (SELECT o_orderpriority,
+          |    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS lat,
+          |    CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30 THEN 1 ELSE 0 END AS late
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |h AS (SELECT o_orderpriority, lat, CAST(count(*) AS BIGINT) AS t,
+          |    CAST(sum(late) AS BIGINT) AS n_late FROM b GROUP BY 1, 2),
+          |c AS (SELECT o_orderpriority, lat, t, n_late,
+          |    CAST(sum(t) OVER (PARTITION BY o_orderpriority ORDER BY lat) AS BIGINT) AS cumt,
+          |    CAST(sum(t) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n FROM h)
+          |SELECT o_orderpriority, max(n) AS n_rows,
+          |  CAST(sum(n_late) AS BIGINT) AS n_late,
+          |  CAST(sum(n_late) * 1000000 // max(n) AS BIGINT) AS late_ppm,
+          |  min(CASE WHEN cumt * 100 >= n * 50 THEN lat END) AS p50_days,
+          |  min(CASE WHEN cumt * 100 >= n * 90 THEN lat END) AS p90_days,
+          |  min(CASE WHEN cumt * 100 >= n * 99 THEN lat END) AS p99_days,
+          |  max(lat) AS max_days
+          |FROM c GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+      // pooled histogram ranks, cleared denominators, HUGEINT varM
+      "q229_mann_whitney" ->
+        """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+          |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+          |others AS (SELECT event_type, TRUE AS is_a, c AS v FROM daily WHERE event_type <> 'view'),
+          |ks AS (SELECT DISTINCT event_type FROM daily WHERE event_type <> 'view'),
+          |vw AS (SELECT ks.event_type, FALSE AS is_a, d.c AS v FROM ks, daily d WHERE d.event_type = 'view'),
+          |u AS (SELECT * FROM others UNION ALL SELECT * FROM vw),
+          |h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t,
+          |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+          |  FROM u GROUP BY 1, 2),
+          |r AS (SELECT event_type, t, t_a,
+          |    2 * (CAST(sum(t) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) - t) + t + 1 AS r2
+          |  FROM h),
+          |g AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+          |    CAST(sum(t_a) AS BIGINT) AS n_a,
+          |    CAST(sum(t_a * r2) AS BIGINT) AS r_a2,
+          |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM r GROUP BY 1),
+          |f AS (SELECT event_type, n, n_a, n - n_a AS n_b, r_a2,
+          |    r_a2 - n_a * (n_a + 1) - n_a * (n - n_a) AS num2,
+          |    CAST(n_a AS HUGEINT) * (n - n_a) *
+          |      ((n + 1) * CAST(n AS HUGEINT) * (n - 1) - tie3) AS var_m
+          |  FROM g),
+          |z AS (SELECT event_type, n_a, n_b, r_a2, num2, var_m, n,
+          |    CASE WHEN n_a = 0 OR n_b = 0 OR var_m <= 0 THEN NULL
+          |         ELSE CAST((CAST(3 AS HUGEINT) * num2 * num2 * n * (n - 1) * 1000000)
+          |              // var_m AS BIGINT) END AS z2_ppm
+          |  FROM f)
+          |SELECT event_type, n_a, n_b, r_a2, num2,
+          |  CAST(var_m AS VARCHAR) AS var_m, z2_ppm,
+          |  CASE WHEN z2_ppm IS NULL THEN NULL ELSE z2_ppm > 3841459 END AS significant
+          |FROM z ORDER BY event_type""".stripMargin,
     )
   }
 }

@@ -283,4 +283,66 @@ object Experiment {
       .select(col("key").as(keyCol), col("n_pairs"), col("w_plus2"),
         col("num4"), col("var48"), col("z2_ppm"), col("significant"))
   }
+
+  /**
+   * Mann–Whitney U / Wilcoxon rank-sum (EXP7) — the UNPAIRED member
+   * completing the rank-test shelf: [[pairedSignTest]] and
+   * [[wilcoxonSignedRank]] need matched pairs; this compares two
+   * independent samples ("is A's distribution stochastically larger
+   * than B's") — the robust two-sample test run when units can't be
+   * matched. Ranks over the POOLED sample via the STAT11 histogram law
+   * (tie-averaged, doubled, never a per-row sort), then exact integers
+   * with denominators cleared:
+   *
+   *   2R_A   = Σ_{A} 2·avgrank(v)
+   *   num2   = 2U − n_A·n_B = 2R_A − n_A(n_A+1) − n_A·n_B   (2·(U−μ))
+   *   varM   = n_A·n_B·[(n+1)·n(n−1) − Σ_t(t³−t)]           (tie-corrected,
+   *            = Var(U)·12·n(n−1))
+   *   z²·10⁶ = 3·num2²·n(n−1)·10⁶ DIV varM
+   *
+   * vs the shared 3.841459 line. varM and the z² numerator run in
+   * DECIMAL(38,0) and varM is emitted as a canonical digit string (the
+   * q122 bridge); the numerator reaches ~n⁶, inside 38 digits to
+   * n ≈ 2·10⁵ pooled observations per key — the day-series /
+   * bucket-census domains this test runs on (shard or pre-bucket
+   * beyond). NULL when either side is empty or all values tie.
+   */
+  def mannWhitney(samples: DataFrame, keyCol: String, isACol: Column,
+      valueCol: Column, critPpm: Long = 3841459L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = samples.select(col(keyCol).as("key"), isACol.as("is_a"),
+      valueCol.cast("long").as("v"))
+    val hist = base.groupBy(col("key"), col("v"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("t_a"))
+    val cum = Window.partitionBy(col("key")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cumt", sum(col("t")).over(cum))
+      .withColumn("r2", lit(2L) * (col("cumt") - col("t")) + col("t") + 1L)
+    ranked
+      .groupBy(col("key"))
+      .agg(
+        sum(col("t")).as("n"),
+        sum(col("t_a")).as("n_a"),
+        sum(col("t_a") * col("r2")).as("r_a2"),
+        sum(expr("t * t * t - t")).as("tie3"))
+      .withColumn("n_b", col("n") - col("n_a"))
+      .withColumn("num2",
+        expr("r_a2 - n_a * (n_a + 1) - n_a * n_b"))
+      .withColumn("var_m", expr(
+        """CAST(n_a AS DECIMAL(38,0)) * n_b *
+          |((n + 1) * CAST(n AS DECIMAL(38,0)) * (n - 1) - tie3)""".stripMargin))
+      .withColumn("z2_ppm", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 OR var_m <= 0 THEN NULL
+          |ELSE (CAST(3 AS DECIMAL(38,0)) * num2 * num2 * n * (n - 1) * 1000000)
+          |     DIV var_m END""".stripMargin))
+      .withColumn("significant",
+        when(col("z2_ppm").isNull, lit(null).cast("boolean"))
+          .otherwise(col("z2_ppm") > critPpm))
+      .select(col("key").as(keyCol), col("n_a"), col("n_b"), col("r_a2"),
+        col("num2"),
+        col("var_m").cast("decimal(38,0)").cast("string").as("var_m"),
+        col("z2_ppm"), col("significant"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Fulfillment-latency census (A26) — the operations readout over any
+ * (start, end, deadline) triple of dates: how long does a step take,
+ * and how often does it blow its commitment. The supply-chain
+ * question on lineitem (ship→receipt vs commit), equally the
+ * data-pipeline question on job runs (submit→finish vs SLA).
+ *
+ * Exact integer law per key:
+ *   lat        = datediff(end, start)          (days, the value domain)
+ *   late_ppm   = rows(end > deadline)·10⁶ DIV n
+ *   p50/p90/p99 = lower percentile via the histogram threshold bridge
+ *                 min{x : cnt(≤x)·100 ≥ n·P}   (the q144/q219 bridge —
+ *                 no interpolation, no IEEE, deterministic under ties)
+ *
+ * Scale posture: the corpus collapses to the per-(key, lat) HISTOGRAM
+ * in one map-side-combinable aggregate (latency domains are small —
+ * days, not micros); the percentile window walks histogram rows only.
+ * One key shuffle end to end.
+ */
+object Latency {
+
+  def latencyCensus(df: DataFrame, keyCols: Seq[String], startCol: Column,
+      endCol: Column, deadlineCol: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val base = df.select(keyCols.map(col) ++ Seq(
+      datediff(endCol, startCol).cast("long").as("lat"),
+      (endCol > deadlineCol).cast("long").as("late")): _*)
+    val hist = base
+      .groupBy(keys :+ col("lat"): _*)
+      .agg(count(lit(1)).as("t"), sum(col("late")).as("n_late"))
+    val cum = Window.partitionBy(keys: _*).orderBy(col("lat"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byKey = Window.partitionBy(keys: _*)
+    hist
+      .withColumn("cumt", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(byKey))
+      .groupBy(keys: _*)
+      .agg(
+        max(col("n")).as("n_rows"),
+        sum(col("n_late")).as("n_late"),
+        min(when(col("cumt") * 100 >= col("n") * 50, col("lat"))).as("p50_days"),
+        min(when(col("cumt") * 100 >= col("n") * 90, col("lat"))).as("p90_days"),
+        min(when(col("cumt") * 100 >= col("n") * 99, col("lat"))).as("p99_days"),
+        max(col("lat")).as("max_days"))
+      .withColumn("late_ppm", expr("n_late * 1000000 DIV n_rows"))
+      .select(keys ++ Seq(col("n_rows"), col("n_late"), col("late_ppm"),
+        col("p50_days"), col("p90_days"), col("p99_days"), col("max_days")): _*)
+  }
+}

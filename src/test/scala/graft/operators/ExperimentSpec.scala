@@ -145,4 +145,32 @@ class ExperimentSpec extends SparkSpec {
     assert(out("t") == ((3L, 9L, 6L, 162L, 666666L, false)))
     assert(out("s") == ((10L, 110L, 110L, 4620L, 7857142L, true)))
   }
+  // ---- EXP7 Mann-Whitney U ----
+
+  test("mannWhitney: textbook hand cases, tie correction, one-sided degeneracy") {
+    // key h: A={1,2} B={3,4,5}: U=0, z^2 = 3 -> 3,000,000 ppm, not sig
+    // key t: A={1,1} B={1,2} (ties): z^2 = 1 -> 1,000,000 ppm
+    // key s: A = 11..20, B = 1..10 (clean separation): z^2 = 14,285,714
+    // key e: only A rows -> NULL
+    val rows =
+      Seq(("h", true, 1L), ("h", true, 2L), ("h", false, 3L),
+        ("h", false, 4L), ("h", false, 5L)) ++
+      Seq(("t", true, 1L), ("t", true, 1L), ("t", false, 1L), ("t", false, 2L)) ++
+      (11L to 20L).map(v => ("s", true, v)) ++ (1L to 10L).map(v => ("s", false, v)) ++
+      Seq(("e", true, 5L), ("e", true, 6L))
+    val out = Experiment.mannWhitney(rows.toDF("k", "is_a", "v"), "k",
+      col("is_a"), col("v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6),
+        if (r.isNullAt(7)) null else java.lang.Boolean.valueOf(r.getBoolean(7)))))
+      .toMap
+    assert(out("h") == ((2L, 3L, 6L, -6L, "720", 3000000L,
+      java.lang.Boolean.FALSE)))
+    assert(out("t") == ((2L, 2L, 8L, -2L, "144", 1000000L,
+      java.lang.Boolean.FALSE)))
+    assert(out("s") == ((10L, 10L, 310L, 100L, "798000", 14285714L,
+      java.lang.Boolean.TRUE)))
+    assert(out("e")._6 == -1L && out("e")._7 == null)
+  }
 }

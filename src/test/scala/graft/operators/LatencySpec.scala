@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** A26 latency census: bridge percentiles on a hand histogram, the SLA
+  * flag, and tie collapsing. */
+class LatencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(base: String, plus: Int) = java.sql.Date.valueOf(
+    java.time.LocalDate.parse(base).plusDays(plus.toLong))
+
+  test("hand case: bridge percentiles and the 30%-late SLA") {
+    // latencies 0..9 days, deadline = start + 5: late rows are 6,7,8,9
+    val rows = (0 until 10).map(i =>
+      ("k", d("2024-01-01", 0), d("2024-01-01", i), d("2024-01-06", 0)))
+      .toDF("k", "start", "end", "deadline")
+    val r = Latency.latencyCensus(rows, Seq("k"), col("start"), col("end"),
+      col("deadline")).head()
+    assert(r.getAs[Long]("n_rows") == 10L && r.getAs[Long]("n_late") == 4L)
+    assert(r.getAs[Long]("late_ppm") == 400000L)
+    // lower-percentile bridge: p50 = first lat with cum*100 >= n*50
+    assert(r.getAs[Long]("p50_days") == 4L)
+    assert(r.getAs[Long]("p90_days") == 8L)
+    assert(r.getAs[Long]("p99_days") == 9L)
+    assert(r.getAs[Long]("max_days") == 9L)
+  }
+
+  test("tied latencies collapse into histogram cells without changing percentiles") {
+    // 5 rows all latency 3, 5 rows latency 7 -> p50 = 3 (cum 5 of 10),
+    // p90/p99 = 7; none late at deadline +10
+    val rows = ((0 until 5).map(_ => 3) ++ (0 until 5).map(_ => 7)).map(i =>
+      ("k", d("2024-01-01", 0), d("2024-01-01", i), d("2024-01-11", 0)))
+      .toDF("k", "start", "end", "deadline")
+    val r = Latency.latencyCensus(rows, Seq("k"), col("start"), col("end"),
+      col("deadline")).head()
+    assert(r.getAs[Long]("p50_days") == 3L && r.getAs[Long]("p90_days") == 7L)
+    assert(r.getAs[Long]("n_late") == 0L && r.getAs[Long]("late_ppm") == 0L)
+  }
+}
