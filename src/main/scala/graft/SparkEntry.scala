@@ -3985,6 +3985,57 @@ object SparkEntry {
           others.unionByName(replicated), "event_type", col("is_a"), col("v"))
         .orderBy(col("event_type"))
     }),
+
+    // Q230 — DRIFT5 Kolmogorov–Smirnov two-sample test: does the
+    // returned ('R') slice draw quantities from the same distribution
+    // as the accepted ('A') slice, per line status? Max CDF gap over
+    // the pooled value histogram, the classical 1.3581 line (c²·10⁶ =
+    // 1,844,440); q184 prices the distance, q229 tests location — this
+    // alarms on ANY shape difference.
+    "q230_ks_test" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_returnflag").isin("R", "A"))
+        .select(col("l_linestatus"),
+          (col("l_returnflag") === "R").as("is_r"),
+          floor(col("l_quantity")).cast("long").as("q"))
+      graft.operators.Drift.ksTwoSample(li, "l_linestatus", col("is_r"),
+          col("q"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Q231 — EVAL9 ranker-agreement census: can the cheap byte-length
+    // proxy stand in for the token count when selecting top-k docs?
+    // Top-500 under both integer rankers (deterministic (score, id)
+    // order), overlap + Jaccard per k ∈ {10,50,100,500} — the
+    // "do my two signals agree" audit run before dropping the
+    // expensive one. Ranks live on ≤K-row frames (limit first), never
+    // a corpus-wide window.
+    "q231_ranker_agreement" -> ((s, dir) => {
+      val K = 500
+      val docs = TextAnalysis.withTokenCounts(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars"), col("ws_tokens"))
+        .localCheckpoint(false)
+      def top(score: Column, name: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(score.desc, col("doc_id"))
+        docs.orderBy(score.desc, col("doc_id")).limit(K)
+          .withColumn(name, row_number().over(w).cast("long"))
+          .select(col("doc_id"), col(name))
+      }
+      val joined = top(col("n_chars"), "rank_len")
+        .join(top(col("ws_tokens"), "rank_tok"), Seq("doc_id"), "full_outer")
+      joined
+        .withColumn("k", explode(array(Seq(10L, 50L, 100L, 500L).map(lit(_)): _*)))
+        .groupBy(col("k"))
+        .agg(
+          sum(when(col("rank_len") <= col("k"), 1L).otherwise(0L)).as("n_len"),
+          sum(when(col("rank_tok") <= col("k"), 1L).otherwise(0L)).as("n_tok"),
+          sum(when(col("rank_len") <= col("k") && col("rank_tok") <= col("k"),
+            1L).otherwise(0L)).as("overlap"))
+        .withColumn("jaccard_ppm",
+          expr("overlap * 1000000 DIV (n_len + n_tok - overlap)"))
+        .orderBy(col("k"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8239,6 +8290,53 @@ object SparkEntry {
           |  CAST(var_m AS VARCHAR) AS var_m, z2_ppm,
           |  CASE WHEN z2_ppm IS NULL THEN NULL ELSE z2_ppm > 3841459 END AS significant
           |FROM z ORDER BY event_type""".stripMargin,
+
+      // pooled value-histogram CDF gap, HUGEINT products, pinned c² line
+      "q230_ks_test" ->
+        """WITH b AS (SELECT l_linestatus AS key, l_returnflag = 'R' AS is_a,
+          |    CAST(floor(l_quantity) AS BIGINT) AS v
+          |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+          |h AS (SELECT key, v,
+          |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+          |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS t_b
+          |  FROM b GROUP BY 1, 2),
+          |c AS (SELECT key, v,
+          |    CAST(sum(t_a) OVER (PARTITION BY key ORDER BY v) AS BIGINT) AS ca,
+          |    CAST(sum(t_b) OVER (PARTITION BY key ORDER BY v) AS BIGINT) AS cb,
+          |    CAST(sum(t_a) OVER (PARTITION BY key) AS BIGINT) AS n_a,
+          |    CAST(sum(t_b) OVER (PARTITION BY key) AS BIGINT) AS n_b FROM h),
+          |g AS (SELECT key, max(n_a) AS n_a, max(n_b) AS n_b,
+          |    max(abs(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)) AS d_num
+          |  FROM c GROUP BY 1),
+          |f AS (SELECT key, n_a, n_b, d_num,
+          |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+          |         ELSE CAST((d_num * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END AS d_ppm
+          |  FROM g)
+          |SELECT key AS l_linestatus, n_a, n_b, CAST(d_num AS VARCHAR) AS d_num, d_ppm,
+          |  CASE WHEN d_ppm IS NULL THEN NULL
+          |       ELSE CAST(d_ppm AS HUGEINT) * d_ppm * n_a * n_b >
+          |            CAST(1844440 AS HUGEINT) * (n_a + n_b) * 1000000 END AS significant
+          |FROM f ORDER BY l_linestatus""".stripMargin,
+
+      // deterministic (score, id) top-500 under both rankers, overlap grid
+      "q231_ranker_agreement" ->
+        """WITH t AS (SELECT doc_id, n_chars,
+          |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws
+          |  FROM documents),
+          |a AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_len
+          |  FROM t QUALIFY rank_len <= 500),
+          |b AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY ws DESC, doc_id) AS BIGINT) AS rank_tok
+          |  FROM t QUALIFY rank_tok <= 500),
+          |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.rank_len, b.rank_tok
+          |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+          |g AS (SELECT kk.k,
+          |    CAST(sum(CASE WHEN rank_len <= kk.k THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+          |    CAST(sum(CASE WHEN rank_tok <= kk.k THEN 1 ELSE 0 END) AS BIGINT) AS n_tok,
+          |    CAST(sum(CASE WHEN rank_len <= kk.k AND rank_tok <= kk.k THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+          |  FROM j, (SELECT unnest([10, 50, 100, 500]) AS k) kk GROUP BY 1)
+          |SELECT CAST(k AS BIGINT) AS k, n_len, n_tok, overlap,
+          |  overlap * 1000000 // (n_len + n_tok - overlap) AS jaccard_ppm
+          |FROM g ORDER BY k""".stripMargin,
     )
   }
 }

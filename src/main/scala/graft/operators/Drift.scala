@@ -270,4 +270,64 @@ object Drift {
         min(when(col("alarm"), col(tsCol))).as("first_alarm_ts"),
         expr("MAX(s) DIV MAX(n_calib)").as("max_stat_cents"))
   }
+
+  /**
+   * Kolmogorov–Smirnov two-sample test (DRIFT5) — the shape-blind
+   * two-sample decision completing the comparison shelf:
+   * [[wasserstein1]] prices HOW FAR two distributions are,
+   * [[Experiment.mannWhitney]] tests location shift — KS alarms on ANY
+   * distributional difference (shape, spread, location) via the max
+   * CDF gap, with the classical calibrated line.
+   *
+   * Exact law over the pooled VALUE HISTOGRAM (never per-row sorts):
+   *
+   *   Dnum     = max_v |cntA(≤v)·n_B − cntB(≤v)·n_A|   (D·n_A·n_B)
+   *   d_ppm    = Dnum·10⁶ DIV (n_A·n_B)
+   *   reject ⇔ d_ppm²·n_A·n_B > c²·(n_A+n_B)·10⁶
+   *
+   * with c = 1.3581 (α = 0.05 two-sided), c²·10⁶ = 1,844,440 pinned as
+   * the suite's KS line. The decision is evaluated on the
+   * ppm-TRUNCATED statistic — both engines truncate identically, so
+   * the verdict is bit-portable (the exact-D comparison would need
+   * ~n⁴·10⁶ digits at corpus scale; the ≤1-ppm decision slack is the
+   * documented price). Products run in DECIMAL(38,0) (Dnum reaches
+   * n_A·n_B; the decision product d_ppm²·n_A·n_B stays inside 38
+   * digits to ~10¹³ pooled rows). A key with an empty side reports
+   * NULL — no comparison, not "same".
+   *
+   * Scale posture: one map-side-combinable histogram aggregate, one
+   * key-partitioned cumsum over DOMAIN rows, one rollup.
+   */
+  def ksTwoSample(samples: DataFrame, keyCol: String, isACol: Column,
+      valueCol: Column, critC2Ppm: Long = 1844440L): DataFrame = {
+    val hist = samples
+      .select(col(keyCol).as("key"), isACol.as("is_a"),
+        valueCol.cast("long").as("v"))
+      .groupBy(col("key"), col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("t_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("t_b"))
+    val cum = Window.partitionBy(col("key")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byKey = Window.partitionBy(col("key"))
+    hist
+      .withColumn("ca", sum(col("t_a")).over(cum))
+      .withColumn("cb", sum(col("t_b")).over(cum))
+      .withColumn("n_a", sum(col("t_a")).over(byKey))
+      .withColumn("n_b", sum(col("t_b")).over(byKey))
+      .withColumn("gap", expr(
+        "abs(CAST(ca AS DECIMAL(38,0)) * n_b - CAST(cb AS DECIMAL(38,0)) * n_a)"))
+      .groupBy(col("key"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("gap")).as("d_num"))
+      .withColumn("d_ppm", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+          |ELSE (d_num * 1000000) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) END""".stripMargin))
+      .withColumn("significant", expr(
+        s"""CASE WHEN d_ppm IS NULL THEN NULL
+           |ELSE CAST(d_ppm AS DECIMAL(38,0)) * d_ppm * n_a * n_b >
+           |     CAST($critC2Ppm AS DECIMAL(38,0)) * (n_a + n_b) * 1000000 END""".stripMargin))
+      .select(col("key").as(keyCol), col("n_a"), col("n_b"),
+        col("d_num").cast("decimal(38,0)").cast("string").as("d_num"),
+        col("d_ppm"), col("significant"))
+  }
 }

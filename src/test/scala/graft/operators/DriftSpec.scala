@@ -254,4 +254,34 @@ class DriftSpec extends SparkSpec {
       critPpm = 3841459L).orderBy("bin").collect()
     assert(out.forall(_.isNullAt(3))) // no post window → no estimate
   }
+  // ---- DRIFT5 KS two-sample ----
+
+  private def ks(rows: Seq[(String, Boolean, Long)]) =
+    Drift.ksTwoSample(rows.toDF("k", "is_a", "v"), "k",
+      org.apache.spark.sql.functions.col("is_a"),
+      org.apache.spark.sql.functions.col("v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) null else java.lang.Boolean.valueOf(r.getBoolean(5)))))
+      .toMap
+
+  test("ksTwoSample: identical, disjoint, textbook-middle, and empty-side cases") {
+    val rows =
+      // id: same 5 values both sides -> D = 0
+      (1L to 5L).flatMap(v => Seq(("id", true, v), ("id", false, v))) ++
+      // dj: fully separated supports -> D = 1, significant
+      (1L to 10L).map(v => ("dj", true, v)) ++
+      (11L to 20L).map(v => ("dj", false, v)) ++
+      // md: A={1,2,3,4} B={3,4,5,6} -> D = 1/2 (Dnum 8 of 16), not sig at n=4+4
+      Seq(1L, 2L, 3L, 4L).map(v => ("md", true, v)) ++
+      Seq(3L, 4L, 5L, 6L).map(v => ("md", false, v)) ++
+      // es: only the A side present -> NULL
+      (1L to 3L).map(v => ("es", true, v))
+    val out = ks(rows)
+    assert(out("id") == ((5L, 5L, "0", 0L, java.lang.Boolean.FALSE)))
+    assert(out("dj") == ((10L, 10L, "100", 1000000L, java.lang.Boolean.TRUE)))
+    assert(out("md") == ((4L, 4L, "8", 500000L, java.lang.Boolean.FALSE)))
+    assert(out("es") == ((3L, 0L, "0", -1L, null)))
+  }
 }
