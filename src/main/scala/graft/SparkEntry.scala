@@ -4036,6 +4036,41 @@ object SparkEntry {
           expr("overlap * 1000000 DIV (n_len + n_tok - overlap)"))
         .orderBy(col("k"))
     }),
+
+    // Q232 — GRAPH9 partition modularity: does the BRAND partition
+    // explain the part co-occurrence graph's wiring? Newman–Girvan Q
+    // with denominators cleared (Q·4m² exact in DECIMAL(38,0),
+    // sign-split ppm) — the one-number "is this clustering real
+    // structure" judge for any labeling of any graph in the suite.
+    "q232_modularity" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = e0.as("a")
+        .join(e0.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+      val labels = t(s, dir, "part")
+        .select(col("p_partkey").as("node"), col("p_brand").as("cluster"))
+      graft.operators.Graph.modularity(edges, labels)
+    }),
+
+    // Q233 — W5 2-D skyline: the Pareto frontier of documents in
+    // (brevity, vocabulary) — undominated docs no single score can
+    // select. Scale-correct shape: collapse to the per-x frame, one
+    // strictly-after running max over DOMAIN rows, join back for
+    // counts + deterministic representatives.
+    "q233_doc_skyline" -> ((s, dir) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("ws_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_vocab"))
+        .withColumn("k", lit("docs"))
+      graft.operators.Skyline.frontier2d(base, Seq("k"),
+          -col("ws_tokens"), col("n_vocab"), col("doc_id"))
+        .select((-col("x")).as("tokens"), col("y").as("n_vocab"),
+          col("n_rows"), col("rep_id"))
+        .orderBy(col("tokens"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8337,6 +8372,53 @@ object SparkEntry {
           |SELECT CAST(k AS BIGINT) AS k, n_len, n_tok, overlap,
           |  overlap * 1000000 // (n_len + n_tok - overlap) AS jaccard_ppm
           |FROM g ORDER BY k""".stripMargin,
+
+      // q142's edge build + brand labels; Q·4m² exact, sign-split ppm
+      "q232_modularity" ->
+        """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |ed AS (SELECT DISTINCT CAST(a.p AS BIGINT) AS u, CAST(b.p AS BIGINT) AS v
+          |  FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p),
+          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+          |  FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+          |lab AS (SELECT CAST(p_partkey AS BIGINT) AS node, p_brand AS cluster FROM part),
+          |nl AS (SELECT deg.node, deg.deg,
+          |    coalesce(lab.cluster, '__node_' || deg.node) AS cluster
+          |  FROM deg LEFT JOIN lab USING (node)),
+          |ei AS (SELECT CAST(count(*) AS BIGINT) AS m,
+          |    CAST(sum(CASE WHEN cu.cluster = cv.cluster THEN 1 ELSE 0 END) AS BIGINT) AS e_intra
+          |  FROM ed JOIN nl cu ON ed.u = cu.node JOIN nl cv ON ed.v = cv.node),
+          |dm AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+          |    sum(CAST(d_c AS HUGEINT) * d_c) AS sum_d2
+          |  FROM (SELECT cluster, CAST(sum(deg) AS BIGINT) AS d_c FROM nl GROUP BY 1)),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+          |f AS (SELECT nn.n_nodes, ei.m AS n_edges, dm.n_clusters, ei.e_intra,
+          |    CAST(4 AS HUGEINT) * ei.m * ei.e_intra - dm.sum_d2 AS q_num
+          |  FROM ei, dm, nn)
+          |SELECT n_nodes, n_edges, n_clusters, e_intra,
+          |  CAST(q_num AS VARCHAR) AS q_num,
+          |  CASE WHEN n_edges = 0 THEN NULL
+          |       WHEN q_num < 0 THEN -CAST((-q_num) * 1000000
+          |         // (CAST(4 AS HUGEINT) * n_edges * n_edges) AS BIGINT)
+          |       ELSE CAST(q_num * 1000000
+          |         // (CAST(4 AS HUGEINT) * n_edges * n_edges) AS BIGINT) END AS q_ppm
+          |FROM f""".stripMargin,
+
+      // per-x ymax census + strictly-after running max over domain rows
+      "q233_doc_skyline" ->
+        """WITH t AS (SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS tok,
+          |    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS voc
+          |  FROM documents),
+          |px AS (SELECT -tok AS x, max(voc) AS ymax FROM t GROUP BY 1),
+          |sk AS (SELECT x, ymax FROM (
+          |    SELECT x, ymax, max(ymax) OVER (ORDER BY x DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS aft FROM px)
+          |  WHERE aft IS NULL OR ymax > aft),
+          |j AS (SELECT t.tok, t.voc, t.doc_id FROM t
+          |  JOIN sk ON -t.tok = sk.x AND t.voc = sk.ymax)
+          |SELECT tok AS tokens, voc AS n_vocab,
+          |  CAST(count(*) AS BIGINT) AS n_rows, CAST(min(doc_id) AS BIGINT) AS rep_id
+          |FROM j GROUP BY 1, 2 ORDER BY tokens""".stripMargin,
     )
   }
 }

@@ -411,4 +411,68 @@ object Graph {
         expr("CASE WHEN deg >= 2 THEN (2 * n_tri * 1000000) DIV (deg * (deg - 1)) END"))
       .select(col("node"), col("deg"), col("n_tri"), col("lcc_ppm"))
   }
+
+  /**
+   * Partition modularity (GRAPH9) — Newman–Girvan Q: the one-number
+   * "is this partition real community structure or noise" score any
+   * clustering of a graph is judged by (communities from labels the
+   * caller supplies — an attribute, a connected-components run, a
+   * near-dup clustering):
+   *
+   *   Q = Σ_c [ e_c/m − (d_c / 2m)² ]
+   *
+   * (e_c = intra-community edges, d_c = degree mass of c, m = edges).
+   * Exact with denominators cleared: Q·4m² = 4m·Σe_c − Σd_c², emitted
+   * as q_ppm through SIGN-SPLIT DIV (Q is negative for
+   * anti-community partitions — truncate/floor disagree below zero)
+   * plus the raw suffstats. Q ∈ (−½, 1]; > ~0.3 is conventionally
+   * "real structure".
+   *
+   * Scale posture: one degree aggregate, two label joins to decorate
+   * edge endpoints (label frame is node-sized), one edge rollup for
+   * Σe_c and one node rollup for Σd_c² (DECIMAL(38,0) — degree mass
+   * squares past 2⁶³ on hub-heavy graphs), then a single-row combine.
+   * Unlabeled nodes form their own singleton community (coalesce to
+   * the node id — the honest default, matching the q39 convention).
+   */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("u"), col("v")).cast("long").as("u"),
+        greatest(col("u"), col("v")).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("cluster").cast("string").as("cluster"))
+    val deg = canon.select(col("u").as("node"))
+      .unionByName(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val nodeLab = deg.join(lab, Seq("node"), "left")
+      .withColumn("cluster",
+        coalesce(col("cluster"), concat(lit("__node_"), col("node"))))
+    val decorated = canon
+      .join(nodeLab.select(col("node").as("u"), col("cluster").as("cu")), "u")
+      .join(nodeLab.select(col("node").as("v"), col("cluster").as("cv")), "v")
+    val eIntra = decorated
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).as("e_intra"))
+    val dMass = nodeLab
+      .groupBy(col("cluster")).agg(sum(col("deg")).as("d_c"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(expr("CAST(d_c AS DECIMAL(38,0)) * d_c")).as("sum_d2"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // three single-row frames -> constant joins
+    eIntra.crossJoin(broadcast(dMass)).crossJoin(broadcast(nNodes))
+      .withColumn("q_num", expr(
+        "CAST(4 AS DECIMAL(38,0)) * m * e_intra - sum_d2"))
+      .withColumn("q_ppm", expr(
+        """CASE WHEN m = 0 THEN NULL
+          |     WHEN q_num < 0 THEN
+          |       -CAST((-q_num) * 1000000 DIV (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)
+          |     ELSE CAST(q_num * 1000000 DIV (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT) END""".stripMargin))
+      .select(col("n_nodes"), col("m").as("n_edges"), col("n_clusters"),
+        col("e_intra"),
+        col("q_num").cast("decimal(38,0)").cast("string").as("q_num"),
+        col("q_ppm"))
+  }
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * 2-D skyline / Pareto frontier (W5) — the classic "undominated
+ * points" operator (Börzsönyi's SKYLINE OF): a row survives iff no
+ * other row is ≥ on BOTH integer criteria and > on at least one. The
+ * data-selection readout ("which docs are undominated in (brevity,
+ * vocabulary)", "which configs in (cost, accuracy)") that a top-k by
+ * any single score cannot express.
+ *
+ * Scale-correct 2-D shape: the corpus NEVER sorts globally — it
+ * collapses to the per-x frame (x, ymax(x)) in one combine (x domains
+ * are bounded: sizes, buckets, grades), and the frontier condition is
+ * a strictly-after running max over DOMAIN rows:
+ *
+ *   skyline(x) ⇔ ymax(x) > max_{x' > x} ymax(x')     (empty max → −∞)
+ *
+ * (strict: an equal-y point at larger x dominates). Joining the
+ * surviving (x, ymax) points back to the corpus recovers the rows ON
+ * the frontier, with exact counts and a deterministic representative
+ * (min id). Both criteria MAXIMIZE; pass a negated column to
+ * minimize.
+ */
+object Skyline {
+
+  /**
+   * Frontier of (`xCol` max, `yCol` max) per key. Output per key:
+   * the frontier points (x, y) ordered by x, each with n_rows at the
+   * point and min `idCol` as representative.
+   */
+  def frontier2d(df: DataFrame, keyCols: Seq[String], xCol: Column,
+      yCol: Column, idCol: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val base = df.select(keyCols.map(col) ++ Seq(xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"), idCol.as("_id")): _*)
+      .localCheckpoint(false)
+    val perX = base.groupBy(keys :+ col("x"): _*)
+      .agg(max(col("y")).as("ymax"))
+    // strictly-after running max: order x DESC, frame excludes current
+    val after = Window.partitionBy(keys: _*).orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perX
+      .withColumn("_after", max(col("ymax")).over(after))
+      .where(col("_after").isNull || col("ymax") > col("_after"))
+      .select(keys ++ Seq(col("x"), col("ymax").as("y")): _*)
+    base.withColumnRenamed("y", "y0")
+      .join(sky, keyCols :+ "x")
+      .where(col("y0") === col("y"))
+      .groupBy(keys ++ Seq(col("x"), col("y")): _*)
+      .agg(count(lit(1)).as("n_rows"), min(col("_id")).as("rep_id"))
+  }
+}

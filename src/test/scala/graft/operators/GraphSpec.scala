@@ -253,4 +253,41 @@ class GraphSpec extends SparkSpec {
     assert(perNode == 3L * global,
       s"corner credits $perNode != 3 * $global triangles")
   }
+
+  // ---- GRAPH9 modularity ----
+
+  private val twoTriangles = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+    4L -> 5L, 5L -> 6L, 4L -> 6L).toDF("u", "v")
+
+  private def modQ(labels: Seq[(Long, String)]) =
+    Graph.modularity(twoTriangles, labels.toDF("node", "cluster")).head()
+
+  test("modularity: two cliques perfectly split score exactly 1/2") {
+    val r = modQ(Seq(1L -> "a", 2L -> "a", 3L -> "a",
+      4L -> "b", 5L -> "b", 6L -> "b"))
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L && r.getLong(3) == 6L)
+    assert(r.getAs[String]("q_num") == "72" && r.getAs[Long]("q_ppm") == 500000L)
+  }
+
+  test("modularity: the trivial one-cluster partition scores exactly 0") {
+    val r = modQ((1L to 6L).map(_ -> "all"))
+    assert(r.getAs[String]("q_num") == "0" && r.getAs[Long]("q_ppm") == 0L)
+  }
+
+  test("modularity: an anti-community partition goes NEGATIVE, sign-split exact") {
+    // every node its own cluster: e_intra = 0, sum d_c^2 = 6*4 = 24,
+    // Q = -24/144 = -1/6 -> sign-split truncation -166666
+    val r = modQ((1L to 6L).map(n => n -> s"c$n"))
+    assert(r.getLong(3) == 0L)
+    assert(r.getAs[String]("q_num") == "-24" && r.getAs[Long]("q_ppm") == -166666L)
+  }
+
+  test("modularity: unlabeled nodes become honest singletons") {
+    // label only the first triangle; 4,5,6 fall back to __node_N
+    val r = modQ(Seq(1L -> "a", 2L -> "a", 3L -> "a"))
+    assert(r.getLong(2) == 4L) // a + three singletons
+    // e_intra = 3 (first triangle only); sum_d2 = 36 + 3*4 = 48
+    // q_num = 4*6*3 - 48 = 24 -> 24e6 DIV 144 = 166666
+    assert(r.getAs[Long]("q_ppm") == 166666L)
+  }
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** W5 2-D skyline: hand frontier, strict domination by equal-y points,
+  * tie counting, and minimize-via-negation. */
+class SkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sky(rows: Seq[(Long, Long, Long)]) =
+    Skyline.frontier2d(
+      rows.toDF("id", "x", "y").withColumn("k", lit("k")),
+      Seq("k"), col("x"), col("y"), col("id"))
+      .orderBy("x").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("hand frontier: equal-y at larger x dominates") {
+    // points (x, y): (1,5) (2,3) (3,4) (3,1) (4,4) (5,2)
+    // frontier: (5,2), (4,4), (1,5) — (3,4) is dominated by (4,4)
+    val rows = Seq((10L, 1L, 5L), (11L, 2L, 3L), (12L, 3L, 4L),
+      (13L, 3L, 1L), (14L, 4L, 4L), (15L, 5L, 2L))
+    assert(sky(rows).toSeq == Seq(
+      (1L, 5L, 1L, 10L), (4L, 4L, 1L, 14L), (5L, 2L, 1L, 15L)))
+  }
+
+  test("ties at a frontier point count rows and pick the min representative") {
+    val rows = Seq((7L, 2L, 9L), (3L, 2L, 9L), (8L, 2L, 4L), (9L, 1L, 9L))
+    // (2,9) is the sole frontier point (x=1,y=9 is dominated by it);
+    // two rows sit on it, rep = min id = 3
+    assert(sky(rows).toSeq == Seq((2L, 9L, 2L, 3L)))
+  }
+
+  test("minimize one criterion by negating it") {
+    // minimize x, maximize y: negate x. points (1,1) (2,5) (3,9):
+    // all on the frontier of (-x, y)
+    val rows = Seq((1L, -1L, 1L), (2L, -2L, 5L), (3L, -3L, 9L))
+    assert(sky(rows).length == 3)
+  }
+}
