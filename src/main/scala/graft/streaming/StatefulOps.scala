@@ -454,6 +454,57 @@ object StatefulOps {
       }
   }
 
+  final case class LatCell(lat: Long, cnt: Long, late: Long)
+  final case class LatState(cells: List[LatCell])
+  final case class LatencyUpdate(
+      key: String, n: Long, late_ppm: Long, p50: Long, p90: Long, p99: Long,
+      max_lat: Long)
+
+  /**
+   * A26's streaming twin: a live SLA dashboard — per key, the latency
+   * histogram accumulates as bounded state (latency domains are DAYS /
+   * small buckets — the DRIFT1s discipline) and every batch emits the
+   * same exact report the batch operator computes: late-rate ppm and
+   * lower-percentile p50/p90/p99 via the threshold bridge
+   * min{x : cnt(≤x)·100 ≥ n·P}. Recomputing the bridge from merged
+   * state each batch (domain-sized work) is what keeps late/duplicate
+   * arrivals exact — a running quantile sketch would drift. Output
+   * mode: Update.
+   */
+  def streamingLatency(rows: DataFrame)(
+      implicit spark: SparkSession): Dataset[LatencyUpdate] = {
+    import spark.implicits._
+    rows
+      .select(col("key").cast("string"), col("lat").cast("long"),
+        col("late").cast("boolean"))
+      .where(col("key").isNotNull && col("lat").isNotNull)
+      .as[(String, Long, Boolean)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[LatState, LatencyUpdate](GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[LatState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+          state.getOption.foreach(_.cells.foreach(c =>
+            m(c.lat) = (c.cnt, c.late)))
+          it.foreach { case (_, lat, late) =>
+            val (c, l) = m.getOrElse(lat, (0L, 0L))
+            m(lat) = (c + 1L, l + (if (late) 1L else 0L))
+          }
+          state.update(LatState(m.toList.sortBy(_._1)
+            .map { case (lat, (c, l)) => LatCell(lat, c, l) }))
+          val cells = m.toArray.sortBy(_._1)
+          val n = cells.map(_._2._1).sum
+          val nLate = cells.map(_._2._2).sum
+          def pct(p: Long): Long = {
+            var cum = 0L
+            cells.find { case (_, (c, _)) =>
+              cum += c; cum * 100 >= n * p
+            }.map(_._1).getOrElse(cells.last._1)
+          }
+          LatencyUpdate(key, n, nLate * 1000000L / n, pct(50), pct(90),
+            pct(99), cells.last._1)
+      }
+  }
+
   @annotation.tailrec
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 

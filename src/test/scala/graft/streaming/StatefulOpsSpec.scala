@@ -542,6 +542,46 @@ class StatefulOpsSpec extends SparkSpec {
     assert(batch == two.toMap)
   }
 
+  test("streamingLatency: bridge percentiles over merged state, re-batching invariant, equals the batch law") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // key a: latencies 0..9 with 6..9 late — the LatencySpec hand case:
+    // late_ppm 400000, p50=4, p90=8, p99=9
+    val rows = (0 until 10).map(i => ("a", i.toLong, i >= 6))
+
+    def run(batches: Seq[Seq[(String, Long, Boolean)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Boolean)]
+      val out = StatefulOps.streamingLatency(
+        mem.toDF.toDF("key", "lat", "late"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.last }
+    }
+
+    val one = run(Seq(rows), "lat_one")
+    assert(one("a") == (("a", 10L, 400000L, 4L, 8L, 9L, 9L)))
+    val three = run(Seq(rows.take(3), rows.slice(3, 7), rows.drop(7)), "lat_three")
+    assert(one == three, "the SLA report must not depend on batching")
+    // equals the batch operator on the same observations
+    val batchDf = rows.toDF("k", "latN", "lateB")
+      .select(col("k"), lit(java.sql.Date.valueOf("2024-01-01")).as("st"),
+        expr("date_add(DATE'2024-01-01', CAST(latN AS INT))").as("en"),
+        expr("CASE WHEN lateB THEN DATE'2023-12-31' ELSE DATE'2099-01-01' END").as("dl"))
+    val b = graft.operators.Latency.latencyCensus(batchDf, Seq("k"),
+      col("st"), col("en"), col("dl")).head()
+    assert(b.getAs[Long]("late_ppm") == 400000L &&
+      b.getAs[Long]("p50_days") == 4L && b.getAs[Long]("p90_days") == 8L &&
+      b.getAs[Long]("p99_days") == 9L)
+  }
+
   private def tsn(day: Int, sec: Int) =
     java.time.LocalDateTime.of(2024, 1, day, 0, 0, 0).plusSeconds(sec.toLong)
 }
