@@ -4071,6 +4071,26 @@ object SparkEntry {
           col("n_rows"), col("rep_id"))
         .orderBy(col("tokens"))
     }),
+
+    // Q234 — GRAPH10 personalized PageRank on the q179 link graph:
+    // teleport restricted to the site-%7 seed cohort, so domain scores
+    // read "relevance to these sites" not global importance — the
+    // seed-based expansion primitive. Same exact integer recurrence,
+    // oracle-unrolled; non-seed sources rest at 0 (the defining PPR
+    // behavior a global floor would destroy).
+    "q234_personalized_pagerank" -> ((s, dir) => {
+      val edges = plantedWebLinks(s, dir)
+        .withColumn("didx",
+          regexp_extract(col("domain"), "d([0-9]+)", 1).cast("long"))
+        .select((col("site") * 10).cast("long").as("src"),
+          (col("didx") * 10 + 1).cast("long").as("dst"))
+        .distinct()
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .where(pmod(expr("node DIV 10"), lit(7L)) === 0L)
+      graft.operators.Graph.personalizedPagerank(edges, seeds,
+          iterations = 3, broadcastRanks = true)
+        .orderBy(col("node"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8419,6 +8439,50 @@ object SparkEntry {
           |SELECT tok AS tokens, voc AS n_vocab,
           |  CAST(count(*) AS BIGINT) AS n_rows, CAST(min(doc_id) AS BIGINT) AS rep_id
           |FROM j GROUP BY 1, 2 ORDER BY tokens""".stripMargin,
+
+      // q179's unrolled integer chain with the teleport seeded to the
+      // site-%7 cohort: r0 = seed*scale, base term seed-gated
+      "q234_personalized_pagerank" ->
+        """WITH d AS (SELECT doc_id, text,
+          |    ('0x'||substr(md5('site:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 37 AS site,
+          |    ('0x'||substr(md5('link1:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 23 AS d1,
+          |    ('0x'||substr(md5('link2:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 23 AS d2,
+          |    ('0x'||substr(md5('link2n:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 AS h2
+          |  FROM documents),
+          |a AS (SELECT doc_id, site,
+          |    text || ' See https://WWW.D' || CAST(d1 AS VARCHAR) || '.example.com/p/'
+          |      || CAST(doc_id AS VARCHAR) || '?utm=1' ||
+          |    CASE WHEN h2 = 0 THEN ' and http://d' || CAST(d2 AS VARCHAR) || '.example.com/x#f'
+          |         ELSE '' END AS aug FROM d),
+          |l AS (SELECT doc_id, site,
+          |    regexp_replace(lower(unnest(regexp_extract_all(aug, 'https?://([A-Za-z0-9.-]+)', 1))),
+          |      '^www\.', '') AS domain
+          |  FROM a),
+          |edges AS (SELECT DISTINCT CAST(site*10 AS BIGINT) AS src,
+          |    CAST(CAST(regexp_extract(domain, 'd([0-9]+)', 1) AS BIGINT)*10+1 AS BIGINT) AS dst
+          |  FROM l),
+          |nodes AS (SELECT node,
+          |    CAST(CASE WHEN node % 10 = 0 AND (node // 10) % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+          |  FROM (SELECT DISTINCT node FROM
+          |    (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))),
+          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+          |r0 AS (SELECT node, is_seed, CAST(is_seed * 1000000000000 AS BIGINT) AS rank FROM nodes),
+          |c1 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+          |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          |r1 AS (SELECT n.node, n.is_seed,
+          |    CAST(n.is_seed * 150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+          |c2 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+          |  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          |r2 AS (SELECT n.node, n.is_seed,
+          |    CAST(n.is_seed * 150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+          |c3 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+          |  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          |r3 AS (SELECT n.node, n.is_seed,
+          |    CAST(n.is_seed * 150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+          |SELECT node, is_seed, rank FROM r3 ORDER BY node""".stripMargin,
     )
   }
 }

@@ -64,6 +64,60 @@ object Graph {
   }
 
   /**
+   * Personalized PageRank (GRAPH10) — [[pagerankIntegers]] with the
+   * teleport restricted to a SEED set: rank mass restarts only at the
+   * seeds, so scores read "relevance to these nodes" instead of global
+   * importance — the seed-based recommendation/expansion primitive
+   * (related items from a query set, trust propagation from a verified
+   * core, topic-conditioned domain quality).
+   *
+   * Same exact integer recurrence as the global law (every step DIV,
+   * engine-replayable, oracle-unrollable), differing only in the base
+   * term and the start vector:
+   *
+   *   r₀(v)   = seed(v)·scale
+   *   rₖ₊₁(v) = seed(v)·⌊0.15·scale⌋ + (17 · Σ_{u→v} rₖ(u) DIV deg(u)) DIV 20
+   *
+   * Non-seed sinks rest at 0 until mass reaches them — the defining
+   * PPR behavior (a global-PageRank node floor would leak relevance
+   * everywhere). Physical shape identical to [[pagerankIntegers]]:
+   * per-iteration equi-joins + one aggregate, lineage truncated per
+   * round.
+   */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 3, scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = false): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "1..20 iterations")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val seedSet = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("_s", lit(1L))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(broadcast(seedSet), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(0L)).as("is_seed"))
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(deg, "src").localCheckpoint(false)
+    val base = scale * 15L / 100L
+    var ranks = nodes.withColumn("rank", col("is_seed") * scale)
+    for (_ <- 1 to iterations) {
+      val rankSide = ranks.select(col("node").as("src"), col("rank"))
+      val contrib = edgesDeg
+        .join(if (broadcastRanks) broadcast(rankSide) else rankSide, "src")
+        .select(col("dst").as("node"), expr("rank DIV deg").as("share"))
+        .groupBy(col("node")).agg(sum(col("share")).as("s"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (col("is_seed") * base + expr("17 * coalesce(s, 0L) DIV 20")).as("rank"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
+  /**
    * Multi-source BFS: minimum hop distance from a seed set along directed
    * edges, capped at `maxLevel` (a node whose shortest path exceeds the
    * cap is absent from the result — mirroring a recursive-CTE oracle's

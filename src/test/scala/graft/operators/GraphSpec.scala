@@ -254,6 +254,32 @@ class GraphSpec extends SparkSpec {
       s"corner credits $perNode != 3 * $global triangles")
   }
 
+  // ---- GRAPH10 personalized PageRank ----
+
+  test("personalizedPagerank: mass flows only from seeds; non-seed islands rest at 0") {
+    // chain 1→2→3 seeded at 1; island 4→5 unseeded.
+    // r3: 1 = base = 1.5e11; 2 = 17·1.5e11 DIV 20 = 1.275e11;
+    //     3 = 17·1.275e11 DIV 20 = 1.08375e11; 4 = 5 = 0
+    val edges = Seq(1L -> 2L, 2L -> 3L, 4L -> 5L).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.personalizedPagerank(edges, seeds, iterations = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 150000000000L)))
+    assert(out(2L) == ((0L, 127500000000L)))
+    assert(out(3L) == ((0L, 108375000000L)))
+    assert(out(4L) == ((0L, 0L)) && out(5L) == ((0L, 0L)))
+  }
+
+  test("personalizedPagerank: seeding every node recovers the global integer law") {
+    val edges = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L).toDF("src", "dst")
+    val allSeeds = Seq(1L, 2L, 3L).toDF("node")
+    val ppr = Graph.personalizedPagerank(edges, allSeeds, iterations = 3)
+      .select("node", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val global = Graph.pagerankIntegers(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == global)
+  }
+
   // ---- GRAPH9 modularity ----
 
   private val twoTriangles = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
