@@ -4091,6 +4091,22 @@ object SparkEntry {
           iterations = 3, broadcastRanks = true)
         .orderBy(col("node"))
     }),
+
+    // Q235 — GRAPH11 HITS hubs & authorities on the q179 link graph:
+    // the curator/content dual PageRank conflates — sites (pure
+    // sources) earn HUB mass by linking good domains, domains earn
+    // AUTHORITY mass from good hubs. Integer max-normalization per
+    // round (ranking-preserving, no irrational L2), oracle-unrolled.
+    "q235_hits" -> ((s, dir) => {
+      val edges = plantedWebLinks(s, dir)
+        .withColumn("didx",
+          regexp_extract(col("domain"), "d([0-9]+)", 1).cast("long"))
+        .select((col("site") * 10).cast("long").as("src"),
+          (col("didx") * 10 + 1).cast("long").as("dst"))
+        .distinct()
+      graft.operators.Graph.hits(edges, rounds = 2)
+        .orderBy(col("node"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8483,6 +8499,57 @@ object SparkEntry {
           |    CAST(n.is_seed * 150000000000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
           |  FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
           |SELECT node, is_seed, rank FROM r3 ORDER BY node""".stripMargin,
+
+      // two unrolled HITS rounds with integer max-normalization
+      "q235_hits" ->
+        """WITH d AS (SELECT doc_id, text,
+          |    ('0x'||substr(md5('site:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 37 AS site,
+          |    ('0x'||substr(md5('link1:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 23 AS d1,
+          |    ('0x'||substr(md5('link2:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 23 AS d2,
+          |    ('0x'||substr(md5('link2n:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 AS h2
+          |  FROM documents),
+          |a AS (SELECT doc_id, site,
+          |    text || ' See https://WWW.D' || CAST(d1 AS VARCHAR) || '.example.com/p/'
+          |      || CAST(doc_id AS VARCHAR) || '?utm=1' ||
+          |    CASE WHEN h2 = 0 THEN ' and http://d' || CAST(d2 AS VARCHAR) || '.example.com/x#f'
+          |         ELSE '' END AS aug FROM d),
+          |l AS (SELECT doc_id, site,
+          |    regexp_replace(lower(unnest(regexp_extract_all(aug, 'https?://([A-Za-z0-9.-]+)', 1))),
+          |      '^www\.', '') AS domain
+          |  FROM a),
+          |edges AS (SELECT DISTINCT CAST(site*10 AS BIGINT) AS src,
+          |    CAST(CAST(regexp_extract(domain, 'd([0-9]+)', 1) AS BIGINT)*10+1 AS BIGINT) AS dst
+          |  FROM l),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+          |h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS h FROM nodes),
+          |a1r AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS ar
+          |  FROM edges e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+          |a1 AS (SELECT n.node,
+          |    CAST(CAST(coalesce(r.ar, 0) AS HUGEINT) * 1000000000000
+          |      // (SELECT max(ar) FROM a1r) AS BIGINT) AS av
+          |  FROM nodes n LEFT JOIN a1r r ON n.node = r.node),
+          |h1r AS (SELECT e.src AS node, CAST(sum(a1.av) AS BIGINT) AS hr
+          |  FROM edges e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+          |h1 AS (SELECT n.node,
+          |    CAST(CAST(coalesce(r.hr, 0) AS HUGEINT) * 1000000000000
+          |      // (SELECT max(hr) FROM h1r) AS BIGINT) AS hv
+          |  FROM nodes n LEFT JOIN h1r r ON n.node = r.node),
+          |a2r AS (SELECT e.dst AS node, CAST(sum(h1.hv) AS BIGINT) AS ar
+          |  FROM edges e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+          |a2 AS (SELECT n.node,
+          |    CAST(CAST(coalesce(r.ar, 0) AS HUGEINT) * 1000000000000
+          |      // (SELECT max(ar) FROM a2r) AS BIGINT) AS av
+          |  FROM nodes n LEFT JOIN a2r r ON n.node = r.node),
+          |h2r AS (SELECT e.src AS node, CAST(sum(a2.av) AS BIGINT) AS hr
+          |  FROM edges e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+          |hh2 AS (SELECT n.node,
+          |    CAST(CAST(coalesce(r.hr, 0) AS HUGEINT) * 1000000000000
+          |      // (SELECT max(hr) FROM h2r) AS BIGINT) AS hv
+          |  FROM nodes n LEFT JOIN h2r r ON n.node = r.node)
+          |SELECT n.node, hh2.hv AS hub, a2.av AS authority
+          |FROM nodes n JOIN hh2 ON n.node = hh2.node JOIN a2 ON n.node = a2.node
+          |ORDER BY n.node""".stripMargin,
     )
   }
 }

@@ -118,6 +118,64 @@ object Graph {
   }
 
   /**
+   * HITS hubs & authorities (GRAPH11) — Kleinberg's bipartite-flavored
+   * dual of PageRank: authorities are pointed to by good hubs, hubs
+   * point to good authorities — the right lens on directed graphs with
+   * distinct "curator" and "content" roles (sites→domains, users→items)
+   * where PageRank's single score conflates the two.
+   *
+   * Exact integer rendition, oracle-unrollable (the q114 discipline):
+   * per round,
+   *
+   *   a'(v) = Σ_{u→v} h(u)        then  a ← a'·scale DIV max(a')
+   *   h'(u) = Σ_{u→v} a(v)        then  h ← h'·scale DIV max(h')
+   *
+   * — the usual L2 normalization (an irrational sqrt) is replaced by
+   * max-normalization, which preserves the RANKING each round and
+   * keeps every value an engine-portable integer in [0, scale]
+   * (the a'·scale product runs in DECIMAL(38,0) — it reaches
+   * |V|·scale² ≈ 10³⁰ long before any realistic graph ends).
+   * h₀ = scale everywhere.
+   *
+   * Physical shape per round: two equi-join+aggregate passes over the
+   * edge list and two single-row max frames broadcast back (constant
+   * joins); lineage truncates per round.
+   */
+  def hits(edges: DataFrame, rounds: Int = 2,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "1..10 rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(false)
+    var hubs = nodes.withColumn("h", lit(scale))
+    var auths = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to rounds) {
+      val aRaw = e.join(hubs.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar"))
+      val aMax = aRaw.agg(max(col("ar")).as("am"))
+      auths = nodes
+        .join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aMax)) // single-row constant join
+        .select(col("node"),
+          expr(s"CAST(CAST(coalesce(ar, 0L) AS DECIMAL(38,0)) * $scale DIV am AS BIGINT)").as("a"))
+        .localCheckpoint(false)
+      val hRaw = e.join(auths.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("hr"))
+      val hMax = hRaw.agg(max(col("hr")).as("hm"))
+      hubs = nodes
+        .join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hMax)) // single-row constant join
+        .select(col("node"),
+          expr(s"CAST(CAST(coalesce(hr, 0L) AS DECIMAL(38,0)) * $scale DIV hm AS BIGINT)").as("h"))
+        .localCheckpoint(false)
+    }
+    nodes.join(hubs, "node").join(auths, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
+  /**
    * Multi-source BFS: minimum hop distance from a seed set along directed
    * edges, capped at `maxLevel` (a node whose shortest path exceeds the
    * cap is absent from the result — mirroring a recursive-CTE oracle's

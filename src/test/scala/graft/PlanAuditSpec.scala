@@ -55,6 +55,10 @@ class PlanAuditSpec extends SparkSpec {
     "q207_discrete_hazard" -> "single-row broadcast: the 1-row corpus max-day censor boundary crossJoins onto the per-unit spans (1 x units, structurally bounded)",
     "q216_association_rules" -> "single-row broadcast: the basket total crossJoins onto the directed rule rows (1 x T^2 rows, type domain is structurally bounded — q81's pattern one stage later)",
     "q232_modularity" -> "single-row broadcasts: the 1-row edge rollup, 1-row degree-mass rollup, and 1-row node count combine (1 x 1 x 1 by construction — the q142 pattern)",
+    // q235_hits: each round's 1-row max-normalizer crossJoin sits BEHIND a
+    // per-round localCheckpoint, so the final plan is clean (the audit's
+    // documented blind spot); the joined side is 1 row by construction.
+    "q229_mann_whitney" -> "bounded replication: the view-baseline day census joins every non-view type on a constant key (Spark folds it to a cross join) — type-domain x calendar rows, structurally bounded",
     "q209_fano_dispersion" -> "single-row broadcast: the 1-row global day-span count crossJoins onto the per-key suffstats (1 x keys, structurally bounded)",
     "q210_chi2_drift" -> "single-row broadcasts: the 1-row span fence crossJoins onto the events pre-census, and the 1-row window totals onto the bin census (1 x rows / 1 x bins, structurally bounded)",
   )

@@ -280,6 +280,24 @@ class GraphSpec extends SparkSpec {
     assert(ppr == global)
   }
 
+  // ---- GRAPH11 HITS ----
+
+  test("hits: hand-computed two rounds on a bipartite curator/content graph") {
+    // hubs {1,2}, auths {3,4}: 1→3, 1→4, 2→3. After round 2:
+    //   hub(1) = S, hub(2) = S·S DIV 1.6S = 625000000000
+    //   auth(3) = S, auth(4) = S·S DIV (S + 666666666666 + ...) —
+    //   derived: a2(4) = 10^24 DIV 1666666666666 = 600000000000
+    // sources carry 0 authority, sinks carry 0 hub (role separation).
+    val edges = Seq(1L -> 3L, 1L -> 4L, 2L -> 3L).toDF("src", "dst")
+    val out = Graph.hits(edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val S = 1000000000000L
+    assert(out(1L) == ((S, 0L)))
+    assert(out(2L) == ((625000000000L, 0L)))
+    assert(out(3L) == ((0L, S)))
+    assert(out(4L) == ((0L, 600000000000L)))
+  }
+
   // ---- GRAPH9 modularity ----
 
   private val twoTriangles = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
