@@ -4107,6 +4107,54 @@ object SparkEntry {
       graft.operators.Graph.hits(edges, rounds = 2)
         .orderBy(col("node"))
     }),
+
+    // Q236 — EVAL10 Markov next-event accuracy: q91's transition
+    // matrix closed into an EVALUATED model — train the argmax
+    // next-event predictor on the first half of the calendar, score
+    // top-1 accuracy on the second half (temporal split, the only
+    // honest one for sequence models; boundary-crossing transitions
+    // drop). Deterministic argmax (count DESC, type ASC); everything
+    // after the per-user lag is transition-domain-sized.
+    "q236_markov_accuracy" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val span = t(s, dir, "events")
+        .agg(expr("date_add(min(CAST(ts AS DATE)), CAST(datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) DIV 2 AS INT))").as("split_day"))
+      val marked = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .crossJoin(broadcast(span)) // single-row constant join
+        .withColumn("half",
+          when(to_date(col("ts")) <= col("split_day"), lit("train"))
+            .otherwise(lit("eval")))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_half", lag(col("half"), 1).over(w))
+        .where(col("prev").isNotNull && col("half") === col("prev_half"))
+        .localCheckpoint(false)
+      val trainM = marked.where(col("half") === "train")
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("c"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("prev")).orderBy(col("c").desc, col("next"))
+      val pred = trainM
+        .withColumn("_r", row_number().over(pw))
+        .where(col("_r") === 1)
+        .select(col("prev"), col("next").as("predicted"))
+      val nTrain = trainM.groupBy(col("prev"))
+        .agg(sum(col("c")).as("n_train"))
+      marked.where(col("half") === "eval")
+        .join(broadcast(pred), Seq("prev"), "left")
+        .groupBy(col("prev"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("event_type") === col("predicted"), 1L).otherwise(0L))
+            .as("n_hit"),
+          max(col("predicted")).as("predicted"))
+        .join(broadcast(nTrain), Seq("prev"), "left")
+        .withColumn("n_train", coalesce(col("n_train"), lit(0L)))
+        .withColumn("acc_ppm", expr("n_hit * 1000000 DIV n_eval"))
+        .select(col("prev").as("prev_type"), col("predicted"), col("n_train"),
+          col("n_eval"), col("n_hit"), col("acc_ppm"))
+        .orderBy(col("prev_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8550,6 +8598,32 @@ object SparkEntry {
           |SELECT n.node, hh2.hv AS hub, a2.av AS authority
           |FROM nodes n JOIN hh2 ON n.node = hh2.node JOIN a2 ON n.node = a2.node
           |ORDER BY n.node""".stripMargin,
+
+      // temporal-split transitions, deterministic argmax, top-1 accuracy
+      "q236_markov_accuracy" ->
+        """WITH sp AS (SELECT min(CAST(ts AS DATE)) + CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) // 2 AS INTEGER) AS split_day FROM events),
+          |m AS (SELECT user_id, ts, event_id, event_type,
+          |    CASE WHEN CAST(ts AS DATE) <= sp.split_day THEN 'train' ELSE 'eval' END AS half
+          |  FROM events, sp),
+          |tr AS (SELECT user_id, event_type, half,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          |    lag(half) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_half
+          |  FROM m),
+          |kept AS (SELECT * FROM tr WHERE prev IS NOT NULL AND half = prev_half),
+          |tm AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS c
+          |  FROM kept WHERE half = 'train' GROUP BY 1, 2),
+          |pred AS (SELECT prev, next AS predicted FROM (
+          |    SELECT prev, next, row_number() OVER (PARTITION BY prev ORDER BY c DESC, next) AS r FROM tm)
+          |  WHERE r = 1),
+          |nt AS (SELECT prev, CAST(sum(c) AS BIGINT) AS n_train FROM tm GROUP BY 1),
+          |ev AS (SELECT k.prev, CAST(count(*) AS BIGINT) AS n_eval,
+          |    CAST(sum(CASE WHEN k.event_type = p.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |    max(p.predicted) AS predicted
+          |  FROM kept k LEFT JOIN pred p ON k.prev = p.prev
+          |  WHERE k.half = 'eval' GROUP BY 1)
+          |SELECT ev.prev AS prev_type, ev.predicted, coalesce(nt.n_train, 0) AS n_train,
+          |  ev.n_eval, ev.n_hit, ev.n_hit * 1000000 // ev.n_eval AS acc_ppm
+          |FROM ev LEFT JOIN nt ON ev.prev = nt.prev ORDER BY prev_type""".stripMargin,
     )
   }
 }

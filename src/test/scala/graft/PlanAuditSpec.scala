@@ -59,6 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     // per-round localCheckpoint, so the final plan is clean (the audit's
     // documented blind spot); the joined side is 1 row by construction.
     "q229_mann_whitney" -> "bounded replication: the view-baseline day census joins every non-view type on a constant key (Spark folds it to a cross join) — type-domain x calendar rows, structurally bounded",
+    // q236_markov_accuracy: the 1-row calendar split crossJoin sits behind
+    // the marked-transitions localCheckpoint (the documented blind spot);
+    // the joined side is 1 row by construction.
     "q209_fano_dispersion" -> "single-row broadcast: the 1-row global day-span count crossJoins onto the per-key suffstats (1 x keys, structurally bounded)",
     "q210_chi2_drift" -> "single-row broadcasts: the 1-row span fence crossJoins onto the events pre-census, and the 1-row window totals onto the bin census (1 x rows / 1 x bins, structurally bounded)",
   )
