@@ -4155,6 +4155,32 @@ object SparkEntry {
           col("n_eval"), col("n_hit"), col("acc_ppm"))
         .orderBy(col("prev_type"))
     }),
+
+    // Q237 — W6 interval union/coverage: per customer, merge the
+    // order-activity windows [orderdate, last shipdate] into disjoint
+    // spans — the span-grain coverage question islands (day-grain)
+    // can't answer without exploding intervals to days. One sweep
+    // window per key, exact day arithmetic.
+    "q237_interval_coverage" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"))
+        .agg(max(to_date(col("l_shipdate"))).as("sd"))
+      graft.operators.CalendarOps.intervalUnion(iv, Seq("o_custkey"),
+          col("od"), col("sd"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Q238 — SIM10 pairwise source-similarity matrix: cosine over
+    // unigram count profiles, token-keyed pair join (never all-pairs
+    // over docs), exact DECIMAL(38,0) dot/norms as canonical strings +
+    // one mirrored IEEE tail — the "which providers resemble each
+    // other" reading before reweighting or merging feeds.
+    "q238_source_similarity" -> ((s, dir) =>
+      graft.operators.Drift.sourceCosineMatrix(
+          t(s, dir, "documents"), "text", "source")
+        .orderBy(col("src_a"), col("src_b"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8624,6 +8650,44 @@ object SparkEntry {
           |SELECT ev.prev AS prev_type, ev.predicted, coalesce(nt.n_train, 0) AS n_train,
           |  ev.n_eval, ev.n_hit, ev.n_hit * 1000000 // ev.n_eval AS acc_ppm
           |FROM ev LEFT JOIN nt ON ev.prev = nt.prev ORDER BY prev_type""".stripMargin,
+
+      // order-window sweep: break when start clears the running max end
+      "q237_interval_coverage" ->
+        """WITH iv AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,
+          |    max(CAST(l_shipdate AS DATE)) AS e
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |  GROUP BY o_custkey, o_orderkey, CAST(o_orderdate AS DATE)),
+          |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv
+          |  WHERE s <= e),
+          |b AS (SELECT k, s, e,
+          |    CASE WHEN pm IS NULL OR date_diff('day', pm, s) > 1 THEN 1 ELSE 0 END AS brk FROM w),
+          |sp0 AS (SELECT k, s, e, sum(brk) OVER (PARTITION BY k ORDER BY s, e
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span FROM b),
+          |sp AS (SELECT k, span, CAST(count(*) AS BIGINT) AS n_in,
+          |    min(s) AS ss, max(e) AS se FROM sp0 GROUP BY 1, 2),
+          |g AS (SELECT k, CAST(sum(n_in) AS BIGINT) AS n_intervals,
+          |    CAST(count(*) AS BIGINT) AS n_spans,
+          |    CAST(sum(date_diff('day', ss, se) + 1) AS BIGINT) AS covered_days,
+          |    CAST(max(date_diff('day', ss, se) + 1) AS BIGINT) AS max_span_days
+          |  FROM sp GROUP BY 1)
+          |SELECT k AS o_custkey, n_intervals, n_spans, covered_days, max_span_days
+          |FROM g ORDER BY o_custkey""".stripMargin,
+
+      // token-keyed profile join; HUGEINT dot/norms, one IEEE tail
+      "q238_source_similarity" ->
+        """WITH tk AS (SELECT source,
+          |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+          |p AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+          |n AS (SELECT source, sum(CAST(c AS HUGEINT) * c) AS d2 FROM p GROUP BY 1),
+          |d AS (SELECT a.source AS src_a, b.source AS src_b,
+          |    sum(CAST(a.c AS HUGEINT) * b.c) AS dot
+          |  FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT d.src_a, d.src_b, CAST(d.dot AS VARCHAR) AS dot,
+          |  CAST(d.dot AS DOUBLE) / sqrt(CAST(na.d2 AS DOUBLE) * CAST(nb.d2 AS DOUBLE)) AS cos_fp
+          |FROM d JOIN n na ON d.src_a = na.source JOIN n nb ON d.src_b = nb.source
+          |ORDER BY src_a, src_b""".stripMargin,
     )
   }
 }

@@ -98,4 +98,52 @@ object CalendarOps {
         col("len").as("streak_len") :+
         col("gap_start").as("streak_start"): _*)
   }
+
+  /**
+   * Interval union / coverage (W6) — merge overlapping-or-touching
+   * DATE intervals per key and report the union: [[islands]] answers
+   * "which DAYS are present"; this answers the SPAN-grain question
+   * ("how many days was this customer in an active order window",
+   * "what fraction of the quarter was under maintenance") without ever
+   * exploding intervals to days — the classic sweep:
+   *
+   *   order by (start, end); a new span opens when start > running
+   *   max(end) of everything before; covered = Σ span lengths
+   *
+   * (adjacent intervals — start = prev_end + 1 day — also merge: day
+   * coverage is what's being measured and they touch). Exact integer
+   * day arithmetic throughout.
+   *
+   * Output per key: n_intervals, n_spans, covered_days,
+   * max_span_days. One key-partitioned window + one rollup.
+   */
+  def intervalUnion(df: DataFrame, keyCols: Seq[String], startCol: Column,
+      endCol: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val base = df.select(keyCols.map(col) ++
+      Seq(startCol.as("_s"), endCol.as("_e")): _*)
+      .where(col("_s").isNotNull && col("_e").isNotNull &&
+        col("_s") <= col("_e"))
+    val order = Window.partitionBy(keys: _*).orderBy(col("_s"), col("_e"))
+    val prevMax = order.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = base
+      .withColumn("_pm", max(col("_e")).over(prevMax))
+      // a span break: nothing before, or a gap of at least one full day
+      .withColumn("_brk",
+        when(col("_pm").isNull || datediff(col("_s"), col("_pm")) > 1, 1L)
+          .otherwise(0L))
+      .withColumn("_span", sum(col("_brk")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys :+ col("_span"): _*)
+      .agg(count(lit(1)).as("n_in"), min(col("_s")).as("sp_s"),
+        max(col("_e")).as("sp_e"))
+      .withColumn("sp_days", (datediff(col("sp_e"), col("sp_s")) + 1).cast("long"))
+    spans
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("n_in")).as("n_intervals"),
+        count(lit(1)).as("n_spans"),
+        sum(col("sp_days")).as("covered_days"),
+        max(col("sp_days")).as("max_span_days"))
+  }
 }

@@ -298,6 +298,54 @@ object Drift {
    * Scale posture: one map-side-combinable histogram aggregate, one
    * key-partitioned cumsum over DOMAIN rows, one rollup.
    */
+  /**
+   * Pairwise source-similarity matrix (SIM10) — the positive
+   * complement of [[tokenDriftReport]]: drift asks "how far is this
+   * source from the rest", this asks "WHICH sources resemble each
+   * other" — the reading a mixing/dedup planner wants before merging
+   * or reweighting providers (two near-identical feeds should not both
+   * get full weight).
+   *
+   * Cosine over unigram count profiles: dot = Σ_t c_a(t)·c_b(t) and
+   * the squared norms are exact DECIMAL(38,0) sums (token counts
+   * square past 2⁶³ at corpus scale), emitted as canonical digit
+   * strings (q122 bridge); cos_fp = dot/√(d_a·d_b) is the one mirrored
+   * decimal→double IEEE tail (the assortativity convention). Pairs
+   * with NO shared vocabulary simply don't appear (dot = 0 rows would
+   * be |S|²-dense for nothing).
+   *
+   * Scale posture: the corpus collapses to (source, token) profiles in
+   * one combine; the pair join is TOKEN-keyed (never all-pairs over
+   * docs), so candidate volume is Σ_t (#sources carrying t)² —
+   * vocabulary-bounded, source-domain-bounded, corpus-free.
+   */
+  def sourceCosineMatrix(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val prof = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val norms = prof.groupBy(col("source"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("d2"))
+    val dots = prof.as("a")
+      .join(prof.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(expr("CAST(a.c AS DECIMAL(38,0)) * b.c")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("source").as("src_a"),
+        col("d2").as("d2a"))), Seq("src_a"))
+      .join(broadcast(norms.select(col("source").as("src_b"),
+        col("d2").as("d2b"))), Seq("src_b"))
+      .withColumn("cos_fp", expr(
+        "CAST(dot AS DOUBLE) / sqrt(CAST(d2a AS DOUBLE) * CAST(d2b AS DOUBLE))"))
+      .select(col("src_a"), col("src_b"),
+        col("dot").cast("decimal(38,0)").cast("string").as("dot"),
+        col("cos_fp"))
+  }
+
   def ksTwoSample(samples: DataFrame, keyCol: String, isACol: Column,
       valueCol: Column, critC2Ppm: Long = 1844440L): DataFrame = {
     val hist = samples

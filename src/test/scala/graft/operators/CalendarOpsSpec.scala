@@ -107,4 +107,30 @@ class CalendarOpsSpec extends SparkSpec {
       ("NQ", 3L, "2025-01-04"),
     ))
   }
+  // ---- W6 interval union ----
+
+  test("intervalUnion: overlap + adjacency merge, gaps split, containment absorbs") {
+    import org.apache.spark.sql.functions.col
+    def d(x: String) = java.sql.Date.valueOf(x)
+    // k=a: [1,5] [3,8] [9,10] (adjacent -> merges) | [15,15]
+    //   -> spans [1,10], [15,15]: covered 11, max 10
+    // k=b: [1,10] contains [2,3] -> one span, covered 10
+    // k=c: inverted [5,2] drops entirely -> key absent
+    val rows = Seq(
+      ("a", d("2024-01-01"), d("2024-01-05")),
+      ("a", d("2024-01-03"), d("2024-01-08")),
+      ("a", d("2024-01-09"), d("2024-01-10")),
+      ("a", d("2024-01-15"), d("2024-01-15")),
+      ("b", d("2024-01-01"), d("2024-01-10")),
+      ("b", d("2024-01-02"), d("2024-01-03")),
+      ("c", d("2024-01-05"), d("2024-01-02")),
+    ).toDF("k", "st", "en")
+    val out = CalendarOps.intervalUnion(rows, Seq("k"), col("st"), col("en"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out("a") == ((4L, 2L, 11L, 10L)))
+    assert(out("b") == ((2L, 1L, 10L, 10L)))
+    assert(!out.contains("c"))
+  }
 }

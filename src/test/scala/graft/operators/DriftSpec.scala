@@ -284,4 +284,18 @@ class DriftSpec extends SparkSpec {
     assert(out("md") == ((4L, 4L, "8", 500000L, java.lang.Boolean.FALSE)))
     assert(out("es") == ((3L, 0L, "0", -1L, null)))
   }
+  // ---- SIM10 source cosine matrix ----
+
+  test("sourceCosineMatrix: identical profiles hit 1.0; disjoint vocabularies emit no pair") {
+    val docs = Seq(
+      ("s1", "alpha beta beta"), ("s2", "beta alpha beta"),   // same profile
+      ("s3", "gamma gamma delta"),                            // disjoint from s1/s2? shares none
+    ).toDF("source", "text")
+    val out = Drift.sourceCosineMatrix(docs, "text", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getString(2), r.getAs[Double]("cos_fp")))).toMap
+    // s1/s2: counts (alpha 1, beta 2) both -> dot 5, norms 5 -> cos 1.0
+    assert(out(("s1", "s2")) == (("5", 1.0)))
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+  }
 }
