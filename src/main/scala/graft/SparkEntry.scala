@@ -4181,6 +4181,30 @@ object SparkEntry {
       graft.operators.Drift.sourceCosineMatrix(
           t(s, dir, "documents"), "text", "source")
         .orderBy(col("src_a"), col("src_b"))),
+
+    // Q239 — A27 underwater-duration census: q87-style depth is not
+    // the number risk quotes — DURATION is. Per event type: days
+    // strictly below the running daily-revenue peak, spells as
+    // consecutive-CALENDAR-day islands (a gap breaks a spell — the
+    // honest-gaps stance), longest spell with deterministic start.
+    "q239_underwater" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      graft.operators.Rolling.underwaterCensus(daily, "event_type", "day",
+          "cents")
+        .orderBy(col("event_type"))
+    }),
+
+    // Q240 — T17 n-gram novelty curve over ingest shards (doc_id mod
+    // 10 as the deterministic batch law): per batch, the share of its
+    // distinct trigrams unseen in earlier batches — decaying novelty
+    // is a healthy crawl, a collapse is a stuck one. First-occurrence
+    // via gram-keyed min, order-free.
+    "q240_novelty_curve" -> ((s, dir) =>
+      graft.operators.Vocabulary.noveltyCurve(
+          t(s, dir, "documents"), pmod(col("doc_id"), lit(10L)), col("text"))
+        .orderBy(col("batch"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8688,6 +8712,51 @@ object SparkEntry {
           |  CAST(d.dot AS DOUBLE) / sqrt(CAST(na.d2 AS DOUBLE) * CAST(nb.d2 AS DOUBLE)) AS cos_fp
           |FROM d JOIN n na ON d.src_a = na.source JOIN n nb ON d.src_b = nb.source
           |ORDER BY src_a, src_b""".stripMargin,
+
+      // running peak + W1 islands on underwater days
+      "q239_underwater" ->
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM events GROUP BY 1, 2),
+          |pk AS (SELECT event_type, day, cents,
+          |    max(cents) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM daily),
+          |uw AS (SELECT event_type, day, cents < peak AS under FROM pk),
+          |isl AS (SELECT event_type, day,
+          |    day - CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS INTEGER) AS grp
+          |  FROM uw WHERE under),
+          |sp AS (SELECT event_type, grp, CAST(count(*) AS BIGINT) AS len,
+          |    min(day) AS sp_start FROM isl GROUP BY 1, 2),
+          |sa AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_spells,
+          |    CAST(max(len) AS BIGINT) AS max_spell_days,
+          |    min(CASE WHEN len = ml THEN sp_start END) AS longest_spell_start
+          |  FROM (SELECT sp.*, max(len) OVER (PARTITION BY event_type) AS ml FROM sp)
+          |  GROUP BY 1),
+          |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          |    CAST(sum(CASE WHEN under THEN 1 ELSE 0 END) AS BIGINT) AS n_underwater
+          |  FROM uw GROUP BY 1)
+          |SELECT tot.event_type, tot.n_days, tot.n_underwater,
+          |  tot.n_underwater * 1000000 // tot.n_days AS underwater_ppm,
+          |  coalesce(sa.n_spells, 0) AS n_spells,
+          |  coalesce(sa.max_spell_days, 0) AS max_spell_days,
+          |  sa.longest_spell_start
+          |FROM tot LEFT JOIN sa ON tot.event_type = sa.event_type
+          |ORDER BY tot.event_type""".stripMargin,
+
+      // q214's shingle law, presence-deduped, first-occurrence min
+      "q240_novelty_curve" ->
+        """WITH w AS (SELECT doc_id % 10 AS batch,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |g AS (SELECT DISTINCT batch,
+          |    unnest(list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS gram
+          |  FROM w),
+          |f AS (SELECT gram, CAST(min(batch) AS BIGINT) AS fb FROM g GROUP BY 1)
+          |SELECT CAST(g.batch AS BIGINT) AS batch,
+          |  CAST(count(*) AS BIGINT) AS n_grams,
+          |  CAST(sum(CASE WHEN f.fb = g.batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          |  CAST(sum(CASE WHEN f.fb = g.batch THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+          |FROM g JOIN f ON g.gram = f.gram GROUP BY 1 ORDER BY batch""".stripMargin,
     )
   }
 }

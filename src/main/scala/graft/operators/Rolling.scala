@@ -55,6 +55,55 @@ object Rolling {
   }
 
   /**
+   * Underwater-duration census (A27) — [[maxDrawdown]] prices the
+   * DEPTH of the worst peak-to-trough drop; this prices its DURATION,
+   * the number risk reporting actually quotes ("longest time below a
+   * prior peak"): a day is underwater when its value sits strictly
+   * below the running maximum of the daily series so far, and spells
+   * are maximal runs of CONSECUTIVE CALENDAR days underwater (a data
+   * gap breaks a spell — same honest-gaps stance as the q212 ACF; a
+   * row-sequence spell would silently bridge missing days).
+   *
+   * Exact integers end to end: running max window per key, then the
+   * W1 islands law (date − row_number) on underwater days. Output per
+   * key: n_days, n_underwater, underwater_ppm, n_spells,
+   * max_spell_days, and the deterministic start of the longest spell
+   * (earliest on ties). Two key-partitioned windows + one rollup.
+   */
+  def underwaterCensus(daily: DataFrame, keyCol: String, dayCol: String,
+      centsCol: String): DataFrame = {
+    val order = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val uw = daily
+      .withColumn("_c", col(centsCol).cast("long"))
+      .withColumn("_peak", max(col("_c")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_uw", col("_c") < col("_peak"))
+      .localCheckpoint(false)
+    val uwOrder = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val spells = uw.where(col("_uw"))
+      .withColumn("_rn", row_number().over(uwOrder))
+      .withColumn("_isl", expr(s"date_sub(${dayCol}, CAST(_rn AS INT))"))
+      .groupBy(col(keyCol), col("_isl"))
+      .agg(count(lit(1)).as("len"), min(col(dayCol)).as("sp_start"))
+    val spellAgg = spells
+      .withColumn("_ml", max(col("len")).over(Window.partitionBy(col(keyCol))))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_spells"), max(col("len")).as("max_spell_days"),
+        min(when(col("len") === col("_ml"), col("sp_start")))
+          .as("longest_spell_start"))
+    val totals = uw.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("_uw"), 1L).otherwise(0L)).as("n_underwater"))
+    totals.join(spellAgg, Seq(keyCol), "left")
+      .withColumn("n_spells", coalesce(col("n_spells"), lit(0L)))
+      .withColumn("max_spell_days", coalesce(col("max_spell_days"), lit(0L)))
+      .withColumn("underwater_ppm",
+        expr("n_underwater * 1000000 DIV n_days"))
+      .select(keyCol, "n_days", "n_underwater", "underwater_ppm", "n_spells",
+        "max_spell_days", "longest_spell_start")
+  }
+
+  /**
    * Rolling mean/volatility bands over the last `nRows` rows per key
    * (fewer at the head of the series): exact DECIMAL window sums of value
    * and value², population variance from the textbook identity

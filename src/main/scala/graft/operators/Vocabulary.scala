@@ -257,4 +257,34 @@ object Vocabulary {
       .withColumn("p0_ppm", expr("n1 * 1000000 DIV n_tokens"))
       .select("r", "n_types", "mass", "gt_r_ppm", "p0_ppm")
   }
+
+  /**
+   * N-gram novelty curve (T17) — the ingest-monitoring census "how
+   * much of each batch's content is genuinely NEW": per batch, the
+   * fraction of its distinct word n-grams never seen in any EARLIER
+   * batch. A healthy crawl shows decaying novelty (the head of the
+   * web repeats); a novelty SPIKE flags a new domain mix, a novelty
+   * COLLAPSE flags a crawler stuck re-fetching — the shape a mixing
+   * planner reads before admitting a batch.
+   *
+   * First-occurrence law: fb(g) = min batch containing g (exact,
+   * order-free — no sequential scan over batches), novelty_ppm =
+   * new·10⁶ DIV present. One presence-dedup aggregate, one
+   * gram-keyed min, one gram-keyed join back — everything shuffles on
+   * the GRAM key, text never moves twice.
+   */
+  def noveltyCurve(docs: DataFrame, batchCol: Column, textCol: Column,
+      n: Int = 3): DataFrame = {
+    val present = docs
+      .select(batchCol.cast("long").as("batch"),
+        explode(wordShingles(textCol, n)).as("gram"))
+      .distinct()
+      .localCheckpoint(false)
+    val first = present.groupBy(col("gram")).agg(min(col("batch")).as("fb"))
+    present.join(first, "gram")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fb") === col("batch"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("novelty_ppm", expr("n_new * 1000000 DIV n_grams"))
+  }
 }

@@ -325,4 +325,27 @@ class RollingSpec extends SparkSpec {
     assert(r.getAs[Long]("qhat_cents") == 70L)
     assert(r.getAs[Long]("coverage_ppm") == 1000000L)
   }
+  // ---- A27 underwater census ----
+
+  test("underwaterCensus: spells break on calendar gaps, longest start deterministic") {
+    // days 1,2,3,4,5,7 values 10,8,9,12,11,10: under = F,T,T,F,T,T but
+    // day 5 and day 7 are NOT consecutive (gap at 6) -> three spells:
+    // {2,3} (len 2), {5}, {7}; 4/6 days under
+    val rows = Seq((1, 10L), (2, 8L), (3, 9L), (4, 12L), (5, 11L), (7, 10L))
+      .map { case (i, c) => ("k", day(i), c) }
+    val r = Rolling.underwaterCensus(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents").head()
+    assert(r.getAs[Long]("n_days") == 6L && r.getAs[Long]("n_underwater") == 4L)
+    assert(r.getAs[Long]("underwater_ppm") == 666666L)
+    assert(r.getAs[Long]("n_spells") == 3L && r.getAs[Long]("max_spell_days") == 2L)
+    assert(r.getAs[java.sql.Date]("longest_spell_start") == day(1 + 1))
+  }
+
+  test("underwaterCensus: a monotone rise never goes underwater") {
+    val rows = (0 until 5).map(i => ("k", day(i), 100L + i))
+    val r = Rolling.underwaterCensus(rows.toDF("k", "day", "cents"),
+      "k", "day", "cents").head()
+    assert(r.getAs[Long]("n_underwater") == 0L && r.getAs[Long]("n_spells") == 0L)
+    assert(r.isNullAt(r.fieldIndex("longest_spell_start")))
+  }
 }

@@ -141,4 +141,19 @@ class VocabularySpec extends SparkSpec {
     val out = Vocabulary.goodTuring(toks, "tok", maxR = 3).collect()
     assert(out.map(_.getAs[Long]("mass")).sum == 500L)
   }
+  // ---- T17 novelty curve ----
+
+  test("noveltyCurve: first batch is all-new, repeats stop counting") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "a b c d"),        // batch 0: grams {a b c, b c d}
+      (1L, "b c d e"),        // batch 1: {b c d (old), c d e (new)}
+      (2L, "b c d"),          // batch 2: {b c d} -> nothing new
+    ).toDF("batch", "text")
+    val out = Vocabulary.noveltyCurve(docs, col("batch"), col("text"))
+      .orderBy("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L, 2L, 1000000L), (1L, 2L, 1L, 500000L),
+      (2L, 1L, 0L, 0L)))
+  }
 }
