@@ -4205,6 +4205,74 @@ object SparkEntry {
       graft.operators.Vocabulary.noveltyCurve(
           t(s, dir, "documents"), pmod(col("doc_id"), lit(10L)), col("text"))
         .orderBy(col("batch"))),
+
+    // Q241 — SC7b RLE-benefit advisor: before choosing a lake sort
+    // key, measure what run-length encoding would actually buy per
+    // column UNDER that order — runs = 1 + transitions over the
+    // (l_orderkey, l_linenumber) layout, est ratio = rows DIV runs.
+    // Transitions count per key partition (order-local windows, the
+    // lake's own partitioning), then one global rollup per column.
+    "q241_rle_advisor" -> ((s, dir) => {
+      // the q193 FD audit found (orderkey, linenumber) is NOT unique in
+      // the testdata — the measured columns join the sort as tiebreak
+      // (rows still tied are value-identical: runs are order-invariant)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"), col("l_suppkey"))
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+      val marked = li.select(Seq(col("l_orderkey"), col("l_linenumber")) ++
+        cols.map(col): _*)
+        .select(Seq(col("l_orderkey")) ++ cols.map { c =>
+          // a run starts at the partition head or on a value change
+          when(lag(col(c), 1).over(w).isNull ||
+            lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L).as(s"_r_$c")
+        }: _*)
+      val aggRow = marked.agg(count(lit(1)).as("n_rows"),
+        cols.map(c => sum(col(s"_r_$c")).as(s"runs_$c")): _*)
+      aggRow
+        .selectExpr("n_rows",
+          s"stack(${cols.length}, " +
+            cols.map(c => s"'$c', runs_$c").mkString(", ") +
+            ") AS (column_name, n_runs)")
+        .withColumn("est_ratio_ppm", expr("n_rows * 1000000 DIV n_runs"))
+        .select("column_name", "n_rows", "n_runs", "est_ratio_ppm")
+        .orderBy(col("column_name"))
+    }),
+
+    // Q242 — DQ9 join-cardinality estimator audit: the textbook
+    // |R ⋈ S| ≈ |R|·|S| / max(d_R, d_S) estimate scored against the
+    // ACTUAL join size per relation — the optimizer-stats sanity check
+    // run before trusting any cost-based plan on this lake. Exact
+    // integers; err as signed ppm via sign-split DIV.
+    "q242_join_cardinality" -> ((s, dir) => {
+      def audit(relation: String, a: DataFrame, ak: Column, b: DataFrame,
+          bk: Column) = {
+        val sa = a.agg(count(lit(1)).as("n_a"),
+          countDistinct(ak).as("d_a"))
+        val sb = b.agg(count(lit(1)).as("n_b"),
+          countDistinct(bk).as("d_b"))
+        val actual = a.select(ak.as("k")).join(b.select(bk.as("k")), "k")
+          .agg(count(lit(1)).as("actual"))
+        sa.crossJoin(broadcast(sb)).crossJoin(broadcast(actual))
+          .withColumn("relation", lit(relation))
+          .withColumn("est", expr(
+            "CAST(CAST(n_a AS DECIMAL(38,0)) * n_b DIV greatest(d_a, d_b) AS BIGINT)"))
+          .withColumn("err_ppm", expr(
+            """CASE WHEN actual = 0 THEN NULL
+              |     WHEN est >= actual THEN (est - actual) * 1000000 DIV actual
+              |     ELSE -((actual - est) * 1000000 DIV actual) END""".stripMargin))
+          .select("relation", "n_a", "n_b", "d_a", "d_b", "actual", "est",
+            "err_ppm")
+      }
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      audit("lineitem-orders", li, col("l_orderkey"), o, col("o_orderkey"))
+        .unionByName(audit("lineitem-part", li, col("l_partkey"),
+          t(s, dir, "part"), col("p_partkey")))
+        .unionByName(audit("orders-customer", o, col("o_custkey"),
+          t(s, dir, "customer"), col("c_custkey")))
+        .orderBy(col("relation"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8757,6 +8825,56 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN f.fb = g.batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
           |  CAST(sum(CASE WHEN f.fb = g.batch THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
           |FROM g JOIN f ON g.gram = f.gram GROUP BY 1 ORDER BY batch""".stripMargin,
+
+      // run starts per (orderkey, linenumber) layout, one rollup, stack
+      "q241_rle_advisor" ->
+        """WITH m AS (SELECT l_orderkey,
+          |    CASE WHEN lag(l_returnflag) OVER w IS NULL
+          |         OR lag(l_returnflag) OVER w <> l_returnflag THEN 1 ELSE 0 END AS r_rf,
+          |    CASE WHEN lag(l_linestatus) OVER w IS NULL
+          |         OR lag(l_linestatus) OVER w <> l_linestatus THEN 1 ELSE 0 END AS r_ls,
+          |    CASE WHEN lag(l_suppkey) OVER w IS NULL
+          |         OR lag(l_suppkey) OVER w <> l_suppkey THEN 1 ELSE 0 END AS r_sk
+          |  FROM lineitem WINDOW w AS (PARTITION BY l_orderkey
+          |    ORDER BY l_linenumber, l_returnflag, l_linestatus, l_suppkey)),
+          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(sum(r_rf) AS BIGINT) AS rf, CAST(sum(r_ls) AS BIGINT) AS ls,
+          |    CAST(sum(r_sk) AS BIGINT) AS sk FROM m),
+          |u AS (SELECT 'l_returnflag' AS column_name, n_rows, rf AS n_runs FROM a
+          |  UNION ALL SELECT 'l_linestatus', n_rows, ls FROM a
+          |  UNION ALL SELECT 'l_suppkey', n_rows, sk FROM a)
+          |SELECT column_name, n_rows, n_runs,
+          |  n_rows * 1000000 // n_runs AS est_ratio_ppm
+          |FROM u ORDER BY column_name""".stripMargin,
+
+      // textbook |R JOIN S| = nR*nS / max(dR,dS) scored vs actual
+      "q242_join_cardinality" ->
+        """WITH r1 AS (SELECT 'lineitem-orders' AS relation,
+          |    (SELECT count(*) FROM lineitem) AS n_a, (SELECT count(*) FROM orders) AS n_b,
+          |    (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS d_a,
+          |    (SELECT count(DISTINCT o_orderkey) FROM orders) AS d_b,
+          |    (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS actual),
+          |r2 AS (SELECT 'lineitem-part',
+          |    (SELECT count(*) FROM lineitem), (SELECT count(*) FROM part),
+          |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+          |    (SELECT count(DISTINCT p_partkey) FROM part),
+          |    (SELECT count(*) FROM lineitem JOIN part ON l_partkey = p_partkey)),
+          |r3 AS (SELECT 'orders-customer',
+          |    (SELECT count(*) FROM orders), (SELECT count(*) FROM customer),
+          |    (SELECT count(DISTINCT o_custkey) FROM orders),
+          |    (SELECT count(DISTINCT c_custkey) FROM customer),
+          |    (SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey)),
+          |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3),
+          |f AS (SELECT relation, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          |    CAST(d_a AS BIGINT) AS d_a, CAST(d_b AS BIGINT) AS d_b,
+          |    CAST(actual AS BIGINT) AS actual,
+          |    CAST(CAST(n_a AS HUGEINT) * n_b // greatest(d_a, d_b) AS BIGINT) AS est
+          |  FROM u)
+          |SELECT relation, n_a, n_b, d_a, d_b, actual, est,
+          |  CASE WHEN actual = 0 THEN NULL
+          |       WHEN est >= actual THEN (est - actual) * 1000000 // actual
+          |       ELSE -((actual - est) * 1000000 // actual) END AS err_ppm
+          |FROM f ORDER BY relation""".stripMargin,
     )
   }
 }
