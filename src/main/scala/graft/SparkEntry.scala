@@ -4273,6 +4273,71 @@ object SparkEntry {
           t(s, dir, "customer"), col("c_custkey")))
         .orderBy(col("relation"))
     }),
+
+    // Q243 — B9 last-touch attribution through the NATIVE as-of merge
+    // plan: each purchase attributes to the user's most recent click
+    // within 7 days (clicks dedup to (user, ts) so the as-of match is
+    // unambiguous), rolled up per purchase weekday with exact gap
+    // minutes — the marketing-attribution readout as one backward
+    // as-of join, not a window over the full event stream.
+    "q243_last_touch" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts")).distinct()
+        .withColumn("ts", col("click_ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TimeJoins.asOfBackwardWithin(purchases, clicks, Seq("user_id"),
+          "ts", "ts", Seq("click_ts"), matchTsCol = "click_ts",
+          tolerance = "INTERVAL 7 DAYS")
+        .groupBy(weekday(to_date(col("ts"))).cast("long").as("wd"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(when(col("click_ts").isNotNull, 1L).otherwise(0L))
+            .as("n_attributed"),
+          sum(when(col("click_ts").isNotNull,
+            expr("(unix_timestamp(ts) - unix_timestamp(click_ts)) DIV 60"))
+            .otherwise(0L)).as("sum_gap_min"),
+          max(expr("(unix_timestamp(ts) - unix_timestamp(click_ts)) DIV 60"))
+            .as("max_gap_min"))
+        .withColumn("attributed_ppm",
+          expr("n_attributed * 1000000 DIV n_purchases"))
+        .orderBy(col("wd"))
+    }),
+
+    // Q244 — DQ10 cross-table revenue reconciliation: does
+    // Σ price·(1−disc)·(1+tax) over an order's lines equal the
+    // order-header total? Exact DECIMAL arithmetic end to end (the
+    // gap leaves as integral micro-units), per-priority census — the
+    // double-entry audit run before any revenue report is trusted,
+    // reporting the generator's true gap honestly.
+    "q244_revenue_reconciliation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(BigDecimal(1)).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))) *
+            (lit(BigDecimal(1)).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2))))
+            .cast(DecimalType(30, 6)).as("line_rev"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("line_rev")).cast(DecimalType(38, 6)).as("computed"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("header"))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("gap_u6", expr(
+          "CAST((coalesce(computed, CAST(0 AS DECIMAL(38,6))) - header) * 1000000 AS DECIMAL(38,0))"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("gap_u6") =!= 0, 1L).otherwise(0L)).as("n_mismatched"),
+          max(abs(col("gap_u6"))).cast("decimal(38,0)").cast("string")
+            .as("max_abs_gap_u6"),
+          sum(abs(col("gap_u6"))).cast("decimal(38,0)").cast("string")
+            .as("total_abs_gap_u6"))
+        .withColumn("matched_ppm", expr(
+          "(n_orders - n_mismatched) * 1000000 DIV n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8875,6 +8940,47 @@ object SparkEntry {
           |       WHEN est >= actual THEN (est - actual) * 1000000 // actual
           |       ELSE -((actual - est) * 1000000 // actual) END AS err_ppm
           |FROM f ORDER BY relation""".stripMargin,
+
+      // DuckDB ASOF join + the 7-day staleness null-out, weekday rollup
+      "q243_last_touch" ->
+        """WITH clicks AS (SELECT DISTINCT user_id, ts AS click_ts
+          |  FROM events WHERE event_type = 'click'),
+          |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          |j0 AS (SELECT p.event_id, p.user_id, p.ts, c.click_ts
+          |  FROM p ASOF LEFT JOIN clicks c
+          |    ON p.user_id = c.user_id AND c.click_ts <= p.ts),
+          |j AS (SELECT event_id, user_id, ts,
+          |    CASE WHEN click_ts IS NULL OR click_ts < ts - INTERVAL 7 DAY
+          |         THEN NULL ELSE click_ts END AS click_ts FROM j0),
+          |g AS (SELECT CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS wd,
+          |    CAST(count(*) AS BIGINT) AS n_purchases,
+          |    CAST(sum(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+          |    CAST(sum(CASE WHEN click_ts IS NOT NULL
+          |      THEN date_diff('second', click_ts, ts) // 60 ELSE 0 END) AS BIGINT) AS sum_gap_min,
+          |    CAST(max(date_diff('second', click_ts, ts) // 60) AS BIGINT) AS max_gap_min
+          |  FROM j GROUP BY 1)
+          |SELECT wd, n_purchases, n_attributed, sum_gap_min, max_gap_min,
+          |  n_attributed * 1000000 // n_purchases AS attributed_ppm
+          |FROM g ORDER BY wd""".stripMargin,
+
+      // exact decimal double-entry audit; gap leaves as micro-units
+      "q244_revenue_reconciliation" ->
+        """WITH li AS (SELECT l_orderkey,
+          |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+          |      (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(30,6)))
+          |      AS DECIMAL(38,6)) AS computed
+          |  FROM lineitem GROUP BY 1),
+          |j AS (SELECT o.o_orderpriority,
+          |    CAST((coalesce(li.computed, CAST(0 AS DECIMAL(38,6)))
+          |      - CAST(o.o_totalprice AS DECIMAL(18,2))) * 1000000 AS HUGEINT) AS gap_u6
+          |  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+          |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(CASE WHEN gap_u6 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+          |  CAST(max(abs(gap_u6)) AS VARCHAR) AS max_abs_gap_u6,
+          |  CAST(sum(abs(gap_u6)) AS VARCHAR) AS total_abs_gap_u6,
+          |  CAST((count(*) - sum(CASE WHEN gap_u6 <> 0 THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT) AS matched_ppm
+          |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     )
   }
 }
