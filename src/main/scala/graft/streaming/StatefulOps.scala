@@ -387,6 +387,71 @@ object StatefulOps {
       }
   }
 
+  final case class KsUpdate(
+      key: String, n: Long, d_ppm: Long, n_novel: Long, alarm: Boolean)
+
+  /**
+   * DRIFT5's streaming face: live one-sample Kolmogorov–Smirnov against
+   * a calibration profile — the third lens on the same bounded bucket
+   * state ([[streamingBucketDrift]] reads it as total variation,
+   * [[streamingChiSquare]] as Pearson's χ²; KS reads the max CDF gap,
+   * which localizes WHERE in the distribution the drift sits and
+   * carries the classical √n alarm line):
+   *
+   *   d_ppm = max_b |cumObs(b)·R − cumRef(b)·n| · 10⁶ DIV (n·R)
+   *   alarm ⇔ d_ppm²·n > c²·10¹²       (c = 1.3581, c²·10⁶ = 1,844,440
+   *                                     — the q230 constant)
+   *
+   * The CDF walk runs over the UNION of reference and observed bucket
+   * ids (novel buckets carry zero reference mass — the gap grows
+   * through them instead of dividing by zero; their rows also count in
+   * `n_novel`, the same honest split as the χ² twin). BigInt
+   * intermediates; state bounded by the bucket domain. Output mode:
+   * Update.
+   */
+  def streamingKs(
+      rows: DataFrame, reference: Map[Long, Long],
+      critC2Ppm: Long = 1844440L)(
+      implicit spark: SparkSession): Dataset[KsUpdate] = {
+    import spark.implicits._
+    require(reference.nonEmpty && reference.values.forall(_ > 0),
+      "reference profile must be non-empty with positive counts")
+    val refTotal = reference.values.sum
+    rows
+      .select(col("key").cast("string"), col("bucket").cast("long"))
+      .where(col("key").isNotNull && col("bucket").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DriftState, KsUpdate](GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[DriftState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(_.cells.foreach(c => m(c.bucket) = c.cnt))
+          it.foreach { case (_, b) => m(b) = m.getOrElse(b, 0L) + 1L }
+          state.update(DriftState(
+            m.toList.sortBy(_._1).map { case (b, c) => DriftCell(b, c) }))
+          val novel = m.iterator.collect {
+            case (b, c) if !reference.contains(b) => c
+          }.sum
+          val n = m.valuesIterator.sum
+          val dPpm =
+            if (n == 0L) 0L
+            else {
+              val domain = (m.keySet ++ reference.keySet).toArray.sorted
+              var (co, cr, best) = (0L, 0L, BigInt(0))
+              domain.foreach { b =>
+                co += m.getOrElse(b, 0L)
+                cr += reference.getOrElse(b, 0L)
+                val gap = (BigInt(co) * refTotal - BigInt(cr) * n).abs
+                if (gap > best) best = gap
+              }
+              (best * 1000000 / (BigInt(n) * refTotal)).toLong
+            }
+          val alarm = n > 0 &&
+            BigInt(dPpm) * dPpm * n > BigInt(critC2Ppm) * 1000000L
+          KsUpdate(key, n, dPpm, novel, alarm)
+      }
+  }
+
   final case class TrendCell(day: Long, v: Long)
   final case class TrendState(cells: List[TrendCell])
   final case class TrendUpdate(

@@ -493,6 +493,43 @@ class StatefulOpsSpec extends SparkSpec {
     assert(one == sliced, "cumulative chi2 must not depend on batch slicing")
   }
 
+  test("streamingKs: hand-computed CDF gaps, novel mass in the walk, sqrt-n alarm, re-batching invariant") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = Map(0L -> 1L, 1L -> 1L) // 50/50, R = 2
+    // A: 4 rows all bucket 0 -> D = 1/2, d_ppm 500000; n=4 too small to alarm
+    // B: exact 2+2 plus 3 NOVEL rows in bucket 9: walk over {0,1,9}:
+    //    gaps 3, 6, 0 over n=7 -> d_ppm = 6e6 DIV 14 = 428571, novel 3
+    // C: 50 rows all bucket 0 -> same D = 1/2 but n=50 crosses the line
+    val rows = Seq.fill(4)(("A", 0L)) ++
+      Seq(("B", 0L), ("B", 0L), ("B", 1L), ("B", 1L),
+        ("B", 9L), ("B", 9L), ("B", 9L)) ++
+      Seq.fill(50)(("C", 0L))
+
+    def run(batches: Seq[Seq[(String, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long)]
+      val out = StatefulOps.streamingKs(mem.toDF.toDF("key", "bucket"), ref)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.last }
+    }
+
+    val one = run(Seq(rows), "ks_one")
+    assert(one("A") == (("A", 4L, 500000L, 0L, false)))
+    assert(one("B") == (("B", 7L, 428571L, 3L, false)))
+    assert(one("C") == (("C", 50L, 500000L, 0L, true)))
+    val sliced = run(Seq(rows.take(10), rows.slice(10, 40), rows.drop(40)),
+      "ks_three")
+    assert(one == sliced, "cumulative KS must not depend on batch slicing")
+  }
+
   test("streamingMannKendall: equals the batch law, day sums merge across batches") {
     implicit val s = spark
     import spark.implicits._
