@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale evidence for W6 (`CalendarOps.intervalUnion`, q237): the sweep
+ * law vs the explode-to-days formulation. Exploding intervals to days
+ * multiplies the row count by mean span length (×30 here) before a
+ * distinct — the memory-and-shuffle bill the sweep never pays: its work
+ * is one window over the INTERVALS themselves.
+ *
+ * Corpus law (no RNG): n intervals over n/20 keys; interval i starts at
+ * epoch day h(i) mod 3650 and spans 1 + h'(i) mod 30 days — ~20
+ * intervals per key over a 10-year calendar, realistic overlap density.
+ * A small slice is cross-checked against the explode-distinct truth
+ * (covered days per key must be IDENTICAL) before timing.
+ *
+ * Usage: runMain graft.tools.IntervalUnionStress [n] (default 20M)
+ */
+object IntervalUnionStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 20000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.CalendarOps
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val res = f
+      println(f"[ivu-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); res
+    }
+
+    def intervals(rows: Long) = spark.range(rows).select(
+      pmod(col("id"), lit(rows / 20)).as("k"),
+      expr("date_add(DATE'2015-01-01', CAST(pmod(xxhash64(id, 1), 3650) AS INT))").as("st"))
+      .withColumn("en", expr(
+        "date_add(st, CAST(pmod(xxhash64(k + 7, st), 30) AS INT))"))
+      .localCheckpoint(true)
+
+    // cross-check: covered days per key == distinct exploded days
+    val small = intervals(200000L)
+    val sweep = CalendarOps.intervalUnion(small, Seq("k"), col("st"), col("en"))
+      .select(col("k"), col("covered_days"))
+    val exploded = small
+      .select(col("k"), explode(expr("sequence(st, en)")).as("d"))
+      .distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("days"))
+    val diff = sweep.join(exploded, "k")
+      .where(col("covered_days") =!= col("days")).count()
+    require(diff == 0, s"$diff keys disagree with the explode truth")
+    println("[ivu-stress] cross-check OK at 200k intervals")
+
+    Seq(n / 4, n).foreach { m =>
+      val df = intervals(m)
+      timed(f"sweep union      n=$m%,d") {
+        CalendarOps.intervalUnion(df, Seq("k"), col("st"), col("en"))
+          .agg(sum(col("covered_days"))).head()
+      }
+      timed(f"explode-distinct n=$m%,d") {
+        df.select(col("k"), explode(expr("sequence(st, en)")).as("d"))
+          .distinct()
+          .groupBy(col("k")).agg(count(lit(1)).as("days"))
+          .agg(sum(col("days"))).head()
+      }
+      df.unpersist()
+    }
+    spark.stop()
+  }
+}
