@@ -4338,6 +4338,25 @@ object SparkEntry {
           "(n_orders - n_mismatched) * 1000000 DIV n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
+
+    // Q245 — STAT12 decile mobility matrix: each user's activity
+    // decile in the first calendar half crossed with the second —
+    // q223's Spearman compresses rank agreement to one number, this
+    // shows WHERE ranks move (diagonal = stable, above = churn up).
+    // Histogram-bridge deciles (no per-row global rank), users absent
+    // from a half enter at v = 0.
+    "q245_mobility_matrix" -> ((s, dir) => {
+      val span = t(s, dir, "events")
+        .agg(expr("date_add(min(CAST(ts AS DATE)), CAST(datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) DIV 2 AS INT))").as("split_day"))
+      val units = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .crossJoin(broadcast(span)) // single-row constant join
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("d") <= col("split_day"), 1L).otherwise(0L)).as("v1"),
+          sum(when(col("d") > col("split_day"), 1L).otherwise(0L)).as("v2"))
+      graft.operators.Cohorts.mobilityMatrix(units, "user_id", "v1", "v2")
+        .orderBy(col("dec1"), col("dec2"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -8981,6 +9000,25 @@ object SparkEntry {
           |  CAST(sum(abs(gap_u6)) AS VARCHAR) AS total_abs_gap_u6,
           |  CAST((count(*) - sum(CASE WHEN gap_u6 <> 0 THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT) AS matched_ppm
           |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+      // q236's calendar split; bridge deciles over value histograms
+      "q245_mobility_matrix" ->
+        """WITH sp AS (SELECT min(CAST(ts AS DATE)) + CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) // 2 AS INTEGER) AS split_day FROM events),
+          |u AS (SELECT user_id,
+          |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= sp.split_day THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+          |    CAST(sum(CASE WHEN CAST(ts AS DATE) > sp.split_day THEN 1 ELSE 0 END) AS BIGINT) AS v2
+          |  FROM events, sp GROUP BY 1),
+          |h1 AS (SELECT v1, CAST(count(*) AS BIGINT) AS t FROM u GROUP BY 1),
+          |d1 AS (SELECT v1, CAST((CAST(sum(t) OVER (ORDER BY v1) AS BIGINT) * 10 - 1)
+          |    // (SELECT count(*) FROM u) + 1 AS BIGINT) AS dec1 FROM h1),
+          |h2 AS (SELECT v2, CAST(count(*) AS BIGINT) AS t FROM u GROUP BY 1),
+          |d2 AS (SELECT v2, CAST((CAST(sum(t) OVER (ORDER BY v2) AS BIGINT) * 10 - 1)
+          |    // (SELECT count(*) FROM u) + 1 AS BIGINT) AS dec2 FROM h2),
+          |g AS (SELECT d1.dec1, d2.dec2, CAST(count(*) AS BIGINT) AS n_units
+          |  FROM u JOIN d1 USING (v1) JOIN d2 USING (v2) GROUP BY 1, 2)
+          |SELECT dec1, dec2, n_units,
+          |  CAST(n_units * 1000000 // (SELECT count(*) FROM u) AS BIGINT) AS share_ppm
+          |FROM g ORDER BY dec1, dec2""".stripMargin,
     )
   }
 }

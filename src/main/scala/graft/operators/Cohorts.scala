@@ -85,4 +85,57 @@ object Cohorts {
     wau.join(dau, Seq("day"), "left")
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
   }
+
+  /**
+   * Decile mobility matrix (STAT12) — rank PERSISTENCE between two
+   * periods: each unit's decile under metric v1 crossed with its
+   * decile under v2, counted per cell. Spearman (q223) compresses
+   * rank agreement to one number; the mobility matrix shows WHERE
+   * ranks move (heavy diagonal = stable population, mass above it =
+   * churn upward) — the customer-value / engagement-mobility readout.
+   *
+   * Exact decile law via the histogram bridge (no per-row global
+   * rank): with cum = inclusive cumulative count over the value
+   * histogram and n units,
+   *
+   *   decile(v) = (cum(v)·10 − 1) DIV n + 1       ∈ 1..10
+   *
+   * — deterministic under ties (all rows of a value share a decile),
+   * engine-portable, domain-sized windows only. Units must carry BOTH
+   * metrics (the caller decides how absent units enter — typically
+   * v = 0).
+   *
+   * Output per (dec1, dec2): n_units, share_ppm (of all units). Two
+   * histogram bridges + one matrix aggregate.
+   */
+  def mobilityMatrix(units: DataFrame, idCol: String, v1Col: String,
+      v2Col: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = units.select(col(idCol).as("_id"),
+      col(v1Col).cast("long").as("v1"), col(v2Col).cast("long").as("v2"))
+      .localCheckpoint(false)
+    def deciles(vCol: String, out: String) = {
+      val cum = Window.orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // histogram-sized frame: the single-partition window is over the
+      // VALUE DOMAIN, not units (the q168 ECE posture)
+      base.groupBy(col(vCol)).agg(count(lit(1)).as("t"))
+        .withColumn("cum", sum(col("t")).over(cum))
+        .withColumn("n", sum(col("t")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(vCol), expr("(cum * 10 - 1) DIV n + 1").as(out))
+    }
+    val d1 = deciles("v1", "dec1")
+    val d2 = deciles("v2", "dec2")
+    // the share denominator comes from the ≤100-row matrix itself — a
+    // constant-size single-partition window, no driver action
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    base.join(d1, "v1").join(d2, "v2")
+      .groupBy(col("dec1"), col("dec2"))
+      .agg(count(lit(1)).as("n_units"))
+      .withColumn("_tot", sum(col("n_units")).over(all))
+      .withColumn("share_ppm", expr("n_units * 1000000 DIV _tot"))
+      .select("dec1", "dec2", "n_units", "share_ppm")
+  }
 }

@@ -62,4 +62,24 @@ class CohortsSpec extends SparkSpec {
       ("2025-01-05", 1L, 2L),  // u1 re-activates; u2 still inside 7 days
     ))
   }
+  // ---- STAT12 mobility matrix ----
+
+  test("mobilityMatrix: reversed ranks fill the anti-diagonal; bridge deciles under ties") {
+    import org.apache.spark.sql.functions.col
+    // 10 units, v1 = 1..10 (deciles 1..10), v2 = 11-v1 -> dec2 = 11-dec1
+    val rev = (1L to 10L).map(i => (i, i, 11L - i))
+    val out = Cohorts.mobilityMatrix(rev.toDF("id", "v1", "v2"),
+      "id", "v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10)
+    assert(out.forall { case (d1, d2, n, sh) =>
+      d2 == 11 - d1 && n == 1L && sh == 100000L })
+    // fully-tied metric: everyone shares ONE value -> decile 10 (the
+    // inclusive-cum bridge convention), matrix collapses to one cell
+    val tied = (1L to 4L).map(i => (i, 7L, i))
+    val cells = Cohorts.mobilityMatrix(tied.toDF("id", "v1", "v2"),
+      "id", "v1", "v2").collect()
+    assert(cells.forall(_.getLong(0) == 10L))
+    assert(cells.map(_.getLong(2)).sum == 4L)
+  }
 }
