@@ -4357,6 +4357,44 @@ object SparkEntry {
       graft.operators.Cohorts.mobilityMatrix(units, "user_id", "v1", "v2")
         .orderBy(col("dec1"), col("dec2"))
     }),
+
+    // Q246 — GOV6 deduped-corpus digest: the pipeline's OUTPUT
+    // CONTRACT in one row — near-dup clusters (q39 law) collapse to
+    // their min-id survivor and the kept corpus leaves as counts,
+    // retained char mass, and the q122 order-invariant digest: two
+    // lakes (or two runs) compare their cleaned corpora by exchanging
+    // ONE row, any divergence flips the digest.
+    "q246_dedup_digest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val pairs = Dedup.minhashNearDuplicates(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      val labels = graft.operators.Curation.nearDupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val clustered = docs.join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .localCheckpoint(false)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+      val rowStr = concat_ws("\u0001",
+        col("doc_id").cast("string"), col("lang"), col("source"),
+        col("n_chars").cast("string"), md5(col("text")))
+      val keptAgg = clustered
+        .withColumn("_r", row_number().over(w))
+        .where(col("_r") === 1)
+        .select(col("n_chars"),
+          graft.functions.TextFunctions.portableHash(rowStr).as("h"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          sum(col("h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+            .cast("string").as("digest"))
+      val inAgg = clustered.agg(count(lit(1)).as("n_docs_in"))
+      // 1 x 1 by construction
+      inAgg.crossJoin(broadcast(keptAgg))
+        .withColumn("kept_ppm", expr("n_kept * 1000000 DIV n_docs_in"))
+        .select("n_docs_in", "n_kept", "kept_ppm", "kept_chars", "digest")
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -9019,6 +9057,38 @@ object SparkEntry {
           |SELECT dec1, dec2, n_units,
           |  CAST(n_units * 1000000 // (SELECT count(*) FROM u) AS BIGINT) AS share_ppm
           |FROM g ORDER BY dec1, dec2""".stripMargin,
+
+      // q39's recursive cluster chain -> min-id survivors -> q122 digest
+      "q246_dedup_digest" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+          |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+          |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          |pr AS (SELECT id_a, id_b FROM p
+          |       WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
+          |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+          |reach AS (SELECT u, v FROM edges
+          |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+          |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+          |cl AS (SELECT d.*, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+          |       FROM documents d LEFT JOIN lab l USING (doc_id)),
+          |kept AS (SELECT * FROM (SELECT cl.*,
+          |      row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS r FROM cl)
+          |    WHERE r = 1),
+          |ka AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+          |    CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+          |    CAST(CAST(sum(CAST(('0x' || substr(md5(
+          |        doc_id || chr(1) || lang || chr(1) || source || chr(1)
+          |        || n_chars || chr(1) || md5(text)), 1, 15))::BIGINT
+          |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS digest
+          |  FROM kept),
+          |ia AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_in FROM documents)
+          |SELECT ia.n_docs_in, ka.n_kept,
+          |  ka.n_kept * 1000000 // ia.n_docs_in AS kept_ppm,
+          |  ka.kept_chars, ka.digest
+          |FROM ia, ka""".stripMargin,
     )
   }
 }
