@@ -4395,6 +4395,64 @@ object SparkEntry {
         .withColumn("kept_ppm", expr("n_kept * 1000000 DIV n_docs_in"))
         .select("n_docs_in", "n_kept", "kept_ppm", "kept_chars", "digest")
     }),
+
+    // Q247 — GRAPH12 label propagation communities: the DETECTOR that
+    // feeds q232's modularity judge (that one scores a given partition;
+    // this produces one). Two synchronous rounds over q114's
+    // symmetrized customer↔supplier graph, fully deterministic tie law
+    // (max neighbor-label count, then smallest label) so the oracle can
+    // unroll the identical rounds.
+    "q247_label_propagation" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 10).cast("long").as("src"),
+          (col("l_suppkey") * 10 + 1).cast("long").as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      // broadcastLabels: |V| is dimension-bounded (q114's assertion)
+      graft.operators.Graph.labelPropagation(edges, rounds = 2,
+          broadcastLabels = true)
+        .orderBy(col("node"))
+    }),
+
+    // Q248 — SEQ1 sequential-pattern support: length-2 SUBSEQUENCE
+    // mining over user event histories — "some a-event precedes some
+    // b-event", intervening events allowed — vs q236's Markov law which
+    // counts only consecutive steps. Support in users; order is the
+    // total (ts, event_id) key so ts ties can't flip a pattern.
+    "q248_subsequence_support" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Sequences.subsequenceSupport(ev,
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // Q249 — SMOOTH1 EWMA level monitor: half-weight integer EWMA over
+    // per-priority daily revenue cents with a ±25% deviation alarm —
+    // the level-shock lens next to q218's Mann–Kendall (monotone trend)
+    // and the drift trio (distribution change). Exact floor recurrence,
+    // calendar-bounded per-key fold (aggregate HOF, no UDF, no global
+    // window).
+    "q249_ewma_alarms" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Trend.ewmaHalfCensus(o,
+          col("o_orderpriority"), to_date(col("o_orderdate")),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .withColumnRenamed("key", "o_orderpriority")
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q250 — FEAT2 feature-hashing census: the hashing trick's 64
+    // signed slots audited over the documents corpus — occupancy,
+    // collision pressure, zero-mean signed mass, document reach. Hash
+    // law is the suite-wide portableHash60; tokens aggregate on the
+    // compact (bucket, token) key before any shuffle.
+    "q250_feature_hashing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.featureHashingCensus(docs, "doc_id", "text", buckets = 64)
+        .orderBy(col("bucket"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -9089,6 +9147,83 @@ object SparkEntry {
           |  ka.n_kept * 1000000 // ia.n_docs_in AS kept_ppm,
           |  ka.kept_chars, ka.digest
           |FROM ia, ka""".stripMargin,
+
+      // two unrolled synchronous LPA rounds, deterministic tie law
+      "q247_label_propagation" ->
+        """WITH e0 AS (SELECT DISTINCT o_custkey*10 AS src, l_suppkey*10+1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+          |c1 AS (SELECT e.src AS node, l.label, count(*) AS c
+          |  FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+          |l1 AS (SELECT node, label FROM (SELECT node, label,
+          |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+          |  FROM c1) WHERE r = 1),
+          |c2 AS (SELECT e.src AS node, l.label, count(*) AS c
+          |  FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+          |l2 AS (SELECT node, label FROM (SELECT node, label,
+          |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+          |  FROM c2) WHERE r = 1)
+          |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+          |FROM l2 ORDER BY node""".stripMargin,
+
+      // length-2 subsequence support via per-(user, type) position bounds
+      "q248_subsequence_support" ->
+        """WITH p AS (SELECT user_id AS u, event_type AS t,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+          |  FROM events),
+          |m AS (SELECT u, t, min(pos) AS min_pos, max(pos) AS max_pos
+          |  FROM p GROUP BY 1, 2),
+          |s AS (SELECT a.t AS prev_type, b.t AS next_type,
+          |    CAST(count(*) AS BIGINT) AS n_users
+          |  FROM m a JOIN m b ON a.u = b.u AND a.min_pos < b.max_pos
+          |  GROUP BY 1, 2)
+          |SELECT prev_type, next_type, n_users,
+          |  CAST(n_users * 1000000 // (SELECT count(DISTINCT u) FROM m) AS BIGINT)
+          |    AS support_ppm
+          |FROM s ORDER BY prev_type, next_type""".stripMargin,
+
+      // the same floor recurrence replayed by a recursive CTE on rn
+      "q249_ewma_alarms" ->
+        """WITH RECURSIVE d AS (SELECT o_orderpriority AS key,
+          |    CAST(o_orderdate AS DATE) AS dd,
+          |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (SELECT key, v,
+          |    row_number() OVER (PARTITION BY key ORDER BY dd) AS rn FROM d),
+          |rec AS (
+          |  SELECT key, rn, v AS s, CAST(0 AS BIGINT) AS alarms
+          |  FROM r WHERE rn = 1
+          |  UNION ALL
+          |  SELECT r.key, r.rn, (r.v + rec.s) // 2,
+          |    rec.alarms + CASE WHEN 4 * r.v > 5 * rec.s
+          |                        OR 4 * r.v < 3 * rec.s THEN 1 ELSE 0 END
+          |  FROM rec JOIN r ON r.key = rec.key AND r.rn = rec.rn + 1)
+          |SELECT key AS o_orderpriority, CAST(max(rn) AS BIGINT) AS n_days,
+          |  CAST(arg_max(s, rn) AS BIGINT) AS s_final,
+          |  CAST(max(alarms) AS BIGINT) AS n_alarms
+          |FROM rec GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+      // portableHash60 bucket + sign-bit law, suite tokenization
+      "q250_feature_hashing" ->
+        """WITH toks AS (SELECT doc_id,
+          |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          |  FROM documents),
+          |tt AS (SELECT doc_id, tok,
+          |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+          |    CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT // 64) % 2 = 0
+          |         THEN 1 ELSE -1 END AS sign
+          |  FROM toks WHERE len(tok) > 0),
+          |ta AS (SELECT bucket, tok, sign, CAST(count(*) AS BIGINT) AS occ
+          |  FROM tt GROUP BY 1, 2, 3),
+          |b1 AS (SELECT bucket, CAST(sum(occ) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+          |    CAST(sum(sign * occ) AS BIGINT) AS signed_mass
+          |  FROM ta GROUP BY 1),
+          |b2 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM (SELECT DISTINCT bucket, doc_id FROM tt) GROUP BY 1)
+          |SELECT bucket, n_tokens, n_distinct_tokens, signed_mass, n_docs
+          |FROM b1 JOIN b2 USING (bucket) ORDER BY bucket""".stripMargin,
     )
   }
 }

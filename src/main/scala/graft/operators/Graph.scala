@@ -587,4 +587,58 @@ object Graph {
         col("q_num").cast("decimal(38,0)").cast("string").as("q_num"),
         col("q_ppm"))
   }
+
+  /**
+   * Label propagation communities (GRAPH12) — the linear-time community
+   * DETECTOR that feeds [[modularity]]'s one-number judge: q232 scores a
+   * given partition, this produces one. Synchronous LPA with a fully
+   * deterministic tie law so the result is engine-replayable (classic
+   * async LPA is order- and RNG-dependent — useless under an oracle):
+   *
+   *   l₀(v)   = v
+   *   lₖ₊₁(v) = argmax_label |{u ∈ N(v) : lₖ(u) = label}|,
+   *             ties → smallest label
+   *
+   * Nodes with no in-neighbors keep their label. Callers pass a
+   * symmetrized edge list for the undirected semantics (the q114
+   * convention); on a directed list the law reads "most common label
+   * among my out-neighbors".
+   *
+   * Scale posture: per round, ONE edge-sized equi-join (neighbor label
+   * decoration, label frame is node-sized — broadcastable via
+   * `broadcastLabels` under the same caller assertion as q114's ranks)
+   * plus one (node, label)-keyed count and one per-node argmax; lineage
+   * truncates per round. The argmax runs as max(struct(c, -label)) —
+   * struct ordering gives "max count, then min label" in one map-side-
+   * combinable aggregate instead of a row_number window (no per-node
+   * sort, no second shuffle).
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int = 2,
+      broadcastLabels: Boolean = false): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "1..20 rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val labSide = labels.select(col("node").as("dst"), col("label"))
+      val votes = e
+        .join(if (broadcastLabels) broadcast(labSide) else labSide, "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val winner = votes
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("w"))
+        .select(col("node"), (-col("w.neg")).as("new_label"))
+      labels = labels
+        .join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
 }

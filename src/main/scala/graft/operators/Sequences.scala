@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequential-pattern support census (SEQ1) — length-2 SUBSEQUENCE
+ * mining, the primitive under market-basket sequence rules ("users who
+ * do A eventually do B"). Distinct from q236's Markov transitions:
+ * those count CONSECUTIVE steps; a subsequence pattern (a, b) is
+ * supported by a user iff SOME a-event precedes SOME b-event anywhere
+ * in their history — the PrefixSpan length-2 semantics, where
+ * intervening events don't break the pattern.
+ *
+ * Determinism: event order is the total order (ts, event_id) —
+ * event_id is unique, so ties on ts can't flip support. "a before b"
+ * reduces to min_pos(a) < max_pos(b) over per-user positions from ONE
+ * row_number window; a = b requires two distinct occurrences (the same
+ * min < max test).
+ *
+ * Scale posture: one window shuffle on the user key (the per-user sort
+ * Spark would need for ANY sequence semantics), then a per-(user, type)
+ * min/max aggregate — after which the data is |users| × |event types|,
+ * and the within-user type-pair join is bounded by |types|² per user
+ * (event-type vocabularies are small dimensions, not corpus-sized).
+ * The final rollup keys on (type, type): tiny.
+ */
+object Sequences {
+
+  /**
+   * @param events rows with a user key, an order column pair, and a
+   *   categorical step column.
+   * @return one row per supported pattern (prev_type, next_type):
+   *   n_users (support), support_ppm over ALL users in `events`.
+   */
+  def subsequenceSupport(events: DataFrame, userCol: Column,
+      tsCol: Column, idCol: Column, typeCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("id"))
+    val pos = events
+      .select(userCol.as("u"), tsCol.as("ts"), idCol.as("id"),
+        typeCol.as("t"))
+      .withColumn("pos", row_number().over(w))
+      .groupBy(col("u"), col("t"))
+      .agg(min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+      .localCheckpoint(false)
+    val nUsers = pos.select(col("u")).distinct().agg(count(lit(1)).as("n_total_users"))
+    val supported = pos.as("a")
+      .join(pos.as("b"), col("a.u") === col("b.u")
+        && col("a.min_pos") < col("b.max_pos"))
+      .groupBy(col("a.t").as("prev_type"), col("b.t").as("next_type"))
+      .agg(count(lit(1)).as("n_users"))
+    supported
+      .crossJoin(broadcast(nUsers)) // single-row constant join
+      .withColumn("support_ppm", expr("n_users * 1000000 DIV n_total_users"))
+      .select(col("prev_type"), col("next_type"), col("n_users"),
+        col("support_ppm"))
+  }
+}

@@ -196,4 +196,50 @@ object TextAnalysis {
       .select(sliceCol, "n_docs", "n_chars", "latin_ppm", "digit_ppm",
         "space_ppm", "cjk_ppm", "other_ppm")
   }
+
+  /**
+   * Feature-hashing census (FEAT2) — the hashing trick's bucket-level
+   * contract: tokens hash into `buckets` signed slots (Weinberger et
+   * al.'s signed variant: a second hash bit decides ±1, which keeps
+   * collision noise zero-mean), and this census reports what each slot
+   * would carry — occupancy, collision pressure (distinct tokens per
+   * slot), signed mass, and document reach — the audit a featurizer
+   * reads before committing to a dimension count.
+   *
+   * Hash law (engine-portable, the q122 discipline): h = portableHash60
+   * of the token; bucket = h mod buckets; sign = +1 if (h DIV buckets)
+   * is even else −1. Tokenization is the suite-wide whitespace law
+   * ([[graft.functions.TextFunctions.words]]).
+   *
+   * Scale posture: tokens aggregate FIRST on the compact (bucket,
+   * token) key — full text explodes map-side but only (bucket, token,
+   * count) rows shuffle; the doc-reach count shuffles (bucket, doc_id)
+   * pairs pre-distincted map-side. Output is exactly `buckets` rows.
+   */
+  def featureHashingCensus(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20), "2..2^20 buckets")
+    val ex = docs
+      .select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .withColumn("h", portableHash(col("tok")))
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
+      .withColumn("sign",
+        when(pmod(expr(s"h DIV ${buckets}L"), lit(2L)) === 0L, 1L)
+          .otherwise(-1L))
+    val tokAgg = ex
+      .groupBy(col("bucket"), col("tok"), col("sign"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("occ")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(col("sign") * col("occ")).as("signed_mass"))
+    val docAgg = ex
+      .select(col("bucket"), col("doc_id")).distinct()
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    tokAgg.join(docAgg, Seq("bucket"))
+      .select(col("bucket"), col("n_tokens"), col("n_distinct_tokens"),
+        col("signed_mass"), col("n_docs"))
+  }
 }

@@ -78,4 +78,53 @@ object Trend {
       .select(col("key"), col("n_days"), col("s_stat"), col("var18"),
         col("z2_ppm"), col("trend"), col("significant"))
   }
+
+  /**
+   * EWMA smoothing + deviation-alarm census (SMOOTH1) — the classic
+   * exponentially-weighted level tracker, rendered exact-integer so the
+   * whole recurrence is engine-replayable (IEEE α-powers drift across
+   * engines; a half-weight floor recurrence does not):
+   *
+   *   s₁ = v₁
+   *   sᵢ = (vᵢ + sᵢ₋₁) DIV 2                      (α = ½, truncating)
+   *   alarmᵢ (i ≥ 2) ⇔ 4·vᵢ > 5·sᵢ₋₁ ∨ 4·vᵢ < 3·sᵢ₋₁   (±25% band)
+   *
+   * — the "is today's value far from the smoothed level" monitor that
+   * complements [[mannKendall]] (long-run monotone trend) and the
+   * drift family (distributional change): this one fires on level
+   * shocks, ordered and exact.
+   *
+   * Scale posture: the recurrence is inherently sequential PER SERIES,
+   * so the series must be driver-logic-free and bounded per key — and it
+   * is: the daily pre-aggregate (one map-side-combinable groupBy) is the
+   * only corpus-proportional pass; the per-key fold then runs over a
+   * CALENDAR-bounded array (≤ days-in-range rows, the q07 "days are a
+   * dimension" law) via `sort_array(collect_list)` + the `aggregate`
+   * higher-order function — pure Catalyst, codegen'd, no UDF, no
+   * window-over-everything, one shuffle on the key.
+   */
+  def ewmaHalfCensus(df: DataFrame, keyCol: Column, dayCol: Column,
+      valueCol: Column): DataFrame = {
+    val daily = df
+      .groupBy(keyCol.as("key"), dayCol.as("d"))
+      .agg(sum(valueCol).cast("long").as("v"))
+    daily
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("d"), col("v")))).as("series"))
+      .withColumn("acc", expr(
+        """aggregate(
+          |  series,
+          |  named_struct('s', CAST(NULL AS BIGINT), 'n', CAST(0 AS BIGINT),
+          |               'alarms', CAST(0 AS BIGINT)),
+          |  (a, x) -> named_struct(
+          |    's', CASE WHEN a.s IS NULL THEN x.v
+          |              ELSE (x.v + a.s) DIV 2 END,
+          |    'n', a.n + 1,
+          |    'alarms', a.alarms + CASE
+          |      WHEN a.s IS NOT NULL
+          |           AND (4 * x.v > 5 * a.s OR 4 * x.v < 3 * a.s) THEN 1
+          |      ELSE 0 END))""".stripMargin))
+      .select(col("key"), col("acc.n").as("n_days"),
+        col("acc.s").as("s_final"), col("acc.alarms").as("n_alarms"))
+  }
 }

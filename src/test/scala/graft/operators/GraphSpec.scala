@@ -334,4 +334,46 @@ class GraphSpec extends SparkSpec {
     // q_num = 4*6*3 - 48 = 24 -> 24e6 DIV 144 = 166666
     assert(r.getAs[Long]("q_ppm") == 166666L)
   }
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int,
+      bcast: Boolean = false) =
+    Graph.labelPropagation(edges.toDF("src", "dst"), rounds, bcast)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: triangle converges to min id; pendant pair oscillates") {
+    // triangle {1,2,3} + disjoint edge {4,5}, symmetrized.
+    // round 1: 1 <- tie{2,3} -> 2; 2 <- tie{1,3} -> 1; 3 <- tie{1,2} -> 1;
+    //          4 <- 5; 5 <- 4
+    // round 2: 1 <- {1,1} -> 1; 2 <- tie{2,1} -> 1; 3 <- tie{2,1} -> 1;
+    //          4 <- 4; 5 <- 5 (the classic bipartite 2-cycle)
+    val tri = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 5L)
+    val sym = tri ++ tri.map(_.swap)
+    assert(lpa(sym, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 4L))
+    assert(lpa(sym, 2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("labelPropagation: majority beats the smaller label on a real vote") {
+    // node 0's out-neighbors: {1, 2, 3} initially labeled 1, 2, 3 after
+    // round 1 become {1 <- 0's... } — use a directed star where leaves
+    // 1,2 point at hub 9 and leaf 3 keeps its own label: hub sees labels
+    // {7, 7, 3} after seeding leaves 1,2 with a shared upstream. Simpler:
+    // direct vote — 0 -> {7, 7, 3}: label 7 wins on count despite 3 < 7.
+    val edges = Seq(0L -> 7L, 0L -> 71L, 0L -> 3L,
+      7L -> 7L, 71L -> 7L, 3L -> 3L)
+    // round 1: nbr labels of 0 = {7, 71, 3} all count 1 -> tie -> 3.
+    // after round 1: 7 -> 7, 71 -> 7, 3 -> 3.
+    // round 2: nbr labels of 0 = {7, 7, 3} -> 7 wins 2:1.
+    assert(lpa(edges, 2)(0L) == 7L)
+  }
+
+  test("labelPropagation: a node with no out-edges keeps its label") {
+    val edges = Seq(1L -> 2L) // 2 has no out-edges, never updates
+    assert(lpa(edges, 1) == Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("labelPropagation: broadcastLabels fast path is row-identical") {
+    val tri = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 5L, 2L -> 5L)
+    val sym = tri ++ tri.map(_.swap)
+    assert(lpa(sym, 3) == lpa(sym, 3, bcast = true))
+  }
 }

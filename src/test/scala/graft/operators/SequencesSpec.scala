@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SEQ1 length-2 subsequence support: hand-enumerated patterns,
+  * the a = b repeated-occurrence law, and (ts, event_id) tie determinism. */
+class SequencesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  private def support(rows: Seq[(Long, Timestamp, Long, String)]) =
+    Sequences.subsequenceSupport(
+        rows.toDF("user_id", "ts", "event_id", "event_type"),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("subsequence, not adjacency: intervening events don't break a pattern") {
+    // u1: a b a   u2: b a
+    // (a,a): u1 only (two a's, first < last)     -> 1 user
+    // (a,b): u1 only (a@1 < b@2); u2's a is last -> 1 user
+    // (b,a): both (u1 b@2 < a@3, u2 b@1 < a@2)   -> 2 users
+    // (b,b): nobody has two b's                  -> absent
+    val rows = Seq(
+      (1L, ts(10), 1L, "a"), (1L, ts(20), 2L, "b"), (1L, ts(30), 3L, "a"),
+      (2L, ts(10), 4L, "b"), (2L, ts(20), 5L, "a"))
+    val out = support(rows)
+    assert(out == Map(
+      ("a", "a") -> ((1L, 500000L)),
+      ("a", "b") -> ((1L, 500000L)),
+      ("b", "a") -> ((2L, 1000000L))))
+  }
+
+  test("a = b needs two distinct occurrences (min_pos < max_pos is strict)") {
+    val out = support(Seq((7L, ts(10), 1L, "x")))
+    assert(out.isEmpty) // one occurrence supports nothing, not even (x,x)
+  }
+
+  test("ts ties resolve by event_id: the total order decides precedence") {
+    // same timestamp; event_id 1 (type y) precedes event_id 2 (type x)
+    val rows = Seq((3L, ts(50), 2L, "x"), (3L, ts(50), 1L, "y"))
+    val out = support(rows)
+    assert(out.keySet == Set(("y", "x")))
+  }
+
+  test("support_ppm divides by ALL users, including non-supporting ones") {
+    // u1 has the pattern, u2 (single event) cannot support anything
+    val rows = Seq(
+      (1L, ts(10), 1L, "a"), (1L, ts(20), 2L, "b"),
+      (2L, ts(10), 3L, "a"))
+    val out = support(rows)
+    assert(out(("a", "b")) == ((1L, 500000L)))
+  }
+}

@@ -117,4 +117,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("latin_ppm") == 750000L)
     assert(r.getAs[Long]("space_ppm") == 250000L)
   }
+
+  test("featureHashingCensus: matches the driver-side hash mirror exactly") {
+    // expected census computed independently from portableHash64 — the
+    // bit-identical driver mirror of the kernel the operator uses
+    import graft.functions.TextFunctions.portableHash64
+    val docs = Seq((1L, "foo bar foo"), (2L, "bar baz")).toDF("doc_id", "text")
+    val toks = Seq((1L, "foo"), (1L, "bar"), (1L, "foo"), (2L, "bar"), (2L, "baz"))
+    val expected = toks
+      .map { case (d, w) =>
+        val h = portableHash64(w)
+        (h % 64, if ((h / 64) % 2 == 0) 1L else -1L, w, d)
+      }
+      .groupBy(_._1)
+      .map { case (b, xs) =>
+        b -> ((xs.size.toLong, xs.map(_._3).distinct.size.toLong,
+          xs.map(_._2).sum, xs.map(_._4).distinct.size.toLong))
+      }
+    val out = TextAnalysis.featureHashingCensus(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+      .toMap
+    assert(out == expected)
+  }
+
+  test("featureHashingCensus: empty text contributes no tokens") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHashingCensus(docs, "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_tokens") == 1L
+      && out.head.getAs[Long]("n_docs") == 1L)
+  }
 }

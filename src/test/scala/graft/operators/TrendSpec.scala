@@ -51,4 +51,38 @@ class TrendSpec extends SparkSpec {
     val out = mk(Seq(("a", 1, 5L), ("a", 1, 5L), ("a", 2, 20L)))
     assert(out("a") == ((2L, 1L, 18L, 0L, "up", java.lang.Boolean.FALSE)))
   }
+
+  private def ewma(rows: Seq[(String, Int, Long)]) =
+    Trend.ewmaHalfCensus(rows.toDF("k", "dayN", "v"),
+        col("k"), col("dayN"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("ewmaHalfCensus: hand-walked fold — floor halving and the ±25% band") {
+    // series 10, 20, 2, 9:
+    //   s1 = 10
+    //   v2 = 20: 4·20 = 80 > 5·10 = 50  → ALARM;  s2 = (20+10) DIV 2 = 15
+    //   v3 = 2:  4·2  = 8  < 3·15 = 45  → ALARM;  s3 = (2+15)  DIV 2 = 8
+    //   v4 = 9:  36 ∈ [3·8, 5·8] = [24, 40] → ok; s4 = (9+8)   DIV 2 = 8
+    val out = ewma((1 to 4).map(i => ("a", i, Seq(10L, 20L, 2L, 9L)(i - 1))))
+    assert(out("a") == ((4L, 8L, 2L)))
+  }
+
+  test("ewmaHalfCensus: a single day seeds the level with zero alarms") {
+    assert(ewma(Seq(("one", 5, 42L))) == Map("one" -> ((1L, 42L, 0L))))
+  }
+
+  test("ewmaHalfCensus: band edges do not alarm (strict inequalities)") {
+    // upper edge: s1 = 8, v2 = 10 → 4·10 = 40 = 5·8 exactly → no alarm
+    // lower edge: s1 = 8, v2 = 6  → 4·6  = 24 = 3·8 exactly → no alarm
+    assert(ewma(Seq(("hi", 1, 8L), ("hi", 2, 10L)))("hi") == ((2L, 9L, 0L)))
+    assert(ewma(Seq(("lo", 1, 8L), ("lo", 2, 6L)))("lo") == ((2L, 7L, 0L)))
+  }
+
+  test("ewmaHalfCensus: rows aggregate to the daily sum before the fold") {
+    // day 1: 4+6 = 10, day 2: 20 → same as (10, 20): alarm, s = 15
+    val out = ewma(Seq(("d", 1, 4L), ("d", 1, 6L), ("d", 2, 20L)))
+    assert(out("d") == ((2L, 15L, 1L)))
+  }
 }
