@@ -4453,6 +4453,20 @@ object SparkEntry {
       TextAnalysis.featureHashingCensus(docs, "doc_id", "text", buckets = 64)
         .orderBy(col("bucket"))
     }),
+
+    // Q251 — FC5 Theil–Sen slope: the robust HOW-STEEP companion to
+    // q218's Mann–Kendall IS-THERE-A-TREND, over per-type daily event
+    // counts — median of all pairwise day slopes (breakdown 29%),
+    // sign-split ppm truncation per pair and the suite's lower-median
+    // law over the slope histogram. Calendar²-bounded pairs.
+    "q251_theil_sen" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Trend.theilSenCensus(ev, col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+          lit(1L))
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -9224,6 +9238,28 @@ object SparkEntry {
           |  FROM (SELECT DISTINCT bucket, doc_id FROM tt) GROUP BY 1)
           |SELECT bucket, n_tokens, n_distinct_tokens, signed_mass, n_docs
           |FROM b1 JOIN b2 USING (bucket) ORDER BY bucket""".stripMargin,
+
+      // pairwise day slopes, sign-split ppm, lower median over histogram
+      "q251_theil_sen" ->
+        """WITH d AS (SELECT event_type AS key,
+          |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+          |    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+          |nd AS (SELECT key, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1),
+          |p AS (SELECT a.key AS key, b.v - a.v AS num, b.dn - a.dn AS den
+          |  FROM d a JOIN d b ON a.key = b.key AND a.dn < b.dn),
+          |sl AS (SELECT key,
+          |    CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
+          |         ELSE num * 1000000 // den END AS slope_ppm,
+          |    CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+          |cm AS (SELECT key, slope_ppm, c,
+          |    sum(c) OVER (PARTITION BY key ORDER BY slope_ppm) AS cum,
+          |    sum(c) OVER (PARTITION BY key) AS tot FROM sl),
+          |m AS (SELECT key, CAST(max(tot) AS BIGINT) AS n_pairs,
+          |    CAST(min(CASE WHEN cum * 2 >= tot THEN slope_ppm END) AS BIGINT)
+          |      AS slope_ppm FROM cm GROUP BY 1)
+          |SELECT nd.key AS event_type, nd.n_days,
+          |  CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs, m.slope_ppm
+          |FROM nd LEFT JOIN m USING (key) ORDER BY event_type""".stripMargin,
     )
   }
 }

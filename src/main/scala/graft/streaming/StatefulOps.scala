@@ -775,4 +775,65 @@ object StatefulOps {
           }
       }
   }
+
+  final case class EwmaState(hasS: Boolean, s: Long, nObs: Long,
+      nAlarm: Long, firstAlarmUs: Long) // firstAlarmUs −1 = none
+  final case class EwmaUpdate(key: String, n_obs: Long, s_level: Long,
+      n_alarm: Long, first_alarm_us: Option[Long])
+
+  /**
+   * Streaming EWMA level monitor — the live twin of
+   * [[graft.operators.Trend.ewmaHalfCensus]] (SMOOTH1): per-key
+   * half-weight integer EWMA with the same ±25% deviation band,
+   *
+   *   s ← v                     (first observation)
+   *   alarm ⇔ 4v > 5s ∨ 4v < 3s (checked against the PRIOR level)
+   *   s ← (v + s) DIV 2
+   *
+   * folded per arrival. State is FOUR LONGS + a flag per key — like
+   * [[streamingCusum]], the recurrence needs no history, so state is
+   * O(1) regardless of stream length.
+   *
+   * Grain note: the batch census folds DAILY SUMS (its series is the
+   * per-day pre-aggregate); this twin folds the arriving values
+   * directly — the two agree exactly when the stream carries one row
+   * per day (spec-pinned), and otherwise this is the finer-grained
+   * monitor a live pipeline actually wants. Rows are processed in
+   * event-time order within each micro-batch (the recurrence is
+   * order-sensitive); when batches respect event order the final state
+   * is a pure function of the rows seen — re-batching invariant.
+   *
+   * Expects columns: key (string), ts_us (long, event-time µs),
+   * v (long). Output mode: Update.
+   */
+  def streamingEwma(rows: DataFrame)(
+      implicit spark: SparkSession): Dataset[EwmaUpdate] = {
+    import spark.implicits._
+    rows
+      .select(col("key").cast("string"), col("ts_us").cast("long"),
+        col("v").cast("long"))
+      .where(col("key").isNotNull && col("ts_us").isNotNull &&
+        col("v").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(
+            EwmaState(hasS = false, 0L, 0L, 0L, -1L))
+          it.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsUs, v) =>
+            val alarmed = st.hasS &&
+              (4L * v > 5L * st.s || 4L * v < 3L * st.s)
+            // Java / truncates toward zero — exactly Spark SQL's DIV,
+            // so the fold is bit-identical to the batch recurrence
+            val s2 = if (st.hasS) (v + st.s) / 2 else v
+            st = EwmaState(hasS = true, s2, st.nObs + 1L,
+              st.nAlarm + (if (alarmed) 1L else 0L),
+              if (alarmed && st.firstAlarmUs < 0L) tsUs else st.firstAlarmUs)
+          }
+          state.update(st)
+          Iterator.single(EwmaUpdate(key, st.nObs, st.s, st.nAlarm,
+            if (st.firstAlarmUs < 0L) None else Some(st.firstAlarmUs)))
+      }
+  }
 }

@@ -85,4 +85,41 @@ class TrendSpec extends SparkSpec {
     val out = ewma(Seq(("d", 1, 4L), ("d", 1, 6L), ("d", 2, 20L)))
     assert(out("d") == ((2L, 15L, 1L)))
   }
+
+  private def theil(rows: Seq[(String, Int, Long)]) =
+    Trend.theilSenCensus(rows.toDF("k", "dayN", "v"),
+        col("k"), col("dayN"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+
+  test("theilSenCensus: lower median over hand-enumerated pair slopes") {
+    // series (1,1), (2,2), (3,10): slopes 1/1, 9/2, 8/1 → ppm
+    // {1000000, 4500000, 8000000}; N = 3, lower median = 4500000
+    val out = theil(Seq(("a", 1, 1L), ("a", 2, 2L), ("a", 3, 10L)))
+    assert(out("a") == ((3L, 3L, Some(4500000L))))
+  }
+
+  test("theilSenCensus: negative slopes truncate toward zero (sign-split)") {
+    // (1,0) → (3,−1): num −1, den 2 → −(1000000 DIV 2) = −500000
+    val out = theil(Seq(("n", 1, 0L), ("n", 3, -1L)))
+    assert(out("n") == ((2L, 1L, Some(-500000L))))
+  }
+
+  test("theilSenCensus: a single-day key has zero pairs and a NULL slope") {
+    val out = theil(Seq(("s", 7, 5L), ("a", 1, 1L), ("a", 2, 2L)))
+    assert(out("s") == ((1L, 0L, None)))
+    assert(out("a") == ((2L, 1L, Some(1000000L))))
+  }
+
+  test("theilSenCensus: even pair count takes the LOWER middle slope") {
+    // series (1,0), (2,1), (3,1): slopes 1/1=1e6, 1/2=5e5, 0/1=0 →
+    // sorted {0, 500000, 1000000}... that's N=3; use 4 days:
+    // (1,0),(2,2),(3,2),(4,2): slopes 2,1,2/3,0,0,0 → ppm
+    // {2000000, 1000000, 666666, 0, 0, 0}; N = 6, cum at 0 is 3,
+    // 2·3 ≥ 6 → median 0 (the lower middle)
+    val out = theil(Seq(("e", 1, 0L), ("e", 2, 2L), ("e", 3, 2L), ("e", 4, 2L)))
+    assert(out("e") == ((4L, 6L, Some(0L))))
+  }
 }

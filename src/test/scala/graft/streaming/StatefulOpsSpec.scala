@@ -619,6 +619,45 @@ class StatefulOpsSpec extends SparkSpec {
       b.getAs[Long]("p99_days") == 9L)
   }
 
+  test("streamingEwma: O(1) state replays the batch fold; re-batching invariant") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the TrendSpec hand walk: 10, 20, 2, 9 -> s 10,15,8,8 with 2 alarms
+    // (first at the second observation); key "f" stays flat, no alarms
+    val rows = Seq(10L, 20L, 2L, 9L).zipWithIndex.map { case (v, i) =>
+      ("a", 1000000L * i, v)
+    } ++ (0 until 4).map(i => ("f", 1000000L * i, 8L))
+
+    def run(batches: Seq[Seq[(String, Long, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Long)]
+      val out = StatefulOps.streamingEwma(mem.toDF.toDF("key", "ts_us", "v"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.maxBy(_._2) }
+    }
+
+    val one = run(Seq(rows), "ewma_one")
+    assert(one("a") == (("a", 4L, 8L, 2L, Some(1000000L))))
+    assert(one("f") == (("f", 4L, 8L, 0L, None)))
+    val sliced = run(Seq(rows.take(3), rows.slice(3, 5), rows.drop(5)),
+      "ewma_three")
+    assert(one == sliced, "final level/alarms must not depend on batching")
+    // one row per day -> the batch census is the same fold
+    val batch = graft.operators.Trend.ewmaHalfCensus(
+      rows.toDF("k", "dayUs", "v"), col("k"), col("dayUs"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(batch("a") == ((4L, 8L, 2L)) && batch("f") == ((4L, 8L, 0L)))
+  }
+
   private def tsn(day: Int, sec: Int) =
     java.time.LocalDateTime.of(2024, 1, day, 0, 0, 0).plusSeconds(sec.toLong)
 }
