@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale evidence for GRAPH12 (`Graph.labelPropagation`, q247): per-round
+ * cost shape and the broadcastLabels knob on a 10M-edge graph.
+ *
+ * Corpus law (no RNG): a planted-partition graph — `v` nodes in
+ * `v / 1000` blocks of 1000; each of `n` hash-scattered edges stays
+ * INSIDE its source's block 9 times out of 10 and crosses blocks
+ * otherwise. That gives LPA real structure to find (blocks are the
+ * ground truth) while keeping everything derived from xxhash64 — rerun
+ * gives bit-identical edges.
+ *
+ * What is measured:
+ *   1. per-round wall-clock at 1× and 10× edges — the claim "a round is
+ *      one edge join + one argmax aggregate" means time scales with
+ *      |E|, not |E|·rounds² or worse;
+ *   2. broadcastLabels=true vs false at the base size — the node frame
+ *      is |V| rows of two longs, so broadcasting it removes one
+ *      edge-sized shuffle per round;
+ *   3. convergence: rounds 1→4 label-change counts for the undamped
+ *      textbook law vs the includeSelf damped variant — pure sync LPA
+ *      OSCILLATES (neighborhood 2-cycles keep ~all nodes churning);
+ *      the self-vote is what makes it a usable detector, and this
+ *      stress is the measurement behind that scaladoc claim.
+ *
+ * Usage: runMain graft.tools.LpaScaleStress [n] [v]
+ * (default 1M edges / 100k nodes; the 10× pass runs 10M edges)
+ */
+object LpaScaleStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val v = if (args.length > 1) args(1).toLong else 100000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[lpa-stress] $label: $s%.1f s"); (r, s)
+    }
+
+    val blocks = v / 1000L
+    def edges(rows: Long) = {
+      val e0 = spark.range(rows).select(
+        pmod(xxhash64(col("id")), lit(v)).as("src"),
+        col("id"))
+        .select(col("src"),
+          // 90%: another node in src's block; 10%: anywhere
+          when(pmod(col("id"), lit(10)) =!= 0,
+            (col("src") - pmod(col("src"), lit(1000L))) +
+              pmod(xxhash64(col("id"), lit(7)), lit(1000L)))
+            .otherwise(pmod(xxhash64(col("id"), lit(11)), lit(v))).as("dst"))
+        .where(col("src") =!= col("dst"))
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
+
+    for (mult <- Seq(1L, 10L)) {
+      val e = edges(n * mult)
+      val m = e.count()
+      println(s"[lpa-stress] --- ${n * mult} raw edges -> $m symmetrized distinct, $v nodes, $blocks blocks ---")
+      val (r2, t2) = timed(s"${mult}x rounds=2")(
+        graft.operators.Graph.labelPropagation(e, rounds = 2).count())
+      val (_, t4) = timed(s"${mult}x rounds=4")(
+        graft.operators.Graph.labelPropagation(e, rounds = 4).count())
+      println(f"[lpa-stress] ${mult}x per-round ratio t4/t2 = ${t4 / t2}%.2f (linear-in-rounds => ~2.0)")
+      if (mult == 1L) {
+        val (_, tb) = timed("1x rounds=2 broadcastLabels")(
+          graft.operators.Graph.labelPropagation(e, rounds = 2,
+            broadcastLabels = true).count())
+        println(f"[lpa-stress] broadcast knob: dist $t2%.1f s vs bcast $tb%.1f s")
+        // convergence: changed-label count round k vs k+1, both variants
+        for (self <- Seq(false, true)) {
+          var prev = graft.operators.Graph.labelPropagation(e, rounds = 1,
+            includeSelf = self)
+          for (k <- 2 to 4) {
+            val cur = graft.operators.Graph.labelPropagation(e, rounds = k,
+              includeSelf = self)
+            val changed = cur.withColumnRenamed("label", "l2")
+              .join(prev, "node").where(col("l2") =!= col("label")).count()
+            println(s"[lpa-stress] includeSelf=$self round $k changed labels vs round ${k - 1}: $changed / $r2")
+            prev = cur
+          }
+          val nComm = prev.select(col("label")).distinct().count()
+          println(s"[lpa-stress] includeSelf=$self round-4 distinct labels: $nComm (planted: $blocks)")
+        }
+        // labels percolate at graph-diameter rate: rounds is the knob
+        val n8 = graft.operators.Graph.labelPropagation(e, rounds = 8,
+          includeSelf = true).select(col("label")).distinct().count()
+        println(s"[lpa-stress] includeSelf=true round-8 distinct labels: $n8 (planted: $blocks)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -376,4 +376,19 @@ class GraphSpec extends SparkSpec {
     val sym = tri ++ tri.map(_.swap)
     assert(lpa(sym, 3) == lpa(sym, 3, bcast = true))
   }
+
+  test("labelPropagation: includeSelf damps the pendant-pair 2-cycle") {
+    // pendant pair {4,5}: undamped, labels swap every round (4<->5).
+    // With the self-vote, round 1: node 4 votes {4(self), 5} -> tie ->
+    // 4 keeps 4; node 5 votes {5(self), 4} -> tie -> 4. Round 2: node 4
+    // votes {4, 4} -> 4; node 5 votes {5, 4} -> tie -> 4. Stable at 4.
+    def lpaSelf(edges: Seq[(Long, Long)], rounds: Int) =
+      Graph.labelPropagation(edges.toDF("src", "dst"), rounds,
+          includeSelf = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pair = Seq(4L -> 5L, 5L -> 4L)
+    assert(lpa(pair, 2) == Map(4L -> 4L, 5L -> 5L)) // the oscillation
+    assert(lpaSelf(pair, 1) == Map(4L -> 4L, 5L -> 4L))
+    assert(lpaSelf(pair, 2) == Map(4L -> 4L, 5L -> 4L)) // fixed point
+  }
 }
