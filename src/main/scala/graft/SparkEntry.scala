@@ -4467,6 +4467,33 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy(col("event_type"))
     }),
+
+    // Q252 — EVAL2 NDCG@5 census: does FIRST-half engagement rank a
+    // user's event types the way SECOND-half behavior says it should?
+    // (q236's Markov accuracy asks this about next events; this grades
+    // the whole ranked list with graded gains.) Pinned integer discount
+    // table, linear gains, users with no second-half activity excluded
+    // (IDCG = 0 — the question is undefined). Output: ndcg decile
+    // histogram (buckets of 100k ppm).
+    "q252_ndcg_census" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val span = ev.agg(expr(
+        "date_add(min(CAST(ts AS DATE)), CAST(datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) DIV 2 AS INT))")
+        .as("split_day"))
+      val units = ev
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+        .crossJoin(broadcast(span)) // single-row constant join
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(when(col("d") <= col("split_day"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("d") > col("split_day"), 1L).otherwise(0L)).as("c2"))
+      graft.operators.Ranking.ndcgAtK(units, "user_id", "event_type",
+          "c1", "c2", k = 5)
+        .where(col("ndcg_ppm").isNotNull)
+        .withColumn("bucket", expr("ndcg_ppm DIV 100000"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -9260,6 +9287,32 @@ object SparkEntry {
           |SELECT nd.key AS event_type, nd.n_days,
           |  CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs, m.slope_ppm
           |FROM nd LEFT JOIN m USING (key) ORDER BY event_type""".stripMargin,
+
+      // q245's calendar split; discounts interpolated from the SAME
+      // pinned table the Spark expression uses (Ranking.discountPpm)
+      "q252_ndcg_census" -> {
+        def dCase(rc: String) = (1 to 5)
+          .map(i => s"WHEN $i THEN rel * ${graft.operators.Ranking.discountPpm(i)}")
+          .mkString(s"CASE $rc ", " ", " ELSE 0 END")
+        s"""WITH sp AS (SELECT min(CAST(ts AS DATE)) + CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) // 2 AS INTEGER) AS split_day FROM events),
+           |ut AS (SELECT user_id AS key, event_type AS item,
+           |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= sp.split_day THEN 1 ELSE 0 END) AS BIGINT) AS score,
+           |    CAST(sum(CASE WHEN CAST(ts AS DATE) > sp.split_day THEN 1 ELSE 0 END) AS BIGINT) AS rel
+           |  FROM events, sp GROUP BY 1, 2),
+           |rk AS (SELECT key, score, rel,
+           |    row_number() OVER (PARTITION BY key ORDER BY score DESC, item) AS pr,
+           |    row_number() OVER (PARTITION BY key ORDER BY rel DESC, item) AS ir
+           |  FROM ut),
+           |ag AS (SELECT key,
+           |    CAST(sum(${dCase("pr")}) AS BIGINT) AS dcg,
+           |    CAST(sum(${dCase("ir")}) AS BIGINT) AS idcg
+           |  FROM rk GROUP BY 1),
+           |nd AS (SELECT key, dcg * 1000000 // idcg AS ndcg_ppm
+           |  FROM ag WHERE idcg > 0)
+           |SELECT CAST(ndcg_ppm // 100000 AS BIGINT) AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_users
+           |FROM nd GROUP BY 1 ORDER BY bucket""".stripMargin
+      },
     )
   }
 }

@@ -156,4 +156,62 @@ object Ranking {
             sqrt((col("n0") - col("n_y")).cast("double")))
           .as("tau_b"))
   }
+
+  /** Pinned NDCG discount table: ⌊10⁶ / log₂(i+1)⌋ for 1-based rank i.
+   *  The one IEEE log happens HERE, in a plan-time constant shared by
+   *  the Spark expression and the oracle SQL (both interpolate this
+   *  value), so per-row arithmetic stays pure-integer on both engines. */
+  def discountPpm(rank: Int): Long = {
+    require(rank >= 1, "ranks are 1-based")
+    (1000000.0 / (math.log(rank + 1.0) / math.log(2.0))).toLong
+  }
+
+  /**
+   * NDCG@k census (EVAL2) — the graded companion to [[recallReport]]'s
+   * binary hit law: recall says whether the right items surfaced, NDCG
+   * says whether the MOST relevant ones surfaced FIRST, with linear
+   * gains and the standard log₂ position discount:
+   *
+   *   DCG@k  = Σ_{i≤k} rel(item at predicted rank i) · d(i)
+   *   IDCG@k = the same sum under the relevance-optimal order
+   *   ndcg_ppm = DCG·10⁶ DIV IDCG        (NULL when IDCG = 0)
+   *
+   * d(i) = [[discountPpm]] — a truncated-constant table, so the whole
+   * statistic is integer-exact and engine-replayable. Both orders are
+   * total: predicted = (score desc, item asc), ideal = (rel desc,
+   * item asc) — ties can't flip a rank across engines.
+   *
+   * Scale posture: two row_number windows over the SAME key partition
+   * (one shuffle, two sorts) and one rollup; per-key row count is the
+   * item domain, not the corpus. dcg ≤ rel-mass · 10⁶ per key — the
+   * ×10⁶ ppm step stays in BIGINT for any realistic gain mass
+   * (overflow needs Σrel > 9·10⁶ within one key's top-k).
+   */
+  def ndcgAtK(df: DataFrame, keyCol: String, itemCol: String,
+      scoreCol: String, relCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 100, "1..100 cutoff")
+    val disc = (1 to k).map(discountPpm)
+    def d(rankCol: org.apache.spark.sql.Column) =
+      element_at(array(disc.map(lit): _*), rankCol.cast("int"))
+    df
+      .select(col(keyCol).as("key"), col(itemCol).as("item"),
+        col(scoreCol).as("score"), col(relCol).cast("long").as("rel"))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+          .orderBy(col("score").desc, col("item"))))
+      .withColumn("ir", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+          .orderBy(col("rel").desc, col("item"))))
+      .groupBy(col("key"))
+      .agg(
+        sum(when(col("pr") <= k, col("rel") * d(col("pr"))).otherwise(0L))
+          .as("dcg"),
+        sum(when(col("ir") <= k, col("rel") * d(col("ir"))).otherwise(0L))
+          .as("idcg"),
+        count(lit(1)).as("n_items"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg") > 0, expr("dcg * 1000000 DIV idcg")))
+      .select(col("key"), col("n_items"), col("dcg"), col("idcg"),
+        col("ndcg_ppm"))
+  }
 }

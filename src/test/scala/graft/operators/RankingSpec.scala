@@ -109,4 +109,52 @@ class RankingSpec extends SparkSpec {
     assert(out("t").isNullAt(out("t").fieldIndex("tau_b")))
     assert(out("t").getAs[Long]("n") == 5L) // the key still reports
   }
+
+  private def ndcg(rows: Seq[(String, String, Long, Long)], k: Int = 5) =
+    Ranking.ndcgAtK(rows.toDF("key", "item", "score", "rel"),
+        "key", "item", "score", "rel", k)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+
+  test("ndcgAtK: the pinned discount table is the floor'd log2 law") {
+    assert(Seq(1, 2, 3, 4, 5).map(Ranking.discountPpm) ==
+      Seq(1000000L, 630929L, 500000L, 430676L, 386852L))
+  }
+
+  test("ndcgAtK: perfect ranking scores exactly 10^6") {
+    val rows = Seq(("p", "a", 30L, 3L), ("p", "b", 20L, 2L), ("p", "c", 10L, 1L))
+    val out = ndcg(rows)
+    assert(out("p")._3 == Some(1000000L) && out("p")._1 == out("p")._2)
+  }
+
+  test("ndcgAtK: hand-computed dcg/idcg on a misranked list") {
+    // pred order A,B,C (scores 3,2,1), rels 0,2,1:
+    //   dcg  = 0·d1 + 2·d2 + 1·d3 = 2·630929 + 500000   = 1761858
+    //   idcg = 2·d1 + 1·d2        = 2000000 + 630929    = 2630929
+    //   ndcg = 1761858·10⁶ DIV 2630929                  = 669671
+    val rows = Seq(("q", "A", 3L, 0L), ("q", "B", 2L, 2L), ("q", "C", 1L, 1L))
+    assert(ndcg(rows)("q") == ((1761858L, 2630929L, Some(669671L))))
+  }
+
+  test("ndcgAtK: zero relevance mass yields NULL, not zero") {
+    val rows = Seq(("z", "A", 3L, 0L), ("z", "B", 2L, 0L))
+    assert(ndcg(rows)("z") == ((0L, 0L, None)))
+  }
+
+  test("ndcgAtK: relevance buried past the cutoff scores zero") {
+    // 6 items, all relevance on the item predicted LAST (rank 6 > k=5):
+    // dcg = 0, idcg = 5·d1 — the list is graded as a total miss
+    val rows = (1 to 6).map(i =>
+      ("m", s"i$i", (10 - i).toLong, if (i == 6) 5L else 0L))
+    assert(ndcg(rows)("m") == ((0L, 5000000L, Some(0L))))
+  }
+
+  test("ndcgAtK: score ties break by item name, deterministically") {
+    // equal scores: pred order is (a, b); rels 0, 9 → dcg = 9·d2
+    val rows = Seq(("t", "a", 5L, 0L), ("t", "b", 5L, 9L))
+    assert(ndcg(rows)("t") ==
+      ((9L * 630929L, 9000000L, Some(9L * 630929L * 1000000L / 9000000L))))
+  }
 }
