@@ -4494,6 +4494,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("bucket"))
     }),
+
+    // Q253 — CP2 change-point LOCATOR: q220's streaming CUSUM says a
+    // level shifted; this says WHERE — the binary-segmentation first
+    // split, argmax of the integer CUSUM distance |n·C_i − i·T| over
+    // per-type daily event counts, earliest-day ties. Calendar-bounded
+    // per-key rows after one map-side-combinable daily rollup.
+    "q253_changepoint" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Drift.changepointLocate(ev,
+          col("event_type"), to_date(col("ts")), lit(1L))
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // Q254 — FC6 Holt linear forecast census: the trending sibling of
+    // q249's EWMA on the same per-priority daily revenue series — an
+    // explicit trend term rides ramps instead of trailing them.
+    // Half-weight sign-split integer recurrence; the oracle replays it
+    // with a recursive CTE using DuckDB's lateral column aliases.
+    "q254_holt_linear" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Trend.holtLinearCensus(o,
+          col("o_orderpriority"), to_date(col("o_orderdate")),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .withColumnRenamed("key", "o_orderpriority")
+        .orderBy(col("o_orderpriority"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -9313,6 +9340,62 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS n_users
            |FROM nd GROUP BY 1 ORDER BY bucket""".stripMargin
       },
+
+      // |n·C_i − i·T| in HUGEINT, argmax with earliest-day ties
+      "q253_changepoint" ->
+        """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS dd,
+          |    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+          |w AS (SELECT key, dd, v,
+          |    CAST(row_number() OVER (PARTITION BY key ORDER BY dd) AS BIGINT) AS i,
+          |    sum(v) OVER (PARTITION BY key ORDER BY dd) AS c,
+          |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+          |    sum(v) OVER (PARTITION BY key) AS t
+          |  FROM d),
+          |s AS (SELECT key, i, dd, c,
+          |    abs(CAST(n AS HUGEINT) * c - CAST(i AS HUGEINT) * t) AS d_i,
+          |    row_number() OVER (PARTITION BY key
+          |      ORDER BY abs(CAST(n AS HUGEINT) * c - CAST(i AS HUGEINT) * t) DESC, i) AS r
+          |  FROM w WHERE i < n),
+          |nd AS (SELECT key, CAST(max(n) AS BIGINT) AS n_days,
+          |    CAST(max(t) AS BIGINT) AS tt FROM w GROUP BY 1),
+          |best AS (SELECT * FROM s WHERE r = 1)
+          |SELECT nd.key AS event_type, nd.n_days,
+          |  CAST(best.i AS BIGINT) AS split_idx, best.dd AS split_day,
+          |  CAST(best.c AS BIGINT) AS sum_left,
+          |  CAST(nd.tt - best.c AS BIGINT) AS sum_right,
+          |  CAST(coalesce(best.d_i, 0) AS VARCHAR) AS d_stat
+          |FROM nd LEFT JOIN best USING (key) ORDER BY event_type""".stripMargin,
+
+      // q249's series; lateral aliases bind l' once inside the step
+      "q254_holt_linear" ->
+        """WITH RECURSIVE d AS (SELECT o_orderpriority AS key,
+          |    CAST(o_orderdate AS DATE) AS dd,
+          |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (SELECT key, v,
+          |    row_number() OVER (PARTITION BY key ORDER BY dd) AS rn FROM d),
+          |rec AS (
+          |  SELECT key, rn, v AS l, CAST(0 AS BIGINT) AS t,
+          |    CAST(0 AS BIGINT) AS alarms
+          |  FROM r WHERE rn = 1
+          |  UNION ALL
+          |  SELECT r.key, r.rn,
+          |    CASE WHEN r.v + rec.l + rec.t < 0
+          |         THEN -((-(r.v + rec.l + rec.t)) // 2)
+          |         ELSE (r.v + rec.l + rec.t) // 2 END AS l2,
+          |    CASE WHEN rec.t + l2 - rec.l < 0
+          |         THEN -((-(rec.t + l2 - rec.l)) // 2)
+          |         ELSE (rec.t + l2 - rec.l) // 2 END AS t2,
+          |    rec.alarms + CASE WHEN 4 * r.v > 5 * (rec.l + rec.t)
+          |                        OR 4 * r.v < 3 * (rec.l + rec.t)
+          |                      THEN 1 ELSE 0 END
+          |  FROM rec JOIN r ON r.key = rec.key AND r.rn = rec.rn + 1)
+          |SELECT key AS o_orderpriority, CAST(max(rn) AS BIGINT) AS n_days,
+          |  CAST(arg_max(l, rn) AS BIGINT) AS level,
+          |  CAST(arg_max(t, rn) AS BIGINT) AS trend,
+          |  CAST(arg_max(l, rn) + arg_max(t, rn) AS BIGINT) AS forecast_next,
+          |  CAST(max(alarms) AS BIGINT) AS n_alarms
+          |FROM rec GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     )
   }
 }

@@ -378,4 +378,56 @@ object Drift {
         col("d_num").cast("decimal(38,0)").cast("string").as("d_num"),
         col("d_ppm"), col("significant"))
   }
+
+  /**
+   * Change-point LOCATOR (DRIFT/CP2) — [[cusum]] answers "did the level
+   * shift, and is it shifted NOW"; this answers "WHERE did it shift":
+   * the first step of binary segmentation, which maximizes the CUSUM
+   * distance of the prefix sums from the no-change diagonal:
+   *
+   *   D_i = |n·C_i − i·T|      (C_i prefix sum, T total, i = 1..n−1)
+   *   split = argmax_i D_i, ties → earliest i
+   *
+   * D is the classic |mean_left − mean_right| statistic scaled by
+   * n·i·(n−i)/… — rank-equivalent, but pure INTEGER (no variance
+   * denominators), so argmax and value replay on any engine. Recursing
+   * on each side localizes multiple breaks; one level is the primitive.
+   *
+   * Scale posture: one daily pre-aggregate (corpus-proportional,
+   * map-side-combinable), then a per-key prefix window and a
+   * max(struct) argmax over CALENDAR-bounded rows. n·C runs in
+   * DECIMAL(38,0) (n·total crosses 2⁶³ once day-mass ≳ 4·10¹⁵ cents);
+   * d_stat leaves as the canonical decimal string (the q122 recipe).
+   *
+   * Output: key, n_days, split_idx (i, 1-based), split_day (last day of
+   * the left segment), sum_left, sum_right, d_stat. Keys with a single
+   * day have no interior split: NULL split columns, d_stat "0".
+   */
+  def changepointLocate(df: DataFrame, keyCol: Column, dayCol: Column,
+      valueCol: Column): DataFrame = {
+    val daily = df
+      .groupBy(keyCol.as("key"), dayCol.as("d"))
+      .agg(sum(valueCol).cast("long").as("v"))
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val ord = byKey.orderBy(col("d"))
+    val cum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("c", sum(col("v")).over(cum))
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("t", sum(col("v")).over(byKey))
+      .withColumn("d_i", expr(
+        "abs(CAST(n AS DECIMAL(38,0)) * c - CAST(i AS DECIMAL(38,0)) * t)"))
+      .groupBy(col("key"))
+      .agg(max(col("n")).as("n_days"), max(col("t")).as("total"),
+        max(when(col("i") < col("n"),
+          struct(col("d_i"), (-col("i")).as("ni"), col("d").as("d"),
+            col("c").as("c")))).as("w"))
+      .select(col("key"), col("n_days"),
+        (-col("w.ni")).as("split_idx"), col("w.d").as("split_day"),
+        col("w.c").as("sum_left"), (col("total") - col("w.c")).as("sum_right"),
+        coalesce(col("w.d_i"), lit(0).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("d_stat"))
+  }
 }

@@ -182,4 +182,63 @@ object Trend {
       .select(col("key"), col("n_days"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope_ppm"))
   }
+
+  /**
+   * Holt linear (double-exponential) forecast census (FC6) — the
+   * trending sibling of [[ewmaHalfCensus]]: EWMA tracks a LEVEL and
+   * lags every ramp; Holt carries an explicit trend term, so its
+   * one-step forecast rides a ramp instead of trailing it. Half-weight
+   * integer rendition (α = β = ½), every step engine-exact:
+   *
+   *   l₁ = v₁, t₁ = 0
+   *   fᵢ = lᵢ₋₁ + tᵢ₋₁                     (one-step-ahead forecast)
+   *   alarmᵢ ⇔ 4·vᵢ > 5·fᵢ ∨ 4·vᵢ < 3·fᵢ   (±25% of forecast, i ≥ 2)
+   *   lᵢ = half(vᵢ + fᵢ)
+   *   tᵢ = half(tᵢ₋₁ + lᵢ − lᵢ₋₁)
+   *
+   * where half(x) is the SIGN-SPLIT halving (−x halves as −half(x)) —
+   * the trend term goes negative on downswings, and Spark's DIV
+   * truncates toward zero while DuckDB's // floors, so the split is
+   * what keeps the two engines bit-identical.
+   *
+   * Same scale posture as the EWMA census: one corpus-proportional
+   * daily pre-aggregate, then a calendar-bounded per-key fold via the
+   * `aggregate` HOF — no UDF, no global window, one shuffle.
+   *
+   * Output: key, n_days, level, trend, forecast_next (= level + trend),
+   * n_alarms.
+   */
+  def holtLinearCensus(df: DataFrame, keyCol: Column, dayCol: Column,
+      valueCol: Column): DataFrame = {
+    val daily = df
+      .groupBy(keyCol.as("key"), dayCol.as("d"))
+      .agg(sum(valueCol).cast("long").as("v"))
+    // sign-split truncating halving: shiftright floors, so halve the
+    // MAGNITUDE — matches Spark DIV / DuckDB sign-split // exactly
+    def half(x: Column): Column =
+      when(x < 0L, -shiftright(-x, 1)).otherwise(shiftright(x, 1))
+    val zero = struct(lit(null).cast("long").as("l"), lit(0L).as("t"),
+      lit(0L).as("n"), lit(0L).as("alarms"))
+    daily
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("d"), col("v")))).as("series"))
+      .withColumn("acc", aggregate(col("series"), zero, (a, x) => {
+        val l = a.getField("l"); val t = a.getField("t"); val v = x.getField("v")
+        val f = l + t
+        val lNew = half(v + f)
+        val tNew = half(t + lNew - l)
+        val alarmed = (v * 4 > f * 5) || (v * 4 < f * 3)
+        when(l.isNull,
+          struct(v.as("l"), lit(0L).as("t"), lit(1L).as("n"),
+            lit(0L).as("alarms")))
+          .otherwise(struct(lNew.as("l"), tNew.as("t"),
+            (a.getField("n") + 1L).as("n"),
+            (a.getField("alarms") + when(alarmed, 1L).otherwise(0L))
+              .as("alarms")))
+      }))
+      .select(col("key"), col("acc.n").as("n_days"),
+        col("acc.l").as("level"), col("acc.t").as("trend"),
+        (col("acc.l") + col("acc.t")).as("forecast_next"),
+        col("acc.alarms").as("n_alarms"))
+  }
 }

@@ -298,4 +298,42 @@ class DriftSpec extends SparkSpec {
     assert(out(("s1", "s2")) == (("5", 1.0)))
     assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
   }
+
+  // ---- CP2 change-point locator ----
+
+  private def locate(rows: Seq[(String, Int, Long)]) =
+    Drift.changepointLocate(rows.toDF("k", "dayN", "v"),
+        col("k"), col("dayN"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        r.getString(6))))
+      .toMap
+
+  test("changepointLocate: the step lands the split at the step boundary") {
+    // 10, 10, 50, 50: T=120, n=4; D = |4C_i − i·120| = 80, 160, 80 →
+    // split at i=2 (day 2), left 20, right 100
+    val out = locate(Seq(("a", 1, 10L), ("a", 2, 10L), ("a", 3, 50L), ("a", 4, 50L)))
+    assert(out("a") == ((4L, 2L, 2, 20L, 100L, "160")))
+  }
+
+  test("changepointLocate: a flat series ties to the EARLIEST split at D=0") {
+    val out = locate(Seq(("f", 1, 5L), ("f", 2, 5L), ("f", 3, 5L)))
+    assert(out("f") == ((3L, 1L, 1, 5L, 10L, "0")))
+  }
+
+  test("changepointLocate: a single day has no interior split") {
+    val out = locate(Seq(("s", 7, 9L)))
+    assert(out("s") == ((1L, -1L, -1, -1L, -1L, "0")))
+  }
+
+  test("changepointLocate: rows pre-aggregate to daily sums") {
+    // day 3 split twice: same as the step fixture
+    val out = locate(Seq(("p", 1, 10L), ("p", 2, 10L), ("p", 3, 25L),
+      ("p", 3, 25L), ("p", 4, 50L)))
+    assert(out("p") == ((4L, 2L, 2, 20L, 100L, "160")))
+  }
 }

@@ -113,6 +113,46 @@ class TrendSpec extends SparkSpec {
     assert(out("a") == ((2L, 1L, Some(1000000L))))
   }
 
+  private def holt(rows: Seq[(String, Int, Long)]) =
+    Trend.holtLinearCensus(rows.toDF("k", "dayN", "v"),
+        col("k"), col("dayN"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+
+  test("holtLinearCensus: hand-walked level/trend fold on a doubling ramp") {
+    // 10, 20, 40:
+    //   i1: l=10, t=0
+    //   i2: f=10, 80>50 ALARM; l=half(30)=15, t=half(0+15−10)=2
+    //   i3: f=17, 160>85 ALARM; l=half(57)=28, t=half(2+28−15)=7
+    val out = holt(Seq(("a", 1, 10L), ("a", 2, 20L), ("a", 3, 40L)))
+    assert(out("a") == ((3L, 28L, 7L, 35L, 2L)))
+  }
+
+  test("holtLinearCensus: negative trend halves sign-split (toward zero)") {
+    // 100, 0, 0:
+    //   i2: f=100, ALARM; l=half(100)=50, t=half(0+50−100)=half(−50)=−25
+    //   i3: f=25,  ALARM; l=half(25)=12,  t=half(−25+12−50)=half(−63)=−31
+    val out = holt(Seq(("n", 1, 100L), ("n", 2, 0L), ("n", 3, 0L)))
+    assert(out("n") == ((3L, 12L, -31L, -19L, 2L)))
+  }
+
+  test("holtLinearCensus: a single day seeds level with zero trend") {
+    assert(holt(Seq(("s", 9, 42L))) == Map("s" -> ((1L, 42L, 0L, 42L, 0L))))
+  }
+
+  test("holtLinearCensus: tracks a linear ramp closer than the EWMA level") {
+    // 10, 20, 30, 40: Holt forecast after day 4 = 42 (true next 50);
+    // the EWMA level after the same series is 31 — the trend term
+    // is what chases the ramp
+    val rows = (1 to 4).map(i => ("r", i, i * 10L))
+    val h = holt(rows)("r")
+    assert(h._1 == 4L && h._4 == 42L)
+    val e = ewma(rows)("r")
+    assert(e._2 == 31L && h._4 > e._2)
+  }
+
   test("theilSenCensus: even pair count takes the LOWER middle slope") {
     // series (1,0), (2,1), (3,1): slopes 1/1=1e6, 1/2=5e5, 0/1=0 →
     // sorted {0, 500000, 1000000}... that's N=3; use 4 days:
