@@ -4521,6 +4521,36 @@ object SparkEntry {
         .withColumnRenamed("key", "o_orderpriority")
         .orderBy(col("o_orderpriority"))
     }),
+
+    // Q255 — GRAPH13 co-neighbor link prediction: which supplier pairs
+    // serve the most shared customers — common-neighbors + Jaccard over
+    // the bipartite customer→supplier projection, wedges centered on
+    // the CUSTOMER side (the non-hub side; centering on suppliers would
+    // square the hubs — the q142 orientation lesson), top-20 by the
+    // total (cn desc, a, b) order via TakeOrderedAndProject.
+    "q255_link_prediction" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      graft.operators.Graph.bipartiteCoNeighbors(edges, topK = 20)
+        .orderBy(col("cn").desc, col("a"), col("b"))
+    }),
+
+    // Q256 — P5 t-closeness audit: the third rung after q162's
+    // k-anonymity and q167's l-diversity, same QI = (day, value band),
+    // sensitive = event_type — a diverse group still leaks if its
+    // event-type mix skews far from the corpus baseline (skewness
+    // attack). Exact-rational TV per group with the absent-value mass
+    // folded closed-form; 4-bucket census.
+    "q256_t_closeness" -> ((s, dir) =>
+      graft.operators.Pii.tClosenessAudit(
+          t(s, dir, "events").select(
+            to_date(col("ts")).as("day"),
+            floor(col("value") / 50).cast("long").as("value_band"),
+            col("event_type")),
+          quasiIdCols = Seq("day", "value_band"),
+          sensitiveCol = "event_type")
+        .orderBy(col("closeness_bucket"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -9396,6 +9426,53 @@ object SparkEntry {
           |  CAST(arg_max(l, rn) + arg_max(t, rn) AS BIGINT) AS forecast_next,
           |  CAST(max(alarms) AS BIGINT) AS n_alarms
           |FROM rec GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+      // wedges centered on the customer side; top-20 by total order
+      "q255_link_prediction" ->
+        """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+          |p AS (SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS cn
+          |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst GROUP BY 1, 2),
+          |j AS (SELECT p.a, p.b, p.cn, da.deg AS deg_a, db.deg AS deg_b,
+          |    CAST(p.cn * 1000000 // (da.deg + db.deg - p.cn) AS BIGINT) AS jaccard_ppm
+          |  FROM p JOIN deg da ON p.a = da.dst JOIN deg db ON p.b = db.dst)
+          |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, cn,
+          |  deg_a, deg_b, jaccard_ppm
+          |FROM j ORDER BY cn DESC, a, b LIMIT 20""".stripMargin,
+
+      // exact-rational TV per group, absent-value mass closed-form
+      "q256_t_closeness" ->
+        """WITH base AS (SELECT CAST(ts AS DATE) AS day,
+          |    CAST(floor(value / 50) AS BIGINT) AS value_band, event_type
+          |  FROM events),
+          |cells AS (SELECT day, value_band, event_type,
+          |    CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2, 3),
+          |gd AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS gv
+          |  FROM cells GROUP BY 1),
+          |nt AS (SELECT CAST(sum(gv) AS BIGINT) AS n_total FROM gd),
+          |gt AS (SELECT day, value_band, CAST(sum(cnt) AS BIGINT) AS n_g
+          |  FROM cells GROUP BY 1, 2),
+          |pg AS (SELECT c.day, c.value_band,
+          |    max(g.n_g) AS n_g, max(nt.n_total) AS n_total,
+          |    sum(abs(CAST(c.cnt AS HUGEINT) * nt.n_total
+          |        - CAST(gl.gv AS HUGEINT) * g.n_g)) AS tv_present,
+          |    CAST(sum(gl.gv) AS BIGINT) AS gv_present
+          |  FROM cells c JOIN gd gl USING (event_type)
+          |    JOIN gt g ON c.day = g.day AND c.value_band = g.value_band, nt
+          |  GROUP BY 1, 2),
+          |tv AS (SELECT n_g,
+          |    CAST((tv_present + CAST(n_g AS HUGEINT) * (n_total - gv_present))
+          |      * 1000000 // (CAST(2 AS HUGEINT) * n_g * n_total) AS BIGINT) AS tv_ppm
+          |  FROM pg)
+          |SELECT CASE WHEN tv_ppm <= 100000 THEN '1_close'
+          |            WHEN tv_ppm <= 250000 THEN '2_moderate'
+          |            WHEN tv_ppm <= 500000 THEN '3_skewed'
+          |            ELSE '4_divergent' END AS closeness_bucket,
+          |  CAST(count(*) AS BIGINT) AS n_groups,
+          |  CAST(sum(n_g) AS BIGINT) AS n_rows,
+          |  CAST(max(tv_ppm) AS BIGINT) AS max_tv_ppm
+          |FROM tv GROUP BY 1 ORDER BY closeness_bucket""".stripMargin,
     )
   }
 }

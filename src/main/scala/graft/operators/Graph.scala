@@ -654,4 +654,47 @@ object Graph {
     }
     labels
   }
+
+  /**
+   * Bipartite co-neighbor link prediction (GRAPH13) — the classic
+   * common-neighbors / Jaccard ranker over a bipartite projection:
+   * right-side nodes that share many left-side neighbors are the
+   * candidate links ("suppliers bought by the same customers",
+   * "items co-viewed by the same users"). For every right pair a < b
+   * with ≥ 1 shared left node:
+   *
+   *   cn          = |N(a) ∩ N(b)|              (shared left nodes)
+   *   jaccard_ppm = cn·10⁶ DIV (deg a + deg b − cn)
+   *
+   * returning the global top-k by (cn desc, a, b) — a total order, so
+   * the k-set is engine-exact.
+   *
+   * Scale posture: the pair generation is the wedge join CENTERED ON
+   * THE LEFT SIDE — volume Σ_left deg(left)², which is the projection's
+   * true output size; centering on the hub-prone side would square the
+   * hubs instead (the q142 orientation lesson). Degrees broadcast
+   * (right side is dimension-bounded), and the top-k runs as
+   * TakeOrderedAndProject — per-partition limit then merge, never a
+   * global sort.
+   */
+  def bipartiteCoNeighbors(edges: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 10000, "1..10000 candidates")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+    val pairs = e.toDF("s1", "a")
+      .join(e.toDF("s2", "b"), col("s1") === col("s2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"))
+    pairs
+      .join(broadcast(deg.select(col("dst").as("a"), col("deg").as("deg_a"))), "a")
+      .join(broadcast(deg.select(col("dst").as("b"), col("deg").as("deg_b"))), "b")
+      .withColumn("jaccard_ppm", expr("cn * 1000000 DIV (deg_a + deg_b - cn)"))
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+        col("jaccard_ppm"))
+  }
 }

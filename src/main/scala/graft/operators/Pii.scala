@@ -141,6 +141,76 @@ object Pii {
         max(col("homogeneity_ppm")).as("max_homogeneity_ppm"))
   }
 
+  /**
+   * t-closeness audit (P5) — the third rung of the disclosure ladder:
+   * k-anonymity ([[kAnonymityAudit]]) bounds WHO can be linked,
+   * l-diversity ([[lDiversityAudit]]) bounds certain disclosure inside
+   * a group, and t-closeness (Li, Li & Venkatasubramanian, ICDE 2007)
+   * bounds what a group REVEALS BEYOND THE BASELINE: even a diverse
+   * group leaks if its sensitive distribution skews far from the
+   * global one (skewness attack). Per QI group, the total-variation
+   * distance to the global sensitive distribution, exact-rational:
+   *
+   *   TV_g = ½ Σ_v |c_gv/n_g − C_v/N|
+   *   tv_ppm = (Σ_v |c_gv·N − C_v·n_g|) · 10⁶ DIV (2·n_g·N)
+   *
+   * Values absent from the group fold into one closed-form term —
+   * Σ_{v∉g} C_v·n_g = n_g·(N − Σ_{v∈g} C_v) — so the sum never
+   * materializes the group×domain cross product. (The paper's EMD
+   * variant orders the domain; categorical sensitive attributes have
+   * no order, and TV is exactly its equal-distance instantiation.)
+   *
+   * Scale posture: one (QI, sensitive) cell aggregate, the global
+   * per-value frame broadcasts onto it (|domain| rows), one QI rollup
+   * sharing the cell partitioning, then a ≤4-row census:
+   *   (closeness_bucket, n_groups, n_rows, max_tv_ppm)
+   * bucketed at 10% / 25% / 50% TV.
+   */
+  def tClosenessAudit(
+      df: DataFrame, quasiIdCols: Seq[String], sensitiveCol: String): DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiIdCols.contains(sensitiveCol),
+      "sensitive attribute cannot also be a quasi-identifier")
+    val cells = df
+      .groupBy((quasiIdCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val global = cells
+      .groupBy(col(sensitiveCol))
+      .agg(sum(col("cnt")).as("gv"))
+    val nTotal = global.agg(sum(col("gv")).as("n_total"))
+    val groupTot = cells
+      .groupBy(quasiIdCols.map(col): _*)
+      .agg(sum(col("cnt")).as("n_g"))
+    val perGroup = cells
+      .join(broadcast(global), sensitiveCol)
+      .join(groupTot, quasiIdCols) // same-key join, exchange reuse
+      .crossJoin(broadcast(nTotal)) // single-row constant join
+      .groupBy(quasiIdCols.map(col): _*)
+      .agg(
+        max(col("n_g")).as("n_g"),
+        max(col("n_total")).as("n_total"),
+        sum(expr(
+          "abs(CAST(cnt AS DECIMAL(38,0)) * n_total - CAST(gv AS DECIMAL(38,0)) * n_g)"))
+          .as("tv_present"),
+        sum(col("gv")).as("gv_present"))
+      .withColumn("tv2_num", expr(
+        "tv_present + CAST(n_g AS DECIMAL(38,0)) * (n_total - gv_present)"))
+      .withColumn("tv_ppm", expr(
+        "CAST(tv2_num * 1000000 DIV (CAST(2 AS DECIMAL(38,0)) * n_g * n_total) AS BIGINT)"))
+    perGroup
+      .withColumn("closeness_bucket",
+        when(col("tv_ppm") <= 100000L, "1_close")
+          .when(col("tv_ppm") <= 250000L, "2_moderate")
+          .when(col("tv_ppm") <= 500000L, "3_skewed")
+          .otherwise("4_divergent"))
+      .groupBy(col("closeness_bucket"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("n_g")).as("n_rows"),
+        max(col("tv_ppm")).as("max_tv_ppm"))
+  }
+
   /** Drop documents containing any PII (the conservative policy). */
   def dropPii(docs: DataFrame, textCol: String): DataFrame = {
     val marked = withPiiMetrics(docs, textCol)

@@ -67,6 +67,7 @@ class PlanAuditSpec extends SparkSpec {
     "q209_fano_dispersion" -> "single-row broadcast: the 1-row global day-span count crossJoins onto the per-key suffstats (1 x keys, structurally bounded)",
     "q248_subsequence_support" -> "single-row broadcast: the 1-row total-user count crossJoins onto the pattern rows (1 x |types|^2, structurally bounded); the pattern join itself is per-user equi",
     "q252_ndcg_census" -> "single-row broadcast: the 1-row calendar split crossJoins onto the events pre-census (1 x rows, structurally bounded — the q245 split law, visible here because no checkpoint truncates it)",
+    "q256_t_closeness" -> "single-row broadcast: the 1-row global total crossJoins onto the (QI, sensitive) cells (1 x cells, structurally bounded — the q97 contingency pattern)",
     "q210_chi2_drift" -> "single-row broadcasts: the 1-row span fence crossJoins onto the events pre-census, and the 1-row window totals onto the bin census (1 x rows / 1 x bins, structurally bounded)",
   )
 

@@ -391,4 +391,38 @@ class GraphSpec extends SparkSpec {
     assert(lpaSelf(pair, 1) == Map(4L -> 4L, 5L -> 4L))
     assert(lpaSelf(pair, 2) == Map(4L -> 4L, 5L -> 4L)) // fixed point
   }
+
+  test("bipartiteCoNeighbors: hand-counted shared customers and Jaccard") {
+    // customers 1,2,3; suppliers 10,20,30:
+    //   1 -> {10,20}, 2 -> {10,20,30}, 3 -> {20,30}
+    // pairs: (10,20) cn=2, (10,30) cn=1, (20,30) cn=2
+    // deg: 10->2, 20->3, 30->2
+    // jaccard: (10,20) 2/3=666666; (10,30) 1/3=333333; (20,30) 2/3=666666
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 20L), (3L, 30L)).toDF("src", "dst")
+    val out = Graph.bipartiteCoNeighbors(edges, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      (10L, 20L) -> ((2L, 2L, 3L, 666666L)),
+      (10L, 30L) -> ((1L, 2L, 2L, 333333L)),
+      (20L, 30L) -> ((2L, 3L, 2L, 666666L))))
+  }
+
+  test("bipartiteCoNeighbors: the top-k cut follows the (cn, a, b) total order") {
+    // three pairs as above; k=2 keeps the two cn=2 pairs, and among
+    // equals (10,20) sorts before (20,30)
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 20L), (3L, 30L)).toDF("src", "dst")
+    val out = Graph.bipartiteCoNeighbors(edges, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((10L, 20L), (20L, 30L)))
+  }
+
+  test("bipartiteCoNeighbors: duplicate edges collapse before counting") {
+    val edges = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 20L))
+      .toDF("src", "dst")
+    val out = Graph.bipartiteCoNeighbors(edges, topK = 5).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 1L) // cn = 1, not 4
+  }
 }

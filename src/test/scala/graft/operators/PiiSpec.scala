@@ -138,4 +138,34 @@ class PiiSpec extends SparkSpec {
     assert(r.getAs[Long]("n_hex") == 1L)
     assert(r.getAs[Long]("n_flagged") == 1L)
   }
+
+  private def tClose(rows: Seq[(String, String)]) =
+    Pii.tClosenessAudit(rows.toDF("qi", "sens"), Seq("qi"), "sens")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("tClosenessAudit: a group mirroring the global mix has TV exactly 0") {
+    // global: a/b 50-50 in both groups -> every |c·N − C·n_g| term is 0
+    val rows = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"))
+    assert(tClose(rows) == Map("1_close" -> ((2L, 4L, 0L))))
+  }
+
+  test("tClosenessAudit: hand-computed skew with the absent-value term") {
+    // global: a=3, b=1, N=4. g1 = {a,a,a} (b absent), g2 = {b}.
+    //   g1: present a: |3·4 − 3·3| = 3; absent b: 3·1 = 3 → tv2 = 6
+    //       tv_ppm = 6·10⁶ DIV (2·3·4) = 250000   (TV = 1/4)
+    //   g2: present b: |1·4 − 1·1| = 3; absent a: 1·3 = 3 → tv2 = 6
+    //       tv_ppm = 6·10⁶ DIV (2·1·4) = 750000   (TV = 3/4)
+    val rows = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"), ("g2", "b"))
+    assert(tClose(rows) == Map(
+      "2_moderate" -> ((1L, 3L, 250000L)),
+      "4_divergent" -> ((1L, 1L, 750000L))))
+  }
+
+  test("tClosenessAudit: one group total-variation-0 by definition") {
+    // a single group IS the global distribution
+    val rows = Seq(("only", "a"), ("only", "a"), ("only", "b"))
+    assert(tClose(rows) == Map("1_close" -> ((1L, 3L, 0L))))
+  }
 }
