@@ -4551,6 +4551,17 @@ object SparkEntry {
           quasiIdCols = Seq("day", "value_band"),
           sensitiveCol = "event_type")
         .orderBy(col("closeness_bucket"))),
+
+    // Q257 — PHRASE2/T18 term-proximity census: how close do "join" and
+    // "hash" co-occur per document — the NEAR/n relevance signal between
+    // q137's exact phrase adjacency and q73's bag-of-words BM25. One
+    // posting-merge pass per doc (sorted-merge adjacency realizes the
+    // min cross-term gap; no occurrences² product), map-side vocabulary
+    // filter, 5-bucket census.
+    "q257_term_proximity" -> ((s, dir) =>
+      graft.operators.PhraseSearch.termProximityCensus(
+          t(s, dir, "documents"), "doc_id", "text", "join", "hash")
+        .orderBy(col("dist_bucket"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -9473,6 +9484,29 @@ object SparkEntry {
           |  CAST(sum(n_g) AS BIGINT) AS n_rows,
           |  CAST(max(tv_ppm) AS BIGINT) AS max_tv_ppm
           |FROM tv GROUP BY 1 ORDER BY closeness_bucket""".stripMargin,
+
+      // posting merge: min cross-term gap is adjacent in sorted order
+      "q257_term_proximity" ->
+        """WITH w AS (SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i+1] AS tok
+          |  FROM w, unnest(range(len(ws))) AS t(i)
+          |  WHERE ws[i+1] IN ('join', 'hash')),
+          |g AS (SELECT doc_id,
+          |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS d,
+          |    tok <> lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS chg
+          |  FROM p),
+          |m AS (SELECT doc_id, CAST(min(d) AS BIGINT) AS min_dist
+          |  FROM g WHERE chg GROUP BY 1)
+          |SELECT CASE WHEN min_dist = 1 THEN '1_adjacent'
+          |            WHEN min_dist = 2 THEN '2_one_between'
+          |            WHEN min_dist <= 4 THEN '3_near'
+          |            WHEN min_dist <= 8 THEN '4_sentence'
+          |            ELSE '5_far' END AS dist_bucket,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(min(min_dist) AS BIGINT) AS min_min_dist,
+          |  CAST(sum(min_dist) AS BIGINT) AS sum_min_dist
+          |FROM m GROUP BY 1 ORDER BY dist_bucket""".stripMargin,
     )
   }
 }

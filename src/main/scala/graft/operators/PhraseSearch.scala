@@ -114,4 +114,58 @@ object PhraseSearch {
       .select(col("phrase_id"), col("doc"),
         col("start").cast("long").as("start"), col("snippet"))
   }
+
+  /**
+   * Term-proximity census (PHRASE2 / T18) — the relevance signal
+   * between PHRASE1's exact adjacency and q73's bag-of-words BM25: how
+   * CLOSE do two terms co-occur per document? Proximity-aware rankers
+   * (and "NEAR/n" query operators) are built on exactly this number.
+   *
+   * Law: over the whitespace-token positions of `termA` and `termB`,
+   * the per-document minimum |posA − posB|. Computed the posting-merge
+   * way — union both terms' postings, ONE ordered pass per document
+   * (window lag), keep gaps where the term CHANGES: in a sorted merge
+   * the global minimum cross-term gap is always realized between two
+   * ADJACENT postings of different terms, so no pairwise product ever
+   * forms (occurrences² per doc would be quadratic in repetitive text).
+   *
+   * Census out: distance histogram (1 / 2 / 3–4 / 5–8 / 9+) over
+   * documents containing BOTH terms, with n_docs and the corpus-wide
+   * min/sum of per-doc minima. Exact integers.
+   *
+   * Scale posture: the filter to two vocabulary terms happens MAP-SIDE
+   * during the posting explode — only (doc, pos, isA) rows for the two
+   * terms shuffle (text never does); one window per doc on that
+   * filtered set, then a ≤5-row rollup.
+   */
+  def termProximityCensus(docs: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String): DataFrame = {
+    require(termA.nonEmpty && termB.nonEmpty && termA != termB,
+      "two distinct non-empty terms")
+    val posts = docs
+      .select(col(idCol).as("doc"),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "tok")))
+      .where(col("tok") === termA || col("tok") === termB)
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        (col("tok") === termA).as("is_a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val gaps = posts
+      .withColumn("prev_pos", lag(col("pos"), 1).over(w))
+      .withColumn("prev_is_a", lag(col("is_a"), 1).over(w))
+      .where(col("prev_pos").isNotNull && col("prev_is_a") =!= col("is_a"))
+      .groupBy(col("doc"))
+      .agg(min(col("pos") - col("prev_pos")).as("min_dist"))
+    gaps
+      .withColumn("dist_bucket",
+        when(col("min_dist") === 1, "1_adjacent")
+          .when(col("min_dist") === 2, "2_one_between")
+          .when(col("min_dist") <= 4, "3_near")
+          .when(col("min_dist") <= 8, "4_sentence")
+          .otherwise("5_far"))
+      .groupBy(col("dist_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("min_dist")).as("min_min_dist"),
+        sum(col("min_dist")).as("sum_min_dist"))
+  }
 }

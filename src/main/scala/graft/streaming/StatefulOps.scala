@@ -836,4 +836,62 @@ object StatefulOps {
             if (st.firstAlarmUs < 0L) None else Some(st.firstAlarmUs)))
       }
   }
+
+  final case class HoltState(hasL: Boolean, l: Long, t: Long, nObs: Long,
+      nAlarm: Long, firstAlarmUs: Long) // firstAlarmUs −1 = none
+  final case class HoltUpdate(key: String, n_obs: Long, level: Long,
+      trend: Long, forecast_next: Long, n_alarm: Long,
+      first_alarm_us: Option[Long])
+
+  /**
+   * Streaming Holt linear monitor — the live twin of
+   * [[graft.operators.Trend.holtLinearCensus]] (FC6), completing the
+   * smoothing pair: [[streamingEwma]] tracks a level and lags ramps;
+   * this carries the trend term, so its forecast rides them. Per
+   * arrival,
+   *
+   *   f = l + t;  alarm ⇔ 4v > 5f ∨ 4v < 3f
+   *   l ← half(v + f);  t ← half(t + l_new − l_old)
+   *
+   * with half(x) the sign-split truncating halving (Java / truncates
+   * toward zero — exactly Spark DIV, so the fold is bit-identical to
+   * the batch census at one row per day). State: five longs + a flag,
+   * O(1) regardless of stream length; same event-time-ordered
+   * within-batch contract as the CUSUM/EWMA twins.
+   */
+  def streamingHolt(rows: DataFrame)(
+      implicit spark: SparkSession): Dataset[HoltUpdate] = {
+    import spark.implicits._
+    def half(x: Long): Long = x / 2 // Java / == Spark DIV (sign-split trunc)
+    rows
+      .select(col("key").cast("string"), col("ts_us").cast("long"),
+        col("v").cast("long"))
+      .where(col("key").isNotNull && col("ts_us").isNotNull &&
+        col("v").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HoltState, HoltUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(
+            HoltState(hasL = false, 0L, 0L, 0L, 0L, -1L))
+          it.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsUs, v) =>
+            if (!st.hasL) {
+              st = HoltState(hasL = true, v, 0L, 1L, 0L, -1L)
+            } else {
+              val f = st.l + st.t
+              val alarmed = 4L * v > 5L * f || 4L * v < 3L * f
+              val lNew = half(v + f)
+              val tNew = half(st.t + lNew - st.l)
+              st = HoltState(hasL = true, lNew, tNew, st.nObs + 1L,
+                st.nAlarm + (if (alarmed) 1L else 0L),
+                if (alarmed && st.firstAlarmUs < 0L) tsUs else st.firstAlarmUs)
+            }
+          }
+          state.update(st)
+          Iterator.single(HoltUpdate(key, st.nObs, st.l, st.t,
+            st.l + st.t, st.nAlarm,
+            if (st.firstAlarmUs < 0L) None else Some(st.firstAlarmUs)))
+      }
+  }
 }

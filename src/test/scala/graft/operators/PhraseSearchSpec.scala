@@ -78,4 +78,34 @@ class PhraseSearchSpec extends SparkSpec {
         r.getAs[Long]("n_matches"))).toSeq
     assert(out == Seq((1L, 2L, 2L), (2L, 1L, 1L), (3L, 0L, 0L)))
   }
+
+  test("termProximityCensus: sorted-merge adjacency finds the true min gap") {
+    // doc 1: the(0) big cat of(3) doom the(5) of(6) → cross gaps 3, 2, 1
+    //   → min 1 (adjacent) — realized only between NEIGHBORING postings
+    // doc 2: only 'of' → no cross-term gap, excluded
+    // doc 3: the(0) x x of(3) → min 3 (near)
+    // doc 4: the the → same-term gap never counts
+    val docs = Seq(
+      (1L, "the big cat of doom the of"),
+      (2L, "of nothing else"),
+      (3L, "the x x of"),
+      (4L, "the the")).toDF("doc_id", "text")
+    val out = PhraseSearch.termProximityCensus(docs, "doc_id", "text",
+        "the", "of")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      "1_adjacent" -> ((1L, 1L, 1L)),
+      "3_near" -> ((1L, 3L, 3L))))
+  }
+
+  test("termProximityCensus: interleaved repeats still yield the pair minimum") {
+    // the(0) of(1) the(2): merged gaps 1,1 → min 1, one doc
+    val docs = Seq((9L, "the of the")).toDF("doc_id", "text")
+    val out = PhraseSearch.termProximityCensus(docs, "doc_id", "text",
+      "the", "of").collect()
+    assert(out.length == 1 && out.head.getString(0) == "1_adjacent"
+      && out.head.getLong(1) == 1L)
+  }
 }

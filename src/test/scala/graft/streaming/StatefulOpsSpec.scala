@@ -658,6 +658,50 @@ class StatefulOpsSpec extends SparkSpec {
     assert(batch("a") == ((4L, 8L, 2L)) && batch("f") == ((4L, 8L, 0L)))
   }
 
+  test("streamingHolt: replays the batch level/trend fold; sign-split on downswings") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // TrendSpec hand walks: "a" 10,20,40 -> (l 28, t 7, f 35, 2 alarms);
+    // "n" 100,0,0 -> (l 12, t −31, f −19, 2 alarms) — the negative-trend
+    // halving must truncate toward zero exactly like Spark DIV
+    val rows = Seq(10L, 20L, 40L).zipWithIndex.map { case (v, i) =>
+      ("a", 1000000L * i, v)
+    } ++ Seq(100L, 0L, 0L).zipWithIndex.map { case (v, i) =>
+      ("n", 1000000L * i, v)
+    }
+
+    def run(batches: Seq[Seq[(String, Long, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Long)]
+      val out = StatefulOps.streamingHolt(mem.toDF.toDF("key", "ts_us", "v"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.maxBy(_._2) }
+    }
+
+    val one = run(Seq(rows), "holt_one")
+    assert(one("a") == (("a", 3L, 28L, 7L, 35L, 2L)))
+    assert(one("n") == (("n", 3L, 12L, -31L, -19L, 2L)))
+    val sliced = run(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)),
+      "holt_three")
+    assert(one == sliced, "level/trend must not depend on batching")
+    // one row per day == the batch census
+    val batch = graft.operators.Trend.holtLinearCensus(
+      rows.toDF("k", "dayUs", "v"), col("k"), col("dayUs"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(batch("a") == ((3L, 28L, 7L, 35L, 2L)))
+    assert(batch("n") == ((3L, 12L, -31L, -19L, 2L)))
+  }
+
   private def tsn(day: Int, sec: Int) =
     java.time.LocalDateTime.of(2024, 1, day, 0, 0, 0).plusSeconds(sec.toLong)
 }
