@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale evidence for GRAPH13 (`Graph.bipartiteCoNeighbors`, q255): the
+ * wedge-centering claim, measured. The pair generation self-joins the
+ * edge list on ONE side; its volume is Σ_side deg² of the side chosen
+ * as the center. On a bipartite graph with a hub-prone right side
+ * (items, suppliers) and a flat left side (users, customers), centering
+ * on the left is the difference between the projection's true output
+ * size and a hub-squared blowup.
+ *
+ * Corpus law (no RNG): `n` edges; left node hash-scattered over `v`
+ * users (flat); right node Zipf-ish — every 2nd edge lands in a 100-item
+ * "head" set, the rest scatter over `w` items. Volumes are computed
+ * exactly from the degree distributions (plan-independent facts), then
+ * the LEFT-centered operator is RUN for wall-clock at 1× and 10×; the
+ * right-centered volume is only reported (at 10× it is not runnable —
+ * that is the point).
+ *
+ * Usage: runMain graft.tools.CoNeighborStress [n] [v] [w]
+ * (default 1M edges / 200k users / 50k items)
+ */
+object CoNeighborStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val v = if (args.length > 1) args(1).toLong else 200000L
+    val w = if (args.length > 2) args(2).toLong else 50000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[conbr-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    for (mult <- Seq(1L, 10L)) {
+      val e = spark.range(n * mult).select(
+        pmod(xxhash64(col("id")), lit(v)).as("src"),
+        when(pmod(col("id"), lit(2)) === 0,
+          pmod(xxhash64(col("id"), lit(3)), lit(100L)))
+          .otherwise(pmod(xxhash64(col("id"), lit(5)), lit(w))).as("dst"))
+        .distinct().localCheckpoint(true)
+      val m = e.count()
+      def wedgeVolume(side: String) = e
+        .groupBy(col(side)).agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) DIV 2"))).head().getLong(0)
+      val leftVol = wedgeVolume("src")
+      val rightVol = wedgeVolume("dst")
+      println(s"[conbr-stress] --- ${mult}x: $m edges, left-centered wedges $leftVol, right-centered $rightVol (${rightVol / math.max(leftVol, 1L)}x worse) ---")
+      val top = timed(s"${mult}x left-centered top-20")(
+        graft.operators.Graph.bipartiteCoNeighbors(e, topK = 20).collect())
+      println(s"[conbr-stress] ${mult}x top pair cn = ${top.head.getLong(2)}, jaccard_ppm = ${top.head.getLong(5)}")
+    }
+    spark.stop()
+  }
+}
