@@ -4562,6 +4562,27 @@ object SparkEntry {
       graft.operators.PhraseSearch.termProximityCensus(
           t(s, dir, "documents"), "doc_id", "text", "join", "hash")
         .orderBy(col("dist_bucket"))),
+
+    // Q258 — GEO2 grid-density clustering: DBSCAN shuffle-shaped. Each
+    // user's events scatter (portable-hash jitter, width 6000) around
+    // the user's home site on a 32×32 lattice (pitch 31250) — the
+    // "activity hotspot" plane; dense cells (≥10 points per 4000-cell)
+    // connect under 8-neighbor adjacency into clusters, sparse cells
+    // are noise. The per-point ε-graph never materializes; the
+    // component step runs on the area-bounded dense-cell graph.
+    "q258_density_clusters" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val pts = t(s, dir, "events").select(
+        col("event_id").as("id"),
+        ((col("user_id") % 32) * 31250L +
+          pmod(portableHash(concat(lit("hx:"), col("event_id").cast("string"))),
+            lit(6000L))).as("x"),
+        (expr("(user_id DIV 32) % 32") * 31250L +
+          pmod(portableHash(concat(lit("hy:"), col("event_id").cast("string"))),
+            lit(6000L))).as("y"))
+      graft.operators.GeoJoin.gridDensityClusters(pts, "id", "x", "y",
+        cell = 4000L, minPts = 10L)
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -9507,6 +9528,39 @@ object SparkEntry {
           |  CAST(min(min_dist) AS BIGINT) AS min_min_dist,
           |  CAST(sum(min_dist) AS BIGINT) AS sum_min_dist
           |FROM m GROUP BY 1 ORDER BY dist_bucket""".stripMargin,
+
+      // hotspot plane; dense-cell CC by recursive closure, min label
+      "q258_density_clusters" ->
+        """WITH RECURSIVE pts AS (SELECT
+          |    (user_id % 32) * 31250
+          |      + ('0x' || substr(md5('hx:' || event_id), 1, 15))::BIGINT % 6000 AS x,
+          |    ((user_id // 32) % 32) * 31250
+          |      + ('0x' || substr(md5('hy:' || event_id), 1, 15))::BIGINT % 6000 AS y
+          |  FROM events),
+          |cells AS (SELECT x // 4000 AS cx, y // 4000 AS cy,
+          |    CAST(count(*) AS BIGINT) AS cnt FROM pts GROUP BY 1, 2),
+          |dense AS (SELECT cx, cy, cnt, cx * 2000003 + cy AS cell_id
+          |  FROM cells WHERE cnt >= 10),
+          |e0 AS (SELECT a.cell_id AS u, b.cell_id AS v FROM dense a JOIN dense b
+          |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+          |    AND a.cell_id <> b.cell_id),
+          |reach AS (SELECT u, v FROM e0
+          |  UNION SELECT r.u, e.v FROM reach r JOIN e0 e ON r.v = e.u
+          |    WHERE e.v <> r.u),
+          |lab AS (SELECT u AS cell_id, least(u, min(v)) AS cluster_id
+          |  FROM reach GROUP BY u),
+          |ld AS (SELECT d.cnt, coalesce(l.cluster_id, d.cell_id) AS cluster_id
+          |  FROM dense d LEFT JOIN lab l USING (cell_id)),
+          |cm AS (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+          |    CAST(coalesce(max(pts), 0) AS BIGINT) AS largest_cluster_points
+          |  FROM (SELECT cluster_id, sum(cnt) AS pts FROM ld GROUP BY 1)),
+          |da AS (SELECT CAST(count(*) AS BIGINT) AS n_dense_cells,
+          |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_core_points FROM dense),
+          |ta AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_points FROM cells)
+          |SELECT ta.n_points, da.n_dense_cells, cm.n_clusters,
+          |  da.n_core_points, ta.n_points - da.n_core_points AS n_noise_points,
+          |  cm.largest_cluster_points
+          |FROM ta, da, cm""".stripMargin,
     )
   }
 }

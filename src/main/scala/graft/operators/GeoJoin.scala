@@ -84,4 +84,72 @@ object GeoJoin {
       .join(counts, Seq("id"), "left")
       .withColumn("n_neighbors", coalesce(col("n_neighbors"), lit(0L)))
   }
+
+  /**
+   * Grid-density clustering (GEO2) — the DBSCAN idea made
+   * shuffle-shaped: a cell of side `cell` is DENSE when it holds ≥
+   * `minPts` points; clusters are connected components of dense cells
+   * under 8-neighbor adjacency; points in dense cells are core, the
+   * rest are noise. This is the grid (GriDBSCAN-family) rendition —
+   * the per-point ε-graph never materializes, and at fixed physical
+   * density the dense-cell graph is BOUNDED BY AREA, not by corpus
+   * size, so the component step runs on a frame many orders smaller
+   * than the points.
+   *
+   * Determinism: cell ids encode as cx·2_000_003 + cy (collision-free
+   * for the 10⁶ µ-unit plane law), components label by MIN cell id
+   * ([[Curation.nearDupClusters]]' law), dense singletons become their
+   * own cluster via the q246 coalesce.
+   *
+   * Census out (one row): n_points, n_dense_cells, n_clusters,
+   * n_core_points, n_noise_points, largest_cluster_points (largest by
+   * point mass, ties irrelevant — it's a max).
+   *
+   * Scale posture: one (cx, cy) aggregate over the points (map-side
+   * combinable), the 9-offset explode + equi-join on DENSE CELLS ONLY
+   * (≤ n/minPts rows), components on that bounded graph, then one
+   * broadcast join of cell labels back onto the cell counts — points
+   * shuffle once, everything after is cell-sized.
+   */
+  def gridDensityClusters(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, cell: Long, minPts: Long): DataFrame = {
+    require(cell >= 1 && minPts >= 1, "positive cell size and density")
+    val cells = points
+      .select(expr(s"CAST($xCol AS BIGINT) DIV $cell").as("cx"),
+        expr(s"CAST($yCol AS BIGINT) DIV $cell").as("cy"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cell_id", col("cx") * 2000003L + col("cy"))
+      .localCheckpoint(false)
+    val dense = cells.where(col("cnt") >= minPts).localCheckpoint(false)
+    val probes = dense
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("cell_id").as("id_a"),
+        (col("cx") + col("dx")).as("jx"), (col("cy") + col("dy")).as("jy"))
+    val pairs = probes
+      .join(dense.select(col("cell_id").as("id_b"), col("cx").as("jx"),
+        col("cy").as("jy")), Seq("jx", "jy"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.operators.Curation.nearDupClusters(pairs)
+      .withColumnRenamed("id", "cell_id")
+    val labeled = dense.join(labels, Seq("cell_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("cell_id")))
+    val clusterMass = labeled
+      .groupBy(col("cluster_id")).agg(sum(col("cnt")).as("pts"))
+      .agg(count(lit(1)).as("n_clusters"),
+        max(col("pts")).as("largest_cluster_points"))
+    val denseAgg = labeled.agg(count(lit(1)).as("n_dense_cells"),
+      sum(col("cnt")).as("n_core_points"))
+    val totalAgg = cells.agg(sum(col("cnt")).as("n_points"))
+    // three single-row frames -> constant joins
+    totalAgg.crossJoin(broadcast(denseAgg)).crossJoin(broadcast(clusterMass))
+      .withColumn("n_core_points", coalesce(col("n_core_points"), lit(0L)))
+      .withColumn("n_noise_points", col("n_points") - col("n_core_points"))
+      .select(col("n_points"), col("n_dense_cells"), col("n_clusters"),
+        col("n_core_points"), col("n_noise_points"),
+        coalesce(col("largest_cluster_points"), lit(0L))
+          .as("largest_cluster_points"))
+  }
 }

@@ -57,4 +57,36 @@ class GeoJoinSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 1L), (2L, 1L), (3L, 0L)))
   }
+
+  private def density(pts: Seq[(Long, Long, Long)], cell: Long, minPts: Long) = {
+    val r = GeoJoin.gridDensityClusters(pts.toDF("id", "x", "y"),
+      "id", "x", "y", cell, minPts).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5))
+  }
+
+  test("gridDensityClusters: adjacent dense cells merge; sparse cells are noise") {
+    // cell=10, minPts=3. Cells (0,0) and (0,1) each hold 3 points and
+    // touch -> one cluster of 6; cell (5,5) holds 3 -> its own cluster;
+    // cell (9,9) holds 2 -> sparse, both points are noise.
+    val pts = Seq(
+      (1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L),        // cell (0,0)
+      (4L, 5L, 15L), (5L, 6L, 16L), (6L, 7L, 17L),     // cell (0,1)
+      (7L, 55L, 55L), (8L, 56L, 56L), (9L, 57L, 57L),  // cell (5,5)
+      (10L, 95L, 95L), (11L, 96L, 96L))                // cell (9,9)
+    assert(density(pts, 10L, 3L) == ((11L, 3L, 2L, 9L, 2L, 6L)))
+  }
+
+  test("gridDensityClusters: diagonal neighbors connect (8-adjacency)") {
+    val pts = Seq(
+      (1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L),        // cell (0,0)
+      (4L, 11L, 11L), (5L, 12L, 12L), (6L, 13L, 13L))  // cell (1,1)
+    // one cluster spanning both diagonal cells, no noise
+    assert(density(pts, 10L, 3L) == ((6L, 2L, 1L, 6L, 0L, 6L)))
+  }
+
+  test("gridDensityClusters: nothing dense -> zero clusters, all noise") {
+    val pts = Seq((1L, 1L, 1L), (2L, 500L, 500L))
+    assert(density(pts, 10L, 3L) == ((2L, 0L, 0L, 0L, 2L, 0L)))
+  }
 }
