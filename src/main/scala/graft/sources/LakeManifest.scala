@@ -35,6 +35,17 @@ import graft.operators.ZOrder
  * reads of pruned files. Stats are gathered in the SAME distributed scan
  * shape as any aggregate (groupBy input_file_name), so building the
  * index never funnels rows through the driver.
+ *
+ * VERSIONED SNAPSHOTS (the Delta/Iceberg time-travel role): every
+ * manifest generation is archived under `history/v{N}` with a VERSION
+ * pointer — [[write]]/[[optimize]] rebase history to v0 (a rewrite
+ * deletes data files, so older lists would dangle), each [[refresh]]
+ * that indexes appends becomes v{N+1}. [[timeTravel]] reads the lake AS
+ * OF a version by that version's explicit file list; [[readPruned]]
+ * accepts a version pin. Appended files are immutable and the latest
+ * manifest references every file any retained version does (refresh
+ * unions), so [[vacuum]] against the latest manifest never breaks time
+ * travel.
  */
 object LakeManifest {
 
@@ -42,6 +53,8 @@ object LakeManifest {
 
   private def filesPath(dir: String) = s"$dir/$ManifestDir/files"
   private def schemaPath(dir: String) = s"$dir/$ManifestDir/schema.json"
+  private def historyPath(dir: String, v: Int) = s"$dir/$ManifestDir/history/v$v"
+  private def versionPath(dir: String) = s"$dir/$ManifestDir/VERSION"
 
   /**
    * Build/refresh the manifest for a laid-out directory: one distributed
@@ -58,18 +71,62 @@ object LakeManifest {
     val aggs = count(lit(1)).as("n_rows") +: stats.flatMap { case (name, c) =>
       Seq(min(c).as(s"min_$name"), max(c).as(s"max_$name"))
     }
-    data
+    val manifest = data
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .repartition(1) // numFiles rows: ONE manifest file, one listing unit
-      .write.mode("overwrite").parquet(filesPath(dir))
+    manifest.write.mode("overwrite").parquet(filesPath(dir))
     // schema sidecar: lets a pruned-to-zero read return the right shape
     // without opening any data file
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(schemaPath(dir)), true)
     try out.write(data.schema.json.getBytes(UTF_8)) finally out.close()
-    snapshots.remove(dir) // a same-ms rewrite must not serve stale entries
+    // a full write is a REBASE: the data dir was (re)laid out, prior
+    // file lists may reference deleted files — history restarts at v0
+    // (the Delta OPTIMIZE-then-VACUUM posture; time travel spans
+    // APPEND generations, not rewrites)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
+    manifest.write.mode("overwrite").parquet(historyPath(dir, 0))
+    writeVersion(fs, dir, 0)
+    snapshots.clear() // a same-ms rewrite must not serve stale entries
+  }
+
+  private def writeVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(versionPath(dir)), true)
+    try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** Current manifest version (0 after [[write]]/[[optimize]], +1 per
+    * [[refresh]] that found new files). */
+  def currentVersion(spark: SparkSession, dir: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(versionPath(dir)))
+    try new String(in.readAllBytes(), UTF_8).trim.toInt finally in.close()
+  }
+
+  /** The manifest AS OF `version` (append-generation history). */
+  def readAt(spark: SparkSession, dir: String, version: Int): DataFrame =
+    spark.read.parquet(historyPath(dir, version))
+
+  /**
+   * Time-travel read: the full data of the lake AS OF manifest
+   * `version` — the file list that version recorded, addressed by
+   * explicit path (no listing, like every manifest read). Appends are
+   * immutable, so every file a past version references still exists
+   * until a rewrite ([[optimize]]/[[write]] reset history to v0) or a
+   * vacuum with a version-unaware retention deletes it.
+   */
+  def timeTravel(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val files = readAt(spark, dir, version)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** Convenience overload: stat columns are plain data columns. */
@@ -132,6 +189,10 @@ object LakeManifest {
       new java.util.ArrayList[Row]((oldRows ++ newRows).toSeq.asJava),
       manifest.schema)
     merged.repartition(1).write.mode("overwrite").parquet(filesPath(dir))
+    // append generation: archive the new file list as version N+1
+    val next = currentVersion(spark, dir) + 1
+    merged.repartition(1).write.mode("overwrite").parquet(historyPath(dir, next))
+    writeVersion(fs, dir, next)
     snapshots.remove(dir)
     fresh.length
   }
@@ -160,16 +221,21 @@ object LakeManifest {
     new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
 
   private def snapshot(
-      spark: SparkSession, dir: String): Seq[(String, Map[String, (Long, Long)])] = {
+      spark: SparkSession, dir: String): Seq[(String, Map[String, (Long, Long)])] =
+    snapshotOf(spark, dir, read(spark, dir), dir,
+      fs => fs.getFileStatus(new org.apache.hadoop.fs.Path(filesPath(dir)))
+        .getModificationTime)
+
+  private def snapshotOf(
+      spark: SparkSession, dir: String, manifest: => DataFrame, key: String,
+      mtimeOf: org.apache.hadoop.fs.FileSystem => Long): Seq[(String, Map[String, (Long, Long)])] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mtime =
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(filesPath(dir)))
-        .getModificationTime
-    val cached = snapshots.get(dir)
+    val mtime = mtimeOf(fs)
+    val cached = snapshots.get(key)
     if (cached != null && cached.mtime == mtime) cached.entries
     else {
-      val m = read(spark, dir)
+      val m = manifest
       val dims = m.schema.fieldNames.collect {
         case n if n.startsWith("min_") => n.stripPrefix("min_")
       }.toSeq
@@ -181,7 +247,7 @@ object LakeManifest {
         }.toMap
         r.getString(0) -> ranges
       }
-      snapshots.put(dir, Snapshot(mtime, entries))
+      snapshots.put(key, Snapshot(mtime, entries))
       entries
     }
   }
@@ -218,11 +284,19 @@ object LakeManifest {
   def readPruned(
       spark: SparkSession, dir: String,
       ranges: Map[String, (Long, Long)],
-      exprs: Map[String, Column] = Map.empty): DataFrame = {
+      exprs: Map[String, Column] = Map.empty,
+      version: Option[Int] = None): DataFrame = {
     require(ranges.nonEmpty, "at least one pruning range")
     // prune against the cached driver-side snapshot: zero Spark jobs for
-    // metadata after the first read of this lake dir
-    val snap = snapshot(spark, dir)
+    // metadata after the first read of this lake dir. A pinned version
+    // prunes against that append generation's file list instead (the
+    // time-travel point query).
+    val snap = version match {
+      case Some(v) => snapshotOf(spark, dir, readAt(spark, dir, v), s"$dir@v$v",
+        fs => fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          historyPath(dir, v))).getModificationTime)
+      case None => snapshot(spark, dir)
+    }
     snap.headOption.foreach { case (_, stats) =>
       val unknown = ranges.keySet -- stats.keySet
       require(unknown.isEmpty,

@@ -124,6 +124,40 @@ class LakeManifestSpec extends SparkSpec {
     assert(pruned.inputFiles.length == 2)
   }
 
+  test("time travel: each append generation is a pinned, replayable snapshot") {
+    val dir = tmpDir("manifest-travel")
+    val dims = Seq("a" -> col("a"), "b" -> col("b"))
+    LakeManifest.optimize(corpus(10000L), dir, "a", "b", numFiles = 8, bits = 9)
+    assert(LakeManifest.currentVersion(spark, dir) == 0)
+    // two append generations with disjoint key domains
+    spark.range(500).select((col("id") + 50000L).as("id"),
+        lit(300L).as("a"), lit(300L).as("b"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(LakeManifest.refresh(spark, dir, dims) == 1)
+    spark.range(700).select((col("id") + 90000L).as("id"),
+        lit(400L).as("a"), lit(400L).as("b"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(LakeManifest.refresh(spark, dir, dims) == 1)
+    assert(LakeManifest.currentVersion(spark, dir) == 2)
+    // AS OF each version: exactly the rows that existed then
+    assert(LakeManifest.timeTravel(spark, dir, 0).count() == 10000L)
+    assert(LakeManifest.timeTravel(spark, dir, 1).count() == 10500L)
+    assert(LakeManifest.timeTravel(spark, dir, 2).count() == 11200L)
+    // v1 predates the 400-key append: a version-pinned pruned read
+    // cannot see it; latest can
+    assert(LakeManifest.readPruned(spark, dir,
+      Map("a" -> (400L, 400L)), version = Some(1)).count() == 0L)
+    assert(LakeManifest.readPruned(spark, dir,
+      Map("a" -> (400L, 400L))).count() == 700L)
+    // vacuum against the latest manifest deletes nothing time travel needs
+    assert(LakeManifest.vacuum(spark, dir, retentionMs = 0L).isEmpty)
+    assert(LakeManifest.timeTravel(spark, dir, 1).count() == 10500L)
+    // a rebase (full optimize) resets history to v0
+    LakeManifest.optimize(corpus(4000L), dir, "a", "b", numFiles = 4, bits = 9)
+    assert(LakeManifest.currentVersion(spark, dir) == 0)
+    assert(LakeManifest.timeTravel(spark, dir, 0).count() == 4000L)
+  }
+
   test("refresh refuses a partitioned lake instead of silently indexing nothing") {
     val dir = tmpDir("manifest-refresh-part")
     LakeManifest.optimize(corpus(2000L), dir, "a", "b", numFiles = 2, bits = 9)
