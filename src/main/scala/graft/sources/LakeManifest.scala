@@ -319,6 +319,36 @@ object LakeManifest {
   }
 
   /**
+   * Compaction advisor (the OPTIMIZE-scheduling heuristic), answered
+   * entirely from the manifest — no listing, no data reads: per-file
+   * row counts tell the small-file story, and the report says whether
+   * an [[optimize]] run would pay for itself. One row:
+   *   (n_files, n_small_files, small_ppm, n_rows,
+   *    recommended_num_files, should_compact)
+   * where a file is SMALL below `targetRowsPerFile` DIV 2, the
+   * recommendation is ⌈rows / target⌉, and should_compact fires when
+   * small files exceed a quarter of the lake or the file count is
+   * > 4× the recommendation (the fragmentation signals).
+   */
+  def compactionAdvisor(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long): DataFrame = {
+    require(targetRowsPerFile >= 1, "positive target")
+    read(spark, dir)
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("n_rows") < targetRowsPerFile / 2, 1L).otherwise(0L))
+          .as("n_small_files"),
+        sum(col("n_rows")).as("n_rows"))
+      .withColumn("small_ppm", expr("n_small_files * 1000000 DIV n_files"))
+      .withColumn("recommended_num_files",
+        expr(s"(n_rows + $targetRowsPerFile - 1) DIV $targetRowsPerFile"))
+      .withColumn("should_compact",
+        col("small_ppm") > 250000L ||
+          col("n_files") > col("recommended_num_files") * 4)
+      .select(col("n_files"), col("n_small_files"), col("small_ppm"),
+        col("n_rows"), col("recommended_num_files"), col("should_compact"))
+  }
+
+  /**
    * The Delta-VACUUM role: delete data files the manifest does NOT
    * reference, but only those older than `retentionMs` — the retention
    * horizon is what makes vacuum safe to run concurrently with appends

@@ -158,6 +158,28 @@ class LakeManifestSpec extends SparkSpec {
     assert(LakeManifest.timeTravel(spark, dir, 0).count() == 4000L)
   }
 
+  test("compactionAdvisor: fragmentation fires the signal, a laid-out lake doesn't") {
+    val dir = tmpDir("manifest-advisor")
+    val dims = Seq("a" -> col("a"), "b" -> col("b"))
+    LakeManifest.optimize(corpus(8000L), dir, "a", "b", numFiles = 4, bits = 9)
+    // healthy: 4 files x ~2000 rows against a 2000-row target
+    val ok = LakeManifest.compactionAdvisor(spark, dir, 2000L).head()
+    assert(ok.getLong(0) == 4L && !ok.getBoolean(5))
+    // fragment: 20 appended files of 50 rows each -> small files dominate
+    (1 to 20).foreach { i =>
+      spark.range(50).select((col("id") + i * 1000000L).as("id"),
+          lit(300L).as("a"), lit(300L).as("b"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    LakeManifest.refresh(spark, dir, dims)
+    val bad = LakeManifest.compactionAdvisor(spark, dir, 2000L).head()
+    assert(bad.getLong(0) == 24L && bad.getLong(1) == 20L)
+    assert(bad.getLong(2) == 20L * 1000000L / 24L) // small_ppm exact
+    assert(bad.getBoolean(5), "fragmented lake must recommend compaction")
+    // and the recommendation re-layouts to the healthy shape
+    assert(bad.getLong(4) == (8000L + 1000L + 1999L) / 2000L)
+  }
+
   test("refresh refuses a partitioned lake instead of silently indexing nothing") {
     val dir = tmpDir("manifest-refresh-part")
     LakeManifest.optimize(corpus(2000L), dir, "a", "b", numFiles = 2, bits = 9)
