@@ -319,6 +319,74 @@ object LakeManifest {
   }
 
   /**
+   * Targeted delete (the GDPR / right-to-be-forgotten op), at
+   * FILE-TOUCH cost: `ranges` names the indexed dimensions that bound
+   * the rows to delete (e.g. the user-id band); only manifest-selected
+   * files are read and rewritten — the rest of the lake is untouched,
+   * byte for byte. `predicate` is the exact row-level condition (a
+   * surviving file may hold non-matching rows; they are preserved).
+   *
+   * Protocol: survivors of the touched files append as new files, the
+   * touched files delete, and the manifest rebuilds surgically —
+   * untouched rows keep their manifest entries, the new files index in
+   * one bounded scan (the [[refresh]] law). A delete is a REWRITE, so
+   * history REBASES to v0 (old versions reference deleted files; the
+   * same posture as [[optimize]]).
+   *
+   * Returns (rows deleted, files rewritten). At 100 TB, deleting one
+   * user from a user-bucketed z-ordered lake touches the z-order
+   * file-touch fraction, not the lake.
+   */
+  def deleteWhere(
+      spark: SparkSession, dir: String, stats: Seq[(String, Column)],
+      ranges: Map[String, (Long, Long)], predicate: Column): (Long, Int) = {
+    require(stats.nonEmpty && ranges.nonEmpty, "stats and ranges required")
+    val snap = snapshot(spark, dir)
+    snap.headOption.foreach { case (_, st) =>
+      val unknown = ranges.keySet -- st.keySet
+      require(unknown.isEmpty, s"dims not in manifest: ${unknown.mkString(", ")}")
+    }
+    val cand = snap.collect {
+      case (file, st) if ranges.forall { case (name, (lo, hi)) =>
+        val (mn, mx) = st(name); mx >= lo && mn <= hi
+      } => file
+    }.sorted
+    if (cand.isEmpty) return (0L, 0)
+    val candDf = spark.read.parquet(cand.toIndexedSeq: _*)
+    val hit = coalesce(predicate, lit(false))
+    // one pass: survivors write out, the delete count rides as an
+    // observed metric (no second scan of the touched files)
+    val obs = org.apache.spark.sql.Observation()
+    candDf
+      .observe(obs, sum(when(hit, 1L).otherwise(0L)).as("n_deleted"))
+      .where(!hit)
+      .write.mode("append").parquet(dir)
+    val nDeleted = obs.get("n_deleted") match {
+      case null => 0L
+      case v => v.asInstanceOf[Long]
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cand.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    // surgical manifest rebuild: drop touched entries, keep the rest
+    val candNames = cand.map(_.split('/').last).toSet
+    val keptRows = read(spark, dir).collect() // ≤ numFiles
+      .filterNot(r => candNames(r.getString(r.fieldIndex("file")).split('/').last))
+    val schema = read(spark, dir).schema
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](keptRows.toSeq.asJava), schema)
+      .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
+    snapshots.clear()
+    // rebase history (a delete is a rewrite), then index the new files
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
+    spark.read.parquet(filesPath(dir))
+      .write.mode("overwrite").parquet(historyPath(dir, 0))
+    writeVersion(fs, dir, 0)
+    refresh(spark, dir, stats)
+    (nDeleted, cand.length)
+  }
+
+  /**
    * Compaction advisor (the OPTIMIZE-scheduling heuristic), answered
    * entirely from the manifest — no listing, no data reads: per-file
    * row counts tell the small-file story, and the report says whether

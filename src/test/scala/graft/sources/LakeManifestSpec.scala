@@ -158,6 +158,40 @@ class LakeManifestSpec extends SparkSpec {
     assert(LakeManifest.timeTravel(spark, dir, 0).count() == 4000L)
   }
 
+  test("deleteWhere: GDPR delete at file-touch cost; untouched files stay byte-identical") {
+    val dir = tmpDir("manifest-delete")
+    val dims = Seq("a" -> col("a"), "b" -> col("b"))
+    LakeManifest.optimize(corpus(40000L), dir, "a", "b", numFiles = 16, bits = 9)
+    val before = spark.read.parquet(dir)
+    val targetRows = before.where(col("a") === 7L).count()
+    assert(targetRows > 0)
+    val allFiles = before.inputFiles.toSet
+    val touchedBefore = LakeManifest.readPruned(spark, dir,
+      Map("a" -> (7L, 7L))).inputFiles.toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(fsxs: Set[String]) = fsxs.map(f =>
+      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime).toMap
+    val untouchedMtimes = mtimes(allFiles -- touchedBefore)
+
+    val (nDeleted, nRewritten) = LakeManifest.deleteWhere(spark, dir, dims,
+      Map("a" -> (7L, 7L)), col("a") === 7L)
+    assert(nDeleted == targetRows)
+    assert(nRewritten == touchedBefore.size)
+    assert(nRewritten < allFiles.size, "delete must not touch the whole lake")
+    // rows gone, non-matching rows of touched files preserved
+    val after = spark.read.parquet(dir)
+    assert(after.where(col("a") === 7L).count() == 0L)
+    assert(after.count() == 40000L - targetRows)
+    // untouched files byte-identical (same path, same mtime)
+    assert(mtimes(allFiles -- touchedBefore) == untouchedMtimes)
+    // manifest consistent: pruned reads keep the row-identity law
+    val pruned = LakeManifest.readPruned(spark, dir, Map("a" -> (0L, 255L)))
+    assert(pruned.count() == after.count())
+    // a delete is a rewrite: history rebased (v0 = pre-index, v1 = new files)
+    assert(LakeManifest.currentVersion(spark, dir) == 1)
+  }
+
   test("compactionAdvisor: fragmentation fires the signal, a laid-out lake doesn't") {
     val dir = tmpDir("manifest-advisor")
     val dims = Seq("a" -> col("a"), "b" -> col("b"))
