@@ -162,6 +162,46 @@ object IngestStream {
       .start()
   }
 
+  /**
+   * Streaming sink into a MANIFESTED lake (ST2 × SC6): each micro-batch
+   * appends flat parquet files and indexes exactly those files via
+   * [[graft.sources.LakeManifest.refresh]] (cost ∝ the batch, never the
+   * lake) — so every committed batch becomes a queryable, VERSIONED
+   * snapshot: pruned reads serve the indexed frontier listing-free
+   * mid-stream, and `timeTravel(v)` replays any batch frontier. The
+   * first batch bootstraps the manifest with a full
+   * [[graft.sources.LakeManifest.write]] (the lake is exactly that
+   * batch, so "full" is also batch-proportional).
+   *
+   * Delivery: parquet file appends are atomic per file and the manifest
+   * indexes only files that exist — a replayed batch after a crash can
+   * duplicate data rows (the topic sink's at-least-once posture) but
+   * never corrupts the index; readers pinned to an older version are
+   * unaffected by in-flight appends.
+   */
+  def startManifestedLakeSink(
+      rows: DataFrame,
+      dir: String,
+      checkpointDir: String,
+      stats: Seq[(String, org.apache.spark.sql.Column)],
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("append").parquet(dir)
+          val spark = batch.sparkSession
+          val hasManifest = try {
+            graft.sources.LakeManifest.currentVersion(spark, dir); true
+          } catch { case _: java.io.IOException | _: java.io.FileNotFoundException => false }
+          if (hasManifest) {
+            graft.sources.LakeManifest.refresh(spark, dir, stats); ()
+          } else graft.sources.LakeManifest.write(spark, dir, stats)
+        }
+      }
+      .start()
+
   /** One batch → topic append (shared by the streaming sink and batch
     * producers). Exposed for direct batch use. `codec`: "json" (the
     * interop default — any consumer can read it) or "binary" (the

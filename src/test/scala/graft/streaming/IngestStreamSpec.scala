@@ -200,4 +200,37 @@ class IngestStreamSpec extends SparkSpec {
     assert(back.agg(sum(col("last_size"))).head.getLong(0) == (1 to 5).sum)
     assert(back.where(col("date") =!= "20240101").count() == 0)
   }
+
+  test("manifested lake sink: every micro-batch is a versioned, pruned-readable snapshot (ST2 x SC6)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.LakeManifest
+    val lake = tmpDir("manifested-lake")
+    val ckpt = tmpDir("manifested-ckpt")
+    val mem = MemoryStream[(Long, Long)]
+    val dims = Seq("a" -> col("a"))
+    val q = IngestStream.startManifestedLakeSink(
+      mem.toDF.toDF("id", "a"), lake, ckpt, dims,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      mem.addData((1 to 100).map(i => (i.toLong, 10L)): _*)
+      q.processAllAvailable()
+      // batch 1 bootstraps the manifest at v0
+      assert(LakeManifest.currentVersion(spark, lake) == 0)
+      assert(LakeManifest.readPruned(spark, lake,
+        Map("a" -> (10L, 10L))).count() == 100L)
+      mem.addData((1 to 50).map(i => (1000L + i, 20L)): _*)
+      q.processAllAvailable()
+      // batch 2 appends and indexes incrementally -> v1
+      assert(LakeManifest.currentVersion(spark, lake) == 1)
+      // the pruned read opens ONLY the second batch's files
+      val pruned = LakeManifest.readPruned(spark, lake, Map("a" -> (20L, 20L)))
+      assert(pruned.count() == 50L)
+      val allFiles = spark.read.parquet(lake).inputFiles.length
+      assert(pruned.inputFiles.length < allFiles)
+      // time travel replays the batch-1 frontier mid-stream
+      assert(LakeManifest.timeTravel(spark, lake, 0).count() == 100L)
+    } finally q.stop()
+  }
 }
