@@ -56,21 +56,60 @@ object LakeManifest {
   private def historyPath(dir: String, v: Int) = s"$dir/$ManifestDir/history/v$v"
   private def versionPath(dir: String) = s"$dir/$ManifestDir/VERSION"
 
+  /** Bloom positions per row for `c` under the portable-hash law: two
+    * independent probes into [0, bloomBits). A value MAY be in a file
+    * iff both its positions are in the file's recorded position set —
+    * the file-skipping test for high-cardinality dims whose [min, max]
+    * range is too wide to prune (a hash-scattered user id spans the
+    * whole domain in every file; its bloom does not).
+    *
+    * Sizing law (k = 2): fp ≈ (1 − e^(−2n/m))² for n distinct values
+    * per file. At m = 4096: n = 500 → fp ≈ 5%, n = 1000 → fp ≈ 15%,
+    * and past n ≈ 2500 the filter saturates GRACEFULLY toward "open
+    * everything" — never a wrong row, the row filter re-applies the
+    * exact predicate. Driver snapshot cost is numFiles·m/8 bytes
+    * (512 B/file/dim): 100k files cache ~50 MB. Both scale knobs are
+    * the compaction numFiles (distinct-per-file) and this constant. */
+  val BloomBits = 4096
+
+  private def bloomPos(c: Column, probe: Int): Column =
+    pmod(graft.functions.TextFunctions.portableHash(
+      concat(lit(s"bb$probe:"), c.cast("string"))), lit(BloomBits.toLong))
+
+  /** Driver mirror of [[bloomPos]] for probe-side tests. */
+  private def bloomPosOf(value: String, probe: Int): Int =
+    (graft.functions.TextFunctions.portableHash64(s"bb$probe:$value") %
+      BloomBits).toInt
+
+  private def statAggs(stats: Seq[(String, Column)],
+      bloom: Seq[(String, Column)]): Seq[Column] =
+    (count(lit(1)).as("n_rows") +:
+      stats.flatMap { case (name, c) =>
+        Seq(min(c).as(s"min_$name"), max(c).as(s"max_$name"))
+      }) ++ bloom.map { case (name, c) =>
+      array_union(collect_set(bloomPos(c, 1)), collect_set(bloomPos(c, 2)))
+        .as(s"bloom_$name")
+    }
+
   /**
    * Build/refresh the manifest for a laid-out directory: one distributed
    * scan, one manifest row per data file. `stats` names the indexed
    * dimensions; each may be a raw column or a derived expression (e.g. a
    * symbol hash-bucket) — the SAME expression must then be handed to
    * [[readPruned]] so row-level residual filtering agrees with the index.
+   * `bloom` names dims to ALSO bloom-index for [[readPrunedByBloom]].
    */
   def write(
       spark: SparkSession, dir: String,
-      stats: Seq[(String, Column)]): Unit = {
+      stats: Seq[(String, Column)]): Unit =
+    write(spark, dir, stats, Nil)
+
+  def write(
+      spark: SparkSession, dir: String,
+      stats: Seq[(String, Column)], bloom: Seq[(String, Column)]): Unit = {
     require(stats.nonEmpty, "at least one stat column")
     val data = spark.read.parquet(dir)
-    val aggs = count(lit(1)).as("n_rows") +: stats.flatMap { case (name, c) =>
-      Seq(min(c).as(s"min_$name"), max(c).as(s"max_$name"))
-    }
+    val aggs = statAggs(stats, bloom)
     val manifest = data
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -89,7 +128,7 @@ object LakeManifest {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
     manifest.write.mode("overwrite").parquet(historyPath(dir, 0))
     writeVersion(fs, dir, 0)
-    snapshots.clear() // a same-ms rewrite must not serve stale entries
+    snapshots.clear(); bloomSnapshots.clear() // same-ms rewrite guard
   }
 
   private def writeVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String,
@@ -150,9 +189,18 @@ object LakeManifest {
    */
   def refresh(
       spark: SparkSession, dir: String,
-      stats: Seq[(String, Column)]): Int = {
+      stats: Seq[(String, Column)]): Int =
+    refresh(spark, dir, stats, Nil)
+
+  def refresh(
+      spark: SparkSession, dir: String,
+      stats: Seq[(String, Column)], bloom: Seq[(String, Column)]): Int = {
     require(stats.nonEmpty, "at least one stat column")
     val manifest = read(spark, dir)
+    val expectedBloom = manifest.schema.fieldNames
+      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSet
+    require(bloom.map(_._1).toSet == expectedBloom,
+      s"bloom spec must match the manifest's bloom dims: ${expectedBloom.mkString(", ")}")
     val oldRows = manifest.collect() // ≤ numFiles
     val known = oldRows.map(r =>
       r.getString(r.fieldIndex("file")).split('/').last).toSet
@@ -176,9 +224,7 @@ object LakeManifest {
           !known(n)
       }
     if (fresh.isEmpty) return 0
-    val aggs = count(lit(1)).as("n_rows") +: stats.flatMap { case (name, c) =>
-      Seq(min(c).as(s"min_$name"), max(c).as(s"max_$name"))
-    }
+    val aggs = statAggs(stats, bloom)
     val newRows = spark.read
       .schema(DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
       .parquet(fresh.map(_.toString).toIndexedSeq: _*)
@@ -193,7 +239,7 @@ object LakeManifest {
     val next = currentVersion(spark, dir) + 1
     merged.repartition(1).write.mode("overwrite").parquet(historyPath(dir, next))
     writeVersion(fs, dir, next)
-    snapshots.remove(dir)
+    snapshots.remove(dir); bloomSnapshots.remove(dir)
     fresh.length
   }
 
@@ -318,6 +364,74 @@ object LakeManifest {
     else spark.read.parquet(files.toIndexedSeq: _*).where(rowFilter)
   }
 
+  private final case class BloomSnapshot(
+      mtime: Long, entries: Seq[(String, Map[String, java.util.BitSet])])
+  private val bloomSnapshots =
+    new java.util.concurrent.ConcurrentHashMap[String, BloomSnapshot]()
+
+  private def bloomSnapshot(
+      spark: SparkSession, dir: String): Seq[(String, Map[String, java.util.BitSet])] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(filesPath(dir)))
+      .getModificationTime
+    val cached = bloomSnapshots.get(dir)
+    if (cached != null && cached.mtime == mtime) cached.entries
+    else {
+      val m = read(spark, dir)
+      val dims = m.schema.fieldNames.collect {
+        case n if n.startsWith("bloom_") => n.stripPrefix("bloom_")
+      }.toSeq
+      require(dims.nonEmpty, s"manifest at $dir carries no bloom dims")
+      val cols = col("file") +: dims.map(d => col(s"bloom_$d"))
+      val entries = m.select(cols: _*).collect().toSeq.map { r =>
+        val sets = dims.zipWithIndex.map { case (d, i) =>
+          val bs = new java.util.BitSet(BloomBits)
+          r.getSeq[Long](1 + i).foreach(p => bs.set(p.toInt))
+          d -> bs
+        }.toMap
+        r.getString(0) -> sets
+      }
+      bloomSnapshots.put(dir, BloomSnapshot(mtime, entries))
+      entries
+    }
+  }
+
+  /**
+   * Bloom-pruned point read: open only the files whose bloom MAY
+   * contain one of `values` for the indexed dim `name` — the
+   * file-skipping path for high-cardinality scattered keys, where every
+   * file's [min, max] spans the whole domain and range pruning is
+   * useless (the GDPR lookup shape: "all of user X's rows", user id
+   * hash-scattered). False positives cost an extra file open, never a
+   * wrong row — the row filter re-applies the exact predicate. Bloom
+   * sets ride the same driver snapshot discipline as the range stats:
+   * `numFiles` × 4096-bit sets, zero Spark jobs for metadata when warm.
+   */
+  def readPrunedByBloom(
+      spark: SparkSession, dir: String, name: String, values: Seq[String],
+      expr: Map[String, Column] = Map.empty): DataFrame = {
+    require(values.nonEmpty, "at least one probe value")
+    val snap = bloomSnapshot(spark, dir)
+    snap.headOption.foreach { case (_, sets) =>
+      require(sets.contains(name),
+        s"dim $name not bloom-indexed (have: ${sets.keys.mkString(", ")})")
+    }
+    val probes = values.map(v => (bloomPosOf(v, 1), bloomPosOf(v, 2)))
+    val files = snap.collect {
+      case (file, sets) if probes.exists { case (p1, p2) =>
+        sets(name).get(p1) && sets(name).get(p2)
+      } => file
+    }.sorted
+    val dim = expr.getOrElse(name, col(name))
+    val rowFilter = dim.cast("string").isin(values: _*)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
+    else spark.read.parquet(files.toIndexedSeq: _*).where(rowFilter)
+  }
+
   /**
    * Targeted delete (the GDPR / right-to-be-forgotten op), at
    * FILE-TOUCH cost: `ranges` names the indexed dimensions that bound
@@ -376,7 +490,7 @@ object LakeManifest {
     spark.createDataFrame(
         new java.util.ArrayList[Row](keptRows.toSeq.asJava), schema)
       .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-    snapshots.clear()
+    snapshots.clear(); bloomSnapshots.clear()
     // rebase history (a delete is a rewrite), then index the new files
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
     spark.read.parquet(filesPath(dir))

@@ -192,6 +192,40 @@ class LakeManifestSpec extends SparkSpec {
     assert(LakeManifest.currentVersion(spark, dir) == 1)
   }
 
+  test("bloom skipping: point lookups on a hash-scattered dim open few files") {
+    val dir = tmpDir("manifest-bloom")
+    // id is hash-scattered across every z-ordered file: its [min, max]
+    // spans the domain everywhere, so RANGE pruning opens all files —
+    // the bloom is what makes the point lookup cheap
+    val dims = Seq("a" -> col("a"), "b" -> col("b"))
+    val blooms = Seq("id" -> col("id"))
+    LakeManifest.optimize(corpus(40000L), dir, "a", "b", numFiles = 16, bits = 9)
+    LakeManifest.write(spark, dir, dims, blooms) // re-index with the bloom
+    val hit = LakeManifest.readPrunedByBloom(spark, dir, "id", Seq("12345"))
+    assert(hit.count() == 1L && hit.head().getLong(0) == 12345L)
+    // a 4096-bit bloom over ~2500 distinct values per file: expect FAR
+    // fewer opens than the 16-file lake (range pruning would open 16)
+    assert(hit.inputFiles.length < 16,
+      s"bloom must skip files (opened ${hit.inputFiles.length})")
+    // absent key: may open false-positive files, must return zero rows
+    assert(LakeManifest.readPrunedByBloom(spark, dir, "id",
+      Seq("99999999")).count() == 0L)
+    // refresh carries the bloom spec: appended files get indexed too
+    spark.range(10).select((col("id") + 500000L).as("id"),
+        lit(300L).as("a"), lit(300L).as("b"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(LakeManifest.refresh(spark, dir, dims, blooms) == 1)
+    val fresh = LakeManifest.readPrunedByBloom(spark, dir, "id", Seq("500005"))
+    assert(fresh.count() == 1L)
+    // a mismatched bloom spec on refresh is refused, not silently dropped
+    spark.range(1).select((col("id") + 900000L).as("id"),
+        lit(300L).as("a"), lit(300L).as("b"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    intercept[IllegalArgumentException] {
+      LakeManifest.refresh(spark, dir, dims)
+    }
+  }
+
   test("compactionAdvisor: fragmentation fires the signal, a laid-out lake doesn't") {
     val dir = tmpDir("manifest-advisor")
     val dims = Seq("a" -> col("a"), "b" -> col("b"))
