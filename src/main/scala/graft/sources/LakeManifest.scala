@@ -72,22 +72,37 @@ object LakeManifest {
     * the compaction numFiles (distinct-per-file) and this constant. */
   val BloomBits = 4096
 
-  private def bloomPos(c: Column, probe: Int): Column =
+  private def bloomBitsPath(dir: String) = s"$dir/$ManifestDir/BLOOMBITS"
+
+  /** The bits the lake's blooms were built with ([[write]]'s knob);
+    * probe positions MUST use the same modulus. */
+  def bloomBitsOf(spark: SparkSession, dir: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(bloomBitsPath(dir))
+    if (!fs.exists(p)) BloomBits
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), UTF_8).trim.toInt finally in.close()
+    }
+  }
+
+  private def bloomPos(c: Column, probe: Int, bits: Int): Column =
     pmod(graft.functions.TextFunctions.portableHash(
-      concat(lit(s"bb$probe:"), c.cast("string"))), lit(BloomBits.toLong))
+      concat(lit(s"bb$probe:"), c.cast("string"))), lit(bits.toLong))
 
   /** Driver mirror of [[bloomPos]] for probe-side tests. */
-  private def bloomPosOf(value: String, probe: Int): Int =
+  private def bloomPosOf(value: String, probe: Int, bits: Int): Int =
     (graft.functions.TextFunctions.portableHash64(s"bb$probe:$value") %
-      BloomBits).toInt
+      bits).toInt
 
   private def statAggs(stats: Seq[(String, Column)],
-      bloom: Seq[(String, Column)]): Seq[Column] =
+      bloom: Seq[(String, Column)], bits: Int): Seq[Column] =
     (count(lit(1)).as("n_rows") +:
       stats.flatMap { case (name, c) =>
         Seq(min(c).as(s"min_$name"), max(c).as(s"max_$name"))
       }) ++ bloom.map { case (name, c) =>
-      array_union(collect_set(bloomPos(c, 1)), collect_set(bloomPos(c, 2)))
+      array_union(collect_set(bloomPos(c, 1, bits)), collect_set(bloomPos(c, 2, bits)))
         .as(s"bloom_$name")
     }
 
@@ -106,10 +121,12 @@ object LakeManifest {
 
   def write(
       spark: SparkSession, dir: String,
-      stats: Seq[(String, Column)], bloom: Seq[(String, Column)]): Unit = {
+      stats: Seq[(String, Column)], bloom: Seq[(String, Column)],
+      bloomBits: Int = BloomBits): Unit = {
     require(stats.nonEmpty, "at least one stat column")
+    require(bloomBits >= 64 && bloomBits <= (1 << 24), "64..2^24 bloom bits")
     val data = spark.read.parquet(dir)
-    val aggs = statAggs(stats, bloom)
+    val aggs = statAggs(stats, bloom, bloomBits)
     val manifest = data
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -121,6 +138,10 @@ object LakeManifest {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(schemaPath(dir)), true)
     try out.write(data.schema.json.getBytes(UTF_8)) finally out.close()
+    if (bloom.nonEmpty) {
+      val bb = fs.create(new org.apache.hadoop.fs.Path(bloomBitsPath(dir)), true)
+      try bb.write(bloomBits.toString.getBytes(UTF_8)) finally bb.close()
+    }
     // a full write is a REBASE: the data dir was (re)laid out, prior
     // file lists may reference deleted files — history restarts at v0
     // (the Delta OPTIMIZE-then-VACUUM posture; time travel spans
@@ -224,7 +245,7 @@ object LakeManifest {
           !known(n)
       }
     if (fresh.isEmpty) return 0
-    val aggs = statAggs(stats, bloom)
+    val aggs = statAggs(stats, bloom, bloomBitsOf(spark, dir))
     val newRows = spark.read
       .schema(DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
       .parquet(fresh.map(_.toString).toIndexedSeq: _*)
@@ -370,7 +391,8 @@ object LakeManifest {
     new java.util.concurrent.ConcurrentHashMap[String, BloomSnapshot]()
 
   private def bloomSnapshot(
-      spark: SparkSession, dir: String): Seq[(String, Map[String, java.util.BitSet])] = {
+      spark: SparkSession, dir: String,
+      bits: Int): Seq[(String, Map[String, java.util.BitSet])] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(filesPath(dir)))
@@ -386,7 +408,7 @@ object LakeManifest {
       val cols = col("file") +: dims.map(d => col(s"bloom_$d"))
       val entries = m.select(cols: _*).collect().toSeq.map { r =>
         val sets = dims.zipWithIndex.map { case (d, i) =>
-          val bs = new java.util.BitSet(BloomBits)
+          val bs = new java.util.BitSet(bits)
           r.getSeq[Long](1 + i).foreach(p => bs.set(p.toInt))
           d -> bs
         }.toMap
@@ -412,12 +434,13 @@ object LakeManifest {
       spark: SparkSession, dir: String, name: String, values: Seq[String],
       expr: Map[String, Column] = Map.empty): DataFrame = {
     require(values.nonEmpty, "at least one probe value")
-    val snap = bloomSnapshot(spark, dir)
+    val bits = bloomBitsOf(spark, dir)
+    val snap = bloomSnapshot(spark, dir, bits)
     snap.headOption.foreach { case (_, sets) =>
       require(sets.contains(name),
         s"dim $name not bloom-indexed (have: ${sets.keys.mkString(", ")})")
     }
-    val probes = values.map(v => (bloomPosOf(v, 1), bloomPosOf(v, 2)))
+    val probes = values.map(v => (bloomPosOf(v, 1, bits), bloomPosOf(v, 2, bits)))
     val files = snap.collect {
       case (file, sets) if probes.exists { case (p1, p2) =>
         sets(name).get(p1) && sets(name).get(p2)

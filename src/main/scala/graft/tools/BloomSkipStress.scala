@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.LakeManifest
+
+/**
+ * Scale evidence for SC6d (`LakeManifest.readPrunedByBloom`): the
+ * point-lookup gap between range stats and blooms, measured on a lake
+ * where the lookup key is HASH-SCATTERED — every file's [min, max] on
+ * the key spans the whole domain, so range pruning opens everything and
+ * the bloom is the only skipping signal (the GDPR "all of user X's
+ * rows" shape).
+ *
+ * Corpus law (no RNG): `n` rows, `users` distinct user ids
+ * hash-assigned, z-order-laid-out on two OTHER dims into `files` files.
+ * Sweep distinct-users-per-file across the documented sizing law by
+ * varying `files`: the fp prediction (1 − e^(−2n/m))² should match the
+ * measured open fraction.
+ *
+ * Usage: runMain graft.tools.BloomSkipStress [n] [users]
+ * (default 10M rows / 100k users)
+ */
+object BloomSkipStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 10000000L
+    val users = if (args.length > 1) args(1).toLong else 100000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val df = spark.range(n).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(users)).as("user_id"),
+      pmod(xxhash64(col("id"), lit(3)), lit(100000L)).as("a"),
+      pmod(xxhash64(col("id"), lit(5)), lit(100000L)).as("b"))
+
+    for ((files, bloomBits) <- Seq((256, 4096), (256, 1 << 20), (1024, 1 << 18))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"bloom$files").toString
+      LakeManifest.optimize(df, dir, "a", "b", numFiles = files, bits = 17)
+      LakeManifest.write(spark, dir,
+        Seq("a" -> col("a"), "b" -> col("b")),
+        Seq("user_id" -> col("user_id")), bloomBits = bloomBits)
+      val perFile = math.min(users.toDouble, n.toDouble / files)
+      val fill = 1.0 - math.exp(-2.0 * perFile / bloomBits)
+      val fp = fill * fill
+      // a user's rows genuinely land in ~1−e^(−rows/user/files) of the
+      // files under a scattered layout — the floor NO index can beat
+      // (only a user-clustered layout can); opens ≈ floor + fp·rest
+      val trueFrac = 1.0 - math.exp(-(n.toDouble / users) / files)
+      val predictedOpen = trueFrac + fp * (1.0 - trueFrac)
+      // probe 20 present users; count files opened
+      var opened = 0L; var rows = 0L
+      val t0 = System.nanoTime()
+      (0 until 20).foreach { i =>
+        val u = (i * 4999L) % users
+        val r = LakeManifest.readPrunedByBloom(spark, dir, "user_id",
+          Seq(u.toString))
+        opened += r.inputFiles.length
+        rows += r.count()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val openFrac = opened.toDouble / (20.0 * files)
+      println(f"[bloom-stress] files=$files%4d bits=$bloomBits%8d " +
+        f"distinct/file≈${perFile.toLong}%7d fp≈$fp%.3f " +
+        f"true-floor≈$trueFrac%.3f predicted-open≈$predictedOpen%.3f " +
+        f"measured-open=$openFrac%.3f rows=$rows%7d t=${sec}%.1f s " +
+        "(range pruning would open 1.000)")
+    }
+    spark.stop()
+  }
+}
