@@ -4563,6 +4563,32 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", "join", "hash")
         .orderBy(col("dist_bucket"))),
 
+    // Q259 — SC6d in the oracle gate: the bloom-skipped GDPR lookup's
+    // ROW IDENTITY. The query lays events out on dims that ignore
+    // user_id (so range stats can't prune the user), bloom-indexes
+    // user_id, reads three users through readPrunedByBloom, and
+    // aggregates; the oracle is the plain filter — green proves bloom
+    // skipping returns exactly the filtered rows.
+    "q259_bloom_lookup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"))
+        .withColumn("day_n",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        .drop("day")
+      val lake = java.nio.file.Files.createTempDirectory("q259_lake").toString
+      graft.sources.LakeManifest.optimize(
+        ev, lake, "day_n", "event_id", numFiles = 16, bits = 21)
+      graft.sources.LakeManifest.write(s, lake,
+        Seq("day_n" -> col("day_n"), "event_id" -> col("event_id")),
+        Seq("user_id" -> col("user_id")), bloomBits = 1 << 18)
+      graft.sources.LakeManifest.readPrunedByBloom(s, lake, "user_id",
+          Seq("11", "42", "137"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("day_n")).as("last_day_n"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Q258 — GEO2 grid-density clustering: DBSCAN shuffle-shaped. Each
     // user's events scatter (portable-hash jitter, width 6000) around
     // the user's home site on a 32×32 lattice (pitch 31250) — the
@@ -9528,6 +9554,14 @@ object SparkEntry {
           |  CAST(min(min_dist) AS BIGINT) AS min_min_dist,
           |  CAST(sum(min_dist) AS BIGINT) AS sum_min_dist
           |FROM m GROUP BY 1 ORDER BY dist_bucket""".stripMargin,
+
+      // the bloom-skipped read must equal the plain filter
+      "q259_bloom_lookup" ->
+        """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS BIGINT)
+          |    AS last_day_n
+          |FROM events WHERE user_id IN (11, 42, 137)
+          |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
       // hotspot plane; dense-cell CC by recursive closure, min label
       "q258_density_clusters" ->
