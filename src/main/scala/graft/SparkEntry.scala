@@ -4416,6 +4416,24 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Q260 — GRAPH12's production variant under the gate: self-vote
+    // damped LPA (the knob LpaScaleStress showed recovers planted
+    // structure — pure sync LPA oscillates on 2-cycles). Same
+    // deterministic tie law; the oracle adds the self-loop votes and
+    // unrolls the identical two rounds.
+    "q260_lpa_damped" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 10).cast("long").as("src"),
+          (col("l_suppkey") * 10 + 1).cast("long").as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.labelPropagation(edges, rounds = 2,
+          broadcastLabels = true, includeSelf = true)
+        .orderBy(col("node"))
+    }),
+
     // Q248 — SEQ1 sequential-pattern support: length-2 SUBSEQUENCE
     // mining over user event histories — "some a-event precedes some
     // b-event", intervening events allowed — vs q236's Markov law which
@@ -9310,6 +9328,28 @@ object SparkEntry {
           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+          |c1 AS (SELECT e.src AS node, l.label, count(*) AS c
+          |  FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+          |l1 AS (SELECT node, label FROM (SELECT node, label,
+          |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+          |  FROM c1) WHERE r = 1),
+          |c2 AS (SELECT e.src AS node, l.label, count(*) AS c
+          |  FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+          |l2 AS (SELECT node, label FROM (SELECT node, label,
+          |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+          |  FROM c2) WHERE r = 1)
+          |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+          |FROM l2 ORDER BY node""".stripMargin,
+
+      // q247's rounds with the self-loop vote unioned in
+      "q260_lpa_damped" ->
+        """WITH e0 AS (SELECT DISTINCT o_custkey*10 AS src, l_suppkey*10+1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          |n AS (SELECT DISTINCT src AS node FROM sym),
+          |e AS (SELECT src, dst FROM sym
+          |  UNION SELECT node, node FROM n),
+          |l0 AS (SELECT node, node AS label FROM n),
           |c1 AS (SELECT e.src AS node, l.label, count(*) AS c
           |  FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
           |l1 AS (SELECT node, label FROM (SELECT node, label,
