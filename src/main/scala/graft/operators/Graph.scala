@@ -636,23 +636,66 @@ object Graph {
       e0.unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
     else e0
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
-      val labSide = labels.select(col("node").as("dst"), col("label"))
-      val votes = e
-        .join(if (broadcastLabels) broadcast(labSide) else labSide, "dst")
-        .groupBy(col("src").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      val winner = votes
-        .groupBy(col("node"))
-        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("w"))
-        .select(col("node"), (-col("w.neg")).as("new_label"))
-      labels = labels
-        .join(winner, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint(false)
-    }
+    for (_ <- 1 to rounds) labels = lpaStep(e, labels, broadcastLabels)
     labels
+  }
+
+  /** One synchronous LPA round (the shared step of [[labelPropagation]]
+    * and [[labelPropagationConverged]]); lineage truncates per call. */
+  private def lpaStep(e: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean): DataFrame = {
+    val labSide = labels.select(col("node").as("dst"), col("label"))
+    val votes = e
+      .join(if (broadcastLabels) broadcast(labSide) else labSide, "dst")
+      .groupBy(col("src").as("node"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val winner = votes
+      .groupBy(col("node"))
+      .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("w"))
+      .select(col("node"), (-col("w.neg")).as("new_label"))
+    labels
+      .join(winner, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("label")).as("label"))
+      .localCheckpoint(false)
+  }
+
+  /**
+   * [[labelPropagation]] run to a FIXPOINT: synchronous rounds until no
+   * label changes (or `maxRounds`), the production "run until dry"
+   * shape — LpaScaleStress shows labels percolate at graph-diameter
+   * rate, so a fixed round count either under-runs big-diameter graphs
+   * or over-pays small ones. Costs ONE extra count job per round (the
+   * changed-label census against the previous frame). Returns
+   * (labels, roundsRun, converged); prefer `includeSelf = true` — the
+   * undamped law 2-cycles on bipartite structure and may never
+   * converge (that is the honest `converged = false` answer, not an
+   * exception).
+   */
+  def labelPropagationConverged(edges: DataFrame, maxRounds: Int = 20,
+      broadcastLabels: Boolean = false, includeSelf: Boolean = true)
+      : (DataFrame, Int, Boolean) = {
+    require(maxRounds >= 1 && maxRounds <= 100, "1..100 rounds")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    val e = (if (includeSelf)
+      e0.unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
+    else e0).localCheckpoint(false) // reused every round: scan, don't recompute
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint(false)
+    var rounds = 0
+    while (rounds < maxRounds) {
+      val next = lpaStep(e, labels, broadcastLabels)
+      rounds += 1
+      val changed = next.withColumnRenamed("label", "l2")
+        .join(labels, "node").where(col("l2") =!= col("label")).count()
+      labels = next
+      if (changed == 0L) return (labels, rounds, true)
+    }
+    (labels, rounds, false)
   }
 
   /**

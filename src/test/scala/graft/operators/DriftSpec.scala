@@ -336,4 +336,15 @@ class DriftSpec extends SparkSpec {
       ("p", 3, 25L), ("p", 4, 50L)))
     assert(out("p") == ((4L, 2L, 2, 20L, 100L, "160")))
   }
+
+  test("changepointLocate: positive value scaling moves D but never the split") {
+    // D_i = |n·C_i − i·T| scales linearly with the values, so argmax
+    // (and the tie order) is scale-invariant — the split is a SHAPE
+    // property, not a magnitude one
+    val base = (1 to 40).map(i => ("s", i, if (i > 17) 90L else 30L))
+    val scaled = base.map { case (k, d, v) => (k, d, v * 7L) }
+    val a = locate(base)("s"); val b = locate(scaled)("s")
+    assert(a._2 == 17L && b._2 == a._2 && b._3 == a._3)
+    assert(BigInt(b._6) == BigInt(a._6) * 7)
+  }
 }

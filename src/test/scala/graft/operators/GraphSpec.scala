@@ -392,6 +392,30 @@ class GraphSpec extends SparkSpec {
     assert(lpaSelf(pair, 2) == Map(4L -> 4L, 5L -> 4L)) // fixed point
   }
 
+  test("labelPropagationConverged: damped run stops at the fixpoint; undamped 2-cycle honestly reports false") {
+    val pair = Seq(4L -> 5L, 5L -> 4L)
+    // damped: round 1 gives {4->4, 5->4}; round 2 changes nothing -> stop
+    val (labels, rounds, ok) = Graph.labelPropagationConverged(
+      pair.toDF("src", "dst"), maxRounds = 10)
+    assert(ok && rounds == 2)
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(4L -> 4L, 5L -> 4L))
+    // undamped: labels swap forever -> maxRounds, converged = false
+    val (_, r2, ok2) = Graph.labelPropagationConverged(
+      pair.toDF("src", "dst"), maxRounds = 4, includeSelf = false)
+    assert(!ok2 && r2 == 4)
+  }
+
+  test("labelPropagationConverged: fixpoint labels equal the fixed-round run") {
+    val tri = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L)
+    val sym = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val (labels, rounds, ok) = Graph.labelPropagationConverged(sym, 10)
+    assert(ok)
+    val fixed = Graph.labelPropagation(sym, rounds, includeSelf = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == fixed)
+  }
+
   test("bipartiteCoNeighbors: hand-counted shared customers and Jaccard") {
     // customers 1,2,3; suppliers 10,20,30:
     //   1 -> {10,20}, 2 -> {10,20,30}, 3 -> {20,30}

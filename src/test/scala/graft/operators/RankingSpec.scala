@@ -151,6 +151,18 @@ class RankingSpec extends SparkSpec {
     assert(ndcg(rows)("m") == ((0L, 5000000L, Some(0L))))
   }
 
+  test("ndcgAtK: input row order and partitioning cannot move the statistic") {
+    val rows = (1 to 40).map(i =>
+      ("p", s"i$i", ((i * 13) % 17).toLong, ((i * 7) % 11).toLong))
+    val a = ndcg(rows)("p")
+    assert(ndcg(new scala.util.Random(42).shuffle(rows.toList))("p") == a)
+    val out = Ranking.ndcgAtK(
+        rows.toDF("key", "item", "score", "rel").repartition(9),
+        "key", "item", "score", "rel", 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    assert((a._1, a._2, a._3.get) == out)
+  }
+
   test("ndcgAtK: score ties break by item name, deterministically") {
     // equal scores: pred order is (a, b); rels 0, 9 → dcg = 9·d2
     val rows = Seq(("t", "a", 5L, 0L), ("t", "b", 5L, 9L))

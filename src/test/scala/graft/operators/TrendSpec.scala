@@ -153,6 +153,20 @@ class TrendSpec extends SparkSpec {
     assert(e._2 == 31L && h._4 > e._2)
   }
 
+  test("theilSenCensus: invariances — value translation, day translation, partitioning") {
+    // adding a constant to every value cancels in b.v − a.v; shifting
+    // every day cancels in b.dn − a.dn; partitioning can't matter
+    // because every step is an exact integer aggregate
+    val base = (1 to 30).map(i => ("k", i * 3, (i * 7 % 13).toLong))
+    val shifted = base.map { case (k, d, v) => (k, d + 1000, v + 500L) }
+    val a = theil(base)("k")
+    assert(theil(shifted)("k") == a)
+    val df = base.toDF("k", "dayN", "v").repartition(7)
+    val b = Trend.theilSenCensus(df, col("k"), col("dayN"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert((a._1, a._2, a._3.get) == b)
+  }
+
   test("theilSenCensus: even pair count takes the LOWER middle slope") {
     // series (1,0), (2,1), (3,1): slopes 1/1=1e6, 1/2=5e5, 0/1=0 →
     // sorted {0, 500000, 1000000}... that's N=3; use 4 days:
