@@ -60,10 +60,26 @@ object LakeMaintenanceRunner {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Already-indexed days whose [[LakeManifest.compactionAdvisor]]
+    * fires — fragmentation from appended-and-refreshed files since the
+    * last layout. Pure manifest reads: numFiles-bounded per day, no
+    * data touched. */
+  def fragmentedDays(spark: SparkSession, outRoot: String,
+      days: Seq[String], targetRowsPerFile: Long): Seq[String] =
+    days.filter { d =>
+      LakeManifest.compactionAdvisor(spark, s"$outRoot/$d", targetRowsPerFile)
+        .head().getAs[Boolean]("should_compact")
+    }
+
   /**
    * Run maintenance over every unoptimized day. `doOptimize` is
    * injectable for fault vectors; the default is the real
    * [[TickLake.optimizeDay]] with the given layout knobs.
+   * `reoptimizeTarget = Some(rowsPerFile)` additionally RE-optimizes
+   * already-indexed days the compaction advisor flags as fragmented
+   * (streaming appends + refresh accumulate small files; the advisor is
+   * the manifest-only signal for when the rewrite pays for itself) —
+   * advisor-clean days stay untouched, so a re-run converges to no-op.
    */
   def maintain(
       spark: SparkSession,
@@ -73,7 +89,8 @@ object LakeMaintenanceRunner {
       numFiles: Int = 16,
       symBits: Int = 8,
       now: () => Long = () => System.currentTimeMillis(),
-      doOptimize: Option[String => Unit] = None): MaintenanceReport = {
+      doOptimize: Option[String => Unit] = None,
+      reoptimizeTarget: Option[Long] = None): MaintenanceReport = {
     val optimize: String => Unit = doOptimize.getOrElse(date =>
       TickLake.optimizeDay(spark, root, date, s"$outRoot/$date", numFiles, symBits))
 
@@ -101,16 +118,26 @@ object LakeMaintenanceRunner {
     val inst = job.jobInstanceId
 
     val all = sourceDays(spark, root)
-    val (done, todo) = all.partition(isOptimized(spark, outRoot, _))
+    val (indexed, fresh) = all.partition(isOptimized(spark, outRoot, _))
+    val refragmented = reoptimizeTarget
+      .map(t => fragmentedDays(spark, outRoot, indexed, t))
+      .getOrElse(Nil)
+    // fresh days build from the source; fragmented days re-layout their
+    // OWN lake in place (streaming appends live there, not in source)
+    val work: Seq[(String, String => Unit)] =
+      fresh.map(_ -> optimize) ++ refragmented.map(_ -> { (d: String) =>
+        TickLake.reoptimizeDayInPlace(spark, s"$outRoot/$d", numFiles, symBits)
+      })
+    val done = indexed.filterNot(refragmented.contains)
     val failed = mutable.ListBuffer.empty[(String, String)]
     val optimized = mutable.ListBuffer.empty[String]
 
-    todo.foreach { date =>
+    work.foreach { case (date, run) =>
       if (!store.heartbeat(key, inst, now()))
         // fenced: a newer maintainer took over — stop writing immediately
         return MaintenanceReport(inst, optimized.toSeq, done,
           failed.toSeq :+ (date -> "fenced: lost job ownership"), JobStatus.Failed)
-      Try(optimize(date)) match {
+      Try(run(date)) match {
         case Success(_) =>
           optimized += date
           store.updateCursor(key, inst, now())

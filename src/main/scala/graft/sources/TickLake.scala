@@ -238,6 +238,30 @@ object TickLake {
   }
 
   /**
+   * Re-layout an [[optimizeDay]] output IN PLACE — the defragmentation
+   * pass after streaming appends accumulate small files in a day lake.
+   * The day's rows are materialized with an eager `localCheckpoint`
+   * BEFORE the overwrite (Spark cannot lazily read a path it is
+   * replacing), then the same z-order + manifest build runs. Row set is
+   * unchanged; only layout and index move — so the manifest's version
+   * history legitimately rebases (a rewrite, the optimize posture).
+   */
+  def reoptimizeDayInPlace(
+      spark: SparkSession, dayDir: String, numFiles: Int,
+      symBits: Int = 8): Unit = {
+    val tickCols = graft.core.Schemas.tickSchema.fieldNames.map(col).toSeq
+    val snap = spark.read.parquet(dayDir).select(tickCols: _*)
+      .localCheckpoint(true) // materialize: the source dir is the target
+      .withColumn("_sb", symBucketExpr(symBits))
+      .withColumn("_tm", tsMinuteExpr)
+    graft.operators.ZOrder.zOrderLayout(snap, "_sb", "_tm", numFiles, bits = 26)
+      .drop("_sb", "_tm")
+      .write.mode("overwrite").parquet(dayDir)
+    LakeManifest.write(spark, dayDir,
+      Seq("sym_bucket" -> symBucketExpr(symBits), "ts_minute" -> tsMinuteExpr))
+  }
+
+  /**
    * Manifest-pruned point-symbol/time-window read over an
    * [[optimizeDay]] output. The symbol's bucket comes from a 1-row local
    * query so driver and executor hash identically; the residual

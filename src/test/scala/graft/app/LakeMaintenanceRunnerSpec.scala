@@ -46,6 +46,43 @@ class LakeMaintenanceRunnerSpec extends SparkSpec {
       r2.finalStatus == JobStatus.Completed)
   }
 
+  test("maintain: advisor-gated re-optimization defragments appended days in place") {
+    import graft.sources.LakeManifest
+    val root = tmpDir("maint-lake-frag")
+    val out = tmpDir("maint-out-frag")
+    val day = LocalDate.of(2023, 11, 14)
+    buildLake(root, Seq(day))
+    val st = store()
+    LakeMaintenanceRunner.maintain(spark, st, root, out, numFiles = 4, symBits = 4)
+    val dayDir = s"$out/20231114"
+    val rowsBefore = spark.read.parquet(dayDir).count()
+    // streaming-style appends: 12 tiny files, indexed by refresh
+    val dims = Seq(
+      "sym_bucket" -> pmod(hash(col("symbol")), lit(16L)).cast("long"),
+      "ts_minute" -> (col("timestamp").cast("long") / 60).cast("long"))
+    (1 to 12).foreach { i =>
+      MockData.historicalDay(spark, "NQ", day).limit(5)
+        .coalesce(1).write.mode("append").parquet(dayDir)
+    }
+    assert(LakeManifest.refresh(spark, dayDir, dims) == 12)
+    assert(LakeMaintenanceRunner.fragmentedDays(spark, out,
+      Seq("20231114"), targetRowsPerFile = 1000L) == Seq("20231114"))
+    // advisor-gated pass: the fragmented day re-optimizes IN PLACE
+    val r = LakeMaintenanceRunner.maintain(spark, st, root, out,
+      numFiles = 4, symBits = 4, reoptimizeTarget = Some(1000L))
+    assert(r.finalStatus == JobStatus.Completed &&
+      r.daysOptimized == Seq("20231114"))
+    // appended rows preserved, layout back to numFiles, advisor clean
+    assert(spark.read.parquet(dayDir).count() == rowsBefore + 60)
+    assert(spark.read.parquet(dayDir).inputFiles.length == 4)
+    assert(LakeMaintenanceRunner.fragmentedDays(spark, out,
+      Seq("20231114"), 1000L).isEmpty)
+    // and the gated pass converges: a re-run is a no-op
+    val r2 = LakeMaintenanceRunner.maintain(spark, st, root, out,
+      numFiles = 4, symBits = 4, reoptimizeTarget = Some(1000L))
+    assert(r2.daysOptimized.isEmpty && r2.daysSkipped == Seq("20231114"))
+  }
+
   test("maintain: a failing day is recorded and the rest still optimize (ST9)") {
     val root = tmpDir("maint-lake2")
     val out = tmpDir("maint-out2")
