@@ -4416,6 +4416,48 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Q261 — SK4 sketch set algebra: audience overlap between event
+    // types by HLL inclusion–exclusion (|A∩B| ≈ est A + est B − est A∪B
+    // via the binary sketch union) — the "how many users do these two
+    // segments share" question a 100 TB store answers from pre-built
+    // per-segment sketches without an exact distinct. Real oracle: the
+    // exact intersection/union anchor the row, and within_tol asserts
+    // the I-E estimate honors its error contract (5% of the UNION —
+    // subtraction amplifies relative error when the overlap is small,
+    // so the union is the honest denominator; +5 absolute floor).
+    "q261_sketch_overlap" -> ((s, dir) => {
+      val pu = t(s, dir, "events")
+        .select(col("event_type").as("tp"), col("user_id")).distinct()
+        .localCheckpoint(true)
+      val sk = pu.groupBy(col("tp"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_exact"))
+      val pairsSk = sk.toDF("ta", "sk_a", "n_a")
+        .join(sk.toDF("tb", "sk_b", "n_b"), col("ta") < col("tb"))
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+          hll_sketch_estimate(col("sk_a")).as("est_a"),
+          hll_sketch_estimate(col("sk_b")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+            .as("est_u"))
+      val exactInt = pu.toDF("ta", "u")
+        .join(pu.toDF("tb", "u2"),
+          col("u") === col("u2") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_intersection"))
+      pairsSk.join(exactInt, Seq("ta", "tb"), "left")
+        .withColumn("n_intersection",
+          coalesce(col("n_intersection"), lit(0L)))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_intersection"))
+        .withColumn("within_tol",
+          abs(col("est_a") + col("est_b") - col("est_u")
+            - col("n_intersection").cast("double")) <=
+            greatest(col("n_union").cast("double") * 0.05, lit(5.0)))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("n_a"), col("n_b"), col("n_union"), col("n_intersection"),
+          col("within_tol"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Q260 — GRAPH12's production variant under the gate: self-vote
     // damped LPA (the knob LpaScaleStress showed recovers planted
     // structure — pure sync LPA oscillates on 2-cycles). Same
@@ -9340,6 +9382,23 @@ object SparkEntry {
           |  FROM c2) WHERE r = 1)
           |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
           |FROM l2 ORDER BY node""".stripMargin,
+
+      // exact anchors; TRUE asserts the I-E contract (the q83 pattern)
+      "q261_sketch_overlap" ->
+        """WITH pu AS (SELECT DISTINCT event_type AS tp, user_id FROM events),
+          |n AS (SELECT tp, CAST(count(*) AS BIGINT) AS n_exact FROM pu GROUP BY 1),
+          |xi AS (SELECT a.tp AS ta, b.tp AS tb, CAST(count(*) AS BIGINT) AS n_intersection
+          |  FROM pu a JOIN pu b ON a.user_id = b.user_id AND a.tp < b.tp
+          |  GROUP BY 1, 2),
+          |pairs AS (SELECT na.tp AS ta, nb.tp AS tb, na.n_exact AS n_a,
+          |    nb.n_exact AS n_b, coalesce(xi.n_intersection, 0) AS n_intersection
+          |  FROM n na JOIN n nb ON na.tp < nb.tp
+          |  LEFT JOIN xi ON xi.ta = na.tp AND xi.tb = nb.tp)
+          |SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+          |  CAST(n_a + n_b - n_intersection AS BIGINT) AS n_union,
+          |  CAST(n_intersection AS BIGINT) AS n_intersection,
+          |  TRUE AS within_tol
+          |FROM pairs ORDER BY type_a, type_b""".stripMargin,
 
       // q247's rounds with the self-loop vote unioned in
       "q260_lpa_damped" ->
