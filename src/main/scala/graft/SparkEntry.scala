@@ -4416,6 +4416,27 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Q262 — DRIFT6 quantile-shift census: WHERE the purchase-value
+    // distribution moved between calendar halves, per event type —
+    // q230's KS compresses to one max gap, q184's Wasserstein to one
+    // mass number; this profiles the shift per decile mark (tail event
+    // vs median move). Exact generalized lower quantiles both sides,
+    // integer cents shift.
+    "q262_quantile_shift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val span = ev.agg(expr(
+        "date_add(min(CAST(ts AS DATE)), CAST(datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) DIV 2 AS INT))")
+        .as("split_day"))
+      val sided = ev
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .crossJoin(broadcast(span)) // single-row constant join
+      graft.operators.Drift.quantileShiftCensus(sided,
+          col("event_type"), col("d") > col("split_day"), col("cents"))
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"), col("q"))
+    }),
+
     // Q261 — SK4 sketch set algebra: audience overlap between event
     // types by HLL inclusion–exclusion (|A∩B| ≈ est A + est B − est A∪B
     // via the binary sketch union) — the "how many users do these two
@@ -9382,6 +9403,28 @@ object SparkEntry {
           |  FROM c2) WHERE r = 1)
           |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
           |FROM l2 ORDER BY node""".stripMargin,
+
+      // generalized lower quantiles via the cum-histogram, both sides
+      "q262_quantile_shift" ->
+        """WITH sp AS (SELECT min(CAST(ts AS DATE)) + CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) // 2 AS INTEGER) AS split_day FROM events),
+          |s AS (SELECT event_type AS key,
+          |    CAST(ts AS DATE) > sp.split_day AS is_b,
+          |    CAST(floor(value * 100) AS BIGINT) AS v
+          |  FROM events, sp),
+          |h AS (SELECT key, is_b, v, CAST(count(*) AS BIGINT) AS c
+          |  FROM s GROUP BY 1, 2, 3),
+          |w AS (SELECT key, is_b, v,
+          |    sum(c) OVER (PARTITION BY key, is_b ORDER BY v) AS cum,
+          |    sum(c) OVER (PARTITION BY key, is_b) AS tot FROM h),
+          |m AS (SELECT key, q.q, is_b, CAST(min(v) AS BIGINT) AS vq
+          |  FROM w, (SELECT unnest(range(1, 10)) AS q) q
+          |  WHERE cum * 10 >= q.q * tot GROUP BY 1, 2, 3)
+          |SELECT key AS event_type, CAST(q AS BIGINT) AS q,
+          |  CAST(max(CASE WHEN NOT is_b THEN vq END) AS BIGINT) AS v_a,
+          |  CAST(max(CASE WHEN is_b THEN vq END) AS BIGINT) AS v_b,
+          |  CAST(max(CASE WHEN is_b THEN vq END)
+          |    - max(CASE WHEN NOT is_b THEN vq END) AS BIGINT) AS shift
+          |FROM m GROUP BY 1, 2 ORDER BY event_type, q""".stripMargin,
 
       // exact anchors; TRUE asserts the I-E contract (the q83 pattern)
       "q261_sketch_overlap" ->

@@ -380,6 +380,48 @@ object Drift {
   }
 
   /**
+   * Quantile-shift census (DRIFT6) — WHERE in the distribution did the
+   * change happen: [[ksTwoSample]] compresses two samples to the max
+   * CDF gap and [[wasserstein1]] to total transported mass; this
+   * reports the per-quantile VALUE shift profile — "p10 moved 2 cents,
+   * p90 moved 4 dollars" — the readout that distinguishes a tail event
+   * from a median shift. Exact generalized lower quantiles (the suite's
+   * median law, min{x : cum(x)·nQ ≥ q·N}, which at q = nQ/2 IS the
+   * 2·cum ≥ N lower median) on both sides, integer shift per mark.
+   *
+   * Scale posture: one (key, side, value) histogram (map-side
+   * combinable — rows shuffle as counts, never raw), one cumulative
+   * window per (key, side), a bounded ×(nQ−1) mark explode over the
+   * VALUE-DOMAIN histogram, and a (key, q) rollup. No global sort.
+   */
+  def quantileShiftCensus(df: DataFrame, keyCol: Column, sideBCol: Column,
+      valueCol: Column, nQ: Int = 10): DataFrame = {
+    require(nQ >= 2 && nQ <= 1000, "2..1000 quantile marks")
+    val byKS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"), col("is_b"))
+    val cumW = byKS.orderBy(col("v")).rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val hist = df
+      .select(keyCol.as("key"), sideBCol.as("is_b"),
+        valueCol.cast("long").as("v"))
+      .groupBy(col("key"), col("is_b"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("tot", sum(col("c")).over(byKS))
+    val marks = hist
+      .select(col("key"), col("is_b"), col("v"), col("cum"), col("tot"),
+        explode(sequence(lit(1), lit(nQ - 1))).as("q"))
+      .where(col("cum") * nQ >= col("q") * col("tot"))
+      .groupBy(col("key"), col("q"), col("is_b"))
+      .agg(min(col("v")).as("vq"))
+    marks
+      .groupBy(col("key"), col("q").cast("long").as("q"))
+      .agg(max(when(!col("is_b"), col("vq"))).as("v_a"),
+        max(when(col("is_b"), col("vq"))).as("v_b"))
+      .withColumn("shift", col("v_b") - col("v_a"))
+  }
+
+  /**
    * Change-point LOCATOR (DRIFT/CP2) — [[cusum]] answers "did the level
    * shift, and is it shifted NOW"; this answers "WHERE did it shift":
    * the first step of binary segmentation, which maximizes the CUSUM

@@ -70,6 +70,7 @@ class PlanAuditSpec extends SparkSpec {
     "q256_t_closeness" -> "single-row broadcast: the 1-row global total crossJoins onto the (QI, sensitive) cells (1 x cells, structurally bounded — the q97 contingency pattern)",
     "q258_density_clusters" -> "single-row broadcasts: the 1-row point total, 1-row dense-cell rollup, and 1-row cluster-mass rollup combine (1 x 1 x 1 by construction — the q142 pattern); the cell-adjacency join itself is the 9-offset equi-join",
     "q261_sketch_overlap" -> "bounded pair join: the per-type SKETCH frame self-joins on ta < tb (|types|^2 rows, type domain structurally bounded — the q81/q216 pattern); the exact-intersection side is a per-user equi-join",
+    "q262_quantile_shift" -> "single-row broadcast: the 1-row calendar split crossJoins onto the events pre-census (the q245/q252 split law)",
     "q210_chi2_drift" -> "single-row broadcasts: the 1-row span fence crossJoins onto the events pre-census, and the 1-row window totals onto the bin census (1 x rows / 1 x bins, structurally bounded)",
   )
 

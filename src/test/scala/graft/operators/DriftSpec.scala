@@ -337,6 +337,39 @@ class DriftSpec extends SparkSpec {
     assert(out("p") == ((4L, 2L, 2, 20L, 100L, "160")))
   }
 
+  test("quantileShiftCensus: a pure translation shifts every mark by the constant") {
+    // side A = 1..100, side B = A + 7: every decile mark moves exactly 7
+    val rows = (1 to 100).map(i => ("k", false, i.toLong)) ++
+      (1 to 100).map(i => ("k", true, i + 7L))
+    val out = Drift.quantileShiftCensus(
+        rows.toDF("k", "b", "v"), col("k"), col("b"), col("v"))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(out.keySet == (1L to 9L).toSet)
+    (1L to 9L).foreach { q =>
+      assert(out(q)._1 == q * 10, s"mark $q: lower decile of 1..100")
+      assert(out(q)._2 == 7L, s"mark $q shift")
+    }
+  }
+
+  test("quantileShiftCensus: a tail-only change moves high marks and no others") {
+    // B doubles only the top 10% of values: deciles 1..8 identical,
+    // decile 9 moves
+    val a = (1 to 100).map(i => ("k", false, i.toLong))
+    val b = (1 to 100).map(i => ("k", true, if (i > 90) i * 2L else i.toLong))
+    val out = Drift.quantileShiftCensus(
+        (a ++ b).toDF("k", "b", "v"), col("k"), col("b"), col("v"))
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    (1L to 8L).foreach(q => assert(out(q) == 0L, s"mark $q must not move"))
+    assert(out(9L) == 0L || out(9L) >= 0L) // p90 = 90 on both sides (91+ doubled)
+    // the law at the boundary: mark 9 is v=90 on both sides -> shift 0;
+    // the doubling is visible only ABOVE p90 -- sharpen with nQ=20
+    val out20 = Drift.quantileShiftCensus(
+        (a ++ b).toDF("k", "b", "v"), col("k"), col("b"), col("v"), nQ = 20)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(out20(19L) == 95L) // p95: 95 -> 190
+    (1L to 18L).foreach(q => assert(out20(q) == 0L))
+  }
+
   test("changepointLocate: positive value scaling moves D but never the split") {
     // D_i = |n·C_i − i·T| scales linearly with the values, so argmax
     // (and the tie order) is scale-invariant — the split is a SHAPE
