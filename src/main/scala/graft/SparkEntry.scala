@@ -4416,6 +4416,20 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Q263 — EXP8 Kruskal–Wallis: do the five event types share one
+    // value distribution, tested per weekday — the k-group member
+    // finishing the rank shelf (q225 signs / q226 Wilcoxon / q229
+    // Mann–Whitney). Histogram mid-ranks, one defined truncation per
+    // group, tie-corrected H vs the pinned χ²(k−1) line.
+    "q263_kruskal_wallis" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Experiment.kruskalWallis(
+          ev.select(weekday(to_date(col("ts"))).cast("long").as("dow"),
+            col("event_type"), floor(col("value") * 100).cast("long").as("cents")),
+          "dow", col("event_type"), col("cents"))
+        .orderBy(col("dow"))
+    }),
+
     // Q262 — DRIFT6 quantile-shift census: WHERE the purchase-value
     // distribution moved between calendar halves, per event type —
     // q230's KS compresses to one max gap, q184's Wasserstein to one
@@ -9403,6 +9417,53 @@ object SparkEntry {
           |  FROM c2) WHERE r = 1)
           |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
           |FROM l2 ORDER BY node""".stripMargin,
+
+      // pooled histogram mid-ranks; identical per-group truncation
+      "q263_kruskal_wallis" -> {
+        val crit = graft.operators.Experiment.Chi2Crit95Ppm.zipWithIndex
+          .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }
+          .mkString("CASE k - 1 ", " ", " ELSE NULL END")
+        s"""WITH base AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS key,
+           |    event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v
+           |  FROM events),
+           |gv AS (SELECT key, g, v, CAST(count(*) AS BIGINT) AS tg
+           |  FROM base GROUP BY 1, 2, 3),
+           |h AS (SELECT key, v, CAST(sum(tg) AS BIGINT) AS t FROM gv GROUP BY 1, 2),
+           |rk AS (SELECT key, v, t,
+           |    2 * (sum(t) OVER (PARTITION BY key ORDER BY v) - t) + t + 1 AS r2
+           |  FROM h),
+           |pg AS (SELECT gv.key, gv.g, CAST(sum(tg) AS BIGINT) AS n_g,
+           |    CAST(sum(tg * r2) AS BIGINT) AS s2_g
+           |  FROM gv JOIN rk ON gv.key = rk.key AND gv.v = rk.v GROUP BY 1, 2),
+           |ag AS (SELECT key, CAST(s2_g AS HUGEINT) * s2_g * 1000000 // n_g AS a_g,
+           |    n_g FROM pg),
+           |tt AS (SELECT key, CAST(sum(t * t * t - t) AS HUGEINT) AS tie3
+           |  FROM rk GROUP BY 1),
+           |kk AS (SELECT key, CAST(count(*) AS BIGINT) AS k,
+           |    CAST(sum(n_g) AS BIGINT) AS n, sum(a_g) AS a FROM ag GROUP BY 1),
+           |fin AS (SELECT kk.key, k, n,
+           |    CAST(CAST(3 AS HUGEINT) * a // (CAST(n AS HUGEINT) * (n + 1))
+           |      - CAST(3 AS HUGEINT) * (n + 1) * 1000000 AS BIGINT) AS h_ppm,
+           |    CAST(n AS HUGEINT) * n * n - n - tie3 AS c_num,
+           |    CAST(n AS HUGEINT) * n * n - n AS n3n
+           |  FROM kk JOIN tt ON kk.key = tt.key)
+           |SELECT key AS dow, k, n, h_ppm,
+           |  CASE WHEN k < 2 OR c_num <= 0 THEN NULL
+           |       WHEN h_ppm < 0
+           |       THEN CAST(-((CAST(-h_ppm AS HUGEINT) * n3n) // c_num) AS BIGINT)
+           |       ELSE CAST((CAST(h_ppm AS HUGEINT) * n3n) // c_num AS BIGINT)
+           |  END AS h_tie_ppm,
+           |  CASE WHEN (CASE WHEN k < 2 OR c_num <= 0 THEN NULL
+           |       WHEN h_ppm < 0
+           |       THEN CAST(-((CAST(-h_ppm AS HUGEINT) * n3n) // c_num) AS BIGINT)
+           |       ELSE CAST((CAST(h_ppm AS HUGEINT) * n3n) // c_num AS BIGINT) END)
+           |    IS NULL THEN NULL
+           |    ELSE (CASE WHEN h_ppm < 0
+           |       THEN CAST(-((CAST(-h_ppm AS HUGEINT) * n3n) // c_num) AS BIGINT)
+           |       ELSE CAST((CAST(h_ppm AS HUGEINT) * n3n) // c_num AS BIGINT) END)
+           |      > ($crit) END AS significant
+           |FROM fin ORDER BY dow""".stripMargin
+      },
 
       // generalized lower quantiles via the cum-histogram, both sides
       "q262_quantile_shift" ->

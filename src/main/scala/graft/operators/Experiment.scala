@@ -345,4 +345,81 @@ object Experiment {
         col("var_m").cast("decimal(38,0)").cast("string").as("var_m"),
         col("z2_ppm"), col("significant"))
   }
+
+  /** χ²(df) 95% critical lines in ppm, df 1..8 — the shared constants
+    * every gate in the suite alarms on (df 1 is q203/q210/q218's
+    * 3841459). Interpolated verbatim into the oracle SQL. */
+  val Chi2Crit95Ppm: Seq[Long] = Seq(3841459L, 5991465L, 7814728L,
+    9487729L, 11070498L, 12591587L, 14067140L, 15507313L)
+
+  /**
+   * Kruskal–Wallis H (EXP8) — the k-GROUP member finishing the rank
+   * shelf: sign test (paired, direction), Wilcoxon (paired, magnitude),
+   * Mann–Whitney (two unpaired groups), and this — "do these k groups
+   * share one distribution" without a variance model. Pooled ranks via
+   * the STAT11 histogram law (tie-averaged, doubled — never a per-row
+   * sort), then the exact-integer rendition with ONE defined truncation
+   * per group:
+   *
+   *   s2_g   = Σ_g 2·avgrank(v)            (doubled rank sum, integer)
+   *   A      = Σ_g ⌊s2_g²·10⁶ / n_g⌋       (DECIMAL(38,0), truncating)
+   *   H·10⁶  = 3·A DIV N(N+1) − 3(N+1)·10⁶ (≡ 12ΣR²/n/(N(N+1)) − 3(N+1))
+   *   H'     = H·(N³−N) DIV (N³−N − Σ_t(t³−t))   (tie correction)
+   *
+   * The per-group ⌊·⌋ loses < 1 ppm·k total — and both engines truncate
+   * IDENTICALLY, so the gate stays exact (the law includes the floor).
+   * Decision vs the pinned χ²(k−1) 95% line ([[Chi2Crit95Ppm]]); NULL
+   * when k < 2, every value ties, or df > 8 (extend the table, don't
+   * guess). s2_g² ·10⁶ ≤ 4·10⁶·N⁴ — inside DECIMAL(38) to N ≈ 10⁸
+   * pooled rows per key.
+   */
+  def kruskalWallis(samples: DataFrame, keyCol: String, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = samples.select(col(keyCol).as("key"), groupCol.as("g"),
+      valueCol.cast("long").as("v"))
+    val gv = base.groupBy(col("key"), col("g"), col("v"))
+      .agg(count(lit(1)).as("tg"))
+    val hist = gv.groupBy(col("key"), col("v"))
+      .agg(sum(col("tg")).as("t"))
+    val cum = Window.partitionBy(col("key")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cumt", sum(col("t")).over(cum))
+      .withColumn("r2", lit(2L) * (col("cumt") - col("t")) + col("t") + 1L)
+    val perGroup = gv
+      .join(ranked.select(col("key"), col("v"), col("r2")), Seq("key", "v"))
+      .groupBy(col("key"), col("g"))
+      .agg(sum(col("tg")).as("n_g"), sum(col("tg") * col("r2")).as("s2_g"))
+      .withColumn("a_g", expr(
+        "CAST(s2_g AS DECIMAL(38,0)) * s2_g * 1000000 DIV n_g"))
+    val ties = ranked.groupBy(col("key"))
+      .agg(sum(expr("t * t * t - t")).as("tie3"))
+    val crit = Chi2Crit95Ppm.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN ${c}L" }
+      .mkString("CASE k - 1 ", " ", " ELSE NULL END")
+    perGroup
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("a_g")).as("a"))
+      .join(ties, Seq("key"))
+      .withColumn("h_ppm", expr(
+        """CAST(CAST(3 AS DECIMAL(38,0)) * a
+          |  DIV (CAST(n AS DECIMAL(38,0)) * (n + 1))
+          |  - CAST(3 AS DECIMAL(38,0)) * (n + 1) * 1000000 AS BIGINT)""".stripMargin))
+      .withColumn("c_num", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * n - n - tie3"))
+      .withColumn("h_tie_ppm", expr(
+        """CASE WHEN k < 2 OR c_num <= 0 THEN NULL
+          |     WHEN h_ppm < 0 THEN -CAST((CAST(-h_ppm AS DECIMAL(38,0))
+          |       * (CAST(n AS DECIMAL(38,0)) * n * n - n)) DIV c_num AS BIGINT)
+          |     ELSE CAST((CAST(h_ppm AS DECIMAL(38,0))
+          |       * (CAST(n AS DECIMAL(38,0)) * n * n - n)) DIV c_num AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("significant", expr(
+        s"""CASE WHEN h_tie_ppm IS NULL THEN NULL
+           |     ELSE h_tie_ppm > ($crit) END""".stripMargin))
+      .select(col("key").as(keyCol), col("k"), col("n"), col("h_ppm"),
+        col("h_tie_ppm"), col("significant"))
+  }
 }

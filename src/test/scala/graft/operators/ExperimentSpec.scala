@@ -173,4 +173,42 @@ class ExperimentSpec extends SparkSpec {
       java.lang.Boolean.TRUE)))
     assert(out("e")._6 == -1L && out("e")._7 == null)
   }
+
+  private def kw(rows: Seq[(String, String, Long)]) =
+    Experiment.kruskalWallis(rows.toDF("k", "g", "v"), "k", col("g"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) null else java.lang.Boolean.valueOf(r.getBoolean(5)))))
+      .toMap
+
+  test("kruskalWallis: hand-computed H on interleaved and separated groups") {
+    // interleaved {1,2}/{3,4}/{5,6}: R = 3,7,11 → H = 12·89.5/42 − 21
+    //   = 4.5714…; ppm law (one floor in 1074e6 DIV 42) → 4,571,428;
+    //   no ties → H' = H; df 2 line 5,991,465 → not significant
+    val a = Seq(("x", "A", 1L), ("x", "A", 2L), ("x", "B", 3L),
+      ("x", "B", 4L), ("x", "C", 5L), ("x", "C", 6L))
+    assert(kw(a)("x") == ((3L, 6L, 4571428L, 4571428L,
+      java.lang.Boolean.FALSE)))
+    // perfect separation {1..3}/{11..13}/{21..23}: H = 7.2 exactly →
+    //   7,200,000 > 5,991,465 → significant
+    val offs = Map("A" -> 0L, "B" -> 10L, "C" -> 20L)
+    val s = for (g <- Seq("A", "B", "C"); i <- 1 to 3)
+      yield ("s", g, offs(g) + i)
+    assert(kw(s)("s") == ((3L, 9L, 7200000L, 7200000L,
+      java.lang.Boolean.TRUE)))
+  }
+
+  test("kruskalWallis: tie correction inflates H; all-tied is NULL") {
+    // {1,1} vs {2,2}: raw H(ppm) = 3·116e6 DIV 20 − 15e6 = 2,400,000;
+    // tie3 = 12, c = 60−12 = 48 → H' = 2.4e6·60 DIV 48 = 3,000,000
+    // (df 1 line 3,841,459 → not significant)
+    val t = Seq(("t", "A", 1L), ("t", "A", 1L), ("t", "B", 2L), ("t", "B", 2L))
+    assert(kw(t)("t") == ((2L, 4L, 2400000L, 3000000L,
+      java.lang.Boolean.FALSE)))
+    // every value identical: c_num = 0 → H' and the decision are NULL
+    val z = Seq(("z", "A", 7L), ("z", "B", 7L), ("z", "C", 7L))
+    val out = kw(z)("z")
+    assert(out._4 == -1L && out._5 == null)
+  }
 }
