@@ -194,10 +194,14 @@ object Drift {
    *   contrib = (o_wb − e_wb)²/e_wb
    *           = (o_wb·N − n_w·t_b)² · 10⁶ DIV (n_w·t_b·N)   [ppm]
    *
-   * The square crosses 2⁶³ at corpus sizes the family already handles
-   * via the q128 recipe, so it runs in DECIMAL(38,0) (HUGEINT on the
-   * oracle); the per-bin truncation-then-sum is the defined output law
-   * (replays bit-identically). `chi2_ppm` = Σ contributions, compared
+   * ALL products run in DECIMAL(38,0) (HUGEINT on the oracle): the raw
+   * deviation o_wb·N − n_w·t_b reaches N² (int64 dies past N ≈ 3e9) and
+   * the divisor n_w·t_b·N reaches N³, so the widening applies before the
+   * FIRST multiply, not just to the square. Exactness bound: the squared
+   * deviation ×10⁶ must fit DECIMAL(38) ⇒ per-bin |o_wb·N − n_w·t_b| <
+   * 10¹⁶ — comfortable for any real bin census (t_b·N < 10¹⁶). The
+   * per-bin truncation-then-sum is the defined output law (replays
+   * bit-identically). `chi2_ppm` = Σ contributions, compared
    * against the caller's critical value in ppm (pinned per df — e.g.
    * 14.067·10⁶ for df=7 at α=0.05), since df = |bins|−1 is a data
    * property.
@@ -223,13 +227,21 @@ object Drift {
       .withColumn("t", col("o_pre") + col("o_post"))
       .withColumn("n_all", col("n_pre") + col("n_post"))
       .withColumn("chi2_bin_ppm", expr(
+        // every product runs in DECIMAL(38,0): o_wb·N and n_w·t_b reach
+        // N² (int64 dies past N ≈ 3e9) and the divisor n_w·t_b·N reaches
+        // N³ — the same widening wasserstein1 prescribes, applied BEFORE
+        // the first multiply, not just to the square
         """CASE WHEN n_pre > 0 AND n_post > 0 THEN
-          |  CAST((o_pre * n_all - n_pre * t) AS DECIMAL(38,0))
-          |    * (o_pre * n_all - n_pre * t) * 1000000
-          |    DIV (n_pre * t * n_all)
-          |  + CAST((o_post * n_all - n_post * t) AS DECIMAL(38,0))
-          |    * (o_post * n_all - n_post * t) * 1000000
-          |    DIV (n_post * t * n_all)
+          |  (CAST(o_pre AS DECIMAL(38,0)) * n_all
+          |     - CAST(n_pre AS DECIMAL(38,0)) * t)
+          |    * (CAST(o_pre AS DECIMAL(38,0)) * n_all
+          |         - CAST(n_pre AS DECIMAL(38,0)) * t) * 1000000
+          |    DIV (CAST(n_pre AS DECIMAL(38,0)) * t * n_all)
+          |  + (CAST(o_post AS DECIMAL(38,0)) * n_all
+          |       - CAST(n_post AS DECIMAL(38,0)) * t)
+          |    * (CAST(o_post AS DECIMAL(38,0)) * n_all
+          |         - CAST(n_post AS DECIMAL(38,0)) * t) * 1000000
+          |    DIV (CAST(n_post AS DECIMAL(38,0)) * t * n_all)
           |END""".stripMargin))
     val binFrame = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

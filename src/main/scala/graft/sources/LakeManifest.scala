@@ -463,12 +463,24 @@ object LakeManifest {
    * byte for byte. `predicate` is the exact row-level condition (a
    * surviving file may hold non-matching rows; they are preserved).
    *
-   * Protocol: survivors of the touched files append as new files, the
-   * touched files delete, and the manifest rebuilds surgically —
-   * untouched rows keep their manifest entries, the new files index in
-   * one bounded scan (the [[refresh]] law). A delete is a REWRITE, so
-   * history REBASES to v0 (old versions reference deleted files; the
+   * Protocol (manifest-first, crash-safe ordering): survivors of the
+   * touched files append as new files; the manifest rewrites in ONE
+   * step — untouched entries kept, touched entries dropped, survivor
+   * files indexed in one bounded scan (the [[refresh]] law); the
+   * touched data files delete LAST. A crash before the manifest rewrite
+   * leaves the lake logically unchanged (survivor files are young
+   * orphans — [[vacuum]] them before re-running, or they double-index);
+   * a crash after it leaves only unreferenced candidate files (pruned
+   * reads are already correct; vacuum reclaims the bytes). At no point
+   * does the manifest reference a deleted file. A delete is a REWRITE,
+   * so history REBASES to v0 (old versions reference deleted files; the
    * same posture as [[optimize]]).
+   *
+   * `bloom` names the bloom-indexed dims of the lake (same expressions
+   * as the original [[write]]); when omitted, the manifest's `bloom_*`
+   * dims are re-derived as plain columns — pass explicit expressions if
+   * the lake blooms DERIVED dims. Survivor entries carry full stat AND
+   * bloom columns, so [[readPrunedByBloom]] stays exact across deletes.
    *
    * Returns (rows deleted, files rewritten). At 100 TB, deleting one
    * user from a user-bucketed z-ordered lake touches the z-order
@@ -476,8 +488,19 @@ object LakeManifest {
    */
   def deleteWhere(
       spark: SparkSession, dir: String, stats: Seq[(String, Column)],
-      ranges: Map[String, (Long, Long)], predicate: Column): (Long, Int) = {
+      ranges: Map[String, (Long, Long)], predicate: Column,
+      bloom: Seq[(String, Column)] = Nil): (Long, Int) = {
     require(stats.nonEmpty && ranges.nonEmpty, "stats and ranges required")
+    val manifestSchema = read(spark, dir).schema
+    val bloomDims = manifestSchema.fieldNames
+      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
+    // default: the manifest's bloom dims as plain columns, in schema order
+    val bloomSpec =
+      if (bloom.nonEmpty) {
+        require(bloom.map(_._1).toSet == bloomDims.toSet,
+          s"bloom spec must match the manifest's bloom dims: ${bloomDims.mkString(", ")}")
+        bloom
+      } else bloomDims.map(d => d -> col(d))
     val snap = snapshot(spark, dir)
     snap.headOption.foreach { case (_, st) =>
       val unknown = ranges.keySet -- st.keySet
@@ -489,6 +512,9 @@ object LakeManifest {
       } => file
     }.sorted
     if (cand.isEmpty) return (0L, 0)
+    val oldRows = read(spark, dir).collect() // ≤ numFiles
+    val knownNames = oldRows.map(r =>
+      r.getString(r.fieldIndex("file")).split('/').last).toSet
     val candDf = spark.read.parquet(cand.toIndexedSeq: _*)
     val hit = coalesce(predicate, lit(false))
     // one pass: survivors write out, the delete count rides as an
@@ -504,22 +530,46 @@ object LakeManifest {
     }
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    cand.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
-    // surgical manifest rebuild: drop touched entries, keep the rest
+    // index the survivor files (everything on disk the old manifest did
+    // not know) with FULL stat+bloom columns, aligned to the manifest
+    // schema BY NAME — one bounded scan of the new bytes only
+    val freshFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          !knownNames(n)
+      }
+    val survivorRows: Array[Row] =
+      if (freshFiles.isEmpty) Array.empty
+      else {
+        val aggs = statAggs(stats, bloomSpec, bloomBitsOf(spark, dir))
+        spark.read
+          .schema(DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
+          .parquet(freshFiles.map(_.toString).toIndexedSeq: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(manifestSchema.fieldNames.map(col).toIndexedSeq: _*)
+          .collect()
+      }
+    // surgical manifest rebuild in ONE step: kept entries + survivor
+    // entries — written BEFORE any data file is deleted, so the manifest
+    // never references a missing file
     val candNames = cand.map(_.split('/').last).toSet
-    val keptRows = read(spark, dir).collect() // ≤ numFiles
-      .filterNot(r => candNames(r.getString(r.fieldIndex("file")).split('/').last))
-    val schema = read(spark, dir).schema
+    val keptRows = oldRows.filterNot(r =>
+      candNames(r.getString(r.fieldIndex("file")).split('/').last))
     spark.createDataFrame(
-        new java.util.ArrayList[Row](keptRows.toSeq.asJava), schema)
+        new java.util.ArrayList[Row]((keptRows ++ survivorRows).toSeq.asJava),
+        manifestSchema)
       .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-    snapshots.clear(); bloomSnapshots.clear()
-    // rebase history (a delete is a rewrite), then index the new files
+    // rebase history (a delete is a rewrite)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
     spark.read.parquet(filesPath(dir))
       .write.mode("overwrite").parquet(historyPath(dir, 0))
     writeVersion(fs, dir, 0)
-    refresh(spark, dir, stats)
+    snapshots.clear(); bloomSnapshots.clear()
+    // only now: drop the touched data files (crash here ⇒ orphans only)
+    cand.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     (nDeleted, cand.length)
   }
 

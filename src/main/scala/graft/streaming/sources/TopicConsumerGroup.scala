@@ -108,9 +108,14 @@ final class TopicConsumerGroup(backend: StateBackend) {
   /**
    * One at-least-once consumer poll: read every partition from the
    * group's committed offsets to the current log end, hand the batch to
-   * `process`, then commit the advanced offsets — the canonical
-   * consume-then-commit loop (crash between process and commit ⇒ the
-   * batch replays, matching the bus's at-least-once contract).
+   * `process`, then commit — the canonical consume-then-commit loop
+   * (crash between process and commit ⇒ the batch replays, matching the
+   * bus's at-least-once contract). The commit advances each partition
+   * only to the position the callback ACTUALLY consumed (last record
+   * pulled from the iterator + 1), never to the log end — a callback
+   * that stops early (bounded batch, downstream backpressure, an
+   * exception swallowed upstream) leaves the tail uncommitted and it
+   * replays on the next poll, preserving at-least-once.
    * Returns records delivered, or -1 if the commit was fenced.
    */
   def pollAndCommit(root: String, topic: String, group: String,
@@ -121,11 +126,14 @@ final class TopicConsumerGroup(backend: StateBackend) {
     var delivered = 0L
     val advanced = until.map { case (p, end) =>
       val start = from.getOrElse(p, 0L)
+      var consumedTo = start // next-to-read position the callback reached
       if (end > start) {
         val cur = TopicLog.read(root, topic, p, start, end)
-        try process(cur.map { r => delivered += 1; r }) finally cur.close()
+        try process(cur.map { r =>
+          delivered += 1; consumedTo = r.offset + 1; r
+        }) finally cur.close()
       }
-      p -> math.max(start, end)
+      p -> consumedTo
     }
     if (commit(group, topic, memberId, generation, advanced)) delivered
     else -1L

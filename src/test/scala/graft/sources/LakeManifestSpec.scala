@@ -188,8 +188,51 @@ class LakeManifestSpec extends SparkSpec {
     // manifest consistent: pruned reads keep the row-identity law
     val pruned = LakeManifest.readPruned(spark, dir, Map("a" -> (0L, 255L)))
     assert(pruned.count() == after.count())
-    // a delete is a rewrite: history rebased (v0 = pre-index, v1 = new files)
-    assert(LakeManifest.currentVersion(spark, dir) == 1)
+    // a delete is a rewrite: history rebased, v0 IS the post-delete state
+    assert(LakeManifest.currentVersion(spark, dir) == 0)
+    assert(LakeManifest.timeTravel(spark, dir, 0).count() == after.count())
+  }
+
+  test("deleteWhere on a bloom-indexed lake keeps the bloom index exact") {
+    val dir = tmpDir("manifest-delete-bloom")
+    val dims = Seq("a" -> col("a"), "b" -> col("b"))
+    val blooms = Seq("id" -> col("id"))
+    LakeManifest.optimize(corpus(40000L), dir, "a", "b", numFiles = 16, bits = 9)
+    LakeManifest.write(spark, dir, dims, blooms)
+    // pick a surviving id that lives in a TOUCHED file (same file as some
+    // a=7 row), so its manifest entry must come from the survivor re-index
+    // (readPruned row-filters to the box, so read the touched FILES raw)
+    val touchedFiles = LakeManifest.readPruned(spark, dir,
+      Map("a" -> (7L, 7L))).inputFiles
+    val touched = spark.read.parquet(touchedFiles.toIndexedSeq: _*)
+    val survivorId = touched.where(col("a") =!= 7L)
+      .select("id").head().getLong(0)
+    val deletedId = touched.where(col("a") === 7L)
+      .select("id").head().getLong(0)
+    // the r7 regression: this THREW after the destructive steps, leaving
+    // the manifest missing the survivor files — now it must complete
+    val (nDeleted, nRewritten) = LakeManifest.deleteWhere(spark, dir, dims,
+      Map("a" -> (7L, 7L)), col("a") === 7L)
+    assert(nDeleted > 0 && nRewritten > 0)
+    // bloom point reads stay EXACT across the delete: the survivor row
+    // (rewritten into a new file) is found, the deleted row is gone
+    val hit = LakeManifest.readPrunedByBloom(spark, dir, "id",
+      Seq(survivorId.toString))
+    assert(hit.count() == 1L && hit.head().getLong(0) == survivorId)
+    assert(LakeManifest.readPrunedByBloom(spark, dir, "id",
+      Seq(deletedId.toString)).count() == 0L)
+    // row-identity law holds against a plain directory read
+    val after = spark.read.parquet(dir)
+    assert(LakeManifest.readPruned(spark, dir,
+      Map("a" -> (0L, 255L))).count() == after.count())
+    // an explicit mismatched bloom spec is refused up front (before any
+    // destructive step), not mid-protocol
+    intercept[IllegalArgumentException] {
+      LakeManifest.deleteWhere(spark, dir, dims, Map("a" -> (8L, 8L)),
+        col("a") === 8L, bloom = Seq("nope" -> col("a")))
+    }
+    assert(spark.read.parquet(dir).count() == after.count(),
+      "refused delete must not mutate the lake")
   }
 
   test("bloom skipping: point lookups on a hash-scattered dim open few files") {

@@ -111,4 +111,28 @@ class TopicConsumerGroupSpec extends AnyFunSuite {
       it => it.foreach(_ => replayed += 1))
     assert(n == 30L && replayed == 30) // full replay, duplication not loss
   }
+
+  test("partial consumption commits only to the consumed position (r7 advice)") {
+    val root = freshTopic()
+    val cg = new TopicConsumerGroup(new InMemoryStateBackend)
+    val g = cg.join("g", "t", "c")
+    // the callback drains only part of each partition's batch and
+    // RETURNS (no crash): the commit must advance each partition to the
+    // consumed position, not the log end (process runs once/partition:
+    // 2 partitions × 15 records, take(7) each → 14 delivered)
+    val n1 = cg.pollAndCommit(root, "t", "g", "c", g)(
+      it => it.take(7).foreach(_ => ()))
+    assert(n1 == 14L)
+    val afterPartial = cg.committed("g", "t")
+    assert(afterPartial == Map(0 -> 7L, 1 -> 7L),
+      s"committed past consumption: $afterPartial")
+    // the unconsumed tail replays on the next poll — no record skipped
+    var seen = List.empty[Long]
+    val n2 = cg.pollAndCommit(root, "t", "g", "c", g)(
+      it => it.foreach(r => seen ::= r.offset))
+    assert(n2 == 16L && seen.size == 16)
+    assert(cg.committed("g", "t").values.sum == 30L)
+    // a callback that consumes NOTHING commits nothing
+    assert(cg.pollAndCommit(root, "t", "g", "c", g)(_ => ()) == 0L)
+  }
 }
