@@ -55,6 +55,82 @@ object LakeManifest {
   private def schemaPath(dir: String) = s"$dir/$ManifestDir/schema.json"
   private def historyPath(dir: String, v: Int) = s"$dir/$ManifestDir/history/v$v"
   private def versionPath(dir: String) = s"$dir/$ManifestDir/VERSION"
+  private def commitSeqPath(dir: String) = s"$dir/$ManifestDir/COMMITSEQ"
+
+  /** A conditional manifest mutation found the lake at a different
+    * version than the writer expected — another writer committed in
+    * between. The mutation did NOT run; re-read and retry. */
+  final class ManifestConflictException(message: String)
+    extends RuntimeException(message)
+
+  // ---- multi-writer commit arbitration -------------------------------
+  // Every manifest MUTATION (write/refresh/deleteWhere/reoptimize)
+  // serializes through one commit lock per lake: an in-JVM monitor (two
+  // task threads in one JVM would hit OverlappingFileLockException, not
+  // block) and then an OS file lock for writers in other processes —
+  // the TopicLog writer-arbitration pattern. Mutations RECOMPUTE their
+  // inputs (manifest rows, directory diff) inside the lock, so a lost
+  // race never loses files: the second writer sees the first writer's
+  // commit and indexes only what remains. The OS lock auto-releases on
+  // process death (no stale-lease sweeper needed). Local/file lakes
+  // only — an object-store lake swaps this for the StateBackend
+  // versioned-CAS (same discipline, different primitive); the require
+  // below makes that swap point loud, not silent.
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withCommitLock[T](spark: SparkSession, dir: String)(
+      body: => T): T = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scheme = fs.getUri.getScheme
+    require(scheme == null || scheme == "file",
+      s"commit lock uses OS file locks (local lakes); got scheme '$scheme' — " +
+        "swap in a StateBackend CAS for object-store lakes")
+    val manifestDir = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
+    fs.mkdirs(manifestDir)
+    val lockFile = java.nio.file.Paths.get(
+      new org.apache.hadoop.fs.Path(manifestDir, "COMMITLOCK").toUri.getPath)
+    val monitor =
+      jvmLocks.computeIfAbsent(lockFile.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        lockFile,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock() // blocks until any other process's writer exits
+        try body finally fl.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Monotone count of COMMITTED manifest mutations — the linearization
+    * witness: every write/refresh/deleteWhere/reoptimize that lands
+    * bumps it by exactly one under the commit lock, so N racing writers
+    * that all report success must leave commitSeq advanced by exactly N
+    * (a clobbered commit would advance it by less). 0 for a fresh lake.
+    * Unlike VERSION (which REBASES to 0 on rewrites), commitSeq never
+    * goes backwards. */
+  def commitSeq(spark: SparkSession, dir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(commitSeqPath(dir))
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), UTF_8).trim.toLong finally in.close()
+    }
+  }
+
+  /** Bump the commit counter; call ONLY while holding the commit lock. */
+  private def bumpCommitSeq(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = commitSeq(spark, dir) + 1L
+    val out = fs.create(new org.apache.hadoop.fs.Path(commitSeqPath(dir)), true)
+    try out.write(next.toString.getBytes(UTF_8)) finally out.close()
+  }
 
   /** Bloom positions per row for `c` under the portable-hash law: two
     * independent probes into [0, bloomBits). A value MAY be in a file
@@ -125,6 +201,7 @@ object LakeManifest {
       bloomBits: Int = BloomBits): Unit = {
     require(stats.nonEmpty, "at least one stat column")
     require(bloomBits >= 64 && bloomBits <= (1 << 24), "64..2^24 bloom bits")
+    withCommitLock(spark, dir) {
     val data = spark.read.parquet(dir)
     val aggs = statAggs(stats, bloom, bloomBits)
     val manifest = data
@@ -149,7 +226,9 @@ object LakeManifest {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
     manifest.write.mode("overwrite").parquet(historyPath(dir, 0))
     writeVersion(fs, dir, 0)
+    bumpCommitSeq(spark, dir)
     snapshots.clear(); bloomSnapshots.clear() // same-ms rewrite guard
+    }
   }
 
   private def writeVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String,
@@ -217,6 +296,10 @@ object LakeManifest {
       spark: SparkSession, dir: String,
       stats: Seq[(String, Column)], bloom: Seq[(String, Column)]): Int = {
     require(stats.nonEmpty, "at least one stat column")
+    withCommitLock(spark, dir) {
+    // everything below RECOMPUTES under the lock: a refresh that lost the
+    // race to a concurrent writer sees that writer's manifest and indexes
+    // only the files still missing — the retry IS the recompute
     val manifest = read(spark, dir)
     val expectedBloom = manifest.schema.fieldNames
       .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSet
@@ -244,24 +327,28 @@ object LakeManifest {
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
           !known(n)
       }
-    if (fresh.isEmpty) return 0
-    val aggs = statAggs(stats, bloom, bloomBitsOf(spark, dir))
-    val newRows = spark.read
-      .schema(DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
-      .parquet(fresh.map(_.toString).toIndexedSeq: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val merged = spark.createDataFrame(
-      new java.util.ArrayList[Row]((oldRows ++ newRows).toSeq.asJava),
-      manifest.schema)
-    merged.repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-    // append generation: archive the new file list as version N+1
-    val next = currentVersion(spark, dir) + 1
-    merged.repartition(1).write.mode("overwrite").parquet(historyPath(dir, next))
-    writeVersion(fs, dir, next)
-    snapshots.remove(dir); bloomSnapshots.remove(dir)
-    fresh.length
+    if (fresh.isEmpty) 0
+    else {
+      val aggs = statAggs(stats, bloom, bloomBitsOf(spark, dir))
+      val newRows = spark.read
+        .schema(DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
+        .parquet(fresh.map(_.toString).toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val merged = spark.createDataFrame(
+        new java.util.ArrayList[Row]((oldRows ++ newRows).toSeq.asJava),
+        manifest.schema)
+      merged.repartition(1).write.mode("overwrite").parquet(filesPath(dir))
+      // append generation: archive the new file list as version N+1
+      val next = currentVersion(spark, dir) + 1
+      merged.repartition(1).write.mode("overwrite").parquet(historyPath(dir, next))
+      writeVersion(fs, dir, next)
+      bumpCommitSeq(spark, dir)
+      snapshots.remove(dir); bloomSnapshots.remove(dir)
+      fresh.length
+    }
+    }
   }
 
   private def readSchemaJson(spark: SparkSession, dir: String): String = {
@@ -333,6 +420,143 @@ object LakeManifest {
     ZOrder.zOrderLayout(df, aCol, bCol, numFiles, bits)
       .write.mode("overwrite").parquet(dir)
     write(df.sparkSession, dir, Seq(aCol, bCol))
+  }
+
+  /**
+   * Concurrent-safe data append: stage `df` as parquet in a private
+   * temp dir under the manifest dir, then MOVE the part files into the
+   * lake. Spark's directory-append commit protocol shares one
+   * `_temporary` staging tree across jobs, so two plain
+   * `mode("append")` writers to the same dir race on the committer's
+   * tree (observed in the two-writer spec: `FileNotFoundException:
+   * _temporary/0` when one job's commit cleanup deletes the tree under
+   * the other). Staging gives each writer a PRIVATE commit tree;
+   * part-file names carry job UUIDs so the moves never collide, and a
+   * same-fs rename is cheap metadata. Takes no lock and does not touch
+   * the manifest — files land unindexed (invisible to pruned reads)
+   * until a [[refresh]] commits them, which is exactly the append
+   * atomicity story: rename-in, then index. Returns the file names
+   * added. A crash mid-append leaves only staged temp files (invisible:
+   * `_`-prefixed parent) or moved-but-unindexed files — both reclaimed
+   * by [[vacuum]], never double-counted by pruned reads.
+   */
+  def append(df: DataFrame, dir: String): Seq[String] = {
+    val spark = df.sparkSession
+    val stage = s"$dir/$ManifestDir/append-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+      .map { p =>
+        val dst = new org.apache.hadoop.fs.Path(dir, p.getName)
+        require(fs.rename(p, dst), s"stage move failed: $p -> $dst")
+        dst.getName
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    moved.toSeq
+  }
+
+  /**
+   * In-place, multi-writer-safe re-optimize (the Delta OPTIMIZE shape):
+   * compacts exactly the files the CURRENT manifest lists into
+   * `numFiles` z-ordered files, swaps the manifest, and only THEN
+   * deletes the compacted originals — all under the lake's commit lock.
+   * Unlike [[optimize]] (a bootstrap directory OVERWRITE that destroys
+   * anything it didn't read), a concurrent append's not-yet-indexed
+   * files are untouched on disk and the next [[refresh]] indexes them —
+   * zero lost files under any interleaving of appends and compactions.
+   *
+   * Staging: the layout writes to a temp dir under the manifest dir and
+   * the part files MOVE (same-fs rename) into the lake, so the set of
+   * new file names is known exactly — no listing race with concurrent
+   * appenders. A crash before the manifest swap leaves only staged temp
+   * files (invisible to data scans: `_`-prefixed parent); after it, only
+   * unreferenced originals ([[vacuum]] reclaims both).
+   *
+   * `expectedVersion` is the CAS guard (refuse if another writer
+   * committed since the caller planned); `stats`/`bloom` default to the
+   * manifest's existing dims re-derived as plain columns — pass
+   * expressions if the lake indexes DERIVED dims. Rebase semantics:
+   * like every rewrite, history resets to v0 = the post-compaction
+   * state. Returns (files compacted, files written).
+   */
+  def reoptimize(
+      spark: SparkSession, dir: String, aCol: String, bCol: String,
+      numFiles: Int, bits: Int = 21,
+      stats: Seq[(String, Column)] = Nil,
+      bloom: Seq[(String, Column)] = Nil,
+      expectedVersion: Option[Int] = None): (Int, Int) = withCommitLock(spark, dir) {
+    expectedVersion.foreach { e =>
+      val v = currentVersion(spark, dir)
+      if (v != e) throw new ManifestConflictException(
+        s"reoptimize expected lake version $e, found $v — retry against the new manifest")
+    }
+    val manifest = read(spark, dir)
+    val manifestSchema = manifest.schema
+    val statDims = manifestSchema.fieldNames
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+    val bloomDims = manifestSchema.fieldNames
+      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
+    val statSpec =
+      if (stats.nonEmpty) {
+        require(stats.map(_._1).toSet == statDims.toSet,
+          s"stat spec must match the manifest's stat dims: ${statDims.mkString(", ")}")
+        stats
+      } else statDims.map(d => d -> col(d))
+    val bloomSpec =
+      if (bloom.nonEmpty) {
+        require(bloom.map(_._1).toSet == bloomDims.toSet,
+          s"bloom spec must match the manifest's bloom dims: ${bloomDims.mkString(", ")}")
+        bloom
+      } else bloomDims.map(d => d -> col(d))
+    val oldFiles = manifest.select(col("file")).collect()
+      .map(_.getString(0)).sorted
+    if (oldFiles.isEmpty) (0, 0)
+    else {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dataSchema =
+        DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType]
+      val rows = spark.read.schema(dataSchema)
+        .parquet(oldFiles.toIndexedSeq: _*)
+      val stage = s"$dir/$ManifestDir/stage-${java.util.UUID.randomUUID()}"
+      ZOrder.zOrderLayout(rows, aCol, bCol, numFiles, bits)
+        .write.mode("overwrite").parquet(stage)
+      val moved = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName)
+        .map { p =>
+          val dst = new org.apache.hadoop.fs.Path(dir, p.getName)
+          require(fs.rename(p, dst), s"stage move failed: $p -> $dst")
+          dst.toString
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      // new manifest = ONLY the compacted files' entries, aligned to the
+      // existing manifest schema by name — unindexed appends stay out
+      // until their own refresh, exactly as before the compaction
+      val aggs = statAggs(statSpec, bloomSpec, bloomBitsOf(spark, dir))
+      val newRows = spark.read.schema(dataSchema)
+        .parquet(moved.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(manifestSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .collect()
+      spark.createDataFrame(
+          new java.util.ArrayList[Row](newRows.toSeq.asJava), manifestSchema)
+        .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
+      spark.read.parquet(filesPath(dir))
+        .write.mode("overwrite").parquet(historyPath(dir, 0))
+      writeVersion(fs, dir, 0)
+      bumpCommitSeq(spark, dir)
+      snapshots.clear(); bloomSnapshots.clear()
+      // manifest swapped: the originals are unreferenced — delete LAST
+      oldFiles.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      (oldFiles.length, moved.length)
+    }
   }
 
   /**
@@ -489,8 +713,18 @@ object LakeManifest {
   def deleteWhere(
       spark: SparkSession, dir: String, stats: Seq[(String, Column)],
       ranges: Map[String, (Long, Long)], predicate: Column,
-      bloom: Seq[(String, Column)] = Nil): (Long, Int) = {
+      bloom: Seq[(String, Column)] = Nil,
+      expectedVersion: Option[Int] = None): (Long, Int) = {
     require(stats.nonEmpty && ranges.nonEmpty, "stats and ranges required")
+    withCommitLock(spark, dir) {
+    // conditional rewrite (the CAS discipline): a writer that planned the
+    // delete against version E refuses to run if another writer committed
+    // first — candidate selection would be stale
+    expectedVersion.foreach { e =>
+      val v = currentVersion(spark, dir)
+      if (v != e) throw new ManifestConflictException(
+        s"deleteWhere expected lake version $e, found $v — retry against the new manifest")
+    }
     val manifestSchema = read(spark, dir).schema
     val bloomDims = manifestSchema.fieldNames
       .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
@@ -511,7 +745,8 @@ object LakeManifest {
         val (mn, mx) = st(name); mx >= lo && mn <= hi
       } => file
     }.sorted
-    if (cand.isEmpty) return (0L, 0)
+    if (cand.isEmpty) (0L, 0)
+    else {
     val oldRows = read(spark, dir).collect() // ≤ numFiles
     val knownNames = oldRows.map(r =>
       r.getString(r.fieldIndex("file")).split('/').last).toSet
@@ -567,10 +802,13 @@ object LakeManifest {
     spark.read.parquet(filesPath(dir))
       .write.mode("overwrite").parquet(historyPath(dir, 0))
     writeVersion(fs, dir, 0)
+    bumpCommitSeq(spark, dir)
     snapshots.clear(); bloomSnapshots.clear()
     // only now: drop the touched data files (crash here ⇒ orphans only)
     cand.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     (nDeleted, cand.length)
+    }
+    }
   }
 
   /**
