@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType, TimestampNTZType, TimestampType}
 
 import graft.core.Validation
 import graft.operators.{Bars, CalendarOps, Dedup, Multimodal, Similarity, Sliding, TextAnalysis, TimeJoins}
@@ -4703,6 +4703,44 @@ object SparkEntry {
             lit(6000L))).as("y"))
       graft.operators.GeoJoin.gridDensityClusters(pts, "id", "x", "y",
         cell = 4000L, minPts = 10L)
+    }),
+
+    // Q264 — LAKE schema evolution, mixed-generation row identity. gen0
+    // = even orders under the FOUNDING schema (o_custkey physically
+    // int32, no o_tier); the ALTER widens o_custkey → long and adds
+    // nullable o_tier (one sidecar write, zero data bytes moved); gen1
+    // = odd orders appended under the evolved schema with real tiers.
+    // The query reads the MIXED file set through the manifest and
+    // censuses by tier; the oracle recomputes the same split from the
+    // raw table — green proves the in-scan migration (null-fill +
+    // int32→int64 widening) is row-exact, not just schema-compatible.
+    "q264_schema_evolution" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val lake = java.nio.file.Files.createTempDirectory("q264_lake").toString
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"))
+        .coalesce(4).write.mode("overwrite").parquet(lake)
+      graft.sources.LakeManifest.write(s, lake,
+        Seq("o_orderkey" -> col("o_orderkey")))
+      val founding = graft.sources.LakeManifest.schemaAt(s, lake, Int.MaxValue)
+      graft.sources.LakeManifest.evolveSchema(s, lake, StructType(
+        founding.fields.map {
+          case f if f.name == "o_custkey" => f.copy(dataType = LongType)
+          case f => f
+        } :+ StructField("o_tier", LongType, nullable = true)))
+      graft.sources.LakeManifest.append(
+        orders.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderkey") % 7).as("o_tier")).coalesce(2), lake)
+      graft.sources.LakeManifest.refresh(s, lake,
+        Seq("o_orderkey" -> col("o_orderkey")))
+      graft.sources.LakeManifest.readPruned(s, lake,
+          Map("o_orderkey" -> (0L, Long.MaxValue)))
+        .groupBy(col("o_tier"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_custkey")).as("sum_cust"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(asc_nulls_first("o_tier"))
     }),
   )
 
@@ -9757,6 +9795,14 @@ object SparkEntry {
           |  CAST(min(min_dist) AS BIGINT) AS min_min_dist,
           |  CAST(sum(min_dist) AS BIGINT) AS sum_min_dist
           |FROM m GROUP BY 1 ORDER BY dist_bucket""".stripMargin,
+
+      // mixed-generation read == the raw-table split (evolution exactness)
+      "q264_schema_evolution" ->
+        """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 7 END AS o_tier,
+          |  CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+          |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+          |FROM orders GROUP BY 1 ORDER BY o_tier NULLS FIRST""".stripMargin,
 
       // the bloom-skipped read must equal the plain filter
       "q259_bloom_lookup" ->

@@ -202,7 +202,16 @@ object LakeManifest {
     require(stats.nonEmpty, "at least one stat column")
     require(bloomBits >= 64 && bloomBits <= (1 << 24), "64..2^24 bloom bits")
     withCommitLock(spark, dir) {
-    val data = spark.read.parquet(dir)
+    // a rebuild over an already-manifested lake reads under the sidecar
+    // schema, so a mixed-physical-schema file set (post-evolution) scans
+    // uniformly; a fresh lake infers
+    val fsPre = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data =
+      if (fsPre.exists(new org.apache.hadoop.fs.Path(schemaPath(dir))))
+        spark.read.schema(DataType.fromJson(readSchemaJson(spark, dir))
+          .asInstanceOf[StructType]).parquet(dir)
+      else spark.read.parquet(dir)
     val aggs = statAggs(stats, bloom, bloomBits)
     val manifest = data
       .groupBy(input_file_name().as("file"))
@@ -224,6 +233,7 @@ object LakeManifest {
     // (the Delta OPTIMIZE-then-VACUUM posture; time travel spans
     // APPEND generations, not rewrites)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(schemasDir(dir)), true) // rebase resets schema history too
     manifest.write.mode("overwrite").parquet(historyPath(dir, 0))
     writeVersion(fs, dir, 0)
     bumpCommitSeq(spark, dir)
@@ -250,6 +260,115 @@ object LakeManifest {
   def readAt(spark: SparkSession, dir: String, version: Int): DataFrame =
     spark.read.parquet(historyPath(dir, version))
 
+  // ---- schema evolution -----------------------------------------------
+
+  private def schemasDir(dir: String) = s"$dir/$ManifestDir/schemas"
+  private def schemaGenPath(dir: String, v: Int) =
+    s"$dir/$ManifestDir/schemas/from_v$v.json"
+
+  /** Legal widenings — exactly what the Spark 4 parquet reader migrates
+    * in-scan with no rewrite (probed: int32 file → LongType schema and
+    * float → DoubleType read clean; a new column reads as null). */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType |
+      org.apache.spark.sql.types.IntegerType |
+      org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType |
+      org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.FloatType,
+      org.apache.spark.sql.types.DoubleType) => true
+    case _ => false
+  }
+
+  /**
+   * Evolve the lake's schema (SCHEMA EVOLUTION, the Delta/Iceberg
+   * ALTER TABLE role): add nullable columns and/or widen types, WITHOUT
+   * touching a single data file — the new generation's reads migrate
+   * old files in-scan (missing column → null, narrower physical type →
+   * widened; both native to the Spark 4 parquet reader under an explicit
+   * read schema). Refused changes: dropping a column, narrowing a type,
+   * adding a NON-nullable column (old files cannot produce it).
+   *
+   * Versioned: the evolution commits as a new manifest generation (same
+   * file list, new schema), and `schemas/from_v{N}.json` records which
+   * generations read under which schema — [[timeTravel]] to an older
+   * version returns that version's rows under that version's schema,
+   * intact. Rewrites ([[write]]/[[optimize]]/[[deleteWhere]]/
+   * [[reoptimize]]) rebase schema history along with version history;
+   * files they rewrite are thereby migrated to the evolved schema
+   * physically, so a lake converges to the new schema at its normal
+   * maintenance cadence — never in a big-bang rewrite.
+   *
+   * Returns the new version. At 100 TB: an ALTER is one sidecar write +
+   * one ≤ numFiles manifest copy — zero data bytes moved.
+   */
+  def evolveSchema(
+      spark: SparkSession, dir: String, newSchema: StructType): Int =
+    withCommitLock(spark, dir) {
+      val current =
+        DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType]
+      current.fields.foreach { f =>
+        val evolved = newSchema.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema evolution cannot DROP column ${f.name}"))
+        require(widens(f.dataType, evolved.dataType),
+          s"cannot evolve ${f.name}: ${f.dataType.simpleString} -> " +
+            s"${evolved.dataType.simpleString} is not a widening")
+      }
+      newSchema.fields.filterNot(f => current.fieldNames.contains(f.name))
+        .foreach(f => require(f.nullable,
+          s"new column ${f.name} must be nullable (old files cannot produce it)"))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // first evolution: archive the founding schema as from_v0
+      if (!fs.exists(new org.apache.hadoop.fs.Path(schemasDir(dir)))) {
+        val o = fs.create(new org.apache.hadoop.fs.Path(schemaGenPath(dir, 0)), true)
+        try o.write(current.json.getBytes(UTF_8)) finally o.close()
+      }
+      // the evolution IS a generation: same file list, new schema
+      val next = currentVersion(spark, dir) + 1
+      read(spark, dir).repartition(1)
+        .write.mode("overwrite").parquet(historyPath(dir, next))
+      writeVersion(fs, dir, next)
+      val g = fs.create(new org.apache.hadoop.fs.Path(schemaGenPath(dir, next)), true)
+      try g.write(newSchema.json.getBytes(UTF_8)) finally g.close()
+      val s = fs.create(new org.apache.hadoop.fs.Path(schemaPath(dir)), true)
+      try s.write(newSchema.json.getBytes(UTF_8)) finally s.close()
+      bumpCommitSeq(spark, dir)
+      snapshots.clear(); bloomSnapshots.clear()
+      next
+    }
+
+  /** The schema generations ≥ their `from_v{K}` version read under; a
+    * lake that never evolved has no schemas dir and every version reads
+    * under the founding schema. */
+  def schemaAt(spark: SparkSession, dir: String, version: Int): StructType = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sd = new org.apache.hadoop.fs.Path(schemasDir(dir))
+    val current =
+      DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType]
+    if (!fs.exists(sd)) current
+    else {
+      val gens = fs.listStatus(sd).map(_.getPath.getName).collect {
+        case n if n.startsWith("from_v") && n.endsWith(".json") =>
+          n.stripPrefix("from_v").stripSuffix(".json").toInt
+      }.filter(_ <= version)
+      if (gens.isEmpty) current
+      else {
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          schemaGenPath(dir, gens.max)))
+        val json = try new String(in.readAllBytes(), UTF_8) finally in.close()
+        DataType.fromJson(json).asInstanceOf[StructType]
+      }
+    }
+  }
+
   /**
    * Time-travel read: the full data of the lake AS OF manifest
    * `version` — the file list that version recorded, addressed by
@@ -261,11 +380,13 @@ object LakeManifest {
   def timeTravel(spark: SparkSession, dir: String, version: Int): DataFrame = {
     val files = readAt(spark, dir, version)
       .select(col("file")).collect().map(_.getString(0)).sorted
+    // that version's rows under that version's SCHEMA (evolution-aware):
+    // an explicit read schema also makes mixed-physical-schema file sets
+    // read uniformly (missing column → null, narrow type → widened)
+    val schema = schemaAt(spark, dir, version)
     if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
-    else spark.read.parquet(files.toIndexedSeq: _*)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
   }
 
   /** Convenience overload: stat columns are plain data columns. */
@@ -397,7 +518,12 @@ object LakeManifest {
         dims.flatMap(d => Seq(col(s"min_$d").cast("long"), col(s"max_$d").cast("long")))
       val entries = m.select(cols: _*).collect().toSeq.map { r =>
         val ranges = dims.zipWithIndex.map { case (d, i) =>
-          d -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+          // null stats (a post-evolution column has no min/max for files
+          // written before it existed) = unknown = always a candidate —
+          // pruning stays SOUND, the row filter re-applies the predicate
+          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i))
+            d -> (Long.MinValue, Long.MaxValue)
+          else d -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
         }.toMap
         r.getString(0) -> ranges
       }
@@ -547,6 +673,7 @@ object LakeManifest {
           new java.util.ArrayList[Row](newRows.toSeq.asJava), manifestSchema)
         .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(schemasDir(dir)), true) // rebase resets schema history too
       spark.read.parquet(filesPath(dir))
         .write.mode("overwrite").parquet(historyPath(dir, 0))
       writeVersion(fs, dir, 0)
@@ -602,11 +729,15 @@ object LakeManifest {
       val dim = exprs.getOrElse(name, col(name))
       dim >= lit(lo) && dim <= lit(hi)
     }.reduce(_ && _)
+    // explicit schema: a version pin reads under that version's schema;
+    // latest reads under the current one — either way a mixed-schema
+    // file set (post-evolution) scans uniformly
+    val schema = schemaAt(spark, dir,
+      version.getOrElse(Int.MaxValue))
     if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
-    else spark.read.parquet(files.toIndexedSeq: _*).where(rowFilter)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      .where(rowFilter)
   }
 
   private final case class BloomSnapshot(
@@ -672,11 +803,11 @@ object LakeManifest {
     }.sorted
     val dim = expr.getOrElse(name, col(name))
     val rowFilter = dim.cast("string").isin(values: _*)
+    val schema = schemaAt(spark, dir, Int.MaxValue) // current, mixed-safe
     if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
-    else spark.read.parquet(files.toIndexedSeq: _*).where(rowFilter)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      .where(rowFilter)
   }
 
   /**
@@ -750,7 +881,11 @@ object LakeManifest {
     val oldRows = read(spark, dir).collect() // ≤ numFiles
     val knownNames = oldRows.map(r =>
       r.getString(r.fieldIndex("file")).split('/').last).toSet
-    val candDf = spark.read.parquet(cand.toIndexedSeq: _*)
+    // current-schema read: survivors REWRITE under the evolved schema
+    // (physical migration rides the delete, as it does the reoptimize)
+    val candDf = spark.read
+      .schema(DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
+      .parquet(cand.toIndexedSeq: _*)
     val hit = coalesce(predicate, lit(false))
     // one pass: survivors write out, the delete count rides as an
     // observed metric (no second scan of the touched files)
@@ -799,6 +934,7 @@ object LakeManifest {
       .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
     // rebase history (a delete is a rewrite)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(schemasDir(dir)), true) // rebase resets schema history too
     spark.read.parquet(filesPath(dir))
       .write.mode("overwrite").parquet(historyPath(dir, 0))
     writeVersion(fs, dir, 0)
