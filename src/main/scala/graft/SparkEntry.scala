@@ -79,7 +79,10 @@ object SparkEntry {
 
   // ---- declared queries ----
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ GraftSql.queries // q265-q274: the SQL-addressable surface
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1 — F1 validation filter + counts
     "q01_validation" -> ((s, dir) =>
       t(s, dir, "events")
@@ -4809,6 +4812,11 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base ++ GraftSql.aliasedOracles(base) // q265-q274 prove vs the ORIGINAL oracles
+  }
+
+  private def oracleSqlBase: Map[String, String] = {
     val missingDaysCte =
       """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
         |cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span),

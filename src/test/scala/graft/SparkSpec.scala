@@ -16,6 +16,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.activate(s) // SQL-addressable kernels (q265+ surface)
     s
   }
 }
