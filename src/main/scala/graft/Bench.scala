@@ -69,14 +69,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"tools/bench_${java.time.LocalDate.now()}_${System.currentTimeMillis() / 1000 % 86400}.json")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.length},"bench_out":"$out","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line to a file: the r6 driver artifact kept
     // only the tail of stdout and lost 75 of 135 per-query medians — a
     // committed file makes every bench reproducible from the repo.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"tools/bench_${java.time.LocalDate.now()}_${System.currentTimeMillis() / 1000 % 86400}.json")
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out).getParent)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
@@ -84,6 +84,11 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not persist JSON: ${e.getMessage}")
     }
+    // r7 driver capture kept only a TAIL of stdout (BENCH_r07.json parsed
+    // null, 60/263 queries): emit a final COMPACT summary line too, so a
+    // truncated capture from either end retains the totals and the path
+    // to the committed full JSON.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.length},"bench_out":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4933,9 +4933,12 @@ object SparkEntry {
         """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
           |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
           |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-          |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+          |p AS (SELECT id_a, id_b, ni, sa.n AS na, sb.n AS nb
+          |      FROM cand JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id)
           |SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
           |FROM p WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5
           |ORDER BY id_a, id_b""".stripMargin,
@@ -4951,9 +4954,13 @@ object SparkEntry {
       "q18_jaccard_within_source" ->
         """WITH s AS (SELECT doc_id, source,
           |        list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS sh FROM documents),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-          |      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+          |x AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |      FROM x a JOIN x b ON a.g = b.g AND a.source = b.source
+          |        AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+          |p AS (SELECT id_a, id_b, ni, sa.n AS na, sb.n AS nb
+          |      FROM cand JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id)
           |SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
           |FROM p WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.9
           |ORDER BY id_a, id_b""".stripMargin,
@@ -5117,9 +5124,13 @@ object SparkEntry {
           |         string_split_regex(trim(lower(text)), '\s+')[i+2] || ' ' ||
           |         string_split_regex(trim(lower(text)), '\s+')[i+3])) AS s
           |  FROM ex),
-          |drops AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+          |shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          |shn AS (SELECT doc_id, len(s) AS n FROM sh),
+          |shc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |drops AS (SELECT DISTINCT id_b AS doc_id FROM shc
+          |  JOIN shn na ON shc.id_a = na.doc_id JOIN shn nb ON shc.id_b = nb.doc_id
+          |  WHERE CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE) >= 0.5),
           |kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM drops))
           |SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_words
           |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
@@ -5191,9 +5202,12 @@ object SparkEntry {
         """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
           |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
           |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-          |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+          |p AS (SELECT id_a, id_b, ni, sa.n AS na, sb.n AS nb
+          |      FROM cand JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id),
           |pr AS (SELECT id_a, id_b FROM p
           |       WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
           |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
@@ -6126,9 +6140,12 @@ object SparkEntry {
         """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
           |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
           |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-          |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+          |p AS (SELECT id_a, id_b, ni, sa.n AS na, sb.n AS nb
+          |      FROM cand JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id)
           |SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
           |FROM p WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5
           |ORDER BY id_a, id_b""".stripMargin,
@@ -7232,9 +7249,12 @@ object SparkEntry {
         """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
           |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
           |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-          |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+          |p AS (SELECT id_a, id_b, ni, sa.n AS na, sb.n AS nb
+          |      FROM cand JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id),
           |pr AS (SELECT id_a, id_b FROM p
           |       WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
           |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
@@ -7502,9 +7522,12 @@ object SparkEntry {
         """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
           |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
           |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-          |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+          |p AS (SELECT id_a, id_b, ni, sa.n AS na, sb.n AS nb
+          |      FROM cand JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id),
           |pr AS (SELECT id_a, id_b FROM p
           |       WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
           |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
@@ -8602,9 +8625,12 @@ object SparkEntry {
         """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
           |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
           |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-          |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+          |p AS (SELECT id_a, id_b, ni, sa.n AS na, sb.n AS nb
+          |      FROM cand JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id),
           |pr AS (SELECT id_a, id_b FROM p
           |       WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
           |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
@@ -9418,9 +9444,12 @@ object SparkEntry {
         """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
           |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
           |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-          |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+          |p AS (SELECT id_a, id_b, ni, sa.n AS na, sb.n AS nb
+          |      FROM cand JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id),
           |pr AS (SELECT id_a, id_b FROM p
           |       WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
           |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),

@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sf≈1 corpus generator (the r7 judge's task 5): no driver
+ * sf1 fixtures exist, so this emits a 10× scale-up of the sf0.1 tables
+ * the 15 heaviest queries read (documents/embeddings/events/orders/
+ * lineitem), schema-identical and hash-deterministic — every column is a
+ * pure function of the row id via Spark's Murmur3 `hash` (seed-stable,
+ * no RNG state), so the corpus replays bit-identically on any run and
+ * any parallelism. The small dims (region/nation/customer/supplier/
+ * part) pass through from sf0.1 so the DuckDB compare harness finds
+ * every view it expects.
+ *
+ * Distribution law (matched to the sf0.1 fixtures, measured in-repo):
+ *  - documents: vocab-40 word chains, 10–99 words; 2% of docs are
+ *    PLANTED near-dups (doc_id % 50 == 1 regenerates doc_id−1's chain
+ *    with a 1-in-20 word mutation → shingle Jaccard ≈ 0.7–0.9, above
+ *    the 0.5 family threshold) — gives the dedup/containment family a
+ *    real positive class at 50k docs.
+ *  - events: 1M rows over the same 30-day window, 5 event types,
+ *    15k users, value ∈ [0, 560).
+ *  - orders/lineitem: 1.5M/6M rows, key domains 10× sf0.1 (custkey
+ *    150k, partkey 200k, suppkey 10k) — the co-occurrence graph the
+ *    q142/q217/q247 censuses read grows the same way.
+ *  - embeddings: 20k × 64 floats in [-0.2, 0.2], 10 labels.
+ *
+ * Usage: runMain graft.tools.GenSf1 <outDir> [mult]   (default 10)
+ */
+object GenSf1 {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/sf1"
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the driver fixtures are single parquet FILES (DuckDB reads them by
+    // exact path), so each table writes via one-file staging + rename
+    def writeSingle(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stageDir = s"$out/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stageDir))
+        .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+        .head.getPath
+      val dst = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
+      fs.delete(dst, false)
+      require(fs.rename(part, dst), s"rename failed for $name")
+      fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+    }
+
+    val vocab = Seq("batch", "part", "spark", "line", "column", "order",
+      "small", "sort", "fast", "value", "scan", "a", "hash", "slow",
+      "group", "agg", "filter", "query", "big", "key", "window", "row",
+      "table", "stream", "merge", "data", "join", "shuffle", "cache",
+      "plan", "stage", "task", "codec", "page", "block", "index", "range",
+      "limit", "skew", "broadcast")
+    val V = vocab.size
+    val vocabArr = array(vocab.map(lit): _*)
+
+    // documents: word chain seeded by the BASE doc id (near-dups share
+    // the chain), 5% per-position mutation for the planted twin
+    val nDocs = 5000L * mult
+    val docs = spark.range(nDocs)
+      .withColumn("is_dup", col("id") % 50 === 1)
+      .withColumn("base",
+        when(col("is_dup"), col("id") - 1).otherwise(col("id")))
+      .withColumn("n_words",
+        (lit(10L) + pmod(hash(lit("nw"), col("base")), lit(90L))).cast("int"))
+      .withColumn("words", transform(sequence(lit(1), col("n_words")),
+        i => when(col("is_dup") &&
+            pmod(hash(lit("mut"), col("id"), i), lit(20)) === 0,
+          element_at(vocabArr,
+            (pmod(hash(lit("alt"), col("id"), i), lit(V)) + 1).cast("int")))
+          .otherwise(element_at(vocabArr,
+            (pmod(hash(lit("w"), col("base"), i), lit(V)) + 1).cast("int")))))
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(" ", col("words")).as("text"),
+        element_at(array(lit("en"), lit("en"), lit("de"), lit("es"),
+          lit("fr"), lit("zh")),
+          (pmod(hash(lit("lang"), col("base")), lit(6)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(hash(lit("src"), col("base")), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+    writeSingle(docs, "documents")
+
+    // embeddings: 64-dim floats in [-0.2, 0.2]
+    val nVec = 2000L * mult
+    val embeddings = spark.range(nVec).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), d =>
+          ((pmod(hash(lit("e"), col("id"), d), lit(2001L)) - 1000L)
+            .cast("double") / 5000.0).cast("float")).as("embedding"),
+        pmod(hash(lit("lb"), col("id")), lit(10)).cast("int").as("label"))
+    writeSingle(embeddings, "embeddings")
+
+    // events: 30-day window, µs timestamps
+    val nEv = 100000L * mult
+    val t0us = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+    val events = spark.range(nEv).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(t0us) +
+          pmod(hash(lit("ts"), col("id")).cast("long") * 2654435761L,
+            lit(30L * 86400L * 1000000L))).cast("timestamp_ntz").as("ts"),
+        pmod(hash(lit("u"), col("id")), lit(1500L * mult)).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("purchase"),
+          lit("signup"), lit("error")),
+          (pmod(hash(lit("et"), col("id")), lit(5)) + 1).cast("int")).as("event_type"),
+        (pmod(hash(lit("v"), col("id")), lit(56000L)).cast("double") / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(hash(lit("p"), col("id")), lit(100)),
+          lit("}")).as("props"))
+    writeSingle(events, "events")
+
+    // orders + lineitem: 10x key domains, same shapes
+    val nOrders = 150000L * mult
+    val orders = spark.range(nOrders).select(
+        col("id").as("o_orderkey"),
+        pmod(hash(lit("c"), col("id")), lit(15000L * mult)).as("o_custkey"),
+        element_at(array(lit("O"), lit("F"), lit("P")),
+          (pmod(hash(lit("st"), col("id")), lit(3)) + 1).cast("int")).as("o_orderstatus"),
+        (lit(1000.0) + pmod(hash(lit("tp"), col("id")), lit(49900000L))
+          .cast("double") / 100.0).as("o_totalprice"),
+        timestamp_micros(lit(788918400000000L) + // 1995-01-01
+          pmod(hash(lit("od"), col("id")), lit(2404L)) * 86400000000L).cast("timestamp_ntz")
+          .as("o_orderdate"),
+        element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+          lit("4-NOT SPECIFIED"), lit("5-LOW")),
+          (pmod(hash(lit("pr"), col("id")), lit(5)) + 1).cast("int")).as("o_orderpriority"))
+    writeSingle(orders, "orders")
+
+    val nLi = 600000L * mult
+    val lineitem = spark.range(nLi).select(
+        pmod(hash(lit("lo"), col("id")), lit(nOrders)).as("l_orderkey"),
+        pmod(hash(lit("lp"), col("id")), lit(20000L * mult)).as("l_partkey"),
+        pmod(hash(lit("ls"), col("id")), lit(1000L * mult)).as("l_suppkey"),
+        (pmod(hash(lit("ln"), col("id")), lit(7)) + 1).cast("int").as("l_linenumber"),
+        (pmod(hash(lit("lq"), col("id")), lit(50L)) + 1L).cast("double").as("l_quantity"),
+        (lit(900.0) + pmod(hash(lit("le"), col("id")), lit(10400000L))
+          .cast("double") / 100.0).as("l_extendedprice"),
+        (pmod(hash(lit("ld"), col("id")), lit(11L)).cast("double") / 100.0).as("l_discount"),
+        (pmod(hash(lit("lt"), col("id")), lit(9L)).cast("double") / 100.0).as("l_tax"))
+    writeSingle(lineitem, "lineitem")
+
+    // small dims pass through so the compare harness finds every view
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      writeSingle(spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet"), t)
+    }
+
+    println(s"[gen-sf1] wrote ${nDocs} docs, ${nVec} vecs, ${nEv} events, " +
+      s"${nOrders} orders, ${nLi} lineitems -> $out")
+    spark.stop()
+  }
+}

@@ -150,9 +150,11 @@ def main(sf_dir, out_dir, only=()):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     passed, failed = [], []
+    import time
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        t_start = time.time()
         # Spark result FIRST: a missing dump must not pay for its oracle —
         # some sf0.1 oracles run for an hour, and a partial Verify dump
         # used to trigger every one of them just to print MISSING.
@@ -181,12 +183,13 @@ def main(sf_dir, out_dir, only=()):
         spark = stringify_decimals(spark, decimal_cols_arrow(spark_schema))
         duck = stringify_decimals(duck, dec_duck)
         d = diff(name, canon(spark), canon(duck))
+        dt = time.time() - t_start
         if d:
             failed.append((name, d))
-            print(f"FAIL {name} (live): {d}", flush=True)
+            print(f"FAIL {name} (live, {dt:.1f}s): {d}", flush=True)
         else:
             passed.append((name, len(spark)))
-            print(f"pass {name} (live)", flush=True)
+            print(f"pass {name} (live, {dt:.1f}s)", flush=True)
     for n, rows in passed:
         print(f"PASS {n} ({rows} rows)")
     for n, d in failed:
