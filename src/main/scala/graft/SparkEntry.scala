@@ -4745,6 +4745,60 @@ object SparkEntry {
           max(col("o_orderkey")).as("max_key"))
         .orderBy(asc_nulls_first("o_tier"))
     }),
+
+    // Q275 — LAKE maintenance end-to-end under the oracle gate: build a
+    // z-ordered manifested lake from even-key lineitem, stage-APPEND the
+    // odd-key half + refresh, REOPTIMIZE in place (Delta-OPTIMIZE shape:
+    // only manifest-listed files rewritten, staged rename-in, originals
+    // deleted last), then GDPR-DELETE one supplier band — and prove the
+    // surviving rows are EXACTLY the raw table minus the predicate. The
+    // specs prove each op's invariants; this proves the COMPOSITION's
+    // row identity against an engine that never saw the lake.
+    "q275_lake_maintenance" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      val lake = java.nio.file.Files.createTempDirectory("q275_lake").toString
+      val dims = Seq("l_partkey" -> col("l_partkey"),
+        "l_suppkey" -> col("l_suppkey"))
+      graft.sources.LakeManifest.optimize(
+        li.where(col("l_orderkey") % 2 === 0), lake,
+        "l_partkey", "l_suppkey", numFiles = 16, bits = 21)
+      graft.sources.LakeManifest.append(
+        li.where(col("l_orderkey") % 2 === 1).coalesce(4), lake)
+      graft.sources.LakeManifest.refresh(s, lake, dims)
+      graft.sources.LakeManifest.reoptimize(s, lake,
+        "l_partkey", "l_suppkey", numFiles = 16, bits = 21)
+      graft.sources.LakeManifest.deleteWhere(s, lake, dims,
+        Map("l_suppkey" -> (7L, 7L)), col("l_suppkey") === 7L)
+      graft.sources.LakeManifest.readPruned(s, lake,
+          Map("l_partkey" -> (0L, Long.MaxValue)))
+        .groupBy((col("l_partkey") % 50).as("part_band"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+            .as("sum_qty"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+        .orderBy(col("part_band"))
+    }),
+
+    // Q276 — SHARD1 rebalance audit: the migration bill of growing 32 →
+    // 48 shards, mod-placement vs rendezvous (HRW) hashing on the same
+    // key set. HRW must move ≈ (48−32)/48 = 1/3 of keys (the stateless
+    // minimum); mod moves nearly everything — the census PRICES the
+    // naive layout's reshard. One explode ×48, one key shuffle.
+    "q276_reshard_census" -> ((s, dir) =>
+      graft.operators.Sharding.hrwReshardCensus(
+        t(s, dir, "events"), "user_id", nOld = 32, nNew = 48)),
+
+    // Q277 — DRIFT7 Benford first-digit census over order totals: the
+    // one-window forensic lens (synthetic uniform prices SHOULD flunk
+    // the log law loudly — dev_ppm is the diagnostic). Cents via the
+    // DECIMAL(18,2)·100 recipe; the ⌊log₁₀(1+1/d)·10⁶⌋ table is pinned
+    // in BOTH engines, so no runtime log anywhere.
+    "q277_benford_census" -> ((s, dir) =>
+      graft.operators.Drift.benfordCensus(t(s, dir, "orders"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .orderBy(col("digit"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -6292,9 +6346,11 @@ object SparkEntry {
         """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
           |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
           |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na
-          |      FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+          |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+          |p AS (SELECT id_a, id_b, ni, len(sa.sh) AS na
+          |      FROM cand JOIN s sa ON id_a = sa.doc_id)
           |SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(na AS DOUBLE) AS containment
           |FROM p WHERE CAST(ni AS DOUBLE) / CAST(na AS DOUBLE) >= 0.6
           |ORDER BY id_a, id_b""".stripMargin,
@@ -6305,9 +6361,13 @@ object SparkEntry {
           |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
           |bench AS (SELECT doc_id, sh FROM s WHERE source = 'src0' AND len(sh) > 0),
           |corp AS (SELECT doc_id, source, sh FROM s WHERE source <> 'src0' AND len(sh) > 0),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(a.sh) AS DOUBLE) AS c
-          |      FROM bench a JOIN corp b ON true),
+          |bx AS (SELECT doc_id, unnest(sh) AS g FROM bench),
+          |cx AS (SELECT doc_id, unnest(sh) AS g FROM corp),
+          |cnt AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          |      FROM bx a JOIN cx b ON a.g = b.g GROUP BY 1, 2),
+          |p AS (SELECT cnt.id_a, cnt.id_b,
+          |        CAST(ni AS DOUBLE) / CAST(len(a.sh) AS DOUBLE) AS c
+          |      FROM cnt JOIN bench a ON cnt.id_a = a.doc_id),
           |hits AS (SELECT id_b, count(*) AS n_bench_hits, max(c) AS max_cont
           |      FROM p WHERE c >= 0.5 GROUP BY id_b)
           |SELECT d.source, count(*) AS n_docs,
@@ -6729,9 +6789,13 @@ object SparkEntry {
         """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
           |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
           |        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
-          |p AS (SELECT n.doc_id AS new_id, c.doc_id AS matched_id,
-          |        len(list_intersect(n.sh, c.sh)) AS ni, len(n.sh) AS na, len(c.sh) AS nb
-          |      FROM s n JOIN s c ON n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0),
+          |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |cnt AS (SELECT n.doc_id AS new_id, c.doc_id AS matched_id, count(*) AS ni
+          |      FROM x n JOIN x c ON n.g = c.g
+          |        AND n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0 GROUP BY 1, 2),
+          |p AS (SELECT new_id, matched_id, ni, len(sn.sh) AS na, len(sc.sh) AS nb
+          |      FROM cnt JOIN s sn ON new_id = sn.doc_id
+          |                JOIN s sc ON matched_id = sc.doc_id),
           |j AS (SELECT new_id, matched_id,
           |        CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard FROM p
           |      WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5),
@@ -7769,12 +7833,14 @@ object SparkEntry {
         """WITH p AS (SELECT event_id AS id,
           |    ('0x'||substr(md5('gx:'||CAST(event_id AS VARCHAR)),1,15))::BIGINT % 1000000 AS x,
           |    ('0x'||substr(md5('gy:'||CAST(event_id AS VARCHAR)),1,15))::BIGINT % 1000000 AS y
-          |  FROM events)
+          |  FROM events),
+          |c AS (SELECT id, x, y, x // 2000 AS cx, y // 2000 AS cy FROM p),
+          |n AS (SELECT id, x, y, cx + dx AS cx, cy + dy AS cy FROM c
+          |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) t1
+          |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) t2)
           |SELECT a.id AS a_id, b.id AS b_id,
           |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS d2
-          |FROM p a JOIN p b ON a.id < b.id
-          |  AND a.x BETWEEN b.x - 2000 AND b.x + 2000
-          |  AND a.y BETWEEN b.y - 2000 AND b.y + 2000
+          |FROM c a JOIN n b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
           |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000
           |ORDER BY a_id, b_id""".stripMargin,
 
@@ -9832,6 +9898,48 @@ object SparkEntry {
           |  CAST(min(min_dist) AS BIGINT) AS min_min_dist,
           |  CAST(sum(min_dist) AS BIGINT) AS sum_min_dist
           |FROM m GROUP BY 1 ORDER BY dist_bucket""".stripMargin,
+
+      // mod vs HRW reshard: identical hash law, identical tie law
+      "q276_reshard_census" ->
+        """WITH keys AS (SELECT DISTINCT user_id AS k FROM events),
+          |sh AS (SELECT k, s,
+          |    ('0x' || substr(md5('hrw:' || k || ':' || s), 1, 15))::BIGINT AS h
+          |  FROM keys CROSS JOIN (SELECT unnest(range(48)) AS s) t),
+          |nw AS (SELECT k, s AS new_hrw FROM (SELECT k, s,
+          |    row_number() OVER (PARTITION BY k ORDER BY h DESC, s) AS rn
+          |  FROM sh) WHERE rn = 1),
+          |od AS (SELECT k, s AS old_hrw FROM (SELECT k, s,
+          |    row_number() OVER (PARTITION BY k ORDER BY h DESC, s) AS rn
+          |  FROM sh WHERE s < 32) WHERE rn = 1),
+          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |    CAST(sum(CASE WHEN k % 32 <> k % 48 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_mod,
+          |    CAST(sum(CASE WHEN old_hrw <> new_hrw THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_hrw
+          |  FROM keys JOIN od USING (k) JOIN nw USING (k))
+          |SELECT n_keys, n_moved_mod, n_moved_hrw,
+          |  n_moved_mod * 1000000 // n_keys AS moved_mod_ppm,
+          |  n_moved_hrw * 1000000 // n_keys AS moved_hrw_ppm
+          |FROM a""".stripMargin,
+
+      // pinned ⌊log10(1+1/d)·1e6⌋ table — no engine evaluates a log
+      "q277_benford_census" ->
+        """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS a FROM orders),
+          |d AS (SELECT CAST(substr(CAST(a AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c WHERE a > 0),
+          |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+          |b AS (SELECT CAST(digit AS BIGINT) AS digit, CAST(benford_ppm AS BIGINT) AS benford_ppm
+          |  FROM (VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+          |    (6, 66946), (7, 57991), (8, 51152), (9, 45757)) AS t(digit, benford_ppm)),
+          |tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+          |SELECT g.digit, g.n, g.n * 1000000 // tt.total AS share_ppm,
+          |  b.benford_ppm, g.n * 1000000 // tt.total - b.benford_ppm AS dev_ppm
+          |FROM g JOIN b USING (digit), tt ORDER BY digit""".stripMargin,
+
+      // the full maintenance composition == the raw table minus the delete
+      "q275_lake_maintenance" ->
+        """SELECT l_partkey % 50 AS part_band, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+          |FROM lineitem WHERE l_suppkey <> 7
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // mixed-generation read == the raw-table split (evolution exactness)
       "q264_schema_evolution" ->

@@ -484,4 +484,46 @@ object Drift {
         coalesce(col("w.d_i"), lit(0).cast("decimal(38,0)"))
           .cast("decimal(38,0)").cast("string").as("d_stat"))
   }
+
+  /**
+   * Benford first-digit census (DRIFT7) — the fraud/generation-artifact
+   * lens completing the drift shelf: TV/W1/χ²/KS compare two WINDOWS of
+   * the same column; Benford compares ONE window against the scale-
+   * invariance law P(d) = log₁₀(1 + 1/d) that organically-grown
+   * magnitude data obeys and fabricated or uniformly-generated data
+   * does not (Nigrini's forensic-accounting test). A synthetic uniform
+   * price column SHOULD flunk it loudly — the census is the diagnostic,
+   * not a gate.
+   *
+   * Exact law: digit = first character of the integer `amounts` value
+   * (caller supplies exact integer units, e.g. cents via the
+   * DECIMAL(18,2)·100 recipe; non-positive rows drop — Benford is
+   * defined on positive magnitudes); expected ppm per digit is the
+   * PINNED table ⌊log₁₀(1+1/d)·10⁶⌋ (301029 … 45757), shared verbatim
+   * with the oracle so no engine evaluates a log; share_ppm is a
+   * truncating DIV; dev_ppm = share − expected (signed).
+   *
+   * Scale posture: one map-side-combinable census to ≤ 9 rows; the
+   * broadcast of a 9-row constant table; window totals over those 9
+   * rows. Nothing after the first aggregate sees corpus rows.
+   */
+  def benfordCensus(df: DataFrame, amount: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df.select(amount.cast("long").as("a"))
+      .where(col("a") > 0L)
+      .select(substring(col("a").cast("string"), 1, 1).cast("long").as("digit"))
+    val benford = Seq(1L -> 301029L, 2L -> 176091L, 3L -> 124938L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66946L, 7L -> 57991L,
+      8L -> 51152L, 9L -> 45757L).toDF("digit", "benford_ppm")
+    val all = Window.orderBy(col("digit"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .join(broadcast(benford), "digit")
+      .withColumn("total", sum(col("n")).over(all))
+      .withColumn("share_ppm", expr("n * 1000000 DIV total"))
+      .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
+      .select(col("digit"), col("n"), col("share_ppm"),
+        col("benford_ppm"), col("dev_ppm"))
+  }
 }

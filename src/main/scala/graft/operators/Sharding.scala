@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.portableHash
+
+/**
+ * Shard-rebalance audit (SHARD1) — "what fraction of keys MOVE when the
+ * shard count changes?", the question every 100 TB reshard starts with.
+ * Two placement laws compared on the same key set:
+ *
+ *  - **mod sharding** (`key % n`): moves ~(1 − 1/lcm-ish) of ALL keys on
+ *    any resize — the naive layout's hidden migration bill;
+ *  - **HRW / rendezvous hashing** (Thaler & Ravishankar 1998): shard =
+ *    argmax over shards s of h(key, s). Growing n_old → n_new moves a
+ *    key IFF one of the NEW shards wins its argmax, so the expected
+ *    moved fraction is exactly (n_new − n_old)/n_new — the provable
+ *    minimum for a stateless placement.
+ *
+ * Exact law: h = portableHash("hrw:" + key + ":" + s) (the cross-engine
+ * 60-bit law), argmax ties break to the smallest shard id (h DESC, s
+ * ASC — deterministic on both engines). Output one row: n_keys,
+ * n_moved_mod, n_moved_hrw, and each as ppm (truncating DIV; counts are
+ * non-negative so Spark DIV == DuckDB //).
+ *
+ * Scale posture: keys explode ×n_new (the shard count, a constant ≤ a
+ * few hundred), ONE shuffle on the key for the per-key argmax windows,
+ * then a map-side-combinable global census — no corpus self-join, no
+ * driver state. At 10⁹ keys × 48 shards this is a 5·10¹⁰-row scan-
+ * shaped job, embarrassingly parallel.
+ */
+object Sharding {
+
+  def hrwReshardCensus(
+      keys: DataFrame, keyCol: String, nOld: Int, nNew: Int): DataFrame = {
+    require(nOld >= 1 && nNew > nOld, "grow-only census: 1 <= nOld < nNew")
+    val k = keys.select(col(keyCol).cast("long").as("k")).distinct()
+    val sh = k.withColumn("s", explode(sequence(lit(0), lit(nNew - 1))))
+      .withColumn("h", portableHash(concat(
+        lit("hrw:"), col("k").cast("string"), lit(":"), col("s").cast("string"))))
+    val wNew = Window.partitionBy(col("k"))
+      .orderBy(col("h").desc, col("s").asc)
+    // one explode serves both argmaxes: the old placement is the argmax
+    // restricted to s < nOld of the SAME hashes
+    val wOld = Window.partitionBy(col("k"))
+      .orderBy(when(col("s") < nOld, col("h")).desc, col("s").asc)
+    val placed = sh
+      .withColumn("rn_new", row_number().over(wNew))
+      .withColumn("rn_old", row_number().over(wOld))
+      .groupBy(col("k"))
+      .agg(
+        max(when(col("rn_new") === 1, col("s"))).as("new_hrw"),
+        max(when(col("rn_old") === 1, col("s"))).as("old_hrw"))
+    placed
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(pmod(col("k"), lit(nOld.toLong)) =!=
+          pmod(col("k"), lit(nNew.toLong)), 1L).otherwise(0L)).as("n_moved_mod"),
+        sum(when(col("old_hrw") =!= col("new_hrw"), 1L).otherwise(0L))
+          .as("n_moved_hrw"))
+      .withColumn("moved_mod_ppm", expr("n_moved_mod * 1000000 DIV n_keys"))
+      .withColumn("moved_hrw_ppm", expr("n_moved_hrw * 1000000 DIV n_keys"))
+  }
+}

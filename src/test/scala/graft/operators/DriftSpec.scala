@@ -380,4 +380,35 @@ class DriftSpec extends SparkSpec {
     assert(a._2 == 17L && b._2 == a._2 && b._3 == a._3)
     assert(BigInt(b._6) == BigInt(a._6) * 7)
   }
+
+  test("benford: digit census exact, ppm table pinned, devs sum near zero") {
+    import org.apache.spark.sql.functions._
+    // hand corpus: amounts with known first digits
+    // 1x: 1, 19, 150 -> digit 1 x3; 2 x2 (25, 2999); 9 x1 (9)
+    val df = Seq(1L, 19L, 150L, 25L, 2999L, 9L, 0L, -4L).toDF("a")
+    val r = Drift.benfordCensus(df, col("a")).orderBy("digit").collect()
+    // non-positive rows drop: 6 rows total
+    assert(r.map(_.getAs[Long]("n")).sum == 6L)
+    val byDigit = r.map(x => x.getAs[Long]("digit") -> x).toMap
+    assert(byDigit(1L).getAs[Long]("n") == 3L)
+    assert(byDigit(2L).getAs[Long]("n") == 2L)
+    assert(byDigit(9L).getAs[Long]("n") == 1L)
+    // share: 3/6 -> 500000 ppm; dev vs pinned 301029
+    assert(byDigit(1L).getAs[Long]("share_ppm") == 500000L)
+    assert(byDigit(1L).getAs[Long]("benford_ppm") == 301029L)
+    assert(byDigit(1L).getAs[Long]("dev_ppm") == 198971L)
+    // a Benford-perfect histogram (counts = pinned ppm) has dev 0 per digit
+    val perfect = (1L to 9L).flatMap { d =>
+      val ppm = Map(1 -> 301029, 2 -> 176091, 3 -> 124938, 4 -> 96910,
+        5 -> 79181, 6 -> 66946, 7 -> 57991, 8 -> 51152, 9 -> 45757)(d.toInt)
+      Seq.fill(ppm / 1000)(d * 100L) // scale down x1000, first digit = d
+    }.toDF("a")
+    val p = Drift.benfordCensus(perfect, col("a")).collect()
+    // total is 999998/1000 ~ 999; truncating shares land within 2 ppt of
+    // the table (the truncation residue), never beyond
+    p.foreach { x =>
+      assert(math.abs(x.getAs[Long]("dev_ppm")) <= 2000L,
+        s"digit ${x.getAs[Long]("digit")} dev ${x.getAs[Long]("dev_ppm")}")
+    }
+  }
 }
