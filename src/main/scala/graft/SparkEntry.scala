@@ -4790,6 +4790,35 @@ object SparkEntry {
       graft.operators.Sharding.hrwReshardCensus(
         t(s, dir, "events"), "user_id", nOld = 32, nNew = 48)),
 
+    // Q278 — LAKE CDC upsert (the MERGE INTO role): replace-by-key at
+    // file-touch cost. The update batch replaces EVERY row of suppkeys
+    // 3 and 7 with its own rows (the %10 slice, quantities +100); the
+    // key band prunes the touched-file set through the manifest. The
+    // oracle recomputes the merge from the raw table — green proves the
+    // manifest-routed upsert is row-exact, not just count-exact.
+    "q278_lake_upsert" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      val lake = java.nio.file.Files.createTempDirectory("q278_lake").toString
+      graft.sources.LakeManifest.optimize(
+        li, lake, "l_suppkey", "l_partkey", numFiles = 16, bits = 21)
+      val updates = li
+        .where(col("l_suppkey").isin(3L, 7L) && col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_quantity") + 100.0).as("l_quantity"))
+      graft.sources.LakeManifest.upsert(s, lake,
+        Seq("l_suppkey" -> col("l_suppkey"), "l_partkey" -> col("l_partkey")),
+        "l_suppkey", updates)
+      graft.sources.LakeManifest.readPruned(s, lake,
+          Map("l_suppkey" -> (0L, Long.MaxValue)))
+        .groupBy((col("l_suppkey") % 25).as("supp_band"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("supp_band"))
+    }),
+
     // Q277 — DRIFT7 Benford first-digit census over order totals: the
     // one-window forensic lens (synthetic uniform prices SHOULD flunk
     // the log law loudly — dev_ppm is the diagnostic). Cents via the
@@ -9898,6 +9927,18 @@ object SparkEntry {
           |  CAST(min(min_dist) AS BIGINT) AS min_min_dist,
           |  CAST(sum(min_dist) AS BIGINT) AS sum_min_dist
           |FROM m GROUP BY 1 ORDER BY dist_bucket""".stripMargin,
+
+      // the merge recomputed raw: base minus replaced keys plus updates
+      "q278_lake_upsert" ->
+        """WITH up AS (SELECT l_orderkey, l_partkey, l_suppkey,
+          |    l_quantity + 100 AS l_quantity
+          |  FROM lineitem WHERE l_suppkey IN (3, 7) AND l_orderkey % 10 = 0),
+          |base AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+          |  FROM lineitem WHERE l_suppkey NOT IN (3, 7)),
+          |allr AS (SELECT * FROM base UNION ALL SELECT * FROM up)
+          |SELECT l_suppkey % 25 AS supp_band, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // mod vs HRW reshard: identical hash law, identical tie law
       "q276_reshard_census" ->

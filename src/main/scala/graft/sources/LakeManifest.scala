@@ -581,6 +581,10 @@ object LakeManifest {
         dst.getName
       }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // files arrived by RENAME, not a Spark write: Spark's shared
+    // FileStatusCache never saw a commit to `dir`, so top-level
+    // directory reads would serve a stale listing — invalidate it
+    spark.catalog.refreshByPath(dir)
     moved.toSeq
   }
 
@@ -682,6 +686,7 @@ object LakeManifest {
       // manifest swapped: the originals are unreferenced — delete LAST
       oldFiles.foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      spark.catalog.refreshByPath(dir) // renames+deletes bypass the FileStatusCache
       (oldFiles.length, moved.length)
     }
   }
@@ -809,6 +814,128 @@ object LakeManifest {
     else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
       .where(rowFilter)
   }
+
+  /**
+   * Key-replacement upsert (the CDC MERGE INTO role), at FILE-TOUCH
+   * cost: every existing row whose `keyDim` value appears in `updates`
+   * is REPLACED by the update rows for that key; update rows whose key
+   * is new simply insert. `keyDim` must be a manifest-indexed stat dim:
+   * the touched-file set is pruned by the update batch's [min, max] key
+   * band, so a CDC batch over a key-clustered lake rewrites the
+   * band-touch fraction, never the lake — the Delta MERGE cost shape.
+   *
+   * Protocol (one commit, same crash-safe ordering as [[deleteWhere]]):
+   * survivors = candidate-file rows ANTI-JOINED against the update key
+   * set, staged together with the update rows as new files; manifest
+   * rewrites in ONE step (kept entries + new-file entries with full
+   * stat/bloom columns); candidate files delete LAST. `updates` must
+   * carry the lake's data schema. Multi-row keys replace as a GROUP:
+   * all old rows of a matched key go, all update rows of it land.
+   *
+   * Returns (rows replaced, update rows written, files rewritten).
+   */
+  def upsert(
+      spark: SparkSession, dir: String, stats: Seq[(String, Column)],
+      keyDim: String, updates: DataFrame,
+      bloom: Seq[(String, Column)] = Nil,
+      expectedVersion: Option[Int] = None): (Long, Long, Int) =
+    withCommitLock(spark, dir) {
+    expectedVersion.foreach { e =>
+      val v = currentVersion(spark, dir)
+      if (v != e) throw new ManifestConflictException(
+        s"upsert expected lake version $e, found $v — retry against the new manifest")
+    }
+    val manifestSchema = read(spark, dir).schema
+    val bloomDims = manifestSchema.fieldNames
+      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
+    val bloomSpec =
+      if (bloom.nonEmpty) {
+        require(bloom.map(_._1).toSet == bloomDims.toSet,
+          s"bloom spec must match the manifest's bloom dims: ${bloomDims.mkString(", ")}")
+        bloom
+      } else bloomDims.map(d => d -> col(d))
+    val dataSchema =
+      DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType]
+    require(updates.schema.fieldNames.sorted.sameElements(
+      dataSchema.fieldNames.sorted),
+      s"updates must carry the lake schema ${dataSchema.fieldNames.mkString(",")}")
+    val u = updates.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .localCheckpoint(true) // read twice: key band + the staged write
+    val nUpdateRows = u.count()
+    if (nUpdateRows == 0) (0L, 0L, 0)
+    else {
+    val band = u.agg(min(col(keyDim)).cast("long"),
+      max(col(keyDim)).cast("long")).head()
+    val (lo, hi) = (band.getLong(0), band.getLong(1))
+    val snap = snapshot(spark, dir)
+    snap.headOption.foreach { case (_, st) =>
+      require(st.contains(keyDim), s"key dim $keyDim not in manifest " +
+        s"(have: ${st.keys.mkString(", ")})")
+    }
+    val cand = snap.collect {
+      case (file, st) if { val (mn, mx) = st(keyDim); mx >= lo && mn <= hi } =>
+        file
+    }.sorted
+    val oldRows = read(spark, dir).collect() // ≤ numFiles
+    val knownNames = oldRows.map(r =>
+      r.getString(r.fieldIndex("file")).split('/').last).toSet
+    // survivors of touched files = rows whose key is NOT updated; the
+    // replaced count rides as the candidate/survivor difference
+    val keys = u.select(col(keyDim).as("_upk")).distinct()
+      .localCheckpoint(true)
+    val (survivors, nCand) =
+      if (cand.isEmpty) (u.limit(0), 0L)
+      else {
+        val candDf = spark.read.schema(dataSchema)
+          .parquet(cand.toIndexedSeq: _*)
+        (candDf.join(broadcast(keys), col(keyDim) === col("_upk"),
+          "left_anti"), candDf.count())
+      }
+    val staged = survivors.unionByName(u)
+    val stage = s"$dir/$ManifestDir/upsert-${java.util.UUID.randomUUID()}"
+    staged.write.mode("overwrite").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+      .map { p =>
+        val dst = new org.apache.hadoop.fs.Path(dir, p.getName)
+        require(fs.rename(p, dst), s"stage move failed: $p -> $dst")
+        dst.toString
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val aggs = statAggs(stats, bloomSpec, bloomBitsOf(spark, dir))
+    val newRows: Array[Row] =
+      if (moved.isEmpty) Array.empty
+      else spark.read.schema(dataSchema)
+        .parquet(moved.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(manifestSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .collect()
+    val nSurvivors =
+      if (moved.isEmpty) 0L
+      else newRows.map(r => r.getLong(r.fieldIndex("n_rows"))).sum - nUpdateRows
+    val candNames = cand.map(_.split('/').last).toSet
+    val keptRows = oldRows.filterNot(r =>
+      candNames(r.getString(r.fieldIndex("file")).split('/').last))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row]((keptRows ++ newRows).toSeq.asJava),
+        manifestSchema)
+      .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(schemasDir(dir)), true)
+    spark.read.parquet(filesPath(dir))
+      .write.mode("overwrite").parquet(historyPath(dir, 0))
+    writeVersion(fs, dir, 0)
+    bumpCommitSeq(spark, dir)
+    snapshots.clear(); bloomSnapshots.clear()
+    cand.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    spark.catalog.refreshByPath(dir) // renames+deletes bypass the FileStatusCache
+    (nCand - nSurvivors, nUpdateRows, cand.length)
+    }
+    }
 
   /**
    * Targeted delete (the GDPR / right-to-be-forgotten op), at
@@ -942,6 +1069,7 @@ object LakeManifest {
     snapshots.clear(); bloomSnapshots.clear()
     // only now: drop the touched data files (crash here ⇒ orphans only)
     cand.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    spark.catalog.refreshByPath(dir) // deletes bypass the FileStatusCache
     (nDeleted, cand.length)
     }
     }

@@ -73,10 +73,10 @@ object GenSf1 {
       .withColumn("base",
         when(col("is_dup"), col("id") - 1).otherwise(col("id")))
       .withColumn("n_words",
-        (lit(10L) + pmod(hash(lit("nw"), col("base")), lit(90L))).cast("int"))
+        (lit(30L) + pmod(hash(lit("nw"), col("base")), lit(90L))).cast("int"))
       .withColumn("words", transform(sequence(lit(1), col("n_words")),
         i => when(col("is_dup") &&
-            pmod(hash(lit("mut"), col("id"), i), lit(20)) === 0,
+            pmod(hash(lit("mut"), col("id"), i), lit(40)) === 0,
           element_at(vocabArr,
             (pmod(hash(lit("alt"), col("id"), i), lit(V)) + 1).cast("int")))
           .otherwise(element_at(vocabArr,
