@@ -4819,6 +4819,55 @@ object SparkEntry {
         .orderBy(col("supp_band"))
     }),
 
+    // Q279 — MV1 incremental aggregate maintenance: the stored per-
+    // (type, day) rollup of the first 20 days MERGED with the late
+    // batch's partials (distributive algebra: count/sum/min/max combine,
+    // avg derived at read) must equal the full recompute — the
+    // "maintain the MV from the delta, never rescan the base" law. At
+    // 100 TB the merge is a |keys|-sized outer join; the delta
+    // aggregates map-side.
+    "q279_incremental_agg" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val cutoff = lit("2024-01-21").cast("date")
+      val base = graft.operators.Incremental.partials(
+        e.where(col("day") < cutoff), Seq("event_type", "day"), col("cents"))
+      val delta = graft.operators.Incremental.partials(
+        e.where(col("day") >= cutoff), Seq("event_type", "day"), col("cents"))
+      graft.operators.Incremental.mergePartials(base, delta,
+          Seq("event_type", "day"))
+        .withColumn("avg_cents", expr("sum_v DIV n_rows"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Q280 — ST4's calibration twin as a batch census: per event type,
+    // HOW out-of-order does the stream arrive (arrival order = event_id)?
+    // lateness = per-user high-watermark ts at arrival minus own ts,
+    // clamped at 0; the report (late fraction, max lateness, fraction
+    // beyond a 10-min watermark) is exactly what sizes withWatermark.
+    // One key shuffle + one ordered window; census map-side after.
+    "q280_out_of_order_census" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
+      val arrival = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      e.withColumn("late_us", greatest(lit(0L),
+          coalesce(max(col("ts_us")).over(arrival) - col("ts_us"), lit(0L))))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_us")).as("max_late_us"),
+          sum(when(col("late_us") > 600000000L, 1L).otherwise(0L))
+            .as("n_beyond_wm"))
+        .withColumn("late_ppm", expr("n_late * 1000000 DIV n_events"))
+        .withColumn("beyond_wm_ppm", expr("n_beyond_wm * 1000000 DIV n_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // Q277 — DRIFT7 Benford first-digit census over order totals: the
     // one-window forensic lens (synthetic uniform prices SHOULD flunk
     // the log law loudly — dev_ppm is the diagnostic). Cents via the
@@ -9960,6 +10009,32 @@ object SparkEntry {
           |  n_moved_mod * 1000000 // n_keys AS moved_mod_ppm,
           |  n_moved_hrw * 1000000 // n_keys AS moved_hrw_ppm
           |FROM a""".stripMargin,
+
+      // full recompute == base partials merged with delta partials
+      "q279_incremental_agg" ->
+        """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+          |SELECT event_type, day, count(*) AS n_rows,
+          |  CAST(sum(cents) AS BIGINT) AS sum_v,
+          |  CAST(min(cents) AS BIGINT) AS min_v,
+          |  CAST(max(cents) AS BIGINT) AS max_v,
+          |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+          |FROM e GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+      // high-watermark lateness in arrival (event_id) order
+      "q280_out_of_order_census" ->
+        """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          |l AS (SELECT event_type,
+          |    greatest(0, coalesce(max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us, 0)) AS late_us
+          |  FROM e)
+          |SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+          |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+          |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_wm,
+          |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS late_ppm,
+          |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS beyond_wm_ppm
+          |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
 
       // pinned ⌊log10(1+1/d)·1e6⌋ table — no engine evaluates a log
       "q277_benford_census" ->

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental aggregate maintenance (MV1) — the materialized-view delta
+ * law: a keyed aggregate table maintained by MERGING a late batch's
+ * partial aggregates into the stored ones, never by rescanning the
+ * base. Sound for exactly the distributive algebra Spark itself uses
+ * for map-side partials:
+ *
+ *   count' = count + Δcount,  sum' = sum + Δsum,
+ *   min'  = min(min, Δmin),   max' = max(max, Δmax)
+ *
+ * (avg is DERIVED as sum/count at read time — never stored, the classic
+ * MV-maintenance mistake this operator makes unrepresentable). Keys
+ * present only in the delta insert; keys untouched by the delta pass
+ * through byte-identically. The law is associative and commutative, so
+ * ANY batching of the input stream converges to the same table — the
+ * re-batching invariance the spec pins.
+ *
+ * At 100 TB: the base aggregate is |keys| rows (bounded by the key
+ * domain, not corpus), the delta batch aggregates map-side before the
+ * merge join, and the merge itself is one |keys|-sized outer join —
+ * maintaining a daily rollup costs the DAY, never the history.
+ */
+object Incremental {
+
+  /** Aggregate `rows` to per-key partials: (keys..., n_rows, sum_v,
+    * min_v, max_v) over `valueCol` — the partial shape [[mergePartials]]
+    * consumes and produces (closed under merge). */
+  def partials(rows: DataFrame, keys: Seq[String], valueCol: Column): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(valueCol.cast("long")).as("sum_v"),
+        min(valueCol.cast("long")).as("min_v"),
+        max(valueCol.cast("long")).as("max_v"))
+
+  /** Merge a delta partial table into a base partial table (same
+    * schema): full outer join on the keys, distributive combine per
+    * column. Either side may have keys the other lacks. */
+  def mergePartials(base: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val b = base.select(
+      keys.map(col) ++ Seq(col("n_rows").as("_bn"), col("sum_v").as("_bs"),
+        col("min_v").as("_bmin"), col("max_v").as("_bmax")): _*)
+    val d = delta.select(
+      keys.map(col) ++ Seq(col("n_rows").as("_dn"), col("sum_v").as("_ds"),
+        col("min_v").as("_dmin"), col("max_v").as("_dmax")): _*)
+    b.join(d, keys, "full_outer")
+      .select(
+        keys.map(col) ++ Seq(
+          (coalesce(col("_bn"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("_bs"), lit(0L)) + coalesce(col("_ds"), lit(0L)))
+            .as("sum_v"),
+          least(col("_bmin"), col("_dmin")).as("min_v"), // least skips null
+          greatest(col("_bmax"), col("_dmax")).as("max_v")): _*)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MV1 laws: merge(partials(A), partials(B)) == partials(A ∪ B) for the
+  * distributive algebra — and therefore ANY batching of the stream
+  * converges to the same table (re-batching invariance); disjoint and
+  * overlapping key sets both merge; derived avg never drifts. */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    ("a", 1L, 10L), ("a", 1L, 20L), ("a", 2L, 5L),
+    ("b", 1L, 7L), ("b", 3L, -4L), ("a", 1L, -1L), ("c", 9L, 100L))
+    .toDF("k1", "k2", "v")
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*).collect().toSeq
+
+  test("merge of any split == direct partials of the union") {
+    val direct = Incremental.partials(rows, Seq("k1", "k2"), col("v"))
+    // three different splits, including empty-side and overlapping keys
+    val splits = Seq(
+      (rows.where(col("v") > 0), rows.where(col("v") <= 0)),
+      (rows.limit(0), rows),
+      (rows.where(col("k1") === "a"), rows.where(col("k1") =!= "a")))
+    splits.foreach { case (l, r) =>
+      val merged = Incremental.mergePartials(
+        Incremental.partials(l, Seq("k1", "k2"), col("v")),
+        Incremental.partials(r, Seq("k1", "k2"), col("v")),
+        Seq("k1", "k2"))
+      assert(sortedRows(merged) == sortedRows(direct))
+    }
+  }
+
+  test("associativity: ((A+B)+C) == (A+(B+C)) == direct") {
+    val a = Incremental.partials(rows.where(col("v") > 10),
+      Seq("k1"), col("v"))
+    val b = Incremental.partials(rows.where(col("v").between(0, 10)),
+      Seq("k1"), col("v"))
+    val c = Incremental.partials(rows.where(col("v") < 0),
+      Seq("k1"), col("v"))
+    val left = Incremental.mergePartials(
+      Incremental.mergePartials(a, b, Seq("k1")), c, Seq("k1"))
+    val right = Incremental.mergePartials(
+      a, Incremental.mergePartials(b, c, Seq("k1")), Seq("k1"))
+    val direct = Incremental.partials(rows, Seq("k1"), col("v"))
+    assert(sortedRows(left) == sortedRows(direct))
+    assert(sortedRows(right) == sortedRows(direct))
+  }
+
+  test("hand-computed cell: key (a,1) = n 3, sum 29, min -1, max 20") {
+    val p = Incremental.mergePartials(
+      Incremental.partials(rows.where(col("v") >= 10), Seq("k1", "k2"), col("v")),
+      Incremental.partials(rows.where(col("v") < 10), Seq("k1", "k2"), col("v")),
+      Seq("k1", "k2"))
+      .where(col("k1") === "a" && col("k2") === 1L).head()
+    assert(p.getAs[Long]("n_rows") == 3L && p.getAs[Long]("sum_v") == 29L)
+    assert(p.getAs[Long]("min_v") == -1L && p.getAs[Long]("max_v") == 20L)
+  }
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Candidate-volume columns for the sf~1 heavy-family gate (r7 judge task
+5): for each heavy family, the INPUT volume, the CANDIDATE volume the
+bucketed plan actually materializes, and the all-pairs volume it avoids —
+the numbers that show the plans bucket instead of going quadratic.
+
+Usage: python3 tools/sf1_volumes.py /tmp/sf1   (appends nothing; prints)
+"""
+import sys
+
+import duckdb
+
+
+def main(sf_dir):
+    con = duckdb.connect()
+    for t in "documents embeddings events orders lineitem".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    row = lambda q: con.sql(q).fetchone()
+
+    print("family            metric                              volume")
+    print("-" * 64)
+    n_docs = row("SELECT count(*) FROM documents")[0]
+    print(f"dedup             documents                           {n_docs:>12,}")
+    print(f"dedup             all-pairs (avoided)                 {n_docs*(n_docs-1)//2:>12,}")
+    cand = row(r"""
+      WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+      s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+              i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+      x AS (SELECT doc_id, unnest(sh) AS g FROM s)
+      SELECT count(*) FROM (SELECT DISTINCT a.doc_id, b.doc_id
+        FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id)""")[0]
+    print(f"dedup             shared-shingle candidate pairs      {cand:>12,}")
+    true_pairs = row(r"""
+      WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+      s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+              i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh FROM w),
+      x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+            FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+      z AS (SELECT doc_id, len(sh) AS n FROM s)
+      SELECT count(*) FROM c JOIN z za ON ia = za.doc_id JOIN z zb ON ib = zb.doc_id
+      WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5""")[0]
+    print(f"dedup             true pairs (jaccard >= 0.5)         {true_pairs:>12,}")
+
+    edges = row("""SELECT count(*) FROM (SELECT DISTINCT o_custkey, l_suppkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""")[0]
+    print(f"graph             distinct cust-supp edges            {edges:>12,}")
+    wedges = row("""WITH e AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      d AS (SELECT u AS node, count(*) AS deg FROM
+        (SELECT u, v FROM e UNION ALL SELECT v, u FROM e) GROUP BY 1)
+      SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d""")[0]
+    print(f"graph             naive wedge volume (avoided)        {wedges:>12,}")
+
+    n_ev = row("SELECT count(*) FROM events")[0]
+    print(f"bootstrap         events x replicates (explode)       {n_ev:>12,} x R")
+    n_vec = row("SELECT count(*) FROM embeddings")[0]
+    print(f"similarity        vectors                             {n_vec:>12,}")
+    n_li = row("SELECT count(*) FROM lineitem")[0]
+    print(f"lake              lineitem rows                       {n_li:>12,}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
