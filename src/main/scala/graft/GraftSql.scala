@@ -223,20 +223,31 @@ object GraftSql {
           |ORDER BY query_id, rank""".stripMargin)
     }),
 
-    // Q273 — SKETCH family (q32) in pure SQL: HLL++ and KLL quantile
-    // sketches vs their exact counterparts, tolerance flags inline.
+    // Q273 — SKETCH family (q32) in pure SQL, in q32's PLAN SHAPE: one
+    // sketch aggregate (each exact percentile computed once), the exact
+    // distinct in its own aggregate broadcast back — folding
+    // count(DISTINCT) into the sketch agg forces the expand plan and
+    // re-stating percentile() per flag re-evaluates it (first draft
+    // benched 5.5 s vs q32's 0.8 s; this shape restores parity).
     "q273_sql_sketches" -> ((s, dir) => {
       register(s, dir)
       s.sql(
-        """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-          |  percentile(value, 0.5) AS p50_value, percentile(value, 0.95) AS p95_value,
-          |  abs(approx_count_distinct(user_id, 0.02) - count(DISTINCT user_id))
-          |    <= count(DISTINCT user_id) * 0.05 AS hll_ok,
-          |  abs(percentile_approx(value, 0.5, 10000) - percentile(value, 0.5))
-          |    <= abs(percentile(value, 0.5)) * 0.05 + 0.000001 AS p50_ok,
-          |  abs(percentile_approx(value, 0.95, 10000) - percentile(value, 0.95))
-          |    <= abs(percentile(value, 0.95)) * 0.05 + 0.000001 AS p95_ok
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        """WITH sk AS (SELECT event_type, count(*) AS n,
+          |    approx_count_distinct(user_id, 0.02) AS au,
+          |    percentile(value, 0.5) AS p50_value,
+          |    percentile(value, 0.95) AS p95_value,
+          |    percentile_approx(value, 0.5, 10000) AS p50a,
+          |    percentile_approx(value, 0.95, 10000) AS p95a
+          |  FROM events GROUP BY event_type),
+          |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_users
+          |  FROM events GROUP BY event_type)
+          |SELECT /*+ BROADCAST(ex) */ sk.event_type, sk.n, ex.n_users,
+          |  sk.p50_value, sk.p95_value,
+          |  abs(au - n_users) <= n_users * 0.05 AS hll_ok,
+          |  abs(p50a - p50_value) <= abs(p50_value) * 0.05 + 0.000001 AS p50_ok,
+          |  abs(p95a - p95_value) <= abs(p95_value) * 0.05 + 0.000001 AS p95_ok
+          |FROM sk JOIN ex ON sk.event_type = ex.event_type
+          |ORDER BY sk.event_type""".stripMargin)
     }),
 
     // Q274 — GRAPH family (q211) in pure SQL: Newman degree
