@@ -79,14 +79,33 @@ object LakeManifest {
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // Non-local lakes (no OS file locks) register a StateBackend-CAS lease
+  // lock instead — same serialization contract, takeover-on-expiry
+  // liveness (see StateBackendCommitLock). Keyed by lake dir.
+  private val externalLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.state.StateBackendCommitLock]()
+
+  /** Route this lake's commits through a [[graft.state.StateBackendCommitLock]]
+    * (the object-store arbitration path). All writers of one lake must
+    * register locks over the SAME backend, or arbitration is void. */
+  def registerCommitLock(dir: String,
+      lock: graft.state.StateBackendCommitLock): Unit =
+    externalLocks.put(dir, lock)
+
+  /** Remove a registered external lock (tests / teardown). */
+  def unregisterCommitLock(dir: String): Unit = externalLocks.remove(dir)
+
   private def withCommitLock[T](spark: SparkSession, dir: String)(
       body: => T): T = {
+    val ext = externalLocks.get(dir)
+    if (ext != null) return ext.withLock(s"lakelock:$dir")(body)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scheme = fs.getUri.getScheme
     require(scheme == null || scheme == "file",
       s"commit lock uses OS file locks (local lakes); got scheme '$scheme' — " +
-        "swap in a StateBackend CAS for object-store lakes")
+        "register a StateBackendCommitLock for object-store lakes " +
+        "(LakeManifest.registerCommitLock)")
     val manifestDir = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
     fs.mkdirs(manifestDir)
     val lockFile = java.nio.file.Paths.get(

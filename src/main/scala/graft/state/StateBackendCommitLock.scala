@@ -1,0 +1,113 @@
+package graft.state
+
+/**
+ * Versioned-CAS lease lock over a [[StateBackend]] — the commit-lock
+ * primitive for lakes whose filesystem has NO OS file locks (the object
+ * store case the OS-FileLock path in
+ * [[graft.sources.LakeManifest]] explicitly refuses). The SAME CAS
+ * discipline as the job store and consumer-group offsets, applied to
+ * mutual exclusion:
+ *
+ *  - **acquire**: CAS the lock key from absent/expired to
+ *    `(owner, expiresAt)`. Exactly one of any number of racing writers
+ *    wins the versioned write; losers re-read and spin (bounded by
+ *    `acquireTimeoutMs`).
+ *  - **lease, not lock**: a holder that dies stops heartbeating, the
+ *    lease expires, and the next writer TAKES OVER — no stuck lake (the
+ *    ST8 stalled-detection posture; an OS FileLock gets this from the
+ *    kernel for free, a state-backend lock must build it).
+ *  - **heartbeat**: while held, a daemon renews the lease every
+ *    `ttlMs / 3` so a long commit (a big reoptimize) never outlives its
+ *    lease mid-flight. Renewal is CAS-guarded: if the lease was taken
+ *    over (we were presumed dead), renewal FAILS and the body's commit
+ *    must not land — the holder learns it was fenced at release time
+ *    via [[FencedException]].
+ *  - **fenced release**: release CAS-clears the key ONLY if we still
+ *    own it; a crashed-then-resumed holder cannot clobber the new
+ *    owner's lease (the zombie-writer law, ST7).
+ *
+ * Time source is `System.currentTimeMillis` on the CONTENDING writers —
+ * the usual lease caveat applies (clock skew must stay well under
+ * `ttlMs`; 30 s default vs NTP-grade skew is comfortable).
+ */
+final class StateBackendCommitLock(
+    backend: StateBackend, ownerId: String,
+    ttlMs: Long = 30000L, acquireTimeoutMs: Long = 120000L) {
+
+  final class FencedException(msg: String) extends RuntimeException(msg)
+
+  private def now(): Long = System.currentTimeMillis()
+
+  /** Spin-acquire the lease; returns the lock-key version we hold. */
+  private def acquire(key: String): Unit = {
+    val deadline = now() + acquireTimeoutMs
+    while (now() < deadline) {
+      backend.read(key) match {
+        case None =>
+          if (backend.writeVersioned(key,
+            Map("owner" -> ownerId, "expires" -> (now() + ttlMs).toString),
+            0L)) return
+        case Some((p, v)) =>
+          val expires = p.getOrElse("expires", "0").toLong
+          val owner = p.getOrElse("owner", "")
+          if (owner.isEmpty || expires < now()) {
+            // absent-in-spirit or stale lease: take over under CAS
+            if (backend.writeVersioned(key,
+              Map("owner" -> ownerId, "expires" -> (now() + ttlMs).toString),
+              v)) return
+          } else Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException(
+      s"could not acquire $key within ${acquireTimeoutMs} ms")
+  }
+
+  /** CAS-renew our lease; false = we were fenced (lease taken over). */
+  private def renew(key: String): Boolean =
+    backend.read(key) match {
+      case Some((p, v)) if p.getOrElse("owner", "") == ownerId =>
+        backend.writeVersioned(key,
+          Map("owner" -> ownerId, "expires" -> (now() + ttlMs).toString), v)
+      case _ => false
+    }
+
+  /** Clear the lease iff we still own it; false = fenced. */
+  private def release(key: String): Boolean =
+    backend.read(key) match {
+      case Some((p, v)) if p.getOrElse("owner", "") == ownerId =>
+        backend.writeVersioned(key,
+          Map("owner" -> "", "expires" -> "0"), v)
+      case _ => false
+    }
+
+  /**
+   * Run `body` under the lease. Throws [[FencedException]] AFTER the
+   * body if the lease was lost mid-flight (takeover while we were
+   * presumed dead) — callers must treat the commit as suspect and
+   * re-verify (the same contract as a failed idempotent-producer fence).
+   */
+  def withLock[T](key: String)(body: => T): T = {
+    acquire(key)
+    @volatile var fenced = false
+    val beat = new Thread(() => {
+      var live = true
+      try while (live && !Thread.currentThread().isInterrupted) {
+        Thread.sleep(math.max(1L, ttlMs / 3))
+        if (!renew(key)) { fenced = true; live = false }
+      } catch { case _: InterruptedException => () }
+    }, s"lease-heartbeat-$key")
+    beat.setDaemon(true)
+    beat.start()
+    try {
+      val r =
+        try body
+        catch { case t: Throwable => release(key); throw t } // best-effort
+      if (fenced || !release(key))
+        throw new FencedException(
+          s"lease on $key lost mid-commit (holder $ownerId was fenced)")
+      r
+    } finally {
+      beat.interrupt()
+    }
+  }
+}

@@ -189,4 +189,43 @@ class LakeManifestConcurrencySpec extends SparkSpec {
     assert(LakeManifest.readPruned(spark, dir,
       Map("a" -> (0L, 255L))).count() == 4700L)
   }
+
+  test("external StateBackend lease lock arbitrates a lake end-to-end") {
+    val dir = tmpDir("race-extlock")
+    LakeManifest.optimize(corpus(0L, 4000L), dir, "a", "b",
+      numFiles = 4, bits = 9)
+    // route this lake's commits through the CAS lease lock (the
+    // object-store path) — same writers as the append-append race
+    val backend = new graft.state.InMemoryStateBackend
+    LakeManifest.registerCommitLock(dir,
+      new graft.state.StateBackendCommitLock(backend, "spec"))
+    try {
+      val writers = 4
+      val pool = Executors.newFixedThreadPool(writers)
+      val start = new CountDownLatch(1)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until writers).foreach { w =>
+        pool.submit(new Runnable { override def run(): Unit = {
+          start.await()
+          try (0 until 2).foreach { b =>
+            LakeManifest.append(
+              corpus(100000L * (w * 2 + b + 1), 300L).coalesce(1), dir)
+            LakeManifest.refresh(spark, dir, dims)
+          } catch { case t: Throwable => failures.add(t) }
+        }})
+      }
+      start.countDown(); pool.shutdown()
+      assert(pool.awaitTermination(300, TimeUnit.SECONDS))
+      assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+      // the lease actually arbitrated: the backend saw the lock key
+      assert(backend.read(s"lakelock:$dir").isDefined)
+      // zero lost files, exact rows, manifest == disk (the same laws the
+      // OS-lock path proves)
+      val expected = 4000L + writers * 2 * 300L
+      assert(spark.read.parquet(dir).count() == expected)
+      assert(manifestFiles(dir).toSet == dataFilesOnDisk(dir))
+      assert(LakeManifest.readPruned(spark, dir,
+        Map("a" -> (0L, 255L))).count() == expected)
+    } finally LakeManifest.unregisterCommitLock(dir)
+  }
 }

@@ -1,0 +1,89 @@
+package graft.state
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The lease-lock laws over every state backend: (1) mutual exclusion —
+ * racing writers serialize (a plain non-atomic counter stays exact);
+ * (2) liveness — a crashed holder's lease expires and the next writer
+ * takes over; (3) fencing — the crashed-then-resumed holder's release
+ * cannot clobber the new owner, and a holder that lost its lease
+ * mid-commit learns it (FencedException).
+ */
+class StateBackendCommitLockSpec extends AnyFunSuite {
+
+  private val redis = new MiniRedis
+
+  private def backends: Seq[(String, () => StateBackend)] = Seq(
+    "inmemory" -> (() => new InMemoryStateBackend),
+    "dir" -> (() => new DirStateBackend(Files.createTempDirectory("lockspec"))),
+    "redis" -> { var n = 0; () => { n += 1
+      new RedisStateBackend("127.0.0.1", redis.port, prefix = s"lk$n:") } })
+
+  for ((name, mk) <- backends) {
+
+    test(s"[$name] mutual exclusion: racing writers serialize") {
+      val backend = mk()
+      var counter = 0L // deliberately NOT atomic: the lock must protect it
+      val writers = 6
+      val perWriter = 200
+      val pool = Executors.newFixedThreadPool(writers)
+      val start = new CountDownLatch(1)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until writers).foreach { w =>
+        pool.submit(new Runnable { override def run(): Unit = {
+          start.await()
+          val lock = new StateBackendCommitLock(backend, s"w$w")
+          try (0 until perWriter).foreach { _ =>
+            lock.withLock("k") { val c = counter; counter = c + 1 }
+          } catch { case t: Throwable => failures.add(t) }
+        }})
+      }
+      start.countDown(); pool.shutdown()
+      assert(pool.awaitTermination(300, TimeUnit.SECONDS))
+      assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+      assert(counter == writers.toLong * perWriter,
+        s"lost increments: $counter")
+    }
+
+    test(s"[$name] liveness: a dead holder's lease expires, takeover succeeds") {
+      val backend = mk()
+      // simulate a crash: acquire by writing the lease directly (as the
+      // dead holder would have), with a short TTL, and never release
+      assert(backend.writeVersioned("k",
+        Map("owner" -> "dead", "expires" ->
+          (System.currentTimeMillis() + 300L).toString), 0L))
+      val t0 = System.currentTimeMillis()
+      val lock = new StateBackendCommitLock(backend, "alive")
+      var ran = false
+      lock.withLock("k") { ran = true }
+      assert(ran)
+      // takeover waited for expiry (>= ~300ms), not forever
+      val waited = System.currentTimeMillis() - t0
+      assert(waited >= 250L && waited < 10000L, s"waited $waited ms")
+    }
+
+    test(s"[$name] fencing: a holder that loses its lease mid-commit learns it") {
+      val backend = mk()
+      // tiny TTL, heartbeat every ~33ms — but the usurper STEALS the
+      // lease by force (simulating the holder's long GC pause + expiry)
+      val lock = new StateBackendCommitLock(backend, "victim", ttlMs = 100000L)
+      intercept[lock.FencedException] {
+        lock.withLock("k") {
+          // usurper takes over under CAS as if the lease had expired
+          val (p, v) = backend.read("k").get
+          assert(p("owner") == "victim")
+          assert(backend.writeVersioned("k",
+            Map("owner" -> "usurper", "expires" ->
+              (System.currentTimeMillis() + 60000L).toString), v))
+        }
+      }
+      // the victim's release did NOT clobber the usurper's lease
+      val (p2, _) = backend.read("k").get
+      assert(p2("owner") == "usurper")
+    }
+  }
+}
