@@ -4868,6 +4868,37 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Q281 — T19 unigram surprisal census: the perplexity-filter signal
+    // in EXACT integer bits (ilog2 via length(bin(x))−1, bit-identical
+    // on both engines — no IEEE log). High mean = rare-token-heavy text.
+    "q281_surprisal_census" -> ((s, dir) =>
+      graft.operators.TextAnalysis.surprisalCensus(
+          t(s, dir, "documents"), "text", "source")
+        .orderBy(col("source"))),
+
+    // Q282 — P6 k-anonymity census (first rung of the disclosure ladder;
+    // P5 t-closeness is the third): QI = (nation, segment, $1k balance
+    // band) over customers, class-size histogram + violating-record ppm
+    // at k=5 — the release-gate verdict columns.
+    "q282_k_anonymity" -> ((s, dir) =>
+      graft.operators.Pii.kAnonymityCensus(
+          t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+            expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band")),
+          Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_band")), k = 5L)
+        .orderBy(col("class_size"))),
+
+    // Q283 — EXP9 group-sequential A/B with O'Brien–Fleming boundaries:
+    // 5 peeking-safe interim looks (6-day cadence) on arm = user_id % 2,
+    // exact suffstats per look via the histogram trick, ONE mirrored
+    // double tail for Welch z, pinned micro-z boundary table.
+    "q283_group_sequential" -> ((s, dir) =>
+      graft.operators.Experiment.groupSequentialObf(
+          t(s, dir, "events"),
+          (col("user_id") % 2).cast("int"),
+          floor(col("value") * 100).cast("long"),
+          to_date(col("ts")), daysPerLook = 6, nLooks = 5)
+        .orderBy(col("look"))),
+
     // Q277 — DRIFT7 Benford first-digit census over order totals: the
     // one-window forensic lens (synthetic uniform prices SHOULD flunk
     // the log law loudly — dev_ppm is the diagnostic). Cents via the
@@ -10035,6 +10066,80 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS late_ppm,
           |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS beyond_wm_ppm
           |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // ilog2 = length(bin(x)) — identical bit law on both engines
+      "q281_surprisal_census" ->
+        """WITH toks AS (SELECT source, doc_id,
+          |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+          |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+          |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM c),
+          |b AS (SELECT tok, CAST(length(bin(n.n_all)) - length(bin(c.c)) AS BIGINT) AS bits
+          |  FROM c, n)
+          |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS sum_bits,
+          |  CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS mean_millibits
+          |FROM toks JOIN b USING (tok)
+          |GROUP BY source ORDER BY source""".stripMargin,
+
+      // class-size histogram of the QI partition + the k=5 verdict
+      "q282_k_anonymity" ->
+        """WITH q AS (SELECT c_nationkey, c_mktsegment,
+          |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer),
+          |cl AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS class_size
+          |  FROM q GROUP BY 1, 2, 3),
+          |g AS (SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes FROM cl GROUP BY 1),
+          |g2 AS (SELECT class_size, n_classes,
+          |    CAST(class_size * n_classes AS BIGINT) AS n_records FROM g),
+          |t AS (SELECT CAST(min(class_size) AS BIGINT) AS min_class_size,
+          |    CAST(sum(CASE WHEN class_size < 5 THEN n_records ELSE 0 END) AS BIGINT)
+          |      AS n_violating_records,
+          |    CAST(sum(n_records) AS BIGINT) AS total FROM g2)
+          |SELECT g2.class_size, g2.n_classes, g2.n_records,
+          |  t.min_class_size, t.n_violating_records,
+          |  CAST(t.n_violating_records * 1000000 // t.total AS BIGINT) AS violation_ppm
+          |FROM g2, t ORDER BY class_size""".stripMargin,
+
+      // identical exact suffstats, identical double tail, pinned OBF table
+      "q283_group_sequential" ->
+        """WITH e AS (SELECT user_id % 2 AS arm, CAST(floor(value * 100) AS BIGINT) AS x,
+          |    CAST(ts AS DATE) AS day FROM events),
+          |d0 AS (SELECT min(day) AS d0 FROM e),
+          |bkt AS (SELECT arm, x, datediff('day', d0.d0, day) // 6 AS bucket
+          |  FROM e, d0 WHERE datediff('day', d0.d0, day) // 6 < 5),
+          |p AS (SELECT arm, bucket, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS BIGINT) AS s1,
+          |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s2
+          |  FROM bkt GROUP BY 1, 2),
+          |c AS (SELECT arm, bucket + 1 AS look,
+          |    CAST(sum(n) OVER w AS BIGINT) AS cn, CAST(sum(s1) OVER w AS BIGINT) AS cs1,
+          |    CAST(sum(s2) OVER w AS DECIMAL(38,0)) AS cs2
+          |  FROM p WINDOW w AS (PARTITION BY arm ORDER BY bucket
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |a AS (SELECT look, cn AS n_a, cs1 AS s1_a, cs2 AS s2_a FROM c WHERE arm = 0),
+          |bb AS (SELECT look, cn AS n_b, cs1 AS s1_b, cs2 AS s2_b FROM c WHERE arm = 1),
+          |bd AS (SELECT CAST(look AS BIGINT) AS look,
+          |    CAST(boundary_microz AS BIGINT) AS boundary_microz
+          |  FROM (VALUES (1, 4876900), (2, 3356900), (3, 2680300), (4, 2289800),
+          |    (5, 2031000)) AS t(look, boundary_microz)),
+          |j AS (SELECT a.look, n_a, n_b, s1_a, s1_b, s2_a, s2_b, bd.boundary_microz
+          |  FROM a JOIN bb ON a.look = bb.look JOIN bd ON a.look = bd.look),
+          |z AS (SELECT look, n_a, n_b, s1_a, s1_b, boundary_microz,
+          |    (CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |       - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+          |     / sqrt(
+          |      (CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)
+          |         - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
+          |       / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+          |       / CAST(n_a AS DOUBLE)
+          |     + (CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)
+          |         - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
+          |       / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+          |       / CAST(n_b AS DOUBLE)) AS z
+          |  FROM j)
+          |SELECT look, CAST(look * 6 AS BIGINT) AS day_end, n_a, n_b,
+          |  s1_a AS sum_a, s1_b AS sum_b, z, boundary_microz,
+          |  abs(z) * 1000000.0 > CAST(boundary_microz AS DOUBLE) AS crossed
+          |FROM z ORDER BY look""".stripMargin,
 
       // pinned ⌊log10(1+1/d)·1e6⌋ table — no engine evaluates a log
       "q277_benford_census" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -421,5 +422,81 @@ object Experiment {
            |     ELSE h_tie_ppm > ($crit) END""".stripMargin))
       .select(col("key").as(keyCol), col("k"), col("n"), col("h_ppm"),
         col("h_tie_ppm"), col("significant"))
+  }
+
+  /**
+   * Group-sequential A/B test with O'Brien–Fleming boundaries (EXP9) —
+   * the peeking-safe experiment monitor: k interim looks at cumulative
+   * data, each tested against a DECREASING critical value so the
+   * family-wise α stays 0.05 two-sided (naive repeated z-tests at 1.96
+   * inflate false positives ~3× at 5 looks — the classic peeking bug
+   * this operator makes structurally impossible). Boundaries are the
+   * classical OBF constants for 5 equally-spaced looks, PINNED in
+   * micro-z ({4876900, 3356900, 2680300, 2289800, 2031000}) and shared
+   * verbatim with the oracle — no runtime distribution math.
+   *
+   * Law: look k covers days [0, k·daysPerLook); per look and arm the
+   * EXACT suffstats (n, Σx, Σx² in DECIMAL(38,0)) accumulate via the
+   * histogram trick (per-(arm, bucket) partials + a cumulative window
+   * over ≤ nLooks buckets — corpus rows aggregate once, map-side);
+   * Welch z is ONE mirrored double tail over those ints:
+   * z = (s1a/na − s1b/nb) / sqrt(vara/na + varb/nb), var = (n·s2 −
+   * s1²)/(n·(n−1)). crossed_k = |z|·10⁶ > boundary_k.
+   *
+   * Output per look: (look, day_end, n_a, n_b, sum_a, sum_b, z,
+   * boundary_microz, crossed).
+   */
+  def groupSequentialObf(rows: DataFrame, armCol: Column, centsCol: Column,
+      dayCol: Column, daysPerLook: Int = 6, nLooks: Int = 5): DataFrame = {
+    require(nLooks == 5, "boundaries pinned for 5 equally-spaced looks")
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    // 1-row span fence broadcast (the q210 pattern) — a global window
+    // over raw rows would single-partition the corpus
+    val fence = rows.agg(min(dayCol).as("d0"))
+    val base = rows.select(armCol.as("arm"), centsCol.cast("long").as("x"),
+        dayCol.as("day"))
+      .crossJoin(broadcast(fence))
+      .withColumn("bucket", expr(s"datediff(day, d0) DIV $daysPerLook"))
+      .where(col("bucket") < nLooks)
+    val partials = base.groupBy(col("arm"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(d38(col("x")) * col("x")).as("s2"))
+    val cum = Window.partitionBy(col("arm")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val looks = partials
+      .withColumn("cn", sum(col("n")).over(cum))
+      .withColumn("cs1", sum(col("s1")).over(cum))
+      .withColumn("cs2", sum(col("s2")).over(cum))
+      .select(col("arm"), (col("bucket") + 1).cast("long").as("look"),
+        col("cn"), col("cs1"), col("cs2"))
+    val a = looks.where(col("arm") === 0).drop("arm")
+      .withColumnRenamed("cn", "n_a").withColumnRenamed("cs1", "s1_a")
+      .withColumnRenamed("cs2", "s2_a")
+    val b = looks.where(col("arm") === 1).drop("arm")
+      .withColumnRenamed("cn", "n_b").withColumnRenamed("cs1", "s1_b")
+      .withColumnRenamed("cs2", "s2_b")
+    val bounds = array(lit(4876900L), lit(3356900L), lit(2680300L),
+      lit(2289800L), lit(2031000L))
+    a.join(b, "look")
+      .withColumn("boundary_microz",
+        element_at(bounds, col("look").cast("int")))
+      .withColumn("z", expr(
+        """(CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |   - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+          | / sqrt(
+          |  (CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)
+          |     - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
+          |   / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+          |   / CAST(n_a AS DOUBLE)
+          | + (CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)
+          |     - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
+          |   / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+          |   / CAST(n_b AS DOUBLE))""".stripMargin.replace("\n", " ")))
+      .withColumn("crossed",
+        abs(col("z")) * lit(1000000.0) > col("boundary_microz").cast("double"))
+      .select(col("look"), (col("look") * daysPerLook).cast("long").as("day_end"),
+        col("n_a"), col("n_b"),
+        col("s1_a").cast("long").as("sum_a"), col("s1_b").cast("long").as("sum_b"),
+        col("z"), col("boundary_microz"), col("crossed"))
   }
 }

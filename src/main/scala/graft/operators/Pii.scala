@@ -270,4 +270,37 @@ object Pii {
       .withColumn("_any",
         col("_aws") + col("_ghp") + col("_pem") + col("_hex") > 0L)
   }
+
+  /**
+   * k-anonymity census (P6) — the FIRST rung of the disclosure ladder
+   * ([[tClosenessAudit]] is the third): how many records sit in
+   * quasi-identifier equivalence classes smaller than k, i.e. are
+   * re-identifiable by joining the QI columns against an external
+   * dataset (Sweeney 2002). Output one row per class-SIZE bucket of the
+   * QI partition: (class_size, n_classes, n_records) plus the overall
+   * verdict columns every release gate wants — min class size, number
+   * of violating records (class < k), violation ppm.
+   *
+   * Scale posture: one groupBy on the QI tuple (bounded by the QI
+   * domain), then a census over CLASSES — corpus rows are touched once.
+   */
+  def kAnonymityCensus(df: DataFrame, quasiIds: Seq[Column], k: Long): DataFrame = {
+    require(k >= 2, "k >= 2")
+    val classes = df.groupBy(quasiIds: _*).agg(count(lit(1)).as("class_size"))
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy(col("class_size"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    classes
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_records", col("class_size") * col("n_classes"))
+      .withColumn("min_class_size", min(col("class_size")).over(all))
+      .withColumn("n_violating_records",
+        sum(when(col("class_size") < k, col("n_records")).otherwise(0L)).over(all))
+      .withColumn("violation_ppm", expr(
+        "n_violating_records * 1000000 DIV sum(n_records) OVER ()"))
+      .select(col("class_size"), col("n_classes"), col("n_records"),
+        col("min_class_size"), col("n_violating_records"), col("violation_ppm"))
+  }
 }

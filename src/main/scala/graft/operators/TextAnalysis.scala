@@ -242,4 +242,43 @@ object TextAnalysis {
       .select(col("bucket"), col("n_tokens"), col("n_distinct_tokens"),
         col("signed_mass"), col("n_docs"))
   }
+
+  /**
+   * Unigram surprisal census (T19) — an LM-flavored quality lens with a
+   * fully PORTABLE integer law: the corpus-level unigram model assigns
+   * each token instance a surprisal of −log₂ c/N bits, approximated in
+   * EXACT integers as ilog2(N) − ilog2(c) with ilog2(x) = ⌊log₂ x⌋ =
+   * length(bin(x)) − 1 (bit-identical on both engines — no IEEE log
+   * anywhere). High mean surprisal = rare-token-heavy text (jargon,
+   * noise, other-language); low = stopword mush — the same signal a
+   * perplexity filter buys, priced in integer bits.
+   *
+   * Per source: n_docs, n_tokens, sum_bits (exact), and
+   * mean_millibits = sum_bits·1000 DIV n_tokens.
+   *
+   * Scale posture: one token census (vocab-bounded), tokens equi-join
+   * the census on the token key, two map-side-combinable aggregates —
+   * text shuffles once (the explode), never joins row-to-row.
+   */
+  def surprisalCensus(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      col("doc_id"), explode(words(col(textCol))).as("tok"))
+    val census = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val withN = census.withColumn("n_all", sum(col("c")).over(all))
+      .withColumn("bits",
+        (length(bin(col("n_all"))) - 1 - (length(bin(col("c"))) - 1))
+          .cast("long"))
+    toks.join(withN.select(col("tok"), col("bits")), "tok")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_millibits", expr("sum_bits * 1000 DIV n_tokens"))
+  }
 }

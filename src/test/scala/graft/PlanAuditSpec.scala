@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
   /** query -> why a bounded nested-loop is the intended plan */
   private val allowedNestedLoop: Map[String, String] = Map(
     "q267_sql_chi2_drift" -> "SQL re-expression of q210: inherits its 1-row span-fence crossJoin (structurally bounded, see q210's entry)",
+    "q283_group_sequential" -> "single-row broadcast: the 1-row min-day fence crossJoins onto the event pre-census (1 x rows, structurally bounded — the q210 pattern)",
     "q272_sql_cosine_topk" -> "SQL re-expression of q19: inherits the DECLARED brute-force baseline broadcast (see q19's entry)",
     "q04_missing_days" -> "calendar bounds: 1-row (min,max) span crossJoin, explodes to <= a few thousand days",
     "q05_gap_islands" -> "same bounded calendar crossJoin upstream of the islands window",

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** EXP9 laws: exact cumulative suffstats per look, the mirrored Welch z
+  * on a hand case, and the OBF boundary discipline (decreasing critical
+  * values; a shift that a naive 1.96 test would flag at look 1 must wait
+  * for the evidence to cross the much higher early boundary). */
+class GroupSequentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand case: suffstats exact, z mirrored, crossing at look 2 not 1") {
+    val d0 = Date.valueOf("2024-01-01")
+    val d6 = Date.valueOf("2024-01-07") // bucket 1
+    // arm 0: {10, 14} per bucket (mean 12); arm 1: {1, 5} (mean 3)
+    val rows = Seq(
+      (0, 10L, d0), (0, 14L, d0), (1, 1L, d0), (1, 5L, d0),
+      (0, 10L, d6), (0, 14L, d6), (1, 1L, d6), (1, 5L, d6))
+      .toDF("arm", "cents", "day")
+    val r = Experiment.groupSequentialObf(rows, col("arm"), col("cents"),
+        col("day"), daysPerLook = 6, nLooks = 5)
+      .orderBy("look").collect()
+    assert(r.length == 2)
+    val l1 = r(0); val l2 = r(1)
+    assert(l1.getAs[Long]("n_a") == 2L && l1.getAs[Long]("n_b") == 2L)
+    assert(l1.getAs[Long]("sum_a") == 24L && l1.getAs[Long]("sum_b") == 6L)
+    assert(l2.getAs[Long]("n_a") == 4L && l2.getAs[Long]("sum_a") == 48L)
+    // look 1: z = 9 / sqrt(8/2 + 8/2) = 9/sqrt(8) ~ 3.18 — a naive 1.96
+    // test would already "reject"; the OBF look-1 boundary (4.8769)
+    // correctly withholds judgement
+    val z1 = l1.getAs[Double]("z")
+    assert(math.abs(z1 - 9.0 / math.sqrt(8.0)) < 1e-12)
+    assert(!l1.getAs[Boolean]("crossed"))
+    // look 2: both vars = 64/12, se^2 = 2*(64/12)/4 = 8/3, z = 9/sqrt(8/3)
+    val z2 = l2.getAs[Double]("z")
+    assert(math.abs(z2 - 9.0 / math.sqrt(8.0 / 3.0)) < 1e-12)
+    assert(l2.getAs[Boolean]("crossed"))
+    // boundary table decreasing
+    assert(l1.getAs[Long]("boundary_microz") == 4876900L)
+    assert(l2.getAs[Long]("boundary_microz") == 3356900L)
+  }
+
+  test("null-effect arms never cross any boundary") {
+    val base = Date.valueOf("2024-01-01").toLocalDate
+    val rows = (0 until 3000).map { i =>
+      // identical distributions both arms, deterministic variation
+      (i % 2, (100L + (i % 37)), Date.valueOf(base.plusDays(i % 30)))
+    }.toDF("arm", "cents", "day")
+    val r = Experiment.groupSequentialObf(rows, col("arm"), col("cents"),
+      col("day"), daysPerLook = 6, nLooks = 5).collect()
+    assert(r.length == 5)
+    assert(r.forall(!_.getAs[Boolean]("crossed")))
+  }
+}

@@ -168,4 +168,30 @@ class PiiSpec extends SparkSpec {
     val rows = Seq(("only", "a"), ("only", "a"), ("only", "b"))
     assert(tClose(rows) == Map("1_close" -> ((1L, 3L, 0L))))
   }
+
+  test("k-anonymity census: class histogram, min size, violating ppm (P6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // QI classes of sizes 1, 1, 3, 5 -> 10 records
+    val rows = (Seq(("x", 1L)) ++ Seq(("y", 2L)) ++
+      Seq.fill(3)(("z", 3L)) ++ Seq.fill(5)(("w", 4L))).toDF("q1", "q2")
+    val r = Pii.kAnonymityCensus(rows, Seq(col("q1"), col("q2")), k = 3L)
+      .orderBy("class_size").collect()
+    val bySize = r.map(x => x.getAs[Long]("class_size") -> x).toMap
+    assert(bySize(1L).getAs[Long]("n_classes") == 2L)
+    assert(bySize(1L).getAs[Long]("n_records") == 2L)
+    assert(bySize(3L).getAs[Long]("n_classes") == 1L)
+    assert(bySize(5L).getAs[Long]("n_records") == 5L)
+    // verdict columns identical on every row
+    r.foreach { x =>
+      assert(x.getAs[Long]("min_class_size") == 1L)
+      assert(x.getAs[Long]("n_violating_records") == 2L)
+      assert(x.getAs[Long]("violation_ppm") == 200000L)
+    }
+    // a k-anonymous table reports zero violations
+    val ok = Pii.kAnonymityCensus(rows.where(col("q1").isin("z", "w")),
+      Seq(col("q1")), k = 3L).head()
+    assert(ok.getAs[Long]("n_violating_records") == 0L &&
+      ok.getAs[Long]("violation_ppm") == 0L)
+  }
 }

@@ -148,4 +148,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("n_tokens") == 1L
       && out.head.getAs[Long]("n_docs") == 1L)
   }
+
+  test("surprisal census: ilog2 law exact on a hand corpus (T19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tokens: a x5, b x2 -> N=7; ilog2(7)=2, ilog2(5)=2, ilog2(2)=1
+    // bits(a) = 0, bits(b) = 1
+    val docs = Seq((1L, "a a a a", "s1"), (2L, "b", "s1"), (3L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.surprisalCensus(docs, "text", "source")
+      .orderBy("source").collect()
+    val s1 = r(0); val s2 = r(1)
+    assert(s1.getAs[Long]("n_docs") == 2L && s1.getAs[Long]("n_tokens") == 5L)
+    assert(s1.getAs[Long]("sum_bits") == 1L)   // four a's (0) + one b (1)
+    assert(s1.getAs[Long]("mean_millibits") == 200L)
+    assert(s2.getAs[Long]("n_tokens") == 2L && s2.getAs[Long]("sum_bits") == 1L)
+    assert(s2.getAs[Long]("mean_millibits") == 500L)
+  }
 }
