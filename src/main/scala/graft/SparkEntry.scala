@@ -4899,6 +4899,37 @@ object SparkEntry {
           to_date(col("ts")), daysPerLook = 6, nLooks = 5)
         .orderBy(col("look"))),
 
+    // Q284 — S9 JSONL source roundtrip: documents serialized to
+    // newline-delimited JSON (the interchange format every corpus
+    // pipeline ingests), read back under an EXPLICIT schema (never
+    // inference at scale — one pass, no sampling job), census must equal
+    // the direct parquet census. Exercises JSON string escaping both
+    // ways (multi-byte text, quotes) — the oracle never sees the JSONL,
+    // so any escaping asymmetry breaks the hash.
+    "q284_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("q284_jsonl").toString
+      docs.select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", LongType)))
+      s.read.schema(schema).json(out)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(length(col("text"))).as("total_len"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Q277 — DRIFT7 Benford first-digit census over order totals: the
     // one-window forensic lens (synthetic uniform prices SHOULD flunk
     // the log law loudly — dev_ppm is the diagnostic). Cents via the
@@ -10066,6 +10097,14 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS late_ppm,
           |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS beyond_wm_ppm
           |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // the roundtrip must be invisible: census straight off the table
+      "q284_jsonl_roundtrip" ->
+        """SELECT source, lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(sum(length(text)) AS BIGINT) AS total_len,
+          |  CAST(max(doc_id) AS BIGINT) AS max_id
+          |FROM documents GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
 
       // ilog2 = length(bin(x)) — identical bit law on both engines
       "q281_surprisal_census" ->

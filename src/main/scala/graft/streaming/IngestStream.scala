@@ -189,12 +189,14 @@ object IngestStream {
       dir: String,
       checkpointDir: String,
       stats: Seq[(String, org.apache.spark.sql.Column)],
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      autoCompact: Option[(String, String, Long)] = None): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatchToLake(batch, dir, stats, batchId)
+        commitBatchToLake(batch, dir, stats, batchId,
+          autoCompact = autoCompact)
       }
       .start()
 
@@ -233,7 +235,8 @@ object IngestStream {
   def commitBatchToLake(
       batch: DataFrame, dir: String,
       stats: Seq[(String, org.apache.spark.sql.Column)], batchId: Long,
-      crashPoint: Int => Unit = _ => ()): Unit = {
+      crashPoint: Int => Unit = _ => (),
+      autoCompact: Option[(String, String, Long)] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -271,6 +274,22 @@ object IngestStream {
       graft.sources.LakeManifest.refresh(spark, dir, stats); ()
     } else graft.sources.LakeManifest.write(spark, dir, stats)
     crashPoint(3)
+    // 5. optional auto-compaction — the per-batch small files are the
+    // 100 TB lake killer: once the advisor's fragmentation signal fires,
+    // reoptimize in place (its own commit; a crash here leaves the batch
+    // COMMITTED and the compaction retried by a later batch — exactly-
+    // once is never coupled to maintenance). Note: reoptimize rebases
+    // version history, the documented rewrite posture.
+    autoCompact.foreach { case (aCol, bCol, targetRows) =>
+      val advice = graft.sources.LakeManifest
+        .compactionAdvisor(spark, dir, targetRows).head()
+      if (advice.getAs[Boolean]("should_compact")) {
+        val numFiles = math.max(1L,
+          advice.getAs[Long]("recommended_num_files")).toInt
+        graft.sources.LakeManifest.reoptimize(spark, dir, aCol, bCol,
+          numFiles, stats = stats); ()
+      }
+    }
   }
 
   /** One batch → topic append (shared by the streaming sink and batch

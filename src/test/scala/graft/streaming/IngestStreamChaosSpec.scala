@@ -124,4 +124,31 @@ class IngestStreamChaosSpec extends SparkSpec {
         Map("a" -> (20L, 20L))).count() == 50L)
     } finally q2.stop()
   }
+
+  test("auto-compaction keeps the streaming lake's file count bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lake = tmpDir("chaos-autocompact-lake")
+    val ckpt = tmpDir("chaos-autocompact-ckpt")
+    val mem = MemoryStream[(Long, Long)]
+    // 2000-row file target: 20 batches x 100 rows fragment badly without
+    // maintenance (20+ tiny files); the advisor-gated reoptimize must
+    // keep the count near ceil(rows/target) x 4
+    val q = IngestStream.startManifestedLakeSink(
+      mem.toDF.toDF("id", "a"), lake, ckpt, dims,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+      autoCompact = Some(("a", "id", 2000L)))
+    try {
+      (0 until 20).foreach { b =>
+        mem.addData((1 to 100).map(i => (b * 1000L + i, (b % 50).toLong)): _*)
+        q.processAllAvailable()
+      }
+      val files = spark.read.parquet(lake).inputFiles.length
+      val expectedMax = 4 * math.max(1, math.ceil(2000.0 / 2000).toInt) + 4
+      assert(files <= expectedMax,
+        s"auto-compaction failed to bound files: $files")
+      // maintenance never costs a row, and the manifest stays exact
+      assertLakeExact(lake, 2000L)
+    } finally q.stop()
+  }
 }
