@@ -894,4 +894,99 @@ object StatefulOps {
             if (st.firstAlarmUs < 0L) None else Some(st.firstAlarmUs)))
       }
   }
+
+  final case class ObfCell(arm: Int, bucket: Int, n: Long, s1: Long, s2: Long)
+  final case class ObfState(cells: List[ObfCell])
+  final case class ObfUpdate(key: String, n_a: Long, n_b: Long,
+      latest_look: Int, first_crossed_look: Int, z_latest: Option[Double],
+      crossed_any: Boolean)
+
+  /** The pinned O'Brien–Fleming micro-z boundaries for 5 equally-spaced
+    * looks (shared with [[graft.operators.Experiment.groupSequentialObf]]
+    * and its oracle). */
+  val ObfBoundariesMicroZ: Array[Long] =
+    Array(4876900L, 3356900L, 2680300L, 2289800L, 2031000L)
+
+  /**
+   * Streaming group-sequential A/B monitor (EXP9s) — the live twin of
+   * [[graft.operators.Experiment.groupSequentialObf]]: per experiment
+   * key, bounded state of per-(arm, look-bucket) exact suffstats
+   * (≤ 2·nLooks cells of three longs), re-emitting the sequential
+   * verdict each micro-batch. The experiment START date is a parameter
+   * (a live monitor cannot know the corpus min-day; real experiments
+   * have a declared start), so bucket assignment is stateless and the
+   * state is a PURE function of rows seen — re-batching invariant,
+   * spec-pinned equal to the batch operator on the same rows.
+   *
+   * Welch z replays the batch double tail op-for-op over the same exact
+   * integers. Overflow contract: maxCents²·n_arm < 2⁶³ (1e5-cent values
+   * support ~9·10⁸ rows per arm per key; shard longer experiments).
+   * Rows before `startDay` or past look nLooks drop (outside the plan).
+   */
+  def streamingGroupSequential(rows: DataFrame, startDay: java.sql.Date,
+      daysPerLook: Int = 6, nLooks: Int = 5)(
+      implicit spark: SparkSession): Dataset[ObfUpdate] = {
+    import spark.implicits._
+    require(nLooks == 5, "boundaries pinned for 5 equally-spaced looks")
+    val d0 = startDay.toLocalDate
+    rows
+      .select(col("key").cast("string"), col("arm").cast("int"),
+        col("cents").cast("long"), col("day").cast("date"))
+      .as[(String, Int, Long, java.sql.Date)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ObfState, ObfUpdate](GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[ObfState]) =>
+          val m = scala.collection.mutable.HashMap
+            .empty[(Int, Int), (Long, Long, Long)]
+          state.getOption.foreach(_.cells.foreach(c =>
+            m((c.arm, c.bucket)) = (c.n, c.s1, c.s2)))
+          it.foreach { case (_, arm, x, day) =>
+            val off = java.time.temporal.ChronoUnit.DAYS
+              .between(d0, day.toLocalDate)
+            if (off >= 0) {
+              val b = (off / daysPerLook).toInt
+              if (b < nLooks) {
+                val (n0, s10, s20) = m.getOrElse((arm, b), (0L, 0L, 0L))
+                m((arm, b)) = (n0 + 1L, s10 + x, s20 + x * x)
+              }
+            }
+          }
+          state.update(ObfState(m.toList.sortBy(_._1)
+            .map { case ((a, b), (n, s1, s2)) => ObfCell(a, b, n, s1, s2) }))
+          // replay the batch law over the bounded cells: cumulative
+          // suffstats per look, the SAME double tail
+          def cum(arm: Int, look: Int): (Long, Long, Long) = {
+            var n = 0L; var s1 = 0L; var s2 = 0L
+            (0 until look).foreach { b =>
+              m.get((arm, b)).foreach { case (cn, c1, c2) =>
+                n += cn; s1 += c1; s2 += c2 }
+            }
+            (n, s1, s2)
+          }
+          var latest = 0
+          var firstCrossed = -1
+          var zLatest: Option[Double] = None
+          var nA = 0L; var nB = 0L
+          (1 to nLooks).foreach { k =>
+            val (na, s1a, s2a) = cum(0, k)
+            val (nb, s1b, s2b) = cum(1, k)
+            val hasBucket = m.contains((0, k - 1)) || m.contains((1, k - 1))
+            if (na >= 2 && nb >= 2 && hasBucket) {
+              latest = k; nA = na; nB = nb
+              val z = (s1a.toDouble / na.toDouble - s1b.toDouble / nb.toDouble) /
+                math.sqrt(
+                  (na.toDouble * s2a.toDouble - s1a.toDouble * s1a.toDouble) /
+                    (na.toDouble * (na.toDouble - 1.0)) / na.toDouble +
+                  (nb.toDouble * s2b.toDouble - s1b.toDouble * s1b.toDouble) /
+                    (nb.toDouble * (nb.toDouble - 1.0)) / nb.toDouble)
+              zLatest = Some(z)
+              if (firstCrossed < 0 &&
+                math.abs(z) * 1000000.0 > ObfBoundariesMicroZ(k - 1).toDouble)
+                firstCrossed = k
+            }
+          }
+          ObfUpdate(key, nA, nB, latest, firstCrossed, zLatest,
+            firstCrossed > 0)
+      }
+  }
 }

@@ -704,4 +704,52 @@ class StatefulOpsSpec extends SparkSpec {
 
   private def tsn(day: Int, sec: Int) =
     java.time.LocalDateTime.of(2024, 1, day, 0, 0, 0).plusSeconds(sec.toLong)
+
+  test("streamingGroupSequential: re-batching invariant, equals the batch OBF verdict") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def d(x: String) = java.sql.Date.valueOf(x)
+    val start = d("2024-01-01")
+    // the GroupSequentialSpec hand corpus, under one experiment key:
+    // crossing at look 2, not look 1
+    val rows = Seq(
+      ("e", 0, 10L, d("2024-01-01")), ("e", 0, 14L, d("2024-01-01")),
+      ("e", 1, 1L, d("2024-01-01")), ("e", 1, 5L, d("2024-01-01")),
+      ("e", 0, 10L, d("2024-01-07")), ("e", 0, 14L, d("2024-01-07")),
+      ("e", 1, 1L, d("2024-01-07")), ("e", 1, 5L, d("2024-01-07")))
+
+    def run(batches: Seq[Seq[(String, Int, Long, java.sql.Date)]], name: String) = {
+      val mem = MemoryStream[(String, Int, Long, java.sql.Date)]
+      val out = StatefulOps.streamingGroupSequential(
+        mem.toDF.toDF("key", "arm", "cents", "day"), start)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).orderBy("key").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getInt(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getBoolean(6))).last // last emission = final verdict
+    }
+
+    val oneShot = run(Seq(rows), "obf_one")
+    val sliced = run(Seq(rows.take(3), rows.slice(3, 6), rows.drop(6)), "obf_three")
+    assert(oneShot == sliced, "verdict must not depend on batch slicing")
+
+    // equals the batch operator: crossing first at look 2, same z
+    val batch = graft.operators.Experiment.groupSequentialObf(
+        rows.toDF("key", "arm", "cents", "day"),
+        col("arm"), col("cents"), col("day"), daysPerLook = 6, nLooks = 5)
+      .orderBy("look").collect()
+    val firstCrossedBatch = batch.find(_.getAs[Boolean]("crossed"))
+      .map(_.getAs[Long]("look").toInt).getOrElse(-1)
+    assert(oneShot._5 == firstCrossedBatch && firstCrossedBatch == 2)
+    assert(oneShot._2 == 4L && oneShot._3 == 4L && oneShot._4 == 2)
+    // the z tail is the SAME IEEE arithmetic over the same ints
+    assert(oneShot._6.get == batch.last.getAs[Double]("z"))
+    assert(oneShot._7)
+  }
 }
