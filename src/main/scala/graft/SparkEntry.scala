@@ -4930,6 +4930,31 @@ object SparkEntry {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // Q285 — S10 CSV source roundtrip under HOSTILE content: a synthetic
+    // column stuffed with delimiters and quote characters must survive
+    // write-quote/read-unquote exactly (the law every CSV ingest breaks
+    // first); explicit schema, header on. The oracle builds the hostile
+    // value from the raw table and never sees the CSV.
+    "q285_csv_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("source"), lit(",\""), col("lang"), lit("\",")).as("hostile"),
+        col("n_chars"))
+      val out = java.nio.file.Files.createTempDirectory("q285_csv").toString
+      docs.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", LongType),
+          org.apache.spark.sql.types.StructField("hostile",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars", LongType))))
+        .option("header", "true").csv(out)
+        .groupBy(substring(col("hostile"), 1, 4).as("src4"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(length(col("hostile"))).as("total_len"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("src4"))
+    }),
+
     // Q277 — DRIFT7 Benford first-digit census over order totals: the
     // one-window forensic lens (synthetic uniform prices SHOULD flunk
     // the log law loudly — dev_ppm is the diagnostic). Cents via the
@@ -10097,6 +10122,16 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS late_ppm,
           |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS beyond_wm_ppm
           |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // CSV quoting must be invisible: hostile value from the raw table
+      "q285_csv_roundtrip" ->
+        """WITH h AS (SELECT doc_id, source || ',"' || lang || '",' AS hostile,
+          |    n_chars FROM documents)
+          |SELECT substr(hostile, 1, 4) AS src4, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(sum(length(hostile)) AS BIGINT) AS total_len,
+          |  CAST(max(doc_id) AS BIGINT) AS max_id
+          |FROM h GROUP BY 1 ORDER BY src4""".stripMargin,
 
       // the roundtrip must be invisible: census straight off the table
       "q284_jsonl_roundtrip" ->
