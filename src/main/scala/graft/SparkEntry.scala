@@ -4955,6 +4955,18 @@ object SparkEntry {
         .orderBy(col("src4"))
     }),
 
+    // Q286 — DQ12 primary-key candidate census over lineitem: which
+    // column sets actually identify a row? Includes the q241 fixture
+    // finding as a PROFILED fact — (l_orderkey, l_linenumber) is NOT
+    // unique in this generator — and the full 4-column set that is.
+    "q286_key_candidates" -> ((s, dir) =>
+      graft.operators.Profile.keyCandidates(
+          t(s, dir, "lineitem"),
+          Seq(Seq("l_orderkey"),
+            Seq("l_orderkey", "l_linenumber"),
+            Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")))
+        .orderBy(col("candidate"))),
+
     // Q277 — DRIFT7 Benford first-digit census over order totals: the
     // one-window forensic lens (synthetic uniform prices SHOULD flunk
     // the log law loudly — dev_ppm is the diagnostic). Cents via the
@@ -10122,6 +10134,29 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS late_ppm,
           |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS beyond_wm_ppm
           |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // one grouped census per candidate, unioned; key = null-free + dup-free
+      "q286_key_candidates" ->
+        """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+          |c1 AS (SELECT 'l_orderkey' AS candidate,
+          |    CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(c) AS BIGINT) AS n_nonnull
+          |  FROM (SELECT l_orderkey, count(*) AS c FROM lineitem
+          |        WHERE l_orderkey IS NOT NULL GROUP BY 1)),
+          |c2 AS (SELECT 'l_orderkey+l_linenumber' AS candidate,
+          |    CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(c) AS BIGINT) AS n_nonnull
+          |  FROM (SELECT l_orderkey, l_linenumber, count(*) AS c FROM lineitem
+          |        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL GROUP BY 1, 2)),
+          |c3 AS (SELECT 'l_orderkey+l_linenumber+l_partkey+l_suppkey' AS candidate,
+          |    CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(c) AS BIGINT) AS n_nonnull
+          |  FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, count(*) AS c
+          |        FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+          |          AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL GROUP BY 1, 2, 3, 4)),
+          |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+          |SELECT candidate, t.n_rows, n_distinct,
+          |  n_nonnull - n_distinct AS n_dup_rows,
+          |  (n_nonnull - n_distinct) * 1000000 // n_nonnull AS dup_ppm,
+          |  n_nonnull = n_distinct AND n_nonnull = t.n_rows AS is_key
+          |FROM u, t ORDER BY candidate""".stripMargin,
 
       // CSV quoting must be invisible: hostile value from the raw table
       "q285_csv_roundtrip" ->
