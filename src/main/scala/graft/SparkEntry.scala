@@ -4967,6 +4967,17 @@ object SparkEntry {
             Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")))
         .orderBy(col("candidate"))),
 
+    // Q287 — B11 RFM segmentation: the marketing grid under the exact
+    // histogram-quantile law (q144/q262's generalized lower quantiles) —
+    // both engines place every customer in the same quintile cell, no
+    // global sort, no ntile row-position nondeterminism. Ties at a
+    // threshold land LOW (deterministic).
+    "q287_rfm_segments" -> ((s, dir) =>
+      graft.operators.Cohorts.rfmSegments(
+          t(s, dir, "orders"), "o_custkey", to_date(col("o_orderdate")),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))),
+
     // Q277 — DRIFT7 Benford first-digit census over order totals: the
     // one-window forensic lens (synthetic uniform prices SHOULD flunk
     // the log law loudly — dev_ppm is the diagnostic). Cents via the
@@ -10134,6 +10145,41 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS late_ppm,
           |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS beyond_wm_ppm
           |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // same per-customer RFM, same histogram quintile thresholds, same
+      // ties-land-low score law, cell census
+      "q287_rfm_segments" ->
+        """WITH f AS (SELECT max(CAST(o_orderdate AS DATE)) AS d_max FROM orders),
+          |pc AS (SELECT o_custkey AS cust,
+          |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), f.d_max) AS BIGINT) AS r,
+          |    CAST(count(*) AS BIGINT) AS fq,
+          |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS m
+          |  FROM orders, f GROUP BY o_custkey, f.d_max),
+          |hr AS (SELECT r AS v, count(*) AS c FROM pc GROUP BY 1),
+          |cr AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM hr),
+          |tr AS (SELECT q, min(v) AS t FROM cr, (SELECT unnest([1, 2, 3, 4]) AS q) qs
+          |  WHERE cum * 5 >= n * q GROUP BY q),
+          |hf AS (SELECT fq AS v, count(*) AS c FROM pc GROUP BY 1),
+          |cf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM hf),
+          |tf AS (SELECT q, min(v) AS t FROM cf, (SELECT unnest([1, 2, 3, 4]) AS q) qs
+          |  WHERE cum * 5 >= n * q GROUP BY q),
+          |hm AS (SELECT m AS v, count(*) AS c FROM pc GROUP BY 1),
+          |cm AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM hm),
+          |tm AS (SELECT q, min(v) AS t FROM cm, (SELECT unnest([1, 2, 3, 4]) AS q) qs
+          |  WHERE cum * 5 >= n * q GROUP BY q),
+          |s1 AS (SELECT cust, r, fq, m,
+          |    CAST(1 + sum(CASE WHEN pc.r > tr.t THEN 1 ELSE 0 END) AS BIGINT) AS r_score
+          |  FROM pc CROSS JOIN tr GROUP BY cust, r, fq, m),
+          |s2 AS (SELECT cust, r, fq, m, r_score,
+          |    CAST(1 + sum(CASE WHEN s1.fq > tf.t THEN 1 ELSE 0 END) AS BIGINT) AS f_score
+          |  FROM s1 CROSS JOIN tf GROUP BY cust, r, fq, m, r_score),
+          |s3 AS (SELECT cust, r, fq, m, r_score, f_score,
+          |    CAST(1 + sum(CASE WHEN s2.m > tm.t THEN 1 ELSE 0 END) AS BIGINT) AS m_score
+          |  FROM s2 CROSS JOIN tm GROUP BY cust, r, fq, m, r_score, f_score)
+          |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+          |  CAST(sum(m) AS BIGINT) AS total_cents,
+          |  CAST(sum(r) // count(*) AS BIGINT) AS mean_recency_days
+          |FROM s3 GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
 
       // one grouped census per candidate, unioned; key = null-free + dup-free
       "q286_key_candidates" ->

@@ -138,4 +138,73 @@ object Cohorts {
       .withColumn("share_ppm", expr("n_units * 1000000 DIV _tot"))
       .select("dec1", "dec2", "n_units", "share_ppm")
   }
+
+  /**
+   * RFM segmentation census (B11) — the classic marketing grid
+   * (recency / frequency / monetary) under this repo's exact
+   * histogram-quantile law, so both engines place every customer in the
+   * same cell with NO global sort and NO ntile nondeterminism:
+   *
+   *  - per customer: r = days since last order (vs the corpus max
+   *    date), f = order count, m = total spend cents;
+   *  - per dimension, quintile thresholds t_q = min{v : 5·cum(v) ≥ q·N}
+   *    for q ∈ {1..4} over the VALUE HISTOGRAM (the q144/q262
+   *    generalized lower-quantile law — windows run on the value
+   *    domain, never customer rows);
+   *  - score(v) = 1 + |{q : v > t_q}| ∈ 1..5 (ties at a threshold land
+   *    LOW — deterministic, unlike ntile's row-position splits; note
+   *    r scores raw days, so r_score 5 = LONGEST lapsed).
+   *
+   * Output: one row per occupied (r_score, f_score, m_score) cell with
+   * n_customers, total spend, and mean recency — the grid a campaign
+   * planner reads. Scale: one customer aggregate, three domain-bounded
+   * histograms, three 4-row broadcast threshold joins, one census.
+   */
+  def rfmSegments(orders: DataFrame, custCol: String,
+      dateCol: org.apache.spark.sql.Column,
+      centsCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fence = orders.agg(max(dateCol).as("d_max"))
+    val perCust = orders
+      .select(col(custCol).as("cust"), dateCol.as("d"),
+        centsCol.cast("long").as("cents"))
+      .crossJoin(broadcast(fence)) // 1-row max-date fence (q210 pattern)
+      .groupBy(col("cust"))
+      .agg(max(col("d")).as("last_d"), max(col("d_max")).as("d_max"),
+        count(lit(1)).as("f"), sum(col("cents")).as("m"))
+      .select(col("cust"), datediff(col("d_max"), col("last_d"))
+        .cast("long").as("r"), col("f"), col("m"))
+      .localCheckpoint(true) // three histogram scans + the final scoring
+    def thresholds(dim: String): DataFrame = {
+      val hist = perCust.groupBy(col(dim).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.orderBy(col("v")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = hist.withColumn("cum", sum(col("c")).over(ord))
+        .withColumn("n", sum(col("c")).over(all))
+      (1 to 4).map(q =>
+        cum.where(col("cum") * 5 >= col("n") * q)
+          .agg(min(col("v")).as("t"))
+          .select(lit(q).as("q"), col("t")))
+        .reduce(_ unionByName _)
+    }
+    // the thresholds are 4 rows per dim — the bounded-collect pattern
+    // (q138's 5 BPE merges): score with literals, zero joins in the scan
+    def scoreExpr(dim: String): org.apache.spark.sql.Column = {
+      val ts = thresholds(dim).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+      ts.foldLeft(lit(1L)) { (acc, t) =>
+        acc + when(col(dim) > t, 1L).otherwise(0L)
+      }.as(s"${dim}_score")
+    }
+    perCust
+      .select(col("cust"), col("r"), col("f"), col("m"),
+        scoreExpr("r"), scoreExpr("f"), scoreExpr("m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).as("total_cents"),
+        expr("sum(r) DIV count(1)").as("mean_recency_days"))
+  }
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** B11 laws: quintile thresholds under the generalized lower-quantile
+  * law, ties land LOW, and the degenerate all-equal dimension puts
+  * everyone in score 1. */
+class RfmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("five distinct customers spread 1..5 on each dimension") {
+    def d(x: String) = Date.valueOf(x)
+    // cust i: last order 2024-01-(10+i) -> r decreasing with i;
+    // i orders; spend 100*i cents each
+    val rows = (1 to 5).flatMap { i =>
+      (1 to i).map(j => (i.toLong, d(f"2024-01-${9 + i}%02d"), 100L * i))
+    }.toDF("cust", "day", "cents")
+    val r = Cohorts.rfmSegments(rows, "cust", col("day"), col("cents"))
+      .collect()
+    // every occupied cell has exactly one customer; scores span 1..5 on
+    // f and m (cust i has i orders, 100i^2 total cents)
+    assert(r.map(_.getAs[Long]("n_customers")).sum == 5L)
+    val fScores = r.map(_.getAs[Long]("f_score")).sorted
+    val mScores = r.map(_.getAs[Long]("m_score")).sorted
+    assert(fScores.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    assert(mScores.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    // r: cust 5 ordered LAST (r=0 -> score 1); cust 1 longest lapsed
+    val c5cell = r.find(_.getAs[Long]("f_score") == 5L).get
+    assert(c5cell.getAs[Long]("r_score") == 1L)
+    assert(c5cell.getAs[Long]("mean_recency_days") == 0L)
+    val c1cell = r.find(_.getAs[Long]("f_score") == 1L).get
+    assert(c1cell.getAs[Long]("r_score") == 5L)
+  }
+
+  test("all-equal dimension: everyone scores 1 (ties land low)") {
+    def d(x: String) = Date.valueOf(x)
+    val rows = (1 to 10).map(i => (i.toLong, d("2024-01-10"), 500L))
+      .toDF("cust", "day", "cents")
+    val r = Cohorts.rfmSegments(rows, "cust", col("day"), col("cents"))
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("r_score") == 1L &&
+      r.head.getAs[Long]("f_score") == 1L &&
+      r.head.getAs[Long]("m_score") == 1L)
+    assert(r.head.getAs[Long]("n_customers") == 10L)
+  }
+}
