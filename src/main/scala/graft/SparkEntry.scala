@@ -4978,6 +4978,35 @@ object SparkEntry {
           (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))),
 
+    // Q288 — DQ13 per-day integrity digests over events: the
+    // replication validator (order-independent content digest per
+    // partition, the q122/q246 law as a first-class operator). The
+    // oracle recomputes the digests in HUGEINT — green means both
+    // engines agree on every byte that feeds the canonical row string.
+    "q288_partition_digests" -> ((s, dir) =>
+      graft.operators.Integrity.partitionDigests(
+          t(s, dir, "events"),
+          to_date(col("ts")),
+          concat_ws("\u0001", // chr(1)-joined: the unambiguous canonical form
+            col("event_id").cast("string"),
+            col("user_id").cast("string"),
+            col("event_type"),
+            floor(col("value") * 100).cast("long").cast("string"),
+            col("props")))
+        .orderBy(col("part"))),
+
+    // Q289 — FC7 classical additive seasonal decomposition (weekly):
+    // centered 7-day trend, per-weekday seasonal via the SIGN-SPLIT
+    // truncating divide (detrended runs negative — Spark DIV truncates,
+    // DuckDB // floors, the recipe reconciles them), mean |remainder|
+    // as the fit-quality column — the weekly profile read before q181's
+    // backtest picks naive vs seasonal-naive.
+    "q289_seasonal_decompose" -> ((s, dir) =>
+      graft.operators.Trend.seasonalDecompose(
+          t(s, dir, "events"), col("event_type"), to_date(col("ts")),
+          floor(col("value") * 100).cast("long"))
+        .orderBy(col("key"), col("weekday"))),
+
     // Q277 — DRIFT7 Benford first-digit census over order totals: the
     // one-window forensic lens (synthetic uniform prices SHOULD flunk
     // the log law loudly — dev_ppm is the diagnostic). Cents via the
@@ -10145,6 +10174,42 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS late_ppm,
           |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS beyond_wm_ppm
           |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // HUGEINT sum of the same 60-bit row hashes, canonical digit string
+      "q288_partition_digests" ->
+        """WITH h AS (SELECT CAST(ts AS DATE) AS part,
+          |    ('0x' || substr(md5(
+          |      CAST(event_id AS VARCHAR) || chr(1) || CAST(user_id AS VARCHAR) || chr(1) ||
+          |      event_type || chr(1) || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) ||
+          |      chr(1) || props), 1, 15))::BIGINT AS h
+          |  FROM events)
+          |SELECT part, count(*) AS n_rows,
+          |  CAST(CAST(sum(CAST(h AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS digest
+          |FROM h GROUP BY 1 ORDER BY part""".stripMargin,
+
+      // same trend window, same sign-split divide, dayofweek+1 aligns
+      // DuckDB (0=Sun) with Spark (1=Sun)
+      "q289_seasonal_decompose" ->
+        """WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+          |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM events GROUP BY 1, 2),
+          |det AS (SELECT key, day, cents,
+          |    sum(cents) OVER w AS w_sum, count(*) OVER w AS w_n
+          |  FROM daily WINDOW w AS (PARTITION BY key ORDER BY day
+          |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |d2 AS (SELECT key, CAST(dayofweek(day) + 1 AS BIGINT) AS weekday,
+          |    cents - w_sum // 7 AS detrended
+          |  FROM det WHERE w_n = 7),
+          |sea AS (SELECT key, weekday, CAST(count(*) AS BIGINT) AS n_obs,
+          |    CAST(CASE WHEN sum(detrended) < 0
+          |         THEN -((-sum(detrended)) // count(*))
+          |         ELSE sum(detrended) // count(*) END AS BIGINT) AS seasonal_cents
+          |  FROM d2 GROUP BY 1, 2)
+          |SELECT sea.key, sea.weekday, sea.n_obs, sea.seasonal_cents,
+          |  CAST(sum(abs(d2.detrended - sea.seasonal_cents)) // count(*) AS BIGINT)
+          |    AS mean_abs_remainder
+          |FROM sea JOIN d2 ON sea.key = d2.key AND sea.weekday = d2.weekday
+          |GROUP BY 1, 2, 3, 4 ORDER BY sea.key, sea.weekday""".stripMargin,
 
       // same per-customer RFM, same histogram quintile thresholds, same
       // ties-land-low score law, cell census

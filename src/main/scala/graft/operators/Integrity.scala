@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFunctions
 
 /**
  * Referential-integrity orphan census (DQ6) — the foreign-key audit
@@ -46,4 +48,37 @@ object Integrity {
       .select("relation", "n_rows", "n_keys", "n_orphan_rows",
         "n_orphan_keys", "orphan_ppm")
   }
+
+  /**
+   * Cross-engine table integrity digests (DQ13) — the replication /
+   * migration validator: per partition, an ORDER-INDEPENDENT content
+   * digest any engine can recompute and compare (the q122/q246 recipe
+   * promoted to a first-class operator):
+   *
+   *   digest(p) = Σ_rows portableHash60(canonical row string)
+   *
+   * summed in DECIMAL(38,0) (HUGEINT on DuckDB) and emitted as the
+   * canonical digit string. Addition is commutative, so the digest is
+   * independent of row order, partitioning, and engine — equal digests ⟺
+   * equal row multisets under the canonicalization (collisions are the
+   * 60-bit birthday bound: ~10⁹ rows per partition reach p ≈ 4·10⁻⁴ of a
+   * single colliding PAIR, and a colliding pair must ALSO split across
+   * exactly-compensating partitions to mask a diff).
+   *
+   * The caller supplies the canonical row string (chr(1)-joined columns,
+   * the in-repo convention) so the digest law is explicit in the query,
+   * not hidden in the operator.
+   *
+   * Scale posture: one map-side-combinable aggregate — the digest of a
+   * 100 TB table costs one scan, and validating a replica costs one scan
+   * PER SIDE plus a partition-count row compare.
+   */
+  def partitionDigests(df: DataFrame, partCol: Column,
+      canonicalRow: Column): DataFrame =
+    df.select(partCol.as("part"),
+        TextFunctions.portableHash(canonicalRow).as("h"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+          .cast("string").as("digest"))
 }

@@ -241,4 +241,61 @@ object Trend {
         (col("acc.l") + col("acc.t")).as("forecast_next"),
         col("acc.alarms").as("n_alarms"))
   }
+
+  /**
+   * Classical seasonal decomposition, additive, weekly (FC7) — the
+   * missing classic on the forecasting shelf (naive/seasonal-naive
+   * backtests, EWMA, Theil–Sen, Holt all live here): per key,
+   *
+   *   trend_t    = centered 7-day moving sum DIV 7 (full windows only)
+   *   detrended  = cents_t − trend_t              (signed!)
+   *   seasonal_w = Σ_{t : weekday(t)=w} detrended_t  "div"  n_w
+   *   remainder  = detrended − seasonal_w
+   *
+   * where "div" is the SIGN-SPLIT truncating divide (detrended runs
+   * negative; Spark DIV truncates toward zero, DuckDB // floors — they
+   * disagree on negatives, so both engines compute
+   * CASE WHEN s < 0 THEN −((−s) DIV n) ELSE s DIV n END — the standard
+   * recipe). Output: one row per (key, weekday) with the seasonal
+   * component, observation count, and mean |remainder| — the weekly
+   * profile + fit-quality table a forecaster reads before q181's
+   * backtest chooses naive vs seasonal-naive.
+   *
+   * Scale posture: one (key, day) aggregate; the moving window and
+   * everything after run on the DAY-GRAIN frame (keys × days), never
+   * raw rows.
+   */
+  def seasonalDecompose(df: DataFrame, keyCol: Column, dayCol: Column,
+      centsCol: Column): DataFrame = {
+    val daily = df.select(keyCol.as("key"), dayCol.as("day"),
+        centsCol.cast("long").as("c"))
+      .groupBy(col("key"), col("day"))
+      .agg(sum(col("c")).as("cents"))
+    val w7 = org.apache.spark.sql.expressions.Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("w_sum", sum(col("cents")).over(w7))
+      .withColumn("w_n", count(lit(1)).over(w7))
+      .where(col("w_n") === 7) // full centered windows only
+      .withColumn("trend", expr("w_sum DIV 7"))
+      .withColumn("detrended", col("cents") - col("trend"))
+      .withColumn("weekday", dayofweek(col("day")).cast("long"))
+    det
+      .groupBy(col("key"), col("weekday"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("detrended")).as("_s"),
+        sum(abs(col("detrended"))).as("_sa"))
+      .withColumn("seasonal_cents", expr(
+        "CASE WHEN _s < 0 THEN -((-_s) DIV n_obs) ELSE _s DIV n_obs END"))
+      // mean |remainder| needs the per-row remainder; rejoin the 7-row
+      // weekday frame back (broadcast: keys x 7)
+      .select(col("key"), col("weekday"), col("n_obs"), col("seasonal_cents"))
+      .join(det.select(col("key"), col("weekday"), col("detrended")),
+        Seq("key", "weekday"))
+      .withColumn("abs_rem", abs(col("detrended") - col("seasonal_cents")))
+      .groupBy(col("key"), col("weekday"))
+      .agg(max(col("n_obs")).as("n_obs"),
+        max(col("seasonal_cents")).as("seasonal_cents"),
+        expr("sum(abs_rem) DIV count(1)").as("mean_abs_remainder"))
+  }
 }
