@@ -157,7 +157,7 @@ object GraftSql {
     // IS the catalog), aggregation in SQL.
     "q270_sql_lake_scan" -> ((s, dir) => {
       register(s, dir)
-      val lake = java.nio.file.Files.createTempDirectory("q270_lake").toString
+      val lake = graft.core.Scratch.dir("q270_lake")
       graft.sources.LakeManifest.optimize(
         s.sql("SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem"),
         lake, "l_partkey", "l_suppkey", numFiles = 32, bits = 21)

@@ -934,7 +934,7 @@ object SparkEntry {
     "q67_jsonl_roundtrip" -> ((s, dir) => {
       import graft.functions.TextFunctions.portableHash
       val docs = t(s, dir, "documents")
-      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val out = graft.core.Scratch.dir("graft_jsonl")
       graft.sources.JsonlLake.write(docs, out, partitionBy = Seq("source"))
       graft.sources.JsonlLake.read(s, out, docs.schema)
         .groupBy(col("source"))
@@ -1089,7 +1089,7 @@ object SparkEntry {
     "q82_csv_roundtrip" -> ((s, dir) => {
       import graft.functions.TextFunctions.portableHash
       val docs = t(s, dir, "documents")
-      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val out = graft.core.Scratch.dir("graft_csv")
       graft.sources.CsvLake.write(docs, out, partitionBy = Seq("source"))
       graft.sources.CsvLake.read(s, out, docs.schema)
         .groupBy(col("source"))
@@ -2171,7 +2171,7 @@ object SparkEntry {
       import org.apache.spark.sql.types.DecimalType
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-      val lake = java.nio.file.Files.createTempDirectory("q137_lake").toString
+      val lake = graft.core.Scratch.dir("q137_lake")
       graft.sources.LakeManifest.optimize(
         li, lake, "l_partkey", "l_suppkey", numFiles = 32, bits = 21)
       graft.sources.LakeManifest.readPruned(s, lake,
@@ -4674,7 +4674,7 @@ object SparkEntry {
         .withColumn("day_n",
           datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
         .drop("day")
-      val lake = java.nio.file.Files.createTempDirectory("q259_lake").toString
+      val lake = graft.core.Scratch.dir("q259_lake")
       graft.sources.LakeManifest.optimize(
         ev, lake, "day_n", "event_id", numFiles = 16, bits = 21)
       graft.sources.LakeManifest.write(s, lake,
@@ -4719,7 +4719,7 @@ object SparkEntry {
     // int32→int64 widening) is row-exact, not just schema-compatible.
     "q264_schema_evolution" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
-      val lake = java.nio.file.Files.createTempDirectory("q264_lake").toString
+      val lake = graft.core.Scratch.dir("q264_lake")
       orders.where(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"))
         .coalesce(4).write.mode("overwrite").parquet(lake)
@@ -4758,7 +4758,7 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"))
-      val lake = java.nio.file.Files.createTempDirectory("q275_lake").toString
+      val lake = graft.core.Scratch.dir("q275_lake")
       val dims = Seq("l_partkey" -> col("l_partkey"),
         "l_suppkey" -> col("l_suppkey"))
       graft.sources.LakeManifest.optimize(
@@ -4800,7 +4800,7 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"))
-      val lake = java.nio.file.Files.createTempDirectory("q278_lake").toString
+      val lake = graft.core.Scratch.dir("q278_lake")
       graft.sources.LakeManifest.optimize(
         li, lake, "l_suppkey", "l_partkey", numFiles = 16, bits = 21)
       val updates = li
@@ -4908,7 +4908,7 @@ object SparkEntry {
     // so any escaping asymmetry breaks the hash.
     "q284_jsonl_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val out = java.nio.file.Files.createTempDirectory("q284_jsonl").toString
+      val out = graft.core.Scratch.dir("q284_jsonl")
       docs.select(to_json(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))).as("value"))
         .write.mode("overwrite").text(out)
@@ -4939,7 +4939,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         concat(col("source"), lit(",\""), col("lang"), lit("\",")).as("hostile"),
         col("n_chars"))
-      val out = java.nio.file.Files.createTempDirectory("q285_csv").toString
+      val out = graft.core.Scratch.dir("q285_csv")
       docs.write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id", LongType),
@@ -10198,7 +10198,8 @@ object SparkEntry {
           |  FROM daily WINDOW w AS (PARTITION BY key ORDER BY day
           |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
           |d2 AS (SELECT key, CAST(dayofweek(day) + 1 AS BIGINT) AS weekday,
-          |    cents - w_sum // 7 AS detrended
+          |    cents - (CASE WHEN w_sum < 0 THEN -((-w_sum) // 7)
+          |             ELSE w_sum // 7 END) AS detrended
           |  FROM det WHERE w_n = 7),
           |sea AS (SELECT key, weekday, CAST(count(*) AS BIGINT) AS n_obs,
           |    CAST(CASE WHEN sum(detrended) < 0

@@ -1,0 +1,46 @@
+package graft.core
+
+/**
+ * Process-scoped scratch directories for queries that build a lake
+ * in-query (q137/q259/q264/q270/q275/q278/q284/q285 and the JSONL/CSV
+ * roundtrips): the returned DataFrame reads the scratch lake LAZILY, so
+ * the query closure cannot delete it — instead every scratch dir
+ * registers here and one JVM shutdown hook reclaims them all. Repeated
+ * correctness/bench runs are separate JVMs, so nothing accumulates
+ * across runs (the r8 ADVICE leak).
+ */
+object Scratch {
+  private val dirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  @volatile private var hooked = false
+
+  private def ensureHook(): Unit = synchronized {
+    if (!hooked) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => drain()))
+      hooked = true
+    }
+  }
+
+  /** A fresh temp directory, deleted (recursively) on JVM exit. */
+  def dir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    ensureHook()
+    dirs.add(p)
+    p.toString
+  }
+
+  private def drain(): Unit = {
+    var p = dirs.poll()
+    while (p != null) {
+      deleteRecursively(p.toFile)
+      p = dirs.poll()
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}

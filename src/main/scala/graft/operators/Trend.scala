@@ -277,7 +277,11 @@ object Trend {
       .withColumn("w_sum", sum(col("cents")).over(w7))
       .withColumn("w_n", count(lit(1)).over(w7))
       .where(col("w_n") === 7) // full centered windows only
-      .withColumn("trend", expr("w_sum DIV 7"))
+      // sign-split: a key with negative daily cents (refunds) makes
+      // w_sum negative, where Spark DIV (truncate) and DuckDB // (floor)
+      // disagree — same CASE recipe as the seasonal mean below
+      .withColumn("trend", expr(
+        "CASE WHEN w_sum < 0 THEN -((-w_sum) DIV 7) ELSE w_sum DIV 7 END"))
       .withColumn("detrended", col("cents") - col("trend"))
       .withColumn("weekday", dayofweek(col("day")).cast("long"))
     det

@@ -38,14 +38,28 @@ import graft.operators.ZOrder
  *
  * VERSIONED SNAPSHOTS (the Delta/Iceberg time-travel role): every
  * manifest generation is archived under `history/v{N}` with a VERSION
- * pointer — [[write]]/[[optimize]] rebase history to v0 (a rewrite
- * deletes data files, so older lists would dangle), each [[refresh]]
- * that indexes appends becomes v{N+1}. [[timeTravel]] reads the lake AS
- * OF a version by that version's explicit file list; [[readPruned]]
- * accepts a version pin. Appended files are immutable and the latest
- * manifest references every file any retained version does (refresh
- * unions), so [[vacuum]] against the latest manifest never breaks time
- * travel.
+ * pointer; each committed mutation — [[refresh]], [[evolveSchema]],
+ * and (since r9) the in-place rewrites [[reoptimize]]/[[deleteWhere]]/
+ * [[upsert]] — becomes v{N+1}. [[timeTravel]] reads the lake AS OF a
+ * version by that version's explicit file list; [[readPruned]] accepts
+ * a version pin.
+ *
+ * RETENTION-MODE REWRITES (reader snapshot isolation, the Delta
+ * tombstone discipline): a rewrite never deletes the files it replaces
+ * — it TOMBSTONES them (`removed/` sidecar: file name + removal time)
+ * and leaves the bytes at their original paths. Consequences: (1) a
+ * long-running reader that resolved its file list from a pre-rewrite
+ * manifest finishes its scan row-exact — no FileNotFound mid-query;
+ * (2) [[timeTravel]] works ACROSS rewrites, not just appends; (3) plain
+ * `spark.read.parquet(dir)` directory scans over-count after a rewrite
+ * until [[vacuum]] reclaims — manifest-routed reads ([[readPruned]],
+ * [[timeTravel]]) are never wrong (the Delta/Iceberg posture: the log,
+ * not the listing, is the table). [[vacuum]] reclaims tombstoned files
+ * past the retention horizon and prunes the history versions their
+ * reclamation strands — time travel inside the horizon is exact,
+ * beyond it refused loudly. Only the BOOTSTRAP ops ([[write]] over a
+ * relaid directory, [[optimize]]) still rebase history to v0: they
+ * overwrite the directory itself, so there is nothing to retain.
  */
 object LakeManifest {
 
@@ -122,6 +136,53 @@ object LakeManifest {
         try body finally fl.release()
       } finally ch.close()
     }
+  }
+
+  /** Fence gate before IRREVERSIBLE steps (manifest overwrite, data-file
+    * delete): lakes arbitrated by a lease lock re-validate the lease at
+    * the last possible moment (see StateBackendCommitLock.ensureValid —
+    * the r8 ADVICE fix); OS-FileLock lakes need nothing (the kernel
+    * cannot revoke the lock while the process lives). */
+  private def fenceCheck(dir: String): Unit = {
+    val ext = externalLocks.get(dir)
+    if (ext != null) ext.ensureValid(s"lakelock:$dir")
+  }
+
+  // ---- tombstone store (retention-mode rewrites) ----------------------
+  // One TSV per rewrite commit under removed/: `<removedAtMs>\t<name>`
+  // lines, file NAMES only (flat lakes). Written BEFORE the manifest
+  // swap: a tombstone of a still-referenced file is inert (vacuum's
+  // not-in-latest guard), while the reverse order could strand
+  // unreferenced files no record ever covers.
+
+  private def removedDir(dir: String) = s"$dir/$ManifestDir/removed"
+
+  private def recordRemoved(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      names: Seq[String]): Unit = {
+    if (names.isEmpty) return
+    val now = System.currentTimeMillis()
+    val p = new org.apache.hadoop.fs.Path(removedDir(dir),
+      s"r-${java.util.UUID.randomUUID()}.tsv")
+    val out = fs.create(p, false)
+    try out.write(names.map(n => s"$now\t$n\n").mkString.getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** Tombstoned file names → removal time (max across records). Bounded
+    * by files-ever-rewritten-since-last-vacuum; read driver-side. */
+  def removedEntries(spark: SparkSession, dir: String): Map[String, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rd = new org.apache.hadoop.fs.Path(removedDir(dir))
+    if (!fs.exists(rd)) Map.empty
+    else fs.listStatus(rd).filter(_.isFile).flatMap { e =>
+      val in = fs.open(e.getPath)
+      val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      text.split('\n').filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        line.substring(i + 1) -> line.substring(0, i).toLong
+      }
+    }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).max }
   }
 
   /** Monotone count of COMMITTED manifest mutations — the linearization
@@ -221,6 +282,13 @@ object LakeManifest {
     require(stats.nonEmpty, "at least one stat column")
     require(bloomBits >= 64 && bloomBits <= (1 << 24), "64..2^24 bloom bits")
     withCommitLock(spark, dir) {
+    // a full write indexes EVERY parquet in the directory — on a lake
+    // with retained tombstoned files that would resurrect deleted rows;
+    // vacuum(0) first (the rebuild-after-relayout flow overwrites the
+    // dir, so this only bites a rebuild-in-place over live tombstones)
+    require(removedEntries(spark, dir).isEmpty,
+      s"write() on a lake with tombstoned files would re-index them — " +
+        s"vacuum $dir first")
     // a rebuild over an already-manifested lake reads under the sidecar
     // schema, so a mixed-physical-schema file set (post-evolution) scans
     // uniformly; a fresh lake infers
@@ -236,6 +304,7 @@ object LakeManifest {
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .repartition(1) // numFiles rows: ONE manifest file, one listing unit
+    fenceCheck(dir)
     manifest.write.mode("overwrite").parquet(filesPath(dir))
     // schema sidecar: lets a pruned-to-zero read return the right shape
     // without opening any data file
@@ -351,6 +420,7 @@ object LakeManifest {
       }
       // the evolution IS a generation: same file list, new schema
       val next = currentVersion(spark, dir) + 1
+      fenceCheck(dir)
       read(spark, dir).repartition(1)
         .write.mode("overwrite").parquet(historyPath(dir, next))
       writeVersion(fs, dir, next)
@@ -391,12 +461,20 @@ object LakeManifest {
   /**
    * Time-travel read: the full data of the lake AS OF manifest
    * `version` — the file list that version recorded, addressed by
-   * explicit path (no listing, like every manifest read). Appends are
-   * immutable, so every file a past version references still exists
-   * until a rewrite ([[optimize]]/[[write]] reset history to v0) or a
-   * vacuum with a version-unaware retention deletes it.
+   * explicit path (no listing, like every manifest read). Works across
+   * appends, schema evolutions AND rewrites (retention-mode: a rewrite
+   * tombstones its originals instead of deleting them), until a
+   * [[vacuum]] reclaims a file the version references — vacuum prunes
+   * exactly those versions, so a retained version always reads exact
+   * and a reclaimed one refuses loudly here. Bootstrap rebases
+   * ([[write]] over a relaid dir, [[optimize]]) reset history to v0.
    */
   def timeTravel(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val fsT = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fsT.exists(new org.apache.hadoop.fs.Path(historyPath(dir, version))),
+      s"version $version of $dir is not retained (vacuumed past the " +
+        s"retention horizon, or rebased by a bootstrap write/optimize)")
     val files = readAt(spark, dir, version)
       .select(col("file")).collect().map(_.getString(0)).sorted
     // that version's rows under that version's SCHEMA (evolution-aware):
@@ -459,13 +537,16 @@ object LakeManifest {
     require(dataDirs.isEmpty,
       s"refresh supports flat lakes only; found partition-style subdirs: " +
         dataDirs.take(3).map(_.getPath.getName).mkString(", "))
+    // tombstoned (removed-but-retained) files are on disk but NOT lake
+    // data: indexing them would resurrect rewritten rows
+    val tombstoned = removedEntries(spark, dir).keySet
     val fresh = entries
       .filter(_.isFile)
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-          !known(n)
+          !known(n) && !tombstoned(n)
       }
     if (fresh.isEmpty) 0
     else {
@@ -479,6 +560,7 @@ object LakeManifest {
       val merged = spark.createDataFrame(
         new java.util.ArrayList[Row]((oldRows ++ newRows).toSeq.asJava),
         manifest.schema)
+      fenceCheck(dir)
       merged.repartition(1).write.mode("overwrite").parquet(filesPath(dir))
       // append generation: archive the new file list as version N+1
       val next = currentVersion(spark, dir) + 1
@@ -610,26 +692,31 @@ object LakeManifest {
   /**
    * In-place, multi-writer-safe re-optimize (the Delta OPTIMIZE shape):
    * compacts exactly the files the CURRENT manifest lists into
-   * `numFiles` z-ordered files, swaps the manifest, and only THEN
-   * deletes the compacted originals — all under the lake's commit lock.
-   * Unlike [[optimize]] (a bootstrap directory OVERWRITE that destroys
-   * anything it didn't read), a concurrent append's not-yet-indexed
-   * files are untouched on disk and the next [[refresh]] indexes them —
-   * zero lost files under any interleaving of appends and compactions.
+   * `numFiles` z-ordered files, TOMBSTONES the compacted originals
+   * (retention mode — the bytes stay at their paths until [[vacuum]]'s
+   * horizon passes), and swaps the manifest — all under the lake's
+   * commit lock. Unlike [[optimize]] (a bootstrap directory OVERWRITE
+   * that destroys anything it didn't read), a concurrent append's
+   * not-yet-indexed files are untouched on disk and the next
+   * [[refresh]] indexes them — zero lost files under any interleaving
+   * of appends and compactions. A reader mid-scan on the pre-compaction
+   * file list finishes row-exact: nothing it references is deleted.
    *
    * Staging: the layout writes to a temp dir under the manifest dir and
    * the part files MOVE (same-fs rename) into the lake, so the set of
    * new file names is known exactly — no listing race with concurrent
    * appenders. A crash before the manifest swap leaves only staged temp
-   * files (invisible to data scans: `_`-prefixed parent); after it, only
-   * unreferenced originals ([[vacuum]] reclaims both).
+   * files (invisible to data scans: `_`-prefixed parent) and inert
+   * tombstones of still-referenced files; after it, tombstoned
+   * originals awaiting their horizon ([[vacuum]] reclaims both).
    *
    * `expectedVersion` is the CAS guard (refuse if another writer
    * committed since the caller planned); `stats`/`bloom` default to the
    * manifest's existing dims re-derived as plain columns — pass
-   * expressions if the lake indexes DERIVED dims. Rebase semantics:
-   * like every rewrite, history resets to v0 = the post-compaction
-   * state. Returns (files compacted, files written).
+   * expressions if the lake indexes DERIVED dims. History is LINEAR:
+   * the compaction commits as version N+1 and every prior version stays
+   * time-travelable until vacuum. Returns (files compacted, files
+   * written).
    */
   def reoptimize(
       spark: SparkSession, dir: String, aCol: String, bCol: String,
@@ -692,20 +779,22 @@ object LakeManifest {
         .agg(aggs.head, aggs.tail: _*)
         .select(manifestSchema.fieldNames.map(col).toIndexedSeq: _*)
         .collect()
+      // retention-mode commit: tombstone FIRST (inert while the manifest
+      // still references the originals), then swap the manifest, then
+      // linear history v{N+1} — originals stay on disk for readers and
+      // time travel until vacuum's horizon passes
+      fenceCheck(dir)
+      recordRemoved(fs, dir, oldFiles.map(_.split('/').last).toSeq)
       spark.createDataFrame(
           new java.util.ArrayList[Row](newRows.toSeq.asJava), manifestSchema)
         .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(schemasDir(dir)), true) // rebase resets schema history too
+      val next = currentVersion(spark, dir) + 1
       spark.read.parquet(filesPath(dir))
-        .write.mode("overwrite").parquet(historyPath(dir, 0))
-      writeVersion(fs, dir, 0)
+        .write.mode("overwrite").parquet(historyPath(dir, next))
+      writeVersion(fs, dir, next)
       bumpCommitSeq(spark, dir)
       snapshots.clear(); bloomSnapshots.clear()
-      // manifest swapped: the originals are unreferenced — delete LAST
-      oldFiles.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false))
-      spark.catalog.refreshByPath(dir) // renames+deletes bypass the FileStatusCache
+      spark.catalog.refreshByPath(dir) // renames bypass the FileStatusCache
       (oldFiles.length, moved.length)
     }
   }
@@ -847,7 +936,9 @@ object LakeManifest {
    * survivors = candidate-file rows ANTI-JOINED against the update key
    * set, staged together with the update rows as new files; manifest
    * rewrites in ONE step (kept entries + new-file entries with full
-   * stat/bloom columns); candidate files delete LAST. `updates` must
+   * stat/bloom columns); candidate files are TOMBSTONED, not deleted
+   * (retention mode — [[vacuum]] reclaims them past the horizon, so
+   * concurrent readers and pre-merge time travel stay exact). `updates` must
    * carry the lake's data schema. Multi-row keys replace as a GROUP:
    * all old rows of a matched key go, all update rows of it land.
    *
@@ -939,19 +1030,22 @@ object LakeManifest {
     val candNames = cand.map(_.split('/').last).toSet
     val keptRows = oldRows.filterNot(r =>
       candNames(r.getString(r.fieldIndex("file")).split('/').last))
+    // retention-mode commit: tombstone first (inert until the swap),
+    // swap the manifest, linear history v{N+1}; touched originals stay
+    // on disk for in-flight readers and time travel until vacuum
+    fenceCheck(dir)
+    recordRemoved(fs, dir, cand.map(_.split('/').last).toSeq)
     spark.createDataFrame(
         new java.util.ArrayList[Row]((keptRows ++ newRows).toSeq.asJava),
         manifestSchema)
       .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(schemasDir(dir)), true)
+    val next = currentVersion(spark, dir) + 1
     spark.read.parquet(filesPath(dir))
-      .write.mode("overwrite").parquet(historyPath(dir, 0))
-    writeVersion(fs, dir, 0)
+      .write.mode("overwrite").parquet(historyPath(dir, next))
+    writeVersion(fs, dir, next)
     bumpCommitSeq(spark, dir)
     snapshots.clear(); bloomSnapshots.clear()
-    cand.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
-    spark.catalog.refreshByPath(dir) // renames+deletes bypass the FileStatusCache
+    spark.catalog.refreshByPath(dir) // renames bypass the FileStatusCache
     (nCand - nSurvivors, nUpdateRows, cand.length)
     }
     }
@@ -968,14 +1062,17 @@ object LakeManifest {
    * touched files append as new files; the manifest rewrites in ONE
    * step — untouched entries kept, touched entries dropped, survivor
    * files indexed in one bounded scan (the [[refresh]] law); the
-   * touched data files delete LAST. A crash before the manifest rewrite
-   * leaves the lake logically unchanged (survivor files are young
-   * orphans — [[vacuum]] them before re-running, or they double-index);
-   * a crash after it leaves only unreferenced candidate files (pruned
-   * reads are already correct; vacuum reclaims the bytes). At no point
-   * does the manifest reference a deleted file. A delete is a REWRITE,
-   * so history REBASES to v0 (old versions reference deleted files; the
-   * same posture as [[optimize]]).
+   * touched data files are TOMBSTONED, never deleted in-commit
+   * (retention mode: [[vacuum]] reclaims them past the horizon, so a
+   * reader mid-scan and pre-delete [[timeTravel]] stay exact). A crash
+   * before the manifest rewrite leaves the lake logically unchanged
+   * (survivor files are young orphans — [[vacuum]] them before
+   * re-running, or they double-index; tombstones of still-referenced
+   * files are inert); a crash after it leaves tombstoned candidates
+   * awaiting their horizon (pruned reads are already correct). At no
+   * point does the manifest reference a missing file. History is
+   * LINEAR: the delete commits as version N+1; prior versions stay
+   * time-travelable until vacuum.
    *
    * `bloom` names the bloom-indexed dims of the lake (same expressions
    * as the original [[write]]); when omitted, the manifest's `bloom_*`
@@ -1049,12 +1146,15 @@ object LakeManifest {
     // index the survivor files (everything on disk the old manifest did
     // not know) with FULL stat+bloom columns, aligned to the manifest
     // schema BY NAME — one bounded scan of the new bytes only
+    // ...excluding retained tombstoned files of EARLIER rewrites, which
+    // are on disk but not lake data
+    val tombstonedNames = removedEntries(spark, dir).keySet
     val freshFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(_.isFile).map(_.getPath)
       .filter { p =>
         val n = p.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-          !knownNames(n)
+          !knownNames(n) && !tombstonedNames(n)
       }
     val survivorRows: Array[Row] =
       if (freshFiles.isEmpty) Array.empty
@@ -1074,21 +1174,22 @@ object LakeManifest {
     val candNames = cand.map(_.split('/').last).toSet
     val keptRows = oldRows.filterNot(r =>
       candNames(r.getString(r.fieldIndex("file")).split('/').last))
+    // retention-mode commit: tombstone first (inert until the swap),
+    // swap the manifest in ONE step, linear history v{N+1}; touched
+    // originals stay on disk for in-flight readers and time travel
+    fenceCheck(dir)
+    recordRemoved(fs, dir, cand.map(_.split('/').last).toSeq)
     spark.createDataFrame(
         new java.util.ArrayList[Row]((keptRows ++ survivorRows).toSeq.asJava),
         manifestSchema)
       .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-    // rebase history (a delete is a rewrite)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(schemasDir(dir)), true) // rebase resets schema history too
+    val next = currentVersion(spark, dir) + 1
     spark.read.parquet(filesPath(dir))
-      .write.mode("overwrite").parquet(historyPath(dir, 0))
-    writeVersion(fs, dir, 0)
+      .write.mode("overwrite").parquet(historyPath(dir, next))
+    writeVersion(fs, dir, next)
     bumpCommitSeq(spark, dir)
     snapshots.clear(); bloomSnapshots.clear()
-    // only now: drop the touched data files (crash here ⇒ orphans only)
-    cand.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
-    spark.catalog.refreshByPath(dir) // deletes bypass the FileStatusCache
+    spark.catalog.refreshByPath(dir) // appends bypass the FileStatusCache
     (nDeleted, cand.length)
     }
     }
@@ -1125,24 +1226,36 @@ object LakeManifest {
   }
 
   /**
-   * The Delta-VACUUM role: delete data files the manifest does NOT
-   * reference, but only those older than `retentionMs` — the retention
-   * horizon is what makes vacuum safe to run concurrently with appends
-   * (a freshly appended file awaiting [[refresh]] is unreferenced but
-   * young, and must survive). Orphans accumulate from interrupted
-   * [[optimize]] runs and abandoned writer attempts; they corrupt only
-   * FULL directory scans (`spark.read.parquet(dir)` double-counts them —
-   * manifest-pruned reads never see them), and they cost storage.
+   * The Delta-VACUUM role, in two tiers:
    *
-   * Flat lakes only (what [[optimize]] writes; same refusal law as
-   * [[refresh]]). Maintenance may list the directory — it is the read
-   * path that stays listing-free. Returns the deleted paths
-   * (`dryRun = true` returns the candidates without deleting).
+   *  1. **Tombstone reclaim** (retention-mode rewrites): data files a
+   *     rewrite ([[reoptimize]]/[[deleteWhere]]/[[upsert]]) tombstoned
+   *     whose REMOVAL TIME is past the horizon are deleted, and the
+   *     history versions that reference them are pruned (their
+   *     snapshots are no longer reconstructible — the Delta law that
+   *     vacuum bounds time travel). Inside the horizon, tombstoned
+   *     files and every version referencing them survive untouched, so
+   *     long-running readers and [[timeTravel]] stay exact. The horizon
+   *     is the REMOVAL time, not the file's write time — a file written
+   *     a year ago and rewritten a second ago is NOT reclaimable.
+   *  2. **Orphan sweep**: on-disk parquet the manifest never indexed
+   *     and no tombstone covers — the residue of interrupted
+   *     [[optimize]] runs and abandoned writer attempts — deleted past
+   *     `retentionMs` of its WRITE time (a freshly appended file
+   *     awaiting [[refresh]] is unreferenced but young, and survives).
+   *
+   * After a reclaim the tombstone store compacts to the surviving
+   * entries. Flat lakes only (what [[optimize]] writes; same refusal
+   * law as [[refresh]]). Runs under the commit lock — maintenance may
+   * briefly block writers; it is the READ path that stays lock- and
+   * listing-free. Returns the deleted paths (`dryRun = true` returns
+   * the candidates without deleting or pruning anything).
    */
   def vacuum(
       spark: SparkSession, dir: String, retentionMs: Long,
       dryRun: Boolean = false): Seq[String] = {
     require(retentionMs >= 0, "retention must be >= 0")
+    withCommitLock(spark, dir) {
     val known = read(spark, dir).select(col("file")).collect()
       .map(_.getString(0).split('/').last).toSet
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1154,12 +1267,57 @@ object LakeManifest {
       s"vacuum supports flat lakes only; found partition-style subdirs: " +
         dataDirs.take(3).map(_.getPath.getName).mkString(", "))
     val cutoff = System.currentTimeMillis() - retentionMs
+    val tomb = removedEntries(spark, dir)
+    // tier 1: tombstoned past the horizon AND not referenced by the
+    // latest manifest (a tombstone of a referenced file is an inert
+    // crash residue — never honored)
+    val reclaim = tomb.collect {
+      case (n, at) if at <= cutoff && !known(n) => n
+    }.toSet
+    // tier 2: unindexed, untombstoned, old by write time
     val orphans = entries.filter { e =>
       val n = e.getPath.getName
       e.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
-        !n.startsWith(".") && !known(n) && e.getModificationTime < cutoff
+        !n.startsWith(".") && !known(n) && !tomb.contains(n) &&
+        e.getModificationTime < cutoff
+    }.map(_.getPath.getName)
+    val victims = (reclaim ++ orphans).toSeq.sorted
+    if (!dryRun && victims.nonEmpty) {
+      fenceCheck(dir)
+      // prune history versions stranded by the reclaim (they reference
+      // a file that is about to vanish); bounded: versions x numFiles
+      if (reclaim.nonEmpty) {
+        val histRoot = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history")
+        if (fs.exists(histRoot)) {
+          fs.listStatus(histRoot).filter(_.isDirectory).foreach { h =>
+            val v = h.getPath.getName.stripPrefix("v").toInt
+            if (v != currentVersion(spark, dir)) {
+              val refs = spark.read.parquet(h.getPath.toString)
+                .select(col("file")).collect()
+                .map(_.getString(0).split('/').last)
+              if (refs.exists(reclaim)) fs.delete(h.getPath, true)
+            }
+          }
+        }
+        // compact the tombstone store to the surviving entries
+        val survivors = tomb.view.filterKeys(n => !reclaim(n)).toMap
+        val rd = new org.apache.hadoop.fs.Path(removedDir(dir))
+        if (fs.exists(rd)) fs.delete(rd, true)
+        if (survivors.nonEmpty) {
+          val p = new org.apache.hadoop.fs.Path(removedDir(dir),
+            s"r-${java.util.UUID.randomUUID()}.tsv")
+          val out = fs.create(p, false)
+          try out.write(survivors.map { case (n, at) => s"$at\t$n\n" }
+            .mkString.getBytes(UTF_8))
+          finally out.close()
+        }
+      }
+      victims.foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+      snapshots.clear(); bloomSnapshots.clear()
+      spark.catalog.refreshByPath(dir) // deletes bypass the FileStatusCache
     }
-    if (!dryRun) orphans.foreach(e => fs.delete(e.getPath, false))
-    orphans.map(_.getPath.toString).toSeq.sorted
+    victims.map(n => s"$dir/$n")
+    }
   }
 }

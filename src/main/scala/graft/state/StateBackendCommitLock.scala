@@ -38,6 +38,34 @@ final class StateBackendCommitLock(
 
   private def now(): Long = System.currentTimeMillis()
 
+  // per-key fenced flag of the CURRENT holder (at most one holder per
+  // key at a time — acquire serializes); lets [[ensureValid]] see the
+  // heartbeat's verdict and lets the heartbeat see a failed sync renew
+  private val activeFence = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicBoolean]()
+
+  /**
+   * Fence gate for IRREVERSIBLE steps (the r8 ADVICE fix): callers
+   * inside `withLock`'s body invoke this immediately before a manifest
+   * overwrite or data-file delete. It checks the heartbeat's fenced flag
+   * AND does a synchronous CAS renew — success extends the lease across
+   * the destructive step; failure means the lease was taken over while
+   * we were presumed dead, and the step MUST NOT run. Throws
+   * [[FencedException]] (before the damage, unlike the release-time
+   * check, which can only report it after).
+   */
+  def ensureValid(key: String): Unit = {
+    val f = activeFence.get(key)
+    if (f == null) throw new IllegalStateException(
+      s"ensureValid($key) outside withLock — no lease held")
+    if (f.get() || !renew(key)) {
+      f.set(true)
+      throw new FencedException(
+        s"lease on $key lost BEFORE an irreversible step (holder $ownerId " +
+          "fenced) — aborting without mutating")
+    }
+  }
+
   /** Spin-acquire the lease; returns the lock-key version we hold. */
   private def acquire(key: String): Unit = {
     val deadline = now() + acquireTimeoutMs
@@ -88,12 +116,13 @@ final class StateBackendCommitLock(
    */
   def withLock[T](key: String)(body: => T): T = {
     acquire(key)
-    @volatile var fenced = false
+    val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    activeFence.put(key, fenced)
     val beat = new Thread(() => {
       var live = true
       try while (live && !Thread.currentThread().isInterrupted) {
         Thread.sleep(math.max(1L, ttlMs / 3))
-        if (!renew(key)) { fenced = true; live = false }
+        if (!renew(key)) { fenced.set(true); live = false }
       } catch { case _: InterruptedException => () }
     }, s"lease-heartbeat-$key")
     beat.setDaemon(true)
@@ -102,12 +131,13 @@ final class StateBackendCommitLock(
       val r =
         try body
         catch { case t: Throwable => release(key); throw t } // best-effort
-      if (fenced || !release(key))
+      if (fenced.get() || !release(key))
         throw new FencedException(
           s"lease on $key lost mid-commit (holder $ownerId was fenced)")
       r
     } finally {
       beat.interrupt()
+      activeFence.remove(key, fenced)
     }
   }
 }

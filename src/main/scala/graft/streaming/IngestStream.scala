@@ -219,17 +219,30 @@ object IngestStream {
    *  4. **Commit**: `refresh` indexes exactly the new files (first
    *     batch bootstraps with a full `write` — the lake IS the batch).
    *     The manifest generation is the atomic commit point.
+   *  5. **Durable witness**: record `batchId` in the `LASTBATCH`
+   *     sidecar. The file-NAME witness of step 1 does not survive
+   *     maintenance (a reoptimize compacts `b{B}-` files into
+   *     un-prefixed part files), so auto-compaction is gated BEHIND this
+   *     sidecar: whenever a compaction could have destroyed the name
+   *     witness, the sidecar witness is already durable, and a replay of
+   *     batch B fences on `B <= LASTBATCH` before ever consulting file
+   *     names (the r8 ADVICE fence hole). One writer query per lake —
+   *     batch ids are monotone per checkpoint, so max-id is a sound
+   *     witness; a NEW query (fresh checkpoint) must target a new lake.
    *
    * Crash anywhere: before step 4 the lake is logically unchanged
    * (pruned reads never see unindexed files) and the replay repairs;
-   * after step 4 the replay fences on the witness. The one caveat is
-   * shared with [[graft.sources.LakeManifest.vacuum]]: plain
-   * `spark.read.parquet(dir)` directory scans can see uncommitted
+   * after step 4 the replay fences on the name witness (crash before
+   * step 5 — no compaction has run, names intact) or on the sidecar
+   * (crash after step 5, including during/after auto-compaction). The
+   * one caveat is shared with [[graft.sources.LakeManifest.vacuum]]:
+   * plain `spark.read.parquet(dir)` directory scans can see uncommitted
    * leftovers between crash and replay — manifest-routed reads never do.
    *
    * `crashPoint` is the chaos-test failpoint hook (1 = post-sweep,
    * 2 = post-append/pre-refresh — the judge's "between topic append and
-   * manifest refresh", 3 = post-refresh/pre-checkpoint); production
+   * manifest refresh", 3 = post-refresh/pre-sidecar, 4 = post-sidecar/
+   * pre-compaction, 5 = post-compaction/pre-checkpoint); production
    * callers leave it inert.
    */
   def commitBatchToLake(
@@ -242,6 +255,16 @@ object IngestStream {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = s"b$batchId-"
+    // 0. compaction-proof replay fence: the LASTBATCH sidecar survives
+    // reoptimize (which destroys the b{B}- name witness below)
+    val lastBatchPath = new org.apache.hadoop.fs.Path(
+      s"$dir/${graft.sources.LakeManifest.ManifestDir}/LASTBATCH")
+    if (fs.exists(lastBatchPath)) {
+      val in = fs.open(lastBatchPath)
+      val last = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong finally in.close()
+      if (batchId <= last) return
+    }
     val hasManifest = try {
       graft.sources.LakeManifest.currentVersion(spark, dir); true
     } catch { case _: java.io.IOException | _: java.io.FileNotFoundException => false }
@@ -274,12 +297,19 @@ object IngestStream {
       graft.sources.LakeManifest.refresh(spark, dir, stats); ()
     } else graft.sources.LakeManifest.write(spark, dir, stats)
     crashPoint(3)
-    // 5. optional auto-compaction — the per-batch small files are the
+    // 5. durable witness BEFORE any maintenance can touch file names:
+    // a crash between refresh and this write is covered by the intact
+    // name witness (no compaction has run yet)
+    val out = fs.create(lastBatchPath, true)
+    try out.write(batchId.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    crashPoint(4)
+    // 6. optional auto-compaction — the per-batch small files are the
     // 100 TB lake killer: once the advisor's fragmentation signal fires,
     // reoptimize in place (its own commit; a crash here leaves the batch
-    // COMMITTED and the compaction retried by a later batch — exactly-
-    // once is never coupled to maintenance). Note: reoptimize rebases
-    // version history, the documented rewrite posture.
+    // COMMITTED — the sidecar witness of step 5 fences the replay even
+    // though compaction renamed the batch's files, so exactly-once is
+    // never coupled to maintenance).
     autoCompact.foreach { case (aCol, bCol, targetRows) =>
       val advice = graft.sources.LakeManifest
         .compactionAdvisor(spark, dir, targetRows).head()
@@ -290,6 +320,7 @@ object IngestStream {
           numFiles, stats = stats); ()
       }
     }
+    crashPoint(5)
   }
 
   /** One batch → topic append (shared by the streaming sink and batch

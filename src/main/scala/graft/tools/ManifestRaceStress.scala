@@ -111,9 +111,12 @@ object ManifestRaceStress {
     val wall = (System.nanoTime() - t0) / 1e9
     require(failures.isEmpty, s"writer failed: ${failures.peek()}")
 
-    // final refresh folds in any append the last compaction raced past
+    // final refresh folds in any append the last compaction raced past;
+    // zero-retention vacuum reclaims the rewrites' tombstoned originals
+    // so disk-vs-manifest and plain-vs-pruned accounting are exact
     if (LakeManifest.refresh(spark, dir, dims) > 0)
       landedCommits.incrementAndGet()
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
 
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

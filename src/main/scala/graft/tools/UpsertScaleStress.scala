@@ -60,6 +60,9 @@ object UpsertScaleStress {
         LakeManifest.upsert(spark, dir, dims, "key", updates)
       }
       expected = expected - replaced + written
+      // retention mode retains the touched originals — reclaim before
+      // the plain-scan accounting (also stresses the vacuum path)
+      LakeManifest.vacuum(spark, dir, retentionMs = 0L)
       val total = LakeManifest.read(spark, dir).count()
       val actual = spark.read.parquet(dir).count()
       require(replaced == before, s"replace accounting: $replaced vs $before")
@@ -93,6 +96,7 @@ object UpsertScaleStress {
           Seq("key" -> col("key"), "t" -> col("t")), "key", updates)
       }
       kExpected = kExpected - replaced + written
+      LakeManifest.vacuum(spark, kDir, retentionMs = 0L)
       val total = LakeManifest.read(spark, kDir).count()
       require(spark.read.parquet(kDir).count() == kExpected, "row accounting")
       println(f"[upsert-stress] KEY-SORTED band $bandWidth%6d keys: " +

@@ -134,8 +134,11 @@ class LakeManifestConcurrencySpec extends SparkSpec {
     assert((inManifest -- onDisk).isEmpty,
       s"manifest references deleted files: ${(inManifest -- onDisk).take(3)}")
     // zero lost rows: an append the compaction raced past survives on
-    // disk even if unindexed; a final refresh folds any straggler in
+    // disk even if unindexed; a final refresh folds any straggler in,
+    // and a zero-retention vacuum reclaims the compactions' tombstoned
+    // originals so disk and manifest agree exactly
     LakeManifest.refresh(spark, dir, dims)
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
     val expected = 4000L + 4 * 500L
     assert(spark.read.parquet(dir).count() == expected)
     assert(LakeManifest.readPruned(spark, dir,
@@ -185,6 +188,10 @@ class LakeManifestConcurrencySpec extends SparkSpec {
     // the unindexed file is untouched on disk, and refresh indexes it
     assert(unindexed.subsetOf(dataFilesOnDisk(dir)))
     assert(LakeManifest.refresh(spark, dir, dims) == unindexed.size)
+    // reclaim the compaction's tombstoned originals (retention mode) so
+    // the plain directory scan is exact; the freshly-indexed append must
+    // SURVIVE the vacuum (it is referenced now)
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
     assert(spark.read.parquet(dir).count() == 4700L)
     assert(LakeManifest.readPruned(spark, dir,
       Map("a" -> (0L, 255L))).count() == 4700L)

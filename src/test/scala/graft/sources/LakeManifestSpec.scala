@@ -179,6 +179,12 @@ class LakeManifestSpec extends SparkSpec {
     assert(nDeleted == targetRows)
     assert(nRewritten == touchedBefore.size)
     assert(nRewritten < allFiles.size, "delete must not touch the whole lake")
+    // retention mode: the delete commits as v1 and the PRE-delete
+    // snapshot (v0) stays row-exact — originals are tombstoned, not gone
+    assert(LakeManifest.currentVersion(spark, dir) == 1)
+    assert(LakeManifest.timeTravel(spark, dir, 0).count() == 40000L)
+    // reclaim past the horizon; plain directory reads are exact again
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
     // rows gone, non-matching rows of touched files preserved
     val after = spark.read.parquet(dir)
     assert(after.where(col("a") === 7L).count() == 0L)
@@ -188,9 +194,12 @@ class LakeManifestSpec extends SparkSpec {
     // manifest consistent: pruned reads keep the row-identity law
     val pruned = LakeManifest.readPruned(spark, dir, Map("a" -> (0L, 255L)))
     assert(pruned.count() == after.count())
-    // a delete is a rewrite: history rebased, v0 IS the post-delete state
-    assert(LakeManifest.currentVersion(spark, dir) == 0)
-    assert(LakeManifest.timeTravel(spark, dir, 0).count() == after.count())
+    // the vacuum pruned the now-unreconstructible v0; v1 IS the
+    // post-delete state and stays time-travelable
+    intercept[IllegalArgumentException] {
+      LakeManifest.timeTravel(spark, dir, 0)
+    }
+    assert(LakeManifest.timeTravel(spark, dir, 1).count() == after.count())
   }
 
   test("upsert: key-replacement MERGE at file-touch cost") {
@@ -219,6 +228,11 @@ class LakeManifestSpec extends SparkSpec {
     assert(nReplaced == oldA7, s"replaced $nReplaced, expected $oldA7")
     assert(nWritten == 300L)
     assert(nFiles == touchedBefore.size)
+    // retention mode: the merge commits as v1; the pre-merge snapshot
+    // stays row-exact until vacuum reclaims its tombstoned originals
+    assert(LakeManifest.currentVersion(spark, dir) == 1)
+    assert(LakeManifest.timeTravel(spark, dir, 0).count() == 40000L)
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
     // the lake now holds: everything except old a=7..9 rows, plus updates
     // (a DataFrame pins its file list at creation, so capture the count
     // NOW — the second upsert below rewrites files under it)
@@ -235,6 +249,7 @@ class LakeManifestSpec extends SparkSpec {
     // content: the 300 update rows replace themselves
     val (r2, w2, _) = LakeManifest.upsert(spark, dir, dims, "a", updates)
     assert(r2 == 300L && w2 == 300L)
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
     assert(spark.read.parquet(dir).count() == afterCount)
     // a mismatched expectedVersion refuses pre-mutation
     intercept[LakeManifest.ManifestConflictException] {
@@ -271,7 +286,9 @@ class LakeManifestSpec extends SparkSpec {
     assert(hit.count() == 1L && hit.head().getLong(0) == survivorId)
     assert(LakeManifest.readPrunedByBloom(spark, dir, "id",
       Seq(deletedId.toString)).count() == 0L)
-    // row-identity law holds against a plain directory read
+    // row-identity law holds against a plain directory read (reclaim the
+    // retained originals first — plain reads over-count until vacuum)
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
     val after = spark.read.parquet(dir)
     assert(LakeManifest.readPruned(spark, dir,
       Map("a" -> (0L, 255L))).count() == after.count())

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Retention-mode rewrites (the r8 judge's task 1): rewrites tombstone
+ * their originals instead of deleting them in-commit, so
+ *
+ *  1. a READER that resolved its file list from a pre-rewrite manifest
+ *     finishes its scan row-exact while rewrites land under it — no
+ *     FileNotFoundException mid-query (the reader-vs-rewrite race);
+ *  2. [[LakeManifest.timeTravel]] works ACROSS rewrites (reoptimize /
+ *     deleteWhere / upsert), version history staying linear;
+ *  3. [[LakeManifest.vacuum]] reclaims tombstoned files only past the
+ *     retention horizon (REMOVAL time, not write time), prunes exactly
+ *     the history versions the reclaim strands, and leaves the current
+ *     snapshot byte-exact.
+ */
+class LakeRetentionSpec extends SparkSpec {
+
+  private val dims = Seq("a" -> col("a"), "b" -> col("b"))
+
+  private def corpus(n: Long, from: Long = 0L) =
+    spark.range(from, from + n).select(
+      col("id"),
+      pmod(hash(col("id"), lit(1)).cast("long"), lit(256L)).as("a"),
+      pmod(hash(col("id"), lit(2)).cast("long"), lit(256L)).as("b"))
+
+  test("reader-vs-rewrite race: a pre-rewrite scan completes row-exact after reoptimize AND upsert land under it") {
+    val dir = tmpDir("retention-reader")
+    LakeManifest.optimize(corpus(20000L), dir, "a", "b",
+      numFiles = 16, bits = 9)
+    val v0 = LakeManifest.currentVersion(spark, dir)
+    // the long-running reader: resolves its explicit file list NOW
+    val pinnedPruned = LakeManifest.readPruned(spark, dir,
+      Map("a" -> (0L, 255L)))
+    val pinnedVersion = LakeManifest.readPruned(spark, dir,
+      Map("a" -> (0L, 255L)), version = Some(v0))
+    val pinnedTravel = LakeManifest.timeTravel(spark, dir, v0)
+    val pinnedSum = corpus(20000L).agg(sum("id")).head().getLong(0)
+    // two rewrites land mid-scan: a full compaction (every pre-rewrite
+    // file tombstoned) and a key-band merge on top of it
+    LakeManifest.reoptimize(spark, dir, "a", "b", numFiles = 4, bits = 9)
+    val updates = spark.range(700000L, 700100L).select(
+      col("id"), lit(7L).as("a"),
+      pmod(hash(col("id"), lit(2)).cast("long"), lit(256L)).as("b"))
+    LakeManifest.upsert(spark, dir, dims, "a", updates)
+    // the pinned readers scan files that no current manifest references
+    // — retention mode keeps the bytes at their paths, so every read is
+    // row-exact, not FileNotFound
+    assert(pinnedPruned.count() == 20000L)
+    assert(pinnedPruned.agg(sum("id")).head().getLong(0) == pinnedSum)
+    assert(pinnedVersion.count() == 20000L)
+    assert(pinnedTravel.count() == 20000L)
+    // and the LIVE lake reflects both rewrites through the manifest
+    val a7 = LakeManifest.readPruned(spark, dir, Map("a" -> (7L, 7L)))
+    assert(a7.count() == 100L, "upsert replaced the a=7 group")
+    assert(LakeManifest.readPruned(spark, dir, Map("a" -> (0L, 255L)))
+      .count() == 20000L - corpus(20000L).where(col("a") === 7L).count() + 100L)
+  }
+
+  test("time travel across a rewrite CHAIN: every version reconstructs exactly until vacuumed") {
+    val dir = tmpDir("retention-chain")
+    LakeManifest.optimize(corpus(8000L), dir, "a", "b", numFiles = 8, bits = 9)
+    // v0 bootstrap -> v1 append gen -> v2 reoptimize -> v3 deleteWhere
+    LakeManifest.append(corpus(500L, 100000L).coalesce(1), dir)
+    assert(LakeManifest.refresh(spark, dir, dims) == 1)
+    LakeManifest.reoptimize(spark, dir, "a", "b", numFiles = 4, bits = 9)
+    val a3 = LakeManifest.readPruned(spark, dir, Map("a" -> (3L, 3L))).count()
+    LakeManifest.deleteWhere(spark, dir, dims, Map("a" -> (3L, 3L)),
+      col("a") === 3L)
+    assert(LakeManifest.currentVersion(spark, dir) == 3)
+    // every generation reconstructs: the full lineage is readable
+    assert(LakeManifest.timeTravel(spark, dir, 0).count() == 8000L)
+    assert(LakeManifest.timeTravel(spark, dir, 1).count() == 8500L)
+    assert(LakeManifest.timeTravel(spark, dir, 2).count() == 8500L)
+    assert(LakeManifest.timeTravel(spark, dir, 3).count() == 8500L - a3)
+    // commitSeq counted every mutation (write + refresh + 2 rewrites)
+    assert(LakeManifest.commitSeq(spark, dir) == 4L)
+  }
+
+  test("vacuum horizon: tombstones reclaim on REMOVAL time; stranded versions prune; current snapshot intact") {
+    val dir = tmpDir("retention-vacuum")
+    LakeManifest.optimize(corpus(10000L), dir, "a", "b",
+      numFiles = 8, bits = 9)
+    val originals = spark.read.parquet(dir).inputFiles.toSet
+    assert(originals.size == 8)
+    LakeManifest.reoptimize(spark, dir, "a", "b", numFiles = 2, bits = 9)
+    // inside the horizon NOTHING reclaims — removal was a moment ago,
+    // even though the files' WRITE time is also recent the law is on
+    // removal time (a year-old file rewritten a second ago must survive)
+    assert(LakeManifest.vacuum(spark, dir, retentionMs = 3600000L).isEmpty)
+    assert(LakeManifest.timeTravel(spark, dir, 0).count() == 10000L)
+    // dryRun names the 8 tombstoned originals without touching anything
+    val cands = LakeManifest.vacuum(spark, dir, retentionMs = 0L,
+      dryRun = true)
+    assert(cands.size == 8)
+    assert(LakeManifest.timeTravel(spark, dir, 0).count() == 10000L)
+    // past the horizon: reclaim the 8, prune the stranded v0, keep v1
+    val deleted = LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    assert(deleted == cands)
+    originals.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(p), s"reclaimed file still on disk: $f")
+    }
+    intercept[IllegalArgumentException] {
+      LakeManifest.timeTravel(spark, dir, 0)
+    }
+    assert(LakeManifest.timeTravel(spark, dir, 1).count() == 10000L)
+    assert(spark.read.parquet(dir).count() == 10000L)
+    assert(LakeManifest.readPruned(spark, dir, Map("a" -> (0L, 255L)))
+      .count() == 10000L)
+    // idempotent: the tombstone store compacted to nothing
+    assert(LakeManifest.vacuum(spark, dir, retentionMs = 0L).isEmpty)
+    assert(LakeManifest.removedEntries(spark, dir).isEmpty)
+  }
+
+  test("rebuild-write over live tombstones is refused (it would resurrect deleted rows)") {
+    val dir = tmpDir("retention-rebuild")
+    LakeManifest.optimize(corpus(4000L), dir, "a", "b", numFiles = 4, bits = 9)
+    LakeManifest.deleteWhere(spark, dir, dims, Map("a" -> (5L, 5L)),
+      col("a") === 5L)
+    intercept[IllegalArgumentException] {
+      LakeManifest.write(spark, dir, dims)
+    }
+    // vacuum clears the hazard; the rebuild then proceeds
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    LakeManifest.write(spark, dir, dims)
+    assert(LakeManifest.readPruned(spark, dir, Map("a" -> (5L, 5L)))
+      .count() == 0L)
+  }
+}

@@ -103,14 +103,30 @@ class LakeSchemaEvolutionSpec extends SparkSpec {
     }
     assert(LakeManifest.commitSeq(spark, dir) == seq)
 
-    // law 4: a rewrite migrates the old files physically
-    LakeManifest.reoptimize(spark, dir, "a", "b", numFiles = 4, bits = 9)
+    // law 4: a rewrite migrates the old files physically. Retention
+    // mode: the rewrite commits as a NEW version; pre-rewrite versions
+    // (old physical schema) stay time-travelable until vacuum
+    val (nCompacted, nWritten) = LakeManifest.reoptimize(spark, dir, "a", "b",
+      numFiles = 4, bits = 9)
+    assert(nCompacted == 5 && nWritten == 4) // 4 founding + 1 appended
+    assert(LakeManifest.timeTravel(spark, dir, vPre).count() == 4000L)
+    assert(LakeManifest.timeTravel(spark, dir, vPre)
+      .schema("id").dataType == IntegerType)
+    // reclaim the tombstoned pre-rewrite files; plain reads now see ONLY
+    // physically-migrated files (every footer carries the evolved schema)
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
     val physical = spark.read.parquet(dir).schema // NO explicit schema
     assert(physical("id").dataType == LongType)
     assert(physical.fieldNames.contains("tag"))
     assert(spark.read.parquet(dir).count() == 4500L)
-    // rebase reset schema history; the current schema survives as founding
-    assert(LakeManifest.timeTravel(spark, dir, 0)
+    // vacuum pruned the stranded pre-rewrite versions; the rewrite
+    // generation reads under the evolved schema
+    intercept[IllegalArgumentException] {
+      LakeManifest.timeTravel(spark, dir, vPre)
+    }
+    val vNow = LakeManifest.currentVersion(spark, dir)
+    assert(LakeManifest.timeTravel(spark, dir, vNow)
       .schema("id").dataType == LongType)
+    assert(LakeManifest.timeTravel(spark, dir, vNow).count() == 4500L)
   }
 }

@@ -85,5 +85,46 @@ class StateBackendCommitLockSpec extends AnyFunSuite {
       val (p2, _) = backend.read("k").get
       assert(p2("owner") == "usurper")
     }
+
+    test(s"[$name] ensureValid: a fenced holder aborts BEFORE the irreversible step") {
+      val backend = mk()
+      val lock = new StateBackendCommitLock(backend, "victim", ttlMs = 100000L)
+      var destructiveStepRan = false
+      // the r8 ADVICE scenario: the lease is taken over mid-body (long
+      // GC pause + expiry); the fence gate placed just before the
+      // manifest overwrite / data delete must throw FIRST, so the
+      // destructive step never runs against a lost lease
+      intercept[lock.FencedException] {
+        lock.withLock("k") {
+          val (p, v) = backend.read("k").get
+          assert(p("owner") == "victim")
+          assert(backend.writeVersioned("k",
+            Map("owner" -> "usurper", "expires" ->
+              (System.currentTimeMillis() + 60000L).toString), v))
+          lock.ensureValid("k") // must throw — lease is gone
+          destructiveStepRan = true
+        }
+      }
+      assert(!destructiveStepRan,
+        "the irreversible step ran after the lease was lost")
+      val (p2, _) = backend.read("k").get
+      assert(p2("owner") == "usurper")
+      // while the lease IS held, ensureValid passes and RENEWS: the
+      // happy path costs one CAS and extends the lease
+      val lock2 = new StateBackendCommitLock(backend, "steady", ttlMs = 100000L)
+      // clear the usurper's lease so steady can acquire
+      val (pu, vu) = backend.read("k").get
+      assert(backend.writeVersioned("k", Map("owner" -> "", "expires" -> "0"), vu))
+      var ran = false
+      lock2.withLock("k") {
+        lock2.ensureValid("k")
+        val expires = backend.read("k").get._1("expires").toLong
+        assert(expires > System.currentTimeMillis() + 50000L, "renewed")
+        ran = true
+      }
+      assert(ran)
+      // outside withLock the gate refuses loudly
+      intercept[IllegalStateException] { lock2.ensureValid("k") }
+    }
   }
 }

@@ -99,6 +99,39 @@ class IngestStreamChaosSpec extends SparkSpec {
     assertLakeExact(dir, 180L)
   }
 
+  test("crash after auto-compaction (cp4/cp5): the sidecar witness fences where file names cannot") {
+    // the r8 ADVICE hole: reoptimize compacts b{B}- files into un-prefixed
+    // part files, so a replay that fenced on file NAMES would re-append
+    // the whole batch. target=1M rows/file makes every file "small" —
+    // the advisor fires on every batch, compaction always runs.
+    val compact = Some(("a", "id", 1000000L))
+    for (cp <- 4 to 5) {
+      val dir = tmpDir(s"chaos-compact-cp$cp")
+      IngestStream.commitBatchToLake(mkBatch(0L, 100L, 10L), dir, dims, 0L,
+        autoCompact = compact)
+      intercept[Boom] {
+        IngestStream.commitBatchToLake(mkBatch(1000L, 80L, 20L), dir, dims, 1L,
+          crashPoint = p => if (p == cp) throw new Boom, autoCompact = compact)
+      }
+      if (cp == 5) {
+        // compaction really did destroy the name witness before the crash
+        val names = LakeManifest.read(spark, dir).select("file").collect()
+          .map(_.getString(0).split('/').last)
+        assert(!names.exists(_.startsWith("b1-")),
+          "test vacuous: compaction should have renamed batch 1's files")
+      }
+      // checkpoint replay of the SAME batch id: must fence on LASTBATCH
+      IngestStream.commitBatchToLake(mkBatch(1000L, 80L, 20L), dir, dims, 1L,
+        autoCompact = compact)
+      IngestStream.commitBatchToLake(mkBatch(2000L, 60L, 30L), dir, dims, 2L,
+        autoCompact = compact)
+      // reclaim the compactions' retained originals so the plain
+      // directory read inside assertLakeExact is exact
+      LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+      assertLakeExact(dir, 240L)
+    }
+  }
+
   test("streaming restart from checkpoint: query-level replay composes with the fence") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -143,6 +176,9 @@ class IngestStreamChaosSpec extends SparkSpec {
         mem.addData((1 to 100).map(i => (b * 1000L + i, (b % 50).toLong)): _*)
         q.processAllAvailable()
       }
+      // retention mode keeps compacted originals on disk until vacuum —
+      // reclaim them, then the LIVE file count must be bounded
+      LakeManifest.vacuum(spark, lake, retentionMs = 0L)
       val files = spark.read.parquet(lake).inputFiles.length
       val expectedMax = 4 * math.max(1, math.ceil(2000.0 / 2000).toInt) + 4
       assert(files <= expectedMax,
