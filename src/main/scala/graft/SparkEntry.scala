@@ -5016,6 +5016,34 @@ object SparkEntry {
       graft.operators.Drift.benfordCensus(t(s, dir, "orders"),
           (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
         .orderBy(col("digit"))),
+
+    // Q290 — STATS1 manifest→Catalyst statistics on a pruned-band join:
+    // the band readPruned selects (l_suppkey ∈ [3,5]) carries its EXACT
+    // manifest row count into the planner, so joining it against the
+    // full orders table broadcasts the band instead of shuffling orders
+    // (LakeStatsSpec pins the BHJ-vs-SMJ flip; this query proves the
+    // stats-carrying relation is ROW-EXACT through a real join). At
+    // 100 TB the flip is the difference between shipping kilobytes and
+    // shuffling the big side.
+    "q290_stats_pruned_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      val lake = graft.core.Scratch.dir("q290_lake")
+      graft.sources.LakeManifest.optimize(
+        li, lake, "l_suppkey", "l_partkey", numFiles = 16, bits = 21)
+      val band = graft.sources.LakeManifest.readPruned(s, lake,
+        Map("l_suppkey" -> (3L, 5L)))
+      band.join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+            .as("sum_qty"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("o_orderpriority"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -10374,6 +10402,16 @@ object SparkEntry {
           |SELECT g.digit, g.n, g.n * 1000000 // tt.total AS share_ppm,
           |  b.benford_ppm, g.n * 1000000 // tt.total - b.benford_ppm AS dev_ppm
           |FROM g JOIN b USING (digit), tt ORDER BY digit""".stripMargin,
+
+      // the pruned band re-derived from the raw table; the lake routing
+      // and the broadcast-stats relation must be row-invisible
+      "q290_stats_pruned_join" ->
+        """SELECT o_orderpriority, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_suppkey BETWEEN 3 AND 5
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // the full maintenance composition == the raw table minus the delete
       "q275_lake_maintenance" ->

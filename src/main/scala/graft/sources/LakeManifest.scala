@@ -475,15 +475,18 @@ object LakeManifest {
     require(fsT.exists(new org.apache.hadoop.fs.Path(historyPath(dir, version))),
       s"version $version of $dir is not retained (vacuumed past the " +
         s"retention horizon, or rebased by a bootstrap write/optimize)")
-    val files = readAt(spark, dir, version)
-      .select(col("file")).collect().map(_.getString(0)).sorted
+    val entries = readAt(spark, dir, version)
+      .select(col("file"), col("n_rows").cast("long")).collect()
+    val files = entries.map(_.getString(0)).sorted
+    val rowCount = entries.map(_.getLong(1)).sum
     // that version's rows under that version's SCHEMA (evolution-aware):
     // an explicit read schema also makes mixed-physical-schema file sets
     // read uniformly (missing column → null, narrow type → widened)
     val schema = schemaAt(spark, dir, version)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    else org.apache.spark.sql.graftbridge.Bridge
+      .manifestSizedParquet(spark, files.toIndexedSeq, schema, rowCount)
   }
 
   /** Convenience overload: stat columns are plain data columns. */
@@ -584,27 +587,29 @@ object LakeManifest {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(filesPath(dir))
 
-  /** Driver-side manifest snapshot: (file, dim -> [min, max]) per data
-    * file, cached per lake dir and invalidated by the manifest's
+  /** Driver-side manifest snapshot: (file, nRows, dim -> [min, max]) per
+    * data file, cached per lake dir and invalidated by the manifest's
     * modification time — the Delta/Iceberg snapshot-cache shape. Bounded
     * by construction: `numFiles` entries (the compaction knob), so a
     * 100 TB lake of 100k files caches a few MB on the driver and a
     * pruned read pays ZERO Spark jobs for metadata after the first.
-    * Integral stat dims only (the pruning API is Long-ranged). */
+    * Integral stat dims only (the pruning API is Long-ranged). The row
+    * counts feed Catalyst statistics on pruned reads (see
+    * [[readPruned]]). */
   private final case class Snapshot(
-      mtime: Long, entries: Seq[(String, Map[String, (Long, Long)])])
+      mtime: Long, entries: Seq[(String, Long, Map[String, (Long, Long)])])
   private val snapshots =
     new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
 
   private def snapshot(
-      spark: SparkSession, dir: String): Seq[(String, Map[String, (Long, Long)])] =
+      spark: SparkSession, dir: String): Seq[(String, Long, Map[String, (Long, Long)])] =
     snapshotOf(spark, dir, read(spark, dir), dir,
       fs => fs.getFileStatus(new org.apache.hadoop.fs.Path(filesPath(dir)))
         .getModificationTime)
 
   private def snapshotOf(
       spark: SparkSession, dir: String, manifest: => DataFrame, key: String,
-      mtimeOf: org.apache.hadoop.fs.FileSystem => Long): Seq[(String, Map[String, (Long, Long)])] = {
+      mtimeOf: org.apache.hadoop.fs.FileSystem => Long): Seq[(String, Long, Map[String, (Long, Long)])] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mtime = mtimeOf(fs)
@@ -615,18 +620,18 @@ object LakeManifest {
       val dims = m.schema.fieldNames.collect {
         case n if n.startsWith("min_") => n.stripPrefix("min_")
       }.toSeq
-      val cols = col("file") +:
+      val cols = col("file") +: col("n_rows").cast("long") +:
         dims.flatMap(d => Seq(col(s"min_$d").cast("long"), col(s"max_$d").cast("long")))
       val entries = m.select(cols: _*).collect().toSeq.map { r =>
         val ranges = dims.zipWithIndex.map { case (d, i) =>
           // null stats (a post-evolution column has no min/max for files
           // written before it existed) = unknown = always a candidate —
           // pruning stays SOUND, the row filter re-applies the predicate
-          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i))
+          if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i))
             d -> (Long.MinValue, Long.MaxValue)
-          else d -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+          else d -> (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
         }.toMap
-        r.getString(0) -> ranges
+        (r.getString(0), r.getLong(1), ranges)
       }
       snapshots.put(key, Snapshot(mtime, entries))
       entries
@@ -828,16 +833,18 @@ object LakeManifest {
           historyPath(dir, v))).getModificationTime)
       case None => snapshot(spark, dir)
     }
-    snap.headOption.foreach { case (_, stats) =>
+    snap.headOption.foreach { case (_, _, stats) =>
       val unknown = ranges.keySet -- stats.keySet
       require(unknown.isEmpty,
         s"dims not in manifest: ${unknown.mkString(", ")} (have: ${stats.keys.mkString(", ")})")
     }
-    val files = snap.collect {
-      case (file, stats) if ranges.forall { case (name, (lo, hi)) =>
+    val selected = snap.filter { case (_, _, stats) =>
+      ranges.forall { case (name, (lo, hi)) =>
         val (mn, mx) = stats(name); mx >= lo && mn <= hi
-      } => file
-    }.sorted
+      }
+    }
+    val files = selected.map(_._1).sorted
+    val rowCount = selected.map(_._2).sum
     val rowFilter = ranges.map { case (name, (lo, hi)) =>
       val dim = exprs.getOrElse(name, col(name))
       dim >= lit(lo) && dim <= lit(hi)
@@ -849,7 +856,12 @@ object LakeManifest {
       version.getOrElse(Int.MaxValue))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    // manifest → Catalyst statistics: the relation carries the EXACT
+    // selected row count as its size estimate, so downstream join
+    // planning (broadcast-vs-shuffle) decides from the manifest's
+    // truth, not raw file bytes (see Bridge.manifestSizedParquet)
+    else org.apache.spark.sql.graftbridge.Bridge
+      .manifestSizedParquet(spark, files.toIndexedSeq, schema, rowCount)
       .where(rowFilter)
   }
 
@@ -978,12 +990,12 @@ object LakeManifest {
       max(col(keyDim)).cast("long")).head()
     val (lo, hi) = (band.getLong(0), band.getLong(1))
     val snap = snapshot(spark, dir)
-    snap.headOption.foreach { case (_, st) =>
+    snap.headOption.foreach { case (_, _, st) =>
       require(st.contains(keyDim), s"key dim $keyDim not in manifest " +
         s"(have: ${st.keys.mkString(", ")})")
     }
     val cand = snap.collect {
-      case (file, st) if { val (mn, mx) = st(keyDim); mx >= lo && mn <= hi } =>
+      case (file, _, st) if { val (mn, mx) = st(keyDim); mx >= lo && mn <= hi } =>
         file
     }.sorted
     val oldRows = read(spark, dir).collect() // ≤ numFiles
@@ -1110,12 +1122,12 @@ object LakeManifest {
         bloom
       } else bloomDims.map(d => d -> col(d))
     val snap = snapshot(spark, dir)
-    snap.headOption.foreach { case (_, st) =>
+    snap.headOption.foreach { case (_, _, st) =>
       val unknown = ranges.keySet -- st.keySet
       require(unknown.isEmpty, s"dims not in manifest: ${unknown.mkString(", ")}")
     }
     val cand = snap.collect {
-      case (file, st) if ranges.forall { case (name, (lo, hi)) =>
+      case (file, _, st) if ranges.forall { case (name, (lo, hi)) =>
         val (mn, mx) = st(name); mx >= lo && mn <= hi
       } => file
     }.sorted

@@ -21,4 +21,43 @@ object Bridge {
 
   /** The analyzed plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /**
+   * Explicit-path parquet relation that carries a MANIFEST-DERIVED size
+   * statistic into Catalyst (the Delta `TahoeFileIndex.sizeInBytes`
+   * pattern): the planner's broadcast-vs-shuffle decision reads
+   * `LogicalRelation.computeStats().sizeInBytes`, which without this is
+   * the raw on-disk byte sum — an estimate that can sit on the wrong
+   * side of `autoBroadcastJoinThreshold` when parquet encoding overhead
+   * dominates tiny row counts (or vice versa). Here the estimate is
+   * exact-row-count × schema row width, the same formula Catalyst's own
+   * `EstimationUtils` uses, so a pruned band whose manifest proves it
+   * tiny PLANS tiny: BroadcastHashJoin where sort-merge would have been
+   * chosen from file bytes. Scan behavior (pushdown, pruning, codegen)
+   * is identical to `spark.read.parquet` — only the statistic changes.
+   */
+  def manifestSizedParquet(
+      spark: SparkSession,
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      rowCount: Long): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // 8-byte row overhead + per-type default widths: EstimationUtils'
+    // getSizePerRow shape, computed from the read schema
+    val sizeEstimate = math.max(1L,
+      rowCount * (8L + schema.map(_.dataType.defaultSize.toLong).sum))
+    val index = new InMemoryFileIndex(classic,
+        files.map(new org.apache.hadoop.fs.Path(_)),
+        Map.empty, Some(schema)) {
+      override def sizeInBytes: Long = sizeEstimate
+    }
+    val relation = HadoopFsRelation(index,
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      dataSchema = schema, bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(classic)
+    ofRows(spark, LogicalRelation(relation, isStreaming = false))
+  }
 }
