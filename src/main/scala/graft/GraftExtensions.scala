@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
     // §2.10 tier (c): the native merge-scan as-of join operator
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL DML for the manifested lake (GRAFT MERGE INTO / OPTIMIZE /
+    // VACUUM / …) — requires session-build-time injection, i.e.
+    // spark.sql.extensions / builder.withExtensions (a post-hoc
+    // activate() cannot swap the parser)
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
 }
 

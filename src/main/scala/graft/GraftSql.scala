@@ -280,6 +280,70 @@ object GraftSql {
     }),
   )
 
+  /** The GRAFT DML statement surface (q291/q292): the q278 merge and the
+    * q275 maintenance chain driven ENTIRELY by `spark.sql` statements
+    * through the parser extension — same LakeManifest protocol, same
+    * oracles, zero Column API. */
+  val dmlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q291 — SQL3 lake CDC MERGE as statements: bootstrap → MERGE INTO →
+    // pruned SELECT, hash-matching the ORIGINAL q278 oracle.
+    "q291_sql_lake_merge" -> ((s, dir) => {
+      register(s, dir)
+      val lake = graft.core.Scratch.dir("q291_lake")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q291_base AS
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem""".stripMargin)
+      s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q291_base " +
+        "ZORDER BY (l_suppkey, l_partkey) FILES 16 BITS 21")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q291_updates AS
+          |SELECT l_orderkey, l_partkey, l_suppkey,
+          |  l_quantity + 100.0 AS l_quantity
+          |FROM lineitem WHERE l_suppkey IN (3, 7) AND l_orderkey % 10 = 0""".stripMargin)
+      s.sql(s"GRAFT MERGE INTO '$lake' KEY l_suppkey " +
+        "STATS (l_suppkey, l_partkey) FROM q291_updates")
+      s.sql(s"GRAFT SELECT FROM '$lake' RANGE l_suppkey " +
+        s"BETWEEN 0 AND ${Long.MaxValue} AS q291_lake")
+      s.sql(
+        """SELECT l_suppkey % 25 AS supp_band, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM q291_lake GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // Q292 — SQL4 full maintenance chain as statements: bootstrap half,
+    // APPEND the other half, REFRESH, OPTIMIZE, targeted DELETE, VACUUM,
+    // pruned SELECT — the q275 composition, original oracle.
+    "q292_sql_lake_maintenance" -> ((s, dir) => {
+      register(s, dir)
+      val lake = graft.core.Scratch.dir("q292_lake")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q292_even AS
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+          |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q292_odd AS
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+          |FROM lineitem WHERE l_orderkey % 2 = 1""".stripMargin)
+      s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q292_even " +
+        "ZORDER BY (l_partkey, l_suppkey) FILES 16 BITS 21")
+      s.sql(s"GRAFT APPEND INTO '$lake' FROM q292_odd")
+      s.sql(s"GRAFT REFRESH '$lake' STATS (l_partkey, l_suppkey)")
+      s.sql(s"GRAFT OPTIMIZE '$lake' ZORDER BY (l_partkey, l_suppkey) " +
+        "FILES 16 BITS 21")
+      s.sql(s"GRAFT DELETE FROM '$lake' STATS (l_partkey, l_suppkey) " +
+        "RANGE l_suppkey BETWEEN 7 AND 7 WHERE l_suppkey = 7")
+      s.sql(s"GRAFT VACUUM '$lake' RETAIN 0 MS")
+      s.sql(s"GRAFT SELECT FROM '$lake' RANGE l_partkey " +
+        s"BETWEEN 0 AND ${Long.MaxValue} AS q292_lake")
+      s.sql(
+        """SELECT l_partkey % 50 AS part_band, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+          |FROM q292_lake GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+  )
+
   /** Each SQL-surface query proves against its ORIGINAL's oracle,
     * verbatim — the strongest possible equivalence statement. */
   def aliasedOracles(base: Map[String, String]): Map[String, String] = Map(
@@ -293,5 +357,7 @@ object GraftSql {
     "q272_sql_cosine_topk" -> base("q19_cosine_topk"),
     "q273_sql_sketches" -> base("q32_sketches"),
     "q274_sql_assortativity" -> base("q211_assortativity"),
+    "q291_sql_lake_merge" -> base("q278_lake_upsert"),
+    "q292_sql_lake_maintenance" -> base("q275_lake_maintenance"),
   )
 }

@@ -80,7 +80,8 @@ object SparkEntry {
   // ---- declared queries ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ GraftSql.queries // q265-q274: the SQL-addressable surface
+    baseQueries ++ GraftSql.queries ++ // q265-q274: SQL-addressable surface
+      GraftSql.dmlQueries // q291-q292: the GRAFT DML statement surface
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1 — F1 validation filter + counts

@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.DataType
+
+/**
+ * A parsed graft lake DML statement (see graft.GraftSqlParser for the
+ * grammar): `body` performs the mutation through
+ * `graft.sources.LakeManifest` under the lake's commit protocol and
+ * returns the metric row(s) — the Delta-style "DML returns its
+ * accounting" shape. Lives in this bridge package because
+ * `LeafRunnableCommand` is `private[sql]`; Spark's command execution
+ * (eager, on `spark.sql`) drives it like any built-in DDL.
+ */
+case class GraftLakeCommand(
+    statement: String,
+    cols: Seq[(String, DataType)],
+    body: SparkSession => Seq[Row]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    cols.map { case (n, t) => AttributeReference(n, t, nullable = true)() }
+  override def run(spark: SparkSession): Seq[Row] = body(spark)
+  override def simpleString(maxFields: Int): String =
+    s"GraftLakeCommand(${statement.takeWhile(_ != '\n').take(80)})"
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.LakeManifest
+
+/**
+ * The GRAFT DML statement surface: every lake mutation reachable from
+ * `spark.sql(...)` alone, returning its accounting row; non-GRAFT
+ * statements delegate untouched; malformed GRAFT statements fail loudly
+ * at parse, mutating nothing.
+ */
+class GraftSqlParserSpec extends SparkSpec {
+
+  private def corpus(n: Long, from: Long = 0L) =
+    spark.range(from, from + n).select(
+      col("id"),
+      pmod(hash(col("id"), lit(1)).cast("long"), lit(256L)).as("a"),
+      pmod(hash(col("id"), lit(2)).cast("long"), lit(256L)).as("b"))
+
+  test("full DML lifecycle through spark.sql: bootstrap, append, refresh, optimize, merge, delete, time travel, vacuum") {
+    val dir = tmpDir("sqldml")
+    corpus(8000L).createOrReplaceTempView("sqldml_base")
+    val boot = spark.sql(
+      s"GRAFT BOOTSTRAP '$dir' FROM sqldml_base ZORDER BY (a, b) FILES 8 BITS 9")
+    assert(boot.head().getLong(0) == 8000L)
+
+    corpus(500L, 100000L).coalesce(1).createOrReplaceTempView("sqldml_more")
+    assert(spark.sql(s"GRAFT APPEND INTO '$dir' FROM sqldml_more")
+      .head().getLong(0) >= 1L)
+    assert(spark.sql(s"GRAFT REFRESH '$dir' STATS (a, b)")
+      .head().getLong(0) >= 1L)
+
+    val opt = spark.sql(
+      s"GRAFT OPTIMIZE '$dir' ZORDER BY (a, b) FILES 4 BITS 9").head()
+    assert(opt.getLong(1) == 4L, s"optimize wrote ${opt.getLong(1)} files")
+
+    // MERGE: replace every a=7 row with 100 fresh rows
+    spark.range(900000L, 900100L).select(col("id"), lit(7L).as("a"),
+        pmod(hash(col("id"), lit(2)).cast("long"), lit(256L)).as("b"))
+      .createOrReplaceTempView("sqldml_updates")
+    val preA7 = LakeManifest.readPruned(spark, dir, Map("a" -> (7L, 7L)))
+      .count()
+    val merge = spark.sql(
+      s"GRAFT MERGE INTO '$dir' KEY a STATS (a, b) FROM sqldml_updates").head()
+    assert(merge.getLong(0) == preA7 && merge.getLong(1) == 100L)
+
+    // DELETE with a real row predicate (only even ids of the a=9 band)
+    val preDel = LakeManifest.readPruned(spark, dir, Map("a" -> (9L, 9L)))
+      .where(col("id") % 2 === 0).count()
+    val del = spark.sql(s"GRAFT DELETE FROM '$dir' STATS (a, b) " +
+      "RANGE a BETWEEN 9 AND 9 WHERE a = 9 AND id % 2 = 0").head()
+    assert(del.getLong(0) == preDel)
+
+    // versioned reads through SQL: the pre-merge generation reconstructs
+    val vNow = LakeManifest.currentVersion(spark, dir)
+    assert(spark.sql(
+      s"GRAFT TIME TRAVEL '$dir' VERSION ${vNow - 2} AS sqldml_premerge")
+      .head().getString(0) == "sqldml_premerge")
+    assert(spark.sql("SELECT count(*) FROM sqldml_premerge WHERE a = 7")
+      .head().getLong(0) == preA7)
+
+    // VACUUM reclaims the rewrites' tombstones; the live lake is exact
+    assert(spark.sql(s"GRAFT VACUUM '$dir' RETAIN 0 MS")
+      .head().getLong(0) >= 1L)
+    spark.sql(s"GRAFT SELECT FROM '$dir' RANGE a BETWEEN 0 AND 255 AS sqldml_v")
+    assert(spark.sql("SELECT count(*) FROM sqldml_v").head().getLong(0)
+      == 8500L - preA7 + 100L - preDel)
+    assert(spark.read.parquet(dir).count() == 8500L - preA7 + 100L - preDel)
+  }
+
+  test("non-GRAFT SQL delegates untouched; malformed GRAFT fails loudly pre-mutation") {
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    val dir = tmpDir("sqldml-err")
+    corpus(100L).createOrReplaceTempView("sqldml_err_base")
+    intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT OBLITERATE '$dir'")
+    }
+    // a malformed statement of a KNOWN verb is also refused
+    intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT MERGE INTO '$dir' FROM sqldml_err_base")
+    }
+  }
+}
