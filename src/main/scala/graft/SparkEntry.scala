@@ -5045,6 +5045,39 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("n_parts"))
         .orderBy(col("o_orderpriority"))
     }),
+
+    // Q293 — ST2e streaming CDC upsert as lake state: an initial load +
+    // two overlapping changelog batches (orderkey%4=1 at +10, then
+    // %4∈{1,2} at +20 — last writer wins) + a REPLAY of batch 1 (the
+    // crash-recovery path, fenced by the LASTCDCBATCH witness) leave
+    // the lake equal to the CDC2 current-state snapshot the oracle
+    // recomputes from the raw table. At 100 TB each batch touches its
+    // key band's files on the key-sorted layout, never the lake.
+    "q293_cdc_lake_state" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      val lake = graft.core.Scratch.dir("q293_lake")
+      val dims = Seq("l_orderkey" -> col("l_orderkey"),
+        "l_partkey" -> col("l_partkey"))
+      import graft.streaming.IngestStream.commitCdcBatchToLake
+      commitCdcBatchToLake(li, lake, dims, "l_orderkey", 0L, numFiles = 16)
+      val b1 = li.where(col("l_orderkey") % 4 === 1)
+        .withColumn("l_quantity", col("l_quantity") + 10.0)
+      commitCdcBatchToLake(b1, lake, dims, "l_orderkey", 1L)
+      commitCdcBatchToLake(
+        li.where(col("l_orderkey") % 4 === 1 || col("l_orderkey") % 4 === 2)
+          .withColumn("l_quantity", col("l_quantity") + 20.0),
+        lake, dims, "l_orderkey", 2L)
+      commitCdcBatchToLake(b1, lake, dims, "l_orderkey", 1L) // replay: fenced
+      graft.sources.LakeManifest.readPruned(s, lake,
+          Map("l_orderkey" -> (Long.MinValue, Long.MaxValue)))
+        .groupBy((col("l_suppkey") % 25).as("supp_band"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("supp_band"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -10413,6 +10446,16 @@ object SparkEntry {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |WHERE l_suppkey BETWEEN 3 AND 5
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // last-writer-wins CDC state recomputed from the raw table: the
+      // %4∈{1,2} keys carry batch 2's +20; batch 1 was overwritten and
+      // its replay fenced
+      "q293_cdc_lake_state" ->
+        """SELECT l_suppkey % 25 AS supp_band, count(*) AS n_rows,
+          |  CAST(sum(CAST(CASE WHEN l_orderkey % 4 IN (1, 2)
+          |       THEN l_quantity + 20.0 ELSE l_quantity END
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // the full maintenance composition == the raw table minus the delete
       "q275_lake_maintenance" ->

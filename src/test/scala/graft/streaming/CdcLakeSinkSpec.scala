@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.LakeManifest
+
+/**
+ * Streaming CDC upsert sink (ST2e): a keyed changelog maintained as
+ * last-writer-wins lake state. Laws under test:
+ *
+ *  1. the lake after N batches equals the batch CDC2 current-state
+ *     snapshot of the full changelog (last write per key wins);
+ *  2. a REPLAYED batch is a no-op: fenced by the LASTCDCBATCH witness
+ *     when the witness landed, idempotent in CONTENT when the crash hit
+ *     between merge and witness (the at-least-once window);
+ *  3. crash points around the merge never lose a batch or double-apply
+ *     one, and a real checkpoint restart composes with the fence.
+ */
+class CdcLakeSinkSpec extends SparkSpec {
+
+  private val dims = Seq("k" -> col("k"), "v" -> col("v"))
+
+  private def mkBatch(keys: Range, v: Long) =
+    spark.createDataFrame(keys.map(k => (k.toLong, v, s"p$k-$v")))
+      .toDF("k", "v", "payload")
+
+  private final class Boom extends RuntimeException("injected crash")
+
+  private def lakeState(dir: String) =
+    LakeManifest.readPruned(spark, dir, Map("k" -> (Long.MinValue, Long.MaxValue)))
+
+  test("the CDC lake equals the last-writer-wins snapshot; replays fence or no-op") {
+    val dir = tmpDir("cdc-lake")
+    // batch 0: keys 0..99 at v=1 (bootstrap); batch 1: keys 50..149 at
+    // v=2; batch 2: keys 100..119 at v=3 — overlapping key bands
+    IngestStream.commitCdcBatchToLake(mkBatch(0 until 100, 1L), dir, dims, "k", 0L)
+    IngestStream.commitCdcBatchToLake(mkBatch(50 until 150, 2L), dir, dims, "k", 1L)
+    IngestStream.commitCdcBatchToLake(mkBatch(100 until 120, 3L), dir, dims, "k", 2L)
+    val state = lakeState(dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state.size == 150)
+    (0 until 50).foreach(k => assert(state(k.toLong) == 1L))
+    (50 until 100).foreach(k => assert(state(k.toLong) == 2L))
+    (100 until 120).foreach(k => assert(state(k.toLong) == 3L))
+    (120 until 150).foreach(k => assert(state(k.toLong) == 2L))
+    // a replay of EVERY committed batch id is fenced — zero mutations
+    val seq = LakeManifest.commitSeq(spark, dir)
+    (0L to 2L).foreach { b =>
+      val r = IngestStream.commitCdcBatchToLake(
+        mkBatch(0 until 100, 9L), dir, dims, "k", b)
+      assert(r == ((0L, 0L, 0)), s"replay of batch $b must fence")
+    }
+    assert(LakeManifest.commitSeq(spark, dir) == seq)
+  }
+
+  test("crash at each point: the at-least-once window is idempotent in content") {
+    for (cp <- 1 to 3) {
+      val dir = tmpDir(s"cdc-crash-$cp")
+      IngestStream.commitCdcBatchToLake(mkBatch(0 until 100, 1L), dir, dims, "k", 0L)
+      intercept[Boom] {
+        IngestStream.commitCdcBatchToLake(mkBatch(50 until 150, 2L), dir,
+          dims, "k", 1L, crashPoint = p => if (p == cp) throw new Boom)
+      }
+      // replay the SAME batch id (what the checkpoint does), then proceed
+      IngestStream.commitCdcBatchToLake(mkBatch(50 until 150, 2L), dir, dims, "k", 1L)
+      IngestStream.commitCdcBatchToLake(mkBatch(0 until 10, 3L), dir, dims, "k", 2L)
+      val state = lakeState(dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(state.size == 150, s"cp$cp: ${state.size} keys")
+      (0 until 10).foreach(k => assert(state(k.toLong) == 3L, s"cp$cp key $k"))
+      (10 until 50).foreach(k => assert(state(k.toLong) == 1L, s"cp$cp key $k"))
+      (50 until 150).foreach(k => assert(state(k.toLong) == 2L, s"cp$cp key $k"))
+      // no duplicate rows per key ever
+      assert(lakeState(dir).groupBy(col("k")).count()
+        .where(col("count") > 1L).count() == 0L, s"cp$cp: duplicate keys")
+    }
+  }
+
+  test("checkpoint restart: the streaming query resumes the changelog without duplicating state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lake = tmpDir("cdc-stream-lake")
+    val ckpt = tmpDir("cdc-stream-ckpt")
+    val mem = MemoryStream[(Long, Long, String)]
+    def start() = IngestStream.startCdcLakeSink(
+      mem.toDF.toDF("k", "v", "payload"), lake, ckpt, dims, "k",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      numFiles = 4)
+    val q1 = start()
+    try {
+      mem.addData((0 until 100).map(k => (k.toLong, 1L, s"p$k-1")): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    mem.addData((50 until 150).map(k => (k.toLong, 2L, s"p$k-2")): _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val state = lakeState(lake).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(state.size == 150)
+      (0 until 50).foreach(k => assert(state(k.toLong) == 1L))
+      (50 until 150).foreach(k => assert(state(k.toLong) == 2L))
+    } finally q2.stop()
+  }
+}
