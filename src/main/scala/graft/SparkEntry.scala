@@ -5078,6 +5078,44 @@ object SparkEntry {
             .as("sum_qty"))
         .orderBy(col("supp_band"))
     }),
+
+    // Q294 — EVAL14 MRR@3 census on the q252 protocol: first-half
+    // activity ranks each user's event types; a type is RELEVANT if it
+    // GREW (second-half count strictly above first-half) — "does the
+    // activity ranking surface where the user is heading", the
+    // navigational lens NDCG's graded sum hides. rr ∈ {10⁶, 5·10⁵,
+    // 333333, 0} at k=3 → 4-row census + the exact mean; one window per
+    // user (half of NDCG's bill: MRR needs no ideal order).
+    "q294_mrr_census" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val span = ev.agg(expr(
+        "date_add(min(CAST(ts AS DATE)), CAST(datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) DIV 2 AS INT))")
+        .as("split_day"))
+      val units = ev
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+        .crossJoin(broadcast(span)) // single-row constant join
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(when(col("d") <= col("split_day"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("d") > col("split_day"), 1L).otherwise(0L)).as("c2"))
+        .withColumn("grew", when(col("c2") > col("c1"), 1L).otherwise(0L))
+      graft.operators.Ranking.mrrAtK(units, "user_id", "event_type",
+          "c1", "grew", k = 3)
+        .groupBy(col("rr_ppm"))
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("mean_rr_ppm",
+          expr("sum(rr_ppm * n_users) OVER () DIV sum(n_users) OVER ()"))
+        .orderBy(col("rr_ppm"))
+    }),
+
+    // Q295 — PACK2 padding-waste census: the length-bucketed-batching
+    // bill (C4's assignSequences concatenates at zero padding; bucketing
+    // keeps document boundaries and pays in pad tokens). Ladder (32, 64,
+    // 96) on the q22 whitespace-token law populates every bucket AND the
+    // truncation path on this corpus; one map-side groupBy, 3 rows out.
+    "q295_padding_waste" -> ((s, dir) =>
+      graft.operators.Packing.paddingWasteCensus(
+          t(s, dir, "documents"), "text", ladder = Seq(32L, 64L, 96L))
+        .orderBy(col("bucket"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -10446,6 +10484,46 @@ object SparkEntry {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |WHERE l_suppkey BETWEEN 3 AND 5
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // q22's whitespace token law; ladder CASE shared as literals;
+      // every quantity nonnegative so // == DIV throughout
+      "q295_padding_waste" ->
+        """WITH t AS (SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n FROM documents),
+          |b AS (SELECT n, CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 ELSE 96 END AS bucket FROM t),
+          |p AS (SELECT bucket, n, bucket - least(n, bucket) AS pad,
+          |    greatest(0, n - bucket) AS dropped FROM b)
+          |SELECT CAST(bucket AS BIGINT) AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+          |  CAST(sum(pad) AS BIGINT) AS pad_tokens,
+          |  CAST(sum(dropped) AS BIGINT) AS dropped_tokens,
+          |  CAST(sum(pad) * 1000000 // (count(*) * bucket) AS BIGINT) AS padding_ppm
+          |FROM p GROUP BY p.bucket ORDER BY bucket""".stripMargin,
+
+      // same split-day protocol as q252; first hit in the top-3, exact
+      // integer reciprocal
+      "q294_mrr_census" ->
+        """WITH sp AS (SELECT min(CAST(ts AS DATE)) + CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) // 2 AS INTEGER) AS split_day FROM events),
+          |ut0 AS (SELECT user_id AS key, event_type AS item,
+          |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= sp.split_day THEN 1 ELSE 0 END) AS BIGINT) AS score,
+          |    CAST(sum(CASE WHEN CAST(ts AS DATE) > sp.split_day THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          |  FROM events, sp GROUP BY 1, 2),
+          |ut AS (SELECT key, item, score,
+          |    CASE WHEN c2 > score THEN 1 ELSE 0 END AS rel FROM ut0),
+          |rk AS (SELECT key, rel,
+          |    row_number() OVER (PARTITION BY key ORDER BY score DESC, item) AS pr
+          |  FROM ut),
+          |f AS (SELECT key,
+          |    min(CASE WHEN pr <= 3 AND rel > 0 THEN pr END) AS fr
+          |  FROM rk GROUP BY 1),
+          |m AS (SELECT key,
+          |    CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS rr_ppm FROM f),
+          |c AS (SELECT rr_ppm, CAST(count(*) AS BIGINT) AS n_users
+          |  FROM m GROUP BY 1)
+          |SELECT rr_ppm, n_users,
+          |  CAST(sum(rr_ppm * n_users) OVER () // sum(n_users) OVER () AS BIGINT)
+          |    AS mean_rr_ppm
+          |FROM c ORDER BY rr_ppm""".stripMargin,
 
       // last-writer-wins CDC state recomputed from the raw table: the
       // %4∈{1,2} keys carry batch 2's +20; batch 1 was overwritten and

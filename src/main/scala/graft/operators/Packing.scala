@@ -74,4 +74,52 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         (sum(col("n_tokens")).cast("double") / budgetTokens).as("fill"))
+
+  /**
+   * Padding-waste census (PACK2) — the OTHER batching strategy's bill:
+   * where [[assignSequences]] concatenates documents into full budget
+   * windows (zero padding, document boundaries crossed),
+   * length-BUCKETED batching pads each document up to the smallest
+   * bucket that fits it (boundaries kept, attention masks trivial) and
+   * pays in pad tokens. This census prices that trade per bucket, in
+   * exact integers:
+   *
+   *   bucket(d)    = min { b ∈ ladder : tokens(d) ≤ b },
+   *                  else the LARGEST bucket (the doc truncates)
+   *   pad(d)       = bucket − min(tokens, bucket)
+   *   dropped(d)   = max(0, tokens − bucket)      (truncation overflow)
+   *   padding_ppm  = Σpad · 10⁶ DIV (n_docs · bucket)
+   *
+   * All quantities nonnegative — no sign-split anywhere. The ladder is
+   * a literal in plan AND oracle; tokens is the q22 whitespace law.
+   *
+   * Scale posture: one map-side-combinable groupBy on the bucket (the
+   * ladder lookup is a per-row CASE — no window, no join); output is
+   * |ladder| rows. The report that decides bucket boundaries for a
+   * 100 TB tokenization run before anyone pays for it.
+   */
+  def paddingWasteCensus(
+      docs: DataFrame, textCol: String,
+      ladder: Seq[Long] = Seq(64L, 128L, 256L, 512L)): DataFrame = {
+    require(ladder.nonEmpty && ladder == ladder.sorted && ladder.distinct == ladder,
+      "ladder must be ascending and distinct")
+    val top = ladder.last
+    val t = tokenCount(col(textCol))
+    val bucket = ladder.init.foldRight(lit(top)) { (b, rest) =>
+      when(t <= b, lit(b)).otherwise(rest)
+    }
+    docs
+      .select(t.as("n_tokens"), bucket.as("bucket"))
+      .withColumn("pad", col("bucket") - least(col("n_tokens"), col("bucket")))
+      .withColumn("dropped",
+        greatest(lit(0L), col("n_tokens") - col("bucket")))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("pad")).as("pad_tokens"),
+        sum(col("dropped")).as("dropped_tokens"))
+      .withColumn("padding_ppm",
+        expr("pad_tokens * 1000000 DIV (n_docs * bucket)"))
+  }
 }

@@ -214,4 +214,44 @@ object Ranking {
       .select(col("key"), col("n_items"), col("dcg"), col("idcg"),
         col("ndcg_ppm"))
   }
+
+  /**
+   * MRR@k census (EVAL14) — the third lens on the ranking shelf:
+   * [[recallReport]] asks "did the right items surface at all", NDCG
+   * asks "are the MOST relevant first", MRR asks the navigational
+   * question — "how deep is the FIRST hit":
+   *
+   *   first_hit_rank = min{ i ≤ k : rel(item at predicted rank i) > 0 }
+   *   rr_ppm         = 10⁶ DIV first_hit_rank   (0 when no hit in top-k)
+   *
+   * Predicted order is total — (score desc, item asc) — so ranks are
+   * engine-identical under ties, and 10⁶ DIV r is pure-integer on both
+   * engines (nonnegative: no sign-split needed). `first_hit_rank` is
+   * NULL (not 0) when nothing relevant lands in the top-k — "missed"
+   * and "rank ≈ ∞" stay distinguishable; rr_ppm carries the 0.
+   *
+   * Scale posture: ONE row_number window per key partition (one shuffle,
+   * one sort — half of NDCG's window bill, MRR never needs the ideal
+   * order) and a per-key min-rollup; per-key rows are the item domain,
+   * not the corpus.
+   */
+  def mrrAtK(df: DataFrame, keyCol: String, itemCol: String,
+      scoreCol: String, relCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 1000, "1..1000 cutoff")
+    df
+      .select(col(keyCol).as("key"), col(itemCol).as("item"),
+        col(scoreCol).as("score"), col(relCol).cast("long").as("rel"))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+          .orderBy(col("score").desc, col("item"))))
+      .groupBy(col("key"))
+      .agg(
+        min(when(col("pr") <= k && col("rel") > 0L, col("pr")))
+          .cast("long").as("first_hit_rank"),
+        count(lit(1)).as("n_items"))
+      .withColumn("rr_ppm",
+        coalesce(expr("1000000 DIV first_hit_rank"), lit(0L)))
+      .select(col("key"), col("n_items"), col("first_hit_rank"),
+        col("rr_ppm"))
+  }
 }

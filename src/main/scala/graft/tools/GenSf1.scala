@@ -160,7 +160,21 @@ object GenSf1 {
         (lit(900.0) + pmod(hash(lit("le"), col("id")), lit(10400000L))
           .cast("double") / 100.0).as("l_extendedprice"),
         (pmod(hash(lit("ld"), col("id")), lit(11L)).cast("double") / 100.0).as("l_discount"),
-        (pmod(hash(lit("lt"), col("id")), lit(9L)).cast("double") / 100.0).as("l_tax"))
+        (pmod(hash(lit("lt"), col("id")), lit(9L)).cast("double") / 100.0).as("l_tax"),
+        // full driver-fixture schema (the r9 FULL-surface sf1 gate reads
+        // every column the sf0.1 tables carry)
+        element_at(array(lit("R"), lit("A"), lit("N")),
+          (pmod(hash(lit("rf"), col("id")), lit(3)) + 1).cast("int")).as("l_returnflag"),
+        element_at(array(lit("O"), lit("F")),
+          (pmod(hash(lit("lst"), col("id")), lit(2)) + 1).cast("int")).as("l_linestatus"),
+        // l_shipdate = its ORDER's o_orderdate (same "od" hash law on the
+        // shared key) + 1..90 days, so fulfillment latencies stay
+        // positive as in the driver fixtures
+        timestamp_micros(lit(788918400000000L) +
+          (pmod(hash(lit("od"),
+              pmod(hash(lit("lo"), col("id")), lit(nOrders))), lit(2404L)) +
+            pmod(hash(lit("sd"), col("id")), lit(90L)) + 1L) * 86400000000L)
+          .cast("timestamp_ntz").as("l_shipdate"))
     writeSingle(lineitem, "lineitem")
 
     // small dims pass through so the compare harness finds every view

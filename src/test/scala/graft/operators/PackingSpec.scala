@@ -44,4 +44,30 @@ class PackingSpec extends SparkSpec {
       .select("doc_id", "seq_no").as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("paddingWasteCensus: hand-computed pad/dropped per bucket, truncation at the top") {
+    // tokens: 2, 4 (bucket 4: pads 2, 0); 5, 7, 10 (bucket 8: pads 3, 1,
+    // then 10 TRUNCATES: pad 0, dropped 2)
+    val rows = Seq("a b", "a b c d", "a b c d e", "a b c d e f g",
+      "a b c d e f g h i j").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Packing.paddingWasteCensus(rows, "text", ladder = Seq(4L, 8L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // bucket 4: 2 docs, 6 tokens, 2 pad, 0 dropped, ppm = 2e6 DIV 8
+    assert(out(4L) == ((2L, 6L, 2L, 0L, 250000L)))
+    // bucket 8: 3 docs, 22 tokens, 4 pad, 2 dropped, ppm = 4e6 DIV 24
+    assert(out(8L) == ((3L, 22L, 4L, 2L, 166666L)))
+  }
+
+  test("paddingWasteCensus: a misordered or duplicate ladder is refused") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.paddingWasteCensus(df, "text", ladder = Seq(8L, 4L))
+    }
+    intercept[IllegalArgumentException] {
+      Packing.paddingWasteCensus(df, "text", ladder = Seq(4L, 4L))
+    }
+  }
 }

@@ -169,4 +169,47 @@ class RankingSpec extends SparkSpec {
     assert(ndcg(rows)("t") ==
       ((9L * 630929L, 9000000L, Some(9L * 630929L * 1000000L / 9000000L))))
   }
+
+  private def mrr(rows: Seq[(String, String, Long, Long)], k: Int = 3) =
+    Ranking.mrrAtK(rows.toDF("key", "item", "score", "rel"),
+        "key", "item", "score", "rel", k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))).toMap
+
+  test("mrrAtK: hand-computed reciprocal ranks") {
+    val rows = Seq(
+      // key h1: pred order A(5),B(4),C(3); first rel at rank 2 → 500000
+      ("h1", "A", 5L, 0L), ("h1", "B", 4L, 7L), ("h1", "C", 3L, 1L),
+      // key h2: hit at rank 1 → 10⁶
+      ("h2", "A", 9L, 2L), ("h2", "B", 1L, 0L),
+      // key h3: hit at rank 3 → 10⁶ DIV 3 = 333333
+      ("h3", "A", 3L, 0L), ("h3", "B", 2L, 0L), ("h3", "C", 1L, 4L))
+    assert(mrr(rows) == Map(
+      "h1" -> ((3L, Some(2L), 500000L)),
+      "h2" -> ((2L, Some(1L), 1000000L)),
+      "h3" -> ((3L, Some(3L), 333333L))))
+  }
+
+  test("mrrAtK: a hit buried past the cutoff is a miss — NULL rank, rr 0") {
+    val rows = (1 to 5).map(i =>
+      ("m", s"i$i", (10 - i).toLong, if (i == 4) 9L else 0L))
+    assert(mrr(rows, k = 3)("m") == ((5L, None, 0L)))
+    // ...and widening the cutoff finds it: rank 4 → 250000
+    assert(mrr(rows, k = 4)("m") == ((5L, Some(4L), 250000L)))
+  }
+
+  test("mrrAtK: score ties break by item name; partitioning cannot move the rank") {
+    val rows = Seq(("t", "b", 5L, 3L), ("t", "a", 5L, 0L)) // tie → a first
+    assert(mrr(rows)("t") == ((2L, Some(2L), 500000L)))
+    val big = (1 to 40).map(i =>
+      ("p", s"i$i", ((i * 13) % 17).toLong, if (i % 9 == 0) 1L else 0L))
+    val base = mrr(big, k = 5)("p")
+    val shuffled = Ranking.mrrAtK(
+        new scala.util.Random(7).shuffle(big.toList)
+          .toDF("key", "item", "score", "rel").repartition(9),
+        "key", "item", "score", "rel", 5)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).head
+    assert((base._1, base._3) == shuffled)
+  }
 }
