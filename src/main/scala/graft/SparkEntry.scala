@@ -1688,6 +1688,12 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-6, 0)
       daily.join(broadcast(market), "day")
+        // DECIMAL(38,0) like the oracle's HUGEINT window sums: the
+        // market-side products (sy², 7·syy) cross 2⁶³ near 10⁶ events
+        // (the sf≈1 gate caught the long path overflowing); wide-int →
+        // double rounds identically on both engines
+        .withColumn("x", col("x").cast(DecimalType(38, 0)))
+        .withColumn("y", col("y").cast(DecimalType(38, 0)))
         .withColumn("nw", count(lit(1)).over(w))
         .withColumn("sx", sum(col("x")).over(w))
         .withColumn("sy", sum(col("y")).over(w))
@@ -5106,6 +5112,44 @@ object SparkEntry {
           expr("sum(rr_ppm * n_users) OVER () DIV sum(n_users) OVER ()"))
         .orderBy(col("rr_ppm"))
     }),
+
+    // Q296 — EVAL15 AP@3 census completing the IR quartet on the q294
+    // protocol: every hit rewarded by the precision AT ITS OWN RANK
+    // (pinned per-term truncation, then the final divide by min(R, k)),
+    // so list quality separates users MRR scores identically. Same
+    // single window per user; bucketed census like q252.
+    "q296_ap_census" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val span = ev.agg(expr(
+        "date_add(min(CAST(ts AS DATE)), CAST(datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) DIV 2 AS INT))")
+        .as("split_day"))
+      val units = ev
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+        .crossJoin(broadcast(span)) // single-row constant join
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(when(col("d") <= col("split_day"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("d") > col("split_day"), 1L).otherwise(0L)).as("c2"))
+        .withColumn("grew", when(col("c2") > col("c1"), 1L).otherwise(0L))
+      graft.operators.Ranking.apAtK(units, "user_id", "event_type",
+          "c1", "grew", k = 3)
+        .where(col("ap_ppm").isNotNull)
+        .withColumn("bucket", expr("ap_ppm DIV 100000"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Q297 — FC8 Croston intermittent-demand forecast: per part band,
+    // nonzero daily shipment sizes and inter-demand intervals smoothed
+    // SEPARATELY (the sparse-series classic EWMA/Holt mishandle),
+    // milli-unit half-weight recurrences, forecast = size/interval.
+    // The oracle replays the identical recurrence as a recursive CTE.
+    "q297_croston" -> ((s, dir) =>
+      graft.operators.Trend.crostonForecast(
+          t(s, dir, "lineitem"), col("l_partkey") % 2000,
+          to_date(col("l_shipdate")), col("l_quantity"))
+        .withColumnRenamed("key", "part_band")
+        .orderBy(col("part_band"))),
 
     // Q295 — PACK2 padding-waste census: the length-bucketed-batching
     // bill (C4's assignSequences concatenates at zero padding; bucketing
@@ -10484,6 +10528,57 @@ object SparkEntry {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |WHERE l_suppkey BETWEEN 3 AND 5
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same protocol as q294; per-term truncation then final divide
+      "q296_ap_census" ->
+        """WITH sp AS (SELECT min(CAST(ts AS DATE)) + CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) // 2 AS INTEGER) AS split_day FROM events),
+          |ut0 AS (SELECT user_id AS key, event_type AS item,
+          |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= sp.split_day THEN 1 ELSE 0 END) AS BIGINT) AS score,
+          |    CAST(sum(CASE WHEN CAST(ts AS DATE) > sp.split_day THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          |  FROM events, sp GROUP BY 1, 2),
+          |ut AS (SELECT key, item, score,
+          |    CASE WHEN c2 > score THEN 1 ELSE 0 END AS rel FROM ut0),
+          |rk AS (SELECT key, rel,
+          |    row_number() OVER (PARTITION BY key ORDER BY score DESC, item) AS pr,
+          |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY key ORDER BY score DESC, item
+          |            ROWS UNBOUNDED PRECEDING) AS hits
+          |  FROM ut),
+          |t AS (SELECT key,
+          |    CAST(sum(CASE WHEN rel > 0 AND pr <= 3
+          |         THEN hits * 1000000 // pr ELSE 0 END) AS BIGINT) AS ap_num,
+          |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+          |  FROM rk GROUP BY 1),
+          |a AS (SELECT key, ap_num // least(n_rel, 3) AS ap_ppm
+          |  FROM t WHERE n_rel > 0)
+          |SELECT CAST(ap_ppm // 100000 AS BIGINT) AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n_users
+          |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+      // identical recurrence replayed as a recursive CTE (the q254 shape)
+      "q297_croston" ->
+        """WITH RECURSIVE d AS (SELECT l_partkey % 2000 AS key,
+          |    CAST(l_shipdate AS DATE) AS dd,
+          |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+          |  FROM lineitem GROUP BY 1, 2
+          |  HAVING sum(CAST(l_quantity AS BIGINT)) > 0),
+          |r AS (SELECT key, dd, v,
+          |    row_number() OVER (PARTITION BY key ORDER BY dd) AS rn FROM d),
+          |rec AS (
+          |  SELECT key, rn, dd, CAST(1000 * v AS BIGINT) AS z,
+          |    CAST(1000 AS BIGINT) AS p
+          |  FROM r WHERE rn = 1
+          |  UNION ALL
+          |  SELECT r.key, r.rn, r.dd,
+          |    (rec.z + 1000 * r.v) // 2,
+          |    (rec.p + 1000 * date_diff('day', rec.dd, r.dd)) // 2
+          |  FROM rec JOIN r ON r.key = rec.key AND r.rn = rec.rn + 1)
+          |SELECT CAST(key AS BIGINT) AS part_band,
+          |  CAST(max(rn) AS BIGINT) AS n_demands,
+          |  CAST(arg_max(z, rn) AS BIGINT) AS z_milli,
+          |  CAST(arg_max(p, rn) AS BIGINT) AS p_milli,
+          |  CAST(arg_max(z, rn) * 1000 // arg_max(p, rn) AS BIGINT) AS croston_milli
+          |FROM rec GROUP BY 1 ORDER BY part_band""".stripMargin,
 
       // q22's whitespace token law; ladder CASE shared as literals;
       // every quantity nonnegative so // == DIV throughout

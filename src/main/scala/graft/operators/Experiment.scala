@@ -392,8 +392,14 @@ object Experiment {
       .join(ranked.select(col("key"), col("v"), col("r2")), Seq("key", "v"))
       .groupBy(col("key"), col("g"))
       .agg(sum(col("tg")).as("n_g"), sum(col("tg") * col("r2")).as("s2_g"))
+      // ⌊s2_g²·10⁶ / n_g⌋ EXACTLY, staying in DECIMAL(38,0): the
+      // quotient crosses 2⁶³ near n = 10⁶ rows per key (the sf≈1 gate
+      // caught the long-typed DIV overflowing), so subtract the mod and
+      // divide — an exact integral quotient, no rounding, same law
       .withColumn("a_g", expr(
-        "CAST(s2_g AS DECIMAL(38,0)) * s2_g * 1000000 DIV n_g"))
+        """CAST((CAST(s2_g AS DECIMAL(38,0)) * s2_g * 1000000
+          |  - pmod(CAST(s2_g AS DECIMAL(38,0)) * s2_g * 1000000, n_g))
+          |  / n_g AS DECIMAL(38,0))""".stripMargin))
     val ties = ranked.groupBy(col("key"))
       .agg(sum(expr("t * t * t - t")).as("tie3"))
     val crit = Chi2Crit95Ppm.zipWithIndex

@@ -254,4 +254,47 @@ object Ranking {
       .select(col("key"), col("n_items"), col("first_hit_rank"),
         col("rr_ppm"))
   }
+
+  /**
+   * AP@k census (EVAL15) — the fourth and last lens of the IR quartet
+   * (recall / NDCG / MRR / AP): average precision rewards EVERY hit by
+   * the precision at its own rank, so it sees list QUALITY where MRR
+   * stops at the first hit and recall ignores order entirely:
+   *
+   *   AP@k = ( Σ_{hit at rank i ≤ k} ⌊hits(≤i)·10⁶ DIV i⌋ ) DIV min(R, k)
+   *
+   * with R = the key's total relevant count and hits(≤i) the running
+   * hit count under the total (score desc, item asc) order. The
+   * per-term truncation THEN the final divide is the pinned evaluation
+   * order — both engines replay it exactly; everything is nonnegative
+   * (no sign-split). R = 0 yields NULL (nothing to find ≠ found
+   * nothing).
+   *
+   * Scale posture: one window partition per key carrying BOTH the
+   * row_number and the running hit count (same sort — one shuffle, one
+   * sort), then a per-key rollup; per-key rows are the item domain.
+   */
+  def apAtK(df: DataFrame, keyCol: String, itemCol: String,
+      scoreCol: String, relCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 1000, "1..1000 cutoff")
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("score").desc, col("item"))
+    df
+      .select(col(keyCol).as("key"), col(itemCol).as("item"),
+        col(scoreCol).as("score"), col(relCol).cast("long").as("rel"))
+      .withColumn("pr", row_number().over(order))
+      .withColumn("hit", when(col("rel") > 0L, 1L).otherwise(0L))
+      .withColumn("hits", sum(col("hit")).over(
+        order.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("key"))
+      .agg(
+        sum(when(col("hit") === 1L && col("pr") <= k,
+          expr("hits * 1000000 DIV pr")).otherwise(0L)).as("ap_num"),
+        sum(col("hit")).as("n_rel"),
+        count(lit(1)).as("n_items"))
+      .withColumn("ap_ppm",
+        when(col("n_rel") > 0L,
+          expr(s"ap_num DIV least(n_rel, $k)")))
+      .select(col("key"), col("n_items"), col("n_rel"), col("ap_ppm"))
+  }
 }

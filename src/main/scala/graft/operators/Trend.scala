@@ -302,4 +302,59 @@ object Trend {
         max(col("seasonal_cents")).as("seasonal_cents"),
         expr("sum(abs_rem) DIV count(1)").as("mean_abs_remainder"))
   }
+
+  /**
+   * Croston intermittent-demand forecast (FC8) — THE classic for sparse
+   * series, where EWMA/Holt smear zeros into the level and forecast a
+   * demand that mostly is not there (Croston 1972): smooth the nonzero
+   * demand SIZES and the inter-demand INTERVALS separately, forecast
+   * their ratio.
+   *
+   * Law (alpha = 1/2 half-weight, milli-units, every quantity
+   * nonnegative — no sign-split anywhere): over a key's NONZERO demands
+   * in day order, with q = day gap to the previous nonzero demand,
+   *
+   *   init:  z = 1000·d₁,            p = 1000        (q₁ ≡ 1, pinned)
+   *   step:  z' = (z + 1000·d) DIV 2, p' = (p + 1000·q) DIV 2
+   *   croston_milli = z·1000 DIV p    (expected demand per period)
+   *
+   * The recurrence folds over the sorted nonzero-demand array per key —
+   * zero-demand days NEVER enter the state (the point of Croston), so
+   * per-key work is the nonzero count, not the calendar.
+   *
+   * Scale posture: one (key, day) aggregate, one key shuffle for the
+   * fold; per-key array = nonzero days (bounded by the calendar). The
+   * oracle replays the identical recurrence as a recursive CTE.
+   */
+  def crostonForecast(df: DataFrame, keyCol: Column, dayCol: Column,
+      demandCol: Column): DataFrame = {
+    val daily = df.select(keyCol.as("key"), dayCol.as("day"),
+        demandCol.cast("long").as("d"))
+      .groupBy(col("key"), col("day"))
+      .agg(sum(col("d")).as("v"))
+      .where(col("v") > 0L)
+    val zero = struct(lit(null).cast("long").as("z"),
+      lit(null).cast("long").as("p"), lit(null).cast("date").as("last"),
+      lit(0L).as("n"))
+    daily
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("series"))
+      .withColumn("acc", aggregate(col("series"), zero, (a, x) => {
+        val d = x.getField("v")
+        when(a.getField("n") === 0L,
+          struct((d * 1000L).as("z"), lit(1000L).as("p"),
+            x.getField("day").as("last"), lit(1L).as("n")))
+          .otherwise(struct(
+            // nonnegative throughout: shiftright IS the DIV 2
+            shiftright(a.getField("z") + d * 1000L, 1).as("z"),
+            shiftright(a.getField("p") +
+              datediff(x.getField("day"), a.getField("last")).cast("long") * 1000L,
+              1).as("p"),
+            x.getField("day").as("last"),
+            (a.getField("n") + 1L).as("n")))
+      }))
+      .select(col("key"), col("acc.n").as("n_demands"),
+        col("acc.z").as("z_milli"), col("acc.p").as("p_milli"),
+        expr("acc.z * 1000 DIV acc.p").as("croston_milli"))
+  }
 }

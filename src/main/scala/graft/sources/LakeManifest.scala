@@ -331,8 +331,28 @@ object LakeManifest {
 
   private def writeVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       v: Int): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(versionPath(dir)), true)
+    // ATOMIC pointer swap (readers resolve the manifest through VERSION,
+    // so a truncate-then-write create() would expose an empty pointer
+    // mid-swap): stage and rename. Local lakes get POSIX rename
+    // atomicity via java.nio ATOMIC_MOVE; the OS-lock require() in
+    // withCommitLock already pins this class to local filesystems.
+    val target = new org.apache.hadoop.fs.Path(versionPath(dir))
+    val tmp = new org.apache.hadoop.fs.Path(versionPath(dir) +
+      s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      fs.delete(target, false)
+      require(fs.rename(tmp, target), s"VERSION swap failed for $dir")
+    }
   }
 
   /** Current manifest version (0 after [[write]]/[[optimize]], +1 per
@@ -602,10 +622,17 @@ object LakeManifest {
     new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
 
   private def snapshot(
-      spark: SparkSession, dir: String): Seq[(String, Long, Map[String, (Long, Long)])] =
-    snapshotOf(spark, dir, read(spark, dir), dir,
-      fs => fs.getFileStatus(new org.apache.hadoop.fs.Path(filesPath(dir)))
-        .getModificationTime)
+      spark: SparkSession, dir: String): Seq[(String, Long, Map[String, (Long, Long)])] = {
+    // resolve through the ATOMIC version pointer onto the IMMUTABLE
+    // per-version manifest dir — never the in-place-overwritten
+    // filesPath, which a concurrent commit rewrites under readers (the
+    // reader-vs-manifest-swap race; filesPath stays the WRITER-side
+    // manifest, read under the commit lock)
+    val v = currentVersion(spark, dir)
+    snapshotOf(spark, dir, readAt(spark, dir, v), s"$dir@v$v",
+      fs => fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        historyPath(dir, v))).getModificationTime)
+  }
 
   private def snapshotOf(
       spark: SparkSession, dir: String, manifest: => DataFrame, key: String,
@@ -875,12 +902,15 @@ object LakeManifest {
       bits: Int): Seq[(String, Map[String, java.util.BitSet])] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(filesPath(dir)))
-      .getModificationTime
+    // same reader-safe resolution as [[snapshot]]: version pointer ->
+    // immutable per-version manifest
+    val v = currentVersion(spark, dir)
+    val mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      historyPath(dir, v))).getModificationTime
     val cached = bloomSnapshots.get(dir)
     if (cached != null && cached.mtime == mtime) cached.entries
     else {
-      val m = read(spark, dir)
+      val m = readAt(spark, dir, v)
       val dims = m.schema.fieldNames.collect {
         case n if n.startsWith("bloom_") => n.stripPrefix("bloom_")
       }.toSeq

@@ -71,6 +71,7 @@ class PlanAuditSpec extends SparkSpec {
     "q248_subsequence_support" -> "single-row broadcast: the 1-row total-user count crossJoins onto the pattern rows (1 x |types|^2, structurally bounded); the pattern join itself is per-user equi",
     "q252_ndcg_census" -> "single-row broadcast: the 1-row calendar split crossJoins onto the events pre-census (1 x rows, structurally bounded — the q245 split law, visible here because no checkpoint truncates it)",
     "q294_mrr_census" -> "single-row broadcast: the 1-row calendar split crossJoins onto the events pre-census (the q252 protocol, same 1 x rows bound)",
+    "q296_ap_census" -> "single-row broadcast: the 1-row calendar split crossJoins onto the events pre-census (the q252 protocol, same 1 x rows bound)",
     "q256_t_closeness" -> "single-row broadcast: the 1-row global total crossJoins onto the (QI, sensitive) cells (1 x cells, structurally bounded — the q97 contingency pattern)",
     "q258_density_clusters" -> "single-row broadcasts: the 1-row point total, 1-row dense-cell rollup, and 1-row cluster-mass rollup combine (1 x 1 x 1 by construction — the q142 pattern); the cell-adjacency join itself is the 9-offset equi-join",
     "q261_sketch_overlap" -> "bounded pair join: the per-type SKETCH frame self-joins on ta < tb (|types|^2 rows, type domain structurally bounded — the q81/q216 pattern); the exact-intersection side is a per-user equi-join",

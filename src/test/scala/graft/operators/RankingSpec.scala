@@ -212,4 +212,36 @@ class RankingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(3))).head
     assert((base._1, base._3) == shuffled)
   }
+
+  private def ap(rows: Seq[(String, String, Long, Long)], k: Int = 3) =
+    Ranking.apAtK(rows.toDF("key", "item", "score", "rel"),
+        "key", "item", "score", "rel", k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+
+  test("apAtK: hand-computed average precision") {
+    // pred order A,B,C,D (scores desc); rels 1,0,1,0; k=3:
+    //   hit@1: hits=1 -> 1000000 DIV 1 = 1000000
+    //   hit@3: hits=2 -> 2000000 DIV 3 =  666666
+    //   R=2, min(R,3)=2 -> AP = 1666666 DIV 2 = 833333
+    val rows = Seq(("q", "A", 9L, 1L), ("q", "B", 8L, 0L),
+      ("q", "C", 7L, 1L), ("q", "D", 6L, 0L))
+    assert(ap(rows)("q") == ((4L, 2L, Some(833333L))))
+  }
+
+  test("apAtK: perfect front-loading scores exactly 10^6; zero relevance is NULL") {
+    val rows = Seq(("p", "A", 9L, 1L), ("p", "B", 8L, 1L), ("p", "C", 7L, 0L))
+    // hits at ranks 1,2: 10^6 + 10^6 -> DIV 2 = 10^6
+    assert(ap(rows)("p") == ((3L, 2L, Some(1000000L))))
+    assert(ap(Seq(("z", "A", 1L, 0L)))("z") == ((1L, 0L, None)))
+  }
+
+  test("apAtK: relevance past the cutoff contributes nothing but still counts in R") {
+    // rels at ranks 2 and 4, k=3: only rank 2 scores (hits=1 -> 500000);
+    // min(R=2, 3)=2 -> AP = 500000 DIV 2 = 250000
+    val rows = Seq(("m", "A", 9L, 0L), ("m", "B", 8L, 1L),
+      ("m", "C", 7L, 0L), ("m", "D", 6L, 1L))
+    assert(ap(rows)("m") == ((4L, 2L, Some(250000L))))
+  }
 }

@@ -176,4 +176,47 @@ class TrendSpec extends SparkSpec {
     val out = theil(Seq(("e", 1, 0L), ("e", 2, 2L), ("e", 3, 2L), ("e", 4, 2L)))
     assert(out("e") == ((4L, 6L, Some(0L))))
   }
+
+  private def croston(rows: Seq[(String, String, Long)]) =
+    Trend.crostonForecast(
+        rows.toDF("key", "day", "d")
+          .withColumn("day", to_date(col("day"))),
+        col("key"), col("day"), col("d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("crostonForecast: hand-computed size/interval recurrences") {
+    // demands 4 (01-01), 2 (01-03), 6 (01-10):
+    //   init            z = 4000, p = 1000
+    //   step q=2, d=2:  z = (4000+2000)>>1 = 3000, p = (1000+2000)>>1 = 1500
+    //   step q=7, d=6:  z = (3000+6000)>>1 = 4500, p = (1500+7000)>>1 = 4250
+    //   croston = 4500·1000 DIV 4250 = 1058
+    val rows = Seq(("k", "2024-01-01", 4L), ("k", "2024-01-03", 2L),
+      ("k", "2024-01-10", 6L))
+    assert(croston(rows)("k") == ((3L, 4500L, 4250L, 1058L)))
+  }
+
+  test("crostonForecast: zero-demand days never enter the state; same-day rows sum") {
+    val rows = Seq(("k", "2024-01-01", 4L), ("k", "2024-01-02", 0L),
+      ("k", "2024-01-03", 2L), ("k", "2024-01-05", 0L),
+      ("k", "2024-01-10", 4L), ("k", "2024-01-10", 2L))
+    assert(croston(rows)("k") == ((3L, 4500L, 4250L, 1058L)))
+    // a single demand forecasts itself over the pinned unit interval
+    assert(croston(Seq(("s", "2024-02-01", 7L)))("s") ==
+      ((1L, 7000L, 1000L, 7000L)))
+  }
+
+  test("crostonForecast: partitioning cannot move the fold") {
+    val rows = (1 to 30).map(i =>
+      ("p", f"2024-01-$i%02d", if (i % 3 == 0) (i % 7).toLong else 0L))
+    val base = croston(rows)
+    val out = Trend.crostonForecast(
+        new scala.util.Random(3).shuffle(rows.toList)
+          .toDF("key", "day", "d").withColumn("day", to_date(col("day")))
+          .repartition(7),
+        col("key"), col("day"), col("d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == base)
+  }
 }
