@@ -5160,6 +5160,82 @@ object SparkEntry {
       graft.operators.Packing.paddingWasteCensus(
           t(s, dir, "documents"), "text", ladder = Seq(32L, 64L, 96L))
         .orderBy(col("bucket"))),
+
+    // Q298 — MV2 incremental join-view maintenance: V = orders ⋈
+    // lineitem maintained by the three delta joins (ΔA⋈B₀, A₀⋈ΔB,
+    // ΔA⋈ΔB — deltas BROADCAST), never a rescan of V. The oracle
+    // computes the full join with per-pair CASE classification; equality
+    // proves the four terms partition it disjointly and completely.
+    "q298_mv_join_maintenance" -> ((s, dir) => {
+      val cutA = lit("1999-01-01").cast("date")
+      val cutB = lit("1999-07-01").cast("date")
+      val a = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), to_date(col("o_orderdate")).as("o_day"))
+      val b = t(s, dir, "lineitem").select(col("l_orderkey"),
+        to_date(col("l_shipdate")).as("l_day"),
+        floor(col("l_extendedprice") * 100).cast("long").as("rev_cents"))
+      graft.operators.Incremental.mergeJoinDeltas(
+          a.where(col("o_day") < cutA), a.where(col("o_day") >= cutA),
+          b.where(col("l_day") < cutB), b.where(col("l_day") >= cutB),
+          "o_orderkey", "l_orderkey")
+        .groupBy(col("term"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("rev_cents")).as("revenue_cents"))
+        .orderBy(col("term"), col("o_orderpriority"))
+    }),
+
+    // Q299 — EXP10 post-stratified ATE: deterministic arm (user_id
+    // parity), stratum = event type; per-stratum arm-mean differences
+    // weighted by population share — the estimator that survives
+    // Simpson's trap. Exact milli/ppm integer law throughout.
+    "q299_post_stratified_ate" -> ((s, dir) =>
+      graft.operators.Experiment.postStratifiedAte(
+          t(s, dir, "events"), col("event_type"), col("user_id") % 2,
+          floor(col("value") * 100))
+        .orderBy(col("stratum"))),
+
+    // Q300 — SC8 partition-layout advisor: three candidate layouts for
+    // the same fact table priced on partition count, straggler skew,
+    // and runt-partition pressure — the report you read BEFORE writing
+    // a 100 TB lake. One map-side groupBy per candidate, 3 rows out.
+    "q300_layout_advisor" -> ((s, dir) =>
+      graft.operators.Profile.partitionLayoutAdvisor(
+          t(s, dir, "lineitem"), Seq(
+            ("part_band", col("l_partkey") % 128),
+            ("ship_day", to_date(col("l_shipdate"))),
+            ("supplier", col("l_suppkey"))))
+        .orderBy(col("candidate"))),
+
+    // Q301 — BITEMP1 bitemporal knowledge drift: facts carry BOTH a
+    // valid time (ship date) and a recorded time (ship date + per-
+    // supplier reporting lag); the same valid-time cut resolved at an
+    // early and a late transaction cut shows which keys later-recorded
+    // facts corrected — the reproducibility audit for pinned training
+    // snapshots. One window per key per cut; no join over the corpus.
+    "q301_bitemporal_asof" -> ((s, dir) =>
+      graft.operators.Bitemporal.knowledgeDrift(
+          t(s, dir, "lineitem"),
+          keyCol = col("l_partkey") % 500,
+          validFromCol = to_date(col("l_shipdate")),
+          recordedAtCol = date_add(to_date(col("l_shipdate")),
+            (col("l_suppkey") % 20).cast("int")),
+          valueCol = floor(col("l_extendedprice") * 100).cast("long"),
+          tieCol = col("l_orderkey") * 10 + col("l_linenumber"),
+          validAsOf = lit("1999-06-30").cast("date"),
+          txEarly = lit("1999-01-01").cast("date"),
+          txLate = lit("2001-12-31").cast("date"))
+        .orderBy(col("key"))),
+
+    // Q302 — B12 time-decay multi-touch attribution: every touchpoint
+    // in the 7-day lookback earns credit halved per day of age
+    // (shiftright milli-weights, ppm-normalized per conversion), then
+    // channels are billed the sum — the middle ground between B9's
+    // last-touch and a linear split. Per-user equi-join, no self-cross.
+    "q302_decay_attribution" -> ((s, dir) =>
+      graft.operators.Funnel.timeDecayAttribution(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          conversionType = "purchase", lookbackDays = 7)
+        .orderBy(col("channel"))),
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
@@ -10686,6 +10762,128 @@ object SparkEntry {
           |  da.n_core_points, ta.n_points - da.n_core_points AS n_noise_points,
           |  cm.largest_cluster_points
           |FROM ta, da, cm""".stripMargin,
+
+      // the full join with per-pair CASE classification: equality proves
+      // the four incremental-maintenance terms partition it exactly
+      "q298_mv_join_maintenance" ->
+        """WITH a AS (SELECT o_orderkey, o_orderpriority,
+          |    CASE WHEN CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+          |         THEN 0 ELSE 1 END AS a_new FROM orders),
+          |b AS (SELECT l_orderkey,
+          |    CASE WHEN CAST(l_shipdate AS DATE) < DATE '1999-07-01'
+          |         THEN 0 ELSE 1 END AS b_new,
+          |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS rev_cents
+          |  FROM lineitem)
+          |SELECT CASE WHEN a_new = 0 AND b_new = 0 THEN 'base'
+          |            WHEN a_new = 1 AND b_new = 0 THEN 'delta_a'
+          |            WHEN a_new = 0 AND b_new = 1 THEN 'delta_b'
+          |            ELSE 'delta_both' END AS term,
+          |  o_orderpriority, count(*) AS n_pairs,
+          |  CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+          |FROM a JOIN b ON o_orderkey = l_orderkey
+          |GROUP BY 1, 2 ORDER BY term, o_orderpriority""".stripMargin,
+
+      // per-stratum arm means in milli-cents (nonneg, // == DIV), diff of
+      // truncated integers, ppm weights, truncating final divide
+      "q299_post_stratified_ate" ->
+        """WITH e AS (SELECT event_type AS stratum, user_id % 2 AS arm,
+          |    CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+          |c AS (SELECT stratum, count(*) AS n_c,
+          |    CAST(sum(y) AS BIGINT) AS sum_c FROM e WHERE arm = 0 GROUP BY 1),
+          |t AS (SELECT stratum, count(*) AS n_t,
+          |    CAST(sum(y) AS BIGINT) AS sum_t FROM e WHERE arm = 1 GROUP BY 1),
+          |j AS (SELECT stratum, n_c, n_t,
+          |    sum_c * 1000 // n_c AS mean_c_milli,
+          |    sum_t * 1000 // n_t AS mean_t_milli
+          |  FROM c JOIN t USING (stratum)),
+          |k AS (SELECT stratum, n_c, n_t, mean_c_milli, mean_t_milli,
+          |    mean_t_milli - mean_c_milli AS diff_milli,
+          |    CAST((n_c + n_t) * 1000000 // (sum(n_c + n_t) OVER ()) AS BIGINT)
+          |      AS w_ppm FROM j),
+          |m AS (SELECT *, diff_milli * w_ppm AS contrib FROM k)
+          |SELECT stratum, n_c, n_t, mean_c_milli, mean_t_milli, diff_milli,
+          |  w_ppm, contrib,
+          |  CAST(CASE WHEN sum(contrib) OVER () < 0
+          |       THEN -((-sum(contrib) OVER ()) // 1000000)
+          |       ELSE sum(contrib) OVER () // 1000000 END AS BIGINT) AS ate_milli
+          |FROM m ORDER BY stratum""".stripMargin,
+
+      // per-candidate partition census; all quantities nonneg so // == DIV
+      "q300_layout_advisor" ->
+        """WITH g1 AS (SELECT l_partkey % 128 AS p, CAST(count(*) AS BIGINT) AS rows_p FROM lineitem GROUP BY 1),
+          |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_partitions, CAST(sum(rows_p) AS BIGINT) AS n_rows,
+          |    CAST(min(rows_p) AS BIGINT) AS min_rows, CAST(max(rows_p) AS BIGINT) AS max_rows FROM g1),
+          |b1 AS (SELECT *, n_rows // n_partitions AS avg_rows FROM a1),
+          |c1 AS (SELECT 'part_band' AS candidate, n_partitions, n_rows, min_rows, avg_rows, max_rows,
+          |    max_rows * 1000000 // avg_rows AS skew_ppm,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM g1, b1 WHERE rows_p * 2 < avg_rows) AS n_runts
+          |  FROM b1),
+          |g2 AS (SELECT CAST(l_shipdate AS DATE) AS p, CAST(count(*) AS BIGINT) AS rows_p FROM lineitem GROUP BY 1),
+          |a2 AS (SELECT CAST(count(*) AS BIGINT) AS n_partitions, CAST(sum(rows_p) AS BIGINT) AS n_rows,
+          |    CAST(min(rows_p) AS BIGINT) AS min_rows, CAST(max(rows_p) AS BIGINT) AS max_rows FROM g2),
+          |b2 AS (SELECT *, n_rows // n_partitions AS avg_rows FROM a2),
+          |c2 AS (SELECT 'ship_day' AS candidate, n_partitions, n_rows, min_rows, avg_rows, max_rows,
+          |    max_rows * 1000000 // avg_rows AS skew_ppm,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM g2, b2 WHERE rows_p * 2 < avg_rows) AS n_runts
+          |  FROM b2),
+          |g3 AS (SELECT l_suppkey AS p, CAST(count(*) AS BIGINT) AS rows_p FROM lineitem GROUP BY 1),
+          |a3 AS (SELECT CAST(count(*) AS BIGINT) AS n_partitions, CAST(sum(rows_p) AS BIGINT) AS n_rows,
+          |    CAST(min(rows_p) AS BIGINT) AS min_rows, CAST(max(rows_p) AS BIGINT) AS max_rows FROM g3),
+          |b3 AS (SELECT *, n_rows // n_partitions AS avg_rows FROM a3),
+          |c3 AS (SELECT 'supplier' AS candidate, n_partitions, n_rows, min_rows, avg_rows, max_rows,
+          |    max_rows * 1000000 // avg_rows AS skew_ppm,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM g3, b3 WHERE rows_p * 2 < avg_rows) AS n_runts
+          |  FROM b3),
+          |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+          |SELECT candidate, n_partitions, n_rows, min_rows, avg_rows, max_rows,
+          |  skew_ppm, n_runts, n_runts * 1000000 // n_partitions AS runt_ppm
+          |FROM u ORDER BY candidate""".stripMargin,
+
+      // both transaction cuts resolved through the same total order;
+      // early-invisible keys report NULL + changed
+      "q301_bitemporal_asof" ->
+        """WITH f AS (SELECT l_partkey % 500 AS key,
+          |    CAST(l_shipdate AS DATE) AS valid_from,
+          |    CAST(l_shipdate AS DATE) + CAST(l_suppkey % 20 AS INTEGER) AS recorded_at,
+          |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS value,
+          |    l_orderkey * 10 + l_linenumber AS tie FROM lineitem),
+          |e AS (SELECT key, value AS value_early, row_number() OVER (
+          |      PARTITION BY key ORDER BY valid_from DESC, recorded_at DESC, tie DESC) AS rn
+          |  FROM f WHERE recorded_at <= DATE '1999-01-01'
+          |    AND valid_from <= DATE '1999-06-30'),
+          |l AS (SELECT key, value AS value_late, row_number() OVER (
+          |      PARTITION BY key ORDER BY valid_from DESC, recorded_at DESC, tie DESC) AS rn
+          |  FROM f WHERE recorded_at <= DATE '2001-12-31'
+          |    AND valid_from <= DATE '1999-06-30')
+          |SELECT l.key, e.value_early, l.value_late,
+          |  (e.value_early IS NULL OR e.value_early <> l.value_late) AS changed
+          |FROM (SELECT * FROM l WHERE rn = 1) l
+          |  LEFT JOIN (SELECT * FROM e WHERE rn = 1) e USING (key)
+          |ORDER BY key""".stripMargin,
+
+      // halving by age in days (shiftright), ppm-normalized per
+      // conversion; every quantity nonneg so // == DIV
+      "q302_decay_attribution" ->
+        """WITH conv AS (SELECT user_id AS u, ts AS conv_ts FROM events
+          |  WHERE event_type = 'purchase'),
+          |tch AS (SELECT user_id AS u, ts AS touch_ts, event_type AS channel
+          |  FROM events WHERE event_type <> 'purchase'),
+          |j AS (SELECT conv.u, conv_ts, channel,
+          |    date_diff('day', CAST(touch_ts AS DATE), CAST(conv_ts AS DATE)) AS age_days
+          |  FROM conv JOIN tch ON conv.u = tch.u
+          |  WHERE touch_ts <= conv_ts AND touch_ts > conv_ts - INTERVAL 7 DAY),
+          |w AS (SELECT u, conv_ts, channel,
+          |    CAST(1000 >> age_days AS BIGINT) AS w FROM j),
+          |w2 AS (SELECT * FROM w WHERE w > 0),
+          |n AS (SELECT *, CAST(sum(w) OVER (PARTITION BY u, conv_ts) AS BIGINT)
+          |    AS sum_w FROM w2),
+          |c AS (SELECT channel, u, conv_ts,
+          |    w * 1000000 // sum_w AS credit_ppm FROM n)
+          |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+          |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total,
+          |  CAST(count(DISTINCT (u, conv_ts)) AS BIGINT) AS n_conversions,
+          |  CAST(sum(credit_ppm) // count(*) AS BIGINT) AS mean_credit_ppm
+          |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
     )
   }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Bitemporal as-of resolution (BITEMP1) — the two-clock query SCD2
+ * (CDC1/CDC2) cannot answer: "what did we BELIEVE on transaction date
+ * T_tx the state effective on valid date T_v was?" Every fact carries
+ * two times — when it was true in the world (`valid_from`) and when the
+ * pipeline learned it (`recorded_at`) — and reproducing yesterday's
+ * training run requires resolving through BOTH: late-arriving
+ * corrections must be invisible to queries pinned before they were
+ * recorded. This is the table-level twin of the lake's version-pinned
+ * `timeTravel` (SC6b): timeTravel pins what the STORAGE knew;
+ * bitemporal as-of pins what the DATA claimed.
+ *
+ * Resolution law (per key, both clocks inclusive):
+ *   visible  = rows with recorded_at ≤ T_tx          (knowledge cut)
+ *   eligible = visible with valid_from ≤ T_v         (world cut)
+ *   winner   = max by (valid_from, recorded_at, tie) (latest belief
+ *              about the latest effective state; `tie` makes the order
+ *              total so the report replays bit-identically)
+ *
+ * Scale posture: one window per key over the eligible slice — a single
+ * key-partitioned shuffle, no join. At 100 TB the knowledge/world cuts
+ * are partition-prunable predicates (record date is a natural partition
+ * column for an append-only changelog), so the window reads only the
+ * pruned slice.
+ */
+object Bitemporal {
+
+  /**
+   * Resolve per-key state as of (`txAsOf`, `validAsOf`). Input columns
+   * are passed as expressions; `tieCol` must complete a TOTAL order
+   * within (key, valid_from, recorded_at) groups. Returns one row per
+   * key that has any eligible fact: (key, valid_from, recorded_at,
+   * value).
+   */
+  def asOf(facts: DataFrame, keyCol: Column, validFromCol: Column,
+      recordedAtCol: Column, valueCol: Column, tieCol: Column,
+      validAsOf: Column, txAsOf: Column): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("valid_from").desc, col("recorded_at").desc,
+        col("tie").desc)
+    facts
+      .select(keyCol.as("key"), validFromCol.as("valid_from"),
+        recordedAtCol.as("recorded_at"), valueCol.as("value"),
+        tieCol.as("tie"))
+      .where(col("recorded_at") <= txAsOf && col("valid_from") <= validAsOf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("key"), col("valid_from"), col("recorded_at"),
+        col("value"))
+  }
+
+  /**
+   * Knowledge-drift census: the SAME (key, validAsOf) resolved at two
+   * transaction cuts, reporting per key the value believed at each cut
+   * and whether later-recorded facts changed the belief — the audit
+   * that quantifies how much a pinned training snapshot diverges from
+   * today's corrected truth. Keys invisible at `txEarly` (no fact yet
+   * recorded) report a NULL early value with changed = true.
+   */
+  def knowledgeDrift(facts: DataFrame, keyCol: Column,
+      validFromCol: Column, recordedAtCol: Column, valueCol: Column,
+      tieCol: Column, validAsOf: Column, txEarly: Column,
+      txLate: Column): DataFrame = {
+    val early = asOf(facts, keyCol, validFromCol, recordedAtCol, valueCol,
+      tieCol, validAsOf, txEarly)
+      .select(col("key"), col("value").as("value_early"))
+    val late = asOf(facts, keyCol, validFromCol, recordedAtCol, valueCol,
+      tieCol, validAsOf, txLate)
+      .select(col("key"), col("value").as("value_late"))
+    late.join(early, Seq("key"), "left")
+      .withColumn("changed",
+        col("value_early").isNull || col("value_early") =!= col("value_late"))
+      .select(col("key"), col("value_early"), col("value_late"),
+        col("changed"))
+  }
+}

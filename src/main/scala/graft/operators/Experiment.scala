@@ -505,4 +505,53 @@ object Experiment {
         col("s1_a").cast("long").as("sum_a"), col("s1_b").cast("long").as("sum_b"),
         col("z"), col("boundary_microz"), col("crossed"))
   }
+
+  /**
+   * Post-stratified average treatment effect (EXP10) — the estimator a
+   * raw mean-difference report silently gets wrong whenever arms are
+   * imbalanced WITHIN strata (Simpson's trap): stratify, difference the
+   * arm means inside each stratum, then weight each stratum's effect by
+   * its population share:
+   *
+   *   ATE = Σ_s (n_s / N) · (ȳ_t(s) − ȳ_c(s))
+   *
+   * All integer: arm means in milli-units via DIV on NONNEGATIVE sums
+   * (callers must pass a nonnegative `valueCol`; the per-stratum diff
+   * may then go negative but is a difference of already-truncated
+   * integers — identical on any engine), weights in ppm via DIV, and
+   * the weighted contribution is an exact product. The overall ATE is
+   * the window-summed contribution (identical in every row, the q294
+   * shape), so the report is one frame: per-stratum diagnostics AND the
+   * headline number.
+   *
+   * Scale posture: one map-side-combinable groupBy(stratum, arm) — the
+   * heaviest thing here is the fact table scan; the stratum frame is
+   * |strata| rows and everything after is driver-free arithmetic.
+   */
+  def postStratifiedAte(rows: DataFrame, stratumCol: Column,
+      armCol: Column, valueCol: Column): DataFrame = {
+    val cells = rows
+      .select(stratumCol.as("stratum"), armCol.as("arm"),
+        valueCol.cast("long").as("y"))
+      .groupBy(col("stratum"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val c = cells.where(col("arm") === 0).drop("arm")
+      .withColumnRenamed("n", "n_c").withColumnRenamed("s", "sum_c")
+    val tr = cells.where(col("arm") === 1).drop("arm")
+      .withColumnRenamed("n", "n_t").withColumnRenamed("s", "sum_t")
+    c.join(tr, Seq("stratum")) // strata missing an arm carry no estimate
+      .withColumn("mean_c_milli", expr("sum_c * 1000 DIV n_c"))
+      .withColumn("mean_t_milli", expr("sum_t * 1000 DIV n_t"))
+      .withColumn("diff_milli", col("mean_t_milli") - col("mean_c_milli"))
+      .withColumn("w_ppm",
+        expr("(n_c + n_t) * 1000000 DIV (sum(n_c + n_t) OVER ())"))
+      .withColumn("contrib", col("diff_milli") * col("w_ppm"))
+      .withColumn("ate_milli", expr(
+        """CASE WHEN sum(contrib) OVER () < 0
+          |  THEN -((-sum(contrib) OVER ()) DIV 1000000)
+          |  ELSE sum(contrib) OVER () DIV 1000000 END""".stripMargin))
+      .select(col("stratum"), col("n_c"), col("n_t"),
+        col("mean_c_milli"), col("mean_t_milli"), col("diff_milli"),
+        col("w_ppm"), col("contrib"), col("ate_milli"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -56,5 +57,53 @@ object Funnel {
       (col(s"n_stage_$i").cast("double") / col(s"n_stage_${i - 1}").cast("double"))
         .as(s"conv_$i"))
     agged.select(col("n_users") +: stages.indices.map(i => col(s"n_stage_$i")) ++: convCols: _*)
+  }
+
+  /**
+   * Time-decay multi-touch attribution (B12) — the middle ground
+   * between last-touch (B9: 100% to the final click) and linear
+   * (equal split): every touchpoint inside the lookback window earns
+   * credit halved per day of age at conversion time,
+   *
+   *   w(touch)     = 1000 >> age_days           (milli-weight, ≥ 1 at
+   *                                              age < 10 days)
+   *   credit_ppm   = w · 10⁶ DIV Σ_w            (normalized per
+   *                                              conversion, exact)
+   *
+   * then channels are billed the sum of their credits. The halving is
+   * `shiftright`, and every quantity is nonnegative, so DIV is floor on
+   * both engines — no sign split anywhere.
+   *
+   * Scale posture: conversions join touches per user (an equi-join on
+   * the user key — ONE shuffle each side), the window predicate filters
+   * inside the join, and per-conversion normalization is a groupBy on
+   * (user, conversion ts) — bounded by a user's own activity, the same
+   * per-user-bounded bill as sessionization (TJ3). No self-cross over
+   * the corpus.
+   */
+  def timeDecayAttribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, conversionType: String,
+      lookbackDays: Int): DataFrame = {
+    val conv = events.where(col(typeCol) === conversionType)
+      .select(col(userCol).as("u"), col(tsCol).as("conv_ts"))
+    val touch = events.where(col(typeCol) =!= conversionType)
+      .select(col(userCol).as("u"), col(tsCol).as("touch_ts"),
+        col(typeCol).as("channel"))
+    val weighted = conv.join(touch, Seq("u"))
+      .where(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+      .withColumn("age_days",
+        datediff(to_date(col("conv_ts")), to_date(col("touch_ts"))))
+      .withColumn("w", expr("shiftright(1000L, CAST(age_days AS INT))"))
+      .where(col("w") > 0)
+      .withColumn("sum_w",
+        sum(col("w")).over(Window.partitionBy(col("u"), col("conv_ts"))))
+      .withColumn("credit_ppm", expr("w * 1000000 DIV sum_w"))
+    weighted.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_ppm")).as("credit_ppm_total"),
+        count_distinct(col("u"), col("conv_ts")).as("n_conversions"))
+      .withColumn("mean_credit_ppm",
+        expr("credit_ppm_total DIV n_touches"))
   }
 }

@@ -38,6 +38,46 @@ object Incremental {
         min(valueCol.cast("long")).as("min_v"),
         max(valueCol.cast("long")).as("max_v"))
 
+  /**
+   * Incremental JOIN-view maintenance (MV2) — the delta law for a
+   * two-sided equi-join view V = A ⋈ B. When batches ΔA and ΔB arrive,
+   * the new pairs are exactly the inclusion-exclusion complement of the
+   * stored view:
+   *
+   *   V' = V ∪ (ΔA ⋈ B₀) ∪ (A₀ ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+   *
+   * — three delta joins, never a rescan of V. The four terms partition
+   * (A₀∪ΔA) ⋈ (B₀∪ΔB) disjointly and completely (each pair is classified
+   * by which side of the cutoff its two parents fall on), which is the
+   * law the q298 oracle pins: the tagged union must equal the full join
+   * with per-pair CASE classification.
+   *
+   * At 100 TB: V is stored (here the `base ⋈ base` term stands in for
+   * it); the delta sides are a day's arrivals — small — so both
+   * cross-terms broadcast the delta and stream the big stored side
+   * through a BroadcastHashJoin, and ΔA ⋈ ΔB is delta-sized on both
+   * sides. Maintaining a joined view costs the DAY, never the history.
+   * Rows carry a `term` tag ('base'|'delta_a'|'delta_b'|'delta_both')
+   * so downstream accounting can bill each maintenance term.
+   */
+  def mergeJoinDeltas(baseA: DataFrame, deltaA: DataFrame,
+      baseB: DataFrame, deltaB: DataFrame,
+      keyA: String, keyB: String): DataFrame = {
+    def term(a: DataFrame, b: DataFrame, tag: String,
+        broadcastA: Boolean, broadcastB: Boolean): DataFrame = {
+      val l = if (broadcastA) broadcast(a) else a
+      val r = if (broadcastB) broadcast(b) else b
+      l.join(r, l(keyA) === r(keyB)).withColumn("term", lit(tag))
+    }
+    term(baseA, baseB, "base", broadcastA = false, broadcastB = false)
+      .unionByName(term(deltaA, baseB, "delta_a", broadcastA = true,
+        broadcastB = false))
+      .unionByName(term(baseA, deltaB, "delta_b", broadcastA = false,
+        broadcastB = true))
+      .unionByName(term(deltaA, deltaB, "delta_both", broadcastA = true,
+        broadcastB = false))
+  }
+
   /** Merge a delta partial table into a base partial table (same
     * schema): full outer join on the keys, distributive combine per
     * column. Either side may have keys the other lacks. */

@@ -154,4 +154,48 @@ object Profile {
             col("n_nonnull") === lit(total)).as("is_key"))
     }.reduce(_ unionByName _)
   }
+
+  /**
+   * Partition-layout advisor (SC8) — prices candidate partition columns
+   * BEFORE anyone pays to write a 100 TB lake under the wrong one. For
+   * each candidate expression the census answers the three questions
+   * that decide a layout: how many partitions (listing + planning
+   * cost), how skewed (the straggler that caps every scan at
+   * max-partition time), and how many are runt partitions (small-file
+   * pressure — the fraction under half the mean):
+   *
+   *   skew_ppm  = max_rows · 10⁶ DIV avg_rows   (10⁶ = perfectly even)
+   *   runt_ppm  = |{p : rows_p · 2 < avg_rows}| · 10⁶ DIV n_partitions
+   *
+   * All counts exact and nonnegative, so DIV is floor on both engines.
+   *
+   * Scale posture: one map-side-combinable groupBy per candidate (the
+   * candidate list is a handful), each reduced to a single summary row
+   * — the advisor's bill is k table scans, and at 100 TB you run it on
+   * a sampled month, not the corpus.
+   */
+  def partitionLayoutAdvisor(df: DataFrame,
+      candidates: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(candidates.nonEmpty, "at least one candidate layout")
+    candidates.map { case (name, partExpr) =>
+      df.select(partExpr.as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("rows_p"))
+        // the per-partition frame is |partitions| rows; the global-mean
+        // window over it is a single tiny exchange, not a corpus shuffle
+        .withColumn("avg_rows",
+          expr("sum(rows_p) OVER () DIV count(rows_p) OVER ()"))
+        .agg(count(lit(1)).as("n_partitions"),
+          sum(col("rows_p")).as("n_rows"),
+          max(col("rows_p")).as("max_rows"),
+          min(col("rows_p")).as("min_rows"),
+          max(col("avg_rows")).as("avg_rows"), // constant per frame
+          sum(when(col("rows_p") * 2 < col("avg_rows"), 1L).otherwise(0L))
+            .as("n_runts"))
+        .withColumn("skew_ppm", expr("max_rows * 1000000 DIV avg_rows"))
+        .withColumn("runt_ppm", expr("n_runts * 1000000 DIV n_partitions"))
+        .select(lit(name).as("candidate"), col("n_partitions"),
+          col("n_rows"), col("min_rows"), col("avg_rows"), col("max_rows"),
+          col("skew_ppm"), col("n_runts"), col("runt_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

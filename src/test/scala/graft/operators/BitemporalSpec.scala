@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BITEMP1 laws: resolution honors BOTH clocks (knowledge cut hides
+  * later-recorded facts; world cut hides later-effective facts), the
+  * tie column totalizes the order, and knowledgeDrift classifies
+  * corrected / late-visible / stable keys. */
+class BitemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  // k1: initial fact, then a late correction of the SAME valid time,
+  //     then a newer effective state beyond the world cut
+  // k2: single fact recorded only after the early knowledge cut
+  // k3: single early fact, never corrected
+  private def facts = Seq(
+    (1L, d("2025-01-01"), d("2025-01-02"), 100L, 1L),
+    (1L, d("2025-01-01"), d("2025-02-01"), 110L, 2L),
+    (1L, d("2025-03-01"), d("2025-03-02"), 120L, 3L),
+    (2L, d("2025-01-10"), d("2025-03-05"), 200L, 4L),
+    (3L, d("2025-01-05"), d("2025-01-06"), 300L, 5L),
+  ).toDF("k", "vf", "ra", "v", "tie")
+
+  private def resolve(tx: String) =
+    Bitemporal.asOf(facts, col("k"), col("vf"), col("ra"), col("v"),
+      col("tie"), validAsOf = lit("2025-02-15").cast("date"),
+      txAsOf = lit(tx).cast("date"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("value"))
+      .toMap
+
+  test("asOf: knowledge cut hides later-recorded corrections") {
+    assert(resolve("2025-01-15") == Map(1L -> 100L, 3L -> 300L))
+  }
+
+  test("asOf: late cut sees the correction but not beyond the world cut") {
+    // the 2025-03-01 fact is recorded by now but effective AFTER the
+    // valid cut — it must not leak into the resolution
+    assert(resolve("2025-12-31") == Map(1L -> 110L, 2L -> 200L, 3L -> 300L))
+  }
+
+  test("asOf: tie column breaks exact (valid_from, recorded_at) ties") {
+    val tied = Seq(
+      (9L, d("2025-01-01"), d("2025-01-01"), 1L, 1L),
+      (9L, d("2025-01-01"), d("2025-01-01"), 2L, 2L),
+    ).toDF("k", "vf", "ra", "v", "tie")
+    val r = Bitemporal.asOf(tied, col("k"), col("vf"), col("ra"), col("v"),
+      col("tie"), lit("2025-06-01").cast("date"),
+      lit("2025-06-01").cast("date")).head()
+    assert(r.getAs[Long]("value") == 2L) // highest tie wins, always
+  }
+
+  test("knowledgeDrift: corrected, late-visible, and stable keys") {
+    val r = Bitemporal.knowledgeDrift(facts, col("k"), col("vf"),
+        col("ra"), col("v"), col("tie"),
+        validAsOf = lit("2025-02-15").cast("date"),
+        txEarly = lit("2025-01-15").cast("date"),
+        txLate = lit("2025-12-31").cast("date"))
+      .collect().map(x => x.getAs[Long]("key") -> x).toMap
+    assert(r(1L).getAs[Long]("value_early") == 100L)
+    assert(r(1L).getAs[Long]("value_late") == 110L)
+    assert(r(1L).getAs[Boolean]("changed"))
+    assert(r(2L).getAs[Any]("value_early") == null) // invisible early
+    assert(r(2L).getAs[Long]("value_late") == 200L)
+    assert(r(2L).getAs[Boolean]("changed"))
+    assert(!r(3L).getAs[Boolean]("changed"))
+  }
+}

@@ -211,4 +211,33 @@ class ExperimentSpec extends SparkSpec {
     val out = kw(z)("z")
     assert(out._4 == -1L && out._5 == null)
   }
+
+  test("postStratifiedAte: hand-computed strata, weights, and headline") {
+    // s1: C=[10,20] T=[30]; s2: C=[0] T=[10,10,10]; N=7
+    val rows = Seq(("s1", 0L, 10L), ("s1", 0L, 20L), ("s1", 1L, 30L),
+      ("s2", 0L, 0L), ("s2", 1L, 10L), ("s2", 1L, 10L), ("s2", 1L, 10L))
+      .toDF("s", "arm", "y")
+    val r = Experiment.postStratifiedAte(rows, col("s"), col("arm"),
+      col("y")).collect().map(x => x.getAs[String]("stratum") -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getAs[Long]("mean_c_milli") == 15000L)
+    assert(s1.getAs[Long]("mean_t_milli") == 30000L)
+    assert(s1.getAs[Long]("diff_milli") == 15000L)
+    assert(s1.getAs[Long]("w_ppm") == 3L * 1000000L / 7L) // 428571
+    val s2 = r("s2")
+    assert(s2.getAs[Long]("diff_milli") == 10000L)
+    assert(s2.getAs[Long]("w_ppm") == 4L * 1000000L / 7L) // 571428
+    // ATE = (15000·428571 + 10000·571428) DIV 10⁶ = 12142 milli
+    assert(s1.getAs[Long]("ate_milli") == 12142L)
+    assert(s2.getAs[Long]("ate_milli") == 12142L)
+  }
+
+  test("postStratifiedAte: negative headline truncates toward zero") {
+    // one stratum, T below C: diff = -10000, w = 10⁶ → ate = -10000
+    val rows = Seq(("s", 0L, 20L), ("s", 1L, 10L)).toDF("s", "arm", "y")
+    val r = Experiment.postStratifiedAte(rows, col("s"), col("arm"),
+      col("y")).head()
+    assert(r.getAs[Long]("diff_milli") == -10000L)
+    assert(r.getAs[Long]("ate_milli") == -10000L)
+  }
 }

@@ -52,4 +52,38 @@ class FunnelSpec extends SparkSpec {
       Seq("signup", "click")).collect().head
     assert(r.getAs[Timestamp]("ts_1") == ts(3))
   }
+
+  private def day(d: Int, h: Int = 12) =
+    Timestamp.valueOf(f"2025-01-$d%02d $h%02d:00:00")
+
+  test("timeDecayAttribution: halved-per-day credits, ppm-normalized") {
+    // one conversion on day 3; touches aged 0/1/2 days → w 1000/500/250,
+    // Σw = 1750 → credits 571428 / 285714 / 142857 ppm
+    val df = Seq(
+      (1L, day(3, 18), "purchase"),
+      (1L, day(3), "click"), (1L, day(2), "view"), (1L, day(1), "signup"),
+    ).toDF("user_id", "ts", "event_type")
+    val r = Funnel.timeDecayAttribution(df, "user_id", "ts", "event_type",
+        "purchase", lookbackDays = 7).collect()
+      .map(x => x.getAs[String]("channel") -> x).toMap
+    assert(r("click").getAs[Long]("credit_ppm_total") == 571428L)
+    assert(r("view").getAs[Long]("credit_ppm_total") == 285714L)
+    assert(r("signup").getAs[Long]("credit_ppm_total") == 142857L)
+    assert(r.values.forall(_.getAs[Long]("n_conversions") == 1L))
+  }
+
+  test("timeDecayAttribution: lookback excludes old and future touches") {
+    val df = Seq(
+      (1L, day(20), "purchase"),
+      (1L, day(12), "click"),      // 8 days old — outside 7-day lookback
+      (1L, day(21), "view"),       // after the conversion
+      (1L, day(19), "click"),      // in window, age 1 → sole credit
+    ).toDF("user_id", "ts", "event_type")
+    val r = Funnel.timeDecayAttribution(df, "user_id", "ts", "event_type",
+      "purchase", lookbackDays = 7).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("channel") == "click")
+    assert(r.head.getAs[Long]("n_touches") == 1L)
+    assert(r.head.getAs[Long]("credit_ppm_total") == 1000000L)
+  }
 }

@@ -60,4 +60,37 @@ class IncrementalSpec extends SparkSpec {
     assert(p.getAs[Long]("n_rows") == 3L && p.getAs[Long]("sum_v") == 29L)
     assert(p.getAs[Long]("min_v") == -1L && p.getAs[Long]("max_v") == 20L)
   }
+
+  // ---- MV2: incremental join-view maintenance -------------------------
+
+  private val dimA = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
+    .toDF("ka", "attr")
+  private val factB = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L),
+    (5L, 50L)).toDF("kb", "v")
+
+  test("mergeJoinDeltas: tagged union == full join, any cutoff") {
+    val full = dimA.join(factB, dimA("ka") === factB("kb"))
+      .select(col("ka"), col("attr"), col("kb"), col("v"))
+    // three cutoffs incl. all-base and all-delta degenerate splits
+    val splits: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
+      Seq((col("ka") <= 2, col("v") < 20), (lit(true), lit(true)),
+        (lit(false), lit(false)))
+    splits.foreach { case (aBase, bBase) =>
+      val merged = Incremental.mergeJoinDeltas(
+        dimA.where(aBase), dimA.where(!aBase),
+        factB.where(bBase), factB.where(!bBase), "ka", "kb")
+      assert(sortedRows(merged.drop("term")) == sortedRows(full))
+    }
+  }
+
+  test("mergeJoinDeltas: terms classify pairs by parent recency") {
+    val merged = Incremental.mergeJoinDeltas(
+      dimA.where(col("ka") <= 2), dimA.where(col("ka") > 2),
+      factB.where(col("v") < 20), factB.where(col("v") >= 20), "ka", "kb")
+    val byTerm = merged.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // base: ka∈{1,2} ⋈ v∈{10,11} → (1,10),(1,11); delta_a: ka=3 ⋈ old → ∅
+    // delta_b: ka∈{1,2} ⋈ v∈{20,30,50} → (2,20); delta_both: (3,30)
+    assert(byTerm == Map("base" -> 2L, "delta_b" -> 1L, "delta_both" -> 1L))
+  }
 }

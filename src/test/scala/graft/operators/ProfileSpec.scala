@@ -98,4 +98,28 @@ class ProfileSpec extends SparkSpec {
     assert(scans == 1, "rules must share one pass, not one scan per rule")
     assert(audit.count() == 8L)
   }
+
+  test("partitionLayoutAdvisor: hand-computed skew and runt census") {
+    // partitions a×20, b×10, c×1, d×1: avg = 32 DIV 4 = 8,
+    // skew = 20·10⁶ DIV 8 = 2.5·10⁶, runts = {c, d} (2 < 8)
+    val rows = (Seq.fill(20)("a") ++ Seq.fill(10)("b") ++ Seq("c", "d"))
+      .toDF("p")
+    val r = Profile.partitionLayoutAdvisor(rows,
+      Seq(("by_p", col("p")), ("all_one", lit(1)))).collect()
+      .map(x => x.getAs[String]("candidate") -> x).toMap
+    val byP = r("by_p")
+    assert(byP.getAs[Long]("n_partitions") == 4L)
+    assert(byP.getAs[Long]("n_rows") == 32L)
+    assert(byP.getAs[Long]("min_rows") == 1L)
+    assert(byP.getAs[Long]("avg_rows") == 8L)
+    assert(byP.getAs[Long]("max_rows") == 20L)
+    assert(byP.getAs[Long]("skew_ppm") == 2500000L)
+    assert(byP.getAs[Long]("n_runts") == 2L)
+    assert(byP.getAs[Long]("runt_ppm") == 500000L)
+    // degenerate single partition: perfectly even, no runts
+    val one = r("all_one")
+    assert(one.getAs[Long]("n_partitions") == 1L)
+    assert(one.getAs[Long]("skew_ppm") == 1000000L)
+    assert(one.getAs[Long]("n_runts") == 0L)
+  }
 }

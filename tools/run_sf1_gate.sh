@@ -1,0 +1,27 @@
+#!/bin/bash
+# Full-surface sf~1 gate driver: regenerate the deterministic 10x corpus,
+# dump the Spark results for the still-unchecked queries, and run the
+# DuckDB compare for them, appending to tools/compare_sf1_full.log.
+# Usage: tools/run_sf1_gate.sh <remaining-list-file>
+set -u
+cd /root/repo
+LIST="$1"
+SF1=/tmp/sf1
+OUT=/tmp/sf1_out
+ADDOPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+if [ ! -f "$SF1/lineitem.parquet" ]; then
+  echo "[sf1-gate] generating corpus at $SF1"
+  java $ADDOPENS -Xmx24g -Dspark.ui.enabled=false -cp "$CP" \
+    graft.tools.GenSf1 "$SF1" 10 > /tmp/gensf1.log 2>&1 || { echo "[sf1-gate] GenSf1 FAILED"; exit 1; }
+fi
+echo "[sf1-gate] corpus ready; verifying $(wc -l < "$LIST") queries"
+mkdir -p "$OUT"
+SPARK_GRAFT_CPUS=24 java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -cp "$CP" \
+  graft.Verify "$SF1" "$OUT" $(cat "$LIST") > /tmp/verify_sf1.log 2>&1
+echo "[sf1-gate] verify rc=$? ; comparing"
+python3 tools/compare.py "$SF1" "$OUT" $(cat "$LIST") \
+  > /tmp/compare_sf1_remaining.log 2>&1
+echo "[sf1-gate] compare rc=$?"
+grep -E '^(pass|FAIL) q' /tmp/compare_sf1_remaining.log | grep 'live' >> tools/compare_sf1_full.log
+echo "[sf1-gate] done: $(grep -c '^pass' tools/compare_sf1_full.log) cumulative passes"
