@@ -5236,7 +5236,127 @@ object SparkEntry {
           t(s, dir, "events"), "user_id", "ts", "event_type",
           conversionType = "purchase", lookbackDays = 7)
         .orderBy(col("channel"))),
+
+    // Q303 — GRAPH14 bounded-hop weighted shortest path: Bellman–Ford
+    // unrolled to 3 relaxation rounds over the part-band co-order graph
+    // (deterministic integer weights w = 1 + (7u+v) mod 9), seeds =
+    // bands {0,1,2}. min-plus exact; one edge join + min rollup per
+    // round, dist carries ≤ 1 row per node between rounds.
+    "q303_sssp_bounded" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), (col("l_partkey") % 500).as("p"))
+        .distinct()
+      val pairs = e0.as("a")
+        .join(e0.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .withColumn("w", lit(1L) + pmod(col("src") * 7 + col("dst"), lit(9L)))
+      val seeds = s.range(3).select(col("id").as("node"))
+      graft.operators.Graph.ssspBounded(edges, seeds, hops = 3)
+        .orderBy(col("node"))
+    }),
+
+    // Q304 — SIM11 item–item co-occurrence cosine top-k: the
+    // collaborative-filtering "also bought" table over order baskets,
+    // cos² kept exact in ppm (no IEEE sqrt; squares preserve rank).
+    "q304_item_cosine" -> ((s, dir) =>
+      graft.operators.Association.itemCosineTopK(
+          t(s, dir, "lineitem"), Seq(col("l_orderkey")),
+          col("l_partkey") % 400, k = 5)
+        .orderBy(col("item"), col("rank"))),
+
+    // Q305 — SC9 zone-map effectiveness advisor: price min/max file
+    // skipping for three candidate sort keys against four quarter-range
+    // probe predicates BEFORE paying the 100 TB write. Equal-width
+    // key-range files (the range-partitioned-writer law), zone maps per
+    // file, touched = interval intersect — all integer epoch-day math.
+    "q305_zonemap_advisor" -> ((s, dir) =>
+      graft.operators.Profile.zoneMapAdvisor(
+          t(s, dir, "lineitem"),
+          layouts = Seq(
+            ("ship_day", datediff(to_date(col("l_shipdate")),
+              lit("1970-01-01").cast("date"))),
+            ("part_key", col("l_partkey")),
+            ("order_key", col("l_orderkey"))),
+          probe = datediff(to_date(col("l_shipdate")),
+            lit("1970-01-01").cast("date")),
+          preds = Seq(
+            ("1997q1", 9862L, 9951L), ("1997q2", 9952L, 10042L),
+            ("1997q3", 10043L, 10134L), ("1997q4", 10135L, 10226L)),
+          files = 64)
+        .orderBy(col("layout"), col("pred_id"))),
+
+    // Q306 — DQ14 pairwise mutual-information census: the
+    // feature-redundancy screen in the q281 exact integer-bits domain
+    // (ilog2 via binary bit length — no IEEE log). status × custkey-band
+    // is engineered independence, so its pair reads ≈ 0 — the floor.
+    "q306_mutual_information" -> ((s, dir) =>
+      graft.operators.Profile.mutualInformation(
+          t(s, dir, "orders"), Seq(
+            ("prio_x_status", col("o_orderpriority"), col("o_orderstatus")),
+            ("prio_x_year", col("o_orderpriority"),
+              year(to_date(col("o_orderdate")))),
+            ("status_x_custband", col("o_orderstatus"),
+              col("o_custkey") % 7)))
+        .orderBy(col("pair"))),
   )
+
+  /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
+    * zones CTE per layout (equal-width key ranges + per-file min/max of
+    * the probe), one pricing SELECT per (layout, predicate); all
+    * quantities nonnegative so `//` == DIV. */
+  private def zoneMapOracleSql(layouts: Seq[(String, String)],
+      probeSql: String, preds: Seq[(String, Long, Long)],
+      files: Int): String = {
+    val ctes = layouts.zipWithIndex.map { case ((_, keySql), i) =>
+      s"""base$i AS (SELECT CAST($keySql AS BIGINT) AS k, CAST($probeSql AS BIGINT) AS p FROM lineitem),
+         |sp$i AS (SELECT min(k) AS k_min, max(k) AS k_max FROM base$i),
+         |z$i AS (SELECT (k - k_min) * $files // (k_max - k_min + 1) AS file_id,
+         |    CAST(count(*) AS BIGINT) AS rows_f, min(p) AS p_min, max(p) AS p_max
+         |  FROM base$i, sp$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val prices = layouts.zipWithIndex.flatMap { case ((name, _), i) =>
+      preds.map { case (predId, lo, hi) =>
+        s"""SELECT '$name' AS layout, '$predId' AS pred_id,
+           |  CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(sum(CASE WHEN p_min <= $hi AND p_max >= $lo THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+           |  CAST(sum(CASE WHEN p_min <= $hi AND p_max >= $lo THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS touch_ppm,
+           |  CAST(sum(rows_f) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN p_min <= $hi AND p_max >= $lo THEN rows_f ELSE 0 END) AS BIGINT) AS rows_touched,
+           |  CAST(sum(CASE WHEN p_min <= $hi AND p_max >= $lo THEN rows_f ELSE 0 END) * 1000000
+           |    // sum(rows_f) AS BIGINT) AS rows_ppm
+           |FROM z$i""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\nSELECT * FROM (\n$prices\n) ORDER BY layout, pred_id"
+  }
+
+  /** DuckDB replay of [[graft.operators.Profile.mutualInformation]] —
+    * the q281 integer-bits law (ilog2 via binary digit count) summed
+    * over the contingency cells of each column pair. */
+  private def miOracleSql(table: String,
+      pairs: Seq[(String, String, String)]): String = {
+    val ctes = pairs.zipWithIndex.map { case ((name, xSql, ySql), i) =>
+      s"""c$i AS (SELECT CAST($xSql AS VARCHAR) AS x, CAST($ySql AS VARCHAR) AS y FROM $table),
+         |g$i AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM c$i GROUP BY 1, 2),
+         |m$i AS (SELECT *, CAST(sum(n_xy) OVER (PARTITION BY x) AS BIGINT) AS n_x,
+         |    CAST(sum(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y,
+         |    CAST(sum(n_xy) OVER () AS BIGINT) AS n_all FROM g$i),
+         |b$i AS (SELECT *, CAST(length(bin(n_xy * n_all)) - length(bin(n_x * n_y)) AS BIGINT) AS bits FROM m$i),
+         |a$i AS (SELECT '$name' AS pair, CAST(max(n_all) AS BIGINT) AS n_rows,
+         |    CAST(count(DISTINCT x) AS BIGINT) AS card_x,
+         |    CAST(count(DISTINCT y) AS BIGINT) AS card_y,
+         |    CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(n_xy * bits) AS BIGINT) AS mi_sum_bits FROM b$i),
+         |f$i AS (SELECT *, CAST(CASE WHEN mi_sum_bits < 0
+         |    THEN -((-mi_sum_bits) * 1000 // n_rows)
+         |    ELSE mi_sum_bits * 1000 // n_rows END AS BIGINT) AS mi_millibits_per_row FROM a$i)""".stripMargin
+    }.mkString(",\n")
+    val union = pairs.indices.map(i => s"SELECT * FROM f$i").mkString(" UNION ALL ")
+    s"WITH $ctes\nSELECT * FROM ($union) ORDER BY pair"
+  }
 
   /** DuckDB replay of [[graft.operators.Bpe.train]], loop unrolled: each
     * stage picks the (count DESC, pair ASC) argmax over space-framed
@@ -10884,6 +11004,65 @@ object SparkEntry {
           |  CAST(count(DISTINCT (u, conv_ts)) AS BIGINT) AS n_conversions,
           |  CAST(sum(credit_ppm) // count(*) AS BIGINT) AS mean_credit_ppm
           |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
+
+      // Bellman–Ford unrolled to 3 min-plus rounds; the relaxation and
+      // the carry union before each min are the operator's exact law
+      "q303_sssp_bounded" ->
+        """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 500 AS p FROM lineitem),
+          |pr AS (SELECT DISTINCT a.p AS u, b.p AS v FROM e0 a
+          |  JOIN e0 b ON a.o = b.o AND a.p < b.p),
+          |ed AS (SELECT u AS src, v AS dst FROM pr UNION ALL SELECT v, u FROM pr),
+          |e AS (SELECT src, dst, CAST(min(1 + (src * 7 + dst) % 9) AS BIGINT) AS w
+          |  FROM ed GROUP BY 1, 2),
+          |d0 AS (SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist FROM range(3)),
+          |r1 AS (SELECT e.dst AS node, min(d0.dist + e.w) AS dist FROM d0
+          |  JOIN e ON d0.node = e.src GROUP BY 1),
+          |d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+          |  (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY 1),
+          |r2 AS (SELECT e.dst AS node, min(d1.dist + e.w) AS dist FROM d1
+          |  JOIN e ON d1.node = e.src GROUP BY 1),
+          |d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+          |  (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY 1),
+          |r3 AS (SELECT e.dst AS node, min(d2.dist + e.w) AS dist FROM d2
+          |  JOIN e ON d2.node = e.src GROUP BY 1),
+          |d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+          |  (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
+          |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
+
+      // cos² in ppm over HUGEINT products; row_number ties broken by
+      // neighbor ASC — the operator's exact rank law
+      "q304_item_cosine" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 400 AS item FROM lineitem),
+          |it AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+          |p AS (SELECT x.item AS ia, y.item AS ib, CAST(count(*) AS BIGINT) AS n_pair
+          |  FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item GROUP BY 1, 2),
+          |d AS (SELECT ia AS item, ib AS neighbor, n_pair FROM p
+          |  UNION ALL SELECT ib, ia, n_pair FROM p),
+          |s AS (SELECT d.item, d.neighbor, d.n_pair, a.n_item,
+          |    c.n_item AS n_neighbor,
+          |    CAST((CAST(d.n_pair AS HUGEINT) * d.n_pair * 1000000)
+          |      // (CAST(a.n_item AS HUGEINT) * c.n_item) AS BIGINT) AS cos2_ppm
+          |  FROM d JOIN it a ON d.item = a.item JOIN it c ON d.neighbor = c.item),
+          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+          |    ORDER BY cos2_ppm DESC, neighbor ASC) AS BIGINT) AS "rank" FROM s)
+          |SELECT item, neighbor, "rank", n_pair, n_item, n_neighbor, cos2_ppm
+          |FROM r WHERE "rank" <= 5 ORDER BY item, "rank"""".stripMargin,
+
+      "q305_zonemap_advisor" -> zoneMapOracleSql(
+        layouts = Seq(
+          ("ship_day", "date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))"),
+          ("part_key", "l_partkey"),
+          ("order_key", "l_orderkey")),
+        probeSql = "date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))",
+        preds = Seq(
+          ("1997q1", 9862L, 9951L), ("1997q2", 9952L, 10042L),
+          ("1997q3", 10043L, 10134L), ("1997q4", 10135L, 10226L)),
+        files = 64),
+
+      "q306_mutual_information" -> miOracleSql("orders", Seq(
+        ("prio_x_status", "o_orderpriority", "o_orderstatus"),
+        ("prio_x_year", "o_orderpriority", "year(CAST(o_orderdate AS DATE))"),
+        ("status_x_custband", "o_orderstatus", "o_custkey % 7"))),
     )
   }
 }

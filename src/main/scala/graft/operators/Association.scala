@@ -66,4 +66,57 @@ object Association {
         col("n_a"), col("n_b"), col("n_baskets"),
         col("support_ppm"), col("conf_ppm"), col("lift_ppm"))
   }
+
+  /**
+   * Item–item co-occurrence cosine, top-k per item (SIM11) — the
+   * memory-based collaborative-filtering kernel: items are "vectors"
+   * over the basket set, so cos(i,j) = n_ij / √(n_i·n_j), kept EXACT by
+   * reporting cos² in ppm: cos2_ppm = n_ij²·10⁶ DIV (n_i·n_j) — the
+   * square preserves the ranking (all quantities ≥ 0) and needs no
+   * IEEE sqrt. Each item keeps its k strongest neighbors by
+   * (cos2_ppm DESC, neighbor ASC) — the "users who bought X also
+   * bought Y" table, and the item-similarity graph that co-click /
+   * co-view recommender pipelines materialize nightly.
+   *
+   * Scale posture: the q81/B7 basket self-join (pair volume bounded by
+   * basket_size² per basket, never corpus²); item counts are
+   * item-domain-sized and broadcast; the per-item top-k is a
+   * rank-filter over the pair frame partitioned by item — no global
+   * sort. The n_ij²·10⁶ numerator runs in DECIMAL(38,0) (the q128
+   * recipe) so basket counts past ~55k keys stay exact.
+   */
+  def itemCosineTopK(df: DataFrame, basketCols: Seq[Column],
+      itemCol: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "1..1000 neighbors")
+    val b = df.select(basketCols :+ itemCol.as("item"): _*).distinct()
+      .localCheckpoint(false)
+    val keyNames = basketCols.indices.map(i => s"_b$i")
+    val named = b.toDF(keyNames :+ "item": _*)
+    val items = named.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = named.as("x")
+      .join(named.as("y"),
+        keyNames.map(n => col(s"x.$n") === col(s"y.$n"))
+          .reduce(_ && _) && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
+      .agg(count(lit(1)).as("n_pair"))
+    val directed = pairs
+      .select(col("ia").as("item"), col("ib").as("neighbor"), col("n_pair"))
+      .unionByName(pairs.select(col("ib").as("item"),
+        col("ia").as("neighbor"), col("n_pair")))
+    val scored = directed
+      .join(broadcast(items), Seq("item"))
+      .join(broadcast(items.select(col("item").as("neighbor"),
+        col("n_item").as("n_neighbor"))), Seq("neighbor"))
+      .withColumn("cos2_ppm", expr(
+        """(CAST(n_pair AS DECIMAL(38,0)) * n_pair * 1000000)
+          |DIV (CAST(n_item AS DECIMAL(38,0)) * n_neighbor)""".stripMargin)
+        .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cos2_ppm").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("rank"), col("n_pair"),
+        col("n_item"), col("n_neighbor"), col("cos2_ppm"))
+  }
 }

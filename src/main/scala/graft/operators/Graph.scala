@@ -740,4 +740,46 @@ object Graph {
       .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
         col("jaccard_ppm"))
   }
+
+  /**
+   * Bounded-hop single-source(s) shortest path (GRAPH14) — Bellman–Ford
+   * relaxation unrolled to `hops` rounds over non-negative integer edge
+   * weights: dist₀ = 0 on the seed set, and each round min-folds
+   * dist(u) + w(u,v) into dist(v) alongside the carry of the previous
+   * round. After k rounds dist(v) = exact shortest distance over paths
+   * of ≤ k edges — the routing/attribution primitive ("cheapest
+   * influence path within k referrals") that PageRank and BFS levels
+   * can't answer (BFS is this with w ≡ 1).
+   *
+   * Scale posture: each round is ONE equi-join of the |V|-bounded dist
+   * frame against the edge list plus a min-rollup — O(E) shuffled rows
+   * per round, never a frontier blow-up, because dist carries at most
+   * one row per node into the next round. Lineage truncates per round
+   * via `localCheckpoint` (the q114 iterative convention). Exact-law
+   * portable: pure integer min-plus, no IEEE anywhere.
+   *
+   * @param edges (src, dst, w) directed, w ≥ 0 long; parallel edges
+   *   collapse to the min weight here.
+   * @param seeds (node) — distance 0 sources; deduped here.
+   * @return (node, dist) for every node reached within `hops` edges.
+   */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 32, "1..32 hops")
+    val e = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint(false)
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    for (_ <- 1 to hops) {
+      val relaxed = dist.withColumnRenamed("node", "src")
+        .join(e, "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
 }

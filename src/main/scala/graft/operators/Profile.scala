@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -196,6 +196,118 @@ object Profile {
         .select(lit(name).as("candidate"), col("n_partitions"),
           col("n_rows"), col("min_rows"), col("avg_rows"), col("max_rows"),
           col("skew_ppm"), col("n_runts"), col("runt_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Zone-map effectiveness advisor (SC9) — q300's layout advisor asked
+   * "are the partitions balanced?"; this one asks the other pre-write
+   * question at 100 TB: "which sort order makes min/max file skipping
+   * actually PRUNE for my probe predicates?" For each candidate layout
+   * key the table is sliced into `files` EQUAL-WIDTH KEY RANGES
+   * (file = (key−min)·F DIV (max−min+1) — the law a range-partitioned
+   * writer produces, pure map-side after a broadcast 1-row min/max), each
+   * file records its zone map (min/max of the probe column), and each
+   * probe range predicate is priced by how many files its [lo,hi]
+   * interval intersects — files_touched, rows_touched, touch_ppm.
+   * A layout clustered on (or correlated with) the probe column prunes
+   * to a sliver; an uncorrelated layout touches everything — the
+   * measured justification for choosing the lake's sort key BEFORE
+   * paying the write.
+   *
+   * Exact-law portable: integer epoch-day/key arithmetic, truncating
+   * DIV, no IEEE anywhere. Scale posture: per layout one map-side file
+   * assignment + one groupBy(file) rollup (file-count-bounded output);
+   * the predicate pricing runs on the F-row zone-map frame — the
+   * corpus is read once per layout and never joined row-to-row.
+   *
+   * @param layouts (name, key) candidate sort keys, key cast to long.
+   * @param probe   probe column (long; e.g. epoch day) the predicates
+   *                range over.
+   * @param preds   (pred_id, lo, hi) inclusive probe ranges to price.
+   * @param files   number of equal-width key-range files to simulate.
+   */
+  def zoneMapAdvisor(df: DataFrame, layouts: Seq[(String, Column)],
+      probe: Column, preds: Seq[(String, Long, Long)],
+      files: Int = 64): DataFrame = {
+    require(files >= 2 && files <= 100000, "2..100000 files")
+    require(layouts.nonEmpty && preds.nonEmpty, "need layouts and preds")
+    layouts.map { case (name, key) =>
+      val base = df.select(key.cast("long").as("k"), probe.cast("long").as("p"))
+      val span = base.agg(min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      val zones = base
+        .crossJoin(broadcast(span)) // single-row constant join
+        .withColumn("file_id",
+          expr(s"(k - k_min) * ${files}L DIV (k_max - k_min + 1)"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("rows_f"),
+          min(col("p")).as("p_min"), max(col("p")).as("p_max"))
+        .localCheckpoint(false) // F rows; read the corpus once per layout
+      preds.map { case (predId, lo, hi) =>
+        zones
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("rows_f")).as("n_rows"),
+            sum(when(col("p_min") <= hi && col("p_max") >= lo, 1L)
+              .otherwise(0L)).as("files_touched"),
+            sum(when(col("p_min") <= hi && col("p_max") >= lo, col("rows_f"))
+              .otherwise(0L)).as("rows_touched"))
+          .select(lit(name).as("layout"), lit(predId).as("pred_id"),
+            col("n_files"), col("files_touched"),
+            expr("files_touched * 1000000 DIV n_files").as("touch_ppm"),
+            col("n_rows"), col("rows_touched"),
+            expr("rows_touched * 1000000 DIV n_rows").as("rows_ppm"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Pairwise mutual-information census (DQ14) — the feature-redundancy
+   * screen: for each categorical column pair, MI = Σ_cells p(x,y)·
+   * log₂[p(x,y)/(p(x)p(y))], computed in the EXACT INTEGER-BITS domain
+   * of the q281 surprisal law: per cell, bits = ilog2(n_xy·N) −
+   * ilog2(n_x·n_y) with ilog2(v) = ⌊log₂ v⌋ = length(bin(v)) − 1
+   * (bit-identical on both engines, no IEEE log), and the census sums
+   * n_xy·bits. High sum-bits = the columns are mutually informative
+   * (keep one, or they leak each other under anonymization); ≈ 0 =
+   * independent. Also reports the cell/marginal cardinalities the MI
+   * reading needs for context.
+   *
+   * Scale posture: one groupBy per pair on (x,y) — output bounded by
+   * the CROSS-CARDINALITY of the two columns, never the row count;
+   * marginals roll up from the cell frame (no second corpus pass) via
+   * two cell-frame-sized windows.
+   */
+  def mutualInformation(df: DataFrame,
+      pairs: Seq[(String, Column, Column)]): DataFrame = {
+    require(pairs.nonEmpty, "need column pairs")
+    pairs.map { case (name, xc, yc) =>
+      val cells = df.select(xc.cast("string").as("x"), yc.cast("string").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
+      val wy = org.apache.spark.sql.expressions.Window.partitionBy(col("y"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy(lit(1))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      cells
+        .withColumn("n_x", sum(col("n_xy")).over(wx))
+        .withColumn("n_y", sum(col("n_xy")).over(wy))
+        .withColumn("n_all", sum(col("n_xy")).over(wAll))
+        .withColumn("bits",
+          (length(bin(col("n_xy") * col("n_all"))) -
+            length(bin(col("n_x") * col("n_y")))).cast("long"))
+        .agg(count(lit(1)).as("n_cells"),
+          countDistinct(col("x")).as("card_x"),
+          countDistinct(col("y")).as("card_y"),
+          max(col("n_all")).as("n_rows"), // constant over the frame
+          sum(col("n_xy") * col("bits")).as("mi_sum_bits"))
+        .select(lit(name).as("pair"), col("n_rows"), col("card_x"),
+          col("card_y"), col("n_cells"), col("mi_sum_bits"),
+          expr("""CASE WHEN mi_sum_bits < 0
+                 |THEN -((-mi_sum_bits) * 1000 DIV n_rows)
+                 |ELSE mi_sum_bits * 1000 DIV n_rows END"""
+            .stripMargin.replace("\n", " ")).cast("long")
+            .as("mi_millibits_per_row"))
     }.reduce(_ unionByName _)
   }
 }

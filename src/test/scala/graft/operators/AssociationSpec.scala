@@ -43,4 +43,35 @@ class AssociationSpec extends SparkSpec {
     assert(out(("a", "b")) == ((1L, 750000L)))
     assert(out(("b", "a")) == ((1L, 750000L)))
   }
+
+  // ---- SIM11 item-item cosine ----
+
+  test("itemCosineTopK: hand-computed cos² ppm and the (cos2 DESC, neighbor ASC) rank law") {
+    // baskets: 1{A,B}, 2{A,B}, 3{A,C}, 4{B}
+    // n_A=3, n_B=3, n_C=1; co(A,B)=2, co(A,C)=1
+    // cos²(A,B) = 4e6 DIV 9 = 444444; cos²(A,C) = 1e6 DIV 3 = 333333
+    val df = Seq((1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C"),
+      (4, "B")).toDF("bk", "item")
+    val out = Association.itemCosineTopK(df, Seq(col("bk")), col("item"), k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(6)))).toMap
+    assert(out(("A", "B")) == ((1L, 2L, 444444L)))
+    assert(out(("A", "C")) == ((2L, 1L, 333333L)))
+    assert(out(("B", "A")) == ((1L, 2L, 444444L)))
+    assert(out(("C", "A")) == ((1L, 1L, 333333L)))
+    assert(!out.contains(("B", "C"))) // never co-occur
+  }
+
+  test("itemCosineTopK: k cuts per item, duplicate basket lines collapse") {
+    val df = Seq((1, "A"), (1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"))
+      .toDF("bk", "item")
+    // A's neighbors: B cos²=4e6/(2*2)=1000000, C cos²=1e6/2=500000
+    val out = Association.itemCosineTopK(df, Seq(col("bk")), col("item"), k = 1)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(6))))
+      .toMap
+    assert(out("A") == (("B", 1000000L)))
+    assert(out("B") == (("A", 1000000L)))
+    // C ties A and B at 500000; neighbor ASC tie-break keeps A
+    assert(out("C") == (("A", 500000L)))
+  }
 }

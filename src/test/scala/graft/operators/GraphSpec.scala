@@ -449,4 +449,30 @@ class GraphSpec extends SparkSpec {
     val out = Graph.bipartiteCoNeighbors(edges, topK = 5).collect()
     assert(out.length == 1 && out.head.getLong(2) == 1L) // cn = 1, not 4
   }
+
+  // ---- GRAPH14 bounded-hop SSSP ----
+
+  test("ssspBounded: min-plus relaxation beats the direct edge within the hop budget") {
+    // 0→1(1), 1→2(1), 0→2(5), 2→3(1); shortest to 2 is the 2-hop path,
+    // shortest to 3 needs 3 hops (cost 3) vs the 2-hop detour (cost 6)
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 5L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    def run(h: Int) = Graph.ssspBounded(edges, seeds, hops = h).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(3) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // hop budget 2: node 3 only reachable via the expensive detour
+    assert(run(2) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 6L))
+    // hop budget 1: direct edges only
+    assert(run(1) == Map(0L -> 0L, 1L -> 1L, 2L -> 5L))
+  }
+
+  test("ssspBounded: parallel edges collapse to the min weight; multi-seed takes the min source") {
+    val edges = Seq((0L, 1L, 7L), (0L, 1L, 2L), (9L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L, 9L, 9L).toDF("node")
+    val out = Graph.ssspBounded(edges, seeds, hops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 9L -> 0L, 1L -> 1L))
+  }
 }

@@ -122,4 +122,55 @@ class ProfileSpec extends SparkSpec {
     assert(one.getAs[Long]("skew_ppm") == 1000000L)
     assert(one.getAs[Long]("n_runts") == 0L)
   }
+
+  // ---- SC9 zone-map advisor ----
+
+  test("zoneMapAdvisor: clustered layout prunes, shuffled layout touches everything") {
+    import spark.implicits._
+    // k = 0..9, probe p = k; 5 equal-width ranges of span 10 → files of
+    // 2 rows with tight zone maps [0,1],[2,3],...
+    val df = (0L to 9L).toDF("k")
+    val out = Profile.zoneMapAdvisor(df,
+      layouts = Seq(("by_k", col("k")), ("by_parity", col("k") % 2)),
+      probe = col("k"),
+      preds = Seq(("lo", 0L, 3L), ("one", 7L, 7L)),
+      files = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val a = out(("by_k", "lo"))
+    assert(a.getAs[Long]("n_files") == 5L)
+    assert(a.getAs[Long]("files_touched") == 2L)
+    assert(a.getAs[Long]("touch_ppm") == 400000L)
+    assert(a.getAs[Long]("rows_touched") == 4L)
+    val b = out(("by_k", "one"))
+    assert(b.getAs[Long]("files_touched") == 1L)
+    assert(b.getAs[Long]("rows_touched") == 2L) // file [6,7]
+    // parity layout: 2 non-empty ranges (0 and 2), each spans nearly the
+    // whole probe domain — zone maps prune nothing
+    val c = out(("by_parity", "lo"))
+    assert(c.getAs[Long]("n_files") == 2L)
+    assert(c.getAs[Long]("files_touched") == 2L)
+    assert(c.getAs[Long]("touch_ppm") == 1000000L)
+    assert(c.getAs[Long]("rows_touched") == 10L)
+  }
+
+  // ---- DQ14 mutual information ----
+
+  test("mutualInformation: identity pair reads 1000 millibits, engineered independence reads 0") {
+    import spark.implicits._
+    val df = Seq(("a", "a", "c"), ("a", "a", "c"), ("b", "b", "c"),
+      ("b", "b", "c")).toDF("x", "y", "z")
+    val out = Profile.mutualInformation(df, Seq(
+        ("x_y", col("x"), col("y")), ("x_z", col("x"), col("z"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val xy = out("x_y") // cells (a,a):2,(b,b):2; bits = ilog2(8)-ilog2(4) = 1
+    assert(xy.getAs[Long]("n_rows") == 4L)
+    assert(xy.getAs[Long]("n_cells") == 2L)
+    assert(xy.getAs[Long]("card_x") == 2L && xy.getAs[Long]("card_y") == 2L)
+    assert(xy.getAs[Long]("mi_sum_bits") == 4L)
+    assert(xy.getAs[Long]("mi_millibits_per_row") == 1000L)
+    val xz = out("x_z") // z constant: bits = ilog2(2·4) − ilog2(2·4) = 0
+    assert(xz.getAs[Long]("card_y") == 1L)
+    assert(xz.getAs[Long]("mi_sum_bits") == 0L)
+    assert(xz.getAs[Long]("mi_millibits_per_row") == 0L)
+  }
 }
