@@ -5300,6 +5300,57 @@ object SparkEntry {
             ("status_x_custband", col("o_orderstatus"),
               col("o_custkey") % 7)))
         .orderBy(col("pair"))),
+
+    // Q307 — OPT2 dynamic partition pruning: the fact table lands
+    // hive-partitioned by band, the dim side's arithmetic filter keeps
+    // bands {0..7} (8/32 — partkey ≡ r mod 128 with r < 8 implies
+    // partkey mod 32 = r), and Catalyst's DPP turns that into a runtime
+    // partition filter on the scan — 75% of files never open. The plan
+    // law (dynamicpruningexpression present, prunes to the dim's band
+    // set) is pinned by DppSpec; this query oracles the RESULT.
+    "q307_dpp_join" -> ((s, dir) => {
+      val out = graft.core.Scratch.dir("q307_dpp")
+      t(s, dir, "lineitem")
+        .withColumn("band", pmod(col("l_partkey"), lit(32L)).cast("int"))
+        .withColumn("rev_cents", floor(col("l_extendedprice") * 100).cast("long"))
+        .select(col("band"), col("rev_cents"))
+        .write.mode("overwrite").partitionBy("band").parquet(out)
+      val fact = s.read.parquet(out)
+      val dim = t(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(128L)) < 8)
+        .select(pmod(col("p_partkey"), lit(32L)).cast("int").as("band"))
+        .distinct()
+      fact.join(dim, "band")
+        .groupBy(col("band").cast("long").as("band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("rev_cents")).as("revenue_cents"))
+        .orderBy(col("band"))
+    }),
+
+    // Q308 — BDAY1 business-day SLA census: order→ship latency in
+    // BUSINESS days via the closed-form weekday count (no calendar
+    // explode, no engine dayofweek()), 10-business-day SLA per priority.
+    "q308_business_day_sla" -> ((s, dir) =>
+      graft.operators.Latency.businessDaySla(
+          t(s, dir, "orders").join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey")),
+          keyCols = Seq("o_orderpriority"),
+          startCol = to_date(col("o_orderdate")),
+          endCol = to_date(col("l_shipdate")),
+          slaBdays = 10)
+        .orderBy(col("o_orderpriority"))),
+
+    // Q309 — EVAL16 recommendation coverage & exposure: the aggregate
+    // health check over q304's "also bought" table — catalog coverage,
+    // slot concentration, and the exposure Gini (q93's exact law) that
+    // per-query NDCG/MRR/AP can't see.
+    "q309_rec_coverage" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val recs = graft.operators.Association.itemCosineTopK(
+        li, Seq(col("l_orderkey")), col("l_partkey") % 400, k = 5)
+      graft.operators.Ranking.recommendationCoverage(
+        recs, "neighbor",
+        li.select((col("l_partkey") % 400).as("item")), "item")
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -11063,6 +11114,73 @@ object SparkEntry {
         ("prio_x_status", "o_orderpriority", "o_orderstatus"),
         ("prio_x_year", "o_orderpriority", "year(CAST(o_orderdate AS DATE))"),
         ("status_x_custband", "o_orderstatus", "o_custkey % 7"))),
+
+      // the lake detour is invisible to the result: the oracle replays
+      // the dim band law and the join on the raw tables
+      "q307_dpp_join" ->
+        """WITH dim AS (SELECT DISTINCT p_partkey % 32 AS band FROM part
+          |  WHERE p_partkey % 128 < 8)
+          |SELECT l_partkey % 32 AS band, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM lineitem JOIN dim ON l_partkey % 32 = dim.band
+          |GROUP BY 1 ORDER BY band""".stripMargin,
+
+      // h(e) = weekdays among epoch days [0,e): (e//7)*5 + c(e%7),
+      // c(r) = r - greatest(0, least(r,4)-2); epoch day 0 = Thursday
+      "q308_business_day_sla" ->
+        """WITH j AS (SELECT o_orderpriority,
+          |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 1 AS es,
+          |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 1 AS ee
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |b AS (SELECT o_orderpriority,
+          |    ((ee // 7) * 5 + ((ee % 7) - greatest(0, least(ee % 7, 4) - 2)))
+          |    - ((es // 7) * 5 + ((es % 7) - greatest(0, least(es % 7, 4) - 2))) AS bd
+          |  FROM j),
+          |h AS (SELECT o_orderpriority, bd, CAST(count(*) AS BIGINT) AS t
+          |  FROM b GROUP BY 1, 2),
+          |c AS (SELECT *, CAST(sum(t) OVER (PARTITION BY o_orderpriority
+          |      ORDER BY bd ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt,
+          |    CAST(sum(t) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+          |  FROM h)
+          |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_rows,
+          |  CAST(sum(bd * t) AS BIGINT) AS sum_bdays,
+          |  CAST(CASE WHEN sum(bd * t) < 0
+          |       THEN -((-sum(bd * t)) * 1000 // max(n))
+          |       ELSE sum(bd * t) * 1000 // max(n) END AS BIGINT) AS mean_millibdays,
+          |  CAST(sum(CASE WHEN bd > 10 THEN t ELSE 0 END) AS BIGINT) AS n_breach,
+          |  CAST(sum(CASE WHEN bd > 10 THEN t ELSE 0 END) * 1000000 // max(n) AS BIGINT) AS breach_ppm,
+          |  CAST(min(CASE WHEN cumt * 100 >= n * 90 THEN bd END) AS BIGINT) AS p90_bdays,
+          |  CAST(max(bd) AS BIGINT) AS max_bdays
+          |FROM c GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+      // q304's chain re-run to the rec table, then the exposure census,
+      // catalog coverage, and q93's exact rank-weighted gini
+      "q309_rec_coverage" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 400 AS item FROM lineitem),
+          |it AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+          |p AS (SELECT x.item AS ia, y.item AS ib, CAST(count(*) AS BIGINT) AS n_pair
+          |  FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item GROUP BY 1, 2),
+          |d AS (SELECT ia AS item, ib AS neighbor, n_pair FROM p
+          |  UNION ALL SELECT ib, ia, n_pair FROM p),
+          |s AS (SELECT d.item, d.neighbor,
+          |    CAST((CAST(d.n_pair AS HUGEINT) * d.n_pair * 1000000)
+          |      // (CAST(a.n_item AS HUGEINT) * c.n_item) AS BIGINT) AS cos2_ppm
+          |  FROM d JOIN it a ON d.item = a.item JOIN it c ON d.neighbor = c.item),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY item
+          |    ORDER BY cos2_ppm DESC, neighbor ASC) AS rk FROM s),
+          |rec AS (SELECT neighbor FROM r WHERE rk <= 5),
+          |e0 AS (SELECT neighbor AS item, CAST(count(*) AS BIGINT) AS c FROM rec GROUP BY 1),
+          |ix AS (SELECT *, CAST(row_number() OVER (ORDER BY c, item) AS BIGINT) AS i FROM e0),
+          |cat AS (SELECT CAST(count(DISTINCT l_partkey % 400) AS BIGINT) AS catalog_n FROM lineitem),
+          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_recommended,
+          |    CAST(sum(c) AS BIGINT) AS n_slots, CAST(max(c) AS BIGINT) AS max_exposure,
+          |    CAST(sum(CAST(i AS HUGEINT) * c) AS HUGEINT) AS swc FROM ix)
+          |SELECT catalog_n, n_recommended,
+          |  n_recommended * 1000000 // catalog_n AS coverage_ppm,
+          |  n_slots, max_exposure, max_exposure * 1000000 // n_slots AS max_exposure_ppm,
+          |  (2 * CAST(swc AS DOUBLE) - (n_recommended + 1) * CAST(n_slots AS DOUBLE))
+          |    / (CAST(n_recommended AS DOUBLE) * CAST(n_slots AS DOUBLE)) AS exposure_gini
+          |FROM a, cat""".stripMargin,
     )
   }
 }

@@ -52,4 +52,63 @@ object Latency {
       .select(keys ++ Seq(col("n_rows"), col("n_late"), col("late_ppm"),
         col("p50_days"), col("p90_days"), col("p99_days"), col("max_days")): _*)
   }
+
+  /**
+   * Business-day SLA census (BDAY1) — A26 counted calendar days; ops
+   * commitments are quoted in BUSINESS days ("ships within 5 business
+   * days"), and the two disagree by up to 2 days per week. Weekday
+   * count in (start, end] comes from the CLOSED FORM, never a calendar
+   * explode (×span row blow-up at corpus scale):
+   *
+   *   h(e) = (e DIV 7)·5 + c(e mod 7)  — weekdays among epoch days [0, e)
+   *   c(r) = r − greatest(0, least(r, 4) − 2)
+   *   bdays(s, t] = h(t+1) − h(s+1)    (epoch days; 1970-01-01 = Thursday,
+   *                                     so offsets {2,3} of each epoch
+   *                                     week are Sat/Sun)
+   *
+   * Weekday-ness is derived from epoch-day arithmetic, NOT the engines'
+   * dayofweek() (Spark is 1=Sunday, DuckDB 0=Sunday — the classic
+   * cross-engine trap). All inputs ≥ epoch so DIV/% never see negatives.
+   *
+   * Per key: n, SLA breach count + ppm (bdays > slaBdays), sum of
+   * business days, mean in millidays, and the exact p90 via the same
+   * histogram threshold bridge as [[latencyCensus]].
+   */
+  def businessDaySla(df: DataFrame, keyCols: Seq[String], startCol: Column,
+      endCol: Column, slaBdays: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val epoch = lit("1970-01-01").cast("date")
+    // h(e) inlined twice with integer DIV (all epoch offsets ≥ 0 here)
+    val hLaw = "( (%s DIV 7) * 5 + ((%s %% 7) - greatest(0L, least(%s %% 7, 4L) - 2L)) )"
+    val base = df
+      .select(keyCols.map(col) ++ Seq(
+        (datediff(startCol, epoch).cast("long") + 1L).as("es"),
+        (datediff(endCol, epoch).cast("long") + 1L).as("ee")): _*)
+      .withColumn("bd", expr(
+        hLaw.format("ee", "ee", "ee") + " - " + hLaw.format("es", "es", "es")))
+      .select(keys :+ col("bd"): _*)
+    val hist = base
+      .groupBy(keys :+ col("bd"): _*)
+      .agg(count(lit(1)).as("t"))
+    val cum = Window.partitionBy(keys: _*).orderBy(col("bd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byKey = Window.partitionBy(keys: _*)
+    hist
+      .withColumn("cumt", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(byKey))
+      .groupBy(keys: _*)
+      .agg(
+        max(col("n")).as("n_rows"),
+        sum(col("bd") * col("t")).as("sum_bdays"),
+        sum(when(col("bd") > slaBdays, col("t")).otherwise(0L)).as("n_breach"),
+        min(when(col("cumt") * 100 >= col("n") * 90, col("bd"))).as("p90_bdays"),
+        max(col("bd")).as("max_bdays"))
+      .withColumn("breach_ppm", expr("n_breach * 1000000 DIV n_rows"))
+      .withColumn("mean_millibdays", expr(
+        """CASE WHEN sum_bdays < 0 THEN -((-sum_bdays) * 1000 DIV n_rows)
+          |ELSE sum_bdays * 1000 DIV n_rows END""".stripMargin.replace("\n", " ")))
+      .select(keys ++ Seq(col("n_rows"), col("sum_bdays"),
+        col("mean_millibdays"), col("n_breach"), col("breach_ppm"),
+        col("p90_bdays"), col("max_bdays")): _*)
+  }
 }

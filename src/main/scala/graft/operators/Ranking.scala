@@ -297,4 +297,59 @@ object Ranking {
           expr(s"ap_num DIV least(n_rel, $k)")))
       .select(col("key"), col("n_items"), col("n_rel"), col("ap_ppm"))
   }
+
+  /**
+   * Recommendation coverage & exposure census (EVAL16) — the two
+   * aggregate health checks a recommender table (e.g. SIM11's "also
+   * bought" top-k) needs BEFORE it ships, because per-query relevance
+   * metrics (NDCG/MRR/AP) can all look fine while the system only ever
+   * recommends the same popular sliver:
+   *
+   *   coverage_ppm     = distinct recommended items ·10⁶ DIV catalog —
+   *                      what share of the catalog is reachable at all;
+   *   exposure gini    = inequality of how often each recommended item
+   *                      appears across all lists (q93's exact
+   *                      rank-weighted law over the exposure histogram;
+   *                      the one IEEE divide of exactly-represented
+   *                      integers both engines replay bit-for-bit);
+   *   max_exposure_ppm = the most-shown item's share of all slots.
+   *
+   * Scale posture: the rec table collapses to the per-item exposure
+   * census in one combine; the gini rank window runs on the
+   * ITEM-DOMAIN-bounded census frame, never on rec rows.
+   *
+   * @param recs     (itemCol used as list owner, neighborCol = the
+   *                  recommended item) — one row per recommendation slot.
+   * @param catalog  one row per catalog item (the denominator).
+   */
+  def recommendationCoverage(recs: DataFrame, neighborCol: String,
+      catalog: DataFrame, catalogItemCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val exposure = recs.groupBy(col(neighborCol).as("item"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c"), col("item"))
+    val cat = catalog.select(col(catalogItemCol).as("item")).distinct()
+      .agg(count(lit(1)).as("catalog_n"))
+    exposure
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_recommended"),
+        sum(col("c")).as("n_slots"),
+        max(col("c")).as("max_exposure"),
+        sum(col("i").cast(DecimalType(38, 0)) * col("c"))
+          .cast(DecimalType(38, 0)).as("swc"))
+      .crossJoin(broadcast(cat)) // single-row constant join
+      .withColumn("coverage_ppm",
+        expr("n_recommended * 1000000 DIV catalog_n"))
+      .withColumn("max_exposure_ppm",
+        expr("max_exposure * 1000000 DIV n_slots"))
+      .withColumn("exposure_gini",
+        (lit(2) * col("swc").cast("double") -
+          (col("n_recommended") + 1).cast("double") * col("n_slots").cast("double")) /
+          (col("n_recommended").cast("double") * col("n_slots").cast("double")))
+      .select(col("catalog_n"), col("n_recommended"), col("coverage_ppm"),
+        col("n_slots"), col("max_exposure"), col("max_exposure_ppm"),
+        col("exposure_gini"))
+  }
 }

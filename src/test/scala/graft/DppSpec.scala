@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * OPT2 — dynamic partition pruning evidence (the q307 plan law).
+ *
+ * A hive-partitioned fact joined to a dim whose filter restricts the
+ * partition-key domain must plan a runtime `dynamicpruningexpression`
+ * in the fact scan's PartitionFilters: the dim side executes first (as
+ * the reused broadcast) and only the surviving bands' directories are
+ * ever opened. At 100 TB this is the difference between scanning the
+ * lake and scanning the slice the dim actually references.
+ *
+ * The load-bearing ingredient the q307 shape gets right (and this
+ * spec pins): the dim-side filter must SURVIVE optimization — a
+ * parquet-backed dim with a real predicate, not a constant-folded
+ * literal frame, because the rewrite only fires when there is a
+ * selective filter to prune by. A type-widening cast on the partition
+ * key, by contrast, is tolerated (pinned below).
+ */
+class DppSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q307 shape: the fact scan carries a dynamicpruning partition filter") {
+    val factDir = tmpDir("dpp_fact")
+    val dimDir = tmpDir("dpp_dim")
+    (0L until 1000L).map(i => (i, (i % 10).toInt)).toDF("v", "band")
+      .write.mode("overwrite").partitionBy("band").parquet(factDir)
+    (0L until 40L).map(i => (i, (i % 10).toInt)).toDF("dim_key", "band")
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir)
+      .where(col("dim_key") % 20 === 3 || col("dim_key") % 20 === 7)
+      .select(col("band")).distinct() // bands {3, 7}
+    val q = fact.join(dim, "band")
+      .groupBy(col("band")).agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected a dynamicpruningexpression in the fact scan, got:\n$plan")
+    // and the pruned result is still exactly the dim's bands
+    val out = q.collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 100L, 7L -> 100L))
+  }
+
+  test("DPP survives a type-widening cast on the partition key; a filterless dim does not qualify") {
+    val factDir = tmpDir("dpp_fact2")
+    val dimDir = tmpDir("dpp_dim2")
+    (0L until 200L).map(i => (i, (i % 4).toInt)).toDF("v", "band")
+      .write.mode("overwrite").partitionBy("band").parquet(factDir)
+    (0L until 8L).map(i => (i, i % 4)).toDF("dim_key", "band") // band LONG
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    // widened join key (int partition col vs bigint dim) + a surviving
+    // dim filter: the rewrite still fires through the implicit cast
+    val dim = spark.read.parquet(dimDir)
+      .where(col("dim_key") < 2).select(col("band")).distinct()
+    val q = fact.join(dim, "band").groupBy(col("band")).agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression"))
+    assert(q.count() == 2L) // bands {0, 1}, one group row each
+    // counter-law: with NO selective filter on the dim side there is
+    // nothing to prune by, so the rewrite must not fire
+    val dimAll = spark.read.parquet(dimDir).select(col("band")).distinct()
+    val q2 = fact.join(dimAll, "band").groupBy(col("band")).agg(count(lit(1)).as("n"))
+    assert(!q2.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression"))
+  }
+}

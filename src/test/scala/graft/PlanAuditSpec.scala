@@ -57,6 +57,7 @@ class PlanAuditSpec extends SparkSpec {
     "q194_dim_ablation_recall" -> "both sides are q19's DECLARED brute-force baseline (truth AND the truncated-dim ranker under measurement) — dim ablation is priced against exact truth by definition; the recall join itself is equi-only",
     "q207_discrete_hazard" -> "single-row broadcast: the 1-row corpus max-day censor boundary crossJoins onto the per-unit spans (1 x units, structurally bounded)",
     "q216_association_rules" -> "single-row broadcast: the basket total crossJoins onto the directed rule rows (1 x T^2 rows, type domain is structurally bounded — q81's pattern one stage later)",
+    "q309_rec_coverage" -> "single-row broadcast: the 1-row catalog count crossJoins onto the 1-row exposure rollup (1 x 1 by construction — the q142 pattern)",
     // q305_zonemap_advisor: the 1-row (k_min, k_max) span crossJoin sits
     // BEHIND the per-layout localCheckpoint (the q235 pattern), so the
     // final plan is clean — deliberately NOT allowlisted.

@@ -39,4 +39,39 @@ class LatencySpec extends SparkSpec {
     assert(r.getAs[Long]("p50_days") == 3L && r.getAs[Long]("p90_days") == 7L)
     assert(r.getAs[Long]("n_late") == 0L && r.getAs[Long]("late_ppm") == 0L)
   }
+
+  // ---- BDAY1 business-day SLA ----
+
+  test("businessDaySla: closed-form weekday count matches hand-checked spans") {
+    // 2024-01-01 was a Monday.
+    // Mon->Fri: (Mon,Fri] = Tue..Fri = 4 bdays
+    // Fri->next Mon: (Fri,Mon] = Sat,Sun,Mon = 1 bday
+    // Mon->Mon two weeks out: 10 bdays; same-day: 0
+    val rows = Seq(
+      ("k", "2024-01-01", "2024-01-05"),
+      ("k", "2024-01-05", "2024-01-08"),
+      ("k", "2024-01-01", "2024-01-15"),
+      ("k", "2024-01-01", "2024-01-01"),
+    ).toDF("k", "s", "e")
+    val r = Latency.businessDaySla(rows, Seq("k"),
+      to_date(col("s")), to_date(col("e")), slaBdays = 4).head()
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("sum_bdays") == 15L) // 4 + 1 + 10 + 0
+    assert(r.getAs[Long]("mean_millibdays") == 3750L)
+    assert(r.getAs[Long]("n_breach") == 1L) // only the 10-bday span
+    assert(r.getAs[Long]("breach_ppm") == 250000L)
+    assert(r.getAs[Long]("max_bdays") == 10L)
+    // p90 threshold: cum over {0:1, 1:1, 4:1, 10:1}; min bd with
+    // cum*100 >= 360 is bd = 10
+    assert(r.getAs[Long]("p90_bdays") == 10L)
+  }
+
+  test("businessDaySla: a full weekend span counts zero business days") {
+    // Sat 2024-01-06 -> Sun 2024-01-07: (Sat, Sun] = {Sun} = 0 bdays
+    val rows = Seq(("k", "2024-01-06", "2024-01-07")).toDF("k", "s", "e")
+    val r = Latency.businessDaySla(rows, Seq("k"),
+      to_date(col("s")), to_date(col("e")), slaBdays = 0).head()
+    assert(r.getAs[Long]("sum_bdays") == 0L)
+    assert(r.getAs[Long]("n_breach") == 0L)
+  }
 }

@@ -244,4 +244,35 @@ class RankingSpec extends SparkSpec {
       ("m", "C", 7L, 0L), ("m", "D", 6L, 1L))
     assert(ap(rows)("m") == ((4L, 2L, Some(250000L))))
   }
+
+  // ---- EVAL16 recommendation coverage ----
+
+  test("recommendationCoverage: coverage, exposure concentration, and the q93 gini law") {
+    import org.apache.spark.sql.functions._
+    // slots: A, A, B -> exposure A:2, B:1; catalog {A,B,C,D}
+    val recs = Seq(("x", "A"), ("y", "A"), ("z", "B")).toDF("item", "neighbor")
+    val catalog = Seq("A", "B", "C", "D", "D").toDF("cat_item")
+    val r = Ranking.recommendationCoverage(recs, "neighbor", catalog, "cat_item")
+      .head()
+    assert(r.getAs[Long]("catalog_n") == 4L)
+    assert(r.getAs[Long]("n_recommended") == 2L)
+    assert(r.getAs[Long]("coverage_ppm") == 500000L)
+    assert(r.getAs[Long]("n_slots") == 3L)
+    assert(r.getAs[Long]("max_exposure") == 2L)
+    assert(r.getAs[Long]("max_exposure_ppm") == 666666L)
+    // ranks by (c, item): B(c=1) i=1, A(c=2) i=2 -> swc = 1 + 4 = 5
+    // gini = (2*5 - 3*3) / (2*3)
+    assert(r.getAs[Double]("exposure_gini") == (2.0 * 5 - 3.0 * 3) / (2.0 * 3))
+  }
+
+  test("recommendationCoverage: uniform exposure reads gini consistent with the rank law") {
+    import org.apache.spark.sql.functions._
+    val recs = Seq(("x", "A"), ("y", "B"), ("z", "C")).toDF("item", "neighbor")
+    val catalog = Seq("A", "B", "C").toDF("cat_item")
+    val r = Ranking.recommendationCoverage(recs, "neighbor", catalog, "cat_item")
+      .head()
+    assert(r.getAs[Long]("coverage_ppm") == 1000000L)
+    // swc = 1+2+3 = 6: gini = (12 - 4*3)/(3*3) = 0
+    assert(r.getAs[Double]("exposure_gini") == 0.0)
+  }
 }
