@@ -5351,6 +5351,46 @@ object SparkEntry {
         recs, "neighbor",
         li.select((col("l_partkey") % 400).as("item")), "item")
     }),
+
+    // Q310 — GRAPH15 connected components: min-label propagation over
+    // the support-filtered co-order graph (pairs co-ordered ≥ 3 times —
+    // the support cut is what fragments the graph into real clusters),
+    // 4 rounds, component census out. The distributed complement to
+    // the driver-side union-find of the dedup-cluster path.
+    "q310_connected_components" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), (col("l_partkey") % 2000).as("p"))
+        .distinct()
+      val edges = e0.as("a")
+        .join(e0.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 3)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.connectedComponents(edges, rounds = 4)
+        .groupBy(col("comp")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("comp"))
+    }),
+
+    // Q311 — FC9 damped-trend Holt: q254's frame under the
+    // Gardner–McKenzie damped law — the forecast ladder levels off
+    // (l + t/2 + t/4 + …) instead of riding the ramp forever.
+    "q311_holt_damped" -> ((s, dir) =>
+      graft.operators.Trend.holtDampedCensus(
+          t(s, dir, "orders"), col("o_orderpriority"),
+          to_date(col("o_orderdate")),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .orderBy(col("key"))),
+
+    // Q312 — B13 time-to-cumulative-threshold: per user, the first day
+    // cumulative event value crosses $2,000; cohorts (first-activity
+    // month) scored by crossing rate and exact p50/p90 days-to-cross —
+    // the LTV-milestone / payback-period table.
+    "q312_time_to_threshold" -> ((s, dir) =>
+      graft.operators.Cohorts.timeToThreshold(
+          t(s, dir, "events"), "user_id", "ts", "event_id",
+          floor(col("value") * 100).cast("long"), threshold = 200000L)
+        .orderBy(col("cohort"))),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -11181,6 +11221,99 @@ object SparkEntry {
           |  (2 * CAST(swc AS DOUBLE) - (n_recommended + 1) * CAST(n_slots AS DOUBLE))
           |    / (CAST(n_recommended AS DOUBLE) * CAST(n_slots AS DOUBLE)) AS exposure_gini
           |FROM a, cat""".stripMargin,
+
+      // min-label propagation unrolled to 4 rounds over the
+      // support-filtered symmetrized co-order graph
+      "q310_connected_components" ->
+        """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 2000 AS p FROM lineitem),
+          |pr AS (SELECT a.p AS u, b.p AS v FROM e0 a
+          |  JOIN e0 b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 3),
+          |ed AS (SELECT DISTINCT src, dst FROM (
+          |  SELECT u AS src, v AS dst FROM pr UNION ALL SELECT v, u FROM pr)),
+          |l0 AS (SELECT DISTINCT src AS node, src AS comp FROM ed),
+          |r1 AS (SELECT ed.dst AS node, min(l0.comp) AS comp FROM l0
+          |  JOIN ed ON l0.node = ed.src GROUP BY 1),
+          |l1 AS (SELECT node, min(comp) AS comp FROM
+          |  (SELECT * FROM l0 UNION ALL SELECT * FROM r1) GROUP BY 1),
+          |r2 AS (SELECT ed.dst AS node, min(l1.comp) AS comp FROM l1
+          |  JOIN ed ON l1.node = ed.src GROUP BY 1),
+          |l2 AS (SELECT node, min(comp) AS comp FROM
+          |  (SELECT * FROM l1 UNION ALL SELECT * FROM r2) GROUP BY 1),
+          |r3 AS (SELECT ed.dst AS node, min(l2.comp) AS comp FROM l2
+          |  JOIN ed ON l2.node = ed.src GROUP BY 1),
+          |l3 AS (SELECT node, min(comp) AS comp FROM
+          |  (SELECT * FROM l2 UNION ALL SELECT * FROM r3) GROUP BY 1),
+          |r4 AS (SELECT ed.dst AS node, min(l3.comp) AS comp FROM l3
+          |  JOIN ed ON l3.node = ed.src GROUP BY 1),
+          |l4 AS (SELECT node, min(comp) AS comp FROM
+          |  (SELECT * FROM l3 UNION ALL SELECT * FROM r4) GROUP BY 1)
+          |SELECT comp, CAST(count(*) AS BIGINT) AS n_nodes
+          |FROM l4 GROUP BY 1 ORDER BY comp""".stripMargin,
+
+      // the q254 recursion under the damped law; td = half(rec.t)
+      // inlined (sign-split halving) to keep the rec column list fixed
+      "q311_holt_damped" -> {
+        val td = "(CASE WHEN rec.t < 0 THEN -((-rec.t) // 2) ELSE rec.t // 2 END)"
+        val hf = (x: String) => s"(CASE WHEN $x < 0 THEN -((-($x)) // 2) ELSE ($x) // 2 END)"
+        s"""WITH RECURSIVE d AS (SELECT o_orderpriority AS key,
+           |    CAST(o_orderdate AS DATE) AS dd,
+           |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+           |  FROM orders GROUP BY 1, 2),
+           |r AS (SELECT key, v,
+           |    row_number() OVER (PARTITION BY key ORDER BY dd) AS rn FROM d),
+           |rec AS (
+           |  SELECT key, rn, v AS l, CAST(0 AS BIGINT) AS t,
+           |    CAST(0 AS BIGINT) AS alarms
+           |  FROM r WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.key, r.rn,
+           |    ${hf(s"r.v + rec.l + $td")} AS l2,
+           |    ${hf(s"$td + l2 - rec.l")} AS t2,
+           |    rec.alarms + CASE WHEN 4 * r.v > 5 * (rec.l + $td)
+           |                        OR 4 * r.v < 3 * (rec.l + $td)
+           |                      THEN 1 ELSE 0 END
+           |  FROM rec JOIN r ON r.key = rec.key AND r.rn = rec.rn + 1)
+           |SELECT key, CAST(max(rn) AS BIGINT) AS n_days,
+           |  CAST(arg_max(l, rn) AS BIGINT) AS level,
+           |  CAST(arg_max(t, rn) AS BIGINT) AS trend,
+           |  CAST(arg_max(l, rn) + ${hf("arg_max(t, rn)")} AS BIGINT) AS forecast_next,
+           |  CAST(arg_max(l, rn) + ${hf("arg_max(t, rn)")}
+           |    + ${hf(hf("arg_max(t, rn)"))} AS BIGINT) AS forecast_2,
+           |  CAST(max(alarms) AS BIGINT) AS n_alarms
+           |FROM rec GROUP BY 1 ORDER BY key""".stripMargin
+      },
+
+      // cumulative window ordered (ts, event_id); crossing day = first
+      // date the running total clears the threshold; p50/p90 via the
+      // histogram threshold bridge among crossers
+      "q312_time_to_threshold" ->
+        """WITH v AS (SELECT user_id AS u, ts, event_id AS tie,
+          |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+          |c AS (SELECT *, CAST(sum(cents) OVER (PARTITION BY u
+          |    ORDER BY ts, tie ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM v),
+          |byu AS (SELECT u, min(CAST(ts AS DATE)) AS first_day,
+          |    min(CASE WHEN cum >= 200000 THEN CAST(ts AS DATE) END) AS cross_day
+          |  FROM c GROUP BY 1),
+          |b2 AS (SELECT u, strftime(first_day, '%Y-%m') AS cohort, cross_day,
+          |    CAST(date_diff('day', first_day, cross_day) AS BIGINT) AS days_to_cross
+          |  FROM byu),
+          |hist AS (SELECT cohort, days_to_cross, CAST(count(*) AS BIGINT) AS t
+          |  FROM b2 WHERE cross_day IS NOT NULL GROUP BY 1, 2),
+          |pc AS (SELECT cohort, days_to_cross,
+          |    CAST(sum(t) OVER (PARTITION BY cohort ORDER BY days_to_cross
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt,
+          |    CAST(sum(t) OVER (PARTITION BY cohort) AS BIGINT) AS nc FROM hist),
+          |pct AS (SELECT cohort,
+          |    CAST(min(CASE WHEN cumt * 100 >= nc * 50 THEN days_to_cross END) AS BIGINT) AS p50_days,
+          |    CAST(min(CASE WHEN cumt * 100 >= nc * 90 THEN days_to_cross END) AS BIGINT) AS p90_days
+          |  FROM pc GROUP BY 1),
+          |agg AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users,
+          |    CAST(sum(CASE WHEN cross_day IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_crossed
+          |  FROM b2 GROUP BY 1)
+          |SELECT agg.cohort AS cohort, n_users, n_crossed,
+          |  n_crossed * 1000000 // n_users AS crossed_ppm, p50_days, p90_days
+          |FROM agg LEFT JOIN pct ON agg.cohort = pct.cohort
+          |ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -206,5 +206,64 @@ object Cohorts {
       .agg(count(lit(1)).as("n_customers"),
         sum(col("m")).as("total_cents"),
         expr("sum(r) DIV count(1)").as("mean_recency_days"))
+  }
+
+  /**
+   * Time-to-cumulative-threshold census (B13) — the LTV-milestone
+   * readout: per entity, the running value total crosses `threshold`
+   * on some day; cohorts (month of first activity) are then scored by
+   * how MANY cross and how FAST — the payback-period table growth
+   * teams read weekly, and the label generator for LTV models.
+   *
+   * Per entity: first day where cumsum(value) ≥ threshold, with the
+   * cumulative window ordered by (ts, tieCol) so same-timestamp rows
+   * replay identically on both engines. Per cohort:
+   *   n_users, n_crossed, crossed_ppm,
+   *   p50_days / p90_days to cross (among crossers — the exact
+   *   histogram threshold bridge, day-grain domain).
+   *
+   * Scale posture: one per-entity window (the corpus shuffles once on
+   * the entity key), then the cohort census runs on the ENTITY frame
+   * and the percentile bridge on the (cohort, days) day-grain
+   * histogram — never raw rows again.
+   */
+  def timeToThreshold(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, valueCentsCol: Column, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = events
+      .select(col(userCol).as("u"), col(tsCol).as("ts"), col(tieCol).as("tie"),
+        valueCentsCol.cast("long").as("cents"))
+      .withColumn("cum", sum(col("cents")).over(
+        Window.partitionBy(col("u")).orderBy(col("ts"), col("tie"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("u"))
+      .agg(
+        min(to_date(col("ts"))).as("first_day"),
+        min(when(col("cum") >= threshold, to_date(col("ts")))).as("cross_day"))
+      .withColumn("cohort", date_format(col("first_day"), "yyyy-MM"))
+      .withColumn("days_to_cross",
+        datediff(col("cross_day"), col("first_day")).cast("long"))
+    val hist = byUser.where(col("cross_day").isNotNull)
+      .groupBy(col("cohort"), col("days_to_cross"))
+      .agg(count(lit(1)).as("t"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("days_to_cross"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byC = Window.partitionBy(col("cohort"))
+    val pct = hist
+      .withColumn("cumt", sum(col("t")).over(cum))
+      .withColumn("nc", sum(col("t")).over(byC))
+      .groupBy(col("cohort"))
+      .agg(
+        min(when(col("cumt") * 100 >= col("nc") * 50, col("days_to_cross")))
+          .as("p50_days"),
+        min(when(col("cumt") * 100 >= col("nc") * 90, col("days_to_cross")))
+          .as("p90_days"))
+    byUser.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("cross_day").isNotNull, 1L).otherwise(0L)).as("n_crossed"))
+      .withColumn("crossed_ppm", expr("n_crossed * 1000000 DIV n_users"))
+      .join(pct, Seq("cohort"), "left")
+      .select(col("cohort"), col("n_users"), col("n_crossed"),
+        col("crossed_ppm"), col("p50_days"), col("p90_days"))
   }
 }

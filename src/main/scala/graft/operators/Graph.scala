@@ -763,6 +763,41 @@ object Graph {
    * @param seeds (node) — distance 0 sources; deduped here.
    * @return (node, dist) for every node reached within `hops` edges.
    */
+  /**
+   * Connected components by min-label propagation (GRAPH15) — each
+   * round every node adopts the minimum label among itself and its
+   * neighbors (edges symmetrized here), so after k rounds label(v) =
+   * min node id within k hops; on a graph of diameter ≤ k that IS the
+   * component id. The distributed complement to the driver-side
+   * union-find the dedup-cluster path uses: no driver state, one O(E)
+   * equi-join + min rollup per round, labels carry ≤ 1 row per node
+   * between rounds, lineage truncated per round (q114 convention).
+   * For high-diameter graphs swap in pointer-doubling (large-star /
+   * small-star) — corpus co-occurrence graphs are shallow, so plain
+   * hash-min converges in a handful of rounds.
+   *
+   * @return (node, comp) — comp = min reachable node id within `rounds`
+   *   hops (the exact k-round law the oracle unrolls; also the fixpoint
+   *   iff rounds ≥ diameter).
+   */
+  def connectedComponents(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, "1..32 rounds")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val fromNbr = labels.withColumnRenamed("node", "src")
+        .join(e, "src").select(col("dst").as("node"), col("comp"))
+      labels = labels.unionByName(fromNbr)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   def ssspBounded(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     require(hops >= 1 && hops <= 32, "1..32 hops")
     val e = edges

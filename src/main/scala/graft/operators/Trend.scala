@@ -243,6 +243,64 @@ object Trend {
   }
 
   /**
+   * Damped-trend Holt forecast census (FC9, Gardner–McKenzie) — the
+   * variant practitioners actually default to: plain Holt extrapolates
+   * a ramp FOREVER (an h-step forecast grows by h·t), which overshoots
+   * every time a growth spurt flattens; damping multiplies the carried
+   * trend by φ each step so long-horizon forecasts level off at
+   * l + t·φ/(1−φ). Half-weight integer rendition (α = β = φ = ½),
+   * every step engine-exact with the same sign-split halving law as
+   * [[holtLinearCensus]]:
+   *
+   *   l₁ = v₁, t₁ = 0
+   *   tdᵢ = half(tᵢ₋₁)                    (the damped carry)
+   *   fᵢ  = lᵢ₋₁ + tdᵢ                    (one-step-ahead forecast)
+   *   alarmᵢ ⇔ 4·vᵢ > 5·fᵢ ∨ 4·vᵢ < 3·fᵢ  (±25% of forecast, i ≥ 2)
+   *   lᵢ  = half(vᵢ + fᵢ)
+   *   tᵢ  = half(tdᵢ + lᵢ − lᵢ₋₁)
+   *
+   * Output adds the damped horizon ladder: forecast_next = l + half(t),
+   * forecast_2 = l + half(t) + half(half(t)) — the flattening is
+   * visible in the numbers (under plain Holt those would be l+t, l+2t).
+   * Same scale posture as FC6: daily pre-aggregate, per-key `aggregate`
+   * HOF fold, no UDF, no global window, one shuffle.
+   */
+  def holtDampedCensus(df: DataFrame, keyCol: Column, dayCol: Column,
+      valueCol: Column): DataFrame = {
+    val daily = df
+      .groupBy(keyCol.as("key"), dayCol.as("d"))
+      .agg(sum(valueCol).cast("long").as("v"))
+    def half(x: Column): Column =
+      when(x < 0L, -shiftright(-x, 1)).otherwise(shiftright(x, 1))
+    val zero = struct(lit(null).cast("long").as("l"), lit(0L).as("t"),
+      lit(0L).as("n"), lit(0L).as("alarms"))
+    daily
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("d"), col("v")))).as("series"))
+      .withColumn("acc", aggregate(col("series"), zero, (a, x) => {
+        val l = a.getField("l"); val t = a.getField("t"); val v = x.getField("v")
+        val td = half(t)
+        val f = l + td
+        val lNew = half(v + f)
+        val tNew = half(td + lNew - l)
+        val alarmed = (v * 4 > f * 5) || (v * 4 < f * 3)
+        when(l.isNull,
+          struct(v.as("l"), lit(0L).as("t"), lit(1L).as("n"),
+            lit(0L).as("alarms")))
+          .otherwise(struct(lNew.as("l"), tNew.as("t"),
+            (a.getField("n") + 1L).as("n"),
+            (a.getField("alarms") + when(alarmed, 1L).otherwise(0L))
+              .as("alarms")))
+      }))
+      .select(col("key"), col("acc.n").as("n_days"),
+        col("acc.l").as("level"), col("acc.t").as("trend"),
+        (col("acc.l") + half(col("acc.t"))).as("forecast_next"),
+        (col("acc.l") + half(col("acc.t")) + half(half(col("acc.t"))))
+          .as("forecast_2"),
+        col("acc.alarms").as("n_alarms"))
+  }
+
+  /**
    * Classical seasonal decomposition, additive, weekly (FC7) — the
    * missing classic on the forecasting shelf (naive/seasonal-naive
    * backtests, EWMA, Theil–Sen, Holt all live here): per key,

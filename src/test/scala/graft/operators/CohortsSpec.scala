@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, to_timestamp}
+
 import graft.SparkSpec
 
 class CohortsSpec extends SparkSpec {
@@ -81,5 +83,50 @@ class CohortsSpec extends SparkSpec {
       "id", "v1", "v2").collect()
     assert(cells.forall(_.getLong(0) == 10L))
     assert(cells.map(_.getLong(2)).sum == 4L)
+  }
+
+  // ---- B13 time-to-cumulative-threshold ----
+
+  test("timeToThreshold: crossing day, cohorting, and the crosser-only percentile") {
+    // u1 crosses on day 2 (100 -> 250); u2 never crosses (50+50)
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 100L),
+      (1L, "2024-01-03 10:00:00", 2L, 150L),
+      (2L, "2024-01-02 09:00:00", 3L, 50L),
+      (2L, "2024-01-05 09:00:00", 4L, 50L),
+    ).toDF("user_id", "ts0", "tie", "cents")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val r = Cohorts.timeToThreshold(rows, "user_id", "ts", "tie",
+      col("cents"), threshold = 200L).head()
+    assert(r.getAs[String]("cohort") == "2024-01")
+    assert(r.getAs[Long]("n_users") == 2L)
+    assert(r.getAs[Long]("n_crossed") == 1L)
+    assert(r.getAs[Long]("crossed_ppm") == 500000L)
+    assert(r.getAs[Long]("p50_days") == 2L)
+    assert(r.getAs[Long]("p90_days") == 2L)
+  }
+
+  test("timeToThreshold: same-timestamp rows replay in tie order") {
+    // both events at the same instant; tie order decides the running
+    // total reaches 210 at tie=2, still day 0
+    val rows = Seq(
+      (1L, "2024-02-01 12:00:00", 1L, 150L),
+      (1L, "2024-02-01 12:00:00", 2L, 60L),
+    ).toDF("user_id", "ts0", "tie", "cents")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val r = Cohorts.timeToThreshold(rows, "user_id", "ts", "tie",
+      col("cents"), threshold = 200L).head()
+    assert(r.getAs[Long]("n_crossed") == 1L)
+    assert(r.getAs[Long]("p50_days") == 0L)
+  }
+
+  test("timeToThreshold: a cohort with zero crossers reports null percentiles") {
+    val rows = Seq((9L, "2024-03-02 08:00:00", 1L, 10L))
+      .toDF("user_id", "ts0", "tie", "cents")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val r = Cohorts.timeToThreshold(rows, "user_id", "ts", "tie",
+      col("cents"), threshold = 200L).head()
+    assert(r.getAs[Long]("n_crossed") == 0L && r.getAs[Long]("crossed_ppm") == 0L)
+    assert(r.isNullAt(r.fieldIndex("p50_days")))
   }
 }

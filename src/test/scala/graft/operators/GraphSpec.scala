@@ -475,4 +475,23 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(0L -> 0L, 9L -> 0L, 1L -> 1L))
   }
+
+  // ---- GRAPH15 connected components ----
+
+  test("connectedComponents: two components resolve to their min ids") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val out = Graph.connectedComponents(edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: label spreads one hop per round (the k-round law)") {
+    // chain 1-2-3-4-5: after 1 round node 5 only sees 4; after 4 rounds
+    // the whole chain is component 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    def comp(rounds: Int) = Graph.connectedComponents(edges, rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1)(5L) == 4L)
+    assert(comp(4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
 }

@@ -219,4 +219,46 @@ class TrendSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(out == base)
   }
+
+  // ---- FC9 damped-trend Holt ----
+
+  test("holtDampedCensus: hand-walked ramp — damping halves the carried trend") {
+    // v = [0, 8, 16] on consecutive days:
+    //   step2: td=0, f=0, l=half(8)=4, t=half(0+4-0)=2, alarm (32>0)
+    //   step3: td=1, f=5, l=half(21)=10, t=half(1+10-4)=3, alarm (64>25)
+    // forecast ladder: 10 + half(3)=11, then + half(half(3))=11
+    val rows = Seq(("k", "2024-01-01", 0L), ("k", "2024-01-02", 8L),
+      ("k", "2024-01-03", 16L)).toDF("k", "d", "v")
+    val r = Trend.holtDampedCensus(rows, col("k"), to_date(col("d")), col("v"))
+      .head()
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("level") == 10L)
+    assert(r.getAs[Long]("trend") == 3L)
+    assert(r.getAs[Long]("forecast_next") == 11L)
+    assert(r.getAs[Long]("forecast_2") == 11L)
+    assert(r.getAs[Long]("n_alarms") == 2L)
+  }
+
+  test("holtDampedCensus: negative trend halves by magnitude (sign-split law)") {
+    // v = [8, 0]: td=0, f=8, l=half(8)=4, t=half(0+4-8)=-2, alarm (0<24)
+    // forecast_next = 4 + half(-2) = 3; forecast_2 = 3 + half(-1) = 3
+    val rows = Seq(("k", "2024-01-01", 8L), ("k", "2024-01-02", 0L))
+      .toDF("k", "d", "v")
+    val r = Trend.holtDampedCensus(rows, col("k"), to_date(col("d")), col("v"))
+      .head()
+    assert(r.getAs[Long]("level") == 4L)
+    assert(r.getAs[Long]("trend") == -2L)
+    assert(r.getAs[Long]("forecast_next") == 3L)
+    assert(r.getAs[Long]("forecast_2") == 3L)
+    assert(r.getAs[Long]("n_alarms") == 1L)
+  }
+
+  test("holtDampedCensus: steady series carries zero trend and never alarms") {
+    val rows = (1 to 5).map(i => ("k", f"2024-01-0$i", 8L)).toDF("k", "d", "v")
+    val r = Trend.holtDampedCensus(rows, col("k"), to_date(col("d")), col("v"))
+      .head()
+    assert(r.getAs[Long]("level") == 8L && r.getAs[Long]("trend") == 0L)
+    assert(r.getAs[Long]("forecast_next") == 8L)
+    assert(r.getAs[Long]("n_alarms") == 0L)
+  }
 }
