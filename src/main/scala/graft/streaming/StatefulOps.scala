@@ -989,4 +989,47 @@ object StatefulOps {
             firstCrossed > 0)
       }
   }
+
+  final case class ThresholdState(cum: Long, nObs: Long, firstCrossUs: Long)
+  final case class ThresholdUpdate(key: String, n_obs: Long, cum: Long,
+      crossed: Boolean, first_cross_us: Option[Long])
+
+  /**
+   * Streaming time-to-cumulative-threshold monitor (B13s) — the live
+   * twin of [[graft.operators.Cohorts.timeToThreshold]]: per key the
+   * running value total is O(1) state (cum, n, first-cross timestamp),
+   * and the crossing fires EXACTLY ONCE — once `firstCrossUs` is set it
+   * never moves, however the later arrivals are batched, so a
+   * downstream "milestone reached" action can key on the transition
+   * without dedup. Within a batch arrivals fold in (ts, v) order (the
+   * [[streamingEwma]] convention), so a re-batching of the same stream
+   * replays the same crossing instant.
+   */
+  def streamingTimeToThreshold(rows: DataFrame, threshold: Long)(
+      implicit spark: SparkSession): Dataset[ThresholdUpdate] = {
+    import spark.implicits._
+    rows
+      .select(col("key").cast("string"), col("ts_us").cast("long"),
+        col("v").cast("long"))
+      .where(col("key").isNotNull && col("ts_us").isNotNull &&
+        col("v").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ThresholdState, ThresholdUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[ThresholdState]) =>
+          var st = state.getOption.getOrElse(ThresholdState(0L, 0L, -1L))
+          it.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsUs, v) =>
+            val cum2 = st.cum + v
+            val cross =
+              if (st.firstCrossUs < 0L && cum2 >= threshold) tsUs
+              else st.firstCrossUs
+            st = ThresholdState(cum2, st.nObs + 1L, cross)
+          }
+          state.update(st)
+          Iterator.single(ThresholdUpdate(key, st.nObs, st.cum,
+            st.firstCrossUs >= 0L,
+            if (st.firstCrossUs < 0L) None else Some(st.firstCrossUs)))
+      }
+  }
 }

@@ -752,4 +752,43 @@ class StatefulOpsSpec extends SparkSpec {
     assert(oneShot._6.get == batch.last.getAs[Double]("z"))
     assert(oneShot._7)
   }
+
+  test("streamingTimeToThreshold: crossing fires once and survives re-batching") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // key "a": 100, 150 (crosses at the second arrival), 10 after
+    // key "n": never crosses
+    val rows = Seq(("a", 1000L, 100L), ("a", 2000L, 150L), ("a", 3000L, 10L),
+      ("n", 1000L, 50L), ("n", 2000L, 60L))
+
+    def run(batches: Seq[Seq[(String, Long, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Long)]
+      val out = StatefulOps.streamingTimeToThreshold(
+        mem.toDF.toDF("key", "ts_us", "v"), threshold = 200L)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .groupBy(_._1).map { case (k, emits) => k -> emits.maxBy(_._2) }
+    }
+
+    val one = run(Seq(rows), "ttt_one")
+    assert(one("a") == (("a", 3L, 260L, true, Some(2000L))))
+    assert(one("n") == (("n", 2L, 110L, false, None)))
+    // re-batched: crossing instant must not move
+    val sliced = run(Seq(rows.take(1), rows.slice(1, 3), rows.drop(3)),
+      "ttt_three")
+    assert(one == sliced, "crossing instant must be batching-invariant")
+    // and the per-batch emissions show the transition exactly once
+    // (batch 3 carries no "a" arrivals, so "a" emits twice)
+    val emits = spark.table("ttt_three").collect()
+      .filter(_.getString(0) == "a").sortBy(_.getLong(1))
+      .map(_.getBoolean(3)).toSeq
+    assert(emits == Seq(false, true))
+  }
 }
