@@ -5391,6 +5391,34 @@ object SparkEntry {
           t(s, dir, "events"), "user_id", "ts", "event_id",
           floor(col("value") * 100).cast("long"), threshold = 200000L)
         .orderBy(col("cohort"))),
+
+    // Q313 — EXP11 two-proportion z-test: did the conversion RATE move,
+    // per experiment segment — the most-used A/B test in industry,
+    // pooled z² with cleared denominators against the suite's shared
+    // 3.841459 line. Arm = user parity, converted = a big-ticket
+    // purchase (>= $150) so the rate sits mid-range at every sf.
+    "q313_two_proportion_z" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 150,
+          1L).otherwise(0L)).as("conv"))
+        .withColumn("segment", (col("user_id") % 3).cast("long"))
+      graft.operators.Experiment.twoProportionZ(u, "segment",
+          col("user_id") % 2 === 0, col("conv") === 1L)
+        .orderBy(col("segment"))
+    }),
+
+    // Q314 — DQ15 duplicate-payment detector: same user, same dollar
+    // amount, within 7 days, different ids — the retry/double-billing
+    // census an ops queue triages; pair volume bounded per
+    // (user, amount) cell, never corpus².
+    "q314_duplicate_payments" -> ((s, dir) =>
+      graft.operators.Integrity.duplicatePaymentCensus(
+          t(s, dir, "events"), keyCol = col("user_id"),
+          idCol = col("event_id"), tsCol = col("ts"),
+          amountCol = floor(col("value")),
+          sliceCol = date_format(col("ts"), "yyyy-MM"),
+          windowSeconds = 604800L)
+        .orderBy(col("slice"))),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -11314,6 +11342,47 @@ object SparkEntry {
           |  n_crossed * 1000000 // n_users AS crossed_ppm, p50_days, p90_days
           |FROM agg LEFT JOIN pct ON agg.cohort = pct.cohort
           |ORDER BY 1""".stripMargin,
+
+      // pooled 2x2 chi-square (= two-proportion z^2) in HUGEINT;
+      // degenerate slices (X = 0 or X = N) carry NULL verdicts
+      "q313_two_proportion_z" ->
+        """WITH u AS (SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase' AND value >= 150
+          |        THEN 1 ELSE 0 END) AS conv
+          |  FROM events GROUP BY 1),
+          |g AS (SELECT user_id % 3 AS segment, user_id % 2 = 0 AS t, conv FROM u),
+          |a AS (SELECT segment,
+          |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          |    CAST(sum(CASE WHEN t AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_t,
+          |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+          |    CAST(sum(CASE WHEN NOT t AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_c
+          |  FROM g GROUP BY 1),
+          |z AS (SELECT *, CASE WHEN x_t + x_c > 0 AND x_t + x_c < n_t + n_c THEN
+          |    CAST(((CAST(x_t AS HUGEINT) * n_c - CAST(x_c AS HUGEINT) * n_t)
+          |      * (CAST(x_t AS HUGEINT) * n_c - CAST(x_c AS HUGEINT) * n_t)
+          |      * (n_t + n_c) * 1000000)
+          |      // (CAST(n_t AS HUGEINT) * n_c * (x_t + x_c)
+          |         * (n_t + n_c - x_t - x_c)) AS BIGINT) END AS z2_u FROM a)
+          |SELECT segment, n_t, x_t, n_c, x_c,
+          |  x_t * 1000000 // n_t AS conv_t_ppm,
+          |  x_c * 1000000 // n_c AS conv_c_ppm,
+          |  z2_u, coalesce(z2_u >= 3841459, false) AS significant
+          |FROM z ORDER BY segment""".stripMargin,
+
+      // pair attributed to the lower-id leg's month; gap floored to
+      // whole minutes before the sum (DIV both engines, gaps >= 0)
+      "q314_duplicate_payments" ->
+        """WITH v AS (SELECT user_id AS u, event_id AS i, ts,
+          |    CAST(floor(value) AS BIGINT) AS amt,
+          |    strftime(ts, '%Y-%m') AS slice FROM events),
+          |p AS (SELECT a.slice, a.u,
+          |    abs(date_diff('second', a.ts, b.ts)) AS gap_s
+          |  FROM v a JOIN v b ON a.u = b.u AND a.amt = b.amt AND a.i < b.i
+          |    AND abs(date_diff('second', a.ts, b.ts)) <= 604800)
+          |SELECT slice, CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(count(DISTINCT u) AS BIGINT) AS n_keys,
+          |  CAST(sum(gap_s // 60) AS BIGINT) AS sum_gap_minutes
+          |FROM p GROUP BY 1 ORDER BY slice""".stripMargin,
     )
   }
 }

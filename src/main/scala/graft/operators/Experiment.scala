@@ -554,4 +554,57 @@ object Experiment {
         col("mean_c_milli"), col("mean_t_milli"), col("diff_milli"),
         col("w_ppm"), col("contrib"), col("ate_milli"))
   }
+
+  /**
+   * Two-proportion z-test (EXP11) — the single most-used test in
+   * industry A/B practice (did the conversion RATE move), which the
+   * shelf skipped straight past on its way to the rank tests: pooled
+   * z² with every denominator cleared, exactly rational until the one
+   * final ppm truncation:
+   *
+   *   z²·10⁶ = (x_t·n_c − x_c·n_t)² · N · 10⁶
+   *            DIV (n_t·n_c·X·(N−X))
+   *
+   * with X = x_t + x_c, N = n_t + n_c (z² of the pooled two-proportion
+   * z ≡ the 2×2 χ² with 1 df), judged against the suite's shared
+   * 3.841459 line ([[srmCheck]]'s constant) on the truncated statistic
+   * (documented ≤1-ppm slack). Degenerate slices (zero or unanimous
+   * conversion: X = 0 or X = N) carry a NULL z² and significant =
+   * false — no variance, no verdict.
+   *
+   * Numerator runs in DECIMAL(38,0)/HUGEINT: exact to ~1.5·10⁹ units
+   * per slice on both engines (the shared 128-bit bound); pre-scale
+   * counts beyond that. One map-side projection + one aggregate per
+   * slice — nothing exceeds slice cardinality after the first combine.
+   */
+  def twoProportionZ(units: DataFrame, sliceCol: String, treatCol: Column,
+      convertedCol: Column): DataFrame =
+    units
+      .select(col(sliceCol), treatCol.as("t"),
+        convertedCol.cast("boolean").as("conv"))
+      .groupBy(col(sliceCol))
+      .agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t") && col("conv"), 1L).otherwise(0L)).as("x_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("t") && col("conv"), 1L).otherwise(0L)).as("x_c"))
+      .withColumn("conv_t_ppm", expr("x_t * 1000000 DIV n_t"))
+      .withColumn("conv_c_ppm", expr("x_c * 1000000 DIV n_c"))
+      // the rate-difference numerator, exact in DECIMAL(38,0)
+      .withColumn("zd", expr(
+        "CAST(x_t AS DECIMAL(38,0)) * n_c - CAST(x_c AS DECIMAL(38,0)) * n_t"))
+      .withColumn("z2_u", when(
+        (col("x_t") + col("x_c")) > 0L &&
+          (col("x_t") + col("x_c")) < (col("n_t") + col("n_c")),
+        expr("""(zd * zd * (n_t + n_c) * 1000000)
+               |DIV (CAST(n_t AS DECIMAL(38,0)) * n_c * (x_t + x_c)
+               |     * (n_t + n_c - x_t - x_c))""".stripMargin)
+          .cast("long")))
+      // degenerate slices keep the NULL z2_u marker but read
+      // significant = false (no evidence is not a verdict, and NULL
+      // booleans do not hash portably across engines)
+      .withColumn("significant",
+        coalesce(col("z2_u") >= lit(3841459L), lit(false)))
+      .select(col(sliceCol), col("n_t"), col("x_t"), col("n_c"), col("x_c"),
+        col("conv_t_ppm"), col("conv_c_ppm"), col("z2_u"), col("significant"))
 }

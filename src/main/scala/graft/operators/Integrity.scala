@@ -81,4 +81,41 @@ object Integrity {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
           .cast("string").as("digest"))
+
+  /**
+   * Duplicate-payment detector census (DQ15) — the fintech/ops twin of
+   * the dedup shelf: two transactions by the SAME key for the SAME
+   * amount within a short window are overwhelmingly retries, double
+   * clicks, or double billing — none of which an exact-row dedup (D1)
+   * catches, because ids and timestamps differ. Classic rule engine
+   * shape: equi-join on (key, amount) with the time predicate INSIDE
+   * the join, ordered ids so each suspect pair counts once.
+   *
+   * Census per key-domain slice (caller's grain, e.g. day or account
+   * type): suspect pair count, distinct keys affected, and the minutes
+   * between the two legs summed exactly — the triage row an ops queue
+   * reads. Scale posture: the self-join shuffles once on
+   * (key, amount) — pair volume is bounded per (key, amount) cell,
+   * never corpus²; everything after is cell-domain-sized.
+   */
+  def duplicatePaymentCensus(df: DataFrame, keyCol: Column, idCol: Column,
+      tsCol: Column, amountCol: Column, sliceCol: Column,
+      windowSeconds: Long): DataFrame = {
+    val base = df.select(keyCol.as("k"), idCol.as("i"),
+      tsCol.as("ts"), amountCol.cast("long").as("amt"),
+      sliceCol.as("slice"))
+    base.as("a")
+      .join(base.as("b"),
+        col("a.k") === col("b.k") && col("a.amt") === col("b.amt") &&
+          col("a.i") < col("b.i") &&
+          abs(unix_timestamp(col("b.ts")) - unix_timestamp(col("a.ts")))
+            <= windowSeconds)
+      .select(col("a.slice").as("slice"), col("a.k").as("k"),
+        abs(unix_timestamp(col("b.ts")) - unix_timestamp(col("a.ts")))
+          .cast("long").as("gap_s"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("k")).as("n_keys"),
+        sum(expr("gap_s DIV 60")).as("sum_gap_minutes"))
+  }
 }

@@ -240,4 +240,41 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Long]("diff_milli") == -10000L)
     assert(r.getAs[Long]("ate_milli") == -10000L)
   }
+
+  // ---- EXP11 two-proportion z ----
+
+  test("twoProportionZ: textbook 8/10 vs 2/10 reads z2 = 7.2 and flags; 6/10 vs 4/10 does not") {
+    import spark.implicits._
+    // slice A: treated 8/10 convert, control 2/10 -> z2 = 7.2 (sig)
+    // slice B: 6/10 vs 4/10 -> z2 = 0.8 (not sig)
+    val units = (
+      (1 to 10).map(i => ("A", true, i <= 8)) ++
+      (1 to 10).map(i => ("A", false, i <= 2)) ++
+      (1 to 10).map(i => ("B", true, i <= 6)) ++
+      (1 to 10).map(i => ("B", false, i <= 4))
+    ).toDF("slice", "t", "conv")
+    val out = Experiment.twoProportionZ(units, "slice", col("t"), col("conv"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("z2_u") == 7200000L)
+    assert(a.getAs[Boolean]("significant"))
+    assert(a.getAs[Long]("conv_t_ppm") == 800000L)
+    val b = out("B")
+    assert(b.getAs[Long]("z2_u") == 800000L)
+    assert(!b.getAs[Boolean]("significant"))
+  }
+
+  test("twoProportionZ: unanimous or zero conversion is degenerate - NULL z2, not a blowup") {
+    import spark.implicits._
+    val units = ((1 to 5).map(_ => ("D", true, true)) ++
+      (1 to 5).map(_ => ("D", false, true)) ++
+      (1 to 5).map(_ => ("Z", true, false)) ++
+      (1 to 5).map(_ => ("Z", false, false))).toDF("slice", "t", "conv")
+    val out = Experiment.twoProportionZ(units, "slice", col("t"), col("conv"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("D", "Z").foreach { k =>
+      assert(out(k).isNullAt(out(k).fieldIndex("z2_u")))
+      assert(!out(k).getAs[Boolean]("significant"))
+    }
+  }
 }

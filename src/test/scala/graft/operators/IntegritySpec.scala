@@ -45,4 +45,40 @@ class IntegritySpec extends SparkSpec {
       .head()
     assert(r.getLong(1) == 2L && r.getLong(3) == 0L)
   }
+
+  // ---- DQ15 duplicate payments ----
+
+  test("duplicatePaymentCensus: same key+amount within the window pairs once, outside does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 50L, "m1"),
+      (1L, 2L, "2024-01-01 10:30:00", 50L, "m1"), // pair with id1, gap 30m
+      (1L, 3L, "2024-01-11 10:00:00", 50L, "m1"), // 10 days out: no pair
+      (2L, 4L, "2024-01-01 10:00:00", 20L, "m1"), // different amounts
+      (2L, 5L, "2024-01-01 10:05:00", 30L, "m1"),
+    ).toDF("u", "i", "ts0", "amt", "slice")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val r = Integrity.duplicatePaymentCensus(rows, col("u"), col("i"),
+      col("ts"), col("amt"), col("slice"), windowSeconds = 604800L).head()
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Long]("n_keys") == 1L)
+    assert(r.getAs[Long]("sum_gap_minutes") == 30L)
+  }
+
+  test("duplicatePaymentCensus: id order counts each suspect pair exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three same-amount legs inside the window -> 3 pairs (3 choose 2)
+    val rows = Seq(
+      (7L, 10L, "2024-02-01 09:00:00", 99L, "all"),
+      (7L, 11L, "2024-02-01 09:01:00", 99L, "all"),
+      (7L, 12L, "2024-02-01 09:02:00", 99L, "all"),
+    ).toDF("u", "i", "ts0", "amt", "slice")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val r = Integrity.duplicatePaymentCensus(rows, col("u"), col("i"),
+      col("ts"), col("amt"), col("slice"), windowSeconds = 3600L).head()
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("sum_gap_minutes") == 1L + 2L + 1L)
+  }
 }
