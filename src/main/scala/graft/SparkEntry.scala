@@ -5419,6 +5419,42 @@ object SparkEntry {
           sliceCol = date_format(col("ts"), "yyyy-MM"),
           windowSeconds = 604800L)
         .orderBy(col("slice"))),
+
+    // Q315 — A28 Sharpe/Sortino census: risk-adjusted daily-revenue-
+    // change per return flag — exact integer suffstats, one mirrored
+    // IEEE tail (the q56 discipline).
+    "q315_sharpe_sortino" -> ((s, dir) =>
+      graft.operators.Rolling.sharpeSortino(
+          t(s, dir, "lineitem"), col("l_returnflag"),
+          to_date(col("l_shipdate")),
+          floor(col("l_extendedprice") * 100).cast("long"))
+        .orderBy(col("key"))),
+
+    // Q316 — SC6i zero-copy shallow clone: manifest-only copy, then the
+    // clone diverges (doubled-revenue delta appended + refreshed) while
+    // the source stays byte-identical — both read back through their
+    // own manifests and the oracle replays base vs base+delta.
+    "q316_lake_clone" -> ((s, dir) => {
+      import graft.sources.LakeManifest
+      val src = graft.core.Scratch.dir("q316_src")
+      val cln = graft.core.Scratch.dir("q316_cln_parent") + "/lake"
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("rev_cents"))
+      LakeManifest.optimize(li, src, "l_orderkey", "l_partkey", numFiles = 8)
+      LakeManifest.shallowClone(s, src, cln)
+      val delta = li.where(col("l_orderkey") % 100 === 0)
+        .withColumn("rev_cents", col("rev_cents") * 2)
+      LakeManifest.append(delta, cln)
+      LakeManifest.refresh(s, cln,
+        Seq("l_orderkey" -> col("l_orderkey"), "l_partkey" -> col("l_partkey")))
+      val full = Map("l_orderkey" -> (0L, Long.MaxValue / 4))
+      val srcAgg = LakeManifest.readPruned(s, src, full)
+        .agg(count(lit(1)).as("src_rows"), sum(col("rev_cents")).as("src_rev_cents"))
+      val clnAgg = LakeManifest.readPruned(s, cln, full)
+        .agg(count(lit(1)).as("cln_rows"), sum(col("rev_cents")).as("cln_rev_cents"))
+      srcAgg.crossJoin(clnAgg) // 1 x 1 by construction
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -11383,6 +11419,42 @@ object SparkEntry {
           |  CAST(count(DISTINCT u) AS BIGINT) AS n_keys,
           |  CAST(sum(gap_s // 60) AS BIGINT) AS sum_gap_minutes
           |FROM p GROUP BY 1 ORDER BY slice""".stripMargin,
+
+      // exact suffstats in HUGEINT, then the one mirrored IEEE tail:
+      // mean = sr/n; var = (srr - sr*sr/n)/(n-1); sortino dev = neg/n
+      "q315_sharpe_sortino" -> {
+        val m = "(CAST(sum_r AS DOUBLE) / CAST(n_days AS DOUBLE))"
+        val v = "((CAST(srr AS DOUBLE) - CAST(sum_r AS DOUBLE) * CAST(sum_r AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0))"
+        s"""WITH daily AS (SELECT l_returnflag AS key, CAST(l_shipdate AS DATE) AS d,
+           |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+           |  FROM lineitem GROUP BY 1, 2),
+           |df AS (SELECT key, c - lag(c) OVER (PARTITION BY key ORDER BY d) AS r FROM daily),
+           |f AS (SELECT key, r FROM df WHERE r IS NOT NULL),
+           |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+           |    CAST(sum(r) AS BIGINT) AS sum_r,
+           |    CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS srr,
+           |    CAST(sum(CASE WHEN r < 0 THEN CAST(r AS HUGEINT) * r ELSE 0 END) AS HUGEINT) AS srr_neg,
+           |    CAST(sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+           |  FROM f GROUP BY 1)
+           |SELECT key, n_days, sum_r, n_neg, $m AS mean_r,
+           |  CASE WHEN n_days > 1 AND $v > 0.0 THEN $m / sqrt($v) END AS sharpe,
+           |  CASE WHEN n_neg > 0 THEN $m
+           |    / sqrt(CAST(srr_neg AS DOUBLE) / CAST(n_days AS DOUBLE)) END AS sortino
+           |FROM a ORDER BY key""".stripMargin
+      },
+
+      // the lake detour is invisible to the result law: source = base,
+      // clone = base + the doubled-revenue delta
+      "q316_lake_clone" ->
+        """WITH base AS (SELECT l_orderkey,
+          |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS rev FROM lineitem),
+          |s AS (SELECT CAST(count(*) AS BIGINT) AS src_rows,
+          |    CAST(sum(rev) AS BIGINT) AS src_rev_cents FROM base),
+          |d AS (SELECT CAST(count(*) AS BIGINT) AS d_rows,
+          |    CAST(sum(rev * 2) AS BIGINT) AS d_rev FROM base
+          |  WHERE l_orderkey % 100 = 0)
+          |SELECT src_rows, src_rev_cents, src_rows + d_rows AS cln_rows,
+          |  src_rev_cents + d_rev AS cln_rev_cents FROM s, d""".stripMargin,
     )
   }
 }

@@ -525,4 +525,60 @@ object Rolling {
       .select(keyCol, "n_cal", "k_rank", "qhat_cents", "n_eval", "n_covered",
         "coverage_ppm")
   }
+
+  /**
+   * Sharpe / Sortino census (A28) — the risk-adjusted-return pair that
+   * turns q69's "how volatile" into "was the volatility paid for":
+   * over each key's daily-change series r_d (day-over-day delta of the
+   * daily cents total, lag over the day order — gaps are consecutive
+   * observations, the honest-gaps stance),
+   *
+   *   sharpe  = mean(r) / sample-stdev(r)
+   *   sortino = mean(r) / downside-dev(r),  downside² = Σ min(r,0)² / n
+   *
+   * Sufficient statistics are EXACT integers/DECIMAL(38,0) — n, Σr,
+   * Σr², Σ_{r<0} r², n_neg — and the two ratios are one mirrored IEEE
+   * operation sequence on exactly-represented operands (the q56/CUPED
+   * discipline). All-gain keys have zero downside: sortino is NULL
+   * there (not ∞), and a constant series (stdev 0) reports NULL sharpe.
+   *
+   * One (key, day) aggregate, one lag window on the day-grain frame,
+   * one final rollup — the corpus shuffles once.
+   */
+  def sharpeSortino(df: DataFrame, keyCol: Column, dayCol: Column,
+      centsCol: Column): DataFrame = {
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val daily = df
+      .groupBy(keyCol.as("key"), dayCol.as("d"))
+      .agg(sum(centsCol.cast("long")).as("c"))
+    val order = Window.partitionBy(col("key")).orderBy(col("d"))
+    val diffs = daily
+      .withColumn("r", col("c") - lag(col("c"), 1).over(order))
+      .where(col("r").isNotNull)
+    val agg = diffs
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("r")).as("sum_r"),
+        sum(d38(col("r")) * col("r")).cast(DecimalType(38, 0)).as("srr"),
+        sum(when(col("r") < 0L, d38(col("r")) * col("r")).otherwise(lit(0L)))
+          .cast(DecimalType(38, 0)).as("srr_neg"),
+        sum(when(col("r") < 0L, 1L).otherwise(0L)).as("n_neg"))
+    val n = col("n_days").cast("double")
+    val sr = col("sum_r").cast("double")
+    val srr = col("srr").cast("double")
+    val neg = col("srr_neg").cast("double")
+    val mean = sr / n
+    val variance = (srr - sr * sr / n) / (n - lit(1.0))
+    val downside = sqrt(neg / n)
+    agg
+      .withColumn("mean_r", mean)
+      // variance > 0 guard: a constant series must read NULL, not the
+      // IEEE inf/NaN a zero divisor would produce
+      .withColumn("sharpe", when(col("n_days") > 1L && variance > lit(0.0),
+        mean / sqrt(variance)))
+      .withColumn("sortino", when(col("n_neg") > 0L, mean / downside))
+      .select(col("key"), col("n_days"), col("sum_r"), col("n_neg"),
+        col("mean_r"), col("sharpe"), col("sortino"))
+  }
 }

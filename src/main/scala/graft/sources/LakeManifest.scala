@@ -1293,6 +1293,62 @@ object LakeManifest {
    * listing-free. Returns the deleted paths (`dryRun = true` returns
    * the candidates without deleting or pruning anything).
    */
+  /**
+   * Zero-copy shallow clone (SC6i, the Delta `SHALLOW CLONE` posture):
+   * `dstDir` gets a COPY OF THE MANIFEST TREE ONLY — version pointer,
+   * per-version file lists, schema sidecar + generations, commit seq,
+   * bloom knob — and zero data bytes. Reads of the clone resolve the
+   * manifest's absolute file paths straight into the source's data
+   * files; the clone then evolves independently:
+   *
+   *  - appends land in the CLONE directory and refresh indexes them
+   *    there — the source never sees them;
+   *  - rewrites (deleteWhere/upsert/reoptimize) are already
+   *    retention-mode: they write replacement files locally and only
+   *    DROP THE REFERENCE to shared originals (tombstones are
+   *    owner-local and deliberately NOT copied; [[vacuum]] deletes
+   *    `dir/<basename>` only, which for a foreign file is a no-op) —
+   *    the source's data is physically untouchable from the clone;
+   *  - time travel works in the clone across the copied history.
+   *
+   * The one shared-fate hazard is the standard shallow-clone caveat,
+   * spec-pinned: the SOURCE's own rewrite + vacuum past its horizon
+   * deletes shared files the clone still references — keep the source's
+   * retention above the clone's lifetime, or deep-copy (re-materialize)
+   * the clone before vacuuming the source.
+   *
+   * Taken under the SOURCE's commit lock so the copied manifest is one
+   * consistent commit, never a mid-swap mix. Returns the clone's
+   * current version.
+   */
+  def shallowClone(spark: SparkSession, srcDir: String,
+      dstDir: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dstDir/$ManifestDir")),
+      s"clone target $dstDir is already a manifested lake")
+    withCommitLock(spark, srcDir) {
+      require(fs.exists(new org.apache.hadoop.fs.Path(filesPath(srcDir))),
+        s"$srcDir is not a manifested lake")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dstDir/$ManifestDir"))
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$srcDir/$ManifestDir"))
+        .filterNot(_.getPath.getName == "removed") // tombstones are owner-local
+        .foreach { st =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+            new org.apache.hadoop.fs.Path(s"$dstDir/$ManifestDir/${st.getPath.getName}"),
+            false, conf)
+        }
+      // the copy writes a .VERSION.crc sidecar, but writeVersion swaps
+      // VERSION via a RAW atomic rename (no crc update) — a later swap
+      // in the clone would then fail checksum verification on read.
+      // VERSION is a swapped pointer, never checksummed: drop the crc.
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dstDir/$ManifestDir/.VERSION.crc"), false)
+    }
+    snapshots.clear(); bloomSnapshots.clear()
+    currentVersion(spark, dstDir)
+  }
+
   def vacuum(
       spark: SparkSession, dir: String, retentionMs: Long,
       dryRun: Boolean = false): Seq[String] = {

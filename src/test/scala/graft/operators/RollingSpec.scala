@@ -348,4 +348,29 @@ class RollingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_underwater") == 0L && r.getAs[Long]("n_spells") == 0L)
     assert(r.isNullAt(r.fieldIndex("longest_spell_start")))
   }
+
+  // ---- A28 Sharpe / Sortino ----
+
+  test("sharpeSortino: hand-walked deltas, downside-only denominator, degenerate guards") {
+    // daily totals 10, 12, 9, 13 -> deltas r = [2, -3, 4]
+    // n=3, sum=3, srr=29, srr_neg=9, n_neg=1
+    // mean = 1.0; var = (29 - 3)/2 = 13; sharpe = 1/sqrt(13)
+    // downside = sqrt(9/3) = sqrt(3); sortino = 1/sqrt(3)
+    val rows = Seq(("k", "2024-01-01", 10L), ("k", "2024-01-02", 12L),
+      ("k", "2024-01-03", 9L), ("k", "2024-01-04", 13L),
+      // all-gain key: NULL sortino; constant key: NULL sharpe
+      ("up", "2024-01-01", 1L), ("up", "2024-01-02", 2L), ("up", "2024-01-03", 4L),
+      ("fl", "2024-01-01", 5L), ("fl", "2024-01-02", 5L), ("fl", "2024-01-03", 5L),
+    ).toDF("k", "d", "v")
+    val out = Rolling.sharpeSortino(rows, col("k"), to_date(col("d")), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n_days") == 3L && k.getAs[Long]("sum_r") == 3L)
+    assert(k.getAs[Long]("n_neg") == 1L)
+    assert(k.getAs[Double]("mean_r") == 1.0)
+    assert(k.getAs[Double]("sharpe") == 1.0 / math.sqrt(13.0))
+    assert(k.getAs[Double]("sortino") == 1.0 / math.sqrt(3.0))
+    assert(out("up").isNullAt(out("up").fieldIndex("sortino")))
+    assert(out("fl").isNullAt(out("fl").fieldIndex("sharpe")))
+  }
 }

@@ -397,4 +397,67 @@ class LakeManifestSpec extends SparkSpec {
     // idempotent
     assert(LakeManifest.vacuum(spark, dir, retentionMs = 0L).isEmpty)
   }
+
+  // ---- SC6i shallow clone ----
+
+  test("shallowClone: zero data bytes copied, reads match, divergence is one-way isolated") {
+    val src = tmpDir("clone_src")
+    val cln = tmpDir("clone_dst_parent") + "/lake"
+    LakeManifest.optimize(corpus(8000L), src, "a", "b", numFiles = 4, bits = 9)
+    val srcFiles = new java.io.File(src).listFiles.count(_.getName.endsWith(".parquet"))
+    LakeManifest.shallowClone(spark, src, cln)
+    // no data bytes in the clone dir
+    assert(new java.io.File(cln).listFiles.count(_.getName.endsWith(".parquet")) == 0)
+    val full = Map("a" -> (0L, 255L))
+    def rows(d: String) = LakeManifest.readPruned(spark, d, full).count()
+    assert(rows(cln) == 8000L && rows(src) == 8000L)
+    // clone diverges: append + refresh; source must not see it
+    LakeManifest.append(corpus(500L), cln)
+    LakeManifest.refresh(spark, cln, Seq("a" -> col("a"), "b" -> col("b")))
+    assert(rows(cln) == 8500L)
+    assert(rows(src) == 8000L)
+    assert(new java.io.File(src).listFiles
+      .count(_.getName.endsWith(".parquet")) == srcFiles,
+      "the source directory must be byte-untouched by clone writes")
+  }
+
+  test("shallowClone: a clone rewrite only drops references - source data survives, clone vacuum is a foreign no-op") {
+    val src = tmpDir("clone_src2")
+    val cln = tmpDir("clone_dst2_parent") + "/lake"
+    LakeManifest.optimize(corpus(6000L), src, "a", "b", numFiles = 4, bits = 9)
+    LakeManifest.shallowClone(spark, src, cln)
+    // rewrite IN THE CLONE: delete half the key range
+    LakeManifest.deleteWhere(spark, cln,
+      Seq("a" -> col("a"), "b" -> col("b")),
+      Map("a" -> (0L, 127L)), col("a") <= 127L)
+    val full = Map("a" -> (0L, 255L))
+    val srcN = LakeManifest.readPruned(spark, src, full).count()
+    val clnN = LakeManifest.readPruned(spark, cln, full).count()
+    assert(srcN == 6000L, "source must keep every row after a clone rewrite")
+    assert(clnN < 6000L && clnN > 0L)
+    // clone vacuum reclaims only clone-owned bytes; shared originals
+    // resolve to dir/<basename> inside the CLONE, which does not exist
+    LakeManifest.vacuum(spark, cln, retentionMs = 0L)
+    assert(LakeManifest.readPruned(spark, src, full).count() == 6000L)
+    assert(LakeManifest.readPruned(spark, cln, full).count() == clnN)
+  }
+
+  test("shallowClone hazard (the Delta caveat, pinned): source rewrite + vacuum breaks the clone") {
+    val src = tmpDir("clone_src3")
+    val cln = tmpDir("clone_dst3_parent") + "/lake"
+    LakeManifest.optimize(corpus(4000L), src, "a", "b", numFiles = 4, bits = 9)
+    LakeManifest.shallowClone(spark, src, cln)
+    // the SOURCE rewrites itself and vacuums past its horizon: shared
+    // files the clone still references are physically deleted
+    LakeManifest.reoptimize(spark, src, "a", "b", numFiles = 2, bits = 9)
+    LakeManifest.vacuum(spark, src, retentionMs = 0L)
+    val full = Map("a" -> (0L, 255L))
+    assert(LakeManifest.readPruned(spark, src, full).count() == 4000L)
+    val broken = try {
+      LakeManifest.readPruned(spark, cln, full).count() != 4000L
+    } catch { case _: Exception => true }
+    assert(broken,
+      "a clone surviving a source vacuum would mean data was copied - " +
+        "the zero-copy contract makes this loss expected and documented")
+  }
 }
