@@ -5455,6 +5455,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("cln_rows"), sum(col("rev_cents")).as("cln_rev_cents"))
       srcAgg.crossJoin(clnAgg) // 1 x 1 by construction
     }),
+
+    // Q317 — EXP12 bootstrap CI for the conversion lift: q313's frame
+    // resampled under the SAMP3 deterministic Poisson ladder, CI read
+    // off the replicate distribution — the distribution-free companion
+    // to the z-test.
+    "q317_bootstrap_lift_ci" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 150,
+          1L).otherwise(0L)).as("conv"))
+      graft.operators.Experiment.bootstrapLiftCI(u, "user_id",
+        col("user_id") % 2 === 0, col("conv") === 1L,
+        replicates = 32, salt = "lift")
+    }),
+
+    // Q318 — T21 encoding-damage (mojibake) census: deterministic
+    // hash-gated damage PLANTED onto the corpus (the q178 fixture
+    // discipline — both engines build the identical corpus), the three
+    // real damage regexes under test: double-decoded UTF-8 signatures,
+    // U+FFFD replacement chars, C1 controls.
+    "q318_mojibake_census" -> ((s, dir) => {
+      import graft.functions.TextFunctions.portableHash
+      val g = pmod(portableHash(
+        concat(lit("moji:"), col("doc_id").cast("string"))), lit(7L))
+      val aug = t(s, dir, "documents").withColumn("aug", concat(col("text"),
+        when(g === 0L, lit(" caf\u00c3\u00a9")) // "cafe" double-decoded
+          .when(g === 1L, lit(" bad\ufffd")) // hard decode failure
+          .when(g === 2L, lit(" ctl\u0085")) // C1 NEL control
+          .otherwise(lit(""))))
+      graft.operators.TextAnalysis.mojibakeCensus(aug, "aug", "source")
+        .orderBy(col("source"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -11455,6 +11486,70 @@ object SparkEntry {
           |  WHERE l_orderkey % 100 = 0)
           |SELECT src_rows, src_rev_cents, src_rows + d_rows AS cln_rows,
           |  src_rev_cents + d_rev AS cln_rev_cents FROM s, d""".stripMargin,
+
+      // the SAMP3 md5 hash-ladder replayed per (replicate, user), lift
+      // per replicate, CI via the q144 threshold law over B rows
+      "q317_bootstrap_lift_ci" -> {
+        val ladder = graft.operators.Sampling.poissonPpmThresholds(8)
+          .map(t => s"(CASE WHEN bucket >= $t THEN 1 ELSE 0 END)")
+          .mkString("\n    + ")
+        s"""WITH u AS (SELECT user_id, user_id % 2 = 0 AS t,
+           |    max(CASE WHEN event_type = 'purchase' AND value >= 150
+           |        THEN 1 ELSE 0 END) = 1 AS conv
+           |  FROM events GROUP BY user_id),
+           |b AS (SELECT unnest(range(32)) AS replicate),
+           |v AS (SELECT u.*, b.replicate,
+           |    ('0x' || substr(md5('lift#' || b.replicate || ':' || u.user_id), 1, 15))::BIGINT % 1000000 AS bucket
+           |  FROM u, b),
+           |w AS (SELECT *, $ladder AS boot_w FROM v),
+           |w2 AS (SELECT * FROM w WHERE boot_w > 0),
+           |pr AS (SELECT replicate,
+           |    CAST(sum(CASE WHEN t THEN boot_w ELSE 0 END) AS BIGINT) AS n_t,
+           |    CAST(sum(CASE WHEN t AND conv THEN boot_w ELSE 0 END) AS BIGINT) AS x_t,
+           |    CAST(sum(CASE WHEN NOT t THEN boot_w ELSE 0 END) AS BIGINT) AS n_c,
+           |    CAST(sum(CASE WHEN NOT t AND conv THEN boot_w ELSE 0 END) AS BIGINT) AS x_c
+           |  FROM w2 GROUP BY 1),
+           |lf AS (SELECT CASE WHEN n_t > 0 AND n_c > 0
+           |    THEN x_t * 1000000 // n_t - x_c * 1000000 // n_c END AS lift_ppm
+           |  FROM pr),
+           |lf2 AS (SELECT lift_ppm FROM lf WHERE lift_ppm IS NOT NULL),
+           |cq AS (SELECT lift_ppm,
+           |    CAST(count(*) OVER (ORDER BY lift_ppm ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(count(*) OVER () AS BIGINT) AS b FROM lf2)
+           |SELECT CAST(max(b) AS BIGINT) AS n_replicates,
+           |  CAST(min(CASE WHEN cum * 1000 >= b * 25 THEN lift_ppm END) AS BIGINT) AS lift_lo_ppm,
+           |  CAST(min(CASE WHEN cum * 1000 >= b * 975 THEN lift_ppm END) AS BIGINT) AS lift_hi_ppm,
+           |  (min(CASE WHEN cum * 1000 >= b * 25 THEN lift_ppm END) > 0
+           |   OR min(CASE WHEN cum * 1000 >= b * 975 THEN lift_ppm END) < 0) AS ci_excludes_zero
+           |FROM cq""".stripMargin
+      },
+
+      // identical planted corpus (md5 gate + chr() codepoints), then the
+      // three damage regexes; occurrence counts via regexp_extract_all
+      "q318_mojibake_census" ->
+        s"""WITH h AS (SELECT source, text,
+           |    ('0x' || substr(md5('moji:' || doc_id), 1, 15))::BIGINT % 7 AS g
+           |  FROM documents),
+           |a AS (SELECT source, text || CASE g
+           |    WHEN 0 THEN ' caf' || chr(195) || chr(169)
+           |    WHEN 1 THEN ' bad' || chr(65533)
+           |    WHEN 2 THEN ' ctl' || chr(133)
+           |    ELSE '' END AS aug FROM h),
+           |c AS (SELECT source,
+           |    CAST(len(regexp_extract_all(aug, chr(195) || '[\\x{0080}-\\x{00bf}]')) AS BIGINT) AS d1,
+           |    CAST(len(regexp_extract_all(aug, '\\x{fffd}')) AS BIGINT) AS d2,
+           |    CAST(len(regexp_extract_all(aug, '[\\x{0080}-\\x{009f}]')) AS BIGINT) AS d3
+           |  FROM a)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN d1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_double_utf8,
+           |  CAST(sum(CASE WHEN d2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_replacement,
+           |  CAST(sum(CASE WHEN d3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_c1,
+           |  CAST(sum(d1) AS BIGINT) AS occ_double_utf8,
+           |  CAST(sum(d2) AS BIGINT) AS occ_replacement,
+           |  CAST(sum(CASE WHEN d1 > 0 OR d2 > 0 OR d3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_damaged,
+           |  CAST(sum(CASE WHEN d1 > 0 OR d2 > 0 OR d3 > 0 THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS damaged_ppm
+           |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
     )
   }
 }

@@ -607,4 +607,66 @@ object Experiment {
         coalesce(col("z2_u") >= lit(3841459L), lit(false)))
       .select(col(sliceCol), col("n_t"), col("x_t"), col("n_c"), col("x_c"),
         col("conv_t_ppm"), col("conv_c_ppm"), col("z2_u"), col("significant"))
+
+  /**
+   * Bootstrap confidence interval for the conversion-rate lift (EXP12) —
+   * the distribution-free companion to [[twoProportionZ]]: EXP11's z
+   * assumes the normal approximation; this resamples UNITS with the
+   * deterministic Poisson(1) bootstrap (SAMP3's portable hash-ladder
+   * law — no rand(), every replicate replayable on both engines) and
+   * reads the lift's 2.5%/97.5% quantiles straight off the replicate
+   * distribution:
+   *
+   *   lift_r  = x_t·10⁶ DIV n_t − x_c·10⁶ DIV n_c  per replicate r
+   *             (weighted by the replicate's Poisson copy counts)
+   *   CI      = the q144 threshold law over the B replicate lifts:
+   *             lo = min{x : cnt(≤x)·1000 ≥ B·25},
+   *             hi = min{x : cnt(≤x)·1000 ≥ B·975}
+   *
+   * `ci_excludes_zero` is the decision a dashboard wants; disagreement
+   * with EXP11's verdict on the same frame is exactly the
+   * normality-assumption gap. A replicate that empties an arm
+   * contributes NULL lift and drops from the quantile census
+   * (small-sample honesty, not a divide blowup).
+   *
+   * Scale posture: the unit frame explodes ×B (bounded, B ≤ 64), one
+   * aggregate to B rows, quantiles on the B-row frame — the corpus is
+   * never touched again after the per-unit rollup.
+   */
+  def bootstrapLiftCI(units: DataFrame, idCol: String, treatCol: Column,
+      convertedCol: Column, replicates: Int = 32,
+      salt: String = "lift"): DataFrame = {
+    val boot = Sampling.poissonBootstrap(
+      units.select(col(idCol), treatCol.as("t"),
+        convertedCol.cast("boolean").as("conv")),
+      idCol, salt, replicates)
+    val perRep = boot
+      .groupBy(col("replicate"))
+      .agg(
+        sum(when(col("t"), col("boot_w")).otherwise(0L)).as("n_t"),
+        sum(when(col("t") && col("conv"), col("boot_w")).otherwise(0L)).as("x_t"),
+        sum(when(!col("t"), col("boot_w")).otherwise(0L)).as("n_c"),
+        sum(when(!col("t") && col("conv"), col("boot_w")).otherwise(0L)).as("x_c"))
+      .withColumn("lift_ppm", when(col("n_t") > 0L && col("n_c") > 0L,
+        expr("x_t * 1000000 DIV n_t - x_c * 1000000 DIV n_c")))
+      .where(col("lift_ppm").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift_ppm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perRep
+      .withColumn("cum", count(lit(1)).over(w))
+      .withColumn("b", count(lit(1)).over(wAll))
+      .agg(
+        max(col("b")).as("n_replicates"),
+        min(when(col("cum") * 1000 >= col("b") * 25, col("lift_ppm")))
+          .as("lift_lo_ppm"),
+        min(when(col("cum") * 1000 >= col("b") * 975, col("lift_ppm")))
+          .as("lift_hi_ppm"))
+      .withColumn("ci_excludes_zero",
+        col("lift_lo_ppm") > 0L || col("lift_hi_ppm") < 0L)
+  }
 }

@@ -281,4 +281,41 @@ object TextAnalysis {
         sum(col("bits")).as("sum_bits"))
       .withColumn("mean_millibits", expr("sum_bits * 1000 DIV n_tokens"))
   }
+
+  /**
+   * Encoding-damage (mojibake) census (T21) — the corpus-QA check that
+   * catches BROKEN PIPES rather than bad content: double-decoded UTF-8
+   * (the "Ã©" signature — a UTF-8 lead byte re-decoded as Latin-1
+   * followed by a continuation char in U+0080–U+00BF), hard decode
+   * failures (U+FFFD replacement chars), and C1 control characters
+   * (U+0080–U+009F, which no clean text contains). Per source:
+   * doc counts carrying each damage class, occurrence totals, and the
+   * damaged-doc ppm a crawl-health dashboard alarms on.
+   *
+   * Exact law: three fixed regexes (RE2-safe subset, identical
+   * semantics under Java regex and DuckDB RE2), counted with
+   * regexp_count — no tokenization, no IEEE. One map-side projection +
+   * one aggregate.
+   */
+  def mojibakeCensus(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pat: String) = regexp_count(t, lit(pat))
+    docs
+      .select(col(sourceCol).as("source"),
+        cnt("\u00c3[\\x{0080}-\\x{00bf}]").as("n_double_utf8"),
+        cnt("\\x{fffd}").as("n_replacement"),
+        cnt("[\\x{0080}-\\x{009f}]").as("n_c1"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_double_utf8") > 0, 1L).otherwise(0L)).as("docs_double_utf8"),
+        sum(when(col("n_replacement") > 0, 1L).otherwise(0L)).as("docs_replacement"),
+        sum(when(col("n_c1") > 0, 1L).otherwise(0L)).as("docs_c1"),
+        sum(col("n_double_utf8")).as("occ_double_utf8"),
+        sum(col("n_replacement")).as("occ_replacement"),
+        sum(when(col("n_double_utf8") > 0 || col("n_replacement") > 0 ||
+          col("n_c1") > 0, 1L).otherwise(0L)).as("docs_damaged"))
+      .withColumn("damaged_ppm", expr("docs_damaged * 1000000 DIV n_docs"))
+  }
 }

@@ -277,4 +277,38 @@ class ExperimentSpec extends SparkSpec {
       assert(!out(k).getAs[Boolean]("significant"))
     }
   }
+
+  // ---- EXP12 bootstrap lift CI ----
+
+  test("bootstrapLiftCI: deterministic, and a planted strong lift excludes zero") {
+    import spark.implicits._
+    // 400 units: treated convert 90%, control 10% -> lift ~ +800k ppm
+    val units = (1 to 400).map { i =>
+      val treated = i % 2 == 0
+      val conv = if (treated) i % 10 != 0 else i % 10 == 0
+      (i.toLong, treated, conv)
+    }.toDF("user_id", "t", "conv")
+    def run() = Experiment.bootstrapLiftCI(units, "user_id", col("t"),
+      col("conv"), replicates = 16, salt = "s").head()
+    val r = run()
+    assert(r.getAs[Long]("n_replicates") == 16L)
+    assert(r.getAs[Long]("lift_lo_ppm") > 0L, "strong lift: CI must sit above zero")
+    assert(r.getAs[Long]("lift_hi_ppm") >= r.getAs[Long]("lift_lo_ppm"))
+    assert(r.getAs[Boolean]("ci_excludes_zero"))
+    // the hash ladder is a pure function: re-running replays the CI
+    val r2 = run()
+    assert(r.getAs[Long]("lift_lo_ppm") == r2.getAs[Long]("lift_lo_ppm"))
+    assert(r.getAs[Long]("lift_hi_ppm") == r2.getAs[Long]("lift_hi_ppm"))
+  }
+
+  test("bootstrapLiftCI: a no-effect assignment brackets zero") {
+    import spark.implicits._
+    // both arms convert at the same 50% rate
+    val units = (1 to 400).map(i => (i.toLong, i % 2 == 0, i % 4 < 2))
+      .toDF("user_id", "t", "conv")
+    val r = Experiment.bootstrapLiftCI(units, "user_id", col("t"),
+      col("conv"), replicates = 16, salt = "s").head()
+    assert(r.getAs[Long]("lift_lo_ppm") <= 0L && r.getAs[Long]("lift_hi_ppm") >= 0L)
+    assert(!r.getAs[Boolean]("ci_excludes_zero"))
+  }
 }

@@ -165,4 +165,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s2.getAs[Long]("n_tokens") == 2L && s2.getAs[Long]("sum_bits") == 1L)
     assert(s2.getAs[Long]("mean_millibits") == 500L)
   }
+
+  // ---- T21 mojibake census ----
+
+  test("mojibakeCensus: the three damage classes count docs and occurrences exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s", "clean text here"),
+      ("s", "double caf\u00c3\u00a9 and caf\u00c3\u00a9 again"), // 2 occurrences
+      ("s", "hard failure \ufffd"),
+      ("s", "control char\u0085inside"),
+      ("t", "all clean"),
+    ).toDF("source", "text")
+    val out = TextAnalysis.mojibakeCensus(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sRow = out("s")
+    assert(sRow.getAs[Long]("n_docs") == 4L)
+    assert(sRow.getAs[Long]("docs_double_utf8") == 1L)
+    assert(sRow.getAs[Long]("occ_double_utf8") == 2L)
+    assert(sRow.getAs[Long]("docs_replacement") == 1L)
+    assert(sRow.getAs[Long]("docs_c1") == 1L)
+    assert(sRow.getAs[Long]("docs_damaged") == 3L)
+    assert(sRow.getAs[Long]("damaged_ppm") == 750000L)
+    val tRow = out("t")
+    assert(tRow.getAs[Long]("docs_damaged") == 0L && tRow.getAs[Long]("damaged_ppm") == 0L)
+  }
+
+  test("mojibakeCensus: plain accented text is NOT flagged as damage") {
+    import spark.implicits._
+    // a real '\u00e9' (e-acute) is clean text; only the \u00c3-prefixed
+    // double-decode signature counts
+    val docs = Seq(("s", "caf\u00e9 r\u00e9sum\u00e9")).toDF("source", "text")
+    val r = TextAnalysis.mojibakeCensus(docs, "text", "source").head()
+    assert(r.getAs[Long]("docs_damaged") == 0L)
+  }
 }
