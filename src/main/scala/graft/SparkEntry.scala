@@ -10938,29 +10938,33 @@ object SparkEntry {
           |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin,
 
       // identical recurrence replayed as a recursive CTE (the q254 shape)
+      // the same per-key recurrence as a LINEAR list_reduce fold (the
+      // original recursive-CTE form re-joined the full day frame every
+      // iteration — O(iters·|r|), measured HOURS at sf≈1; this replays
+      // the identical integer-op sequence in one pass). State vector
+      // [z, p, dd_epoch]; the init element is the first demand's
+      // candidate state, exactly the recursion's rn = 1 row.
       "q297_croston" ->
-        """WITH RECURSIVE d AS (SELECT l_partkey % 2000 AS key,
+        """WITH d AS (SELECT l_partkey % 2000 AS key,
           |    CAST(l_shipdate AS DATE) AS dd,
           |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
           |  FROM lineitem GROUP BY 1, 2
           |  HAVING sum(CAST(l_quantity AS BIGINT)) > 0),
-          |r AS (SELECT key, dd, v,
-          |    row_number() OVER (PARTITION BY key ORDER BY dd) AS rn FROM d),
-          |rec AS (
-          |  SELECT key, rn, dd, CAST(1000 * v AS BIGINT) AS z,
-          |    CAST(1000 AS BIGINT) AS p
-          |  FROM r WHERE rn = 1
-          |  UNION ALL
-          |  SELECT r.key, r.rn, r.dd,
-          |    (rec.z + 1000 * r.v) // 2,
-          |    (rec.p + 1000 * date_diff('day', rec.dd, r.dd)) // 2
-          |  FROM rec JOIN r ON r.key = rec.key AND r.rn = rec.rn + 1)
-          |SELECT CAST(key AS BIGINT) AS part_band,
-          |  CAST(max(rn) AS BIGINT) AS n_demands,
-          |  CAST(arg_max(z, rn) AS BIGINT) AS z_milli,
-          |  CAST(arg_max(p, rn) AS BIGINT) AS p_milli,
-          |  CAST(arg_max(z, rn) * 1000 // arg_max(p, rn) AS BIGINT) AS croston_milli
-          |FROM rec GROUP BY 1 ORDER BY part_band""".stripMargin,
+          |seqs AS (SELECT key, CAST(count(*) AS BIGINT) AS n_demands,
+          |    list(ARRAY[1000 * v, CAST(1000 AS BIGINT),
+          |        date_diff('day', DATE '1970-01-01', dd)] ORDER BY dd) AS s
+          |  FROM d GROUP BY 1),
+          |f AS (SELECT key, n_demands,
+          |    list_reduce(s, (a, e) -> ARRAY[
+          |      (a[1] + e[1]) // 2,
+          |      (a[2] + 1000 * (e[3] - a[3])) // 2,
+          |      e[3]]) AS st
+          |  FROM seqs)
+          |SELECT CAST(key AS BIGINT) AS part_band, n_demands,
+          |  CAST(st[1] AS BIGINT) AS z_milli,
+          |  CAST(st[2] AS BIGINT) AS p_milli,
+          |  CAST(st[1] * 1000 // st[2] AS BIGINT) AS croston_milli
+          |FROM f ORDER BY part_band""".stripMargin,
 
       // q22's whitespace token law; ladder CASE shared as literals;
       // every quantity nonnegative so // == DIV throughout
