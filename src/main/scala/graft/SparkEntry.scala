@@ -5486,6 +5486,44 @@ object SparkEntry {
       graft.operators.TextAnalysis.mojibakeCensus(aug, "aug", "source")
         .orderBy(col("source"))
     }),
+
+    // Q319 — W7 activity selection: max non-overlapping order-service
+    // windows per priority (closed intervals, strictly-after law) — the
+    // provably-optimal greedy as a per-key linear fold, oracled via the
+    // q297 list_reduce discipline (no recursive re-join per step).
+    "q319_max_nonoverlap" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      graft.operators.CalendarOps.maxNonOverlapping(
+          t(s, dir, "orders"),
+          keyCols = Seq("o_orderpriority"),
+          startCol = datediff(to_date(col("o_orderdate")), epoch),
+          endCol = datediff(to_date(col("o_orderdate")), epoch) +
+            lit(1L) + col("o_custkey") % 14)
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q320 — EXP13 randomization test: the assumption-free verdict on
+    // the per-user spend gap — 99 deterministic hash relabelings, the
+    // add-one Monte-Carlo p-value in exact milli units.
+    "q320_permutation_test" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      graft.operators.Experiment.permutationTest(u, "user_id",
+        col("user_id") % 2 === 0, col("cents"), replicates = 99,
+        salt = "perm")
+    }),
+
+    // Q321 — SC10 balanced compaction bin plan: the day-partition
+    // census dealt round-robin by size rank into ⌈total/target⌉ bins —
+    // the deterministic LPT-lite planner behind the compaction advisor.
+    "q321_compaction_bins" -> ((s, dir) =>
+      graft.operators.Profile.compactionBinPlan(
+          t(s, dir, "lineitem")
+            .groupBy(to_date(col("l_shipdate")).as("day"))
+            .agg(count(lit(1)).as("rows_u")),
+          unitCol = col("day"), rowsCol = col("rows_u"),
+          targetRows = 2000L)
+        .orderBy(col("bin"))),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -11554,6 +11592,90 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN d1 > 0 OR d2 > 0 OR d3 > 0 THEN 1 ELSE 0 END) * 1000000
            |    // count(*) AS BIGINT) AS damaged_ppm
            |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
+
+      // the greedy fold as a list_reduce with a [-1, 0] sentinel state
+      // (mirrors the Spark fold's NULL-count init); elements [e, s]
+      // sorted via list_sort AFTER aggregation, and every CASE branch
+      // CONSTRUCTS a fresh array (duckdb 1.0 misbehaves when a
+      // list_reduce lambda returns the accumulator list itself over a
+      // computed list-of-lists — both observed); take iff s strictly
+      // clears the carried end
+      "q319_max_nonoverlap" ->
+        """WITH iv AS (SELECT o_orderpriority AS key,
+          |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+          |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          |      + 1 + o_custkey % 14 AS e
+          |  FROM orders),
+          |seqs AS (SELECT key, CAST(count(*) AS BIGINT) AS n_intervals,
+          |    list_sort(list(ARRAY[e, s])) AS iv2 FROM iv GROUP BY 1),
+          |f AS (SELECT key, n_intervals,
+          |    list_reduce(
+          |      list_prepend(ARRAY[CAST(-1 AS BIGINT), CAST(0 AS BIGINT)], iv2),
+          |      (a, x) -> CASE WHEN a[1] = -1 THEN ARRAY[1, x[1]]
+          |                     WHEN x[2] > a[2] THEN ARRAY[a[1] + 1, x[1]]
+          |                     ELSE ARRAY[a[1], a[2]] END) AS st
+          |  FROM seqs)
+          |SELECT key AS o_orderpriority, n_intervals,
+          |  CAST(st[1] AS BIGINT) AS max_compatible,
+          |  CAST(st[2] AS BIGINT) AS last_end
+          |FROM f ORDER BY o_orderpriority""".stripMargin,
+
+      // md5 relabeling law; nonneg sums so // == the sign-split DIV;
+      // NULL (arm-emptying) replicates count as >= (conservative)
+      "q320_permutation_test" ->
+        """WITH u AS (SELECT user_id,
+          |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM events GROUP BY 1),
+          |o AS (SELECT
+          |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_t,
+          |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+          |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN cents ELSE 0 END) AS BIGINT) AS s_c
+          |  FROM u),
+          |o2 AS (SELECT *, s_t * 1000 // n_t - s_c * 1000 // n_c AS diff_obs_milli FROM o),
+          |b AS (SELECT unnest(range(99)) AS replicate),
+          |v AS (SELECT u.user_id, u.cents, b.replicate,
+          |    ('0x' || substr(md5('perm#' || b.replicate || ':' || u.user_id), 1, 15))::BIGINT % 2 AS arm_r
+          |  FROM u, b),
+          |pr AS (SELECT replicate,
+          |    CAST(sum(CASE WHEN arm_r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rn_t,
+          |    CAST(sum(CASE WHEN arm_r = 1 THEN cents ELSE 0 END) AS BIGINT) AS rs_t,
+          |    CAST(sum(CASE WHEN arm_r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rn_c,
+          |    CAST(sum(CASE WHEN arm_r = 0 THEN cents ELSE 0 END) AS BIGINT) AS rs_c
+          |  FROM v GROUP BY 1),
+          |dr AS (SELECT CASE WHEN rn_t > 0 AND rn_c > 0
+          |    THEN rs_t * 1000 // rn_t - rs_c * 1000 // rn_c END AS diff_r_milli FROM pr)
+          |SELECT n_t, n_c, diff_obs_milli,
+          |  CAST(count(*) AS BIGINT) AS n_replicates,
+          |  CAST(sum(CASE WHEN diff_r_milli IS NULL
+          |      OR abs(diff_r_milli) >= abs(diff_obs_milli) THEN 1 ELSE 0 END) AS BIGINT) AS n_geq,
+          |  CAST((1 + sum(CASE WHEN diff_r_milli IS NULL
+          |      OR abs(diff_r_milli) >= abs(diff_obs_milli) THEN 1 ELSE 0 END)) * 1000
+          |    // (count(*) + 1) AS BIGINT) AS p_milli,
+          |  (1 + sum(CASE WHEN diff_r_milli IS NULL
+          |      OR abs(diff_r_milli) >= abs(diff_obs_milli) THEN 1 ELSE 0 END)) * 1000
+          |    // (count(*) + 1) < 50 AS reject_5pct
+          |FROM dr, o2
+          |GROUP BY n_t, n_c, diff_obs_milli""".stripMargin,
+
+      // rank (rows DESC, unit ASC), bins = ceil-div, round-robin deal
+      "q321_compaction_bins" ->
+        """WITH census AS (SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS unit,
+          |    CAST(count(*) AS BIGINT) AS rows_u FROM lineitem GROUP BY 1),
+          |t1 AS (SELECT *, CAST(sum(rows_u) OVER () AS BIGINT) AS total,
+          |    CAST(row_number() OVER (ORDER BY rows_u DESC, unit ASC) AS BIGINT) AS rank
+          |  FROM census),
+          |t2 AS (SELECT *, greatest(1, (total + 1999) // 2000) AS n_bins FROM t1),
+          |g AS (SELECT (rank - 1) % n_bins AS bin,
+          |    CAST(count(*) AS BIGINT) AS n_units,
+          |    CAST(sum(rows_u) AS BIGINT) AS bin_rows,
+          |    CAST(max(n_bins) AS BIGINT) AS n_bins
+          |  FROM t2 GROUP BY 1)
+          |SELECT bin, n_units, bin_rows, n_bins,
+          |  CAST(sum(bin_rows) OVER () // count(*) OVER () AS BIGINT) AS avg_rows,
+          |  CAST(max(bin_rows) OVER () * 1000000
+          |    // (sum(bin_rows) OVER () // count(*) OVER ()) AS BIGINT) AS skew_ppm
+          |FROM g ORDER BY bin""".stripMargin,
     )
   }
 }

@@ -146,4 +146,46 @@ object CalendarOps {
         sum(col("sp_days")).as("covered_days"),
         max(col("sp_days")).as("max_span_days"))
   }
+
+  /**
+   * Maximum non-overlapping interval selection (W7, activity
+   * selection) — the classic greedy: sort closed intervals [s, e] by
+   * (e, s) and take each whose start is STRICTLY after the last taken
+   * end. W6's union asks "how much is covered"; this asks "how many
+   * can run without conflict" — the capacity question behind booking /
+   * session / maintenance-window planning. The greedy is provably
+   * optimal for this objective, and because the fold is a pure
+   * integer-comparison sequence it replays bit-identically as a
+   * DuckDB `list_reduce` (the q297 linear-fold oracle law — no
+   * recursive CTE re-joining the frame per step).
+   *
+   * Per key: n_intervals, max_compatible (the selected count), and
+   * last_end (the selected chain's final endpoint). One (key)-grouped
+   * sorted fold via the `aggregate` HOF — the per-key interval list is
+   * calendar/entity-bounded, the corpus shuffles once.
+   */
+  def maxNonOverlapping(df: DataFrame, keyCols: Seq[String],
+      startCol: Column, endCol: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val base = df.select(keys :+ startCol.cast("long").as("s")
+      :+ endCol.cast("long").as("e"): _*)
+    // fold state (cnt, curEnd); NULL cnt marks "state not initialized"
+    val zero = struct(lit(null).cast("long").as("cnt"),
+      lit(0L).as("curEnd"))
+    base
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sort_array(collect_list(struct(col("e"), col("s")))).as("iv"))
+      .withColumn("acc", aggregate(col("iv"), zero, (a, x) => {
+        val cnt = a.getField("cnt"); val cur = a.getField("curEnd")
+        val s = x.getField("s"); val e = x.getField("e")
+        when(cnt.isNull, struct(lit(1L).as("cnt"), e.as("curEnd")))
+          .otherwise(when(s > cur,
+            struct((cnt + 1L).as("cnt"), e.as("curEnd")))
+            .otherwise(struct(cnt.as("cnt"), cur.as("curEnd"))))
+      }))
+      .select(keys ++ Seq(col("n_intervals"),
+        col("acc.cnt").as("max_compatible"),
+        col("acc.curEnd").as("last_end")): _*)
+  }
 }

@@ -669,4 +669,66 @@ object Experiment {
       .withColumn("ci_excludes_zero",
         col("lift_lo_ppm") > 0L || col("lift_hi_ppm") < 0L)
   }
+
+  /**
+   * Deterministic randomization test for a mean difference (EXP13) —
+   * the Monte-Carlo Fisher-style test that needs NO distributional
+   * assumption at all (EXP11 assumes normality, EXP12 bootstraps the
+   * CI; this one tests the sharp null directly): under H₀ the arm
+   * labels are exchangeable, so relabel every unit B times with the
+   * portable hash (arm_r(u) = hash(salt#r:u) mod 2 — the Monte-Carlo
+   * randomization test with binomially split arms, each replicate
+   * engine-replayable) and ask how often the relabeled |mean gap|
+   * reaches the observed one:
+   *
+   *   diff_r  = sdiv(Σ_t, n_t) − sdiv(Σ_c, n_c)   (exact milli units)
+   *   p_milli = (1 + #{r : |diff_r| ≥ |diff_obs|})·1000 DIV (B + 1)
+   *
+   * — the standard add-one Monte-Carlo p-value (never exactly zero).
+   * A relabeling that empties an arm counts as ≥ (conservative).
+   *
+   * Scale posture: the unit frame explodes ×B (B ≤ 256), one rollup to
+   * B rows, then driver-free arithmetic on the B-row frame.
+   */
+  def permutationTest(units: DataFrame, idCol: String, treatCol: Column,
+      valueCol: Column, replicates: Int = 99,
+      salt: String = "perm"): DataFrame = {
+    require(replicates >= 1 && replicates <= 256, "1..256 replicates")
+    import graft.functions.TextFunctions.portableHash
+    val u = units.select(col(idCol).as("id"), treatCol.as("t"),
+      valueCol.cast("long").as("v"))
+    val obs = u.agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("t"), col("v")).otherwise(0L)).as("s_t"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+      sum(when(!col("t"), col("v")).otherwise(0L)).as("s_c"))
+      .withColumn("diff_obs_milli",
+        expr(sdivExpr("s_t", "n_t", 1000L)) - expr(sdivExpr("s_c", "n_c", 1000L)))
+    val perRep = u
+      .withColumn("replicate",
+        explode(sequence(lit(0L), lit((replicates - 1).toLong))))
+      .withColumn("arm_r", pmod(portableHash(concat(
+        lit(salt + "#"), col("replicate").cast("string"),
+        lit(":"), col("id").cast("string"))), lit(2L)))
+      .groupBy(col("replicate"))
+      .agg(
+        sum(when(col("arm_r") === 1L, 1L).otherwise(0L)).as("rn_t"),
+        sum(when(col("arm_r") === 1L, col("v")).otherwise(0L)).as("rs_t"),
+        sum(when(col("arm_r") === 0L, 1L).otherwise(0L)).as("rn_c"),
+        sum(when(col("arm_r") === 0L, col("v")).otherwise(0L)).as("rs_c"))
+      .withColumn("diff_r_milli", when(col("rn_t") > 0L && col("rn_c") > 0L,
+        expr(sdivExpr("rs_t", "rn_t", 1000L)) - expr(sdivExpr("rs_c", "rn_c", 1000L))))
+    perRep
+      .crossJoin(broadcast(obs)) // single-row constant join
+      .agg(
+        max(col("n_t")).as("n_t"), max(col("n_c")).as("n_c"),
+        max(col("diff_obs_milli")).as("diff_obs_milli"),
+        count(lit(1)).as("n_replicates"),
+        sum(when(col("diff_r_milli").isNull ||
+          abs(col("diff_r_milli")) >= abs(col("diff_obs_milli")), 1L)
+          .otherwise(0L)).as("n_geq"))
+      .withColumn("p_milli",
+        expr("(1 + n_geq) * 1000 DIV (n_replicates + 1)"))
+      .withColumn("reject_5pct", col("p_milli") < 50L)
+  }
 }

@@ -261,6 +261,44 @@ object Profile {
   }
 
   /**
+   * Balanced compaction bin plan (SC10) — given a file/partition census
+   * (unit, rows), the planner the lake's compaction advisor hands off
+   * to: bins = ⌈total DIV target⌉ (at least 1), units ranked by
+   * (rows DESC, unit ASC) and dealt ROUND-ROBIN by rank — the
+   * deterministic greedy that keeps every bin within one max-unit of
+   * balanced (the LPT-lite law; an FFD would be sequential state, this
+   * replays as pure rank arithmetic on both engines). Output per bin:
+   * unit count, total rows, plus the plan-level skew the operator is
+   * judged by (max bin ·10⁶ DIV avg bin).
+   *
+   * Scale posture: the census frame is file-count-bounded; the rank
+   * window and everything after run on it, never on data rows.
+   */
+  def compactionBinPlan(census: DataFrame, unitCol: Column,
+      rowsCol: Column, targetRows: Long): DataFrame = {
+    require(targetRows >= 1, "target must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("rows_u").desc, col("unit").asc)
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    census
+      .select(unitCol.cast("string").as("unit"), rowsCol.cast("long").as("rows_u"))
+      .withColumn("total", sum(col("rows_u")).over(wAll))
+      .withColumn("n_bins",
+        greatest(lit(1L), expr(s"(total + ${targetRows}L - 1) DIV ${targetRows}L")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("bin", pmod(col("rank") - 1L, col("n_bins")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_units"), sum(col("rows_u")).as("bin_rows"),
+        max(col("n_bins")).as("n_bins")) // constant over the frame
+      .withColumn("avg_rows", expr(
+        "sum(bin_rows) OVER () DIV count(bin_rows) OVER ()"))
+      .withColumn("skew_ppm", expr("max(bin_rows) OVER () * 1000000 DIV avg_rows"))
+      .select(col("bin"), col("n_units"), col("bin_rows"), col("n_bins"),
+        col("avg_rows"), col("skew_ppm"))
+  }
+
+  /**
    * Pairwise mutual-information census (DQ14) — the feature-redundancy
    * screen: for each categorical column pair, MI = Σ_cells p(x,y)·
    * log₂[p(x,y)/(p(x)p(y))], computed in the EXACT INTEGER-BITS domain

@@ -59,6 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     "q216_association_rules" -> "single-row broadcast: the basket total crossJoins onto the directed rule rows (1 x T^2 rows, type domain is structurally bounded — q81's pattern one stage later)",
     "q309_rec_coverage" -> "single-row broadcast: the 1-row catalog count crossJoins onto the 1-row exposure rollup (1 x 1 by construction — the q142 pattern)",
     "q316_lake_clone" -> "single-row broadcast: the 1-row source rollup crossJoins onto the 1-row clone rollup (1 x 1 by construction — the q142 pattern)",
+    "q320_permutation_test" -> "single-row broadcast: the 1-row observed-gap rollup crossJoins onto the B-row replicate frame (1 x 99, structurally bounded — the q283 fence pattern)",
     // q305_zonemap_advisor: the 1-row (k_min, k_max) span crossJoin sits
     // BEHIND the per-layout localCheckpoint (the q235 pattern), so the
     // final plan is clean — deliberately NOT allowlisted.

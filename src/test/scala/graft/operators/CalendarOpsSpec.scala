@@ -133,4 +133,29 @@ class CalendarOpsSpec extends SparkSpec {
     assert(out("b") == ((2L, 1L, 10L, 10L)))
     assert(!out.contains("c"))
   }
+
+  // ---- W7 activity selection ----
+
+  test("maxNonOverlapping: textbook greedy beats naive orderings and honors the strict law") {
+    import spark.implicits._
+    // intervals [1,3],[2,5],[4,7],[6,9],[8,10]: greedy by end takes
+    // [1,3],[4,7],[8,10] -> 3; the strictly-after law: [1,3] then [3,4]
+    // must NOT chain (start == prev end)
+    val df = Seq(("k", 1L, 3L), ("k", 2L, 5L), ("k", 4L, 7L), ("k", 6L, 9L),
+      ("k", 8L, 10L), ("t", 1L, 3L), ("t", 3L, 4L)).toDF("g", "s", "e")
+    val out = CalendarOps.maxNonOverlapping(df, Seq("g"), col("s"), col("e"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("k") == ((5L, 3L, 10L)))
+    assert(out("t") == ((2L, 1L, 3L))) // [3,4] blocked: 3 is not > 3
+  }
+
+  test("maxNonOverlapping: duplicates and containment resolve by the (end, start) sort") {
+    import spark.implicits._
+    // [1,10] contains [2,3]; sorting by end picks [2,3] first, then
+    // nothing else fits -> 1... plus duplicate [2,3] adds nothing
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 3L), ("k", 2L, 3L)).toDF("g", "s", "e")
+    val r = CalendarOps.maxNonOverlapping(df, Seq("g"), col("s"), col("e")).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(3) == 3L)
+  }
 }

@@ -311,4 +311,37 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Long]("lift_lo_ppm") <= 0L && r.getAs[Long]("lift_hi_ppm") >= 0L)
     assert(!r.getAs[Boolean]("ci_excludes_zero"))
   }
+
+  // ---- EXP13 randomization test ----
+
+  test("permutationTest: a huge planted gap rejects, a relabel-symmetric frame does not") {
+    import spark.implicits._
+    // treated units all earn 1000, control all 0: no relabeling can
+    // reproduce the gap -> p = (1+0)*1000 DIV 100 = 10
+    val big = (1 to 100).map(i => (i.toLong, i % 2 == 0,
+      if (i % 2 == 0) 1000L else 0L)).toDF("user_id", "t", "v")
+    val r = Experiment.permutationTest(big, "user_id", col("t"), col("v"),
+      replicates = 99, salt = "s").head()
+    assert(r.getAs[Long]("n_replicates") == 99L)
+    assert(r.getAs[Long]("n_geq") == 0L)
+    assert(r.getAs[Long]("p_milli") == 10L)
+    assert(r.getAs[Boolean]("reject_5pct"))
+    // identical arms: observed diff 0, every relabeling ties or beats it
+    val none = (1 to 100).map(i => (i.toLong, i % 2 == 0, 7L))
+      .toDF("user_id", "t", "v")
+    val r2 = Experiment.permutationTest(none, "user_id", col("t"), col("v"),
+      replicates = 99, salt = "s").head()
+    assert(r2.getAs[Long]("diff_obs_milli") == 0L)
+    assert(r2.getAs[Long]("p_milli") == 1000L)
+    assert(!r2.getAs[Boolean]("reject_5pct"))
+  }
+
+  test("permutationTest: deterministic across runs (the hash-relabeling law)") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, i % 2 == 0, (i * 37 % 100).toLong))
+      .toDF("user_id", "t", "v")
+    def p() = Experiment.permutationTest(df, "user_id", col("t"), col("v"),
+      replicates = 49, salt = "z").head().getAs[Long]("p_milli")
+    assert(p() == p())
+  }
 }

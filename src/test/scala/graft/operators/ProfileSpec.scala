@@ -173,4 +173,34 @@ class ProfileSpec extends SparkSpec {
     assert(xz.getAs[Long]("mi_sum_bits") == 0L)
     assert(xz.getAs[Long]("mi_millibits_per_row") == 0L)
   }
+
+  // ---- SC10 compaction bin plan ----
+
+  test("compactionBinPlan: ceil-div bins, round-robin by size rank, exact skew") {
+    import spark.implicits._
+    // sizes 10,8,6,4 with target 10 -> total 28 -> 3 bins;
+    // rank order: a(10) b(8) c(6) d(4) -> bins 0:a+d=14, 1:b=8, 2:c=6
+    val census = Seq(("a", 10L), ("b", 8L), ("c", 6L), ("d", 4L))
+      .toDF("unit", "rows_u")
+    val out = Profile.compactionBinPlan(census, col("unit"), col("rows_u"),
+      targetRows = 10L).collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((2L, 14L, 3L)))
+    assert(out(1L) == ((1L, 8L, 3L)))
+    assert(out(2L) == ((1L, 6L, 3L)))
+    // avg = 28 DIV 3 = 9; skew = 14e6 DIV 9
+    val any = Profile.compactionBinPlan(census, col("unit"), col("rows_u"),
+      targetRows = 10L).head()
+    assert(any.getAs[Long]("avg_rows") == 9L)
+    assert(any.getAs[Long]("skew_ppm") == 14000000L / 9L)
+  }
+
+  test("compactionBinPlan: a tiny census still gets one bin") {
+    import spark.implicits._
+    val census = Seq(("only", 3L)).toDF("unit", "rows_u")
+    val r = Profile.compactionBinPlan(census, col("unit"), col("rows_u"),
+      targetRows = 1000L).head()
+    assert(r.getLong(0) == 0L && r.getAs[Long]("n_bins") == 1L)
+    assert(r.getAs[Long]("skew_ppm") == 1000000L)
+  }
 }
