@@ -799,7 +799,10 @@ object SparkEntry {
             .cast(DecimalType(38, 0)).as("num"),
           (col("n").cast(DecimalType(12, 0)) * col("sxx") - col("sx") * col("sx"))
             .cast(DecimalType(38, 0)).as("d1"),
-          (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+          // n*syy crosses 2^63 at sf~1 (found by the 10x gate): widen
+          (col("n").cast(DecimalType(38, 0)) * col("syy") -
+            col("sy").cast(DecimalType(38, 0)) * col("sy"))
+            .cast(DecimalType(38, 0)).as("d2"))
         .select(col("event_type"), col("n"),
           col("sx").cast("double").as("sum_v"), col("sy").as("sum_k"),
           (col("num").cast("double") /
@@ -6612,7 +6615,8 @@ object SparkEntry {
           |pd AS (SELECT a.cid, i AS dim, CAST(sum(a.v[i+1]) AS BIGINT) AS sum_q
           |  FROM a CROSS JOIN range(64) t(i) GROUP BY a.cid, i)
           |SELECT pd.cid, CAST(pd.dim AS BIGINT) AS dim, pc.n_assigned, pd.sum_q,
-          |  round(CAST(pd.sum_q AS DOUBLE) / CAST(pc.n_assigned AS DOUBLE) / 1000000.0, 9) AS c_new,
+          |  CAST(CASE WHEN pd.sum_q < 0 THEN -((-pd.sum_q) // pc.n_assigned)
+          |       ELSE pd.sum_q // pc.n_assigned END AS BIGINT) AS c_new_micro,
           |  pc.inertia
           |FROM pd JOIN pc USING (cid) ORDER BY pd.cid, pd.dim""".stripMargin,
 
@@ -6911,9 +6915,10 @@ object SparkEntry {
           |    CAST(sum(y * y) AS BIGINT) AS syy
           |  FROM b GROUP BY event_type),
           |f AS (SELECT event_type, n, sx, sy,
-          |    CAST(round(CAST(n AS DECIMAL(12,0)) * sxy - CAST(sx AS DECIMAL(26,2)) * sy, 0) AS DECIMAL(18,0)) AS num,
+          |    CAST(round(CAST(n AS DECIMAL(8,0)) * CAST(sxy AS DECIMAL(19,2))
+          |      - CAST(sx AS DECIMAL(18,2)) * CAST(sy AS DECIMAL(15,0)), 0) AS DECIMAL(38,0)) AS num,
           |    CAST(round(CAST(n AS DECIMAL(12,0)) * sxx - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2)), 0) AS DECIMAL(18,0)) AS d1,
-          |    n * syy - sy * sy AS d2
+          |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS d2
           |  FROM a)
           |SELECT event_type, n, CAST(sx AS DOUBLE) AS sum_v, sy AS sum_k,
           |  CAST(num AS DOUBLE) / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))) AS corr_vk

@@ -51,13 +51,13 @@ object Clustering {
    * One full Lloyd step: assignment plus the centroid update, reported
    * per (cluster, dimension) so the new centroids are first-class data:
    *
-   * Output: (cid, dim, n_assigned, sum_q, c_new, inertia) where `sum_q`
-   * is the exact per-dimension sum of quantized components (bigint),
-   * `c_new = round(sum_q / n_assigned / 1e6, 9)` (the updated centroid
-   * component; rounded to 9 decimals so every engine's text formatter
-   * prints the same digits — ppm inputs make the 9th decimal already
-   * sub-quantization-noise, and the exact value is recoverable from
-   * `(sum_q, n_assigned)`), and `inertia` is the cluster's exact
+   * Output: (cid, dim, n_assigned, sum_q, c_new_micro, inertia) where
+   * `sum_q` is the exact per-dimension sum of quantized components
+   * (bigint), `c_new_micro = sum_q sign-split-DIV n_assigned` (the
+   * updated centroid component in EXACT micro units — the earlier
+   * round(ieee, 9) form hit a decimal round-half tie at the 10x gate
+   * where Spark's HALF_UP and DuckDB's rounding disagree by one ulp;
+   * integer division has no ties), and `inertia` is the cluster's exact
    * Σ sqdist — accumulated in DECIMAL(38,0), EMITTED as its canonical
    * decimal string (constant across the cluster's dim rows). The string
    * form is deliberate: inertia is unbounded in corpus size, so any
@@ -83,8 +83,13 @@ object Clustering {
     perDim.join(perCluster, "cid")
       .select(col("cid"), col("dim").cast("long").as("dim"), col("n_assigned"),
         col("sum_q"),
-        round(col("sum_q").cast("double") / col("n_assigned").cast("double") / lit(1e6), 9)
-          .as("c_new"),
+        // exact micro-unit centroid: the earlier round(ieee/1e6, 9) form
+        // hit a round-half tie at sf~1 where Spark (HALF_UP) and DuckDB
+        // disagree by one ulp — the 10x gate's catch; sign-split DIV is
+        // tie-free and engine-exact
+        expr("""CASE WHEN sum_q < 0 THEN -((-sum_q) DIV n_assigned)
+               |ELSE sum_q DIV n_assigned END""".stripMargin.replace("\n", " "))
+          .as("c_new_micro"),
         col("inertia").cast("string").as("inertia"))
   }
 }

@@ -35,17 +35,14 @@ class ClusteringSpec extends SparkSpec {
     val c0d0 = byKey((0L, 0L))
     assert(c0d0.getAs[Long]("n_assigned") == 4L)
     assert(c0d0.getAs[Long]("sum_q") == 600000L) // 0 + 100000 + 0 + 500000
-    assert(c0d0.getAs[Double]("c_new") == 0.15)
+    assert(c0d0.getAs[Long]("c_new_micro") == 150000L)
     assert(c0d0.getAs[String]("inertia") ==
       "520000000000") // 0 + 1e10 + 1e10 + 5e11
     val c3d0 = byKey((3L, 0L))
     assert(c3d0.getAs[Long]("n_assigned") == 3L)
     assert(c3d0.getAs[Long]("sum_q") == 2900000L) // 1e6 + 0.9e6 + 1e6
-    // c_new is rounded to 9 decimals (the cross-engine text-stable
-    // representation; exact value recoverable from sum_q/n_assigned)
-    assert(c3d0.getAs[Double]("c_new") ==
-      BigDecimal(2900000.0 / 3.0 / 1e6)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // exact micro-unit centroid: 2900000 DIV 3 (truncating)
+    assert(c3d0.getAs[Long]("c_new_micro") == 966666L)
     assert(c3d0.getAs[String]("inertia") == "20000000000")
     // inertia is constant across a cluster's dim rows
     assert(byKey((0L, 1L)).getAs[String]("inertia") ==
