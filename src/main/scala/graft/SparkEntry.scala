@@ -6917,7 +6917,7 @@ object SparkEntry {
           |f AS (SELECT event_type, n, sx, sy,
           |    CAST(round(CAST(n AS DECIMAL(8,0)) * CAST(sxy AS DECIMAL(19,2))
           |      - CAST(sx AS DECIMAL(18,2)) * CAST(sy AS DECIMAL(15,0)), 0) AS DECIMAL(38,0)) AS num,
-          |    CAST(round(CAST(n AS DECIMAL(12,0)) * sxx - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2)), 0) AS DECIMAL(18,0)) AS d1,
+          |    CAST(round(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2)), 0) AS DECIMAL(38,0)) AS d1,
           |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS d2
           |  FROM a)
           |SELECT event_type, n, CAST(sx AS DOUBLE) AS sum_v, sy AS sum_k,
