@@ -9186,25 +9186,25 @@ object SparkEntry {
       // four unrolled peel rounds (monotone: converged rounds no-op);
       // converged = round 4 changed nothing vs round 3
       "q202_kcore" ->
-        """WITH e0x AS (SELECT DISTINCT CAST(o_custkey*10 AS BIGINT) AS src,
+        """WITH e0x AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey*10 AS BIGINT) AS src,
           |    CAST(l_suppkey*10+1 AS BIGINT) AS dst
           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          |e0 AS (SELECT src, dst FROM e0x UNION ALL SELECT dst, src FROM e0x),
+          |e0 AS MATERIALIZED (SELECT src, dst FROM e0x UNION ALL SELECT dst, src FROM e0x),
           |d1 AS (SELECT src, count(*) AS c FROM e0 GROUP BY 1),
           |s1 AS (SELECT src FROM d1 WHERE c >= 8),
-          |e1 AS (SELECT e.src, e.dst FROM e0 e
+          |e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
           |  JOIN s1 a ON e.src = a.src JOIN s1 b ON e.dst = b.src),
           |d2 AS (SELECT src, count(*) AS c FROM e1 GROUP BY 1),
           |s2 AS (SELECT src FROM d2 WHERE c >= 8),
-          |e2 AS (SELECT e.src, e.dst FROM e1 e
+          |e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
           |  JOIN s2 a ON e.src = a.src JOIN s2 b ON e.dst = b.src),
           |d3 AS (SELECT src, count(*) AS c FROM e2 GROUP BY 1),
           |s3 AS (SELECT src FROM d3 WHERE c >= 8),
-          |e3 AS (SELECT e.src, e.dst FROM e2 e
+          |e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
           |  JOIN s3 a ON e.src = a.src JOIN s3 b ON e.dst = b.src),
           |d4 AS (SELECT src, count(*) AS c FROM e3 GROUP BY 1),
           |s4 AS (SELECT src FROM d4 WHERE c >= 8),
-          |e4 AS (SELECT e.src, e.dst FROM e3 e
+          |e4 AS MATERIALIZED (SELECT e.src, e.dst FROM e3 e
           |  JOIN s4 a ON e.src = a.src JOIN s4 b ON e.dst = b.src)
           |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree,
           |  (SELECT count(*) FROM e4) = (SELECT count(*) FROM e3) AS converged
@@ -11245,16 +11245,16 @@ object SparkEntry {
           |pr AS (SELECT DISTINCT a.p AS u, b.p AS v FROM e0 a
           |  JOIN e0 b ON a.o = b.o AND a.p < b.p),
           |ed AS (SELECT u AS src, v AS dst FROM pr UNION ALL SELECT v, u FROM pr),
-          |e AS (SELECT src, dst, CAST(min(1 + (src * 7 + dst) % 9) AS BIGINT) AS w
+          |e AS MATERIALIZED (SELECT src, dst, CAST(min(1 + (src * 7 + dst) % 9) AS BIGINT) AS w
           |  FROM ed GROUP BY 1, 2),
-          |d0 AS (SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist FROM range(3)),
+          |d0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist FROM range(3)),
           |r1 AS (SELECT e.dst AS node, min(d0.dist + e.w) AS dist FROM d0
           |  JOIN e ON d0.node = e.src GROUP BY 1),
-          |d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+          |d1 AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
           |  (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY 1),
           |r2 AS (SELECT e.dst AS node, min(d1.dist + e.w) AS dist FROM d1
           |  JOIN e ON d1.node = e.src GROUP BY 1),
-          |d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+          |d2 AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
           |  (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY 1),
           |r3 AS (SELECT e.dst AS node, min(d2.dist + e.w) AS dist FROM d2
           |  JOIN e ON d2.node = e.src GROUP BY 1),
@@ -11368,22 +11368,22 @@ object SparkEntry {
       // support-filtered symmetrized co-order graph
       "q310_connected_components" ->
         """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 2000 AS p FROM lineitem),
-          |pr AS (SELECT a.p AS u, b.p AS v FROM e0 a
+          |pr AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM e0 a
           |  JOIN e0 b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 3),
-          |ed AS (SELECT DISTINCT src, dst FROM (
+          |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
           |  SELECT u AS src, v AS dst FROM pr UNION ALL SELECT v, u FROM pr)),
-          |l0 AS (SELECT DISTINCT src AS node, src AS comp FROM ed),
+          |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp FROM ed),
           |r1 AS (SELECT ed.dst AS node, min(l0.comp) AS comp FROM l0
           |  JOIN ed ON l0.node = ed.src GROUP BY 1),
-          |l1 AS (SELECT node, min(comp) AS comp FROM
+          |l1 AS MATERIALIZED (SELECT node, min(comp) AS comp FROM
           |  (SELECT * FROM l0 UNION ALL SELECT * FROM r1) GROUP BY 1),
           |r2 AS (SELECT ed.dst AS node, min(l1.comp) AS comp FROM l1
           |  JOIN ed ON l1.node = ed.src GROUP BY 1),
-          |l2 AS (SELECT node, min(comp) AS comp FROM
+          |l2 AS MATERIALIZED (SELECT node, min(comp) AS comp FROM
           |  (SELECT * FROM l1 UNION ALL SELECT * FROM r2) GROUP BY 1),
           |r3 AS (SELECT ed.dst AS node, min(l2.comp) AS comp FROM l2
           |  JOIN ed ON l2.node = ed.src GROUP BY 1),
-          |l3 AS (SELECT node, min(comp) AS comp FROM
+          |l3 AS MATERIALIZED (SELECT node, min(comp) AS comp FROM
           |  (SELECT * FROM l2 UNION ALL SELECT * FROM r3) GROUP BY 1),
           |r4 AS (SELECT ed.dst AS node, min(l3.comp) AS comp FROM l3
           |  JOIN ed ON l3.node = ed.src GROUP BY 1),
