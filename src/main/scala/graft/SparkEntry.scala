@@ -5527,6 +5527,25 @@ object SparkEntry {
           unitCol = col("day"), rowsCol = col("rows_u"),
           targetRows = 2000L)
         .orderBy(col("bin"))),
+
+    // Q322 — GRAPH16 pointer-doubled components: q310's graph under the
+    // accelerated law (neighbor-min + pointer jump per round) — 2 fast
+    // rounds where hash-min alone would still be spreading; the
+    // log-diameter shape a deep entity graph needs at 100 TB.
+    "q322_components_fast" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), (col("l_partkey") % 2000).as("p"))
+        .distinct()
+      val edges = e0.as("a")
+        .join(e0.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 3)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.connectedComponentsFast(edges, rounds = 2)
+        .groupBy(col("comp")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("comp"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -11681,6 +11700,31 @@ object SparkEntry {
           |  CAST(max(bin_rows) OVER () * 1000000
           |    // (sum(bin_rows) OVER () // count(*) OVER ()) AS BIGINT) AS skew_ppm
           |FROM g ORDER BY bin""".stripMargin,
+
+      // q310's chain under the accelerated law: per round a neighbor-min
+      // step then a pointer jump (comp ids ARE node ids, so the self-
+      // join always resolves); MATERIALIZED per the CTE-inlining law
+      "q322_components_fast" ->
+        """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 2000 AS p FROM lineitem),
+          |pr AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM e0 a
+          |  JOIN e0 b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 3),
+          |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          |  SELECT u AS src, v AS dst FROM pr UNION ALL SELECT v, u FROM pr)),
+          |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp FROM ed),
+          |nm1 AS MATERIALIZED (SELECT node, min(comp) AS comp FROM (
+          |  SELECT * FROM l0 UNION ALL
+          |  SELECT ed.dst AS node, l0.comp FROM l0 JOIN ed ON l0.node = ed.src)
+          |  GROUP BY 1),
+          |j1 AS MATERIALIZED (SELECT l.node, least(l.comp, r.comp) AS comp
+          |  FROM nm1 l JOIN (SELECT node, comp FROM nm1) r ON l.comp = r.node),
+          |nm2 AS MATERIALIZED (SELECT node, min(comp) AS comp FROM (
+          |  SELECT * FROM j1 UNION ALL
+          |  SELECT ed.dst AS node, j1.comp FROM j1 JOIN ed ON j1.node = ed.src)
+          |  GROUP BY 1),
+          |j2 AS MATERIALIZED (SELECT l.node, least(l.comp, r.comp) AS comp
+          |  FROM nm2 l JOIN (SELECT node, comp FROM nm2) r ON l.comp = r.node)
+          |SELECT comp, CAST(count(*) AS BIGINT) AS n_nodes
+          |FROM j2 GROUP BY 1 ORDER BY comp""".stripMargin,
     )
   }
 }

@@ -798,6 +798,46 @@ object Graph {
     labels
   }
 
+  /**
+   * Connected components with pointer-doubling acceleration (GRAPH16) —
+   * the HIGH-DIAMETER answer [[connectedComponents]] (GRAPH15) honestly
+   * lacks: plain hash-min spreads the component id ONE hop per round
+   * (a diameter-D chain needs D rounds = D shuffles), while each round
+   * here runs the neighbor-min step AND a pointer jump
+   * comp′(v) = min(nbrMin(v), comp(comp(v))) — label reach grows
+   * 2^{k+1}−1, so convergence is O(log D) rounds (the hash-to-min /
+   * Rastogi-et-al. family). At 100 TB this is the difference between
+   * 14 shuffles and 3 on a deep entity graph.
+   *
+   * Each round: one O(E) edge join + min rollup (the GRAPH15 step),
+   * then one O(V) label self-join (comp ids ARE node ids, so every
+   * pointer resolves). Lineage truncates per round. Exact k-round law
+   * (the oracle unrolls both steps per round); fixpoint iff label
+   * reach ≥ diameter.
+   */
+  def connectedComponentsFast(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "1..16 rounds")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val fromNbr = labels.withColumnRenamed("node", "src")
+        .join(e, "src").select(col("dst").as("node"), col("comp"))
+      // checkpoint before the self-join: the jump reads nbrMin twice
+      val nbrMin = labels.unionByName(fromNbr)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(false)
+      val ptr = nbrMin.select(col("node").as("jn"), col("comp").as("comp2"))
+      labels = nbrMin.join(ptr, nbrMin("comp") === ptr("jn"))
+        .select(nbrMin("node"), least(nbrMin("comp"), ptr("comp2")).as("comp"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   def ssspBounded(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     require(hops >= 1 && hops <= 32, "1..32 hops")
     val e = edges

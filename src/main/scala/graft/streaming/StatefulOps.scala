@@ -990,6 +990,81 @@ object StatefulOps {
       }
   }
 
+  final case class DgimState(buckets: Seq[(Long, Long)], nObs: Long)
+  final case class DgimUpdate(key: String, n_obs: Long, window_us: Long,
+      est_in_window: Long, n_buckets: Long, max_bucket: Long)
+
+  /**
+   * DGIM sliding-window event counter (SK6, Datar–Gionis–Indyk–
+   * Motwani) — "how many events did this key produce in the last W"
+   * with O(log² W) state instead of a W-sized buffer: buckets of
+   * power-of-two sizes (at most TWO per size; a third merges the two
+   * OLDEST), each stamped with its newest event time; expired buckets
+   * (newest ≤ now − W) drop; the estimate counts full in-window
+   * buckets minus half the oldest — the classic ≤ 50% relative-error
+   * guarantee, spec-checked against the exact count.
+   *
+   * The per-key state is a dozen-odd (size, ts) pairs at ANY window
+   * length — the sketch that makes per-entity sliding counts viable
+   * for a keyed stream where ST5's exact window buffer would hold
+   * every event. Within a batch arrivals fold in ts order (the
+   * [[streamingEwma]] convention), so re-batching replays the same
+   * bucket cascade.
+   */
+  def streamingDgim(rows: DataFrame, windowUs: Long)(
+      implicit spark: SparkSession): Dataset[DgimUpdate] = {
+    import spark.implicits._
+    require(windowUs >= 1, "window must be positive")
+    rows
+      .select(col("key").cast("string"), col("ts_us").cast("long"))
+      .where(col("key").isNotNull && col("ts_us").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DgimState, DgimUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[DgimState]) =>
+          var st = state.getOption.getOrElse(DgimState(Nil, 0L))
+          var buckets = st.buckets.toList // newest first, (size, newestTs)
+          var nObs = st.nObs
+          var nowUs = buckets.headOption.map(_._2).getOrElse(Long.MinValue)
+          it.toSeq.sortBy(_._2).foreach { case (_, tsUs) =>
+            nowUs = math.max(nowUs, tsUs)
+            buckets = (1L, tsUs) :: buckets
+            nObs += 1L
+            // cascade: while any size has 3 buckets, merge its two OLDEST
+            var merged = true
+            while (merged) {
+              merged = false
+              val bySize = buckets.groupBy(_._1)
+              bySize.find(_._2.length >= 3).foreach { case (size, _) =>
+                // list is newest-first; the two oldest of `size` are the
+                // LAST two occurrences
+                val idxs = buckets.zipWithIndex.filter(_._1._1 == size).map(_._2)
+                val (iA, iB) = (idxs(idxs.length - 2), idxs.last)
+                val mergedBucket = (size * 2, buckets(iA)._2) // newer ts
+                buckets = buckets.zipWithIndex.collect {
+                  case (b, i) if i != iA && i != iB => b
+                }
+                // insert the merged bucket keeping newest-first order
+                val (newer, older) = buckets.partition(_._2 > mergedBucket._2)
+                buckets = newer ::: (mergedBucket :: older)
+                merged = true
+              }
+            }
+            // expire
+            buckets = buckets.filter(_._2 > nowUs - windowUs)
+          }
+          val est =
+            if (buckets.isEmpty) 0L
+            else buckets.map(_._1).sum - buckets.last._1 / 2
+          st = DgimState(buckets, nObs)
+          state.update(st)
+          Iterator.single(DgimUpdate(key, nObs, windowUs, est,
+            buckets.length.toLong,
+            if (buckets.isEmpty) 0L else buckets.map(_._1).max))
+      }
+  }
+
   final case class ThresholdState(cum: Long, nObs: Long, firstCrossUs: Long)
   final case class ThresholdUpdate(key: String, n_obs: Long, cum: Long,
       crossed: Boolean, first_cross_us: Option[Long])

@@ -494,4 +494,26 @@ class GraphSpec extends SparkSpec {
     assert(comp(1)(5L) == 4L)
     assert(comp(4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
+
+  // ---- GRAPH16 pointer-doubled components ----
+
+  test("connectedComponentsFast: log-diameter convergence where hash-min is linear") {
+    // chain 0-1-2-...-14 (diameter 14): hash-min spreads one hop per
+    // round; the accelerated law converges in 3
+    val chain = (0L until 14L).map(i => (i, i + 1)).toDF("src", "dst")
+    val fast = Graph.connectedComponentsFast(chain, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.values.toSet == Set(0L), s"3 fast rounds must collapse the chain: $fast")
+    // plain hash-min after the same 3 rounds is still spreading
+    val slow = Graph.connectedComponents(chain, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slow(14L) == 11L, "hash-min reaches exactly 3 hops in 3 rounds")
+  }
+
+  test("connectedComponentsFast: multi-component graphs keep min ids per component") {
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("src", "dst")
+    val out = Graph.connectedComponentsFast(edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
 }

@@ -791,4 +791,59 @@ class StatefulOpsSpec extends SparkSpec {
       .map(_.getBoolean(3)).toSeq
     assert(emits == Seq(false, true))
   }
+
+  test("streamingDgim: O(log^2 W) state, the 50%-error law vs exact, re-batching invariant") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 200 events at 1ms spacing; window 50ms -> exact in-window count 50
+    val rows = (0 until 200).map(i => ("a", i * 1000L))
+    val W = 50000L
+
+    def run(batches: Seq[Seq[(String, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long)]
+      val out = StatefulOps.streamingDgim(mem.toDF.toDF("key", "ts_us"), W)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+        .maxBy(_._1) // latest emission: (n_obs, est, n_buckets)
+    }
+
+    val (nObs, est, nBuckets) = run(Seq(rows), "dgim_one")
+    assert(nObs == 200L)
+    // exact in-window count at the final event: ts in (149000, 199000]
+    // = 50 events (strictly newer than now - W survive expiry)
+    val exact = rows.count { case (_, ts) => ts > 199000L - W }
+    assert(math.abs(est - exact) * 2 <= exact,
+      s"DGIM bound: est $est vs exact $exact")
+    // state is logarithmic, not window-sized: <= 2*(log2(50)+1) + 1
+    assert(nBuckets <= 15L, s"state must stay O(log^2 W): $nBuckets buckets")
+    // re-batching replays the same cascade
+    val sliced = run(Seq(rows.take(67), rows.slice(67, 150), rows.drop(150)),
+      "dgim_three")
+    assert((nObs, est, nBuckets) == sliced)
+  }
+
+  test("streamingDgim: sparse stream where everything expires reads zero") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val out = StatefulOps.streamingDgim(mem.toDF.toDF("key", "ts_us"), 1000L)
+    val q = out.writeStream.format("memory").queryName("dgim_sparse")
+      .outputMode("update").start()
+    try {
+      mem.addData(("k", 0L), ("k", 100L)); q.processAllAvailable()
+      mem.addData(("k", 1000000L)); q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("dgim_sparse").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).maxBy(_._1)
+    // only the new event is inside the 1ms window; est = 1 - 1/2 = 1
+    assert(last == ((3L, 1L)))
+  }
 }
