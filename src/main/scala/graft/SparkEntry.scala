@@ -5546,6 +5546,54 @@ object SparkEntry {
         .groupBy(col("comp")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("comp"))
     }),
+
+    // Q323 — EVAL17 multiclass confusion census: q236's next-event
+    // predictor scored per CLASS (precision/recall/F1 via the exact
+    // harmonic identity 2pr/(p+r) = 2tp/(n_pred+n_truth)) — the table
+    // that exposes the zero-recall minority class q236's single
+    // accuracy number hides. Unmatched antecedents predict "(none)".
+    "q323_multiclass_f1" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val span = t(s, dir, "events")
+        .agg(expr("date_add(min(CAST(ts AS DATE)), CAST(datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) DIV 2 AS INT))").as("split_day"))
+      val marked = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .crossJoin(broadcast(span)) // single-row constant join
+        .withColumn("half",
+          when(to_date(col("ts")) <= col("split_day"), lit("train"))
+            .otherwise(lit("eval")))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_half", lag(col("half"), 1).over(w))
+        .where(col("prev").isNotNull && col("half") === col("prev_half"))
+        .localCheckpoint(false)
+      val trainM = marked.where(col("half") === "train")
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("c"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("prev")).orderBy(col("c").desc, col("next"))
+      val pred = trainM
+        .withColumn("_r", row_number().over(pw))
+        .where(col("_r") === 1)
+        .select(col("prev"), col("next").as("predicted"))
+      val evalFrame = marked.where(col("half") === "eval")
+        .join(broadcast(pred), Seq("prev"), "left")
+        .select(col("event_type").as("truth"),
+          coalesce(col("predicted"), lit("(none)")).as("pred"))
+      graft.operators.Calibration.multiclassConfusion(evalFrame,
+          col("truth"), col("pred"))
+        .orderBy(col("clazz"))
+    }),
+
+    // Q324 — B14 inter-event-interval census: the repeat-cadence (IET)
+    // distribution per event type — per-user consecutive gaps, exact
+    // mean millidays + p50/p90 via the histogram bridge.
+    "q324_inter_event_census" -> ((s, dir) =>
+      graft.operators.Latency.interEventCensus(
+          t(s, dir, "events"), sliceCol = col("event_type"),
+          entityCol = col("user_id"), tsCol = col("ts"),
+          tieCol = col("event_id"))
+        .orderBy(col("slice"))),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -11725,6 +11773,65 @@ object SparkEntry {
           |  FROM nm2 l JOIN (SELECT node, comp FROM nm2) r ON l.comp = r.node)
           |SELECT comp, CAST(count(*) AS BIGINT) AS n_nodes
           |FROM j2 GROUP BY 1 ORDER BY comp""".stripMargin,
+
+      // q236's chain to the eval (truth, pred) frame, then the census;
+      // f1 via the exact harmonic identity, macro over the class frame
+      "q323_multiclass_f1" ->
+        """WITH sp AS (SELECT min(CAST(ts AS DATE)) + CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) // 2 AS INTEGER) AS split_day FROM events),
+          |m AS (SELECT user_id, ts, event_id, event_type,
+          |    CASE WHEN CAST(ts AS DATE) <= sp.split_day THEN 'train' ELSE 'eval' END AS half
+          |  FROM events, sp),
+          |tr AS (SELECT user_id, event_type, half,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          |    lag(half) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_half
+          |  FROM m),
+          |kept AS (SELECT * FROM tr WHERE prev IS NOT NULL AND half = prev_half),
+          |tm AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS c
+          |  FROM kept WHERE half = 'train' GROUP BY 1, 2),
+          |pred AS (SELECT prev, next AS predicted FROM (
+          |    SELECT prev, next, row_number() OVER (PARTITION BY prev ORDER BY c DESC, next) AS r FROM tm)
+          |  WHERE r = 1),
+          |ef AS (SELECT k.event_type AS t, coalesce(p.predicted, '(none)') AS p
+          |  FROM kept k LEFT JOIN pred p ON k.prev = p.prev WHERE k.half = 'eval'),
+          |cells AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n FROM ef GROUP BY 1, 2),
+          |tt AS (SELECT t AS clazz, CAST(sum(n) AS BIGINT) AS n_truth FROM cells GROUP BY 1),
+          |pp AS (SELECT p AS clazz, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+          |tp AS (SELECT t AS clazz, n AS tp FROM cells WHERE t = p),
+          |bc AS (SELECT clazz, coalesce(n_truth, 0) AS n_truth,
+          |    coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+          |  FROM tt FULL OUTER JOIN pp USING (clazz) LEFT JOIN tp USING (clazz)),
+          |f AS (SELECT clazz, n_truth, n_pred, tp,
+          |    n_pred - tp AS fp, n_truth - tp AS fn,
+          |    CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred END AS precision_ppm,
+          |    CASE WHEN n_truth > 0 THEN tp * 1000000 // n_truth END AS recall_ppm,
+          |    2 * tp * 1000000 // (n_pred + n_truth) AS f1_ppm FROM bc)
+          |SELECT clazz, n_truth, n_pred, tp, fp, fn, precision_ppm, recall_ppm,
+          |  f1_ppm,
+          |  CAST(sum(f1_ppm) OVER () // count(*) OVER () AS BIGINT) AS macro_f1_ppm
+          |FROM f ORDER BY clazz""".stripMargin,
+
+      // per-(type,user) lag gaps in days, then the histogram bridge
+      "q324_inter_event_census" ->
+        """WITH g0 AS (SELECT event_type AS slice, user_id AS ent,
+          |    date_diff('day',
+          |      CAST(lag(ts) OVER (PARTITION BY event_type, user_id
+          |        ORDER BY ts, event_id) AS DATE),
+          |      CAST(ts AS DATE)) AS gap_days
+          |  FROM events),
+          |g AS (SELECT slice, CAST(gap_days AS BIGINT) AS gap_days FROM g0
+          |  WHERE gap_days IS NOT NULL),
+          |h AS (SELECT slice, gap_days, CAST(count(*) AS BIGINT) AS t
+          |  FROM g GROUP BY 1, 2),
+          |c AS (SELECT *, CAST(sum(t) OVER (PARTITION BY slice ORDER BY gap_days
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt,
+          |    CAST(sum(t) OVER (PARTITION BY slice) AS BIGINT) AS n FROM h)
+          |SELECT slice, CAST(max(n) AS BIGINT) AS n_gaps,
+          |  CAST(sum(gap_days * t) AS BIGINT) AS sum_gap_days,
+          |  CAST(min(CASE WHEN cumt * 100 >= n * 50 THEN gap_days END) AS BIGINT) AS p50_days,
+          |  CAST(min(CASE WHEN cumt * 100 >= n * 90 THEN gap_days END) AS BIGINT) AS p90_days,
+          |  CAST(max(gap_days) AS BIGINT) AS max_days,
+          |  CAST(sum(gap_days * t) * 1000 // max(n) AS BIGINT) AS mean_millidays
+          |FROM c GROUP BY 1 ORDER BY slice""".stripMargin,
     )
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -236,5 +236,63 @@ object Calibration {
       .select(col("key").as(keyCol), col("b").as("bucket"), col("n"),
         col("pos").as("n_pos"), col("raw_ppm"),
         col("fit_num"), col("fit_den"), col("fit_ppm"))
+  }
+
+  /**
+   * Multiclass confusion census (EVAL17) — the per-class
+   * precision/recall/F1 table that q236's single accuracy number hides
+   * (a majority-class predictor can score high accuracy while an
+   * entire minority class has zero recall). Exact integer laws:
+   *
+   *   tp, n_truth, n_pred per class from ONE (truth, pred) rollup
+   *   precision_ppm = tp·10⁶ DIV n_pred     (NULL if never predicted)
+   *   recall_ppm    = tp·10⁶ DIV n_truth    (NULL if never true)
+   *   f1_ppm        = 2·tp·10⁶ DIV (n_pred + n_truth)
+   *                   — the EXACT harmonic-mean identity
+   *                   2pr/(p+r) = 2tp/(n_pred+n_truth): no division
+   *                   chaining, no IEEE
+   *   macro_f1_ppm  = Σ f1 DIV n_classes   (constant column; absent
+   *                   classes carry their honest 0 into the mean)
+   *
+   * Classes = union of truth and predicted labels, so a hallucinated
+   * label (predicted, never true) shows up as a zero-recall row
+   * instead of vanishing. One cell rollup (cross-cardinality-bounded),
+   * then class-frame arithmetic — the corpus is read once.
+   */
+  def multiclassConfusion(df: DataFrame, truthCol: Column,
+      predCol: Column): DataFrame = {
+    val cells = df.select(truthCol.cast("string").as("t"),
+        predCol.cast("string").as("p"))
+      .groupBy(col("t"), col("p")).agg(count(lit(1)).as("n"))
+    val truths = cells.groupBy(col("t").as("clazz"))
+      .agg(sum(col("n")).as("n_truth"))
+    val preds = cells.groupBy(col("p").as("clazz"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tps = cells.where(col("t") === col("p"))
+      .select(col("t").as("clazz"), col("n").as("tp"))
+    val byClass = truths
+      .join(preds, Seq("clazz"), "full_outer")
+      .join(tps, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_truth") - col("tp"))
+      .withColumn("precision_ppm",
+        when(col("n_pred") > 0L, expr("tp * 1000000 DIV n_pred")))
+      .withColumn("recall_ppm",
+        when(col("n_truth") > 0L, expr("tp * 1000000 DIV n_truth")))
+      .withColumn("f1_ppm",
+        expr("2 * tp * 1000000 DIV (n_pred + n_truth)"))
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byClass
+      .withColumn("_sf1", sum(col("f1_ppm")).over(all))
+      .withColumn("_nc", count(lit(1)).over(all))
+      .withColumn("macro_f1_ppm", expr("_sf1 DIV _nc"))
+      .drop("_sf1", "_nc")
   }
 }

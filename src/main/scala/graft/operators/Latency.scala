@@ -111,4 +111,50 @@ object Latency {
         col("mean_millibdays"), col("n_breach"), col("breach_ppm"),
         col("p90_bdays"), col("max_bdays")): _*)
   }
+
+  /**
+   * Inter-event-interval census (B14) — the IET distribution behind
+   * repeat-purchase cadence, churn horizons, and crawl-revisit
+   * schedules: per entity the gaps between consecutive events (ordered
+   * (ts, tie) — the deterministic replay law), rolled to a per-slice
+   * census: n_gaps, mean gap in exact millidays, p50/p90 via the A26
+   * histogram bridge, max. A26 measures paired start→end latencies;
+   * this measures the SELF-spacing of one recurring event — the
+   * "every how often" table a retention model conditions on.
+   *
+   * Scale posture: one per-entity lag window (the corpus shuffles once
+   * on the entity key), then the day-grain (slice, gap) histogram —
+   * bounded by slice × gap domains, never raw rows again.
+   */
+  def interEventCensus(df: DataFrame, sliceCol: Column, entityCol: Column,
+      tsCol: Column, tieCol: Column): DataFrame = {
+    val order = Window.partitionBy(col("slice"), col("ent"))
+      .orderBy(col("ts"), col("tie"))
+    val gaps = df
+      .select(sliceCol.as("slice"), entityCol.as("ent"),
+        tsCol.as("ts"), tieCol.as("tie"))
+      .withColumn("gap_days",
+        datediff(to_date(col("ts")), to_date(lag(col("ts"), 1).over(order)))
+          .cast("long"))
+      .where(col("gap_days").isNotNull)
+    val hist = gaps.groupBy(col("slice"), col("gap_days"))
+      .agg(count(lit(1)).as("t"))
+    val cum = Window.partitionBy(col("slice")).orderBy(col("gap_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySlice = Window.partitionBy(col("slice"))
+    hist
+      .withColumn("cumt", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(bySlice))
+      .groupBy(col("slice"))
+      .agg(
+        max(col("n")).as("n_gaps"),
+        sum(col("gap_days") * col("t")).as("sum_gap_days"),
+        min(when(col("cumt") * 100 >= col("n") * 50, col("gap_days")))
+          .as("p50_days"),
+        min(when(col("cumt") * 100 >= col("n") * 90, col("gap_days")))
+          .as("p90_days"),
+        max(col("gap_days")).as("max_days"))
+      .withColumn("mean_millidays",
+        expr("sum_gap_days * 1000 DIV n_gaps"))
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class CalibrationSpec extends SparkSpec {
@@ -195,5 +197,41 @@ class CalibrationSpec extends SparkSpec {
       assert(ppm.zip(ppm.tail).forall { case (a, b) => a <= b },
         s"$key: fit must be non-decreasing")
     }
+  }
+
+  // ---- EVAL17 multiclass confusion ----
+
+  test("multiclassConfusion: per-class P/R/F1 exact laws and the macro mean") {
+    import spark.implicits._
+    val rows = Seq(("a","a"),("a","a"),("a","b"),("b","b"),("c","a"))
+      .toDF("truth","pred")
+    val out = Calibration.multiclassConfusion(rows, col("truth"), col("pred"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a") // tp2 fp1 fn1
+    assert(a.getAs[Long]("tp") == 2L && a.getAs[Long]("fp") == 1L
+      && a.getAs[Long]("fn") == 1L)
+    assert(a.getAs[Long]("precision_ppm") == 666666L)
+    assert(a.getAs[Long]("recall_ppm") == 666666L)
+    assert(a.getAs[Long]("f1_ppm") == 666666L)
+    val b = out("b") // tp1 fp1 fn0
+    assert(b.getAs[Long]("precision_ppm") == 500000L)
+    assert(b.getAs[Long]("recall_ppm") == 1000000L)
+    assert(b.getAs[Long]("f1_ppm") == 666666L)
+    val c = out("c") // never predicted: NULL precision, zero recall/f1
+    assert(c.isNullAt(c.fieldIndex("precision_ppm")))
+    assert(c.getAs[Long]("recall_ppm") == 0L && c.getAs[Long]("f1_ppm") == 0L)
+    // macro = (666666+666666+0) DIV 3
+    assert(a.getAs[Long]("macro_f1_ppm") == 444444L)
+  }
+
+  test("multiclassConfusion: a hallucinated label surfaces as a zero-recall row") {
+    import spark.implicits._
+    val rows = Seq(("x","z"),("x","x")).toDF("truth","pred")
+    val out = Calibration.multiclassConfusion(rows, col("truth"), col("pred"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val z = out("z")
+    assert(z.getAs[Long]("n_truth") == 0L && z.getAs[Long]("n_pred") == 1L)
+    assert(z.isNullAt(z.fieldIndex("recall_ppm")))
+    assert(z.getAs[Long]("f1_ppm") == 0L)
   }
 }

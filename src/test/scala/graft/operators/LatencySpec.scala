@@ -74,4 +74,36 @@ class LatencySpec extends SparkSpec {
     assert(r.getAs[Long]("sum_bdays") == 0L)
     assert(r.getAs[Long]("n_breach") == 0L)
   }
+
+  // ---- B14 inter-event intervals ----
+
+  test("interEventCensus: per-entity gaps, histogram bridge percentiles") {
+    // user 1: days 1, 3, 10 -> gaps 2, 7; user 2: days 5, 6 -> gap 1
+    val rows = Seq(
+      ("A", 1L, "2024-01-01", 1L), ("A", 1L, "2024-01-03", 2L),
+      ("A", 1L, "2024-01-10", 3L), ("A", 2L, "2024-01-05", 4L),
+      ("A", 2L, "2024-01-06", 5L),
+    ).toDF("et", "u", "d", "id")
+      .withColumn("ts", to_timestamp(col("d")))
+    val r = Latency.interEventCensus(rows, col("et"), col("u"),
+      col("ts"), col("id")).head()
+    assert(r.getAs[Long]("n_gaps") == 3L)
+    assert(r.getAs[Long]("sum_gap_days") == 10L)
+    assert(r.getAs[Long]("mean_millidays") == 3333L)
+    // hist {1:1, 2:1, 7:1}: p50 -> 2, p90 -> 7
+    assert(r.getAs[Long]("p50_days") == 2L)
+    assert(r.getAs[Long]("p90_days") == 7L)
+    assert(r.getAs[Long]("max_days") == 7L)
+  }
+
+  test("interEventCensus: same-timestamp events break by the tie column (gap 0)") {
+    val rows = Seq(
+      ("A", 1L, "2024-02-01 10:00:00", 1L),
+      ("A", 1L, "2024-02-01 10:00:00", 2L),
+    ).toDF("et", "u", "d", "id")
+      .withColumn("ts", to_timestamp(col("d")))
+    val r = Latency.interEventCensus(rows, col("et"), col("u"),
+      col("ts"), col("id")).head()
+    assert(r.getAs[Long]("n_gaps") == 1L && r.getAs[Long]("sum_gap_days") == 0L)
+  }
 }
