@@ -990,6 +990,60 @@ object StatefulOps {
       }
   }
 
+  final case class TwoPropState(nT: Long, xT: Long, nC: Long, xC: Long)
+  final case class TwoPropUpdate(slice: String, n_t: Long, x_t: Long,
+      n_c: Long, x_c: Long, z2_u: Option[Long], significant: Boolean)
+
+  /**
+   * Streaming two-proportion z monitor (EXP11s) — the live twin of
+   * [[graft.operators.Experiment.twoProportionZ]]: per experiment
+   * slice, O(1) state (n_t, x_t, n_c, x_c) folds unit arrivals and
+   * re-judges the pooled z² against the suite's shared 3.841459 line
+   * after every batch — the dashboard tile that flips to "significant"
+   * mid-experiment. Same exact integer law as the batch operator
+   * (BigInt clears the denominators, the one ppm truncation), so a
+   * batch re-check over the same units reproduces the streamed verdict
+   * bit-for-bit; degenerate states (X = 0 or X = N) carry no z² and
+   * read not-significant, exactly the batch law.
+   *
+   * Rows: (slice, treated: boolean, converted: boolean) — one row per
+   * UNIT arrival (dedup upstream; re-counting units would inflate n).
+   */
+  def streamingTwoProportionZ(rows: DataFrame)(
+      implicit spark: SparkSession): Dataset[TwoPropUpdate] = {
+    import spark.implicits._
+    rows
+      .select(col("slice").cast("string"), col("treated").cast("boolean"),
+        col("converted").cast("boolean"))
+      .where(col("slice").isNotNull)
+      .as[(String, Boolean, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TwoPropState, TwoPropUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (slice, it, state: GroupState[TwoPropState]) =>
+          var st = state.getOption.getOrElse(TwoPropState(0L, 0L, 0L, 0L))
+          it.foreach { case (_, t, conv) =>
+            st =
+              if (t) TwoPropState(st.nT + 1, st.xT + (if (conv) 1L else 0L),
+                st.nC, st.xC)
+              else TwoPropState(st.nT, st.xT,
+                st.nC + 1, st.xC + (if (conv) 1L else 0L))
+          }
+          state.update(st)
+          val x = st.xT + st.xC
+          val n = st.nT + st.nC
+          val z2 =
+            if (st.nT == 0L || st.nC == 0L || x == 0L || x == n) None
+            else {
+              val zd = BigInt(st.xT) * st.nC - BigInt(st.xC) * st.nT
+              Some((zd * zd * n * 1000000L /
+                (BigInt(st.nT) * st.nC * x * (n - x))).toLong)
+            }
+          Iterator.single(TwoPropUpdate(slice, st.nT, st.xT, st.nC, st.xC,
+            z2, z2.exists(_ >= 3841459L)))
+      }
+  }
+
   final case class DgimState(buckets: Seq[(Long, Long)], nObs: Long)
   final case class DgimUpdate(key: String, n_obs: Long, window_us: Long,
       est_in_window: Long, n_buckets: Long, max_bucket: Long)

@@ -846,4 +846,57 @@ class StatefulOpsSpec extends SparkSpec {
     // only the new event is inside the 1ms window; est = 1 - 1/2 = 1
     assert(last == ((3L, 1L)))
   }
+
+  test("streamingTwoProportionZ: matches the batch law per batch and flips significance live") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch 1: the textbook 8/10 vs 2/10 (z2 = 7.2, significant);
+    // batch 2 dilutes both arms toward parity -> drops under the line
+    val b1 = (1 to 10).map(i => ("A", true, i <= 8)) ++
+      (1 to 10).map(i => ("A", false, i <= 2))
+    val b2 = (1 to 30).map(i => ("A", true, i <= 15)) ++
+      (1 to 30).map(i => ("A", false, i <= 15))
+    val mem = MemoryStream[(String, Boolean, Boolean)]
+    val out = StatefulOps.streamingTwoProportionZ(
+      mem.toDF.toDF("slice", "treated", "converted"))
+    val q = out.writeStream.format("memory").queryName("tp_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val emits = spark.table("tp_stream").collect()
+      .map(r => (r.getLong(1) + r.getLong(3), // total units = emit order
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6)))
+      .sortBy(_._1)
+    assert(emits.head == ((20L, Some(7200000L), true)))
+    // after dilution the cumulative state must match the BATCH operator
+    val units = (b1 ++ b2).zipWithIndex
+      .map { case ((sl, t, c), i) => (sl, t, c) }.toDF("slice", "t", "conv")
+    val batch = graft.operators.Experiment.twoProportionZ(
+      units, "slice", col("t"), col("conv")).head()
+    val last = emits.last
+    assert(last._2 == Option(batch.get(batch.fieldIndex("z2_u")))
+      .map(_.asInstanceOf[Long]))
+    assert(last._3 == batch.getAs[Boolean]("significant"))
+  }
+
+  test("streamingTwoProportionZ: degenerate unanimous state carries no verdict") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Boolean, Boolean)]
+    val out = StatefulOps.streamingTwoProportionZ(
+      mem.toDF.toDF("slice", "treated", "converted"))
+    val q = out.writeStream.format("memory").queryName("tp_degenerate")
+      .outputMode("update").start()
+    try { mem.addData(("D", true, true), ("D", false, true)); q.processAllAvailable() }
+    finally q.stop()
+    val r = spark.table("tp_degenerate").collect().head
+    assert(r.isNullAt(5) && !r.getBoolean(6))
+  }
 }
