@@ -1691,11 +1691,14 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-6, 0)
       daily.join(broadcast(market), "day")
-        // DECIMAL(38,0) like the oracle's HUGEINT window sums: the
-        // market-side products (sy², 7·syy) cross 2⁶³ near 10⁶ events
-        // (the sf≈1 gate caught the long path overflowing); wide-int →
-        // double rounds identically on both engines
-        .withColumn("x", col("x").cast(DecimalType(38, 0)))
+        // MIXED width (the r9 verdict's reclaim): only the MARKET side
+        // widens to DECIMAL(38,0) — its products (sy², 7·syy) cross 2⁶³
+        // near 10⁶ events (the sf≈1 gate caught the long path wrapping).
+        // The per-user x sums stay orders of magnitude under 2⁶³ at any
+        // plausible per-key cardinality (7 daily user sums in cents), so
+        // sx/sxx run in long; sxy and num widen automatically through
+        // the decimal y operand. Wide-int → double rounds identically
+        // on both engines, oracle unchanged.
         .withColumn("y", col("y").cast(DecimalType(38, 0)))
         .withColumn("nw", count(lit(1)).over(w))
         .withColumn("sx", sum(col("x")).over(w))
@@ -5638,7 +5641,7 @@ object SparkEntry {
          |m$i AS (SELECT *, CAST(sum(n_xy) OVER (PARTITION BY x) AS BIGINT) AS n_x,
          |    CAST(sum(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y,
          |    CAST(sum(n_xy) OVER () AS BIGINT) AS n_all FROM g$i),
-         |b$i AS (SELECT *, CAST(length(bin(n_xy * n_all)) - length(bin(n_x * n_y)) AS BIGINT) AS bits FROM m$i),
+         |b$i AS (SELECT *, CAST(length(bin(CAST(n_xy AS HUGEINT) * n_all)) - length(bin(CAST(n_x AS HUGEINT) * n_y)) AS BIGINT) AS bits FROM m$i),
          |a$i AS (SELECT '$name' AS pair, CAST(max(n_all) AS BIGINT) AS n_rows,
          |    CAST(count(DISTINCT x) AS BIGINT) AS card_x,
          |    CAST(count(DISTINCT y) AS BIGINT) AS card_y,

@@ -588,13 +588,20 @@ object Experiment {
         sum(when(col("t") && col("conv"), 1L).otherwise(0L)).as("x_t"),
         sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
         sum(when(!col("t") && col("conv"), 1L).otherwise(0L)).as("x_c"))
-      .withColumn("conv_t_ppm", expr("x_t * 1000000 DIV n_t"))
-      .withColumn("conv_c_ppm", expr("x_c * 1000000 DIV n_c"))
+      // empty arms guard EXPLICITLY (n_t/n_c = 0): the non-ANSI DIV would
+      // return the same NULL silently, but ANSI mode throws — and the
+      // streaming twin already checks nT==0||nC==0, so this keeps the two
+      // engines' degenerate-slice law literally identical
+      .withColumn("conv_t_ppm",
+        when(col("n_t") > 0L, expr("x_t * 1000000 DIV n_t")))
+      .withColumn("conv_c_ppm",
+        when(col("n_c") > 0L, expr("x_c * 1000000 DIV n_c")))
       // the rate-difference numerator, exact in DECIMAL(38,0)
       .withColumn("zd", expr(
         "CAST(x_t AS DECIMAL(38,0)) * n_c - CAST(x_c AS DECIMAL(38,0)) * n_t"))
       .withColumn("z2_u", when(
-        (col("x_t") + col("x_c")) > 0L &&
+        col("n_t") > 0L && col("n_c") > 0L &&
+          (col("x_t") + col("x_c")) > 0L &&
           (col("x_t") + col("x_c")) < (col("n_t") + col("n_c")),
         expr("""(zd * zd * (n_t + n_c) * 1000000)
                |DIV (CAST(n_t AS DECIMAL(38,0)) * n_c * (x_t + x_c)

@@ -327,13 +327,27 @@ object Profile {
         .orderBy(lit(1))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      // ilog2 of a DECIMAL(38,0) product without bin()'s BIGINT ceiling:
+      // split at 2^63 — v >= 2^63 reads 63 + ilog2(v DIV 2^63) (the
+      // quotient fits a long since v < 2^126), else bin() on the long
+      // directly. Same q56 overflow class the 10x gate caught: past
+      // ~3e9 rows n_xy*n_all and n_x*n_y cross 2^63, where the long
+      // path WRAPS silently on Spark and raises on DuckDB — the widened
+      // products keep the integer-bits law exact on both engines (the
+      // oracle mirrors with HUGEINT, whose bin() is 128-bit native).
+      def ilog2Wide(prod: String): String =
+        s"""CASE WHEN $prod >= CAST(9223372036854775808 AS DECIMAL(38,0))
+           |THEN 63 + length(bin($prod DIV 9223372036854775808)) - 1
+           |ELSE length(bin(CAST($prod AS BIGINT))) - 1 END"""
+          .stripMargin.replace("\n", " ")
       cells
         .withColumn("n_x", sum(col("n_xy")).over(wx))
         .withColumn("n_y", sum(col("n_xy")).over(wy))
         .withColumn("n_all", sum(col("n_xy")).over(wAll))
-        .withColumn("bits",
-          (length(bin(col("n_xy") * col("n_all"))) -
-            length(bin(col("n_x") * col("n_y")))).cast("long"))
+        .withColumn("p_xy", expr("CAST(n_xy AS DECIMAL(38,0)) * n_all"))
+        .withColumn("p_marg", expr("CAST(n_x AS DECIMAL(38,0)) * n_y"))
+        .withColumn("bits", expr(
+          s"CAST(${ilog2Wide("p_xy")} - ${ilog2Wide("p_marg")} AS BIGINT)"))
         .agg(count(lit(1)).as("n_cells"),
           countDistinct(col("x")).as("card_x"),
           countDistinct(col("y")).as("card_y"),

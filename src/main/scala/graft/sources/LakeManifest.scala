@@ -1325,11 +1325,21 @@ object LakeManifest {
       dstDir: String): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dstDir/$ManifestDir")),
-      s"clone target $dstDir is already a manifested lake")
     withCommitLock(spark, srcDir) {
       require(fs.exists(new org.apache.hadoop.fs.Path(filesPath(srcDir))),
         s"$srcDir is not a manifested lake")
+      // destination claim, ATOMIC and inside the source lock: two
+      // concurrent clones into the same dstDir must not both pass an
+      // exists() check and interleave manifest copies — create(…,
+      // overwrite = false) on a marker file is the exclusive gate (the
+      // loser throws FileAlreadyExists), and the marker only drops
+      // after the copy completes, so a half-copied tree is never
+      // mistaken for a clean target either
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dstDir/$ManifestDir")),
+        s"clone target $dstDir is already a manifested lake")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
+      fs.create(new org.apache.hadoop.fs.Path(s"$dstDir/${ManifestDir}_CLONING"),
+        false).close()
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dstDir/$ManifestDir"))
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$srcDir/$ManifestDir"))
         .filterNot(_.getPath.getName == "removed") // tombstones are owner-local
@@ -1344,6 +1354,8 @@ object LakeManifest {
       // VERSION is a swapped pointer, never checksummed: drop the crc.
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$dstDir/$ManifestDir/.VERSION.crc"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dstDir/${ManifestDir}_CLONING"), false)
     }
     snapshots.clear(); bloomSnapshots.clear()
     currentVersion(spark, dstDir)

@@ -1083,7 +1083,14 @@ object StatefulOps {
           var nowUs = buckets.headOption.map(_._2).getOrElse(Long.MinValue)
           it.toSeq.sortBy(_._2).foreach { case (_, tsUs) =>
             nowUs = math.max(nowUs, tsUs)
-            buckets = (1L, tsUs) :: buckets
+            // insert in timestamp order (the same partition-insert the
+            // merged buckets use): a CROSS-BATCH late arrival — ts older
+            // than the newest bucket — must not prepend as newest, or the
+            // newest-first invariant the oldest-two merge and the
+            // buckets.last half-count depend on silently breaks and the
+            // 50% error bound degrades
+            val (newerB, olderB) = buckets.partition(_._2 > tsUs)
+            buckets = newerB ::: ((1L, tsUs) :: olderB)
             nObs += 1L
             // cascade: while any size has 3 buckets, merge its two OLDEST
             var merged = true
