@@ -5597,6 +5597,48 @@ object SparkEntry {
           entityCol = col("user_id"), tsCol = col("ts"),
           tieCol = col("event_id"))
         .orderBy(col("slice"))),
+
+    // Q325 — SC6l lake CHANGE-DATA FEED read back out (the r9 judge's
+    // task 1): bootstrap a key-sorted CDC lake, enable the feed
+    // (founding snapshot as v0 inserts), land two overlapping upserts
+    // and a targeted delete, then aggregate changesBetween(0, 3) —
+    // per (commit version, change type) row/sum/key census. The oracle
+    // recomputes each commit's logical delta from lineitem: v1/v2
+    // preimages carry the PRE-COMMIT state (v2's preimage of a %4=1 key
+    // is v1's +10 value, not the original — the feed proves commit
+    // ORDER, not just membership), v3's deletes carry post-v2 values.
+    // At 100 TB each change record is O(changed rows); the census reads
+    // the feed, never a snapshot rescan.
+    "q325_lake_change_feed" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      val lake = graft.core.Scratch.dir("q325_lake")
+      val dims = Seq("l_orderkey" -> col("l_orderkey"),
+        "l_partkey" -> col("l_partkey"))
+      import graft.sources.LakeManifest
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(lake)
+      LakeManifest.write(s, lake, dims)
+      LakeManifest.enableChangeFeed(s, lake) // v0 founding snapshot
+      LakeManifest.upsert(s, lake, dims, "l_orderkey",
+        li.where(col("l_orderkey") % 4 === 1)
+          .withColumn("l_quantity", col("l_quantity") + 10.0)) // v1
+      LakeManifest.upsert(s, lake, dims, "l_orderkey",
+        li.where(col("l_orderkey") % 4 === 1 || col("l_orderkey") % 4 === 2)
+          .withColumn("l_quantity", col("l_quantity") + 20.0)) // v2
+      LakeManifest.deleteWhere(s, lake, dims,
+        Map("l_orderkey" -> (1L, 100L)), col("l_orderkey") <= 100L) // v3
+      LakeManifest.changesBetween(s, lake, 0, 3)
+        .groupBy(col(LakeManifest.CommitVersionCol).as("commit_version"),
+          col(LakeManifest.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+            .as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("commit_version"), col("change_type"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -11835,6 +11877,36 @@ object SparkEntry {
           |  CAST(max(gap_days) AS BIGINT) AS max_days,
           |  CAST(sum(gap_days * t) * 1000 // max(n) AS BIGINT) AS mean_millidays
           |FROM c GROUP BY 1 ORDER BY slice""".stripMargin,
+
+      // the change feed's logical deltas recomputed from lineitem:
+      // v0 = founding snapshot (all rows as inserts); v1/v2 upserts =
+      // preimage at PRE-COMMIT state + postimage; v3 delete = post-v2
+      // state of the deleted band — then the same census the engine
+      // runs over changesBetween(0, 3)
+      "q325_lake_change_feed" ->
+        """WITH li AS (SELECT l_orderkey, l_quantity FROM lineitem),
+          |v0 AS (SELECT 0 AS commit_version, 'insert' AS change_type,
+          |    l_orderkey, l_quantity AS q FROM li),
+          |b1 AS (SELECT * FROM li WHERE l_orderkey % 4 = 1),
+          |v1pre AS (SELECT 1, 'update_preimage', l_orderkey, l_quantity FROM b1),
+          |v1post AS (SELECT 1, 'update_postimage', l_orderkey, l_quantity + 10.0 FROM b1),
+          |b2 AS (SELECT * FROM li WHERE l_orderkey % 4 IN (1, 2)),
+          |v2pre AS (SELECT 2, 'update_preimage', l_orderkey,
+          |    CASE WHEN l_orderkey % 4 = 1 THEN l_quantity + 10.0
+          |         ELSE l_quantity END FROM b2),
+          |v2post AS (SELECT 2, 'update_postimage', l_orderkey, l_quantity + 20.0 FROM b2),
+          |st2 AS (SELECT l_orderkey,
+          |    CASE WHEN l_orderkey % 4 IN (1, 2) THEN l_quantity + 20.0
+          |         ELSE l_quantity END AS q FROM li),
+          |v3 AS (SELECT 3, 'delete', l_orderkey, q FROM st2 WHERE l_orderkey <= 100),
+          |feed AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1pre
+          |  UNION ALL SELECT * FROM v1post UNION ALL SELECT * FROM v2pre
+          |  UNION ALL SELECT * FROM v2post UNION ALL SELECT * FROM v3)
+          |SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          |FROM feed GROUP BY 1, 2 ORDER BY commit_version, change_type""".stripMargin,
     )
   }
 }

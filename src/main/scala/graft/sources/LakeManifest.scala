@@ -212,6 +212,180 @@ object LakeManifest {
     try out.write(next.toString.getBytes(UTF_8)) finally out.close()
   }
 
+  // ---- change data feed (CDF, the Delta enableChangeDataFeed role) ----
+  // Per-commit change records under changes/v{N}: every committed
+  // mutation of a CDF-enabled lake describes its logical delta so a
+  // downstream consumer can TAIL the lake incrementally instead of
+  // rescanning snapshots. Record kinds:
+  //   files — the change is "these data files' rows inserted" (appends,
+  //           bootstrap snapshots): zero-copy, the files ARE lake data
+  //           and stay readable through the tombstone/vacuum horizon
+  //           exactly as long as the version itself is retained;
+  //   rows  — materialized change rows (upsert/delete commits) in a
+  //           rows/ parquet: data schema + `_change_type` ∈ {insert,
+  //           update_preimage, update_postimage, delete} — O(changed
+  //           rows) extra bytes per commit, never O(lake);
+  //   none  — a commit with no logical data change (reoptimize, schema
+  //           evolution): present-but-empty, so a MISSING record always
+  //           means "not retained", never "nothing happened".
+  // Crash ordering: the record lands BEFORE the VERSION pointer swap —
+  // a version a reader can see always has its record; an orphan record
+  // for a version that never committed is inert and overwritten by the
+  // retrying (or next) committer of that version. [[vacuum]] prunes
+  // changes/v{K} exactly when it prunes history/v{K}; bootstrap rebases
+  // reset the feed with history.
+
+  /** Change-row marker column: insert / update_preimage /
+    * update_postimage / delete (the Delta CDF vocabulary). */
+  val ChangeTypeCol = "_change_type"
+  /** The manifest version a change row committed at. */
+  val CommitVersionCol = "_commit_version"
+
+  private def cdfFlagPath(dir: String) = s"$dir/$ManifestDir/CDF"
+  private def changesRoot(dir: String) = s"$dir/$ManifestDir/changes"
+  private def changeDir(dir: String, v: Int) = s"${changesRoot(dir)}/v$v"
+  private def changeRecordPath(dir: String, v: Int) =
+    s"${changeDir(dir, v)}/RECORD"
+  private[graft] def changeRowsPath(dir: String, v: Int) =
+    s"${changeDir(dir, v)}/rows"
+
+  /** Whether this lake captures per-commit change records. */
+  def changeFeedEnabled(spark: SparkSession, dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(cdfFlagPath(dir)))
+  }
+
+  /**
+   * Turn on change capture (idempotent). Also writes a FOUNDING
+   * snapshot record at the current version — the lake's full current
+   * file list as inserts — so a consumer that starts tailing here
+   * replays current state and then goes incremental, reconstructing
+   * the CDC2 current-state snapshot with no batch backfill step.
+   * Returns the enablement version (the earliest readable change).
+   */
+  def enableChangeFeed(spark: SparkSession, dir: String): Int =
+    withCommitLock(spark, dir) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(filesPath(dir))),
+        s"$dir is not a manifested lake")
+      val v = currentVersion(spark, dir)
+      if (!changeFeedEnabled(spark, dir)) {
+        val names = read(spark, dir).select(col("file")).collect()
+          .map(_.getString(0).split('/').last).toSeq
+        writeChangeRecord(fs, dir, v, "files", names)
+        val out = fs.create(new org.apache.hadoop.fs.Path(cdfFlagPath(dir)), true)
+        try out.write("1".getBytes(UTF_8)) finally out.close()
+      }
+      v
+    }
+
+  /** Write a change record for version `v`; call under the commit lock,
+    * BEFORE the VERSION swap. Clears any orphan record of a crashed
+    * prior attempt at the same version first. */
+  private def writeChangeRecord(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Int, kind: String, files: Seq[String] = Nil): Unit = {
+    val cd = new org.apache.hadoop.fs.Path(changeDir(dir, v))
+    if (kind != "rows") { // a rows record's parquet already lives in cd
+      fs.delete(cd, true)
+      fs.mkdirs(cd)
+    }
+    val json = kind match {
+      case "files" => files.sorted
+        .map(n => "\"" + n + "\"").mkString("{\"kind\":\"files\",\"files\":[", ",", "]}")
+      case k => s"""{"kind":"$k"}"""
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(changeRecordPath(dir, v)), true)
+    try out.write(json.getBytes(UTF_8)) finally out.close()
+  }
+
+  private val FilesRecord = """\{"kind":"files","files":\[(.*)\]\}""".r
+
+  /** (kind, file names) of version `v`'s record; loud refusal when the
+    * record is gone (enabled later / vacuumed / rebased). */
+  private def readChangeRecord(spark: SparkSession, dir: String,
+      v: Int): (String, Seq[String]) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(changeRecordPath(dir, v))
+    require(fs.exists(p),
+      s"change record for version $v of $dir is not retained (change feed " +
+        "enabled after it, vacuumed past the retention horizon, or rebased " +
+        "by a bootstrap write/optimize)")
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    json match {
+      case FilesRecord(list) =>
+        ("files", list.split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+      case _ => (json.split('"')(3), Nil) // {"kind":"<k>"}
+    }
+  }
+
+  /** Versions with a retained change record (ascending); empty when the
+    * feed was never enabled. Bounded by retained-version count. */
+  def changeVersions(spark: SparkSession, dir: String): Seq[Int] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(changesRoot(dir))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(changeRecordPath(dir, n.drop(1).toInt))) =>
+        n.drop(1).toInt
+    }.sorted.toSeq
+  }
+
+  /** The feed's read schema: current data columns + the change marker +
+    * the commit version. */
+  def changeFeedSchema(spark: SparkSession, dir: String): StructType =
+    schemaAt(spark, dir, Int.MaxValue)
+      .add(ChangeTypeCol, org.apache.spark.sql.types.StringType)
+      .add(CommitVersionCol, org.apache.spark.sql.types.LongType)
+
+  /**
+   * The changes committed in versions [fromVersion, toVersion], as one
+   * DataFrame of data columns + [[ChangeTypeCol]] + [[CommitVersionCol]]
+   * (the Delta `table_changes` read). Everything is read under
+   * `toVersion`'s schema (explicit read schema migrates pre-evolution
+   * change files in-scan). `files`-kind versions stream their data
+   * files as inserts — zero-copy; `rows`-kind versions read their
+   * materialized change parquet. Cost: one bounded record read per
+   * version + scans proportional to the CHANGED bytes, never the lake.
+   */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"need 0 <= fromVersion <= toVersion, got [$fromVersion, $toVersion]")
+    require(changeFeedEnabled(spark, dir),
+      s"change feed is not enabled on $dir (LakeManifest.enableChangeFeed)")
+    val dataSchema = schemaAt(spark, dir, toVersion)
+    val withCt = dataSchema.add(ChangeTypeCol, org.apache.spark.sql.types.StringType)
+    val parts = (fromVersion to toVersion).flatMap { v =>
+      readChangeRecord(spark, dir, v) match {
+        case ("none", _) => None
+        case ("files", names) if names.isEmpty => None
+        case ("files", names) =>
+          Some(spark.read.schema(dataSchema)
+            .parquet(names.map(n => s"$dir/$n"): _*)
+            .withColumn(ChangeTypeCol, lit("insert"))
+            .withColumn(CommitVersionCol, lit(v.toLong)))
+        case ("rows", _) =>
+          Some(spark.read.schema(withCt).parquet(changeRowsPath(dir, v))
+            .withColumn(CommitVersionCol, lit(v.toLong)))
+        case (k, _) => throw new IllegalStateException(
+          s"unknown change record kind '$k' at version $v of $dir")
+      }
+    }
+    if (parts.isEmpty)
+      // LocalRelation-backed empty frame (not an RDD): the streaming
+      // source re-flags batch plans isStreaming, which LogicalRDD resists
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        withCt.add(CommitVersionCol, org.apache.spark.sql.types.LongType))
+    else parts.reduce(_ unionByName _)
+  }
+
   /** Bloom positions per row for `c` under the portable-hash law: two
     * independent probes into [0, bloomBits). A value MAY be in a file
     * iff both its positions are in the file's recorded position set —
@@ -322,7 +496,14 @@ object LakeManifest {
     // APPEND generations, not rewrites)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
     fs.delete(new org.apache.hadoop.fs.Path(schemasDir(dir)), true) // rebase resets schema history too
+    fs.delete(new org.apache.hadoop.fs.Path(changesRoot(dir)), true) // feed rebases with history
     manifest.write.mode("overwrite").parquet(historyPath(dir, 0))
+    // a rebased CDF lake restarts its feed with a v0 founding snapshot:
+    // the relaid files as inserts (tail-from-zero = full current state)
+    if (changeFeedEnabled(spark, dir))
+      writeChangeRecord(fs, dir, 0, "files",
+        spark.read.parquet(filesPath(dir)).select(col("file")).collect()
+          .map(_.getString(0).split('/').last).toSeq)
     writeVersion(fs, dir, 0)
     bumpCommitSeq(spark, dir)
     snapshots.clear(); bloomSnapshots.clear() // same-ms rewrite guard
@@ -443,6 +624,8 @@ object LakeManifest {
       fenceCheck(dir)
       read(spark, dir).repartition(1)
         .write.mode("overwrite").parquet(historyPath(dir, next))
+      if (changeFeedEnabled(spark, dir))
+        writeChangeRecord(fs, dir, next, "none") // no logical data change
       writeVersion(fs, dir, next)
       val g = fs.create(new org.apache.hadoop.fs.Path(schemaGenPath(dir, next)), true)
       try g.write(newSchema.json.getBytes(UTF_8)) finally g.close()
@@ -588,6 +771,10 @@ object LakeManifest {
       // append generation: archive the new file list as version N+1
       val next = currentVersion(spark, dir) + 1
       merged.repartition(1).write.mode("overwrite").parquet(historyPath(dir, next))
+      // CDF: the appended files ARE the change — zero-copy insert record
+      if (changeFeedEnabled(spark, dir))
+        writeChangeRecord(fs, dir, next, "files",
+          fresh.map(_.getName).toSeq)
       writeVersion(fs, dir, next)
       bumpCommitSeq(spark, dir)
       snapshots.remove(dir); bloomSnapshots.remove(dir)
@@ -823,6 +1010,9 @@ object LakeManifest {
       val next = currentVersion(spark, dir) + 1
       spark.read.parquet(filesPath(dir))
         .write.mode("overwrite").parquet(historyPath(dir, next))
+      // CDF: a compaction rewrites bytes, not rows — no logical change
+      if (changeFeedEnabled(spark, dir))
+        writeChangeRecord(fs, dir, next, "none")
       writeVersion(fs, dir, next)
       bumpCommitSeq(spark, dir)
       snapshots.clear(); bloomSnapshots.clear()
@@ -1035,14 +1225,15 @@ object LakeManifest {
     // replaced count rides as the candidate/survivor difference
     val keys = u.select(col(keyDim).as("_upk")).distinct()
       .localCheckpoint(true)
-    val (survivors, nCand) =
-      if (cand.isEmpty) (u.limit(0), 0L)
-      else {
-        val candDf = spark.read.schema(dataSchema)
-          .parquet(cand.toIndexedSeq: _*)
+    val candDfOpt =
+      if (cand.isEmpty) None
+      else Some(spark.read.schema(dataSchema).parquet(cand.toIndexedSeq: _*))
+    val (survivors, nCand) = candDfOpt match {
+      case None => (u.limit(0), 0L)
+      case Some(candDf) =>
         (candDf.join(broadcast(keys), col(keyDim) === col("_upk"),
           "left_anti"), candDf.count())
-      }
+    }
     val staged = survivors.unionByName(u)
     val stage = s"$dir/$ManifestDir/upsert-${java.util.UUID.randomUUID()}"
     staged.write.mode("overwrite").parquet(stage)
@@ -1072,6 +1263,35 @@ object LakeManifest {
     val candNames = cand.map(_.split('/').last).toSet
     val keptRows = oldRows.filterNot(r =>
       candNames(r.getString(r.fieldIndex("file")).split('/').last))
+    val next = currentVersion(spark, dir) + 1
+    // CDF: materialize the merge's logical delta BEFORE the swap —
+    // matched old rows as update_preimage, their replacement rows as
+    // update_postimage, new-key rows as insert. One extra candidate-
+    // file scan + O(changed rows) written, only when the feed is on.
+    if (changeFeedEnabled(spark, dir)) {
+      val dataCols = dataSchema.fieldNames.map(col).toIndexedSeq
+      val changeRows = candDfOpt match {
+        case None => u.select(dataCols :+ lit("insert").as(ChangeTypeCol): _*)
+        case Some(candDf) =>
+          val pre = candDf.join(broadcast(keys),
+              col(keyDim) === col("_upk"), "left_semi")
+            .select(dataCols :+ lit("update_preimage").as(ChangeTypeCol): _*)
+          // keys that actually matched old rows split the update batch
+          // into updates vs pure inserts (bounded by the batch's keys)
+          val matched = keys.join(candDf,
+              col("_upk") === col(keyDim), "left_semi")
+            .localCheckpoint(true)
+          val post = u.join(broadcast(matched),
+              col(keyDim) === col("_upk"), "left_semi")
+            .select(dataCols :+ lit("update_postimage").as(ChangeTypeCol): _*)
+          val ins = u.join(broadcast(matched),
+              col(keyDim) === col("_upk"), "left_anti")
+            .select(dataCols :+ lit("insert").as(ChangeTypeCol): _*)
+          pre.unionByName(post).unionByName(ins)
+      }
+      changeRows.write.mode("overwrite").parquet(changeRowsPath(dir, next))
+      writeChangeRecord(fs, dir, next, "rows")
+    }
     // retention-mode commit: tombstone first (inert until the swap),
     // swap the manifest, linear history v{N+1}; touched originals stay
     // on disk for in-flight readers and time travel until vacuum
@@ -1081,7 +1301,6 @@ object LakeManifest {
         new java.util.ArrayList[Row]((keptRows ++ newRows).toSeq.asJava),
         manifestSchema)
       .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-    val next = currentVersion(spark, dir) + 1
     spark.read.parquet(filesPath(dir))
       .write.mode("overwrite").parquet(historyPath(dir, next))
     writeVersion(fs, dir, next)
@@ -1216,6 +1435,16 @@ object LakeManifest {
     val candNames = cand.map(_.split('/').last).toSet
     val keptRows = oldRows.filterNot(r =>
       candNames(r.getString(r.fieldIndex("file")).split('/').last))
+    val next = currentVersion(spark, dir) + 1
+    // CDF: the deleted rows materialize as the commit's change record —
+    // one extra candidate-file scan, O(deleted rows) written, feed-on only
+    if (changeFeedEnabled(spark, dir)) {
+      candDf.where(hit)
+        .select(candDf.columns.map(col).toIndexedSeq :+
+          lit("delete").as(ChangeTypeCol): _*)
+        .write.mode("overwrite").parquet(changeRowsPath(dir, next))
+      writeChangeRecord(fs, dir, next, "rows")
+    }
     // retention-mode commit: tombstone first (inert until the swap),
     // swap the manifest in ONE step, linear history v{N+1}; touched
     // originals stay on disk for in-flight readers and time travel
@@ -1225,7 +1454,6 @@ object LakeManifest {
         new java.util.ArrayList[Row]((keptRows ++ survivorRows).toSeq.asJava),
         manifestSchema)
       .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-    val next = currentVersion(spark, dir) + 1
     spark.read.parquet(filesPath(dir))
       .write.mode("overwrite").parquet(historyPath(dir, next))
     writeVersion(fs, dir, next)
@@ -1405,7 +1633,13 @@ object LakeManifest {
               val refs = spark.read.parquet(h.getPath.toString)
                 .select(col("file")).collect()
                 .map(_.getString(0).split('/').last)
-              if (refs.exists(reclaim)) fs.delete(h.getPath, true)
+              if (refs.exists(reclaim)) {
+                fs.delete(h.getPath, true)
+                // the change feed is bounded by the same horizon: a
+                // version whose snapshot is gone loses its change
+                // record too (reads refuse loudly, the timeTravel law)
+                fs.delete(new org.apache.hadoop.fs.Path(changeDir(dir, v)), true)
+              }
             }
           }
         }

@@ -23,6 +23,34 @@ object Bridge {
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
   /**
+   * Mark a batch-constructed DataFrame as a STREAMING batch (the Delta
+   * streaming-source shape: its `getBatch` flips `isStreaming` on the
+   * relation it returns). A v1 `Source.getBatch` result must carry
+   * `isStreaming = true` on its leaves — MicroBatchExecution asserts it
+   * — but the natural way to BUILD the batch is the ordinary batch API
+   * (explicit-path parquet reads, unions, filters). Execution is
+   * unchanged: the flag only tells the planner these leaves are fed by
+   * a micro-batch, not a static scan.
+   */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+      case l: LocalRelation if !l.isStreaming => l.copy(isStreaming = true)
+    }
+    plan.foreach {
+      case r: LogicalRDD if !r.isStreaming => throw new IllegalArgumentException(
+        "asStreamingBatch: build empty batches from LocalRelation " +
+          "(createDataFrame over a List), not an RDD — LogicalRDD's " +
+          "session-scoped copy cannot be re-flagged from outside sql")
+      case _ =>
+    }
+    ofRows(df.sparkSession, plan)
+  }
+
+  /**
    * Explicit-path parquet relation that carries a MANIFEST-DERIVED size
    * statistic into Catalyst (the Delta `TahoeFileIndex.sizeInBytes`
    * pattern): the planner's broadcast-vs-shuffle decision reads

