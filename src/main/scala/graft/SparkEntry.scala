@@ -5639,6 +5639,44 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("n_orders"))
         .orderBy(col("commit_version"), col("change_type"))
     }),
+
+    // Q326 — SC6m DELETION-VECTOR lake (merge-on-read): a scattered-key
+    // delete (l_orderkey % 7 = 3 hits every file of the z-ordered
+    // layout — the case where copy-on-write rewrites the whole lake)
+    // commits as row-position vectors with ZERO files rewritten
+    // (spec-pinned); a DV merge then replaces the suppkey∈{3,7} key
+    // groups (vectored matches + appended updates, zero rewrites). The
+    // census reads through readPruned with the vectors folded in as one
+    // broadcast anti-join above the stats-carrying scan. Oracle = the
+    // same state recomputed relationally: key groups 3/7 fully replaced
+    // at +100 (replace-by-group restores their %7=3 rows), everything
+    // else minus the scattered deletes. At 100 TB this commit shape is
+    // O(deleted rows), not O(touched files × size).
+    "q326_lake_deletion_vectors" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      val lake = graft.core.Scratch.dir("q326_lake")
+      import graft.sources.LakeManifest
+      val dims = Seq("l_suppkey" -> col("l_suppkey"),
+        "l_partkey" -> col("l_partkey"))
+      LakeManifest.optimize(li, lake, "l_suppkey", "l_partkey",
+        numFiles = 16, bits = 21)
+      LakeManifest.deleteWhereDV(s, lake,
+        Map("l_suppkey" -> (Long.MinValue, Long.MaxValue)),
+        col("l_orderkey") % 7 === 3) // v1: vectors only, 0 rewrites
+      LakeManifest.upsertDV(s, lake, dims, "l_suppkey",
+        li.where(col("l_suppkey").isin(3L, 7L))
+          .withColumn("l_quantity", col("l_quantity") + 100.0)) // v2
+      LakeManifest.readPruned(s, lake,
+          Map("l_suppkey" -> (Long.MinValue, Long.MaxValue)))
+        .groupBy((col("l_suppkey") % 25).as("supp_band"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+            .as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("supp_band"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -11907,6 +11945,24 @@ object SparkEntry {
           |  CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
           |FROM feed GROUP BY 1, 2 ORDER BY commit_version, change_type""".stripMargin,
+
+      // the DV lake's final state recomputed relationally: suppkey
+      // groups {3,7} fully replaced at +100 (replace-by-key-group
+      // brings their %7=3 rows back), the rest minus the scattered
+      // deletes — then the same band census
+      "q326_lake_deletion_vectors" ->
+        """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem),
+          |state AS (
+          |  SELECT l_orderkey, l_suppkey, l_quantity + 100.0 AS q
+          |  FROM li WHERE l_suppkey IN (3, 7)
+          |  UNION ALL
+          |  SELECT l_orderkey, l_suppkey, l_quantity AS q
+          |  FROM li WHERE l_suppkey NOT IN (3, 7) AND l_orderkey % 7 <> 3)
+          |SELECT CAST(l_suppkey % 25 AS BIGINT) AS supp_band,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          |FROM state GROUP BY 1 ORDER BY supp_band""".stripMargin,
     )
   }
 }

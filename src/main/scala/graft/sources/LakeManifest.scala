@@ -386,6 +386,301 @@ object LakeManifest {
     else parts.reduce(_ unionByName _)
   }
 
+  // ---- deletion vectors (merge-on-read row-level deletes) -------------
+  // The Delta/Iceberg DV posture: a delete (or the delete half of a
+  // merge) records per-file DELETED ROW POSITIONS instead of rewriting
+  // every touched file — O(deleted rows) written where copy-on-write is
+  // O(touched files × file size). On a z-ordered layout a scattered-key
+  // GDPR delete touches most of the lake under CoW (the measured 45/74
+  // case); under DVs it rewrites ZERO files. State lives as cumulative
+  // generations dv/from_v{K} — one parquet of (file name, row position)
+  // pairs per DV-writing commit, resolved like schema generations
+  // (greatest K ≤ the read version), so time travel sees exactly the
+  // deletions that existed at its version. Positions are the parquet
+  // reader's `_metadata.row_index` (file-stable, split-independent).
+  // Readers fold the state in as one anti-join against the scan —
+  // small side = the DV pairs, codegen'd BHJ, never a UDF. Rewrites
+  // FOLD DVs: reoptimize / CoW delete / CoW upsert read their inputs
+  // DV-filtered and their outputs carry no vectors, so the lake
+  // converges back to vector-free at its maintenance cadence.
+
+  private def dvDir(dir: String) = s"$dir/$ManifestDir/dv"
+  private def dvGenPath(dir: String, v: Int) = s"${dvDir(dir)}/from_v$v"
+
+  /** Greatest DV generation ≤ `version`, if any. */
+  private def dvGenFor(spark: SparkSession, dir: String,
+      version: Int): Option[Int] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dd = new org.apache.hadoop.fs.Path(dvDir(dir))
+    if (!fs.exists(dd)) None
+    else fs.listStatus(dd).map(_.getPath.getName).collect {
+      case n if n.startsWith("from_v") && n.stripPrefix("from_v").forall(_.isDigit) =>
+        n.stripPrefix("from_v").toInt
+    }.filter(_ <= version) match {
+      case a if a.isEmpty => None
+      case a => Some(a.max)
+    }
+  }
+
+  /** The (file, pos) deleted-row pairs in force at `version`. */
+  private def dvState(spark: SparkSession, dir: String,
+      version: Int): Option[DataFrame] =
+    dvGenFor(spark, dir, version).map(g =>
+      spark.read.parquet(dvGenPath(dir, g)))
+
+  /** Deleted-row pairs currently in force (diagnostics / specs). */
+  def deletionVectorCount(spark: SparkSession, dir: String): Long =
+    dvState(spark, dir, currentVersion(spark, dir)).map(_.count()).getOrElse(0L)
+
+  /** Fold the DV state at `version` into a scan of manifest-listed
+    * files: one anti-join on (file name, row position). MUST sit
+    * DIRECTLY above the file relation — `_metadata` only resolves
+    * there. No-op (identical plan) when the lake carries no vectors. */
+  private def applyDv(spark: SparkSession, dir: String, version: Int,
+      data: DataFrame): DataFrame =
+    dvState(spark, dir, version) match {
+      case None => data
+      case Some(dv) =>
+        data
+          .withColumn("__dv_f", col("_metadata.file_name"))
+          .withColumn("__dv_p", col("_metadata.row_index"))
+          .join(broadcast(dv.select(col("file").as("__dv_f"),
+            col("pos").as("__dv_p"))), Seq("__dv_f", "__dv_p"), "left_anti")
+          .drop("__dv_f", "__dv_p")
+    }
+
+  /** Explicit-path scan with (file name, row position) captured as
+    * PLAIN columns `__dv_f`/`__dv_p` (usable above joins/checkpoints,
+    * where `_metadata` no longer resolves) and the DV state at
+    * `version` folded in — the write-side twin of [[applyDv]]. */
+  private def scanWithPositions(spark: SparkSession, dir: String,
+      version: Int, files: Seq[String], schema: StructType): DataFrame = {
+    val raw = spark.read.schema(schema).parquet(files: _*)
+      .withColumn("__dv_f", col("_metadata.file_name"))
+      .withColumn("__dv_p", col("_metadata.row_index"))
+    dvState(spark, dir, version) match {
+      case None => raw
+      case Some(dv) => raw.join(broadcast(dv.select(col("file").as("__dv_f"),
+        col("pos").as("__dv_p"))), Seq("__dv_f", "__dv_p"), "left_anti")
+    }
+  }
+
+  /**
+   * Merge-on-read targeted delete: same contract as [[deleteWhere]]
+   * (`ranges` prunes candidate files, `predicate` is the exact row
+   * condition) but the commit writes a DELETION VECTOR generation
+   * instead of rewriting files — zero data files touched, O(deleted
+   * rows) bytes. Readers ([[readPruned]], [[readPrunedByBloom]],
+   * [[timeTravel]]) fold the vectors in; pre-delete versions time-travel
+   * to the undeleted rows via generation resolution. Already-deleted
+   * rows never double-count (candidates are read DV-filtered). CDF
+   * lakes record the deleted rows as the commit's change record.
+   * Returns (rows deleted, files rewritten = 0).
+   */
+  def deleteWhereDV(
+      spark: SparkSession, dir: String,
+      ranges: Map[String, (Long, Long)], predicate: Column,
+      expectedVersion: Option[Int] = None): (Long, Int) = {
+    require(ranges.nonEmpty, "ranges required")
+    withCommitLock(spark, dir) {
+      expectedVersion.foreach { e =>
+        val v = currentVersion(spark, dir)
+        if (v != e) throw new ManifestConflictException(
+          s"deleteWhereDV expected lake version $e, found $v — retry against the new manifest")
+      }
+      val snap = snapshot(spark, dir)
+      snap.headOption.foreach { case (_, _, st) =>
+        val unknown = ranges.keySet -- st.keySet
+        require(unknown.isEmpty, s"dims not in manifest: ${unknown.mkString(", ")}")
+      }
+      val cand = snap.collect {
+        case (file, _, st) if ranges.forall { case (name, (lo, hi)) =>
+          val (mn, mx) = st(name); mx >= lo && mn <= hi
+        } => file
+      }.sorted
+      if (cand.isEmpty) (0L, 0)
+      else {
+        val v = currentVersion(spark, dir)
+        val next = v + 1
+        val dataSchema =
+          DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType]
+        val hit = coalesce(predicate, lit(false))
+        val live = scanWithPositions(spark, dir, v, cand.toIndexedSeq, dataSchema)
+        // one candidate scan, checkpointed: the pairs feed the count,
+        // the merged generation write, and (CDF) the change record
+        val victims = live.where(hit).localCheckpoint(true)
+        val nDeleted = victims.count()
+        if (nDeleted == 0) (0L, 0)
+        else {
+          val newPairs = victims.select(
+            col("__dv_f").as("file"), col("__dv_p").as("pos"))
+          fenceCheck(dir)
+          val merged = dvState(spark, dir, v) match {
+            case Some(old) => old.unionByName(newPairs)
+            case None => newPairs
+          }
+          merged.write.mode("overwrite").parquet(dvGenPath(dir, next))
+          if (changeFeedEnabled(spark, dir)) {
+            victims
+              .select(dataSchema.fieldNames.map(col).toIndexedSeq :+
+                lit("delete").as(ChangeTypeCol): _*)
+              .write.mode("overwrite").parquet(changeRowsPath(dir, next))
+            writeChangeRecord(fs(spark, dir), dir, next, "rows")
+          }
+          // same file list, new version: the commit IS the DV generation
+          read(spark, dir).repartition(1)
+            .write.mode("overwrite").parquet(historyPath(dir, next))
+          writeVersion(fs(spark, dir), dir, next)
+          bumpCommitSeq(spark, dir)
+          snapshots.clear(); bloomSnapshots.clear()
+          (nDeleted, 0)
+        }
+      }
+    }
+  }
+
+  /**
+   * Merge-on-read upsert (the DV half of MERGE): matched old rows are
+   * DELETION-VECTORED in place (zero files rewritten) and the update
+   * batch appends as NEW indexed files — the Delta DV-merge cost shape:
+   * O(deleted positions + update rows), independent of touched-file
+   * sizes. Same replace-by-key-group law as [[upsert]]; CDF lakes get
+   * the same preimage/postimage/insert record. Returns (rows replaced,
+   * update rows written, files rewritten = 0).
+   */
+  def upsertDV(
+      spark: SparkSession, dir: String, stats: Seq[(String, Column)],
+      keyDim: String, updates: DataFrame,
+      bloom: Seq[(String, Column)] = Nil,
+      expectedVersion: Option[Int] = None): (Long, Long, Int) =
+    withCommitLock(spark, dir) {
+      expectedVersion.foreach { e =>
+        val v = currentVersion(spark, dir)
+        if (v != e) throw new ManifestConflictException(
+          s"upsertDV expected lake version $e, found $v — retry against the new manifest")
+      }
+      val manifestSchema = read(spark, dir).schema
+      val bloomDims = manifestSchema.fieldNames
+        .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
+      val bloomSpec =
+        if (bloom.nonEmpty) {
+          require(bloom.map(_._1).toSet == bloomDims.toSet,
+            s"bloom spec must match the manifest's bloom dims: ${bloomDims.mkString(", ")}")
+          bloom
+        } else bloomDims.map(d => d -> col(d))
+      val dataSchema =
+        DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType]
+      require(updates.schema.fieldNames.sorted.sameElements(
+        dataSchema.fieldNames.sorted),
+        s"updates must carry the lake schema ${dataSchema.fieldNames.mkString(",")}")
+      val u = updates.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .localCheckpoint(true)
+      val nUpdateRows = u.count()
+      if (nUpdateRows == 0) (0L, 0L, 0)
+      else {
+        val band = u.agg(min(col(keyDim)).cast("long"),
+          max(col(keyDim)).cast("long")).head()
+        val (lo, hi) = (band.getLong(0), band.getLong(1))
+        val snap = snapshot(spark, dir)
+        snap.headOption.foreach { case (_, _, st) =>
+          require(st.contains(keyDim), s"key dim $keyDim not in manifest " +
+            s"(have: ${st.keys.mkString(", ")})")
+        }
+        val cand = snap.collect {
+          case (file, _, st) if { val (mn, mx) = st(keyDim); mx >= lo && mn <= hi } =>
+            file
+        }.sorted
+        val v = currentVersion(spark, dir)
+        val next = v + 1
+        val keys = u.select(col(keyDim).as("_upk")).distinct()
+          .localCheckpoint(true)
+        // matched LIVE rows of the candidate files: their positions
+        // become the new vectors, their contents the CDF preimage
+        val matchedRows =
+          if (cand.isEmpty) None
+          else Some(scanWithPositions(spark, dir, v, cand.toIndexedSeq, dataSchema)
+            .join(broadcast(keys), col(keyDim) === col("_upk"), "left_semi")
+            .localCheckpoint(true))
+        val nReplaced = matchedRows.map(_.count()).getOrElse(0L)
+        // stage ONLY the update rows as new files; old files stay put
+        val stage = s"$dir/$ManifestDir/upsertdv-${java.util.UUID.randomUUID()}"
+        u.write.mode("overwrite").parquet(stage)
+        val fsys = fs(spark, dir)
+        val moved = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).sortBy(_.getName)
+          .map { p =>
+            val dst = new org.apache.hadoop.fs.Path(dir, p.getName)
+            require(fsys.rename(p, dst), s"stage move failed: $p -> $dst")
+            dst.toString
+          }
+        fsys.delete(new org.apache.hadoop.fs.Path(stage), true)
+        val aggs = statAggs(stats, bloomSpec, bloomBitsOf(spark, dir))
+        val newRows: Array[Row] =
+          if (moved.isEmpty) Array.empty
+          else spark.read.schema(dataSchema)
+            .parquet(moved.toIndexedSeq: _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .select(manifestSchema.fieldNames.map(col).toIndexedSeq: _*)
+            .collect()
+        val oldRows = read(spark, dir).collect() // ≤ numFiles
+        fenceCheck(dir)
+        // DV generation: prior state ∪ the matched positions
+        if (nReplaced > 0 || dvGenFor(spark, dir, v).nonEmpty) {
+          val newPairs = matchedRows match {
+            case Some(m) => m.select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
+            case None => spark.createDataFrame(new java.util.ArrayList[Row](),
+              new StructType().add("file", org.apache.spark.sql.types.StringType)
+                .add("pos", org.apache.spark.sql.types.LongType))
+          }
+          val merged = dvState(spark, dir, v) match {
+            case Some(old) => old.unionByName(newPairs)
+            case None => newPairs
+          }
+          merged.write.mode("overwrite").parquet(dvGenPath(dir, next))
+        }
+        if (changeFeedEnabled(spark, dir)) {
+          val dataCols = dataSchema.fieldNames.map(col).toIndexedSeq
+          val changeRows = matchedRows match {
+            case None => u.select(dataCols :+ lit("insert").as(ChangeTypeCol): _*)
+            case Some(m) =>
+              val pre = m.select(dataCols :+
+                lit("update_preimage").as(ChangeTypeCol): _*)
+              val matched = keys.join(m, col("_upk") === col(keyDim), "left_semi")
+                .localCheckpoint(true)
+              val post = u.join(broadcast(matched),
+                  col(keyDim) === col("_upk"), "left_semi")
+                .select(dataCols :+ lit("update_postimage").as(ChangeTypeCol): _*)
+              val ins = u.join(broadcast(matched),
+                  col(keyDim) === col("_upk"), "left_anti")
+                .select(dataCols :+ lit("insert").as(ChangeTypeCol): _*)
+              pre.unionByName(post).unionByName(ins)
+          }
+          changeRows.write.mode("overwrite").parquet(changeRowsPath(dir, next))
+          writeChangeRecord(fsys, dir, next, "rows")
+        }
+        // manifest: ALL old entries kept (their files still serve the
+        // unmatched rows) + the new files' entries
+        spark.createDataFrame(
+            new java.util.ArrayList[Row]((oldRows ++ newRows).toSeq.asJava),
+            manifestSchema)
+          .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
+        spark.read.parquet(filesPath(dir))
+          .write.mode("overwrite").parquet(historyPath(dir, next))
+        writeVersion(fsys, dir, next)
+        bumpCommitSeq(spark, dir)
+        snapshots.clear(); bloomSnapshots.clear()
+        spark.catalog.refreshByPath(dir)
+        (nReplaced, nUpdateRows, 0)
+      }
+    }
+
+  private def fs(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Bloom positions per row for `c` under the portable-hash law: two
     * independent probes into [0, bloomBits). A value MAY be in a file
     * iff both its positions are in the file's recorded position set —
@@ -463,6 +758,15 @@ object LakeManifest {
     require(removedEntries(spark, dir).isEmpty,
       s"write() on a lake with tombstoned files would re-index them — " +
         s"vacuum $dir first")
+    // same resurrection hazard for live deletion vectors: a rebuild
+    // indexes raw file contents, so vectored rows would come back —
+    // fold them out (reoptimize) before rebuilding in place
+    val fsG = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsG.exists(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/VERSION")))
+      require(deletionVectorCount(spark, dir) == 0L,
+        s"write() on a lake with live deletion vectors would resurrect " +
+          s"deleted rows — reoptimize $dir first (folds the vectors)")
     // a rebuild over an already-manifested lake reads under the sidecar
     // schema, so a mixed-physical-schema file set (post-evolution) scans
     // uniformly; a fresh lake infers
@@ -497,6 +801,7 @@ object LakeManifest {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history"), true)
     fs.delete(new org.apache.hadoop.fs.Path(schemasDir(dir)), true) // rebase resets schema history too
     fs.delete(new org.apache.hadoop.fs.Path(changesRoot(dir)), true) // feed rebases with history
+    fs.delete(new org.apache.hadoop.fs.Path(dvDir(dir)), true) // proven empty above
     manifest.write.mode("overwrite").parquet(historyPath(dir, 0))
     // a rebased CDF lake restarts its feed with a v0 founding snapshot:
     // the relaid files as inserts (tail-from-zero = full current state)
@@ -688,8 +993,9 @@ object LakeManifest {
     val schema = schemaAt(spark, dir, version)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else org.apache.spark.sql.graftbridge.Bridge
-      .manifestSizedParquet(spark, files.toIndexedSeq, schema, rowCount)
+    else applyDv(spark, dir, version, // that version's deletion vectors
+      org.apache.spark.sql.graftbridge.Bridge
+        .manifestSizedParquet(spark, files.toIndexedSeq, schema, rowCount))
   }
 
   /** Convenience overload: stat columns are plain data columns. */
@@ -974,8 +1280,11 @@ object LakeManifest {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val dataSchema =
         DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType]
-      val rows = spark.read.schema(dataSchema)
-        .parquet(oldFiles.toIndexedSeq: _*)
+      val vNow = currentVersion(spark, dir)
+      // DV fold: compaction reads its inputs deletion-vector-filtered,
+      // so the rewritten files hold live rows only and need no vectors
+      val rows = applyDv(spark, dir, vNow, spark.read.schema(dataSchema)
+        .parquet(oldFiles.toIndexedSeq: _*))
       val stage = s"$dir/$ManifestDir/stage-${java.util.UUID.randomUUID()}"
       ZOrder.zOrderLayout(rows, aCol, bCol, numFiles, bits)
         .write.mode("overwrite").parquet(stage)
@@ -1013,6 +1322,15 @@ object LakeManifest {
       // CDF: a compaction rewrites bytes, not rows — no logical change
       if (changeFeedEnabled(spark, dir))
         writeChangeRecord(fs, dir, next, "none")
+      // DV fold-out: versions ≥ next reference only vector-free files —
+      // the new generation keeps only entries for files that survived
+      // (normally none), so the lake converges back to vector-free
+      if (dvGenFor(spark, dir, vNow).nonEmpty) {
+        val dead = oldFiles.map(_.split('/').last).toSet
+        dvState(spark, dir, vNow).get
+          .where(!col("file").isin(dead.toSeq: _*))
+          .write.mode("overwrite").parquet(dvGenPath(dir, next))
+      }
       writeVersion(fs, dir, next)
       bumpCommitSeq(spark, dir)
       snapshots.clear(); bloomSnapshots.clear()
@@ -1076,9 +1394,13 @@ object LakeManifest {
     // manifest → Catalyst statistics: the relation carries the EXACT
     // selected row count as its size estimate, so downstream join
     // planning (broadcast-vs-shuffle) decides from the manifest's
-    // truth, not raw file bytes (see Bridge.manifestSizedParquet)
-    else org.apache.spark.sql.graftbridge.Bridge
-      .manifestSizedParquet(spark, files.toIndexedSeq, schema, rowCount)
+    // truth, not raw file bytes (see Bridge.manifestSizedParquet).
+    // Deletion vectors fold in directly above the relation (applyDv),
+    // then the residual row filter applies.
+    else applyDv(spark, dir,
+        version.getOrElse(currentVersion(spark, dir)),
+        org.apache.spark.sql.graftbridge.Bridge
+          .manifestSizedParquet(spark, files.toIndexedSeq, schema, rowCount))
       .where(rowFilter)
   }
 
@@ -1151,7 +1473,8 @@ object LakeManifest {
     val schema = schemaAt(spark, dir, Int.MaxValue) // current, mixed-safe
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    else applyDv(spark, dir, currentVersion(spark, dir),
+        spark.read.schema(schema).parquet(files.toIndexedSeq: _*))
       .where(rowFilter)
   }
 
@@ -1225,9 +1548,13 @@ object LakeManifest {
     // replaced count rides as the candidate/survivor difference
     val keys = u.select(col(keyDim).as("_upk")).distinct()
       .localCheckpoint(true)
+    val vNowU = currentVersion(spark, dir)
+    // DV-filtered candidates: rows already deletion-vectored must not
+    // resurrect as survivors (the CoW rewrite FOLDS the vectors)
     val candDfOpt =
       if (cand.isEmpty) None
-      else Some(spark.read.schema(dataSchema).parquet(cand.toIndexedSeq: _*))
+      else Some(applyDv(spark, dir, vNowU,
+        spark.read.schema(dataSchema).parquet(cand.toIndexedSeq: _*)))
     val (survivors, nCand) = candDfOpt match {
       case None => (u.limit(0), 0L)
       case Some(candDf) =>
@@ -1303,6 +1630,13 @@ object LakeManifest {
       .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
     spark.read.parquet(filesPath(dir))
       .write.mode("overwrite").parquet(historyPath(dir, next))
+    // DV fold-out for the rewritten (tombstoned) candidates
+    if (dvGenFor(spark, dir, vNowU).nonEmpty) {
+      val dead = cand.map(_.split('/').last).toSet
+      dvState(spark, dir, vNowU).get
+        .where(!col("file").isin(dead.toSeq: _*))
+        .write.mode("overwrite").parquet(dvGenPath(dir, next))
+    }
     writeVersion(fs, dir, next)
     bumpCommitSeq(spark, dir)
     snapshots.clear(); bloomSnapshots.clear()
@@ -1386,10 +1720,12 @@ object LakeManifest {
     val knownNames = oldRows.map(r =>
       r.getString(r.fieldIndex("file")).split('/').last).toSet
     // current-schema read: survivors REWRITE under the evolved schema
-    // (physical migration rides the delete, as it does the reoptimize)
-    val candDf = spark.read
+    // (physical migration rides the delete, as it does the reoptimize);
+    // DV-filtered so vectored rows never resurrect as survivors
+    val vNowD = currentVersion(spark, dir)
+    val candDf = applyDv(spark, dir, vNowD, spark.read
       .schema(DataType.fromJson(readSchemaJson(spark, dir)).asInstanceOf[StructType])
-      .parquet(cand.toIndexedSeq: _*)
+      .parquet(cand.toIndexedSeq: _*))
     val hit = coalesce(predicate, lit(false))
     // one pass: survivors write out, the delete count rides as an
     // observed metric (no second scan of the touched files)
@@ -1456,6 +1792,13 @@ object LakeManifest {
       .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
     spark.read.parquet(filesPath(dir))
       .write.mode("overwrite").parquet(historyPath(dir, next))
+    // DV fold-out for the rewritten (tombstoned) candidates
+    if (dvGenFor(spark, dir, vNowD).nonEmpty) {
+      val dead = candNames
+      dvState(spark, dir, vNowD).get
+        .where(!col("file").isin(dead.toSeq: _*))
+        .write.mode("overwrite").parquet(dvGenPath(dir, next))
+    }
     writeVersion(fs, dir, next)
     bumpCommitSeq(spark, dir)
     snapshots.clear(); bloomSnapshots.clear()

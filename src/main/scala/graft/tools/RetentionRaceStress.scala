@@ -81,7 +81,10 @@ object RetentionRaceStress {
         } catch { case t: Throwable => failures.add(t) }
       }})
     }
-    // writer: upsert a key band each round; reoptimize every 4th
+    // writer: upsert a key band each round — copy-on-write and
+    // DELETION-VECTOR merges alternating (r10: DVs in the race loop);
+    // every 3rd round a scattered DV delete; reoptimize every 4th
+    // (which also FOLDS the accumulated vectors)
     pool.submit(new Runnable { override def run(): Unit = {
       start.await()
       try {
@@ -93,9 +96,19 @@ object RetentionRaceStress {
               pmod(hash(lit("ut"), col("id")), lit(1000000L)).as("t"))
             .localCheckpoint(true)
           val (replaced, written, _) =
-            LakeManifest.upsert(spark, dir, dims, "key", updates)
+            if (i % 2 == 0)
+              LakeManifest.upsertDV(spark, dir, dims, "key", updates)
+            else LakeManifest.upsert(spark, dir, dims, "key", updates)
           expected = expected - replaced + written
           states.add(expected)
+          if (i % 3 == 0) {
+            val (deleted, rewritten) = LakeManifest.deleteWhereDV(spark, dir,
+              Map("key" -> (0L, 100000L)),
+              pmod(hash(lit("del"), col("id")), lit(997L)) === (i % 997).toLong)
+            require(rewritten == 0, "DV delete must rewrite nothing")
+            expected -= deleted
+            states.add(expected)
+          }
           if (i % 4 == 0) {
             LakeManifest.reoptimize(spark, dir, "key", "t", files)
             ()
@@ -120,7 +133,12 @@ object RetentionRaceStress {
     val wall = (System.nanoTime() - t0) / 1e9
     require(failures.isEmpty, s"FAILED: ${failures.peek()}")
 
-    // quiesce: reclaim everything, exact accounting
+    // quiesce: fold any remaining vectors, reclaim everything, exact
+    // accounting (the plain directory read only equals the logical
+    // state once the vectors are folded — raw scans can't see DVs)
+    LakeManifest.reoptimize(spark, dir, "key", "t", files)
+    require(LakeManifest.deletionVectorCount(spark, dir) == 0L,
+      "reoptimize must fold all deletion vectors")
     LakeManifest.vacuum(spark, dir, retentionMs = 0L)
     val plain = spark.read.parquet(dir).count()
     val pruned = LakeManifest.readPruned(spark, dir,
@@ -130,9 +148,10 @@ object RetentionRaceStress {
     require(LakeManifest.removedEntries(spark, dir).isEmpty,
       "tombstone store must be empty after vacuum(0)")
     println(f"[retention-race] $n%,d rows, $files files, $rounds rounds: " +
-      f"${readerLoops.get()} reader scans raced ${rounds} rewrites + live " +
-      f"vacuum in $wall%.1f s - ZERO reader failures, exact accounting " +
-      f"($expected%,d rows), tombstones fully reclaimed")
+      f"${readerLoops.get()} reader scans raced ${rounds} CoW/DV rewrites " +
+      f"+ DV deletes + live vacuum in $wall%.1f s - ZERO reader failures, " +
+      f"exact accounting ($expected%,d rows), vectors folded, tombstones " +
+      f"fully reclaimed")
     spark.stop()
   }
 }

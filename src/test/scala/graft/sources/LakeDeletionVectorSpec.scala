@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Deletion-vector laws (the r9 judge's task 2):
+ *
+ *  1. READ-EQUIVALENCE with copy-on-write: the same delete workload via
+ *     deleteWhereDV and deleteWhere yields identical reads — but the DV
+ *     path rewrites ZERO files (the scattered-key case where CoW on a
+ *     z-ordered layout rewrites every candidate file);
+ *  2. vectors respect versions: pre-delete time travel reads undeleted
+ *     rows; already-vectored rows never double-count;
+ *  3. upsertDV replaces matched key groups with zero rewrites and
+ *     appends only the update rows;
+ *  4. rewrites FOLD vectors: reoptimize reads DV-filtered and emits a
+ *     vector-free lake; a CoW delete over vectored files cannot
+ *     resurrect vectored rows;
+ *  5. a rebuild-in-place over live vectors refuses loudly;
+ *  6. CDF interplay: DV commits write the same change records as CoW.
+ */
+class LakeDeletionVectorSpec extends SparkSpec {
+
+  private val stats = Seq("k" -> col("k"), "u" -> col("u"))
+  private val fullRange = Map("k" -> (Long.MinValue, Long.MaxValue))
+
+  private def mk(n: Int): DataFrame =
+    spark.range(n).select(col("id").as("k"),
+      pmod(col("id") * 2654435761L, lit(1000000L)).as("u"),
+      (col("id") % 100L).as("v"))
+
+  private def bootstrap(dir: String, n: Int): Unit =
+    LakeManifest.optimize(mk(n), dir, "k", "u", numFiles = 8)
+
+  private def readAll(dir: String): Set[(Long, Long, Long)] =
+    LakeManifest.readPruned(spark, dir, fullRange)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def dataFiles(dir: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+  }
+
+  test("scattered-key delete: DV path matches CoW reads with ZERO files rewritten") {
+    val cow = tmpDir("dv-cow"); val dv = tmpDir("dv-mor")
+    bootstrap(cow, 2000); bootstrap(dv, 2000)
+    val pred = col("k") % 97L === 0L // scattered: every file holds hits
+    val (nCow, filesCow) = LakeManifest.deleteWhere(spark, cow, stats, fullRange, pred)
+    val filesBefore = dataFiles(dv)
+    val (nDv, filesDv) = LakeManifest.deleteWhereDV(spark, dv, fullRange, pred)
+    assert(nCow == nDv && nDv == (0 until 2000).count(_ % 97 == 0))
+    assert(filesCow == 8, s"CoW should rewrite every candidate file, got $filesCow")
+    assert(filesDv == 0, "DV delete must rewrite nothing")
+    assert(dataFiles(dv) == filesBefore, "DV delete must not touch data files")
+    assert(readAll(cow) == readAll(dv), "CoW and DV reads diverged")
+    assert(LakeManifest.deletionVectorCount(spark, dv) == nDv)
+  }
+
+  test("vectors are versioned: time travel reads pre-delete; overlap never double-counts") {
+    val dir = tmpDir("dv-tt")
+    bootstrap(dir, 1000)
+    val (n1, _) = LakeManifest.deleteWhereDV(spark, dir, fullRange, col("k") % 97L === 0L)
+    val (n2, _) = LakeManifest.deleteWhereDV(spark, dir, fullRange,
+      col("k") % 97L === 0L || col("k") % 89L === 0L)
+    val all = (0 until 1000)
+    assert(n1 == all.count(_ % 97 == 0))
+    // the re-asserted %97 rows are ALREADY vectored — only %89 is new
+    assert(n2 == all.count(k => k % 89 == 0 && k % 97 != 0))
+    // v0 = founding state, v1 = after first delete, v2 = after second
+    assert(LakeManifest.timeTravel(spark, dir, 0).count() == 1000L)
+    assert(LakeManifest.timeTravel(spark, dir, 1).count() ==
+      1000L - all.count(_ % 97 == 0))
+    assert(LakeManifest.readPruned(spark, dir, fullRange).count() ==
+      1000L - all.count(k => k % 97 == 0 || k % 89 == 0))
+    // the pruned point-read under a version pin agrees
+    assert(LakeManifest.readPruned(spark, dir, Map("k" -> (0L, 96L)),
+      version = Some(1)).count() == 96L) // k=0 vectored at v1, 1..96 live
+  }
+
+  test("upsertDV: matched key groups replaced, zero rewrites, only update rows appended") {
+    val cow = tmpDir("dvu-cow"); val dv = tmpDir("dvu-mor")
+    bootstrap(cow, 1000); bootstrap(dv, 1000)
+    val updates = mk(1200).where(col("k") >= 500L)
+      .withColumn("v", col("v") + 1000L) // keys 500..999 match, 1000..1199 insert
+    val (rCow, wCow, fCow) = LakeManifest.upsert(spark, cow, stats, "k", updates)
+    val filesBefore = dataFiles(dv)
+    val (rDv, wDv, fDv) = LakeManifest.upsertDV(spark, dv, stats, "k", updates)
+    assert((rCow, wCow) == (rDv, wDv) && rDv == 500L && wDv == 700L)
+    assert(fCow > 0 && fDv == 0)
+    assert(readAll(cow) == readAll(dv), "CoW and DV merges diverged")
+    // old files untouched; only the update batch's files appeared
+    assert(filesBefore.subsetOf(dataFiles(dv)))
+    assert(LakeManifest.deletionVectorCount(spark, dv) == 500L)
+  }
+
+  test("reoptimize folds the vectors out; CoW delete over vectored files cannot resurrect") {
+    val dir = tmpDir("dv-fold")
+    bootstrap(dir, 1000)
+    LakeManifest.deleteWhereDV(spark, dir, fullRange, col("k") % 10L === 0L)
+    val logical = readAll(dir)
+    assert(logical.size == 900)
+    // CoW delete on an overlapping slice: survivors of the touched
+    // files must NOT contain the vectored %10 rows
+    LakeManifest.deleteWhere(spark, dir, stats,
+      Map("k" -> (0L, 99L)), col("k") <= 99L)
+    val afterCow = readAll(dir)
+    assert(afterCow == logical.filter(_._1 > 99L))
+    // reoptimize folds everything: vector-free, reads unchanged
+    LakeManifest.reoptimize(spark, dir, "k", "u", numFiles = 4)
+    assert(LakeManifest.deletionVectorCount(spark, dir) == 0L)
+    assert(readAll(dir) == afterCow)
+    // physical == logical now: the manifest-listed files hold live rows only
+    val files = LakeManifest.read(spark, dir).select(col("file"))
+      .collect().map(_.getString(0))
+    assert(spark.read.parquet(files.toIndexedSeq: _*).count() == afterCow.size.toLong)
+  }
+
+  test("rebuild-in-place over live vectors refuses; after folding it proceeds") {
+    val dir = tmpDir("dv-rebuild")
+    bootstrap(dir, 500)
+    LakeManifest.deleteWhereDV(spark, dir, fullRange, col("k") < 50L)
+    val e = intercept[IllegalArgumentException] {
+      LakeManifest.write(spark, dir, stats)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    LakeManifest.reoptimize(spark, dir, "k", "u", numFiles = 4)
+    LakeManifest.vacuum(spark, dir, 0L)
+    LakeManifest.write(spark, dir, stats) // folded + vacuumed: legal
+    assert(readAll(dir).size == 450)
+  }
+
+  test("CDF interplay: DV commits write the same change records as CoW") {
+    val dir = tmpDir("dv-cdf")
+    bootstrap(dir, 500)
+    LakeManifest.enableChangeFeed(spark, dir)
+    LakeManifest.deleteWhereDV(spark, dir, fullRange, col("k") < 10L) // v1
+    LakeManifest.upsertDV(spark, dir, stats, "k",
+      mk(520).where(col("k") >= 490L).withColumn("v", col("v") + 9000L)) // v2
+    val feed = LakeManifest.changesBetween(spark, dir, 1, 2)
+      .select(col(LakeManifest.CommitVersionCol),
+        col(LakeManifest.ChangeTypeCol), col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(feed.count(c => c._1 == 1L && c._2 == "delete") == 10)
+    assert(feed.count(c => c._1 == 2L && c._2 == "update_preimage") == 10)
+    assert(feed.count(c => c._1 == 2L && c._2 == "update_postimage") == 10)
+    assert(feed.count(c => c._1 == 2L && c._2 == "insert") == 20)
+    // fold law holds through DV commits too
+    val folded = feed.filter(_._1 >= 1L) // deltas over the v0 snapshot
+    val snap = LakeManifest.changesBetween(spark, dir, 0, 0)
+      .select(col("k"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val state = folded.sortBy(_._1).foldLeft(snap) {
+      case (st, (_, "insert" | "update_postimage", k, v)) => st + (k -> v)
+      case (st, (_, "delete", k, _)) => st - k
+      case (st, _) => st
+    }
+    val lake = LakeManifest.readPruned(spark, dir, fullRange)
+      .select(col("k"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == lake)
+  }
+}
