@@ -274,7 +274,11 @@ object Profile {
    * Scale posture: the census frame is file-count-bounded; the rank
    * window and everything after run on it, never on data rows.
    */
-  def compactionBinPlan(census: DataFrame, unitCol: Column,
+  /** The unit → bin ASSIGNMENT under the [[compactionBinPlan]] law —
+    * what an executor ([[graft.sources.LakeManifest.reoptimizeBinned]])
+    * consumes: (unit, rows_u, n_bins, bin). Same deterministic rank
+    * arithmetic, exposed per unit instead of rolled up. */
+  def compactionBinAssignment(census: DataFrame, unitCol: Column,
       rowsCol: Column, targetRows: Long): DataFrame = {
     require(targetRows >= 1, "target must be positive")
     import org.apache.spark.sql.expressions.Window
@@ -288,6 +292,12 @@ object Profile {
         greatest(lit(1L), expr(s"(total + ${targetRows}L - 1) DIV ${targetRows}L")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("bin", pmod(col("rank") - 1L, col("n_bins")))
+      .select(col("unit"), col("rows_u"), col("n_bins"), col("bin"))
+  }
+
+  def compactionBinPlan(census: DataFrame, unitCol: Column,
+      rowsCol: Column, targetRows: Long): DataFrame = {
+    compactionBinAssignment(census, unitCol, rowsCol, targetRows)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_units"), sum(col("rows_u")).as("bin_rows"),
         max(col("n_bins")).as("n_bins")) // constant over the frame

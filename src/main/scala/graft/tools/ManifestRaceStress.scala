@@ -78,8 +78,14 @@ object ManifestRaceStress {
     }
     pool.submit(new Runnable { override def run(): Unit = {
       start.await()
-      try (0 until 6).foreach { _ =>
-        LakeManifest.reoptimize(spark, dir, "a", "b", numFiles = 32, bits = 9)
+      // alternate the z-order LAYOUT rewrite with the PLAN-DRIVEN
+      // binned compactor (r10) — both run the same commit protocol,
+      // so the race invariants must hold identically for either
+      try (0 until 6).foreach { i =>
+        if (i % 2 == 1)
+          LakeManifest.reoptimizeBinned(spark, dir, targetRows = 50000L)
+        else
+          LakeManifest.reoptimize(spark, dir, "a", "b", numFiles = 32, bits = 9)
         landedCommits.incrementAndGet()
       } catch { case t: Throwable => failures.add(t) }
     }})
