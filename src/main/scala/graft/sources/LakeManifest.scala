@@ -1517,13 +1517,33 @@ object LakeManifest {
     // selected row count as its size estimate, so downstream join
     // planning (broadcast-vs-shuffle) decides from the manifest's
     // truth, not raw file bytes (see Bridge.manifestSizedParquet).
+    // COLUMN stats too (r10): each indexed dim's [min, max] over the
+    // selected files + a span-capped NDV, so under CBO a selective
+    // stat-column predicate shrinks the row estimate BEFORE join
+    // planning. Dims with unknown stats (post-evolution nulls) or
+    // derived expressions carry none — never a lying estimate.
     // Deletion vectors fold in directly above the relation (applyDv),
     // then the residual row filter applies.
-    else applyDv(spark, dir,
-        version.getOrElse(currentVersion(spark, dir)),
-        org.apache.spark.sql.graftbridge.Bridge
-          .manifestSizedParquet(spark, files.toIndexedSeq, schema, rowCount))
-      .where(rowFilter)
+    else {
+      val dimStats = selected.headOption.map(_._3.keySet).getOrElse(Set.empty[String])
+        .flatMap { d =>
+          val rs = selected.map(_._3(d))
+          if (rs.exists(r => r._1 == Long.MinValue && r._2 == Long.MaxValue)) None
+          else {
+            val mn = rs.map(_._1).min
+            val mx = rs.map(_._2).max
+            val span = BigInt(mx) - BigInt(mn) + 1
+            Some(d -> (mn, mx,
+              span.min(BigInt(math.max(rowCount, 1L))).toLong))
+          }
+        }.toMap
+      applyDv(spark, dir,
+          version.getOrElse(currentVersion(spark, dir)),
+          org.apache.spark.sql.graftbridge.Bridge
+            .manifestSizedParquet(spark, files.toIndexedSeq, schema, rowCount,
+              dimStats))
+        .where(rowFilter)
+    }
   }
 
   private final case class BloomSnapshot(
