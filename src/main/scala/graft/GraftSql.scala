@@ -342,6 +342,68 @@ object GraftSql {
           |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
           |FROM q292_lake GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
+
+    // Q328 — SQL5 time travel by TIMESTAMP (r10): bootstrap, capture a
+    // wall-clock instant, MERGE a mutation on top, then `TIME TRAVEL AT
+    // TIMESTAMP` back — the census must be the PRE-merge state, which
+    // the oracle recomputes from the raw table. Resolution is the Delta
+    // law: greatest retained version committed at or before the
+    // instant (LakeManifest.versionAt over the immutable history dirs).
+    "q328_sql_time_travel" -> ((s, dir) => {
+      register(s, dir)
+      val lake = graft.core.Scratch.dir("q328_lake")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q328_base AS
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem""".stripMargin)
+      s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q328_base " +
+        "ZORDER BY (l_suppkey, l_partkey) FILES 16 BITS 21")
+      val t0 = System.currentTimeMillis()
+      Thread.sleep(50) // commit times have ms granularity; separate them
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q328_updates AS
+          |SELECT l_orderkey, l_partkey, l_suppkey,
+          |  l_quantity + 100.0 AS l_quantity
+          |FROM lineitem WHERE l_suppkey IN (3, 7)""".stripMargin)
+      s.sql(s"GRAFT MERGE INTO '$lake' KEY l_suppkey " +
+        "STATS (l_suppkey, l_partkey) FROM q328_updates")
+      s.sql(s"GRAFT TIME TRAVEL '$lake' AT TIMESTAMP '$t0' AS q328_tt")
+      s.sql(
+        """SELECT l_suppkey % 25 AS supp_band, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM q328_tt GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // Q329 — SQL6 the change feed as statements (r10): ENABLE
+    // CHANGEFEED (founding snapshot), MERGE, targeted DELETE, then
+    // `CHANGES BETWEEN 0 AND 2` — the per-(version, type) census the
+    // oracle recomputes as logical deltas from the raw table (v1
+    // preimages at original values, v2 deletes untouched by the merge).
+    "q329_sql_change_feed" -> ((s, dir) => {
+      register(s, dir)
+      val lake = graft.core.Scratch.dir("q329_lake")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q329_base AS
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem""".stripMargin)
+      s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q329_base " +
+        "ZORDER BY (l_suppkey, l_partkey) FILES 16 BITS 21")
+      s.sql(s"GRAFT ENABLE CHANGEFEED '$lake'")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q329_updates AS
+          |SELECT l_orderkey, l_partkey, l_suppkey,
+          |  l_quantity + 100.0 AS l_quantity
+          |FROM lineitem WHERE l_suppkey IN (3, 7)""".stripMargin)
+      s.sql(s"GRAFT MERGE INTO '$lake' KEY l_suppkey " +
+        "STATS (l_suppkey, l_partkey) FROM q329_updates")
+      s.sql(s"GRAFT DELETE FROM '$lake' STATS (l_suppkey, l_partkey) " +
+        "RANGE l_suppkey BETWEEN 5 AND 5 WHERE l_suppkey = 5")
+      s.sql(s"GRAFT CHANGES BETWEEN 0 AND 2 FROM '$lake' AS q329_feed")
+      s.sql(
+        """SELECT CAST(_commit_version AS BIGINT) AS commit_version,
+          |  _change_type AS change_type,
+          |  count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM q329_feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
   )
 
   /** Each SQL-surface query proves against its ORIGINAL's oracle,

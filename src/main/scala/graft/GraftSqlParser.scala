@@ -31,8 +31,17 @@ import graft.sources.LakeManifest
  *   GRAFT MERGE INTO '<dir>' KEY <dim> STATS (<c>, ...) FROM <updatesView>
  *   GRAFT DELETE FROM '<dir>' STATS (<c>, ...) RANGE <dim> BETWEEN <lo> AND <hi> WHERE <predicate>
  *   GRAFT VACUUM '<dir>' RETAIN <ms> MS
- *   GRAFT SELECT FROM '<dir>' [VERSION <v>] RANGE <dim> BETWEEN <lo> AND <hi> AS <outView>
- *   GRAFT TIME TRAVEL '<dir>' VERSION <v> AS <outView>
+ *   GRAFT SELECT FROM '<dir>' [VERSION <v>] [AT TIMESTAMP '<t>'] RANGE <dim> BETWEEN <lo> AND <hi> AS <outView>
+ *   GRAFT TIME TRAVEL '<dir>' (VERSION <v> | AT TIMESTAMP '<t>') AS <outView>
+ *   GRAFT ENABLE CHANGEFEED '<dir>'
+ *   GRAFT CHANGES BETWEEN <a> AND <b> FROM '<dir>' AS <outView>
+ *   GRAFT COMPACT '<dir>' TARGET <n> ROWS
+ *   GRAFT DELETE VECTORED FROM '<dir>' RANGE <dim> BETWEEN <lo> AND <hi> WHERE <predicate>
+ *
+ * `AT TIMESTAMP` accepts epoch millis, an ISO instant, or
+ * 'yyyy-MM-dd[ HH:mm:ss]' read as UTC, resolved to the greatest
+ * retained version committed at or before it (the Delta TIMESTAMP AS
+ * OF law; past the vacuum horizon it refuses loudly).
  *
  * SELECT/TIME TRAVEL register a temp view (the data stays distributed —
  * a DML statement must never funnel table rows to the driver) and
@@ -85,9 +94,32 @@ object GraftSqlParser {
   private val Vacuum =
     raw"(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+MS\s*".r
   private val Select =
-    raw"(?is)\s*GRAFT\s+SELECT\s+FROM\s+'([^']+)'(?:\s+VERSION\s+(\d+))?\s+RANGE\s+($Ident)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s+AS\s+($Ident)\s*".r
+    raw"(?is)\s*GRAFT\s+SELECT\s+FROM\s+'([^']+)'(?:\s+VERSION\s+(\d+))?(?:\s+AT\s+TIMESTAMP\s+'([^']+)')?\s+RANGE\s+($Ident)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s+AS\s+($Ident)\s*".r
   private val TimeTravel =
-    raw"(?is)\s*GRAFT\s+TIME\s+TRAVEL\s+'([^']+)'\s+VERSION\s+(\d+)\s+AS\s+($Ident)\s*".r
+    raw"(?is)\s*GRAFT\s+TIME\s+TRAVEL\s+'([^']+)'\s+(?:VERSION\s+(\d+)|AT\s+TIMESTAMP\s+'([^']+)')\s+AS\s+($Ident)\s*".r
+  private val EnableCdf =
+    raw"(?is)\s*GRAFT\s+ENABLE\s+CHANGEFEED\s+'([^']+)'\s*".r
+  private val Changes =
+    raw"(?is)\s*GRAFT\s+CHANGES\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s+FROM\s+'([^']+)'\s+AS\s+($Ident)\s*".r
+  private val Compact =
+    raw"(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'\s+TARGET\s+(\d+)\s+ROWS\s*".r
+  private val DeleteVectored =
+    raw"(?is)\s*GRAFT\s+DELETE\s+VECTORED\s+FROM\s+'([^']+)'\s+RANGE\s+($Ident)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s+WHERE\s+(.+?)\s*".r
+
+  /** `AT TIMESTAMP` operand: epoch millis, ISO instant, or
+    * 'yyyy-MM-dd[ HH:mm:ss]' read as UTC. */
+  private[graft] def parseTsMs(text: String): Long = {
+    val t = text.trim
+    if (t.forall(_.isDigit)) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        val iso = if (t.contains(' ')) t.replace(' ', 'T')
+          else if (t.contains('T')) t else s"${t}T00:00:00"
+        java.time.LocalDateTime.parse(iso)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
 
   /** The GRAFT statement grammar; None = not ours, delegate. */
   def parse(sqlText: String): Option[LogicalPlan] = {
@@ -131,19 +163,45 @@ object GraftSqlParser {
       case Vacuum(dir, ms) =>
         GraftLakeCommand(sqlText, Seq("n_reclaimed" -> LongType),
           s => Seq(Row(LakeManifest.vacuum(s, dir, ms.toLong).size.toLong)))
-      case Select(dir, version, dim, lo, hi, outView) =>
+      case Select(dir, version, atTs, dim, lo, hi, outView) =>
         GraftLakeCommand(sqlText, Seq("view" -> StringType), { s =>
+          val pin = Option(version).map(_.toInt)
+            .orElse(Option(atTs).map(t => LakeManifest.versionAt(s, dir, parseTsMs(t))))
           LakeManifest.readPruned(s, dir, Map(dim -> (lo.toLong, hi.toLong)),
-              version = Option(version).map(_.toInt))
+              version = pin)
             .createOrReplaceTempView(outView)
           Seq(Row(outView))
         })
-      case TimeTravel(dir, version, outView) =>
+      case TimeTravel(dir, version, atTs, outView) =>
         GraftLakeCommand(sqlText, Seq("view" -> StringType), { s =>
-          LakeManifest.timeTravel(s, dir, version.toInt)
+          val v = Option(version).map(_.toInt).getOrElse(
+            LakeManifest.versionAt(s, dir, parseTsMs(atTs)))
+          LakeManifest.timeTravel(s, dir, v)
             .createOrReplaceTempView(outView)
           Seq(Row(outView))
         })
+      case EnableCdf(dir) =>
+        GraftLakeCommand(sqlText, Seq("enabled_at_version" -> LongType),
+          s => Seq(Row(LakeManifest.enableChangeFeed(s, dir).toLong)))
+      case Changes(a, b, dir, outView) =>
+        GraftLakeCommand(sqlText, Seq("view" -> StringType), { s =>
+          LakeManifest.changesBetween(s, dir, a.toInt, b.toInt)
+            .createOrReplaceTempView(outView)
+          Seq(Row(outView))
+        })
+      case Compact(dir, target) =>
+        GraftLakeCommand(sqlText,
+          Seq("n_compacted" -> LongType, "n_written" -> LongType), { s =>
+            val (c, w) = LakeManifest.reoptimizeBinned(s, dir, target.toLong)
+            Seq(Row(c.toLong, w.toLong))
+          })
+      case DeleteVectored(dir, dim, lo, hi, predicate) =>
+        GraftLakeCommand(sqlText,
+          Seq("n_deleted" -> LongType, "n_files_rewritten" -> LongType), { s =>
+            val (d, f) = LakeManifest.deleteWhereDV(s, dir,
+              Map(dim -> (lo.toLong, hi.toLong)), expr(predicate))
+            Seq(Row(d, f.toLong))
+          })
       case other => throw new IllegalArgumentException(
         s"malformed GRAFT statement (see GraftSqlParser's grammar): $other")
     }

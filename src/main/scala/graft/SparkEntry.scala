@@ -12012,6 +12012,31 @@ object SparkEntry {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |WHERE l_suppkey = 3
           |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+      // SQL time travel at a pre-merge timestamp == the raw table
+      "q328_sql_time_travel" ->
+        """SELECT l_suppkey % 25 AS supp_band,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the statement-driven feed's logical deltas: v0 founding
+      // snapshot, v1 merge preimage (original) / postimage (+100) of
+      // suppkeys {3,7}, v2 delete of suppkey 5 (untouched by the merge)
+      "q329_sql_change_feed" ->
+        """WITH li AS (SELECT l_suppkey, l_quantity FROM lineitem),
+          |feed AS (
+          |  SELECT 0 AS commit_version, 'insert' AS change_type, l_quantity AS q FROM li
+          |  UNION ALL
+          |  SELECT 1, 'update_preimage', l_quantity FROM li WHERE l_suppkey IN (3, 7)
+          |  UNION ALL
+          |  SELECT 1, 'update_postimage', l_quantity + 100.0 FROM li WHERE l_suppkey IN (3, 7)
+          |  UNION ALL
+          |  SELECT 2, 'delete', l_quantity FROM li WHERE l_suppkey = 5)
+          |SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     )
   }
 }

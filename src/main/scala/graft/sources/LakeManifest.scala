@@ -854,6 +854,29 @@ object LakeManifest {
   def readAt(spark: SparkSession, dir: String, version: Int): DataFrame =
     spark.read.parquet(historyPath(dir, version))
 
+  /**
+   * Timestamp → version resolution (the Delta `TIMESTAMP AS OF` law):
+   * the greatest RETAINED version committed at or before `tsMs`.
+   * Commit times are the immutable per-version history dirs' write
+   * times — linear history makes them monotone in version. Vacuumed
+   * versions are gone from the listing, so a timestamp older than the
+   * horizon refuses loudly here (the [[timeTravel]] law), never
+   * silently resolves to a later state.
+   */
+  def versionAt(spark: SparkSession, dir: String, tsMs: Long): Int = {
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val histRoot = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history")
+    require(fsys.exists(histRoot), s"$dir has no version history")
+    val vs = fsys.listStatus(histRoot).filter(_.isDirectory).map(h =>
+      (h.getPath.getName.stripPrefix("v").toInt, h.getModificationTime))
+    val ok = vs.filter(_._2 <= tsMs)
+    require(ok.nonEmpty,
+      s"no retained version of $dir at or before ts=$tsMs " +
+        s"(earliest retained commit: ${if (vs.isEmpty) "none" else vs.map(_._2).min.toString})")
+    ok.maxBy(_._1)._1
+  }
+
   // ---- schema evolution -----------------------------------------------
 
   private def schemasDir(dir: String) = s"$dir/$ManifestDir/schemas"

@@ -69,6 +69,43 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 8500L - preA7 + 100L - preDel)
   }
 
+  test("r10 statements: AT TIMESTAMP travel, ENABLE CHANGEFEED + CHANGES, COMPACT, DELETE VECTORED") {
+    val dir = tmpDir("sqldml-r10")
+    corpus(4000L).createOrReplaceTempView("sqldml10_base")
+    spark.sql(s"GRAFT BOOTSTRAP '$dir' FROM sqldml10_base ZORDER BY (a, b) FILES 8 BITS 9")
+    assert(spark.sql(s"GRAFT ENABLE CHANGEFEED '$dir'").head().getLong(0) == 0L)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(50)
+
+    // DELETE VECTORED: merge-on-read — accounting must report 0 rewrites
+    val preDel = LakeManifest.readPruned(spark, dir, Map("a" -> (0L, 255L)))
+      .where(col("id") % 5 === 0).count()
+    val dv = spark.sql(s"GRAFT DELETE VECTORED FROM '$dir' " +
+      "RANGE a BETWEEN 0 AND 255 WHERE id % 5 = 0").head()
+    assert(dv.getLong(0) == preDel && dv.getLong(1) == 0L)
+
+    // AT TIMESTAMP resolves to the pre-delete version (both spellings)
+    spark.sql(s"GRAFT TIME TRAVEL '$dir' AT TIMESTAMP '$t0' AS sqldml10_tt")
+    assert(spark.sql("SELECT count(*) FROM sqldml10_tt").head().getLong(0) == 4000L)
+    spark.sql(s"GRAFT SELECT FROM '$dir' AT TIMESTAMP '$t0' " +
+      "RANGE a BETWEEN 0 AND 255 AS sqldml10_sel")
+    assert(spark.sql("SELECT count(*) FROM sqldml10_sel").head().getLong(0) == 4000L)
+
+    // CHANGES BETWEEN reads the feed: v0 snapshot + v1 deletes
+    spark.sql(s"GRAFT CHANGES BETWEEN 0 AND 1 FROM '$dir' AS sqldml10_feed")
+    val byType = spark.sql(
+      "SELECT _change_type, count(*) FROM sqldml10_feed GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") == 4000L && byType("delete") == preDel)
+
+    // COMPACT executes the bin plan (folds the vectors too)
+    val cp = spark.sql(s"GRAFT COMPACT '$dir' TARGET 2000 ROWS").head()
+    assert(cp.getLong(0) == 8L && cp.getLong(1) == 2L)
+    assert(LakeManifest.deletionVectorCount(spark, dir) == 0L)
+    assert(LakeManifest.readPruned(spark, dir, Map("a" -> (0L, 255L))).count()
+      == 4000L - preDel)
+  }
+
   test("non-GRAFT SQL delegates untouched; malformed GRAFT fails loudly pre-mutation") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     val dir = tmpDir("sqldml-err")
