@@ -5715,6 +5715,50 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("n_parts"))
         .orderBy(col("o_orderpriority"))
     }),
+
+    // Q330 — ST2g incremental view maintenance over the change feed:
+    // a grouped sum/count view kept exact through an upsert wave and a
+    // DV delete by folding feed batches into per-group deltas
+    // (+ for insert/postimage, − for preimage/delete) and merging at
+    // file-touch cost — the source is never rescanned. Applied here as
+    // two deterministic catch-up slices (v0–v1, then v2) through the
+    // SAME fenced operator the streaming maintainer runs; the oracle
+    // recomputes the final grouped state relationally. Values ride as
+    // exact integer cents (whole-valued quantities ×100). At 100 TB
+    // each batch costs O(changed groups), which is what makes a
+    // downstream aggregate affordable against a mutating lake.
+    "q330_cdf_incremental_view" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("l_cents"))
+      val lake = graft.core.Scratch.dir("q330_lake")
+      val view = graft.core.Scratch.dir("q330_view")
+      import graft.sources.LakeManifest
+      val dims = Seq("l_orderkey" -> col("l_orderkey"),
+        "l_suppkey" -> col("l_suppkey"))
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(lake)
+      LakeManifest.write(s, lake, dims)
+      LakeManifest.enableChangeFeed(s, lake) // v0 founding snapshot
+      LakeManifest.upsert(s, lake, dims, "l_orderkey",
+        li.where(col("l_orderkey") % 5 === 0)
+          .withColumn("l_cents", col("l_cents") + 1000L)) // v1
+      LakeManifest.deleteWhereDV(s, lake,
+        Map("l_orderkey" -> (Long.MinValue, Long.MaxValue)),
+        col("l_orderkey") % 7 === 2) // v2: merge-on-read
+      import graft.streaming.IngestStream.applyCdfDeltaBatch
+      applyCdfDeltaBatch(LakeManifest.changesBetween(s, lake, 0, 1),
+        view, "l_suppkey", col("l_cents"), 0L, numFiles = 8)
+      applyCdfDeltaBatch(LakeManifest.changesBetween(s, lake, 2, 2),
+        view, "l_suppkey", col("l_cents"), 1L, numFiles = 8)
+      LakeManifest.readPruned(s, view,
+          Map("g" -> (Long.MinValue, Long.MaxValue)))
+        .where(col("n_v") > 0L)
+        .select(col("g"), col("sum_v"), col("n_v"))
+        .orderBy(col("g"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -12019,6 +12063,19 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_rows,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the maintained view == the grouped final state, recomputed
+      // relationally (upserted keys at +1000 cents, %7=2 keys deleted)
+      "q330_cdf_incremental_view" ->
+        """WITH li AS (SELECT l_orderkey, l_suppkey,
+          |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          |  FROM lineitem),
+          |st AS (SELECT l_suppkey,
+          |    CASE WHEN l_orderkey % 5 = 0 THEN cents + 1000 ELSE cents END AS c
+          |  FROM li WHERE l_orderkey % 7 <> 2)
+          |SELECT l_suppkey AS g, CAST(sum(c) AS BIGINT) AS sum_v,
+          |  CAST(count(*) AS BIGINT) AS n_v
+          |FROM st GROUP BY 1 ORDER BY g""".stripMargin,
 
       // the statement-driven feed's logical deltas: v0 founding
       // snapshot, v1 merge preimage (original) / postimage (+100) of

@@ -410,6 +410,150 @@ object IngestStream {
     result
   }
 
+  /**
+   * INCREMENTAL VIEW MAINTENANCE over a change feed (ST2g, r10 — the
+   * downstream that justifies a tailable lake): keep a grouped
+   * sum/count VIEW LAKE exactly in sync with a CDF-enabled source by
+   * folding each feed batch into per-group DELTAS and merging them at
+   * file-touch cost — the view never rescans the source. The IVM
+   * algebra: insert/update_postimage contribute +value/+1,
+   * update_preimage/delete contribute −value/−1 (sums and counts are
+   * self-inverting); deltas from any number of source versions fold
+   * linearly, so catch-up batches need no per-version replay. A group
+   * whose count reaches 0 stays as an n_v = 0 row (the view's
+   * tombstone-as-row convention — readers filter `n_v > 0`), keeping
+   * every batch ONE lake commit.
+   *
+   * EXACTLY-ONCE under replay, without content idempotency (an
+   * additive merge double-applies if replayed — the last-writer-wins
+   * trick [[commitCdcBatchToLake]] uses is unavailable): the witness
+   * carries the PLANNED view version and the merge commits with a CAS
+   * on it, so replay resolution is pure version arithmetic —
+   *   witness(batch B, planned v, not done) + view at v   → the merge
+   *     never landed: redo it (CAS v still holds);
+   *   witness(batch B, planned v, not done) + view at v+1 → the merge
+   *     landed, only the done-mark crashed: mark done, skip;
+   *   witness done for B (or B below the fence)           → skip.
+   * Single writer per view lake, as with every lake sink here.
+   * `crashPoint`: 1 = post-witness/pre-merge, 2 = post-merge/pre-done,
+   * 3 = post-done.
+   *
+   * At 100 TB: each batch costs O(changed groups) — one pruned read of
+   * the touched group band + one key-band merge; the source is only
+   * ever read through its change records.
+   */
+  def applyCdfDeltaBatch(
+      batch: DataFrame, viewDir: String, groupDim: String,
+      valueCol: org.apache.spark.sql.Column, batchId: Long,
+      numFiles: Int = 8,
+      crashPoint: Int => Unit = _ => ()): (Long, Long) = {
+    import graft.sources.LakeManifest
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val witnessPath = new org.apache.hadoop.fs.Path(
+      s"$viewDir/${LakeManifest.ManifestDir}/IVMBATCH")
+    def readWitness(): Option[(Long, Int, Boolean)] =
+      if (!fs.exists(witnessPath)) None
+      else {
+        val in = fs.open(witnessPath)
+        val parts = (try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close())
+          .trim.split('\t')
+        Some((parts(0).toLong, parts(1).toInt, parts(2) == "1"))
+      }
+    def writeWitness(b: Long, planned: Int, done: Boolean): Unit = {
+      val out = fs.create(witnessPath, true)
+      try out.write(s"$b\t$planned\t${if (done) "1" else "0"}".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    }
+    def hasView: Boolean = try {
+      LakeManifest.currentVersion(spark, viewDir); true
+    } catch { case _: java.io.IOException | _: java.io.FileNotFoundException => false }
+
+    val w = readWitness()
+    w match {
+      case Some((b, _, done)) if batchId < b || (batchId == b && done) =>
+        return (0L, 0L) // fenced: a committed batch replays as a no-op
+      case Some((b, planned, false)) if batchId == b && planned >= 0 &&
+        hasView && LakeManifest.currentVersion(spark, viewDir) == planned + 1 =>
+        writeWitness(b, planned, done = true) // merge landed, mark crashed
+        return (0L, 0L)
+      case _ => () // fresh batch, or a replay whose commit never landed
+    }
+    val deltas = batch
+      .withColumn("__sign", when(col(LakeManifest.ChangeTypeCol)
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L))
+      .groupBy(col(groupDim).as("g"))
+      .agg(sum(valueCol.cast("long") * col("__sign")).as("d_sum"),
+        sum(col("__sign")).as("d_n"))
+      .localCheckpoint(true)
+    val nGroups = deltas.count()
+    if (nGroups == 0) { writeWitness(batchId, -2, done = true); return (0L, 0L) }
+    val viewStats = Seq("g" -> col("g"))
+    if (!hasView || w.isEmpty) {
+      // bootstrap — taken whenever NO witness exists, even if a view
+      // does: under the single-writer contract a witness-less view can
+      // only be a bootstrap that crashed between its manifest commit
+      // and its witness (the parquet overwrite deletes any pre-written
+      // witness, so the witness can only land AFTER), and redoing a
+      // bootstrap is an idempotent overwrite at every crash point —
+      // whereas a merge replay over it would double-apply
+      crashPoint(1)
+      deltas.select(col("g"), col("d_sum").as("sum_v"), col("d_n").as("n_v"))
+        .repartitionByRange(numFiles, col("g")).sortWithinPartitions(col("g"))
+        .write.mode("overwrite").parquet(viewDir)
+      LakeManifest.write(spark, viewDir, viewStats)
+      crashPoint(2)
+      writeWitness(batchId, -1, done = true)
+      crashPoint(3)
+      (nGroups, nGroups)
+    } else {
+      val v = LakeManifest.currentVersion(spark, viewDir)
+      writeWitness(batchId, v, done = false)
+      crashPoint(1)
+      val band = deltas.agg(min(col("g")).cast("long"),
+        max(col("g")).cast("long")).head()
+      val cur = LakeManifest.readPruned(spark, viewDir,
+        Map("g" -> (band.getLong(0), band.getLong(1))))
+      val updates = deltas.join(cur, Seq("g"), "left")
+        .select(col("g"),
+          (coalesce(col("sum_v"), lit(0L)) + col("d_sum")).as("sum_v"),
+          (coalesce(col("n_v"), lit(0L)) + col("d_n")).as("n_v"))
+      val (_, written, _) = LakeManifest.upsert(spark, viewDir,
+        viewStats, "g", updates, expectedVersion = Some(v))
+      crashPoint(2)
+      writeWitness(batchId, v, done = true)
+      crashPoint(3)
+      (nGroups, written)
+    }
+  }
+
+  /** The [[applyCdfDeltaBatch]] maintainer wired to the
+    * `graft-lake-cdf` tail: the view lake converges to
+    * `source.groupBy(groupDim).agg(sum, count)` incrementally, at
+    * O(changed groups) per micro-batch. */
+  def startCdfAggregateView(
+      sourceLakeDir: String,
+      viewDir: String,
+      checkpointDir: String,
+      groupDim: String,
+      valueCol: org.apache.spark.sql.Column,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      numFiles: Int = 8): StreamingQuery = {
+    val spark = SparkSession.active
+    spark.readStream.format("graft-lake-cdf")
+      .option("path", sourceLakeDir).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdfDeltaBatch(batch, viewDir, groupDim, valueCol, batchId, numFiles)
+        ()
+      }
+      .start()
+  }
+
   /** The CDC changelog stream wired to [[commitCdcBatchToLake]]: the
     * lake IS the keyed current-state materialized view, queryable
     * (pruned, versioned) mid-stream. */

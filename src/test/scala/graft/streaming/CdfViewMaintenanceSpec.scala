@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.LakeManifest
+
+/**
+ * Incremental view maintenance over the change feed (ST2g): the view
+ * lake must equal `source.groupBy(g).agg(sum(v), count)` after every
+ * drained batch — WITHOUT ever rescanning the source — and stay exact
+ * under replays and crashes at every protocol point. The additive
+ * merge has no content idempotency to hide behind (replaying a delta
+ * double-adds), so the laws here pin the version-arithmetic fence:
+ *
+ *  1. convergence: inserts, updates (pre+post), DV deletes and
+ *     maintenance commits all fold to the exact grouped aggregate;
+ *  2. a replayed batch id is a no-op at EVERY crash point (pre-merge,
+ *     post-merge/pre-done, post-done) — the planned-version CAS
+ *     distinguishes "merge landed" from "merge lost" exactly;
+ *  3. the streaming wrapper composes with a checkpoint restart.
+ */
+class CdfViewMaintenanceSpec extends SparkSpec {
+
+  private val dims = Seq("k" -> col("k"), "g" -> col("g"))
+  private final class Boom extends RuntimeException("injected crash")
+
+  private def mkRows(from: Long, n: Long, v: Long): DataFrame =
+    spark.range(from, from + n).select(col("id").as("k"),
+      (col("id") % 10L).as("g"), lit(v).as("v"))
+
+  private def bootstrapSource(dir: String, df: DataFrame): Unit = {
+    df.repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    LakeManifest.write(spark, dir, dims)
+    LakeManifest.enableChangeFeed(spark, dir)
+    ()
+  }
+
+  private def viewState(viewDir: String): Map[Long, (Long, Long)] =
+    LakeManifest.readPruned(spark, viewDir, Map("g" -> (Long.MinValue, Long.MaxValue)))
+      .where(col("n_v") > 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  private def expectedState(sourceDir: String): Map[Long, (Long, Long)] =
+    LakeManifest.readPruned(spark, sourceDir, Map("k" -> (Long.MinValue, Long.MaxValue)))
+      .groupBy(col("g")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("deterministic feed slices: the view converges through inserts, updates, DV deletes, maintenance") {
+    val src = tmpDir("ivm-src"); val view = tmpDir("ivm-view")
+    bootstrapSource(src, mkRows(0L, 1000L, 1L)) // v0 + snapshot record
+    LakeManifest.upsert(spark, src, dims, "k",
+      mkRows(200L, 300L, 5L)) // v1: updates
+    LakeManifest.deleteWhereDV(spark, src,
+      Map("k" -> (Long.MinValue, Long.MaxValue)), col("k") < 100L) // v2
+    LakeManifest.reoptimize(spark, src, "k", "g", numFiles = 4) // v3: none
+    LakeManifest.upsert(spark, src, dims, "k",
+      mkRows(1000L, 50L, 7L)) // v4: pure inserts
+    // apply the feed as two catch-up batches (multi-version folds)
+    IngestStream.applyCdfDeltaBatch(
+      LakeManifest.changesBetween(spark, src, 0, 2), view, "g", col("v"), 0L)
+    // mid-point law: the view equals the grouped source AS OF v2
+    val atV2 = LakeManifest.timeTravel(spark, src, 2)
+      .groupBy(col("g")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viewState(view) == atV2, "view != grouped source as of v2")
+    IngestStream.applyCdfDeltaBatch(
+      LakeManifest.changesBetween(spark, src, 3, 4), view, "g", col("v"), 1L)
+    assert(viewState(view) == expectedState(src), "view != grouped source")
+  }
+
+  test("replay fencing: every crash point replays as a no-op, never a double-apply") {
+    // BOOTSTRAP crash coverage: the planned = -1 witness makes a
+    // replayed bootstrap either an idempotent overwrite (write lost)
+    // or a no-op (write landed, done-mark lost)
+    for (cp <- 1 to 3) {
+      val srcB = tmpDir(s"ivm-boot$cp-src"); val viewB = tmpDir(s"ivm-boot$cp-view")
+      bootstrapSource(srcB, mkRows(0L, 500L, 1L))
+      val feed0 = LakeManifest.changesBetween(spark, srcB, 0, 0)
+      intercept[Boom] {
+        IngestStream.applyCdfDeltaBatch(feed0, viewB, "g", col("v"), 0L,
+          crashPoint = p => if (p == cp) throw new Boom)
+      }
+      IngestStream.applyCdfDeltaBatch(feed0, viewB, "g", col("v"), 0L)
+      assert(viewState(viewB) == expectedState(srcB),
+        s"bootstrap crash point $cp: replay corrupted the view")
+    }
+    // MERGE crash coverage: batch 1 = an update wave; crash at each
+    // protocol point, replay the SAME batch id (what foreachBatch
+    // does), then proceed
+    for (cp <- 1 to 3) {
+      val srcC = tmpDir(s"ivm-cp$cp-src"); val viewC = tmpDir(s"ivm-cp$cp-view")
+      bootstrapSource(srcC, mkRows(0L, 500L, 1L))
+      IngestStream.applyCdfDeltaBatch(
+        LakeManifest.changesBetween(spark, srcC, 0, 0), viewC, "g", col("v"), 0L)
+      LakeManifest.upsert(spark, srcC, dims, "k", mkRows(100L, 200L, 9L)) // v1
+      val feed = LakeManifest.changesBetween(spark, srcC, 1, 1)
+      intercept[Boom] {
+        IngestStream.applyCdfDeltaBatch(feed, viewC, "g", col("v"), 1L,
+          crashPoint = p => if (p == cp) throw new Boom)
+      }
+      IngestStream.applyCdfDeltaBatch(feed, viewC, "g", col("v"), 1L) // replay
+      assert(viewState(viewC) == expectedState(srcC),
+        s"crash point $cp: replay corrupted the view")
+      // a SECOND replay of the committed batch is a pure no-op
+      val vNow = LakeManifest.currentVersion(spark, viewC)
+      assert(IngestStream.applyCdfDeltaBatch(feed, viewC, "g", col("v"), 1L)
+        == ((0L, 0L)))
+      assert(LakeManifest.currentVersion(spark, viewC) == vNow)
+    }
+  }
+
+  test("streaming wrapper: checkpointed maintainer resumes without double-applying") {
+    val src = tmpDir("ivm-stream-src"); val view = tmpDir("ivm-stream-view")
+    val ckpt = tmpDir("ivm-stream-ckpt")
+    bootstrapSource(src, mkRows(0L, 800L, 2L))
+    def drain(): Unit = {
+      val q = IngestStream.startCdfAggregateView(src, view, ckpt, "g", col("v"),
+        Trigger.ProcessingTime("50 milliseconds"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(viewState(view) == expectedState(src))
+    LakeManifest.upsert(spark, src, dims, "k", mkRows(300L, 400L, 6L))
+    LakeManifest.deleteWhereDV(spark, src,
+      Map("k" -> (Long.MinValue, Long.MaxValue)), col("k") % 13L === 0L)
+    drain() // restart from the checkpoint
+    assert(viewState(view) == expectedState(src))
+    drain() // idle restart: nothing re-applied
+    assert(viewState(view) == expectedState(src))
+  }
+}
