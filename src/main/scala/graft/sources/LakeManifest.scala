@@ -367,8 +367,13 @@ object LakeManifest {
         case ("none", _) => None
         case ("files", names) if names.isEmpty => None
         case ("files", names) =>
-          Some(spark.read.schema(dataSchema)
-            .parquet(names.map(n => s"$dir/$n"): _*)
+          // DV state AS OF v folds in: a founding snapshot taken over a
+          // DV-bearing lake must not replay vectored rows as inserts
+          // (fresh append files carry no vectors at their version, so
+          // this is a no-op for refresh records); LATER vectors on
+          // these files stay out — they emit their own delete rows
+          Some(applyDv(spark, dir, v, spark.read.schema(dataSchema)
+              .parquet(names.map(n => s"$dir/$n"): _*))
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v.toLong)))
         case ("rows", _) =>

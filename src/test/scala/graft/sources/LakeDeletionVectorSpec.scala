@@ -135,6 +135,24 @@ class LakeDeletionVectorSpec extends SparkSpec {
     assert(readAll(dir).size == 450)
   }
 
+  test("a founding snapshot over a DV-bearing lake excludes the vectored rows") {
+    val dir = tmpDir("dv-snap")
+    bootstrap(dir, 400)
+    LakeManifest.deleteWhereDV(spark, dir, fullRange, col("k") < 40L) // v1
+    // enable AFTER the delete: the snapshot record is the v1 file list,
+    // read with v1's vectors folded in — never the raw file contents
+    val v = LakeManifest.enableChangeFeed(spark, dir)
+    assert(v == 1)
+    val snap = LakeManifest.changesBetween(spark, dir, 1, 1)
+      .select(col("k"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap.size == 360 && !snap.keySet.exists(_ < 40L),
+      "founding snapshot replayed deletion-vectored rows")
+    assert(snap == LakeManifest.readPruned(spark, dir, fullRange)
+      .select(col("k"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("CDF interplay: DV commits write the same change records as CoW") {
     val dir = tmpDir("dv-cdf")
     bootstrap(dir, 500)
