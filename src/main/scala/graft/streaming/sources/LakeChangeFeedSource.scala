@@ -56,27 +56,48 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-lake-cdf: option 'path' (the lake directory) is required"))
 
+  private def columnsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("columns").map(_.split(',').map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  private def prunedSchema(spark: org.apache.spark.sql.SparkSession,
+      dir: String, columns: Seq[String]): StructType = {
+    val full = LakeManifest.changeFeedSchema(spark, dir)
+    if (columns.isEmpty) full
+    else StructType(full.fields.filter(f => columns.contains(f.name) ||
+      f.name == LakeManifest.ChangeTypeCol ||
+      f.name == LakeManifest.CommitVersionCol))
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("graft-lake-cdf",
-      LakeManifest.changeFeedSchema(sqlContext.sparkSession, dirOf(parameters)))
+    ("graft-lake-cdf", prunedSchema(sqlContext.sparkSession,
+      dirOf(parameters), columnsOf(parameters)))
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new LakeChangeFeedStreamSource(sqlContext, dirOf(parameters),
-      parameters.get("startingVersion").map(_.toInt))
+      parameters.get("startingVersion").map(_.toInt),
+      columnsOf(parameters), parameters.get("consumerId"))
 }
 
 class LakeChangeFeedStreamSource(
-    sqlContext: SQLContext, dir: String, startingVersion: Option[Int])
+    sqlContext: SQLContext, dir: String, startingVersion: Option[Int],
+    columns: Seq[String] = Nil, consumerId: Option[String] = None)
   extends Source {
 
   private val spark = sqlContext.sparkSession
 
-  override val schema: StructType = LakeManifest.changeFeedSchema(spark, dir)
+  override val schema: StructType = {
+    val full = LakeManifest.changeFeedSchema(spark, dir)
+    if (columns.isEmpty) full
+    else StructType(full.fields.filter(f => columns.contains(f.name) ||
+      f.name == LakeManifest.ChangeTypeCol ||
+      f.name == LakeManifest.CommitVersionCol))
+  }
 
   /** Earliest version this tail may start at: the explicit option, else
     * the earliest retained change record (the enablement snapshot on a
@@ -97,17 +118,39 @@ class LakeChangeFeedStreamSource(
   private def versionOf(o: V1Offset): Long = o.json().trim.toLong
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    // start=None with a defined end but NO resolvable start version
+    // means the change records this tail planned from were vacuumed
+    // between getOffset and getBatch — refuse LOUDLY (the retention
+    // law); fabricating an empty batch would silently skip versions
     val from = start.map(versionOf(_) + 1L)
       .orElse(startVersion.map(_.toLong))
-      .getOrElse(versionOf(end) + 1L) // no data yet: empty batch below
+      .getOrElse(throw new IllegalStateException(
+        s"graft-lake-cdf: no retained change record to start from on " +
+          s"$dir (records vacuumed between offset resolution and batch " +
+          "read) — raise the lake's retention above this consumer's " +
+          "lag, or re-seed with option(\"startingVersion\", …)"))
     val to = versionOf(end)
     val batch =
       if (from > to)
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else LakeManifest.changesBetween(spark, dir, from.toInt, to.toInt)
+      else {
+        val cols = // prune the DATA columns only; markers always ride
+          if (columns.isEmpty) Nil
+          else schema.fieldNames.toSeq
+            .filterNot(n => n == LakeManifest.ChangeTypeCol ||
+              n == LakeManifest.CommitVersionCol)
+        LakeManifest.changesBetween(spark, dir, from.toInt, to.toInt, cols)
+      }
     // a v1 getBatch result must carry isStreaming=true on its leaves
     org.apache.spark.sql.graftbridge.Bridge.asStreamingBatch(batch)
   }
+
+  /** Micro-batch committed: advance this consumer's registered version
+    * so [[LakeManifest.vacuum]]'s consumer-lag guard holds the horizon
+    * above the slowest registered tail (no-op for anonymous tails). */
+  override def commit(end: V1Offset): Unit =
+    consumerId.foreach(id =>
+      LakeManifest.registerCdfConsumer(spark, dir, id, versionOf(end).toInt))
 
   override def stop(): Unit = ()
 }

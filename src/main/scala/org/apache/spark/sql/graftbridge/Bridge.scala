@@ -115,9 +115,22 @@ object Bridge {
     val plan =
       if (colStats.isEmpty) base
       else {
+        // only INTEGRAL physical columns can carry these stats: the
+        // manifest min/max are raw Long strings, and CatalogColumnStat
+        // .fromExternalString parses PER-TYPE — a Date/Timestamp column
+        // fed a Long string would throw inside CBO FilterEstimation,
+        // failing the query only when cbo.enabled is on. Derived dims
+        // and non-integral columns stay out (never a lying estimate).
+        val integral: String => Boolean = name =>
+          schema.fields.find(_.name == name).exists(_.dataType match {
+            case org.apache.spark.sql.types.ByteType |
+              org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.LongType => true
+            case _ => false
+          })
         val perCol = colStats.collect {
-          // only physical columns can carry stats; derived dims stay out
-          case (name, (mn, mx, ndv)) if schema.fieldNames.contains(name) =>
+          case (name, (mn, mx, ndv)) if integral(name) =>
             name -> CatalogColumnStat(
               distinctCount = Some(BigInt(ndv)),
               min = Some(mn.toString), max = Some(mx.toString),

@@ -69,6 +69,7 @@ class PlanAuditSpec extends SparkSpec {
     // documented blind spot); the joined side is 1 row by construction.
     "q229_mann_whitney" -> "bounded replication: the view-baseline day census joins every non-view type on a constant key (Spark folds it to a cross join) — type-domain x calendar rows, structurally bounded",
     "q242_join_cardinality" -> "single-row broadcasts: per relation, the 1-row (n, d) stats frames and the 1-row actual-count combine (1 x 1 x 1 by construction — the q142 pattern)",
+    "q306_mutual_information" -> "single-row broadcast per pair: the 1-row grand-total crossJoins onto the contingency cells (1 x cells rows, category-domain bounded — the q97 pattern, replacing the old single-partition global window)",
     "q246_dedup_digest" -> "single-row broadcast: the 1-row input count crossJoins the 1-row kept-corpus rollup (1 x 1 by construction — the q142 pattern)",
     // q236_markov_accuracy: the 1-row calendar split crossJoin sits behind
     // the marked-transitions localCheckpoint (the documented blind spot);
