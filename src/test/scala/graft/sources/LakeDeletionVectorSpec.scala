@@ -153,6 +153,59 @@ class LakeDeletionVectorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("delta encoding: per-commit DV bytes scale with NEW deletions, not state size") {
+    val dir = tmpDir("dv-delta")
+    bootstrap(dir, 4000)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def genRows(name: String): Long =
+      spark.read.parquet(s"$dir/${LakeManifest.ManifestDir}/dv/$name").count()
+    def genBytes(name: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(
+        s"$dir/${LakeManifest.ManifestDir}/dv/$name")).getLength
+    // one BIG delete builds up state…
+    val (nBig, _) = LakeManifest.deleteWhereDV(spark, dir, fullRange,
+      col("k") % 5L === 0L) // 800 rows → v1
+    assert(nBig == 800L && genRows("delta_v1") == 800L)
+    // …then a stream of SMALL deletes: each commit's generation holds
+    // ONLY its own pairs (the r10 design rewrote prior∪new every time —
+    // a 1-row delete over billions of positions would rewrite them all)
+    val smallBytes = (0 until 4).map { i =>
+      val key = 1L + 5L * i // not %5-deleted, one row each
+      val (n, _) = LakeManifest.deleteWhereDV(spark, dir, fullRange,
+        col("k") === key)
+      assert(n == 1L)
+      val gen = s"delta_v${2 + i}"
+      assert(genRows(gen) == 1L,
+        s"$gen must hold only its OWN pairs, got ${genRows(gen)}")
+      genBytes(gen)
+    }
+    // a small commit's bytes are a fraction of the big generation's —
+    // the O(new deletions) law, asserted on real file sizes
+    assert(smallBytes.max < genBytes("delta_v1") / 2,
+      s"small-delete generation bytes ${smallBytes.max} should be far " +
+        s"below the 800-row generation ${genBytes("delta_v1")}")
+    // resolution still unions everything in force…
+    assert(LakeManifest.deletionVectorCount(spark, dir) == 804L)
+    assert(LakeManifest.readPruned(spark, dir, fullRange).count() ==
+      4000L - 804L)
+    // …and respects versions: at v1 only the big delete is in force
+    assert(LakeManifest.timeTravel(spark, dir, 1).count() == 4000L - 800L)
+    assert(LakeManifest.timeTravel(spark, dir, 3).count() == 4000L - 802L)
+    // maintenance folds to a BASE that supersedes every delta
+    LakeManifest.reoptimize(spark, dir, "k", "u", numFiles = 4)
+    assert(LakeManifest.deletionVectorCount(spark, dir) == 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${LakeManifest.ManifestDir}/dv/base_v6")))
+    // post-fold deletes start a fresh delta chain above the base
+    LakeManifest.deleteWhereDV(spark, dir, fullRange, col("k") === 2L)
+    assert(LakeManifest.deletionVectorCount(spark, dir) == 1L)
+    assert(LakeManifest.readPruned(spark, dir, fullRange).count() ==
+      4000L - 805L)
+    // pre-fold versions still resolve their own delta chains
+    assert(LakeManifest.timeTravel(spark, dir, 5).count() == 4000L - 804L)
+  }
+
   test("CDF interplay: DV commits write the same change records as CoW") {
     val dir = tmpDir("dv-cdf")
     bootstrap(dir, 500)

@@ -460,4 +460,32 @@ class LakeManifestSpec extends SparkSpec {
       "a clone surviving a source vacuum would mean data was copied - " +
         "the zero-copy contract makes this loss expected and documented")
   }
+
+  test("versionAt resolves explicit commit stamps — exact on a clone, where mtimes are fresh") {
+    val src = tmpDir("ts_src")
+    val cln = tmpDir("ts_dst_parent") + "/lake"
+    LakeManifest.optimize(corpus(2000L), src, "a", "b", numFiles = 2, bits = 9) // v0
+    Thread.sleep(5L) // strictly order the stamps
+    LakeManifest.append(corpus(2200L).where(col("id") >= 2000L), src)
+    LakeManifest.refresh(spark, src, Seq("a" -> col("a"), "b" -> col("b"))) // v1
+    val t0 = LakeManifest.commitTimeOf(spark, src, 0)
+    val t1 = LakeManifest.commitTimeOf(spark, src, 1)
+    assert(t0 < t1, "commit stamps must be strictly ordered across the sleep")
+    assert(LakeManifest.versionAt(spark, src, t0) == 0)
+    assert(LakeManifest.versionAt(spark, src, t1) == 1)
+    // the clone copies the stamps byte-for-byte; its DIRECTORY mtimes
+    // are fresh (all AFTER t1), so mtime-based resolution would refuse
+    // every pre-clone instant — the r10 ADVICE bug this pins shut
+    Thread.sleep(5L)
+    LakeManifest.shallowClone(spark, src, cln)
+    assert(LakeManifest.commitTimeOf(spark, cln, 0) == t0)
+    assert(LakeManifest.versionAt(spark, cln, t0) == 0,
+      "pre-clone instants must resolve on the clone")
+    assert(LakeManifest.versionAt(spark, cln, t1) == 1)
+    // older than the lake's first commit still refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      LakeManifest.versionAt(spark, cln, t0 - 60000L)
+    }
+    assert(e.getMessage.contains("no retained version"))
+  }
 }

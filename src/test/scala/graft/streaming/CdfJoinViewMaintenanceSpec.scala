@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.LakeManifest
+
+/**
+ * CDF-driven JOIN-view maintenance (ST2h, the r10 judge's task 3): a
+ * grouped sum/count view over `L ⋈ R` maintained from the two lakes'
+ * change feeds must equal the batch join of the two time-travel states
+ * at EVERY committed (left, right) version pair — without ever
+ * rescanning a lake (states are read key-band-pruned at the LAST
+ * APPLIED versions; deltas through change records only). Laws:
+ *
+ *  1. version-pair walk: advancing left only, right only, and both at
+ *     once (multi-version catch-up) each converge to the batch join of
+ *     `timeTravel(L, l) ⋈ timeTravel(R, r)` — updates, DV deletes and
+ *     maintenance commits included;
+ *  2. replay fencing on the PAIR: every crash point (pre-merge,
+ *     post-merge/pre-done, post-done) replays as a no-op via the
+ *     planned-view-version CAS — the applyCdfDeltaBatch arithmetic,
+ *     keyed by the version pair instead of a batch id;
+ *  3. a zero-delta advance (maintenance commits on both sides) moves
+ *     the committed pair without a view commit;
+ *  4. registerAs: the maintainer's committed versions land in both
+ *     lakes' consumer registries, so vacuum holds their horizons.
+ */
+class CdfJoinViewMaintenanceSpec extends SparkSpec {
+
+  private val lDims = Seq("ok" -> col("ok"), "og" -> col("og"))
+  private val rDims = Seq("rk" -> col("rk"), "rw" -> col("rw"))
+  private final class Boom extends RuntimeException("injected crash")
+
+  private def mkLeft(from: Long, n: Long, bump: Long): DataFrame =
+    spark.range(from, from + n).select(
+      (col("id") % 80L).as("ok"), (col("id") % 10L).as("og"),
+      (col("id") % 100L + bump).as("ov"))
+
+  private def mkRight(from: Long, n: Long, bump: Long): DataFrame =
+    spark.range(from, from + n).select(
+      col("id").as("rk"), (col("id") % 7L + 1L + bump).as("rw"))
+
+  private def bootstrapLake(dir: String, df: DataFrame,
+      dims: Seq[(String, org.apache.spark.sql.Column)], key: String): Unit = {
+    df.repartitionByRange(4, col(key)).sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(dir)
+    LakeManifest.write(spark, dir, dims)
+    LakeManifest.enableChangeFeed(spark, dir)
+    ()
+  }
+
+  private def viewState(viewDir: String): Map[Long, (Long, Long)] =
+    LakeManifest.readPruned(spark, viewDir, Map("g" -> (Long.MinValue, Long.MaxValue)))
+      .where(col("n_v") > 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  /** The ground truth: batch join of the two states AS OF (l, r). */
+  private def batchJoin(left: String, right: String,
+      l: Int, r: Int): Map[Long, (Long, Long)] =
+    LakeManifest.timeTravel(spark, left, l)
+      .join(LakeManifest.timeTravel(spark, right, r), col("ok") === col("rk"))
+      .groupBy(col("og"))
+      .agg(sum((col("ov") * col("rw")).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+
+  private def apply(left: String, right: String, view: String,
+      l: Int, r: Int, crash: Int => Unit = _ => ()): (Long, Long) =
+    IngestStream.applyCdfJoinDeltaBatch(spark, left, right, view,
+      "ok", "rk", "og", col("ov") * col("rw"), l, r, crashPoint = crash)
+
+  test("version-pair walk: left-only, right-only, both-at-once all equal the batch join") {
+    val left = tmpDir("jv-l"); val right = tmpDir("jv-r"); val view = tmpDir("jv-v")
+    bootstrapLake(left, mkLeft(0L, 400L, 0L), lDims, "ok") // L v0
+    bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk") // R v0
+    apply(left, right, view, 0, 0) // bootstrap at (0, 0)
+    assert(viewState(view) == batchJoin(left, right, 0, 0), "pair (0,0)")
+
+    LakeManifest.upsert(spark, left, lDims, "ok",
+      mkLeft(0L, 160L, 1000L).where(col("ok") < 20L)) // L v1: update wave
+    apply(left, right, view, 1, 0) // LEFT advances alone
+    assert(viewState(view) == batchJoin(left, right, 1, 0), "pair (1,0)")
+
+    LakeManifest.upsert(spark, right, rDims, "rk",
+      mkRight(10L, 20L, 100L)) // R v1: dimension update
+    apply(left, right, view, 1, 1) // RIGHT advances alone
+    assert(viewState(view) == batchJoin(left, right, 1, 1), "pair (1,1)")
+
+    LakeManifest.deleteWhereDV(spark, left,
+      Map("ok" -> (Long.MinValue, Long.MaxValue)), col("ov") % 3L === 0L) // L v2
+    LakeManifest.reoptimize(spark, left, "ok", "og", numFiles = 4) // L v3: none
+    LakeManifest.upsert(spark, right, rDims, "rk",
+      mkRight(80L, 10L, 0L)) // R v2: pure inserts (keys 80..89, unmatched)
+    apply(left, right, view, 3, 2) // BOTH advance, multi-version catch-up
+    assert(viewState(view) == batchJoin(left, right, 3, 2), "pair (3,2)")
+
+    // fenced: replaying the committed pair (and anything below) is a no-op
+    val vNow = LakeManifest.currentVersion(spark, view)
+    assert(apply(left, right, view, 3, 2) == ((0L, 0L)))
+    assert(apply(left, right, view, 1, 1) == ((0L, 0L)))
+    assert(LakeManifest.currentVersion(spark, view) == vNow)
+  }
+
+  test("replay fencing on the version pair: every crash point recovers exactly") {
+    // BOOTSTRAP crashes: replay is an idempotent overwrite or a no-op
+    for (cp <- 1 to 3) {
+      val left = tmpDir(s"jvb$cp-l"); val right = tmpDir(s"jvb$cp-r")
+      val view = tmpDir(s"jvb$cp-v")
+      bootstrapLake(left, mkLeft(0L, 300L, 0L), lDims, "ok")
+      bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk")
+      intercept[Boom] {
+        apply(left, right, view, 0, 0, p => if (p == cp) throw new Boom)
+      }
+      apply(left, right, view, 0, 0)
+      assert(viewState(view) == batchJoin(left, right, 0, 0),
+        s"bootstrap crash point $cp: replay corrupted the view")
+    }
+    // MERGE crashes: the pair + planned-version CAS distinguishes
+    // merge-landed from merge-lost exactly
+    for (cp <- 1 to 3) {
+      val left = tmpDir(s"jvc$cp-l"); val right = tmpDir(s"jvc$cp-r")
+      val view = tmpDir(s"jvc$cp-v")
+      bootstrapLake(left, mkLeft(0L, 300L, 0L), lDims, "ok")
+      bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk")
+      apply(left, right, view, 0, 0)
+      LakeManifest.upsert(spark, left, lDims, "ok",
+        mkLeft(0L, 120L, 500L).where(col("ok") < 15L)) // L v1
+      LakeManifest.upsert(spark, right, rDims, "rk",
+        mkRight(30L, 20L, 50L)) // R v1
+      intercept[Boom] {
+        apply(left, right, view, 1, 1, p => if (p == cp) throw new Boom)
+      }
+      apply(left, right, view, 1, 1) // replay of the SAME target pair
+      assert(viewState(view) == batchJoin(left, right, 1, 1),
+        s"merge crash point $cp: replay corrupted the view")
+      val vNow = LakeManifest.currentVersion(spark, view)
+      assert(apply(left, right, view, 1, 1) == ((0L, 0L)))
+      assert(LakeManifest.currentVersion(spark, view) == vNow)
+    }
+  }
+
+  test("zero-delta advance moves the pair without a view commit; registerAs holds both registries") {
+    val left = tmpDir("jvz-l"); val right = tmpDir("jvz-r"); val view = tmpDir("jvz-v")
+    bootstrapLake(left, mkLeft(0L, 200L, 0L), lDims, "ok")
+    bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk")
+    IngestStream.applyCdfJoinDeltaBatch(spark, left, right, view,
+      "ok", "rk", "og", col("ov") * col("rw"), 0, 0,
+      registerAs = Some("jv-maintainer"))
+    assert(LakeManifest.cdfConsumers(spark, left) == Map("jv-maintainer" -> 0))
+    assert(LakeManifest.cdfConsumers(spark, right) == Map("jv-maintainer" -> 0))
+    val vAfterBoot = LakeManifest.currentVersion(spark, view)
+    // maintenance on both sides: none records, zero logical change
+    LakeManifest.reoptimize(spark, left, "ok", "og", numFiles = 4) // L v1
+    LakeManifest.reoptimize(spark, right, "rk", "rw", numFiles = 2) // R v1
+    val res = IngestStream.applyCdfJoinDeltaBatch(spark, left, right, view,
+      "ok", "rk", "og", col("ov") * col("rw"), 1, 1,
+      registerAs = Some("jv-maintainer"))
+    assert(res == ((0L, 0L)))
+    assert(LakeManifest.currentVersion(spark, view) == vAfterBoot,
+      "a zero-delta advance must not commit the view")
+    assert(LakeManifest.cdfConsumers(spark, left) == Map("jv-maintainer" -> 1))
+    assert(LakeManifest.cdfConsumers(spark, right) == Map("jv-maintainer" -> 1))
+    // the NEXT real change applies from the advanced pair
+    LakeManifest.upsert(spark, right, rDims, "rk", mkRight(0L, 10L, 9L)) // R v2
+    IngestStream.applyCdfJoinDeltaBatch(spark, left, right, view,
+      "ok", "rk", "og", col("ov") * col("rw"), 1, 2,
+      registerAs = Some("jv-maintainer"))
+    assert(viewState(view) == batchJoin(left, right, 1, 2))
+    assert(LakeManifest.cdfConsumers(spark, right) == Map("jv-maintainer" -> 2))
+  }
+}

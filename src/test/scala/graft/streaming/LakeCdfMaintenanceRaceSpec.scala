@@ -109,6 +109,79 @@ class LakeCdfMaintenanceRaceSpec extends SparkSpec {
     assert(folded == lake, "fold under race diverged from lake state")
   }
 
+  test("a lagging REGISTERED consumer holds the vacuum horizon; advancing it releases the hold") {
+    val testId = "cdf-hold"
+    val dir = tmpDir("cdf-hold-lake")
+    val ckpt = tmpDir("cdf-hold-ckpt")
+    mkRows(0L, 1000L, 0L).repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    LakeManifest.write(spark, dir, dims)
+    LakeManifest.enableChangeFeed(spark, dir)
+    // the tail registers itself through the source's commit() hook
+    def start() = spark.readStream.format("graft-lake-cdf")
+      .option("path", dir).option("consumerId", "slow-tail").load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        CdfCapture.batches.put((testId, batchId), batch.collect()); ()
+      }
+      .start()
+    // three waves, ONE version each: the engine invokes Source.commit
+    // when it constructs the NEXT batch (cleanUpLastExecutedMicroBatch),
+    // so after wave N the registration stands at wave N−1's version —
+    // conservative by exactly one in-flight batch, the safe direction
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // wave 1: v0 (founding snapshot)
+      LakeManifest.upsert(spark, dir, dims, "k", mkRows(0L, 200L, 1L)) // v1
+      q1.processAllAvailable() // wave 2 → commit(v0) fired
+      LakeManifest.reoptimize(spark, dir, "k", "u", numFiles = 4) // v2: none
+      q1.processAllAvailable() // wave 3 → commit(v1) fired
+    } finally q1.stop()
+    assert(LakeManifest.cdfConsumers(spark, dir) == Map("slow-tail" -> 1))
+    // more churn while the tail is DOWN, then a zero-retention vacuum:
+    // without the registry this strands and prunes everything below v3
+    // (the stale-consumer case below); the registration HOLDS v >= 1
+    LakeManifest.upsert(spark, dir, dims, "k", mkRows(100L, 200L, 2L)) // v3
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    assert(LakeManifest.changeVersions(spark, dir) == Seq(1, 2, 3),
+      "registered consumer's unread change records were vacuumed")
+    assert(LakeManifest.timeTravel(spark, dir, 1).count() == 1000L,
+      "the held snapshot at the registered version must stay readable")
+    // the lagging tail resumes EXACTLY (no loud refusal, no skips)
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // drains v3 (v2 was consumed pre-stop)
+      LakeManifest.upsert(spark, dir, dims, "k", mkRows(0L, 50L, 3L)) // v4
+      q2.processAllAvailable() // → commit(v3) fired
+    } finally q2.stop()
+    assert(LakeManifest.cdfConsumers(spark, dir) == Map("slow-tail" -> 3))
+    // caught up (modulo the one in-flight batch): vacuum now prunes
+    // everything below the registration
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    assert(LakeManifest.changeVersions(spark, dir) == Seq(3, 4),
+      "caught-up consumer must not hold the horizon forever")
+    // the captured feed folds to the final lake state (nothing lost
+    // or doubled through the held window)
+    val state = CdfCapture.rows(testId)
+      .sortBy(r => r.getLong(r.fieldIndex(LakeManifest.CommitVersionCol)))
+      .foldLeft(Map.empty[Long, Long]) { (st, r) =>
+        val k = r.getLong(r.fieldIndex("k")); val v = r.getLong(r.fieldIndex("v"))
+        r.getString(r.fieldIndex(LakeManifest.ChangeTypeCol)) match {
+          case "insert" | "update_postimage" => st + (k -> v)
+          case "delete" => st - k
+          case _ => st
+        }
+      }
+    val lake = LakeManifest
+      .readPruned(spark, dir, Map("k" -> (Long.MinValue, Long.MaxValue)))
+      .select(col("k"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == lake, "folded feed != lake state across the held window")
+  }
+
   test("a stale consumer past the vacuum horizon is refused loudly, never silently skipped") {
     val testId = "cdf-stale"
     val dir = tmpDir("cdf-stale-lake")
