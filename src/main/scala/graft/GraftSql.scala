@@ -404,6 +404,46 @@ object GraftSql {
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
           |FROM q329_feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }),
+
+    // Q336 — SQL7 the r11 ring as statements: MERGE VECTORED (DV
+    // merge, zero rewrites) + DELETE VECTORED, a REGISTERED consumer at
+    // version 0 HOLDING a zero-retention vacuum across a COMPACT's
+    // tombstones (without the registration the CHANGES read below is
+    // refused — the guard IS the gate), and the feed read COLUMN-PRUNED
+    // to the two columns the census needs. Proves against q329's
+    // oracle VERBATIM: the DV statement family emits the identical
+    // logical feed as the CoW family (the compaction's `none` record
+    // contributes zero rows).
+    "q336_sql_dv_consumer" -> ((s, dir) => {
+      register(s, dir)
+      val lake = graft.core.Scratch.dir("q336_lake")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q336_base AS
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem""".stripMargin)
+      s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q336_base " +
+        "ZORDER BY (l_suppkey, l_partkey) FILES 16 BITS 21")
+      s.sql(s"GRAFT ENABLE CHANGEFEED '$lake'")
+      s.sql(s"GRAFT REGISTER CONSUMER 'q336-tail' AT VERSION 0 ON '$lake'")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q336_updates AS
+          |SELECT l_orderkey, l_partkey, l_suppkey,
+          |  l_quantity + 100.0 AS l_quantity
+          |FROM lineitem WHERE l_suppkey IN (3, 7)""".stripMargin)
+      s.sql(s"GRAFT MERGE VECTORED INTO '$lake' KEY l_suppkey " +
+        "STATS (l_suppkey, l_partkey) FROM q336_updates") // v1: 0 rewrites
+      s.sql(s"GRAFT DELETE VECTORED FROM '$lake' " +
+        "RANGE l_suppkey BETWEEN 5 AND 5 WHERE l_suppkey = 5") // v2
+      s.sql(s"GRAFT COMPACT '$lake' TARGET 30000 ROWS") // v3: none record
+      s.sql(s"GRAFT VACUUM '$lake' RETAIN 0 MS") // HELD at >= 0
+      s.sql(s"GRAFT CHANGES BETWEEN 0 AND 3 FROM '$lake' " +
+        "COLUMNS (l_suppkey, l_quantity) AS q336_feed")
+      s.sql(
+        """SELECT CAST(_commit_version AS BIGINT) AS commit_version,
+          |  _change_type AS change_type,
+          |  count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM q336_feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
   )
 
   /** Each SQL-surface query proves against its ORIGINAL's oracle,
@@ -421,5 +461,8 @@ object GraftSql {
     "q274_sql_assortativity" -> base("q211_assortativity"),
     "q291_sql_lake_merge" -> base("q278_lake_upsert"),
     "q292_sql_lake_maintenance" -> base("q275_lake_maintenance"),
+    // the DV statement family emits the IDENTICAL logical feed as the
+    // CoW family — q336 proves against q329's oracle verbatim
+    "q336_sql_dv_consumer" -> base("q329_sql_change_feed"),
   )
 }

@@ -34,9 +34,12 @@ import graft.sources.LakeManifest
  *   GRAFT SELECT FROM '<dir>' [VERSION <v>] [AT TIMESTAMP '<t>'] RANGE <dim> BETWEEN <lo> AND <hi> AS <outView>
  *   GRAFT TIME TRAVEL '<dir>' (VERSION <v> | AT TIMESTAMP '<t>') AS <outView>
  *   GRAFT ENABLE CHANGEFEED '<dir>'
- *   GRAFT CHANGES BETWEEN <a> AND <b> FROM '<dir>' AS <outView>
+ *   GRAFT CHANGES BETWEEN <a> AND <b> FROM '<dir>' [COLUMNS (<c>, ...)] AS <outView>
  *   GRAFT COMPACT '<dir>' TARGET <n> ROWS
  *   GRAFT DELETE VECTORED FROM '<dir>' RANGE <dim> BETWEEN <lo> AND <hi> WHERE <predicate>
+ *   GRAFT MERGE VECTORED INTO '<dir>' KEY <dim> STATS (<c>, ...) FROM <updatesView>
+ *   GRAFT REGISTER CONSUMER '<id>' AT VERSION <v> ON '<dir>'
+ *   GRAFT UNREGISTER CONSUMER '<id>' ON '<dir>'
  *
  * `AT TIMESTAMP` accepts epoch millis, an ISO instant, or
  * 'yyyy-MM-dd[ HH:mm:ss]' read as UTC, resolved to the greatest
@@ -100,11 +103,17 @@ object GraftSqlParser {
   private val EnableCdf =
     raw"(?is)\s*GRAFT\s+ENABLE\s+CHANGEFEED\s+'([^']+)'\s*".r
   private val Changes =
-    raw"(?is)\s*GRAFT\s+CHANGES\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s+FROM\s+'([^']+)'\s+AS\s+($Ident)\s*".r
+    raw"(?is)\s*GRAFT\s+CHANGES\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s+FROM\s+'([^']+)'(?:\s+COLUMNS\s*\(([^)]+)\))?\s+AS\s+($Ident)\s*".r
   private val Compact =
     raw"(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'\s+TARGET\s+(\d+)\s+ROWS\s*".r
   private val DeleteVectored =
     raw"(?is)\s*GRAFT\s+DELETE\s+VECTORED\s+FROM\s+'([^']+)'\s+RANGE\s+($Ident)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s+WHERE\s+(.+?)\s*".r
+  private val MergeVectored =
+    raw"(?is)\s*GRAFT\s+MERGE\s+VECTORED\s+INTO\s+'([^']+)'\s+KEY\s+($Ident)\s+STATS\s*\(([^)]+)\)\s+FROM\s+($Ident)\s*".r
+  private val RegisterConsumer =
+    raw"(?is)\s*GRAFT\s+REGISTER\s+CONSUMER\s+'([^']+)'\s+AT\s+VERSION\s+(\d+)\s+ON\s+'([^']+)'\s*".r
+  private val UnregisterConsumer =
+    raw"(?is)\s*GRAFT\s+UNREGISTER\s+CONSUMER\s+'([^']+)'\s+ON\s+'([^']+)'\s*".r
 
   /** `AT TIMESTAMP` operand: epoch millis, ISO instant, or
     * 'yyyy-MM-dd[ HH:mm:ss]' read as UTC. */
@@ -183,9 +192,10 @@ object GraftSqlParser {
       case EnableCdf(dir) =>
         GraftLakeCommand(sqlText, Seq("enabled_at_version" -> LongType),
           s => Seq(Row(LakeManifest.enableChangeFeed(s, dir).toLong)))
-      case Changes(a, b, dir, outView) =>
+      case Changes(a, b, dir, columns, outView) =>
         GraftLakeCommand(sqlText, Seq("view" -> StringType), { s =>
-          LakeManifest.changesBetween(s, dir, a.toInt, b.toInt)
+          LakeManifest.changesBetween(s, dir, a.toInt, b.toInt,
+              if (columns == null) Nil else cols(columns))
             .createOrReplaceTempView(outView)
           Seq(Row(outView))
         })
@@ -202,6 +212,23 @@ object GraftSqlParser {
               Map(dim -> (lo.toLong, hi.toLong)), expr(predicate))
             Seq(Row(d, f.toLong))
           })
+      case MergeVectored(dir, keyDim, statCols, view) =>
+        GraftLakeCommand(sqlText, Seq("n_replaced" -> LongType,
+          "n_written" -> LongType, "n_files_rewritten" -> LongType), { s =>
+            val (r, w, f) = LakeManifest.upsertDV(s, dir, statSpec(statCols),
+              keyDim, s.table(view))
+            Seq(Row(r, w, f.toLong))
+          })
+      case RegisterConsumer(id, v, dir) =>
+        GraftLakeCommand(sqlText, Seq("registered_version" -> LongType), { s =>
+          LakeManifest.registerCdfConsumer(s, dir, id, v.toInt)
+          Seq(Row(LakeManifest.cdfConsumers(s, dir)(id).toLong))
+        })
+      case UnregisterConsumer(id, dir) =>
+        GraftLakeCommand(sqlText, Seq("unregistered" -> LongType), { s =>
+          LakeManifest.unregisterCdfConsumer(s, dir, id)
+          Seq(Row(1L))
+        })
       case other => throw new IllegalArgumentException(
         s"malformed GRAFT statement (see GraftSqlParser's grammar): $other")
     }

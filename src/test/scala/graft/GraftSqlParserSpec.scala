@@ -106,6 +106,51 @@ class GraftSqlParserSpec extends SparkSpec {
       == 4000L - preDel)
   }
 
+  test("r11 statements: MERGE VECTORED, REGISTER/UNREGISTER CONSUMER, CHANGES ... COLUMNS") {
+    val dir = tmpDir("sqldml11")
+    corpus(4000L).createOrReplaceTempView("sqldml11_base")
+    spark.sql(
+      s"GRAFT BOOTSTRAP '$dir' FROM sqldml11_base ZORDER BY (id, a) FILES 8 BITS 21")
+    spark.sql(s"GRAFT ENABLE CHANGEFEED '$dir'") // v0
+    assert(spark.sql(
+      s"GRAFT REGISTER CONSUMER 'sql-tail' AT VERSION 0 ON '$dir'")
+      .head().getLong(0) == 0L)
+    assert(LakeManifest.cdfConsumers(spark, dir) == Map("sql-tail" -> 0))
+
+    // MERGE VECTORED: matched key groups replace with ZERO rewrites
+    spark.range(0L, 4100L).filter(col("id") % 16L === 0L)
+      .select(col("id"),
+        pmod(hash(col("id"), lit(1)).cast("long"), lit(256L)).as("a"),
+        lit(999L).as("b"))
+      .createOrReplaceTempView("sqldml11_updates")
+    val mv = spark.sql(s"GRAFT MERGE VECTORED INTO '$dir' KEY id " +
+      "STATS (id, a) FROM sqldml11_updates").head() // v1
+    assert(mv.getLong(0) == 250L, s"matched ${mv.getLong(0)}") // 0,16,…,3984
+    assert(mv.getLong(1) == 257L) // 0..4096 step 16
+    assert(mv.getLong(2) == 0L, "MERGE VECTORED must rewrite nothing")
+
+    // COMPACT tombstones everything; the registered consumer HOLDS a
+    // zero-retention vacuum, so the pruned CHANGES read still serves
+    spark.sql(s"GRAFT COMPACT '$dir' TARGET 3000 ROWS") // v2: none record
+    spark.sql(s"GRAFT VACUUM '$dir' RETAIN 0 MS")
+    spark.sql(s"GRAFT CHANGES BETWEEN 0 AND 2 FROM '$dir' " +
+      "COLUMNS (id, b) AS sqldml11_feed")
+    val feed = spark.table("sqldml11_feed")
+    assert(feed.columns.toSeq == Seq("id", "b",
+      LakeManifest.ChangeTypeCol, LakeManifest.CommitVersionCol),
+      s"pruned feed columns: ${feed.columns.mkString(",")}")
+    val byType = feed.groupBy(col(LakeManifest.ChangeTypeCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> (4000L + 7L),
+      "update_preimage" -> 250L, "update_postimage" -> 250L))
+
+    // UNREGISTER releases the hold: the same vacuum now prunes
+    spark.sql(s"GRAFT UNREGISTER CONSUMER 'sql-tail' ON '$dir'")
+    assert(LakeManifest.cdfConsumers(spark, dir).isEmpty)
+    spark.sql(s"GRAFT VACUUM '$dir' RETAIN 0 MS")
+    assert(LakeManifest.changeVersions(spark, dir) == Seq(2))
+  }
+
   test("non-GRAFT SQL delegates untouched; malformed GRAFT fails loudly pre-mutation") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     val dir = tmpDir("sqldml-err")
