@@ -2364,6 +2364,30 @@ object LakeManifest {
       snapshots.clear(); bloomSnapshots.clear()
       spark.catalog.refreshByPath(dir) // deletes bypass the FileStatusCache
     }
+    if (!dryRun) {
+      // DV generation reclaim: every retained version v resolves its
+      // vectors through the greatest base ≤ v and the deltas after it,
+      // so generations strictly BELOW the greatest base ≤ the OLDEST
+      // retained version are unreachable from any retained read —
+      // delete them (the delta-encoding storage tail: without this,
+      // superseded per-commit deltas would accumulate forever)
+      val histRoot2 = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir/history")
+      if (fs.exists(histRoot2)) {
+        val retained = fs.listStatus(histRoot2).filter(_.isDirectory)
+          .map(_.getPath.getName.stripPrefix("v").toInt)
+        if (retained.nonEmpty) {
+          val minV = retained.min
+          val gens = dvGens(spark, dir)
+          gens.collect { case (k, true) if k <= minV => k }.maxOption
+            .foreach { baseFloor =>
+              gens.filter(_._1 < baseFloor).foreach { case (k, isBase) =>
+                fs.delete(new org.apache.hadoop.fs.Path(
+                  if (isBase) dvBasePath(dir, k) else dvDeltaPath(dir, k)), true)
+              }
+            }
+        }
+      }
+    }
     victims.map(n => s"$dir/$n")
     }
   }

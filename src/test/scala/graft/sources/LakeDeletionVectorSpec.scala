@@ -206,6 +206,28 @@ class LakeDeletionVectorSpec extends SparkSpec {
     assert(LakeManifest.timeTravel(spark, dir, 5).count() == 4000L - 804L)
   }
 
+  test("vacuum reclaims DV generations superseded below the oldest retained version") {
+    val dir = tmpDir("dv-reclaim")
+    bootstrap(dir, 1000)
+    LakeManifest.deleteWhereDV(spark, dir, fullRange, col("k") % 97L === 0L) // v1
+    LakeManifest.deleteWhereDV(spark, dir, fullRange, col("k") === 5L) // v2
+    LakeManifest.reoptimize(spark, dir, "k", "u", numFiles = 4) // v3: base
+    LakeManifest.deleteWhereDV(spark, dir, fullRange, col("k") === 6L) // v4
+    val expected = LakeManifest.readPruned(spark, dir, fullRange).count()
+    // vacuum strands v0..v2 (their files reclaim); the generations
+    // BELOW the surviving base are unreachable from any retained read
+    LakeManifest.vacuum(spark, dir, 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/${LakeManifest.ManifestDir}/dv")).map(_.getPath.getName).sorted
+    assert(gens.toSeq == Seq("base_v3", "delta_v4"),
+      s"superseded generations must reclaim, got: ${gens.mkString(", ")}")
+    // reads and retained time travel unchanged
+    assert(LakeManifest.readPruned(spark, dir, fullRange).count() == expected)
+    assert(LakeManifest.timeTravel(spark, dir, 3).count() == expected + 1L)
+  }
+
   test("CDF interplay: DV commits write the same change records as CoW") {
     val dir = tmpDir("dv-cdf")
     bootstrap(dir, 500)
