@@ -790,6 +790,50 @@ object IngestStream {
       .start()
   }
 
+  /**
+   * The [[applyCdfJoinDeltaBatch]] maintainer wired to BOTH lakes'
+   * `graft-lake-cdf` tails (ST2h's streaming twin of
+   * [[startCdfAggregateView]]): the two feeds union as a TRIGGER
+   * stream — each tail column-pruned to its lake's join key, so the
+   * trigger reads one tiny column of the changed files — and every
+   * micro-batch targets the lakes' CURRENT version pair. Exactly-once
+   * comes from the operator's own (left, right) pair fence, NOT the
+   * checkpoint: a replayed or overlapping trigger batch no-ops on the
+   * committed pair, and a trigger that observes only one side's commit
+   * still folds BOTH sides forward (the pair is re-resolved at apply
+   * time). The maintainer registers as a CDF consumer of both lakes,
+   * so their vacuums hold the horizon above it.
+   */
+  def startCdfJoinView(
+      leftDir: String, rightDir: String,
+      viewDir: String, checkpointDir: String,
+      leftKey: String, rightKey: String,
+      groupDim: String, valueCol: org.apache.spark.sql.Column,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      numFiles: Int = 8,
+      consumerId: String = "cdf-join-view"): StreamingQuery = {
+    val spark = SparkSession.active
+    import graft.sources.LakeManifest
+    def tail(dir: String, key: String, tag: String) =
+      spark.readStream.format("graft-lake-cdf")
+        .option("path", dir).option("columns", key).load()
+        .select(lit(tag).as("side"),
+          col(LakeManifest.CommitVersionCol).as("v"))
+    tail(leftDir, leftKey, "L").unionByName(tail(rightDir, rightKey, "R"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        applyCdfJoinDeltaBatch(spark, leftDir, rightDir, viewDir,
+          leftKey, rightKey, groupDim, valueCol,
+          LakeManifest.currentVersion(spark, leftDir),
+          LakeManifest.currentVersion(spark, rightDir),
+          numFiles, registerAs = Some(consumerId))
+        ()
+      }
+      .start()
+  }
+
   /** The CDC changelog stream wired to [[commitCdcBatchToLake]]: the
     * lake IS the keyed current-state materialized view, queryable
     * (pruned, versioned) mid-stream. */

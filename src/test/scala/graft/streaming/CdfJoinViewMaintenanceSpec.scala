@@ -141,6 +141,40 @@ class CdfJoinViewMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("streaming wrapper: checkpointed two-feed maintainer converges and restarts without double-applying") {
+    val left = tmpDir("jvs-l"); val right = tmpDir("jvs-r")
+    val view = tmpDir("jvs-v"); val ckpt = tmpDir("jvs-ckpt")
+    bootstrapLake(left, mkLeft(0L, 300L, 0L), lDims, "ok")
+    bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk")
+    def drain(): Unit = {
+      val q = IngestStream.startCdfJoinView(left, right, view, ckpt,
+        "ok", "rk", "og", col("ov") * col("rw"),
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // bootstrap at the founding pair
+    assert(viewState(view) == batchJoin(left, right, 0, 0))
+    // one side commits, then the other — each drain folds to current
+    LakeManifest.upsert(spark, left, lDims, "ok",
+      mkLeft(0L, 120L, 700L).where(col("ok") < 12L)) // L v1
+    drain()
+    assert(viewState(view) == batchJoin(left, right, 1, 0))
+    LakeManifest.upsert(spark, right, rDims, "rk",
+      mkRight(20L, 30L, 40L)) // R v1
+    LakeManifest.deleteWhereDV(spark, left,
+      Map("ok" -> (Long.MinValue, Long.MaxValue)), col("ov") % 4L === 1L) // L v2
+    drain()
+    assert(viewState(view) == batchJoin(left, right, 2, 1))
+    // idle restart: the pair fence no-ops, nothing re-applies
+    val vNow = LakeManifest.currentVersion(spark, view)
+    drain()
+    assert(LakeManifest.currentVersion(spark, view) == vNow)
+    assert(viewState(view) == batchJoin(left, right, 2, 1))
+    // the maintainer registered itself on BOTH lakes
+    assert(LakeManifest.cdfConsumers(spark, left).contains("cdf-join-view"))
+    assert(LakeManifest.cdfConsumers(spark, right).contains("cdf-join-view"))
+  }
+
   test("zero-delta advance moves the pair without a view commit; registerAs holds both registries") {
     val left = tmpDir("jvz-l"); val right = tmpDir("jvz-r"); val view = tmpDir("jvz-v")
     bootstrapLake(left, mkLeft(0L, 200L, 0L), lDims, "ok")
