@@ -571,6 +571,13 @@ object IngestStream {
    * the horizon above it (the state-at-committed-version read is then
    * retention-proof by construction).
    *
+   * `leftColumns`/`rightColumns`: the feed's column pruning applied to
+   * this maintainer — each side's deltas AND state reads project to
+   * exactly the named columns (must include that side's join key plus
+   * whatever groupDim/valueCol reference there), so the checkpointed
+   * delta materialization decodes the named columns of every changed
+   * file, never the lakes' full width.
+   *
    * At 100 TB: each increment costs O(changed bytes of both feeds +
    * the states' key-band touch fraction + one key-band view merge) —
    * maintaining a joined rollup costs the CHANGE, never the history.
@@ -584,8 +591,14 @@ object IngestStream {
       leftTo: Int, rightTo: Int,
       numFiles: Int = 8,
       registerAs: Option[String] = None,
-      crashPoint: Int => Unit = _ => ()): (Long, Long) = {
+      crashPoint: Int => Unit = _ => (),
+      leftColumns: Seq[String] = Nil,
+      rightColumns: Seq[String] = Nil): (Long, Long) = {
     import graft.sources.LakeManifest
+    require(leftColumns.isEmpty || leftColumns.contains(leftKey),
+      s"leftColumns must include the join key $leftKey")
+    require(rightColumns.isEmpty || rightColumns.contains(rightKey),
+      s"rightColumns must include the join key $rightKey")
     val fs = new org.apache.hadoop.fs.Path(viewDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val witnessPath = new org.apache.hadoop.fs.Path(
@@ -659,16 +672,21 @@ object IngestStream {
       require(overlap.isEmpty,
         s"the two lakes' columns must be disjoint, both carry: ${overlap.mkString(", ")}")
     }
-    def signed(dir: String, from: Int, to: Int, s: String): Option[DataFrame] =
+    // the checkpointed deltas are the MATERIALIZATION point, so the
+    // feed's column pruning applies here: a caller that names its
+    // needed columns (join key + groupDim/value refs on that side)
+    // decodes and checkpoints only them, not the lake's full width
+    def signed(dir: String, from: Int, to: Int, s: String,
+        columns: Seq[String]): Option[DataFrame] =
       if (from > to) None
-      else Some(LakeManifest.changesBetween(spark, dir, from, to)
+      else Some(LakeManifest.changesBetween(spark, dir, from, to, columns)
         .withColumn(s, when(col(LakeManifest.ChangeTypeCol)
           .isin("insert", "update_postimage"), 1L).otherwise(-1L))
         .drop(LakeManifest.ChangeTypeCol, LakeManifest.CommitVersionCol)
         .localCheckpoint(true))
         .filter(!_.isEmpty)
-    val dL = signed(leftDir, lFrom, leftTo, "__sl")
-    val dR = signed(rightDir, rFrom, rightTo, "__sr")
+    val dL = signed(leftDir, lFrom, leftTo, "__sl", leftColumns)
+    val dR = signed(rightDir, rFrom, rightTo, "__sr", rightColumns)
     // state at the committed versions, pruned to the OTHER delta's key
     // band (band-touch cost); empty when the delta range starts at the
     // feed's first record — the founding snapshot IS the state then
@@ -676,22 +694,27 @@ object IngestStream {
       val r = d.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
       if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
     }
-    def stateAt(dir: String, v: Int, key: String,
-        band: (Long, Long), sign: String): DataFrame =
-      LakeManifest.readPruned(spark, dir, Map(key -> band), version = Some(v))
+    def stateAt(dir: String, v: Int, key: String, band: (Long, Long),
+        sign: String, columns: Seq[String]): DataFrame = {
+      val full = LakeManifest
+        .readPruned(spark, dir, Map(key -> band), version = Some(v))
+      // same projection as the delta side, so the term union lines up
+      // AND Catalyst prunes the state scan to the named columns
+      (if (columns.isEmpty) full else full.select(columns.map(col): _*))
         .withColumn(sign, lit(1L))
+    }
     val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val stateIsEmpty = base.isEmpty // bootstrap: the founding records ARE the state
     dL.foreach { l => // ΔL ⋈ R₀: broadcast the (micro-batch-sized) delta
       if (!stateIsEmpty) bandOf(l, leftKey).foreach { b =>
         terms += broadcast(l).join(
-          stateAt(rightDir, base.get._2, rightKey, b, "__sr"),
+          stateAt(rightDir, base.get._2, rightKey, b, "__sr", rightColumns),
           col(leftKey) === col(rightKey))
       }
     }
     dR.foreach { r => // L₀ ⋈ ΔR
       if (!stateIsEmpty) bandOf(r, rightKey).foreach { b =>
-        terms += stateAt(leftDir, base.get._1, leftKey, b, "__sl")
+        terms += stateAt(leftDir, base.get._1, leftKey, b, "__sl", leftColumns)
           .join(broadcast(r), col(leftKey) === col(rightKey))
       }
     }
@@ -811,7 +834,9 @@ object IngestStream {
       groupDim: String, valueCol: org.apache.spark.sql.Column,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       numFiles: Int = 8,
-      consumerId: String = "cdf-join-view"): StreamingQuery = {
+      consumerId: String = "cdf-join-view",
+      leftColumns: Seq[String] = Nil,
+      rightColumns: Seq[String] = Nil): StreamingQuery = {
     val spark = SparkSession.active
     import graft.sources.LakeManifest
     def tail(dir: String, key: String, tag: String) =
@@ -828,7 +853,8 @@ object IngestStream {
           leftKey, rightKey, groupDim, valueCol,
           LakeManifest.currentVersion(spark, leftDir),
           LakeManifest.currentVersion(spark, rightDir),
-          numFiles, registerAs = Some(consumerId))
+          numFiles, registerAs = Some(consumerId),
+          leftColumns = leftColumns, rightColumns = rightColumns)
         ()
       }
       .start()

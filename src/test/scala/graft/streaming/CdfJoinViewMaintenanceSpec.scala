@@ -175,6 +175,35 @@ class CdfJoinViewMaintenanceSpec extends SparkSpec {
     assert(LakeManifest.cdfConsumers(spark, right).contains("cdf-join-view"))
   }
 
+  test("column-pruned maintainer: deltas AND state reads project to the named columns, results identical") {
+    val left = tmpDir("jvp-l"); val right = tmpDir("jvp-r"); val view = tmpDir("jvp-v")
+    bootstrapLake(left, mkLeft(0L, 300L, 0L), lDims, "ok")
+    bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk")
+    def applyPruned(l: Int, r: Int): Unit = {
+      IngestStream.applyCdfJoinDeltaBatch(spark, left, right, view,
+        "ok", "rk", "og", col("ov") * col("rw"), l, r,
+        leftColumns = Seq("ok", "og", "ov"), // the full left need-set
+        rightColumns = Seq("rk", "rw"))
+      ()
+    }
+    applyPruned(0, 0)
+    assert(viewState(view) == batchJoin(left, right, 0, 0))
+    LakeManifest.upsert(spark, left, lDims, "ok",
+      mkLeft(0L, 100L, 300L).where(col("ok") < 10L)) // L v1
+    LakeManifest.upsert(spark, right, rDims, "rk",
+      mkRight(5L, 15L, 20L)) // R v1
+    applyPruned(1, 1)
+    assert(viewState(view) == batchJoin(left, right, 1, 1),
+      "pruned maintainer diverged from the batch join")
+    // a projection missing the join key refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IngestStream.applyCdfJoinDeltaBatch(spark, left, right, view,
+        "ok", "rk", "og", col("ov") * col("rw"), 1, 1,
+        leftColumns = Seq("og", "ov"))
+    }
+    assert(e.getMessage.contains("join key"))
+  }
+
   test("zero-delta advance moves the pair without a view commit; registerAs holds both registries") {
     val left = tmpDir("jvz-l"); val right = tmpDir("jvz-r"); val view = tmpDir("jvz-v")
     bootstrapLake(left, mkLeft(0L, 200L, 0L), lDims, "ok")
