@@ -5995,6 +5995,97 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy(col("commit_version"), col("change_type"))
     }),
+
+    // Q337 — ST2i HYBRID incremental view maintenance: a grouped
+    // sum/count/MIN/MAX view kept exact through an upsert wave and a
+    // DV delete. Sums/counts fold from the feed deltas (self-inverting);
+    // min/max are NOT invertible under retraction — the hybrid rule
+    // recomputes them for exactly the TOUCHED groups from a band-pruned,
+    // version-pinned source read (never the lake). Same fenced witness
+    // protocol as q330; the oracle recomputes the grouped final state
+    // with its extremes relationally. At 100 TB this is the honest
+    // price of non-invertible aggregates: paid per touched group, not
+    // per lake.
+    "q337_hybrid_minmax_view" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("l_cents"))
+      val lake = graft.core.Scratch.dir("q337_lake")
+      val view = graft.core.Scratch.dir("q337_view")
+      import graft.sources.LakeManifest
+      val dims = Seq("l_orderkey" -> col("l_orderkey"),
+        "l_suppkey" -> col("l_suppkey"))
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(lake)
+      LakeManifest.write(s, lake, dims)
+      LakeManifest.enableChangeFeed(s, lake) // v0
+      LakeManifest.upsert(s, lake, dims, "l_orderkey",
+        li.where(col("l_orderkey") % 5 === 0)
+          .withColumn("l_cents", col("l_cents") + 1000L)) // v1
+      LakeManifest.deleteWhereDV(s, lake,
+        Map("l_orderkey" -> (Long.MinValue, Long.MaxValue)),
+        col("l_orderkey") % 7 === 2) // v2: retracts group extremes too
+      import graft.streaming.IngestStream.applyCdfHybridDeltaBatch
+      applyCdfHybridDeltaBatch(LakeManifest.changesBetween(s, lake, 0, 1),
+        lake, view, "l_suppkey", col("l_cents"), 0L, numFiles = 8)
+      applyCdfHybridDeltaBatch(LakeManifest.changesBetween(s, lake, 2, 2),
+        lake, view, "l_suppkey", col("l_cents"), 1L, numFiles = 8)
+      LakeManifest.readPruned(s, view,
+          Map("g" -> (Long.MinValue, Long.MaxValue)))
+        .where(col("n_v") > 0L)
+        .select(col("g"), col("sum_v"), col("n_v"), col("min_v"), col("max_v"))
+        .orderBy(col("g"))
+    }),
+
+    // Q338 — ST2j MATERIALIZED-VIEW CHAIN: the first-order view lake
+    // (sum/count by suppkey, maintained from the source's feed) is
+    // itself CDF-enabled, and a SECOND-ORDER view (sum of the sums by
+    // suppkey band) maintains from the FIRST view's feed — the chain
+    // law Σ_{g≡j} sum_v(g) = Σ_{rows: g≡j} v holds at every step with
+    // no component ever rescanning its upstream. The oracle recomputes
+    // the two-level rollup relationally from the final source state.
+    // At 100 TB: downstream views cost O(changed upstream groups) per
+    // batch — feature-store pyramids become affordable.
+    "q338_view_chain" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("l_cents"))
+      val lake = graft.core.Scratch.dir("q338_lake")
+      val view1 = graft.core.Scratch.dir("q338_view1")
+      val view2 = graft.core.Scratch.dir("q338_view2")
+      import graft.sources.LakeManifest
+      import graft.streaming.IngestStream.applyCdfDeltaBatch
+      val dims = Seq("l_orderkey" -> col("l_orderkey"),
+        "l_suppkey" -> col("l_suppkey"))
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(lake)
+      LakeManifest.write(s, lake, dims)
+      LakeManifest.enableChangeFeed(s, lake) // src v0
+      applyCdfDeltaBatch(LakeManifest.changesBetween(s, lake, 0, 0),
+        view1, "l_suppkey", col("l_cents"), 0L, numFiles = 8) // view1 v0
+      LakeManifest.enableChangeFeed(s, view1) // view1's own feed
+      applyCdfDeltaBatch(LakeManifest.changesBetween(s, view1, 0, 0)
+          .withColumn("g2", col("g") % 5L),
+        view2, "g2", col("sum_v"), 0L, numFiles = 4) // view2 bootstrap
+      LakeManifest.upsert(s, lake, dims, "l_orderkey",
+        li.where(col("l_orderkey") % 5 === 0)
+          .withColumn("l_cents", col("l_cents") + 1000L)) // src v1
+      applyCdfDeltaBatch(LakeManifest.changesBetween(s, lake, 1, 1),
+        view1, "l_suppkey", col("l_cents"), 1L, numFiles = 8) // view1 v1
+      applyCdfDeltaBatch(LakeManifest.changesBetween(s, view1, 1,
+          LakeManifest.currentVersion(s, view1))
+          .withColumn("g2", col("g") % 5L),
+        view2, "g2", col("sum_v"), 1L, numFiles = 4) // view2 increment
+      LakeManifest.readPruned(s, view2,
+          Map("g" -> (Long.MinValue, Long.MaxValue)))
+        .where(col("n_v") > 0L)
+        .select(col("g"), col("sum_v"), col("n_v"))
+        .orderBy(col("g"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -12430,6 +12521,35 @@ object SparkEntry {
           |  CAST(sum(c) AS BIGINT) AS sum_cents,
           |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
           |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // the hybrid view == the grouped final state WITH extremes:
+      // %7=2 keys deleted, %5=0 keys at +1000 (upsert precedes delete)
+      "q337_hybrid_minmax_view" ->
+        """WITH li AS (SELECT l_orderkey, l_suppkey,
+          |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          |  FROM lineitem),
+          |st AS (SELECT l_suppkey,
+          |    CASE WHEN l_orderkey % 5 = 0 THEN c + 1000 ELSE c END AS v
+          |  FROM li WHERE l_orderkey % 7 <> 2)
+          |SELECT l_suppkey AS g, CAST(sum(v) AS BIGINT) AS sum_v,
+          |  CAST(count(*) AS BIGINT) AS n_v,
+          |  CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+          |FROM st GROUP BY 1 ORDER BY g""".stripMargin,
+
+      // the second-order view == the two-level rollup of the final
+      // state: per-suppkey sums re-grouped by suppkey band
+      "q338_view_chain" ->
+        """WITH li AS (SELECT l_orderkey, l_suppkey,
+          |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          |  FROM lineitem),
+          |st AS (SELECT l_suppkey,
+          |    CASE WHEN l_orderkey % 5 = 0 THEN c + 1000 ELSE c END AS v
+          |  FROM li),
+          |v1 AS (SELECT l_suppkey AS g, CAST(sum(v) AS BIGINT) AS s
+          |  FROM st GROUP BY 1)
+          |SELECT CAST(g % 5 AS BIGINT) AS g, CAST(sum(s) AS BIGINT) AS sum_v,
+          |  CAST(count(*) AS BIGINT) AS n_v
+          |FROM v1 GROUP BY 1 ORDER BY g""".stripMargin,
     )
   }
 }

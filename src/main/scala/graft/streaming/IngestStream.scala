@@ -530,6 +530,128 @@ object IngestStream {
   }
 
   /**
+   * HYBRID incremental view maintenance (ST2i): a grouped
+   * sum/count/min/max view kept in sync with a CDF source. Sums and
+   * counts are SELF-INVERTING, so they fold from the feed deltas alone
+   * (the [[applyCdfDeltaBatch]] algebra); min and max are NOT — a
+   * retraction of the current extreme cannot be undone from the delta
+   * (the classic non-invertible-aggregate wall) — so the hybrid rule
+   * recomputes them for exactly the TOUCHED GROUPS by re-reading the
+   * SOURCE, band-pruned to those groups and version-pinned to the
+   * batch's last commit (`_commit_version` max), never the whole lake.
+   * `groupDim` must therefore be a manifest stat dim of the source.
+   *
+   * Exactly-once: the identical planned-version CAS witness protocol
+   * as [[applyCdfDeltaBatch]] (same IVMBATCH witness, same crash
+   * arithmetic, same witness-absent ⇒ bootstrap law). View rows are
+   * (g, sum_v, n_v, min_v, max_v); a group whose count reaches 0 keeps
+   * its n_v = 0 tombstone row with NULL min/max.
+   *
+   * At 100 TB: each batch costs O(changed groups) for the additive
+   * half + the touched groups' band-touch fraction of ONE source read
+   * for the extremes — the honest price of non-invertible aggregates,
+   * paid only where they changed.
+   */
+  def applyCdfHybridDeltaBatch(
+      batch: DataFrame, sourceDir: String, viewDir: String,
+      groupDim: String, valueCol: org.apache.spark.sql.Column,
+      batchId: Long, numFiles: Int = 8,
+      crashPoint: Int => Unit = _ => ()): (Long, Long) = {
+    import graft.sources.LakeManifest
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val witnessPath = new org.apache.hadoop.fs.Path(
+      s"$viewDir/${LakeManifest.ManifestDir}/IVMBATCH")
+    def readWitness(): Option[(Long, Int, Boolean)] =
+      if (!fs.exists(witnessPath)) None
+      else {
+        val in = fs.open(witnessPath)
+        val parts = (try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close())
+          .trim.split('\t')
+        Some((parts(0).toLong, parts(1).toInt, parts(2) == "1"))
+      }
+    def writeWitness(b: Long, planned: Int, done: Boolean): Unit = {
+      val out = fs.create(witnessPath, true)
+      try out.write(s"$b\t$planned\t${if (done) "1" else "0"}".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    }
+    def hasView: Boolean = try {
+      LakeManifest.currentVersion(spark, viewDir); true
+    } catch { case _: java.io.IOException | _: java.io.FileNotFoundException => false }
+
+    val w = readWitness()
+    w match {
+      case Some((b, _, done)) if batchId < b || (batchId == b && done) =>
+        return (0L, 0L)
+      case Some((b, planned, false)) if batchId == b && planned >= 0 &&
+        hasView && LakeManifest.currentVersion(spark, viewDir) == planned + 1 =>
+        writeWitness(b, planned, done = true)
+        return (0L, 0L)
+      case _ => ()
+    }
+    // additive half (sum/count) + the batch's end version in one pass
+    val marked = batch
+      .withColumn("__sign", when(col(LakeManifest.ChangeTypeCol)
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L))
+      .localCheckpoint(true)
+    val deltas = marked
+      .groupBy(col(groupDim).as("g"))
+      .agg(sum(valueCol.cast("long") * col("__sign")).as("d_sum"),
+        sum(col("__sign")).as("d_n"))
+      .localCheckpoint(true)
+    val nGroups = deltas.count()
+    if (nGroups == 0) { writeWitness(batchId, -2, done = true); return (0L, 0L) }
+    val vEnd = marked.agg(max(col(LakeManifest.CommitVersionCol)))
+      .head().getLong(0).toInt
+    // non-invertible half: min/max of the TOUCHED groups, recomputed
+    // from the source AS OF the batch's last commit, band-pruned
+    val band = deltas.agg(min(col("g")).cast("long"),
+      max(col("g")).cast("long")).head()
+    val touched = deltas.select(col("g").as("__tg")).localCheckpoint(true)
+    val extremes = LakeManifest.readPruned(spark, sourceDir,
+        Map(groupDim -> (band.getLong(0), band.getLong(1))),
+        version = Some(vEnd))
+      .join(broadcast(touched), col(groupDim) === col("__tg"), "left_semi")
+      .groupBy(col(groupDim).as("g"))
+      .agg(min(valueCol.cast("long")).as("min_new"),
+        max(valueCol.cast("long")).as("max_new"))
+    val viewStats = Seq("g" -> col("g"))
+    if (!hasView || w.isEmpty) {
+      crashPoint(1)
+      deltas.join(extremes, Seq("g"), "left")
+        .select(col("g"), col("d_sum").as("sum_v"), col("d_n").as("n_v"),
+          col("min_new").as("min_v"), col("max_new").as("max_v"))
+        .repartitionByRange(numFiles, col("g")).sortWithinPartitions(col("g"))
+        .write.mode("overwrite").parquet(viewDir)
+      LakeManifest.write(spark, viewDir, viewStats)
+      crashPoint(2)
+      writeWitness(batchId, -1, done = true)
+      crashPoint(3)
+      (nGroups, nGroups)
+    } else {
+      val v = LakeManifest.currentVersion(spark, viewDir)
+      writeWitness(batchId, v, done = false)
+      crashPoint(1)
+      val cur = LakeManifest.readPruned(spark, viewDir,
+        Map("g" -> (band.getLong(0), band.getLong(1))))
+      val updates = deltas.join(cur, Seq("g"), "left")
+        .join(extremes, Seq("g"), "left")
+        .select(col("g"),
+          (coalesce(col("sum_v"), lit(0L)) + col("d_sum")).as("sum_v"),
+          (coalesce(col("n_v"), lit(0L)) + col("d_n")).as("n_v"),
+          col("min_new").as("min_v"), col("max_new").as("max_v"))
+      val (_, written, _) = LakeManifest.upsert(spark, viewDir,
+        viewStats, "g", updates, expectedVersion = Some(v))
+      crashPoint(2)
+      writeWitness(batchId, v, done = true)
+      crashPoint(3)
+      (nGroups, written)
+    }
+  }
+
+  /**
    * CDF-driven JOIN-VIEW maintenance (ST2h, the r10 judge's task 3 —
    * the MV2 delta law lifted onto two lakes' change feeds): keep a
    * grouped sum/count view over `L ⋈ R` (equi-join on `leftKey` =

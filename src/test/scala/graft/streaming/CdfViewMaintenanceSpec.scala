@@ -113,6 +113,104 @@ class CdfViewMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("hybrid view: min/max survive retraction of the extreme; untouched groups stay byte-identical") {
+    val src = tmpDir("ivmh-src"); val view = tmpDir("ivmh-view")
+    // values spread so each group's max is a SPECIFIC row we can delete
+    val rows = spark.range(0L, 1000L).select(col("id").as("k"),
+      (col("id") % 10L).as("g"), (col("id") * 7L % 1000L).as("v"))
+    rows.repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(src)
+    LakeManifest.write(spark, src, Seq("k" -> col("k"), "g" -> col("g")))
+    LakeManifest.enableChangeFeed(spark, src) // v0
+    def expected(): Map[Long, (Long, Long, Long, Long)] =
+      LakeManifest.readPruned(spark, src, Map("k" -> (Long.MinValue, Long.MaxValue)))
+        .groupBy(col("g")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def maintained(): Map[Long, (Long, Long, Long, Long)] =
+      LakeManifest.readPruned(spark, view, Map("g" -> (Long.MinValue, Long.MaxValue)))
+        .where(col("n_v") > 0L)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    IngestStream.applyCdfHybridDeltaBatch(
+      LakeManifest.changesBetween(spark, src, 0, 0), src, view, "g", col("v"), 0L)
+    assert(maintained() == expected(), "bootstrap diverged")
+    // RETRACT THE EXTREMES of group 3 only: a delta-only maintainer
+    // cannot know the new max — the hybrid recompute must
+    val mx3 = expected()(3L)._4
+    LakeManifest.deleteWhereDV(spark, src,
+      Map("k" -> (Long.MinValue, Long.MaxValue)),
+      col("g") === 3L && col("v") === mx3) // v1: kills group 3's max rows
+    val preUntouched = maintained().filter(_._1 != 3L)
+    IngestStream.applyCdfHybridDeltaBatch(
+      LakeManifest.changesBetween(spark, src, 1, 1), src, view, "g", col("v"), 1L)
+    assert(maintained() == expected(), "retraction of the max diverged")
+    assert(maintained()(3L)._4 < mx3, "group 3's max must have dropped")
+    assert(maintained().filter(_._1 != 3L) == preUntouched,
+      "untouched groups must not change")
+    // a full-group delete tombstones to n_v = 0 with NULL extremes,
+    // and a crash-replay of the same batch id is a no-op
+    LakeManifest.deleteWhereDV(spark, src,
+      Map("k" -> (Long.MinValue, Long.MaxValue)), col("g") === 7L) // v2
+    val feed2 = LakeManifest.changesBetween(spark, src, 2, 2)
+    intercept[RuntimeException] {
+      IngestStream.applyCdfHybridDeltaBatch(feed2, src, view, "g", col("v"), 2L,
+        crashPoint = p => if (p == 2) throw new RuntimeException("boom"))
+    }
+    IngestStream.applyCdfHybridDeltaBatch(feed2, src, view, "g", col("v"), 2L)
+    assert(maintained() == expected(), "crash-replay diverged")
+    assert(!maintained().contains(7L))
+    val g7 = LakeManifest.readPruned(spark, view,
+        Map("g" -> (7L, 7L))).where(col("g") === 7L).collect()
+    assert(g7.length == 1 && g7(0).getLong(2) == 0L && g7(0).isNullAt(3) &&
+      g7(0).isNullAt(4), "emptied group must tombstone with NULL extremes")
+    assert(IngestStream.applyCdfHybridDeltaBatch(feed2, src, view, "g",
+      col("v"), 2L) == ((0L, 0L)))
+  }
+
+  test("view chains: a feed-enabled view lake is itself tailable; a second-order view maintains from it") {
+    val src = tmpDir("ivmc-src"); val v1 = tmpDir("ivmc-v1"); val v2 = tmpDir("ivmc-v2")
+    bootstrapSource(src, mkRows(0L, 800L, 3L)) // src v0 + snapshot
+    // first-order view: sum/count of v by g (10 groups)
+    IngestStream.applyCdfDeltaBatch(
+      LakeManifest.changesBetween(spark, src, 0, 0), v1, "g", col("v"), 0L)
+    // the view lake is a LAKE: enabling its feed writes a founding
+    // snapshot, and every later maintenance merge writes rows-kind
+    // records automatically — nothing special-cased
+    LakeManifest.enableChangeFeed(spark, v1) // view v0 founding snapshot
+    // second-order view from the FIRST view's feed: sum of sum_v by
+    // g % 3 — the derived dim rides via a pre-projection of the batch
+    def foldSecondDerived(from: Int, to: Int, batchId: Long): Unit = {
+      val batch = LakeManifest.changesBetween(spark, v1, from, to)
+        .withColumn("g2", col("g") % 3L)
+      IngestStream.applyCdfDeltaBatch(batch, v2, "g2", col("sum_v"), batchId,
+        numFiles = 2)
+      ()
+    }
+    foldSecondDerived(0, 0, 0L)
+    // the maintainer normalizes the view's group column to "g"
+    def secondOrder(): Map[Long, Long] =
+      LakeManifest.readPruned(spark, v2, Map("g" -> (Long.MinValue, Long.MaxValue)))
+        .where(col("n_v") > 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expectedSecond(): Map[Long, Long] =
+      LakeManifest.readPruned(spark, src, Map("k" -> (Long.MinValue, Long.MaxValue)))
+        .groupBy((col("g") % 3L).as("g2")).agg(sum(col("v")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(secondOrder() == expectedSecond(),
+      "second-order bootstrap != source grouped through the chain")
+    // source mutates; BOTH orders maintain incrementally — the chain
+    // law: Σ_{g≡j (mod 3)} sum_v(g) == Σ_{rows: g≡j} v at every step
+    LakeManifest.upsert(spark, src, dims, "k", mkRows(100L, 300L, 11L)) // src v1
+    IngestStream.applyCdfDeltaBatch(
+      LakeManifest.changesBetween(spark, src, 1, 1), v1, "g", col("v"), 1L)
+    val v1cur = LakeManifest.currentVersion(spark, v1)
+    foldSecondDerived(1, v1cur, 1L)
+    assert(secondOrder() == expectedSecond(),
+      "second-order view diverged after the chained increment")
+  }
+
   test("streaming wrapper: checkpointed maintainer resumes without double-applying") {
     val src = tmpDir("ivm-stream-src"); val view = tmpDir("ivm-stream-view")
     val ckpt = tmpDir("ivm-stream-ckpt")
