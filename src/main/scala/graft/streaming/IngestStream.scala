@@ -809,6 +809,15 @@ object IngestStream {
         .filter(!_.isEmpty)
     val dL = signed(leftDir, lFrom, leftTo, "__sl", leftColumns)
     val dR = signed(rightDir, rFrom, rightTo, "__sr", rightColumns)
+    // broadcast a delta side only while it is micro-batch-sized: a
+    // CATCH-UP delta spanning many versions (or a founding snapshot)
+    // can be arbitrarily large, and a forced broadcast of it would OOM
+    // the driver at scale — past the threshold Catalyst plans the join
+    // from its own statistics (SMJ on the shuffled sides). The count is
+    // free: the delta is already localCheckpoint-materialized.
+    val BroadcastRowCap = 1000000L
+    def hinted(d: DataFrame): DataFrame =
+      if (d.count() <= BroadcastRowCap) broadcast(d) else d
     // state at the committed versions, pruned to the OTHER delta's key
     // band (band-touch cost); empty when the delta range starts at the
     // feed's first record — the founding snapshot IS the state then
@@ -829,7 +838,7 @@ object IngestStream {
     val stateIsEmpty = base.isEmpty // bootstrap: the founding records ARE the state
     dL.foreach { l => // ΔL ⋈ R₀: broadcast the (micro-batch-sized) delta
       if (!stateIsEmpty) bandOf(l, leftKey).foreach { b =>
-        terms += broadcast(l).join(
+        terms += hinted(l).join(
           stateAt(rightDir, base.get._2, rightKey, b, "__sr", rightColumns),
           col(leftKey) === col(rightKey))
       }
@@ -837,11 +846,11 @@ object IngestStream {
     dR.foreach { r => // L₀ ⋈ ΔR
       if (!stateIsEmpty) bandOf(r, rightKey).foreach { b =>
         terms += stateAt(leftDir, base.get._1, leftKey, b, "__sl", leftColumns)
-          .join(broadcast(r), col(leftKey) === col(rightKey))
+          .join(hinted(r), col(leftKey) === col(rightKey))
       }
     }
     dL.foreach { l => dR.foreach { r => // ΔL ⋈ ΔR
-      terms += l.join(broadcast(r), col(leftKey) === col(rightKey))
+      terms += l.join(hinted(r), col(leftKey) === col(rightKey))
     }}
     val deltas =
       if (terms.isEmpty) None
