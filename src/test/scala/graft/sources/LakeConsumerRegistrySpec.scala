@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * CDF consumer-registry lifecycle (r11 ADVICE + the r12 expiry task):
+ *  1. expiry — a consumer that crashed and never returns pins the
+ *     vacuum horizon only until [[LakeManifest.expireCdfConsumers]]
+ *     ages it out; a LIVE consumer keeps its hold by heartbeating
+ *     (an equal-version re-registration refreshes its timestamp);
+ *  2. rebase hygiene — a bootstrap `write()` clears the registry with
+ *     the history it was scoped to (a pre-rebase version number does
+ *     not refer to the same history);
+ *  3. tolerance — unparseable registry residue reads as absent, never
+ *     a NumberFormatException in a diagnostics path;
+ *  4. founding persistence — the CDF flag records the enablement
+ *     version, and a rebase re-founds it at 0.
+ */
+class LakeConsumerRegistrySpec extends SparkSpec {
+
+  private val dims = Seq("k" -> col("k"))
+
+  private def mk(keys: Range, v: Long): DataFrame =
+    spark.createDataFrame(keys.map(k => (k.toLong, v))).toDF("k", "v")
+
+  private def bootstrap(dir: String): Unit = {
+    mk(0 until 100, 1L).repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    LakeManifest.write(spark, dir, dims)
+    ()
+  }
+
+  test("expiry releases a dead consumer's vacuum hold; a heartbeating one survives") {
+    val dir = tmpDir("reg-expiry")
+    bootstrap(dir)
+    LakeManifest.enableChangeFeed(spark, dir) // v0
+    LakeManifest.registerCdfConsumer(spark, dir, "dead-tail", 0)
+    LakeManifest.registerCdfConsumer(spark, dir, "live-tail", 0)
+    // churn that strands the founding version, then vacuum: BOTH
+    // registrations hold the horizon — nothing reclaimed
+    LakeManifest.upsert(spark, dir, dims, "k", mk(0 until 40, 2L)) // v1
+    LakeManifest.reoptimize(spark, dir, "k", "v", numFiles = 4) // v2
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    assert(LakeManifest.changeVersions(spark, dir).contains(0),
+      "registered consumers must hold the founding record")
+    // the dead tail goes silent; the live one heartbeats (same version)
+    Thread.sleep(1500)
+    LakeManifest.registerCdfConsumer(spark, dir, "live-tail", 0) // refresh ts
+    val expired = LakeManifest.expireCdfConsumers(spark, dir, olderThanMs = 1000L)
+    assert(expired == Seq("dead-tail"))
+    assert(LakeManifest.cdfConsumers(spark, dir) == Map("live-tail" -> 0))
+    // the live tail still holds the horizon
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    assert(LakeManifest.changeVersions(spark, dir).contains(0))
+    // it advances and deregisters — the hold releases, vacuum reclaims
+    LakeManifest.registerCdfConsumer(spark, dir, "live-tail", 2)
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    assert(!LakeManifest.changeVersions(spark, dir).contains(0),
+      "an advanced registration must release the founding hold")
+    // a returned expired consumer is refused loudly at its pruned read
+    val e = intercept[IllegalArgumentException] {
+      LakeManifest.changesBetween(spark, dir, 0, 2)
+    }
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("a bootstrap write() rebase clears the consumer registry and re-founds the feed at v0") {
+    val dir = tmpDir("reg-rebase")
+    bootstrap(dir)
+    LakeManifest.upsert(spark, dir, dims, "k", mk(10 until 30, 5L)) // v1
+    LakeManifest.enableChangeFeed(spark, dir) // founding at v1
+    assert(LakeManifest.cdfFoundingVersion(spark, dir) == Some(1))
+    LakeManifest.registerCdfConsumer(spark, dir, "old-tail", 1)
+    // relayout + rebase: history restarts at v0 — the registration's
+    // version number no longer refers to the same history, so the
+    // registry resets with it (r11 ADVICE)
+    LakeManifest.reoptimize(spark, dir, "k", "v", numFiles = 4) // v2
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L) // wait: old-tail holds
+    // deregister so the vacuum can clear tombstones ahead of write()
+    LakeManifest.unregisterCdfConsumer(spark, dir, "old-tail")
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    LakeManifest.registerCdfConsumer(spark, dir, "old-tail", 2)
+    LakeManifest.write(spark, dir, dims) // REBASE to v0
+    assert(LakeManifest.cdfConsumers(spark, dir).isEmpty,
+      "rebase must clear the consumer registry")
+    assert(LakeManifest.cdfFoundingVersion(spark, dir) == Some(0),
+      "rebase must re-found the feed at v0")
+    assert(LakeManifest.changeVersions(spark, dir) == Seq(0))
+    // the re-founded feed reads from its v0 snapshot
+    val n = LakeManifest.changesBetween(spark, dir, 0, 0).count()
+    assert(n == 100L)
+  }
+
+  test("unparseable registry residue reads as absent; registrations stay monotone") {
+    val dir = tmpDir("reg-tolerant")
+    bootstrap(dir)
+    LakeManifest.enableChangeFeed(spark, dir)
+    LakeManifest.registerCdfConsumer(spark, dir, "good", 3)
+    // a replayed registration below the recorded version is a no-op
+    LakeManifest.registerCdfConsumer(spark, dir, "good", 1)
+    assert(LakeManifest.cdfConsumers(spark, dir) == Map("good" -> 3))
+    // hand-plant corrupt residue (a crashed legacy writer's truncate)
+    val p = new org.apache.hadoop.fs.Path(
+      s"$dir/${LakeManifest.ManifestDir}/consumers/corrupt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(LakeManifest.cdfConsumers(spark, dir) == Map("good" -> 3),
+      "corrupt residue must read as absent, not throw")
+    // and vacuum's guard keeps working over it
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    assert(LakeManifest.changeVersions(spark, dir).contains(0))
+  }
+}

@@ -233,4 +233,208 @@ class CdfJoinViewMaintenanceSpec extends SparkSpec {
     assert(viewState(view) == batchJoin(left, right, 1, 2))
     assert(LakeManifest.cdfConsumers(spark, right) == Map("jv-maintainer" -> 2))
   }
+
+  test("snapshot bootstrap: a fresh maintainer converges after the founding records vacuum; churn-replay refuses loudly") {
+    val left = tmpDir("jvf-l"); val right = tmpDir("jvf-r")
+    bootstrapLake(left, mkLeft(0L, 300L, 0L), lDims, "ok") // L v0 founding
+    bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk") // R v0 founding
+    // churn that tombstones the founding files, then a zero-retention
+    // vacuum with NO registered consumers: the founding records vanish
+    LakeManifest.upsert(spark, left, lDims, "ok",
+      mkLeft(0L, 100L, 900L).where(col("ok") < 10L)) // L v1
+    LakeManifest.reoptimize(spark, left, "ok", "og", numFiles = 4) // L v2
+    LakeManifest.upsert(spark, right, rDims, "rk", mkRight(0L, 20L, 30L)) // R v1
+    LakeManifest.reoptimize(spark, right, "rk", "rw", numFiles = 2) // R v2
+    LakeManifest.vacuum(spark, left, retentionMs = 0L)
+    LakeManifest.vacuum(spark, right, retentionMs = 0L)
+    assert(!LakeManifest.changeVersions(spark, left).contains(0),
+      "precondition: the founding record must be reclaimed for this law")
+    // churn-replay bootstrap (snapshotBootstrap = false): the earliest
+    // survivor is PAST the persisted founding version — loud refusal,
+    // never a view silently missing every row untouched since v0
+    val view0 = tmpDir("jvf-v0")
+    val e = intercept[IllegalArgumentException] {
+      IngestStream.applyCdfJoinDeltaBatch(spark, left, right, view0,
+        "ok", "rk", "og", col("ov") * col("rw"),
+        LakeManifest.currentVersion(spark, left),
+        LakeManifest.currentVersion(spark, right),
+        snapshotBootstrap = false)
+    }
+    assert(e.getMessage.contains("founding"))
+    // snapshot bootstrap (the default): one O(state) read at the target
+    // pair — exact whatever the feed retained
+    val view = tmpDir("jvf-v")
+    apply(left, right, view, 2, 2)
+    assert(viewState(view) == batchJoin(left, right, 2, 2))
+    // and incremental maintenance continues from the committed pair
+    LakeManifest.upsert(spark, left, lDims, "ok",
+      mkLeft(0L, 60L, 77L).where(col("ok") < 6L)) // L v3
+    apply(left, right, view, 3, 2)
+    assert(viewState(view) == batchJoin(left, right, 3, 2))
+  }
+
+  test("bootstrap-overwrite crash window: vacuum between crash and replay cannot corrupt the rebuild (r11 ADVICE)") {
+    val left = tmpDir("jvw-l"); val right = tmpDir("jvw-r")
+    val view = tmpDir("jvw-v")
+    bootstrapLake(left, mkLeft(0L, 300L, 0L), lDims, "ok") // ok in 0..79
+    bootstrapLake(right, mkRight(1000L, 50L, 0L), rDims, "rk") // rk 1000+: DISJOINT
+    // empty join at (0,0): the pair commits with witness only, NO view
+    assert(apply(left, right, view, 0, 0) == ((0L, 0L)))
+    // real churn: right gains MATCHING keys; the next batch must
+    // bootstrap-overwrite the (still absent) view
+    LakeManifest.upsert(spark, right, rDims, "rk", mkRight(0L, 40L, 5L)) // R v1
+    // crash BETWEEN the overwrite (which deletes the witness — it
+    // lives under viewDir) and the replacement witness
+    intercept[Boom] {
+      apply(left, right, view, 0, 1, p => if (p == 2) throw new Boom)
+    }
+    // the committed pair is forgotten; vacuum both feeds' early records
+    // away before the replay — the r11 ADVICE sequence
+    LakeManifest.reoptimize(spark, left, "ok", "og", numFiles = 4) // L v1
+    LakeManifest.reoptimize(spark, right, "rk", "rw", numFiles = 2) // R v2
+    LakeManifest.vacuum(spark, left, retentionMs = 0L)
+    LakeManifest.vacuum(spark, right, retentionMs = 0L)
+    // witness-absent replay = snapshot rebuild at the target pair:
+    // exact, with or without the founding records
+    apply(left, right, view, 1, 2)
+    assert(viewState(view) == batchJoin(left, right, 1, 2),
+      "witness-absent rebuild after vacuum diverged from the batch join")
+  }
+
+  // ---- hybrid (min/max) join views --------------------------------
+
+  private def viewStateH(viewDir: String): Map[Long, (Long, Long, Option[Long], Option[Long])] =
+    LakeManifest.readPruned(spark, viewDir, Map("g" -> (Long.MinValue, Long.MaxValue)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+
+  /** Ground truth with extremes: batch join at (l, r), live groups. */
+  private def batchJoinH(left: String, right: String,
+      l: Int, r: Int): Map[Long, (Long, Long, Option[Long], Option[Long])] =
+    LakeManifest.timeTravel(spark, left, l)
+      .join(LakeManifest.timeTravel(spark, right, r), col("ok") === col("rk"))
+      .groupBy(col("og"))
+      .agg(sum((col("ov") * col("rw")).cast("long")).as("s"),
+        count(lit(1)).as("n"),
+        min((col("ov") * col("rw")).cast("long")).as("mn"),
+        max((col("ov") * col("rw")).cast("long")).as("mx"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), Some(x.getLong(3)), Some(x.getLong(4)))).toMap
+
+  private def applyH(left: String, right: String, view: String,
+      l: Int, r: Int, crash: Int => Unit = _ => ()): (Long, Long) =
+    IngestStream.applyCdfJoinHybridDeltaBatch(spark, left, right, view,
+      "ok", "rk", "og", col("ov") * col("rw"), l, r, crashPoint = crash)
+
+  test("hybrid join view: min/max stay exact under retraction of joined extremes; emptied groups tombstone with NULL extremes") {
+    val left = tmpDir("jvh-l"); val right = tmpDir("jvh-r"); val view = tmpDir("jvh-v")
+    bootstrapLake(left, mkLeft(0L, 400L, 0L), lDims, "ok")
+    bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk")
+    applyH(left, right, view, 0, 0) // snapshot bootstrap WITH extremes
+    assert(viewStateH(view).view.filterKeys(g =>
+      batchJoinH(left, right, 0, 0).contains(g)).toMap ==
+      batchJoinH(left, right, 0, 0), "bootstrap extremes")
+    // retract CURRENT EXTREMES: the DV delete removes the largest ov
+    // rows — an invertible fold would keep the stale max
+    LakeManifest.deleteWhereDV(spark, left,
+      Map("ok" -> (Long.MinValue, Long.MaxValue)), col("ov") >= 90L) // L v1
+    LakeManifest.upsert(spark, right, rDims, "rk",
+      mkRight(10L, 20L, 100L)) // R v1: weight changes move products
+    applyH(left, right, view, 1, 1)
+    val truth11 = batchJoinH(left, right, 1, 1)
+    assert(viewStateH(view).view.filterKeys(truth11.contains).toMap == truth11,
+      "post-retraction extremes diverged")
+    // no live group missing, no phantom live group
+    assert(viewStateH(view).collect { case (g, (_, n, _, _)) if n > 0L => g }
+      .toSet == truth11.keySet)
+    // EMPTY one group entirely: og == 3 rows all deleted on the left →
+    // the view keeps its n_v = 0 tombstone with NULL extremes
+    LakeManifest.deleteWhereDV(spark, left,
+      Map("ok" -> (Long.MinValue, Long.MaxValue)), col("og") === 3L) // L v2
+    applyH(left, right, view, 2, 1)
+    val truth21 = batchJoinH(left, right, 2, 1)
+    assert(!truth21.contains(3L))
+    val g3 = viewStateH(view)(3L)
+    assert(g3._2 == 0L && g3._3.isEmpty && g3._4.isEmpty,
+      s"emptied group must tombstone as n_v=0 with NULL extremes, got $g3")
+    assert(viewStateH(view).view.filterKeys(truth21.contains).toMap == truth21)
+  }
+
+  test("hybrid join view crash matrix: every crash point replays exactly, extremes included") {
+    for (cp <- 1 to 3) {
+      val left = tmpDir(s"jvhc$cp-l"); val right = tmpDir(s"jvhc$cp-r")
+      val view = tmpDir(s"jvhc$cp-v")
+      bootstrapLake(left, mkLeft(0L, 300L, 0L), lDims, "ok")
+      bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk")
+      applyH(left, right, view, 0, 0)
+      LakeManifest.deleteWhereDV(spark, left,
+        Map("ok" -> (Long.MinValue, Long.MaxValue)), col("ov") >= 80L) // L v1
+      LakeManifest.upsert(spark, right, rDims, "rk",
+        mkRight(30L, 20L, 50L)) // R v1
+      intercept[Boom] {
+        applyH(left, right, view, 1, 1, p => if (p == cp) throw new Boom)
+      }
+      applyH(left, right, view, 1, 1) // replay of the SAME target pair
+      val truth = batchJoinH(left, right, 1, 1)
+      assert(viewStateH(view).view.filterKeys(truth.contains).toMap == truth,
+        s"hybrid crash point $cp: replay corrupted the extremes")
+      assert(applyH(left, right, view, 1, 1) == ((0L, 0L))) // fenced
+    }
+  }
+
+  // ---- string-keyed lakes: hash-bucket band dims -------------------
+
+  private def withBuckets(df: DataFrame, key: String, dim: String): DataFrame =
+    df.withColumn(dim, pmod(hash(col(key)), lit(16)))
+
+  private def mkLeftS(from: Long, n: Long, bump: Long): DataFrame =
+    withBuckets(spark.range(from, from + n).select(
+      concat(lit("k-"), lpad((col("id") % 60L).cast("string"), 4, "0")).as("sk"),
+      (col("id") % 10L).as("og"), (col("id") % 100L + bump).as("ov")),
+      "sk", "sk_b")
+
+  private def mkRightS(keys: Range, bump: Long): DataFrame =
+    withBuckets(spark.createDataFrame(keys.map(k =>
+        (f"k-$k%04d", k.toLong % 7L + 1L + bump))).toDF("rk2", "rw"),
+      "rk2", "rk_b")
+
+  test("string-keyed lakes: hash-bucket band dims prune the state reads and the maintainer converges") {
+    val left = tmpDir("jvstr-l"); val right = tmpDir("jvstr-r")
+    val view = tmpDir("jvstr-v")
+    val lDimsS = Seq("sk_b" -> col("sk_b"), "og" -> col("og"))
+    val rDimsS = Seq("rk_b" -> col("rk_b"))
+    bootstrapLake(left, mkLeftS(0L, 400L, 0L), lDimsS, "sk")
+    bootstrapLake(right, mkRightS(0 until 60, 0L), rDimsS, "rk2")
+    val lBand = Some(("sk_b", pmod(hash(col("sk")), lit(16))))
+    val rBand = Some(("rk_b", pmod(hash(col("rk2")), lit(16))))
+    def applyS(l: Int, r: Int): (Long, Long) =
+      IngestStream.applyCdfJoinDeltaBatch(spark, left, right, view,
+        "sk", "rk2", "og", col("ov") * col("rw"), l, r,
+        leftBandDim = lBand, rightBandDim = rBand)
+    def truth(l: Int, r: Int): Map[Long, (Long, Long)] =
+      LakeManifest.timeTravel(spark, left, l)
+        .join(LakeManifest.timeTravel(spark, right, r), col("sk") === col("rk2"))
+        .groupBy(col("og"))
+        .agg(sum((col("ov") * col("rw")).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    applyS(0, 0) // snapshot bootstrap over string keys
+    assert(viewState(view) == truth(0, 0))
+    // churn without a numeric CDC key: appended inserts + DV deletes
+    // (the string-keyed lake's native mutation set)
+    LakeManifest.append(mkLeftS(400L, 50L, 7L), left)
+    LakeManifest.refresh(spark, left, lDimsS) // L v1
+    LakeManifest.deleteWhereDV(spark, left,
+      Map("sk_b" -> (Long.MinValue, Long.MaxValue)),
+      col("ov") % 3L === 0L) // L v2
+    LakeManifest.deleteWhereDV(spark, right,
+      Map("rk_b" -> (Long.MinValue, Long.MaxValue)),
+      col("rw") % 2L === 0L) // R v1
+    applyS(2, 1)
+    assert(viewState(view) == truth(2, 1),
+      "string-keyed maintainer diverged from the batch join")
+    // fenced replay
+    assert(applyS(2, 1) == ((0L, 0L)))
+  }
 }

