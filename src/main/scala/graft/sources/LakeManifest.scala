@@ -1123,6 +1123,34 @@ object LakeManifest {
     finally out.close()
   }
 
+  // A CAS-fenced writer (the IVM maintainers) can crash between its
+  // merge and its witness; on replay, "the view is at planned + 1" is
+  // NOT proof the merge landed — a maintenance commit (reoptimize) on
+  // the view lake racing the CAS also advances the version by one, and
+  // pure version arithmetic would then mark a LOST merge as done
+  // (silent divergence). The commit TAG disambiguates: the merge
+  // stamps its attempt token inside its version's history dir
+  // (underscore-prefixed, invisible to the parquet reader, immutable
+  // with the version), and replay resolution requires the tag match.
+  private def commitTagPath(dir: String, v: Int) =
+    s"${historyPath(dir, v)}/_commit_tag"
+
+  /** The idempotency tag version `v`'s commit carried (None for
+    * untagged commits — appends, maintenance). Loud refusal when the
+    * version is not retained: an unresolvable replay must never guess. */
+  def commitTagAt(spark: SparkSession, dir: String, v: Int): Option[String] = {
+    val fsys = fs(spark, dir)
+    require(fsys.exists(new org.apache.hadoop.fs.Path(historyPath(dir, v))),
+      s"version $v of $dir is not retained — its commit tag cannot be " +
+        "resolved (vacuumed past the horizon, or rebased)")
+    val p = new org.apache.hadoop.fs.Path(commitTagPath(dir, v))
+    if (!fsys.exists(p)) None
+    else {
+      val in = fsys.open(p)
+      Some(try new String(in.readAllBytes(), UTF_8) finally in.close())
+    }
+  }
+
   /** The commit time of retained version `v`: the explicit stamp, or
     * the history dir's mtime for pre-stamp lakes. */
   def commitTimeOf(spark: SparkSession, dir: String, v: Int): Long = {
@@ -1962,7 +1990,8 @@ object LakeManifest {
       spark: SparkSession, dir: String, stats: Seq[(String, Column)],
       keyDim: String, updates: DataFrame,
       bloom: Seq[(String, Column)] = Nil,
-      expectedVersion: Option[Int] = None): (Long, Long, Int) =
+      expectedVersion: Option[Int] = None,
+      tag: Option[String] = None): (Long, Long, Int) =
     withCommitLock(spark, dir) {
     expectedVersion.foreach { e =>
       val v = currentVersion(spark, dir)
@@ -2090,6 +2119,11 @@ object LakeManifest {
     spark.read.parquet(filesPath(dir))
       .write.mode("overwrite").parquet(historyPath(dir, next))
     stampCommitTs(fs, dir, next)
+    tag.foreach { t => // the CAS-fenced writers' idempotency token
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(commitTagPath(dir, next)), true)
+      try out.write(t.getBytes(UTF_8)) finally out.close()
+    }
     // DV fold-out for the rewritten (tombstoned) candidates: a BASE
     // generation (state reset) supersedes every prior delta
     if (dvInForce(spark, dir, vNowU)) {

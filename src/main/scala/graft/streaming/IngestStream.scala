@@ -471,15 +471,24 @@ object IngestStream {
       LakeManifest.currentVersion(spark, viewDir); true
     } catch { case _: java.io.IOException | _: java.io.FileNotFoundException => false }
 
+    // the merge's idempotency token: "the view advanced past planned"
+    // is NOT proof the merge landed — a maintenance commit (reoptimize)
+    // racing the CAS also advances the version — so replay resolution
+    // requires planned + 1 to carry THIS batch's tag (r12: the
+    // view-lake maintenance race)
+    val myTag = s"ivm-$batchId"
     val w = readWitness()
     w match {
       case Some((b, _, done)) if batchId < b || (batchId == b && done) =>
         return (0L, 0L) // fenced: a committed batch replays as a no-op
       case Some((b, planned, false)) if batchId == b && planned >= 0 &&
-        hasView && LakeManifest.currentVersion(spark, viewDir) == planned + 1 =>
+        hasView && LakeManifest.currentVersion(spark, viewDir) >= planned + 1 &&
+        LakeManifest.commitTagAt(spark, viewDir, planned + 1).contains(myTag) =>
         writeWitness(b, planned, done = true) // merge landed, mark crashed
         return (0L, 0L)
       case _ => () // fresh batch, or a replay whose commit never landed
+        // (incl. a foreign +1: the CAS below re-plans from the fresh
+        // version, so a lost merge redoes instead of silently skipping)
     }
     val deltas = batch
       .withColumn("__sign", when(col(LakeManifest.ChangeTypeCol)
@@ -521,7 +530,8 @@ object IngestStream {
           (coalesce(col("sum_v"), lit(0L)) + col("d_sum")).as("sum_v"),
           (coalesce(col("n_v"), lit(0L)) + col("d_n")).as("n_v"))
       val (_, written, _) = LakeManifest.upsert(spark, viewDir,
-        viewStats, "g", updates, expectedVersion = Some(v))
+        viewStats, "g", updates, expectedVersion = Some(v),
+        tag = Some(myTag))
       crashPoint(2)
       writeWitness(batchId, v, done = true)
       crashPoint(3)
@@ -581,12 +591,14 @@ object IngestStream {
       LakeManifest.currentVersion(spark, viewDir); true
     } catch { case _: java.io.IOException | _: java.io.FileNotFoundException => false }
 
+    val myTag = s"ivm-$batchId" // replay disambiguation vs foreign +1
     val w = readWitness()
     w match {
       case Some((b, _, done)) if batchId < b || (batchId == b && done) =>
         return (0L, 0L)
       case Some((b, planned, false)) if batchId == b && planned >= 0 &&
-        hasView && LakeManifest.currentVersion(spark, viewDir) == planned + 1 =>
+        hasView && LakeManifest.currentVersion(spark, viewDir) >= planned + 1 &&
+        LakeManifest.commitTagAt(spark, viewDir, planned + 1).contains(myTag) =>
         writeWitness(b, planned, done = true)
         return (0L, 0L)
       case _ => ()
@@ -643,7 +655,8 @@ object IngestStream {
           (coalesce(col("n_v"), lit(0L)) + col("d_n")).as("n_v"),
           col("min_new").as("min_v"), col("max_new").as("max_v"))
       val (_, written, _) = LakeManifest.upsert(spark, viewDir,
-        viewStats, "g", updates, expectedVersion = Some(v))
+        viewStats, "g", updates, expectedVersion = Some(v),
+        tag = Some(myTag))
       crashPoint(2)
       writeWitness(batchId, v, done = true)
       crashPoint(3)
@@ -837,13 +850,20 @@ object IngestStream {
     }
 
     val w = readWitness()
-    // resolve the committed base pair (the version-arithmetic fence)
+    // resolve the committed base pair (the version-arithmetic fence,
+    // tag-disambiguated: "view past planned" alone is NOT proof the
+    // merge landed — a reoptimize on the VIEW lake racing the CAS also
+    // advances the version; the landed merge carries the target pair's
+    // tag at planned + 1, a lost one doesn't and redoes from a fresh
+    // plan — r12: the view-lake maintenance race)
     val base: Option[(Int, Int)] = w match {
       case None => None // bootstrap
       case Some((_, _, cl, cr, _, true)) => Some((cl, cr))
       case Some((ll, lr, cl, cr, planned, false))
         if planned >= 0 && hasView &&
-          LakeManifest.currentVersion(spark, viewDir) == planned + 1 =>
+          LakeManifest.currentVersion(spark, viewDir) >= planned + 1 &&
+          LakeManifest.commitTagAt(spark, viewDir, planned + 1)
+            .contains(s"ivmjoin-$cl-$cr") =>
         writeWitness(ll, lr, cl, cr, planned, done = true) // landed; mark
         registerCommitted(cl, cr)
         Some((cl, cr))
@@ -1097,6 +1117,7 @@ object IngestStream {
       (nGroups, nGroups)
     } else {
       val (bl, br) = base.get
+      val myTag = s"ivmjoin-$leftTo-$rightTo" // the pair IS the attempt id
       val v = LakeManifest.currentVersion(spark, viewDir)
       writeWitness(bl, br, leftTo, rightTo, v, done = false)
       crashPoint(1)
@@ -1114,7 +1135,8 @@ object IngestStream {
           .select(col("g"), col("sum_v"), col("n_v"),
             col("min_new").as("min_v"), col("max_new").as("max_v"))
       val (_, written, _) = LakeManifest.upsert(spark, viewDir,
-        viewStats, "g", updates, expectedVersion = Some(v))
+        viewStats, "g", updates, expectedVersion = Some(v),
+        tag = Some(myTag))
       crashPoint(2)
       writeWitness(bl, br, leftTo, rightTo, v, done = true)
       crashPoint(3)
