@@ -293,14 +293,17 @@ object GraftSql {
       val lake = graft.core.Scratch.dir("q291_lake")
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW q291_base AS
-          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem""".stripMargin)
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+          |FROM lineitem WHERE l_partkey % 4 = 1""".stripMargin)
       s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q291_base " +
-        "ZORDER BY (l_suppkey, l_partkey) FILES 16 BITS 21")
+        "ZORDER BY (l_suppkey, l_partkey) FILES 8 BITS 21")
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW q291_updates AS
           |SELECT l_orderkey, l_partkey, l_suppkey,
           |  l_quantity + 100.0 AS l_quantity
-          |FROM lineitem WHERE l_suppkey IN (3, 7) AND l_orderkey % 10 = 0""".stripMargin)
+          |FROM lineitem
+          |WHERE l_suppkey IN (3, 7) AND l_orderkey % 10 = 0
+          |  AND l_partkey % 4 = 1""".stripMargin)
       s.sql(s"GRAFT MERGE INTO '$lake' KEY l_suppkey " +
         "STATS (l_suppkey, l_partkey) FROM q291_updates")
       s.sql(s"GRAFT SELECT FROM '$lake' RANGE l_suppkey " +
@@ -320,17 +323,17 @@ object GraftSql {
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW q292_even AS
           |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
-          |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin)
+          |FROM lineitem WHERE l_orderkey % 2 = 0 AND l_partkey % 4 = 1""".stripMargin)
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW q292_odd AS
           |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
-          |FROM lineitem WHERE l_orderkey % 2 = 1""".stripMargin)
+          |FROM lineitem WHERE l_orderkey % 2 = 1 AND l_partkey % 4 = 1""".stripMargin)
       s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q292_even " +
-        "ZORDER BY (l_partkey, l_suppkey) FILES 16 BITS 21")
+        "ZORDER BY (l_partkey, l_suppkey) FILES 8 BITS 21")
       s.sql(s"GRAFT APPEND INTO '$lake' FROM q292_odd")
       s.sql(s"GRAFT REFRESH '$lake' STATS (l_partkey, l_suppkey)")
       s.sql(s"GRAFT OPTIMIZE '$lake' ZORDER BY (l_partkey, l_suppkey) " +
-        "FILES 16 BITS 21")
+        "FILES 8 BITS 21")
       s.sql(s"GRAFT DELETE FROM '$lake' STATS (l_partkey, l_suppkey) " +
         "RANGE l_suppkey BETWEEN 7 AND 7 WHERE l_suppkey = 7")
       s.sql(s"GRAFT VACUUM '$lake' RETAIN 0 MS")
@@ -354,16 +357,18 @@ object GraftSql {
       val lake = graft.core.Scratch.dir("q328_lake")
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW q328_base AS
-          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem""".stripMargin)
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+          |FROM lineitem WHERE l_partkey % 4 = 1""".stripMargin)
       s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q328_base " +
-        "ZORDER BY (l_suppkey, l_partkey) FILES 16 BITS 21")
+        "ZORDER BY (l_suppkey, l_partkey) FILES 8 BITS 21")
       val t0 = System.currentTimeMillis()
       Thread.sleep(50) // commit times have ms granularity; separate them
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW q328_updates AS
           |SELECT l_orderkey, l_partkey, l_suppkey,
           |  l_quantity + 100.0 AS l_quantity
-          |FROM lineitem WHERE l_suppkey IN (3, 7)""".stripMargin)
+          |FROM lineitem WHERE l_suppkey IN (3, 7)
+          |  AND l_partkey % 4 = 1""".stripMargin)
       s.sql(s"GRAFT MERGE INTO '$lake' KEY l_suppkey " +
         "STATS (l_suppkey, l_partkey) FROM q328_updates")
       s.sql(s"GRAFT TIME TRAVEL '$lake' AT TIMESTAMP '$t0' AS q328_tt")
@@ -383,15 +388,17 @@ object GraftSql {
       val lake = graft.core.Scratch.dir("q329_lake")
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW q329_base AS
-          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem""".stripMargin)
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+          |FROM lineitem WHERE l_partkey % 4 = 1""".stripMargin)
       s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q329_base " +
-        "ZORDER BY (l_suppkey, l_partkey) FILES 16 BITS 21")
+        "ZORDER BY (l_suppkey, l_partkey) FILES 8 BITS 21")
       s.sql(s"GRAFT ENABLE CHANGEFEED '$lake'")
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW q329_updates AS
           |SELECT l_orderkey, l_partkey, l_suppkey,
           |  l_quantity + 100.0 AS l_quantity
-          |FROM lineitem WHERE l_suppkey IN (3, 7)""".stripMargin)
+          |FROM lineitem WHERE l_suppkey IN (3, 7)
+          |  AND l_partkey % 4 = 1""".stripMargin)
       s.sql(s"GRAFT MERGE INTO '$lake' KEY l_suppkey " +
         "STATS (l_suppkey, l_partkey) FROM q329_updates")
       s.sql(s"GRAFT DELETE FROM '$lake' STATS (l_suppkey, l_partkey) " +
@@ -419,21 +426,23 @@ object GraftSql {
       val lake = graft.core.Scratch.dir("q336_lake")
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW q336_base AS
-          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem""".stripMargin)
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+          |FROM lineitem WHERE l_partkey % 4 = 1""".stripMargin)
       s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q336_base " +
-        "ZORDER BY (l_suppkey, l_partkey) FILES 16 BITS 21")
+        "ZORDER BY (l_suppkey, l_partkey) FILES 8 BITS 21")
       s.sql(s"GRAFT ENABLE CHANGEFEED '$lake'")
       s.sql(s"GRAFT REGISTER CONSUMER 'q336-tail' AT VERSION 0 ON '$lake'")
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW q336_updates AS
           |SELECT l_orderkey, l_partkey, l_suppkey,
           |  l_quantity + 100.0 AS l_quantity
-          |FROM lineitem WHERE l_suppkey IN (3, 7)""".stripMargin)
+          |FROM lineitem WHERE l_suppkey IN (3, 7)
+          |  AND l_partkey % 4 = 1""".stripMargin)
       s.sql(s"GRAFT MERGE VECTORED INTO '$lake' KEY l_suppkey " +
         "STATS (l_suppkey, l_partkey) FROM q336_updates") // v1: 0 rewrites
       s.sql(s"GRAFT DELETE VECTORED FROM '$lake' " +
         "RANGE l_suppkey BETWEEN 5 AND 5 WHERE l_suppkey = 5") // v2
-      s.sql(s"GRAFT COMPACT '$lake' TARGET 30000 ROWS") // v3: none record
+      s.sql(s"GRAFT COMPACT '$lake' TARGET 8000 ROWS") // v3: none record
       s.sql(s"GRAFT VACUUM '$lake' RETAIN 0 MS") // HELD at >= 0
       s.sql(s"GRAFT CHANGES BETWEEN 0 AND 3 FROM '$lake' " +
         "COLUMNS (l_suppkey, l_quantity) AS q336_feed")

@@ -4768,7 +4768,8 @@ object SparkEntry {
     // specs prove each op's invariants; this proves the COMPOSITION's
     // row identity against an engine that never saw the lake.
     "q275_lake_maintenance" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem") // fixture capped at 1/4 (r11 ask;
+        .where(col("l_partkey") % 4 === 1) // partkey keeps the %2 split live)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"))
       val lake = graft.core.Scratch.dir("q275_lake")
@@ -4776,12 +4777,12 @@ object SparkEntry {
         "l_suppkey" -> col("l_suppkey"))
       graft.sources.LakeManifest.optimize(
         li.where(col("l_orderkey") % 2 === 0), lake,
-        "l_partkey", "l_suppkey", numFiles = 16, bits = 21)
+        "l_partkey", "l_suppkey", numFiles = 8, bits = 21)
       graft.sources.LakeManifest.append(
         li.where(col("l_orderkey") % 2 === 1).coalesce(4), lake)
       graft.sources.LakeManifest.refresh(s, lake, dims)
       graft.sources.LakeManifest.reoptimize(s, lake,
-        "l_partkey", "l_suppkey", numFiles = 16, bits = 21)
+        "l_partkey", "l_suppkey", numFiles = 8, bits = 21)
       graft.sources.LakeManifest.deleteWhere(s, lake, dims,
         Map("l_suppkey" -> (7L, 7L)), col("l_suppkey") === 7L)
       graft.sources.LakeManifest.readPruned(s, lake,
@@ -4810,12 +4811,13 @@ object SparkEntry {
     // oracle recomputes the merge from the raw table — green proves the
     // manifest-routed upsert is row-exact, not just count-exact.
     "q278_lake_upsert" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem") // fixture capped at 1/4 (r11 ask)
+        .where(col("l_partkey") % 4 === 1)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"))
       val lake = graft.core.Scratch.dir("q278_lake")
       graft.sources.LakeManifest.optimize(
-        li, lake, "l_suppkey", "l_partkey", numFiles = 16, bits = 21)
+        li, lake, "l_suppkey", "l_partkey", numFiles = 8, bits = 21)
       val updates = li
         .where(col("l_suppkey").isin(3L, 7L) && col("l_orderkey") % 10 === 0)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -5610,14 +5612,15 @@ object SparkEntry {
     // At 100 TB each change record is O(changed rows); the census reads
     // the feed, never a snapshot rescan.
     "q325_lake_change_feed" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem") // fixture capped at 1/3 (r11 ask;
+        .where(col("l_orderkey") % 3 === 0) // %3 keeps the %4 churn live)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"))
       val lake = graft.core.Scratch.dir("q325_lake")
       val dims = Seq("l_orderkey" -> col("l_orderkey"),
         "l_partkey" -> col("l_partkey"))
       import graft.sources.LakeManifest
-      li.repartitionByRange(16, col("l_orderkey"))
+      li.repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions(col("l_orderkey"))
         .write.mode("overwrite").parquet(lake)
       LakeManifest.write(s, lake, dims)
@@ -5653,7 +5656,8 @@ object SparkEntry {
     // else minus the scattered deletes. At 100 TB this commit shape is
     // O(deleted rows), not O(touched files × size).
     "q326_lake_deletion_vectors" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem") // fixture capped at 1/4 (r11 ask)
+        .where(col("l_orderkey") % 4 === 1)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"))
       val lake = graft.core.Scratch.dir("q326_lake")
@@ -5661,7 +5665,7 @@ object SparkEntry {
       val dims = Seq("l_suppkey" -> col("l_suppkey"),
         "l_partkey" -> col("l_partkey"))
       LakeManifest.optimize(li, lake, "l_suppkey", "l_partkey",
-        numFiles = 16, bits = 21)
+        numFiles = 8, bits = 21)
       LakeManifest.deleteWhereDV(s, lake,
         Map("l_suppkey" -> (Long.MinValue, Long.MaxValue)),
         col("l_orderkey") % 7 === 3) // v1: vectors only, 0 rewrites
@@ -5728,7 +5732,9 @@ object SparkEntry {
     // each batch costs O(changed groups), which is what makes a
     // downstream aggregate affordable against a mutating lake.
     "q330_cdf_incremental_view" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      val li = t(s, dir, "lineitem") // fixture capped at 1/4 (r11 ask)
+        .where(col("l_orderkey") % 4 === 1)
+        .select(col("l_orderkey"),
         col("l_suppkey"),
         (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")
           .as("l_cents"))
@@ -5737,7 +5743,7 @@ object SparkEntry {
       import graft.sources.LakeManifest
       val dims = Seq("l_orderkey" -> col("l_orderkey"),
         "l_suppkey" -> col("l_suppkey"))
-      li.repartitionByRange(16, col("l_orderkey"))
+      li.repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions(col("l_orderkey"))
         .write.mode("overwrite").parquet(lake)
       LakeManifest.write(s, lake, dims)
@@ -11405,9 +11411,10 @@ object SparkEntry {
       "q278_lake_upsert" ->
         """WITH up AS (SELECT l_orderkey, l_partkey, l_suppkey,
           |    l_quantity + 100 AS l_quantity
-          |  FROM lineitem WHERE l_suppkey IN (3, 7) AND l_orderkey % 10 = 0),
+          |  FROM lineitem WHERE l_suppkey IN (3, 7) AND l_orderkey % 10 = 0
+          |    AND l_partkey % 4 = 1),
           |base AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
-          |  FROM lineitem WHERE l_suppkey NOT IN (3, 7)),
+          |  FROM lineitem WHERE l_suppkey NOT IN (3, 7) AND l_partkey % 4 = 1),
           |allr AS (SELECT * FROM base UNION ALL SELECT * FROM up)
           |SELECT l_suppkey % 25 AS supp_band, count(*) AS n_rows,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
@@ -11780,7 +11787,7 @@ object SparkEntry {
         """SELECT l_partkey % 50 AS part_band, count(*) AS n_rows,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
-          |FROM lineitem WHERE l_suppkey <> 7
+          |FROM lineitem WHERE l_suppkey <> 7 AND l_partkey % 4 = 1
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // mixed-generation read == the raw-table split (evolution exactness)
@@ -12488,7 +12495,8 @@ object SparkEntry {
       // state of the deleted band — then the same census the engine
       // runs over changesBetween(0, 3)
       "q325_lake_change_feed" ->
-        """WITH li AS (SELECT l_orderkey, l_quantity FROM lineitem),
+        """WITH li AS (SELECT l_orderkey, l_quantity FROM lineitem
+          |  WHERE l_orderkey % 3 = 0),
           |v0 AS (SELECT 0 AS commit_version, 'insert' AS change_type,
           |    l_orderkey, l_quantity AS q FROM li),
           |b1 AS (SELECT * FROM li WHERE l_orderkey % 4 = 1),
@@ -12517,7 +12525,8 @@ object SparkEntry {
       // brings their %7=3 rows back), the rest minus the scattered
       // deletes — then the same band census
       "q326_lake_deletion_vectors" ->
-        """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem),
+        """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+          |  FROM lineitem WHERE l_orderkey % 4 = 1),
           |state AS (
           |  SELECT l_orderkey, l_suppkey, l_quantity + 100.0 AS q
           |  FROM li WHERE l_suppkey IN (3, 7)
@@ -12546,14 +12555,15 @@ object SparkEntry {
         """SELECT l_suppkey % 25 AS supp_band,
           |  CAST(count(*) AS BIGINT) AS n_rows,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+          |FROM lineitem WHERE l_partkey % 4 = 1
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // the maintained view == the grouped final state, recomputed
       // relationally (upserted keys at +1000 cents, %7=2 keys deleted)
       "q330_cdf_incremental_view" ->
         """WITH li AS (SELECT l_orderkey, l_suppkey,
           |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-          |  FROM lineitem),
+          |  FROM lineitem WHERE l_orderkey % 4 = 1),
           |st AS (SELECT l_suppkey,
           |    CASE WHEN l_orderkey % 5 = 0 THEN cents + 1000 ELSE cents END AS c
           |  FROM li WHERE l_orderkey % 7 <> 2)
@@ -12565,7 +12575,8 @@ object SparkEntry {
       // snapshot, v1 merge preimage (original) / postimage (+100) of
       // suppkeys {3,7}, v2 delete of suppkey 5 (untouched by the merge)
       "q329_sql_change_feed" ->
-        """WITH li AS (SELECT l_suppkey, l_quantity FROM lineitem),
+        """WITH li AS (SELECT l_suppkey, l_quantity FROM lineitem
+          |  WHERE l_partkey % 4 = 1),
           |feed AS (
           |  SELECT 0 AS commit_version, 'insert' AS change_type, l_quantity AS q FROM li
           |  UNION ALL
