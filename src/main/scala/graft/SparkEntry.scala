@@ -6249,6 +6249,120 @@ object SparkEntry {
         .select(col("g"), col("sum_v"), col("n_v"))
         .orderBy(col("g"))
     }),
+
+    // Q341 — SC6q SNAPSHOT-BOOTSTRAP after a founding-record vacuum
+    // (the r11 judge's task 1 as a gated query): the left feed's
+    // founding snapshot is legally reclaimed (churn tombstones it, a
+    // zero-retention vacuum runs with NO registered consumers), then a
+    // FRESH maintainer bootstraps — from the lakes' CURRENT states at
+    // the target pair, one O(state) read, where a churn replay would
+    // silently miss every row untouched since enablement (the guard
+    // refuses that path loudly, spec-pinned). The maintainer then
+    // keeps folding incrementally. Oracle = the grouped join of the
+    // two final states.
+    "q341_snapshot_bootstrap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 8 === 1)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("l_cents"))
+      val ords = t(s, dir, "orders")
+        .where(col("o_orderkey") % 8 === 1)
+        .select(col("o_orderkey"), (col("o_custkey") % 10L).as("o_band"))
+      val left = graft.core.Scratch.dir("q341_left")
+      val right = graft.core.Scratch.dir("q341_right")
+      val view = graft.core.Scratch.dir("q341_view")
+      import graft.sources.LakeManifest
+      val lDims = Seq("l_orderkey" -> col("l_orderkey"),
+        "l_suppkey" -> col("l_suppkey"))
+      val rDims = Seq("o_orderkey" -> col("o_orderkey"),
+        "o_band" -> col("o_band"))
+      li.repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(left)
+      LakeManifest.write(s, left, lDims)
+      LakeManifest.enableChangeFeed(s, left) // L v0 founding
+      ords.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(right)
+      LakeManifest.write(s, right, rDims)
+      LakeManifest.enableChangeFeed(s, right) // R v0 founding
+      // churn tombstones the founding files, vacuum reclaims them —
+      // v0's change record is GONE before any maintainer exists
+      LakeManifest.upsert(s, left, lDims, "l_orderkey",
+        li.where(col("l_orderkey") % 5 === 0)
+          .withColumn("l_cents", col("l_cents") + 1000L)) // L v1
+      LakeManifest.reoptimize(s, left, "l_orderkey", "l_suppkey",
+        numFiles = 4) // L v2
+      LakeManifest.vacuum(s, left, retentionMs = 0L) // founding reclaimed
+      import graft.streaming.IngestStream.applyCdfJoinDeltaBatch
+      def step(l: Int, r: Int): Unit = {
+        applyCdfJoinDeltaBatch(s, left, right, view, "l_orderkey",
+          "o_orderkey", "o_band", col("l_cents"), l, r,
+          registerAs = Some("q341"))
+        ()
+      }
+      step(2, 0) // fresh maintainer: SNAPSHOT bootstrap at (2, 0)
+      LakeManifest.upsert(s, right, rDims, "o_orderkey",
+        ords.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_band", col("o_band") + 10L)) // R v1
+      step(2, 1) // and incremental maintenance continues
+      LakeManifest.readPruned(s, view,
+          Map("g" -> (Long.MinValue, Long.MaxValue)))
+        .where(col("n_v") > 0L)
+        .select(col("g"), col("sum_v"), col("n_v"))
+        .orderBy(col("g"))
+    }),
+
+    // Q342 — SC6r CONSUMER-REGISTRY EXPIRY as a gated query: a
+    // registered-but-dead consumer HOLDS a zero-retention vacuum (the
+    // catch-up fold over the held records succeeds — if the hold
+    // failed, changesBetween below would throw and the gate would go
+    // red); expireCdfConsumers then ages the dead registration out and
+    // the SAME vacuum reclaims — the retained-record census drops to
+    // exactly the current version's. Oracle = the maintained view
+    // recomputed relationally + the post-expiry retention census.
+    "q342_consumer_expiry" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 8 === 1)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("l_cents"))
+      val lake = graft.core.Scratch.dir("q342_lake")
+      val view = graft.core.Scratch.dir("q342_view")
+      import graft.sources.LakeManifest
+      val dims = Seq("l_orderkey" -> col("l_orderkey"),
+        "l_suppkey" -> col("l_suppkey"))
+      li.repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(lake)
+      LakeManifest.write(s, lake, dims)
+      LakeManifest.enableChangeFeed(s, lake) // v0 founding
+      LakeManifest.registerCdfConsumer(s, lake, "q342-dead", 0)
+      import graft.streaming.IngestStream.applyCdfDeltaBatch
+      applyCdfDeltaBatch(LakeManifest.changesBetween(s, lake, 0, 0),
+        view, "l_suppkey", col("l_cents"), 0L, numFiles = 4)
+      LakeManifest.upsert(s, lake, dims, "l_orderkey",
+        li.where(col("l_orderkey") % 5 === 0)
+          .withColumn("l_cents", col("l_cents") + 1000L)) // v1
+      LakeManifest.reoptimize(s, lake, "l_orderkey", "l_suppkey",
+        numFiles = 4) // v2: tombstones every pre-merge file
+      LakeManifest.vacuum(s, lake, retentionMs = 0L) // HELD by the dead tail
+      // the held records are still foldable (the hold IS the gate)
+      applyCdfDeltaBatch(LakeManifest.changesBetween(s, lake, 1, 2),
+        view, "l_suppkey", col("l_cents"), 1L, numFiles = 4)
+      // the dead consumer never returns: age it out, the hold releases
+      val expired = LakeManifest.expireCdfConsumers(s, lake, olderThanMs = 0L)
+      require(expired == Seq("q342-dead"), s"expiry returned $expired")
+      LakeManifest.vacuum(s, lake, retentionMs = 0L) // now reclaims
+      val retained = LakeManifest.changeVersions(s, lake).length.toLong
+      LakeManifest.readPruned(s, view,
+          Map("g" -> (Long.MinValue, Long.MaxValue)))
+        .where(col("n_v") > 0L)
+        .select(col("g"), col("sum_v"), col("n_v"))
+        .withColumn("n_retained_records", lit(retained))
+        .orderBy(col("g"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -12759,6 +12873,38 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_v
           |FROM l2 JOIN r ON sk = pk
           |GROUP BY 1 ORDER BY g""".stripMargin,
+
+      // the snapshot-bootstrapped view == the grouped join of the two
+      // final states (+1000 on %5 left keys; band+10 on %3 orders)
+      "q341_snapshot_bootstrap" ->
+        """WITH l AS (SELECT l_orderkey,
+          |    CASE WHEN l_orderkey % 5 = 0
+          |      THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) + 1000
+          |      ELSE CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) END AS c
+          |  FROM lineitem WHERE l_orderkey % 8 = 1),
+          |r AS (SELECT o_orderkey,
+          |    o_custkey % 10 + CASE WHEN o_orderkey % 3 = 0 THEN 10 ELSE 0 END AS band
+          |  FROM orders WHERE o_orderkey % 8 = 1)
+          |SELECT CAST(band AS BIGINT) AS g, CAST(sum(c) AS BIGINT) AS sum_v,
+          |  CAST(count(*) AS BIGINT) AS n_v
+          |FROM l JOIN r ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY g""".stripMargin,
+
+      // the expiry query's view == the grouped final state; after the
+      // dead registration ages out, the zero-retention vacuum reclaims
+      // everything below the current version — exactly ONE retained
+      // change record (the current reoptimize's none record)
+      "q342_consumer_expiry" ->
+        """WITH li AS (SELECT l_orderkey, l_suppkey,
+          |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          |  FROM lineitem WHERE l_orderkey % 8 = 1),
+          |st AS (SELECT l_suppkey,
+          |    CASE WHEN l_orderkey % 5 = 0 THEN c + 1000 ELSE c END AS v
+          |  FROM li)
+          |SELECT l_suppkey AS g, CAST(sum(v) AS BIGINT) AS sum_v,
+          |  CAST(count(*) AS BIGINT) AS n_v,
+          |  CAST(1 AS BIGINT) AS n_retained_records
+          |FROM st GROUP BY 1 ORDER BY g""".stripMargin,
     )
   }
 }

@@ -1187,6 +1187,45 @@ object IngestStream {
       .start()
   }
 
+  /** The [[applyCdfHybridDeltaBatch]] maintainer wired to the
+    * `graft-lake-cdf` tail (ST2i's streaming twin, mirroring
+    * [[startCdfAggregateView]]): the view lake converges to
+    * `source.groupBy(groupDim).agg(sum, count, min, max)` — the
+    * additive half from the feed deltas, the extremes recomputed per
+    * touched group from version-pinned band-pruned source reads. A
+    * pruned `columns` list must cover groupDim + valueCol's
+    * references (the extremes recompute reads the SOURCE, so the
+    * pruning rides into that scan too). */
+  def startCdfHybridView(
+      sourceLakeDir: String,
+      viewDir: String,
+      checkpointDir: String,
+      groupDim: String,
+      valueCol: org.apache.spark.sql.Column,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      numFiles: Int = 8,
+      columns: Seq[String] = Nil,
+      consumerId: Option[String] = None,
+      startingMode: String = "earliest"): StreamingQuery = {
+    val spark = SparkSession.active
+    val rd = spark.readStream.format("graft-lake-cdf")
+      .option("path", sourceLakeDir)
+      .option("startingMode", startingMode)
+    val rd2 = if (columns.isEmpty) rd
+      else rd.option("columns", columns.mkString(","))
+    val rd3 = consumerId.fold(rd2)(id => rd2.option("consumerId", id))
+    rd3.load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdfHybridDeltaBatch(batch, sourceLakeDir, viewDir, groupDim,
+          valueCol, batchId, numFiles)
+        ()
+      }
+      .start()
+  }
+
   /**
    * The [[applyCdfJoinDeltaBatch]] maintainer wired to BOTH lakes'
    * `graft-lake-cdf` tails (ST2h's streaming twin of

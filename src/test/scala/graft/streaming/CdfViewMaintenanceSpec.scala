@@ -230,4 +230,42 @@ class CdfViewMaintenanceSpec extends SparkSpec {
     drain() // idle restart: nothing re-applied
     assert(viewState(view) == expectedState(src))
   }
+
+  test("streaming hybrid twin: checkpointed min/max maintainer converges, retraction included") {
+    val src = tmpDir("ivmh-stream-src"); val view = tmpDir("ivmh-stream-view")
+    val ckpt = tmpDir("ivmh-stream-ckpt")
+    // distinct per-row values so extremes are group-specific
+    val base = spark.range(0L, 600L).select(col("id").as("k"),
+      (col("id") % 10L).as("g"), (col("id") % 97L).as("v"))
+    bootstrapSource(src, base)
+    def expectedH(): Map[Long, (Long, Long, Long, Long)] =
+      LakeManifest.readPruned(spark, src, Map("k" -> (Long.MinValue, Long.MaxValue)))
+        .groupBy(col("g")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def gotH(): Map[Long, (Long, Long, Long, Long)] =
+      LakeManifest.readPruned(spark, view, Map("g" -> (Long.MinValue, Long.MaxValue)))
+        .where(col("n_v") > 0L)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def drain(): Unit = {
+      val q = IngestStream.startCdfHybridView(src, view, ckpt, "g", col("v"),
+        Trigger.ProcessingTime("50 milliseconds"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(gotH() == expectedH(), "hybrid twin bootstrap")
+    // retract the extremes: the top band of values vanishes — an
+    // invertible fold would keep the stale maxes
+    LakeManifest.deleteWhereDV(spark, src,
+      Map("k" -> (Long.MinValue, Long.MaxValue)), col("v") >= 90L)
+    LakeManifest.upsert(spark, src, dims,
+      "k", spark.range(100L, 180L).select(col("id").as("k"),
+        (col("id") % 10L).as("g"), (col("id") % 41L + 200L).as("v")))
+    drain() // restart from the checkpoint across both commits
+    assert(gotH() == expectedH(), "hybrid twin post-retraction")
+    drain() // idle restart: nothing re-applied
+    assert(gotH() == expectedH())
+  }
 }
