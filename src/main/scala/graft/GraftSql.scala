@@ -453,6 +453,58 @@ object GraftSql {
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
           |FROM q336_feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }),
+    // Q343 — SQL8 consumer lifecycle as statements (r12): REGISTER a
+    // consumer, MERGE on top, then a zero-retention VACUUM that the
+    // registration HOLDS (returns 0 reclaimed — embedded in the hash),
+    // the feed census over the held records (the hold IS the gate),
+    // FOUNDING VERSION (the persisted enablement version), EXPIRE
+    // CONSUMERS aging the dead registration out (1 expired), and the
+    // SAME vacuum reclaiming the merge's tombstones (> 0 — embedded as
+    // a 0/1 flag). Every accounting value rides as a literal column of
+    // the census, so any protocol deviation flips the hash.
+    "q343_sql_consumer_expiry" -> ((s, dir) => {
+      register(s, dir)
+      val lake = graft.core.Scratch.dir("q343_lake")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q343_base AS
+          |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+          |FROM lineitem WHERE l_partkey % 4 = 1""".stripMargin)
+      s.sql(s"GRAFT BOOTSTRAP '$lake' FROM q343_base " +
+        "ZORDER BY (l_suppkey, l_partkey) FILES 8 BITS 21")
+      s.sql(s"GRAFT ENABLE CHANGEFEED '$lake'")
+      s.sql(s"GRAFT REGISTER CONSUMER 'q343-dead' AT VERSION 0 ON '$lake'")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW q343_updates AS
+          |SELECT l_orderkey, l_partkey, l_suppkey,
+          |  l_quantity + 100.0 AS l_quantity
+          |FROM lineitem WHERE l_suppkey IN (3, 7)
+          |  AND l_partkey % 4 = 1""".stripMargin)
+      s.sql(s"GRAFT MERGE INTO '$lake' KEY l_suppkey " +
+        "STATS (l_suppkey, l_partkey) FROM q343_updates") // v1: tombstones
+      val heldReclaimed = // the registration at v0 holds EVERYTHING
+        s.sql(s"GRAFT VACUUM '$lake' RETAIN 0 MS").head().getLong(0)
+      s.sql(s"GRAFT CHANGES BETWEEN 0 AND 1 FROM '$lake' AS q343_feed")
+      val census = s.sql(
+        """SELECT CAST(_commit_version AS BIGINT) AS commit_version,
+          |  _change_type AS change_type,
+          |  count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM q343_feed GROUP BY 1, 2""".stripMargin)
+        .localCheckpoint(true) // materialize BEFORE the release reclaims
+      val founding =
+        s.sql(s"GRAFT FOUNDING VERSION '$lake'").head().getLong(0)
+      val nExpired = s.sql(
+        s"GRAFT EXPIRE CONSUMERS OLDER THAN 0 MS ON '$lake'").head().getLong(0)
+      val releasedReclaimed = // the hold is gone: the tombstones reclaim
+        s.sql(s"GRAFT VACUUM '$lake' RETAIN 0 MS").head().getLong(0)
+      census
+        .withColumn("founding_version", lit(founding))
+        .withColumn("n_expired", lit(nExpired))
+        .withColumn("held_reclaimed", lit(heldReclaimed))
+        .withColumn("released_any",
+          lit(if (releasedReclaimed > 0L) 1L else 0L))
+        .orderBy(col("commit_version"), col("change_type"))
+    }),
   )
 
   /** Each SQL-surface query proves against its ORIGINAL's oracle,

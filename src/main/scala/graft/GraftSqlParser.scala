@@ -40,6 +40,8 @@ import graft.sources.LakeManifest
  *   GRAFT MERGE VECTORED INTO '<dir>' KEY <dim> STATS (<c>, ...) FROM <updatesView>
  *   GRAFT REGISTER CONSUMER '<id>' AT VERSION <v> ON '<dir>'
  *   GRAFT UNREGISTER CONSUMER '<id>' ON '<dir>'
+ *   GRAFT EXPIRE CONSUMERS OLDER THAN <ms> MS ON '<dir>'
+ *   GRAFT FOUNDING VERSION '<dir>'
  *
  * `AT TIMESTAMP` accepts epoch millis, an ISO instant, or
  * 'yyyy-MM-dd[ HH:mm:ss]' read as UTC, resolved to the greatest
@@ -114,6 +116,10 @@ object GraftSqlParser {
     raw"(?is)\s*GRAFT\s+REGISTER\s+CONSUMER\s+'([^']+)'\s+AT\s+VERSION\s+(\d+)\s+ON\s+'([^']+)'\s*".r
   private val UnregisterConsumer =
     raw"(?is)\s*GRAFT\s+UNREGISTER\s+CONSUMER\s+'([^']+)'\s+ON\s+'([^']+)'\s*".r
+  private val ExpireConsumers =
+    raw"(?is)\s*GRAFT\s+EXPIRE\s+CONSUMERS\s+OLDER\s+THAN\s+(\d+)\s+MS\s+ON\s+'([^']+)'\s*".r
+  private val FoundingVersion =
+    raw"(?is)\s*GRAFT\s+FOUNDING\s+VERSION\s+'([^']+)'\s*".r
 
   /** `AT TIMESTAMP` operand: epoch millis, ISO instant, or
     * 'yyyy-MM-dd[ HH:mm:ss]' read as UTC. */
@@ -229,6 +235,16 @@ object GraftSqlParser {
           LakeManifest.unregisterCdfConsumer(s, dir, id)
           Seq(Row(1L))
         })
+      case ExpireConsumers(ms, dir) =>
+        GraftLakeCommand(sqlText,
+          Seq("n_expired" -> LongType, "expired" -> StringType), { s =>
+            val ids = LakeManifest.expireCdfConsumers(s, dir, ms.toLong)
+            Seq(Row(ids.size.toLong, ids.mkString(",")))
+          })
+      case FoundingVersion(dir) =>
+        GraftLakeCommand(sqlText, Seq("founding_version" -> LongType),
+          s => Seq(Row(LakeManifest.cdfFoundingVersion(s, dir)
+            .map(_.toLong).getOrElse(-1L))))
       case other => throw new IllegalArgumentException(
         s"malformed GRAFT statement (see GraftSqlParser's grammar): $other")
     }

@@ -12905,6 +12905,28 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_v,
           |  CAST(1 AS BIGINT) AS n_retained_records
           |FROM st GROUP BY 1 ORDER BY g""".stripMargin,
+
+      // the statement-driven lifecycle: feed census over the held
+      // records + every accounting value as a constant column —
+      // founding at 0, one expired registration, the held vacuum
+      // reclaimed nothing, the released one reclaimed something
+      "q343_sql_consumer_expiry" ->
+        """WITH li AS (SELECT l_suppkey, l_quantity FROM lineitem
+          |  WHERE l_partkey % 4 = 1),
+          |feed AS (
+          |  SELECT 0 AS commit_version, 'insert' AS change_type, l_quantity AS q FROM li
+          |  UNION ALL
+          |  SELECT 1, 'update_preimage', l_quantity FROM li WHERE l_suppkey IN (3, 7)
+          |  UNION ALL
+          |  SELECT 1, 'update_postimage', l_quantity + 100.0 FROM li WHERE l_suppkey IN (3, 7))
+          |SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  CAST(0 AS BIGINT) AS founding_version,
+          |  CAST(1 AS BIGINT) AS n_expired,
+          |  CAST(0 AS BIGINT) AS held_reclaimed,
+          |  CAST(1 AS BIGINT) AS released_any
+          |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     )
   }
 }

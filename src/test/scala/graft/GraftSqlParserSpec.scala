@@ -151,6 +151,24 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(LakeManifest.changeVersions(spark, dir) == Seq(2))
   }
 
+  test("r12 statements: EXPIRE CONSUMERS, FOUNDING VERSION") {
+    val dir = tmpDir("sqldml12")
+    corpus(2000L).createOrReplaceTempView("sqldml12_base")
+    spark.sql(
+      s"GRAFT BOOTSTRAP '$dir' FROM sqldml12_base ZORDER BY (id, a) FILES 4 BITS 21")
+    spark.sql(s"GRAFT ENABLE CHANGEFEED '$dir'") // founding at v0
+    assert(spark.sql(s"GRAFT FOUNDING VERSION '$dir'").head().getLong(0) == 0L)
+    spark.sql(s"GRAFT REGISTER CONSUMER 'dead' AT VERSION 0 ON '$dir'")
+    // a generous bound expires nothing; a zero bound ages the dead one out
+    assert(spark.sql(
+      s"GRAFT EXPIRE CONSUMERS OLDER THAN 3600000 MS ON '$dir'")
+      .head().getLong(0) == 0L)
+    assert(LakeManifest.cdfConsumers(spark, dir) == Map("dead" -> 0))
+    val ex = spark.sql(s"GRAFT EXPIRE CONSUMERS OLDER THAN 0 MS ON '$dir'").head()
+    assert(ex.getLong(0) == 1L && ex.getString(1) == "dead")
+    assert(LakeManifest.cdfConsumers(spark, dir).isEmpty)
+  }
+
   test("non-GRAFT SQL delegates untouched; malformed GRAFT fails loudly pre-mutation") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     val dir = tmpDir("sqldml-err")
