@@ -471,11 +471,11 @@ object IngestStream {
       LakeManifest.currentVersion(spark, viewDir); true
     } catch { case _: java.io.IOException | _: java.io.FileNotFoundException => false }
 
-    // the merge's idempotency token: "the view advanced past planned"
-    // is NOT proof the merge landed — a maintenance commit (reoptimize)
-    // racing the CAS also advances the version — so replay resolution
-    // requires planned + 1 to carry THIS batch's tag (r12: the
-    // view-lake maintenance race)
+    // the merge's idempotency tag — a view that advanced past planned
+    // is NOT proof the merge landed (a maintenance commit racing the
+    // CAS also advances the version), so replay resolution requires
+    // planned + 1 to carry THIS batch's tag (r12: the view-lake
+    // maintenance race)
     val myTag = s"ivm-$batchId"
     val w = readWitness()
     w match {
