@@ -6363,6 +6363,68 @@ object SparkEntry {
         .withColumn("n_retained_records", lit(retained))
         .orderBy(col("g"))
     }),
+
+    // Q344 — ST2m JOIN-VIEW CHAIN: the join-maintained view lake (ST2h)
+    // is a LAKE — enabling its change feed makes every later
+    // maintenance merge emit rows-kind records, so a SECOND-ORDER
+    // aggregate maintains from the JOIN view's feed with the ordinary
+    // single-lake operator (the q338 chain law lifted onto a bilinear
+    // upstream; composition, no new code paths). The chain:
+    // lineitem ⋈ orders grouped by o_band (view1), then Σ over
+    // band % 4 (view2) — view2 must equal the two-level rollup of the
+    // two FINAL states at every step with no component rescanning its
+    // upstream. At 100 TB: a joined feature-store rollup's downstream
+    // pyramids cost O(changed upstream groups) per batch.
+    "q344_join_view_chain" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 8 === 1)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("l_cents"))
+      val ords = t(s, dir, "orders")
+        .where(col("o_orderkey") % 8 === 1)
+        .select(col("o_orderkey"), (col("o_custkey") % 10L).as("o_band"))
+      val left = graft.core.Scratch.dir("q344_left")
+      val right = graft.core.Scratch.dir("q344_right")
+      val view1 = graft.core.Scratch.dir("q344_view1")
+      val view2 = graft.core.Scratch.dir("q344_view2")
+      import graft.sources.LakeManifest
+      import graft.streaming.IngestStream.{applyCdfDeltaBatch, applyCdfJoinDeltaBatch}
+      val lDims = Seq("l_orderkey" -> col("l_orderkey"),
+        "l_suppkey" -> col("l_suppkey"))
+      val rDims = Seq("o_orderkey" -> col("o_orderkey"),
+        "o_band" -> col("o_band"))
+      li.repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(left)
+      LakeManifest.write(s, left, lDims)
+      LakeManifest.enableChangeFeed(s, left) // L v0
+      ords.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(right)
+      LakeManifest.write(s, right, rDims)
+      LakeManifest.enableChangeFeed(s, right) // R v0
+      applyCdfJoinDeltaBatch(s, left, right, view1, "l_orderkey",
+        "o_orderkey", "o_band", col("l_cents"), 0, 0) // view1 bootstrap
+      LakeManifest.enableChangeFeed(s, view1) // the JOIN view's own feed
+      applyCdfDeltaBatch(LakeManifest.changesBetween(s, view1, 0, 0)
+          .withColumn("g2", col("g") % 4L),
+        view2, "g2", col("sum_v"), 0L, numFiles = 4) // view2 bootstrap
+      LakeManifest.upsert(s, left, lDims, "l_orderkey",
+        li.where(col("l_orderkey") % 5 === 0)
+          .withColumn("l_cents", col("l_cents") + 1000L)) // L v1
+      applyCdfJoinDeltaBatch(s, left, right, view1, "l_orderkey",
+        "o_orderkey", "o_band", col("l_cents"), 1, 0) // view1 merge (rows record)
+      applyCdfDeltaBatch(LakeManifest.changesBetween(s, view1, 1,
+          LakeManifest.currentVersion(s, view1))
+          .withColumn("g2", col("g") % 4L),
+        view2, "g2", col("sum_v"), 1L, numFiles = 4) // view2 increment
+      LakeManifest.readPruned(s, view2,
+          Map("g" -> (Long.MinValue, Long.MaxValue)))
+        .where(col("n_v") > 0L)
+        .select(col("g"), col("sum_v"), col("n_v"))
+        .orderBy(col("g"))
+    }),
   )
 
   /** DuckDB replay of [[graft.operators.Profile.zoneMapAdvisor]] — one
@@ -12927,6 +12989,22 @@ object SparkEntry {
           |  CAST(0 AS BIGINT) AS held_reclaimed,
           |  CAST(1 AS BIGINT) AS released_any
           |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // the join-view chain == the two-level rollup of the two final
+      // states: per-band sums of the joined cents, re-grouped band % 4
+      "q344_join_view_chain" ->
+        """WITH l AS (SELECT l_orderkey,
+          |    CASE WHEN l_orderkey % 5 = 0
+          |      THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) + 1000
+          |      ELSE CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) END AS c
+          |  FROM lineitem WHERE l_orderkey % 8 = 1),
+          |r AS (SELECT o_orderkey, o_custkey % 10 AS band
+          |  FROM orders WHERE o_orderkey % 8 = 1),
+          |v1 AS (SELECT band, CAST(sum(c) AS BIGINT) AS s
+          |  FROM l JOIN r ON l_orderkey = o_orderkey GROUP BY 1)
+          |SELECT CAST(band % 4 AS BIGINT) AS g, CAST(sum(s) AS BIGINT) AS sum_v,
+          |  CAST(count(*) AS BIGINT) AS n_v
+          |FROM v1 GROUP BY 1 ORDER BY g""".stripMargin,
     )
   }
 }

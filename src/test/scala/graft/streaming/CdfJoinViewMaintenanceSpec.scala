@@ -301,6 +301,43 @@ class CdfJoinViewMaintenanceSpec extends SparkSpec {
       "witness-absent rebuild after vacuum diverged from the batch join")
   }
 
+  test("join-view chain: the join view's own feed drives a second-order aggregate exactly") {
+    val left = tmpDir("jvch-l"); val right = tmpDir("jvch-r")
+    val view1 = tmpDir("jvch-v1"); val view2 = tmpDir("jvch-v2")
+    bootstrapLake(left, mkLeft(0L, 300L, 0L), lDims, "ok")
+    bootstrapLake(right, mkRight(0L, 80L, 0L), rDims, "rk")
+    apply(left, right, view1, 0, 0) // view1 bootstrap at the founding pair
+    LakeManifest.enableChangeFeed(spark, view1)
+    def downstream(batchId: Long): Unit = {
+      val from = if (batchId == 0L) 0
+        else LakeManifest.changeVersions(spark, view1)
+          .filter(_ > 0).headOption.getOrElse(1)
+      IngestStream.applyCdfDeltaBatch(
+        LakeManifest.changesBetween(spark, view1, from,
+            LakeManifest.currentVersion(spark, view1))
+          .withColumn("g2", col("g") % 3L),
+        view2, "g2", col("sum_v"), batchId, numFiles = 2)
+      ()
+    }
+    downstream(0L)
+    def truth2(l: Int, r: Int): Map[Long, Long] =
+      batchJoin(left, right, l, r).toSeq
+        .groupBy { case (g, _) => g % 3L }
+        .view.mapValues(_.map(_._2._1).sum).toMap
+    def got2(): Map[Long, Long] =
+      LakeManifest.readPruned(spark, view2, Map("g" -> (Long.MinValue, Long.MaxValue)))
+        .where(col("n_v") > 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2() == truth2(0, 0), "chain bootstrap")
+    // upstream churn folds THROUGH the join view into the 2nd order
+    LakeManifest.upsert(spark, left, lDims, "ok",
+      mkLeft(0L, 120L, 400L).where(col("ok") < 12L)) // L v1
+    apply(left, right, view1, 1, 0) // view1 merge: rows-kind record
+    downstream(1L)
+    assert(got2() == truth2(1, 0),
+      "the second-order view diverged from the joined rollup")
+  }
+
   // ---- hybrid (min/max) join views --------------------------------
 
   private def viewStateH(viewDir: String): Map[Long, (Long, Long, Option[Long], Option[Long])] =
