@@ -279,9 +279,9 @@ object LakeManifest {
         s"$dir is not a manifested lake")
       val v = currentVersion(spark, dir)
       if (!changeFeedEnabled(spark, dir)) {
-        val names = read(spark, dir).select(col("file")).collect()
-          .map(_.getString(0).split('/').last).toSeq
-        writeChangeRecord(fs, dir, v, "files", names)
+        // through the per-version snapshot cache: zero Spark jobs when a
+        // prior read of this version already warmed it
+        writeChangeRecord(fs, dir, v, "files", fileNamesAt(spark, dir, v))
         writeCdfFlag(fs, dir, v)
       }
       v
@@ -772,12 +772,12 @@ object LakeManifest {
             writeChangeRecord(fs(spark, dir), dir, next, "rows")
           }
           // same file list, new version: the commit IS the DV generation
-          read(spark, dir).repartition(1)
-            .write.mode("overwrite").parquet(historyPath(dir, next))
+          // — the snapshot is a byte copy of the unchanged writer manifest
+          archiveManifest(spark, dir, next)
           stampCommitTs(fs(spark, dir), dir, next)
           writeVersion(fs(spark, dir), dir, next)
           bumpCommitSeq(spark, dir)
-          snapshots.clear(); bloomSnapshots.clear()
+          bloomSnapshots.clear() // per-version snapshot entries stay (immutable)
           (nDeleted, 0)
         }
       }
@@ -804,7 +804,8 @@ object LakeManifest {
         if (v != e) throw new ManifestConflictException(
           s"upsertDV expected lake version $e, found $v — retry against the new manifest")
       }
-      val manifestSchema = read(spark, dir).schema
+      val manifestDf = read(spark, dir) // ONE reader: schema + collect below
+      val manifestSchema = manifestDf.schema
       val bloomDims = manifestSchema.fieldNames
         .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
       val bloomSpec =
@@ -820,12 +821,13 @@ object LakeManifest {
         s"updates must carry the lake schema ${dataSchema.fieldNames.mkString(",")}")
       val u = updates.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
         .localCheckpoint(true)
-      val nUpdateRows = u.count()
+      // count + key band in ONE action over the checkpointed batch
+      val uStats = u.agg(count(lit(1)),
+        min(col(keyDim)).cast("long"), max(col(keyDim)).cast("long")).head()
+      val nUpdateRows = uStats.getLong(0)
       if (nUpdateRows == 0) (0L, 0L, 0)
       else {
-        val band = u.agg(min(col(keyDim)).cast("long"),
-          max(col(keyDim)).cast("long")).head()
-        val (lo, hi) = (band.getLong(0), band.getLong(1))
+        val (lo, hi) = (uStats.getLong(1), uStats.getLong(2))
         val snap = snapshot(spark, dir)
         snap.headOption.foreach { case (_, _, st) =>
           require(st.contains(keyDim), s"key dim $keyDim not in manifest " +
@@ -869,7 +871,7 @@ object LakeManifest {
             .agg(aggs.head, aggs.tail: _*)
             .select(manifestSchema.fieldNames.map(col).toIndexedSeq: _*)
             .collect()
-        val oldRows = read(spark, dir).collect() // ≤ numFiles
+        val oldRows = manifestDf.collect() // ≤ numFiles
         fenceCheck(dir)
         // DELTA generation: only the positions THIS merge vectored —
         // prior deltas stay in force through generation-union
@@ -888,13 +890,15 @@ object LakeManifest {
                 lit("update_preimage").as(ChangeTypeCol): _*)
               val matched = keys.join(m, col("_upk") === col(keyDim), "left_semi")
                 .localCheckpoint(true)
-              val post = u.join(broadcast(matched),
-                  col(keyDim) === col("_upk"), "left_semi")
-                .select(dataCols :+ lit("update_postimage").as(ChangeTypeCol): _*)
-              val ins = u.join(broadcast(matched),
-                  col(keyDim) === col("_upk"), "left_anti")
-                .select(dataCols :+ lit("insert").as(ChangeTypeCol): _*)
-              pre.unionByName(post).unionByName(ins)
+              // postimage vs insert in ONE pass (matched is distinct ⊆
+              // the key set, so the left join is multiplicity-1 — same
+              // rows as the former semi+anti pair, half the scans)
+              val postIns = u.join(broadcast(matched),
+                  col(keyDim) === col("_upk"), "left")
+                .select(dataCols :+ when(col("_upk").isNotNull,
+                  lit("update_postimage")).otherwise(lit("insert"))
+                  .as(ChangeTypeCol): _*)
+              pre.unionByName(postIns)
           }
           changeRows.write.mode("overwrite").parquet(changeRowsPath(dir, next))
           writeChangeRecord(fsys, dir, next, "rows")
@@ -904,13 +908,12 @@ object LakeManifest {
         spark.createDataFrame(
             new java.util.ArrayList[Row]((oldRows ++ newRows).toSeq.asJava),
             manifestSchema)
-          .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-        spark.read.parquet(filesPath(dir))
-          .write.mode("overwrite").parquet(historyPath(dir, next))
+          .coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
+        archiveManifest(spark, dir, next)
         stampCommitTs(fsys, dir, next)
         writeVersion(fsys, dir, next)
         bumpCommitSeq(spark, dir)
-        snapshots.clear(); bloomSnapshots.clear()
+        bloomSnapshots.clear() // per-version snapshot entries stay (immutable)
         spark.catalog.refreshByPath(dir)
         (nReplaced, nUpdateRows, 0)
       }
@@ -919,6 +922,39 @@ object LakeManifest {
   private def fs(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Archive the just-committed writer manifest (filesPath) as version
+    * `v`'s immutable history snapshot — a driver-side byte copy of the
+    * tiny manifest parquet (≤ numFiles rows + _SUCCESS), NOT a Spark
+    * read+write job: the snapshot is by definition the same bytes, and
+    * a full plan+job per commit was pure overhead (measured: every
+    * commit paid one extra schema-inference job + one write job here).
+    * Call under the commit lock, after the filesPath write. */
+  private def archiveManifest(spark: SparkSession, dir: String, v: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fsys = fs(spark, dir)
+    val src = new org.apache.hadoop.fs.Path(filesPath(dir))
+    val dst = new org.apache.hadoop.fs.Path(historyPath(dir, v))
+    fsys.delete(dst, true) // a crashed prior attempt at the same version
+    fsys.mkdirs(dst)
+    fsys.listStatus(src).filter(e => e.isFile &&
+        !e.getPath.getName.startsWith(".")) // crc sidecars regenerate
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fsys, st.getPath, fsys,
+          new org.apache.hadoop.fs.Path(dst, st.getPath.getName),
+          false, conf)
+        ()
+      }
+  }
+
+  /** Version `v`'s manifest file NAMES through the per-version snapshot
+    * cache (one Spark read per (dir, version) ever — history dirs are
+    * immutable). */
+  private def fileNamesAt(spark: SparkSession, dir: String, v: Int): Seq[String] =
+    snapshotOf(spark, dir, readAt(spark, dir, v), s"$dir@v$v",
+      f => f.getFileStatus(new org.apache.hadoop.fs.Path(
+        historyPath(dir, v))).getModificationTime)
+      .map(_._1.split('/').last)
 
   /** Bloom positions per row for `c` under the portable-hash law: two
     * independent probes into [0, bloomBits). A value MAY be in a file
@@ -1020,7 +1056,7 @@ object LakeManifest {
     val manifest = data
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .repartition(1) // numFiles rows: ONE manifest file, one listing unit
+      .coalesce(1) // numFiles rows: ONE manifest file, one listing unit
     fenceCheck(dir)
     manifest.write.mode("overwrite").parquet(filesPath(dir))
     // schema sidecar: lets a pruned-to-zero read return the right shape
@@ -1041,16 +1077,18 @@ object LakeManifest {
     fs.delete(new org.apache.hadoop.fs.Path(schemasDir(dir)), true) // rebase resets schema history too
     fs.delete(new org.apache.hadoop.fs.Path(changesRoot(dir)), true) // feed rebases with history
     fs.delete(new org.apache.hadoop.fs.Path(dvDir(dir)), true) // proven empty above
-    manifest.write.mode("overwrite").parquet(historyPath(dir, 0))
+    // the v0 snapshot is a byte copy of the manifest just written —
+    // re-executing the `manifest` plan here would re-scan the whole lake
+    // for the identical stats (measured: write() paid its data scan twice)
+    archiveManifest(spark, dir, 0)
     stampCommitTs(fs, dir, 0)
     // a rebased CDF lake restarts its feed with a v0 founding snapshot:
     // the relaid files as inserts (tail-from-zero = full current state);
     // the flag re-founds at 0 so adaptive bootstraps verify against the
     // REBASED numbering, not the enablement version of a prior life
     if (changeFeedEnabled(spark, dir)) {
-      writeChangeRecord(fs, dir, 0, "files",
-        spark.read.parquet(filesPath(dir)).select(col("file")).collect()
-          .map(_.getString(0).split('/').last).toSeq)
+      snapshots.clear() // the rebase may reuse v0's key within one mtime tick
+      writeChangeRecord(fs, dir, 0, "files", fileNamesAt(spark, dir, 0))
       writeCdfFlag(fs, dir, 0)
     }
     // the consumer registry resets with the history it was scoped to: a
@@ -1259,11 +1297,11 @@ object LakeManifest {
         val o = fs.create(new org.apache.hadoop.fs.Path(schemaGenPath(dir, 0)), true)
         try o.write(current.json.getBytes(UTF_8)) finally o.close()
       }
-      // the evolution IS a generation: same file list, new schema
+      // the evolution IS a generation: same file list, new schema — the
+      // snapshot is a byte copy of the unchanged writer manifest
       val next = currentVersion(spark, dir) + 1
       fenceCheck(dir)
-      read(spark, dir).repartition(1)
-        .write.mode("overwrite").parquet(historyPath(dir, next))
+      archiveManifest(spark, dir, next)
       stampCommitTs(fs, dir, next)
       if (changeFeedEnabled(spark, dir))
         writeChangeRecord(fs, dir, next, "none") // no logical data change
@@ -1273,7 +1311,7 @@ object LakeManifest {
       val s = fs.create(new org.apache.hadoop.fs.Path(schemaPath(dir)), true)
       try s.write(newSchema.json.getBytes(UTF_8)) finally s.close()
       bumpCommitSeq(spark, dir)
-      snapshots.clear(); bloomSnapshots.clear()
+      bloomSnapshots.clear() // per-version snapshot entries stay (immutable)
       next
     }
 
@@ -1319,10 +1357,15 @@ object LakeManifest {
     require(fsT.exists(new org.apache.hadoop.fs.Path(historyPath(dir, version))),
       s"version $version of $dir is not retained (vacuumed past the " +
         s"retention horizon, or rebased by a bootstrap write/optimize)")
-    val entries = readAt(spark, dir, version)
-      .select(col("file"), col("n_rows").cast("long")).collect()
-    val files = entries.map(_.getString(0)).sorted
-    val rowCount = entries.map(_.getLong(1)).sum
+    // through the per-version snapshot cache (shared with readPruned):
+    // repeat time travels and maintainer state reads pay zero metadata
+    // jobs — history dirs are immutable, so the entries never go stale
+    val entries = snapshotOf(spark, dir, readAt(spark, dir, version),
+      s"$dir@v$version",
+      f => f.getFileStatus(new org.apache.hadoop.fs.Path(
+        historyPath(dir, version))).getModificationTime)
+    val files = entries.map(_._1).sorted
+    val rowCount = entries.map(_._2).sum
     // that version's rows under that version's SCHEMA (evolution-aware):
     // an explicit read schema also makes mixed-physical-schema file sets
     // read uniformly (missing column → null, narrow type → widened)
@@ -1409,10 +1452,11 @@ object LakeManifest {
         new java.util.ArrayList[Row]((oldRows ++ newRows).toSeq.asJava),
         manifest.schema)
       fenceCheck(dir)
-      merged.repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-      // append generation: archive the new file list as version N+1
+      merged.coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
+      // append generation: archive the new file list as version N+1 —
+      // a byte copy of the manifest just written, not a second write job
       val next = currentVersion(spark, dir) + 1
-      merged.repartition(1).write.mode("overwrite").parquet(historyPath(dir, next))
+      archiveManifest(spark, dir, next)
       stampCommitTs(fs, dir, next)
       // CDF: the appended files ARE the change — zero-copy insert record
       if (changeFeedEnabled(spark, dir))
@@ -1420,7 +1464,7 @@ object LakeManifest {
           fresh.map(_.getName).toSeq)
       writeVersion(fs, dir, next)
       bumpCommitSeq(spark, dir)
-      snapshots.remove(dir); bloomSnapshots.remove(dir)
+      bloomSnapshots.remove(dir) // per-version snapshot entries stay (immutable)
       fresh.length
     }
     }
@@ -1652,10 +1696,9 @@ object LakeManifest {
       recordRemoved(fs, dir, oldFiles.map(_.split('/').last).toSeq)
       spark.createDataFrame(
           new java.util.ArrayList[Row](newRows.toSeq.asJava), manifestSchema)
-        .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
+        .coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
       val next = currentVersion(spark, dir) + 1
-      spark.read.parquet(filesPath(dir))
-        .write.mode("overwrite").parquet(historyPath(dir, next))
+      archiveManifest(spark, dir, next)
       stampCommitTs(fs, dir, next)
       // CDF: a compaction rewrites bytes, not rows — no logical change
       if (changeFeedEnabled(spark, dir))
@@ -1672,7 +1715,7 @@ object LakeManifest {
       }
       writeVersion(fs, dir, next)
       bumpCommitSeq(spark, dir)
-      snapshots.clear(); bloomSnapshots.clear()
+      bloomSnapshots.clear() // per-version snapshot entries stay (immutable)
       spark.catalog.refreshByPath(dir) // renames bypass the FileStatusCache
       (oldFiles.length, moved.length)
     }
@@ -1780,10 +1823,9 @@ object LakeManifest {
       recordRemoved(fsys, dir, oldFiles.map(_.split('/').last).toSeq)
       spark.createDataFrame(
           new java.util.ArrayList[Row](newRows.toSeq.asJava), manifestSchema)
-        .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
+        .coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
       val next = vNow + 1
-      spark.read.parquet(filesPath(dir))
-        .write.mode("overwrite").parquet(historyPath(dir, next))
+      archiveManifest(spark, dir, next)
       stampCommitTs(fsys, dir, next)
       if (changeFeedEnabled(spark, dir))
         writeChangeRecord(fsys, dir, next, "none")
@@ -1795,7 +1837,7 @@ object LakeManifest {
       }
       writeVersion(fsys, dir, next)
       bumpCommitSeq(spark, dir)
-      snapshots.clear(); bloomSnapshots.clear()
+      bloomSnapshots.clear() // per-version snapshot entries stay (immutable)
       spark.catalog.refreshByPath(dir)
       (oldFiles.length, moved.length)
     }
@@ -1998,7 +2040,8 @@ object LakeManifest {
       if (v != e) throw new ManifestConflictException(
         s"upsert expected lake version $e, found $v — retry against the new manifest")
     }
-    val manifestSchema = read(spark, dir).schema
+    val manifestDf = read(spark, dir) // ONE reader: schema + the collect below
+    val manifestSchema = manifestDf.schema
     val bloomDims = manifestSchema.fieldNames
       .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
     val bloomSpec =
@@ -2014,12 +2057,13 @@ object LakeManifest {
       s"updates must carry the lake schema ${dataSchema.fieldNames.mkString(",")}")
     val u = updates.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
       .localCheckpoint(true) // read twice: key band + the staged write
-    val nUpdateRows = u.count()
+    // count + key band in ONE action over the checkpointed batch
+    val uStats = u.agg(count(lit(1)),
+      min(col(keyDim)).cast("long"), max(col(keyDim)).cast("long")).head()
+    val nUpdateRows = uStats.getLong(0)
     if (nUpdateRows == 0) (0L, 0L, 0)
     else {
-    val band = u.agg(min(col(keyDim)).cast("long"),
-      max(col(keyDim)).cast("long")).head()
-    val (lo, hi) = (band.getLong(0), band.getLong(1))
+    val (lo, hi) = (uStats.getLong(1), uStats.getLong(2))
     val snap = snapshot(spark, dir)
     snap.headOption.foreach { case (_, _, st) =>
       require(st.contains(keyDim), s"key dim $keyDim not in manifest " +
@@ -2029,7 +2073,7 @@ object LakeManifest {
       case (file, _, st) if { val (mn, mx) = st(keyDim); mx >= lo && mn <= hi } =>
         file
     }.sorted
-    val oldRows = read(spark, dir).collect() // ≤ numFiles
+    val oldRows = manifestDf.collect() // ≤ numFiles
     val knownNames = oldRows.map(r =>
       r.getString(r.fieldIndex("file")).split('/').last).toSet
     // survivors of touched files = rows whose key is NOT updated; the
@@ -2043,11 +2087,18 @@ object LakeManifest {
       if (cand.isEmpty) None
       else Some(applyDv(spark, dir, vNowU,
         spark.read.schema(dataSchema).parquet(cand.toIndexedSeq: _*)))
+    val candSet = cand.toSet
     val (survivors, nCand) = candDfOpt match {
       case None => (u.limit(0), 0L)
       case Some(candDf) =>
+        // candidate row count: exact from the manifest's n_rows when no
+        // deletion vectors are in force (the common case) — saves a full
+        // candidate-file scan per merge; DV-bearing lakes still count
+        // the filtered scan (manifest n_rows includes vectored rows)
+        val n = if (dvInForce(spark, dir, vNowU)) candDf.count()
+          else snap.collect { case (f, nr, _) if candSet(f) => nr }.sum
         (candDf.join(broadcast(keys), col(keyDim) === col("_upk"),
-          "left_anti"), candDf.count())
+          "left_anti"), n)
     }
     val staged = survivors.unionByName(u)
     val stage = s"$dir/$ManifestDir/upsert-${java.util.UUID.randomUUID()}"
@@ -2096,13 +2147,16 @@ object LakeManifest {
           val matched = keys.join(candDf,
               col("_upk") === col(keyDim), "left_semi")
             .localCheckpoint(true)
-          val post = u.join(broadcast(matched),
-              col(keyDim) === col("_upk"), "left_semi")
-            .select(dataCols :+ lit("update_postimage").as(ChangeTypeCol): _*)
-          val ins = u.join(broadcast(matched),
-              col(keyDim) === col("_upk"), "left_anti")
-            .select(dataCols :+ lit("insert").as(ChangeTypeCol): _*)
-          pre.unionByName(post).unionByName(ins)
+          // postimage vs insert in ONE pass over the batch: `matched` is
+          // distinct by construction (⊆ the distinct key set), so the
+          // left join is multiplicity-1 and the marker is a row-local
+          // case — same rows as the former semi+anti pair, half the scans
+          val postIns = u.join(broadcast(matched),
+              col(keyDim) === col("_upk"), "left")
+            .select(dataCols :+ when(col("_upk").isNotNull,
+              lit("update_postimage")).otherwise(lit("insert"))
+              .as(ChangeTypeCol): _*)
+          pre.unionByName(postIns)
       }
       changeRows.write.mode("overwrite").parquet(changeRowsPath(dir, next))
       writeChangeRecord(fs, dir, next, "rows")
@@ -2115,9 +2169,8 @@ object LakeManifest {
     spark.createDataFrame(
         new java.util.ArrayList[Row]((keptRows ++ newRows).toSeq.asJava),
         manifestSchema)
-      .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-    spark.read.parquet(filesPath(dir))
-      .write.mode("overwrite").parquet(historyPath(dir, next))
+      .coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
+    archiveManifest(spark, dir, next)
     stampCommitTs(fs, dir, next)
     tag.foreach { t => // the CAS-fenced writers' idempotency token
       val out = fs.create(
@@ -2134,7 +2187,12 @@ object LakeManifest {
     }
     writeVersion(fs, dir, next)
     bumpCommitSeq(spark, dir)
-    snapshots.clear(); bloomSnapshots.clear()
+    // per-version snapshot cache entries are IMMUTABLE (keyed dir@v over
+    // never-rewritten history dirs) — an append-style commit adds vNext
+    // and touches no prior version, so the cache stays warm across the
+    // commit (a maintainer's next band-pruned read pays zero metadata
+    // jobs); only the dir-keyed bloom cache must invalidate
+    bloomSnapshots.clear()
     spark.catalog.refreshByPath(dir) // renames bypass the FileStatusCache
     (nCand - nSurvivors, nUpdateRows, cand.length)
     }
@@ -2189,7 +2247,8 @@ object LakeManifest {
       if (v != e) throw new ManifestConflictException(
         s"deleteWhere expected lake version $e, found $v — retry against the new manifest")
     }
-    val manifestSchema = read(spark, dir).schema
+    val manifestDf = read(spark, dir) // ONE reader: schema + collect below
+    val manifestSchema = manifestDf.schema
     val bloomDims = manifestSchema.fieldNames
       .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
     // default: the manifest's bloom dims as plain columns, in schema order
@@ -2211,7 +2270,7 @@ object LakeManifest {
     }.sorted
     if (cand.isEmpty) (0L, 0)
     else {
-    val oldRows = read(spark, dir).collect() // ≤ numFiles
+    val oldRows = manifestDf.collect() // ≤ numFiles
     val knownNames = oldRows.map(r =>
       r.getString(r.fieldIndex("file")).split('/').last).toSet
     // current-schema read: survivors REWRITE under the evolved schema
@@ -2284,9 +2343,8 @@ object LakeManifest {
     spark.createDataFrame(
         new java.util.ArrayList[Row]((keptRows ++ survivorRows).toSeq.asJava),
         manifestSchema)
-      .repartition(1).write.mode("overwrite").parquet(filesPath(dir))
-    spark.read.parquet(filesPath(dir))
-      .write.mode("overwrite").parquet(historyPath(dir, next))
+      .coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
+    archiveManifest(spark, dir, next)
     stampCommitTs(fs, dir, next)
     // DV fold-out for the rewritten (tombstoned) candidates: a BASE
     // generation (state reset) supersedes every prior delta
@@ -2298,7 +2356,7 @@ object LakeManifest {
     }
     writeVersion(fs, dir, next)
     bumpCommitSeq(spark, dir)
-    snapshots.clear(); bloomSnapshots.clear()
+    bloomSnapshots.clear() // per-version snapshot entries stay (immutable)
     spark.catalog.refreshByPath(dir) // appends bypass the FileStatusCache
     (nDeleted, cand.length)
     }
@@ -2434,8 +2492,8 @@ object LakeManifest {
       dryRun: Boolean = false): Seq[String] = {
     require(retentionMs >= 0, "retention must be >= 0")
     withCommitLock(spark, dir) {
-    val known = read(spark, dir).select(col("file")).collect()
-      .map(_.getString(0).split('/').last).toSet
+    // through the per-version snapshot cache (warm after any read)
+    val known = fileNamesAt(spark, dir, currentVersion(spark, dir)).toSet
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
@@ -2470,10 +2528,7 @@ object LakeManifest {
         else fs.listStatus(histRoot).filter(_.isDirectory).flatMap { h =>
           val v = h.getPath.getName.stripPrefix("v").toInt
           if (v < g) Seq.empty[String]
-          else spark.read.parquet(h.getPath.toString)
-            .select(col("file")).collect()
-            .map(_.getString(0).split('/').last)
-            .filter(reclaimByTime).toSeq
+          else fileNamesAt(spark, dir, v).filter(reclaimByTime)
         }.toSet
     }
     // surface the hold so a stale registration reads as a storage leak
@@ -2507,9 +2562,7 @@ object LakeManifest {
           fs.listStatus(histRoot).filter(_.isDirectory).foreach { h =>
             val v = h.getPath.getName.stripPrefix("v").toInt
             if (v != currentVersion(spark, dir)) {
-              val refs = spark.read.parquet(h.getPath.toString)
-                .select(col("file")).collect()
-                .map(_.getString(0).split('/').last)
+              val refs = fileNamesAt(spark, dir, v)
               if (refs.exists(reclaim)) {
                 fs.delete(h.getPath, true)
                 // the change feed is bounded by the same horizon: a

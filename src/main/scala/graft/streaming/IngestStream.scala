@@ -497,7 +497,10 @@ object IngestStream {
       .agg(sum(valueCol.cast("long") * col("__sign")).as("d_sum"),
         sum(col("__sign")).as("d_n"))
       .localCheckpoint(true)
-    val nGroups = deltas.count()
+    // group count + group band in ONE action over the checkpointed deltas
+    val dStats = deltas.agg(count(lit(1)),
+      min(col("g")).cast("long"), max(col("g")).cast("long")).head()
+    val nGroups = dStats.getLong(0)
     if (nGroups == 0) { writeWitness(batchId, -2, done = true); return (0L, 0L) }
     val viewStats = Seq("g" -> col("g"))
     if (!hasView || w.isEmpty) {
@@ -522,10 +525,8 @@ object IngestStream {
       writeWitness(batchId, v, done = false)
       def abortWitness(): Unit = writeWitness(batchId, -3, done = false)
       crashPoint(1)
-      val band = deltas.agg(min(col("g")).cast("long"),
-        max(col("g")).cast("long")).head()
       val cur = LakeManifest.readPruned(spark, viewDir,
-        Map("g" -> (band.getLong(0), band.getLong(1))))
+        Map("g" -> (dStats.getLong(1), dStats.getLong(2))))
       val updates = deltas.join(cur, Seq("g"), "left")
         .select(col("g"),
           (coalesce(col("sum_v"), lit(0L)) + col("d_sum")).as("sum_v"),
@@ -624,17 +625,19 @@ object IngestStream {
       .agg(sum(valueCol.cast("long") * col("__sign")).as("d_sum"),
         sum(col("__sign")).as("d_n"))
       .localCheckpoint(true)
-    val nGroups = deltas.count()
+    // group count + group band in ONE action over the checkpointed deltas
+    val dStats = deltas.agg(count(lit(1)),
+      min(col("g")).cast("long"), max(col("g")).cast("long")).head()
+    val nGroups = dStats.getLong(0)
     if (nGroups == 0) { writeWitness(batchId, -2, done = true); return (0L, 0L) }
     val vEnd = marked.agg(max(col(LakeManifest.CommitVersionCol)))
       .head().getLong(0).toInt
     // non-invertible half: min/max of the TOUCHED groups, recomputed
     // from the source AS OF the batch's last commit, band-pruned
-    val band = deltas.agg(min(col("g")).cast("long"),
-      max(col("g")).cast("long")).head()
+    val band = (dStats.getLong(1), dStats.getLong(2))
     val touched = deltas.select(col("g").as("__tg")).localCheckpoint(true)
     val extremes = LakeManifest.readPruned(spark, sourceDir,
-        Map(groupDim -> (band.getLong(0), band.getLong(1))),
+        Map(groupDim -> band),
         version = Some(vEnd))
       .join(broadcast(touched), col(groupDim) === col("__tg"), "left_semi")
       .groupBy(col(groupDim).as("g"))
@@ -659,7 +662,7 @@ object IngestStream {
       def abortWitness(): Unit = writeWitness(batchId, -3, done = false)
       crashPoint(1)
       val cur = LakeManifest.readPruned(spark, viewDir,
-        Map("g" -> (band.getLong(0), band.getLong(1))))
+        Map("g" -> band))
       val updates = deltas.join(cur, Seq("g"), "left")
         .join(extremes, Seq("g"), "left")
         .select(col("g"),
@@ -996,15 +999,21 @@ object IngestStream {
     // feed's column pruning applies here: a caller that names its
     // needed columns (join key + groupDim/value refs on that side)
     // decodes and checkpoints only them, not the lake's full width
+    // the delta frame rides with its row count (ONE action per side:
+    // the count doubles as the emptiness probe and the broadcast-cap
+    // check — formerly an isEmpty job plus a count job per use)
     def signed(dir: String, from: Int, to: Int, s: String,
-        columns: Seq[String]): Option[DataFrame] =
+        columns: Seq[String]): Option[(DataFrame, Long)] =
       if (from > to) None
-      else Some(LakeManifest.changesBetween(spark, dir, from, to, columns)
-        .withColumn(s, when(col(LakeManifest.ChangeTypeCol)
-          .isin("insert", "update_postimage"), 1L).otherwise(-1L))
-        .drop(LakeManifest.ChangeTypeCol, LakeManifest.CommitVersionCol)
-        .localCheckpoint(true))
-        .filter(!_.isEmpty)
+      else {
+        val d = LakeManifest.changesBetween(spark, dir, from, to, columns)
+          .withColumn(s, when(col(LakeManifest.ChangeTypeCol)
+            .isin("insert", "update_postimage"), 1L).otherwise(-1L))
+          .drop(LakeManifest.ChangeTypeCol, LakeManifest.CommitVersionCol)
+          .localCheckpoint(true)
+        val n = d.count()
+        if (n == 0) None else Some((d, n))
+      }
     val dL = signed(leftDir, lFrom, leftTo, "__sl", leftColumns)
     val dR = signed(rightDir, rFrom, rightTo, "__sr", rightColumns)
     // broadcast a delta side only while it is micro-batch-sized: a
@@ -1012,10 +1021,10 @@ object IngestStream {
     // can be arbitrarily large, and a forced broadcast of it would OOM
     // the driver at scale — past the threshold Catalyst plans the join
     // from its own statistics (SMJ on the shuffled sides). The count is
-    // free: the delta is already localCheckpoint-materialized.
+    // free: it rode the delta's checkpoint materialization.
     val BroadcastRowCap = 1000000L
-    def hinted(d: DataFrame): DataFrame =
-      if (d.count() <= BroadcastRowCap) broadcast(d) else d
+    def hinted(dn: (DataFrame, Long)): DataFrame =
+      if (dn._2 <= BroadcastRowCap) broadcast(dn._1) else dn._1
     // state at the committed versions, pruned to the OTHER delta's key
     // band (band-touch cost); empty when the delta range starts at the
     // feed's first record — the founding snapshot IS the state then.
@@ -1045,20 +1054,20 @@ object IngestStream {
     val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val stateIsEmpty = base.isEmpty // bootstrap: the founding records ARE the state
     dL.foreach { l => // ΔL ⋈ R₀: broadcast the (micro-batch-sized) delta
-      if (!stateIsEmpty) bandUnder(l, leftKey, rightKey, rExpr).foreach { b =>
+      if (!stateIsEmpty) bandUnder(l._1, leftKey, rightKey, rExpr).foreach { b =>
         terms += hinted(l).join(
           stateAt(rightDir, base.get._2, rDim, rExpr, b, "__sr", rightColumns),
           col(leftKey) === col(rightKey))
       }
     }
     dR.foreach { r => // L₀ ⋈ ΔR
-      if (!stateIsEmpty) bandUnder(r, rightKey, leftKey, lExpr).foreach { b =>
+      if (!stateIsEmpty) bandUnder(r._1, rightKey, leftKey, lExpr).foreach { b =>
         terms += stateAt(leftDir, base.get._1, lDim, lExpr, b, "__sl", leftColumns)
           .join(hinted(r), col(leftKey) === col(rightKey))
       }
     }
     dL.foreach { l => dR.foreach { r => // ΔL ⋈ ΔR
-      terms += l.join(hinted(r), col(leftKey) === col(rightKey))
+      terms += l._1.join(hinted(r), col(leftKey) === col(rightKey))
     }}
     val deltas =
       if (terms.isEmpty) None
@@ -1068,7 +1077,12 @@ object IngestStream {
         .agg(sum(valueCol.cast("long") * col("__w")).as("d_sum"),
           sum(col("__w")).as("d_n"))
         .localCheckpoint(true))
-    val nGroups = deltas.map(_.count()).getOrElse(0L)
+    // group count + group band in ONE action over the checkpointed
+    // deltas (the band serves both the view merge and the extremes'
+    // touched-group prune)
+    val dStats = deltas.map(_.agg(count(lit(1)),
+      min(col("g")).cast("long"), max(col("g")).cast("long")).head())
+    val nGroups = dStats.map(_.getLong(0)).getOrElse(0L)
     if (nGroups == 0) { // pure version advance — no view commit needed
       val (bl, br) = base.getOrElse((lFrom - 1, rFrom - 1))
       writeWitness(bl, br, leftTo, rightTo, -2, done = true)
@@ -1090,11 +1104,10 @@ object IngestStream {
           rightDir, rightTo, rightColumns, rightKey, rDim, rExpr)
         else (rightDir, rightTo, rightColumns, rightKey,
           leftDir, leftTo, leftColumns, leftKey, lDim, lExpr)
-      val gBand = d.agg(min(col("g")).cast("long"),
-        max(col("g")).cast("long")).head()
+      val gBand = (dStats.get.getLong(1), dStats.get.getLong(2))
       val touched = d.select(col("g").as("__tg")).localCheckpoint(true)
       val gSide = prj(LakeManifest.readPruned(spark, gDir,
-          Map(groupDim -> (gBand.getLong(0), gBand.getLong(1))),
+          Map(groupDim -> gBand),
           version = Some(gVer)), gCols)
         .join(broadcast(touched), col(groupDim) === col("__tg"), "left_semi")
         .localCheckpoint(true)
@@ -1145,10 +1158,8 @@ object IngestStream {
       def abortWitness(): Unit =
         writeWitness(bl, br, leftTo, rightTo, -3, done = false)
       crashPoint(1)
-      val band = d.agg(min(col("g")).cast("long"),
-        max(col("g")).cast("long")).head()
       val cur = LakeManifest.readPruned(spark, viewDir,
-        Map("g" -> (band.getLong(0), band.getLong(1))))
+        Map("g" -> (dStats.get.getLong(1), dStats.get.getLong(2))))
       val additive = d.join(cur, Seq("g"), "left")
         .select(col("g"),
           (coalesce(col("sum_v"), lit(0L)) + col("d_sum")).as("sum_v"),

@@ -1,0 +1,46 @@
+package graft.tools
+
+import java.io.{File, PrintStream}
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes one `<outDir>/<query>_<suffix>.txt` per named query with the
+  * `.explain("formatted")` output at sf0.01 — the per-round optimization
+  * evidence files (plans/r12/<query>_before.txt / _after.txt). Same
+  * session shape as [[DumpPlans]] so the files diff cleanly against
+  * docs/PLANS.md. */
+object DumpPlanFiles {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: DumpPlanFiles <outDir> <suffix> <q1,q2,...> [sfDir]")
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+    val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.activate(spark)
+    new File(outDir).mkdirs()
+    def clean(s: String): String = s.flatMap {
+      case c if c == '\n' || c == '\t' || c >= ' ' => c.toString
+      case c => f"\\u${c.toInt}%04x"
+    }
+    names.foreach { name =>
+      val matched = graft.SparkEntry.queries.keys.filter(_.startsWith(name))
+      require(matched.size == 1, s"'$name' matches: ${matched.mkString(", ")}")
+      val full = matched.head
+      val out = new PrintStream(s"$outDir/${full}_$suffix.txt")
+      try out.println(clean(graft.SparkEntry.queries(full)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)))
+      catch { case e: Throwable => out.println(s"ERROR: ${clean(e.getMessage)}") }
+      out.close()
+      println(s"[plans] wrote $outDir/${full}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,97 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+import graft.{GraftExtensions, SparkEntry}
+
+/**
+ * Per-job profiler for one declared query (guide §1: measure first).
+ *
+ * Runs the query once against the warm dir (codegen/JIT warm-up), then
+ * once measured against the target sf dir, with a SparkListener that
+ * attributes every Spark job to its callsite (the "parquet at
+ * LakeManifest.scala:766"-style short form). Output: one line per job in
+ * submission order plus a by-callsite rollup — this is how we find which
+ * of a lake query's dozens of commit-machinery actions actually cost
+ * time, instead of guessing.
+ *
+ * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ProfileQuery q332_cdf_join_view [sfDir]"
+ */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ProfileQuery <queryName> [sfDir]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // experiment knob: SPARK_GRAFT_PROFILE_CONF="k=v;k=v" extra configs
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(';')
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.activate(spark)
+
+    val q = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query $name"))
+
+    // warm-up (small sf) so JIT/codegen is out of the measured pass
+    val warm = {
+      val tiny = "/root/testdata/sf0.001"
+      if (new java.io.File(tiny).isDirectory) tiny else sfDir
+    }
+    q(spark, warm).write.mode("overwrite").format("noop").save()
+
+    val starts = mutable.Map[Int, (Long, String)]()
+    // id, site, start ms since t0, duration ms
+    val rows = mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    @volatile var tBase = 0L
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+        starts(js.jobId) = (System.nanoTime(), site)
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        starts.remove(je.jobId).foreach { case (t0, site) =>
+          rows.synchronized {
+            rows += ((je.jobId, site, (t0 - tBase) / 1000000,
+              (System.nanoTime() - t0) / 1000000))
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    tBase = t0
+    q(spark, sfDir).write.mode("overwrite").format("noop").save()
+    val totalMs = (System.nanoTime() - t0) / 1000000
+    spark.sparkContext.removeSparkListener(listener)
+    Thread.sleep(500) // let the listener bus drain
+
+    println(s"== $name @ $sfDir: total ${totalMs} ms, ${rows.size} jobs")
+    println("-- jobs in order (gap = idle driver ms since the previous job ended):")
+    var lastEnd = 0L
+    rows.sortBy(_._3).foreach { case (id, site, st, ms) =>
+      val gap = st - lastEnd
+      lastEnd = math.max(lastEnd, st + ms)
+      println(f"  job $id%4d  +$gap%5d gap  $ms%6d ms  $site")
+    }
+    println("-- by callsite:")
+    rows.groupBy(_._2).map { case (site, xs) =>
+      (xs.map(_._4).sum, xs.size, site)
+    }.toSeq.sortBy(-_._1).foreach { case (ms, n, site) =>
+      println(f"  $ms%7d ms  x$n%-4d $site")
+    }
+    val jobsMs = rows.map(_._4).sum
+    println(f"-- sum of job wall times: $jobsMs ms (driver-side gap: ${totalMs - jobsMs} ms; overlapping jobs can exceed total)")
+    spark.stop()
+  }
+}
