@@ -953,7 +953,8 @@ object LakeManifest {
   private def fileNamesAt(spark: SparkSession, dir: String, v: Int): Seq[String] =
     snapshotOf(spark, dir, readAt(spark, dir, v), s"$dir@v$v",
       f => f.getFileStatus(new org.apache.hadoop.fs.Path(
-        historyPath(dir, v))).getModificationTime)
+        historyPath(dir, v))).getModificationTime,
+      Some(historyPath(dir, v)))
       .map(_._1.split('/').last)
 
   /** Bloom positions per row for `c` under the portable-hash law: two
@@ -1363,7 +1364,8 @@ object LakeManifest {
     val entries = snapshotOf(spark, dir, readAt(spark, dir, version),
       s"$dir@v$version",
       f => f.getFileStatus(new org.apache.hadoop.fs.Path(
-        historyPath(dir, version))).getModificationTime)
+        historyPath(dir, version))).getModificationTime,
+      Some(historyPath(dir, version)))
     val files = entries.map(_._1).sorted
     val rowCount = entries.map(_._2).sum
     // that version's rows under that version's SCHEMA (evolution-aware):
@@ -1505,35 +1507,108 @@ object LakeManifest {
     val v = currentVersion(spark, dir)
     snapshotOf(spark, dir, readAt(spark, dir, v), s"$dir@v$v",
       fs => fs.getFileStatus(new org.apache.hadoop.fs.Path(
-        historyPath(dir, v))).getModificationTime)
+        historyPath(dir, v))).getModificationTime,
+      Some(historyPath(dir, v)))
   }
+
+  /** Driver-side read of one tiny manifest parquet dir (≤ numFiles
+    * rows): the metadata path pays NO Spark job at all — a cold
+    * snapshot used to cost one schema-inference + one collect job per
+    * (dir, version). Handles the manifest's native physical shape
+    * (BINARY-string file, INT64/INT32 plain-integer stats, optional =
+    * null stats); anything else (decimal/date/timestamp stat dims)
+    * returns None and the caller falls back to the Spark read, whose
+    * long casts define the semantics. */
+  private def driverManifestEntries(spark: SparkSession, dirPath: String):
+      Option[Seq[(String, Long, Map[String, (Long, Long)])]] = try {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dirPath)
+    val fsys = p.getFileSystem(conf)
+    val parts = fsys.listStatus(p).filter(e => e.isFile &&
+        e.getPath.getName.endsWith(".parquet") &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      .map(_.getPath).sortBy(_.getName)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, (Long, Long)])]
+    parts.foreach { part =>
+      val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+        new org.apache.parquet.hadoop.example.GroupReadSupport(), part)
+        .withConf(conf).build(): @annotation.nowarn("cat=deprecation")
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val schema = g.getType
+          val dims = (0 until schema.getFieldCount).map(schema.getFieldName)
+            .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+          def longAt(name: String): Option[Long] = {
+            if (g.getFieldRepetitionCount(name) == 0) None
+            else {
+              val t = schema.getType(name).asPrimitiveType()
+              val ann = t.getLogicalTypeAnnotation
+              val plainInt = ann == null || (ann match {
+                case i: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                  i.isSigned // unsigned would change the value's meaning
+                case _ => false
+              })
+              require(plainInt, s"$name carries a non-integer annotation")
+              t.getPrimitiveTypeName match {
+                case INT64 => Some(g.getLong(name, 0))
+                case INT32 => Some(g.getInteger(name, 0).toLong)
+                case other => throw new IllegalStateException(
+                  s"$name is $other, not a plain integer")
+              }
+            }
+          }
+          val file = g.getString("file", 0)
+          val nRows = longAt("n_rows").getOrElse(
+            throw new IllegalStateException("n_rows is null"))
+          val ranges = dims.map { d =>
+            (longAt(s"min_$d"), longAt(s"max_$d")) match {
+              // null stats = unknown = always a candidate (pruning stays
+              // SOUND, the row filter re-applies the predicate)
+              case (Some(mn), Some(mx)) => d -> (mn, mx)
+              case _ => d -> (Long.MinValue, Long.MaxValue)
+            }
+          }.toMap
+          out += ((file, nRows, ranges))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    Some(out.toSeq)
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   private def snapshotOf(
       spark: SparkSession, dir: String, manifest: => DataFrame, key: String,
-      mtimeOf: org.apache.hadoop.fs.FileSystem => Long): Seq[(String, Long, Map[String, (Long, Long)])] = {
+      mtimeOf: org.apache.hadoop.fs.FileSystem => Long,
+      histPath: Option[String] = None): Seq[(String, Long, Map[String, (Long, Long)])] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mtime = mtimeOf(fs)
     val cached = snapshots.get(key)
     if (cached != null && cached.mtime == mtime) cached.entries
     else {
-      val m = manifest
-      val dims = m.schema.fieldNames.collect {
-        case n if n.startsWith("min_") => n.stripPrefix("min_")
-      }.toSeq
-      val cols = col("file") +: col("n_rows").cast("long") +:
-        dims.flatMap(d => Seq(col(s"min_$d").cast("long"), col(s"max_$d").cast("long")))
-      val entries = m.select(cols: _*).collect().toSeq.map { r =>
-        val ranges = dims.zipWithIndex.map { case (d, i) =>
-          // null stats (a post-evolution column has no min/max for files
-          // written before it existed) = unknown = always a candidate —
-          // pruning stays SOUND, the row filter re-applies the predicate
-          if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i))
-            d -> (Long.MinValue, Long.MaxValue)
-          else d -> (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
-        }.toMap
-        (r.getString(0), r.getLong(1), ranges)
-      }
+      val entries = histPath.flatMap(driverManifestEntries(spark, _))
+        .getOrElse {
+          val m = manifest
+          val dims = m.schema.fieldNames.collect {
+            case n if n.startsWith("min_") => n.stripPrefix("min_")
+          }.toSeq
+          val cols = col("file") +: col("n_rows").cast("long") +:
+            dims.flatMap(d => Seq(col(s"min_$d").cast("long"), col(s"max_$d").cast("long")))
+          m.select(cols: _*).collect().toSeq.map { r =>
+            val ranges = dims.zipWithIndex.map { case (d, i) =>
+              // null stats (a post-evolution column has no min/max for files
+              // written before it existed) = unknown = always a candidate —
+              // pruning stays SOUND, the row filter re-applies the predicate
+              if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i))
+                d -> (Long.MinValue, Long.MaxValue)
+              else d -> (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
+            }.toMap
+            (r.getString(0), r.getLong(1), ranges)
+          }
+        }
       snapshots.put(key, Snapshot(mtime, entries))
       entries
     }
@@ -1877,7 +1952,8 @@ object LakeManifest {
     val v = version.getOrElse(currentVersion(spark, dir))
     val snap = snapshotOf(spark, dir, readAt(spark, dir, v), s"$dir@v$v",
       fs => fs.getFileStatus(new org.apache.hadoop.fs.Path(
-        historyPath(dir, v))).getModificationTime)
+        historyPath(dir, v))).getModificationTime,
+      Some(historyPath(dir, v)))
     snap.headOption.foreach { case (_, _, stats) =>
       val unknown = ranges.keySet -- stats.keySet
       require(unknown.isEmpty,

@@ -18,13 +18,30 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
  */
 object Tables {
 
+  // Inferred schema per table path: the test tables are immutable within
+  // a run, but a bare `spark.read.parquet(path)` re-infers the schema
+  // with a footer-reading Spark job on EVERY load — ~25 ms × 2 tables ×
+  // 344 queries × 4 bench passes of pure overhead (guide §1.2: per-task
+  // work — don't recompute what cannot change). An explicit schema skips
+  // the job; the schema is byte-identical to the inferred one.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      val p = s"$dir/$name.parquet"
+      val sch = schemaCache.computeIfAbsent(p,
+        _ => spark.read.parquet(p).schema)
+      spark.read.schema(sch).parquet(p)
+    }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val p = s"$dir/events.parquet"
+    val sch = schemaCache.computeIfAbsent(p,
+      _ => spark.read.parquet(p).schema)
+    val raw = spark.read.schema(sch).parquet(p)
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts",
