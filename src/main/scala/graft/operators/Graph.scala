@@ -559,9 +559,12 @@ object Graph {
     val deg = canon.select(col("u").as("node"))
       .unionByName(canon.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // node-sized; read three times (both edge decorations + the mass
+    // rollup) — checkpoint so the degree shuffle + label join run once
     val nodeLab = deg.join(lab, Seq("node"), "left")
       .withColumn("cluster",
         coalesce(col("cluster"), concat(lit("__node_"), col("node"))))
+      .localCheckpoint(false)
     val decorated = canon
       .join(nodeLab.select(col("node").as("u"), col("cluster").as("cu")), "u")
       .join(nodeLab.select(col("node").as("v"), col("cluster").as("cv")), "v")
@@ -626,8 +629,12 @@ object Graph {
       broadcastLabels: Boolean = false,
       includeSelf: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 20, "1..20 rounds")
+    // checkpoint the edge subtree ONCE: the node census reads it and
+    // every lpaStep round joins it — without this the caller's edge
+    // construction re-executes rounds + 1 times (guide §1.2)
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+      .localCheckpoint(false)
     val nodes = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node")))
       .distinct()

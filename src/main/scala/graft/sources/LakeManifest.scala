@@ -753,7 +753,8 @@ object LakeManifest {
         val live = scanWithPositions(spark, dir, v, cand.toIndexedSeq, dataSchema)
         // one candidate scan, checkpointed: the pairs feed the count,
         // the merged generation write, and (CDF) the change record
-        val victims = live.where(hit).localCheckpoint(true)
+        // (lazy: the count below is the materialization point)
+        val victims = live.where(hit).localCheckpoint(false)
         val nDeleted = victims.count()
         if (nDeleted == 0) (0L, 0)
         else {
@@ -775,6 +776,9 @@ object LakeManifest {
           // — the snapshot is a byte copy of the unchanged writer manifest
           archiveManifest(spark, dir, next)
           stampCommitTs(fs(spark, dir), dir, next)
+          // rows unchanged: carry the warm cache entry forward to `next`
+          Option(manifestRowCache.get(s"$dir@v$v")).foreach(c =>
+            cacheManifestRows(spark, dir, next, c.schema, c.rows))
           writeVersion(fs(spark, dir), dir, next)
           bumpCommitSeq(spark, dir)
           bloomSnapshots.clear() // per-version snapshot entries stay (immutable)
@@ -804,8 +808,9 @@ object LakeManifest {
         if (v != e) throw new ManifestConflictException(
           s"upsertDV expected lake version $e, found $v — retry against the new manifest")
       }
-      val manifestDf = read(spark, dir) // ONE reader: schema + collect below
-      val manifestSchema = manifestDf.schema
+      // schema + rows from the commit-warmed driver cache (zero metadata
+      // jobs when warm — the upsert discipline)
+      val (manifestSchema, oldRows) = currentManifestRows(spark, dir)
       val bloomDims = manifestSchema.fieldNames
         .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
       val bloomSpec =
@@ -819,8 +824,9 @@ object LakeManifest {
       require(updates.schema.fieldNames.sorted.sameElements(
         dataSchema.fieldNames.sorted),
         s"updates must carry the lake schema ${dataSchema.fieldNames.mkString(",")}")
+      // lazy checkpoint: the stats aggregate below materializes the batch
       val u = updates.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // count + key band in ONE action over the checkpointed batch
       val uStats = u.agg(count(lit(1)),
         min(col(keyDim)).cast("long"), max(col(keyDim)).cast("long")).head()
@@ -840,14 +846,15 @@ object LakeManifest {
         val v = currentVersion(spark, dir)
         val next = v + 1
         val keys = u.select(col(keyDim).as("_upk")).distinct()
-          .localCheckpoint(true)
+          .localCheckpoint(false) // lazy: first broadcast build materializes
         // matched LIVE rows of the candidate files: their positions
         // become the new vectors, their contents the CDF preimage
+        // (lazy checkpoint: the count below is the materialization point)
         val matchedRows =
           if (cand.isEmpty) None
           else Some(scanWithPositions(spark, dir, v, cand.toIndexedSeq, dataSchema)
             .join(broadcast(keys), col(keyDim) === col("_upk"), "left_semi")
-            .localCheckpoint(true))
+            .localCheckpoint(false))
         val nReplaced = matchedRows.map(_.count()).getOrElse(0L)
         // stage ONLY the update rows as new files; old files stay put
         val stage = s"$dir/$ManifestDir/upsertdv-${java.util.UUID.randomUUID()}"
@@ -871,7 +878,6 @@ object LakeManifest {
             .agg(aggs.head, aggs.tail: _*)
             .select(manifestSchema.fieldNames.map(col).toIndexedSeq: _*)
             .collect()
-        val oldRows = manifestDf.collect() // ≤ numFiles
         fenceCheck(dir)
         // DELTA generation: only the positions THIS merge vectored —
         // prior deltas stay in force through generation-union
@@ -889,7 +895,7 @@ object LakeManifest {
               val pre = m.select(dataCols :+
                 lit("update_preimage").as(ChangeTypeCol): _*)
               val matched = keys.join(m, col("_upk") === col(keyDim), "left_semi")
-                .localCheckpoint(true)
+                .localCheckpoint(false) // lazy: the broadcast build materializes
               // postimage vs insert in ONE pass (matched is distinct ⊆
               // the key set, so the left join is multiplicity-1 — same
               // rows as the former semi+anti pair, half the scans)
@@ -904,13 +910,13 @@ object LakeManifest {
           writeChangeRecord(fsys, dir, next, "rows")
         }
         // manifest: ALL old entries kept (their files still serve the
-        // unmatched rows) + the new files' entries
-        spark.createDataFrame(
-            new java.util.ArrayList[Row]((oldRows ++ newRows).toSeq.asJava),
-            manifestSchema)
-          .coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
+        // unmatched rows) + the new files' entries — driver-side write
+        // (no Spark job, no commit protocol; byte-compatible, see Bridge)
+        org.apache.spark.sql.graftbridge.Bridge.writeRowsAsParquet(
+          spark, manifestSchema, (oldRows ++ newRows).toIndexedSeq, filesPath(dir))
         archiveManifest(spark, dir, next)
         stampCommitTs(fsys, dir, next)
+        cacheManifestRows(spark, dir, next, manifestSchema, oldRows ++ newRows)
         writeVersion(fsys, dir, next)
         bumpCommitSeq(spark, dir)
         bloomSnapshots.clear() // per-version snapshot entries stay (immutable)
@@ -945,6 +951,37 @@ object LakeManifest {
           false, conf)
         ()
       }
+    // deterministic invalidation (r12 ADVICE): a crashed-commit retry can
+    // REWRITE this version's history dir with different content within one
+    // mtime tick — drop any cached snapshot of the rewritten key instead
+    // of relying on mtime resolution
+    snapshots.remove(s"$dir@v$v")
+    manifestRowCache.remove(s"$dir@v$v")
+    // bound the per-version caches (r12 ADVICE): long-lived maintainers
+    // commit one version per micro-batch, and without eviction the maps
+    // grow one immutable entry per commit forever. Keep a working set of
+    // recent versions per dir; older entries re-read on demand.
+    evictVersionsBelow(dir, v - 8)
+  }
+
+  /** Evict per-version cache entries of `dir` strictly below `below`
+    * from the driver-side snapshot caches (commit-time hygiene; a miss
+    * only costs a re-read of an immutable history dir). */
+  private def evictVersionsBelow(dir: String, below: Int): Unit = if (below > 0) {
+    def sweep(m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit = {
+      val it = m.keySet().iterator()
+      val prefix = dir + "@v"
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(prefix)) {
+          val tail = k.substring(prefix.length)
+          if (tail.nonEmpty && tail.forall(_.isDigit) && tail.toInt < below)
+            it.remove()
+        }
+      }
+    }
+    sweep(snapshots)
+    sweep(manifestRowCache)
   }
 
   /** Version `v`'s manifest file NAMES through the per-version snapshot
@@ -1054,12 +1091,21 @@ object LakeManifest {
           .asInstanceOf[StructType]).parquet(dir)
       else spark.read.parquet(dir)
     val aggs = statAggs(stats, bloom, bloomBits)
-    val manifest = data
+    // ONE job: the stats scan collects to the driver (≤ numFiles rows);
+    // the manifest parquet then writes driver-side (no second job, no
+    // commit protocol) and the rows warm the commit cache so the lake's
+    // first merge pays no metadata read. Nullable-normalized schema =
+    // exactly what any reader of the manifest sees (file-source reads
+    // force nullability), so later commits' footers agree byte-for-byte.
+    val manifestDf = data
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1) // numFiles rows: ONE manifest file, one listing unit
+    val manifestRows = manifestDf.collect()
+    val manifestSchema =
+      StructType(manifestDf.schema.fields.map(_.copy(nullable = true)))
     fenceCheck(dir)
-    manifest.write.mode("overwrite").parquet(filesPath(dir))
+    org.apache.spark.sql.graftbridge.Bridge.writeRowsAsParquet(
+      spark, manifestSchema, manifestRows.toIndexedSeq, filesPath(dir))
     // schema sidecar: lets a pruned-to-zero read return the right shape
     // without opening any data file
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1083,6 +1129,7 @@ object LakeManifest {
     // for the identical stats (measured: write() paid its data scan twice)
     archiveManifest(spark, dir, 0)
     stampCommitTs(fs, dir, 0)
+    cacheManifestRows(spark, dir, 0, manifestSchema, manifestRows)
     // a rebased CDF lake restarts its feed with a v0 founding snapshot:
     // the relaid files as inserts (tail-from-zero = full current state);
     // the flag re-founds at 0 so adaptive bootstraps verify against the
@@ -1300,10 +1347,14 @@ object LakeManifest {
       }
       // the evolution IS a generation: same file list, new schema — the
       // snapshot is a byte copy of the unchanged writer manifest
-      val next = currentVersion(spark, dir) + 1
+      val vPrev = currentVersion(spark, dir)
+      val next = vPrev + 1
       fenceCheck(dir)
       archiveManifest(spark, dir, next)
       stampCommitTs(fs, dir, next)
+      // rows unchanged: carry the warm cache entry forward to `next`
+      Option(manifestRowCache.get(s"$dir@v$vPrev")).foreach(c =>
+        cacheManifestRows(spark, dir, next, c.schema, c.rows))
       if (changeFeedEnabled(spark, dir))
         writeChangeRecord(fs, dir, next, "none") // no logical data change
       writeVersion(fs, dir, next)
@@ -1411,12 +1462,13 @@ object LakeManifest {
     // everything below RECOMPUTES under the lock: a refresh that lost the
     // race to a concurrent writer sees that writer's manifest and indexes
     // only the files still missing — the retry IS the recompute
-    val manifest = read(spark, dir)
-    val expectedBloom = manifest.schema.fieldNames
+    // schema + rows from the commit-warmed driver cache (zero metadata
+    // jobs when warm — the upsert discipline)
+    val (manifestSchema, oldRows) = currentManifestRows(spark, dir)
+    val expectedBloom = manifestSchema.fieldNames
       .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSet
     require(bloom.map(_._1).toSet == expectedBloom,
       s"bloom spec must match the manifest's bloom dims: ${expectedBloom.mkString(", ")}")
-    val oldRows = manifest.collect() // ≤ numFiles
     val known = oldRows.map(r =>
       r.getString(r.fieldIndex("file")).split('/').last).toSet
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1450,16 +1502,17 @@ object LakeManifest {
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
-      val merged = spark.createDataFrame(
-        new java.util.ArrayList[Row]((oldRows ++ newRows).toSeq.asJava),
-        manifest.schema)
       fenceCheck(dir)
-      merged.coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
+      // driver-side manifest write (no Spark job, no commit protocol)
+      org.apache.spark.sql.graftbridge.Bridge.writeRowsAsParquet(
+        spark, manifestSchema, (oldRows ++ newRows).toIndexedSeq,
+        filesPath(dir))
       // append generation: archive the new file list as version N+1 —
       // a byte copy of the manifest just written, not a second write job
       val next = currentVersion(spark, dir) + 1
       archiveManifest(spark, dir, next)
       stampCommitTs(fs, dir, next)
+      cacheManifestRows(spark, dir, next, manifestSchema, oldRows ++ newRows)
       // CDF: the appended files ARE the change — zero-copy insert record
       if (changeFeedEnabled(spark, dir))
         writeChangeRecord(fs, dir, next, "files",
@@ -1496,6 +1549,61 @@ object LakeManifest {
       mtime: Long, entries: Seq[(String, Long, Map[String, (Long, Long)])])
   private val snapshots =
     new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+
+  /** Full-fidelity manifest rows (every column, including the bloom
+    * arrays) per (dir, version) — the WRITER-side twin of [[snapshots]]:
+    * every commit merges the manifest driver-side (kept rows + newly
+    * indexed rows), so the commit that wrote version v already holds v's
+    * exact rows and caches them here; the next commit's "read the current
+    * manifest" step then pays ZERO Spark jobs (formerly one
+    * schema-inference + one collect job per commit). Same immutability +
+    * mtime discipline as [[snapshots]]; bounded by the same commit-time
+    * eviction. */
+  private final case class ManifestRows(
+      mtime: Long, schema: StructType, rows: Array[Row])
+  private val manifestRowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ManifestRows]()
+
+  private def historyMtime(spark: SparkSession, dir: String, v: Int): Long =
+    fs(spark, dir).getFileStatus(new org.apache.hadoop.fs.Path(
+      historyPath(dir, v))).getModificationTime
+
+  /** The CURRENT manifest's (schema, rows), served from the commit-warmed
+    * driver cache when possible. Reads resolve through the version
+    * pointer onto the immutable per-version history dir (== the writer
+    * manifest under the commit lock every caller holds); a lake without
+    * a history snapshot for the current version (never produced by this
+    * class, but cheap to tolerate) falls back to the writer manifest
+    * uncached. */
+  private def currentManifestRows(
+      spark: SparkSession, dir: String): (StructType, Array[Row]) = {
+    val v = currentVersion(spark, dir)
+    val key = s"$dir@v$v"
+    val mtime =
+      try historyMtime(spark, dir, v)
+      catch { case _: java.io.IOException =>
+        val df = read(spark, dir)
+        return (df.schema, df.collect())
+      }
+    val c = manifestRowCache.get(key)
+    if (c != null && c.mtime == mtime) (c.schema, c.rows)
+    else {
+      val df = readAt(spark, dir, v)
+      val rows = df.collect()
+      manifestRowCache.put(key, ManifestRows(mtime, df.schema, rows))
+      (df.schema, rows)
+    }
+  }
+
+  /** Warm the rows cache with the manifest a commit just archived as
+    * version `v` (call AFTER the history dir's last sidecar write, so
+    * the recorded mtime is final). Best-effort: cache failure must never
+    * fail a commit. */
+  private def cacheManifestRows(spark: SparkSession, dir: String, v: Int,
+      schema: StructType, rows: Array[Row]): Unit =
+    try manifestRowCache.put(s"$dir@v$v",
+      ManifestRows(historyMtime(spark, dir, v), schema, rows))
+    catch { case scala.util.control.NonFatal(_) => () }
 
   private def snapshot(
       spark: SparkSession, dir: String): Seq[(String, Long, Map[String, (Long, Long)])] = {
@@ -1597,7 +1705,7 @@ object LakeManifest {
           }.toSeq
           val cols = col("file") +: col("n_rows").cast("long") +:
             dims.flatMap(d => Seq(col(s"min_$d").cast("long"), col(s"max_$d").cast("long")))
-          m.select(cols: _*).collect().toSeq.map { r =>
+          try m.select(cols: _*).collect().toSeq.map { r =>
             val ranges = dims.zipWithIndex.map { case (d, i) =>
               // null stats (a post-evolution column has no min/max for files
               // written before it existed) = unknown = always a candidate —
@@ -1607,6 +1715,18 @@ object LakeManifest {
               else d -> (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
             }.toMap
             (r.getString(0), r.getLong(1), ranges)
+          } catch {
+            // a stat dim that is not long-castable (DateType, …) must not
+            // fail metadata-only consumers ([[timeTravel]] reads file +
+            // n_rows alone): fall back to the name/count projection with
+            // every dim "unknown" = full-range — pruning stays SOUND
+            // (everything is a candidate), it just stops skipping
+            case _: org.apache.spark.sql.AnalysisException =>
+              m.select(col("file"), col("n_rows").cast("long")).collect()
+                .toSeq.map { r =>
+                  (r.getString(0), r.getLong(1),
+                    dims.map(_ -> (Long.MinValue, Long.MaxValue)).toMap)
+                }
           }
         }
       snapshots.put(key, Snapshot(mtime, entries))
@@ -1710,8 +1830,9 @@ object LakeManifest {
       if (v != e) throw new ManifestConflictException(
         s"reoptimize expected lake version $e, found $v — retry against the new manifest")
     }
-    val manifest = read(spark, dir)
-    val manifestSchema = manifest.schema
+    // schema + file list from the commit-warmed driver cache (zero
+    // metadata jobs when warm — the upsert discipline)
+    val (manifestSchema, oldManifestRows) = currentManifestRows(spark, dir)
     val statDims = manifestSchema.fieldNames
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
     val bloomDims = manifestSchema.fieldNames
@@ -1728,8 +1849,8 @@ object LakeManifest {
           s"bloom spec must match the manifest's bloom dims: ${bloomDims.mkString(", ")}")
         bloom
       } else bloomDims.map(d => d -> col(d))
-    val oldFiles = manifest.select(col("file")).collect()
-      .map(_.getString(0)).sorted
+    val oldFiles = oldManifestRows
+      .map(r => r.getString(r.fieldIndex("file"))).sorted
     if (oldFiles.isEmpty) (0, 0)
     else {
       val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1769,12 +1890,13 @@ object LakeManifest {
       // time travel until vacuum's horizon passes
       fenceCheck(dir)
       recordRemoved(fs, dir, oldFiles.map(_.split('/').last).toSeq)
-      spark.createDataFrame(
-          new java.util.ArrayList[Row](newRows.toSeq.asJava), manifestSchema)
-        .coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
+      // driver-side manifest write (no Spark job, no commit protocol)
+      org.apache.spark.sql.graftbridge.Bridge.writeRowsAsParquet(
+        spark, manifestSchema, newRows.toIndexedSeq, filesPath(dir))
       val next = currentVersion(spark, dir) + 1
       archiveManifest(spark, dir, next)
       stampCommitTs(fs, dir, next)
+      cacheManifestRows(spark, dir, next, manifestSchema, newRows)
       // CDF: a compaction rewrites bytes, not rows — no logical change
       if (changeFeedEnabled(spark, dir))
         writeChangeRecord(fs, dir, next, "none")
@@ -1826,8 +1948,12 @@ object LakeManifest {
       if (v != e) throw new ManifestConflictException(
         s"reoptimizeBinned expected lake version $e, found $v — retry against the new manifest")
     }
-    val manifest = read(spark, dir)
-    val manifestSchema = manifest.schema
+    // schema + rows from the commit-warmed driver cache (zero metadata
+    // jobs when warm); the bin assignment below runs over a
+    // LocalRelation of the cached rows instead of a manifest file scan
+    val (manifestSchema, oldManifestRows) = currentManifestRows(spark, dir)
+    val manifest = spark.createDataFrame(
+      new java.util.ArrayList[Row](oldManifestRows.toSeq.asJava), manifestSchema)
     val statDims = manifestSchema.fieldNames
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
     val bloomDims = manifestSchema.fieldNames
@@ -1896,12 +2022,13 @@ object LakeManifest {
       val oldFiles = assignment.map(_._1).sorted
       fenceCheck(dir)
       recordRemoved(fsys, dir, oldFiles.map(_.split('/').last).toSeq)
-      spark.createDataFrame(
-          new java.util.ArrayList[Row](newRows.toSeq.asJava), manifestSchema)
-        .coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
+      // driver-side manifest write (no Spark job, no commit protocol)
+      org.apache.spark.sql.graftbridge.Bridge.writeRowsAsParquet(
+        spark, manifestSchema, newRows.toIndexedSeq, filesPath(dir))
       val next = vNow + 1
       archiveManifest(spark, dir, next)
       stampCommitTs(fsys, dir, next)
+      cacheManifestRows(spark, dir, next, manifestSchema, newRows)
       if (changeFeedEnabled(spark, dir))
         writeChangeRecord(fsys, dir, next, "none")
       if (dvInForce(spark, dir, vNow)) {
@@ -2116,8 +2243,10 @@ object LakeManifest {
       if (v != e) throw new ManifestConflictException(
         s"upsert expected lake version $e, found $v — retry against the new manifest")
     }
-    val manifestDf = read(spark, dir) // ONE reader: schema + the collect below
-    val manifestSchema = manifestDf.schema
+    // schema + rows from the commit-warmed driver cache: zero Spark jobs
+    // on the metadata path when warm (formerly one schema-inference +
+    // one collect job per merge)
+    val (manifestSchema, oldRows) = currentManifestRows(spark, dir)
     val bloomDims = manifestSchema.fieldNames
       .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
     val bloomSpec =
@@ -2131,8 +2260,12 @@ object LakeManifest {
     require(updates.schema.fieldNames.sorted.sameElements(
       dataSchema.fieldNames.sorted),
       s"updates must carry the lake schema ${dataSchema.fieldNames.mkString(",")}")
+    // LAZY checkpoint: the stats aggregate below is the materialization
+    // point (one action computes, caches, and aggregates the batch —
+    // formerly an eager-checkpoint job plus a separate aggregate job);
+    // later consumers (staged write, change record) read the cached blocks
     val u = updates.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
-      .localCheckpoint(true) // read twice: key band + the staged write
+      .localCheckpoint(false)
     // count + key band in ONE action over the checkpointed batch
     val uStats = u.agg(count(lit(1)),
       min(col(keyDim)).cast("long"), max(col(keyDim)).cast("long")).head()
@@ -2149,13 +2282,13 @@ object LakeManifest {
       case (file, _, st) if { val (mn, mx) = st(keyDim); mx >= lo && mn <= hi } =>
         file
     }.sorted
-    val oldRows = manifestDf.collect() // ≤ numFiles
     val knownNames = oldRows.map(r =>
       r.getString(r.fieldIndex("file")).split('/').last).toSet
     // survivors of touched files = rows whose key is NOT updated; the
     // replaced count rides as the candidate/survivor difference
+    // (lazy checkpoint: the first broadcast build materializes it)
     val keys = u.select(col(keyDim).as("_upk")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val vNowU = currentVersion(spark, dir)
     // DV-filtered candidates: rows already deletion-vectored must not
     // resurrect as survivors (the CoW rewrite FOLDS the vectors)
@@ -2222,7 +2355,7 @@ object LakeManifest {
           // into updates vs pure inserts (bounded by the batch's keys)
           val matched = keys.join(candDf,
               col("_upk") === col(keyDim), "left_semi")
-            .localCheckpoint(true)
+            .localCheckpoint(false) // lazy: the broadcast build materializes it
           // postimage vs insert in ONE pass over the batch: `matched` is
           // distinct by construction (⊆ the distinct key set), so the
           // left join is multiplicity-1 and the marker is a row-local
@@ -2242,10 +2375,11 @@ object LakeManifest {
     // on disk for in-flight readers and time travel until vacuum
     fenceCheck(dir)
     recordRemoved(fs, dir, cand.map(_.split('/').last).toSeq)
-    spark.createDataFrame(
-        new java.util.ArrayList[Row]((keptRows ++ newRows).toSeq.asJava),
-        manifestSchema)
-      .coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
+    // driver-side manifest write (≤ numFiles rows): no Spark job, no
+    // Hadoop commit protocol — byte-compatible with the Spark writer
+    // (same ParquetWriteSupport, same footer schema; see Bridge)
+    org.apache.spark.sql.graftbridge.Bridge.writeRowsAsParquet(
+      spark, manifestSchema, (keptRows ++ newRows).toIndexedSeq, filesPath(dir))
     archiveManifest(spark, dir, next)
     stampCommitTs(fs, dir, next)
     tag.foreach { t => // the CAS-fenced writers' idempotency token
@@ -2253,6 +2387,9 @@ object LakeManifest {
         new org.apache.hadoop.fs.Path(commitTagPath(dir, next)), true)
       try out.write(t.getBytes(UTF_8)) finally out.close()
     }
+    // warm the rows cache with the manifest this commit just wrote: the
+    // next commit's metadata read pays zero Spark jobs
+    cacheManifestRows(spark, dir, next, manifestSchema, keptRows ++ newRows)
     // DV fold-out for the rewritten (tombstoned) candidates: a BASE
     // generation (state reset) supersedes every prior delta
     if (dvInForce(spark, dir, vNowU)) {
@@ -2323,8 +2460,9 @@ object LakeManifest {
       if (v != e) throw new ManifestConflictException(
         s"deleteWhere expected lake version $e, found $v — retry against the new manifest")
     }
-    val manifestDf = read(spark, dir) // ONE reader: schema + collect below
-    val manifestSchema = manifestDf.schema
+    // schema + rows from the commit-warmed driver cache (zero metadata
+    // jobs when warm — the upsert discipline)
+    val (manifestSchema, oldRows) = currentManifestRows(spark, dir)
     val bloomDims = manifestSchema.fieldNames
       .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq
     // default: the manifest's bloom dims as plain columns, in schema order
@@ -2346,7 +2484,6 @@ object LakeManifest {
     }.sorted
     if (cand.isEmpty) (0L, 0)
     else {
-    val oldRows = manifestDf.collect() // ≤ numFiles
     val knownNames = oldRows.map(r =>
       r.getString(r.fieldIndex("file")).split('/').last).toSet
     // current-schema read: survivors REWRITE under the evolved schema
@@ -2416,12 +2553,13 @@ object LakeManifest {
     // originals stay on disk for in-flight readers and time travel
     fenceCheck(dir)
     recordRemoved(fs, dir, cand.map(_.split('/').last).toSeq)
-    spark.createDataFrame(
-        new java.util.ArrayList[Row]((keptRows ++ survivorRows).toSeq.asJava),
-        manifestSchema)
-      .coalesce(1).write.mode("overwrite").parquet(filesPath(dir))
+    // driver-side manifest write (no Spark job, no commit protocol)
+    org.apache.spark.sql.graftbridge.Bridge.writeRowsAsParquet(
+      spark, manifestSchema, (keptRows ++ survivorRows).toIndexedSeq,
+      filesPath(dir))
     archiveManifest(spark, dir, next)
     stampCommitTs(fs, dir, next)
+    cacheManifestRows(spark, dir, next, manifestSchema, keptRows ++ survivorRows)
     // DV fold-out for the rewritten (tombstoned) candidates: a BASE
     // generation (state reset) supersedes every prior delta
     if (dvInForce(spark, dir, vNowD)) {

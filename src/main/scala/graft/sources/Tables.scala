@@ -24,14 +24,24 @@ object Tables {
   // 344 queries × 4 bench passes of pure overhead (guide §1.2: per-task
   // work — don't recompute what cannot change). An explicit schema skips
   // the job; the schema is byte-identical to the inferred one.
+  // Keyed by (path, file length + mtime) so a table file REGENERATED at
+  // the same path within one JVM (r12 ADVICE) reads under its own fresh
+  // schema instead of a stale one; the stat is one driver fs call.
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    (String, Long), org.apache.spark.sql.types.StructType]()
+
+  private def cacheKey(spark: SparkSession, p: String): (String, Long) = try {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val st = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(hp)
+    (p, st.getLen + st.getModificationTime)
+  } catch { case scala.util.control.NonFatal(_) => (p, 0L) }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else {
       val p = s"$dir/$name.parquet"
-      val sch = schemaCache.computeIfAbsent(p,
+      val sch = schemaCache.computeIfAbsent(cacheKey(spark, p),
         _ => spark.read.parquet(p).schema)
       spark.read.schema(sch).parquet(p)
     }
@@ -39,7 +49,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = s"$dir/events.parquet"
-    val sch = schemaCache.computeIfAbsent(p,
+    val sch = schemaCache.computeIfAbsent(cacheKey(spark, p),
       _ => spark.read.parquet(p).schema)
     val raw = spark.read.schema(sch).parquet(p)
     raw.schema("ts").dataType match {

@@ -490,13 +490,16 @@ object IngestStream {
         // (incl. a foreign +1: the CAS below re-plans from the fresh
         // version, so a lost merge redoes instead of silently skipping)
     }
+    // lazy checkpoint: the stats aggregate below is the materialization
+    // point (one action computes, caches and aggregates — formerly an
+    // eager-checkpoint job plus a separate aggregate job)
     val deltas = batch
       .withColumn("__sign", when(col(LakeManifest.ChangeTypeCol)
         .isin("insert", "update_postimage"), 1L).otherwise(-1L))
       .groupBy(col(groupDim).as("g"))
       .agg(sum(valueCol.cast("long") * col("__sign")).as("d_sum"),
         sum(col("__sign")).as("d_n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // group count + group band in ONE action over the checkpointed deltas
     val dStats = deltas.agg(count(lit(1)),
       min(col("g")).cast("long"), max(col("g")).cast("long")).head()
@@ -615,27 +618,32 @@ object IngestStream {
         return (0L, 0L)
       case _ => ()
     }
-    // additive half (sum/count) + the batch's end version in one pass
-    val marked = batch
+    // additive half (sum/count) + the batch's end version in one pass:
+    // the per-group deltas carry max(_commit_version) so the batch-end
+    // version folds into the SAME stats action as the group count/band
+    // (formerly a separate aggregate job over the marked batch); the
+    // lazy checkpoint makes that stats action the materialization point
+    val deltas = batch
       .withColumn("__sign", when(col(LakeManifest.ChangeTypeCol)
         .isin("insert", "update_postimage"), 1L).otherwise(-1L))
-      .localCheckpoint(true)
-    val deltas = marked
       .groupBy(col(groupDim).as("g"))
       .agg(sum(valueCol.cast("long") * col("__sign")).as("d_sum"),
-        sum(col("__sign")).as("d_n"))
-      .localCheckpoint(true)
-    // group count + group band in ONE action over the checkpointed deltas
+        sum(col("__sign")).as("d_n"),
+        max(col(LakeManifest.CommitVersionCol)).cast("long").as("__mcv"))
+      .localCheckpoint(false)
+    // group count + group band + batch-end version in ONE action
     val dStats = deltas.agg(count(lit(1)),
-      min(col("g")).cast("long"), max(col("g")).cast("long")).head()
+      min(col("g")).cast("long"), max(col("g")).cast("long"),
+      max(col("__mcv"))).head()
     val nGroups = dStats.getLong(0)
     if (nGroups == 0) { writeWitness(batchId, -2, done = true); return (0L, 0L) }
-    val vEnd = marked.agg(max(col(LakeManifest.CommitVersionCol)))
-      .head().getLong(0).toInt
+    val vEnd = dStats.getLong(3).toInt
     // non-invertible half: min/max of the TOUCHED groups, recomputed
     // from the source AS OF the batch's last commit, band-pruned
     val band = (dStats.getLong(1), dStats.getLong(2))
-    val touched = deltas.select(col("g").as("__tg")).localCheckpoint(true)
+    // the touched-group set IS the checkpointed deltas' key column — no
+    // separate materialization needed for the broadcast below
+    val touched = deltas.select(col("g").as("__tg"))
     val extremes = LakeManifest.readPruned(spark, sourceDir,
         Map(groupDim -> band),
         version = Some(vEnd))
@@ -954,7 +962,7 @@ object IngestStream {
           max(valueCol.cast("long")).as("max_v")) else Nil)
       val view0 = joined.groupBy(col(groupDim).as("g"))
         .agg(aggs.head, aggs.tail: _*)
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the count below materializes it
       val n = view0.count()
       if (n == 0) { // empty join at the target pair: commit it, no view
         writeWitness(leftTo, rightTo, leftTo, rightTo, -2, done = true)
@@ -998,24 +1006,31 @@ object IngestStream {
     // the checkpointed deltas are the MATERIALIZATION point, so the
     // feed's column pruning applies here: a caller that names its
     // needed columns (join key + groupDim/value refs on that side)
-    // decodes and checkpoints only them, not the lake's full width
-    // the delta frame rides with its row count (ONE action per side:
-    // the count doubles as the emptiness probe and the broadcast-cap
-    // check — formerly an isEmpty job plus a count job per use)
+    // decodes and checkpoints only them, not the lake's full width.
+    // ONE action per side computes+caches the delta (lazy checkpoint)
+    // AND aggregates its row count + the OTHER side's state band over
+    // its keys — formerly a checkpoint job, a count job, and a band
+    // aggregate job per side. The count doubles as the emptiness probe
+    // and the broadcast-cap check.
     def signed(dir: String, from: Int, to: Int, s: String,
-        columns: Seq[String]): Option[(DataFrame, Long)] =
+        columns: Seq[String], fromKey: String, toKey: String,
+        bandExpr: org.apache.spark.sql.Column)
+        : Option[(DataFrame, Long, Option[(Long, Long)])] =
       if (from > to) None
       else {
         val d = LakeManifest.changesBetween(spark, dir, from, to, columns)
           .withColumn(s, when(col(LakeManifest.ChangeTypeCol)
             .isin("insert", "update_postimage"), 1L).otherwise(-1L))
           .drop(LakeManifest.ChangeTypeCol, LakeManifest.CommitVersionCol)
-          .localCheckpoint(true)
-        val n = d.count()
-        if (n == 0) None else Some((d, n))
+          .localCheckpoint(false)
+        val st = d.select(col(fromKey).as(toKey))
+          .agg(count(lit(1)), min(bandExpr.cast("long")),
+            max(bandExpr.cast("long"))).head()
+        val n = st.getLong(0)
+        if (n == 0) None
+        else Some((d, n,
+          if (st.isNullAt(1)) None else Some((st.getLong(1), st.getLong(2)))))
       }
-    val dL = signed(leftDir, lFrom, leftTo, "__sl", leftColumns)
-    val dR = signed(rightDir, rFrom, rightTo, "__sr", rightColumns)
     // broadcast a delta side only while it is micro-batch-sized: a
     // CATCH-UP delta spanning many versions (or a founding snapshot)
     // can be arbitrarily large, and a forced broadcast of it would OOM
@@ -1035,12 +1050,11 @@ object IngestStream {
     // the bucket expression transports across the rename.
     val (lDim, lExpr) = leftBandDim.getOrElse((leftKey, col(leftKey)))
     val (rDim, rExpr) = rightBandDim.getOrElse((rightKey, col(rightKey)))
-    def bandUnder(d: DataFrame, fromKey: String, toKey: String,
-        e: org.apache.spark.sql.Column): Option[(Long, Long)] = {
-      val r = d.select(col(fromKey).as(toKey))
-        .agg(min(e.cast("long")), max(e.cast("long"))).head()
-      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-    }
+    // each side's delta + count + OTHER-side state band in one action
+    val dL = signed(leftDir, lFrom, leftTo, "__sl", leftColumns,
+      leftKey, rightKey, rExpr)
+    val dR = signed(rightDir, rFrom, rightTo, "__sr", rightColumns,
+      rightKey, leftKey, lExpr)
     def stateAt(dir: String, v: Int, dim: String,
         e: org.apache.spark.sql.Column, band: (Long, Long),
         sign: String, columns: Seq[String]): DataFrame = {
@@ -1054,21 +1068,22 @@ object IngestStream {
     val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val stateIsEmpty = base.isEmpty // bootstrap: the founding records ARE the state
     dL.foreach { l => // ΔL ⋈ R₀: broadcast the (micro-batch-sized) delta
-      if (!stateIsEmpty) bandUnder(l._1, leftKey, rightKey, rExpr).foreach { b =>
-        terms += hinted(l).join(
+      if (!stateIsEmpty) l._3.foreach { b =>
+        terms += hinted((l._1, l._2)).join(
           stateAt(rightDir, base.get._2, rDim, rExpr, b, "__sr", rightColumns),
           col(leftKey) === col(rightKey))
       }
     }
     dR.foreach { r => // L₀ ⋈ ΔR
-      if (!stateIsEmpty) bandUnder(r._1, rightKey, leftKey, lExpr).foreach { b =>
+      if (!stateIsEmpty) r._3.foreach { b =>
         terms += stateAt(leftDir, base.get._1, lDim, lExpr, b, "__sl", leftColumns)
-          .join(hinted(r), col(leftKey) === col(rightKey))
+          .join(hinted((r._1, r._2)), col(leftKey) === col(rightKey))
       }
     }
     dL.foreach { l => dR.foreach { r => // ΔL ⋈ ΔR
-      terms += l._1.join(hinted(r), col(leftKey) === col(rightKey))
+      terms += l._1.join(hinted((r._1, r._2)), col(leftKey) === col(rightKey))
     }}
+    // lazy checkpoint: the stats aggregate below materializes the deltas
     val deltas =
       if (terms.isEmpty) None
       else Some(terms.reduce(_ unionByName _)
@@ -1076,7 +1091,7 @@ object IngestStream {
         .groupBy(col(groupDim).as("g"))
         .agg(sum(valueCol.cast("long") * col("__w")).as("d_sum"),
           sum(col("__w")).as("d_n"))
-        .localCheckpoint(true))
+        .localCheckpoint(false))
     // group count + group band in ONE action over the checkpointed
     // deltas (the band serves both the view merge and the extremes'
     // touched-group prune)
@@ -1105,12 +1120,15 @@ object IngestStream {
         else (rightDir, rightTo, rightColumns, rightKey,
           leftDir, leftTo, leftColumns, leftKey, lDim, lExpr)
       val gBand = (dStats.get.getLong(1), dStats.get.getLong(2))
-      val touched = d.select(col("g").as("__tg")).localCheckpoint(true)
+      // touched groups = the checkpointed deltas' key column (no
+      // separate materialization); gSide checkpoints lazily — the band
+      // aggregate below is its materialization point
+      val touched = d.select(col("g").as("__tg"))
       val gSide = prj(LakeManifest.readPruned(spark, gDir,
           Map(groupDim -> gBand),
           version = Some(gVer)), gCols)
         .join(broadcast(touched), col(groupDim) === col("__tg"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val kb = gSide.select(col(gKey).as(oKey))
         .agg(min(oExpr.cast("long")), max(oExpr.cast("long"))).head()
       if (kb.isNullAt(0)) // every touched group emptied: NULL extremes

@@ -150,4 +150,64 @@ object Bridge {
       }
     ofRows(spark, plan)
   }
+
+  /**
+   * Driver-side single-file parquet write of a TINY row set (the lake
+   * manifest: ≤ numFiles rows) through Spark's OWN ParquetWriteSupport —
+   * so the output is byte-compatible with what
+   * `createDataFrame(rows).coalesce(1).write.parquet(dest)` produced
+   * (same physical types, same list encoding, same
+   * `org.apache.spark.sql.parquet.row.metadata` footer schema), without
+   * a Spark job or the Hadoop commit protocol per commit. The caller
+   * guarantees the row set is driver-bounded.
+   */
+  def writeRowsAsParquet(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      destDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val sessionConf = spark.sessionState.conf
+    val conf = spark.sessionState.newHadoopConf()
+    ParquetWriteSupport.setSchema(schema, conf)
+    // exactly what ParquetFileFormat.prepareWrite stamps for executors
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sessionConf.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sessionConf.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sessionConf.parquetFieldIdWriteEnabled.toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sessionConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sessionConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sessionConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    val dest = new Path(destDir)
+    val fs = dest.getFileSystem(conf)
+    fs.delete(dest, true)
+    fs.mkdirs(dest)
+    val file = new Path(dest,
+      s"part-00000-${java.util.UUID.randomUUID()}-c000.snappy.parquet")
+    final class B(p: Path) extends org.apache.parquet.hadoop.ParquetWriter
+        .Builder[InternalRow, B](p) {
+      override def self(): B = this
+      override def getWriteSupport(c: org.apache.hadoop.conf.Configuration)
+          : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+        new ParquetWriteSupport
+    }
+    val writer = new B(file)
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+    try rows.foreach(r => writer.write(toCatalyst(r).asInstanceOf[InternalRow]))
+    finally writer.close()
+    // the marker Spark's committer leaves; some tooling globs for it
+    fs.create(new Path(dest, "_SUCCESS"), true).close()
+  }
 }
