@@ -203,33 +203,36 @@ object Calibration {
     val ivals = starts.join(ends, Seq("key")).where(col("jb") <= col("kb"))
       .select(col("key"), col("jb"), col("kb"),
         (col("ck") - col("ck0")).as("num"), (col("cn") - col("cn0")).as("den"))
-    // checkpoint the shared frames: each anti-join references its input
-    // TWICE (x and y side) and `fit` twice again — without the cut the
-    // B³ interval explosion re-computes 4× (measured 6.8 s → 3.6 s at
-    // sf0.1's 100-bucket frame)
-    val frame = h.select(col("key"), col("b"))
-      .join(ivals, Seq("key"))
-      .where(col("jb") <= col("b") && col("b") <= col("kb"))
-      .localCheckpoint(false)
-    // min over k >= b for each (key, b, j): x survives iff no y is a
-    // strictly smaller fraction, or an equal fraction with smaller k
-    val minK = frame.as("x").join(frame.as("y"),
-        col("x.key") === col("y.key") && col("x.b") === col("y.b") &&
-          col("x.jb") === col("y.jb") &&
-          (expr("CAST(y.num AS DECIMAL(38,0)) * x.den < CAST(x.num AS DECIMAL(38,0)) * y.den") ||
-            (expr("CAST(y.num AS DECIMAL(38,0)) * x.den = CAST(x.num AS DECIMAL(38,0)) * y.den") &&
-              col("y.kb") < col("x.kb"))),
-        "left_anti")
-      .localCheckpoint(false)
-    // max over j <= b for each (key, b): symmetric, smallest j on ties
-    val fit = minK.as("x").join(minK.as("y"),
-        col("x.key") === col("y.key") && col("x.b") === col("y.b") &&
-          (expr("CAST(y.num AS DECIMAL(38,0)) * x.den > CAST(x.num AS DECIMAL(38,0)) * y.den") ||
-            (expr("CAST(y.num AS DECIMAL(38,0)) * x.den = CAST(x.num AS DECIMAL(38,0)) * y.den") &&
-              col("y.jb") < col("x.jb"))),
-        "left_anti")
+    // Both extrema on the B²-per-key interval frame directly (formerly a
+    // B³ positions-onto-intervals explosion closed by two anti-joins):
+    //   m(j,b) = min_{k ≥ b} A(j,k) is a running min over kb DESC within
+    //   (key, jb) — the row (j, kb = b) carries exactly that value — and
+    //   fit(b) = max_j m(j,b) is one group-max over (key, b = kb), since
+    //   every interval row already satisfies jb ≤ kb = b.
+    // Fraction order without IEEE: the scaled DECIMAL quotient
+    // q = num·10²⁴ / den (exact BigDecimal divide, deterministically
+    // rounded to the result scale). Two distinct fractions with
+    // denominators ≤ D differ by ≥ 10²⁴/D² after scaling — far above
+    // the rounding grain for any D ≤ 10¹⁵ rows per key — and equal
+    // fractions take equal q's, so the struct orderings below reproduce
+    // the former anti-joins' (value, then smallest k / smallest j)
+    // tie-breaks representative-exactly.
+    val q = expr(
+      "CAST(num AS DECIMAL(38,0)) * 1000000000000000000000000 / den")
+    val wMin = Window.partitionBy(col("key"), col("jb"))
+      .orderBy(col("kb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = ivals.withColumn("q", q)
+      .withColumn("mw",
+        min(struct(col("q"), col("kb"), col("num"), col("den"))).over(wMin))
+    val fit = m
+      .select(col("key"), col("jb"), col("kb").as("b"),
+        col("mw.q").as("mq"), col("mw.num").as("mnum"), col("mw.den").as("mden"))
+      .groupBy(col("key"), col("b"))
+      .agg(max(struct(col("mq"), (-col("jb")).as("nj"),
+        col("mnum"), col("mden"))).as("w"))
       .select(col("key"), col("b"),
-        col("num").as("fit_num"), col("den").as("fit_den"))
+        col("w.mnum").as("fit_num"), col("w.mden").as("fit_den"))
     h.join(fit, Seq("key", "b"))
       .withColumn("raw_ppm", expr("pos * 1000000 DIV n"))
       .withColumn("fit_ppm", expr("fit_num * 1000000 DIV fit_den"))

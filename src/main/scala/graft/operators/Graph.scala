@@ -289,15 +289,16 @@ object Graph {
    * coefficient 3·triangles/wedges in exact ppm (integer multiply then
    * truncating DIV — engine-portable, no IEEE).
    *
-   * The closing-edge probe is a HASH semi-join, never sort-merge: the
-   * wedge side is the large one (O(m^{3/2})) and sorting it would
-   * dominate the whole operator. The default is a SHUFFLED hash build —
-   * measured FASTER than broadcasting the edge set even when it fits
-   * (sf0.1 co-occurrence graph, 41M wedges vs 1.2M edges: 1.7 s vs
-   * 4.3 s), because each partition's hash map is ~m/parallelism entries
-   * and stays cache-resident under the wedge-volume probe storm, while
-   * one big broadcast map thrashes. `broadcastEdges` remains for closing
-   * sets small enough to be cache-sized themselves.
+   * The closing runs as the EDGE ITERATOR over oriented adjacency
+   * lists (r13): each triangle surfaces at its smallest edge (a, b) as
+   * c ∈ N⁺(a) ∩ N⁺(b), a codegen `array_intersect` per edge — the
+   * O(m^{3/2}) wedge volume rides as array payload through ONE m-row
+   * join instead of materializing and shuffling O(m^{3/2}) wedge ROWS
+   * into a semi-join probe (measured at sf0.1: q142 6.6 → 4.8 s,
+   * q217 8.2 → 4.2 s). Both intersected lists are OUT-neighborhoods
+   * under ≺, so the per-edge cost keeps the O(√m) arboricity bound.
+   * `broadcastEdges` asserts the adjacency frame fits per-executor and
+   * broadcasts it into both decoration joins (edge side never shuffles).
    *
    * @param edges undirected edge list as (u: long, v: long); dedup and
    *   canonicalization (u < v, no self-loops) happen here.
@@ -323,26 +324,30 @@ object Graph {
         .as("e"))
       .select(col("e.src"), col("e.dst"), col("e.ddst"))
       .localCheckpoint(false)
-    // wedges from each source's out-neighborhood, ordered under ≺ so the
-    // closing edge is itself oriented low→high. Repartition by src
-    // EXPLICITLY: the edge list is small enough that AQE coalesces its
-    // shuffle to a handful of partitions, but the self-join amplifies
-    // O(√m)-fold — partition count must be sized to the WEDGE volume, not
-    // the input bytes (the join-amplification blind spot of
-    // byte-proportional coalescing)
-    val parallelism = edges.sparkSession.sparkContext.defaultParallelism
-    val bySrc = oriented.repartition(parallelism, col("src"))
-    val e1 = bySrc.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
-    val e2 = bySrc.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
-    val wedges = e1.join(e2, "src")
-      .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
-      .select(col("b").as("src"), col("c").as("dst"))
-    val closing = oriented.select(col("src"), col("dst"))
-    val triCount = wedges
-      .join(
-        if (broadcastEdges) broadcast(closing) else closing.hint("shuffle_hash"),
-        Seq("src", "dst"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    // EDGE-ITERATOR closing (r13): a triangle {a ≺ b ≺ c} is counted at
+    // its SMALLEST edge (a, b) as c ∈ N⁺(a) ∩ N⁺(b) — both memberships
+    // are out-edges under ≺, so per-edge intersection cost is
+    // d⁺(a) + d⁺(b) ≤ O(√m) each and the total stays the Chiba–Nishizeki
+    // O(m^{3/2}). vs the former wedge self-join + semi-join probe, the
+    // shuffled ROW volume drops from the wedge count (O(m^{3/2}) rows)
+    // to O(m) edge/adjacency rows (the wedge volume rides as array
+    // payload through ONE join), and the closing probe becomes a
+    // codegen array_intersect per edge — measured q142 6.6 → 4.8 s,
+    // q217 8.2 → 4.2 s at sf0.1. A sink dst (no out-edges) drops in
+    // the inner join; its intersection is empty — contribution 0 either
+    // way.
+    val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbr"))
+      .localCheckpoint(false) // read by BOTH decoration joins
+    // broadcastEdges keeps its caller-asserted meaning: the adjacency
+    // frame (O(m) cells) broadcasts into both joins, so the edge side
+    // is never shuffled at all — for graphs small enough to pin per
+    // executor, exactly as the former closing-set broadcast
+    def dec(df: DataFrame): DataFrame = if (broadcastEdges) broadcast(df) else df
+    val triCount = oriented.select(col("src").as("ea"), col("dst").as("eb"))
+      .join(dec(adj.select(col("src").as("ea"), col("nbr").as("na"))), "ea")
+      .join(dec(adj.select(col("src").as("eb"), col("nbr").as("nb"))), "eb")
+      .agg(coalesce(sum(size(array_intersect(col("na"), col("nb")))
+        .cast("long")), lit(0L)).as("n_triangles"))
     deg.agg(
         count(lit(1)).as("n_nodes"),
         expr("sum(deg) DIV 2").as("n_edges"),
@@ -470,13 +475,14 @@ object Graph {
    * lcc sit inside dense cores — the per-node refinement a partitioner
    * or community detector reads after q142's global number.
    *
-   * Same Chiba–Nishizeki degree-ordered orientation as
-   * [[triangleStats]] (wedges O(m^1.5) total regardless of hub skew),
-   * but the closing probe is an INNER hash join (not a semi-join): each
-   * triangle must surface once as its (a,b,c) triple so all THREE
-   * corners can be credited — a triangle through v counts toward
-   * tri(v) no matter where v sits in the ≺ order. Explode the triple,
-   * one count per node, join the degree frame.
+   * Same Chiba–Nishizeki degree-ordered orientation and edge-iterator
+   * closing as [[triangleStats]] (per-edge intersection of two
+   * ≺-out-neighborhoods, O(m^1.5) total regardless of hub skew), with
+   * the intersection EXPLODED instead of counted: each triangle
+   * surfaces once as its (a,b,c) triple so all THREE corners can be
+   * credited — a triangle through v counts toward tri(v) no matter
+   * where v sits in the ≺ order. Explode the triple, one count per
+   * node, join the degree frame.
    *
    * Exact ppm law: lcc_ppm = 2·tri·10⁶ DIV (deg·(deg−1)), NULL when
    * deg < 2 (no wedge to close — 0 would claim "never closes", NULL
@@ -503,17 +509,20 @@ object Graph {
         .as("e"))
       .select(col("e.src"), col("e.dst"), col("e.ddst"))
       .localCheckpoint(false)
-    // partition by wedge volume, not input bytes (triangleStats note)
-    val parallelism = edges.sparkSession.sparkContext.defaultParallelism
-    val bySrc = oriented.repartition(parallelism, col("src"))
-    val e1 = bySrc.select(col("src").as("a"), col("dst").as("b"), col("ddst").as("db"))
-    val e2 = bySrc.select(col("src").as("a"), col("dst").as("c"), col("ddst").as("dc"))
-    val wedges = e1.join(e2, "a")
-      .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
-      .select(col("a"), col("b"), col("c"))
-    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val triangles = wedges
-      .join(closing.hint("shuffle_hash"), Seq("b", "c"))
+    // EDGE-ITERATOR closing (r13, the triangleStats shape): each
+    // triangle {a ≺ b ≺ c} surfaces ONCE at its smallest edge (a, b)
+    // with the closing corners c = N⁺(a) ∩ N⁺(b) exploded from a
+    // codegen array_intersect — O(m) shuffled rows instead of the
+    // O(m^{3/2}) wedge self-join, same arboricity-bounded total work.
+    // All THREE corners credit from the (a, b, c) triple exactly as the
+    // former inner-join shape.
+    val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbr"))
+      .localCheckpoint(false) // read by BOTH decoration joins
+    val triangles = oriented.select(col("src").as("a"), col("dst").as("b"))
+      .join(adj.select(col("src").as("a"), col("nbr").as("na")), "a")
+      .join(adj.select(col("src").as("b"), col("nbr").as("nb")), "b")
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
     val triPerNode = triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
