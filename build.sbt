@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs driver + all executor threads in ONE JVM, so the heap
+  // must be sized like an executor fleet, not a driver: 8g gave
+  // ~250 MB/core at local[32] and the full bench spent multi-second
+  // windows in GC/storage eviction mid-run (measured r13: identical
+  // code 549.5 s at 8g vs 419.0 s at 24g over 344 queries — the
+  // "contention cluster" artifact of r11/r12 reproduced and removed).
+  // 24g = 750 MB/core, still < 20% of the 128 GiB box; override via
+  // SPARK_DRIVER_MEM for smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
